@@ -1,0 +1,51 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bitemporal interval conventions.
+  *
+  * A feature table carries `key_*` columns, feature value columns, and an
+  * event-validity interval `valid_from` (inclusive) / `valid_until`
+  * (exclusive; NULL = open-ended), matching the reference contract
+  * (reference: R/2_FeatureHandler.R:56-63).
+  *
+  * All helpers are plain column predicates/projections — they stay inside
+  * whole-stage codegen and push down to parquet scans.
+  */
+object Intervals {
+  val ValidFrom = "valid_from"
+  val ValidUntil = "valid_until"
+
+  def keyCols(df: DataFrame): Seq[String] =
+    df.columns.filter(_.startsWith("key_")).toSeq
+
+  /** Row is valid somewhere inside [start, endExclusive)?
+    * Mirrors the reference's period join condition
+    * (reference: R/DiseasystoreBase.R:266-269):
+    * `valid_from <= end AND (valid_until > start OR valid_until IS NULL)`.
+    * Note the reference compares `valid_from <= valid_until.p` with the
+    * period's `valid_until` being the *inclusive* end date. */
+  def overlapsPeriod(start: Column, endInclusive: Column): Column =
+    col(ValidFrom) <= endInclusive &&
+      (col(ValidUntil) > start || col(ValidUntil).isNull)
+
+  /** Slice a feature table to the study period (the tail of `get_feature`). */
+  def slice(df: DataFrame, start: String, endInclusive: String): DataFrame =
+    df.filter(overlapsPeriod(to_date(lit(start)), to_date(lit(endInclusive))))
+
+  /** Clamp validity to [start, endExclusive): open ends are closed at
+    * `endExclusive` (reference: R/DiseasystoreBase.R:313-322). */
+  def clamp(df: DataFrame, start: String, endExclusive: String): DataFrame = {
+    val s = to_date(lit(start))
+    val e = to_date(lit(endExclusive))
+    df.withColumn(ValidFrom, greatest(col(ValidFrom), s))
+      .withColumn(ValidUntil, least(coalesce(col(ValidUntil), e), e))
+  }
+
+  /** Two intervals overlap (strictly; empty intersections excluded),
+    * open ends (NULL) treated as +infinity. */
+  def intervalsOverlap(
+      from1: Column, until1: Column, from2: Column, until2: Column): Column =
+    (from1 < until2 || until2.isNull) && (until1 > from2 || until1.isNull)
+}
