@@ -1,0 +1,164 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Queries, QueryPack}
+import graft.core._
+
+/** Aggregators, interval slicing, and the flagship key_join_features
+  * prevalence queries. */
+object CorePack extends QueryPack {
+
+  private val Start = "1995-01-01"
+  private val End = "1995-03-31"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_key_join_sum" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(Aggregators.Sum.agg(col("l_quantity")).as("n"))),
+
+    "q02_key_join_count" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(Aggregators.Count.agg(lit(1)).as("n"))),
+
+    "q03_key_join_minmax" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          Aggregators.Min.agg(col("l_extendedprice")).as("n_min"),
+          Aggregators.Max.agg(col("l_extendedprice")).as("n_max"))),
+
+    "q04_feature_slice" -> ((s, dir) =>
+      Intervals.slice(Queries.orderIntervals(s, dir), Start, End)
+        .select(col("key_cust"), col("o_orderkey"),
+          col("valid_from").cast("string").as("valid_from"),
+          col("valid_until").cast("string").as("valid_until"))),
+
+    "q07_prevalence" -> ((s, dir) =>
+      KeyJoinFeatures(
+        observable = Intervals.slice(Queries.orderIntervals(s, dir), Start, End),
+        observableName = "n_orders",
+        feature = "o_orderkey",
+        agg = Aggregators.Count,
+        stratifications = Seq.empty,
+        stratCols = Seq.empty,
+        start = Start, endInclusive = End)
+        .withColumn("date", col("date").cast("string"))),
+
+    "q08_prevalence_strat" -> ((s, dir) =>
+      KeyJoinFeatures(
+        observable = Intervals.slice(Queries.orderIntervals(s, dir), Start, End),
+        observableName = "n_orders",
+        feature = "o_orderkey",
+        agg = Aggregators.Count,
+        stratifications = Seq(
+          Intervals.slice(Queries.segmentFeature(s, dir), Start, End)),
+        stratCols = Seq("mktsegment"),
+        start = Start, endInclusive = End)
+        .withColumn("date", col("date").cast("string")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_key_join_sum" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q02_key_join_count" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q03_key_join_minmax" ->
+      """SELECT l_returnflag, min(l_extendedprice) AS n_min,
+        |  max(l_extendedprice) AS n_max
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q04_feature_slice" ->
+      s"""WITH iv AS (${Queries.orderIntervalsSql})
+         |SELECT key_cust, o_orderkey, CAST(valid_from AS VARCHAR) AS valid_from,
+         |  CAST(valid_until AS VARCHAR) AS valid_until
+         |FROM iv
+         |WHERE valid_from <= DATE '$End' AND valid_until > DATE '$Start'
+         |""".stripMargin,
+
+    "q07_prevalence" ->
+      s"""WITH iv AS (${Queries.orderIntervalsSql}),
+         |sliced AS (
+         |  SELECT greatest(valid_from, DATE '$Start') AS vf,
+         |         least(valid_until, DATE '$End' + 1) AS vu
+         |  FROM iv
+         |  WHERE valid_from <= DATE '$End' AND valid_until > DATE '$Start'
+         |),
+         |deltas AS (
+         |  SELECT d, count(CASE WHEN is_add THEN 1 END) AS n_add,
+         |         count(CASE WHEN NOT is_add THEN 1 END) AS n_remove
+         |  FROM (
+         |    SELECT vf AS d, TRUE AS is_add FROM sliced
+         |    UNION ALL
+         |    SELECT vu AS d, FALSE AS is_add FROM sliced
+         |  ) GROUP BY d
+         |),
+         |grid AS (
+         |  SELECT CAST(unnest(generate_series(
+         |    DATE '$Start', DATE '$End', INTERVAL 1 DAY)) AS DATE) AS date
+         |)
+         |SELECT CAST(g.date AS VARCHAR) AS date,
+         |  CAST(sum(coalesce(n_add, 0)) OVER (ORDER BY g.date)
+         |     - sum(coalesce(n_remove, 0)) OVER (ORDER BY g.date)
+         |    AS BIGINT) AS n_orders
+         |FROM grid g LEFT JOIN deltas ON g.date = deltas.d
+         |""".stripMargin,
+
+    "q08_prevalence_strat" ->
+      s"""WITH iv AS (${Queries.orderIntervalsSql}),
+         |seg AS (${Queries.segmentFeatureSql}),
+         |obs AS (
+         |  SELECT key_cust, o_orderkey,
+         |         greatest(valid_from, DATE '$Start') AS vf,
+         |         least(valid_until, DATE '$End' + 1) AS vu
+         |  FROM iv
+         |  WHERE valid_from <= DATE '$End' AND valid_until > DATE '$Start'
+         |),
+         |strat AS (
+         |  SELECT key_cust, mktsegment,
+         |         greatest(valid_from, DATE '$Start') AS vf,
+         |         least(coalesce(valid_until, DATE '$End' + 1), DATE '$End' + 1) AS vu
+         |  FROM seg
+         |  WHERE valid_from <= DATE '$End'
+         |    AND (valid_until > DATE '$Start' OR valid_until IS NULL)
+         |),
+         |interlaced AS (
+         |  SELECT o.o_orderkey, s.mktsegment,
+         |         CASE WHEN o.vf >= s.vf THEN o.vf ELSE s.vf END AS vf,
+         |         CASE WHEN o.vu <= s.vu THEN o.vu ELSE s.vu END AS vu
+         |  FROM obs o JOIN strat s ON o.key_cust = s.key_cust
+         |   AND o.vf < s.vu AND o.vu > s.vf
+         |),
+         |deltas AS (
+         |  SELECT mktsegment, d,
+         |         count(CASE WHEN is_add THEN 1 END) AS n_add,
+         |         count(CASE WHEN NOT is_add THEN 1 END) AS n_remove
+         |  FROM (
+         |    SELECT mktsegment, vf AS d, TRUE AS is_add FROM interlaced
+         |    UNION ALL
+         |    SELECT mktsegment, vu AS d, FALSE AS is_add FROM interlaced
+         |  ) GROUP BY 1, 2
+         |),
+         |grid AS (
+         |  SELECT m.mktsegment, CAST(d.d AS DATE) AS date
+         |  FROM (SELECT DISTINCT mktsegment FROM interlaced) m
+         |  CROSS JOIN (SELECT unnest(generate_series(
+         |    DATE '$Start', DATE '$End', INTERVAL 1 DAY)) AS d) d
+         |)
+         |SELECT CAST(g.date AS VARCHAR) AS date, g.mktsegment,
+         |  CAST(sum(coalesce(n_add, 0)) OVER (PARTITION BY g.mktsegment ORDER BY g.date)
+         |     - sum(coalesce(n_remove, 0)) OVER (PARTITION BY g.mktsegment ORDER BY g.date)
+         |    AS BIGINT) AS n_orders
+         |FROM grid g
+         |LEFT JOIN deltas x
+         |  ON g.date = x.d AND g.mktsegment IS NOT DISTINCT FROM x.mktsegment
+         |""".stripMargin
+  )
+}
