@@ -7,7 +7,8 @@ import graft.packs._
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(CorePack, TemporalPack)
+  private val packs: Seq[QueryPack] =
+    Seq(CorePack, TemporalPack, LlmPack, EventsPack)
 
   /** Flagship query on sf=0.001: daily open-order prevalence
     * (key_join_features with a count aggregator). */

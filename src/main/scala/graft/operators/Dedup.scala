@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora.
+  *
+  * Scale design:
+  *  - `exact` groups by a 64-bit content hash, so the shuffle key is 8
+  *    bytes instead of the full text.
+  *  - `ngramJaccard` is the exact (quadratic within a blocking key)
+  *    reference; the scale path is `minhashLsh`, which bounds candidate
+  *    generation by LSH band buckets and only exact-verifies candidates.
+  *  - `simhash` reduces each doc to 64 bits; candidates come from
+  *    16-bit band equality (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 of 4 bands
+  *    equal), verified with `bit_count(xor)`.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical id = min id among identical texts.
+    * Shuffles on xxhash64(text), not the text itself. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol)))
+    df.select(col(idCol), col(textCol))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("is_dup", (col(idCol) =!= col("canonical_id")).cast("int"))
+      .drop(textCol)
+  }
+
+  /** Word n-gram shingle set, distinct, as (id, blockCols..., shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+               blockCols: Seq[String], n: Int): DataFrame = {
+    val ws = TextAnalysis.words(col(textCol))
+    df.select(
+      (col(idCol) +: blockCols.map(col)) :+
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(lit(1), size(ws) - (n - 1))),
+          i => concat_ws(" ", slice(ws, i, lit(n)))))).as("__shingle"): _*)
+  }
+
+  /** Exact n-gram Jaccard similarity pairs with J ≥ `threshold`, blocked
+    * by `blockCols` (pairs are only compared within a block). Output:
+    * (id_a, id_b, jaccard), id_a < id_b. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   blockCols: Seq[String], n: Int,
+                   threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, blockCols, n).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val a = sh.select(
+      (col(idCol).as("id_a") +: blockCols.map(c => col(c).as(s"__ba_$c"))) :+
+        col("__shingle"): _*)
+    val b = sh.select(
+      (col(idCol).as("id_b") +: blockCols.map(c => col(c).as(s"__bb_$c"))) :+
+        col("__shingle"): _*)
+    val blockEq = blockCols.map(c => col(s"__ba_$c") <=> col(s"__bb_$c"))
+    val joinCond = (Seq(a("__shingle") === b("__shingle"),
+      col("id_a") < col("id_b")) ++ blockEq).reduce(_ && _)
+    val inter = a.join(b, joinCond)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("__sza")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("__szb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("__inter").cast("double") /
+          (col("__sza") + col("__szb") - col("__inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: sig_i = min over shingles of
+    * (a_i·murmur3(shingle) + b_i) mod p. Pure higher-order functions —
+    * one pass over the shingle array per row, no shuffle. */
+  def minhashSignature(textWords: Column, numHashes: Int): Column = {
+    val p = 2147483647L // 2^31 − 1
+    val rng = new scala.util.Random(42)
+    val seeds = Seq.fill(numHashes)(
+      (math.abs(rng.nextInt(Int.MaxValue - 1)) + 1L,
+        math.abs(rng.nextLong()) % p))
+    val shingleHashes = transform(textWords, t => hash(t).cast("long"))
+    array(seeds.map { case (aC, bC) =>
+      aggregate(shingleHashes, lit(Long.MaxValue),
+        (acc, h) => least(acc, pmod(lit(aC) * h + lit(bC), lit(p))))
+    }: _*)
+  }
+
+  /** MinHash + LSH near-dup candidates: signatures banded into
+    * `bands` buckets; docs sharing any band bucket are candidates, then
+    * exact-verified with estimated Jaccard = matching signature fraction.
+    * Output: (id_a, id_b, est_jaccard ≥ threshold). */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val ws = array_distinct(transform(
+      sequence(lit(1), greatest(lit(1), size(TextAnalysis.words(col(textCol))) - 2)),
+      i => concat_ws(" ", slice(TextAnalysis.words(col(textCol)), i, lit(3)))))
+    val sigs = df.select(col(idCol), minhashSignature(ws, numHashes).as("__sig"))
+      .cache()
+    val banded = sigs.select(
+      col(idCol),
+      col("__sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bi => xxhash64(concat_ws(",",
+          transform(slice(col("__sig"), bi * lit(r) + 1, lit(r)), _.cast("string")))))))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+    val aSide = banded.select(col(idCol).as("id_a"), col("__sig").as("__sig_a"),
+      col("__band"), col("__bucket"))
+    val bSide = banded.select(col(idCol).as("id_b"), col("__sig").as("__sig_b"),
+      col("__band"), col("__bucket"))
+    val cand = aSide.join(bSide, Seq("__band", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__sig_a", "__sig_b").distinct()
+    // estimated Jaccard = fraction of matching signature positions
+    val est = cand.select(col("id_a"), col("id_b"),
+      (aggregate(zip_with(col("__sig_a"), col("__sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, m) => acc + m).cast("double") / numHashes)
+        .as("est_jaccard"))
+    est.filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simhash(text: Column): Column = {
+    val tokenBitVotes = aggregate(
+      TextAnalysis.words(text),
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        array((0 until 64).map(j =>
+          when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L)): _*),
+        (a, b) => a + b))
+    aggregate(tokenBitVotes, lit(0L),
+      (acc, v) => acc * 2 + when(v > 0, 1L).otherwise(0L))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, using
+    * 16-bit band buckets for candidate generation. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    val sigs = df.select(col(idCol), simhash(col(textCol)).as("__sh")).cache()
+    val banded = sigs.select(col(idCol), col("__sh"),
+      posexplode(array((0 until 4).map(bi =>
+        shiftright(col("__sh"), bi * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+    val aSide = banded.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"),
+      col("__band"), col("__bucket"))
+    val bSide = banded.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"),
+      col("__band"), col("__bucket"))
+    aSide.join(bSide, Seq("__band", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__sh_a", "__sh_b").distinct()
+      .withColumn("hamming", bit_count(col("__sh_a").bitwiseXOR(col("__sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Scale design:
+  *  - `topK` is the exact baseline: the (small) query set is broadcast
+  *    against a full scan of the corpus — one pass, no shuffle of the
+  *    corpus, embarrassingly parallel. Per-pair math is a single
+  *    codegen'd `aggregate(zip_with(...))` fold (deterministic order —
+  *    reproducible doubles).
+  *  - `lshTopK` is the approximate scale path: random-hyperplane signs
+  *    bucket the corpus; only bucket-colliding (multi-probe over bands)
+  *    candidates are scored.
+  *  - `nearDupPairs` blocks on a caller-provided key to keep the
+  *    quadratic term bounded.
+  */
+object Similarity {
+
+  /** Cast a float array column to double (deterministic math downstream). */
+  def toDouble(emb: Column): Column = transform(emb, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k: for each query row (selected by `queryPred`),
+    * the k nearest corpus rows (self excluded), ranked by
+    * (similarity DESC, id ASC). Output: (query_id, rank, neighbor_id). */
+  def topK(df: DataFrame, idCol: String, embCol: String,
+           queryPred: Column, k: Int): DataFrame = {
+    val corpus = df.select(col(idCol).as("neighbor_id"),
+      toDouble(col(embCol)).as("__e"))
+    val queries = df.filter(queryPred)
+      .select(col(idCol).as("query_id"), toDouble(col(embCol)).as("__qe"))
+    val scored = corpus.join(broadcast(queries),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("__sim", cosine(col("__qe"), col("__e")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** Exact cosine near-duplicate pairs with sim ≥ threshold, blocked by
+    * `blockCol` (only same-block pairs compared). Output: (id_a, id_b). */
+  def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                   blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(blockCol).as("__blk"),
+      toDouble(col(embCol)).as("__ea"))
+    val b = df.select(col(idCol).as("id_b"), col(blockCol).as("__blk"),
+      toDouble(col(embCol)).as("__eb"))
+    a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("__ea"), col("__eb")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Random-hyperplane LSH signature: `nBits` sign bits of projections
+    * onto pseudo-random (deterministic seed) hyperplanes. */
+  def lshSignature(emb: Column, dim: Int, nBits: Int): Column = {
+    val rng = new scala.util.Random(7)
+    val planes = Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
+    array(planes.map { p =>
+      val proj = aggregate(
+        zip_with(emb, lit(p), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, 1).otherwise(0)
+    }: _*)
+  }
+
+  /** Approximate top-k: candidates share at least one LSH band bucket
+    * with the query, then exact cosine ranking among candidates.
+    * Recall < 1 by construction; bands/rowsPerBand trade recall for cost. */
+  def lshTopK(df: DataFrame, idCol: String, embCol: String,
+              queryPred: Column, k: Int, dim: Int,
+              bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val nBits = bands * rowsPerBand
+    val sig = df.select(col(idCol), toDouble(col(embCol)).as("__e"),
+      lshSignature(col(embCol), dim, nBits).as("__sig"))
+    val banded = sig.select(col(idCol), col("__e"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bi => concat_ws("", transform(
+          slice(col("__sig"), bi * lit(rowsPerBand) + 1, lit(rowsPerBand)),
+          _.cast("string"))))))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+    val queries = banded.join(
+      df.filter(queryPred).select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("query_id"), col("__e").as("__qe"),
+        col("__band"), col("__bucket"))
+    val cands = banded.select(col(idCol).as("neighbor_id"), col("__e"),
+      col("__band"), col("__bucket"))
+      .join(broadcast(queries), Seq("__band", "__bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "__qe", "__e").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("neighbor_id"))
+    cands.withColumn("__sim", cosine(col("__qe"), col("__e")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+}

@@ -1,0 +1,64 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.core.Tables
+import graft.streaming.{Sessions, Windows}
+
+/** Event-stream operators in batch form (streaming parity is covered by
+  * the EventsStream specs). */
+object EventsPack extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_events_window" -> ((s, dir) =>
+      Windows.tumbling(
+        Tables.events(s, dir), "ts", "1 hour", Seq("event_type"),
+        Seq(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("sum_cents")))
+        .select(
+          col("window_start").cast("string").as("window_start"),
+          col("event_type"), col("n"), col("sum_cents"))),
+
+    "q28_sessionize" -> ((s, dir) =>
+      Sessions.aggregate(
+        Tables.events(s, dir)
+          .withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "ts_us", "event_id", gapSeconds = 1800))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q27_events_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+        |  event_type, count(*) AS n,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q28_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |),
+        |l AS (
+        |  SELECT user_id, ts_us,
+        |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS prev
+        |  FROM e
+        |),
+        |f AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM l
+        |),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM f
+        |)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM s GROUP BY 1, 2""".stripMargin
+  )
+}

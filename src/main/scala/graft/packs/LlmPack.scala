@@ -1,0 +1,185 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.core.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators over the documents/embeddings
+  * tables: dedup, similarity search, text analysis. */
+object LlmPack extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text")),
+
+    "q21_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.load(s, dir, "documents"),
+        "doc_id", "text", Seq("lang"), n = 3, threshold = 0.5)),
+
+    "q22_dedup_embedding" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", threshold = 0.4)),
+
+    "q23_ann_topk" -> ((s, dir) =>
+      Similarity.topK(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", pmod(col("vec_id"), lit(50)) === 0, k = 10)),
+
+    "q24_token_count" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))),
+
+    "q25_quality_score" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_words"),
+        TextAnalysis.punctCount(col("text")).as("n_punct"),
+        TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "q26_lang_id" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_id")))
+  )
+
+  private val ShinglesSql =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, lang, array_to_string(words[i:i+2], ' ') AS s
+      |  FROM (SELECT doc_id, lang,
+      |          regexp_split_to_array(trim(text), '\s+') AS words
+      |        FROM documents) w,
+      |       LATERAL (SELECT unnest(generate_series(
+      |          1, greatest(1, len(words) - 2))) AS i) g
+      |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+        |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY text) AS INT) AS is_dup
+        |FROM documents""".stripMargin,
+
+    "q21_dedup_ngram" ->
+      s"""WITH $ShinglesSql,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b
+         |    ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b,
+         |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON id_a = sa.doc_id
+         |JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+         |""".stripMargin,
+
+    "q22_dedup_embedding" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |),
+        |n AS (
+        |  SELECT vec_id, label, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+        |  FROM v
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.e, b.e),
+        |        x -> x[1] * x[2])) / (a.nrm * b.nrm) >= 0.4
+        |""".stripMargin,
+
+    "q23_ann_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |),
+        |n AS (
+        |  SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+        |  FROM v
+        |),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.e, c.e),
+        |      x -> x[1] * x[2])) / (q.nrm * c.nrm) AS sim
+        |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 50 = 0
+        |),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+        |FROM ranked WHERE rank <= 10
+        |""".stripMargin,
+
+    "q24_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q25_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS words,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS n_punct
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, text, n_punct,
+        |    len(words) AS n_words,
+        |    len(list_filter(words, w -> w IN
+        |      ('the','a','of','and','to','in','is','it','for','on'))) AS n_stop
+        |  FROM t
+        |)
+        |SELECT doc_id, n_words, n_punct,
+        |  CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+        |  least(1.0, CAST(n_words AS DOUBLE) / 64.0) * 0.4
+        |    + (1.0 - CAST(n_punct AS DOUBLE) / len(text)) * 0.3
+        |    + (CAST(n_stop AS DOUBLE) / n_words) * 0.3 AS quality
+        |FROM c""".stripMargin,
+
+    "q26_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS words,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, cjk,
+        |    len(list_filter(words, w -> w IN ('the','and','of','with','a'))) AS s_en,
+        |    len(list_filter(words, w -> w IN ('der','die','und','nicht'))) AS s_de,
+        |    len(list_filter(words, w -> w IN ('el','los','las','es'))) AS s_es,
+        |    len(list_filter(words, w -> w IN ('le','les','et','est'))) AS s_fr
+        |  FROM t
+        |),
+        |m AS (
+        |  SELECT doc_id, cjk, s_en, s_de, s_es, s_fr,
+        |    greatest(s_en, s_de, s_es, s_fr) AS best
+        |  FROM c
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN cjk > 0 THEN 'zh'
+        |       WHEN s_en = best AND best > 0 THEN 'en'
+        |       WHEN s_de = best AND best > 0 THEN 'de'
+        |       WHEN s_es = best AND best > 0 THEN 'es'
+        |       WHEN s_fr = best AND best > 0 THEN 'fr'
+        |       ELSE 'und' END AS lang_id
+        |FROM m""".stripMargin
+  )
+}
