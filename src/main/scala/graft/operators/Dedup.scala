@@ -130,7 +130,7 @@ object Dedup {
             .otherwise(-1L)): _*),
         (a, b) => a + b))
     aggregate(tokenBitVotes, lit(0L),
-      (acc, v) => acc * 2 + when(v > 0, 1L).otherwise(0L))
+      (acc, v) => shiftleft(acc, 1).bitwiseOR(when(v > 0, 1L).otherwise(0L)))
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, using

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.operators.Interlace
+
+class CoreOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  test("keyJoinFeatures counts daily prevalence from intervals") {
+    // person A valid Jan 2 – Jan 4 (excl), person B Jan 3 – open
+    val obs = Seq(
+      (1L, d("2020-01-02"), Option(d("2020-01-04"))),
+      (2L, d("2020-01-03"), Option.empty[java.sql.Date])
+    ).toDF("key_p", "valid_from", "valid_until")
+    val out = KeyJoinFeatures(obs, "n", "key_p", Aggregators.Count,
+      Seq.empty, Seq.empty, "2020-01-01", "2020-01-05")
+      .orderBy("date").as[(java.sql.Date, Long)].collect()
+    assert(out.map(_._2).toSeq == Seq(0L, 1L, 2L, 1L, 1L))
+  }
+
+  test("keyJoinFeatures stratified by an interval attribute") {
+    val obs = Seq((1L, d("2020-01-01"), d("2020-01-05"))
+    ).toDF("key_p", "valid_from", "valid_until")
+    // stratification: group "x" until Jan 3, then "y"
+    val strat = Seq(
+      (1L, "x", d("2019-01-01"), Option(d("2020-01-03"))),
+      (1L, "y", d("2020-01-03"), Option.empty[java.sql.Date])
+    ).toDF("key_p", "grp", "valid_from", "valid_until")
+    val out = KeyJoinFeatures(obs, "n", "key_p", Aggregators.Count,
+      Seq(strat), Seq("grp"), "2020-01-01", "2020-01-04")
+      .orderBy("date", "grp")
+      .as[(java.sql.Date, String, Long)].collect().toSeq
+    val expected = Seq(
+      (d("2020-01-01"), "x", 1L), (d("2020-01-01"), "y", 0L),
+      (d("2020-01-02"), "x", 1L), (d("2020-01-02"), "y", 0L),
+      (d("2020-01-03"), "x", 0L), (d("2020-01-03"), "y", 1L),
+      (d("2020-01-04"), "x", 0L), (d("2020-01-04"), "y", 1L))
+    assert(out == expected)
+  }
+
+  test("interlace segments on breakpoint union and coalesces gaps") {
+    val a = Seq((1L, "m", d("2020-01-01"), Option(d("2020-03-01")))
+    ).toDF("key_p", "seg", "valid_from", "valid_until")
+    val b = Seq((1L, 10.0, d("2020-02-01"), Option.empty[java.sql.Date])
+    ).toDF("key_p", "bal", "valid_from", "valid_until")
+    val out = Interlace.interlace(Seq(a, b), Seq("key_p"))
+      .orderBy("valid_from")
+      .select("valid_from", "valid_until", "seg", "bal")
+      .collect().map(r => (r.get(0).toString,
+        Option(r.get(1)).map(_.toString).orNull,
+        r.getAs[String]("seg"), Option(r.get(3)).orNull))
+    assert(out.toSeq == Seq(
+      ("2020-01-01", "2020-02-01", "m", null),
+      ("2020-02-01", "2020-03-01", "m", 10.0),
+      ("2020-03-01", null, null, 10.0)))
+  }
+
+  test("scd2 lifecycle: close, insert, carry, time travel") {
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val v2 = Seq((1L, "a"), (2L, "c")).toDF("id", "v")
+    val s1 = Scd2.updateSnapshot(None, v1, "t1", Seq("id", "v"))
+    val s2 = Scd2.updateSnapshot(Some(s1), v2, "t2", Seq("id", "v"))
+    val rows = s2.select("id", "v", "from_ts", "until_ts")
+      .as[(Long, String, String, Option[String])].collect().toSet
+    assert(rows == Set(
+      (1L, "a", "t1", None),
+      (2L, "b", "t1", Some("t2")),
+      (2L, "c", "t2", None)))
+    val atT1 = Scd2.sliceAt(s2, "t1").select("id", "v")
+      .as[(Long, String)].collect().toSet
+    assert(atT1 == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("missing ranges finds contiguous gaps") {
+    val covered = Seq(d("2020-01-02"), d("2020-01-03"), d("2020-01-06"))
+      .toDF("date")
+    val out = MissingRanges(covered, "2020-01-01", "2020-01-07")
+      .orderBy("start_date")
+      .as[(java.sql.Date, java.sql.Date)].collect().toSeq
+    assert(out == Seq(
+      (d("2020-01-01"), d("2020-01-01")),
+      (d("2020-01-04"), d("2020-01-05")),
+      (d("2020-01-07"), d("2020-01-07"))))
+  }
+
+  test("interval slice keeps overlapping rows only") {
+    val df = Seq(
+      (1L, d("2020-01-01"), Option(d("2020-02-01"))), // overlaps
+      (2L, d("2020-03-02"), Option(d("2020-04-01"))), // after
+      (3L, d("2019-01-01"), Option(d("2020-01-16"))), // overlaps (vu exclusive)
+      (4L, d("2019-01-01"), Option(d("2020-01-10")))  // ends before start
+    ).toDF("id", "valid_from", "valid_until")
+    val ids = Intervals.slice(df, "2020-01-15", "2020-03-01")
+      .select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Ages
+import graft.operators.TextAnalysis
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ageLabels zero-pads and sorts") {
+    assert(Ages.ageLabels(Seq(5, 12)) == Seq("00-04", "05-11", "12+"))
+    assert(Ages.ageLabels(Seq(5, 12, 100)) ==
+      Seq("000-004", "005-011", "012-099", "100+"))
+    assert(Ages.ageLabels(Seq.empty) == Seq("0+"))
+  }
+
+  test("ageOnDate exact calendar age incl. birthday edges") {
+    val df = Seq(
+      ("2000-06-15", "2024-06-14", 23), // day before birthday
+      ("2000-06-15", "2024-06-15", 24), // on birthday
+      ("2000-02-29", "2023-02-28", 22), // leap birth, non-leap year
+      ("2000-02-29", "2023-03-01", 23), // increments Mar 1
+      ("2000-02-29", "2024-02-29", 24)
+    ).toDF("b", "r", "expected")
+    val bad = df.filter(
+      Ages.ageOnDate(to_date(col("b")), to_date(col("r"))) =!= col("expected"))
+    assert(bad.count() == 0)
+  }
+
+  test("cutAges buckets against labels") {
+    val df = Seq(0, 4, 5, 11, 12, 85).toDF("age")
+      .select(Ages.cutAges(col("age"), Seq(5, 12, 80)).as("g"))
+    assert(df.as[String].collect().toSeq ==
+      Seq("00-04", "00-04", "05-11", "05-11", "12-79", "80+"))
+  }
+
+  test("addYears clamps leap day") {
+    val out = Seq("2000-02-29").toDF("d")
+      .select(Ages.addYears(to_date(col("d")), lit(1)).cast("string"))
+      .as[String].head()
+    assert(out == "2001-02-28")
+  }
+
+  test("token counts and quality score are sane") {
+    val df = Seq("the cat, sat!  on a mat").toDF("text")
+    val r = df.select(
+      TextAnalysis.wsTokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeTokenCount(col("text")).as("bpe"),
+      TextAnalysis.punctCount(col("text")).as("p"),
+      TextAnalysis.stopwordRatio(col("text")).as("sr"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(Int, Int, Int, Double, Double)].head()
+    assert(r._1 == 6)           // the cat, sat! on a mat
+    assert(r._2 == 8)           // 6 words + ',' + '!'
+    assert(r._3 == 2)
+    assert(math.abs(r._4 - 3.0 / 6) < 1e-12) // the, on, a
+    assert(r._5 > 0 && r._5 <= 1)
+  }
+
+  test("langId markers and CJK") {
+    val df = Seq(
+      ("the cat and the dog of a house", "en"),
+      ("der hund und die katze", "de"),
+      ("le chat et les chiens est", "fr"),
+      ("el gato los perros las casas", "es"),
+      ("你好世界", "zh"),
+      ("xyzzy qwerty", "und")
+    ).toDF("text", "expected")
+    val bad = df.filter(TextAnalysis.langId(col("text")) =!= col("expected"))
+    assert(bad.count() == 0)
+  }
+
+  test("fingerprint deterministic and discriminative") {
+    val df = Seq("abcdefghij-klmnop-qrstuvwxyz", "abcdefghij-klmnop-qrstuvwxyz",
+      "completely different text here").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("f"))
+    val rows = df.select("f.min_hash", "f.distinct_grams")
+      .as[(Long, Int)].collect()
+    assert(rows(0) == rows(1))
+    assert(rows(0) != rows(2))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.operators.Multimodal
+import graft.streaming.{EventsStream, Sessions, Windows}
+
+class StreamingMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def eventDf = Seq(
+    (1L, 10L, ts("2024-01-01 10:00:00"), "view"),
+    (2L, 10L, ts("2024-01-01 10:10:00"), "view"),
+    (3L, 10L, ts("2024-01-01 11:05:00"), "click"),
+    (4L, 20L, ts("2024-01-01 10:20:00"), "view")
+  ).toDF("event_id", "user_id", "ts", "event_type")
+
+  test("batch sessionize splits on gap") {
+    val out = Sessions.aggregate(
+      eventDf.withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "ts_us", "event_id", gapSeconds = 1800)
+      .select("user_id", "session_idx", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((10L, 1L, 2L), (10L, 2L, 1L), (20L, 1L, 1L)))
+  }
+
+  test("streaming windowed counts match batch tumbling") {
+    val dir = Files.createTempDirectory("graft-stream").toFile
+    eventDf.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val streamed = EventsStream.read(spark, dir.getAbsolutePath, eventDf.schema)
+    val q = EventsStream.windowedCounts(streamed, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamRows = spark.table("wc")
+        .select(col("window_start").cast("string"), col("event_type"), col("n"))
+        .as[(String, String, Long)].collect().toSet
+      val batchRows = Windows.tumbling(eventDf, "ts", "1 hour",
+        Seq("event_type"), Seq(count(lit(1)).as("n")))
+        .select(col("window_start").cast("string"), col("event_type"), col("n"))
+        .as[(String, String, Long)].collect().toSet
+      assert(streamRows == batchRows && streamRows.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming sessions emit closed sessions on gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[EventsStream.SessionEvent]
+    val q = EventsStream.sessions(ms.toDS(), 1800)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      ms.addData(EventsStream.SessionEvent(10L, 1000000L),
+        EventsStream.SessionEvent(10L, 2000000L))
+      q.processAllAvailable()
+      ms.addData(EventsStream.SessionEvent(10L, 4000000000L))
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .as[EventsStream.SessionOut].collect().toSet
+      assert(rows == Set(EventsStream.SessionOut(10L, 1000000L, 2000000L, 2L)))
+    } finally q.stop()
+  }
+
+  test("multimodal feature extraction keeps schema, deterministic") {
+    val rows = Seq(
+      Row(1L, "image", Array[Byte](1, 2, 3, 4, 5), Row(8, 8, "png")),
+      Row(2L, "image", Array[Byte](1, 2, 3, 4, 5), Row(8, 8, "png")),
+      Row(3L, "audio", Array[Byte](9, 9, 9), Row(0, 0, "wav")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.assetSchema)
+    val out = Multimodal.extractFeatures(df, dim = 4)
+    assert(out.columns.toSeq ==
+      Seq("asset_id", "kind", "meta", "features"))
+    val feats = out.orderBy("asset_id")
+      .select("features").as[Seq[Float]].collect()
+    assert(feats(0) == feats(1))
+    assert(feats(0) != feats(2))
+  }
+
+  test("multimodal frame sampling emits n frames with offsets") {
+    val rows = Seq(Row(1L, "video", Array.tabulate(100)(_.toByte),
+      Row(16, 16, "mp4")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.assetSchema)
+    val out = Multimodal.frameSample(df, 4)
+      .select("frame_idx", "frame_offset").as[(Int, Long)].collect().toSeq
+    assert(out == Seq((0, 0L), (1, 25L), (2, 50L), (3, 75L)))
+  }
+}
