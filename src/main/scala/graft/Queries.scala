@@ -44,4 +44,16 @@ object Queries {
     """SELECT c_custkey AS key_cust, c_mktsegment AS mktsegment,
       |  DATE '1990-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_until
       |FROM customer""".stripMargin
+
+  /** Customer birth dates derived deterministically from the key. */
+  def births(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer").select(
+      col("c_custkey"),
+      date_add(to_date(lit("1950-01-01")),
+        pmod(col("c_custkey") * 37, lit(21915)).cast("int")).as("birth"))
+
+  val birthsSql: String =
+    """SELECT c_custkey,
+      |  DATE '1950-01-01' + CAST((c_custkey * 37) % 21915 AS INT) AS birth
+      |FROM customer""".stripMargin
 }

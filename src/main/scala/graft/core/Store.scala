@@ -1,0 +1,204 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A single feature's definition (reference: R/2_FeatureHandler.R).
+  *
+  * @param compute  (store, startDate, endDate) → bitemporal DataFrame with
+  *                 `key_*` columns, value columns, `valid_from`,
+  *                 `valid_until`
+  * @param keyJoin  the aggregator used when this feature participates in
+  *                 keyJoinFeatures
+  * @param feature  the value column to aggregate (ignored by Count)
+  */
+final case class FeatureHandler(
+    compute: (FeatureStore, String, String) => DataFrame,
+    keyJoin: KeyJoinAggregator,
+    feature: String)
+
+/** Base feature store (reference: R/DiseasystoreBase.R).
+  *
+  * Features are declared in `dsMap` (feature name → loader name) with one
+  * `FeatureHandler` per loader; several features may share a loader.
+  * `getFeature` is compute-if-missing: ranges already computed for a
+  * `sliceTs` (tracked in a log table) are not recomputed; results persist
+  * as SCD2-versioned parquet under `storePath`, giving time travel by
+  * transaction time.
+  *
+  * Scale notes: the SCD2 merge is a checksum hash-join; the swap is an
+  * atomic directory rename (at warehouse scale you would commit through a
+  * transactional table format instead — the operator semantics are
+  * identical). Reads are parquet scans with interval predicates that push
+  * down.
+  */
+class FeatureStore(
+    val spark: SparkSession,
+    val sfDir: String,
+    val storePath: String,
+    val dsMap: Seq[(String, String)],
+    val loaders: Map[String, FeatureHandler],
+    val observablesRegex: String = """^n_\w""") {
+
+  def availableFeatures: Seq[String] = dsMap.map(_._1)
+  def availableObservables: Seq[String] =
+    availableFeatures.filter(f => observablesRegex.r.findFirstIn(f).isDefined)
+  def availableStratifications: Seq[String] =
+    availableFeatures.filterNot(availableObservables.contains)
+
+  private def loaderOf(feature: String): String =
+    dsMap.toMap.getOrElse(feature,
+      throw new IllegalArgumentException(
+        s"Unknown feature '$feature'. Available: ${availableFeatures.mkString(", ")}"))
+
+  def handlerOf(feature: String): FeatureHandler = loaders(loaderOf(feature))
+
+  private def fs = new Path(storePath)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tablePath(loader: String) = s"$storePath/$loader"
+  private def logPath = s"$storePath/logs"
+
+  private def readIfExists(path: String): Option[DataFrame] =
+    if (fs.exists(new Path(path))) Some(spark.read.parquet(path)) else None
+
+  /** Covered dates for (loader, sliceTs) according to the log. */
+  private def coveredDates(loader: String, sliceTs: String): DataFrame =
+    readIfExists(logPath) match {
+      case Some(logs) =>
+        logs.filter(col("table") === loader && col("slice_ts") === sliceTs &&
+            col("success") === true)
+          .select(explode(sequence(
+            to_date(col("ds_start")), to_date(col("ds_end")))).as("date"))
+      case None =>
+        spark.range(0).select(lit(null).cast("date").as("date"))
+    }
+
+  private def appendLog(loader: String, sliceTs: String,
+                        start: String, end: String): Unit = {
+    import spark.implicits._
+    Seq((loader, sliceTs, start, end, true))
+      .toDF("table", "slice_ts", "ds_start", "ds_end", "success")
+      .write.mode("append").parquet(logPath)
+  }
+
+  /** Atomically replace the loader's SCD2 table with `df`. */
+  private def swapIn(loader: String, df: DataFrame): Unit = {
+    val tmp = new Path(tablePath(loader) + ".tmp")
+    val dst = new Path(tablePath(loader))
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(tmp, dst)
+  }
+
+  /** Compute-if-missing + SCD2 persist + interval slice
+    * (reference: R/DiseasystoreBase.R:99-274). */
+  def getFeature(feature: String, start: String, end: String,
+                 sliceTs: String = "1970-01-01 00:00:00"): DataFrame = {
+    val loader = loaderOf(feature)
+    val handler = loaders(loader)
+
+    val missing = MissingRanges(coveredDates(loader, sliceTs), start, end)
+      .collect().map(r => (r.getDate(0).toString, r.getDate(1).toString))
+
+    missing.foreach { case (s0, e0) =>
+      val computed = handler.compute(this, s0, e0)
+      val dataCols = computed.columns.toSeq
+      val existing = readIfExists(tablePath(loader))
+      val merged = existing match {
+        case Some(cur) =>
+          // keep current-version rows that end before the recomputed range
+          // (reference:204) and union the fresh computation
+          val curOpen = Scd2.sliceAt(cur, sliceTs)
+            .drop(Scd2.Checksum, Scd2.FromTs, Scd2.UntilTs)
+          val keep = curOpen.filter(
+            col(Intervals.ValidUntil) <= lit(s0) &&
+              col(Intervals.ValidFrom) < lit(e0))
+          val incoming = keep.unionByName(computed)
+          Scd2.updateSnapshot(Some(cur), incoming, sliceTs, dataCols)
+        case None =>
+          Scd2.updateSnapshot(None, computed, sliceTs, dataCols)
+      }
+      swapIn(loader, merged.localCheckpoint(true))
+      appendLog(loader, sliceTs, s0, e0)
+    }
+
+    val table = spark.read.parquet(tablePath(loader))
+    Intervals.slice(
+      Scd2.sliceAt(table, sliceTs)
+        .drop(Scd2.Checksum, Scd2.FromTs, Scd2.UntilTs),
+      start, end)
+  }
+
+  /** Hook for removing double counting in semi-aggregated sources
+    * (reference: R/DiseasystoreBase.R:775-779; overridden per store). */
+  protected def keyJoinFilter(data: DataFrame,
+                              stratFeatures: Seq[String],
+                              start: String, end: String): DataFrame = data
+
+  /** The flagship composed query (reference: R/DiseasystoreBase.R:286-506). */
+  def keyJoinFeatures(observable: String, stratification: Seq[String],
+                      start: String, end: String,
+                      sliceTs: String = "1970-01-01 00:00:00"): DataFrame = {
+    require(availableObservables.contains(observable),
+      s"'$observable' is not an observable")
+    val obsHandler = handlerOf(observable)
+    val aggs = (observable +: stratification).map(handlerOf(_).keyJoin).distinct
+    require(aggs.size == 1,
+      "Stratification feature does not match observable aggregator")
+
+    val obsData = getFeature(observable, start, end, sliceTs)
+    val stratData = stratification.map(getFeature(_, start, end, sliceTs))
+    val filtered = keyJoinFilter(obsData, stratification, start, end)
+
+    KeyJoinFeatures(
+      observable = filtered,
+      observableName = observable,
+      feature = if (obsHandler.keyJoin == Aggregators.Count)
+        Intervals.keyCols(filtered).head else obsHandler.feature,
+      agg = obsHandler.keyJoin,
+      stratifications = stratData,
+      stratCols = stratification,
+      start = start, endInclusive = end)
+  }
+}
+
+/** Store-directory management (reference: R/drop_diseasystore.R). */
+object StoreCatalog {
+
+  /** List loader tables present under a store path. */
+  def tables(spark: SparkSession, storePath: String): Seq[String] = {
+    val p = new Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_.endsWith(".tmp")).toSeq.sorted
+  }
+
+  /** Drop tables matching `pattern` (all when None) and scrub their log
+    * entries; dropping everything removes the log too. */
+  def drop(spark: SparkSession, storePath: String,
+           pattern: Option[String] = None): Unit = {
+    val p = new Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    pattern match {
+      case None => fs.delete(p, true)
+      case Some(pat) =>
+        val victims = tables(spark, storePath)
+          .filter(t => t != "logs" && t.matches(pat))
+        victims.foreach(t => fs.delete(new Path(s"$storePath/$t"), true))
+        val logP = new Path(s"$storePath/logs")
+        if (fs.exists(logP) && victims.nonEmpty) {
+          val logs = spark.read.parquet(logP.toString)
+            .filter(!col("table").isin(victims: _*))
+            .localCheckpoint(true)
+          val tmp = new Path(s"$storePath/logs.tmp")
+          logs.write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(logP, true)
+          fs.rename(tmp, logP)
+        }
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.core.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Approximate / hash-based operators. Deliberately NO oracle SQL: the
+  * algorithms are not reasonably SQL-expressible, so the driver records
+  * rows-only checks; their correctness is covered by ScalaTest specs
+  * (recall against the exact operators on planted duplicates). */
+object ApproxPack extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.load(s, dir, "documents"), "doc_id", "text",
+        numHashes = 128, bands = 32, threshold = 0.5)),
+
+    "q30_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 16)),
+
+    "q31_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", pmod(col("vec_id"), lit(50)) === 0,
+        k = 10, dim = 64, bands = 8, rowsPerBand = 4)),
+
+    "q32_fingerprint" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("f"))
+        .select(col("doc_id"), col("f.min_hash").as("min_hash"),
+          col("f.distinct_grams").as("distinct_grams"))),
+
+    "q33_multimodal" -> ((s, dir) => {
+      // documents' bytes stand in for opaque media payloads: the schema,
+      // batching and partition-parallel decode plumbing are the real thing
+      val assets = Tables.load(s, dir, "documents").select(
+        col("doc_id").as("asset_id"),
+        lit("text").as("kind"),
+        encode(col("text"), "UTF-8").as("content"),
+        struct(lit(0).as("width"), lit(0).as("height"),
+          col("source").as("format")).as("meta"))
+      Multimodal.extractFeatures(assets, dim = 8)
+        .select(col("asset_id"), col("kind"),
+          element_at(col("features"), 1).as("f0"),
+          element_at(col("features"), 8).as("f7"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map.empty
+}

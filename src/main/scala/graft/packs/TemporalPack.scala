@@ -84,18 +84,6 @@ object TemporalPack extends QueryPack {
     Scd2.updateSnapshot(Some(snap1), scdV2(s, dir), Ts2, ScdCols)
   }
 
-  /** Customer birth dates derived deterministically from the key. */
-  private def births(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "customer").select(
-      col("c_custkey"),
-      date_add(to_date(lit("1950-01-01")),
-        pmod(col("c_custkey") * 37, lit(21915)).cast("int")).as("birth"))
-
-  private val birthsSql =
-    """SELECT c_custkey,
-      |  DATE '1950-01-01' + CAST((c_custkey * 37) % 21915 AS INT) AS birth
-      |FROM customer""".stripMargin
-
   private val AgeCuts = Seq(5, 12, 20, 30, 45, 65, 80)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -163,13 +151,13 @@ object TemporalPack extends QueryPack {
         .select(ScdCols.map(col): _*)),
 
     "q14_age_on_date" -> ((s, dir) =>
-      births(s, dir).select(
+      Queries.births(s, dir).select(
         col("c_custkey"),
         col("birth").cast("string").as("birth"),
         Ages.ageOnDate(col("birth"), to_date(lit("2024-06-15"))).as("age"))),
 
     "q15_age_groups" -> ((s, dir) =>
-      births(s, dir)
+      Queries.births(s, dir)
         .select(Ages.cutAges(
           Ages.ageOnDate(col("birth"), to_date(lit("2024-06-15"))),
           AgeCuts).as("age_group"))
@@ -350,7 +338,7 @@ object TemporalPack extends QueryPack {
     "q13_scd2_time_travel" -> scdV1Sql,
 
     "q14_age_on_date" ->
-      s"""WITH b AS ($birthsSql)
+      s"""WITH b AS (${Queries.birthsSql})
          |SELECT c_custkey, CAST(birth AS VARCHAR) AS birth,
          |  CAST(year(DATE '2024-06-15') - year(birth)
          |    - CASE WHEN month(DATE '2024-06-15') * 100 + day(DATE '2024-06-15')
@@ -363,7 +351,7 @@ object TemporalPack extends QueryPack {
       val cases = AgeCuts.zip(labels.init)
         .map { case (cut, label) => s"WHEN age < $cut THEN '$label'" }
         .mkString("\n         |    ")
-      s"""WITH b AS ($birthsSql),
+      s"""WITH b AS (${Queries.birthsSql}),
          |ages AS (
          |  SELECT year(DATE '2024-06-15') - year(birth)
          |    - CASE WHEN month(DATE '2024-06-15') * 100 + day(DATE '2024-06-15')

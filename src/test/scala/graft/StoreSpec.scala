@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.StoreCatalog
+import graft.stores.TpchFeatureStore
+
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("registry splits observables and stratifications by regex") {
+    val store = TpchFeatureStore(spark, sfDir,
+      Files.createTempDirectory("graft-store-spec").toString)
+    assert(store.availableObservables.toSet ==
+      Set("n_orders", "n_first_order"))
+    assert(store.availableStratifications.toSet ==
+      Set("mktsegment", "age_group", "nation"))
+    intercept[IllegalArgumentException] {
+      store.getFeature("nope", "1995-01-01", "1995-01-31")
+    }
+  }
+
+  test("getFeature is compute-if-missing: log-driven range diffing") {
+    val path = Files.createTempDirectory("graft-store-spec").toString
+    val store = TpchFeatureStore(spark, sfDir, path)
+    store.getFeature("n_orders", "1995-01-01", "1995-01-31")
+    val logs1 = spark.read.parquet(s"$path/logs").count()
+    assert(logs1 == 1)
+    // same range again → no recompute
+    store.getFeature("n_orders", "1995-01-01", "1995-01-31")
+    assert(spark.read.parquet(s"$path/logs").count() == 1)
+    // extended range → only the gap is computed
+    store.getFeature("n_orders", "1995-01-01", "1995-02-28")
+    val logs = spark.read.parquet(s"$path/logs")
+      .select("ds_start", "ds_end").collect()
+      .map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    assert(logs == Set(("1995-01-01", "1995-01-31"),
+      ("1995-02-01", "1995-02-28")))
+    // returned data equals a direct computation
+    val got = store.getFeature("n_orders", "1995-01-01", "1995-02-28")
+      .select("o_orderkey").as[Long].collect().toSet
+    val direct = graft.core.Intervals.slice(
+      Queries.orderIntervals(spark, sfDir), "1995-01-01", "1995-02-28")
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(got == direct)
+  }
+
+  test("store catalog lists and drops tables, scrubbing logs") {
+    val path = Files.createTempDirectory("graft-store-spec").toString
+    val store = TpchFeatureStore(spark, sfDir, path)
+    store.getFeature("n_orders", "1995-01-01", "1995-01-15")
+    store.getFeature("mktsegment", "1995-01-01", "1995-01-15")
+    assert(StoreCatalog.tables(spark, path).toSet ==
+      Set("order_episodes", "customer_segment", "logs"))
+    StoreCatalog.drop(spark, path, Some("order.*"))
+    assert(StoreCatalog.tables(spark, path).toSet ==
+      Set("customer_segment", "logs"))
+    val logTables = spark.read.parquet(s"$path/logs")
+      .select("table").distinct().collect().map(_.getString(0)).toSet
+    assert(logTables == Set("customer_segment"))
+    StoreCatalog.drop(spark, path, None)
+    assert(StoreCatalog.tables(spark, path).isEmpty)
+  }
+
+  test("keyJoinFeatures through the store matches the direct pipeline") {
+    val store = TpchFeatureStore(spark, sfDir,
+      Files.createTempDirectory("graft-store-spec").toString)
+    val viaStore = store
+      .keyJoinFeatures("n_orders", Seq("mktsegment"), "1995-01-01", "1995-01-31")
+      .orderBy("date", "mktsegment").collect().toSeq
+    val direct = graft.core.KeyJoinFeatures(
+      graft.core.Intervals.slice(
+        Queries.orderIntervals(spark, sfDir), "1995-01-01", "1995-01-31"),
+      "n_orders", "key_cust", graft.core.Aggregators.Count,
+      Seq(graft.core.Intervals.slice(
+        Queries.segmentFeature(spark, sfDir), "1995-01-01", "1995-01-31")),
+      Seq("mktsegment"), "1995-01-01", "1995-01-31")
+      .orderBy("date", "mktsegment").collect().toSeq
+    assert(viaStore == direct)
+  }
+
+  test("mismatched aggregators across features are rejected") {
+    val store = TpchFeatureStore(spark, sfDir,
+      Files.createTempDirectory("graft-store-spec").toString)
+    // all TpchFeatureStore features share Count, so force the error path
+    // by asking for an observable that is not one
+    intercept[IllegalArgumentException] {
+      store.keyJoinFeatures("mktsegment", Seq.empty, "1995-01-01", "1995-01-31")
+    }
+  }
+}
