@@ -69,27 +69,34 @@ object KeyJoinFeatures {
     val sc = stratCols.map(col)
     val featC = col(feature)
 
-    // Fused add/remove delta aggregation: one shuffle.
-    val unioned =
-      interlaced.select(
-        sc ++ Seq(col(Intervals.ValidFrom).as("date"),
-          lit(true).as("__is_add"), featC.as("__f")): _*)
-      .unionByName(interlaced.select(
-        sc ++ Seq(col(Intervals.ValidUntil).as("date"),
-          lit(false).as("__is_add"), featC.as("__f")): _*))
+    // Fused add/remove delta aggregation: one scan (explode, not a
+    // two-armed union that would read the source twice) and one shuffle.
+    val exploded = interlaced
+      .select(sc :+ explode(array(
+        struct(col(Intervals.ValidFrom).as("date"),
+          lit(true).as("is_add"), featC.as("f")),
+        struct(col(Intervals.ValidUntil).as("date"),
+          lit(false).as("is_add"), featC.as("f")))).as("__d"): _*)
 
-    val delta = unioned
-      .groupBy((sc :+ col("date")): _*)
+    // `delta` is used twice (grid combos + the grid join) and is tiny by
+    // construction — one row per (strata, boundary date). Persist it so
+    // the heavy scan/join subtree beneath runs exactly once.
+    val delta = exploded
+      .groupBy((sc :+ col("__d.date").as("date")): _*)
       .agg(
-        agg.aggWhere(col("__f"), col("__is_add")).as("n_add"),
-        agg.aggWhere(col("__f"), !col("__is_add")).as("n_remove"))
+        agg.aggWhere(col("__d.f"), col("__d.is_add")).as("n_add"),
+        agg.aggWhere(col("__d.f"), !col("__d.is_add")).as("n_remove"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Full date × strata grid, generated on executors.
+    // Full date × strata grid, generated on executors. Combos come from
+    // `delta`, not `interlaced`: the set is identical (every interlaced
+    // row forms a delta group) but the shared aggregation subtree becomes
+    // a ReusedExchange instead of a second scan+join of the fact table.
     val dates = spark.range(1).select(
       explode(sequence(startD, endD)).as("date"))
     val grid =
       if (stratCols.isEmpty) dates
-      else interlaced.select(sc: _*).distinct().crossJoin(dates)
+      else delta.select(sc: _*).distinct().crossJoin(dates)
 
     // Rename the delta side before joining: grid and delta share lineage
     // (both derive from `interlaced`), and Spark's self-join attribute

@@ -68,19 +68,29 @@ object Dedup {
   }
 
   /** MinHash signatures: sig_i = min over shingles of
-    * (a_i·murmur3(shingle) + b_i) mod p. Pure higher-order functions —
-    * one pass over the shingle array per row, no shuffle. */
-  def minhashSignature(textWords: Column, numHashes: Int): Column = {
+    * (a_i·murmur3(shingle) + b_i) mod p.
+    *
+    * Single-pass formulation: ONE `aggregate` whose accumulator is the
+    * whole numHashes-wide signature array, folded with a `zip_with`
+    * against a literal (a_i, b_i) seed array. Higher-order functions are
+    * not covered by codegen CSE, so the naive "numHashes independent
+    * aggregates" variant re-evaluates the shingle-construction subtree
+    * once per hash — ~100× slower. Here shingles are hashed exactly once
+    * per row; no shuffle. */
+  def minhashSignature(textShingles: Column, numHashes: Int): Column = {
     val p = 2147483647L // 2^31 − 1
     val rng = new scala.util.Random(42)
     val seeds = Seq.fill(numHashes)(
       (math.abs(rng.nextInt(Int.MaxValue - 1)) + 1L,
         math.abs(rng.nextLong()) % p))
-    val shingleHashes = transform(textWords, t => hash(t).cast("long"))
-    array(seeds.map { case (aC, bC) =>
-      aggregate(shingleHashes, lit(Long.MaxValue),
-        (acc, h) => least(acc, pmod(lit(aC) * h + lit(bC), lit(p))))
-    }: _*)
+    val seedArr = array(seeds.map { case (aC, bC) =>
+      struct(lit(aC).as("a"), lit(bC).as("b")) }: _*)
+    val shingleHashes = transform(textShingles, t => hash(t).cast("long"))
+    aggregate(
+      shingleHashes,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, seedArr,
+        (m, s) => least(m, pmod(s.getField("a") * h + s.getField("b"), lit(p)))))
   }
 
   /** MinHash + LSH near-dup candidates: signatures banded into

@@ -64,16 +64,23 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH signature: `nBits` sign bits of projections
-    * onto pseudo-random (deterministic seed) hyperplanes. */
+    * onto pseudo-random (deterministic seed) hyperplanes.
+    *
+    * Single-pass: one fold over the embedding positions accumulating all
+    * nBits projections against the transposed plane matrix (nBits
+    * independent aggregates would re-evaluate the embedding cast per
+    * plane — HOFs get no codegen CSE). */
   def lshSignature(emb: Column, dim: Int, nBits: Int): Column = {
     val rng = new scala.util.Random(7)
     val planes = Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
-    array(planes.map { p =>
-      val proj = aggregate(
-        zip_with(emb, lit(p), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, 1).otherwise(0)
-    }: _*)
+    val wt = array((0 until dim).map(i =>
+      array((0 until nBits).map(j => lit(planes(j)(i))): _*)): _*)
+    val indexed = zip_with(toDouble(emb), sequence(lit(0), lit(dim - 1)),
+      (x, i) => struct(x.as("x"), i.as("i")))
+    val projs = aggregate(indexed, array_repeat(lit(0.0), nBits),
+      (acc, p) => zip_with(acc, element_at(wt, p.getField("i") + 1),
+        (a, w) => a + p.getField("x") * w))
+    transform(projs, pj => when(pj >= 0, 1).otherwise(0))
   }
 
   /** Approximate top-k: candidates share at least one LSH band bucket
