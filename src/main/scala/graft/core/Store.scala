@@ -120,7 +120,7 @@ class FeatureStore(
         case None =>
           Scd2.updateSnapshot(None, computed, sliceTs, dataCols)
       }
-      swapIn(loader, merged.localCheckpoint(true))
+      swapIn(loader, merged)
       appendLog(loader, sliceTs, s0, e0)
     }
 
@@ -193,7 +193,6 @@ object StoreCatalog {
         if (fs.exists(logP) && victims.nonEmpty) {
           val logs = spark.read.parquet(logP.toString)
             .filter(!col("table").isin(victims: _*))
-            .localCheckpoint(true)
           val tmp = new Path(s"$storePath/logs.tmp")
           logs.write.mode("overwrite").parquet(tmp.toString)
           fs.delete(logP, true)

@@ -129,15 +129,17 @@ object Dedup {
     est.filter(col("est_jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over whitespace tokens. */
+  /** 64-bit SimHash over whitespace tokens. Tokens are hashed once each
+    * (the hash must not sit inside the per-bit array, where interpreted
+    * HOF evaluation would recompute it 64×). */
   def simhash(text: Column): Column = {
+    val tokenHashes = transform(TextAnalysis.words(text), t => xxhash64(t))
     val tokenBitVotes = aggregate(
-      TextAnalysis.words(text),
+      tokenHashes,
       array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
+      (acc, h) => zip_with(acc,
         array((0 until 64).map(j =>
-          when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1L)
-            .otherwise(-1L)): _*),
+          shiftright(h, j).bitwiseAND(1L) * 2L - 1L): _*),
         (a, b) => a + b))
     aggregate(tokenBitVotes, lit(0L),
       (acc, v) => shiftleft(acc, 1).bitwiseOR(when(v > 0, 1L).otherwise(0L)))

@@ -33,16 +33,20 @@ object Similarity {
 
   /** Exact cosine top-k: for each query row (selected by `queryPred`),
     * the k nearest corpus rows (self excluded), ranked by
-    * (similarity DESC, id ASC). Output: (query_id, rank, neighbor_id). */
+    * (similarity DESC, id ASC). Output: (query_id, rank, neighbor_id).
+    * Norms are computed once per row, not per pair. */
   def topK(df: DataFrame, idCol: String, embCol: String,
            queryPred: Column, k: Int): DataFrame = {
     val corpus = df.select(col(idCol).as("neighbor_id"),
       toDouble(col(embCol)).as("__e"))
+      .withColumn("__n", norm(col("__e")))
     val queries = df.filter(queryPred)
       .select(col(idCol).as("query_id"), toDouble(col(embCol)).as("__qe"))
+      .withColumn("__qn", norm(col("__qe")))
     val scored = corpus.join(broadcast(queries),
         col("neighbor_id") =!= col("query_id"))
-      .withColumn("__sim", cosine(col("__qe"), col("__e")))
+      .withColumn("__sim",
+        dot(col("__qe"), col("__e")) / (col("__qn") * col("__n")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -51,15 +55,19 @@ object Similarity {
   }
 
   /** Exact cosine near-duplicate pairs with sim ≥ threshold, blocked by
-    * `blockCol` (only same-block pairs compared). Output: (id_a, id_b). */
+    * `blockCol` (only same-block pairs compared). Output: (id_a, id_b).
+    * Norms are computed once per row, not per pair. */
   def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
                    blockCol: String, threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(blockCol).as("__blk"),
       toDouble(col(embCol)).as("__ea"))
+      .withColumn("__na", norm(col("__ea")))
     val b = df.select(col(idCol).as("id_b"), col(blockCol).as("__blk"),
       toDouble(col(embCol)).as("__eb"))
+      .withColumn("__nb", norm(col("__eb")))
     a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b"))
-      .filter(cosine(col("__ea"), col("__eb")) >= threshold)
+      .filter(dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb"))
+        >= threshold)
       .select("id_a", "id_b")
   }
 
