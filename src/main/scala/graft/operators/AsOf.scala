@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Intervals.{ValidFrom, ValidUntil}
+
+/** Point-in-time ("as-of") join: attach to each probe row (key, ts) the
+  * feature values valid at ts — the lookup a feature store must answer
+  * without leaking future data (the reference answers it through
+  * `get_feature`'s interval slice; here it is a first-class operator).
+  *
+  * Scale design: NOT a range join (which fans out per feature version and
+  * needs a post-join row_number). Probes and feature versions are
+  * unioned, shuffled once on the key, and sorted by event time; a
+  * last-non-null window carries the latest feature version forward onto
+  * each probe. One shuffle, one sort, zero fanout — the classic
+  * merge-as-of at warehouse scale.
+  */
+object AsOf {
+
+  /** @param probes   DataFrame with `keys` and `tsCol` (DATE or TIMESTAMP,
+    *                 same type as the feature validity columns)
+    * @param features bitemporal feature table: `keys`, payload columns,
+    *                 `valid_from`/`valid_until` (non-overlapping per key)
+    * @return probes with the feature payload columns appended (NULL when
+    *         no version is valid at the probe's ts)
+    */
+  def join(probes: DataFrame, features: DataFrame, keys: Seq[String],
+           tsCol: String): DataFrame = {
+    val payload = features.columns
+      .filterNot(c => keys.contains(c) || c == ValidFrom || c == ValidUntil)
+      .toSeq
+    val probeCols = probes.columns.toSeq
+
+    val featSide = features.select(
+      keys.map(col) ++ Seq(col(ValidFrom).as("__t"), lit(0).as("__probe"),
+        col(ValidUntil).as("__vu")) ++
+        payload.map(c => col(c).as(s"__p_$c")) ++
+        probeCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(probes.schema(c).dataType).as(c)): _*)
+    val probeSide = probes.select(
+      keys.map(col) ++ Seq(col(tsCol).cast(featSide.schema("__t").dataType)
+        .as("__t"), lit(1).as("__probe"),
+        lit(null).cast(features.schema(ValidUntil).dataType).as("__vu")) ++
+        payload.map(c => lit(null).cast(features.schema(c).dataType)
+          .as(s"__p_$c")) ++
+        probeCols.filterNot(keys.contains).map(col): _*)
+
+    // Feature versions sort before probes at equal time (valid_from is
+    // inclusive), then the last started version carries forward — as ONE
+    // struct, so an open-ended version (valid_until NULL) is carried
+    // atomically rather than having its NULL fields skipped by
+    // last(ignoreNulls).
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val version = when(col("__probe") === 0,
+      struct(col("__vu").as("vu") +: payload.map(c =>
+        col(s"__p_$c").as(c)): _*))
+    val carried = featSide.unionByName(probeSide)
+      .withColumn("__c", last(version, ignoreNulls = true).over(w))
+
+    // A carried version only applies while it is still valid at __t.
+    val live = col("__c").isNotNull &&
+      (col("__c.vu").isNull || col("__c.vu") > col("__t"))
+    carried.filter(col("__probe") === 1)
+      .select(
+        probeCols.map(col) ++
+          payload.map(c => when(live, col(s"__c.$c")).otherwise(lit(null))
+            .as(c)): _*)
+  }
+}

@@ -86,7 +86,56 @@ object TemporalPack extends QueryPack {
 
   private val AgeCuts = Seq(5, 12, 20, 30, 45, 65, 80)
 
+  /** Two-version balance-bucket feature (non-overlapping per customer;
+    * second version open-ended for every third customer). */
+  private def versionedBucket(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val v1 = c.select(
+      col("c_custkey").as("key_cust"),
+      when(col("c_acctbal") < 0, "neg")
+        .when(col("c_acctbal") < 5000, "mid").otherwise("high").as("bucket"),
+      date_add(to_date(lit("1992-01-01")),
+        pmod(col("c_custkey"), lit(300)).cast("int")).as("valid_from"),
+      date_add(to_date(lit("1994-01-01")),
+        pmod(col("c_custkey") * 7, lit(300)).cast("int")).as("valid_until"))
+    val v2 = c.select(
+      col("c_custkey").as("key_cust"),
+      when(col("c_acctbal") < 2500, "low2").otherwise("high2").as("bucket"),
+      date_add(to_date(lit("1994-01-01")),
+        pmod(col("c_custkey") * 7, lit(300)).cast("int")).as("valid_from"))
+      .withColumn("valid_until",
+        when(pmod(col("key_cust"), lit(3)) === 0, lit(null).cast("date"))
+          .otherwise(date_add(col("valid_from"), 700)))
+    v1.unionByName(v2)
+  }
+
+  private val versionedBucketSql =
+    """SELECT c_custkey AS key_cust,
+      |  CASE WHEN c_acctbal < 0 THEN 'neg'
+      |       WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bucket,
+      |  DATE '1992-01-01' + CAST(c_custkey % 300 AS INT) AS valid_from,
+      |  DATE '1994-01-01' + CAST((c_custkey * 7) % 300 AS INT) AS valid_until
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey,
+      |  CASE WHEN c_acctbal < 2500 THEN 'low2' ELSE 'high2' END,
+      |  DATE '1994-01-01' + CAST((c_custkey * 7) % 300 AS INT),
+      |  CASE WHEN c_custkey % 3 = 0 THEN NULL
+      |       ELSE DATE '1994-01-01' + CAST((c_custkey * 7) % 300 AS INT) + 700
+      |  END
+      |FROM customer""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_asof_join" -> ((s, dir) => {
+      val probes = Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("key_cust"),
+        to_date(col("o_orderdate")).as("ts"))
+      graft.operators.AsOf.join(probes, versionedBucket(s, dir),
+        Seq("key_cust"), "ts")
+        .select(col("o_orderkey"), col("key_cust"),
+          col("ts").cast("string").as("ts"), col("bucket"))
+    }),
+
     "q05_truncate_interlace" -> ((s, dir) =>
       Interlace.truncateOne(
         Intervals.slice(Queries.orderIntervals(s, dir), Start, End),
@@ -166,6 +215,20 @@ object TemporalPack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q34_asof_join" ->
+      s"""WITH f AS ($versionedBucketSql),
+         |p AS (
+         |  SELECT o_orderkey, o_custkey AS key_cust,
+         |    CAST(o_orderdate AS DATE) AS ts
+         |  FROM orders
+         |)
+         |SELECT p.o_orderkey, p.key_cust, CAST(p.ts AS VARCHAR) AS ts,
+         |  f.bucket
+         |FROM p LEFT JOIN f ON p.key_cust = f.key_cust
+         |  AND f.valid_from <= p.ts
+         |  AND (f.valid_until IS NULL OR f.valid_until > p.ts)
+         |""".stripMargin,
+
     "q05_truncate_interlace" ->
       s"""WITH iv AS (${Queries.orderIntervalsSql}),
          |seg AS (${Queries.segmentFeatureSql}),
