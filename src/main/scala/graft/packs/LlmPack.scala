@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryPack
 import graft.core.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Similarity, Splits, TextAnalysis}
 
 /** LLM-training-data pipeline operators over the documents/embeddings
   * tables: dedup, similarity search, text analysis. */
@@ -44,7 +44,14 @@ object LlmPack extends QueryPack {
     "q26_lang_id" -> ((s, dir) =>
       Tables.load(s, dir, "documents").select(
         col("doc_id"),
-        TextAnalysis.langId(col("text")).as("lang_id")))
+        TextAnalysis.langId(col("text")).as("lang_id"))),
+
+    "q35_dataset_split" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        Splits.bucket(col("doc_id")).as("bucket"),
+        Splits.assign(col("doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split")))
   )
 
   private val ShinglesSql =
@@ -152,6 +159,17 @@ object LlmPack extends QueryPack {
         |    + (1.0 - CAST(n_punct AS DOUBLE) / len(text)) * 0.3
         |    + (CAST(n_stop AS DOUBLE) / n_words) * 0.3 AS quality
         |FROM c""".stripMargin,
+
+    "q35_dataset_split" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 100 AS bucket,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |         AS BIGINT) % 100 < 80 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |         AS BIGINT) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "q26_lang_id" ->
       """WITH t AS (
