@@ -45,16 +45,23 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], n: Int,
                    threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, blockCols, n).cache()
+    // Self-join on the shingle's 64-bit hash, not the string: ~3× less
+    // shuffle volume and cheaper sort keys. An xxhash64 collision between
+    // two distinct shingles of the same doc pair (probability ≈ 1e-9 per
+    // corpus at these shingle counts) would off-by-one the intersection.
+    val sh = shingles(df, idCol, textCol, blockCols, n)
+      .withColumn("__shash", xxhash64(col("__shingle")))
+      .drop("__shingle")
+      .cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
     val a = sh.select(
       (col(idCol).as("id_a") +: blockCols.map(c => col(c).as(s"__ba_$c"))) :+
-        col("__shingle"): _*)
+        col("__shash"): _*)
     val b = sh.select(
       (col(idCol).as("id_b") +: blockCols.map(c => col(c).as(s"__bb_$c"))) :+
-        col("__shingle"): _*)
+        col("__shash"): _*)
     val blockEq = blockCols.map(c => col(s"__ba_$c") <=> col(s"__bb_$c"))
-    val joinCond = (Seq(a("__shingle") === b("__shingle"),
+    val joinCond = (Seq(a("__shash") === b("__shash"),
       col("id_a") < col("id_b")) ++ blockEq).reduce(_ && _)
     val inter = a.join(b, joinCond)
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
@@ -104,7 +111,10 @@ object Dedup {
     val ws = array_distinct(transform(
       sequence(lit(1), greatest(lit(1), size(TextAnalysis.words(col(textCol))) - 2)),
       i => concat_ws(" ", slice(TextAnalysis.words(col(textCol)), i, lit(3)))))
-    val sigs = df.select(col(idCol), minhashSignature(ws, numHashes).as("__sig"))
+    // native codegen'd kernel (bit-identical to minhashSignature — see
+    // NativeExprSpec parity test)
+    val sigs = df.select(col(idCol),
+      graft.functions.NativeExprs.minhashSignature(ws, numHashes).as("__sig"))
       .cache()
     val banded = sigs.select(
       col(idCol),
@@ -149,7 +159,9 @@ object Dedup {
     * 16-bit band buckets for candidate generation. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
-    val sigs = df.select(col(idCol), simhash(col(textCol)).as("__sh")).cache()
+    val sigs = df.select(col(idCol),
+      graft.functions.NativeExprs.simhash64(TextAnalysis.words(col(textCol)))
+        .as("__sh")).cache()
     val banded = sigs.select(col(idCol), col("__sh"),
       posexplode(array((0 until 4).map(bi =>
         shiftright(col("__sh"), bi * 16).bitwiseAND(0xFFFFL)): _*)))
