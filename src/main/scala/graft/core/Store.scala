@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
 final case class FeatureHandler(
     compute: (FeatureStore, String, String) => DataFrame,
     keyJoin: KeyJoinAggregator,
-    feature: String)
+    feature: String,
+    get: Option[(FeatureStore, DataFrame) => DataFrame] = None)
 
 /** Base feature store (reference: R/DiseasystoreBase.R).
   *
@@ -92,6 +93,29 @@ class FeatureStore(
     fs.rename(tmp, dst)
   }
 
+  /** Single-writer lock per loader table (reference:
+    * R/DiseasystoreBase.R:145-157 SCDB::lock_table). Atomic marker-file
+    * create; waits up to `lockWaitMaxMs`. */
+  def withTableLock[T](loader: String)(body: => T): T = {
+    val lockFile = new Path(s"${tablePath(loader)}.lock")
+    fs.mkdirs(new Path(storePath))
+    val deadline = System.currentTimeMillis() + lockWaitMaxMs
+    var locked = false
+    while (!locked) {
+      try { fs.create(lockFile, false).close(); locked = true }
+      catch { case _: java.io.IOException =>
+        if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"Lock not released within ${lockWaitMaxMs / 1000}s: $lockFile")
+        Thread.sleep(lockWaitIncrementMs)
+      }
+    }
+    try body finally fs.delete(lockFile, false)
+  }
+
+  protected def lockWaitMaxMs: Long = 30 * 60 * 1000L
+  protected def lockWaitIncrementMs: Long = 50L
+
   /** Compute-if-missing + SCD2 persist + interval slice
     * (reference: R/DiseasystoreBase.R:99-274). */
   def getFeature(feature: String, start: String, end: String,
@@ -99,10 +123,14 @@ class FeatureStore(
     val loader = loaderOf(feature)
     val handler = loaders(loader)
 
-    val missing = MissingRanges(coveredDates(loader, sliceTs), start, end)
+    val missing0 = MissingRanges(coveredDates(loader, sliceTs), start, end)
       .collect().map(r => (r.getDate(0).toString, r.getDate(1).toString))
 
-    missing.foreach { case (s0, e0) =>
+    if (missing0.nonEmpty) withTableLock(loader) {
+      // re-check under the lock (another writer may have filled ranges)
+      val missing = MissingRanges(coveredDates(loader, sliceTs), start, end)
+        .collect().map(r => (r.getDate(0).toString, r.getDate(1).toString))
+      missing.foreach { case (s0, e0) =>
       val computed = handler.compute(this, s0, e0)
       val dataCols = computed.columns.toSeq
       val existing = readIfExists(tablePath(loader))
@@ -122,13 +150,14 @@ class FeatureStore(
       }
       swapIn(loader, merged)
       appendLog(loader, sliceTs, s0, e0)
+      }
     }
 
     val table = spark.read.parquet(tablePath(loader))
-    Intervals.slice(
-      Scd2.sliceAt(table, sliceTs)
-        .drop(Scd2.Checksum, Scd2.FromTs, Scd2.UntilTs),
-      start, end)
+    val sliced = Scd2.sliceAt(table, sliceTs)
+      .drop(Scd2.Checksum, Scd2.FromTs, Scd2.UntilTs)
+    val got = handler.get.map(g => g(this, sliced)).getOrElse(sliced)
+    Intervals.slice(got, start, end)
   }
 
   /** Hook for removing double counting in semi-aggregated sources
