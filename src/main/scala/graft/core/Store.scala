@@ -40,7 +40,8 @@ class FeatureStore(
     val storePath: String,
     val dsMap: Seq[(String, String)],
     val loaders: Map[String, FeatureHandler],
-    val observablesRegex: String = """^n_\w""") {
+    val observablesRegex: String = """^n_\w""",
+    val partitionByMonth: Boolean = false) {
 
   def availableFeatures: Seq[String] = dsMap.map(_._1)
   def availableObservables: Seq[String] =
@@ -84,11 +85,21 @@ class FeatureStore(
       .write.mode("append").parquet(logPath)
   }
 
-  /** Atomically replace the loader's SCD2 table with `df`. */
+  /** Atomically replace the loader's SCD2 table with `df`. With
+    * `partitionByMonth`, rows are laid out by month(valid_from) so the
+    * study-period upper bound prunes partitions at read time (the lower
+    * bound cannot prune: an old row may still be valid via an open
+    * `valid_until`). */
   private def swapIn(loader: String, df: DataFrame): Unit = {
     val tmp = new Path(tablePath(loader) + ".tmp")
     val dst = new Path(tablePath(loader))
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val w =
+      if (partitionByMonth)
+        df.withColumn("__vm",
+          date_format(col(Intervals.ValidFrom), "yyyy-MM"))
+          .write.partitionBy("__vm")
+      else df.write
+    w.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(dst)) fs.delete(dst, true)
     fs.rename(tmp, dst)
   }
@@ -153,7 +164,12 @@ class FeatureStore(
       }
     }
 
-    val table = spark.read.parquet(tablePath(loader))
+    val table0 = spark.read.parquet(tablePath(loader))
+    val table =
+      if (partitionByMonth)
+        table0.filter(col("__vm") <=
+          date_format(to_date(lit(end)), "yyyy-MM")).drop("__vm")
+      else table0
     val sliced = Scd2.sliceAt(table, sliceTs)
       .drop(Scd2.Checksum, Scd2.FromTs, Scd2.UntilTs)
     val got = handler.get.map(g => g(this, sliced)).getOrElse(sliced)

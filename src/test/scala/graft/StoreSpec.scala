@@ -81,6 +81,23 @@ class StoreSpec extends SparkSpec {
     assert(viaStore == direct)
   }
 
+  test("month-partitioned store layout returns the same data") {
+    val flat = TpchFeatureStore(spark, sfDir,
+      Files.createTempDirectory("graft-store-spec").toString)
+    val path = Files.createTempDirectory("graft-store-part").toString
+    val part = new graft.core.FeatureStore(spark, sfDir, path,
+      flat.dsMap, flat.loaders, partitionByMonth = true)
+    val a = part.getFeature("n_orders", "1995-01-01", "1995-02-28")
+      .select("o_orderkey").as[Long].collect().toSet
+    val b = flat.getFeature("n_orders", "1995-01-01", "1995-02-28")
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+    // layout really is partitioned by month
+    val dirs = new java.io.File(s"$path/order_episodes").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("__vm=")))
+  }
+
   test("mismatched aggregators across features are rejected") {
     val store = TpchFeatureStore(spark, sfDir,
       Files.createTempDirectory("graft-store-spec").toString)
