@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document preparation for training: chunking into overlapping
+  * fixed-token windows, and PII/noise scrubbing. Pure codegen'd
+  * functions — one pass over the corpus, no shuffle. */
+object Chunking {
+
+  /** Split each document into windows of `window` whitespace tokens with
+    * stride `stride` (< window ⇒ overlap). Output: one row per chunk
+    * with (chunk_idx, chunk_text, n_tokens). Documents shorter than one
+    * window yield a single chunk. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window)
+    val ws = TextAnalysis.words(col(textCol))
+    val n = size(ws)
+    // number of chunks: 1 + ceil(max(0, n - window) / stride)
+    val extra = greatest(lit(0), n - window)
+    val nChunks = lit(1) + ceil(extra.cast("double") / stride).cast("int")
+    df.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(ws, i * stride + 1, lit(window))))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk_text")
+      .withColumn("n_tokens",
+        size(TextAnalysis.words(col("chunk_text"))))
+  }
+
+  private val Scrubs: Seq[(String, String)] = Seq(
+    "https?://[^ ]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{4,}" -> "<NUM>")
+
+  /** Redact URLs, e-mail addresses, and long digit runs. Patterns avoid
+    * capture-group backreferences so the exact same regex text runs on
+    * Java regex and RE2 engines identically. */
+  def scrub(text: Column): Column =
+    Scrubs.foldLeft(text) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
+  /** Corpus-wide top-k vocabulary with counts, rank ties broken by term.
+    * Map-side combine applies (explode → partial count); the global sort
+    * is a TakeOrdered over the aggregated terms (no full sort), and the
+    * rank window runs over just k rows. */
+  def topVocab(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = df
+      .select(explode(TextAnalysis.words(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term"))
+    counts.withColumn("rank", row_number().over(w))
+      .select("rank", "term", "n")
+  }
+}

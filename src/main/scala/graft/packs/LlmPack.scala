@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryPack
 import graft.core.Tables
-import graft.operators.{Dedup, Similarity, Splits, TextAnalysis}
+import graft.operators.{Chunking, Dedup, Similarity, Splits, TextAnalysis}
 
 /** LLM-training-data pipeline operators over the documents/embeddings
   * tables: dedup, similarity search, text analysis. */
@@ -51,7 +51,18 @@ object LlmPack extends QueryPack {
         col("doc_id"),
         Splits.bucket(col("doc_id")).as("bucket"),
         Splits.assign(col("doc_id"),
-          Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split")))
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))),
+
+    "q36_chunking" -> ((s, dir) =>
+      Chunking.chunk(Tables.load(s, dir, "documents"), "doc_id", "text",
+        window = 32, stride = 16)),
+
+    "q37_scrub" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"), Chunking.scrub(col("text")).as("scrubbed"))),
+
+    "q38_top_vocab" -> ((s, dir) =>
+      Chunking.topVocab(Tables.load(s, dir, "documents"), "text", k = 25))
   )
 
   private val ShinglesSql =
@@ -170,6 +181,44 @@ object LlmPack extends QueryPack {
         |         AS BIGINT) % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    "q36_chunking" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents
+        |),
+        |c AS (SELECT doc_id, words, len(words) AS n FROM w),
+        |g AS (
+        |  SELECT doc_id, words, CAST(i AS INT) AS chunk_idx
+        |  FROM c, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(ceil(CAST(greatest(0, n - 32) AS DOUBLE) / 16) AS INT))) AS i) t
+        |)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(words[chunk_idx * 16 + 1 : chunk_idx * 16 + 32],
+        |    ' ') AS chunk_text,
+        |  len(words[chunk_idx * 16 + 1 : chunk_idx * 16 + 32]) AS n_tokens
+        |FROM g""".stripMargin,
+
+    "q37_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{4,}', '<NUM>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
+
+    "q38_top_vocab" ->
+      """WITH terms AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents
+        |),
+        |counts AS (SELECT term, count(*) AS n FROM terms GROUP BY 1),
+        |ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS INT)
+        |    AS rank, term, n
+        |  FROM counts
+        |)
+        |SELECT rank, term, n FROM ranked WHERE rank <= 25""".stripMargin,
 
     "q26_lang_id" ->
       """WITH t AS (
