@@ -115,10 +115,17 @@ class FeatureStore(
     while (!locked) {
       try { fs.create(lockFile, false).close(); locked = true }
       catch { case _: java.io.IOException =>
-        if (System.currentTimeMillis() > deadline)
+        // break stale locks left by crashed writers (older than the max
+        // wait — no live writer holds a lock that long)
+        val stale = try {
+          fs.getFileStatus(lockFile).getModificationTime <
+            System.currentTimeMillis() - lockStaleMs
+        } catch { case _: java.io.IOException => false }
+        if (stale) fs.delete(lockFile, false)
+        else if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
             s"Lock not released within ${lockWaitMaxMs / 1000}s: $lockFile")
-        Thread.sleep(lockWaitIncrementMs)
+        else Thread.sleep(lockWaitIncrementMs)
       }
     }
     try body finally fs.delete(lockFile, false)
@@ -126,6 +133,9 @@ class FeatureStore(
 
   protected def lockWaitMaxMs: Long = 30 * 60 * 1000L
   protected def lockWaitIncrementMs: Long = 50L
+  /** Age beyond which a lock file is considered abandoned by a crashed
+    * writer and may be broken. */
+  protected def lockStaleMs: Long = 60 * 60 * 1000L
 
   /** Compute-if-missing + SCD2 persist + interval slice
     * (reference: R/DiseasystoreBase.R:99-274). */
@@ -147,13 +157,17 @@ class FeatureStore(
       val existing = readIfExists(tablePath(loader))
       val merged = existing match {
         case Some(cur) =>
-          // keep current-version rows that end before the recomputed range
-          // (reference:204) and union the fresh computation
+          // Keep every current-version row the recompute cannot return:
+          // the exact complement of the compute slice [s0, e0]. (The
+          // reference keeps only rows ending before the range,
+          // R/DiseasystoreBase.R:204 — which silently closes rows for
+          // LATER already-covered ranges when a gap is filled
+          // out-of-order; keeping both sides fixes that.)
           val curOpen = Scd2.sliceAt(cur, sliceTs)
             .drop(Scd2.Checksum, Scd2.FromTs, Scd2.UntilTs)
           val keep = curOpen.filter(
-            col(Intervals.ValidUntil) <= lit(s0) &&
-              col(Intervals.ValidFrom) < lit(e0))
+            col(Intervals.ValidUntil) <= lit(s0) ||
+              col(Intervals.ValidFrom) > lit(e0))
           val incoming = keep.unionByName(computed)
           Scd2.updateSnapshot(Some(cur), incoming, sliceTs, dataCols)
         case None =>

@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: canonical id = min id among identical texts.
-    * Shuffles on xxhash64(text), not the text itself. */
+    * Partitions on (xxhash64(text), text): the hash gives cheap
+    * well-distributed partitioning keys, the text term keeps the result
+    * exact under a 64-bit collision. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(xxhash64(col(textCol)))
+    val w = Window.partitionBy(xxhash64(col(textCol)), col(textCol))
     df.select(col(idCol), col(textCol))
       .withColumn("canonical_id", min(col(idCol)).over(w))
       .withColumn("is_dup", (col(idCol) =!= col("canonical_id")).cast("int"))

@@ -46,7 +46,9 @@ object Similarity {
     val scored = corpus.join(broadcast(queries),
         col("neighbor_id") =!= col("query_id"))
       .withColumn("__sim",
-        dot(col("__qe"), col("__e")) / (col("__qn") * col("__n")))
+        when(col("__qn") > 0 && col("__n") > 0,
+          dot(col("__qe"), col("__e")) / (col("__qn") * col("__n")))
+          .otherwise(lit(Double.NegativeInfinity)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -100,12 +102,15 @@ object Similarity {
     val nBits = bands * rowsPerBand
     val sig = df.select(col(idCol), toDouble(col(embCol)).as("__e"),
       lshSignature(col(embCol), dim, nBits).as("__sig"))
+    // cached: `banded` feeds both the query side and the candidate side,
+    // and the signature fold is the dominant per-row cost
     val banded = sig.select(col(idCol), col("__e"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bi => concat_ws("", transform(
           slice(col("__sig"), bi * lit(rowsPerBand) + 1, lit(rowsPerBand)),
           _.cast("string"))))))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+      .cache()
     val queries = banded.join(
       df.filter(queryPred).select(col(idCol)), Seq(idCol), "left_semi")
       .select(col(idCol).as("query_id"), col("__e").as("__qe"),
@@ -117,7 +122,9 @@ object Similarity {
       .select("query_id", "neighbor_id", "__qe", "__e").distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__sim").desc, col("neighbor_id"))
-    cands.withColumn("__sim", cosine(col("__qe"), col("__e")))
+    val rawSim = cosine(col("__qe"), col("__e"))
+    cands.withColumn("__sim",
+        when(rawSim.isNaN, lit(Double.NegativeInfinity)).otherwise(rawSim))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")

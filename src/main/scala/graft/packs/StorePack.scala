@@ -65,8 +65,8 @@ object StorePack extends QueryPack {
   private val AgeLabels = Ages.ageLabels(TpchFeatureStore.AgeCuts)
 
   def oracleSql: Map[String, String] = Map(
-    "q16_store_composed" -> CorePack.oracleSql("q08_prevalence_strat")
-      .replace("AS n_orders", "AS n_orders"), // identical series
+    // identical series to q08, reached through the store machinery
+    "q16_store_composed" -> CorePack.oracleSql("q08_prevalence_strat"),
 
     "q17_store_two_strat" -> {
       val ageCase = TpchFeatureStore.AgeCuts.zip(AgeLabels.init)

@@ -33,35 +33,58 @@ object EventsStream {
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
                         n_events: Long)
 
-  /** Gap-based streaming sessionization: emits a session when
-    * `gapSeconds` elapse (processing-time timeout) or on state timeout.
-    * Batch twin: Sessions.aggregate. */
+  /** Gap-based streaming sessionization: a session closes when a later
+    * event arrives past the gap, or when the processing-time timeout
+    * fires with no further events (so the final session of an idle user
+    * is emitted and its state released, not leaked).
+    * Batch twin: Sessions.aggregate.
+    *
+    * @param timeoutMs processing-time state expiry; pass <= 0 to disable
+    *   (NoTimeout). Note: with a timeout enabled,
+    *   `StreamingQuery.processAllAvailable()` can block indefinitely
+    *   because the engine keeps scheduling timeout-evaluation batches —
+    *   use awaitTermination/trigger-based control in production and the
+    *   NoTimeout mode in deterministic tests. */
   def sessions(events: Dataset[SessionEvent],
-               gapSeconds: Long): Dataset[SessionOut] = {
+               gapSeconds: Long,
+               timeoutMs: Long = -1L): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapSeconds * 1000000L
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (user, evs, state: GroupState[SessionState]) =>
-          // Within a micro-batch, events may arrive unordered: sort.
-          val sorted = evs.toSeq.sortBy(_.ts_us)
-          var cur = state.getOption
-          val closed = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            cur match {
-              case Some(s) if e.ts_us - s.lastUs <= gapUs =>
-                cur = Some(s.copy(lastUs = e.ts_us, n = s.n + 1))
-              case Some(s) =>
-                closed += SessionOut(user, s.startUs, s.lastUs, s.n)
-                cur = Some(SessionState(e.ts_us, e.ts_us, 1))
-              case None =>
-                cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(s => SessionOut(user, s.startUs, s.lastUs, s.n))
+            state.remove()
+            out.iterator
+          } else {
+            // Within a micro-batch, events may arrive unordered: sort.
+            val sorted = evs.toSeq.sortBy(_.ts_us)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(lastUs = e.ts_us, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(user, s.startUs, s.lastUs, s.n)
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
       }
   }
 }

@@ -47,6 +47,19 @@ class StoreSpec extends SparkSpec {
     assert(got == direct)
   }
 
+  test("out-of-order gap fill keeps later already-computed rows") {
+    val path = Files.createTempDirectory("graft-store-spec").toString
+    val store = TpchFeatureStore(spark, sfDir, path)
+    // compute Feb first, then ask for Jan–Mar: Jan and Mar are gaps
+    store.getFeature("n_orders", "1995-02-01", "1995-02-28")
+    val got = store.getFeature("n_orders", "1995-01-01", "1995-03-31")
+      .select("o_orderkey").as[Long].collect().toSet
+    val direct = graft.core.Intervals.slice(
+      Queries.orderIntervals(spark, sfDir), "1995-01-01", "1995-03-31")
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(got == direct, "gap fill must not drop the Feb rows")
+  }
+
   test("store catalog lists and drops tables, scrubbing logs") {
     val path = Files.createTempDirectory("graft-store-spec").toString
     val store = TpchFeatureStore(spark, sfDir, path)
