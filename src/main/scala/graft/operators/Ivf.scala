@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour search: a coarse
+  * k-means quantizer partitions the corpus into cluster lists; a query
+  * scores only the vectors in its `nprobe` closest clusters.
+  *
+  * Scale design: the trained model (k × dim centroid matrix) is tiny and
+  * lives on the driver like any ML model; training and assignment are
+  * DataFrame passes (posexplode + groupBy mean — map-side combined).
+  * Search joins the (broadcast) query×probe pairs against the
+  * cluster-partitioned corpus: each query touches ~nprobe/k of the data.
+  * Bucketing/partitioning the assigned corpus by `cluster_id` makes the
+  * probe join co-located at warehouse scale.
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  private def sqDistTo(emb: Column, c: Array[Double]): Column =
+    aggregate(zip_with(emb, lit(c), (x, w) => (x - w) * (x - w)),
+      lit(0.0), (a, v) => a + v)
+
+  /** Nearest-centroid id (ties to the lower id). */
+  private def assignCol(emb: Column, m: Model): Column = {
+    val dists = array(m.centroids.map(c => sqDistTo(emb, c)): _*)
+    // array_position returns the FIRST index of the minimum (1-based)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Train a coarse quantizer: deterministic spread seeds (min id per
+    * id-hash bucket) + `iters` Lloyd iterations. */
+  def train(df: DataFrame, idCol: String, embCol: String,
+            k: Int, iters: Int = 2): Model = {
+    val v = df.select(col(idCol).as("__id"),
+      Similarity.toDouble(col(embCol)).as("__e"))
+    val seedIds = v.groupBy(pmod(xxhash64(col("__id")), lit(k)).as("__b"))
+      .agg(min(col("__id")).as("__id")).select("__id")
+    var model = Model(
+      v.join(seedIds, "__id").orderBy("__id").collect()
+        .map(_.getAs[scala.collection.Seq[Double]]("__e").toArray))
+    var it = 0
+    while (it < iters) {
+      val assigned = v.withColumn("__c", assignCol(col("__e"), model))
+      val means = assigned
+        .select(col("__c"), posexplode(col("__e")))
+        .groupBy("__c", "pos").agg(avg("col").as("m"))
+        .collect()
+      val dim = model.centroids.head.length
+      val next = model.centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getAs[Int]("__c"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+      }
+      model = Model(next)
+      it += 1
+    }
+    model
+  }
+
+  /** Corpus with its cluster assignment (partition/bucket by this column
+    * for co-located probe joins at scale). */
+  def assign(df: DataFrame, idCol: String, embCol: String,
+             m: Model): DataFrame =
+    df.withColumn("cluster_id",
+      assignCol(Similarity.toDouble(col(embCol)), m))
+
+  /** Approximate top-k: score only the `nprobe` closest clusters of each
+    * query. Output: (query_id, rank, neighbor_id). */
+  def topK(df: DataFrame, idCol: String, embCol: String, queryPred: Column,
+           k: Int, m: Model, nprobe: Int): DataFrame = {
+    val corpus = assign(df, idCol, embCol, m)
+      .select(col(idCol).as("neighbor_id"),
+        Similarity.toDouble(col(embCol)).as("__e"), col("cluster_id"))
+      .withColumn("__n", Similarity.norm(col("__e")))
+    val centDists = array(m.centroids.map(c =>
+      sqDistTo(Similarity.toDouble(col(embCol)), c)): _*)
+    val probes = df.filter(queryPred)
+      .select(col(idCol).as("query_id"),
+        Similarity.toDouble(col(embCol)).as("__qe"),
+        posexplode(centDists))
+      .withColumnRenamed("pos", "cluster_id").withColumnRenamed("col", "__d")
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__d"))
+    val probed = probes
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__qe"), col("cluster_id"))
+      .withColumn("__qn", Similarity.norm(col("__qe")))
+    val scored = corpus.join(broadcast(probed), Seq("cluster_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__sim",
+        when(col("__qn") > 0 && col("__n") > 0,
+          Similarity.dot(col("__qe"), col("__e")) /
+            (col("__qn") * col("__n")))
+          .otherwise(lit(Double.NegativeInfinity)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+}

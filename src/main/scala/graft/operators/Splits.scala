@@ -17,6 +17,12 @@ object Splits {
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("long") % buckets
 
+  /** Deterministic per-stratum sampling: keep ~pct% of rows in every
+    * group, chosen by id-hash bucket — reproducible, shuffle-free, and
+    * append-stable (new rows don't change old rows' membership). */
+  def stratifiedSample(id: Column, pct: Int): Column =
+    bucket(id, 100) < pct
+
   /** Named split by cumulative percentage boundaries, e.g.
     * splits = Seq("train" -> 80, "val" -> 10, "test" -> 10). */
   def assign(id: Column, splits: Seq[(String, Int)]): Column = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryPack
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 
 /** Approximate / hash-based operators. Deliberately NO oracle SQL: the
   * algorithms are not reasonably SQL-expressible, so the driver records
@@ -26,6 +26,13 @@ object ApproxPack extends QueryPack {
       Similarity.lshTopK(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", pmod(col("vec_id"), lit(50)) === 0,
         k = 10, dim = 64, bands = 8, rowsPerBand = 4)),
+
+    "q40_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+      Ivf.topK(emb, "vec_id", "embedding",
+        pmod(col("vec_id"), lit(50)) === 0, k = 10, model, nprobe = 4)
+    }),
 
     "q32_fingerprint" -> ((s, dir) =>
       Tables.load(s, dir, "documents")

@@ -62,7 +62,12 @@ object LlmPack extends QueryPack {
         col("doc_id"), Chunking.scrub(col("text")).as("scrubbed"))),
 
     "q38_top_vocab" -> ((s, dir) =>
-      Chunking.topVocab(Tables.load(s, dir, "documents"), "text", k = 25))
+      Chunking.topVocab(Tables.load(s, dir, "documents"), "text", k = 25)),
+
+    "q39_stratified_sample" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(Splits.stratifiedSample(col("doc_id"), 20))
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled")))
   )
 
   private val ShinglesSql =
@@ -219,6 +224,12 @@ object LlmPack extends QueryPack {
         |  FROM counts
         |)
         |SELECT rank, term, n FROM ranked WHERE rank <= 25""".stripMargin,
+
+    "q39_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 100 < 20
+        |GROUP BY 1""".stripMargin,
 
     "q26_lang_id" ->
       """WITH t AS (

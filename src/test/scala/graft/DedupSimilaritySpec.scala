@@ -75,6 +75,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("IVF topK achieves good recall on clustered vectors") {
+    val rnd = new scala.util.Random(5)
+    val clustered = (0 until 200).map { i =>
+      val c = i % 4
+      val center = Array.tabulate(16)(j => if (j % 4 == c) 1.0f else 0.0f)
+      (i.toLong, center.map(x => x + rnd.nextGaussian().toFloat * 0.05f), c)
+    }.toDF("vec_id", "embedding", "label")
+    val model = graft.operators.Ivf.train(clustered, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val exact = Similarity.topK(clustered, "vec_id", "embedding",
+      col("vec_id") < 8, k = 5).as[(Long, Int, Long)].collect()
+      .map(r => (r._1, r._3)).toSet
+    val approx = graft.operators.Ivf.topK(clustered, "vec_id", "embedding",
+      col("vec_id") < 8, k = 5, model, nprobe = 3)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall was $recall")
+  }
+
   test("LSH topK achieves good recall on clustered vectors") {
     val rnd = new scala.util.Random(3)
     val clustered = (0 until 200).map { i =>

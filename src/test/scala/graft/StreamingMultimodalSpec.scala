@@ -67,6 +67,29 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate doc ids within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = ms.toDF().toDF("doc_id", "text", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("doc_id")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "a", ts("2024-01-01 10:00:00")),
+        (1L, "a-dup", ts("2024-01-01 10:01:00")),
+        (2L, "b", ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      ms.addData((2L, "b-dup", ts("2024-01-01 10:03:00")),
+        (3L, "c", ts("2024-01-01 10:04:00")))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("multimodal feature extraction keeps schema, deterministic") {
     val rows = Seq(
       Row(1L, "image", Array[Byte](1, 2, 3, 4, 5), Row(8, 8, "png")),
