@@ -25,7 +25,18 @@ object EventsPack extends QueryPack {
       Sessions.aggregate(
         Tables.events(s, dir)
           .withColumn("ts_us", unix_micros(col("ts"))),
-        "user_id", "ts_us", "event_id", gapSeconds = 1800))
+        "user_id", "ts_us", "event_id", gapSeconds = 1800)),
+
+    "q41_cohort_retention" -> ((s, dir) => {
+      val weekly = Tables.events(s, dir).select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("w")).distinct()
+      val firsts = weekly.groupBy("user_id")
+        .agg(min(col("w")).as("cohort_w"))
+      weekly.join(firsts, "user_id")
+        .withColumn("k", expr("datediff(w, cohort_w) div 7").cast("int"))
+        .groupBy(col("cohort_w").cast("string").as("cohort_week"), col("k"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -34,6 +45,20 @@ object EventsPack extends QueryPack {
         |  event_type, count(*) AS n,
         |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q41_cohort_retention" ->
+      """WITH weekly AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+        |  FROM events
+        |),
+        |firsts AS (
+        |  SELECT user_id, min(w) AS cohort_w FROM weekly GROUP BY 1
+        |)
+        |SELECT CAST(f.cohort_w AS VARCHAR) AS cohort_week,
+        |  CAST((weekly.w - f.cohort_w) // 7 AS INT) AS k,
+        |  count(DISTINCT weekly.user_id) AS n_users
+        |FROM weekly JOIN firsts f ON weekly.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "q28_sessionize" ->
       """WITH e AS (
