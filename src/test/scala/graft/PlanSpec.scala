@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Plan-shape regression tests: the scale guarantees (predicate pushdown
+  * to the parquet scan, broadcast of dimension sides, a single shuffle in
+  * the delta aggregation) asserted against the optimized plans so a
+  * refactor cannot silently regress them. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("interval slice pushes the upper-bound predicate into the scan") {
+    val plan = planOf(SparkEntry.queries("q04_feature_slice")(spark, dir))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("LessThan(o_orderdate"),
+      s"slice predicate did not reach the parquet scan:\n$plan")
+  }
+
+  test("scan reads only the projected columns") {
+    val plan = planOf(SparkEntry.queries("q04_feature_slice")(spark, dir))
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("o_totalprice") && !read.contains("o_orderstatus"),
+      s"scan reads unprojected columns: $read")
+  }
+
+  test("keyJoinFeatures delta aggregation is a single shuffle + grid join") {
+    val plan = planOf(SparkEntry.queries("q07_prevalence")(spark, dir))
+    val exchanges = plan.linesIterator
+      .count(l => l.contains(") Exchange") || l.contains("BroadcastExchange"))
+    // one hash shuffle (delta agg, inside the persisted subtree), one
+    // broadcast (grid join), one single-partition exchange for the
+    // unpartitioned series window, plus the cached-plan copy of the agg
+    // exchange that InMemoryRelation carries
+    assert(exchanges <= 4, s"unexpected shuffle count $exchanges:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "grid join should broadcast the tiny aggregated delta")
+  }
+
+  test("truncate interlace joins stratification via broadcast hash join") {
+    val plan = planOf(SparkEntry.queries("q08_prevalence_strat")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stratification join is not broadcast:\n$plan")
+  }
+
+  test("asof join is one shuffle + window, no range-join fanout") {
+    val plan = planOf(SparkEntry.queries("q34_asof_join")(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"asof must not fan out through a nested-loop/cartesian join:\n$plan")
+    assert(plan.contains("Window"), "asof carries versions with a window")
+  }
+
+  test("exact topK broadcasts the query side, never shuffles the corpus") {
+    val plan = planOf(SparkEntry.queries("q23_ann_topk")(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"query side should be broadcast:\n$plan")
+  }
+}

@@ -77,6 +77,26 @@ class PropertySpec extends SparkSpec {
       }._1
     }.toSeq
 
+  test("scd2 time travel recovers every snapshot version exactly") {
+    val kvGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 5L), Gen.choose(0, 3)))
+      .map(_.distinctBy(_._1)) // one row per key per version
+    forSeeds(Gen.listOfN(3, kvGen), 8) { versions =>
+      val tss = Seq("t1", "t2", "t3")
+      var table = Option.empty[org.apache.spark.sql.DataFrame]
+      versions.zip(tss).foreach { case (v, ts) =>
+        val df = v.toDF("id", "v")
+        table = Some(Scd2.updateSnapshot(table, df, ts, Seq("id", "v"))
+          .localCheckpoint(true))
+      }
+      versions.zip(tss).foreach { case (v, ts) =>
+        val got = Scd2.sliceAt(table.get, ts)
+          .select("id", "v").as[(Long, Int)].collect().toSet
+        assert(got == v.toSet, s"snapshot at $ts not recovered")
+      }
+    }
+  }
+
   test("interlace segments tile each key's covered timeline w/o overlap") {
     forSeeds(Gen.zip(Gen.listOfN(8, ivGen), Gen.listOfN(8, ivGen)), 8) {
       case (xs0, ys0) =>
