@@ -125,13 +125,21 @@ object Dedup {
         bi => xxhash64(concat_ws(",",
           transform(slice(col("__sig"), bi * lit(r) + 1, lit(r)), _.cast("string")))))))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
-    val aSide = banded.select(col(idCol).as("id_a"), col("__sig").as("__sig_a"),
-      col("__band"), col("__bucket"))
-    val bSide = banded.select(col(idCol).as("id_b"), col("__sig").as("__sig_b"),
-      col("__band"), col("__bucket"))
-    val cand = aSide.join(bSide, Seq("__band", "__bucket"))
+    val aSide = banded.select(col(idCol).as("id_a"), col("__band"),
+      col("__bucket"))
+    val bSide = banded.select(col(idCol).as("id_b"), col("__band"),
+      col("__bucket"))
+    // dedup candidate pairs on the bare 16-byte id pair, THEN re-attach
+    // the 1KB signature arrays by id join — the distinct shuffle must not
+    // carry the signatures
+    val candIds = aSide.join(bSide, Seq("__band", "__bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "__sig_a", "__sig_b").distinct()
+      .select("id_a", "id_b").distinct()
+    val cand = candIds
+      .join(sigs.select(col(idCol).as("id_a"), col("__sig").as("__sig_a")),
+        "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("__sig").as("__sig_b")),
+        "id_b")
     // estimated Jaccard = fraction of matching signature positions
     val est = cand.select(col("id_a"), col("id_b"),
       (aggregate(zip_with(col("__sig_a"), col("__sig_b"),
