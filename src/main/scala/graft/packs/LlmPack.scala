@@ -67,7 +67,25 @@ object LlmPack extends QueryPack {
     "q39_stratified_sample" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
         .filter(Splits.stratifiedSample(col("doc_id"), 20))
-        .groupBy("lang").agg(count(lit(1)).as("n_sampled")))
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))),
+
+    // End-to-end training-data pipeline: dedup -> quality filter ->
+    // train split -> chunk -> per-language stats. One DataFrame flow.
+    "q42_pipeline" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val canonical = Dedup.exact(docs, "doc_id", "text")
+        .filter(col("is_dup") === 0).select("doc_id")
+      val train = docs
+        .join(canonical, Seq("doc_id"), "left_semi")
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+        .filter(Splits.assign(col("doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)) === "train")
+      Chunking.chunk(train, "doc_id", "text", window = 32, stride = 16)
+        .join(train.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"))
+    })
   )
 
   private val ShinglesSql =
@@ -230,6 +248,44 @@ object LlmPack extends QueryPack {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |        AS BIGINT) % 100 < 20
         |GROUP BY 1""".stripMargin,
+
+    "q42_pipeline" ->
+      """WITH canon AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS m
+        |    FROM documents) WHERE doc_id = m
+        |),
+        |q AS (
+        |  SELECT d.doc_id, d.lang, d.text,
+        |    regexp_split_to_array(trim(d.text), '\s+') AS words
+        |  FROM documents d JOIN canon USING (doc_id)
+        |),
+        |scored AS (
+        |  SELECT doc_id, lang, words,
+        |    least(1.0, CAST(len(words) AS DOUBLE) / 64.0) * 0.4
+        |    + (1.0 - CAST(len(regexp_extract_all(text,
+        |        '[^A-Za-z0-9_\s]')) AS DOUBLE) / len(text)) * 0.3
+        |    + (CAST(len(list_filter(words, w -> w IN
+        |        ('the','a','of','and','to','in','is','it','for','on')))
+        |        AS DOUBLE) / len(words)) * 0.3 AS quality
+        |  FROM q
+        |),
+        |train AS (
+        |  SELECT doc_id, lang, words FROM scored
+        |  WHERE quality >= 0.5
+        |    AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |          AS BIGINT) % 100 < 80
+        |),
+        |chunks AS (
+        |  SELECT doc_id, lang, CAST(i AS INT) AS chunk_idx
+        |  FROM (SELECT doc_id, lang, words, len(words) AS n FROM train) t,
+        |    LATERAL (SELECT unnest(generate_series(0,
+        |      CAST(ceil(CAST(greatest(0, n - 32) AS DOUBLE) / 16) AS INT)))
+        |      AS i) g
+        |)
+        |SELECT lang, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_chunks
+        |FROM chunks GROUP BY 1""".stripMargin,
 
     "q26_lang_id" ->
       """WITH t AS (
