@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryPack
 import graft.core.Tables
+import graft.operators.Rolling
 import graft.streaming.{Sessions, Windows}
 
 /** Event-stream operators in batch form (streaming parity is covered by
@@ -27,6 +28,14 @@ object EventsPack extends QueryPack {
           .withColumn("ts_us", unix_micros(col("ts"))),
         "user_id", "ts_us", "event_id", gapSeconds = 1800)),
 
+    "q43_rolling_features" -> ((s, dir) =>
+      Rolling.trailing(
+        Tables.events(s, dir).withColumn("d", to_date(col("ts"))),
+        "user_id", "d",
+        round(col("value") * 100, 0).cast("long"), days = 7)
+        .select(col("user_id"), col("date").cast("string").as("date"),
+          col("n"), col("cents"), col("n_7d"), col("cents_7d"))),
+
     "q41_cohort_retention" -> ((s, dir) => {
       val weekly = Tables.events(s, dir).select(col("user_id"),
         to_date(date_trunc("week", col("ts"))).as("w")).distinct()
@@ -45,6 +54,21 @@ object EventsPack extends QueryPack {
         |  event_type, count(*) AS n,
         |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q43_rolling_features" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS date, count(*) AS n,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+        |    CAST(ts AS DATE) - DATE '1970-01-01' AS dnum
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(date AS VARCHAR) AS date, n, cents,
+        |  CAST(sum(n) OVER (PARTITION BY user_id ORDER BY dnum
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY dnum
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cents_7d
+        |FROM daily""".stripMargin,
 
     "q41_cohort_retention" ->
       """WITH weekly AS (
