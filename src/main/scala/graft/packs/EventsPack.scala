@@ -28,6 +28,22 @@ object EventsPack extends QueryPack {
           .withColumn("ts_us", unix_micros(col("ts"))),
         "user_id", "ts_us", "event_id", gapSeconds = 1800)),
 
+    // exact lower-median per group via rank-pick (engine-portable, no
+    // interpolation-semantics ambiguity)
+    "q44_group_median" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .select(col("event_type"), col("cents").as("median_cents"))
+    }),
+
     "q43_rolling_features" -> ((s, dir) =>
       Rolling.trailing(
         Tables.events(s, dir).withColumn("d", to_date(col("ts"))),
@@ -54,6 +70,22 @@ object EventsPack extends QueryPack {
         |  event_type, count(*) AS n,
         |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q44_group_median" ->
+      """WITH t AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |),
+        |r AS (
+        |  SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM t
+        |)
+        |SELECT event_type, cents AS median_cents
+        |FROM r WHERE rn = (n + 1) // 2""".stripMargin,
 
     "q43_rolling_features" ->
       """WITH daily AS (
