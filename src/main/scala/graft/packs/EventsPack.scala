@@ -68,7 +68,7 @@ object EventsPack extends QueryPack {
     "q27_events_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
         |  event_type, count(*) AS n,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q44_group_median" ->
@@ -90,7 +90,7 @@ object EventsPack extends QueryPack {
     "q43_rolling_features" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS date, count(*) AS n,
-        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
         |    CAST(ts AS DATE) - DATE '1970-01-01' AS dnum
         |  FROM events GROUP BY 1, 2
         |)

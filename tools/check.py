@@ -43,9 +43,15 @@ for name in sorted(oracle):
         print(f"FAIL {name}: cols {list(spark_df.columns)} vs {list(duck_df.columns)}"); fails += 1; continue
     if len(spark_df) != len(duck_df):
         print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}"); fails += 1; continue
+    # post-canon dtype mismatch (e.g. DuckDB HUGEINT -> float64/object)
+    # fails the driver's hash even when values print identically
+    dt = [(c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+          for c in spark_df.columns
+          if str(spark_df[c].dtype) != str(duck_df[c].dtype)]
+    if dt:
+        print(f"FAIL {name}: dtype mismatch {dt}"); fails += 1; continue
     eq = spark_df.equals(duck_df)
     if not eq:
-        # tolerate dtype mismatch w/ same values
         try:
             pd.testing.assert_frame_equal(spark_df, duck_df, check_dtype=False, check_exact=True)
             eq = True
