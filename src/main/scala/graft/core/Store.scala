@@ -207,8 +207,19 @@ class FeatureStore(
     require(aggs.size == 1,
       "Stratification feature does not match observable aggregator")
 
-    val obsData = getFeature(observable, start, end, sliceTs)
-    val stratData = stratification.map(getFeature(_, start, end, sliceTs))
+    // Each loader's compute-if-missing path is an independent serial
+    // chain of jobs (log diff → compute → SCD2 write → read-back); run
+    // them concurrently — the Spark scheduler interleaves jobs from
+    // multiple driver threads, and the per-loader table locks already
+    // make concurrent getFeature safe.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = (observable +: stratification)
+      .map(f => Future(getFeature(f, start, end, sliceTs)))
+    val results = futures.map(Await.result(_, Duration.Inf))
+    val obsData = results.head
+    val stratData = results.tail
     val filtered = keyJoinFilter(obsData, stratification, start, end)
 
     KeyJoinFeatures(

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
@@ -91,6 +91,109 @@ object SimHashKernel {
   }
 }
 
+/** Dense-vector kernels over `array<double>` columns. All folds run
+  * left-to-right in index order — bit-identical to the HOF
+  * `aggregate(zip_with(...))` formulations they replace (cross-checked in
+  * NativeExprSpec), so oracle comparisons and recall specs are unaffected.
+  * Null elements are treated as absent (skipped), matching how the HOF
+  * twins never see null embedding elements in practice. */
+object VecKernel {
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  def norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Squared L2 distance to each of k centroids, one pass per centroid in
+    * index order (parity with k independent HOF folds). */
+  def sqDists(e: ArrayData, cents: Array[Array[Double]]): ArrayData = {
+    val k = cents.length
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val c = cents(j)
+      val n = math.min(e.numElements(), c.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = e.getDouble(i) - c(i)
+        s += d * d
+        i += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Index of the nearest centroid (ties to the lower index — same as
+    * `array_position(dists, array_min(dists)) - 1`). */
+  def nearest(e: ArrayData, cents: Array[Array[Double]]): Int = {
+    val k = cents.length
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var j = 0
+    while (j < k) {
+      val c = cents(j)
+      val n = math.min(e.numElements(), c.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = e.getDouble(i) - c(i)
+        s += d * d
+        i += 1
+      }
+      if (s < bestD) { bestD = s; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** Random-hyperplane sign bits: planesT is the nBits×dim plane matrix
+    * flattened as [j*dim + i]. Accumulation order (outer i ascending,
+    * inner j ascending) matches the single-fold HOF formulation in
+    * Similarity.lshSignatureHof bit-for-bit. */
+  def lshSignBits(e: ArrayData, planesT: Array[Double], nBits: Int): ArrayData = {
+    val dim = math.min(e.numElements(), planesT.length / nBits)
+    val acc = new Array[Double](nBits)
+    var i = 0
+    while (i < dim) {
+      val x = e.getDouble(i)
+      var j = 0
+      while (j < nBits) {
+        acc(j) += x * planesT(j * dim + i)
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Int](nBits)
+    var j = 0
+    while (j < nBits) {
+      out(j) = if (acc(j) >= 0) 1 else 0
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Native Catalyst expression: MinHash signature of a shingle array.
   * Whole-stage-codegen friendly (`doGenCode` emits a single kernel call);
   * replaces the interpreted higher-order-function formulation in the hot
@@ -133,6 +236,141 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+object NgramKernel {
+
+  /** Distinct word n-gram shingles, first-occurrence order — exactly
+    * `array_distinct(transform(sequence(1, greatest(1, size(ws)-(n-1))),
+    * i => concat_ws(" ", slice(ws, i, n))))` over a non-null words array,
+    * but one compiled pass instead of an interpreted lambda that
+    * re-slices (and, when the words expression is inlined, re-splits) per
+    * position. */
+  def compute(ws: ArrayData, n: Int): ArrayData = {
+    val m = ws.numElements()
+    val upper = math.max(1, m - (n - 1))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < upper) {
+      val hi = math.min(i + n, m)
+      val parts = new Array[UTF8String](hi - i)
+      var j = i
+      while (j < hi) { parts(j - i) = ws.getUTF8String(j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
+/** Native Catalyst expression: distinct word n-gram shingle array. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramKernel.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramKernel.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression: dot product of two `array<double>`. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecKernel.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native Catalyst expression: L2 norm of an `array<double>`. */
+case class L2Norm(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecKernel.norm(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecKernel.norm($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression: squared L2 distances to a fixed centroid
+  * matrix (the matrix rides along as a codegen reference object — it is
+  * a trained model, tiny relative to the data). */
+case class CentroidSqDists(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecKernel.sqDists(input.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("graftCents", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecKernel.sqDists($c, $cRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression: nearest-centroid index (ties low). */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecKernel.nearest(input.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("graftCents", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecKernel.nearest($c, $cRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression: random-hyperplane LSH sign bits. */
+case class LshSignBits(child: Expression, planesT: Array[Double], nBits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecKernel.lshSignBits(input.asInstanceOf[ArrayData], planesT, nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("graftPlanes", planesT, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecKernel.lshSignBits($c, $pRef, $nBits);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object NativeExprs {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
@@ -141,4 +379,26 @@ object NativeExprs {
 
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  def wordNgrams(words: Column, n: Int): Column =
+    Bridge.column(WordNgrams(Bridge.expression(words), n))
+
+  def dotProduct(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def l2Norm(a: Column): Column =
+    Bridge.column(L2Norm(Bridge.expression(a)))
+
+  def centroidSqDists(emb: Column, centroids: Array[Array[Double]]): Column =
+    Bridge.column(CentroidSqDists(Bridge.expression(emb), centroids))
+
+  def nearestCentroid(emb: Column, centroids: Array[Array[Double]]): Column =
+    Bridge.column(NearestCentroid(Bridge.expression(emb), centroids))
+
+  /** planes(j)(i): nBits hyperplanes over dim positions. */
+  def lshSignBits(emb: Column, planes: Array[Array[Double]]): Column = {
+    val nBits = planes.length
+    val flat = planes.flatten
+    Bridge.column(LshSignBits(Bridge.expression(emb), flat, nBits))
+  }
 }

@@ -15,15 +15,19 @@ object Chunking {
   def chunk(df: DataFrame, idCol: String, textCol: String,
             window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window)
-    val ws = TextAnalysis.words(col(textCol))
-    val n = size(ws)
+    // materialize the token array once — referenced from inside the
+    // transform lambda below, where an inlined split would be
+    // re-evaluated per chunk (HOFs get no codegen CSE)
+    val tokenized = df.select(col(idCol),
+      TextAnalysis.words(col(textCol)).as("__ws"))
+    val n = size(col("__ws"))
     // number of chunks: 1 + ceil(max(0, n - window) / stride)
     val extra = greatest(lit(0), n - window)
     val nChunks = lit(1) + ceil(extra.cast("double") / stride).cast("int")
-    df.select(
+    tokenized.select(
       col(idCol),
       posexplode(transform(sequence(lit(0), nChunks - 1),
-        i => concat_ws(" ", slice(ws, i * stride + 1, lit(window))))))
+        i => concat_ws(" ", slice(col("__ws"), i * stride + 1, lit(window))))))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_text")
       .withColumn("n_tokens",

@@ -30,27 +30,104 @@ object Dedup {
       .drop(textCol)
   }
 
+  /** Distinct word n-gram shingle array (native codegen kernel; the HOF
+    * twin below documents the semantics and backs the parity spec). */
+  def shingleArray(text: Column, n: Int): Column =
+    graft.functions.NativeExprs.wordNgrams(TextAnalysis.words(text), n)
+
+  /** HOF twin of `shingleArray` — the interpreted lambda re-evaluates the
+    * `words` split per shingle position (no codegen CSE inside HOFs),
+    * turning tokenization O(len) into O(len²); kept only for bit-parity
+    * specs. */
+  private[graft] def shingleArrayHof(text: Column, n: Int): Column = {
+    val ws = TextAnalysis.words(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(lit(1), size(ws) - (n - 1))),
+      i => concat_ws(" ", slice(ws, i, lit(n)))))
+  }
+
   /** Word n-gram shingle set, distinct, as (id, blockCols..., shingle). */
   def shingles(df: DataFrame, idCol: String, textCol: String,
-               blockCols: Seq[String], n: Int): DataFrame = {
-    val ws = TextAnalysis.words(col(textCol))
+               blockCols: Seq[String], n: Int): DataFrame =
     df.select(
       (col(idCol) +: blockCols.map(col)) :+
-        explode(array_distinct(transform(
-          sequence(lit(1), greatest(lit(1), size(ws) - (n - 1))),
-          i => concat_ws(" ", slice(ws, i, lit(n)))))).as("__shingle"): _*)
-  }
+        explode(shingleArray(col(textCol), n)).as("__shingle"): _*)
 
   /** Exact n-gram Jaccard similarity pairs with J ≥ `threshold`, blocked
     * by `blockCols` (pairs are only compared within a block). Output:
-    * (id_a, id_b, jaccard), id_a < id_b. */
+    * (id_a, id_b, jaccard), id_a < id_b.
+    *
+    * Prefix-filtered (PPJoin-style, Xiao et al., WWW'08): under a global
+    * shingle order (rarest first), two sets with J ≥ t must share an
+    * element within their first |S| − ⌊t·|S|⌋ + 1 shingles — so only
+    * prefix shingles enter the candidate self-join instead of all of
+    * them, and only candidate pairs are exact-verified. Same output as
+    * the all-pairs formulation (NgramPrefixSpec), but candidate volume is
+    * bounded by rare-shingle collisions, which is what survives a 100×
+    * corpus scale-up. A ⌊⌋ rather than the tight ⌈⌉ keeps the prefix one
+    * longer, immune to floating-point edge rounding. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], n: Int,
                    threshold: Double): DataFrame = {
-    // Self-join on the shingle's 64-bit hash, not the string: ~3× less
+    // Work on the shingle's 64-bit hash, not the string: ~3× less
     // shuffle volume and cheaper sort keys. An xxhash64 collision between
     // two distinct shingles of the same doc pair (probability ≈ 1e-9 per
     // corpus at these shingle counts) would off-by-one the intersection.
+    val sh = shingles(df, idCol, textCol, blockCols, n)
+      .withColumn("__shash", xxhash64(col("__shingle")))
+      .drop("__shingle")
+      .cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+
+    // Global rarest-first order; ties broken by the hash value. One
+    // small aggregate (shingle → document frequency), shuffled once.
+    val freq = sh.groupBy("__shash").agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy(col(idCol))
+      .orderBy(col("__df"), col("__shash"))
+    val prefix = sh.join(freq, "__shash")
+      .withColumn("__pos", row_number().over(wDoc))
+      .join(sizes, Seq(idCol))
+      .filter(col("__pos") <=
+        col("__sz") - floor(lit(threshold) * col("__sz")) + 1)
+      .select((col(idCol) +: blockCols.map(col)) :+ col("__shash"): _*)
+
+    val a = prefix.select(
+      (col(idCol).as("id_a") +: blockCols.map(c => col(c).as(s"__ba_$c"))) :+
+        col("__shash").as("__ha"): _*)
+    val b = prefix.select(
+      (col(idCol).as("id_b") +: blockCols.map(c => col(c).as(s"__bb_$c"))) :+
+        col("__shash").as("__hb"): _*)
+    val blockEq = blockCols.map(c => col(s"__ba_$c") <=> col(s"__bb_$c"))
+    val joinCond = (Seq(col("__ha") === col("__hb"),
+      col("id_a") < col("id_b")) ++ blockEq).reduce(_ && _)
+    val candIds = a.join(b, joinCond).select("id_a", "id_b").distinct()
+      // length filter: J ≤ min(|a|,|b|)/max(|a|,|b|), so |b| ≥ t·|a|
+      .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("__sza")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("__szb")), "id_b")
+      .filter(least(col("__sza"), col("__szb")).cast("double") >=
+        lit(threshold) * greatest(col("__sza"), col("__szb")))
+
+    // Exact verification of candidates only: intersect the full shingle
+    // sets of each surviving pair.
+    val shA = sh.select(col(idCol).as("__ia"), col("__shash").as("__hva"))
+    val shB = sh.select(col(idCol).as("__ib"), col("__shash").as("__hvb"))
+    val inter = candIds
+      .join(shA, col("id_a") === col("__ia"))
+      .join(shB, col("id_b") === col("__ib") && col("__hva") === col("__hvb"))
+      .groupBy("id_a", "id_b", "__sza", "__szb")
+      .agg(count(lit(1)).as("__inter"))
+    inter
+      .select(col("id_a"), col("id_b"),
+        (col("__inter").cast("double") /
+          (col("__sza") + col("__szb") - col("__inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** All-pairs formulation (quadratic within a block); kept as the
+    * equivalence twin for NgramPrefixSpec. */
+  private[graft] def ngramJaccardAllPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
     val sh = shingles(df, idCol, textCol, blockCols, n)
       .withColumn("__shash", xxhash64(col("__shingle")))
       .drop("__shingle")
@@ -110,13 +187,11 @@ object Dedup {
                  numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val ws = array_distinct(transform(
-      sequence(lit(1), greatest(lit(1), size(TextAnalysis.words(col(textCol))) - 2)),
-      i => concat_ws(" ", slice(TextAnalysis.words(col(textCol)), i, lit(3)))))
-    // native codegen'd kernel (bit-identical to minhashSignature — see
-    // NativeExprSpec parity test)
+    // native codegen'd kernels end-to-end: shingle construction and the
+    // minhash fold (bit-identical to the HOF twins — NativeExprSpec)
     val sigs = df.select(col(idCol),
-      graft.functions.NativeExprs.minhashSignature(ws, numHashes).as("__sig"))
+      graft.functions.NativeExprs.minhashSignature(
+        shingleArray(col(textCol), 3), numHashes).as("__sig"))
       .cache()
     val banded = sigs.select(
       col(idCol),

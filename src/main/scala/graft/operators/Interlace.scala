@@ -68,9 +68,17 @@ object Interlace {
     * repeated through `truncateOne`) are coalesced in first-table order.
     * Segments covered by no table are dropped.
     */
-  def interlace(tables: Seq[DataFrame], keys: Seq[String]): DataFrame = {
-    require(tables.nonEmpty, "interlace needs at least one table")
-    if (tables.size == 1) return tables.head
+  def interlace(tables0: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(tables0.nonEmpty, "interlace needs at least one table")
+    if (tables0.size == 1) return tables0.head
+
+    // Each input feeds two consumers (the breakpoint union and its
+    // payload join); inputs are typically joins themselves (truncateOne),
+    // so persist them rather than compute every join twice. Self-join
+    // attribute dedup also blocks ReuseExchange here, making the persist
+    // the only way the subtree runs once.
+    val tables = tables0.map(
+      _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     val keyCols = keys.map(col)
     // Union of breakpoints per key (open ends contribute no breakpoint).

@@ -22,16 +22,13 @@ object Ivf {
     def k: Int = centroids.length
   }
 
-  private def sqDistTo(emb: Column, c: Array[Double]): Column =
-    aggregate(zip_with(emb, lit(c), (x, w) => (x - w) * (x - w)),
-      lit(0.0), (a, v) => a + v)
-
-  /** Nearest-centroid id (ties to the lower id). */
-  private def assignCol(emb: Column, m: Model): Column = {
-    val dists = array(m.centroids.map(c => sqDistTo(emb, c)): _*)
-    // array_position returns the FIRST index of the minimum (1-based)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  /** Nearest-centroid id (ties to the lower id). Native codegen kernel —
+    * the k×dim distance loop runs once per row as compiled Java; the HOF
+    * formulation (k independent aggregate(zip_with) folds) re-evaluated
+    * the embedding cast per centroid with no codegen. */
+  private def assignCol(emb: Column, m: Model): Column =
+    graft.functions.NativeExprs.nearestCentroid(
+      emb.cast("array<double>"), m.centroids)
 
   /** Train a coarse quantizer: deterministic spread seeds (min id per
     * id-hash bucket) + `iters` Lloyd iterations. */
@@ -77,8 +74,8 @@ object Ivf {
       .select(col(idCol).as("neighbor_id"),
         Similarity.toDouble(col(embCol)).as("__e"), col("cluster_id"))
       .withColumn("__n", Similarity.norm(col("__e")))
-    val centDists = array(m.centroids.map(c =>
-      sqDistTo(Similarity.toDouble(col(embCol)), c)): _*)
+    val centDists = graft.functions.NativeExprs.centroidSqDists(
+      col(embCol).cast("array<double>"), m.centroids)
     val probes = df.filter(queryPred)
       .select(col(idCol).as("query_id"),
         Similarity.toDouble(col(embCol)).as("__qe"),

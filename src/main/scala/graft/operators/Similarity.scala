@@ -23,10 +23,22 @@ object Similarity {
   /** Cast a float array column to double (deterministic math downstream). */
   def toDouble(emb: Column): Column = transform(emb, _.cast("double"))
 
+  /** Native codegen kernels (graft.functions.VecKernel): same
+    * left-to-right fold order as the HOF twins below, bit-identical
+    * results (NativeExprSpec), but they stay inside whole-stage codegen
+    * and evaluate once per call instead of re-expanding per lambda. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.NativeExprs.dotProduct(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   def norm(a: Column): Column =
+    graft.functions.NativeExprs.l2Norm(a.cast("array<double>"))
+
+  /** HOF twins, kept for bit-parity specs against the native kernels. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private[graft] def normHof(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -73,16 +85,25 @@ object Similarity {
       .select("id_a", "id_b")
   }
 
-  /** Random-hyperplane LSH signature: `nBits` sign bits of projections
-    * onto pseudo-random (deterministic seed) hyperplanes.
-    *
-    * Single-pass: one fold over the embedding positions accumulating all
-    * nBits projections against the transposed plane matrix (nBits
-    * independent aggregates would re-evaluate the embedding cast per
-    * plane — HOFs get no codegen CSE). */
-  def lshSignature(emb: Column, dim: Int, nBits: Int): Column = {
+  private def planesFor(dim: Int, nBits: Int): Array[Array[Double]] = {
     val rng = new scala.util.Random(7)
-    val planes = Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
+    Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH signature: `nBits` sign bits of projections
+    * onto pseudo-random (deterministic seed) hyperplanes. Native codegen
+    * kernel; one pass over the embedding. */
+  def lshSignature(emb: Column, dim: Int, nBits: Int): Column =
+    graft.functions.NativeExprs.lshSignBits(
+      emb.cast("array<double>"), planesFor(dim, nBits))
+
+  /** HOF twin of `lshSignature` (same fold order), kept for bit-parity
+    * specs: one fold over the embedding positions accumulating all nBits
+    * projections against the transposed plane matrix (nBits independent
+    * aggregates would re-evaluate the embedding cast per plane — HOFs get
+    * no codegen CSE). */
+  private[graft] def lshSignatureHof(emb: Column, dim: Int, nBits: Int): Column = {
+    val planes = planesFor(dim, nBits)
     val wt = array((0 until dim).map(i =>
       array((0 until nBits).map(j => lit(planes(j)(i))): _*)): _*)
     val indexed = zip_with(toDouble(emb), sequence(lit(0), lit(dim - 1)),

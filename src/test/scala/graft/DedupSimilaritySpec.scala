@@ -35,6 +35,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(out.head._3 - j) < 1e-12)
   }
 
+  test("prefix-filtered ngram jaccard equals the all-pairs formulation") {
+    // varied-length docs incl. exact dups, overlaps, tiny docs, and a
+    // blocked column so the length + prefix filters all get exercised
+    val corpus = (0 until 40).map { i =>
+      val words = (0 to (i % 7) + 3).map(k => s"w${(i + k) % 11}")
+      (i.toLong, words.mkString(" "), s"b${i % 3}")
+    }.toDF("doc_id", "text", "lang")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val fast = Dedup.ngramJaccard(corpus, "doc_id", "text",
+        Seq("lang"), n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val slow = Dedup.ngramJaccardAllPairs(corpus, "doc_id", "text",
+        Seq("lang"), n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fast == slow, s"threshold $t")
+    }
+  }
+
   test("minhash LSH recovers the near-dup pair, skips unrelated") {
     val out = Dedup.minhashLsh(docs.filter($"doc_id" < 3), "doc_id", "text",
       numHashes = 128, bands = 32, threshold = 0.5)

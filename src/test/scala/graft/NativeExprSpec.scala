@@ -42,6 +42,66 @@ class NativeExprSpec extends SparkSpec {
     assert(out(0).isDefined)
   }
 
+  test("native word-ngram shingles are identical to the HOF formulation") {
+    val edge = texts.union(Seq("", "   ", "one", "a b", "a a a a a a")
+      .toDF("text"))
+    val rows = edge.select(
+      Dedup.shingleArray(col("text"), 3).as("native"),
+      Dedup.shingleArrayHof(col("text"), 3).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (n, h) => assert(n == h) }
+  }
+
+  private val vecs = Seq(
+    (Array(0.5f, -1.25f, 3.0f, 0.0f), Array(2.0f, 0.5f, -0.75f, 1.5f)),
+    (Array(1e-7f, 42.0f, -42.0f, 7.5f), Array(-1e3f, 0.125f, 9.0f, -0.5f)),
+    (Array(0.0f, 0.0f, 0.0f, 0.0f), Array(1.0f, 2.0f, 3.0f, 4.0f)))
+    .toDF("a", "b")
+
+  test("native dot/norm are bit-identical to the HOF formulations") {
+    import graft.operators.Similarity
+    val da = Similarity.toDouble(col("a"))
+    val db = Similarity.toDouble(col("b"))
+    val rows = vecs.select(
+      Similarity.dot(da, db).as("nd"),
+      Similarity.dotHof(da, db).as("hd"),
+      Similarity.norm(da).as("nn"),
+      Similarity.normHof(da).as("hn"))
+      .as[(Double, Double, Double, Double)].collect()
+    rows.foreach { case (nd, hd, nn, hn) =>
+      assert(java.lang.Double.doubleToLongBits(nd) ==
+        java.lang.Double.doubleToLongBits(hd))
+      assert(java.lang.Double.doubleToLongBits(nn) ==
+        java.lang.Double.doubleToLongBits(hn))
+    }
+  }
+
+  test("native lsh sign bits are bit-identical to the HOF formulation") {
+    import graft.operators.Similarity
+    val rows = vecs.select(
+      Similarity.lshSignature(col("a"), 4, 16).as("native"),
+      Similarity.lshSignatureHof(col("a"), 4, 16).as("hof"))
+      .as[(Seq[Int], Seq[Int])].collect()
+    rows.foreach { case (n, h) => assert(n == h) }
+  }
+
+  test("native nearest-centroid matches argmin of native sqDists, ties low") {
+    val cents = Array(
+      Array(0.5, -1.25, 3.0, 0.0),   // equals row 1's vector -> dist 0
+      Array(0.5, -1.25, 3.0, 0.0),   // duplicate: tie must go to index 0
+      Array(100.0, 100.0, 100.0, 100.0))
+    val rows = vecs.select(
+      NativeExprs.nearestCentroid(col("a").cast("array<double>"), cents)
+        .as("c"),
+      NativeExprs.centroidSqDists(col("a").cast("array<double>"), cents)
+        .as("d"))
+      .as[(Int, Seq[Double])].collect()
+    rows.foreach { case (c, d) =>
+      assert(c == d.zipWithIndex.minBy(_._1)._2)
+    }
+    assert(rows(0)._1 == 0) // exact-match tie resolved to the lower index
+  }
+
   test("extension registers SQL functions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
