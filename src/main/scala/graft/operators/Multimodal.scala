@@ -73,6 +73,33 @@ object Multimodal {
       .drop("__len")
   }
 
+  /** Sliding sample windows over "audio" assets: metadata-driven
+    * (sampleRate, bytesPerSample) byte-range windows with stride, the
+    * audio twin of Chunking.chunk — window boundaries land on sample
+    * boundaries, the final partial window is kept. Output: one row per
+    * window with (window_idx, start_sample, n_samples, window_bytes);
+    * decode of the PCM payload itself stays stubbed like the rest of
+    * this module. Pure per-row codegen'd expressions — no shuffle. */
+  def audioWindows(df: DataFrame, sampleRate: Int, windowMs: Int,
+                   strideMs: Int, bytesPerSample: Int = 2): DataFrame = {
+    require(windowMs > 0 && strideMs > 0 && strideMs <= windowMs)
+    val winSamples = sampleRate.toLong * windowMs / 1000
+    val strideSamples = sampleRate.toLong * strideMs / 1000
+    val totalSamples = (length(col("content")) / bytesPerSample).cast("long")
+    val extra = greatest(lit(0L), totalSamples - winSamples)
+    val nWin = lit(1) +
+      ceil(extra.cast("double") / strideSamples).cast("int")
+    df.withColumn("__total", totalSamples)
+      .withColumn("window_idx", explode(sequence(lit(0), nWin - 1)))
+      .withColumn("start_sample", col("window_idx") * strideSamples)
+      .withColumn("n_samples",
+        least(lit(winSamples), col("__total") - col("start_sample")))
+      .withColumn("window_bytes",
+        expr(s"substring(content, cast(start_sample * $bytesPerSample + 1 " +
+          s"as int), cast(n_samples * $bytesPerSample as int))"))
+      .drop("__total")
+  }
+
   /** Resize metadata transform (stub: real path would re-encode pixels;
     * here only the typed metadata is rewritten, content passed through). */
   def resizeMeta(df: DataFrame, w: Int, h: Int): DataFrame =

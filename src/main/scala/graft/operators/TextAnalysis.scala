@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for training-data pipelines: token counting,
@@ -72,6 +72,56 @@ object TextAnalysis {
       acc.when(c === best && best > 0, lang)
     }
     pick.otherwise("und")
+  }
+
+  /** Per-document repetition statistics (Gopher-style quality signals,
+    * Rae et al. 2021 §A1.1): token count, distinct-token count, and
+    * bigram repetition (modal-bigram count, distinct and total bigrams).
+    * All-integer output, so downstream ratio thresholds are exact and
+    * engine-portable.
+    *
+    * Scale: one scan → explode bigrams → two partial-aggregated
+    * group-bys keyed by (doc, bigram) then doc — well-distributed
+    * shuffle keys, no skew beyond document length. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // materialize the token array: the transform lambda below would
+    // otherwise re-split per bigram position (HOFs get no codegen CSE)
+    val tokenized = df.select(col(idCol), words(col(textCol)).as("__ws"))
+    val base = tokenized.select(col(idCol),
+      size(col("__ws")).as("n_words"),
+      size(array_distinct(col("__ws"))).as("n_distinct"),
+      explode(transform(
+        sequence(lit(1), greatest(lit(1), size(col("__ws")) - 1)),
+        i => concat_ws(" ", slice(col("__ws"), i, lit(2))))).as("__bigram"))
+    base
+      .groupBy(col(idCol), col("n_words"), col("n_distinct"), col("__bigram"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol), col("n_words"), col("n_distinct"))
+      .agg(max(col("__c")).as("top_bigram_n"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        sum(col("__c")).as("n_bigrams"))
+  }
+
+  /** Benchmark-contamination check: corpus documents sharing at least
+    * `minOverlap` distinct word n-grams with any document of the
+    * benchmark set (`benchPred`). Output: (id, n_overlap), benchmark
+    * rows excluded.
+    *
+    * Scale: the benchmark shingle set is distinct-ed and broadcast —
+    * eval/test suites are small by construction; at extreme benchmark
+    * sizes swap the broadcast for a bloom-filter pre-join. */
+  def benchmarkOverlap(df: DataFrame, idCol: String, textCol: String,
+                       benchPred: Column, n: Int,
+                       minOverlap: Long): DataFrame = {
+    val sh = Dedup.shingles(df, idCol, textCol, Seq.empty, n)
+    val benchIds = df.filter(benchPred).select(col(idCol))
+    val benchShingles = sh.join(benchIds, Seq(idCol), "left_semi")
+      .select(col("__shingle")).distinct()
+    sh.join(benchIds, Seq(idCol), "left_anti")
+      .join(broadcast(benchShingles), Seq("__shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
   }
 
   /** Document fingerprint: winnowing-style minimum over k-gram hashes,

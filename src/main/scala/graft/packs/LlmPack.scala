@@ -69,6 +69,19 @@ object LlmPack extends QueryPack {
         .filter(Splits.stratifiedSample(col("doc_id"), 20))
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))),
 
+    // Gopher-style repetition quality signals (modal bigram, distinct
+    // fractions) — all-integer output.
+    "q45_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(
+        Tables.load(s, dir, "documents"), "doc_id", "text")),
+
+    // Benchmark-contamination scan: corpus docs sharing >= 3 distinct
+    // trigrams with the pseudo-benchmark subset (doc_id % 97 == 0).
+    "q46_contamination" -> ((s, dir) =>
+      TextAnalysis.benchmarkOverlap(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        pmod(col("doc_id"), lit(97)) === 0, n = 3, minOverlap = 3)),
+
     // End-to-end training-data pipeline: dedup -> quality filter ->
     // train split -> chunk -> per-language stats. One DataFrame flow.
     "q42_pipeline" -> ((s, dir) => {
@@ -99,6 +112,36 @@ object LlmPack extends QueryPack {
       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q45_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents
+        |),
+        |b AS (
+        |  SELECT doc_id, len(ws) AS n_words,
+        |    len(list_distinct(ws)) AS n_distinct,
+        |    array_to_string(ws[i:i+1], ' ') AS bigram
+        |  FROM w, LATERAL (SELECT unnest(generate_series(
+        |    1, greatest(1, len(ws) - 1))) AS i) g
+        |),
+        |c AS (
+        |  SELECT doc_id, n_words, n_distinct, bigram, count(*) AS cnt
+        |  FROM b GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT doc_id, n_words, n_distinct,
+        |  CAST(max(cnt) AS BIGINT) AS top_bigram_n,
+        |  count(*) AS n_distinct_bigrams,
+        |  CAST(sum(cnt) AS BIGINT) AS n_bigrams
+        |FROM c GROUP BY 1, 2, 3""".stripMargin,
+
+    "q46_contamination" ->
+      s"""WITH $ShinglesSql,
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+         |SELECT doc_id, count(*) AS n_overlap
+         |FROM sh JOIN bench USING (s)
+         |WHERE doc_id % 97 <> 0
+         |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
     "q20_dedup_exact" ->
       """SELECT doc_id,
         |  min(doc_id) OVER (PARTITION BY text) AS canonical_id,

@@ -115,4 +115,57 @@ class StreamingMultimodalSpec extends SparkSpec {
       .select("frame_idx", "frame_offset").as[(Int, Long)].collect().toSeq
     assert(out == Seq((0, 0L), (1, 25L), (2, 50L), (3, 75L)))
   }
+
+  test("audio windows: stride overlap, sample-aligned, partial tail kept") {
+    // 90 bytes @ 2 bytes/sample = 45 samples; 1 kHz, 20 ms window
+    // (20 samples), 10 ms stride -> starts 0,10,20,30 (Chunking-style:
+    // nWin = 1 + ceil((45-20)/10) = 4); the last window is the partial
+    // 15-sample tail.
+    val rows = Seq(Row(1L, "audio", Array.tabulate(90)(_.toByte),
+      Row(0, 0, "pcm")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.assetSchema)
+    val out = Multimodal.audioWindows(df, sampleRate = 1000,
+      windowMs = 20, strideMs = 10, bytesPerSample = 2)
+      .select("window_idx", "start_sample", "n_samples", "window_bytes")
+      .as[(Int, Long, Long, Array[Byte])].collect().toSeq
+    assert(out.map(w => (w._1, w._2, w._3)) ==
+      Seq((0, 0L, 20L), (1, 10L, 20L), (2, 20L, 20L), (3, 30L, 15L)))
+    out.foreach { w =>
+      assert(w._4.length == w._3 * 2)
+      assert(w._4.headOption.contains((w._2 * 2).toByte))
+    }
+  }
+
+  test("streaming windowed counts drop data later than the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = EventsStream.windowedCounts(
+      ms.toDF().toDF("event_id", "ts", "event_type"),
+      "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, ts("2024-01-01 10:05:00"), "view"),
+        (2L, ts("2024-01-01 10:10:00"), "view"))
+      q.processAllAvailable()
+      // advance event time far enough that the watermark
+      // (max_ts - 30 min) passes the 10:00 window end -> it finalizes
+      ms.addData((3L, ts("2024-01-01 12:00:00"), "view"))
+      q.processAllAvailable()
+      // this event is older than the watermark: must NOT reopen 10:00
+      ms.addData((4L, ts("2024-01-01 10:20:00"), "view"))
+      q.processAllAvailable()
+      // close the 12:00 window too so the final table is stable
+      ms.addData((5L, ts("2024-01-01 14:00:00"), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("late")
+        .select(col("window_start").cast("string"), col("n"))
+        .as[(String, Long)].collect().toMap
+      // the late event 4 did not bump the 10:00 window past 2
+      assert(rows("2024-01-01 10:00:00") == 2L)
+      assert(rows("2024-01-01 12:00:00") == 1L)
+    } finally q.stop()
+  }
 }
