@@ -80,9 +80,14 @@ class FeatureStore(
   private def appendLog(loader: String, sliceTs: String,
                         start: String, end: String): Unit = {
     import spark.implicits._
-    Seq((loader, sliceTs, start, end, true))
-      .toDF("table", "slice_ts", "ds_start", "ds_end", "success")
-      .write.mode("append").parquet(logPath)
+    // All loaders append to ONE logs directory; concurrent append jobs
+    // would share the committer's `_temporary/0` staging dir and can
+    // clobber each other's task files — serialize on a logs lock.
+    withTableLock("logs") {
+      Seq((loader, sliceTs, start, end, true))
+        .toDF("table", "slice_ts", "ds_start", "ds_end", "success")
+        .write.mode("append").parquet(logPath)
+    }
   }
 
   /** Atomically replace the loader's SCD2 table with `df`. With

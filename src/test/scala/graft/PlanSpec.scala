@@ -63,4 +63,28 @@ class PlanSpec extends SparkSpec {
       plan.contains("BroadcastExchange"),
       s"query side should be broadcast:\n$plan")
   }
+
+  test("repetition stats scan reads only doc_id and text") {
+    val plan = planOf(SparkEntry.queries("q45_repetition")(spark, dir))
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("source") && !read.contains("n_chars"),
+      s"scan reads unprojected columns: $read")
+  }
+
+  test("contamination broadcasts the benchmark shingle set, no cartesian") {
+    val plan = planOf(SparkEntry.queries("q46_contamination")(spark, dir))
+    assert(plan.contains("BroadcastExchange"),
+      s"benchmark shingles should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"contamination must stay an equi-join:\n$plan")
+  }
+
+  test("prefix-filtered jaccard has no cartesian join") {
+    val plan = planOf(SparkEntry.queries("q21_dedup_ngram")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join:\n$plan")
+  }
 }

@@ -94,6 +94,21 @@ class StoreSpec extends SparkSpec {
     assert(viaStore == direct)
   }
 
+  test("registry canonicalizes labels and opens stores by label") {
+    import graft.stores.Registry
+    assert(Registry.toStoreCase("Google COVID-19") == "GoogleCovid19")
+    assert(Registry.toStoreCase("tpch_orders") == "TpchOrders")
+    assert(Registry.toStoreCase("semiAgg events") == "SemiAggEvents")
+    assert(Registry.exists("tpch orders"))
+    assert(!Registry.exists("no such store"))
+    val st = Registry.open("tpch_orders", spark, sfDir,
+      Files.createTempDirectory("graft-reg").toString)
+    assert(st.availableObservables.contains("n_orders"))
+    val err = intercept[IllegalArgumentException](
+      Registry.open("nope", spark, sfDir, "/tmp/x"))
+    assert(err.getMessage.contains("Available:"))
+  }
+
   test("month-partitioned store layout returns the same data") {
     val flat = TpchFeatureStore(spark, sfDir,
       Files.createTempDirectory("graft-store-spec").toString)
