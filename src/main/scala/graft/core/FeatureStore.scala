@@ -49,8 +49,28 @@ object KeyJoinFeatures {
       stratifications: Seq[DataFrame],
       stratCols: Seq[String],
       start: String,
+      endInclusive: String): DataFrame =
+    withExprs(observable, observableName, feature, agg, stratifications,
+      stratCols.map(c => c -> col(c)), start, endInclusive)
+
+  /** Generalized stratification: each output stratum is a named
+    * EXPRESSION evaluated over the interlaced rows (the reference
+    * accepts arbitrary quosures — constants, derived cuts, renames — not
+    * just feature columns; R/DiseasystoreBase.R:428-452
+    * `group_by(!!!stratification)`). Columns referenced by the
+    * expressions must exist on the observable or an interlaced
+    * stratification table. */
+  def withExprs(
+      observable: DataFrame,
+      observableName: String,
+      feature: String,
+      agg: KeyJoinAggregator,
+      stratifications: Seq[DataFrame],
+      stratExprs: Seq[(String, Column)],
+      start: String,
       endInclusive: String): DataFrame = {
 
+    val stratCols = stratExprs.map(_._1)
     val spark = observable.sparkSession
     val startD = to_date(lit(start))
     val endD = to_date(lit(endInclusive))
@@ -64,7 +84,12 @@ object KeyJoinFeatures {
 
     val obs = clamp(observable)
     val strats = stratifications.map(clamp)
-    val interlaced = Interlace.truncateInterlace(obs, strats)
+    val interlaced0 = Interlace.truncateInterlace(obs, strats)
+    // evaluate the stratification expressions into real columns before
+    // the delta aggregation (a plain projection — Catalyst merges it)
+    val interlaced = stratExprs.foldLeft(interlaced0) {
+      case (d, (n, e)) => d.withColumn(n, e)
+    }
 
     val sc = stratCols.map(col)
     val featC = col(feature)

@@ -204,9 +204,42 @@ class FeatureStore(
   /** The flagship composed query (reference: R/DiseasystoreBase.R:286-506). */
   def keyJoinFeatures(observable: String, stratification: Seq[String],
                       start: String, end: String,
-                      sliceTs: String = "1970-01-01 00:00:00"): DataFrame = {
+                      sliceTs: String = "1970-01-01 00:00:00"): DataFrame =
+    keyJoinFeaturesExpr(observable,
+      stratification.map(s => s -> org.apache.spark.sql.functions.col(s)),
+      start, end, sliceTs)
+
+  /** Expression stratification: strata are named expressions over the
+    * interlaced feature rows — constants, cuts, renames — mirroring the
+    * reference's quosure stratifications
+    * (reference: R/DiseasystoreBase.R:292, 359-371, 428-452). Feature
+    * dependencies are detected from the expressions' unresolved column
+    * references (the structured equivalent of the reference's regex
+    * scan of quosure text) and fetched + interlaced automatically;
+    * references to columns already on the observable resolve there. */
+  def keyJoinFeaturesExpr(observable: String,
+                          stratExprs: Seq[(String, org.apache.spark.sql.Column)],
+                          start: String, end: String,
+                          sliceTs: String = "1970-01-01 00:00:00"): DataFrame = {
     require(availableObservables.contains(observable),
       s"'$observable' is not an observable")
+    // reference: "Stratification features cannot be observables"
+    // (R/DiseasystoreBase.R:392-394)
+    val badNames = stratExprs.map(_._1).filter(availableObservables.contains)
+    require(badNames.isEmpty,
+      s"Stratification features cannot be observables: ${badNames.mkString(", ")}")
+
+    // dependency detection: unresolved attribute names appearing in the
+    // stratification expressions that name registered features
+    val referenced = stratExprs.flatMap { case (_, c) =>
+      org.apache.spark.sql.graft.Bridge.eagerExpression(c).collect {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          ua.name
+      }
+    }.distinct
+    val stratification = referenced.filter(f =>
+      availableFeatures.contains(f) && !availableObservables.contains(f))
+
     val obsHandler = handlerOf(observable)
     val aggs = (observable +: stratification).map(handlerOf(_).keyJoin).distinct
     require(aggs.size == 1,
@@ -227,15 +260,24 @@ class FeatureStore(
     val stratData = results.tail
     val filtered = keyJoinFilter(obsData, stratification, start, end)
 
-    KeyJoinFeatures(
+    try KeyJoinFeatures.withExprs(
       observable = filtered,
       observableName = observable,
       feature = if (obsHandler.keyJoin == Aggregators.Count)
         Intervals.keyCols(filtered).head else obsHandler.feature,
       agg = obsHandler.keyJoin,
       stratifications = stratData,
-      stratCols = stratification,
+      stratExprs = stratExprs,
       start = start, endInclusive = end)
+    catch {
+      // reference: "Stratification could not be computed. ... Available
+      // stratification variables are: ..." (R/DiseasystoreBase.R:440-452)
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"Stratification could not be computed: ${e.getMessage}. " +
+            s"Available stratification variables are: " +
+            s"${availableStratifications.mkString(", ")}", e)
+    }
   }
 }
 

@@ -35,6 +35,17 @@ object StorePack extends QueryPack {
           Start, End)
         .withColumn("date", col("date").cast("string"))),
 
+    // Expression stratification (reference: quosure stratifications):
+    // stratify the q08 series by a DERIVED column — the first letter of
+    // the market segment — with the mktsegment feature dependency
+    // auto-detected from the expression and fetched through the store.
+    "q47_expr_strat" -> ((s, dir) =>
+      freshStore(s, dir)
+        .keyJoinFeaturesExpr("n_orders",
+          Seq("seg_initial" -> substring(col("mktsegment"), 1, 1)),
+          Start, End)
+        .withColumn("date", col("date").cast("string"))),
+
     // key_join_filter: drop semi-aggregated double counting before the
     // series aggregation (reference: GoogleCovid19 key_join_filter).
     "q19_key_join_filter" -> ((s, dir) => {
@@ -67,6 +78,57 @@ object StorePack extends QueryPack {
   def oracleSql: Map[String, String] = Map(
     // identical series to q08, reached through the store machinery
     "q16_store_composed" -> CorePack.oracleSql("q08_prevalence_strat"),
+
+    // the q08 series stratified by a derived expression over mktsegment
+    "q47_expr_strat" ->
+      s"""WITH iv AS (${Queries.orderIntervalsSql}),
+         |seg AS (${Queries.segmentFeatureSql}),
+         |obs AS (
+         |  SELECT key_cust, o_orderkey,
+         |         greatest(valid_from, DATE '$Start') AS vf,
+         |         least(valid_until, DATE '$End' + 1) AS vu
+         |  FROM iv
+         |  WHERE valid_from <= DATE '$End' AND valid_until > DATE '$Start'
+         |),
+         |strat AS (
+         |  SELECT key_cust, mktsegment,
+         |         greatest(valid_from, DATE '$Start') AS vf,
+         |         least(coalesce(valid_until, DATE '$End' + 1), DATE '$End' + 1) AS vu
+         |  FROM seg
+         |  WHERE valid_from <= DATE '$End'
+         |    AND (valid_until > DATE '$Start' OR valid_until IS NULL)
+         |),
+         |interlaced AS (
+         |  SELECT o.o_orderkey, substr(s.mktsegment, 1, 1) AS seg_initial,
+         |         CASE WHEN o.vf >= s.vf THEN o.vf ELSE s.vf END AS vf,
+         |         CASE WHEN o.vu <= s.vu THEN o.vu ELSE s.vu END AS vu
+         |  FROM obs o JOIN strat s ON o.key_cust = s.key_cust
+         |   AND o.vf < s.vu AND o.vu > s.vf
+         |),
+         |deltas AS (
+         |  SELECT seg_initial, d,
+         |         count(CASE WHEN is_add THEN 1 END) AS n_add,
+         |         count(CASE WHEN NOT is_add THEN 1 END) AS n_remove
+         |  FROM (
+         |    SELECT seg_initial, vf AS d, TRUE AS is_add FROM interlaced
+         |    UNION ALL
+         |    SELECT seg_initial, vu AS d, FALSE AS is_add FROM interlaced
+         |  ) GROUP BY 1, 2
+         |),
+         |grid AS (
+         |  SELECT m.seg_initial, CAST(d.d AS DATE) AS date
+         |  FROM (SELECT DISTINCT seg_initial FROM interlaced) m
+         |  CROSS JOIN (SELECT unnest(generate_series(
+         |    DATE '$Start', DATE '$End', INTERVAL 1 DAY)) AS d) d
+         |)
+         |SELECT CAST(g.date AS VARCHAR) AS date, g.seg_initial,
+         |  CAST(sum(coalesce(n_add, 0)) OVER (PARTITION BY g.seg_initial ORDER BY g.date)
+         |     - sum(coalesce(n_remove, 0)) OVER (PARTITION BY g.seg_initial ORDER BY g.date)
+         |    AS BIGINT) AS n_orders
+         |FROM grid g
+         |LEFT JOIN deltas x
+         |  ON g.date = x.d AND g.seg_initial IS NOT DISTINCT FROM x.seg_initial
+         |""".stripMargin,
 
     "q17_store_two_strat" -> {
       val ageCase = TpchFeatureStore.AgeCuts.zip(AgeLabels.init)

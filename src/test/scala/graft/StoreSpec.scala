@@ -94,6 +94,31 @@ class StoreSpec extends SparkSpec {
     assert(viaStore == direct)
   }
 
+  test("expression stratification: constants, derived cols, error shape") {
+    val store = TpchFeatureStore(spark, sfDir,
+      Files.createTempDirectory("graft-store-spec").toString)
+    // constant stratification with no feature dependency (reference:
+    // "key_join_features works with non-computing stratifications")
+    val const = store.keyJoinFeaturesExpr("n_orders",
+      Seq("flag" -> lit("test")), "1995-01-01", "1995-01-31")
+    assert(const.select("flag").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("test"))
+    val plain = store.keyJoinFeatures("n_orders", Seq.empty,
+      "1995-01-01", "1995-01-31")
+    assert(const.drop("flag").orderBy("date").collect().toSeq ==
+      plain.orderBy("date").collect().toSeq)
+    // unresolvable stratification reports available variables
+    val err = intercept[IllegalArgumentException](
+      store.keyJoinFeaturesExpr("n_orders", Seq("x" -> col("bogus")),
+        "1995-01-01", "1995-01-31"))
+    assert(err.getMessage.contains("Available stratification variables"))
+    // stratification names cannot shadow observables
+    val err2 = intercept[IllegalArgumentException](
+      store.keyJoinFeaturesExpr("n_orders",
+        Seq("n_first_order" -> lit(1)), "1995-01-01", "1995-01-31"))
+    assert(err2.getMessage.contains("cannot be observables"))
+  }
+
   test("registry canonicalizes labels and opens stores by label") {
     import graft.stores.Registry
     assert(Registry.toStoreCase("Google COVID-19") == "GoogleCovid19")
