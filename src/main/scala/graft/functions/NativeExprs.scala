@@ -262,6 +262,56 @@ object NgramKernel {
   }
 }
 
+object NgramStatsKernel {
+
+  /** Per-document n-gram repetition stats over a words array: count of
+    * the modal n-gram, distinct n-gram count, total n-gram count — one
+    * hash-map pass per row, no shuffle. Gram construction matches
+    * NgramKernel (slice i..i+n joined by one space; short docs yield a
+    * single all-words gram). */
+  def compute(ws: ArrayData, n: Int): InternalRow = {
+    val m = ws.numElements()
+    val upper = math.max(1, m - (n - 1))
+    val counts = new java.util.HashMap[UTF8String, java.lang.Long]()
+    val sep = UTF8String.fromString(" ")
+    var top = 0L
+    var i = 0
+    while (i < upper) {
+      val hi = math.min(i + n, m)
+      val parts = new Array[UTF8String](hi - i)
+      var j = i
+      while (j < hi) { parts(j - i) = ws.getUTF8String(j); j += 1 }
+      val g = UTF8String.concatWs(sep, parts: _*)
+      val prev = counts.get(g)
+      val c = if (prev == null) 1L else prev.longValue() + 1L
+      counts.put(g, c)
+      if (c > top) top = c
+      i += 1
+    }
+    InternalRow(top, counts.size.toLong, upper.toLong)
+  }
+}
+
+/** Native Catalyst expression: per-row n-gram repetition statistics
+  * struct(top_ngram_n, n_distinct_ngrams, n_ngrams). */
+case class NgramStats(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_ngram_n", LongType, nullable = false),
+    StructField("n_distinct_ngrams", LongType, nullable = false),
+    StructField("n_ngrams", LongType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramStatsKernel.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramStatsKernel.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native Catalyst expression: distinct word n-gram shingle array. */
 case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
 
@@ -382,6 +432,9 @@ object NativeExprs {
 
   def wordNgrams(words: Column, n: Int): Column =
     Bridge.column(WordNgrams(Bridge.expression(words), n))
+
+  def ngramStats(words: Column, n: Int): Column =
+    Bridge.column(NgramStats(Bridge.expression(words), n))
 
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))

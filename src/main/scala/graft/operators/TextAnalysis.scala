@@ -80,12 +80,25 @@ object TextAnalysis {
     * All-integer output, so downstream ratio thresholds are exact and
     * engine-portable.
     *
-    * Scale: one scan → explode bigrams → two partial-aggregated
-    * group-bys keyed by (doc, bigram) then doc — well-distributed
-    * shuffle keys, no skew beyond document length. */
-  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // materialize the token array: the transform lambda below would
-    // otherwise re-split per bigram position (HOFs get no codegen CSE)
+    * Scale: entirely per-row — a single scan with a native codegen'd
+    * n-gram-counting kernel; NO shuffle (the stats never need cross-row
+    * data, so exploding bigrams through a group-by would shuffle the
+    * whole re-tokenized corpus for nothing). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(col(idCol),
+        size(col("__ws")).as("n_words"),
+        size(array_distinct(col("__ws"))).as("n_distinct"),
+        graft.functions.NativeExprs.ngramStats(col("__ws"), 2).as("__st"))
+      .select(col(idCol), col("n_words"), col("n_distinct"),
+        col("__st.top_ngram_n").as("top_bigram_n"),
+        col("__st.n_distinct_ngrams").as("n_distinct_bigrams"),
+        col("__st.n_ngrams").as("n_bigrams"))
+
+  /** Shuffle-based twin of `repetitionStats` (explode bigrams → two
+    * group-bys); kept for the equivalence spec. */
+  private[graft] def repetitionStatsShuffle(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokenized = df.select(col(idCol), words(col(textCol)).as("__ws"))
     val base = tokenized.select(col(idCol),
       size(col("__ws")).as("n_words"),

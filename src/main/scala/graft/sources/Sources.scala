@@ -18,6 +18,21 @@ object Sources {
       .option("header", header.toString)
       .csv(path)
 
+  /** Write `df` as a bucketed catalog table: rows are hash-partitioned
+    * into `numBuckets` files by `keys` and sorted within buckets. Two
+    * tables bucketed the same way join WITHOUT a shuffle (the scan
+    * itself provides the hash partitioning) — the co-located-join
+    * building block for repeated fact-fact joins at warehouse scale.
+    * BucketedJoinSpec asserts the shuffle-free plan. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Wide → long unpivot of metric columns (the Ecdc/Google `by-age`
     * pivot_longer ingest shape): keeps `idCols`, melts `metricCols` into
     * (metric, value) rows. */

@@ -52,6 +52,18 @@ class NativeExprSpec extends SparkSpec {
     rows.foreach { case (n, h) => assert(n == h) }
   }
 
+  test("native ngram stats equal the shuffle formulation") {
+    import graft.operators.TextAnalysis
+    val edge = texts.union(Seq("", "   ", "one", "a b", "a a a a a a",
+      "x y x y x y z").toDF("text"))
+      .withColumn("doc_id", monotonically_increasing_id())
+    val fast = TextAnalysis.repetitionStats(edge, "doc_id", "text")
+      .as[(Long, Int, Int, Long, Long, Long)].collect().toSet
+    val slow = TextAnalysis.repetitionStatsShuffle(edge, "doc_id", "text")
+      .as[(Long, Int, Int, Long, Long, Long)].collect().toSet
+    assert(fast == slow)
+  }
+
   private val vecs = Seq(
     (Array(0.5f, -1.25f, 3.0f, 0.0f), Array(2.0f, 0.5f, -0.75f, 1.5f)),
     (Array(1e-7f, 42.0f, -42.0f, 7.5f), Array(-1e3f, 0.125f, 9.0f, -0.5f)),

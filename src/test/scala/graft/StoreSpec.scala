@@ -119,6 +119,20 @@ class StoreSpec extends SparkSpec {
     assert(err2.getMessage.contains("cannot be observables"))
   }
 
+  test("conformance battery passes for both store implementations") {
+    import graft.core.StoreConformance
+    val tpch = StoreConformance.run(
+      () => TpchFeatureStore(spark, sfDir,
+        Files.createTempDirectory("graft-conf").toString),
+      "1995-01-01", "1995-02-28", midpoint = "1995-01-31")
+    assert(tpch.isEmpty, tpch.mkString("; "))
+    val semi = StoreConformance.run(
+      () => new graft.stores.SemiAggStore(spark, sfDir,
+        Files.createTempDirectory("graft-conf").toString),
+      "2024-01-05", "2024-01-20", midpoint = "2024-01-10")
+    assert(semi.isEmpty, semi.mkString("; "))
+  }
+
   test("registry canonicalizes labels and opens stores by label") {
     import graft.stores.Registry
     assert(Registry.toStoreCase("Google COVID-19") == "GoogleCovid19")
