@@ -41,7 +41,21 @@ class FeatureStore(
     val dsMap: Seq[(String, String)],
     val loaders: Map[String, FeatureHandler],
     val observablesRegex: String = """^n_\w""",
-    val partitionByMonth: Boolean = false) {
+    val partitionByMonth: Boolean = false,
+    val minStartDate: Option[String] = None,
+    val maxEndDate: Option[String] = None) {
+
+  /** Validate a requested study period against the store's bounds
+    * (reference: `ds$min_start_date` / `ds$max_end_date`,
+    * R/DiseasystoreBase.R active bindings; ISO strings compare
+    * lexicographically = chronologically). */
+  protected def validateRange(start: String, end: String): Unit = {
+    require(start <= end, s"start_date $start is after end_date $end")
+    minStartDate.foreach(m => require(start >= m,
+      s"start_date $start precedes the store's min_start_date $m"))
+    maxEndDate.foreach(m => require(end <= m,
+      s"end_date $end exceeds the store's max_end_date $m"))
+  }
 
   def availableFeatures: Seq[String] = dsMap.map(_._1)
   def availableObservables: Seq[String] =
@@ -146,6 +160,7 @@ class FeatureStore(
     * (reference: R/DiseasystoreBase.R:99-274). */
   def getFeature(feature: String, start: String, end: String,
                  sliceTs: String = "1970-01-01 00:00:00"): DataFrame = {
+    validateRange(start, end)
     val loader = loaderOf(feature)
     val handler = loaders(loader)
 

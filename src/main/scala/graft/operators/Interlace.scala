@@ -73,12 +73,23 @@ object Interlace {
     if (tables0.size == 1) return tables0.head
 
     // Each input feeds two consumers (the breakpoint union and its
-    // payload join); inputs are typically joins themselves (truncateOne),
-    // so persist them rather than compute every join twice. Self-join
-    // attribute dedup also blocks ReuseExchange here, making the persist
-    // the only way the subtree runs once.
-    val tables = tables0.map(
-      _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // payload join). Inputs that are themselves expensive (joins,
+    // aggregates, windows — e.g. truncateOne outputs) are persisted so
+    // the subtree runs once; bare scan/filter/project chains are NOT
+    // (re-scanning beats materializing a cache copy, and the scan keeps
+    // its pushed filters). Self-join attribute dedup blocks
+    // ReuseExchange here, so the persist is the only sharing mechanism.
+    def isExpensive(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Join => p
+        case p: org.apache.spark.sql.catalyst.plans.logical.Aggregate => p
+        case p: org.apache.spark.sql.catalyst.plans.logical.Window => p
+        case p: org.apache.spark.sql.catalyst.plans.logical.Generate => p
+      }.isDefined
+    val tables = tables0.map(t =>
+      if (isExpensive(t))
+        t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else t)
 
     val keyCols = keys.map(col)
     // Union of breakpoints per key (open ends contribute no breakpoint).

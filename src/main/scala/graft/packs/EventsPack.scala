@@ -52,6 +52,19 @@ object EventsPack extends QueryPack {
         .select(col("user_id"), col("date").cast("string").as("date"),
           col("n"), col("cents"), col("n_7d"), col("cents_7d"))),
 
+    // Semi-structured extraction: typed from_json over the props JSON
+    // column (schema'd parse — one vectorized pass, stays in codegen),
+    // then an integer aggregate per (event_type, k-bucket).
+    "q48_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"), expr("k div 10").as("k_bucket"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"))),
+
     "q41_cohort_retention" -> ((s, dir) => {
       val weekly = Tables.events(s, dir).select(col("user_id"),
         to_date(date_trunc("week", col("ts"))).as("w")).distinct()
@@ -101,6 +114,14 @@ object EventsPack extends QueryPack {
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cents_7d
         |FROM daily""".stripMargin,
+
+    "q48_json_extract" ->
+      """SELECT event_type,
+        |  CAST(props->>'$.k' AS BIGINT) // 10 AS k_bucket,
+        |  count(*) AS n,
+        |  min(CAST(props->>'$.k' AS BIGINT)) AS k_min,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS k_max
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q41_cohort_retention" ->
       """WITH weekly AS (

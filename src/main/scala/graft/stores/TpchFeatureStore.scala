@@ -40,6 +40,8 @@ object TpchFeatureStore {
   def apply(spark: SparkSession, sfDir: String,
             storePath: String): FeatureStore = new FeatureStore(
     spark, sfDir, storePath,
+    minStartDate = Some("1992-01-01"),
+    maxEndDate = Some("1998-12-31"),
     dsMap = Seq(
       "n_orders" -> "order_episodes",
       "n_first_order" -> "first_order_episode",

@@ -20,6 +20,16 @@ class StoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       store.getFeature("nope", "1995-01-01", "1995-01-31")
     }
+    // study-period bounds (reference: min_start_date / max_end_date)
+    intercept[IllegalArgumentException] {
+      store.getFeature("n_orders", "1980-01-01", "1995-01-31")
+    }
+    intercept[IllegalArgumentException] {
+      store.getFeature("n_orders", "1995-01-01", "2030-01-01")
+    }
+    intercept[IllegalArgumentException] {
+      store.getFeature("n_orders", "1995-02-01", "1995-01-01")
+    }
   }
 
   test("getFeature is compute-if-missing: log-driven range diffing") {
