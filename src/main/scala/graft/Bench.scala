@@ -11,11 +11,23 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen, file index, shuffle machinery) so the
-    // first timed query doesn't absorb JVM/session startup.
+    // Warm the session (codegen, file index, shuffle, window and
+    // broadcast machinery) so the first timed query per table doesn't
+    // absorb JVM/session startup.
     try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count().count()
+      import org.apache.spark.sql.functions._
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
+      }
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.groupBy("l_returnflag").count().count()
+      li.limit(1000).withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag").orderBy("l_orderkey"))).count()
+      li.limit(1000).join(
+        broadcast(spark.read.parquet(s"$sfDir/nation.parquet")),
+        col("l_suppkey") % 25 === col("n_nationkey")).count()
     } catch { case _: Throwable => () }
     // Optional comma-separated query filter for local profiling; the
     // driver sets neither, so it always times the full set.

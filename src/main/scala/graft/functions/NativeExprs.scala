@@ -260,6 +260,49 @@ object NgramKernel {
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
+
+  /** Distinct word n-gram shingle HASHES (xxhash64 seed 42 — the same
+    * value `functions.xxhash64` produces on the shingle string), skipping
+    * the string-array materialization entirely. Set semantics match
+    * `xxhash64` applied to `compute`'s output. */
+  def computeHashes(ws: ArrayData, n: Int): ArrayData = {
+    val m = ws.numElements()
+    val upper = math.max(1, m - (n - 1))
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < upper) {
+      val hi = math.min(i + n, m)
+      val parts = new Array[UTF8String](hi - i)
+      var j = i
+      while (j < hi) { parts(j - i) = ws.getUTF8String(j); j += 1 }
+      val g = UTF8String.concatWs(sep, parts: _*)
+      seen.add(XXH64.hashUnsafeBytes(
+        g.getBaseObject, g.getBaseOffset, g.numBytes(), 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native Catalyst expression: distinct word n-gram shingle hash array. */
+case class WordNgramHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramKernel.computeHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramKernel.computeHashes($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object NgramStatsKernel {
@@ -435,6 +478,9 @@ object NativeExprs {
 
   def ngramStats(words: Column, n: Int): Column =
     Bridge.column(NgramStats(Bridge.expression(words), n))
+
+  def wordNgramHashes(words: Column, n: Int): Column =
+    Bridge.column(WordNgramHashes(Bridge.expression(words), n))
 
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))

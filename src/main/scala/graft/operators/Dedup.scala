@@ -69,15 +69,21 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], n: Int,
                    threshold: Double): DataFrame = {
-    // Work on the shingle's 64-bit hash, not the string: ~3× less
-    // shuffle volume and cheaper sort keys. An xxhash64 collision between
-    // two distinct shingles of the same doc pair (probability ≈ 1e-9 per
-    // corpus at these shingle counts) would off-by-one the intersection.
-    val sh = shingles(df, idCol, textCol, blockCols, n)
-      .withColumn("__shash", xxhash64(col("__shingle")))
-      .drop("__shingle")
+    // Work on shingle 64-bit hashes, never strings: the native kernel
+    // emits each doc's distinct shingle-hash ARRAY in one pass, so the
+    // cache holds one compact row per doc and the only exploded form is
+    // 8-byte longs. An xxhash64 collision between two distinct shingles
+    // of the same doc pair (probability ≈ 1e-9 per corpus at these
+    // shingle counts) would off-by-one the intersection.
+    val docs = df.select(
+      (col(idCol) +: blockCols.map(col)) :+
+        graft.functions.NativeExprs.wordNgramHashes(
+          TextAnalysis.words(col(textCol)), n).as("__hs"): _*)
+      .withColumn("__sz", size(col("__hs")))
       .cache()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val sh = docs.select(
+      (col(idCol) +: blockCols.map(col)) :+ col("__sz") :+
+        explode(col("__hs")).as("__shash"): _*)
 
     // Global rarest-first order; ties broken by the hash value. One
     // small aggregate (shingle → document frequency), shuffled once.
@@ -86,7 +92,6 @@ object Dedup {
       .orderBy(col("__df"), col("__shash"))
     val prefix = sh.join(freq, "__shash")
       .withColumn("__pos", row_number().over(wDoc))
-      .join(sizes, Seq(idCol))
       .filter(col("__pos") <=
         col("__sz") - floor(lit(threshold) * col("__sz")) + 1)
       .select((col(idCol) +: blockCols.map(col)) :+ col("__shash"): _*)
@@ -101,22 +106,20 @@ object Dedup {
     val joinCond = (Seq(col("__ha") === col("__hb"),
       col("id_a") < col("id_b")) ++ blockEq).reduce(_ && _)
     val candIds = a.join(b, joinCond).select("id_a", "id_b").distinct()
-      // length filter: J ≤ min(|a|,|b|)/max(|a|,|b|), so |b| ≥ t·|a|
-      .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("__sza")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("__szb")), "id_b")
+
+    // Exact verification of candidates only: re-attach the compact hash
+    // arrays and intersect per pair — no exploded three-way join. The
+    // length filter (J ≤ min/max sizes) prunes before the intersect.
+    val scored = candIds
+      .join(docs.select(col(idCol).as("id_a"), col("__hs").as("__hsa"),
+        col("__sz").as("__sza")), "id_a")
+      .join(docs.select(col(idCol).as("id_b"), col("__hs").as("__hsb"),
+        col("__sz").as("__szb")), "id_b")
       .filter(least(col("__sza"), col("__szb")).cast("double") >=
         lit(threshold) * greatest(col("__sza"), col("__szb")))
-
-    // Exact verification of candidates only: intersect the full shingle
-    // sets of each surviving pair.
-    val shA = sh.select(col(idCol).as("__ia"), col("__shash").as("__hva"))
-    val shB = sh.select(col(idCol).as("__ib"), col("__shash").as("__hvb"))
-    val inter = candIds
-      .join(shA, col("id_a") === col("__ia"))
-      .join(shB, col("id_b") === col("__ib") && col("__hva") === col("__hvb"))
-      .groupBy("id_a", "id_b", "__sza", "__szb")
-      .agg(count(lit(1)).as("__inter"))
-    inter
+      .withColumn("__inter",
+        size(array_intersect(col("__hsa"), col("__hsb"))))
+    scored
       .select(col("id_a"), col("id_b"),
         (col("__inter").cast("double") /
           (col("__sza") + col("__szb") - col("__inter"))).as("jaccard"))

@@ -52,6 +52,16 @@ class NativeExprSpec extends SparkSpec {
     rows.foreach { case (n, h) => assert(n == h) }
   }
 
+  test("native word-ngram hashes equal xxhash64 over the shingle strings") {
+    val edge = texts.union(Seq("", "one", "a b c d").toDF("text"))
+    val ws = graft.operators.TextAnalysis.words(col("text"))
+    val rows = edge.select(
+      NativeExprs.wordNgramHashes(ws, 3).as("native"),
+      transform(NativeExprs.wordNgrams(ws, 3), s => xxhash64(s)).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (n, h) => assert(n == h) }
+  }
+
   test("native ngram stats equal the shuffle formulation") {
     import graft.operators.TextAnalysis
     val edge = texts.union(Seq("", "   ", "one", "a b", "a a a a a a",
