@@ -133,4 +133,29 @@ class NativeExprSpec extends SparkSpec {
     val sh = SimHash64(Literal("x"))
     assert(sh.dataType.typeName == "long")
   }
+
+  test("SQL surface round-trips through spark.sql") {
+    GraftExtensions.registerInto(spark)
+    texts.createOrReplaceTempView("graft_sql_docs")
+    val viaSql = spark.sql(
+      """SELECT graft_minhash(graft_ngrams(split(trim(text), '\\s+'), 3), 8)
+        |         AS mh,
+        |       graft_simhash(split(trim(text), '\\s+')) AS sh,
+        |       graft_ngram_hashes(split(trim(text), '\\s+'), 3) AS nh,
+        |       graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |       graft_norm(array(3.0d, 4.0d)) AS nm,
+        |       graft_ngram_stats(split(trim(text), '\\s+'), 2) AS st
+        |FROM graft_sql_docs""".stripMargin)
+      .as[(Seq[Long], Long, Seq[Long], Double, Double, (Long, Long, Long))]
+      .collect()
+    val ws = TextAnalysis.words(col("text"))
+    val viaCols = texts.select(
+      NativeExprs.minhashSignature(NativeExprs.wordNgrams(ws, 3), 8),
+      NativeExprs.simhash64(ws))
+      .as[(Seq[Long], Long)].collect()
+    viaSql.zip(viaCols).foreach { case (s, c) =>
+      assert(s._1 == c._1 && s._2 == c._2)
+    }
+    assert(viaSql.head._4 == 11.0 && viaSql.head._5 == 5.0)
+  }
 }
