@@ -39,6 +39,42 @@ class SemiAggSourcesSpec extends SparkSpec {
     store.withTableLock("t") { () }
   }
 
+  test("csv metric store: Ecdc-style long-format ingest end-to-end") {
+    val dir = Files.createTempDirectory("graft-ecdc")
+    java.nio.file.Files.writeString(dir.resolve("metrics.csv"),
+      """date,location,indicator,value
+        |2024-01-01,dk,cases,5
+        |2024-01-01,se,cases,3
+        |2024-01-02,dk,cases,2
+        |2024-01-02,dk,admissions,1
+        |2024-01-03,se,cases,4
+        |""".stripMargin)
+    val store = new graft.stores.CsvMetricStore(spark, dir.toString,
+      Files.createTempDirectory("graft-ecdc-store").toString)
+    assert(store.availableObservables.toSet ==
+      Set("n_cases", "n_admissions"))
+    // unstratified daily sum across locations
+    val series = store.keyJoinFeatures("n_cases", Seq.empty,
+      "2024-01-01", "2024-01-03")
+      .orderBy("date")
+      .select(col("date").cast("string"), col("n_cases").cast("long"))
+      .as[(String, Long)].collect().toSeq
+    assert(series == Seq(("2024-01-01", 8L), ("2024-01-02", 2L),
+      ("2024-01-03", 4L)))
+    // stratified by location
+    val byLoc = store.keyJoinFeatures("n_cases", Seq("location"),
+      "2024-01-01", "2024-01-03")
+      .filter(col("location") === "dk").orderBy("date")
+      .select(col("n_cases").cast("long")).as[Long].collect().toSeq
+    assert(byLoc == Seq(5L, 2L, 0L))
+    // conformance battery over the csv-sourced store
+    val failures = graft.core.StoreConformance.run(
+      () => new graft.stores.CsvMetricStore(spark, dir.toString,
+        Files.createTempDirectory("graft-ecdc-conf").toString),
+      "2024-01-01", "2024-01-03", midpoint = "2024-01-02")
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
   test("schema-enforced csv source and unpivot") {
     val dir = Files.createTempDirectory("graft-csv")
     java.nio.file.Files.writeString(dir.resolve("d.csv"),
