@@ -150,11 +150,23 @@ class FeatureStore(
     try body finally fs.delete(lockFile, false)
   }
 
-  protected def lockWaitMaxMs: Long = 30 * 60 * 1000L
-  protected def lockWaitIncrementMs: Long = 50L
+  /** Lock timings resolve through the scoped option system (reference:
+    * `diseasyoption("lock_wait_max", self)` in R/DiseasystoreBase.R:148-152)
+    * — tunable per store via `graft.<Store>.lock_wait_max_ms`, globally
+    * via `graft.lock_wait_max_ms`. */
+  protected def lockWaitMaxMs: Long =
+    Options.millis(spark, "lock_wait_max_ms", storeName, 30 * 60 * 1000L)
+  protected def lockWaitIncrementMs: Long =
+    Options.millis(spark, "lock_wait_increment_ms", storeName, 50L)
   /** Age beyond which a lock file is considered abandoned by a crashed
     * writer and may be broken. */
-  protected def lockStaleMs: Long = 60 * 60 * 1000L
+  protected def lockStaleMs: Long =
+    Options.millis(spark, "lock_stale_ms", storeName, 60 * 60 * 1000L)
+
+  /** Canonical scope name for option lookups. */
+  protected def storeName: String =
+    graft.stores.Registry.toStoreCase(
+      getClass.getSimpleName.stripSuffix("$"))
 
   /** Compute-if-missing + SCD2 persist + interval slice
     * (reference: R/DiseasystoreBase.R:99-274). */

@@ -33,6 +33,71 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  private val UrlRe = """(?i)\b(?:https?|ftp)://\S+""".r
+  private val DateRe = """\d{4}-\d{2}-\d{2}""".r
+
+  /** Resolve a file against a source connection (reference:
+    * R/source_conn_helpers.R `source_conn_path`). A URL source is a
+    * string join (trailing slash stripped); a directory source is listed
+    * through the Hadoop FileSystem (works for local, HDFS, or object
+    * stores) and matched by prefix so compressed forms (`x.csv.gz`) of a
+    * requested `x.csv` still resolve. Missing file → named error. */
+  def resolvePath(spark: SparkSession, sourceConn: String,
+                  file: String): String =
+    if (UrlRe.pattern.matcher(sourceConn).matches())
+      sourceConn.stripSuffix("/") + "/" + file
+    else {
+      val dir = new org.apache.hadoop.fs.Path(sourceConn)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.getFileStatus(dir).isDirectory)
+        throw new IllegalArgumentException(
+          s"source_conn could not be parsed to valid directory or URL: " +
+            sourceConn)
+      fs.listStatus(dir).map(_.getPath.getName).sorted
+        .find(_.startsWith(file))
+        .map(m => s"${sourceConn.stripSuffix("/")}/$m")
+        .getOrElse(throw new IllegalArgumentException(
+          s"$file could not be found in $sourceConn"))
+    }
+
+  /** Fuzzy-date resolution over a listing (reference:
+    * R/source_conn_helpers.R `source_conn_github`): when the requested
+    * file name embeds a `yyyy-MM-dd` date, return the candidate with the
+    * latest chronologically-earlier-or-equal date whose name otherwise
+    * matches. Dated snapshot feeds publish on their own cadence; a query
+    * for 2024-03-15 should read the 2024-03-10 drop, not fail. */
+  def resolveDated(listing: Seq[String], file: String): Option[String] = {
+    val fileDate = DateRe.findFirstIn(file).getOrElse(
+      throw new IllegalArgumentException(s"no yyyy-MM-dd date in $file"))
+    // Non-date parts of the requested name match literally.
+    val pattern = DateRe.pattern.split(file, -1)
+      .map(java.util.regex.Pattern.quote(_))
+      .mkString(DateRe.regex).r
+    listing
+      .filter(n => pattern.findFirstIn(n).isDefined)
+      .flatMap(n => DateRe.findFirstIn(n).map(_ -> n))
+      .filter(_._1 <= fileDate) // ISO strings: lexicographic = chronological
+      .sortBy(_._1)
+      .lastOption.map(_._2)
+  }
+
+  /** `resolveDated` against a directory listing through the Hadoop
+    * FileSystem (the reference's local-git-checkout branch, sans pull —
+    * ingestion freshness is the caller's concern on a cluster). */
+  def resolveDatedDir(spark: SparkSession, sourceConn: String,
+                      file: String): String = {
+    val rel = Option(new java.io.File(file).getParent).getOrElse("")
+    val dirPath = if (rel.isEmpty) sourceConn.stripSuffix("/")
+      else s"${sourceConn.stripSuffix("/")}/$rel"
+    val dir = new org.apache.hadoop.fs.Path(dirPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(dir).map(_.getPath.getName).toSeq
+    resolveDated(names, new java.io.File(file).getName)
+      .map(m => s"$dirPath/$m")
+      .getOrElse(throw new IllegalArgumentException(
+        s"no dated match for $file in $dirPath"))
+  }
+
   /** Wide → long unpivot of metric columns (the Ecdc/Google `by-age`
     * pivot_longer ingest shape): keeps `idCols`, melts `metricCols` into
     * (metric, value) rows. */
