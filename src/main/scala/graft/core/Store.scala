@@ -123,6 +123,41 @@ class FeatureStore(
     fs.rename(tmp, dst)
   }
 
+  /** Compact a loader's SCD2 table: rewrite into ~`targetBytes`-sized
+    * files, each sorted by `valid_from`. Incremental `getFeature` commits
+    * rewrite the table at the writer's shuffle parallelism, so a
+    * long-lived store accumulates far more files than its size warrants —
+    * the classic small-file problem; at warehouse scale every extra file
+    * is a scan task and a namenode entry. Sorting within files tightens
+    * parquet row-group min/max stats so the study-period interval
+    * predicates of `getFeature` prune row groups, not just columns.
+    * Pure layout change: every SCD2 version survives, time travel is
+    * unaffected. Returns the new file count. */
+  def compact(loader: String, targetBytes: Long = 128L << 20): Int =
+    withTableLock(loader) {
+      val dst = new Path(tablePath(loader))
+      require(fs.exists(dst), s"no table for loader '$loader'")
+      val bytes = fs.getContentSummary(dst).getLength
+      val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val df = spark.read.parquet(tablePath(loader))
+        .repartition(nFiles)
+        .sortWithinPartitions(Intervals.ValidFrom)
+      swapIn(loader, df)
+      nFiles
+    }
+
+  /** Parquet data-file count under a loader's table (compaction
+    * telemetry). */
+  def fileCount(loader: String): Int = {
+    val it = fs.listFiles(new Path(tablePath(loader)), true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
   /** Single-writer lock per loader table (reference:
     * R/DiseasystoreBase.R:145-157 SCDB::lock_table). Atomic marker-file
     * create; waits up to `lockWaitMaxMs`. */

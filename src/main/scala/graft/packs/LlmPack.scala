@@ -98,7 +98,14 @@ object LlmPack extends QueryPack {
         .groupBy("lang")
         .agg(count_distinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_chunks"))
-    })
+    }),
+
+    // Winnowing (SIGMOD'03) with engine-portable md5 gram hashes — the
+    // exact fingerprint sets are DuckDB-reproducible, unlike q32's
+    // murmur3 variant.
+    "q49_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowStats(Tables.load(s, dir, "documents"),
+        "doc_id", "text", k = 8, w = 4))
   )
 
   private val ShinglesSql =
@@ -112,6 +119,31 @@ object LlmPack extends QueryPack {
       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q49_winnow" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, greatest(1, length(text) - 7) AS np
+        |  FROM documents
+        |),
+        |g AS (
+        |  SELECT doc_id, np, i,
+        |    CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8))
+        |         AS BIGINT) AS h
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1, np)) AS i) t
+        |),
+        |w AS (
+        |  SELECT doc_id, np, i,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+        |  FROM g
+        |),
+        |f AS (
+        |  SELECT DISTINCT doc_id, mh FROM w WHERE i <= greatest(1, np - 3)
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+        |  CAST(min(mh) AS BIGINT) AS min_fp,
+        |  CAST(max(mh) AS BIGINT) AS max_fp
+        |FROM f GROUP BY doc_id""".stripMargin,
+
     "q45_repetition" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws

@@ -175,6 +175,39 @@ class StoreSpec extends SparkSpec {
     assert(dirs.exists(_.startsWith("__vm=")))
   }
 
+  test("compact: fewer valid_from-sorted files, versions and reads intact") {
+    val path = Files.createTempDirectory("graft-store-compact").toString
+    val store = TpchFeatureStore(spark, sfDir, path)
+    // two incremental commits at different transaction times → SCD2
+    // history worth preserving
+    store.getFeature("n_orders", "1995-01-01", "1995-01-31",
+      sliceTs = "2020-01-01 00:00:00")
+    store.getFeature("n_orders", "1995-01-01", "1995-03-31",
+      sliceTs = "2020-06-01 00:00:00")
+    val loader = "order_episodes"
+    val before = spark.read.parquet(s"$path/$loader")
+      .collect().map(_.toString).sorted
+    val filesBefore = store.fileCount(loader)
+    val nFiles = store.compact(loader) // default target ≫ table size → 1
+    assert(nFiles == 1)
+    assert(store.fileCount(loader) == 1)
+    assert(filesBefore >= 1)
+    // pure layout change: every SCD2 version row survives byte-for-byte
+    val after = spark.read.parquet(s"$path/$loader")
+      .collect().map(_.toString).sorted
+    assert(after.toSeq == before.toSeq)
+    // time travel against the FIRST commit still works after compaction
+    val early = store.getFeature("n_orders", "1995-01-01", "1995-01-31",
+      sliceTs = "2020-01-01 00:00:00").count()
+    assert(early > 0)
+    // files are internally sorted by valid_from (row-group stat quality)
+    val vf = spark.read.parquet(s"$path/$loader")
+      .select(spark_partition_id().as("p"), col("valid_from"))
+      .collect().map(r => (r.getInt(0), r.getDate(1).toString))
+    assert(vf.zipWithIndex.forall { case ((pa, da), i) =>
+      i == 0 || vf(i - 1)._1 != pa || vf(i - 1)._2 <= da })
+  }
+
   test("mismatched aggregators across features are rejected") {
     val store = TpchFeatureStore(spark, sfDir,
       Files.createTempDirectory("graft-store-spec").toString)
