@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Dedup
+
+/** Streaming near-duplicate suppression — the streaming twin of
+  * `Dedup.minhashLsh`. Two tiers, same minhash kernel as batch:
+  *
+  *  1. `signatureDedup` — drop docs whose FULL minhash signature was
+  *     already seen (Jaccard ≈ 1 near-exact dups). One built-in
+  *     stateful op (`dropDuplicates`), bounded by the watermark; clean
+  *     append semantics.
+  *  2. `bandVerdicts` — per (band, bucket) first-seen state: each doc's
+  *     bands report whether an EARLIER doc already claimed the bucket.
+  *     Any non-first band makes the doc a near-dup candidate of the
+  *     stream's history (the same pigeonhole bound as batch LSH).
+  *     Verdict reduction (all-bands-first ⇒ keep) happens per doc in
+  *     the sink via `candidateIds` — downstream of a
+  *     flatMapGroupsWithState append stream, a second stateful
+  *     aggregation cannot finalize without event-time, so the reduce
+  *     belongs in foreachBatch, where production pipelines sink
+  *     candidates anyway.
+  *
+  * State is one long per occupied LSH bucket — proportional to corpus
+  * novelty, not stream length, which is what survives an unbounded
+  * ingest feed.
+  */
+object DedupStream {
+
+  /** Stable single-column dedup key for a doc's full minhash signature.
+    * The exact signature values, comma-joined — no lossy re-hash. */
+  def signatureKey(text: org.apache.spark.sql.Column, numHashes: Int)
+      : org.apache.spark.sql.Column =
+    concat_ws(",",
+      graft.functions.NativeExprs.minhashSignature(
+        Dedup.shingleArray(text, 3), numHashes))
+
+  /** Near-exact streaming dedup: first doc per full signature passes.
+    * Pass `tsCol`/`watermark` to bound state (production); omit for
+    * deterministic unbounded-state tests. */
+  def signatureDedup(docs: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 16, tsCol: String = "",
+                     watermark: String = ""): DataFrame = {
+    val keyed = docs.withColumn("__sigkey",
+      signatureKey(col(textCol), numHashes))
+    (if (tsCol.nonEmpty)
+      // state bounded: a signature re-appearing after the watermark
+      // horizon is admitted again (the production trade)
+      keyed.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark("__sigkey")
+    else keyed.dropDuplicates("__sigkey"))
+      .drop("__sigkey")
+  }
+
+  case class BandHit(doc_id: Long, band: Int, bucket: Long)
+  case class BandVerdict(doc_id: Long, band: Int, first: Boolean)
+
+  /** Same banding as `Dedup.minhashLsh`: signature sliced into `bands`
+    * groups of `numHashes / bands`, each hashed to a bucket id. */
+  def bandHits(docs: DataFrame, idCol: String, textCol: String,
+               numHashes: Int, bands: Int): Dataset[BandHit] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.NativeExprs.minhashSignature(
+          Dedup.shingleArray(col(textCol), 3), numHashes).as("__sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bi => xxhash64(concat_ws(",",
+            transform(slice(col("__sig"), bi * lit(r) + 1, lit(r)),
+              _.cast("string")))))))
+      .select(col("doc_id"), col("pos").cast("int").as("band"),
+        col("col").as("bucket"))
+      .as[BandHit]
+  }
+
+  /** First-seen verdict per (band, bucket). Within a micro-batch, ties
+    * go to the lowest doc_id (deterministic). State: the bucket's owner
+    * doc id. */
+  def bandVerdicts(docs: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 16, bands: Int = 4)
+      : Dataset[BandVerdict] = {
+    val hits = bandHits(docs, idCol, textCol, numHashes, bands)
+    import hits.sparkSession.implicits._
+    hits.groupByKey(h => (h.band, h.bucket))
+      .flatMapGroupsWithState[Long, BandVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((band, _), hs, state: GroupState[Long]) =>
+          val sorted = hs.toSeq.sortBy(_.doc_id)
+          state.getOption match {
+            case Some(owner) =>
+              sorted.iterator.map(h =>
+                BandVerdict(h.doc_id, band, first = h.doc_id == owner))
+            case None =>
+              state.update(sorted.head.doc_id)
+              (BandVerdict(sorted.head.doc_id, band, first = true) +:
+                sorted.tail.map(h => BandVerdict(h.doc_id, band,
+                  first = false))).iterator
+          }
+      }
+  }
+
+  /** Batch-side reduction (foreachBatch / collected sink): doc ids with
+    * at least one non-first band — near-dup candidates of earlier
+    * stream history. */
+  def candidateIds(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy("doc_id")
+      .agg(min(col("first").cast("int")).as("__allfirst"))
+      .filter(col("__allfirst") === 0)
+      .select("doc_id")
+}
