@@ -8,7 +8,8 @@ import graft.packs._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] =
-    Seq(CorePack, TemporalPack, LlmPack, EventsPack, StorePack, ApproxPack)
+    Seq(CorePack, TemporalPack, LlmPack, EventsPack, StorePack, ApproxPack,
+      SqlPack)
 
   /** Flagship query on sf=0.001: daily open-order prevalence
     * (key_join_features with a count aggregator). */
