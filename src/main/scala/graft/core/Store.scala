@@ -123,6 +123,55 @@ class FeatureStore(
     fs.rename(tmp, dst)
   }
 
+  /** One lock-guarded append-style SCD2 micro-commit: `batch` rows join
+    * the loader's current open version set and the union is
+    * checksum-diffed against the table. Identical re-delivered rows are
+    * checksum no-ops, so at-least-once delivery upstream yields an
+    * unchanged table — the idempotence that makes this safe under
+    * streaming replay. */
+  def appendCommit(loader: String, batch: DataFrame,
+                   sliceTs: String): Unit = withTableLock(loader) {
+    val dataCols = batch.columns.toSeq
+    val merged = readIfExists(tablePath(loader)) match {
+      case Some(cur) =>
+        val curOpen = Scd2.sliceAt(cur, sliceTs)
+          .drop(Scd2.Checksum, Scd2.FromTs, Scd2.UntilTs)
+        // SET semantics on the union: updateSnapshot pairs duplicates as
+        // a multiset, so without the distinct a re-delivered row would
+        // register as a second occurrence (a new version) instead of a
+        // no-op. Exactly-once materialization from at-least-once
+        // delivery requires the feed's rows to be set-valued.
+        Scd2.updateSnapshot(Some(cur),
+          curOpen.select(dataCols.map(col): _*).unionByName(batch)
+            .distinct(),
+          sliceTs, dataCols)
+      case None => Scd2.updateSnapshot(None, batch, sliceTs, dataCols)
+    }
+    swapIn(loader, merged)
+  }
+
+  /** Continuous feature ingest: a stream of new feature rows (the
+    * store's bitemporal column convention) committed per micro-batch via
+    * `appendCommit` under foreachBatch — each batch becomes one SCD2
+    * transaction, so time travel works across a live feed and replayed
+    * batches are no-ops. `tsOfBatch` maps the micro-batch id to the
+    * commit's transaction timestamp (monotone; defaults to wall clock,
+    * injectable for deterministic tests). */
+  def ingestStream(loader: String, rows: DataFrame, checkpointDir: String,
+                   tsOfBatch: Long => String = _ =>
+                     java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+                       .format(java.time.format.DateTimeFormatter
+                         .ofPattern("yyyy-MM-dd HH:mm:ss")))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) appendCommit(loader, batch, tsOfBatch(id))
+      }
+      .start()
+
   /** Compact a loader's SCD2 table: rewrite into ~`targetBytes`-sized
     * files, each sorted by `valid_from`. Incremental `getFeature` commits
     * rewrite the table at the writer's shuffle parallelism, so a
