@@ -59,6 +59,21 @@ object Ivf {
     model
   }
 
+  /** MLlib-backed coarse quantizer: `org.apache.spark.ml.clustering
+    * .KMeans` (k-means||, seeded) in place of the hand-rolled Lloyd
+    * loop. Same `Model` out, so `assign`/`topK` — and their codegen'd
+    * distance kernels — are unchanged; use this where the MLlib
+    * estimator's init and convergence handling matter more than
+    * deterministic seed placement. */
+  def trainMllib(df: DataFrame, idCol: String, embCol: String,
+                 k: Int, iters: Int = 5, seed: Long = 42L): Model = {
+    val v = df.select(org.apache.spark.ml.functions.array_to_vector(
+      Similarity.toDouble(col(embCol))).as("features"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setMaxIter(iters).setSeed(seed).setFeaturesCol("features")
+    Model(km.fit(v).clusterCenters.map(_.toArray))
+  }
+
   /** Corpus with its cluster assignment (partition/bucket by this column
     * for co-located probe joins at scale). */
   def assign(df: DataFrame, idCol: String, embCol: String,
