@@ -87,10 +87,15 @@ object Dedup {
 
     // Global rarest-first order; ties broken by the hash value. One
     // small aggregate (shingle → document frequency), shuffled once.
+    // distinct key name on the aggregate side: joining a frame to its
+    // own groupBy on a same-named column trips Spark's self-join
+    // ambiguity warning even though the using-join resolves correctly
     val freq = sh.groupBy("__shash").agg(count(lit(1)).as("__df"))
+      .withColumnRenamed("__shash", "__fhash")
     val wDoc = Window.partitionBy(col(idCol))
       .orderBy(col("__df"), col("__shash"))
-    val prefix = sh.join(freq, "__shash")
+    val prefix = sh.join(freq, col("__shash") === col("__fhash"))
+      .drop("__fhash")
       .withColumn("__pos", row_number().over(wDoc))
       .filter(col("__pos") <=
         col("__sz") - floor(lit(threshold) * col("__sz")) + 1)
@@ -141,9 +146,9 @@ object Dedup {
         col("__shash"): _*)
     val b = sh.select(
       (col(idCol).as("id_b") +: blockCols.map(c => col(c).as(s"__bb_$c"))) :+
-        col("__shash"): _*)
+        col("__shash").as("__shash_b"): _*)
     val blockEq = blockCols.map(c => col(s"__ba_$c") <=> col(s"__bb_$c"))
-    val joinCond = (Seq(a("__shash") === b("__shash"),
+    val joinCond = (Seq(col("__shash") === col("__shash_b"),
       col("id_a") < col("id_b")) ++ blockEq).reduce(_ && _)
     val inter = a.join(b, joinCond)
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
