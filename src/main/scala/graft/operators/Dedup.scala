@@ -131,6 +131,71 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Engine-portable MinHash+LSH: per-permutation hash = md5 prefix of
+    * `"<perm>|<shingle>"`, signature = per-permutation minimum, bands of
+    * `numPerms / bands` rows, candidates from band-key equality, scored
+    * by matching-permutation count (`n_match ≥ minMatch` ≈ estimated
+    * Jaccard ≥ minMatch/numPerms). Same shape as `minhashLsh`, but every
+    * number is reproducible on any engine with md5 (DuckDB:
+    * `('0x'||substr(md5(p||'|'||s),1,8))::BIGINT`), so the whole LSH
+    * pipeline — signatures, banding, candidate set, scores — is
+    * oracle-checkable end to end. `minhashLsh` (xxhash64/murmur inside a
+    * codegen'd kernel) stays the faster engine-internal path.
+    *
+    * The shingle array is bound to its own projection before the
+    * signature pass (no codegen CSE inside HOF lambdas); the P×|grams|
+    * md5 calls are each computed exactly once. */
+  /** Affine permutation constants shared by the Spark formulation and
+    * the oracle SQL (embedded as literals on both sides). `a ≤ 2^30`,
+    * gram hash < 2^32 ⇒ `a·g + b < 2^62`: exact in 64-bit integers on
+    * any engine, no overflow divergence. */
+  private[graft] def portablePerms(numPerms: Int): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(1234)
+    Seq.fill(numPerms)(
+      (rng.nextInt(1 << 30).toLong + 1L, rng.nextInt(1 << 30).toLong))
+  }
+  private[graft] val PortableMod = 2147483647L // 2^31 − 1
+
+  def minhashLshPortable(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, numPerms: Int, bands: Int,
+                         minMatch: Int): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val r = numPerms / bands
+    val perms = portablePerms(numPerms)
+    // one md5 per DISTINCT gram (bound to its own projection), then
+    // cheap affine permutations over the 32-bit gram hashes
+    val grams = df.select(col(idCol),
+      transform(shingleArray(col(textCol), n), g =>
+        conv(substring(md5(g), 1, 8), 16, 10).cast("long")).as("__gh"))
+    val sigs = grams.select(col(idCol),
+      array(perms.map { case (a, b) =>
+        array_min(transform(col("__gh"), g =>
+          pmod(lit(a) * g + lit(b), lit(PortableMod))))
+      }: _*).as("__sig"))
+      .cache()
+    val banded = sigs.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        concat_ws(",", transform(slice(col("__sig"), b * lit(r) + 1, lit(r)),
+          _.cast("string"))))))
+      .select(col(idCol), col("pos").as("__band"), col("col").as("__bkey"))
+    val candIds = banded.select(col(idCol).as("id_a"), col("__band"),
+        col("__bkey"))
+      .join(banded.select(col(idCol).as("id_b"), col("__band").as("__band_b"),
+        col("__bkey").as("__bkey_b")),
+        col("__band") === col("__band_b") &&
+          col("__bkey") === col("__bkey_b") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candIds
+      .join(sigs.select(col(idCol).as("id_a"), col("__sig").as("__sa")),
+        "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("__sig").as("__sb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(filter(zip_with(col("__sa"), col("__sb"),
+          (x, y) => x === y), m => m)).cast("long").as("n_match"))
+      .filter(col("n_match") >= minMatch)
+  }
+
   /** All-pairs formulation (quadratic within a block); kept as the
     * equivalence twin for NgramPrefixSpec. */
   private[graft] def ngramJaccardAllPairs(

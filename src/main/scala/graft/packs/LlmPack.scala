@@ -105,7 +105,14 @@ object LlmPack extends QueryPack {
     // murmur3 variant.
     "q49_winnow" -> ((s, dir) =>
       TextAnalysis.winnowStats(Tables.load(s, dir, "documents"),
-        "doc_id", "text", k = 8, w = 4))
+        "doc_id", "text", k = 8, w = 4)),
+
+    // The whole MinHash+LSH pipeline — signatures, banding, candidate
+    // pairs, match scores — on portable md5 hashing, hash-checked
+    // against DuckDB (q29 keeps the faster murmur kernel, rows-only).
+    "q52_lsh_portable" -> ((s, dir) =>
+      Dedup.minhashLshPortable(Tables.load(s, dir, "documents"),
+        "doc_id", "text", n = 3, numPerms = 8, bands = 4, minMatch = 4))
   )
 
   private val ShinglesSql =
@@ -119,6 +126,42 @@ object LlmPack extends QueryPack {
       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q52_lsh_portable" -> {
+      val permValues = graft.operators.Dedup.portablePerms(8).zipWithIndex
+        .map { case ((a, b), p) => s"($p, $a, $b)" }.mkString(", ")
+      s"""WITH $ShinglesSql,
+         |gh AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS g
+         |  FROM sh
+         |),
+         |ph AS (
+         |  SELECT doc_id, p, min((a * g + b) % 2147483647) AS h
+         |  FROM gh, (VALUES $permValues) AS perms(p, a, b)
+         |  GROUP BY doc_id, p
+         |),
+         |sig AS (
+         |  SELECT doc_id, p // 2 AS band,
+         |    string_agg(CAST(h AS VARCHAR), ',' ORDER BY p) AS bkey
+         |  FROM ph GROUP BY doc_id, p // 2
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sig a JOIN sig b ON a.band = b.band AND a.bkey = b.bkey
+         |    AND a.doc_id < b.doc_id
+         |),
+         |m AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(sum(CASE WHEN pa.h = pb.h THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_match
+         |  FROM cand c
+         |  JOIN ph pa ON pa.doc_id = c.id_a
+         |  JOIN ph pb ON pb.doc_id = c.id_b AND pb.p = pa.p
+         |  GROUP BY c.id_a, c.id_b
+         |)
+         |SELECT id_a, id_b, n_match FROM m WHERE n_match >= 4""".stripMargin
+    },
+
     "q49_winnow" ->
       """WITH d AS (
         |  SELECT doc_id, text, greatest(1, length(text) - 7) AS np
