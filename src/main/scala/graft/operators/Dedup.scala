@@ -300,6 +300,27 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens. Tokens are hashed once each
     * (the hash must not sit inside the per-bit array, where interpreted
     * HOF evaluation would recompute it 64×). */
+  /** Engine-portable 32-bit SimHash over word-token md5 hashes: bit b of
+    * the output is set iff more token hashes have bit b set than clear
+    * (strictly positive vote — ties, incl. empty docs, clear the bit).
+    * Like `minhashLshPortable`, every value is reproducible on any
+    * engine with md5 + integer bit ops, so per-doc signatures are
+    * oracle-checkable; `simhash`/`simhashPairs` (xxhash64, 64-bit) stay
+    * the engine-internal path. Output: (id, simhash) per doc. */
+  def simhashPortable(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val gh = df.select(col(idCol),
+      transform(TextAnalysis.words(col(textCol)), t =>
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long")).as("__gh"))
+    val sig = (0 until 32).foldLeft(lit(0L)) { (acc, bit) =>
+      shiftleft(acc, 1).bitwiseOR(
+        when(size(filter(col("__gh"), g =>
+          shiftright(g, bit).bitwiseAND(1L) === 1L)) * 2 >
+          size(col("__gh")), 1L).otherwise(0L))
+    }
+    gh.select(col(idCol), sig.as("simhash"))
+  }
+
   def simhash(text: Column): Column = {
     val tokenHashes = transform(TextAnalysis.words(text), t => xxhash64(t))
     val tokenBitVotes = aggregate(

@@ -112,7 +112,13 @@ object LlmPack extends QueryPack {
     // against DuckDB (q29 keeps the faster murmur kernel, rows-only).
     "q52_lsh_portable" -> ((s, dir) =>
       Dedup.minhashLshPortable(Tables.load(s, dir, "documents"),
-        "doc_id", "text", n = 3, numPerms = 8, bands = 4, minMatch = 4))
+        "doc_id", "text", n = 3, numPerms = 8, bands = 4, minMatch = 4)),
+
+    // portable 32-bit simhash signatures, hash-checked per doc (q30
+    // keeps the 64-bit xxhash64 kernel for pairing, rows-only)
+    "q53_simhash_portable" -> ((s, dir) =>
+      Dedup.simhashPortable(Tables.load(s, dir, "documents"),
+        "doc_id", "text"))
   )
 
   private val ShinglesSql =
@@ -161,6 +167,29 @@ object LlmPack extends QueryPack {
          |)
          |SELECT id_a, id_b, n_match FROM m WHERE n_match >= 4""".stripMargin
     },
+
+    "q53_simhash_portable" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents
+        |),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS g
+        |  FROM w, LATERAL unnest(ws) AS u(t)
+        |),
+        |bits AS (
+        |  SELECT doc_id, bit,
+        |    CAST(sum((g >> CAST(bit AS INT)) & 1) AS BIGINT) AS cnt,
+        |    count(*) AS n
+        |  FROM tok, range(0, 32) r(bit)
+        |  GROUP BY doc_id, bit
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN 2 * cnt > n
+        |    THEN (CAST(1 AS BIGINT) << (31 - CAST(bit AS INT)))
+        |    ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
 
     "q49_winnow" ->
       """WITH d AS (
