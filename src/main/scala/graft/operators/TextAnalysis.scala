@@ -152,6 +152,22 @@ object TextAnalysis {
   private def substring2(str: Column, pos: Column, len: Column): Column =
     str.substr(pos, len)
 
+  /** URL domains mentioned in a text (lowercased; conservative
+    * host-charset regex that parses identically across engines). The
+    * building block for web-corpus domain stats, blocklist filtering,
+    * and per-source quality accounting. */
+  def domains(text: Column): Column =
+    transform(
+      regexp_extract_all(text, lit("https?://([A-Za-z0-9.-]+)"), lit(1)),
+      lower(_))
+
+  /** Per-domain corpus stats: mention count, distinct documents. */
+  def domainStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(domains(col(textCol))).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_mentions"),
+        count_distinct(col(idCol)).as("n_docs"))
+
   /** Full winnowing fingerprint set (Schleimer et al., SIGMOD'03 — the
     * algorithm behind MOSS): character k-gram hashes, minimum per
     * sliding window of `w`, distinct minima per document. Guarantees a

@@ -118,7 +118,7 @@ object LlmPack extends QueryPack {
     // keeps the 64-bit xxhash64 kernel for pairing, rows-only)
     "q53_simhash_portable" -> ((s, dir) =>
       Dedup.simhashPortable(Tables.load(s, dir, "documents"),
-        "doc_id", "text"))
+        "doc_id", "text")),
   )
 
   private val ShinglesSql =

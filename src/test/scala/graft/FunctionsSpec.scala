@@ -79,4 +79,22 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(0) == rows(1))
     assert(rows(0) != rows(2))
   }
+
+  test("domain extraction and per-domain stats") {
+    val df = Seq(
+      (1L, "see https://Example.COM/path and http://sub.site.org?q=1"),
+      (2L, "dup mention https://example.com/other no scheme www.skip.me"),
+      (3L, "no urls at all")).toDF("doc_id", "text")
+    val doms = df.select(col("doc_id"),
+      TextAnalysis.domains(col("text")).as("d"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(doms(1L) == Seq("example.com", "sub.site.org"))
+    assert(doms(2L) == Seq("example.com"))
+    assert(doms(3L) == Seq.empty)
+    val stats = TextAnalysis.domainStats(df, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(stats == Map(
+      "example.com" -> ((2L, 2L)), "sub.site.org" -> ((1L, 1L))))
+  }
 }
