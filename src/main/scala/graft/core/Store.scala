@@ -79,6 +79,15 @@ class FeatureStore(
   private def readIfExists(path: String): Option[DataFrame] =
     if (fs.exists(new Path(path))) Some(spark.read.parquet(path)) else None
 
+  /** Current versioned table WITHOUT the `__vm` partition column —
+    * every SCD2 merge must see the logical schema only (`swapIn`
+    * recomputes `__vm` on write; leaving it in would make
+    * `unionByName` against freshly-computed rows fail on
+    * month-partitioned stores). */
+  private def readTable(loader: String): Option[DataFrame] =
+    readIfExists(tablePath(loader)).map(df =>
+      if (partitionByMonth) df.drop("__vm") else df)
+
   /** Covered dates for (loader, sliceTs) according to the log. */
   private def coveredDates(loader: String, sliceTs: String): DataFrame =
     readIfExists(logPath) match {
@@ -132,22 +141,40 @@ class FeatureStore(
   def appendCommit(loader: String, batch: DataFrame,
                    sliceTs: String): Unit = withTableLock(loader) {
     val dataCols = batch.columns.toSeq
-    val merged = readIfExists(tablePath(loader)) match {
+    // SET semantics throughout (first batch included): updateSnapshot
+    // pairs duplicates as a multiset, so without the distinct a
+    // re-delivered row — or a duplicate within one batch — would
+    // register as a second occurrence (a new version) instead of a
+    // no-op. Exactly-once materialization from at-least-once delivery
+    // requires the feed's rows to be set-valued.
+    val merged = readTable(loader) match {
       case Some(cur) =>
         val curOpen = Scd2.sliceAt(cur, sliceTs)
           .drop(Scd2.Checksum, Scd2.FromTs, Scd2.UntilTs)
-        // SET semantics on the union: updateSnapshot pairs duplicates as
-        // a multiset, so without the distinct a re-delivered row would
-        // register as a second occurrence (a new version) instead of a
-        // no-op. Exactly-once materialization from at-least-once
-        // delivery requires the feed's rows to be set-valued.
         Scd2.updateSnapshot(Some(cur),
           curOpen.select(dataCols.map(col): _*).unionByName(batch)
             .distinct(),
           sliceTs, dataCols)
-      case None => Scd2.updateSnapshot(None, batch, sliceTs, dataCols)
+      case None => Scd2.updateSnapshot(None, batch.distinct(), sliceTs,
+        dataCols)
     }
     swapIn(loader, merged)
+  }
+
+  /** Monotone wall-clock transaction times for streaming commits: if
+    * the clock stands still or steps backward (NTP) between batches,
+    * advance by one second past the last issued time — a commit with
+    * sliceTs ≤ its predecessor would exclude the predecessor's open
+    * rows from the merge and corrupt the version chain. */
+  private val lastIngestTs = new java.util.concurrent.atomic.AtomicReference[String]("")
+  private def nextIngestTs(): String = lastIngestTs.updateAndGet { prev =>
+    val now = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    if (prev.isEmpty || now > prev) now
+    else java.sql.Timestamp.valueOf(prev).toLocalDateTime.plusSeconds(1)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
   }
 
   /** Continuous feature ingest: a stream of new feature rows (the
@@ -155,22 +182,22 @@ class FeatureStore(
     * `appendCommit` under foreachBatch — each batch becomes one SCD2
     * transaction, so time travel works across a live feed and replayed
     * batches are no-ops. `tsOfBatch` maps the micro-batch id to the
-    * commit's transaction timestamp (monotone; defaults to wall clock,
+    * commit's transaction timestamp (MUST be strictly monotone across
+    * batches; the default issues monotone unique wall-clock seconds,
     * injectable for deterministic tests). */
   def ingestStream(loader: String, rows: DataFrame, checkpointDir: String,
-                   tsOfBatch: Long => String = _ =>
-                     java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
-                       .format(java.time.format.DateTimeFormatter
-                         .ofPattern("yyyy-MM-dd HH:mm:ss")))
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                   tsOfBatch: Long => String = null)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val tsOf = Option(tsOfBatch).getOrElse((_: Long) => nextIngestTs())
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], id: Long) =>
-        if (!batch.isEmpty) appendCommit(loader, batch, tsOfBatch(id))
+        if (!batch.isEmpty) appendCommit(loader, batch, tsOf(id))
       }
       .start()
+  }
 
   /** Compact a loader's SCD2 table: rewrite into ~`targetBytes`-sized
     * files, each sorted by `valid_from`. Incremental `getFeature` commits
@@ -188,8 +215,14 @@ class FeatureStore(
       require(fs.exists(dst), s"no table for loader '$loader'")
       val bytes = fs.getContentSummary(dst).getLength
       val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      // RANGE partitioning on valid_from, not round-robin: each output
+      // file then covers a disjoint date range, so FILE-level min/max
+      // stats prune whole files for interval predicates — round-robin
+      // would give every file the global range and prune nothing.
+      // (On month-partitioned tables the file budget applies per month
+      // directory.)
       val df = spark.read.parquet(tablePath(loader))
-        .repartition(nFiles)
+        .repartitionByRange(nFiles, col(Intervals.ValidFrom))
         .sortWithinPartitions(Intervals.ValidFrom)
       swapIn(loader, df)
       nFiles
@@ -270,7 +303,7 @@ class FeatureStore(
       missing.foreach { case (s0, e0) =>
       val computed = handler.compute(this, s0, e0)
       val dataCols = computed.columns.toSeq
-      val existing = readIfExists(tablePath(loader))
+      val existing = readTable(loader)
       val merged = existing match {
         case Some(cur) =>
           // Keep every current-version row the recompute cannot return:

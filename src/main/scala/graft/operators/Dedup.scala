@@ -300,16 +300,22 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens. Tokens are hashed once each
     * (the hash must not sit inside the per-bit array, where interpreted
     * HOF evaluation would recompute it 64×). */
-  /** Engine-portable 32-bit SimHash over word-token md5 hashes: bit b of
-    * the output is set iff more token hashes have bit b set than clear
-    * (strictly positive vote — ties, incl. empty docs, clear the bit).
-    * Like `minhashLshPortable`, every value is reproducible on any
-    * engine with md5 + integer bit ops, so per-doc signatures are
-    * oracle-checkable; `simhash`/`simhashPairs` (xxhash64, 64-bit) stay
-    * the engine-internal path. Output: (id, simhash) per doc. */
+  /** Engine-portable 32-bit SimHash over word-token md5 hashes: OUTPUT
+    * bit (31 − b) is set iff more token hashes have bit b set than
+    * clear (strictly positive vote — ties, incl. empty docs, clear the
+    * bit); i.e. token-hash bit 0 votes into the output's MSB. Hamming
+    * distances are unaffected by the fixed reversal, but consumers
+    * extracting individual bits must use the mapping (the oracle's
+    * `1 << (31 - bit)` mirrors it). NULL texts are excluded (an
+    * unnest-based SQL evaluation drops them; emitting a zero signature
+    * here would diverge). Like `minhashLshPortable`, every value is
+    * reproducible on any engine with md5 + integer bit ops, so per-doc
+    * signatures are oracle-checkable; `simhash`/`simhashPairs`
+    * (xxhash64, 64-bit) stay the engine-internal path.
+    * Output: (id, simhash) per doc. */
   def simhashPortable(df: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
-    val gh = df.select(col(idCol),
+    val gh = df.filter(col(textCol).isNotNull).select(col(idCol),
       transform(TextAnalysis.words(col(textCol)), t =>
         conv(substring(md5(t), 1, 8), 16, 10).cast("long")).as("__gh"))
     val sig = (0 until 32).foldLeft(lit(0L)) { (acc, bit) =>

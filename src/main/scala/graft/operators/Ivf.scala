@@ -64,7 +64,8 @@ object Ivf {
     * loop. Same `Model` out, so `assign`/`topK` — and their codegen'd
     * distance kernels — are unchanged; use this where the MLlib
     * estimator's init and convergence handling matter more than
-    * deterministic seed placement. */
+    * deterministic seed placement. `idCol` is unused (kept for
+    * signature symmetry with `train`, which seeds from ids). */
   def trainMllib(df: DataFrame, idCol: String, embCol: String,
                  k: Int, iters: Int = 5, seed: Long = 42L): Model = {
     val v = df.select(org.apache.spark.ml.functions.array_to_vector(

@@ -49,7 +49,10 @@ object Sources {
     else {
       val dir = new org.apache.hadoop.fs.Path(sourceConn)
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.getFileStatus(dir).isDirectory)
+      val isDir =
+        try fs.getFileStatus(dir).isDirectory
+        catch { case _: java.io.FileNotFoundException => false }
+      if (!isDir)
         throw new IllegalArgumentException(
           s"source_conn could not be parsed to valid directory or URL: " +
             sourceConn)

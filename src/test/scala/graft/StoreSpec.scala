@@ -173,6 +173,13 @@ class StoreSpec extends SparkSpec {
     val dirs = new java.io.File(s"$path/order_episodes").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(dirs.exists(_.startsWith("__vm=")))
+    // INCREMENTAL update on the partitioned store: the SCD2 merge must
+    // see the logical schema (no __vm) or unionByName dies
+    val c = part.getFeature("n_orders", "1995-01-01", "1995-04-30")
+      .select("o_orderkey").as[Long].collect().toSet
+    val d = flat.getFeature("n_orders", "1995-01-01", "1995-04-30")
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(c == d && c.size > a.size)
   }
 
   test("compact: fewer valid_from-sorted files, versions and reads intact") {

@@ -58,6 +58,30 @@ class StoreStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("duplicate rows within the FIRST batch collapse; replay is a no-op") {
+    val store = freshStore()
+    val b0 = Seq(featRow(1L, "A", "2024-01-01"), featRow(1L, "A", "2024-01-01"))
+      .toDF("key_cust", "segment", "valid_from", "valid_until")
+    store.appendCommit("feed", b0, "2020-01-01 00:00:00")
+    val t1 = spark.read.parquet(s"${store.storePath}/feed")
+      .collect().map(_.toString).sorted.toSeq
+    assert(t1.length == 1)
+    // replaying the duplicate-bearing batch changes nothing
+    store.appendCommit("feed", b0, "2020-01-01 00:00:01")
+    val t2 = spark.read.parquet(s"${store.storePath}/feed")
+      .collect().map(_.toString).sorted.toSeq
+    assert(t2 == t1)
+  }
+
+  test("default ingest timestamps are strictly monotone unique") {
+    val store = freshStore()
+    val m = classOf[graft.core.FeatureStore]
+      .getDeclaredMethod("nextIngestTs")
+    m.setAccessible(true)
+    val ts = (0 until 3).map(_ => m.invoke(store).asInstanceOf[String])
+    assert(ts == ts.sorted && ts.distinct == ts, ts.toString)
+  }
+
   test("appendCommit matches batch SCD2 of the union") {
     val store = freshStore()
     val b0 = Seq(featRow(1L, "A", "2024-01-01"))
