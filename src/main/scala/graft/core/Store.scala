@@ -241,30 +241,44 @@ class FeatureStore(
   }
 
   /** Single-writer lock per loader table (reference:
-    * R/DiseasystoreBase.R:145-157 SCDB::lock_table). Atomic marker-file
-    * create; waits up to `lockWaitMaxMs`. */
+    * R/DiseasystoreBase.R:145-157 SCDB::lock_table). Two layers:
+    * an in-JVM mutex per (storePath, loader) — `FileSystem.create(path,
+    * overwrite = false)` is check-then-act on the LOCAL filesystem, so
+    * two threads of one driver (concurrent loaders, streaming ingest
+    * alongside batch fills) could both "win" the marker and clobber
+    * each other's `_temporary/0` commit staging — plus the marker file,
+    * which is what excludes OTHER processes (atomic create on
+    * HDFS-like stores); waits up to `lockWaitMaxMs`. */
   def withTableLock[T](loader: String)(body: => T): T = {
     val lockFile = new Path(s"${tablePath(loader)}.lock")
-    fs.mkdirs(new Path(storePath))
     val deadline = System.currentTimeMillis() + lockWaitMaxMs
-    var locked = false
-    while (!locked) {
-      try { fs.create(lockFile, false).close(); locked = true }
-      catch { case _: java.io.IOException =>
-        // break stale locks left by crashed writers (older than the max
-        // wait — no live writer holds a lock that long)
-        val stale = try {
-          fs.getFileStatus(lockFile).getModificationTime <
-            System.currentTimeMillis() - lockStaleMs
-        } catch { case _: java.io.IOException => false }
-        if (stale) fs.delete(lockFile, false)
-        else if (System.currentTimeMillis() > deadline)
-          throw new IllegalStateException(
-            s"Lock not released within ${lockWaitMaxMs / 1000}s: $lockFile")
-        else Thread.sleep(lockWaitIncrementMs)
+    val jvmLock = FeatureStore.jvmLocks.getOrElseUpdate(
+      (storePath, loader), new java.util.concurrent.locks.ReentrantLock)
+    if (!jvmLock.tryLock(lockWaitMaxMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS))
+      throw new IllegalStateException(
+        s"Lock not released within ${lockWaitMaxMs / 1000}s: $lockFile")
+    try {
+      fs.mkdirs(new Path(storePath))
+      var locked = false
+      while (!locked) {
+        try { fs.create(lockFile, false).close(); locked = true }
+        catch { case _: java.io.IOException =>
+          // break stale locks left by crashed writers (older than the max
+          // wait — no live writer holds a lock that long)
+          val stale = try {
+            fs.getFileStatus(lockFile).getModificationTime <
+              System.currentTimeMillis() - lockStaleMs
+          } catch { case _: java.io.IOException => false }
+          if (stale) fs.delete(lockFile, false)
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"Lock not released within ${lockWaitMaxMs / 1000}s: $lockFile")
+          else Thread.sleep(lockWaitIncrementMs)
+        }
       }
-    }
-    try body finally fs.delete(lockFile, false)
+      try body finally fs.delete(lockFile, false)
+    } finally jvmLock.unlock()
   }
 
   /** Lock timings resolve through the scoped option system (reference:
@@ -461,4 +475,11 @@ object StoreCatalog {
         }
     }
   }
+}
+
+object FeatureStore {
+  /** Same-JVM writer exclusion per (storePath, loader) — see
+    * `withTableLock`. */
+  private[core] val jvmLocks = scala.collection.concurrent.TrieMap
+    .empty[(String, String), java.util.concurrent.locks.ReentrantLock]
 }

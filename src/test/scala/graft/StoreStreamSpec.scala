@@ -82,6 +82,35 @@ class StoreStreamSpec extends SparkSpec {
     assert(ts == ts.sorted && ts.distinct == ts, ts.toString)
   }
 
+  test("concurrent getFeature writers: no duplicate log ranges, correct data") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val store = freshStore()
+    // two threads race to fill overlapping ranges of the same loader
+    val fs = Seq("1995-01-01" -> "1995-02-28", "1995-02-01" -> "1995-03-31")
+      .map { case (s, e) => Future {
+        store.getFeature("n_orders", s, e).count()
+      }}
+    Await.result(Future.sequence(fs), 120.seconds)
+    // the log's covered ranges must not overlap (each day computed once)
+    val logs = spark.read.parquet(s"${store.storePath}/logs")
+      .select(col("ds_start").cast("string"), col("ds_end").cast("string"))
+      .as[(String, String)].collect().sortBy(_._1)
+    logs.sliding(2).foreach {
+      case Array((_, e1), (s2, _)) => assert(e1 < s2, logs.mkString(", "))
+      case _ =>
+    }
+    // and the merged table serves the full span correctly
+    val got = store.getFeature("n_orders", "1995-01-01", "1995-03-31")
+      .select("o_orderkey").as[Long].collect().toSet
+    val direct = graft.core.Intervals.slice(
+      Queries.orderIntervals(spark, "/root/testdata/sf0.001"),
+      "1995-01-01", "1995-03-31")
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(got == direct)
+  }
+
   test("appendCommit matches batch SCD2 of the union") {
     val store = freshStore()
     val b0 = Seq(featRow(1L, "A", "2024-01-01"))
