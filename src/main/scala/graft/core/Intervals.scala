@@ -45,6 +45,35 @@ object Intervals {
 
   /** Two intervals overlap (strictly; empty intersections excluded),
     * open ends (NULL) treated as +infinity. */
+  /** Merge overlapping/touching validity intervals per key (interval
+    * UNION — gaps-and-islands): `[a,b) ∪ [b,c) = [a,c)`. One shuffle on
+    * the keys; islands found with a running max-end window, no
+    * self-join. NULL `valid_until` (open-ended) swallows everything
+    * from its `valid_from` on. Output: one row per merged span with the
+    * key columns + `valid_from`/`valid_until`. */
+  def mergePerKey(df: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kc = keys.map(col)
+    val ord = Seq(col(ValidFrom), col(ValidUntil))
+    // NULL = open end: order it last and make it absorbing via a far
+    // sentinel, restored after the merge
+    val sentinel = to_date(lit("9999-12-31"))
+    val w = Window.partitionBy(kc: _*).orderBy(ord: _*)
+    val prevMax = max(coalesce(col(ValidUntil), sentinel))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = df
+      .withColumn("__ni",
+        (prevMax.isNull || col(ValidFrom) > prevMax).cast("int"))
+      .withColumn("__island",
+        sum(col("__ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(kc :+ col("__island"): _*)
+      .agg(min(col(ValidFrom)).as(ValidFrom),
+        max(coalesce(col(ValidUntil), sentinel)).as("__u"))
+      .select(kc :+ col(ValidFrom) :+
+        when(col("__u") === sentinel, lit(null).cast("date"))
+          .otherwise(col("__u")).as(ValidUntil): _*)
+  }
+
   def intervalsOverlap(
       from1: Column, until1: Column, from2: Column, until2: Column): Column =
     (from1 < until2 || until2.isNull) && (until1 > from2 || until1.isNull)

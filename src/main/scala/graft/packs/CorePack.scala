@@ -58,10 +58,47 @@ object CorePack extends QueryPack {
           Intervals.slice(Queries.segmentFeature(s, dir), Start, End)),
         stratCols = Seq("mktsegment"),
         start = Start, endInclusive = End)
-        .withColumn("date", col("date").cast("string")))
+        .withColumn("date", col("date").cast("string"))),
+
+    // interval UNION per key (gaps-and-islands merge): per customer,
+    // merged order-validity spans and total covered days
+    "q55_interval_union" -> ((s, dir) =>
+      Intervals.mergePerKey(Queries.orderIntervals(s, dir), Seq("key_cust"))
+        .groupBy("key_cust")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(datediff(col("valid_until"), col("valid_from")))
+            .as("covered_days")))
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q55_interval_union" ->
+      s"""WITH iv AS (${Queries.orderIntervalsSql}),
+         |o AS (
+         |  SELECT key_cust, valid_from, valid_until,
+         |    max(valid_until) OVER (PARTITION BY key_cust
+         |      ORDER BY valid_from, valid_until
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |  FROM iv
+         |),
+         |i AS (
+         |  SELECT *, CASE WHEN prev_max IS NULL OR valid_from > prev_max
+         |    THEN 1 ELSE 0 END AS ni
+         |  FROM o
+         |),
+         |c AS (
+         |  SELECT *, sum(ni) OVER (PARTITION BY key_cust
+         |    ORDER BY valid_from, valid_until
+         |    ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM i
+         |),
+         |m AS (
+         |  SELECT key_cust, island, min(valid_from) AS f,
+         |    max(valid_until) AS u
+         |  FROM c GROUP BY key_cust, island
+         |)
+         |SELECT key_cust, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(u - f) AS BIGINT) AS covered_days
+         |FROM m GROUP BY key_cust""".stripMargin,
     "q01_key_join_sum" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS n
         |FROM lineitem GROUP BY 1, 2""".stripMargin,

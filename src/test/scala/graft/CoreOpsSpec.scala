@@ -97,4 +97,28 @@ class CoreOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(ids == Set(1L, 3L))
   }
+
+  test("mergePerKey unions touching/overlapping spans, open end absorbs") {
+    val df = Seq(
+      // key 1: [01-01,01-10) ∪ [01-10,01-20) touch → one span; gap; [02-01,02-05)
+      (1L, d("2020-01-01"), Option(d("2020-01-10"))),
+      (1L, d("2020-01-10"), Option(d("2020-01-20"))),
+      (1L, d("2020-02-01"), Option(d("2020-02-05"))),
+      // key 2: open-ended interval swallows the later closed one
+      (2L, d("2020-01-01"), None: Option[java.sql.Date]),
+      (2L, d("2020-03-01"), Option(d("2020-03-10"))),
+      // key 3: overlap strictly inside
+      (3L, d("2020-01-01"), Option(d("2020-01-31"))),
+      (3L, d("2020-01-10"), Option(d("2020-01-15")))
+    ).toDF("key_k", "valid_from", "valid_until")
+    val got = Intervals.mergePerKey(df, Seq("key_k"))
+      .select(col("key_k"), col("valid_from").cast("string"),
+        col("valid_until").cast("string"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "2020-01-01", "2020-01-20"),
+      (1L, "2020-02-01", "2020-02-05"),
+      (2L, "2020-01-01", null),
+      (3L, "2020-01-01", "2020-01-31")))
+  }
 }
