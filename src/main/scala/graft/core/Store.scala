@@ -228,6 +228,25 @@ class FeatureStore(
       nFiles
     }
 
+  /** Operational stats per materialized loader table: version rows,
+    * currently-open versions, parquet files, bytes. The operability
+    * counterpart of compaction — at warehouse scale `n_files` vs
+    * `bytes` is the signal that a table needs `compact`, and
+    * `n_versions` vs `n_open` shows SCD2 churn. Driver-side loop over
+    * loaders (small); each count is one distributed job. */
+  def storeStats(): DataFrame = {
+    import spark.implicits._
+    val rows = loaders.keys.toSeq.sorted
+      .filter(l => fs.exists(new Path(tablePath(l))))
+      .map { l =>
+        val t = spark.read.parquet(tablePath(l))
+        val nOpen = t.filter(col(Scd2.UntilTs).isNull).count()
+        (l, t.count(), nOpen, fileCount(l).toLong,
+          fs.getContentSummary(new Path(tablePath(l))).getLength)
+      }
+    rows.toDF("loader", "n_versions", "n_open", "n_files", "bytes")
+  }
+
   /** Parquet data-file count under a loader's table (compaction
     * telemetry). */
   def fileCount(loader: String): Int = {

@@ -215,6 +215,20 @@ class StoreSpec extends SparkSpec {
       i == 0 || vf(i - 1)._1 != pa || vf(i - 1)._2 <= da })
   }
 
+  test("storeStats reports versions, open rows, files, bytes") {
+    val path = Files.createTempDirectory("graft-store-stats").toString
+    val store = TpchFeatureStore(spark, sfDir, path)
+    store.getFeature("n_orders", "1995-01-01", "1995-01-31")
+    val stats = store.storeStats().collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats.contains("order_episodes"))
+    val r = stats("order_episodes")
+    assert(r.getLong(1) > 0)            // n_versions
+    assert(r.getLong(2) == r.getLong(1)) // all open after first fill
+    assert(r.getLong(3) >= 1)            // n_files
+    assert(r.getLong(4) > 0)             // bytes
+  }
+
   test("mismatched aggregators across features are rejected") {
     val store = TpchFeatureStore(spark, sfDir,
       Files.createTempDirectory("graft-store-spec").toString)
