@@ -54,10 +54,14 @@ object Intervals {
   def mergePerKey(df: DataFrame, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val kc = keys.map(col)
-    val ord = Seq(col(ValidFrom), col(ValidUntil))
-    // NULL = open end: order it last and make it absorbing via a far
-    // sentinel, restored after the merge
+    // Island detection is insensitive to where ties/NULLs sort (equal
+    // rows produce identical running maxima), but the running max must
+    // treat an open end as +infinity — a far sentinel used ONLY inside
+    // the window. Openness is tracked as its own flag rather than
+    // round-tripped through the sentinel, so a legitimate
+    // `valid_until = 9999-12-31` row stays closed in the output.
     val sentinel = to_date(lit("9999-12-31"))
+    val ord = Seq(col(ValidFrom), col(ValidUntil))
     val w = Window.partitionBy(kc: _*).orderBy(ord: _*)
     val prevMax = max(coalesce(col(ValidUntil), sentinel))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -68,9 +72,10 @@ object Intervals {
         sum(col("__ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
     islands.groupBy(kc :+ col("__island"): _*)
       .agg(min(col(ValidFrom)).as(ValidFrom),
-        max(coalesce(col(ValidUntil), sentinel)).as("__u"))
+        max(col(ValidUntil)).as("__u"),
+        max(col(ValidUntil).isNull.cast("int")).as("__open"))
       .select(kc :+ col(ValidFrom) :+
-        when(col("__u") === sentinel, lit(null).cast("date"))
+        when(col("__open") === 1, lit(null).cast("date"))
           .otherwise(col("__u")).as(ValidUntil): _*)
   }
 

@@ -163,18 +163,25 @@ class FeatureStore(
 
   /** Monotone wall-clock transaction times for streaming commits: if
     * the clock stands still or steps backward (NTP) between batches,
-    * advance by one second past the last issued time — a commit with
-    * sliceTs ≤ its predecessor would exclude the predecessor's open
-    * rows from the merge and corrupt the version chain. */
-  private val lastIngestTs = new java.util.concurrent.atomic.AtomicReference[String]("")
-  private def nextIngestTs(): String = lastIngestTs.updateAndGet { prev =>
-    val now = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
-      .format(java.time.format.DateTimeFormatter
-        .ofPattern("yyyy-MM-dd HH:mm:ss"))
-    if (prev.isEmpty || now > prev) now
-    else java.sql.Timestamp.valueOf(prev).toLocalDateTime.plusSeconds(1)
-      .format(java.time.format.DateTimeFormatter
-        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    * advance 1 ms past the last issued time — a commit with sliceTs ≤
+    * its predecessor would exclude the predecessor's open rows from
+    * the merge and corrupt the version chain. Millisecond granularity
+    * bounds clock drift to sustained >1000 commits/sec; the sequence is
+    * shared per storePath across instances (like `jvmLocks`), so two
+    * stores on one path cannot interleave non-monotonic times. */
+  private def nextIngestTs(): String = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+    FeatureStore.lastIngestTs
+      .getOrElseUpdate(storePath,
+        new java.util.concurrent.atomic.AtomicReference[String](""))
+      .updateAndGet { prev =>
+        val now = java.time.LocalDateTime
+          .now(java.time.ZoneOffset.UTC).format(fmt)
+        if (prev.isEmpty || now > prev) now
+        else java.time.LocalDateTime.parse(prev, fmt)
+          .plusNanos(1000000L).format(fmt)
+      }
   }
 
   /** Continuous feature ingest: a stream of new feature rows (the
@@ -270,7 +277,6 @@ class FeatureStore(
     * HDFS-like stores); waits up to `lockWaitMaxMs`. */
   def withTableLock[T](loader: String)(body: => T): T = {
     val lockFile = new Path(s"${tablePath(loader)}.lock")
-    val deadline = System.currentTimeMillis() + lockWaitMaxMs
     val jvmLock = FeatureStore.jvmLocks.getOrElseUpdate(
       (storePath, loader), new java.util.concurrent.locks.ReentrantLock)
     if (!jvmLock.tryLock(lockWaitMaxMs,
@@ -278,6 +284,10 @@ class FeatureStore(
       throw new IllegalStateException(
         s"Lock not released within ${lockWaitMaxMs / 1000}s: $lockFile")
     try {
+      // the FS-marker wait gets its own full budget — stamping the
+      // deadline before the JVM wait would leave a thread queued behind
+      // a long same-JVM writer with no time to wait out another process
+      val deadline = System.currentTimeMillis() + lockWaitMaxMs
       fs.mkdirs(new Path(storePath))
       var locked = false
       while (!locked) {
@@ -501,4 +511,9 @@ object FeatureStore {
     * `withTableLock`. */
   private[core] val jvmLocks = scala.collection.concurrent.TrieMap
     .empty[(String, String), java.util.concurrent.locks.ReentrantLock]
+
+  /** Per-storePath monotone ingest-timestamp sequence — see
+    * `nextIngestTs`. */
+  private[core] val lastIngestTs = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.atomic.AtomicReference[String]]
 }

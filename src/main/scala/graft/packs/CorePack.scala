@@ -61,9 +61,14 @@ object CorePack extends QueryPack {
         .withColumn("date", col("date").cast("string"))),
 
     // interval UNION per key (gaps-and-islands merge): per customer,
-    // merged order-validity spans and total covered days
+    // merged order-validity spans and total covered days. CLOSED spans
+    // only, filtered on BOTH sides — the oracle's running-max has no
+    // open-end (NULL) absorption, and covered_days is undefined for an
+    // open span (mergePerKey itself handles NULL ends; CoreOpsSpec).
     "q55_interval_union" -> ((s, dir) =>
-      Intervals.mergePerKey(Queries.orderIntervals(s, dir), Seq("key_cust"))
+      Intervals.mergePerKey(
+        Queries.orderIntervals(s, dir)
+          .filter(col("valid_until").isNotNull), Seq("key_cust"))
         .groupBy("key_cust")
         .agg(count(lit(1)).as("n_spans"),
           sum(datediff(col("valid_until"), col("valid_from")))
@@ -72,7 +77,10 @@ object CorePack extends QueryPack {
 
   def oracleSql: Map[String, String] = Map(
     "q55_interval_union" ->
-      s"""WITH iv AS (${Queries.orderIntervalsSql}),
+      s"""WITH iv AS (
+         |  SELECT * FROM (${Queries.orderIntervalsSql}) iv0
+         |  WHERE valid_until IS NOT NULL
+         |),
          |o AS (
          |  SELECT key_cust, valid_from, valid_until,
          |    max(valid_until) OVER (PARTITION BY key_cust

@@ -22,8 +22,15 @@ import graft.core.Intervals
   * date×strata grid; each micro-batch costs one scan of ITSELF plus a
   * grid-sized merge.
   *
-  * Batch-id markers make the merge idempotent under foreachBatch
-  * replay (the additive merge itself is not).
+  * Exactly-once: commit markers are written INSIDE the delta directory
+  * and published by the same atomic rename as the data, so a crash
+  * between write and publish replays cleanly (an additive merge cannot
+  * self-correct a double-apply the way a checksum merge can). Marker
+  * ids are micro-batch ids, which are only meaningful within one
+  * checkpoint lineage — `ingest` records the checkpoint identity in
+  * the state and refuses to resume under a different one (silently
+  * reusing old markers would drop new batches; remerging would double
+  * count).
   *
   * The incoming rows must already carry the stratification columns
   * (pre-joined); streaming truncate-interlace of separate strat feeds
@@ -44,18 +51,16 @@ class SeriesStream(
 
   private val startD = to_date(lit(start))
   private val endD = to_date(lit(endInclusive))
-  private val endExcl = date_add(endD, 1)
+  private val endExclStr =
+    java.time.LocalDate.parse(endInclusive).plusDays(1).toString
 
   /** A batch of feature intervals → its delta-aggregate contribution. */
   private[streaming] def deltaOf(batch: DataFrame): DataFrame = {
     val sc = stratCols.map(col)
     val featC = if (countAgg) lit(1L) else col(feature).cast("long")
-    batch
-      .filter(Intervals.overlapsPeriod(startD, endD))
-      .withColumn(Intervals.ValidFrom,
-        greatest(col(Intervals.ValidFrom), startD))
-      .withColumn(Intervals.ValidUntil,
-        least(coalesce(col(Intervals.ValidUntil), endExcl), endExcl))
+    Intervals.clamp(
+        batch.filter(Intervals.overlapsPeriod(startD, endD)),
+        start, endExclStr)
       .select(sc :+ explode(array(
         struct(col(Intervals.ValidFrom).as("date"),
           featC.as("add"), lit(0L).as("remove")),
@@ -66,39 +71,77 @@ class SeriesStream(
         sum(col("__d.remove")).as("n_remove"))
   }
 
-  /** Merge one batch into the materialized delta table; idempotent per
-    * `batchId` (replays are skipped via commit markers). */
-  def commitBatch(batch: DataFrame, batchId: Long): Unit = {
-    val marker = new Path(s"$statePath/_committed_$batchId")
-    if (fs.exists(marker)) return
-    val incoming = deltaOf(batch)
-    val merged =
-      if (fs.exists(new Path(deltaPath)))
-        spark.read.parquet(deltaPath)
-          .unionByName(incoming)
-          .groupBy((stratCols.map(col) :+ col("date")): _*)
-          .agg(sum(col("n_add")).as("n_add"),
-            sum(col("n_remove")).as("n_remove"))
-      else incoming
-    val tmp = new Path(s"$deltaPath.tmp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val dst = new Path(deltaPath)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(tmp, dst)
-    fs.create(marker, true).close()
-  }
+  private def markerName(batchId: Long) = s"_committed_$batchId"
 
-  /** Continuous ingest: one delta merge per micro-batch. */
+  private def committedMarkers(): Seq[String] =
+    if (fs.exists(new Path(deltaPath)))
+      fs.listStatus(new Path(deltaPath)).map(_.getPath.getName)
+        .filter(_.startsWith("_committed_")).toSeq
+    else Seq.empty
+
+  /** Merge one batch into the materialized delta table; idempotent per
+    * `batchId`. Single-writer per statePath within the JVM (same
+    * read-modify-write clobbering FeatureStore.withTableLock guards
+    * against); cross-process streams must not share a statePath. */
+  def commitBatch(batch: DataFrame, batchId: Long): Unit =
+    SeriesStream.withStateLock(statePath) {
+      val markers = committedMarkers()
+      if (!markers.contains(markerName(batchId))) {
+      val incoming = deltaOf(batch)
+      val merged =
+        if (fs.exists(new Path(deltaPath)))
+          spark.read.parquet(deltaPath)
+            .unionByName(incoming)
+            .groupBy((stratCols.map(col) :+ col("date")): _*)
+            .agg(sum(col("n_add")).as("n_add"),
+              sum(col("n_remove")).as("n_remove"))
+        else incoming
+      val tmp = new Path(s"$deltaPath.tmp")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      // markers travel with the data through ONE rename: either the new
+      // delta AND its marker are visible, or neither — no crash window
+      // in which the data is committed but the batch looks unapplied
+      (markers :+ markerName(batchId)).foreach { m =>
+        fs.create(new Path(tmp, m), true).close()
+      }
+      val dst = new Path(deltaPath)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      fs.rename(tmp, dst)
+      }
+    }
+
+  /** Continuous ingest: one delta merge per micro-batch. Refuses to
+    * resume existing state under a different checkpoint lineage (batch
+    * ids would restart at 0: old markers would silently drop the new
+    * batches, and clearing them would double-merge — reset statePath
+    * together with the checkpoint, or keep both). */
   def ingest(rows: DataFrame, checkpointDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val epoch = new Path(s"$statePath/_epoch")
+    val id = java.util.UUID.nameUUIDFromBytes(
+      checkpointDir.getBytes("UTF-8")).toString
+    if (fs.exists(epoch)) {
+      val in = fs.open(epoch)
+      val prev =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(prev == id,
+        s"state at $statePath was built under a different checkpoint " +
+          "lineage; reset the state together with the checkpoint")
+    } else {
+      fs.mkdirs(new Path(statePath))
+      val out = fs.create(epoch, true)
+      out.write(id.getBytes("UTF-8")); out.close()
+    }
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], id: Long) =>
-        if (!batch.isEmpty) commitBatch(batch, id)
+          org.apache.spark.sql.Row], bid: Long) =>
+        if (!batch.isEmpty) commitBatch(batch, bid)
       }
       .start()
+  }
 
   /** The current series: date grid × strata, prefix sum over the
     * materialized delta — grid-sized work, no raw-data access. */
@@ -126,5 +169,17 @@ class SeriesStream(
       .withColumn(observableName,
         sum(col("n_add")).over(w) - sum(col("n_remove")).over(w))
       .select((col("date") +: sc) :+ col(observableName): _*)
+  }
+}
+
+object SeriesStream {
+  private val locks = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.locks.ReentrantLock]
+
+  private def withStateLock[T](statePath: String)(body: => T): T = {
+    val l = locks.getOrElseUpdate(statePath,
+      new java.util.concurrent.locks.ReentrantLock)
+    l.lock()
+    try body finally l.unlock()
   }
 }

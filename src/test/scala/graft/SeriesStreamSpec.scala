@@ -76,6 +76,24 @@ class SeriesStreamSpec extends SparkSpec {
     assert(batchRes.count() > 0)
   }
 
+  test("resuming state under a different checkpoint lineage is refused") {
+    implicit val sqlCtx = spark.sqlContext
+    val state = Files.createTempDirectory("graft-series3").toString
+    val ss = new SeriesStream(spark, state, feature = "key_id",
+      stratCols = Seq.empty, start = "2024-01-01",
+      endInclusive = "2024-01-31")
+    val ms = MemoryStream[(Long, String, java.sql.Date, java.sql.Date)]
+    val rows = ms.toDF().toDF("key_id", "grp", "valid_from", "valid_until")
+    val q = ss.ingest(rows,
+      Files.createTempDirectory("graft-series3-ckptA").toString)
+    q.stop()
+    val err = intercept[IllegalArgumentException] {
+      ss.ingest(rows,
+        Files.createTempDirectory("graft-series3-ckptB").toString)
+    }
+    assert(err.getMessage.contains("checkpoint lineage"))
+  }
+
   test("unstratified series matches and stays grid-sized") {
     val state = Files.createTempDirectory("graft-series2").toString
     val ss = new SeriesStream(spark, state, feature = "key_id",
