@@ -42,6 +42,35 @@ object Chunking {
   /** Redact URLs, e-mail addresses, and long digit runs. Patterns avoid
     * capture-group backreferences so the exact same regex text runs on
     * Java regex and RE2 engines identically. */
+  /** Sequence packing for training batches: assign documents to
+    * fixed-capacity token bins by a running token sum in a stable
+    * deterministic order (contiguous packing — the shuffle-once,
+    * pack-sequentially strategy used for LLM pretraining batches).
+    * A doc larger than `binTokens` gets a bin of its own, and the next
+    * doc starts a fresh bin (no splitting here — `chunk` first if
+    * oversized docs must be split). Output: one row per doc with its
+    * `bin_id`; downstream grouping by bin gives the batch manifest.
+    *
+    * Scale note: the running sum is a window per `partCol` (e.g.
+    * language or shard), so packing parallelizes across partitions
+    * while staying deterministic within each. */
+  def packBins(df: DataFrame, idCol: String, textCol: String,
+               partCol: String, binTokens: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col(idCol))
+    val toks = TextAnalysis.wsTokenCount(col(textCol)).cast("long")
+    df.select(col(idCol), col(partCol), toks.as("n_tokens"))
+      .withColumn("__cum",
+        sum(col("n_tokens")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      // bin = which capacity boundary the doc's END crosses; docs whose
+      // cumulative end lands exactly on a boundary still belong to the
+      // bin they filled
+      .withColumn("bin_id",
+        ((col("__cum") - 1L) / binTokens).cast("long"))
+      .drop("__cum")
+  }
+
   def scrub(text: Column): Column =
     Scrubs.foldLeft(text) { case (c, (pat, rep)) =>
       regexp_replace(c, pat, rep)

@@ -119,7 +119,33 @@ object LlmPack extends QueryPack {
     "q53_simhash_portable" -> ((s, dir) =>
       Dedup.simhashPortable(Tables.load(s, dir, "documents"),
         "doc_id", "text")),
+
+    // sequence packing: contiguous token-bin assignment per language,
+    // batch manifest = docs and tokens per bin
+    "q56_packing" -> ((s, dir) =>
+      Chunking.packBins(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "lang", binTokens = 512)
+        .groupBy("lang", "bin_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"))),
   )
+
+  private val PackingSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      |  FROM documents
+      |),
+      |c AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t
+      |)
+      |SELECT lang, CAST((cum - 1) // 512 AS BIGINT) AS bin_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+      |FROM c GROUP BY lang, bin_id""".stripMargin
 
   private val ShinglesSql =
     """sh AS (
@@ -132,6 +158,8 @@ object LlmPack extends QueryPack {
       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q56_packing" -> PackingSql,
+
     "q52_lsh_portable" -> {
       val permValues = graft.operators.Dedup.portablePerms(8).zipWithIndex
         .map { case ((a, b), p) => s"($p, $a, $b)" }.mkString(", ")
