@@ -79,6 +79,40 @@ object Intervals {
           .otherwise(col("__u")).as(ValidUntil): _*)
   }
 
+  /** Per-key interval DIFFERENCE a ∖ b: the parts of `a`'s validity not
+    * covered by `b` (e.g. hospital episodes minus ICU stays). Composed
+    * from the engine's own machinery: tag both sides, segment on the
+    * per-key breakpoint union (`Interlace.interlace` — one window, no
+    * join explosion), keep segments covered only by `a`, re-merge
+    * touching survivors. */
+  def subtractPerKey(a: DataFrame, b: DataFrame,
+                     keys: Seq[String]): DataFrame =
+    tagSegmentFilter(a, b, keys,
+      col("__in_a") === 1 && col("__in_b").isNull)
+
+  /** Per-key interval INTERSECTION a ∩ b (merged spans covered by both
+    * sides; the validity-only counterpart of `Interlace.truncateOne`,
+    * which also carries payload columns). */
+  def intersectPerKey(a: DataFrame, b: DataFrame,
+                      keys: Seq[String]): DataFrame =
+    tagSegmentFilter(a, b, keys,
+      col("__in_a") === 1 && col("__in_b") === 1)
+
+  private def tagSegmentFilter(a: DataFrame, b: DataFrame,
+                               keys: Seq[String],
+                               keep: Column): DataFrame = {
+    val kc = keys.map(col)
+    val iv = Seq(col(ValidFrom), col(ValidUntil))
+    val aT = a.select(kc ++ iv :+ lit(1).as("__in_a"): _*)
+    val bT = b.select(kc ++ iv :+ lit(1).as("__in_b"): _*)
+    val seg = graft.operators.Interlace.interlace(Seq(aT, bT), keys)
+    // breakpoint segmentation can leave empty [x, x) slivers at span
+    // edges — they carry no validity and must not surface as spans
+    mergePerKey(seg.filter(keep &&
+      (col(ValidUntil).isNull || col(ValidFrom) < col(ValidUntil)))
+      .select(kc ++ iv: _*), keys)
+  }
+
   def intervalsOverlap(
       from1: Column, until1: Column, from2: Column, until2: Column): Column =
     (from1 < until2 || until2.isNull) && (until1 > from2 || until1.isNull)

@@ -72,10 +72,58 @@ object CorePack extends QueryPack {
         .groupBy("key_cust")
         .agg(count(lit(1)).as("n_spans"),
           sum(datediff(col("valid_until"), col("valid_from")))
-            .as("covered_days")))
+            .as("covered_days"))),
+
+    // interval DIFFERENCE per key: order-validity days NOT covered by
+    // the customer's first-order episode. The oracle evaluates the same
+    // semantics by brute-force day explosion + EXCEPT — an independent
+    // formulation, not a mirror of the segmentation algorithm.
+    "q57_interval_diff" -> ((s, dir) => {
+      val iv = Queries.orderIntervals(s, dir)
+        .select("key_cust", "o_orderkey", "valid_from", "valid_until")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key_cust"))
+        .orderBy(col("valid_from"), col("o_orderkey"))
+      val first = iv.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("key_cust", "valid_from", "valid_until")
+      Intervals.subtractPerKey(
+        iv.select("key_cust", "valid_from", "valid_until"),
+        first, Seq("key_cust"))
+        .groupBy("key_cust")
+        .agg(sum(datediff(col("valid_until"), col("valid_from")))
+          .as("uncovered_days"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q57_interval_diff" ->
+      s"""WITH iv AS (${Queries.orderIntervalsSql}),
+         |f AS (
+         |  SELECT key_cust, valid_from, valid_until
+         |  FROM (SELECT key_cust, valid_from, valid_until,
+         |          row_number() OVER (PARTITION BY key_cust
+         |            ORDER BY valid_from, o_orderkey) AS rn
+         |        FROM iv) r
+         |  WHERE rn = 1
+         |),
+         |days AS (
+         |  SELECT CAST(gs.d AS DATE) AS d
+         |  FROM generate_series(TIMESTAMP '1990-01-01',
+         |    TIMESTAMP '2010-12-31', INTERVAL 1 DAY) gs(d)
+         |),
+         |ad AS (
+         |  SELECT DISTINCT key_cust, d
+         |  FROM iv JOIN days ON d >= valid_from AND d < valid_until
+         |),
+         |bd AS (
+         |  SELECT DISTINCT key_cust, d
+         |  FROM f JOIN days ON d >= valid_from AND d < valid_until
+         |),
+         |diff AS (SELECT key_cust, d FROM ad EXCEPT SELECT key_cust, d FROM bd)
+         |SELECT key_cust, CAST(count(*) AS BIGINT) AS uncovered_days
+         |FROM diff GROUP BY key_cust""".stripMargin,
+
     "q55_interval_union" ->
       s"""WITH iv AS (
          |  SELECT * FROM (${Queries.orderIntervalsSql}) iv0

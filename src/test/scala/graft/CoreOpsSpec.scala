@@ -121,4 +121,28 @@ class CoreOpsSpec extends SparkSpec {
       (2L, "2020-01-01", null),
       (3L, "2020-01-01", "2020-01-31")))
   }
+
+  test("subtractPerKey and intersectPerKey interval algebra") {
+    val a = Seq(
+      (1L, d("2020-01-01"), Option(d("2020-01-31"))),
+      (2L, d("2020-01-01"), Option(d("2020-01-10")))
+    ).toDF("key_k", "valid_from", "valid_until")
+    val b = Seq(
+      (1L, d("2020-01-10"), Option(d("2020-01-15"))), // punches a hole
+      (1L, d("2020-01-20"), Option(d("2020-01-25"))), // second hole
+      (2L, d("2019-12-01"), Option(d("2020-02-01")))  // swallows key 2
+    ).toDF("key_k", "valid_from", "valid_until")
+    def collect(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("key_k"), col("valid_from").cast("string"),
+        col("valid_until").cast("string"))
+      .as[(Long, String, String)].collect().toSet
+    assert(collect(Intervals.subtractPerKey(a, b, Seq("key_k"))) == Set(
+      (1L, "2020-01-01", "2020-01-10"),
+      (1L, "2020-01-15", "2020-01-20"),
+      (1L, "2020-01-25", "2020-01-31")))
+    assert(collect(Intervals.intersectPerKey(a, b, Seq("key_k"))) == Set(
+      (1L, "2020-01-10", "2020-01-15"),
+      (1L, "2020-01-20", "2020-01-25"),
+      (2L, "2020-01-01", "2020-01-10")))
+  }
 }
