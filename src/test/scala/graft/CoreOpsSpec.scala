@@ -145,4 +145,38 @@ class CoreOpsSpec extends SparkSpec {
       (1L, "2020-01-20", "2020-01-25"),
       (2L, "2020-01-01", "2020-01-10")))
   }
+
+  test("interval algebra property: day sets match brute force on random inputs") {
+    val rnd = new scala.util.Random(17)
+    val base = java.time.LocalDate.parse("2020-01-01")
+    def randIntervals(n: Int) = (0 until n).map { _ =>
+      val k = rnd.nextInt(4).toLong
+      val s = rnd.nextInt(40)
+      val len = 1 + rnd.nextInt(12)
+      (k, java.sql.Date.valueOf(base.plusDays(s)),
+        Option(java.sql.Date.valueOf(base.plusDays(s + len))))
+    }
+    def daySet(rows: Seq[(Long, java.sql.Date, Option[java.sql.Date])]) =
+      rows.flatMap { case (k, f, Some(u)) =>
+        Iterator.iterate(f.toLocalDate)(_.plusDays(1))
+          .takeWhile(_.isBefore(u.toLocalDate)).map(d => (k, d)).toSeq
+      case _ => Seq.empty
+      }.toSet
+    def spansToDays(df: org.apache.spark.sql.DataFrame) = daySet(
+      df.select(col("key_k"), col("valid_from"), col("valid_until"))
+        .collect().map(r => (r.getLong(0), r.getDate(1),
+          Option(r.getDate(2)))).toSeq)
+    (0 until 5).foreach { trial =>
+      val ar = randIntervals(8 + rnd.nextInt(8))
+      val br = randIntervals(8 + rnd.nextInt(8))
+      val a = ar.toDF("key_k", "valid_from", "valid_until")
+      val b = br.toDF("key_k", "valid_from", "valid_until")
+      val union = spansToDays(Intervals.mergePerKey(a, Seq("key_k")))
+      assert(union == daySet(ar), s"union trial $trial")
+      val diff = spansToDays(Intervals.subtractPerKey(a, b, Seq("key_k")))
+      assert(diff == daySet(ar) -- daySet(br), s"diff trial $trial")
+      val inter = spansToDays(Intervals.intersectPerKey(a, b, Seq("key_k")))
+      assert(inter == daySet(ar).intersect(daySet(br)), s"inter trial $trial")
+    }
+  }
 }
