@@ -81,4 +81,21 @@ object Scd2 {
   def sliceAt(versioned: DataFrame, ts: String): DataFrame =
     versioned.filter(
       col(FromTs) <= lit(ts) && (col(UntilTs) > lit(ts) || col(UntilTs).isNull))
+
+  /** Audit view: version rows whose lifecycle changed in the
+    * transaction-time window (ts1, ts2] — `opened` (inserted), `closed`
+    * (superseded/deleted), or `opened_closed` (both within the window).
+    * The change-data-capture companion of `sliceAt`: what did the feed
+    * do to this table between two points in transaction time? */
+  def changesBetween(versioned: DataFrame, ts1: String,
+                     ts2: String): DataFrame = {
+    val opened = col(FromTs) > lit(ts1) && col(FromTs) <= lit(ts2)
+    val closed = col(UntilTs).isNotNull &&
+      col(UntilTs) > lit(ts1) && col(UntilTs) <= lit(ts2)
+    versioned.filter(opened || closed)
+      .withColumn("change",
+        when(opened && closed, "opened_closed")
+          .when(opened, "opened")
+          .otherwise("closed"))
+  }
 }

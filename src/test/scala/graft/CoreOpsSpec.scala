@@ -72,6 +72,18 @@ class CoreOpsSpec extends SparkSpec {
     val atT1 = Scd2.sliceAt(s2, "t1").select("id", "v")
       .as[(Long, String)].collect().toSet
     assert(atT1 == Set((1L, "a"), (2L, "b")))
+    // change-data-capture between transaction times
+    val v3 = Seq((1L, "a")).toDF("id", "v") // delete id 2
+    val s3 = Scd2.updateSnapshot(Some(s2), v3, "t3", Seq("id", "v"))
+    val ch12 = Scd2.changesBetween(s3, "t1", "t2")
+      .select("id", "v", "change").as[(Long, String, String)]
+      .collect().toSet
+    assert(ch12 == Set((2L, "b", "closed"), (2L, "c", "opened")))
+    val ch13 = Scd2.changesBetween(s3, "t1", "t3")
+      .select("id", "v", "change").as[(Long, String, String)]
+      .collect().toSet
+    assert(ch13 == Set((2L, "b", "closed"), (2L, "c", "opened_closed")))
+    assert(Scd2.changesBetween(s3, "t3", "t3").count() == 0)
   }
 
   test("missing ranges finds contiguous gaps") {
