@@ -105,12 +105,11 @@ object Intervals {
     val iv = Seq(col(ValidFrom), col(ValidUntil))
     val aT = a.select(kc ++ iv :+ lit(1).as("__in_a"): _*)
     val bT = b.select(kc ++ iv :+ lit(1).as("__in_b"): _*)
+    // interlace derives segment ends with lead() over DISTINCT
+    // breakpoints, so every emitted segment is non-empty by
+    // construction — no sliver filtering needed
     val seg = graft.operators.Interlace.interlace(Seq(aT, bT), keys)
-    // breakpoint segmentation can leave empty [x, x) slivers at span
-    // edges — they carry no validity and must not surface as spans
-    mergePerKey(seg.filter(keep &&
-      (col(ValidUntil).isNull || col(ValidFrom) < col(ValidUntil)))
-      .select(kc ++ iv: _*), keys)
+    mergePerKey(seg.filter(keep).select(kc ++ iv: _*), keys)
   }
 
   def intervalsOverlap(

@@ -167,7 +167,7 @@ class FeatureStore(
     * its predecessor would exclude the predecessor's open rows from
     * the merge and corrupt the version chain. Millisecond granularity
     * bounds clock drift to sustained >1000 commits/sec; the sequence is
-    * shared per storePath across instances (like `jvmLocks`), so two
+    * shared per storePath across instances (like `KeyedLocks`), so two
     * stores on one path cannot interleave non-monotonic times. */
   private def nextIngestTs(): String = {
     val fmt = java.time.format.DateTimeFormatter
@@ -275,15 +275,9 @@ class FeatureStore(
     * each other's `_temporary/0` commit staging — plus the marker file,
     * which is what excludes OTHER processes (atomic create on
     * HDFS-like stores); waits up to `lockWaitMaxMs`. */
-  def withTableLock[T](loader: String)(body: => T): T = {
-    val lockFile = new Path(s"${tablePath(loader)}.lock")
-    val jvmLock = FeatureStore.jvmLocks.getOrElseUpdate(
-      (storePath, loader), new java.util.concurrent.locks.ReentrantLock)
-    if (!jvmLock.tryLock(lockWaitMaxMs,
-        java.util.concurrent.TimeUnit.MILLISECONDS))
-      throw new IllegalStateException(
-        s"Lock not released within ${lockWaitMaxMs / 1000}s: $lockFile")
-    try {
+  def withTableLock[T](loader: String)(body: => T): T =
+    KeyedLocks.withLock(s"$storePath#$loader", lockWaitMaxMs) {
+      val lockFile = new Path(s"${tablePath(loader)}.lock")
       // the FS-marker wait gets its own full budget — stamping the
       // deadline before the JVM wait would leave a thread queued behind
       // a long same-JVM writer with no time to wait out another process
@@ -307,8 +301,7 @@ class FeatureStore(
         }
       }
       try body finally fs.delete(lockFile, false)
-    } finally jvmLock.unlock()
-  }
+    }
 
   /** Lock timings resolve through the scoped option system (reference:
     * `diseasyoption("lock_wait_max", self)` in R/DiseasystoreBase.R:148-152)
@@ -507,11 +500,6 @@ object StoreCatalog {
 }
 
 object FeatureStore {
-  /** Same-JVM writer exclusion per (storePath, loader) — see
-    * `withTableLock`. */
-  private[core] val jvmLocks = scala.collection.concurrent.TrieMap
-    .empty[(String, String), java.util.concurrent.locks.ReentrantLock]
-
   /** Per-storePath monotone ingest-timestamp sequence — see
     * `nextIngestTs`. */
   private[core] val lastIngestTs = scala.collection.concurrent.TrieMap

@@ -39,16 +39,15 @@ object Chunking {
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "[0-9]{4,}" -> "<NUM>")
 
-  /** Redact URLs, e-mail addresses, and long digit runs. Patterns avoid
-    * capture-group backreferences so the exact same regex text runs on
-    * Java regex and RE2 engines identically. */
-  /** Sequence packing for training batches: assign documents to
-    * fixed-capacity token bins by a running token sum in a stable
-    * deterministic order (contiguous packing — the shuffle-once,
-    * pack-sequentially strategy used for LLM pretraining batches).
-    * A doc larger than `binTokens` gets a bin of its own, and the next
-    * doc starts a fresh bin (no splitting here — `chunk` first if
-    * oversized docs must be split). Output: one row per doc with its
+  /** Sequence packing for training batches: documents are laid out in a
+    * stable deterministic order per `partCol` shard and cut into
+    * CAPACITY-TARGETED contiguous bins — a doc belongs to the bin whose
+    * `binTokens` boundary its cumulative token END crosses (an end
+    * exactly on a boundary still belongs to the bin it filled). Bins
+    * therefore AVERAGE `binTokens` but an individual bin overflows by
+    * up to its last doc's length minus one (and a doc longer than
+    * `binTokens` spills its bin by the excess) — `chunk` first if hard
+    * per-sequence caps are required. Output: one row per doc with its
     * `bin_id`; downstream grouping by bin gives the batch manifest.
     *
     * Scale note: the running sum is a window per `partCol` (e.g.
@@ -63,14 +62,15 @@ object Chunking {
       .withColumn("__cum",
         sum(col("n_tokens")).over(w.rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      // bin = which capacity boundary the doc's END crosses; docs whose
-      // cumulative end lands exactly on a boundary still belong to the
-      // bin they filled
-      .withColumn("bin_id",
-        ((col("__cum") - 1L) / binTokens).cast("long"))
+      // integer `div`, not `/`: Spark's `/` on integers is DOUBLE
+      // division (CLAUDE.md invariant; DuckDB oracle uses `//`)
+      .withColumn("bin_id", expr(s"(__cum - 1) div $binTokens"))
       .drop("__cum")
   }
 
+  /** Redact URLs, e-mail addresses, and long digit runs. Patterns avoid
+    * capture-group backreferences so the exact same regex text runs on
+    * Java regex and RE2 engines identically. */
   def scrub(text: Column): Column =
     Scrubs.foldLeft(text) { case (c, (pat, rep)) =>
       regexp_replace(c, pat, rep)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Intervals
+import graft.core.{Intervals, KeyedLocks}
 
 /** Incrementally-maintained prevalence/incidence series under
   * continuous ingest — the streaming twin of `KeyJoinFeatures` for the
@@ -22,15 +22,16 @@ import graft.core.Intervals
   * date×strata grid; each micro-batch costs one scan of ITSELF plus a
   * grid-sized merge.
   *
-  * Exactly-once: commit markers are written INSIDE the delta directory
-  * and published by the same atomic rename as the data, so a crash
-  * between write and publish replays cleanly (an additive merge cannot
-  * self-correct a double-apply the way a checksum merge can). Marker
-  * ids are micro-batch ids, which are only meaningful within one
-  * checkpoint lineage — `ingest` records the checkpoint identity in
-  * the state and refuses to resume under a different one (silently
-  * reusing old markers would drop new batches; remerging would double
-  * count).
+  * Exactly-once: the high-water batch id (`_last_batch`) is written
+  * into the delta directory and published by the same rename as the
+  * data — an additive merge cannot self-correct a double-apply the way
+  * a checksum merge can, so data and progress must move together. The
+  * publish keeps the previous state as `delta.prev` until the new one
+  * is in place; `recover()` rolls half-finished swaps forward or back,
+  * so no crash point loses merged history. Batch ids are meaningful
+  * only within one checkpoint lineage — `ingest` records the
+  * checkpoint identity and refuses a mismatched or RESET checkpoint
+  * over existing state (replayed ids would silently skip new batches).
   *
   * The incoming rows must already carry the stratification columns
   * (pre-joined); streaming truncate-interlace of separate strat feeds
@@ -46,6 +47,7 @@ class SeriesStream(
     countAgg: Boolean = true) {
 
   private val deltaPath = s"$statePath/delta"
+  private val prevPath = s"$statePath/delta.prev"
   private def fs = new Path(statePath)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -71,55 +73,74 @@ class SeriesStream(
         sum(col("__d.remove")).as("n_remove"))
   }
 
-  private def markerName(batchId: Long) = s"_committed_$batchId"
+  /** Roll a half-finished publish forward: if a crash hit between the
+    * two renames, the previous state is still at `delta.prev` — restore
+    * it; if the new state landed, drop the backup. Idempotent. */
+  private def recover(): Unit = {
+    val dst = new Path(deltaPath)
+    val prev = new Path(prevPath)
+    if (fs.exists(prev)) {
+      if (fs.exists(dst)) fs.delete(prev, true) // publish completed
+      else fs.rename(prev, dst) // crash mid-swap: roll back to previous
+    }
+  }
 
-  private def committedMarkers(): Seq[String] =
-    if (fs.exists(new Path(deltaPath)))
-      fs.listStatus(new Path(deltaPath)).map(_.getPath.getName)
-        .filter(_.startsWith("_committed_")).toSeq
-    else Seq.empty
+  /** High-water committed batch id, travelling inside the delta dir. */
+  private def lastBatchId(): Long = {
+    val f = new Path(s"$deltaPath/_last_batch")
+    if (!fs.exists(f)) -1L
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
 
   /** Merge one batch into the materialized delta table; idempotent per
-    * `batchId`. Single-writer per statePath within the JVM (same
-    * read-modify-write clobbering FeatureStore.withTableLock guards
-    * against); cross-process streams must not share a statePath. */
+    * `batchId` (ids ascend within a checkpoint lineage, so one
+    * high-water mark suffices — O(1) progress state, not a marker per
+    * batch). Same-JVM single-writer per statePath via `KeyedLocks`;
+    * cross-process streams must not share a statePath. */
   def commitBatch(batch: DataFrame, batchId: Long): Unit =
-    SeriesStream.withStateLock(statePath) {
-      val markers = committedMarkers()
-      if (!markers.contains(markerName(batchId))) {
-      val incoming = deltaOf(batch)
-      val merged =
-        if (fs.exists(new Path(deltaPath)))
-          spark.read.parquet(deltaPath)
-            .unionByName(incoming)
-            .groupBy((stratCols.map(col) :+ col("date")): _*)
-            .agg(sum(col("n_add")).as("n_add"),
-              sum(col("n_remove")).as("n_remove"))
-        else incoming
-      val tmp = new Path(s"$deltaPath.tmp")
-      merged.write.mode("overwrite").parquet(tmp.toString)
-      // markers travel with the data through ONE rename: either the new
-      // delta AND its marker are visible, or neither — no crash window
-      // in which the data is committed but the batch looks unapplied
-      (markers :+ markerName(batchId)).foreach { m =>
-        fs.create(new Path(tmp, m), true).close()
-      }
-      val dst = new Path(deltaPath)
-      if (fs.exists(dst)) fs.delete(dst, true)
-      fs.rename(tmp, dst)
+    KeyedLocks.withLock(s"series#$statePath") {
+      recover()
+      if (batchId > lastBatchId()) {
+        val incoming = deltaOf(batch)
+        val merged =
+          if (fs.exists(new Path(deltaPath)))
+            spark.read.parquet(deltaPath)
+              .unionByName(incoming)
+              .groupBy((stratCols.map(col) :+ col("date")): _*)
+              .agg(sum(col("n_add")).as("n_add"),
+                sum(col("n_remove")).as("n_remove"))
+          else incoming
+        val tmp = new Path(s"$deltaPath.tmp")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        // progress marker travels with the data through the same rename
+        val out = fs.create(new Path(tmp, "_last_batch"), true)
+        out.write(batchId.toString.getBytes("UTF-8")); out.close()
+        val dst = new Path(deltaPath)
+        // keep the old state as a backup until the new one is in place:
+        // a crash at any point leaves either dst or prev intact for
+        // recover() — never silent loss of merged history
+        if (fs.exists(dst)) fs.rename(dst, new Path(prevPath))
+        fs.rename(tmp, dst)
+        fs.delete(new Path(prevPath), true)
       }
     }
 
-  /** Continuous ingest: one delta merge per micro-batch. Refuses to
-    * resume existing state under a different checkpoint lineage (batch
-    * ids would restart at 0: old markers would silently drop the new
-    * batches, and clearing them would double-merge — reset statePath
-    * together with the checkpoint, or keep both). */
+  /** Continuous ingest: one delta merge per micro-batch. Refuses
+    * existing state whose checkpoint lineage does not match — including
+    * a checkpoint RESET at the same path (metadata gone while the state
+    * has commits): batch ids would restart at 0 and the high-water mark
+    * would silently skip the new batches. Reset statePath together with
+    * the checkpoint, or keep both. */
   def ingest(rows: DataFrame, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val epoch = new Path(s"$statePath/_epoch")
     val id = java.util.UUID.nameUUIDFromBytes(
       checkpointDir.getBytes("UTF-8")).toString
+    recover()
     if (fs.exists(epoch)) {
       val in = fs.open(epoch)
       val prev =
@@ -128,10 +149,20 @@ class SeriesStream(
       require(prev == id,
         s"state at $statePath was built under a different checkpoint " +
           "lineage; reset the state together with the checkpoint")
+      val ckptStarted = fs.exists(
+        new Path(new Path(checkpointDir), "metadata"))
+      require(ckptStarted || lastBatchId() < 0L,
+        s"checkpoint $checkpointDir was reset but state at $statePath " +
+          "has commits; batch ids would restart and be skipped — reset " +
+          "the state together with the checkpoint")
     } else {
       fs.mkdirs(new Path(statePath))
-      val out = fs.create(epoch, true)
+      // write-then-rename: a crash mid-write must not leave a torn
+      // _epoch that bricks every later ingest with a lineage error
+      val tmp = new Path(s"$statePath/_epoch.tmp")
+      val out = fs.create(tmp, true)
       out.write(id.getBytes("UTF-8")); out.close()
+      fs.rename(tmp, epoch)
     }
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -146,6 +177,7 @@ class SeriesStream(
   /** The current series: date grid × strata, prefix sum over the
     * materialized delta — grid-sized work, no raw-data access. */
   def series(observableName: String): DataFrame = {
+    KeyedLocks.withLock(s"series#$statePath") { recover() }
     val sc = stratCols.map(col)
     val delta = spark.read.parquet(deltaPath)
     val dates = spark.range(1).select(
@@ -169,17 +201,5 @@ class SeriesStream(
       .withColumn(observableName,
         sum(col("n_add")).over(w) - sum(col("n_remove")).over(w))
       .select((col("date") +: sc) :+ col(observableName): _*)
-  }
-}
-
-object SeriesStream {
-  private val locks = scala.collection.concurrent.TrieMap
-    .empty[String, java.util.concurrent.locks.ReentrantLock]
-
-  private def withStateLock[T](statePath: String)(body: => T): T = {
-    val l = locks.getOrElseUpdate(statePath,
-      new java.util.concurrent.locks.ReentrantLock)
-    l.lock()
-    try body finally l.unlock()
   }
 }

@@ -94,6 +94,34 @@ class SeriesStreamSpec extends SparkSpec {
     assert(err.getMessage.contains("checkpoint lineage"))
   }
 
+  test("crash mid-swap recovers: previous state restored, replay applies") {
+    val state = Files.createTempDirectory("graft-series4").toString
+    val ss = new SeriesStream(spark, state, feature = "key_id",
+      stratCols = Seq.empty, start = "2024-01-01",
+      endInclusive = "2024-01-31")
+    ss.commitBatch(toDf(batch1), 0L)
+    val good = ss.series("n_active")
+      .select(col("date").cast("string"), col("n_active"))
+      .as[(String, Long)].collect().toSet
+    // simulate a crash between the two publish renames: dst moved away,
+    // new state never landed
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$state/delta"),
+      new org.apache.hadoop.fs.Path(s"$state/delta.prev"))
+    // series() rolls back to the previous state instead of failing
+    val recovered = ss.series("n_active")
+      .select(col("date").cast("string"), col("n_active"))
+      .as[(String, Long)].collect().toSet
+    assert(recovered == good)
+    // and the next batch applies on the recovered state
+    ss.commitBatch(toDf(batch2), 1L)
+    val after = ss.series("n_active")
+      .select(col("date").cast("string"), col("n_active"))
+      .as[(String, Long)].collect().toSet
+    assert(after != good)
+  }
+
   test("unstratified series matches and stays grid-sized") {
     val state = Files.createTempDirectory("graft-series2").toString
     val ss = new SeriesStream(spark, state, feature = "key_id",
