@@ -87,4 +87,28 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"candidate generation must stay an equi-join:\n$plan")
   }
+
+  test("scan-side text kernels stay inside whole-stage codegen") {
+    // token counting / quality / winnowing are scan->project pipelines:
+    // no UDF evaluation nodes, and the work is codegen'd
+    Seq("q24_token_count", "q25_quality_score", "q49_winnow").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(plan.contains("codegen id"),
+        s"$q lost whole-stage codegen:\n$plan")
+      assert(!plan.contains("BatchEvalPython") &&
+        !plan.contains("ArrowEvalPython"),
+        s"$q must not evaluate Python UDFs:\n$plan")
+      // one scan, no shuffle: per-row text kernels are map-only
+      assert(!plan.contains("Exchange") || q == "q49_winnow",
+        s"$q should be map-only (no Exchange):\n$plan")
+    }
+  }
+
+  test("sequence packing shuffles once on the shard column") {
+    val plan = planOf(SparkEntry.queries("q56_packing")(spark, dir))
+    val exchanges = "Exchange".r.findAllIn(
+      plan.replace("ReusedExchange", "")).size
+    assert(exchanges <= 2, // shard window + final group-by
+      s"packing must not shuffle more than twice:\n$plan")
+  }
 }
