@@ -82,6 +82,23 @@ object Scd2 {
     versioned.filter(
       col(FromTs) <= lit(ts) && (col(UntilTs) > lit(ts) || col(UntilTs).isNull))
 
+  /** Smallest transaction-time tick strictly after `ts` (1 ms), for
+    * clamping a lagging wall clock past a table's persisted high-water
+    * mark. Accepts second- or millisecond-precision strings; both
+    * orderings are lexicographic-safe against each other. */
+  def tickAfter(ts: String): String = {
+    val parse = new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern("yyyy-MM-dd HH:mm:ss")
+      .optionalStart()
+      .appendFraction(java.time.temporal.ChronoField.MILLI_OF_SECOND,
+        1, 3, true)
+      .optionalEnd()
+      .toFormatter
+    java.time.LocalDateTime.parse(ts, parse).plusNanos(1000000L)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+  }
+
   /** Audit view: version rows whose lifecycle changed in the
     * transaction-time window (ts1, ts2] — `opened` (inserted), `closed`
     * (superseded/deleted), or `opened_closed` (both within the window).

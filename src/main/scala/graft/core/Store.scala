@@ -43,7 +43,8 @@ class FeatureStore(
     val observablesRegex: String = """^n_\w""",
     val partitionByMonth: Boolean = false,
     val minStartDate: Option[String] = None,
-    val maxEndDate: Option[String] = None) {
+    val maxEndDate: Option[String] = None,
+    val storeScope: Option[String] = None) {
 
   /** Validate a requested study period against the store's bounds
     * (reference: `ds$min_start_date` / `ds$max_end_date`,
@@ -149,12 +150,22 @@ class FeatureStore(
     // requires the feed's rows to be set-valued.
     val merged = readTable(loader) match {
       case Some(cur) =>
-        val curOpen = Scd2.sliceAt(cur, sliceTs)
+        // Transaction-time monotonicity must hold against the TABLE,
+        // not just this JVM's sequence: after a driver restart on a
+        // lagging clock (or a second process on the same store) a
+        // wall-clock sliceTs can trail the last commit, and sliceAt
+        // would then exclude the newest open rows from the merge —
+        // duplicate versions, broken time travel. Clamp to just past
+        // the persisted high-water mark.
+        val maxTs = cur.agg(max(col(Scd2.FromTs))).head.getString(0)
+        val ts = if (maxTs == null || sliceTs > maxTs) sliceTs
+          else Scd2.tickAfter(maxTs)
+        val curOpen = Scd2.sliceAt(cur, ts)
           .drop(Scd2.Checksum, Scd2.FromTs, Scd2.UntilTs)
         Scd2.updateSnapshot(Some(cur),
           curOpen.select(dataCols.map(col): _*).unionByName(batch)
             .distinct(),
-          sliceTs, dataCols)
+          ts, dataCols)
       case None => Scd2.updateSnapshot(None, batch.distinct(), sliceTs,
         dataCols)
     }
@@ -316,10 +327,15 @@ class FeatureStore(
   protected def lockStaleMs: Long =
     Options.millis(spark, "lock_stale_ms", storeName, 60 * 60 * 1000L)
 
-  /** Canonical scope name for option lookups. */
-  protected def storeName: String =
+  /** Canonical scope name for option lookups: the explicit
+    * `storeScope`, else the concrete class name. Factory methods that
+    * build a plain `FeatureStore` must pass `storeScope` (their
+    * registry name) — the class-name default would resolve to
+    * "FeatureStore" and the `graft.<Store>.<opt>` tier would silently
+    * never apply. */
+  protected[core] def storeName: String = storeScope.getOrElse(
     graft.stores.Registry.toStoreCase(
-      getClass.getSimpleName.stripSuffix("$"))
+      getClass.getSimpleName.stripSuffix("$")))
 
   /** Compute-if-missing + SCD2 persist + interval slice
     * (reference: R/DiseasystoreBase.R:99-274). */

@@ -95,8 +95,12 @@ object SimHashKernel {
   * left-to-right in index order — bit-identical to the HOF
   * `aggregate(zip_with(...))` formulations they replace (cross-checked in
   * NativeExprSpec), so oracle comparisons and recall specs are unaffected.
-  * Null elements are treated as absent (skipped), matching how the HOF
-  * twins never see null embedding elements in practice. */
+  * PRECONDITION: embedding arrays must not contain null elements. A
+  * null slot is read as 0.0 (`ArrayData.getDouble` on a null entry) —
+  * unlike the HOF twins, which would propagate NULL — so feeding nulls
+  * yields numbers computed with zeros instead of a visible NULL.
+  * Validate upstream (e.g. `forall(e, _.isNotNull)`) if the source can
+  * carry nulls; the engine's own pipelines never produce them. */
 object VecKernel {
 
   def dot(a: ArrayData, b: ArrayData): Double = {

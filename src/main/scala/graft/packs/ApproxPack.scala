@@ -14,6 +14,25 @@ import graft.operators.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 object ApproxPack extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // native kernels addressed from SQL text: per-language corpus stats
+    // over minhash/ngram/simhash outputs (rows-only: the kernels are not
+    // DuckDB-reproducible; SqlPackSpec proves parity vs the DataFrame
+    // formulation, NativeExprSpec vs the HOF twins)
+    "q51_sql_native_fns" -> ((s, dir) => {
+      graft.GraftExtensions.registerInto(s)
+      Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT lang,
+          |  count(*) AS n_docs,
+          |  sum(size(graft_ngrams(split(trim(text), '\\s+'), 3))) AS n_shingles,
+          |  sum(element_at(graft_minhash(
+          |    graft_ngrams(split(trim(text), '\\s+'), 3), 16), 1)) AS sig1_sum,
+          |  sum(bit_count(graft_simhash(
+          |    graft_ngrams(split(trim(text), '\\s+'), 2)))) AS simhash_bits
+          |FROM documents
+          |GROUP BY lang""".stripMargin)
+    }),
+
     "q29_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.load(s, dir, "documents"), "doc_id", "text",
         numHashes = 128, bands = 32, threshold = 0.5)),

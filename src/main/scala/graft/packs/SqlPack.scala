@@ -59,25 +59,6 @@ object SqlPack extends QueryPack {
            |    AS BIGINT) AS n_orders
            |FROM j""".stripMargin)
     }),
-
-    // native kernels addressed from SQL text: per-language corpus stats
-    // over minhash/ngram/simhash outputs (rows-only: the kernels are not
-    // DuckDB-reproducible; NativeExprSpec proves bit-parity vs the HOF
-    // formulations)
-    "q51_sql_native_fns" -> ((s, dir) => {
-      graft.GraftExtensions.registerInto(s)
-      Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
-      s.sql(
-        """SELECT lang,
-          |  count(*) AS n_docs,
-          |  sum(size(graft_ngrams(split(trim(text), '\\s+'), 3))) AS n_shingles,
-          |  sum(element_at(graft_minhash(
-          |    graft_ngrams(split(trim(text), '\\s+'), 3), 16), 1)) AS sig1_sum,
-          |  sum(bit_count(graft_simhash(
-          |    graft_ngrams(split(trim(text), '\\s+'), 2)))) AS simhash_bits
-          |FROM documents
-          |GROUP BY lang""".stripMargin)
-    })
   )
 
   def oracleSql: Map[String, String] = Map(

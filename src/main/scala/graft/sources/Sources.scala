@@ -72,13 +72,16 @@ object Sources {
   def resolveDated(listing: Seq[String], file: String): Option[String] = {
     val fileDate = DateRe.findFirstIn(file).getOrElse(
       throw new IllegalArgumentException(s"no yyyy-MM-dd date in $file"))
-    // Non-date parts of the requested name match literally.
-    val pattern = DateRe.pattern.split(file, -1)
+    // Non-date parts of the requested name match literally; the WHOLE
+    // candidate name must match (a substring match would accept names
+    // that merely contain the pattern), and the compared date is the
+    // one at the pattern's date position — captured by group, never
+    // scraped from elsewhere in the name.
+    val pattern = ("^" + DateRe.pattern.split(file, -1)
       .map(java.util.regex.Pattern.quote(_))
-      .mkString(DateRe.regex).r
+      .mkString("(" + DateRe.regex + ")") + "$").r
     listing
-      .filter(n => pattern.findFirstIn(n).isDefined)
-      .flatMap(n => DateRe.findFirstIn(n).map(_ -> n))
+      .flatMap(n => pattern.findFirstMatchIn(n).map(m => m.group(1) -> n))
       .filter(_._1 <= fileDate) // ISO strings: lexicographic = chronological
       .sortBy(_._1)
       .lastOption.map(_._2)

@@ -14,6 +14,7 @@ import graft.core._
 class SemiAggStore(spark: SparkSession, sfDir: String, storePath: String)
     extends FeatureStore(
       spark, sfDir, storePath,
+      storeScope = Some("SemiAggEvents"), // registry label, not class name
       dsMap = Seq(
         "n_events" -> "leveled_events",
         "loc" -> "locations"),

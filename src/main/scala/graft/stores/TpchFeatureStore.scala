@@ -42,6 +42,7 @@ object TpchFeatureStore {
     spark, sfDir, storePath,
     minStartDate = Some("1992-01-01"),
     maxEndDate = Some("1998-12-31"),
+    storeScope = Some("TpchOrders"),
     dsMap = Seq(
       "n_orders" -> "order_episodes",
       "n_first_order" -> "first_order_episode",

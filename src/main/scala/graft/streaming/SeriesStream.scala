@@ -177,9 +177,15 @@ class SeriesStream(
   /** The current series: date grid × strata, prefix sum over the
     * materialized delta — grid-sized work, no raw-data access. */
   def series(observableName: String): DataFrame = {
-    KeyedLocks.withLock(s"series#$statePath") { recover() }
+    // snapshot the (grid-sized) delta UNDER the lock: a lazily-returned
+    // file scan would race the next commit's directory swap and hit
+    // deleted files at action time. localCheckpoint materializes the
+    // tiny frame eagerly and cuts the file lineage.
+    val delta = KeyedLocks.withLock(s"series#$statePath") {
+      recover()
+      spark.read.parquet(deltaPath).localCheckpoint()
+    }
     val sc = stratCols.map(col)
-    val delta = spark.read.parquet(deltaPath)
     val dates = spark.range(1).select(
       explode(sequence(startD, endD)).as("date"))
     val grid =

@@ -69,6 +69,32 @@ class OptionsSourcesSpec extends SparkSpec {
     }
   }
 
+  test("store-scoped lock options reach factory-built stores") {
+    // TpchFeatureStore is built as a plain FeatureStore by a factory —
+    // the graft.TpchOrders.* tier must still resolve (storeScope)
+    spark.conf.set("graft.TpchOrders.lock_wait_max_ms", "120")
+    spark.conf.set("graft.TpchOrders.lock_wait_increment_ms", "10")
+    try {
+      val store = graft.stores.TpchFeatureStore(spark,
+        "/root/testdata/sf0.001",
+        Files.createTempDirectory("graft-lockscope").toString)
+      val held = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() => store.withTableLock("t") {
+        held.countDown(); release.await()
+      })
+      t.start(); held.await()
+      val t0 = System.currentTimeMillis()
+      intercept[IllegalStateException] { store.withTableLock("t") { () } }
+      assert(System.currentTimeMillis() - t0 < 5000,
+        "store-scoped 120ms wait was not honored")
+      release.countDown(); t.join()
+    } finally {
+      spark.conf.unset("graft.TpchOrders.lock_wait_max_ms")
+      spark.conf.unset("graft.TpchOrders.lock_wait_increment_ms")
+    }
+  }
+
   test("strict pluck errors on missing column, passes through present") {
     import spark.implicits._
     val df = Seq((1, "a")).toDF("id", "name")
