@@ -79,6 +79,29 @@ object Intervals {
           .otherwise(col("__u")).as(ValidUntil): _*)
   }
 
+  /** Daily NON-INVERTIBLE aggregates over multi-day validity intervals
+    * (min / max / count-distinct per active day). The delta + prefix-sum
+    * trick behind `KeyJoinFeatures` needs an invertible aggregator —
+    * subtraction at `valid_until` — which min/max/distinct don't have;
+    * the reference dodges this with a 1-day-validity quirk. The general
+    * path: explode each interval into its study-period days and
+    * aggregate per (date, strata). Fanout is bounded by interval length
+    * × rows, and partial aggregation collapses it map-side before the
+    * one shuffle on (date, strata) — the same scan-heavy/shuffle-light
+    * shape as the delta pipeline. */
+  def dailyAgg(df: DataFrame, start: String, endInclusive: String,
+               stratCols: Seq[String],
+               aggs: Seq[Column]): DataFrame = {
+    val s = to_date(lit(start))
+    val e = to_date(lit(endInclusive))
+    df.filter(overlapsPeriod(s, e))
+      .withColumn("date", explode(sequence(
+        greatest(col(ValidFrom), s),
+        least(coalesce(date_sub(col(ValidUntil), 1), e), e))))
+      .groupBy((col("date") +: stratCols.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-key interval DIFFERENCE a ∖ b: the parts of `a`'s validity not
     * covered by `b` (e.g. hospital episodes minus ICU stays). Composed
     * from the engine's own machinery: tag both sides, segment on the

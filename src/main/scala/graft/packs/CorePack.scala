@@ -93,10 +93,35 @@ object CorePack extends QueryPack {
         .groupBy("key_cust")
         .agg(sum(datediff(col("valid_until"), col("valid_from")))
           .as("uncovered_days"))
-    })
+    }),
+
+    // daily NON-INVERTIBLE aggregates over multi-day intervals: min /
+    // max / distinct-keys per active day (the general path where the
+    // delta+prefix-sum trick cannot apply)
+    "q58_minmax_multiday" -> ((s, dir) =>
+      Intervals.dailyAgg(Queries.orderIntervals(s, dir), Start, End,
+        Seq.empty, Seq(
+          min(col("o_orderkey")).as("min_order"),
+          max(col("o_orderkey")).as("max_order"),
+          count_distinct(col("key_cust")).as("n_customers")))
+        .withColumn("date", col("date").cast("string")))
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q58_minmax_multiday" ->
+      s"""WITH iv AS (${Queries.orderIntervalsSql}),
+         |days AS (
+         |  SELECT CAST(gs.d AS DATE) AS d
+         |  FROM generate_series(TIMESTAMP '$Start',
+         |    TIMESTAMP '$End', INTERVAL 1 DAY) gs(d)
+         |)
+         |SELECT CAST(d AS VARCHAR) AS date,
+         |  min(o_orderkey) AS min_order,
+         |  max(o_orderkey) AS max_order,
+         |  CAST(count(DISTINCT key_cust) AS BIGINT) AS n_customers
+         |FROM days JOIN iv ON d >= valid_from AND d < valid_until
+         |GROUP BY d""".stripMargin,
+
     "q57_interval_diff" ->
       s"""WITH iv AS (${Queries.orderIntervalsSql}),
          |f AS (
