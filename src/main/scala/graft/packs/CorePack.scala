@@ -104,7 +104,20 @@ object CorePack extends QueryPack {
           min(col("o_orderkey")).as("min_order"),
           max(col("o_orderkey")).as("max_order"),
           count_distinct(col("key_cust")).as("n_customers")))
-        .withColumn("date", col("date").cast("string")))
+        .withColumn("date", col("date").cast("string"))),
+
+    // the stratified path: same non-invertible daily aggregates broken
+    // out by a broadcast-joined dimension
+    "q59_minmax_strat" -> ((s, dir) => {
+      val iv = Queries.orderIntervals(s, dir)
+      val seg = Queries.segmentFeature(s, dir)
+        .select("key_cust", "mktsegment")
+      Intervals.dailyAgg(iv.join(broadcast(seg), "key_cust"),
+        Start, End, Seq("mktsegment"), Seq(
+          max(col("o_orderkey")).as("max_order"),
+          count_distinct(col("key_cust")).as("n_customers")))
+        .withColumn("date", col("date").cast("string"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -121,6 +134,22 @@ object CorePack extends QueryPack {
          |  CAST(count(DISTINCT key_cust) AS BIGINT) AS n_customers
          |FROM days JOIN iv ON d >= valid_from AND d < valid_until
          |GROUP BY d""".stripMargin,
+
+    "q59_minmax_strat" ->
+      s"""WITH iv AS (${Queries.orderIntervalsSql}),
+         |seg AS (${Queries.segmentFeatureSql}),
+         |days AS (
+         |  SELECT CAST(gs.d AS DATE) AS d
+         |  FROM generate_series(TIMESTAMP '$Start',
+         |    TIMESTAMP '$End', INTERVAL 1 DAY) gs(d)
+         |)
+         |SELECT CAST(d AS VARCHAR) AS date, seg.mktsegment,
+         |  max(iv.o_orderkey) AS max_order,
+         |  CAST(count(DISTINCT iv.key_cust) AS BIGINT) AS n_customers
+         |FROM days
+         |JOIN iv ON d >= iv.valid_from AND d < iv.valid_until
+         |JOIN seg ON seg.key_cust = iv.key_cust
+         |GROUP BY d, seg.mktsegment""".stripMargin,
 
     "q57_interval_diff" ->
       s"""WITH iv AS (${Queries.orderIntervalsSql}),
