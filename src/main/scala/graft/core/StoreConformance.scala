@@ -103,6 +103,30 @@ object StoreConformance {
       }
     }
 
+    // extension surface: compaction is a pure layout change — every
+    // feature reads back identically and the flagship series is
+    // untouched (run against every store implementation, same as the
+    // reference behaviors above)
+    check("compaction preserves reads") {
+      val before = store.availableFeatures.map(f => f -> rows(fresh(f)))
+      val obs = store.availableObservables.headOption
+      val seriesBefore = obs.map(o =>
+        rows(store.keyJoinFeatures(o, Seq.empty, start, end)))
+      val byFeature = store.dsMap.toMap
+      store.availableFeatures
+        .map(f => byFeature(f)).distinct
+        .foreach(l => store.compact(l))
+      before.foreach { case (f, b) =>
+        require(rows(store.getFeature(f, start, end)) == b,
+          s"'$f' reads differently after compaction")
+      }
+      obs.foreach { o =>
+        require(seriesBefore.contains(
+          rows(store.keyJoinFeatures(o, Seq.empty, start, end))),
+          "flagship series changed after compaction")
+      }
+    }
+
     failures.result()
   }
 }
