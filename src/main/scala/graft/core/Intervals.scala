@@ -94,7 +94,11 @@ object Intervals {
                aggs: Seq[Column]): DataFrame = {
     val s = to_date(lit(start))
     val e = to_date(lit(endInclusive))
-    df.filter(overlapsPeriod(s, e))
+    // the zero-length guard matters: sequence(a, b) with a > b yields a
+    // DESCENDING sequence, so an empty [x, x) interval would fabricate
+    // two phantom active days instead of none
+    df.filter(overlapsPeriod(s, e) &&
+        (col(ValidUntil).isNull || col(ValidFrom) < col(ValidUntil)))
       .withColumn("date", explode(sequence(
         greatest(col(ValidFrom), s),
         least(coalesce(date_sub(col(ValidUntil), 1), e), e))))

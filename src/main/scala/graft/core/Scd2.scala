@@ -82,10 +82,15 @@ object Scd2 {
     versioned.filter(
       col(FromTs) <= lit(ts) && (col(UntilTs) > lit(ts) || col(UntilTs).isNull))
 
-  /** Smallest transaction-time tick strictly after `ts` (1 ms), for
-    * clamping a lagging wall clock past a table's persisted high-water
-    * mark. Accepts second- or millisecond-precision strings; both
-    * orderings are lexicographic-safe against each other. */
+  /** Smallest transaction-time tick strictly after `ts`, for clamping
+    * a lagging wall clock past a table's persisted high-water mark.
+    * Transaction times are compared as STRINGS everywhere else, so the
+    * tick must only be lexicographically-after and format-stable:
+    * second/millisecond timestamps advance by 1 ms, date-only strings
+    * get just-past-midnight, and any other opaque string falls back to
+    * a '~' suffix (0x7E sorts after every character the timestamp
+    * alphabet uses) — the clamp path must never throw on data the
+    * store happily persisted. */
   def tickAfter(ts: String): String = {
     val parse = new java.time.format.DateTimeFormatterBuilder()
       .appendPattern("yyyy-MM-dd HH:mm:ss")
@@ -94,9 +99,14 @@ object Scd2 {
         1, 3, true)
       .optionalEnd()
       .toFormatter
-    java.time.LocalDateTime.parse(ts, parse).plusNanos(1000000L)
-      .format(java.time.format.DateTimeFormatter
-        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    try
+      java.time.LocalDateTime.parse(ts, parse).plusNanos(1000000L)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    catch { case _: java.time.format.DateTimeParseException =>
+      if (ts.matches("""\d{4}-\d{2}-\d{2}""")) s"$ts 00:00:00.001"
+      else ts + "~"
+    }
   }
 
   /** Audit view: version rows whose lifecycle changed in the

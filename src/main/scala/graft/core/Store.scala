@@ -156,10 +156,19 @@ class FeatureStore(
         // wall-clock sliceTs can trail the last commit, and sliceAt
         // would then exclude the newest open rows from the merge —
         // duplicate versions, broken time travel. Clamp to just past
-        // the persisted high-water mark.
-        val maxTs = cur.agg(max(col(Scd2.FromTs))).head.getString(0)
-        val ts = if (maxTs == null || sliceTs > maxTs) sliceTs
+        // the persisted high-water mark — which must cover until_ts
+        // too (a close-only commit advances transaction time without
+        // inserting any from_ts). The table scan runs once per
+        // (store, loader); later commits carry the mark forward in
+        // memory under the same lock.
+        val hwKey = (storePath, loader)
+        val maxTs = FeatureStore.ingestHighWater.getOrElseUpdate(hwKey,
+          Option(cur.agg(max(greatest(col(Scd2.FromTs),
+              coalesce(col(Scd2.UntilTs), col(Scd2.FromTs)))))
+            .head.getString(0)).getOrElse(""))
+        val ts = if (maxTs.isEmpty || sliceTs > maxTs) sliceTs
           else Scd2.tickAfter(maxTs)
+        FeatureStore.ingestHighWater.put(hwKey, ts)
         val curOpen = Scd2.sliceAt(cur, ts)
           .drop(Scd2.Checksum, Scd2.FromTs, Scd2.UntilTs)
         Scd2.updateSnapshot(Some(cur),
@@ -520,4 +529,10 @@ object FeatureStore {
     * `nextIngestTs`. */
   private[core] val lastIngestTs = scala.collection.concurrent.TrieMap
     .empty[String, java.util.concurrent.atomic.AtomicReference[String]]
+
+  /** Per-(storePath, loader) persisted transaction-time high-water
+    * mark, seeded from the table on first contact — see
+    * `appendCommit`. Mutated only under that loader's table lock. */
+  private[core] val ingestHighWater = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
 }
