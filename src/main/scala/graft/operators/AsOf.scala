@@ -28,7 +28,17 @@ object AsOf {
     *         no version is valid at the probe's ts)
     */
   def join(probes: DataFrame, features: DataFrame, keys: Seq[String],
-           tsCol: String): DataFrame = {
+           tsCol: String): DataFrame =
+    joinWithTolerance(probes, features, keys, tsCol, toleranceDays = None)
+
+  /** `join` with a staleness bound: a feature version older than
+    * `toleranceDays` at the probe's ts is treated as missing (NULL
+    * payload) even if still valid — the point-in-time-with-TTL lookup
+    * (a model must not consume arbitrarily stale features). Same
+    * merge-as-of plan; the bound is a post-carry predicate. */
+  def joinWithTolerance(probes: DataFrame, features: DataFrame,
+                        keys: Seq[String], tsCol: String,
+                        toleranceDays: Option[Int]): DataFrame = {
     val payload = features.columns
       .filterNot(c => keys.contains(c) || c == ValidFrom || c == ValidUntil)
       .toSeq
@@ -57,14 +67,17 @@ object AsOf {
       .orderBy(col("__t"), col("__probe"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val version = when(col("__probe") === 0,
-      struct(col("__vu").as("vu") +: payload.map(c =>
+      struct(col("__vu").as("vu") +: col("__t").as("vf") +: payload.map(c =>
         col(s"__p_$c").as(c)): _*))
     val carried = featSide.unionByName(probeSide)
       .withColumn("__c", last(version, ignoreNulls = true).over(w))
 
-    // A carried version only applies while it is still valid at __t.
-    val live = col("__c").isNotNull &&
-      (col("__c.vu").isNull || col("__c.vu") > col("__t"))
+    // A carried version only applies while it is still valid at __t —
+    // and, under a tolerance, not staler than the bound.
+    val live = toleranceDays.foldLeft(col("__c").isNotNull &&
+      (col("__c.vu").isNull || col("__c.vu") > col("__t"))) { (c, tol) =>
+      c && datediff(col("__t"), col("__c.vf")) <= tol
+    }
     carried.filter(col("__probe") === 1)
       .select(
         probeCols.map(col) ++

@@ -136,6 +136,18 @@ object TemporalPack extends QueryPack {
           col("ts").cast("string").as("ts"), col("bucket"))
     }),
 
+    // as-of with a staleness TTL: versions older than 30 days at the
+    // probe's ts read as missing even while still valid
+    "q60_asof_tolerance" -> ((s, dir) => {
+      val probes = Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("key_cust"),
+        to_date(col("o_orderdate")).as("ts"))
+      graft.operators.AsOf.joinWithTolerance(probes, versionedBucket(s, dir),
+        Seq("key_cust"), "ts", toleranceDays = Some(30))
+        .select(col("o_orderkey"), col("key_cust"),
+          col("ts").cast("string").as("ts"), col("bucket"))
+    }),
+
     "q05_truncate_interlace" -> ((s, dir) =>
       Interlace.truncateOne(
         Intervals.slice(Queries.orderIntervals(s, dir), Start, End),
@@ -215,6 +227,21 @@ object TemporalPack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q60_asof_tolerance" ->
+      s"""WITH f AS ($versionedBucketSql),
+         |p AS (
+         |  SELECT o_orderkey, o_custkey AS key_cust,
+         |    CAST(o_orderdate AS DATE) AS ts
+         |  FROM orders
+         |)
+         |SELECT p.o_orderkey, p.key_cust, CAST(p.ts AS VARCHAR) AS ts,
+         |  f.bucket
+         |FROM p LEFT JOIN f ON p.key_cust = f.key_cust
+         |  AND f.valid_from <= p.ts
+         |  AND (f.valid_until IS NULL OR f.valid_until > p.ts)
+         |  AND f.valid_from >= p.ts - 30
+         |""".stripMargin,
+
     "q34_asof_join" ->
       s"""WITH f AS ($versionedBucketSql),
          |p AS (
