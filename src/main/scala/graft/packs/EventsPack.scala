@@ -74,10 +74,33 @@ object EventsPack extends QueryPack {
         .withColumn("k", expr("datediff(w, cohort_w) div 7").cast("int"))
         .groupBy(col("cohort_w").cast("string").as("cohort_week"), col("k"))
         .agg(count_distinct(col("user_id")).as("n_users"))
-    })
+    }),
+
+    // trailing 7-day active users: exact distinct over a rolling window
+    // is not window-expressible — each (user, day) contributes to the 7
+    // trailing dates (bounded explode), then one distinct-count per day
+    "q61_trailing_dau" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        .withColumn("date",
+          explode(sequence(col("d"), date_add(col("d"), 6))))
+        .groupBy("date")
+        .agg(count_distinct(col("user_id")).as("dau7"))
+        .select(col("date").cast("string").as("date"), col("dau7")))
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q61_trailing_dau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |),
+        |x AS (
+        |  SELECT user_id, d + CAST(i AS INT) AS date FROM ud, range(0, 7) t(i)
+        |)
+        |SELECT CAST(date AS VARCHAR) AS date,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS dau7
+        |FROM x GROUP BY date""".stripMargin,
+
     "q27_events_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
         |  event_type, count(*) AS n,
