@@ -86,10 +86,64 @@ object EventsPack extends QueryPack {
           explode(sequence(col("d"), date_add(col("d"), 6))))
         .groupBy("date")
         .agg(count_distinct(col("user_id")).as("dau7"))
-        .select(col("date").cast("string").as("date"), col("dau7")))
+        .select(col("date").cast("string").as("date"), col("dau7"))),
+
+    // funnel step conversion: clicks within 10 minutes after a view by
+    // the same user, per day — per-user equi-join with a time bound,
+    // clicks deduped by event id so fanout cannot double count
+    "q62_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      val converted = clicks.join(views,
+        clicks("user_id") === views("user_id") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("click_id"), to_date(col("c_ts")).as("date"))
+        .distinct()
+      val perDayClicks = clicks
+        .groupBy(to_date(col("c_ts")).as("date"))
+        .agg(count(lit(1)).as("n_clicks"))
+      converted.groupBy("date")
+        .agg(count(lit(1)).as("n_converted"))
+        .join(perDayClicks, Seq("date"), "right")
+        .select(col("date").cast("string").as("date"),
+          coalesce(col("n_converted"), lit(0L)).as("n_converted"),
+          col("n_clicks"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q62_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+        |),
+        |c AS (
+        |  SELECT user_id, ts AS c_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'
+        |),
+        |conv AS (
+        |  SELECT DISTINCT c.click_id, CAST(c.c_ts AS DATE) AS date
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |    AND c.c_ts >= v.v_ts
+        |    AND c.c_ts <= v.v_ts + INTERVAL 10 MINUTE
+        |),
+        |pd AS (
+        |  SELECT CAST(c_ts AS DATE) AS date,
+        |    CAST(count(*) AS BIGINT) AS n_clicks
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT CAST(pd.date AS VARCHAR) AS date,
+        |  CAST(coalesce(cv.n_converted, 0) AS BIGINT) AS n_converted,
+        |  pd.n_clicks
+        |FROM pd LEFT JOIN (
+        |  SELECT date, CAST(count(*) AS BIGINT) AS n_converted
+        |  FROM conv GROUP BY 1
+        |) cv ON cv.date = pd.date""".stripMargin,
+
     "q61_trailing_dau" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
