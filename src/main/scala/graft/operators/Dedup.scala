@@ -196,6 +196,44 @@ object Dedup {
       .filter(col("n_match") >= minMatch)
   }
 
+  /** Near-dup CLUSTERS from candidate pairs: connected components by
+    * iterative min-label propagation — each doc adopts the smallest id
+    * reachable through the pair graph, so `cluster_id` is the
+    * component's canonical doc (the keep-one-per-cluster stage after
+    * LSH). Converges in O(component diameter) rounds; dup clusters are
+    * shallow (near-identical docs pair with each other), so a handful
+    * of joins suffice where a general graph would want
+    * large-star/small-star. Deterministic and order-independent:
+    * the fixpoint is the component minimum. */
+  def nearDupClusters(pairs: DataFrame, aCol: String, bCol: String,
+                      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaNbr = edges
+        .join(labels.select(col("id").as("b"), col("label")), "b")
+        .select(col("a").as("id"), col("label"))
+      val next = labels.unionByName(viaNbr)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "__old"),
+        "id").filter(col("label") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** All-pairs formulation (quadratic within a block); kept as the
     * equivalence twin for NgramPrefixSpec. */
   private[graft] def ngramJaccardAllPairs(

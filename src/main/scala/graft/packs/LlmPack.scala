@@ -120,6 +120,14 @@ object LlmPack extends QueryPack {
       Dedup.simhashPortable(Tables.load(s, dir, "documents"),
         "doc_id", "text")),
 
+    // near-dup clusters over the portable LSH candidate pairs: each doc
+    // labelled with its component's canonical (minimum) id
+    "q63_dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(
+        Dedup.minhashLshPortable(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 3, numPerms = 8, bands = 4, minMatch = 4),
+        "id_a", "id_b")),
+
     // sequence packing: contiguous token-bin assignment per language,
     // batch manifest = docs and tokens per bin
     "q56_packing" -> ((s, dir) =>
@@ -157,10 +165,7 @@ object LlmPack extends QueryPack {
       |          1, greatest(1, len(words) - 2))) AS i) g
       |)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
-    "q56_packing" -> PackingSql,
-
-    "q52_lsh_portable" -> {
+  private lazy val LshPortableSql: String = {
       val permValues = graft.operators.Dedup.portablePerms(8).zipWithIndex
         .map { case ((a, b), p) => s"($p, $a, $b)" }.mkString(", ")
       s"""WITH $ShinglesSql,
@@ -194,7 +199,29 @@ object LlmPack extends QueryPack {
          |  GROUP BY c.id_a, c.id_b
          |)
          |SELECT id_a, id_b, n_match FROM m WHERE n_match >= 4""".stripMargin
-    },
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q56_packing" -> PackingSql,
+
+    "q52_lsh_portable" -> LshPortableSql,
+
+    // connected components of the candidate-pair graph by recursive
+    // closure — an INDEPENDENT formulation of the min-label fixpoint
+    "q63_dedup_clusters" ->
+      s"""WITH RECURSIVE cand AS ($LshPortableSql),
+         |e AS (
+         |  SELECT id_a AS a, id_b AS b FROM cand
+         |  UNION
+         |  SELECT id_b, id_a FROM cand
+         |),
+         |r AS (
+         |  SELECT a AS id, a AS l FROM e
+         |  UNION
+         |  SELECT e.a, r.l FROM e JOIN r ON e.b = r.id
+         |)
+         |SELECT id AS doc_id, min(l) AS cluster_id
+         |FROM r GROUP BY id""".stripMargin,
 
     "q53_simhash_portable" ->
       """WITH w AS (

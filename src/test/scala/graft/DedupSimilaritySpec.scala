@@ -112,6 +112,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall was $recall")
   }
 
+  test("near-dup clusters: multi-hop chains collapse to the minimum id") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 9-7,
+    // and a self-contained pair 5-6
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (9L, 7L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.nearDupClusters(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("LSH topK achieves good recall on clustered vectors") {
     val rnd = new scala.util.Random(3)
     val clustered = (0 until 200).map { i =>
