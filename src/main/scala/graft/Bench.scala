@@ -44,10 +44,26 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Short keys (q01, q02, …) + 3-decimal values keep the JSON line
+    // well under the driver's output-tail window: with full names and
+    // raw doubles the r1/r2 lines were ~2.5 KB and the driver's tail
+    // capture cut the front of the line → `parsed: null` in BENCH_r*.
+    val qs = results
+      .map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Full-name, full-precision copy for local profiling.
+    try {
+      val fullQs = results
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}\n""".getBytes)
+    } catch { case _: Throwable => () }
     spark.stop()
+    // Printed AFTER spark.stop() so no executor/log line lands behind it.
+    println(line)
   }
 }

@@ -142,4 +142,48 @@ object Intervals {
   def intervalsOverlap(
       from1: Column, until1: Column, from2: Column, until2: Column): Column =
     (from1 < until2 || until2.isNull) && (until1 > from2 || until1.isNull)
+
+  /** Keyed interval-overlap JOIN as a bucketized equi-join: explode each
+    * side's CLOSED interval into coarse `bucketDays`-sized epoch buckets,
+    * equi-join on (keys, bucket), verify the exact overlap predicate, and
+    * dedupe pairs that met in several buckets.
+    *
+    * This is the range join that Spark would otherwise plan as a
+    * BroadcastNestedLoopJoin (or a per-key sort-merge with full fanout):
+    * bucketing bounds candidate pairs to same-epoch collisions, so the
+    * plan survives when neither side is broadcastable. Fanout per row is
+    * `⌈span / bucketDays⌉` — pick `bucketDays` near the typical span.
+    *
+    * Output: both sides' payload + `overlap_from` / `overlap_until`
+    * (the intersection). Open ends are not supported here (an open
+    * interval has unbounded buckets); close them first with `clamp`.
+    */
+  def overlapJoin(a: DataFrame, b: DataFrame, keys: Seq[String],
+                  bucketDays: Int): DataFrame = {
+    require(bucketDays > 0, "bucketDays must be positive")
+    def bucketed(df: DataFrame, fromC: String, untilC: String): DataFrame =
+      df.filter(col(untilC).isNotNull && col(fromC) < col(untilC))
+        .withColumn("__bkt", explode(sequence(
+          expr(s"unix_date($fromC) div $bucketDays"),
+          // valid_until is exclusive → last occupied day is until-1
+          expr(s"unix_date(date_sub($untilC, 1)) div $bucketDays"))))
+    val aT = bucketed(
+      a.withColumnRenamed(ValidFrom, "__af")
+        .withColumnRenamed(ValidUntil, "__au"), "__af", "__au")
+    val bT = bucketed(
+      b.withColumnRenamed(ValidFrom, "__bf")
+        .withColumnRenamed(ValidUntil, "__bu"), "__bf", "__bu")
+    val out = aT.join(bT, keys :+ "__bkt")
+      .filter(col("__af") < col("__bu") && col("__bf") < col("__au"))
+      .withColumn("overlap_from", greatest(col("__af"), col("__bf")))
+      .withColumn("overlap_until", least(col("__au"), col("__bu")))
+      .drop("__bkt")
+    // a pair spanning several buckets matched once per shared bucket —
+    // identical rows, so distinct() restores pair semantics
+    out.distinct()
+      .withColumnRenamed("__af", ValidFrom)
+      .withColumnRenamed("__au", ValidUntil)
+      .withColumnRenamed("__bf", s"${ValidFrom}_b")
+      .withColumnRenamed("__bu", s"${ValidUntil}_b")
+  }
 }

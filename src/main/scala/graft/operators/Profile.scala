@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling: distribution summaries a corpus pipeline runs
+  * before/after every transformation to catch drift.
+  */
+object Profile {
+
+  /** Per-group equi-width histogram of an integral column — all-integer
+    * arithmetic (width = (max-min) div nBuckets + 1), so exactly
+    * oracle-checkable, unlike float bin edges.
+    *
+    * Plan: one partial-agg shuffle for per-group min/max (group
+    * cardinality is small), broadcast back, one partial-agg shuffle for
+    * the buckets. The raw values never sort.
+    *
+    * Output: (group, bucket, lo, hi_exclusive, n).
+    */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+                nBuckets: Int): DataFrame = {
+    val bounds = df.groupBy(col(groupCol))
+      .agg(min(col(valueCol)).cast("long").as("__mn"),
+        max(col(valueCol)).cast("long").as("__mx"))
+      .withColumn("__w",
+        expr(s"(__mx - __mn) div ${nBuckets.toLong}") + lit(1L))
+    df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .join(broadcast(bounds), Seq(groupCol))
+      .withColumn("bucket", expr("(__v - __mn) div __w").cast("int"))
+      .groupBy(col(groupCol), col("bucket"), col("__mn"), col("__w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(groupCol), col("bucket"),
+        (col("__mn") + col("bucket") * col("__w")).as("lo"),
+        (col("__mn") + (col("bucket") + 1) * col("__w")).as("hi"),
+        col("n"))
+  }
+
+  /** Per-group approximate distinct count (HyperLogLog++) next to the
+    * relative standard deviation it was run at. Sketch-based → rows-only
+    * (DuckDB's HLL differs); ProfileSpec asserts the error bound against
+    * exact counts. */
+  def approxDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                     rsd: Double = 0.02): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(approx_count_distinct(col(valueCol), rsd).as("approx_distinct"))
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Int8 embedding quantization and quantized maximum-inner-product
+  * search (MIPS).
+  *
+  * Symmetric global scalar quantization: one scale `s = max |x|` over the
+  * whole corpus, `q_i = round(x_i * 127 / s)` clamped to [-127, 127].
+  * The scale is a pure SELECTION (max of exact |float→double| values), and
+  * the per-element map is a fixed IEEE expression dag — both engines
+  * (Spark, DuckDB oracle) produce bit-identical int8 codes, so the
+  * quantized table and every integer dot product downstream are exactly
+  * checkable.
+  *
+  * At 100 TB the quantized corpus is 4× smaller than float32 and the
+  * candidate scoring is integer SIMD — this is the standard first
+  * compression step before IVF/PQ. Ranking by integer dot products is
+  * exact arithmetic: no float fold-order concerns anywhere.
+  */
+object Quantize {
+
+  /** Global symmetric scale: max |x| over every element of `embCol`.
+    * One distributed max; only the scalar reaches the driver. */
+  def scaleOf(df: DataFrame, embCol: String): Double =
+    df.agg(max(array_max(transform(col(embCol),
+      x => abs(x.cast("double"))))).as("s"))
+      .head.getDouble(0)
+
+  /** Quantize one array column with a given scale (elementwise affine,
+    * clamped). Output element type LONG (int8 value range). */
+  def quantize(emb: Column, scale: Double): Column =
+    transform(emb, x =>
+      greatest(lit(-127L), least(lit(127L),
+        round(x.cast("double") * 127.0d / scale).cast("long"))))
+
+  /** (id, qvec) quantized corpus. */
+  def quantized(df: DataFrame, idCol: String, embCol: String,
+                scale: Double): DataFrame =
+    df.select(col(idCol), quantize(col(embCol), scale).as("qvec"))
+
+  /** Exploded (id, pos [1-based], q) rows — the oracle-checkable dump of
+    * the full quantized corpus. */
+  def quantizedLong(df: DataFrame, idCol: String, embCol: String,
+                    scale: Double): DataFrame =
+    quantized(df, idCol, embCol, scale)
+      .select(col(idCol), posexplode(col("qvec")).as(Seq("pos", "q")))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("pos"), col("q"))
+
+  /** Integer dot product of two quantized vectors — exact BIGINT. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Quantized MIPS top-k: score every (query, corpus) pair by the
+    * integer dot product of their int8 codes; rank desc, ties by
+    * neighbor id. Queries selected by `queryPred` are broadcast; the
+    * corpus streams through one scan. All-integer → fully hash-checkable
+    * (unlike float cosine ranking, which relies on identical fold order).
+    */
+  def topKQuantized(df: DataFrame, idCol: String, embCol: String,
+                    queryPred: Column, k: Int, scale: Double): DataFrame = {
+    val corpus = quantized(df, idCol, embCol, scale)
+      .select(col(idCol).as("neighbor_id"), col("qvec").as("__c"))
+    val queries = quantized(df.filter(queryPred), idCol, embCol, scale)
+      .select(col(idCol).as("query_id"), col("qvec").as("__q"))
+    val scored = corpus.join(broadcast(queries),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("qdot", qdot(col("__q"), col("__c")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("qdot"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting for training pipelines.
@@ -35,5 +36,40 @@ object Splits {
       }
       .map(_.otherwise(splits.last._1))
       .getOrElse(lit(splits.last._1))
+  }
+
+  /** Downsample a corpus to a target domain mix (e.g. re-weighting web
+    * sources before training). `weights` maps group value → relative
+    * target share. Keeps the LARGEST total N such that every group can
+    * supply its share, then keeps exactly `(N * w_g) div ΣW` rows per
+    * group — the rows with the smallest id-hash, so the sample is
+    * deterministic and append-stable per group.
+    *
+    * All arithmetic is integer (floor divisions), so the kept set is
+    * exactly reproducible by any engine. One count aggregate (broadcast
+    * back) + one rank window per group — the corpus shuffles once.
+    */
+  def weightedMix(df: DataFrame, groupCol: String, idCol: String,
+                  weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val totalW = weights.values.sum
+    val wTbl = df.sparkSession.createDataFrame(
+      weights.toSeq.map(kv => (kv._1, kv._2))).toDF(groupCol, "__w")
+
+    // Max feasible N: min over groups of (count_g * ΣW) div w_g.
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+      .join(wTbl, Seq(groupCol)) // groups without a weight are dropped
+    val n = counts
+      .agg(min(expr(s"(__cnt * ${totalW}L) div __w")).as("n"))
+      .head.getLong(0)
+    val keep = wTbl.withColumn("__keep", expr(s"(${n}L * __w) div ${totalW}L"))
+
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(bucket(col(idCol), 1000000), col(idCol))
+    df.join(broadcast(keep), Seq(groupCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__keep"))
+      .drop("__w", "__keep", "__rk")
   }
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus indexing: inverted-index postings and BM25 retrieval.
+  *
+  * Tokenization matches the engine's whitespace convention
+  * (`split(trim(text), "\s+")` — same as topVocab / token counting), so
+  * the postings are oracle-checkable with DuckDB's
+  * `regexp_split_to_array`.
+  */
+object TextIndex {
+
+  private def terms(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Inverted-index postings: (term, doc_id, tf) for terms whose document
+    * frequency is ≥ `minDf` (vocabulary pruning — drops the hapax tail
+    * that dominates raw vocab size but serves no retrieval purpose).
+    *
+    * Plan shape: one explode → one (term, doc) partial-agg shuffle → df
+    * via a window over term (reuses the same hash partitioning, no second
+    * join). Postings stay (8B, 8B, 8B) rows — document text never
+    * shuffles.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    minDf: Int): DataFrame = {
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(terms(col(textCol))).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("term"))
+    tf.withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") >= minDf)
+      .select("term", "doc_id", "tf")
+  }
+
+  /** BM25 top-k retrieval for a small set of queries (broadcast).
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)); score = Σ_t idf(t) ·
+    * tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)). Output
+    * (query_id, rank, doc_id, score). Scores are floats → rows-only +
+    * spec, not hash-oracled. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Long, String)], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val docTerms = df.select(col(idCol).as("doc_id"),
+        terms(col(textCol)).as("__terms"))
+      .select(col("doc_id"), size(col("__terms")).as("dl"),
+        explode(col("__terms")).as("term"))
+    val tf = docTerms.groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+
+    // Corpus stats: N and avgdl are scalars (cheap distributed aggs);
+    // df per term rides the same (term) partitioning as the join below.
+    val stats = df.select(col(idCol), size(terms(col(textCol))).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")).head
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getDouble(1)
+
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qTerms = queries.toDF("query_id", "__qtext")
+      .select(col("query_id"),
+        explode(array_distinct(terms(col("__qtext")))).as("term"))
+
+    val scored = tf
+      .join(broadcast(qTerms), Seq("term")) // only query terms survive
+      .join(dfTbl, Seq("term"))
+      .withColumn("__idf",
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+      .withColumn("__w",
+        col("__idf") * col("tf") * lit(k1 + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__w")).as("score"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("score"))
+  }
+}

@@ -72,7 +72,23 @@ object ApproxPack extends QueryPack {
         .select(col("asset_id"), col("kind"),
           element_at(col("features"), 1).as("f0"),
           element_at(col("features"), 8).as("f7"))
-    })
+    }),
+
+    // BM25 retrieval: float scores → rows-only; TextIndexSpec proves
+    // self-retrieval and parity with a brute-force scorer
+    "q71_bm25" -> ((s, dir) =>
+      graft.operators.TextIndex.bm25TopK(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        queries = Seq(1L -> "hash join strategy",
+          2L -> "customer order filter",
+          3L -> "slow batch scan"),
+        k = 10)),
+
+    // HyperLogLog++ distinct profile: sketch-based → rows-only;
+    // ProfileSpec asserts the rsd error bound against exact counts
+    "q72_approx_distinct" -> ((s, dir) =>
+      graft.operators.Profile.approxDistinct(
+        Tables.load(s, dir, "lineitem"), "l_returnflag", "l_partkey"))
   )
 
   def oracleSql: Map[String, String] = Map.empty

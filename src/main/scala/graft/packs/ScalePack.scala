@@ -1,0 +1,226 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.core.{Intervals, Tables}
+import graft.operators.{BloomJoin, Profile, Quantize, Splits, TextIndex}
+
+/** Scale-posture operators: bucketized interval-overlap join, bloom-
+  * pruned join, weighted corpus mixing, profiling histograms, int8
+  * quantization + quantized MIPS, inverted-index postings.
+  */
+object ScalePack extends QueryPack {
+
+  // ΣW = 11; the oracle SQL embeds the same weights and total.
+  private val MixWeights = Seq(
+    "en" -> 5L, "zh" -> 2L, "de" -> 2L, "fr" -> 1L, "es" -> 1L)
+
+  /** Order fulfillment window: [orderdate, +90). */
+  private def orderWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders").select(
+      col("o_orderkey"),
+      to_date(col("o_orderdate")).as("valid_from"),
+      date_add(to_date(col("o_orderdate")), 90).as("valid_until"))
+
+  /** Line shipping window: [shipdate, shipdate + 1 + linenumber%7). */
+  private def shipWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem").select(
+      col("l_orderkey").as("o_orderkey"),
+      col("l_linenumber"),
+      to_date(col("l_shipdate")).as("valid_from"),
+      expr("date_add(to_date(l_shipdate), 1 + l_linenumber % 7)")
+        .as("valid_until"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // keyed interval-overlap join via epoch bucketing (the range join
+    // Spark would otherwise nested-loop): order fulfillment windows ⋈
+    // line shipping windows per orderkey, with the overlap intersection
+    "q64_overlap_join" -> ((s, dir) =>
+      Intervals.overlapJoin(
+        orderWindows(s, dir), shipWindows(s, dir),
+        keys = Seq("o_orderkey"), bucketDays = 30)
+        .select(col("o_orderkey"), col("l_linenumber"),
+          col("valid_from").cast("string").as("valid_from"),
+          col("valid_until").cast("string").as("valid_until"),
+          col("valid_from_b").cast("string").as("valid_from_b"),
+          col("valid_until_b").cast("string").as("valid_until_b"),
+          col("overlap_from").cast("string").as("overlap_from"),
+          col("overlap_until").cast("string").as("overlap_until"))),
+
+    // deterministic weighted domain mix (integer-exact downsampling)
+    "q65_weighted_mix" -> ((s, dir) =>
+      Splits.weightedMix(Tables.load(s, dir, "documents"),
+        "lang", "doc_id", MixWeights.toMap)
+        .select("doc_id", "lang")),
+
+    // bloom-pruned selective join (exact; the bloom only cuts shuffle)
+    "q66_bloom_join" -> ((s, dir) => {
+      val small = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 490000.0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      BloomJoin.prunedJoin(
+        Tables.load(s, dir, "lineitem"), small,
+        "l_orderkey", "o_orderkey", expectedItems = 100000L)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          round(col("l_extendedprice") * 100).cast("long").as("ext_cents"))
+    }),
+
+    // all-integer equi-width histogram profile per group
+    "q67_histogram" -> ((s, dir) =>
+      Profile.histogram(Tables.load(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", nBuckets = 8)),
+
+    // int8 symmetric quantization of the embedding corpus (exploded to
+    // (id, pos, q) rows so every code is hash-checked)
+    "q68_quantize" -> ((s, dir) => {
+      val t = Tables.load(s, dir, "embeddings")
+      Quantize.quantizedLong(t, "vec_id", "embedding",
+        Quantize.scaleOf(t, "embedding"))
+    }),
+
+    // quantized maximum-inner-product top-k (all-integer ranking)
+    "q69_qmips" -> ((s, dir) => {
+      val t = Tables.load(s, dir, "embeddings")
+      Quantize.topKQuantized(t, "vec_id", "embedding",
+        pmod(col("vec_id"), lit(50)) === 0, k = 10,
+        Quantize.scaleOf(t, "embedding"))
+    }),
+
+    // inverted-index postings with document-frequency pruning
+    "q70_inverted_index" -> ((s, dir) =>
+      TextIndex.invertedIndex(Tables.load(s, dir, "documents"),
+        "doc_id", "text", minDf = 25))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q64_overlap_join" ->
+      """WITH a AS (
+        |  SELECT o_orderkey,
+        |    CAST(o_orderdate AS DATE) AS af,
+        |    CAST(o_orderdate AS DATE) + 90 AS au
+        |  FROM orders
+        |), b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_shipdate AS DATE) AS bf,
+        |    CAST(l_shipdate AS DATE) + (1 + l_linenumber % 7) AS bu
+        |  FROM lineitem
+        |)
+        |SELECT a.o_orderkey, b.l_linenumber,
+        |  CAST(af AS VARCHAR) AS valid_from,
+        |  CAST(au AS VARCHAR) AS valid_until,
+        |  CAST(bf AS VARCHAR) AS valid_from_b,
+        |  CAST(bu AS VARCHAR) AS valid_until_b,
+        |  CAST(greatest(af, bf) AS VARCHAR) AS overlap_from,
+        |  CAST(least(au, bu) AS VARCHAR) AS overlap_until
+        |FROM a JOIN b ON a.o_orderkey = b.l_orderkey
+        |WHERE af < bu AND bf < au
+        |""".stripMargin,
+
+    "q65_weighted_mix" ->
+      """WITH w(lang, wt) AS (
+        |  VALUES ('en', 5), ('zh', 2), ('de', 2), ('fr', 1), ('es', 1)
+        |), c AS (
+        |  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+        |), n AS (
+        |  SELECT min((c.cnt * 11) // w.wt) AS n FROM c JOIN w USING (lang)
+        |), k AS (
+        |  SELECT lang, (n.n * wt) // 11 AS keep FROM w, n
+        |), r AS (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |      PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |                 ::BIGINT % 1000000, doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT r.doc_id, r.lang FROM r JOIN k USING (lang)
+        |WHERE rk <= keep
+        |""".stripMargin,
+
+    "q66_bloom_join" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 490000
+        |""".stripMargin,
+
+    "q67_histogram" ->
+      """WITH v AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v FROM lineitem
+        |), b AS (
+        |  SELECT l_returnflag, min(v) AS mn,
+        |    ((max(v) - min(v)) // 8) + 1 AS wd
+        |  FROM v GROUP BY l_returnflag
+        |)
+        |SELECT v.l_returnflag,
+        |  CAST((v - mn) // wd AS INT) AS bucket,
+        |  mn + ((v - mn) // wd) * wd AS lo,
+        |  mn + (((v - mn) // wd) + 1) * wd AS hi,
+        |  count(*) AS n
+        |FROM v JOIN b USING (l_returnflag)
+        |GROUP BY 1, 2, 3, 4
+        |""".stripMargin,
+
+    "q68_quantize" ->
+      """WITH sc AS (
+        |  SELECT max(av) AS s FROM (
+        |    SELECT unnest(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS av
+        |    FROM embeddings)
+        |), e AS (
+        |  SELECT vec_id, embedding, len(embedding) AS l FROM embeddings
+        |)
+        |SELECT vec_id, CAST(i AS INT) AS pos,
+        |  greatest(-127, least(127,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 127.0 / s) AS BIGINT)))
+        |    AS q
+        |FROM e, sc,
+        |  LATERAL (SELECT unnest(generate_series(1, l)) AS i) t
+        |""".stripMargin,
+
+    "q69_qmips" ->
+      """WITH sc AS (
+        |  SELECT max(av) AS s FROM (
+        |    SELECT unnest(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS av
+        |    FROM embeddings)
+        |), q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> greatest(-127, least(127,
+        |      CAST(round(CAST(x AS DOUBLE) * 127.0 / sc.s) AS BIGINT)))) AS qv
+        |  FROM embeddings, sc
+        |), p AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+        |      x -> x[1] * x[2])) AS BIGINT) AS qdot
+        |  FROM q a JOIN q b
+        |    ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id, qdot,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY qdot DESC, neighbor_id) AS rnk
+        |  FROM p
+        |)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, qdot
+        |FROM r WHERE rnk <= 10
+        |""".stripMargin,
+
+    "q70_inverted_index" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM t GROUP BY term, doc_id
+        |), d AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |)
+        |SELECT tf.term, tf.doc_id, tf.tf
+        |FROM tf JOIN d USING (term)
+        |WHERE d.df >= 25
+        |""".stripMargin
+  )
+}
