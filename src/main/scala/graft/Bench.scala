@@ -48,13 +48,17 @@ object Bench {
     // well under the driver's output-tail window: with full names and
     // raw doubles the r1/r2 lines were ~2.5 KB and the driver's tail
     // capture cut the front of the line → `parsed: null` in BENCH_r*.
+    // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
+    // emit 1,234 and break the JSON again.
+    def fmt(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results
       .map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+        "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Full-name, full-precision copy for local profiling.
     try {
       val fullQs = results

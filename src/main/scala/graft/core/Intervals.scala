@@ -155,8 +155,12 @@ object Intervals {
     * `⌈span / bucketDays⌉` — pick `bucketDays` near the typical span.
     *
     * Output: both sides' payload + `overlap_from` / `overlap_until`
-    * (the intersection). Open ends are not supported here (an open
-    * interval has unbounded buckets); close them first with `clamp`.
+    * (the intersection, always non-empty). Open ends are not supported
+    * here (an open interval has unbounded buckets); close them first
+    * with `clamp`. EMPTY input intervals (`from >= until`) are dropped
+    * before bucketing — the join's overlap semantics are
+    * "non-empty intersection", not the raw `af < bu AND bf < au`
+    * predicate (the two differ only for empty inputs).
     */
   def overlapJoin(a: DataFrame, b: DataFrame, keys: Seq[String],
                   bucketDays: Int): DataFrame = {
@@ -177,10 +181,16 @@ object Intervals {
       .filter(col("__af") < col("__bu") && col("__bf") < col("__au"))
       .withColumn("overlap_from", greatest(col("__af"), col("__bf")))
       .withColumn("overlap_until", least(col("__au"), col("__bu")))
+      // A pair spanning several shared buckets matched once per bucket:
+      // keep only the bucket containing the overlap START. The overlap
+      // start lies inside both sides' bucket ranges, so exactly one
+      // match survives per pair — no distinct() (which would need an
+      // extra full-output shuffle AND would collapse genuinely
+      // duplicate input rows that a true join must preserve).
+      .filter(col("__bkt") ===
+        expr(s"unix_date(overlap_from) div $bucketDays"))
       .drop("__bkt")
-    // a pair spanning several buckets matched once per shared bucket —
-    // identical rows, so distinct() restores pair semantics
-    out.distinct()
+    out
       .withColumnRenamed("__af", ValidFrom)
       .withColumnRenamed("__au", ValidUntil)
       .withColumnRenamed("__bf", s"${ValidFrom}_b")

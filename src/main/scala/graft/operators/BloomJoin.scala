@@ -50,12 +50,17 @@ object BloomJoin {
     * bloom-pruned first. Exact: equals the plain join. */
   def prunedJoin(big: DataFrame, small: DataFrame,
                  bigKey: String, smallKey: String,
-                 expectedItems: Long = 4000000L): DataFrame =
+                 expectedItems: Long = 4000000L): DataFrame = {
+    // Same-named keys → using-join (one key column out); otherwise the
+    // equality predicate would be an ambiguous self-reference.
+    def join(b: DataFrame): DataFrame =
+      if (bigKey == smallKey) b.join(small, Seq(bigKey))
+      else b.join(small, col(bigKey) === col(smallKey))
     buildFilter(small, smallKey, expectedItems) match {
       case None => // empty build side: inner join result is empty
-        big.filter(lit(false)).join(small, col(bigKey) === col(smallKey))
+        join(big.filter(lit(false)))
       case Some(bytes) =>
-        big.filter(mightContain(bytes, col(bigKey)))
-          .join(small, col(bigKey) === col(smallKey))
+        join(big.filter(mightContain(bytes, col(bigKey))))
     }
+  }
 }

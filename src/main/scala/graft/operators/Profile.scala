@@ -20,6 +20,7 @@ object Profile {
     */
   def histogram(df: DataFrame, groupCol: String, valueCol: String,
                 nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
     val bounds = df.groupBy(col(groupCol))
       .agg(min(col(valueCol)).cast("long").as("__mn"),
         max(col(valueCol)).cast("long").as("__mx"))

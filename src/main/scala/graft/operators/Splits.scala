@@ -57,12 +57,18 @@ object Splits {
     val wTbl = df.sparkSession.createDataFrame(
       weights.toSeq.map(kv => (kv._1, kv._2))).toDF(groupCol, "__w")
 
-    // Max feasible N: min over groups of (count_g * ΣW) div w_g.
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
-      .join(wTbl, Seq(groupCol)) // groups without a weight are dropped
+    // Max feasible N: min over WEIGHTED groups of (count_g * ΣW) div w_g.
+    // Left join from the weights: a weighted group absent from the data
+    // has count 0 → N = 0 → empty result, honoring "every group can
+    // supply its share" instead of silently returning a wrong mix.
+    // (Unweighted data groups are dropped by the final inner join.)
+    val counts = wTbl.join(
+        df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt")),
+        Seq(groupCol), "left")
+      .withColumn("__cnt", coalesce(col("__cnt"), lit(0L)))
     val n = counts
       .agg(min(expr(s"(__cnt * ${totalW}L) div __w")).as("n"))
-      .head.getLong(0)
+      .head.getLong(0) // counts is never empty: weights is non-empty
     val keep = wTbl.withColumn("__keep", expr(s"(${n}L * __w) div ${totalW}L"))
 
     val w = Window.partitionBy(col(groupCol))

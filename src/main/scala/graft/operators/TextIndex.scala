@@ -59,7 +59,9 @@ object TextIndex {
     val stats = df.select(col(idCol), size(terms(col(textCol))).as("dl"))
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")).head
     val nDocs = stats.getLong(0)
-    val avgdl = stats.getDouble(1)
+    // empty corpus: avg(dl) is null; the placeholder is never used
+    // downstream because tf is empty, but getDouble would NPE
+    val avgdl = if (stats.isNullAt(1)) 1.0 else stats.getDouble(1)
 
     val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val qTerms = queries.toDF("query_id", "__qtext")

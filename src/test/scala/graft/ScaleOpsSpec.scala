@@ -57,6 +57,17 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.length == 1)
   }
 
+  test("overlapJoin preserves genuinely duplicate input rows") {
+    // two IDENTICAL a rows must each pair with the b row (a true join
+    // yields 2 rows; a distinct-based dedup would collapse them)
+    val a = ivDf(Seq((1, "2020-01-01", "2020-03-01", 10),
+      (1, "2020-01-01", "2020-03-01", 10)))
+    val b = ivDf(Seq((1, "2020-02-01", "2020-04-01", 20)))
+      .withColumnRenamed("payload", "payload_b")
+    assert(Intervals.overlapJoin(a, b, Seq("k"), bucketDays = 7)
+      .count() == 2L)
+  }
+
   // ---- Splits.weightedMix ---------------------------------------------
 
   test("weightedMix keeps exact integer-derived per-group counts") {
@@ -81,6 +92,15 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.select("grp").as[String].collect().toSet == Set("a"))
   }
 
+  test("weightedMix is empty when a weighted group has no rows") {
+    // "fr" can supply nothing → largest feasible N is 0, not a silent
+    // 100%-"en" corpus mislabeled as a 50/50 mix
+    val df = Seq((1L, "en"), (2L, "en")).toDF("id", "grp")
+    val out = Splits.weightedMix(df, "grp", "id",
+      Map("en" -> 1L, "fr" -> 1L))
+    assert(out.count() == 0L)
+  }
+
   // ---- BloomJoin ------------------------------------------------------
 
   test("bloom-pruned join equals the plain join") {
@@ -101,6 +121,15 @@ class ScaleOpsSpec extends SparkSpec {
     val big = (1L to 100L).toDF("k").withColumn("p", lit("x"))
     val small = Seq.empty[(Long, String)].toDF("sk", "t")
     assert(BloomJoin.prunedJoin(big, small, "k", "sk").count() == 0L)
+  }
+
+  test("bloom-pruned join handles same-named keys as a using-join") {
+    val big = (1L to 100L).map(i => (i, s"p$i")).toDF("k", "payload")
+    val small = Seq((7L, "x"), (42L, "y")).toDF("k", "tag")
+    val out = BloomJoin.prunedJoin(big, small, "k", "k")
+      .select("k", "payload", "tag")
+      .as[(Long, String, String)].collect().toSet
+    assert(out == Set((7L, "p7", "x"), (42L, "p42", "y")))
   }
 
   // ---- Profile --------------------------------------------------------
@@ -195,6 +224,19 @@ class ScaleOpsSpec extends SparkSpec {
       .as[(Long, Int, Long, Double)].collect()
     assert(hits.head._3 == 3L && hits.head._2 == 1)
     assert(hits.forall(_._4 > 0.0))
+  }
+
+  test("bm25 on an empty corpus returns no rows") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextIndex.bm25TopK(empty, "doc_id", "text",
+      Seq(1L -> "anything"), k = 3).count() == 0L)
+  }
+
+  test("histogram rejects a non-positive bucket count") {
+    val df = Seq(("a", 1)).toDF("grp", "v")
+    intercept[IllegalArgumentException] {
+      Profile.histogram(df, "grp", "v", nBuckets = 0)
+    }
   }
 
   test("bm25 matches a brute-force scorer") {
