@@ -37,6 +37,35 @@ object Profile {
         col("n"))
   }
 
+  /** Per-group integer min-max feature scaling: map an integral column
+    * onto [0, outMax] with floor division — `(v - mn) * outMax div
+    * (mx - mn)` — so the scaled feature is exactly reproducible by any
+    * engine (float standardization is not). A constant group (mx == mn)
+    * scales to 0. Appends `scaled`; one tiny bounds aggregate broadcast
+    * back, the fact table never re-shuffles. */
+  def minMaxScale(df: DataFrame, groupCol: String, valueCol: String,
+                  outMax: Long): DataFrame = {
+    require(outMax > 0, "outMax must be positive")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(min(col(valueCol)).cast("long").as("__mn"),
+        max(col(valueCol)).cast("long").as("__mx"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("scaled",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(expr(
+            s"(($valueCol - __mn) * ${outMax}L) div (__mx - __mn)")))
+      .drop("__mn", "__mx")
+  }
+
+  /** Per-group approximate quantiles (Greenwald-Khanna via
+    * `approx_percentile`). Sketch-based → rows-only; ProfileSpec/
+    * ScaleOpsSpec bound the rank error against exact percentiles. */
+  def quantiles(df: DataFrame, groupCol: String, valueCol: String,
+                probs: Seq[Double], accuracy: Int = 10000): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(valueCol),
+        array(probs.map(lit): _*), lit(accuracy)).as("quantiles"))
+
   /** Per-group approximate distinct count (HyperLogLog++) next to the
     * relative standard deviation it was run at. Sketch-based → rows-only
     * (DuckDB's HLL differs); ProfileSpec asserts the error bound against

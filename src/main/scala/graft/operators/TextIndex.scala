@@ -36,6 +36,32 @@ object TextIndex {
       .select("term", "doc_id", "tf")
   }
 
+  /** Exact keyword extraction: the k most characteristic terms per
+    * document, ranked by (tf DESC, df ASC, term ASC) — the TF-IDF
+    * ordering realized with pure integer/string comparisons, so the
+    * result is engine-exact (no float idf anywhere).
+    *
+    * Same plan shape as `invertedIndex` (explode → one (term,doc)
+    * partial-agg shuffle → df window on the term partitioning), then one
+    * window per doc for the rank. Output (doc_id, rank, term, tf, df).
+    */
+  def characteristicTerms(df: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(terms(col(textCol))).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val wt = Window.partitionBy(col("term"))
+    val wd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df"), col("term"))
+    tf.withColumn("df", count(lit(1)).over(wt))
+      .withColumn("rank", row_number().over(wd))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"),
+        col("term"), col("tf"), col("df"))
+  }
+
   /** BM25 top-k retrieval for a small set of queries (broadcast).
     * idf = ln(1 + (N - df + 0.5)/(df + 0.5)); score = Σ_t idf(t) ·
     * tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)). Output

@@ -88,7 +88,14 @@ object ApproxPack extends QueryPack {
     // ProfileSpec asserts the rsd error bound against exact counts
     "q72_approx_distinct" -> ((s, dir) =>
       graft.operators.Profile.approxDistinct(
-        Tables.load(s, dir, "lineitem"), "l_returnflag", "l_partkey"))
+        Tables.load(s, dir, "lineitem"), "l_returnflag", "l_partkey")),
+
+    // Greenwald-Khanna quantile sketch profile: rows-only; spec bounds
+    // the rank error against exact percentiles
+    "q77_quantiles" -> ((s, dir) =>
+      graft.operators.Profile.quantiles(
+        Tables.load(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.99)))
   )
 
   def oracleSql: Map[String, String] = Map.empty

@@ -3,9 +3,12 @@ package graft.packs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.QueryPack
+import org.apache.spark.sql.expressions.Window
+
+import graft.{Queries, QueryPack}
 import graft.core.{Intervals, Tables}
-import graft.operators.{BloomJoin, Profile, Quantize, Splits, TextIndex}
+import graft.operators.{BloomJoin, Linkage, Profile, Quantize, Splits,
+  TextIndex, TrainingSet}
 
 /** Scale-posture operators: bucketized interval-overlap join, bloom-
   * pruned join, weighted corpus mixing, profiling histograms, int8
@@ -92,7 +95,56 @@ object ScalePack extends QueryPack {
     // inverted-index postings with document-frequency pruning
     "q70_inverted_index" -> ((s, dir) =>
       TextIndex.invertedIndex(Tables.load(s, dir, "documents"),
-        "doc_id", "text", minDf = 25))
+        "doc_id", "text", minDf = 25)),
+
+    // point-in-time training-set assembly: every order enriched with the
+    // customer's segment and order-count-to-date — N feature tables,
+    // ONE shuffle
+    "q73_training_matrix" -> ((s, dir) => {
+      val spine = Tables.load(s, dir, "orders").select(
+        col("o_custkey").as("key_cust"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"))
+      // versioned per-customer activity: one version per active date,
+      // valid [date, next-active-date), value = orders to date (incl.)
+      val w = Window.partitionBy("key_cust").orderBy("valid_from")
+      val activity = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey").as("key_cust"),
+          to_date(col("o_orderdate")).as("valid_from"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("n_orders_to_date", sum(col("__n")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("valid_until", lead(col("valid_from"), 1).over(w))
+        .select("key_cust", "n_orders_to_date", "valid_from",
+          "valid_until")
+      TrainingSet.assemble(spine, Seq("key_cust"), "d",
+        Seq("segment" -> Queries.segmentFeature(s, dir),
+          "activity" -> activity))
+        .select(col("o_orderkey"), col("key_cust"),
+          col("d").cast("string").as("d"),
+          col("mktsegment"), col("n_orders_to_date"))
+    }),
+
+    // blocked fuzzy record linkage over canonical part names
+    "q74_fuzzy_parts" -> ((s, dir) => {
+      val canon = Tables.load(s, dir, "part")
+        .groupBy("p_name").agg(min(col("p_partkey")).as("id"))
+      Linkage.fuzzyPairs(canon, "id", "p_name",
+        block = split(col("p_name"), " ").getItem(1), maxDist = 2)
+    }),
+
+    // exact keyword extraction (integer TF-IDF ordering)
+    "q75_keywords" -> ((s, dir) =>
+      TextIndex.characteristicTerms(Tables.load(s, dir, "documents"),
+        "doc_id", "text", k = 3)),
+
+    // per-group integer min-max feature scaling
+    "q76_minmax_scale" -> ((s, dir) =>
+      Profile.minMaxScale(
+        Tables.load(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "o_orderpriority", "cents", outMax = 1000L)
+        .select("o_orderkey", "o_orderpriority", "cents", "scaled"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -206,6 +258,63 @@ object ScalePack extends QueryPack {
         |)
         |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, qdot
         |FROM r WHERE rnk <= 10
+        |""".stripMargin,
+
+    "q73_training_matrix" ->
+      """SELECT o_orderkey, o_custkey AS key_cust,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+        |  c_mktsegment AS mktsegment,
+        |  count(*) OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(o_orderdate AS DATE)
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS n_orders_to_date
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |""".stripMargin,
+
+    "q74_fuzzy_parts" ->
+      """WITH n AS (
+        |  SELECT p_name, min(p_partkey) AS id FROM part GROUP BY p_name
+        |), p AS (
+        |  SELECT id, p_name, string_split(p_name, ' ')[2] AS blk FROM n
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |""".stripMargin,
+
+    "q75_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM t GROUP BY term, doc_id
+        |), d AS (
+        |  SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tf DESC, df, term) AS rnk
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(rnk AS INT) AS rank, term, tf, df
+        |FROM r WHERE rnk <= 3
+        |""".stripMargin,
+
+    "q76_minmax_scale" ->
+      """WITH v AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), b AS (
+        |  SELECT o_orderpriority, min(cents) AS mn, max(cents) AS mx
+        |  FROM v GROUP BY o_orderpriority
+        |)
+        |SELECT o_orderkey, v.o_orderpriority, cents,
+        |  CASE WHEN mx = mn THEN 0
+        |       ELSE ((cents - mn) * 1000) // (mx - mn) END AS scaled
+        |FROM v JOIN b USING (o_orderpriority)
         |""".stripMargin,
 
     "q70_inverted_index" ->
