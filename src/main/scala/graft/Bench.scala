@@ -52,6 +52,11 @@ object Bench {
     // emit 1,234 and break the JSON again.
     def fmt(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Two packs reusing a query number would emit duplicate JSON keys
+    // and silently corrupt the driver-parsed line — fail loudly instead.
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    require(shortKeys.distinct.size == shortKeys.size,
+      s"duplicate short query keys: ${shortKeys.diff(shortKeys.distinct).distinct}")
     val qs = results
       .map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }

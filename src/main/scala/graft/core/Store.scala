@@ -19,6 +19,41 @@ final case class FeatureHandler(
     feature: String,
     get: Option[(FeatureStore, DataFrame) => DataFrame] = None)
 
+/** The transactional seam of the store: how a fully-materialized new
+  * table version becomes visible to readers. Everything above this seam
+  * (SCD2 merge, compaction, micro-batch ingest) builds the complete new
+  * version as a DataFrame and hands it to `publish`; everything below is
+  * the storage format's commit protocol.
+  *
+  * The default [[Committer.Rename]] stages to `<dst>.tmp` and swaps via
+  * delete + atomic directory rename — correct on a local or HDFS-like
+  * filesystem (single writer is guaranteed by the store's table lock).
+  * A warehouse deployment at 100 TB commits through a transactional
+  * table format instead (Delta/Iceberg snapshot commit): that is one
+  * small `Committer` implementation, and no store semantics change.
+  */
+trait Committer {
+  /** Replace the table at `dst` with the data produced by `write`
+    * (invoked with the staging location; the writer is fully configured
+    * by the caller — format, partition layout, sort order). Must be
+    * atomic from a reader's point of view. */
+  def publish(fs: org.apache.hadoop.fs.FileSystem, dst: Path,
+              write: String => Unit): Unit
+}
+
+object Committer {
+  /** Stage-to-temp + atomic rename (the local/HDFS default). */
+  object Rename extends Committer {
+    def publish(fs: org.apache.hadoop.fs.FileSystem, dst: Path,
+                write: String => Unit): Unit = {
+      val tmp = new Path(dst.toString + ".tmp")
+      write(tmp.toString)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      fs.rename(tmp, dst)
+    }
+  }
+}
+
 /** Base feature store (reference: R/DiseasystoreBase.R).
   *
   * Features are declared in `dsMap` (feature name → loader name) with one
@@ -114,24 +149,25 @@ class FeatureStore(
     }
   }
 
-  /** Atomically replace the loader's SCD2 table with `df`. With
-    * `partitionByMonth`, rows are laid out by month(valid_from) so the
-    * study-period upper bound prunes partitions at read time (the lower
-    * bound cannot prune: an old row may still be valid via an open
-    * `valid_until`). */
-  private def swapIn(loader: String, df: DataFrame): Unit = {
-    val tmp = new Path(tablePath(loader) + ".tmp")
-    val dst = new Path(tablePath(loader))
-    val w =
-      if (partitionByMonth)
-        df.withColumn("__vm",
-          date_format(col(Intervals.ValidFrom), "yyyy-MM"))
-          .write.partitionBy("__vm")
-      else df.write
-    w.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(tmp, dst)
-  }
+  /** The commit protocol for table publishes — override to commit
+    * through a transactional table format. */
+  protected def committer: Committer = Committer.Rename
+
+  /** Atomically replace the loader's SCD2 table with `df` (through the
+    * [[Committer]] seam). With `partitionByMonth`, rows are laid out by
+    * month(valid_from) so the study-period upper bound prunes partitions
+    * at read time (the lower bound cannot prune: an old row may still be
+    * valid via an open `valid_until`). */
+  private def swapIn(loader: String, df: DataFrame): Unit =
+    committer.publish(fs, new Path(tablePath(loader)), tmp => {
+      val w =
+        if (partitionByMonth)
+          df.withColumn("__vm",
+            date_format(col(Intervals.ValidFrom), "yyyy-MM"))
+            .write.partitionBy("__vm")
+        else df.write
+      w.mode("overwrite").parquet(tmp)
+    })
 
   /** One lock-guarded append-style SCD2 micro-commit: `batch` rows join
     * the loader's current open version set and the union is

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding compression and fast
+  * approximate inner-product scoring — the compression step beyond
+  * [[Quantize]]'s int8 (4×): a D-dim float vector becomes `m` small
+  * integer codes, one per contiguous subspace, each the id of the
+  * nearest centroid in that subspace's private codebook (Jégou et al.,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+  * At D=64, m=8, ksub=256 that is 256 B → 8 B per vector.
+  *
+  * Search is ADC (asymmetric distance computation): the query stays
+  * exact; per query one m × ksub table of partial dot products is
+  * precomputed, and a candidate's score is `m` table lookups — no float
+  * vector is ever read from the candidate rows, so the scan side is
+  * pure integer/array traffic.
+  *
+  * Scale posture: codebooks are tiny driver-side models (exactly like
+  * [[Ivf.Model]]); training is `m` independent runs of the existing
+  * k-means (each a few small distributed passes); encoding is one
+  * DataFrame pass through the `nearestCentroid` codegen kernel per
+  * subspace; ADC tables exist only for the (bounded, broadcast) query
+  * set. The full-scale search path is [[ivfTopKAdc]]: IVF coarse
+  * pruning picks ~nprobe/k of the corpus, PQ scores the survivors.
+  */
+object Pq {
+
+  /** `codebooks(mi)(j)` = centroid j of subspace mi. */
+  final case class Model(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def ksub: Int = codebooks.head.length
+    def subDim: Int = codebooks.head.head.length
+    /** Decode one code vector back to its reconstruction. */
+    def decode(codes: Seq[Int]): Array[Double] =
+      codes.zipWithIndex.flatMap { case (c, mi) => codebooks(mi)(c) }.toArray
+  }
+
+  /** Train one codebook per subspace by reusing [[Ivf.train]]'s
+    * deterministic Lloyd loop on the subvector slice. */
+  def train(df: DataFrame, idCol: String, embCol: String,
+            m: Int, ksub: Int, iters: Int = 3): Model = {
+    require(m > 0 && ksub > 0, "m and ksub must be positive")
+    val dims = df.select(size(col(embCol)).as("d")).limit(1).collect()
+    require(dims.nonEmpty, "cannot train PQ on an empty corpus")
+    val dim = dims.head.getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val e = Similarity.toDouble(col(embCol))
+    Model((0 until m).map { mi =>
+      val sub = df.select(col(idCol),
+        slice(e, mi * subDim + 1, subDim).as("__sub"))
+      Ivf.train(sub, idCol, "__sub", ksub, iters).centroids
+    }.toArray)
+  }
+
+  /** Append `pq_codes: array<int>` (length m, each in [0, ksub)). */
+  def encode(df: DataFrame, idCol: String, embCol: String,
+             model: Model): DataFrame = {
+    val e = Similarity.toDouble(col(embCol))
+    df.withColumn("pq_codes",
+      array((0 until model.m).map(mi =>
+        graft.functions.NativeExprs.nearestCentroid(
+          slice(e, mi * model.subDim + 1, model.subDim),
+          model.codebooks(mi))): _*))
+  }
+
+  /** Per-query ADC lookup tables as a small local DataFrame:
+    * (query_id, __t) with `__t(mi)(j)` = ⟨q_sub_mi, codebook(mi)(j)⟩.
+    * The query set is bounded and broadcast (same contract as
+    * [[Similarity.topK]] / [[Quantize.topKQuantized]]), so the exact
+    * query embeddings may reach the driver like IVF's centroids do. */
+  private def adcTables(df: DataFrame, idCol: String, embCol: String,
+                        queryPred: Column, model: Model): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qs = df.filter(queryPred)
+      .select(col(idCol).cast("long").as("q"),
+        Similarity.toDouble(col(embCol)).as("e"))
+      .as[(Long, Array[Double])].collect()
+    qs.toSeq.map { case (qid, qe) =>
+      val table = model.codebooks.zipWithIndex.map { case (book, mi) =>
+        book.map { c =>
+          var s = 0.0; var i = 0
+          while (i < c.length) { s += c(i) * qe(mi * model.subDim + i); i += 1 }
+          s
+        }.toSeq
+      }.toSeq
+      (qid, table)
+    }.toDF("query_id", "__t")
+  }
+
+  /** ADC score: m table lookups per candidate. SQL bracket indexing is
+    * 0-based, matching the 0-based codes and subspace ids. */
+  private def adcScore(m: Int): Column = expr(
+    s"aggregate(sequence(0, ${m - 1}), cast(0 as double), " +
+      "(acc, mi) -> acc + __t[mi][pq_codes[mi]])")
+
+  /** Exhaustive PQ top-k by approximate inner product: every candidate
+    * scored from its codes alone (the 100 TB path is [[ivfTopKAdc]]).
+    * Output (query_id, rank, neighbor_id, score); float scores →
+    * rows-only + recall spec. */
+  def topKAdc(df: DataFrame, idCol: String, embCol: String,
+              queryPred: Column, k: Int, model: Model): DataFrame = {
+    val corpus = encode(df, idCol, embCol, model)
+      .select(col(idCol).as("neighbor_id"), col("pq_codes"))
+    val scored = corpus.join(
+        broadcast(adcTables(df, idCol, embCol, queryPred, model)),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", adcScore(model.m))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("score"))
+  }
+
+  /** IVF-PQ: coarse quantizer prunes to each query's `nprobe` nearest
+    * cluster lists, PQ-ADC scores only the survivors — candidate volume
+    * ~nprobe/k of the corpus and every candidate costs m integer
+    * lookups. Partition/bucket the encoded corpus by `cluster_id` for
+    * co-located probe joins at scale. */
+  def ivfTopKAdc(df: DataFrame, idCol: String, embCol: String,
+                 queryPred: Column, k: Int, coarse: Ivf.Model,
+                 model: Model, nprobe: Int): DataFrame = {
+    val corpus = Ivf.assign(encode(df, idCol, embCol, model),
+        idCol, embCol, coarse)
+      .select(col(idCol).as("neighbor_id"), col("cluster_id"),
+        col("pq_codes"))
+    val centDists = graft.functions.NativeExprs.centroidSqDists(
+      Similarity.toDouble(col(embCol)), coarse.centroids)
+    val probes = df.filter(queryPred)
+      .select(col(idCol).cast("long").as("query_id"),
+        posexplode(centDists))
+      .withColumnRenamed("pos", "cluster_id")
+      .withColumnRenamed("col", "__d")
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__d"))
+    val probed = probes
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nprobe)
+      .select("query_id", "cluster_id")
+      .join(adcTables(df, idCol, embCol, queryPred, model), "query_id")
+    val scored = corpus.join(broadcast(probed), Seq("cluster_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", adcScore(model.m))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("score"))
+  }
+}

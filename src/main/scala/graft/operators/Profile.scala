@@ -58,17 +58,28 @@ object Profile {
   }
 
   /** Per-group approximate quantiles (Greenwald-Khanna via
-    * `approx_percentile`). Sketch-based → rows-only; ProfileSpec/
-    * ScaleOpsSpec bound the rank error against exact percentiles. */
+    * `approx_percentile`). Sketch-based → rows-only; ScaleOpsSpec bounds
+    * the rank error against exact percentiles.
+    *
+    * Output is LONG format — one scalar `(group, prob, value)` row per
+    * requested probability (arrays don't survive generic row-wise
+    * comparison tooling, and long format is what drift dashboards join
+    * against anyway). */
   def quantiles(df: DataFrame, groupCol: String, valueCol: String,
-                probs: Seq[Double], accuracy: Int = 10000): DataFrame =
+                probs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty, "probs must be non-empty")
     df.groupBy(col(groupCol))
       .agg(percentile_approx(col(valueCol),
-        array(probs.map(lit): _*), lit(accuracy)).as("quantiles"))
+        array(probs.map(lit): _*), lit(accuracy)).as("__qs"))
+      .select(col(groupCol), posexplode(col("__qs")).as(Seq("__pos", "value")))
+      .select(col(groupCol),
+        element_at(array(probs.map(lit): _*), col("__pos") + 1).as("prob"),
+        col("value"))
+  }
 
   /** Per-group approximate distinct count (HyperLogLog++) next to the
     * relative standard deviation it was run at. Sketch-based → rows-only
-    * (DuckDB's HLL differs); ProfileSpec asserts the error bound against
+    * (DuckDB's HLL differs); ScaleOpsSpec asserts the error bound against
     * exact counts. */
   def approxDistinct(df: DataFrame, groupCol: String, valueCol: String,
                      rsd: Double = 0.02): DataFrame =

@@ -23,11 +23,20 @@ import org.apache.spark.sql.functions._
 object Quantize {
 
   /** Global symmetric scale: max |x| over every element of `embCol`.
-    * One distributed max; only the scalar reaches the driver. */
-  def scaleOf(df: DataFrame, embCol: String): Double =
-    df.agg(max(array_max(transform(col(embCol),
+    * One distributed max; only the scalar reaches the driver. Fails
+    * loudly on degenerate corpora (empty, all-null, or all-zero) —
+    * a zero scale would silently quantize everything to NaN→0. */
+  def scaleOf(df: DataFrame, embCol: String): Double = {
+    val row = df.agg(max(array_max(transform(col(embCol),
       x => abs(x.cast("double"))))).as("s"))
-      .head.getDouble(0)
+      .head
+    require(!row.isNullAt(0),
+      s"cannot derive a quantization scale: no non-null '$embCol' values")
+    val s = row.getDouble(0)
+    require(s > 0.0,
+      s"cannot derive a quantization scale: max |$embCol| is 0")
+    s
+  }
 
   /** Quantize one array column with a given scale (elementwise affine,
     * clamped). Output element type LONG (int8 value range). */

@@ -19,10 +19,18 @@ object TextIndex {
     * frequency is ≥ `minDf` (vocabulary pruning — drops the hapax tail
     * that dominates raw vocab size but serves no retrieval purpose).
     *
-    * Plan shape: one explode → one (term, doc) partial-agg shuffle → df
-    * via a window over term (reuses the same hash partitioning, no second
-    * join). Postings stay (8B, 8B, 8B) rows — document text never
-    * shuffles.
+    * Plan shape: one explode → one (term, doc) partial-agg shuffle for
+    * tf; df comes from `groupBy(term)` over tf — map-side partial
+    * aggregation collapses even a stopword's postings to one count per
+    * input partition, so that shuffle carries term counts, never
+    * postings. The vocabulary is pruned to `df ≥ minDf` FIRST and then
+    * attached by broadcast join — the postings are shuffled exactly
+    * once, and a window over bare (skewed) `term` never appears.
+    * tf is persisted because both the vocabulary build and the probe
+    * side read it (Catalyst would otherwise prune the two branches into
+    * different subtrees and scan + explode the corpus twice) — postings
+    * are (8B, 8B, 8B) rows, spillable, and an index build materializes
+    * them anyway.
     */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
                     minDf: Int): DataFrame = {
@@ -30,9 +38,11 @@ object TextIndex {
         explode(terms(col(textCol))).as("term"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"))
-    val w = Window.partitionBy(col("term"))
-    tf.withColumn("df", count(lit(1)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
+    tf.join(broadcast(vocab), Seq("term"))
       .select("term", "doc_id", "tf")
   }
 
@@ -41,21 +51,28 @@ object TextIndex {
     * ordering realized with pure integer/string comparisons, so the
     * result is engine-exact (no float idf anywhere).
     *
-    * Same plan shape as `invertedIndex` (explode → one (term,doc)
-    * partial-agg shuffle → df window on the term partitioning), then one
-    * window per doc for the rank. Output (doc_id, rank, term, tf, df).
+    * Unlike `invertedIndex` there is no df prune here, so the full
+    * vocabulary (hapax tail included) is too large to broadcast at
+    * corpus scale. df still comes from a `groupBy(term)` partial agg
+    * (tiny shuffle), but it is attached with a SALTED join
+    * ([[Skew.saltedJoin]], df table replicated across `dfSalt`
+    * sub-keys): a stopword's postings spread over `dfSalt` tasks
+    * instead of landing in one window partition. The final per-doc rank
+    * window partitions by doc_id, which is naturally unskewed (bounded
+    * by document length). Output (doc_id, rank, term, tf, df).
     */
   def characteristicTerms(df: DataFrame, idCol: String, textCol: String,
-                          k: Int): DataFrame = {
+                          k: Int, dfSalt: Int = 8): DataFrame = {
     require(k > 0, "k must be positive")
     val tf = df.select(col(idCol).as("doc_id"),
         explode(terms(col(textCol))).as("term"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"))
-    val wt = Window.partitionBy(col("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val wd = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df"), col("term"))
-    tf.withColumn("df", count(lit(1)).over(wt))
+    Skew.saltedJoin(tf, dfTbl, Seq("term"), salt = dfSalt)
       .withColumn("rank", row_number().over(wd))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank").cast("int").as("rank"),

@@ -43,6 +43,10 @@ object TrainingSet {
     val dup = payloads.flatMap(_._2).diff(
       payloads.flatMap(_._2).distinct)
     require(dup.isEmpty, s"feature column collision: $dup")
+    val spineClash = payloads.flatMap(_._2)
+      .filter(c => spineCols.contains(c) || keys.contains(c) || c == tsCol)
+    require(spineClash.isEmpty,
+      s"feature columns collide with spine/key/ts columns: $spineClash")
 
     val tsType = spine.schema(tsCol).dataType
 

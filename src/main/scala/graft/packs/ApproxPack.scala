@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryPack
 import graft.core.Tables
-import graft.operators.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Ivf, Multimodal, Pq, Similarity, TextAnalysis}
 
 /** Approximate / hash-based operators. Deliberately NO oracle SQL: the
   * algorithms are not reasonably SQL-expressible, so the driver records
@@ -85,17 +85,29 @@ object ApproxPack extends QueryPack {
         k = 10)),
 
     // HyperLogLog++ distinct profile: sketch-based → rows-only;
-    // ProfileSpec asserts the rsd error bound against exact counts
+    // ScaleOpsSpec asserts the rsd error bound against exact counts
     "q72_approx_distinct" -> ((s, dir) =>
       graft.operators.Profile.approxDistinct(
         Tables.load(s, dir, "lineitem"), "l_returnflag", "l_partkey")),
 
-    // Greenwald-Khanna quantile sketch profile: rows-only; spec bounds
-    // the rank error against exact percentiles
+    // Greenwald-Khanna quantile sketch profile: rows-only (long format);
+    // ScaleOpsSpec bounds the rank error against exact percentiles
     "q77_quantiles" -> ((s, dir) =>
       graft.operators.Profile.quantiles(
         Tables.load(s, dir, "lineitem"), "l_returnflag",
-        "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.99)))
+        "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.99))),
+
+    // IVF-PQ: coarse k-means pruning + product-quantized ADC scoring —
+    // float scores → rows-only; PqSpec proves ADC-score exactness vs the
+    // reconstruction and recall bounds vs exact inner-product top-k
+    "q78_ivf_pq" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val pq = Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16,
+        iters = 2)
+      val coarse = Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+      Pq.ivfTopKAdc(emb, "vec_id", "embedding",
+        pmod(col("vec_id"), lit(50)) === 0, k = 10, coarse, pq, nprobe = 4)
+    })
   )
 
   def oracleSql: Map[String, String] = Map.empty

@@ -93,13 +93,17 @@ object EventsPack extends QueryPack {
     // clicks deduped by event id so fanout cannot double count
     "q62_funnel" -> ((s, dir) => {
       val e = Tables.events(s, dir)
+      // both legs derive from the same scan: rename the join key on each
+      // side so the equi-join predicate never needs Spark's dataset-id
+      // self-join disambiguation (which can silently degrade to a cross
+      // join if the heuristic misses)
       val views = e.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts").as("v_ts"))
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
       val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("c_ts"),
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
           col("event_id").as("click_id"))
       val converted = clicks.join(views,
-        clicks("user_id") === views("user_id") &&
+        col("c_user") === col("v_user") &&
           col("c_ts") >= col("v_ts") &&
           col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
         .select(col("click_id"), to_date(col("c_ts")).as("date"))

@@ -104,6 +104,72 @@ object DedupStream {
       }
   }
 
+  case class BandHitT(doc_id: Long, band: Int, bucket: Long,
+                      ts: java.sql.Timestamp)
+
+  /** TTL variant of [[bandVerdicts]] for unbounded streams: per-bucket
+    * first-seen state carries an event-time lease of `ttlMs` past the
+    * bucket's latest hit, renewed on every touch and evicted by the
+    * advancing watermark (EventTimeTimeout — deterministic in tests,
+    * unlike processing-time, and fires exactly when the stream's own
+    * clock passes the lease). A bucket whose owner ages out is claimable
+    * again — the same bounded-memory trade `signatureDedup` makes with
+    * `dropDuplicatesWithinWatermark`: state is proportional to the
+    * novelty seen within one TTL horizon, not to stream length. */
+  def bandVerdictsTtl(docs: DataFrame, idCol: String, textCol: String,
+                      tsCol: String, watermark: String, ttlMs: Long,
+                      numHashes: Int = 16, bands: Int = 4)
+      : Dataset[BandVerdict] = {
+    require(ttlMs > 0, "ttlMs must be positive")
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    import docs.sparkSession.implicits._
+    // the watermark is declared AFTER the projection: casting/aliasing
+    // the event-time attribute would strip the watermark tag, and
+    // EventTimeTimeout refuses to run without one
+    val hits = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(tsCol).cast("timestamp").as("__ts"),
+        graft.functions.NativeExprs.minhashSignature(
+          Dedup.shingleArray(col(textCol), 3), numHashes).as("__sig"))
+      .select(col("doc_id"), col("__ts"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bi => xxhash64(concat_ws(",",
+            transform(slice(col("__sig"), bi * lit(r) + 1, lit(r)),
+              _.cast("string")))))))
+      .select(col("doc_id"), col("pos").cast("int").as("band"),
+        col("col").as("bucket"), col("__ts").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[BandHitT]
+    hits.groupByKey(h => (h.band, h.bucket))
+      .flatMapGroupsWithState[Long, BandVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((band, _), hs, state: GroupState[Long]) =>
+          if (state.hasTimedOut) { // lease expired: free the bucket
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = hs.toSeq.sortBy(_.doc_id)
+            val out = state.getOption match {
+              case Some(owner) =>
+                sorted.map(h =>
+                  BandVerdict(h.doc_id, band, first = h.doc_id == owner))
+              case None =>
+                state.update(sorted.head.doc_id)
+                BandVerdict(sorted.head.doc_id, band, first = true) +:
+                  sorted.tail.map(h =>
+                    BandVerdict(h.doc_id, band, first = false))
+            }
+            // renew the lease; the timeout timestamp must stay ahead of
+            // the watermark, so clamp when a straggler batch arrives late
+            val lease = sorted.map(_.ts.getTime).max + ttlMs
+            state.setTimeoutTimestamp(
+              math.max(lease, state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
+      }
+  }
+
   /** Batch-side reduction (foreachBatch / collected sink): doc ids with
     * at least one non-first band — near-dup candidates of earlier
     * stream history. */

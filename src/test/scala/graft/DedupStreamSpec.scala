@@ -69,6 +69,40 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bandVerdictsTtl evicts bucket owners past the event-time lease") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val unrelated2 =
+      "yet another body of text regarding broadcast joins adaptive " +
+        "execution skew handling and dynamic partition pruning at scale"
+    val q = DedupStream.bandVerdictsTtl(
+      ms.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text",
+      tsCol = "ts", watermark = "0 seconds", ttlMs = 60000L, // 1-min lease
+      numHashes = 16, bands = 4)
+      .writeStream.format("memory").queryName("bandttl")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, base, ts(0)))   // doc 1 owns its buckets; lease 10:01
+      q.processAllAvailable()         // watermark after batch: 10:00
+      ms.addData((2L, unrelated, ts(10)))
+      q.processAllAvailable()         // batch ran at wm 10:00 → no eviction yet
+      ms.addData((3L, unrelated2, ts(20)))
+      q.processAllAvailable()         // ran at wm 10:10 > 10:01 → doc 1 evicted
+      // freed buckets are claimable: doc 4 (same text as doc 1) becomes
+      // the new owner; doc 5 in the same batch proves flagging still works
+      ms.addData((4L, base, ts(21)), (5L, base, ts(21)))
+      q.processAllAvailable()
+      val verdicts = spark.table("bandttl")
+      val cands = DedupStream.candidateIds(verdicts)
+        .as[Long].collect().toSeq
+      assert(cands == Seq(5L)) // doc 4 is NOT a candidate — state was evicted
+      val doc4 = verdicts.filter(col("doc_id") === 4L)
+        .select("first").as[Boolean].collect()
+      assert(doc4.length == 4 && doc4.forall(identity))
+    } finally q.stop()
+  }
+
   test("intra-batch tie goes to the lowest doc id") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(Long, String)]

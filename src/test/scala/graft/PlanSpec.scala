@@ -104,6 +104,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("inverted index: postings shuffle once, df attaches by broadcast") {
+    val plan = planOf(SparkEntry.queries("q70_inverted_index")(spark, dir))
+    // a window over bare `term` would put every posting of a stopword in
+    // ONE task — the df attach must never reintroduce it
+    assert(!plan.contains("Window"),
+      s"df must not come from a window over term:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"pruned vocabulary should broadcast:\n$plan")
+    // shuffle exchanges: the (term, doc_id) tf agg (the only postings
+    // shuffle) + the tiny per-term df agg (map-side partials only)
+    val shuffles = plan.linesIterator.count(_.contains(") Exchange"))
+    assert(shuffles <= 2,
+      s"inverted index shuffled $shuffles times:\n$plan")
+  }
+
+  test("characteristic terms: df attach is salted, single rank window") {
+    val plan = planOf(SparkEntry.queries("q75_keywords")(spark, dir))
+    // the df join key carries the salt → no bare-term skew partition
+    assert(plan.contains("__salt"),
+      s"df attach lost its salting:\n$plan")
+    // exactly one window (the per-doc rank); none over bare term
+    // (WindowGroupLimit rank-pushdown nodes are not windows)
+    val windows = plan.linesIterator
+      .count(_.matches("""\(\d+\) Window\s*"""))
+    assert(windows == 1, s"expected 1 window, saw $windows:\n$plan")
+  }
+
   test("sequence packing shuffles once on the shard column") {
     val plan = planOf(SparkEntry.queries("q56_packing")(spark, dir))
     val exchanges = "Exchange".r.findAllIn(

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ivf, Pq}
+
+/** Product quantization: code validity, ADC score = exact dot against
+  * the reconstruction, and recall on clustered vectors. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 well-separated clusters of 50 vectors; a query's true neighbors
+  // (by inner product) are its cluster mates, so coarse-geometry
+  // preservation is what recall measures — not the ordering of
+  // noise-level ties.
+  private val clustered = {
+    val rnd = new scala.util.Random(5)
+    (0 until 200).map { i =>
+      val c = i % 4
+      val center = Array.tabulate(16)(j => if (j % 4 == c) 1.0f else 0.0f)
+      (i.toLong, center.map(x => x + rnd.nextGaussian().toFloat * 0.05f), c)
+    }
+  }
+  private lazy val vecs = clustered.toDF("vec_id", "embedding", "label")
+  private lazy val model = Pq.train(vecs, "vec_id", "embedding",
+    m = 4, ksub = 8, iters = 2)
+
+  test("encode emits m codes per vector, each within its codebook") {
+    assert(model.m == 4 && model.subDim == 4)
+    val codes = Pq.encode(vecs, "vec_id", "embedding", model)
+      .select("pq_codes").as[Seq[Int]].collect()
+    assert(codes.length == 200)
+    codes.foreach { cs =>
+      assert(cs.length == 4)
+      cs.zipWithIndex.foreach { case (c, mi) =>
+        assert(c >= 0 && c < model.codebooks(mi).length)
+      }
+    }
+  }
+
+  test("ADC score equals the dot product against the PQ reconstruction") {
+    val got = Pq.topKAdc(vecs, "vec_id", "embedding",
+        col("vec_id") === 0, k = 199, model)
+      .select("neighbor_id", "score").as[(Long, Double)].collect().toMap
+    val codes = Pq.encode(vecs, "vec_id", "embedding", model)
+      .select("vec_id", "pq_codes").as[(Long, Seq[Int])].collect().toMap
+    val q = clustered.find(_._1 == 0L).get._2.map(_.toDouble)
+    got.foreach { case (nid, score) =>
+      val dec = model.decode(codes(nid))
+      val exact = q.zip(dec).map { case (a, b) => a * b }.sum
+      assert(math.abs(score - exact) < 1e-9,
+        s"neighbor $nid: ADC $score vs reconstruction dot $exact")
+    }
+    assert(got.size == 199) // every non-query candidate was scored
+  }
+
+  test("PQ top-k keeps cluster-mate recall on separable data") {
+    def recallOf(approx: Set[(Long, Long)], k: Int): Double = {
+      // exact inner-product top-k per query, brute-forced locally
+      val all = clustered.map { case (id, e, _) => id -> e.map(_.toDouble) }
+      val exact = (for {
+        (qid, qe) <- all if qid < 8
+        top = all.filter(_._1 != qid)
+          .map { case (cid, ce) =>
+            (cid, qe.zip(ce).map { case (a, b) => a * b }.sum) }
+          .sortBy { case (cid, s) => (-s, cid) }.take(k).map(_._1)
+        cid <- top
+      } yield (qid, cid)).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val k = 40
+    val flat = Pq.topKAdc(vecs, "vec_id", "embedding",
+        col("vec_id") < 8, k, model)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(recallOf(flat, k) >= 0.8, s"flat ADC recall ${recallOf(flat, k)}")
+
+    val coarse = Ivf.train(vecs, "vec_id", "embedding", k = 8, iters = 2)
+    val ivf = Pq.ivfTopKAdc(vecs, "vec_id", "embedding",
+        col("vec_id") < 8, k, coarse, model, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(recallOf(ivf, k) >= 0.8, s"IVF-PQ recall ${recallOf(ivf, k)}")
+  }
+
+  test("train rejects a dimension not divisible by m") {
+    intercept[IllegalArgumentException] {
+      Pq.train(vecs, "vec_id", "embedding", m = 5, ksub = 4)
+    }
+  }
+}

@@ -158,6 +158,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(approx - 1234.0) / 1234.0 < 0.1)
   }
 
+  test("quantiles: long scalar output within the GK rank-error bound") {
+    // values 1..n → a value's rank IS its value, so the Greenwald-Khanna
+    // guarantee (rank error ≤ n/accuracy) is directly checkable
+    val n = 2000
+    val df = (1 to n).map(i => (if (i % 2 == 0) "a" else "b", i))
+      .toDF("grp", "v")
+    val probs = Seq(0.25, 0.5, 0.75, 0.99)
+    val acc = 100
+    val got = Profile.quantiles(df, "grp", "v", probs, accuracy = acc)
+      .as[(String, Double, Int)].collect()
+    // long format: one scalar row per (group, prob)
+    assert(got.map(x => (x._1, x._2)).toSet ==
+      (for (g <- Seq("a", "b"); p <- probs) yield (g, p)).toSet)
+    val half = n / 2 // each group holds every-other value of 1..n
+    got.foreach { case (g, p, v) =>
+      val rankInGroup = (v + (if (g == "a") 0 else 1)) / 2
+      assert(math.abs(rankInGroup - p * half) <= half.toDouble / acc + 1.0,
+        s"($g, $p) -> $v outside the GK bound")
+    }
+  }
+
+  test("quantiles rejects an empty prob list") {
+    intercept[IllegalArgumentException] {
+      Profile.quantiles(Seq(("a", 1)).toDF("grp", "v"), "grp", "v", Nil)
+    }
+  }
+
   // ---- Quantize -------------------------------------------------------
 
   private val vecs = {
@@ -179,6 +206,13 @@ class ScaleOpsSpec extends SparkSpec {
       val x = orig(id)(pos - 1).toDouble
       assert(math.abs(q * s / 127.0 - x) <= s / 127.0 + 1e-12)
     }
+  }
+
+  test("scaleOf fails loudly on empty and all-zero corpora") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "emb")
+    intercept[IllegalArgumentException](Quantize.scaleOf(empty, "emb"))
+    val zeros = Seq((1L, Array(0f, 0f))).toDF("id", "emb")
+    intercept[IllegalArgumentException](Quantize.scaleOf(zeros, "emb"))
   }
 
   test("quantized MIPS matches the brute-force integer ranking") {

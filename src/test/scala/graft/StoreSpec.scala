@@ -215,6 +215,33 @@ class StoreSpec extends SparkSpec {
       i == 0 || vf(i - 1)._1 != pa || vf(i - 1)._2 <= da })
   }
 
+  test("committer seam: table publishes go through the pluggable committer") {
+    val path = Files.createTempDirectory("graft-store-committer").toString
+    val proto = TpchFeatureStore(spark, sfDir,
+      Files.createTempDirectory("graft-store-committer-proto").toString)
+    val publishes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val counting = new graft.core.Committer {
+      def publish(fs: org.apache.hadoop.fs.FileSystem,
+                  dst: org.apache.hadoop.fs.Path,
+                  write: String => Unit): Unit = {
+        publishes.incrementAndGet()
+        graft.core.Committer.Rename.publish(fs, dst, write)
+      }
+    }
+    val store = new graft.core.FeatureStore(spark, sfDir, path,
+      proto.dsMap, proto.loaders) {
+      override protected def committer: graft.core.Committer = counting
+    }
+    assert(store.getFeature("n_orders", "1995-01-01", "1995-01-31")
+      .count() > 0)
+    assert(publishes.get() >= 1)
+    // compute-if-missing: an already-covered range publishes nothing
+    val before = publishes.get()
+    assert(store.getFeature("n_orders", "1995-01-01", "1995-01-31")
+      .count() > 0)
+    assert(publishes.get() == before)
+  }
+
   test("storeStats reports versions, open rows, files, bytes") {
     val path = Files.createTempDirectory("graft-store-stats").toString
     val store = TpchFeatureStore(spark, sfDir, path)
