@@ -7,8 +7,8 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.{Queries, QueryPack}
 import graft.core.{Intervals, Tables}
-import graft.operators.{BloomJoin, Linkage, Profile, Quantize, Splits,
-  TextIndex, TrainingSet}
+import graft.operators.{BloomJoin, ConnectedComponents, Linkage, Profile,
+  Quantize, Splits, TextIndex, TrainingSet}
 
 /** Scale-posture operators: bucketized interval-overlap join, bloom-
   * pruned join, weighted corpus mixing, profiling histograms, int8
@@ -144,7 +144,18 @@ object ScalePack extends QueryPack {
           col("o_orderpriority"),
           round(col("o_totalprice") * 100).cast("long").as("cents")),
         "o_orderpriority", "cents", outMax = 1000L)
-        .select("o_orderkey", "o_orderpriority", "cents", "scaled"))
+        .select("o_orderkey", "o_orderpriority", "cents", "scaled")),
+
+    // entity resolution: large-star/small-star connected components over
+    // the fuzzy-linkage pair graph (chains A↔B↔C collapse to one entity;
+    // the closure oracle is the same WITH RECURSIVE trick as q63)
+    "q79_entity_clusters" -> ((s, dir) => {
+      val canon = Tables.load(s, dir, "part")
+        .groupBy("p_name").agg(min(col("p_partkey")).as("id"))
+      val pairs = Linkage.fuzzyPairs(canon, "id", "p_name",
+        block = split(col("p_name"), " ").getItem(1), maxDist = 2)
+      ConnectedComponents.run(pairs, "id_a", "id_b")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -283,6 +294,28 @@ object ScalePack extends QueryPack {
         |FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |""".stripMargin,
+
+    "q79_entity_clusters" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT p_name, min(p_partkey) AS id FROM part GROUP BY p_name
+        |), p AS (
+        |  SELECT id, p_name, string_split(p_name, ' ')[2] AS blk FROM n
+        |), cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |), e AS (
+        |  SELECT id_a AS a, id_b AS b FROM cand
+        |  UNION
+        |  SELECT id_b, id_a FROM cand
+        |), r AS (
+        |  SELECT a AS id, a AS l FROM e
+        |  UNION
+        |  SELECT e.a, r.l FROM e JOIN r ON e.b = r.id
+        |)
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  CAST(min(l) AS BIGINT) AS cluster_id
+        |FROM r GROUP BY id""".stripMargin,
 
     "q75_keywords" ->
       """WITH t AS (
