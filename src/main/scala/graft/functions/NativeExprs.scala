@@ -291,6 +291,47 @@ object NgramKernel {
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
   }
+
+  /** ALL word n-gram window hashes in position order, WITH multiplicity
+    * (one entry per window, not per distinct gram) — the window-level
+    * identity stream that exact substring-duplication accounting needs.
+    * Gram construction and xxhash64 seed match `computeHashes`. */
+  def computeHashesAll(ws: ArrayData, n: Int): ArrayData = {
+    val m = ws.numElements()
+    val upper = math.max(1, m - (n - 1))
+    val out = new Array[Long](upper)
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < upper) {
+      val hi = math.min(i + n, m)
+      val parts = new Array[UTF8String](hi - i)
+      var j = i
+      while (j < hi) { parts(j - i) = ws.getUTF8String(j); j += 1 }
+      val g = UTF8String.concatWs(sep, parts: _*)
+      out(i) = XXH64.hashUnsafeBytes(
+        g.getBaseObject, g.getBaseOffset, g.numBytes(), 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native Catalyst expression: all n-gram window hashes, with
+  * multiplicity, in position order. */
+case class WordNgramHashesAll(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramKernel.computeHashesAll(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramKernel.computeHashesAll($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Native Catalyst expression: distinct word n-gram shingle hash array. */
@@ -485,6 +526,9 @@ object NativeExprs {
 
   def wordNgramHashes(words: Column, n: Int): Column =
     Bridge.column(WordNgramHashes(Bridge.expression(words), n))
+
+  def wordNgramHashesAll(words: Column, n: Int): Column =
+    Bridge.column(WordNgramHashesAll(Bridge.expression(words), n))
 
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))

@@ -131,6 +131,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact window-duplication accounting (the window-level signal behind
+    * exact-substring training-data dedup, Lee et al. ACL'22, computed at
+    * word n-gram rather than suffix-array granularity): a WINDOW (an
+    * n-gram occurrence, with multiplicity) counts as duplicated iff its
+    * gram occurs >= 2 times in the whole corpus — in another document or
+    * again in the same one. Output per document: `n_windows` (total),
+    * `n_dup_windows` (duplicated), `n_distinct_dup` (distinct duplicated
+    * grams). Downstream policy (drop spans / drop docs over a dup-rate
+    * cut) is a filter on these integers.
+    *
+    * Scale shape: windows collapse to per-(doc, gram) counts FIRST (one
+    * shuffle, map-side partial agg absorbs within-doc repetition), gram
+    * totals are a second partial agg over those, and totals re-attach by
+    * a gram-keyed equi-join — deliberately a join, not a Window over the
+    * bare gram: a hot gram (stopword phrase) would pin all its postings
+    * to one window task, while a sort-merge join under AQE skew-join
+    * splitting spreads it. Only 8-byte xxhash64 gram identities shuffle;
+    * text never leaves the scan (collision odds ~(grams²)/2⁶⁴ corpus-wide
+    * — acceptable for a dedup signal). */
+  def duplicatedWindows(df: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(graft.functions.NativeExprs.wordNgramHashesAll(
+        TextAnalysis.words(col(textCol)), n)).as("__g"))
+    val perDoc = grams.groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__k"))
+    val totals = perDoc.groupBy("__g").agg(sum(col("__k")).as("__cnt"))
+      .withColumnRenamed("__g", "__tg")
+    perDoc.join(totals, col("__g") === col("__tg")).drop("__tg")
+      .groupBy(col(idCol))
+      .agg(sum(col("__k")).as("n_windows"),
+        sum(when(col("__cnt") >= 2, col("__k")).otherwise(lit(0L)))
+          .as("n_dup_windows"),
+        count(when(col("__cnt") >= 2, lit(1))).as("n_distinct_dup"))
+  }
+
   /** Engine-portable MinHash+LSH: per-permutation hash = md5 prefix of
     * `"<perm>|<shingle>"`, signature = per-permutation minimum, bands of
     * `numPerms / bands` rows, candidates from band-key equality, scored

@@ -136,6 +136,13 @@ object LlmPack extends QueryPack {
         .groupBy("lang", "bin_id")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("bin_tokens"))),
+
+    // exact window-duplication accounting (word 5-grams, with
+    // multiplicity): per-doc total / duplicated / distinct-duplicated
+    // window counts — the exact-substring dedup signal
+    "q80_dup_windows" -> ((s, dir) =>
+      Dedup.duplicatedWindows(Tables.load(s, dir, "documents"),
+        "doc_id", "text", n = 5)),
   )
 
   private val PackingSql =
@@ -203,6 +210,27 @@ object LlmPack extends QueryPack {
 
   def oracleSql: Map[String, String] = Map(
     "q56_packing" -> PackingSql,
+
+    // Window-level duplication over word 5-grams WITH multiplicity; the
+    // Spark side aggregates xxhash64 gram identities, the oracle the
+    // gram strings — equal counts absent a 64-bit collision.
+    "q80_dup_windows" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents
+        |),
+        |g AS (
+        |  SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+        |  FROM w, LATERAL (SELECT unnest(generate_series(
+        |    1, greatest(1, len(ws) - 4))) AS i) t
+        |),
+        |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_windows,
+        |  CAST(count(DISTINCT CASE WHEN cnt >= 2 THEN gram END) AS BIGINT)
+        |    AS n_distinct_dup
+        |FROM g JOIN c USING (gram) GROUP BY 1""".stripMargin,
 
     "q52_lsh_portable" -> LshPortableSql,
 

@@ -7,8 +7,8 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.{Queries, QueryPack}
 import graft.core.{Intervals, Tables}
-import graft.operators.{BloomJoin, ConnectedComponents, Linkage, Profile,
-  Quantize, Splits, TextIndex, TrainingSet}
+import graft.operators.{BloomJoin, ConnectedComponents, Layout, Linkage,
+  Profile, Quantize, Splits, TextIndex, TrainingSet}
 
 /** Scale-posture operators: bucketized interval-overlap join, bloom-
   * pruned join, weighted corpus mixing, profiling histograms, int8
@@ -155,7 +155,18 @@ object ScalePack extends QueryPack {
       val pairs = Linkage.fuzzyPairs(canon, "id", "p_name",
         block = split(col("p_name"), " ").getItem(1), maxDist = 2)
       ConnectedComponents.run(pairs, "id_a", "id_b")
-    })
+    }),
+
+    // Z-order (Morton) codes over a 2-d key box — the clustering key
+    // behind multi-dimensional data skipping; LayoutSpec measures the
+    // actual partition-pruning rate of the layout these codes induce
+    "q81_zorder" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        pmod(col("l_partkey"), lit(1024)).cast("long").as("x"),
+        pmod(col("l_suppkey"), lit(1024)).cast("long").as("y"))
+        .withColumn("zval",
+          Layout.zValue(Seq(col("x"), col("y")), bits = 10)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -294,6 +305,19 @@ object ScalePack extends QueryPack {
         |FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |""".stripMargin,
+
+    // Same Morton bit-interleave formula, generated once in Scala and
+    // embedded on both sides — exact integer arithmetic throughout.
+    "q81_zorder" -> {
+      val terms = (0 until 10).flatMap(i => Seq(
+        s"((((l_partkey % 1024) >> $i) & 1) << ${2 * i})",
+        s"((((l_suppkey % 1024) >> $i) & 1) << ${2 * i + 1})"))
+      s"""SELECT l_orderkey,
+         |  CAST(l_partkey % 1024 AS BIGINT) AS x,
+         |  CAST(l_suppkey % 1024 AS BIGINT) AS y,
+         |  CAST(${terms.mkString(" + ")} AS BIGINT) AS zval
+         |FROM lineitem""".stripMargin
+    },
 
     "q79_entity_clusters" ->
       """WITH RECURSIVE n AS (

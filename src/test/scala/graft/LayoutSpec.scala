@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+/** Z-order layout: Morton-code correctness, the range-partitioned plan
+  * shape, and the actual data-skipping payoff of the layout (partition
+  * envelopes vs a box predicate). */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference Morton interleave (LSB-first, col j at bit i*k+j). */
+  private def morton(vals: Seq[Long], bits: Int): Long = {
+    var z = 0L
+    for (i <- 0 until bits; j <- vals.indices)
+      z |= ((vals(j) >> i) & 1L) << (i * vals.size + j)
+    z
+  }
+
+  test("zValue matches the reference interleave on random inputs") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map(_ =>
+      (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val got = rows.toDF("x", "y")
+      .withColumn("z", Layout.zValue(Seq(col("x"), col("y")), 10))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z === morton(Seq(x, y), 10), s"($x,$y)")
+    }
+    // three dims too
+    val got3 = rows.map { case (x, y) => (x % 64, y % 64, (x + y) % 64) }
+      .toDF("a", "b", "c")
+      .withColumn("z",
+        Layout.zValue(Seq(col("a"), col("b"), col("c")), 6))
+      .as[(Long, Long, Long, Long)].collect()
+    got3.foreach { case (a, b, c, z) =>
+      assert(z === morton(Seq(a, b, c), 6))
+    }
+  }
+
+  test("zorder plans one range exchange and keeps rows intact") {
+    val df = (0 until 4096).map(i => (i.toLong % 64, (i / 64).toLong))
+      .toDF("x", "y")
+    val zed = Layout.zorder(df, Seq(col("x"), col("y")), bits = 6,
+      numPartitions = 16)
+    val plan = zed.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"expected a range exchange, got:\n$plan")
+    assert(zed.count() === 4096)
+    // per-partition z-values are locally sorted (the property a
+    // file-writing sink preserves)
+    val parts = zed
+      .withColumn("z", Layout.zValue(Seq(col("x"), col("y")), 6))
+      .select(spark_partition_id().as("pid"), col("z"))
+      .as[(Int, Long)].rdd
+      .mapPartitions(it => Iterator(it.map(_._2).toSeq)).collect()
+    parts.foreach(zs => assert(zs == zs.sorted))
+  }
+
+  test("z-order layout prunes a box predicate; hash layout does not") {
+    // 64x64 grid, one row per cell; 16 partitions = 256 cells each.
+    val df = (0 until 4096).map(i => (i.toLong % 64, (i / 64).toLong))
+      .toDF("x", "y")
+    def candidates(stats: Array[(Long, Long, Long, Long)]): Int =
+      stats.count { case (mnx, mxx, mny, mxy) =>
+        mnx <= 15 && mxx >= 0 && mny <= 15 && mxy >= 0 }
+
+    val zStats = Layout.partitionStats(
+      Layout.zorder(df, Seq(col("x"), col("y")), 6, 16), Seq("x", "y"))
+      .select("min_x", "max_x", "min_y", "max_y")
+      .as[(Long, Long, Long, Long)].collect()
+    val hashStats = Layout.partitionStats(
+      df.repartition(16, col("x") + col("y") * 64), Seq("x", "y"))
+      .select("min_x", "max_x", "min_y", "max_y")
+      .as[(Long, Long, Long, Long)].collect()
+
+    val zCand = candidates(zStats)
+    val hashCand = candidates(hashStats)
+    // the 16x16 box is exactly one of 16 z-tiles; range-boundary
+    // sampling can split it across a neighbour, hence <= 3 of 16
+    assert(zCand <= 3, s"z-layout candidates = $zCand")
+    assert(hashCand >= 12, s"hash layout should not prune, got $hashCand")
+  }
+
+  test("partitionStats counts every row exactly once") {
+    val df = (1 to 1000).map(i => (i.toLong, (i * 7).toLong % 100))
+      .toDF("x", "y")
+    val st = Layout.partitionStats(df.repartition(8), Seq("x", "y"))
+    assert(st.agg(sum("n_rows")).as[Long].head() === 1000L)
+  }
+}
