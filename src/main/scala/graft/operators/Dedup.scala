@@ -167,6 +167,41 @@ object Dedup {
         count(when(col("__cnt") >= 2, lit(1))).as("n_distinct_dup"))
   }
 
+  /** Duplicated-SPAN detection on top of `duplicatedWindows`: maximal
+    * runs of CONSECUTIVE duplicated windows per document. A long run
+    * means a long verbatim substring shared with elsewhere in the corpus
+    * — the unit exact-substring dedup actually excises (vs q80's scalar
+    * rate, which only ranks documents). Output per document: `max_dup_run`
+    * (longest run, 0 when none) and `n_long_runs` (maximal runs >=
+    * `minRun` windows, i.e. >= minRun+n-1 duplicated words).
+    *
+    * Runs are found with the classic consecutive-integers trick
+    * (`pos - row_number()` constant within a run) — one per-doc window
+    * over the duplicated positions only, no self-join. Shuffle shape on
+    * top of the gram-count join: one extra (doc)-keyed exchange, bounded
+    * by document size, never by corpus hot keys. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, minRun: Int): DataFrame = {
+    val grams = df.select(col(idCol),
+      posexplode(graft.functions.NativeExprs.wordNgramHashesAll(
+        TextAnalysis.words(col(textCol)), n)).as(Seq("__pos", "__g")))
+    val totals = grams.groupBy("__g").agg(count(lit(1)).as("__cnt"))
+      .withColumnRenamed("__g", "__tg")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val runs = grams.join(totals, col("__g") === col("__tg"))
+      .filter(col("__cnt") >= 2)
+      .withColumn("__grp", col("__pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(col(idCol))
+      .agg(max(col("__run")).as("__max_run"),
+        sum(when(col("__run") >= minRun, 1L).otherwise(0L)).as("__n_long"))
+    df.select(col(idCol)).join(runs, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__max_run"), lit(0L)).as("max_dup_run"),
+        coalesce(col("__n_long"), lit(0L)).as("n_long_runs"))
+  }
+
   /** Engine-portable MinHash+LSH: per-permutation hash = md5 prefix of
     * `"<perm>|<shingle>"`, signature = per-permutation minimum, bands of
     * `numPerms / bands` rows, candidates from band-key equality, scored

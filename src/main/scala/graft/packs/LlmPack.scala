@@ -143,6 +143,12 @@ object LlmPack extends QueryPack {
     "q80_dup_windows" -> ((s, dir) =>
       Dedup.duplicatedWindows(Tables.load(s, dir, "documents"),
         "doc_id", "text", n = 5)),
+
+    // duplicated-SPAN detection: maximal runs of consecutive duplicated
+    // 5-gram windows per doc — the unit exact-substring dedup excises
+    "q82_dup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(Tables.load(s, dir, "documents"),
+        "doc_id", "text", n = 5, minRun = 4)),
   )
 
   private val PackingSql =
@@ -231,6 +237,35 @@ object LlmPack extends QueryPack {
         |  CAST(count(DISTINCT CASE WHEN cnt >= 2 THEN gram END) AS BIGINT)
         |    AS n_distinct_dup
         |FROM g JOIN c USING (gram) GROUP BY 1""".stripMargin,
+
+    // Runs of consecutive duplicated windows; `i - row_number()` is
+    // constant within a run on both engines (0- vs 1-based positions
+    // only shift the constant).
+    "q82_dup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents
+        |),
+        |g AS (
+        |  SELECT doc_id, i, array_to_string(ws[i:i+4], ' ') AS gram
+        |  FROM w, LATERAL (SELECT unnest(generate_series(
+        |    1, greatest(1, len(ws) - 4))) AS i) t
+        |),
+        |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+        |d AS (
+        |  SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM g JOIN c USING (gram) WHERE cnt >= 2
+        |),
+        |r AS (
+        |  SELECT doc_id, count(*) AS run_len FROM d GROUP BY doc_id, grp
+        |)
+        |SELECT d0.doc_id,
+        |  CAST(coalesce(max(r.run_len), 0) AS BIGINT) AS max_dup_run,
+        |  CAST(coalesce(sum(CASE WHEN r.run_len >= 4 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_long_runs
+        |FROM documents d0 LEFT JOIN r ON d0.doc_id = r.doc_id
+        |GROUP BY 1""".stripMargin,
 
     "q52_lsh_portable" -> LshPortableSql,
 
