@@ -227,28 +227,38 @@ object Dedup {
   }
   private[graft] val PortableMod = 2147483647L // 2^31 − 1
 
+  /** Portable MinHash signatures: (id, __sig ARRAY<BIGINT>[numPerms]).
+    * One md5 per DISTINCT gram (bound to its own projection), then
+    * cheap affine permutations over the 32-bit gram hashes. */
+  private def portableSigs(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, numPerms: Int): DataFrame = {
+    val perms = portablePerms(numPerms)
+    val grams = df.select(col(idCol),
+      transform(shingleArray(col(textCol), n), g =>
+        conv(substring(md5(g), 1, 8), 16, 10).cast("long")).as("__gh"))
+    grams.select(col(idCol),
+      array(perms.map { case (a, b) =>
+        array_min(transform(col("__gh"), g =>
+          pmod(lit(a) * g + lit(b), lit(PortableMod))))
+      }: _*).as("__sig"))
+  }
+
+  /** Band keys of a signature table: (id, __band, __bkey). */
+  private def portableBands(sigs: DataFrame, idCol: String, bands: Int,
+                            r: Int): DataFrame =
+    sigs.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        concat_ws(",", transform(slice(col("__sig"), b * lit(r) + 1, lit(r)),
+          _.cast("string"))))))
+      .select(col(idCol), col("pos").as("__band"), col("col").as("__bkey"))
+
   def minhashLshPortable(df: DataFrame, idCol: String, textCol: String,
                          n: Int, numPerms: Int, bands: Int,
                          minMatch: Int): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val r = numPerms / bands
-    val perms = portablePerms(numPerms)
-    // one md5 per DISTINCT gram (bound to its own projection), then
-    // cheap affine permutations over the 32-bit gram hashes
-    val grams = df.select(col(idCol),
-      transform(shingleArray(col(textCol), n), g =>
-        conv(substring(md5(g), 1, 8), 16, 10).cast("long")).as("__gh"))
-    val sigs = grams.select(col(idCol),
-      array(perms.map { case (a, b) =>
-        array_min(transform(col("__gh"), g =>
-          pmod(lit(a) * g + lit(b), lit(PortableMod))))
-      }: _*).as("__sig"))
-      .cache()
-    val banded = sigs.select(col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        concat_ws(",", transform(slice(col("__sig"), b * lit(r) + 1, lit(r)),
-          _.cast("string"))))))
-      .select(col(idCol), col("pos").as("__band"), col("col").as("__bkey"))
+    val sigs = portableSigs(df, idCol, textCol, n, numPerms).cache()
+    val banded = portableBands(sigs, idCol, bands, r)
     val candIds = banded.select(col(idCol).as("id_a"), col("__band"),
         col("__bkey"))
       .join(banded.select(col(idCol).as("id_b"), col("__band").as("__band_b"),
@@ -262,6 +272,47 @@ object Dedup {
       .join(sigs.select(col(idCol).as("id_b"), col("__sig").as("__sb")),
         "id_b")
       .select(col("id_a"), col("id_b"),
+        size(filter(zip_with(col("__sa"), col("__sb"),
+          (x, y) => x === y), m => m)).cast("long").as("n_match"))
+      .filter(col("n_match") >= minMatch)
+  }
+
+  /** INCREMENTAL near-dup detection: score an incoming batch against an
+    * existing corpus without re-pairing the corpus with itself — the
+    * shape of a production ingest, where the corpus's band index is
+    * materialized once and every new batch probes it. Candidates are
+    * (incoming, corpus) band-key collisions only; incoming-incoming
+    * pairs are deliberately out of scope (run `minhashLshPortable` on
+    * the batch for those). Same md5/affine-permutation hashing as
+    * `minhashLshPortable`, so index and probe are engine-reproducible
+    * and a batch's verdicts never change across re-runs.
+    *
+    * Cost ∝ |batch| + collisions: the corpus side contributes one
+    * (pre-materializable) band table to the equi-join and sig lookups
+    * for matched ids only. Output: (new_id, corpus_id, n_match ≥
+    * minMatch) — downstream keeps `new_id ∉ output` or routes matches
+    * to canonical docs. */
+  def minhashProbePortable(corpus: DataFrame, incoming: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int, numPerms: Int, bands: Int,
+                           minMatch: Int): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val r = numPerms / bands
+    val corpusSigs = portableSigs(corpus, idCol, textCol, n, numPerms)
+      .withColumnRenamed(idCol, "corpus_id").cache()
+    val newSigs = portableSigs(incoming, idCol, textCol, n, numPerms)
+      .withColumnRenamed(idCol, "new_id").cache()
+    val candIds = portableBands(newSigs, "new_id", bands, r)
+      .join(portableBands(corpusSigs, "corpus_id", bands, r)
+          .withColumnRenamed("__band", "__band_c")
+          .withColumnRenamed("__bkey", "__bkey_c"),
+        col("__band") === col("__band_c") &&
+          col("__bkey") === col("__bkey_c"))
+      .select("new_id", "corpus_id").distinct()
+    candIds
+      .join(newSigs.withColumnRenamed("__sig", "__sa"), "new_id")
+      .join(corpusSigs.withColumnRenamed("__sig", "__sb"), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
         size(filter(zip_with(col("__sa"), col("__sb"),
           (x, y) => x === y), m => m)).cast("long").as("n_match"))
       .filter(col("n_match") >= minMatch)

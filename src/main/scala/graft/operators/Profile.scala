@@ -77,6 +77,44 @@ object Profile {
         col("value"))
   }
 
+  /** Per-group winsorization of an integral column: clamp values to the
+    * group's [pLo, pHi] DISCRETE percentiles — the outlier treatment a
+    * feature pipeline applies before scaling, exact and
+    * engine-reproducible (no interpolation, no float rank math).
+    * Percentile bounds are in basis points (1/10000), the value at rank
+    * `max(1, ceil(n·bp/10000))` of the ascending sort — all-integer
+    * rank arithmetic, and ties share a value so row_number tie-breaks
+    * can't change the result.
+    *
+    * Plan: ONE hash shuffle of the fact table (group-keyed rank
+    * window); the two bound ranks fall out of a tiny per-group
+    * aggregate broadcast back. Appends `winsorized` (and keeps the
+    * input columns). Degenerate groups (n smaller than the rank span)
+    * clamp to their own min/max — a no-op, as winsorizing should be. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                loBp: Int, hiBp: Int): DataFrame = {
+    require(loBp >= 0 && hiBp <= 10000 && loBp < hiBp,
+      "need 0 <= loBp < hiBp <= 10000")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val ranked = df
+      .withColumn("__v", col(valueCol).cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val bounds = ranked.groupBy(col(groupCol)).agg(
+      max(when(col("__rn") ===
+        greatest(lit(1L), expr(s"(__n * ${loBp}L + 9999L) div 10000L")),
+        col("__v"))).as("__lo"),
+      max(when(col("__rn") ===
+        greatest(lit(1L), expr(s"(__n * ${hiBp}L + 9999L) div 10000L")),
+        col("__v"))).as("__hi"))
+    ranked.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("winsorized",
+        least(greatest(col("__v"), col("__lo")), col("__hi")))
+      .drop("__v", "__rn", "__n", "__lo", "__hi")
+  }
+
   /** Per-group approximate distinct count (HyperLogLog++) next to the
     * relative standard deviation it was run at. Sketch-based → rows-only
     * (DuckDB's HLL differs); ScaleOpsSpec asserts the error bound against

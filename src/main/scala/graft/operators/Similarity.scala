@@ -150,4 +150,51 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
   }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): a coarse k-means quantizer partitions the
+    * corpus; within each cluster, a doc is dropped when a LOWER-id
+    * clustermate sits within `threshold` cosine of it. Embedding
+    * near-dups land in the same cluster with high probability, so the
+    * quadratic pair scan is bounded by cluster size — the whole point
+    * of clustering first (recall vs the global pair set is < 1 by
+    * construction; the spec measures it).
+    *
+    * The drop rule is "similar to ANY lower id", not "to any KEPT
+    * lower id": one within-cluster join instead of a sequential
+    * greedy pass, deterministic and order-independent. Slightly more
+    * aggressive on chains (a~b, b~c drops both b and c) — for corpus
+    * pruning that is the safe direction.
+    *
+    * Plan: one broadcast-centroid assignment pass (codegen kernel, no
+    * shuffle), one hash shuffle on `cluster_id` for the self-join,
+    * norms computed once per side. Output: (id, cluster_id, keep,
+    * n_dups_below) — no floats, so re-runs agree bit-for-bit.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String,
+                    model: Ivf.Model, threshold: Double): DataFrame = {
+    val assigned = Ivf.assign(df, idCol, embCol, model)
+      .select(col(idCol), col("cluster_id"),
+        toDouble(col(embCol)).as("__e"))
+      .withColumn("__n", norm(col("__e")))
+    // rename every column on the low-id leg: both legs derive from the
+    // same plan, and distinct names keep the equi-join out of Spark's
+    // dataset-id self-join disambiguation (same hazard as the funnel)
+    val lo = assigned.select(col(idCol).as("__lo_id"),
+      col("cluster_id").as("__lo_cluster"), col("__e").as("__le"),
+      col("__n").as("__ln"))
+    val dups = assigned.join(lo,
+        col("cluster_id") === col("__lo_cluster") &&
+          col("__lo_id") < col(idCol))
+      .filter(col("__n") > 0 && col("__ln") > 0 &&
+        dot(col("__e"), col("__le")) >= lit(threshold) * col("__n") *
+          col("__ln"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dups_below"))
+    assigned.select(col(idCol), col("cluster_id"))
+      .join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("cluster_id"),
+        col("n_dups_below").isNull.as("keep"),
+        coalesce(col("n_dups_below"), lit(0L)).as("n_dups_below"))
+  }
 }

@@ -78,4 +78,67 @@ object Splits {
       .filter(col("__rk") <= col("__keep"))
       .drop("__w", "__keep", "__rk")
   }
+
+  /** Exact-k deterministic sample per group: the k rows with the
+    * smallest `(md5-bucket(id), id)` rank in each group — a seedable,
+    * engine-reproducible stand-in for per-group reservoir sampling.
+    * Unlike rate-based `stratifiedSample` (which keeps ~pct% and whose
+    * group sizes fluctuate), this returns exactly `min(k, |group|)`
+    * rows per group, with `sample_rank` (1-based) attached so callers
+    * can take nested prefixes (rank ≤ j, j < k) that are themselves
+    * valid samples. `seed` perturbs the hash so distinct draws are
+    * independent.
+    *
+    * Plan: one hash shuffle on the group key + one rank window — no
+    * global sort, no per-group collect. Hot groups are bounded by the
+    * window sort of that group's rows, the same bound `weightedMix`
+    * already carries. */
+  def samplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                     k: Int, seed: String = ""): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = bucket(concat(col(idCol).cast("string"), lit("|" + seed)),
+      1000000)
+    val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** Deterministic export shard of a row: `md5(id|seed) mod nShards`.
+    * The foundation of a reproducible training-data export — shard
+    * membership depends only on (id, seed), so it is append-stable,
+    * repartition-proof, and reproducible by any engine with md5. */
+  def shardOf(id: Column, nShards: Int, seed: String): Column = {
+    require(nShards > 0, "nShards must be positive")
+    bucket(concat(id.cast("string"), lit("|" + seed)), nShards)
+  }
+
+  /** Shard-balance manifest for a planned export: per-shard row count
+    * and payload bytes. md5 equidistributes ids, so at corpus scale
+    * every shard holds ~N/nShards rows — this is the check that proves
+    * it (and catches id-space pathologies) before paying for the
+    * export shuffle. One partial-agg shuffle of (shard, count, bytes)
+    * pairs; the payload itself never moves. */
+  def shardStats(df: DataFrame, idCol: String, payloadCol: String,
+                 nShards: Int, seed: String): DataFrame =
+    df.select(shardOf(col(idCol), nShards, seed).as("shard"),
+        octet_length(col(payloadCol).cast("string")).cast("long")
+          .as("__bytes"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), sum(col("__bytes")).as("n_bytes"))
+
+  /** Materialize the export order: one hash exchange into `nShards`
+    * output partitions keyed by the shard id, each partition locally
+    * sorted by a SECOND, shard-independent hash — a deterministic
+    * global shuffle of the corpus (what a training run wants: no
+    * residual source ordering, byte-identical across re-runs). The
+    * result is ready for a partitioned `write` with one file per
+    * shard. */
+  def exportShuffled(df: DataFrame, idCol: String, nShards: Int,
+                     seed: String): DataFrame =
+    df.withColumn("shard", shardOf(col(idCol), nShards, seed))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(
+        bucket(concat(col(idCol).cast("string"), lit("|order|" + seed)),
+          1000000),
+        col(idCol))
 }

@@ -107,6 +107,18 @@ object ApproxPack extends QueryPack {
       val coarse = Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
       Pq.ivfTopKAdc(emb, "vec_id", "embedding",
         pmod(col("vec_id"), lit(50)) === 0, k = 10, coarse, pq, nprobe = 4)
+    }),
+
+    // SemDeDup: coarse k-means clusters, then drop any vector with a
+    // lower-id clustermate within 0.9 cosine — float similarity inside
+    // → rows-only; SimilaritySpec proves the verdicts equal a
+    // brute-force within-cluster scan and measures recall vs the
+    // global pair set
+    "q87_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+      Similarity.semanticDedup(emb, "vec_id", "embedding", model,
+        threshold = 0.9)
     })
   )
 

@@ -149,6 +149,17 @@ object LlmPack extends QueryPack {
     "q82_dup_spans" -> ((s, dir) =>
       Dedup.duplicatedSpans(Tables.load(s, dir, "documents"),
         "doc_id", "text", n = 5, minRun = 4)),
+
+    // incremental ingest dedup: odd doc_ids (the "new batch") probed
+    // against the band index of even doc_ids (the "corpus") — no
+    // corpus-corpus or batch-batch pairing, the production ingest shape
+    "q83_incr_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.minhashProbePortable(
+        corpus = docs.filter(col("doc_id") % 2 === 0),
+        incoming = docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 3, numPerms = 8, bands = 4, minMatch = 4)
+    }),
   )
 
   private val PackingSql =
@@ -214,8 +225,49 @@ object LlmPack extends QueryPack {
          |SELECT id_a, id_b, n_match FROM m WHERE n_match >= 4""".stripMargin
   }
 
+  /** q83: same md5/affine construction as [[LshPortableSql]], but
+    * candidates are (odd "incoming", even "corpus") band collisions
+    * only — the incremental-ingest probe, never pairing either side
+    * with itself. */
+  private lazy val IncrDedupSql: String = {
+    val permValues = graft.operators.Dedup.portablePerms(8).zipWithIndex
+      .map { case ((a, b), p) => s"($p, $a, $b)" }.mkString(", ")
+    s"""WITH $ShinglesSql,
+       |gh AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS g
+       |  FROM sh
+       |),
+       |ph AS (
+       |  SELECT doc_id, p, min((a * g + b) % 2147483647) AS h
+       |  FROM gh, (VALUES $permValues) AS perms(p, a, b)
+       |  GROUP BY doc_id, p
+       |),
+       |sig AS (
+       |  SELECT doc_id, p // 2 AS band,
+       |    string_agg(CAST(h AS VARCHAR), ',' ORDER BY p) AS bkey
+       |  FROM ph GROUP BY doc_id, p // 2
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+       |  FROM sig a JOIN sig b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+       |),
+       |m AS (
+       |  SELECT c.new_id, c.corpus_id,
+       |    CAST(sum(CASE WHEN pa.h = pb.h THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_match
+       |  FROM cand c
+       |  JOIN ph pa ON pa.doc_id = c.new_id
+       |  JOIN ph pb ON pb.doc_id = c.corpus_id AND pb.p = pa.p
+       |  GROUP BY c.new_id, c.corpus_id
+       |)
+       |SELECT new_id, corpus_id, n_match FROM m WHERE n_match >= 4""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q56_packing" -> PackingSql,
+    "q83_incr_dedup" -> IncrDedupSql,
 
     // Window-level duplication over word 5-grams WITH multiplicity; the
     // Spark side aggregates xxhash64 gram identities, the oracle the

@@ -166,7 +166,35 @@ object ScalePack extends QueryPack {
         pmod(col("l_partkey"), lit(1024)).cast("long").as("x"),
         pmod(col("l_suppkey"), lit(1024)).cast("long").as("y"))
         .withColumn("zval",
-          Layout.zValue(Seq(col("x"), col("y")), bits = 10)))
+          Layout.zValue(Seq(col("x"), col("y")), bits = 10))),
+
+    // exact-k seeded per-language document sample (deterministic
+    // reservoir stand-in; nested prefixes are themselves samples)
+    "q84_group_sample" -> ((s, dir) =>
+      Splits.samplePerGroup(Tables.load(s, dir, "documents"),
+        "lang", "doc_id", k = 20, seed = "r4")
+        .select("doc_id", "lang", "sample_rank")),
+
+    // export shard-balance manifest: 16 deterministic md5 shards over
+    // the document corpus, per-shard row and byte totals
+    "q85_shard_stats" -> ((s, dir) =>
+      Splits.shardStats(Tables.load(s, dir, "documents"),
+        "doc_id", "text", nShards = 16, seed = "r4")),
+
+    // per-group winsorization at [p1, p99] discrete percentiles (cents),
+    // folded to a per-group fingerprint that covers every clamp
+    "q86_winsorize" -> ((s, dir) =>
+      Profile.winsorize(
+        Tables.load(s, dir, "lineitem").select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "l_returnflag", "cents", loBp = 100, hiBp = 9900)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          min(col("winsorized")).as("lo_cents"),
+          max(col("winsorized")).as("hi_cents"),
+          sum(when(col("winsorized") =!= col("cents"), 1L).otherwise(0L))
+            .as("n_clamped"),
+          sum(col("winsorized")).as("sum_cents")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -387,6 +415,59 @@ object ScalePack extends QueryPack {
         |SELECT tf.term, tf.doc_id, tf.tf
         |FROM tf JOIN d USING (term)
         |WHERE d.df >= 25
+        |""".stripMargin,
+
+    "q84_group_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |      PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(
+        |          CAST(doc_id AS VARCHAR) || '|r4'), 1, 8))
+        |        ::BIGINT % 1000000, doc_id) AS sample_rank
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+        |FROM r WHERE sample_rank <= 20
+        |""".stripMargin,
+
+    "q85_shard_stats" ->
+      """SELECT
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|r4'), 1, 8))
+        |    ::BIGINT % 16 AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY 1
+        |""".stripMargin,
+
+    "q86_winsorize" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |), r AS (
+        |  SELECT g, cents,
+        |    row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM v
+        |), b AS (
+        |  SELECT g,
+        |    max(CASE WHEN rn = greatest(1, (n * 100 + 9999) // 10000)
+        |        THEN cents END) AS lo,
+        |    max(CASE WHEN rn = greatest(1, (n * 9900 + 9999) // 10000)
+        |        THEN cents END) AS hi
+        |  FROM r GROUP BY g
+        |)
+        |SELECT r.g AS l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(least(greatest(r.cents, b.lo), b.hi)) AS BIGINT)
+        |    AS lo_cents,
+        |  CAST(max(least(greatest(r.cents, b.lo), b.hi)) AS BIGINT)
+        |    AS hi_cents,
+        |  CAST(sum(CASE WHEN least(greatest(r.cents, b.lo), b.hi)
+        |      <> r.cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+        |  CAST(sum(least(greatest(r.cents, b.lo), b.hi)) AS BIGINT)
+        |    AS sum_cents
+        |FROM r JOIN b USING (g) GROUP BY r.g
         |""".stripMargin
   )
 }

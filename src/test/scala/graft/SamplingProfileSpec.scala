@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Ivf, Similarity, Splits}
+import graft.operators.Profile
+
+/** Specs for the round-4 sampling/export/winsorize/incremental-dedup
+  * operators: exact-size guarantees, determinism, plan shape, and
+  * plain-Scala reference parity.
+  */
+class SamplingProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (0L until 100L).map { i =>
+    (i, s"doc text ${"x" * (i % 13).toInt} $i", s"lang${i % 4}")
+  }.toDF("doc_id", "text", "lang")
+
+  test("samplePerGroup returns exactly min(k, |group|) rows per group") {
+    val out = Splits.samplePerGroup(corpus, "lang", "doc_id", k = 7)
+    val sizes = out.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(sizes.values.toSet == Set(7L)) // 25 docs per lang, k=7
+    val tiny = Splits.samplePerGroup(corpus.filter($"doc_id" < 2),
+      "lang", "doc_id", k = 7)
+    assert(tiny.count() == 2) // groups smaller than k keep everything
+  }
+
+  test("samplePerGroup prefixes nest and seeds are independent draws") {
+    val k7 = Splits.samplePerGroup(corpus, "lang", "doc_id", k = 7)
+      .select("doc_id").as[Long].collect().toSet
+    val k3 = Splits.samplePerGroup(corpus, "lang", "doc_id", k = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(k3.subsetOf(k7)) // rank <= 3 is a prefix of rank <= 7
+    val seeded = Splits.samplePerGroup(corpus, "lang", "doc_id", k = 7,
+      seed = "other").select("doc_id").as[Long].collect().toSet
+    assert(seeded != k7) // a different seed is a different draw
+    assert(seeded.size == k7.size)
+  }
+
+  test("shardStats conserves rows and bytes; shards are in range") {
+    val stats = Splits.shardStats(corpus, "doc_id", "text",
+      nShards = 8, seed = "s")
+      .as[(Long, Long, Long)].collect()
+    assert(stats.map(_._2).sum == 100L)
+    assert(stats.forall(s => s._1 >= 0 && s._1 < 8))
+    val totalBytes = corpus.select(sum(octet_length($"text")))
+      .as[Long].head()
+    assert(stats.map(_._3).sum == totalBytes)
+  }
+
+  test("exportShuffled is a deterministic permutation with one exchange") {
+    val a = Splits.exportShuffled(corpus, "doc_id", nShards = 4, seed = "s")
+    val b = Splits.exportShuffled(corpus, "doc_id", nShards = 4, seed = "s")
+    val rowsA = a.select("doc_id", "shard").collect().map(r =>
+      (r.getLong(0), r.getLong(1)))
+    val rowsB = b.select("doc_id", "shard").collect().map(r =>
+      (r.getLong(0), r.getLong(1)))
+    assert(rowsA.toSeq == rowsB.toSeq) // byte-identical across re-runs
+    assert(rowsA.map(_._1).sorted.toSeq == (0L until 100L)) // permutation
+    // the shard column matches the standalone assignment expression
+    val byCol = corpus.select($"doc_id",
+      Splits.shardOf($"doc_id", 4, "s").as("s2")).as[(Long, Long)]
+      .collect().toMap
+    assert(rowsA.forall { case (id, sh) => byCol(id) == sh })
+    // exactly one shuffle: the repartition exchange
+    val exchanges = a.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1)
+  }
+
+  test("winsorize matches a plain-Scala discrete-percentile reference") {
+    val values = Seq(1L, 2L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 1000L)
+    val df = values.zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("id", "g", "v")
+    val (loBp, hiBp) = (1000, 9000)
+    def rankAt(bp: Int, n: Int): Int =
+      math.max(1, ((n.toLong * bp + 9999L) / 10000L).toInt)
+    val sorted = values.sorted
+    val lo = sorted(rankAt(loBp, values.size) - 1)
+    val hi = sorted(rankAt(hiBp, values.size) - 1)
+    val expect = values.zipWithIndex.map { case (v, i) =>
+      (i.toLong, math.min(math.max(v, lo), hi))
+    }.toSet
+    val got = Profile.winsorize(df, "g", "v", loBp, hiBp)
+      .select("id", "winsorized").as[(Long, Long)].collect().toSet
+    assert(got == expect)
+    assert(lo == 1L && hi == 34L) // p10 → rank 1, p90 → rank 9
+  }
+
+  test("winsorize is a no-op on degenerate and in-range groups") {
+    val df = Seq((1L, "a", 42L), (2L, "b", 7L), (3L, "b", 9L))
+      .toDF("id", "g", "v")
+    val out = Profile.winsorize(df, "g", "v", 100, 9900)
+      .select("id", "winsorized").as[(Long, Long)].collect().toMap
+    // singleton group clamps to its own value; a 2-row group's p1/p99
+    // ranks are 1 and 2 → both rows keep their values
+    assert(out == Map(1L -> 42L, 2L -> 7L, 3L -> 9L))
+  }
+
+  test("minhashProbePortable equals the cross-parity slice of full LSH") {
+    val docs = (0L until 30L).map { i =>
+      val words = (0 until 12).map(k => s"w${(i / 3 + k) % 9}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val full = Dedup.minhashLshPortable(docs, "doc_id", "text",
+      n = 3, numPerms = 8, bands = 4, minMatch = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val crossParity = full.collect {
+      case (a, b, m) if a % 2 == 0 && b % 2 == 1 => (b, a, m)
+      case (a, b, m) if a % 2 == 1 && b % 2 == 0 => (a, b, m)
+    }
+    val probed = Dedup.minhashProbePortable(
+      docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", n = 3, numPerms = 8, bands = 4, minMatch = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probed == crossParity)
+    assert(probed.nonEmpty) // the construction plants cross-parity dups
+  }
+
+  test("semanticDedup verdicts equal a brute-force within-cluster scan") {
+    // two well-separated clusters with planted near-identical vectors
+    val rng = new scala.util.Random(7)
+    def jitter(base: Array[Float], eps: Float): Array[Float] =
+      base.map(x => x + (rng.nextFloat() - 0.5f) * eps)
+    val c1 = Array(10f, 0f, 0f, 0f)
+    val c2 = Array(0f, 10f, 0f, 0f)
+    val originals = (0L until 10L).map { i =>
+      i -> jitter(if (i % 2 == 0) c1 else c2, 4f)
+    }.toMap
+    val vecs = (0L until 20L).map { i =>
+      // ids 10..13 are near-copies of the VECTORS of ids 0..3 (same
+      // parity → same side of the space → same coarse cluster)
+      val v =
+        if (i >= 10 && i < 14) jitter(originals(i - 10), 0.01f)
+        else if (i < 10) originals(i)
+        else jitter(if (i % 2 == 0) c1 else c2, 4f)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val model = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 3)
+    val thr = 0.995
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      model, thr)
+      .select("vec_id", "keep", "n_dups_below")
+      .as[(Long, Boolean, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // brute-force reference over the same cluster assignment
+    val assigned = Ivf.assign(vecs, "vec_id", "embedding", model)
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().toMap
+    val raw = vecs.as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map(p => p._1 * p._2).sum
+      d / (math.sqrt(ad.map(x => x * x).sum) *
+        math.sqrt(bd.map(x => x * x).sum))
+    }
+    raw.keys.foreach { id =>
+      val below = raw.keys.count(j => j < id &&
+        assigned(j) == assigned(id) && cos(raw(j), raw(id)) >= thr)
+      assert(out(id) == ((below == 0, below.toLong)),
+        s"id $id: got ${out(id)}, expected ${(below == 0, below)}")
+    }
+    // the planted copies were actually caught
+    assert((10L until 14L).forall(id => !out(id)._1))
+  }
+}
