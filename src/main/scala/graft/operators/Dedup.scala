@@ -230,7 +230,7 @@ object Dedup {
   /** Portable MinHash signatures: (id, __sig ARRAY<BIGINT>[numPerms]).
     * One md5 per DISTINCT gram (bound to its own projection), then
     * cheap affine permutations over the 32-bit gram hashes. */
-  private def portableSigs(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def portableSigs(df: DataFrame, idCol: String, textCol: String,
                            n: Int, numPerms: Int): DataFrame = {
     val perms = portablePerms(numPerms)
     val grams = df.select(col(idCol),
@@ -244,7 +244,7 @@ object Dedup {
   }
 
   /** Band keys of a signature table: (id, __band, __bkey). */
-  private def portableBands(sigs: DataFrame, idCol: String, bands: Int,
+  private[graft] def portableBands(sigs: DataFrame, idCol: String, bands: Int,
                             r: Int): DataFrame =
     sigs.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>

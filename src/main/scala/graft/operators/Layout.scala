@@ -61,4 +61,34 @@ object Layout {
       .groupBy("__pid")
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Small-file compaction plan (the OPTIMIZE step of a table format):
+    * given a file manifest `(partCol, fileCol, bytesCol)`, assign the
+    * files of each table partition to target output files of
+    * ~`targetBytes` each by contiguous running-byte-sum binning, in
+    * file-id order — the same exact cumsum binning as sequence packing
+    * (`Chunking.packBins`), so the plan is integer-deterministic and
+    * any engine reproduces it. Next-fit rather than first-fit-
+    * decreasing: within 2× of optimal bin count, but append-stable
+    * (new files never re-bin old ones) and expressible as one window —
+    * no sequential driver loop over what may be millions of manifest
+    * entries. A file larger than `targetBytes` gets its own target
+    * (never split: compaction rewrites whole files).
+    *
+    * Plan: one hash shuffle of the MANIFEST (not the data) keyed by
+    * the table partition + one cumsum window. Output: the manifest
+    * plus `target_file` (0-based within partition); the executor
+    * reads each (partition, target_file) group and writes one file. */
+  def compactionPlan(manifest: DataFrame, partCol: String,
+                     fileCol: String, bytesCol: String,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col(fileCol))
+    manifest
+      .withColumn("__cum", sum(col(bytesCol).cast("long")).over(w))
+      .withColumn("target_file",
+        expr(s"(__cum - 1) div ${targetBytes}L").cast("long"))
+      .drop("__cum")
+  }
 }

@@ -101,10 +101,17 @@ object ApproxPack extends QueryPack {
     // float scores → rows-only; PqSpec proves ADC-score exactness vs the
     // reconstruction and recall bounds vs exact inner-product top-k
     "q78_ivf_pq" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val pq = Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16,
+      // cache: the two trainers make several passes each (Lloyd
+      // iterations + per-subspace codebooks) over the same vectors.
+      // Codebooks train on a deterministic 1/4 hash-sample — at corpus
+      // scale a quantizer is always fit on a sample, and the k-means
+      // passes are the dominant cost of this query
+      val emb = Tables.load(s, dir, "embeddings").cache()
+      val sample = emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+      val pq = Pq.train(sample, "vec_id", "embedding", m = 8, ksub = 16,
         iters = 2)
-      val coarse = Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+      val coarse = Ivf.train(sample, "vec_id", "embedding", k = 16,
+        iters = 2)
       Pq.ivfTopKAdc(emb, "vec_id", "embedding",
         pmod(col("vec_id"), lit(50)) === 0, k = 10, coarse, pq, nprobe = 4)
     }),
@@ -115,7 +122,7 @@ object ApproxPack extends QueryPack {
     // brute-force within-cluster scan and measures recall vs the
     // global pair set
     "q87_semantic_dedup" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
+      val emb = Tables.load(s, dir, "embeddings").cache()
       val model = Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
       Similarity.semanticDedup(emb, "vec_id", "embedding", model,
         threshold = 0.9)

@@ -194,7 +194,17 @@ object ScalePack extends QueryPack {
           max(col("winsorized")).as("hi_cents"),
           sum(when(col("winsorized") =!= col("cents"), 1L).otherwise(0L))
             .as("n_clamped"),
-          sum(col("winsorized")).as("sum_cents")))
+          sum(col("winsorized")).as("sum_cents"))),
+
+    // small-file compaction plan: synthetic manifest (one "file" per 50
+    // doc ids per language), 32 KiB targets by exact cumsum binning
+    "q88_compaction_plan" -> ((s, dir) => {
+      val manifest = Tables.load(s, dir, "documents")
+        .groupBy(col("lang"), expr("doc_id div 50").as("file_id"))
+        .agg(sum(octet_length(col("text"))).cast("long").as("bytes"))
+      Layout.compactionPlan(manifest, "lang", "file_id", "bytes",
+        targetBytes = 32768L)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -468,6 +478,22 @@ object ScalePack extends QueryPack {
         |  CAST(sum(least(greatest(r.cents, b.lo), b.hi)) AS BIGINT)
         |    AS sum_cents
         |FROM r JOIN b USING (g) GROUP BY r.g
+        |""".stripMargin,
+
+    "q88_compaction_plan" ->
+      """WITH m AS (
+        |  SELECT lang, doc_id // 50 AS file_id,
+        |    CAST(sum(strlen(text)) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1, 2
+        |), c AS (
+        |  SELECT lang, file_id, bytes,
+        |    sum(bytes) OVER (PARTITION BY lang ORDER BY file_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM m
+        |)
+        |SELECT lang, file_id, bytes,
+        |  CAST((cum - 1) // 32768 AS BIGINT) AS target_file
+        |FROM c
         |""".stripMargin
   )
 }

@@ -178,4 +178,45 @@ object DedupStream {
       .agg(min(col("first").cast("int")).as("__allfirst"))
       .filter(col("__allfirst") === 0)
       .select("doc_id")
+
+  /** STREAM-vs-CORPUS probe: the streaming twin of
+    * `Dedup.minhashProbePortable` — each arriving doc is scored against
+    * a STATIC reference corpus (its band index, typically a
+    * materialized table refreshed out of band). Entirely STATELESS:
+    * per-row signature/banding, two stream-static equi-joins, per-row
+    * match scoring — a pure append stream with zero state store, safe
+    * on an unbounded feed with no watermark required.
+    *
+    * The price of statelessness: a (new, corpus) pair colliding in b
+    * bands is emitted b times, each row carrying the same `n_match`
+    * verdict (the score comes from the full signatures, not the band).
+    * Rows are idempotent by (new_id, corpus_id); a keyed sink upserts
+    * them away — where a production pipeline lands candidates anyway.
+    * The batch operator keeps the in-plan `distinct`. */
+  def probeStream(incoming: DataFrame, corpus: DataFrame,
+                  idCol: String, textCol: String,
+                  n: Int, numPerms: Int, bands: Int,
+                  minMatch: Int): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val r = numPerms / bands
+    val corpusSigs = Dedup.portableSigs(corpus, idCol, textCol, n, numPerms)
+      .withColumnRenamed(idCol, "corpus_id")
+      .withColumnRenamed("__sig", "__sb")
+    val corpusBands = Dedup.portableBands(
+      corpusSigs.withColumnRenamed("__sb", "__sig"), "corpus_id", bands, r)
+      .withColumnRenamed("__band", "__band_c")
+      .withColumnRenamed("__bkey", "__bkey_c")
+    val newSigs = Dedup.portableSigs(incoming, idCol, textCol, n, numPerms)
+      .withColumnRenamed(idCol, "new_id")
+    Dedup.portableBands(newSigs, "new_id", bands, r)
+      .join(newSigs.withColumnRenamed("__sig", "__sa"), "new_id")
+      .join(corpusBands,
+        col("__band") === col("__band_c") &&
+          col("__bkey") === col("__bkey_c"))
+      .join(corpusSigs, "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        size(filter(zip_with(col("__sa"), col("__sb"),
+          (x, y) => x === y), m => m)).cast("long").as("n_match"))
+      .filter(col("n_match") >= minMatch)
+  }
 }

@@ -103,6 +103,42 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("probeStream matches the batch probe, pairs idempotent across bands") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((0L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val q = DedupStream.probeStream(
+      ms.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text",
+      n = 3, numPerms = 8, bands = 4, minMatch = 4)
+      .writeStream.format("memory").queryName("probe")
+      .outputMode("append").start()
+    try {
+      ms.addData((11L, nearDup), (13L, "nothing shared with anything"))
+      q.processAllAvailable()
+      ms.addData((15L, base)) // exact copy of corpus doc 0
+      q.processAllAvailable()
+      val got = spark.table("probe")
+        .as[(Long, Long, Long)].collect().toSet // distinct verdicts
+      val batch = graft.operators.Dedup.minhashProbePortable(
+        corpus,
+        Seq((11L, nearDup), (13L, "nothing shared with anything"),
+          (15L, base)).toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, numPerms = 8, bands = 4, minMatch = 4)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == batch)
+      // the planted copies hit corpus doc 0, the unrelated doc is clean
+      assert(got.map(_._1).intersect(Set(11L, 15L)) == Set(11L, 15L))
+      assert(!got.map(_._1).contains(13L))
+      // stateless plan: duplicate band hits exist pre-distinct, but all
+      // carry the same verdict per (new, corpus) pair
+      val perPair = spark.table("probe")
+        .groupBy("new_id", "corpus_id")
+        .agg(count_distinct(col("n_match")).as("nv"))
+        .select("nv").as[Long].collect()
+      assert(perPair.forall(_ == 1L))
+    } finally q.stop()
+  }
+
   test("intra-batch tie goes to the lowest doc id") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(Long, String)]
