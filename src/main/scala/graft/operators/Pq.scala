@@ -38,22 +38,56 @@ object Pq {
       codes.zipWithIndex.flatMap { case (c, mi) => codebooks(mi)(c) }.toArray
   }
 
-  /** Train one codebook per subspace by reusing [[Ivf.train]]'s
-    * deterministic Lloyd loop on the subvector slice. */
+  /** Train one codebook per subspace with [[Ivf.train]]'s deterministic
+    * seeding (min id per id-hash bucket) and Lloyd updates — but ALL
+    * subspaces jointly: one seed collect plus ONE distributed pass per
+    * iteration, regardless of m (the per-subspace formulation paid
+    * m × (iters + 1) full-scan jobs; at m = 8 the job-scheduling floor
+    * dominated the actual math). Each pass assigns every subvector
+    * through the codegen `nearestCentroid` kernel and folds the
+    * per-(subspace, code, position) means in a single partial-agg
+    * shuffle of exactly `dim` doubles per row — the same bytes the
+    * per-subspace loop moved, in 1/m the jobs. */
   def train(df: DataFrame, idCol: String, embCol: String,
             m: Int, ksub: Int, iters: Int = 3): Model = {
     require(m > 0 && ksub > 0, "m and ksub must be positive")
-    val dims = df.select(size(col(embCol)).as("d")).limit(1).collect()
-    require(dims.nonEmpty, "cannot train PQ on an empty corpus")
-    val dim = dims.head.getInt(0)
-    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
-    val subDim = dim / m
-    val e = Similarity.toDouble(col(embCol))
-    Model((0 until m).map { mi =>
-      val sub = df.select(col(idCol),
-        slice(e, mi * subDim + 1, subDim).as("__sub"))
-      Ivf.train(sub, idCol, "__sub", ksub, iters).centroids
-    }.toArray)
+    val v = df.select(col(idCol).as("__id"),
+      Similarity.toDouble(col(embCol)).as("__e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedIds = v.groupBy(
+          pmod(xxhash64(col("__id")), lit(ksub)).as("__b"))
+        .agg(min(col("__id")).as("__id")).select("__id")
+      val seedRows = v.join(seedIds, "__id").orderBy("__id").collect()
+        .map(_.getAs[scala.collection.Seq[Double]]("__e").toArray)
+      require(seedRows.nonEmpty, "cannot train PQ on an empty corpus")
+      val dim = seedRows.head.length
+      require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+      val subDim = dim / m
+      var books: Array[Array[Array[Double]]] = (0 until m).map(mi =>
+        seedRows.map(r => r.slice(mi * subDim, (mi + 1) * subDim))).toArray
+      var it = 0
+      while (it < iters) {
+        val codes = array((0 until m).map(mi =>
+          graft.functions.NativeExprs.nearestCentroid(
+            slice(col("__e"), mi * subDim + 1, subDim), books(mi))): _*)
+        val means = v.select(posexplode(codes).as(Seq("__mi", "__c")),
+            col("__e"))
+          .select(col("__mi"), col("__c"),
+            posexplode(slice(col("__e"),
+              col("__mi") * lit(subDim) + lit(1), lit(subDim))))
+          .groupBy("__mi", "__c", "pos").agg(avg("col").as("m"))
+          .collect()
+        val next = books.map(_.map(_.clone()))
+        means.foreach { r =>
+          next(r.getAs[Int]("__mi"))(r.getAs[Int]("__c"))(
+            r.getAs[Int]("pos")) = r.getAs[Double]("m")
+        }
+        books = next
+        it += 1
+      }
+      Model(books)
+    } finally v.unpersist()
   }
 
   /** Append `pq_codes: array<int>` (length m, each in [0, ksub)). */
