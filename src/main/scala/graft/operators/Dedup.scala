@@ -202,6 +202,50 @@ object Dedup {
         coalesce(col("__n_long"), lit(0L)).as("n_long_runs"))
   }
 
+  /** Span EXCISION — the transformation `duplicatedSpans` only measures
+    * (exact-substring dedup, Lee et al. ACL'22): every maximal run of
+    * ≥ `minRun` consecutive duplicated n-gram windows is cut out of the
+    * text, i.e. the words those windows cover are dropped and the
+    * remainder re-joined (whitespace-normalized, as any tokenizing
+    * round-trip is). Output: (id, n_words, n_removed, clean_text).
+    *
+    * Shuffle shape is `duplicatedSpans`' plus one doc-keyed covered-
+    * position set (bounded by document length, never corpus-wide) that
+    * re-attaches by id; reconstruction is per-row HOFs over the word
+    * array. Only 8-byte gram hashes and integer positions shuffle —
+    * the text itself moves once, on the final join. */
+  def exciseSpans(df: DataFrame, idCol: String, textCol: String,
+                  n: Int, minRun: Int): DataFrame = {
+    val grams = df.select(col(idCol),
+      posexplode(graft.functions.NativeExprs.wordNgramHashesAll(
+        TextAnalysis.words(col(textCol)), n)).as(Seq("__pos", "__g")))
+    val totals = grams.groupBy("__g").agg(count(lit(1)).as("__cnt"))
+      .withColumnRenamed("__g", "__tg")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val covered = grams.join(totals, col("__g") === col("__tg"))
+      .filter(col("__cnt") >= 2)
+      .withColumn("__grp", col("__pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("__pos")).as("__s"), max(col("__pos")).as("__e"),
+        count(lit(1)).as("__len"))
+      .filter(col("__len") >= minRun)
+      .select(col(idCol),
+        explode(sequence(col("__s"), col("__e") + lit(n - 1))).as("__cp"))
+      .groupBy(col(idCol)).agg(collect_set(col("__cp")).as("__cov"))
+    val ws = col("__ws")
+    // __keep bound to its own projection: it feeds both the count and
+    // the reconstruction, and HOF subtrees get no codegen CSE
+    df.join(covered, Seq(idCol), "left")
+      .withColumn("__ws", TextAnalysis.words(col(textCol)))
+      .withColumn("__keep", filter(sequence(lit(0), size(ws) - 1),
+        p => !array_contains(coalesce(col("__cov"),
+          array().cast("array<int>")), p)))
+      .select(col(idCol), size(ws).cast("long").as("n_words"),
+        (size(ws) - size(col("__keep"))).cast("long").as("n_removed"),
+        concat_ws(" ", transform(col("__keep"),
+          p => element_at(ws, p + 1))).as("clean_text"))
+  }
+
   /** Engine-portable MinHash+LSH: per-permutation hash = md5 prefix of
     * `"<perm>|<shingle>"`, signature = per-permutation minimum, bands of
     * `numPerms / bands` rows, candidates from band-key equality, scored

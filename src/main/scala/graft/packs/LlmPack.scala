@@ -150,6 +150,13 @@ object LlmPack extends QueryPack {
       Dedup.duplicatedSpans(Tables.load(s, dir, "documents"),
         "doc_id", "text", n = 5, minRun = 4)),
 
+    // span EXCISION: cut every >=4-window duplicated run out of the
+    // text — the transformation q80/q82 only measure; the cleaned text
+    // itself is hash-checked against the oracle's reconstruction
+    "q89_excise_spans" -> ((s, dir) =>
+      Dedup.exciseSpans(Tables.load(s, dir, "documents"),
+        "doc_id", "text", n = 5, minRun = 4)),
+
     // incremental ingest dedup: odd doc_ids (the "new batch") probed
     // against the band index of even doc_ids (the "corpus") — no
     // corpus-corpus or batch-batch pairing, the production ingest shape
@@ -268,6 +275,50 @@ object LlmPack extends QueryPack {
   def oracleSql: Map[String, String] = Map(
     "q56_packing" -> PackingSql,
     "q83_incr_dedup" -> IncrDedupSql,
+
+    // Same gram/run construction as q82's oracle, extended to the
+    // covered-word positions and the reconstructed text. DuckDB i is
+    // 1-based where Spark's window position is 0-based — run grouping
+    // and span arithmetic are shift-invariant, word indexing adds 1.
+    "q89_excise_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents
+        |),
+        |g AS (
+        |  SELECT doc_id, i, array_to_string(ws[i:i+4], ' ') AS gram
+        |  FROM w, LATERAL (SELECT unnest(generate_series(
+        |    1, greatest(1, len(ws) - 4))) AS i) t
+        |),
+        |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+        |d AS (
+        |  SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM g JOIN c USING (gram) WHERE cnt >= 2
+        |),
+        |r AS (
+        |  SELECT doc_id, min(i) AS s, max(i) AS e
+        |  FROM d GROUP BY doc_id, grp HAVING count(*) >= 4
+        |),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, unnest(generate_series(s, e + 4)) AS cp
+        |  FROM r
+        |),
+        |cl AS (SELECT doc_id, list(cp) AS cps FROM cov GROUP BY 1),
+        |k AS (
+        |  SELECT w.doc_id, len(ws) AS n_words,
+        |    list_transform(
+        |      list_filter(range(1, len(ws) + 1),
+        |        p -> NOT list_contains(coalesce(cps, []), p)),
+        |      p -> ws[p]) AS kept
+        |  FROM w LEFT JOIN cl USING (doc_id)
+        |)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_words - len(kept) AS BIGINT) AS n_removed,
+        |  -- DuckDB's array_to_string of an empty list is NULL; a fully
+        |  -- excised doc is the empty string on both engines
+        |  coalesce(array_to_string(kept, ' '), '') AS clean_text
+        |FROM k""".stripMargin,
 
     // Window-level duplication over word 5-grams WITH multiplicity; the
     // Spark side aggregates xxhash64 gram identities, the oracle the
