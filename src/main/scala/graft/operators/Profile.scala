@@ -123,4 +123,71 @@ object Profile {
                      rsd: Double = 0.02): DataFrame =
     df.groupBy(col(groupCol))
       .agg(approx_count_distinct(col(valueCol), rsd).as("approx_distinct"))
+
+  /** ANALYZE-style per-column table statistics in long format — the
+    * numbers a cost-based optimizer (or a drift monitor) wants per
+    * column: row count, nulls, exact distinct count, min/max. One
+    * aggregate pass per column (exact NDV shuffles that column's
+    * values once; swap in [[approxDistinct]] where approximate is
+    * acceptable at scale). min/max aggregate on the NATIVE type and
+    * cast the result — casting first would compare "10" < "9". Pick
+    * columns whose string rendering is engine-portable (ints, strings,
+    * dates; not raw doubles). */
+  def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        count_distinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Per-group equi-DEPTH histogram (the quantile-bucket complement of
+    * [[histogram]]'s equi-width): `ntile(nBuckets)` over the value
+    * order, then per-bucket count and [lo, hi] bounds. Rows with equal
+    * values are interchangeable, so each bucket's value MULTISET — and
+    * therefore every output number — is deterministic and
+    * engine-exact, even though the tile assignment of individual tied
+    * rows is not. One group-keyed sort shuffle, bounds from the same
+    * pass. */
+  def equiDepthHistogram(df: DataFrame, groupCol: String,
+                         valueCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .withColumn("bucket", ntile(nBuckets).over(w))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"))
+  }
+
+  /** Join-skew diagnosis: the `topN` heaviest keys with their share and
+    * cumulative share of all rows, in exact basis points. THE check to
+    * run before keying a shuffle at corpus scale — a key above a few
+    * hundred bp is a straggler (salt it, or broadcast the other side).
+    * One partial-agg shuffle to key counts; only `topN` tiny rows see
+    * the rank window. */
+  def heavyHitters(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val total = df.count()
+    // orderBy + limit compiles to TakeOrderedAndProject (per-partition
+    // top-N, merged) — the full key-count table is never globally
+    // sorted; only the topN survivors see the single-partition window
+    val w = Window.orderBy(col("n").desc, col(keyCol))
+    counts.orderBy(col("n").desc, col(keyCol)).limit(topN)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("__cum", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col(keyCol), col("n"),
+        expr(s"n * 10000L div ${total}L").as("share_bp"),
+        expr(s"__cum * 10000L div ${total}L").as("cum_share_bp"))
+  }
 }

@@ -204,7 +204,25 @@ object ScalePack extends QueryPack {
         .agg(sum(octet_length(col("text"))).cast("long").as("bytes"))
       Layout.compactionPlan(manifest, "lang", "file_id", "bytes",
         targetBytes = 32768L)
-    })
+    }),
+
+    // ANALYZE-style per-column stats (exact NDV, nulls, min/max)
+    "q90_table_stats" -> ((s, dir) =>
+      Profile.tableStats(Tables.load(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_returnflag", "l_shipdate", "l_linestatus"))),
+
+    // per-group equi-depth histogram: 8 quantile buckets of price cents
+    "q91_equidepth" -> ((s, dir) =>
+      Profile.equiDepthHistogram(
+        Tables.load(s, dir, "lineitem").select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "l_returnflag", "cents", nBuckets = 8)),
+
+    // join-skew diagnosis: 20 heaviest order keys by line count, with
+    // exact basis-point shares
+    "q92_heavy_keys" -> ((s, dir) =>
+      Profile.heavyHitters(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", topN = 20))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -494,6 +512,52 @@ object ScalePack extends QueryPack {
         |SELECT lang, file_id, bytes,
         |  CAST((cum - 1) // 32768 AS BIGINT) AS target_file
         |FROM c
+        |""".stripMargin,
+
+    "q90_table_stats" -> Seq("l_orderkey", "l_returnflag", "l_shipdate",
+      "l_linestatus").map { c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\n"),
+
+    "q91_equidepth" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem
+        |), t AS (
+        |  SELECT g, v,
+        |    ntile(8) OVER (PARTITION BY g ORDER BY v) AS bucket
+        |  FROM v
+        |)
+        |SELECT g AS l_returnflag, CAST(bucket AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
+        |FROM t GROUP BY 1, 2
+        |""".stripMargin,
+
+    "q92_heavy_keys" ->
+      """WITH c AS (
+        |  SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1
+        |), t AS (
+        |  SELECT l_orderkey, n,
+        |    row_number() OVER (ORDER BY n DESC, l_orderkey) AS rank
+        |  FROM c
+        |), u AS (
+        |  SELECT rank, l_orderkey, n,
+        |    sum(n) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t WHERE rank <= 20
+        |), tot AS (SELECT count(*) AS t FROM lineitem)
+        |SELECT CAST(rank AS INT) AS rank, l_orderkey,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST((n * 10000) // t AS BIGINT) AS share_bp,
+        |  CAST((cum * 10000) // t AS BIGINT) AS cum_share_bp
+        |FROM u, tot
         |""".stripMargin
   )
 }
