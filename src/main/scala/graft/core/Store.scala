@@ -35,21 +35,42 @@ final case class FeatureHandler(
 trait Committer {
   /** Replace the table at `dst` with the data produced by `write`
     * (invoked with the staging location; the writer is fully configured
-    * by the caller — format, partition layout, sort order). Must be
-    * atomic from a reader's point of view. */
+    * by the caller — format, partition layout, sort order). A crashed
+    * publish must never lose the PREVIOUS version; how small the
+    * visibility window is (and whether readers get true snapshot
+    * isolation) is the implementation's contract — a transactional
+    * table format closes it entirely. */
   def publish(fs: org.apache.hadoop.fs.FileSystem, dst: Path,
               write: String => Unit): Unit
 }
 
 object Committer {
-  /** Stage-to-temp + atomic rename (the local/HDFS default). */
+  /** Stage-to-temp + double rename (the local/HDFS default): write to
+    * `<dst>.tmp`, park the live table at `<dst>.old`, rename the new
+    * version in, drop the backup. Both renames are metadata-atomic on
+    * local/HDFS filesystems and their results are CHECKED (a false
+    * return — e.g. a cross-filesystem tmp — aborts, rolling the backup
+    * back instead of silently losing the table). Readers can still
+    * observe a missing path between the two renames — that window is
+    * two directory renames wide, not a recursive delete wide; closing
+    * it fully is what a transactional-format Committer is for. */
   object Rename extends Committer {
     def publish(fs: org.apache.hadoop.fs.FileSystem, dst: Path,
                 write: String => Unit): Unit = {
       val tmp = new Path(dst.toString + ".tmp")
+      val old = new Path(dst.toString + ".old")
+      if (fs.exists(tmp)) fs.delete(tmp, true) // stale crashed staging
       write(tmp.toString)
-      if (fs.exists(dst)) fs.delete(dst, true)
-      fs.rename(tmp, dst)
+      if (fs.exists(old)) fs.delete(old, true)
+      val hadPrev = fs.exists(dst)
+      if (hadPrev && !fs.rename(dst, old))
+        throw new java.io.IOException(
+          s"publish: could not park previous version of $dst")
+      if (!fs.rename(tmp, dst)) {
+        if (hadPrev) fs.rename(old, dst) // roll the previous version back
+        throw new java.io.IOException(s"publish: rename failed for $dst")
+      }
+      if (hadPrev) fs.delete(old, true)
     }
   }
 }

@@ -81,6 +81,10 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(true)
       val next = checksum(small)
+      // the superseded round's checkpoint blocks are dead the moment
+      // `edges` is reassigned — drop them, or maxIter generations of
+      // the full edge set pile up in executor storage
+      edges.unpersist()
       edges = small
       converged = next == cs
       cs = next

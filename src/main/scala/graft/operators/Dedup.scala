@@ -234,12 +234,16 @@ object Dedup {
       .groupBy(col(idCol)).agg(collect_set(col("__cp")).as("__cov"))
     val ws = col("__ws")
     // __keep bound to its own projection: it feeds both the count and
-    // the reconstruction, and HOF subtrees get no codegen CSE
+    // the reconstruction, and HOF subtrees get no codegen CSE.
+    // array_except (hash-set build, linear) rather than a filter-HOF
+    // with array_contains (O(len × |covered|) — quadratic on a long,
+    // heavily duplicated doc); positions are distinct and array_except
+    // preserves first-array order, so the result is identical
     df.join(covered, Seq(idCol), "left")
       .withColumn("__ws", TextAnalysis.words(col(textCol)))
-      .withColumn("__keep", filter(sequence(lit(0), size(ws) - 1),
-        p => !array_contains(coalesce(col("__cov"),
-          array().cast("array<int>")), p)))
+      .withColumn("__keep", array_except(
+        sequence(lit(0), size(ws) - 1),
+        coalesce(col("__cov"), array().cast("array<int>"))))
       .select(col(idCol), size(ws).cast("long").as("n_words"),
         (size(ws) - size(col("__keep"))).cast("long").as("n_removed"),
         concat_ws(" ", transform(col("__keep"),

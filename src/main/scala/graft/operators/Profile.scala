@@ -97,11 +97,15 @@ object Profile {
       "need 0 <= loBp < hiBp <= 10000")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    // persisted: both the bounds aggregate and the output join read it,
+    // and Catalyst won't CSE the two branches — without this the fact
+    // table is scanned and rank-windowed twice
     val ranked = df
       .withColumn("__v", col(valueCol).cast("long"))
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n",
         count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bounds = ranked.groupBy(col(groupCol)).agg(
       max(when(col("__rn") ===
         greatest(lit(1L), expr(s"(__n * ${loBp}L + 9999L) div 10000L")),
@@ -176,8 +180,15 @@ object Profile {
   def heavyHitters(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
     require(topN > 0, "topN must be positive")
     import org.apache.spark.sql.expressions.Window
+    // persisted: the total and the top-N both read the aggregated key
+    // counts — without it the base table is scanned twice (the total is
+    // just the sum of the counts, never a second pass over df)
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
-    val total = df.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // max(1): an empty input yields no output rows, but the share
+    // expressions must still be well-formed literals
+    val total = math.max(
+      counts.agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0), 1L)
     // orderBy + limit compiles to TakeOrderedAndProject (per-partition
     // top-N, merged) — the full key-count table is never globally
     // sorted; only the topN survivors see the single-partition window

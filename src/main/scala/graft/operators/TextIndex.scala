@@ -32,8 +32,16 @@ object TextIndex {
     * are (8B, 8B, 8B) rows, spillable, and an index build materializes
     * them anyway.
     */
+  /** `broadcastVocab`: the pruned vocabulary is small at moderate scale
+    * and broadcasting it keeps the postings un-reshuffled — but Heaps'
+    * law means a web-scale corpus keeps tens of millions of `df ≥
+    * minDf` terms, past any broadcast budget. Set it false there to
+    * attach df by the same salted join `characteristicTerms` uses
+    * (graceful: one more postings shuffle, spread across salt keys,
+    * no driver/executor memory cliff). */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
-                    minDf: Int): DataFrame = {
+                    minDf: Int, broadcastVocab: Boolean = true,
+                    dfSalt: Int = 8): DataFrame = {
     val tf = df.select(col(idCol).as("doc_id"),
         explode(terms(col(textCol))).as("term"))
       .groupBy("term", "doc_id")
@@ -42,7 +50,8 @@ object TextIndex {
     val vocab = tf.groupBy("term")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-    tf.join(broadcast(vocab), Seq("term"))
+    (if (broadcastVocab) tf.join(broadcast(vocab), Seq("term"))
+     else Skew.saltedJoin(tf, vocab, Seq("term"), salt = dfSalt))
       .select("term", "doc_id", "tf")
   }
 

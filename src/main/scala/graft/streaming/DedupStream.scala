@@ -201,19 +201,27 @@ object DedupStream {
     val r = numPerms / bands
     val corpusSigs = Dedup.portableSigs(corpus, idCol, textCol, n, numPerms)
       .withColumnRenamed(idCol, "corpus_id")
-      .withColumnRenamed("__sig", "__sb")
-    val corpusBands = Dedup.portableBands(
-      corpusSigs.withColumnRenamed("__sb", "__sig"), "corpus_id", bands, r)
+    val corpusIndex = Dedup.portableBands(corpusSigs, "corpus_id", bands, r)
+      .join(corpusSigs.withColumnRenamed("__sig", "__sb"), "corpus_id")
       .withColumnRenamed("__band", "__band_c")
       .withColumnRenamed("__bkey", "__bkey_c")
+    // the stream side CARRIES its signature through the band explode —
+    // re-attaching it by a join would make both join legs derive from
+    // the stream, and Spark would plan a stateful (unbounded-state)
+    // stream-stream join; corpus-side re-attach is fine, it's static
     val newSigs = Dedup.portableSigs(incoming, idCol, textCol, n, numPerms)
       .withColumnRenamed(idCol, "new_id")
-    Dedup.portableBands(newSigs, "new_id", bands, r)
-      .join(newSigs.withColumnRenamed("__sig", "__sa"), "new_id")
-      .join(corpusBands,
+      .withColumnRenamed("__sig", "__sa")
+    val newBands = newSigs.select(col("new_id"), col("__sa"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        concat_ws(",", transform(
+          slice(col("__sa"), b * lit(r) + 1, lit(r)), _.cast("string"))))))
+      .select(col("new_id"), col("__sa"),
+        col("pos").as("__band"), col("col").as("__bkey"))
+    newBands
+      .join(corpusIndex,
         col("__band") === col("__band_c") &&
           col("__bkey") === col("__bkey_c"))
-      .join(corpusSigs, "corpus_id")
       .select(col("new_id"), col("corpus_id"),
         size(filter(zip_with(col("__sa"), col("__sb"),
           (x, y) => x === y), m => m)).cast("long").as("n_match"))
