@@ -312,6 +312,34 @@ class FeatureStore(
       nFiles
     }
 
+  /** Right-to-be-forgotten erasure: physically remove EVERY version of
+    * the given keys from a loader's table — unlike an SCD2 close, which
+    * ends validity but retains history, this is retroactive (time
+    * travel no longer returns the keys; that is the point of erasure).
+    * Runs under the table lock through the same staged [[Committer]]
+    * publish as any merge, so readers never see a half-purged table and
+    * a crash loses nothing. Returns the number of version rows removed;
+    * a no-op purge (no matching keys) skips the rewrite entirely.
+    *
+    * `keys` is typically small (a deletion request batch): the anti-
+    * join broadcasts it and the table streams through one rewrite —
+    * at warehouse scale pair this with `compact` to restore file
+    * sizing afterwards. */
+  def purgeKeys(loader: String, keyCol: String, keys: DataFrame): Long =
+    withTableLock(loader) {
+      readTable(loader) match {
+        case Some(cur) =>
+          val keyVals = keys.select(col(keyCol)).distinct()
+          val removed = cur.join(broadcast(keyVals), Seq(keyCol),
+            "left_semi").count()
+          if (removed > 0L)
+            swapIn(loader, cur.join(broadcast(keyVals), Seq(keyCol),
+              "left_anti"))
+          removed
+        case None => 0L
+      }
+    }
+
   /** Operational stats per materialized loader table: version rows,
     * currently-open versions, parquet files, bytes. The operability
     * counterpart of compaction — at warehouse scale `n_files` vs

@@ -242,6 +242,41 @@ class StoreSpec extends SparkSpec {
     assert(publishes.get() == before)
   }
 
+  test("purgeKeys erases every version retroactively, others intact") {
+    val path = Files.createTempDirectory("graft-store-purge").toString
+    val store = TpchFeatureStore(spark, sfDir, path)
+    store.getFeature("n_orders", "1995-01-01", "1995-01-31",
+      sliceTs = "2020-01-01 00:00:00")
+    val loader = "order_episodes"
+    val table = spark.read.parquet(s"$path/$loader")
+    val allKeys = table.select("key_cust").distinct()
+      .as[Long].collect().sorted
+    assert(allKeys.length >= 3)
+    val victims = allKeys.take(2)
+    val before = table.count()
+    val doomed = table
+      .filter(col("key_cust").isin(victims.map(Long.box): _*)).count()
+    assert(doomed > 0)
+
+    val removed = store.purgeKeys(loader, "key_cust",
+      Seq(victims: _*).toDF("key_cust"))
+    assert(removed == doomed)
+    val after = spark.read.parquet(s"$path/$loader")
+    assert(after.count() == before - doomed)
+    // erasure is retroactive: time travel to the original commit no
+    // longer returns the purged keys, and other keys are untouched
+    assert(after.filter(col("key_cust")
+      .isin(victims.map(Long.box): _*)).count() == 0)
+    val travel = store.getFeature("n_orders", "1995-01-01", "1995-01-31",
+      sliceTs = "2020-01-01 00:00:00")
+    assert(travel.filter(col("key_cust")
+      .isin(victims.map(Long.box): _*)).count() == 0)
+    assert(travel.count() > 0)
+    // idempotent: purging the same keys again is a counted no-op
+    assert(store.purgeKeys(loader, "key_cust",
+      Seq(victims: _*).toDF("key_cust")) == 0L)
+  }
+
   test("storeStats reports versions, open rows, files, bytes") {
     val path = Files.createTempDirectory("graft-store-stats").toString
     val store = TpchFeatureStore(spark, sfDir, path)
