@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Dedup, Layout, Profile, Splits}
+
+/** Property-based checks for the round-4 operators: the Spark results
+  * must agree with brute-force plain-Scala evaluation for ANY input
+  * drawn from the generators (fixed seeds — the scalatest-scalacheck
+  * bridge is not on the offline classpath).
+  */
+class OpsPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forSeeds[T](gen: Gen[T], n: Int)(body: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  private val rowsGen: Gen[List[(Long, String, Long)]] =
+    Gen.listOfN(60, for {
+      id <- Gen.choose(0L, 1000000L)
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(-500L, 500L)
+    } yield (id, g, v)).map(_.distinctBy(_._1))
+
+  test("winsorize: clamped to in-group values, order-stable, bounded") {
+    forSeeds(rowsGen, 8) { rows =>
+      val df = rows.toDF("id", "g", "v")
+      val out = Profile.winsorize(df, "g", "v", loBp = 500, hiBp = 9500)
+        .select("id", "g", "v", "winsorized")
+        .as[(Long, String, Long, Long)].collect()
+      assert(out.length == rows.length)
+      val byG = rows.groupBy(_._2)
+      def rankAt(bp: Int, n: Int): Int =
+        math.max(1, ((n.toLong * bp + 9999L) / 10000L).toInt)
+      out.foreach { case (id, g, v, wv) =>
+        val vs = byG(g).map(_._3).sorted
+        val lo = vs(rankAt(500, vs.size) - 1)
+        val hi = vs(rankAt(9500, vs.size) - 1)
+        assert(wv == math.min(math.max(v, lo), hi),
+          s"id=$id g=$g v=$v: got $wv, bounds [$lo,$hi]")
+        assert(vs.contains(wv)) // always an actual in-group value
+      }
+    }
+  }
+
+  test("samplePerGroup: exact size, prefix nesting, membership by hash") {
+    forSeeds(rowsGen, 8) { rows =>
+      val df = rows.toDF("id", "g", "v")
+      for (k <- Seq(1, 5, 20)) {
+        val got = Splits.samplePerGroup(df, "g", "id", k, seed = "p")
+          .select("g", "id", "sample_rank")
+          .as[(String, Long, Int)].collect()
+        val byG = rows.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+        // exact min(k, |g|) per group, ranks are 1..size
+        got.groupBy(_._1).foreach { case (g, s) =>
+          assert(s.length == math.min(k, byG(g).size))
+          assert(s.map(_._3).sorted.toSeq == (1 to s.length))
+        }
+        byG.keys.foreach(g => assert(got.exists(_._1 == g)))
+      }
+      // nesting: the k=5 sample is exactly the rank<=5 slice of k=20
+      val s20 = Splits.samplePerGroup(df, "g", "id", 20, seed = "p")
+        .select("id", "sample_rank").as[(Long, Int)].collect().toMap
+      val s5 = Splits.samplePerGroup(df, "g", "id", 5, seed = "p")
+        .select("id", "sample_rank").as[(Long, Int)].collect().toMap
+      assert(s5 == s20.filter(_._2 <= 5))
+    }
+  }
+
+  test("compactionPlan: cumsum parity, monotone targets, size bound") {
+    val manifestGen: Gen[List[(String, Long, Long)]] =
+      Gen.listOfN(40, for {
+        p <- Gen.oneOf("x", "y")
+        f <- Gen.choose(0L, 30L)
+        b <- Gen.choose(0L, 3000L)
+      } yield (p, f, b)).map(_.distinctBy(t => (t._1, t._2)))
+    forSeeds(manifestGen, 8) { files =>
+      val target = 1000L
+      val plan = Layout.compactionPlan(files.toDF("p", "f", "b"),
+        "p", "f", "b", target)
+        .as[(String, Long, Long, Long)].collect()
+        .sortBy(t => (t._1, t._2))
+      // plain-Scala cumsum reference
+      var cum = Map.empty[String, Long].withDefaultValue(0L)
+      plan.foreach { case (p, f, b, tf) =>
+        cum += p -> (cum(p) + b)
+        assert(tf == (cum(p) - 1).max(0L) / target,
+          s"($p,$f,$b): got $tf at cum ${cum(p)}")
+      }
+      // tight packing in aggregate: end-position binning never uses a
+      // bin index beyond what the partition's byte total requires —
+      // max target_file == ceil(total/target) - 1 exactly (indices may
+      // skip where an oversized file spans boundaries, but the LAST
+      // index is pinned by the total)
+      plan.groupBy(_._1).foreach { case (_, rows) =>
+        val total = rows.map(_._3).sum
+        if (total > 0)
+          assert(rows.map(_._4).max == (total - 1) / target)
+      }
+    }
+  }
+
+  test("minhashProbePortable is exactly the cross-split slice of full LSH") {
+    val docsGen: Gen[List[(Long, String)]] =
+      Gen.listOfN(24, for {
+        id <- Gen.choose(0L, 400L)
+        base <- Gen.choose(0, 5)
+        len <- Gen.choose(6, 14)
+      } yield (id, (0 until len).map(k => s"w${(base + k) % 9}")
+        .mkString(" "))).map(_.distinctBy(_._1))
+    forSeeds(docsGen, 5) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val full = Dedup.minhashLshPortable(df, "doc_id", "text",
+        n = 3, numPerms = 8, bands = 4, minMatch = 3)
+        .as[(Long, Long, Long)].collect().toSet
+      val probed = Dedup.minhashProbePortable(
+        df.filter($"doc_id" % 3 === 0), df.filter($"doc_id" % 3 =!= 0),
+        "doc_id", "text", n = 3, numPerms = 8, bands = 4, minMatch = 3)
+        .as[(Long, Long, Long)].collect().toSet
+      val expected = full.collect {
+        case (a, b, m) if a % 3 == 0 && b % 3 != 0 => (b, a, m)
+        case (a, b, m) if a % 3 != 0 && b % 3 == 0 => (a, b, m)
+      }
+      assert(probed == expected)
+    }
+  }
+
+  test("exciseSpans: clean text equals brute-force removal, counts agree") {
+    val docsGen: Gen[List[(Long, String)]] =
+      Gen.listOfN(16, for {
+        id <- Gen.choose(0L, 300L)
+        base <- Gen.choose(0, 3)
+        len <- Gen.choose(1, 20)
+      } yield (id, (0 until len).map(k => s"t${(base * 3 + k) % 7}")
+        .mkString(" "))).map(_.distinctBy(_._1))
+    val n = 3; val minRun = 2
+    forSeeds(docsGen, 5) { docs =>
+      val out = Dedup.exciseSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n, minRun)
+        .as[(Long, Long, Long, String)].collect()
+        .map(t => t._1 -> t).toMap
+      // brute force: windows with multiplicity over the whole corpus
+      val words = docs.map { case (id, t) =>
+        id -> t.trim.split("\\s+").toSeq
+      }.toMap
+      val grams = docs.flatMap { case (id, _) =>
+        val ws = words(id)
+        val cnt = math.max(1, ws.length - (n - 1))
+        (0 until cnt).map(i => (id, i, ws.slice(i, i + n).mkString(" ")))
+      }
+      val freq = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      docs.foreach { case (id, _) =>
+        val ws = words(id)
+        val dupPos = grams.filter(g => g._1 == id && freq(g._3) >= 2)
+          .map(_._2).sorted
+        // maximal consecutive runs >= minRun → covered word positions
+        val runs = dupPos.foldLeft(List.empty[List[Int]]) {
+          case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 =>
+            (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }.filter(_.size >= minRun)
+        val covered = runs.flatMap(r =>
+          r.min to math.min(r.max + n - 1, ws.length - 1)).toSet
+        val kept = ws.indices.filterNot(covered).map(ws)
+        val (nw, nr, clean) =
+          (out(id)._2, out(id)._3, out(id)._4)
+        assert(nw == ws.length)
+        assert(clean == kept.mkString(" "), s"doc $id")
+        assert(nr == ws.length - kept.size)
+      }
+    }
+  }
+}
