@@ -18,6 +18,39 @@ object Sources {
       .option("header", header.toString)
       .csv(path)
 
+  /** Schema-enforced JSON-lines read. Inference is off for the same
+    * reason as CSV (it is a full extra pass over the data); malformed
+    * lines land in `_corrupt_record` instead of failing the job
+    * (PERMISSIVE), so a feed with a bad producer degrades to a
+    * quantified quarantine count, not a dead pipeline. Call
+    * [[quarantine]] to split them out. */
+  def jsonLines(spark: SparkSession, path: String,
+                schema: StructType): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record", "string")
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
+  /** Split a PERMISSIVE read into (clean, quarantined) — quarantined
+    * rows keep only the raw record for replay after the producer fix.
+    * Spark requires the corrupt-record frame to be materialized before
+    * filtering on the corrupt column alone; the caller decides where
+    * (here: a persist, released by the caller via unpersist on either
+    * half's `sparkSession` catalog, or just let it age out). */
+  def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    val cached = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (cached.filter(col("_corrupt_record").isNull)
+        .drop("_corrupt_record"),
+      cached.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw")))
+  }
+
   /** Write `df` as a bucketed catalog table: rows are hash-partitioned
     * into `numBuckets` files by `keys` and sorted within buckets. Two
     * tables bucketed the same way join WITHOUT a shuffle (the scan

@@ -105,6 +105,31 @@ class OptionsSourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Pluck(Map("a" -> "1"), "b") }
   }
 
+  test("jsonLines: schema-enforced read, malformed rows quarantined") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-jsonl")
+    val f = dir.resolve("feed.jsonl")
+    Files.write(f, java.util.Arrays.asList(
+      """{"id": 1, "name": "alpha", "score": 10}""",
+      """{"id": 2, "name": "beta", "score": 20}""",
+      """{"id": 3, "name": "gamma", "score": }""", // malformed
+      """not json at all""",
+      """{"id": 5, "name": "delta", "score": 50}"""))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, name STRING, score BIGINT")
+    val (clean, bad) = Sources.quarantine(
+      Sources.jsonLines(spark, f.toString, schema))
+    val rows = clean.as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "alpha", 10L), (2L, "beta", 20L),
+      (5L, "delta", 50L)))
+    assert(clean.columns.toSeq == Seq("id", "name", "score"))
+    // quarantined rows carry the raw line for replay
+    val raw = bad.as[String].collect()
+    assert(raw.length == 2)
+    assert(raw.exists(_.contains("gamma")))
+    assert(raw.contains("not json at all"))
+  }
+
   test("resolvePath: directory prefix match (zipped forms) and URL join") {
     val dir = Files.createTempDirectory("graft-srcconn")
     Files.writeString(dir.resolve("metrics.csv.gz"), "x")
