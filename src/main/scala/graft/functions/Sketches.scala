@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency sketches as typed [[Aggregator]]s — the custom-
+  * AGGREGATE counterpart of the native scalar kernels in
+  * [[NativeExprs]]. An Aggregator runs as a real Catalyst aggregate:
+  * partial states per partition, map-side combine, one shuffle of the
+  * (bounded) summaries — never of the raw rows.
+  *
+  * [[MisraGries]] is the mergeable Misra-Gries summary (Agarwal et al.,
+  * "Mergeable Summaries", PODS'12): at most k counters; merging sums
+  * counter-wise, then subtracts the (k+1)-th largest count from every
+  * counter and drops the non-positive ones. Guarantees, for n rows
+  * total: every item with true frequency > n/(k+1) SURVIVES in the
+  * summary, and each surviving estimate undercounts its true frequency
+  * by at most n/(k+1). Estimates (and which borderline items linger)
+  * depend on merge order, so this is a diagnostic/candidate generator —
+  * `Profile.heavyHitters` is the exact twin when a second pass is
+  * affordable.
+  */
+object Sketches {
+
+  type Summary = Map[String, Long]
+
+  /** Counter-wise sum, then Misra-Gries shrink back to ≤ k counters. */
+  private[graft] def mgMerge(a: Summary, b: Summary,
+                                 k: Int): Summary = {
+    val merged = b.foldLeft(a) { case (m, (v, c)) =>
+      m.updated(v, m.getOrElse(v, 0L) + c)
+    }
+    if (merged.size <= k) merged
+    else {
+      // subtract the (k+1)-th largest count from everyone; ≤ k survive
+      val cut = merged.values.toIndexedSeq.sorted(
+        Ordering[Long].reverse)(k)
+      merged.collect { case (v, c) if c > cut => v -> (c - cut) }
+    }
+  }
+
+  /** Misra-Gries over a string column; emits the surviving counters as
+    * (item, estimate) structs sorted by (estimate DESC, item). */
+  final class MisraGries(k: Int)
+      extends Aggregator[String, Summary, Seq[(String, Long)]] {
+    require(k > 0, "k must be positive")
+    def zero: Summary = Map.empty
+    def reduce(b: Summary, a: String): Summary =
+      mgMerge(b, Map(a -> 1L), k)
+    def merge(b1: Summary, b2: Summary): Summary = mgMerge(b1, b2, k)
+    def finish(r: Summary): Seq[(String, Long)] =
+      r.toSeq.sortBy { case (v, c) => (-c, v) }
+    // kryo buffer: the partial state is an opaque bounded map (≤ k
+    // entries) that only this aggregate reads. The OUTPUT must be a
+    // real array<struct> so callers can explode it — ExpressionEncoder
+    // derives that from the Scala type.
+    def bufferEncoder: Encoder[Summary] = Encoders.kryo[Summary]
+    def outputEncoder: Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Column form: `approxTopK(col, k)` usable in any groupBy. */
+  def approxTopK(c: Column, k: Int): Column =
+    udaf(new MisraGries(k), Encoders.STRING).apply(c)
+
+  /** Per-group approximate heavy hitters, exploded to scalar rows:
+    * (group, item, estimate). */
+  def approxHeavyHitters(df: DataFrame, groupCol: String,
+                         keyCol: String, k: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(approxTopK(col(keyCol).cast("string"), k).as("__top"))
+      .select(col(groupCol), explode(col("__top")).as("__e"))
+      .select(col(groupCol), col("__e._1").as("item"),
+        col("__e._2").as("estimate"))
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Sketches
+
+/** Misra-Gries mergeable heavy-hitter sketch: the PODS'12 guarantees
+  * must hold under ANY partitioning/merge order, and the summary must
+  * be exact when it never overflows. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed corpus: item "h0" ~ 36%, "h1" ~ 18%, "h2" ~ 12%, tail of 60
+  // distinct light items sharing the rest
+  private def skewed(n: Int): Seq[String] =
+    (0 until n).map { i =>
+      val r = i % 100
+      if (r < 36) "h0" else if (r < 54) "h1" else if (r < 66) "h2"
+      else s"t${i % 60}"
+    }
+
+  test("true heavy hitters survive with bounded undercount, any layout") {
+    val data = skewed(5000)
+    val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = data.size.toLong
+    val k = 20
+    for (parts <- Seq(1, 4, 13)) {
+      val out = Sketches.approxHeavyHitters(
+        data.map(("all", _)).toDF("g", "item").repartition(parts),
+        "g", "item", k)
+        .select("item", "estimate").as[(String, Long)].collect().toMap
+      assert(out.size <= k)
+      // coverage: every item with freq > n/(k+1) is present
+      truth.filter(_._2 > n / (k + 1)).keys.foreach { h =>
+        assert(out.contains(h), s"heavy item $h missing at parts=$parts")
+      }
+      out.foreach { case (item, est) =>
+        val t = truth(item)
+        assert(est <= t, s"$item overcounted: $est > $t")
+        assert(t - est <= n / (k + 1),
+          s"$item undercount ${t - est} exceeds n/(k+1)=${n / (k + 1)}")
+      }
+    }
+  }
+
+  test("summary is exact when distinct items never exceed k") {
+    val data = Seq("a", "a", "a", "b", "b", "c")
+    val out = Sketches.approxHeavyHitters(
+      data.map(("g", _)).toDF("g", "item").repartition(3), "g", "item",
+      k = 10)
+      .select("item", "estimate").as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("per-group summaries are independent") {
+    val data = Seq(("x", "p"), ("x", "p"), ("x", "q"), ("y", "r"))
+    val out = Sketches.approxHeavyHitters(
+      data.toDF("g", "item"), "g", "item", k = 5)
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("x", "p", 2L), ("x", "q", 1L), ("y", "r", 1L)))
+  }
+
+  test("mgMerge shrink keeps at most k counters and subtracts the cut") {
+    val a = Map("a" -> 10L, "b" -> 7L, "c" -> 3L)
+    val b = Map("d" -> 5L, "e" -> 2L)
+    val m = Sketches.mgMerge(a, b, k = 3)
+    assert(m.size <= 3)
+    // cut = 4th largest of (10,7,5,3,2) = 3 → a:7, b:4, d:2 survive
+    assert(m == Map("a" -> 7L, "b" -> 4L, "d" -> 2L))
+  }
+}
