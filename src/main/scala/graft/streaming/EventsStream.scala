@@ -28,6 +28,27 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"))
 
+  /** Per-window TRENDING items: the mergeable Misra-Gries sketch
+    * ([[graft.functions.Sketches]]) under an event-time tumbling window
+    * — approximate top-k per window from ONE stateful aggregate whose
+    * state is the bounded ≤k-counter summary, never the raw items (an
+    * exact per-window groupBy(item) would hold every distinct item in
+    * the state store). Watermark closes windows for append output and
+    * evicts their summaries. Output: (window_start, item, estimate),
+    * sorted by estimate within each window; the MG guarantees
+    * (coverage above n/(k+1), bounded undercount) hold per window. */
+  def trendingTopK(events: DataFrame, itemCol: String, duration: String,
+                   watermark: String, k: Int): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), duration))
+      .agg(graft.functions.Sketches.approxTopK(
+        col(itemCol).cast("string"), k).as("__top"))
+      .select(col("window.start").as("window_start"),
+        explode(col("__top")).as("__e"))
+      .select(col("window_start"), col("__e._1").as("item"),
+        col("__e._2").as("estimate"))
+
   case class SessionEvent(user_id: Long, ts_us: Long)
   case class SessionState(startUs: Long, lastUs: Long, n: Long)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long,

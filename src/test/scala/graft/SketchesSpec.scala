@@ -59,6 +59,34 @@ class SketchesSpec extends SparkSpec {
     assert(out == Set(("x", "p", 2L), ("x", "q", 1L), ("y", "r", 1L)))
   }
 
+  test("streaming trendingTopK: per-window sketches, append on close") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int, sec: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val q = graft.streaming.EventsStream.trendingTopK(
+      ms.toDF().toDF("ts", "item"), "item",
+      duration = "1 minute", watermark = "0 seconds", k = 10)
+      .writeStream.format("memory").queryName("trending")
+      .outputMode("append").start()
+    try {
+      // window 10:00: a×3, b×1; window 10:01: c×2
+      ms.addData((ts(0, 1), "a"), (ts(0, 2), "a"), (ts(0, 10), "b"),
+        (ts(0, 30), "a"), (ts(1, 5), "c"), (ts(1, 6), "c"))
+      q.processAllAvailable()
+      // advance the watermark past both windows so they close
+      ms.addData((ts(5), "z"))
+      q.processAllAvailable()
+      val rows = spark.table("trending")
+        .as[(java.sql.Timestamp, String, Long)].collect()
+        .map(t => (t._1.toString.substring(11, 16), t._2, t._3)).toSet
+      // below capacity → summaries are exact per window
+      assert(rows == Set(("10:00", "a", 3L), ("10:00", "b", 1L),
+        ("10:01", "c", 2L)))
+    } finally q.stop()
+  }
+
   test("mgMerge shrink keeps at most k counters and subtracts the cut") {
     val a = Map("a" -> 10L, "b" -> 7L, "c" -> 3L)
     val b = Map("d" -> 5L, "e" -> 2L)
