@@ -138,4 +138,45 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, // shard window + final group-by
       s"packing must not shuffle more than twice:\n$plan")
   }
+
+  test("winsorize: fact table sorted once, bounds broadcast back") {
+    val plan = planOf(SparkEntry.queries("q86_winsorize")(spark, dir))
+    // the rank-window sort exchange appears once, behind the in-memory
+    // relation both branches share; bounds attach as a broadcast join
+    assert(plan.contains("InMemoryRelation"),
+      s"winsorize must persist the ranked frame:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"winsorize bounds must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the fact table must never re-shuffle for the bounds join:\n$plan")
+  }
+
+  test("heavyHitters: top-N via TakeOrderedAndProject, no global sort") {
+    val plan = planOf(SparkEntry.queries("q92_heavy_keys")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q92 must select top-N distributed, not via a global sort:\n$plan")
+    // the only Sort allowed is inside TakeOrderedAndProject itself
+    assert(!plan.linesIterator.exists(l => l.trim.startsWith("Sort ")),
+      s"no standalone global Sort allowed:\n$plan")
+  }
+
+  test("shardStats is a pure scan -> partial agg -> one exchange") {
+    val plan = planOf(SparkEntry.queries("q85_shard_stats")(spark, dir))
+    // count detail entries only — formatted mode prints every node
+    // twice (tree line + detail header)
+    val exchanges = plan.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges == 1, s"shardStats must shuffle exactly once:\n$plan")
+  }
+
+  test("exciseSpans moves the document text through exactly one join") {
+    val plan = planOf(SparkEntry.queries("q89_excise_spans")(spark, dir))
+    // `text` is read by two scans (gram side reads only hashes of it);
+    // the full word-array reconstruction appears once, on the final
+    // left join — no window or aggregate may carry the text column
+    val textCarriers = plan.linesIterator.count(l =>
+      (l.contains("Window") || l.contains("HashAggregate")) &&
+        l.contains("text"))
+    assert(textCarriers == 0,
+      s"no window/aggregate may carry the raw text:\n$plan")
+  }
 }

@@ -242,6 +242,40 @@ class StoreSpec extends SparkSpec {
     assert(publishes.get() == before)
   }
 
+  test("Rename committer: crash leftovers cleaned, failures keep old table") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val root = Files.createTempDirectory("graft-committer").toString
+    val dst = new org.apache.hadoop.fs.Path(s"$root/t")
+    def writeMarker(p: String, name: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(p, name), true)
+      out.write(name.getBytes); out.close()
+    }
+    // v1 publish over pre-existing crash garbage (.tmp and .old left by
+    // a dead process) succeeds and clears it
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dst + ".tmp"))
+    writeMarker(dst + ".tmp", "stale")
+    graft.core.Committer.Rename.publish(fs, dst,
+      tmp => { fs.mkdirs(new org.apache.hadoop.fs.Path(tmp));
+        writeMarker(tmp, "v1") })
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dst, "v1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dst + ".tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dst + ".old")))
+    // a writer that fails mid-stage leaves the previous version live
+    intercept[RuntimeException] {
+      graft.core.Committer.Rename.publish(fs, dst,
+        _ => throw new RuntimeException("writer died"))
+    }
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dst, "v1")))
+    // a successful second publish replaces v1 and leaves no residue
+    graft.core.Committer.Rename.publish(fs, dst,
+      tmp => { fs.mkdirs(new org.apache.hadoop.fs.Path(tmp));
+        writeMarker(tmp, "v2") })
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dst, "v2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dst, "v1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dst + ".old")))
+  }
+
   test("purgeKeys erases every version retroactively, others intact") {
     val path = Files.createTempDirectory("graft-store-purge").toString
     val store = TpchFeatureStore(spark, sfDir, path)
