@@ -19,6 +19,8 @@ import graft.functions._
   *   - `graft_ngram_stats(array<string>, n)` → struct (repetition stats)
   *   - `graft_dot(array<double>, array<double>)` → double
   *   - `graft_norm(array<double>)` → double
+  *   - `graft_shard(string, buckets)` → bigint (engine-portable md5
+  *     bucket — the deterministic split/sample/shard primitive)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -86,6 +88,14 @@ object GraftExtensions {
         case Seq(a) => L2Norm(a)
         case _ => throw new IllegalArgumentException(
           "usage: graft_norm(array<double>)")
+      }),
+    (FunctionIdentifier("graft_shard"),
+      new ExpressionInfo(classOf[PortableBucket].getName, "graft_shard"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, n) => PortableBucket(s, intLit(n,
+          "usage: graft_shard(string, buckets int literal)").toLong)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_shard(string, buckets int literal)")
       }))
 
   /** Register the same functions into an already-running session (for

@@ -240,6 +240,45 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+object ShardKernel {
+  private val mdPool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  /** Bit-identical to `conv(substring(md5(s), 1, 8), 16, 10) % buckets`
+    * (the portable-hash recipe): MD5 of the UTF-8 bytes, first 4 digest
+    * bytes read as an unsigned 32-bit integer, mod buckets — without
+    * materializing the hex string or re-parsing it. */
+  def bucket(s: UTF8String, buckets: Long): Long = {
+    val md = mdPool.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    v % buckets
+  }
+}
+
+/** `graft_shard(str, buckets)`: the engine-portable md5 bucket used by
+  * every deterministic split/sample/shard operator, as one codegen
+  * kernel. Same number any engine computes from the recipe above. */
+case class PortableBucket(child: Expression, buckets: Long)
+    extends UnaryExpression {
+  require(buckets > 0, "buckets must be positive")
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShardKernel.bucket(input.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShardKernel.bucket($c, ${buckets}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NgramKernel {
 
   /** Distinct word n-gram shingles, first-occurrence order — exactly
@@ -548,4 +587,7 @@ object NativeExprs {
     val flat = planes.flatten
     Bridge.column(LshSignBits(Bridge.expression(emb), flat, nBits))
   }
+
+  def portableBucket(s: Column, buckets: Long): Column =
+    Bridge.column(PortableBucket(Bridge.expression(s), buckets))
 }

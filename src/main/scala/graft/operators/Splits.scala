@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object Splits {
 
-  /** Uniform bucket in [0, buckets) from the row id. */
+  /** Uniform bucket in [0, buckets) from the row id. Native codegen
+    * kernel, bit-identical to the portable recipe
+    * `conv(substring(md5(x),1,8),16,10) % buckets` every oracle
+    * reproduces (the kernel skips the hex-string round-trip; parity is
+    * re-proven by every md5-bucketed oracle query each round). */
   def bucket(id: Column, buckets: Int = 100): Column =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
-      .cast("long") % buckets
+    graft.functions.NativeExprs.portableBucket(id.cast("string"),
+      buckets.toLong)
 
   /** Deterministic per-stratum sampling: keep ~pct% of rows in every
     * group, chosen by id-hash bucket — reproducible, shuffle-free, and

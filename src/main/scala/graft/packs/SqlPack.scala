@@ -59,9 +59,32 @@ object SqlPack extends QueryPack {
            |    AS BIGINT) AS n_orders
            |FROM j""".stripMargin)
     }),
+
+    // deterministic sharding from pure SQL through the registered
+    // native kernel — the same number DuckDB derives from the md5
+    // recipe, proving the codegen kernel is engine-portable
+    "q93_sql_shard" -> ((s, dir) => {
+      graft.GraftExtensions.registerInto(s)
+      Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT graft_shard(concat(CAST(doc_id AS STRING), '|r4'), 16)
+          |    AS shard,
+          |  CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(min(doc_id) AS BIGINT) AS min_doc
+          |FROM documents GROUP BY 1""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q50_sql_surface" -> CorePack.oracleSql("q07_prevalence")
+    "q50_sql_surface" -> CorePack.oracleSql("q07_prevalence"),
+
+    "q93_sql_shard" ->
+      """SELECT
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|r4'), 1, 8))
+        |    ::BIGINT % 16 AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM documents GROUP BY 1
+        |""".stripMargin
   )
 }

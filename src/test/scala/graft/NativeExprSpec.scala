@@ -158,4 +158,21 @@ class NativeExprSpec extends SparkSpec {
     }
     assert(viaSql.head._4 == 11.0 && viaSql.head._5 == 5.0)
   }
+
+  test("portableBucket kernel equals the conv/substring/md5 recipe") {
+    val rnd = new scala.util.Random(11)
+    val strs = (0 until 200).map(_ => rnd.nextString(rnd.nextInt(24))) ++
+      Seq("", "plain", "id|seed", "日本語テキスト", "emoji 🌊 mix",
+        "345987|r4")
+    val df = strs.toDF("s")
+    for (b <- Seq(1L, 7L, 16L, 1000000L)) {
+      val got = df.select(NativeExprs.portableBucket(col("s"), b))
+        .as[Long].collect()
+      val ref = df.select(
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long") % b)
+        .as[Long].collect()
+      assert(got.toSeq == ref.toSeq, s"buckets=$b")
+      assert(got.forall(v => v >= 0 && v < b))
+    }
+  }
 }
