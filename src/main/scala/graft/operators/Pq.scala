@@ -152,11 +152,79 @@ object Pq {
         col("neighbor_id"), col("score"))
   }
 
+  /** Residual column against a coarse model: `x − centroid(cluster(x))`
+    * — what IVF-PQ actually quantizes (Jégou et al. §IV-A: residuals
+    * are far more concentrated than raw vectors, so the same codebook
+    * budget buys a much smaller quantization error). Pure Column ops:
+    * the centroid matrix rides as a literal, one zip_with per row. */
+  private def residualCol(emb: Column, clusterId: Column,
+                          coarse: Ivf.Model): Column = {
+    val cents = array(coarse.centroids.map(c =>
+      array(c.map(lit): _*)): _*)
+    zip_with(emb, element_at(cents, clusterId + 1), (x, c) => x - c)
+  }
+
+  /** Train PQ codebooks on coarse-quantizer RESIDUALS. */
+  def trainResidual(df: DataFrame, idCol: String, embCol: String,
+                    coarse: Ivf.Model, m: Int, ksub: Int,
+                    iters: Int = 3): Model = {
+    val assigned = Ivf.assign(df, idCol, embCol, coarse)
+      .withColumn("__res", residualCol(
+        Similarity.toDouble(col(embCol)), col("cluster_id"), coarse))
+    train(assigned, idCol, "__res", m, ksub, iters)
+  }
+
+  /** IVF-PQ over residuals: the corpus stores (cluster_id, codes of
+    * x − centroid); a candidate's score decomposes exactly as
+    * ⟨q, x⟩ ≈ ⟨q, centroid_c⟩ + ⟨q, residual⟩ — the first term is one
+    * scalar per (query, probed cluster), computed on the bounded
+    * broadcast probe table; the second is the usual m-lookup ADC sum.
+    * Same shuffle shape as [[ivfTopKAdc]], strictly tighter
+    * quantization error for the same (m, ksub) budget. */
+  def ivfTopKAdcResidual(df: DataFrame, idCol: String, embCol: String,
+                         queryPred: Column, k: Int, coarse: Ivf.Model,
+                         model: Model, nprobe: Int): DataFrame = {
+    val assigned = Ivf.assign(df, idCol, embCol, coarse)
+      .withColumn("__res", residualCol(
+        Similarity.toDouble(col(embCol)), col("cluster_id"), coarse))
+    val corpus = encode(assigned, idCol, "__res", model)
+      .select(col(idCol).as("neighbor_id"), col("cluster_id"),
+        col("pq_codes"))
+    val centDists = graft.functions.NativeExprs.centroidSqDists(
+      Similarity.toDouble(col(embCol)), coarse.centroids)
+    // ⟨q, centroid_c⟩ per probed cluster, from the same literal matrix
+    val cents = array(coarse.centroids.map(c =>
+      array(c.map(lit): _*)): _*)
+    val probes = df.filter(queryPred)
+      .select(col(idCol).cast("long").as("query_id"),
+        Similarity.toDouble(col(embCol)).as("__qe"),
+        posexplode(centDists))
+      .withColumnRenamed("pos", "cluster_id")
+      .withColumnRenamed("col", "__d")
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__d"))
+    val probed = probes
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nprobe)
+      .withColumn("__off", Similarity.dot(col("__qe"),
+        element_at(cents, col("cluster_id") + 1)))
+      .select("query_id", "cluster_id", "__off")
+      .join(adcTables(df, idCol, embCol, queryPred, model), "query_id")
+    val scored = corpus.join(broadcast(probed), Seq("cluster_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", col("__off") + adcScore(model.m))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("score"))
+  }
+
   /** IVF-PQ: coarse quantizer prunes to each query's `nprobe` nearest
     * cluster lists, PQ-ADC scores only the survivors — candidate volume
     * ~nprobe/k of the corpus and every candidate costs m integer
     * lookups. Partition/bucket the encoded corpus by `cluster_id` for
-    * co-located probe joins at scale. */
+    * co-located joins at scale. */
   def ivfTopKAdc(df: DataFrame, idCol: String, embCol: String,
                  queryPred: Column, k: Int, coarse: Ivf.Model,
                  model: Model, nprobe: Int): DataFrame = {

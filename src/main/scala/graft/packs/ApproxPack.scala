@@ -116,6 +116,21 @@ object ApproxPack extends QueryPack {
         pmod(col("vec_id"), lit(50)) === 0, k = 10, coarse, pq, nprobe = 4)
     }),
 
+    // residual IVF-PQ: codes quantize x − centroid (far more
+    // concentrated than raw vectors → tighter error for the same
+    // budget); score = ⟨q,centroid⟩ offset + residual ADC lookups
+    "q94_ivf_pq_residual" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings").cache()
+      val sample = emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+      val coarse = Ivf.train(sample, "vec_id", "embedding", k = 16,
+        iters = 2)
+      val pq = Pq.trainResidual(sample, "vec_id", "embedding", coarse,
+        m = 8, ksub = 16, iters = 2)
+      Pq.ivfTopKAdcResidual(emb, "vec_id", "embedding",
+        pmod(col("vec_id"), lit(50)) === 0, k = 10, coarse, pq,
+        nprobe = 4)
+    }),
+
     // SemDeDup: coarse k-means clusters, then drop any vector with a
     // lower-id clustermate within 0.9 cosine — float similarity inside
     // → rows-only; SimilaritySpec proves the verdicts equal a

@@ -86,4 +86,58 @@ class PqSpec extends SparkSpec {
       Pq.train(vecs, "vec_id", "embedding", m = 5, ksub = 4)
     }
   }
+
+  test("residual IVF-PQ: score decomposes exactly, recall not worse") {
+    val coarse = Ivf.train(vecs, "vec_id", "embedding", k = 8, iters = 2)
+    val rmodel = Pq.trainResidual(vecs, "vec_id", "embedding", coarse,
+      m = 4, ksub = 8, iters = 2)
+    val k = 40
+    val out = Pq.ivfTopKAdcResidual(vecs, "vec_id", "embedding",
+        col("vec_id") < 8, k, coarse, rmodel, nprobe = 8)
+      .select("query_id", "neighbor_id", "score")
+      .as[(Long, Long, Double)].collect()
+    // exact decomposition: score == <q, centroid_c> + <q, decode(codes)>
+    val assigned = Ivf.assign(vecs, "vec_id", "embedding", coarse)
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().toMap
+    val all = clustered.map { case (id, e, _) =>
+      id -> e.map(_.toDouble) }.toMap
+    val resDf = Ivf.assign(vecs, "vec_id", "embedding", coarse)
+      .withColumn("__res", zip_with(
+        graft.operators.Similarity.toDouble(col("embedding")),
+        element_at(array(coarse.centroids.map(c =>
+          array(c.map(lit): _*)): _*), col("cluster_id") + 1),
+        (x, c) => x - c))
+    val codes = Pq.encode(resDf, "vec_id", "__res", rmodel)
+      .select("vec_id", "pq_codes").as[(Long, Seq[Int])].collect().toMap
+    out.foreach { case (qid, nid, score) =>
+      val q = all(qid)
+      val cent = coarse.centroids(assigned(nid))
+      val rec = rmodel.decode(codes(nid))
+      val exact = q.zip(cent).map(p => p._1 * p._2).sum +
+        q.zip(rec).map(p => p._1 * p._2).sum
+      assert(math.abs(score - exact) < 1e-9,
+        s"($qid,$nid): $score vs $exact")
+    }
+    // with full probing, residual recall is at least the raw variant's
+    def recallOf(approx: Set[(Long, Long)]): Double = {
+      val exact = (for {
+        (qid, qe) <- all.toSeq if qid < 8
+        top = all.toSeq.filter(_._1 != qid)
+          .map { case (cid, ce) =>
+            (cid, qe.zip(ce).map(p => p._1 * p._2).sum) }
+          .sortBy { case (cid, s) => (-s, cid) }.take(k).map(_._1)
+        cid <- top
+      } yield (qid, cid)).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val rawModel = Pq.train(vecs, "vec_id", "embedding", m = 4,
+      ksub = 8, iters = 2)
+    val raw = Pq.ivfTopKAdc(vecs, "vec_id", "embedding",
+        col("vec_id") < 8, k, coarse, rawModel, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val res = out.map(t => (t._1, t._2)).toSet
+    assert(recallOf(res) >= recallOf(raw) - 0.02,
+      s"residual ${recallOf(res)} vs raw ${recallOf(raw)}")
+    assert(recallOf(res) >= 0.8)
+  }
 }
