@@ -151,6 +151,73 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein,
+    * SIGIR'98) of per-query candidate lists: greedily pick
+    * `argmax λ·rel(d) − (1−λ)·max_{s∈picked} cos(d, s)` — trades
+    * relevance against redundancy so a query's top-k isn't k copies of
+    * the same document.
+    *
+    * Runs AFTER a distributed candidate stage (ANN top-N): each
+    * query's candidate set is small by construction, so the greedy
+    * loop is a per-group `mapGroups` over ≤N rows — the legitimate
+    * per-group imperative case, distributed across queries, never a
+    * driver loop. Embeddings re-attach to candidates by one id join.
+    *
+    * Input: candidates (query_id, neighbor_id, score) + the vector
+    * table. Output: (query_id, rank, neighbor_id, mmr_score). */
+  def mmrRerank(candidates: DataFrame, vectors: DataFrame,
+                idCol: String, embCol: String, k: Int,
+                lambda: Double): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0,1]")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val withVecs = candidates
+      .join(vectors.select(col(idCol).cast("long").as("neighbor_id"),
+        toDouble(col(embCol)).as("__e")), "neighbor_id")
+      .select(col("query_id").cast("long"), col("neighbor_id"),
+        col("score").cast("double"), col("__e"))
+      .as[(Long, Long, Double, Array[Double])]
+    withVecs.groupByKey(_._1).mapGroups { (qid, it) =>
+      val cands = it.toArray.sortBy(c => (-c._3, c._2))
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+      }
+      val pickedIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val pickedOut = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Double)]
+      val used = scala.collection.mutable.BitSet.empty
+      while (pickedOut.length < math.min(k, cands.length)) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < cands.length) {
+          if (!used(i)) {
+            val maxSim =
+              if (pickedIdx.isEmpty) 0.0
+              else pickedIdx.map(j => cos(cands(i)._4, cands(j)._4)).max
+            val s = lambda * cands(i)._3 - (1 - lambda) * maxSim
+            // cands is sorted (relevance DESC, id ASC), so strictly-
+            // greater keeps the first (most relevant, lowest id) on
+            // ties — deterministic regardless of partitioning
+            if (s > bestScore) { best = i; bestScore = s }
+          }
+          i += 1
+        }
+        used += best
+        pickedIdx += best
+        pickedOut += ((cands(best)._2, bestScore))
+      }
+      (qid, pickedOut.toSeq)
+    }.flatMap { case (qid, picked) =>
+      picked.zipWithIndex.map { case ((nid, s), r) =>
+        (qid, r + 1, nid, s)
+      }
+    }.toDF("query_id", "rank", "neighbor_id", "mmr_score")
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
     * arXiv:2303.09540): a coarse k-means quantizer partitions the
     * corpus; within each cluster, a doc is dropped when a LOWER-id
@@ -173,10 +240,14 @@ object Similarity {
     */
   def semanticDedup(df: DataFrame, idCol: String, embCol: String,
                     model: Ivf.Model, threshold: Double): DataFrame = {
+    // persisted: the pair join's two legs and the final verdict join
+    // all read it, and Catalyst won't CSE the branches — without this
+    // the corpus is scanned and centroid-assigned three times
     val assigned = Ivf.assign(df, idCol, embCol, model)
       .select(col(idCol), col("cluster_id"),
         toDouble(col(embCol)).as("__e"))
       .withColumn("__n", norm(col("__e")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // rename every column on the low-id leg: both legs derive from the
     // same plan, and distinct names keep the equi-join out of Spark's
     // dataset-id self-join disambiguation (same hazard as the funnel)

@@ -118,6 +118,32 @@ class SamplingProfileSpec extends SparkSpec {
     assert(probed.nonEmpty) // the construction plants cross-parity dups
   }
 
+  test("mmrRerank: pure-relevance at lambda=1, demotes near-dups below") {
+    // candidates for one query: two near-identical high scorers plus
+    // an orthogonal medium scorer
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.999f, 0.001f, 0f, 0f)), // near-copy of 1
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (9L, Array(0.7f, 0.7f, 0f, 0f))      // the query itself
+    ).toDF("vec_id", "embedding")
+    val cands = Seq((9L, 1L, 0.95), (9L, 2L, 0.94), (9L, 3L, 0.80))
+      .toDF("query_id", "neighbor_id", "score")
+    val pure = graft.operators.Similarity.mmrRerank(
+      cands, vecs, "vec_id", "embedding", k = 3, lambda = 1.0)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(pure == Seq(1L, 2L, 3L)) // lambda=1 → plain score order
+    val diverse = graft.operators.Similarity.mmrRerank(
+      cands, vecs, "vec_id", "embedding", k = 3, lambda = 0.5)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    // the near-copy of the first pick drops below the orthogonal doc
+    assert(diverse == Seq(1L, 3L, 2L))
+    // k truncates
+    assert(graft.operators.Similarity.mmrRerank(
+      cands, vecs, "vec_id", "embedding", k = 2, lambda = 0.5)
+      .count() == 2)
+  }
+
   test("semanticDedup verdicts equal a brute-force within-cluster scan") {
     // two well-separated clusters with planted near-identical vectors
     val rng = new scala.util.Random(7)
