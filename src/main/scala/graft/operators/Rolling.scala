@@ -29,4 +29,55 @@ object Rolling {
       .withColumn(s"cents_${days}d", sum(col("cents")).over(w))
       .drop("__d")
   }
+
+  /** Exact-integer EWMA smoothing of a per-(group, date) count series:
+    * `s_t = ((denom−1)·s_{t−1} + scale·x_t) div denom`, seeded
+    * `s_0 = scale·x_0` — i.e. α = 1/denom, values carried at
+    * `scale`× precision with floor division each step, so the whole
+    * recurrence is integer-exact and any engine reproduces it (float
+    * EWMA never hash-matches; this does). The trend/anomaly baseline
+    * for event streams.
+    *
+    * An EWMA is a sequential recurrence, not a window aggregate: each
+    * group's (bounded, grid-sized) daily series is folded ONCE with an
+    * array accumulator — per CLAUDE.md's HOF rule the fold appends to
+    * the accumulator rather than re-evaluating any per-step subtree.
+    * One shuffle to daily counts, one to group series. Output:
+    * (group, date, n, ewma_scaled). */
+  def ewmaDaily(df: DataFrame, groupCol: String, tsCol: String,
+                scale: Long = 256L, denom: Long = 4L): DataFrame = {
+    // power-of-two denom: the per-step floor division becomes a shift,
+    // which is exact on longs (Column./ is FLOAT division — unusable in
+    // an integer-exact recurrence)
+    require(scale > 0 && denom > 1 && (denom & (denom - 1)) == 0,
+      "need scale > 0 and denom a power of two > 1")
+    val shift = java.lang.Long.numberOfTrailingZeros(denom)
+    val daily = df
+      .groupBy(col(groupCol), to_date(col(tsCol)).as("date"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("date"), col("n"))))
+        .as("__s"))
+    val folded = series.withColumn("__acc",
+      aggregate(col("__s"),
+        expr("CAST(array() AS ARRAY<STRUCT<date DATE, n BIGINT," +
+          " ewma_scaled BIGINT>>)"),
+        (acc, x) => {
+          val prev = element_at(acc, -1).getField("ewma_scaled")
+          val next = when(size(acc) === 0,
+            x.getField("n") * lit(scale))
+            .otherwise(shiftright(
+              prev * lit(denom - 1) + x.getField("n") * lit(scale),
+              shift))
+          concat(acc, array(struct(
+            x.getField("date").as("date"),
+            x.getField("n").as("n"),
+            next.as("ewma_scaled"))))
+        }))
+    folded
+      .select(col(groupCol), explode(col("__acc")).as("__e"))
+      .select(col(groupCol), col("__e.date").as("date"),
+        col("__e.n").as("n"), col("__e.ewma_scaled").as("ewma_scaled"))
+  }
 }

@@ -117,10 +117,40 @@ object EventsPack extends QueryPack {
         .select(col("date").cast("string").as("date"),
           coalesce(col("n_converted"), lit(0L)).as("n_converted"),
           col("n_clicks"))
-    })
+    }),
+
+    // exact-integer EWMA trend per event type (α=1/4 at 256× scale):
+    // a sequential recurrence folded once per group — oracle-checked
+    // against DuckDB's independent WITH RECURSIVE formulation
+    "q95_ewma" -> ((s, dir) =>
+      Rolling.ewmaDaily(Tables.events(s, dir), "event_type", "ts")
+        .select(col("event_type"), col("date").cast("string").as("date"),
+          col("n"), col("ewma_scaled")))
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q95_ewma" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), o AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY date) AS rn
+        |  FROM d
+        |), r AS (
+        |  SELECT event_type, date, n, rn, n * 256 AS ew
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.date, o.n, o.rn,
+        |    (r.ew * 3 + o.n * 256) // 4
+        |  FROM o JOIN r ON o.event_type = r.event_type
+        |    AND o.rn = r.rn + 1
+        |)
+        |SELECT event_type, CAST(date AS VARCHAR) AS date,
+        |  CAST(n AS BIGINT) AS n, CAST(ew AS BIGINT) AS ewma_scaled
+        |FROM r
+        |""".stripMargin,
+
     "q62_funnel" ->
       """WITH v AS (
         |  SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
