@@ -330,8 +330,10 @@ class FeatureStore(
       readTable(loader) match {
         case Some(cur) =>
           val keyVals = keys.select(col(keyCol)).distinct()
-          val removed = cur.join(broadcast(keyVals), Seq(keyCol),
-            "left_semi").count()
+          // no-op probe reads ONE column (pruned scan), so checking
+          // costs a fraction of the full-width rewrite it avoids
+          val removed = cur.select(col(keyCol))
+            .join(broadcast(keyVals), Seq(keyCol), "left_semi").count()
           if (removed > 0L)
             swapIn(loader, cur.join(broadcast(keyVals), Seq(keyCol),
               "left_anti"))

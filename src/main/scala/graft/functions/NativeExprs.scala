@@ -261,10 +261,19 @@ object ShardKernel {
 
 /** `graft_shard(str, buckets)`: the engine-portable md5 bucket used by
   * every deterministic split/sample/shard operator, as one codegen
-  * kernel. Same number any engine computes from the recipe above. */
+  * kernel. Same number any engine computes from the recipe above.
+  * Declares a STRING input so the analyzer inserts the same implicit
+  * cast `Splits.bucket` applies — `graft_shard(doc_id, 16)` on a
+  * BIGINT hashes the decimal string, exactly like the recipe, instead
+  * of dying in codegen. */
 case class PortableBucket(child: Expression, buckets: Long)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   require(buckets > 0, "buckets must be positive")
+
+  // Seq is covariant and DataType is the public subtype of the
+  // private[sql] AbstractDataType the trait declares
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = LongType
 

@@ -41,13 +41,24 @@ object Sketches {
   }
 
   /** Misra-Gries over a string column; emits the surviving counters as
-    * (item, estimate) structs sorted by (estimate DESC, item). */
+    * (item, estimate) structs sorted by (estimate DESC, item). Null
+    * items are ignored, like every built-in Spark aggregate. */
   final class MisraGries(k: Int)
       extends Aggregator[String, Summary, Seq[(String, Long)]] {
     require(k > 0, "k must be positive")
     def zero: Summary = Map.empty
+    // classic O(1)-amortized single-item insert (decrement-all only on
+    // overflow) — the per-ROW path must not pay merge()'s k·log k
+    // shrink sort
     def reduce(b: Summary, a: String): Summary =
-      mgMerge(b, Map(a -> 1L), k)
+      if (a == null) b
+      else b.get(a) match {
+        case Some(c) => b.updated(a, c + 1L)
+        case None if b.size < k => b.updated(a, 1L)
+        case None => b.flatMap { case (v, c) =>
+          if (c > 1L) Some(v -> (c - 1L)) else None
+        }
+      }
     def merge(b1: Summary, b2: Summary): Summary = mgMerge(b1, b2, k)
     def finish(r: Summary): Seq[(String, Long)] =
       r.toSeq.sortBy { case (v, c) => (-c, v) }

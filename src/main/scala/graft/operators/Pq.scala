@@ -152,16 +152,58 @@ object Pq {
         col("neighbor_id"), col("score"))
   }
 
+  /** Centroid matrix as a literal column (indexed by cluster_id + 1). */
+  private def centsLit(coarse: Ivf.Model): Column =
+    array(coarse.centroids.map(c => array(c.map(lit): _*)): _*)
+
   /** Residual column against a coarse model: `x − centroid(cluster(x))`
     * — what IVF-PQ actually quantizes (Jégou et al. §IV-A: residuals
     * are far more concentrated than raw vectors, so the same codebook
     * budget buys a much smaller quantization error). Pure Column ops:
     * the centroid matrix rides as a literal, one zip_with per row. */
   private def residualCol(emb: Column, clusterId: Column,
-                          coarse: Ivf.Model): Column = {
-    val cents = array(coarse.centroids.map(c =>
-      array(c.map(lit): _*)): _*)
-    zip_with(emb, element_at(cents, clusterId + 1), (x, c) => x - c)
+                          coarse: Ivf.Model): Column =
+    zip_with(emb, element_at(centsLit(coarse), clusterId + 1),
+      (x, c) => x - c)
+
+  /** Shared IVF probe + ADC scoring + per-query top-k tail: picks each
+    * query's `nprobe` nearest clusters, attaches the ADC tables (and,
+    * for the residual variant, the ⟨q, centroid⟩ scalar offset), joins
+    * the bounded broadcast probe table against the cluster-partitioned
+    * encoded corpus, and ranks. Both public variants differ ONLY in
+    * what the corpus codes encode and whether the offset applies. */
+  private def ivfAdcTail(df: DataFrame, idCol: String, embCol: String,
+                         queryPred: Column, k: Int, coarse: Ivf.Model,
+                         model: Model, nprobe: Int, corpus: DataFrame,
+                         centroidOffset: Boolean): DataFrame = {
+    val centDists = graft.functions.NativeExprs.centroidSqDists(
+      Similarity.toDouble(col(embCol)), coarse.centroids)
+    val probes = df.filter(queryPred)
+      .select(col(idCol).cast("long").as("query_id"),
+        Similarity.toDouble(col(embCol)).as("__qe"),
+        posexplode(centDists))
+      .withColumnRenamed("pos", "cluster_id")
+      .withColumnRenamed("col", "__d")
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__d"))
+    val probed = probes
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nprobe)
+      .withColumn("__off",
+        if (centroidOffset)
+          Similarity.dot(col("__qe"),
+            element_at(centsLit(coarse), col("cluster_id") + 1))
+        else lit(0.0))
+      .select("query_id", "cluster_id", "__off")
+      .join(adcTables(df, idCol, embCol, queryPred, model), "query_id")
+    val scored = corpus.join(broadcast(probed), Seq("cluster_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", col("__off") + adcScore(model.m))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("score"))
   }
 
   /** Train PQ codebooks on coarse-quantizer RESIDUALS. */
@@ -190,34 +232,8 @@ object Pq {
     val corpus = encode(assigned, idCol, "__res", model)
       .select(col(idCol).as("neighbor_id"), col("cluster_id"),
         col("pq_codes"))
-    val centDists = graft.functions.NativeExprs.centroidSqDists(
-      Similarity.toDouble(col(embCol)), coarse.centroids)
-    // ⟨q, centroid_c⟩ per probed cluster, from the same literal matrix
-    val cents = array(coarse.centroids.map(c =>
-      array(c.map(lit): _*)): _*)
-    val probes = df.filter(queryPred)
-      .select(col(idCol).cast("long").as("query_id"),
-        Similarity.toDouble(col(embCol)).as("__qe"),
-        posexplode(centDists))
-      .withColumnRenamed("pos", "cluster_id")
-      .withColumnRenamed("col", "__d")
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__d"))
-    val probed = probes
-      .withColumn("__pr", row_number().over(wProbe))
-      .filter(col("__pr") <= nprobe)
-      .withColumn("__off", Similarity.dot(col("__qe"),
-        element_at(cents, col("cluster_id") + 1)))
-      .select("query_id", "cluster_id", "__off")
-      .join(adcTables(df, idCol, embCol, queryPred, model), "query_id")
-    val scored = corpus.join(broadcast(probed), Seq("cluster_id"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", col("__off") + adcScore(model.m))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("neighbor_id"), col("score"))
+    ivfAdcTail(df, idCol, embCol, queryPred, k, coarse, model, nprobe,
+      corpus, centroidOffset = true)
   }
 
   /** IVF-PQ: coarse quantizer prunes to each query's `nprobe` nearest
@@ -232,27 +248,7 @@ object Pq {
         idCol, embCol, coarse)
       .select(col(idCol).as("neighbor_id"), col("cluster_id"),
         col("pq_codes"))
-    val centDists = graft.functions.NativeExprs.centroidSqDists(
-      Similarity.toDouble(col(embCol)), coarse.centroids)
-    val probes = df.filter(queryPred)
-      .select(col(idCol).cast("long").as("query_id"),
-        posexplode(centDists))
-      .withColumnRenamed("pos", "cluster_id")
-      .withColumnRenamed("col", "__d")
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__d"))
-    val probed = probes
-      .withColumn("__pr", row_number().over(wProbe))
-      .filter(col("__pr") <= nprobe)
-      .select("query_id", "cluster_id")
-      .join(adcTables(df, idCol, embCol, queryPred, model), "query_id")
-    val scored = corpus.join(broadcast(probed), Seq("cluster_id"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", adcScore(model.m))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("neighbor_id"), col("score"))
+    ivfAdcTail(df, idCol, embCol, queryPred, k, coarse, model, nprobe,
+      corpus, centroidOffset = false)
   }
 }

@@ -190,7 +190,8 @@ object Similarity {
       val pickedOut = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Double)]
       val used = scala.collection.mutable.BitSet.empty
-      while (pickedOut.length < math.min(k, cands.length)) {
+      var exhausted = false
+      while (!exhausted && pickedOut.length < math.min(k, cands.length)) {
         var best = -1; var bestScore = Double.NegativeInfinity
         var i = 0
         while (i < cands.length) {
@@ -201,14 +202,19 @@ object Similarity {
             val s = lambda * cands(i)._3 - (1 - lambda) * maxSim
             // cands is sorted (relevance DESC, id ASC), so strictly-
             // greater keeps the first (most relevant, lowest id) on
-            // ties — deterministic regardless of partitioning
+            // ties — deterministic regardless of partitioning. A NaN
+            // score (corrupt vector / NaN relevance) compares false
+            // here, so poisoned candidates are simply never picked.
             if (s > bestScore) { best = i; bestScore = s }
           }
           i += 1
         }
-        used += best
-        pickedIdx += best
-        pickedOut += ((cands(best)._2, bestScore))
+        if (best < 0) exhausted = true // only NaN-scored candidates left
+        else {
+          used += best
+          pickedIdx += best
+          pickedOut += ((cands(best)._2, bestScore))
+        }
       }
       (qid, pickedOut.toSeq)
     }.flatMap { case (qid, picked) =>
@@ -262,10 +268,16 @@ object Similarity {
           col("__ln"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_dups_below"))
-    assigned.select(col(idCol), col("cluster_id"))
+    // the output is NARROW (id, cluster, flag, count): materialize it
+    // eagerly so the fat (embedding, norm) cache can be released here
+    // instead of leaking for the session lifetime
+    val out = assigned.select(col(idCol), col("cluster_id"))
       .join(dups, Seq(idCol), "left")
       .select(col(idCol), col("cluster_id"),
         col("n_dups_below").isNull.as("keep"),
         coalesce(col("n_dups_below"), lit(0L)).as("n_dups_below"))
+      .localCheckpoint(true)
+    assigned.unpersist()
+    out
   }
 }

@@ -38,10 +38,11 @@ object EventsStream {
     * sorted by estimate within each window; the MG guarantees
     * (coverage above n/(k+1), bounded undercount) hold per window. */
   def trendingTopK(events: DataFrame, itemCol: String, duration: String,
-                   watermark: String, k: Int): DataFrame =
+                   watermark: String, k: Int,
+                   tsCol: String = "ts"): DataFrame =
     events
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), duration))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), duration))
       .agg(graft.functions.Sketches.approxTopK(
         col(itemCol).cast("string"), k).as("__top"))
       .select(col("window.start").as("window_start"),

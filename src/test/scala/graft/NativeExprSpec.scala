@@ -174,5 +174,15 @@ class NativeExprSpec extends SparkSpec {
       assert(got.toSeq == ref.toSeq, s"buckets=$b")
       assert(got.forall(v => v >= 0 && v < b))
     }
+    // SQL surface accepts non-string inputs via the analysis-time
+    // implicit cast — same number as hashing the decimal string
+    graft.GraftExtensions.registerInto(spark)
+    Seq(345987L).toDF("id").createOrReplaceTempView("graft_shard_t")
+    val viaSql = spark.sql(
+      "SELECT graft_shard(id, 16) FROM graft_shard_t").as[Long].head()
+    val viaRecipe = Seq("345987").toDF("s")
+      .select(conv(substring(md5(col("s")), 1, 8), 16, 10)
+        .cast("long") % 16).as[Long].head()
+    assert(viaSql == viaRecipe)
   }
 }
