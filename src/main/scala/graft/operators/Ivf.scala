@@ -22,6 +22,30 @@ object Ivf {
     def k: Int = centroids.length
   }
 
+  /** Persist a trained quantizer as a tiny parquet table
+    * (cluster_id, centroid) — the index artifact a production search
+    * tier loads at startup instead of retraining. */
+  def save(spark: org.apache.spark.sql.SparkSession, m: Model,
+           path: String): Unit = {
+    import spark.implicits._
+    m.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster_id", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select("cluster_id", "centroid")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    require(rows.nonEmpty, s"no centroids at $path")
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"non-contiguous cluster ids at $path")
+    Model(rows.map(_._2.toArray))
+  }
+
   /** Nearest-centroid id (ties to the lower id). Native codegen kernel —
     * the k×dim distance loop runs once per row as compiled Java; the HOF
     * formulation (k independent aggregate(zip_with) folds) re-evaluated

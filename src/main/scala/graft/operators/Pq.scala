@@ -38,6 +38,37 @@ object Pq {
       codes.zipWithIndex.flatMap { case (c, mi) => codebooks(mi)(c) }.toArray
   }
 
+  /** Persist trained codebooks as a tiny parquet table
+    * (subspace, code, centroid). Round-trips through [[load]]. */
+  def save(spark: org.apache.spark.sql.SparkSession, m: Model,
+           path: String): Unit = {
+    import spark.implicits._
+    (for {
+      (book, mi) <- m.codebooks.zipWithIndex
+      (c, j) <- book.zipWithIndex
+    } yield (mi, j, c.toSeq)).toSeq
+      .toDF("subspace", "code", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select("subspace", "code", "centroid")
+      .as[(Int, Int, Seq[Double])].collect()
+    require(rows.nonEmpty, s"no codebooks at $path")
+    val byM = rows.groupBy(_._1)
+    require(byM.keys.toSeq.sorted == (0 until byM.size),
+      s"non-contiguous subspaces at $path")
+    Model((0 until byM.size).map { mi =>
+      val book = byM(mi).sortBy(_._2)
+      require(book.map(_._2).toSeq == book.indices.toSeq,
+        s"non-contiguous codes in subspace $mi at $path")
+      book.map(_._3.toArray)
+    }.toArray)
+  }
+
   /** Train one codebook per subspace with [[Ivf.train]]'s deterministic
     * seeding (min id per id-hash bucket) and Lloyd updates — but ALL
     * subspaces jointly: one seed collect plus ONE distributed pass per

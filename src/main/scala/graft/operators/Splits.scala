@@ -130,6 +130,20 @@ object Splits {
       .groupBy("shard")
       .agg(count(lit(1)).as("n_rows"), sum(col("__bytes")).as("n_bytes"))
 
+  /** Deterministic ACCEPTANCE sampling: keep a row with probability
+    * `weightBp/10000` (basis points), decided purely by
+    * `md5(id|seed) mod 10000 < weightBp` — per-row, shuffle-free,
+    * append-stable, reproducible by any engine. The weight is a COLUMN,
+    * so per-class retention rates (keep 100% of high-quality docs, 5%
+    * of boilerplate) compose with any upstream scoring: quality-
+    * weighted corpus thinning in one map-side filter. Draws with
+    * different seeds are independent. */
+  def acceptByWeight(df: DataFrame, idCol: String, weightBp: Column,
+                     seed: String): DataFrame =
+    df.filter(
+      bucket(concat(col(idCol).cast("string"), lit("|" + seed)), 10000)
+        < weightBp)
+
   /** Materialize the export order: one hash exchange into `nShards`
     * output partitions keyed by the shard id, each partition locally
     * sorted by a SECOND, shard-independent hash — a deterministic

@@ -222,7 +222,19 @@ object ScalePack extends QueryPack {
     // exact basis-point shares
     "q92_heavy_keys" -> ((s, dir) =>
       Profile.heavyHitters(Tables.load(s, dir, "lineitem"),
-        "l_orderkey", topN = 20))
+        "l_orderkey", topN = 20)),
+
+    // per-class acceptance sampling: language-dependent retention
+    // rates in basis points, decided per row by the portable md5 draw
+    "q96_accept_sample" -> ((s, dir) => {
+      val w = when(col("lang") === "en", 10000)
+        .when(col("lang") === "zh", 5000)
+        .when(col("lang") === "de", 2500)
+        .when(col("lang") === "fr", 1000).otherwise(500)
+      Splits.acceptByWeight(Tables.load(s, dir, "documents"),
+        "doc_id", w, seed = "q96")
+        .select("doc_id", "lang")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -539,6 +551,14 @@ object ScalePack extends QueryPack {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
         |FROM t GROUP BY 1, 2
+        |""".stripMargin,
+
+    "q96_accept_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|q96'),
+        |    1, 8))::BIGINT % 10000
+        |  < CASE lang WHEN 'en' THEN 10000 WHEN 'zh' THEN 5000
+        |      WHEN 'de' THEN 2500 WHEN 'fr' THEN 1000 ELSE 500 END
         |""".stripMargin,
 
     "q92_heavy_keys" ->

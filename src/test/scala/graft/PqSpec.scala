@@ -87,6 +87,25 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("Ivf and Pq models round-trip through parquet exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-models")
+    Pq.save(spark, model, s"$dir/pq")
+    val m2 = Pq.load(spark, s"$dir/pq")
+    assert(m2.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val coarse = Ivf.train(vecs, "vec_id", "embedding", k = 4, iters = 2)
+    Ivf.save(spark, coarse, s"$dir/ivf")
+    val c2 = Ivf.load(spark, s"$dir/ivf")
+    assert(c2.centroids.map(_.toSeq).toSeq ==
+      coarse.centroids.map(_.toSeq).toSeq)
+    // a loaded model drives identical assignments
+    val a1 = Ivf.assign(vecs, "vec_id", "embedding", coarse)
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().toMap
+    val a2 = Ivf.assign(vecs, "vec_id", "embedding", c2)
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().toMap
+    assert(a1 == a2)
+  }
+
   test("residual IVF-PQ: score decomposes exactly, recall not worse") {
     val coarse = Ivf.train(vecs, "vec_id", "embedding", k = 8, iters = 2)
     val rmodel = Pq.trainResidual(vecs, "vec_id", "embedding", coarse,
