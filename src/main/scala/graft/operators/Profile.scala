@@ -171,6 +171,33 @@ object Profile {
         max(col("__v")).as("hi"))
   }
 
+  /** Per-group closed-form OLS trend over integral (x, y) pairs,
+    * reported as EXACT integer numerator/denominator pairs:
+    * `slope = slope_num / slope_den` with
+    * `slope_num = n·Σxy − Σx·Σy`, `slope_den = n·Σx² − (Σx)²`, and
+    * `intercept = (Σy·Σx² − Σx·Σxy) / slope_den`. The division never
+    * happens inside the engine, so the fit is engine-exact and
+    * hash-checkable — float regression never is. The is-this-series-
+    * drifting primitive next to [[Rolling.ewmaDaily]]'s smoothing.
+    * One partial-agg shuffle of five sums; a constant-x group reports
+    * slope_den = 0 (caller-visible "no trend defined"). */
+  def trendFit(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame =
+    df.select(col(groupCol), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col(groupCol), col("n"),
+        (col("n") * col("__sxy") - col("__sx") * col("__sy"))
+          .as("slope_num"),
+        (col("n") * col("__sxx") - col("__sx") * col("__sx"))
+          .as("slope_den"),
+        (col("__sy") * col("__sxx") - col("__sx") * col("__sxy"))
+          .as("intercept_num"))
+
   /** Join-skew diagnosis: the `topN` heaviest keys with their share and
     * cumulative share of all rows, in exact basis points. THE check to
     * run before keying a shuffle at corpus scale — a key above a few

@@ -125,10 +125,39 @@ object EventsPack extends QueryPack {
     "q95_ewma" -> ((s, dir) =>
       Rolling.ewmaDaily(Tables.events(s, dir), "event_type", "ts")
         .select(col("event_type"), col("date").cast("string").as("date"),
-          col("n"), col("ewma_scaled")))
+          col("n"), col("ewma_scaled"))),
+
+    // exact OLS drift fit of the daily count series per event type:
+    // slope/intercept as integer numerator-denominator pairs
+    "q97_trend_fit" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Profile.trendFit(daily, "event_type", "day", "cnt")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q97_trend_fit" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(day) AS sx, sum(cnt) AS sy,
+        |    sum(day * cnt) AS sxy, sum(day * day) AS sxx
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+        |  CAST(sy * sxx - sx * sxy AS BIGINT) AS intercept_num
+        |FROM s
+        |""".stripMargin,
+
     "q95_ewma" ->
       """WITH RECURSIVE d AS (
         |  SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n
