@@ -157,6 +157,35 @@ object LlmPack extends QueryPack {
       Dedup.exciseSpans(Tables.load(s, dir, "documents"),
         "doc_id", "text", n = 5, minRun = 4)),
 
+    // END-TO-END curation pipeline, every stage integer/hash-exact and
+    // the WHOLE CHAIN hash-verified against an independent DuckDB
+    // reconstruction: excise duplicated spans → keep docs with >= 10
+    // surviving words → portable-LSH near-dup drop (higher id loses) on
+    // the CLEANED text → language-weighted acceptance sampling → pack
+    // into 512-token bins per language; output is the bin manifest
+    "q98_pipeline_exact" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val cleaned = Dedup.exciseSpans(docs, "doc_id", "text",
+          n = 5, minRun = 4)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(col("n_words") - col("n_removed") >= 10)
+        .select(col("doc_id"), col("lang"),
+          col("clean_text").as("text"))
+      val dupIds = Dedup.minhashLshPortable(cleaned, "doc_id", "text",
+          n = 3, numPerms = 8, bands = 4, minMatch = 6)
+        .select(col("id_b").as("doc_id")).distinct()
+      val sampled = graft.operators.Splits.acceptByWeight(
+        cleaned.join(dupIds, Seq("doc_id"), "left_anti"),
+        "doc_id",
+        when(col("lang") === "en", lit(10000)).otherwise(lit(7500)),
+        seed = "q98")
+      Chunking.packBins(sampled, "doc_id", "text", "lang",
+          binTokens = 512)
+        .groupBy("lang", "bin_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"))
+    }),
+
     // incremental ingest dedup: odd doc_ids (the "new batch") probed
     // against the band index of even doc_ids (the "corpus") — no
     // corpus-corpus or batch-batch pairing, the production ingest shape
@@ -272,9 +301,106 @@ object LlmPack extends QueryPack {
        |SELECT new_id, corpus_id, n_match FROM m WHERE n_match >= 4""".stripMargin
   }
 
+  /** q98: the whole curation chain — excision (q89's construction),
+    * length gate, portable LSH on the CLEANED text (q52's construction
+    * at minMatch 6), md5 acceptance sampling, token packing (q56's
+    * construction) — rebuilt independently in one DuckDB CTE chain.
+    * Every stage is integer/hash-exact, so the full pipeline output
+    * hash-matches, not just the stages. */
+  private lazy val PipelineExactSql: String = {
+    val permValues = graft.operators.Dedup.portablePerms(8).zipWithIndex
+      .map { case ((a, b), p) => s"($p, $a, $b)" }.mkString(", ")
+    raw"""WITH w AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, i, array_to_string(ws[i:i+4], ' ') AS gram
+         |  FROM w, LATERAL (SELECT unnest(generate_series(
+         |    1, greatest(1, len(ws) - 4))) AS i) t
+         |), c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+         |d AS (
+         |  SELECT doc_id, i,
+         |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         |  FROM g JOIN c USING (gram) WHERE cnt >= 2
+         |),
+         |r AS (
+         |  SELECT doc_id, min(i) AS s, max(i) AS e
+         |  FROM d GROUP BY doc_id, grp HAVING count(*) >= 4
+         |),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, unnest(generate_series(s, e + 4)) AS cp
+         |  FROM r
+         |),
+         |cl AS (SELECT doc_id, list(cp) AS cps FROM cov GROUP BY 1),
+         |k AS (
+         |  SELECT w.doc_id,
+         |    list_transform(list_filter(range(1, len(ws) + 1),
+         |      p -> NOT list_contains(coalesce(cps, []), p)),
+         |      p -> ws[p]) AS kept
+         |  FROM w LEFT JOIN cl USING (doc_id)
+         |),
+         |cleaned AS (
+         |  SELECT k.doc_id, d0.lang, kept
+         |  FROM k JOIN documents d0 ON k.doc_id = d0.doc_id
+         |  WHERE len(kept) >= 10
+         |),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(kept[i:i+2], ' ') AS s
+         |  FROM cleaned, LATERAL (SELECT unnest(generate_series(
+         |    1, greatest(1, len(kept) - 2))) AS i) gi
+         |),
+         |gh AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS g
+         |  FROM sh
+         |),
+         |ph AS (
+         |  SELECT doc_id, p, min((a * g + b) % 2147483647) AS h
+         |  FROM gh, (VALUES $permValues) AS perms(p, a, b)
+         |  GROUP BY doc_id, p
+         |),
+         |sig AS (
+         |  SELECT doc_id, p // 2 AS band,
+         |    string_agg(CAST(h AS VARCHAR), ',' ORDER BY p) AS bkey
+         |  FROM ph GROUP BY doc_id, p // 2
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sig a JOIN sig b ON a.band = b.band AND a.bkey = b.bkey
+         |    AND a.doc_id < b.doc_id
+         |),
+         |m AS (
+         |  SELECT c2.id_a, c2.id_b,
+         |    sum(CASE WHEN pa.h = pb.h THEN 1 ELSE 0 END) AS n_match
+         |  FROM cand c2
+         |  JOIN ph pa ON pa.doc_id = c2.id_a
+         |  JOIN ph pb ON pb.doc_id = c2.id_b AND pb.p = pa.p
+         |  GROUP BY c2.id_a, c2.id_b
+         |),
+         |dup AS (SELECT DISTINCT id_b AS doc_id FROM m WHERE n_match >= 6),
+         |samp AS (
+         |  SELECT doc_id, lang, len(kept) AS n_tokens FROM cleaned
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+         |    AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|q98'),
+         |        1, 8))::BIGINT % 10000
+         |      < CASE lang WHEN 'en' THEN 10000 ELSE 7500 END
+         |),
+         |cum AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM samp
+         |)
+         |SELECT lang, CAST((cum - 1) // 512 AS BIGINT) AS bin_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         |FROM cum GROUP BY lang, bin_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q56_packing" -> PackingSql,
     "q83_incr_dedup" -> IncrDedupSql,
+    "q98_pipeline_exact" -> PipelineExactSql,
 
     // Same gram/run construction as q82's oracle, extended to the
     // covered-word positions and the reconstructed text. DuckDB i is
