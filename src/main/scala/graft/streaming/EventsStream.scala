@@ -50,6 +50,68 @@ object EventsStream {
       .select(col("window_start"), col("__e._1").as("item"),
         col("__e._2").as("estimate"))
 
+  case class EwmaEvent(group: String, ts: java.sql.Timestamp)
+  case class EwmaState(pending: Map[Long, Long], last: Option[Long])
+  case class EwmaOut(group: String, day: Long, n: Long,
+                     ewma_scaled: Long)
+
+  /** STREAMING twin of [[graft.operators.Rolling.ewmaDaily]]: per-group
+    * day counts accumulate in state until the advancing watermark
+    * closes a day, then close in day order folding the same exact-
+    * integer recurrence (α = 1/denom at scale×, shift floor-div) and
+    * emit (group, day, n, ewma_scaled) — bit-identical to the batch
+    * fold on the same data, which the spec proves. State per group is
+    * the open-day count map (bounded by the watermark horizon) plus
+    * one long of EWMA carry; an event-time timeout flushes idle
+    * groups' closed days so nothing waits for a next event. */
+  def ewmaStream(events: Dataset[EwmaEvent], watermark: String,
+                 scale: Long = 256L, denom: Long = 4L)
+      : Dataset[EwmaOut] = {
+    require(scale > 0 && denom > 1 && (denom & (denom - 1)) == 0,
+      "need scale > 0 and denom a power of two > 1")
+    val shift = java.lang.Long.numberOfTrailingZeros(denom)
+    val dayMs = 86400000L
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (group, evs, state: GroupState[EwmaState]) =>
+          val prev = state.getOption
+            .getOrElse(EwmaState(Map.empty, None))
+          val added = evs.foldLeft(prev.pending) { (m, e) =>
+            val d = Math.floorDiv(e.ts.getTime, dayMs)
+            m.updated(d, m.getOrElse(d, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // close every day fully behind the watermark, in day order,
+          // carrying the EWMA forward
+          val (closed, open) =
+            added.partition { case (d, _) => (d + 1) * dayMs <= wm }
+          var carry = prev.last
+          val out = closed.toSeq.sortBy(_._1).map { case (d, n) =>
+            val e = carry match {
+              case None => n * scale
+              case Some(p) => (p * (denom - 1) + n * scale) >> shift
+            }
+            carry = Some(e)
+            EwmaOut(group, d, n, e)
+          }
+          if (open.isEmpty && carry == prev.last && out.isEmpty &&
+            evs.isEmpty) {
+            state.remove() // timed out with nothing left
+          } else {
+            state.update(EwmaState(open, carry))
+            // wake when the earliest open day can close (or never, if
+            // none are open — the next event re-arms it)
+            open.keys.minOption.foreach(d =>
+              state.setTimeoutTimestamp((d + 1) * dayMs))
+          }
+          out.iterator
+      }
+  }
+
   case class SessionEvent(user_id: Long, ts_us: Long)
   case class SessionState(startUs: Long, lastUs: Long, n: Long)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long,

@@ -87,6 +87,52 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaStream closes days in order and matches the batch fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventsStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(day: Int, hour: Int) = new java.sql.Timestamp(
+      day * 86400000L + hour * 3600000L)
+    val ms = MemoryStream[EventsStream.EwmaEvent]
+    val q = EventsStream.ewmaStream(ms.toDS(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("ewmastream")
+      .outputMode("append").start()
+    try {
+      // group a: 2 events day 0, 1 event day 1, 3 events day 2;
+      // group b: 1 event day 1 — delivered across batches, in-day
+      // events out of order
+      ms.addData(EventsStream.EwmaEvent("a", ts(0, 5)),
+        EventsStream.EwmaEvent("a", ts(0, 2)))
+      q.processAllAvailable()
+      ms.addData(EventsStream.EwmaEvent("a", ts(1, 1)),
+        EventsStream.EwmaEvent("b", ts(1, 9)))
+      q.processAllAvailable()
+      ms.addData(EventsStream.EwmaEvent("a", ts(2, 3)),
+        EventsStream.EwmaEvent("a", ts(2, 4)),
+        EventsStream.EwmaEvent("a", ts(2, 5)))
+      q.processAllAvailable()
+      // sentinel far in the future closes everything
+      ms.addData(EventsStream.EwmaEvent("a", ts(10, 0)),
+        EventsStream.EwmaEvent("b", ts(10, 0)))
+      q.processAllAvailable()
+      val got = spark.table("ewmastream")
+        .as[EventsStream.EwmaOut].collect()
+        .map(o => (o.group, o.day, o.n, o.ewma_scaled)).toSet
+      // batch twin on the same rows (sentinels included — their day 10
+      // never closes, so they are absent from the stream output)
+      val batch = graft.operators.Rolling.ewmaDaily(
+        Seq(("a", ts(0, 5)), ("a", ts(0, 2)), ("a", ts(1, 1)),
+          ("b", ts(1, 9)), ("a", ts(2, 3)), ("a", ts(2, 4)),
+          ("a", ts(2, 5))).toDF("g", "ts"), "g", "ts")
+        .select(col("g"),
+          datediff(col("date"), lit("1970-01-01")).cast("long"),
+          col("n"), col("ewma_scaled"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == batch)
+      assert(got.map(_._2).max == 2L) // open sentinel day never emitted
+    } finally q.stop()
+  }
+
   test("mgMerge shrink keeps at most k counters and subtracts the cut") {
     val a = Map("a" -> 10L, "b" -> 7L, "c" -> 3L)
     val b = Map("d" -> 5L, "e" -> 2L)
