@@ -174,17 +174,26 @@ object Profile {
   /** Per-group closed-form OLS trend over integral (x, y) pairs,
     * reported as EXACT integer numerator/denominator pairs:
     * `slope = slope_num / slope_den` with
-    * `slope_num = n·Σxy − Σx·Σy`, `slope_den = n·Σx² − (Σx)²`, and
-    * `intercept = (Σy·Σx² − Σx·Σxy) / slope_den`. The division never
+    * `slope_num = n·Σx'y − Σx'·Σy`, `slope_den = n·Σx'² − (Σx')²`,
+    * and `intercept_num / slope_den` the fitted value AT THE GROUP'S
+    * FIRST x — x is CENTERED at the per-group minimum (`x' = x −
+    * min(x)`) before any product, which leaves the slope mathematically
+    * unchanged but keeps the 64-bit products bounded by series LENGTH
+    * rather than absolute epoch offsets (raw epoch-day x with large
+    * counts would silently wrap n·Σxy past 2^63). The division never
     * happens inside the engine, so the fit is engine-exact and
-    * hash-checkable — float regression never is. The is-this-series-
-    * drifting primitive next to [[Rolling.ewmaDaily]]'s smoothing.
-    * One partial-agg shuffle of five sums; a constant-x group reports
+    * hash-checkable — float regression never is. Two partial-agg
+    * passes over the (grid-sized) input: per-group min, broadcast
+    * back, then the five sums. A constant-x group reports
     * slope_den = 0 (caller-visible "no trend defined"). */
   def trendFit(df: DataFrame, groupCol: String, xCol: String,
-               yCol: String): DataFrame =
-    df.select(col(groupCol), col(xCol).cast("long").as("__x"),
-        col(yCol).cast("long").as("__y"))
+               yCol: String): DataFrame = {
+    val raw = df.select(col(groupCol), col(xCol).cast("long").as("__x"),
+      col(yCol).cast("long").as("__y"))
+    val mins = raw.groupBy(col(groupCol))
+      .agg(min(col("__x")).as("__mn"))
+    raw.join(broadcast(mins), Seq(groupCol))
+      .withColumn("__x", col("__x") - col("__mn"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
         sum(col("__y")).as("__sy"),
@@ -197,6 +206,7 @@ object Profile {
           .as("slope_den"),
         (col("__sy") * col("__sxx") - col("__sx") * col("__sxy"))
           .as("intercept_num"))
+  }
 
   /** Join-skew diagnosis: the `topN` heaviest keys with their share and
     * cumulative share of all rows, in exact basis points. THE check to

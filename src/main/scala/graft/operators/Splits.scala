@@ -140,9 +140,7 @@ object Splits {
     * different seeds are independent. */
   def acceptByWeight(df: DataFrame, idCol: String, weightBp: Column,
                      seed: String): DataFrame =
-    df.filter(
-      bucket(concat(col(idCol).cast("string"), lit("|" + seed)), 10000)
-        < weightBp)
+    df.filter(shardOf(col(idCol), 10000, seed) < weightBp)
 
   /** Materialize the export order: one hash exchange into `nShards`
     * output partitions keyed by the shard id, each partition locally

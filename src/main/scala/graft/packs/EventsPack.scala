@@ -140,11 +140,16 @@ object EventsPack extends QueryPack {
 
   def oracleSql: Map[String, String] = Map(
     "q97_trend_fit" ->
-      """WITH d AS (
+      """WITH d0 AS (
         |  SELECT event_type,
         |    CAST(ts AS DATE) - DATE '1970-01-01' AS day,
         |    count(*) AS cnt
         |  FROM events GROUP BY 1, 2
+        |), d AS (
+        |  -- x centered at the per-group minimum, like the operator
+        |  SELECT event_type,
+        |    day - min(day) OVER (PARTITION BY event_type) AS day, cnt
+        |  FROM d0
         |), s AS (
         |  SELECT event_type, count(*) AS n,
         |    sum(day) AS sx, sum(cnt) AS sy,

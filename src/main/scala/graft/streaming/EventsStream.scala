@@ -71,6 +71,11 @@ object EventsStream {
       "need scale > 0 and denom a power of two > 1")
     val shift = java.lang.Long.numberOfTrailingZeros(denom)
     val dayMs = 86400000L
+    // day bucketing must match the batch twin's `to_date`, which uses
+    // the SESSION timezone — a raw epoch-day floorDiv is UTC and would
+    // silently break parity off-UTC. The zone rides into the closure
+    // as a string (ZoneId isn't serializable-stable across JVMs).
+    val zoneId = events.sparkSession.sessionState.conf.sessionLocalTimeZone
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermark)
@@ -78,17 +83,23 @@ object EventsStream {
       .flatMapGroupsWithState[EwmaState, EwmaOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (group, evs, state: GroupState[EwmaState]) =>
+          val zone = java.time.ZoneId.of(zoneId)
+          def dayOf(ts: java.sql.Timestamp): Long =
+            ts.toInstant.atZone(zone).toLocalDate.toEpochDay
           val prev = state.getOption
             .getOrElse(EwmaState(Map.empty, None))
           val added = evs.foldLeft(prev.pending) { (m, e) =>
-            val d = Math.floorDiv(e.ts.getTime, dayMs)
+            val d = dayOf(e.ts)
             m.updated(d, m.getOrElse(d, 0L) + 1L)
           }
-          val wm = state.getCurrentWatermarkMs()
           // close every day fully behind the watermark, in day order,
-          // carrying the EWMA forward
+          // carrying the EWMA forward. Watermark comparison uses the
+          // session-zone end-of-day instant.
+          val wm = state.getCurrentWatermarkMs()
+          def dayEndMs(d: Long): Long = java.time.LocalDate
+            .ofEpochDay(d + 1).atStartOfDay(zone).toInstant.toEpochMilli
           val (closed, open) =
-            added.partition { case (d, _) => (d + 1) * dayMs <= wm }
+            added.partition { case (d, _) => dayEndMs(d) <= wm }
           var carry = prev.last
           val out = closed.toSeq.sortBy(_._1).map { case (d, n) =>
             val e = carry match {
@@ -98,16 +109,16 @@ object EventsStream {
             carry = Some(e)
             EwmaOut(group, d, n, e)
           }
-          if (open.isEmpty && carry == prev.last && out.isEmpty &&
-            evs.isEmpty) {
-            state.remove() // timed out with nothing left
-          } else {
-            state.update(EwmaState(open, carry))
-            // wake when the earliest open day can close (or never, if
-            // none are open — the next event re-arms it)
-            open.keys.minOption.foreach(d =>
-              state.setTimeoutTimestamp((d + 1) * dayMs))
-          }
+          // State never fully clears while the group lives: once all
+          // pending days close, what remains IS the recurrence carry
+          // (one long) — removing it would silently restart the EWMA
+          // on the group's next event. The open-day map, the only
+          // unbounded part, is bounded by the watermark horizon.
+          state.update(EwmaState(open, carry))
+          // wake when the earliest open day can close (no open days →
+          // unarmed; the next event re-arms)
+          open.keys.minOption.foreach(d =>
+            state.setTimeoutTimestamp(dayEndMs(d)))
           out.iterator
       }
   }

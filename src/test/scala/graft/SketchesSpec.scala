@@ -94,21 +94,25 @@ class SketchesSpec extends SparkSpec {
     def ts(day: Int, hour: Int) = new java.sql.Timestamp(
       day * 86400000L + hour * 3600000L)
     val ms = MemoryStream[EventsStream.EwmaEvent]
-    val q = EventsStream.ewmaStream(ms.toDS(), watermark = "0 seconds")
+    // a REAL watermark delay (1 day): several days stay open in the
+    // pending map at once, and a cross-day late event within the
+    // horizon must still land in its (not-yet-closed) day
+    val q = EventsStream.ewmaStream(ms.toDS(), watermark = "1 day")
       .writeStream.format("memory").queryName("ewmastream")
       .outputMode("append").start()
     try {
-      // group a: 2 events day 0, 1 event day 1, 3 events day 2;
-      // group b: 1 event day 1 — delivered across batches, in-day
-      // events out of order
       ms.addData(EventsStream.EwmaEvent("a", ts(0, 5)),
         EventsStream.EwmaEvent("a", ts(0, 2)))
       q.processAllAvailable()
-      ms.addData(EventsStream.EwmaEvent("a", ts(1, 1)),
-        EventsStream.EwmaEvent("b", ts(1, 9)))
-      q.processAllAvailable()
       ms.addData(EventsStream.EwmaEvent("a", ts(2, 3)),
-        EventsStream.EwmaEvent("a", ts(2, 4)),
+        EventsStream.EwmaEvent("b", ts(2, 9)),
+        EventsStream.EwmaEvent("a", ts(2, 4)))
+      q.processAllAvailable() // wm ≈ day1+: days 0..2 of "a" all open
+      // LATE event for day 1, behind the max seen time (day2+9h) but
+      // NOT behind the watermark (day1+9h after batch 2 — Spark drops
+      // input strictly older than the watermark before stateful ops):
+      // must still join day 1's count
+      ms.addData(EventsStream.EwmaEvent("a", ts(1, 10)),
         EventsStream.EwmaEvent("a", ts(2, 5)))
       q.processAllAvailable()
       // sentinel far in the future closes everything
@@ -118,11 +122,11 @@ class SketchesSpec extends SparkSpec {
       val got = spark.table("ewmastream")
         .as[EventsStream.EwmaOut].collect()
         .map(o => (o.group, o.day, o.n, o.ewma_scaled)).toSet
-      // batch twin on the same rows (sentinels included — their day 10
-      // never closes, so they are absent from the stream output)
+      // batch twin on the same rows (sentinel day 10 stays open inside
+      // the 1-day horizon, so it is absent from the stream output)
       val batch = graft.operators.Rolling.ewmaDaily(
-        Seq(("a", ts(0, 5)), ("a", ts(0, 2)), ("a", ts(1, 1)),
-          ("b", ts(1, 9)), ("a", ts(2, 3)), ("a", ts(2, 4)),
+        Seq(("a", ts(0, 5)), ("a", ts(0, 2)), ("a", ts(2, 3)),
+          ("b", ts(2, 9)), ("a", ts(2, 4)), ("a", ts(1, 10)),
           ("a", ts(2, 5))).toDF("g", "ts"), "g", "ts")
         .select(col("g"),
           datediff(col("date"), lit("1970-01-01")).cast("long"),
@@ -130,6 +134,8 @@ class SketchesSpec extends SparkSpec {
         .as[(String, Long, Long, Long)].collect().toSet
       assert(got == batch)
       assert(got.map(_._2).max == 2L) // open sentinel day never emitted
+      assert(got.contains(("a", 1L, 1L, // the late event made day 1
+        got.collectFirst { case ("a", 1L, 1L, e) => e }.get)))
     } finally q.stop()
   }
 
