@@ -129,6 +129,39 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("ewmaDaily equals the plain-Scala recurrence on random series") {
+    val eventsGen: Gen[List[(String, Int)]] =
+      Gen.listOfN(120, for {
+        g <- Gen.oneOf("x", "y", "z")
+        day <- Gen.choose(0, 25) // gaps + repeats across groups
+      } yield (g, day))
+    forSeeds(eventsGen, 8) { evs =>
+      val df = evs.map { case (g, d) =>
+        (g, new java.sql.Timestamp(d * 86400000L + 3600000L))
+      }.toDF("g", "ts")
+      val got = graft.operators.Rolling.ewmaDaily(df, "g", "ts",
+        scale = 256L, denom = 4L)
+        .select(col("g"), datediff(col("date"), lit("1970-01-01")),
+          col("n"), col("ewma_scaled"))
+        .as[(String, Int, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      evs.groupBy(_._1).foreach { case (g, rows) =>
+        val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong)
+          .toSeq.sortBy(_._1)
+        var carry = Option.empty[Long]
+        val expect = counts.map { case (d, n) =>
+          val e = carry match {
+            case None => n * 256L
+            case Some(p) => (p * 3L + n * 256L) >> 2
+          }
+          carry = Some(e)
+          (g, d, n, e)
+        }
+        assert(got(g).toSeq == expect, s"group $g")
+      }
+    }
+  }
+
   test("exciseSpans: clean text equals brute-force removal, counts agree") {
     val docsGen: Gen[List[(Long, String)]] =
       Gen.listOfN(16, for {
