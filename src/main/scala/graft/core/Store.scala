@@ -312,6 +312,37 @@ class FeatureStore(
       nFiles
     }
 
+  /** Back up the store — every materialized loader table plus the
+    * compute-coverage logs — to another root, each table republished
+    * through the [[Committer]] (so a crashed backup never leaves a
+    * half-written table at the destination). The destination IS a
+    * store: opening a FeatureStore at `destPath` serves the same data
+    * and, because the logs travel too, compute-if-missing sees the
+    * same coverage and recomputes nothing. Tables are locked one at a
+    * time — a long backup doesn't freeze the whole store. Returns the
+    * loaders copied. */
+  def backupTo(destPath: String): Seq[String] = {
+    require(destPath != storePath, "backup destination equals the store")
+    val destFs = new Path(destPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val copied = loaders.keys.toSeq.sorted.filter { l =>
+      fs.exists(new Path(tablePath(l))) && {
+        withTableLock(l) {
+          val t = spark.read.parquet(tablePath(l))
+          committer.publish(destFs, new Path(s"$destPath/$l"),
+            tmp => t.write.mode("overwrite").parquet(tmp))
+        }
+        true
+      }
+    }
+    if (fs.exists(new Path(logPath))) withTableLock("logs") {
+      val logs = spark.read.parquet(logPath)
+      committer.publish(destFs, new Path(s"$destPath/logs"),
+        tmp => logs.write.mode("overwrite").parquet(tmp))
+    }
+    copied
+  }
+
   /** Right-to-be-forgotten erasure: physically remove EVERY version of
     * the given keys from a loader's table — unlike an SCD2 close, which
     * ends validity but retains history, this is retroactive (time
