@@ -83,40 +83,38 @@ object Profile {
     * engine-reproducible (no interpolation, no float rank math).
     * Percentile bounds are in basis points (1/10000), the value at rank
     * `max(1, ceil(n·bp/10000))` of the ascending sort — all-integer
-    * rank arithmetic, and ties share a value so row_number tie-breaks
-    * can't change the result.
+    * rank arithmetic, and ties share a value so rank tie-breaks can't
+    * change the result. Values must be NON-NULL (enforced with a
+    * per-row guard): a null would rank nulls-first here but nulls-last
+    * in most SQL engines, silently shifting the bounds.
     *
-    * Plan: ONE hash shuffle of the fact table (group-keyed rank
-    * window); the two bound ranks fall out of a tiny per-group
-    * aggregate broadcast back. Appends `winsorized` (and keeps the
-    * input columns). Degenerate groups (n smaller than the rank span)
-    * clamp to their own min/max — a no-op, as winsorizing should be. */
+    * Plan: [[Selection.valueAtRanks]] resolves both bound ranks on
+    * bucket-count histograms — no group-partitioned sort of the fact
+    * table anywhere, so the hottest group winsorizes in parallel — and
+    * the two bounds broadcast back onto the input. Appends `winsorized`
+    * (and keeps the input columns). Degenerate groups (n smaller than
+    * the rank span) clamp to their own min/max — a no-op, as
+    * winsorizing should be. */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
                 loBp: Int, hiBp: Int): DataFrame = {
     require(loBp >= 0 && hiBp <= 10000 && loBp < hiBp,
       "need 0 <= loBp < hiBp <= 10000")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
-    // persisted: both the bounds aggregate and the output join read it,
-    // and Catalyst won't CSE the two branches — without this the fact
-    // table is scanned and rank-windowed twice
-    val ranked = df
-      .withColumn("__v", col(valueCol).cast("long"))
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n",
-        count(lit(1)).over(Window.partitionBy(col(groupCol))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bounds = ranked.groupBy(col(groupCol)).agg(
-      max(when(col("__rn") ===
-        greatest(lit(1L), expr(s"(__n * ${loBp}L + 9999L) div 10000L")),
-        col("__v"))).as("__lo"),
-      max(when(col("__rn") ===
-        greatest(lit(1L), expr(s"(__n * ${hiBp}L + 9999L) div 10000L")),
-        col("__v"))).as("__hi"))
-    ranked.join(broadcast(bounds), Seq(groupCol))
+    // fail fast on nulls instead of computing silently-shifted bounds
+    val guarded = coalesce(col(valueCol).cast("long"),
+      raise_error(lit(s"winsorize: null value in $valueCol"))
+        .cast("long"))
+    val picked = Selection.valueAtRanks(
+      df.select(col(groupCol), guarded.as("__v")), groupCol, "__v",
+      Seq(
+        "lo" -> s"greatest(1L, (__n * ${loBp}L + 9999L) div 10000L)",
+        "hi" -> s"greatest(1L, (__n * ${hiBp}L + 9999L) div 10000L)"))
+    val bounds = picked.groupBy(col(groupCol)).agg(
+      max(when(col("label") === "lo", col("value"))).as("__lo"),
+      max(when(col("label") === "hi", col("value"))).as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
       .withColumn("winsorized",
-        least(greatest(col("__v"), col("__lo")), col("__hi")))
-      .drop("__v", "__rn", "__n", "__lo", "__hi")
+        least(greatest(guarded, col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
   }
 
   /** Per-group approximate distinct count (HyperLogLog++) next to the
@@ -152,23 +150,45 @@ object Profile {
   }
 
   /** Per-group equi-DEPTH histogram (the quantile-bucket complement of
-    * [[histogram]]'s equi-width): `ntile(nBuckets)` over the value
-    * order, then per-bucket count and [lo, hi] bounds. Rows with equal
-    * values are interchangeable, so each bucket's value MULTISET — and
-    * therefore every output number — is deterministic and
-    * engine-exact, even though the tile assignment of individual tied
-    * rows is not. One group-keyed sort shuffle, bounds from the same
-    * pass. */
+    * [[histogram]]'s equi-width), with `ntile(nBuckets)` SEMANTICS:
+    * tile t of an n-row group spans ranks
+    * `[(t-1)·q + min(t-1, m) + 1, …+size]` with `q = n div nBuckets`,
+    * `m = n mod nBuckets`, `size = q + (t <= m ? 1 : 0)` — the first m
+    * tiles carry one extra row, exactly as `ntile` assigns them. Rows
+    * with equal values are interchangeable, so each tile's value
+    * MULTISET — and therefore every output number — is deterministic
+    * and engine-exact, even though a tile assignment of individual tied
+    * rows would not be.
+    *
+    * Unlike an actual `ntile` window (a single-task full-group sort),
+    * the 2·nBuckets tile-boundary ranks are resolved via
+    * [[Selection.valueAtRanks]] bucket histograms; tile counts follow
+    * from n by arithmetic. No row of the fact table is ever sorted by
+    * a group-partitioned window. */
   def equiDepthHistogram(df: DataFrame, groupCol: String,
                          valueCol: String, nBuckets: Int): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
-    df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
-      .withColumn("bucket", ntile(nBuckets).over(w))
+    val k = nBuckets
+    val targets = (1 to k).flatMap { t =>
+      val start = s"((${t - 1}L * (__n div $k)) + least(${t - 1}L, __n % $k))"
+      val size = s"((__n div $k) + (case when ${t}L <= __n % $k then 1L else 0L end))"
+      // empty tiles (n < nBuckets) evaluate to rank 0 → no output row,
+      // matching ntile (which never assigns tiles beyond n)
+      Seq(s"lo:$t" -> s"case when $size >= 1L then $start + 1L else 0L end",
+        s"hi:$t" -> s"case when $size >= 1L then $start + $size else 0L end")
+    }
+    Selection.valueAtRanks(
+        df.select(col(groupCol), col(valueCol).cast("long").as("__v")),
+        groupCol, "__v", targets)
+      .withColumn("bucket",
+        split(col("label"), ":").getItem(1).cast("int"))
+      .withColumn("__which", split(col("label"), ":").getItem(0))
       .groupBy(col(groupCol), col("bucket"))
-      .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
-        max(col("__v")).as("hi"))
+      .agg(
+        max(expr(s"(n div $k) + (case when bucket <= n % $k then 1L else 0L end)"))
+          .as("n"),
+        max(when(col("__which") === "lo", col("value"))).as("lo"),
+        max(when(col("__which") === "hi", col("value"))).as("hi"))
   }
 
   /** Per-group closed-form OLS trend over integral (x, y) pairs,

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT order statistics without full-group window sorts.
+  *
+  * The classic scale defect of `row_number()/ntile` over
+  * `Window.partitionBy(group)` is that every group is sorted in ONE
+  * task: a domain-sized group ("web" = most of a 100 TB corpus) becomes
+  * a multi-billion-row single-task external sort. Both primitives here
+  * keep the exact semantics of the rank window but bound every sort by
+  * a CONSTANT (the bucket fan-out), not by group size:
+  *
+  * - [[valueAtRanks]]: the value at given 1-based ranks of the
+  *   ascending value order per group, via a two-level equi-width bucket
+  *   histogram (65536-way per level ⇒ ~2^32 effective buckets — robust
+  *   to Zipf-shaped value ranges where a single level would dump nearly
+  *   all rows into bucket 0) plus a tie-collapsed refinement inside the
+  *   boundary sub-bucket. Ranks are resolved on per-bucket COUNTS
+  *   (partial-agg shuffles); the only sort over raw values is within
+  *   one sub-bucket, after collapsing duplicates to (value, count)
+  *   rows, so a hot tied value costs one aggregate row, not a sort.
+  * - [[hashRankFilter]]: keep the first `keep` rows of each group in
+  *   `(md5-bucket, id)` order. The md5 bucket IS the histogram —
+  *   uniform by construction — so one level suffices; the rank window
+  *   runs per (group, bucket), a 1e6-way split of every group.
+  *
+  * Driver-side materialization is limited to model-sized frames (one
+  * row per group for bounds, one row per requested rank for boundary
+  * buckets) — the same class of collect as IVF centroids. The input is
+  * scanned up to three times (level-1 counts, level-2 counts,
+  * refinement), a deliberate trade: re-reading a column-pruned scan
+  * beats persisting a corpus-sized projection at target scale. Callers
+  * whose input is an expensive derived frame should checkpoint it
+  * themselves.
+  */
+object Selection {
+
+  /** Per-level bucket fan-out. 65536^2 ≈ 4.3e9 effective buckets keeps
+    * the boundary sub-bucket width at max(1, range/2^32): for any value
+    * range up to 32 bits the refinement sees a single distinct value
+    * per sub-bucket, and wider ranges still collapse ties first. */
+  private val B = 65536L
+
+  /** Hash-order bucket fan-out (matches [[Splits.bucket]]'s 1e6). */
+  private val HB = 1000000
+
+  /** Rebuild a tiny DataFrame as a literal local relation so every
+    * downstream reuse is a broadcast of rows, not a re-run of the
+    * aggregation lineage (which would re-scan the input per reuse). */
+  private def collectAsLiteral(df: DataFrame): DataFrame = {
+    val rows: Array[Row] = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  /** The value at requested per-group ranks of the ascending non-null
+    * value order.
+    *
+    * `targets` are `(label, rankSql)` pairs where `rankSql` is a SQL
+    * expression over `__n` (the group's non-null row count) evaluating
+    * to the 1-based rank — SQL strings so callers keep exact `div`/`%`
+    * integer arithmetic (a Column formula would force float division).
+    * Targets that evaluate to rank < 1 or > `__n` produce no row.
+    *
+    * Output: one row per resolved target — (groupCol, label, value, n).
+    * Group cardinality is assumed broadcast-small (the same contract as
+    * [[Profile.histogram]]/[[Profile.minMaxScale]]); null group keys
+    * are preserved (null-safe joins throughout). Null values are
+    * ignored — ranks are over the values that exist.
+    */
+  def valueAtRanks(df: DataFrame, groupCol: String, valueCol: String,
+                   targets: Seq[(String, String)]): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    val facts = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+
+    // one row per group: min/count and the two bucket widths
+    val bounds = collectAsLiteral(
+      facts.groupBy(col("__g")).agg(
+        min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+        count(lit(1)).as("__n"))
+        .withColumn("__w1", expr(s"(__mx - __mn) div ${B}L") + lit(1L))
+        .withColumn("__w2", expr(s"(__w1 - 1) div ${B}L") + lit(1L)))
+
+    // one row per requested rank: (group, label, global rank)
+    val reqs = bounds.select(col("__g").as("__tg"), col("__n"),
+        explode(array(targets.map { case (lbl, rankSql) =>
+          struct(lit(lbl).as("l"), expr(rankSql).cast("long").as("r"))
+        }: _*)).as("__t"))
+      .select(col("__tg"), col("__t.l").as("__label"), col("__t.r").as("__r"))
+      .filter(col("__r") >= 1L)
+
+    // rows tagged with both bucket levels (two integer divs per row)
+    val scoped = facts
+      .join(broadcast(bounds.select(col("__g").as("__bg"), col("__mn"),
+        col("__w1"), col("__w2"))), col("__g") <=> col("__bg"))
+      .drop("__bg")
+      .withColumn("__b1", expr("(__v - __mn) div __w1"))
+      .withColumn("__b2", expr("(__v - __mn - __b1 * __w1) div __w2"))
+
+    // level 1: per-(group, bucket) counts, cumulative in bucket order.
+    // ≤ 65536 count rows per group see the window — constant-bounded.
+    val w1 = Window.partitionBy(col("__g")).orderBy(col("__b1"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum1 = scoped.groupBy(col("__g"), col("__b1"))
+      .agg(count(lit(1)).as("__c1"))
+      .withColumn("__cb1", coalesce(sum(col("__c1")).over(w1), lit(0L)))
+    // each rank lands in exactly one bucket: cb < r <= cb + c
+    val hit1 = collectAsLiteral(
+      cum1.join(broadcast(reqs), col("__g") <=> col("__tg") &&
+          col("__cb1") < col("__r") &&
+          col("__r") <= col("__cb1") + col("__c1"))
+        .select(col("__g"), col("__label"), col("__b1"),
+          (col("__r") - col("__cb1")).as("__r1")))
+
+    // level 2: same resolution inside the boundary level-1 buckets only
+    // (≤ one bucket per requested rank survives the semi-join)
+    val bb1 = hit1.select(col("__g").as("__jg"), col("__b1").as("__jb1"))
+      .distinct()
+    val lvl2 = scoped.join(broadcast(bb1),
+      col("__g") <=> col("__jg") && col("__b1") === col("__jb1"))
+      .drop("__jg", "__jb1")
+    val w2 = Window.partitionBy(col("__g"), col("__b1")).orderBy(col("__b2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum2 = lvl2.groupBy(col("__g"), col("__b1"), col("__b2"))
+      .agg(count(lit(1)).as("__c2"))
+      .withColumn("__cb2", coalesce(sum(col("__c2")).over(w2), lit(0L)))
+    val hit2 = collectAsLiteral(
+      cum2.join(broadcast(hit1
+          .select(col("__g").as("__hg"), col("__label"),
+            col("__b1").as("__hb1"), col("__r1"))),
+        col("__g") <=> col("__hg") && col("__b1") === col("__hb1") &&
+          col("__cb2") < col("__r1") &&
+          col("__r1") <= col("__cb2") + col("__c2"))
+        .select(col("__g"), col("__label"), col("__b1"), col("__b2"),
+          (col("__r1") - col("__cb2")).as("__r2")))
+
+    // refinement: collapse ties to (value, count) inside the boundary
+    // sub-bucket, then rank over DISTINCT values — the only sort that
+    // touches values, bounded by the sub-bucket's distinct count
+    // (≤ max(1, range/2^32) values wide).
+    val bb2 = hit2.select(col("__g").as("__jg"), col("__b1").as("__jb1"),
+      col("__b2").as("__jb2")).distinct()
+    val wv = Window.partitionBy(col("__g"), col("__b1"), col("__b2"))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vcum = lvl2.join(broadcast(bb2),
+        col("__g") <=> col("__jg") && col("__b1") === col("__jb1") &&
+          col("__b2") === col("__jb2"))
+      .groupBy(col("__g"), col("__b1"), col("__b2"), col("__v"))
+      .agg(count(lit(1)).as("__vc"))
+      .withColumn("__cbv", coalesce(sum(col("__vc")).over(wv), lit(0L)))
+
+    vcum.join(broadcast(hit2
+        .select(col("__g").as("__hg"), col("__label"),
+          col("__b1").as("__hb1"), col("__b2").as("__hb2"), col("__r2"))),
+      col("__g") <=> col("__hg") && col("__b1") === col("__hb1") &&
+        col("__b2") === col("__hb2") &&
+        col("__cbv") < col("__r2") &&
+        col("__r2") <= col("__cbv") + col("__vc"))
+      .join(broadcast(bounds.select(col("__g").as("__ng"), col("__n"))),
+        col("__g") <=> col("__ng"))
+      .select(col("__g").as(groupCol), col("__label").as("label"),
+        col("__v").as("value"), col("__n").as("n"))
+  }
+
+  /** Keep, per group, the first `keepCol` rows in
+    * `(md5-bucket(1e6), idCol)` ascending order — the exact semantics
+    * of `row_number() over (partition by group order by hash, id)
+    * <= keep`, without ever sorting a whole group in one task.
+    *
+    * `df` must already carry `keepCol` (a per-group-constant LONG, e.g.
+    * attached by a broadcast join) and `hashCol` (the uniform bucket in
+    * [0, 1e6), e.g. [[Splits.bucket]]). Phase 1 aggregates per-(group,
+    * bucket) counts and finds the candidate buckets (cumulative count
+    * below the keep threshold); phase 2 rank-windows ONLY candidate
+    * rows, partitioned by (group, bucket) — a 1e6-way split, so the
+    * hottest group's sort is ~|group|/1e6 rows per task. The input is
+    * scanned twice (counts + candidate join).
+    *
+    * Returns the candidate-filtered rows with `__rank` (LONG, the exact
+    * global rank in the group order) for rows with rank <= keep.
+    */
+  private[graft] def hashRankFilter(df: DataFrame, groupCol: String,
+                                    idCol: String, hashCol: Column,
+                                    keepCol: String): DataFrame = {
+    val tagged = df.withColumn("__h", hashCol)
+    // per-(group, bucket) counts; keep is group-constant, ride along
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cand = tagged.groupBy(col(groupCol), col("__h"))
+      .agg(count(lit(1)).as("__hc"), max(col(keepCol)).as("__k"))
+      .withColumn("__cb", coalesce(sum(col("__hc")).over(w), lit(0L)))
+      .filter(col("__cb") < col("__k"))
+      .select(col(groupCol).as("__cg"), col("__h").as("__ch"), col("__cb"))
+    // rank only candidate rows, split 1e6 ways per group
+    val wr = Window.partitionBy(col(groupCol), col("__h"))
+      .orderBy(col(idCol))
+    tagged.join(cand,
+        col(groupCol) <=> col("__cg") && col("__h") === col("__ch"))
+      .withColumn("__rank", col("__cb") + row_number().over(wr))
+      .filter(col("__rank") <= col(keepCol))
+      .drop("__h", "__cg", "__ch", "__cb")
+  }
+}

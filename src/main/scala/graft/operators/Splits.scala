@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting for training pipelines.
@@ -51,7 +50,10 @@ object Splits {
     *
     * All arithmetic is integer (floor divisions), so the kept set is
     * exactly reproducible by any engine. One count aggregate (broadcast
-    * back) + one rank window per group — the corpus shuffles once.
+    * back), then [[Selection.hashRankFilter]] resolves the per-group
+    * rank cutoff on bucket counts — no full-group window sort, so a
+    * domain that IS most of the corpus still ranks in ~|group|/1e6-row
+    * tasks.
     */
   def weightedMix(df: DataFrame, groupCol: String, idCol: String,
                   weights: Map[String, Long]): DataFrame = {
@@ -75,12 +77,10 @@ object Splits {
       .head.getLong(0) // counts is never empty: weights is non-empty
     val keep = wTbl.withColumn("__keep", expr(s"(${n}L * __w) div ${totalW}L"))
 
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(bucket(col(idCol), 1000000), col(idCol))
-    df.join(broadcast(keep), Seq(groupCol))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= col("__keep"))
-      .drop("__w", "__keep", "__rk")
+    Selection.hashRankFilter(
+        df.join(broadcast(keep), Seq(groupCol)),
+        groupCol, idCol, bucket(col(idCol), 1000000), "__keep")
+      .drop("__w", "__keep", "__rank")
   }
 
   /** Exact-k deterministic sample per group: the k rows with the
@@ -93,18 +93,20 @@ object Splits {
     * valid samples. `seed` perturbs the hash so distinct draws are
     * independent.
     *
-    * Plan: one hash shuffle on the group key + one rank window — no
-    * global sort, no per-group collect. Hot groups are bounded by the
-    * window sort of that group's rows, the same bound `weightedMix`
-    * already carries. */
+    * Plan: [[Selection.hashRankFilter]] — per-(group, hash-bucket)
+    * counts resolve the cutoff, then only candidate buckets see a rank
+    * window partitioned by (group, bucket). No full-group sort: the
+    * hottest group's rank work is split 1e6 ways. */
   def samplePerGroup(df: DataFrame, groupCol: String, idCol: String,
                      k: Int, seed: String = ""): DataFrame = {
     require(k > 0, "k must be positive")
     val h = bucket(concat(col(idCol).cast("string"), lit("|" + seed)),
       1000000)
-    val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
-    df.withColumn("sample_rank", row_number().over(w))
-      .filter(col("sample_rank") <= k)
+    Selection.hashRankFilter(
+        df.withColumn("__keep", lit(k.toLong)), groupCol, idCol, h,
+        "__keep")
+      .withColumn("sample_rank", col("__rank").cast("int"))
+      .drop("__keep", "__rank")
   }
 
   /** Deterministic export shard of a row: `md5(id|seed) mod nShards`.

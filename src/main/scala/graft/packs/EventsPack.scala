@@ -28,21 +28,18 @@ object EventsPack extends QueryPack {
           .withColumn("ts_us", unix_micros(col("ts"))),
         "user_id", "ts_us", "event_id", gapSeconds = 1800)),
 
-    // exact lower-median per group via rank-pick (engine-portable, no
-    // interpolation-semantics ambiguity)
-    "q44_group_median" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type"))
-        .orderBy(col("cents"), col("event_id"))
-      Tables.events(s, dir)
-        .select(col("event_id"), col("event_type"),
-          round(col("value") * 100, 0).cast("long").as("cents"))
-        .withColumn("__rn", row_number().over(w))
-        .withColumn("__n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
-        .filter(col("__rn") === expr("(__n + 1) div 2"))
-        .select(col("event_type"), col("cents").as("median_cents"))
-    }),
+    // exact lower-median per group via distributed rank-pick (engine-
+    // portable, no interpolation-semantics ambiguity). Selection
+    // resolves the rank on bucket histograms — no full-group sort, so
+    // a dominant event_type can't serialize the job.
+    "q44_group_median" -> ((s, dir) =>
+      graft.operators.Selection.valueAtRanks(
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents",
+        Seq("median" -> "(__n + 1) div 2"))
+        .select(col("event_type"), col("value").as("median_cents"))),
 
     "q43_rolling_features" -> ((s, dir) =>
       Rolling.trailing(

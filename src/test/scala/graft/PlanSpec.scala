@@ -139,16 +139,51 @@ class PlanSpec extends SparkSpec {
       s"packing must not shuffle more than twice:\n$plan")
   }
 
-  test("winsorize: fact table sorted once, bounds broadcast back") {
-    val plan = planOf(SparkEntry.queries("q86_winsorize")(spark, dir))
-    // the rank-window sort exchange appears once, behind the in-memory
-    // relation both branches share; bounds attach as a broadcast join
-    assert(plan.contains("InMemoryRelation"),
-      s"winsorize must persist the ranked frame:\n$plan")
+  test("winsorize: no group-partitioned window, bounds broadcast back") {
+    val df = SparkEntry.queries("q86_winsorize")(spark, dir)
+    val plan = planOf(df)
     assert(plan.contains("BroadcastHashJoin"),
       s"winsorize bounds must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"the fact table must never re-shuffle for the bounds join:\n$plan")
+    // the scale guarantee: no window over raw fact rows may partition
+    // by the bare group (see the selection-family test below)
+    assert(bareFactWindows(df).isEmpty,
+      s"found a bare-group window over fact rows:\n$plan")
+  }
+
+  /** Windows that would serialize a hot group: partitioned by fewer
+    * than two expressions AND reachable from a raw relation scan with
+    * no Aggregate on the path (an Aggregate bounds the window's input
+    * to per-bucket count rows; a literal LocalRelation is model-sized).
+    * The Selection primitives run bare-group cumsum windows ONLY over
+    * per-bucket count aggregates — those are allowed. */
+  private def bareFactWindows(df: DataFrame) = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def scanWithoutAgg(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: LocalRelation => false
+      case l: LeafNode => true
+      case other => other.children.exists(scanWithoutAgg)
+    }
+    df.queryExecution.optimizedPlan.collect {
+      case w: Window if w.partitionSpec.size < 2 &&
+        scanWithoutAgg(w.child) => w
+    }
+  }
+
+  test("selection family: no fact-table window over a bare group partition") {
+    // the five operators de-weaked in r5: a rank window over fact rows
+    // must carry at least (group, bucket) in its partition spec, so a
+    // hot group can never serialize into one task's sort
+    Seq("q44_group_median", "q65_weighted_mix", "q84_group_sample",
+      "q91_equidepth").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      val bare = bareFactWindows(df)
+      assert(bare.isEmpty,
+        s"$q has a bare-group window over fact rows " +
+          s"(single-task hot-group sort):\n${bare.mkString("\n")}")
+    }
   }
 
   test("heavyHitters: top-N via TakeOrderedAndProject, no global sort") {
