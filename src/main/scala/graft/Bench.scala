@@ -33,16 +33,26 @@ object Bench {
     // driver sets neither, so it always times the full set.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // min-of-3 by default: single-run timings of sub-second queries in
+    // a shared ~100-query JVM carry multi-second GC/cache noise (r4
+    // reported nine phantom >2x "regressions" this way, all disproved
+    // on a clean JVM). The reported number per query is the min.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
+        // an operator's leftover cache must not speed up (or crowd out)
+        // later iterations/queries — measure plans, not JVM history.
+        // The gc() nudges the ContextCleaner to drop unreferenced
+        // localCheckpoint blocks the operators released.
+        spark.catalog.clearCache()
+        System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times
     }
     // Short keys (q01, q02, …) + 3-decimal values keep the JSON line
     // well under the driver's output-tail window: with full names and
@@ -57,20 +67,30 @@ object Bench {
     val shortKeys = results.map(_._1.takeWhile(_ != '_'))
     require(shortKeys.distinct.size == shortKeys.size,
       s"duplicate short query keys: ${shortKeys.diff(shortKeys.distinct).distinct}")
-    val qs = results
+    val mins = results.map { case (k, ts) => k -> ts.min }
+    val qs = mins
       .map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (mins.nonEmpty) mins.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Full-name, full-precision copy for local profiling.
-    try {
-      val fullQs = results
-        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}\n""".getBytes)
-    } catch { case _: Throwable => () }
+    // Full-name, full-precision min-of-N for local profiling, and the
+    // raw per-iteration times in a SEPARATE file so a one-off noisy run
+    // can be diagnosed without overwriting the min-of-N record.
+    def writeJson(path: String, body: String): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(path), body.getBytes)
+      catch { case _: Throwable => () }
+    writeJson("bench_full.json",
+      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"queries":${
+        mins.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")},"sf":"$sfDir"}\n""")
+    writeJson("bench_iters.json",
+      s"""{"repeat":$repeat,"queries":${
+        results.map { case (k, ts) =>
+          "\"" + k + "\":" + ts.mkString("[", ",", "]")
+        }.mkString("{", ",", "}")},"sf":"$sfDir"}\n""")
     spark.stop()
     // Printed AFTER spark.stop() so no executor/log line lands behind it.
     println(line)

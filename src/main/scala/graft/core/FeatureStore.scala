@@ -105,7 +105,11 @@ object KeyJoinFeatures {
 
     // `delta` is used twice (grid combos + the grid join) and is tiny by
     // construction — one row per (strata, boundary date). Persist it so
-    // the heavy scan/join subtree beneath runs exactly once.
+    // the heavy scan/join subtree beneath runs exactly once. A persist,
+    // NOT a localCheckpoint: the InMemoryRelation's size estimate is
+    // what lets Catalyst broadcast the grid join; a checkpointed
+    // LogicalRDD would degrade it to a sort-merge join. The lifetime is
+    // bounded by the query that consumes the series.
     val delta = exploded
       .groupBy((sc :+ col("__d.date").as("date")): _*)
       .agg(

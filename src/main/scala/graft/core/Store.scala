@@ -50,25 +50,41 @@ object Committer {
     * version in, drop the backup. Both renames are metadata-atomic on
     * local/HDFS filesystems and their results are CHECKED (a false
     * return — e.g. a cross-filesystem tmp — aborts, rolling the backup
-    * back instead of silently losing the table). Readers can still
-    * observe a missing path between the two renames — that window is
-    * two directory renames wide, not a recursive delete wide; closing
-    * it fully is what a transactional-format Committer is for. */
+    * back instead of silently losing the table; a failed rollback
+    * reports where the parked data lives instead of dropping it on the
+    * floor). A publish that finds a dangling `.old` with NO live table
+    * (the predecessor crashed between its two renames) RESTORES it
+    * before doing anything else — the backup is only deleted once the
+    * new version is in place. Readers can still observe a missing path
+    * between the two renames — that window is two directory renames
+    * wide, not a recursive delete wide; closing it fully is what a
+    * transactional-format Committer is for. */
   object Rename extends Committer {
     def publish(fs: org.apache.hadoop.fs.FileSystem, dst: Path,
                 write: String => Unit): Unit = {
       val tmp = new Path(dst.toString + ".tmp")
       val old = new Path(dst.toString + ".old")
+      // crash recovery: .old with no live table = a predecessor died
+      // between parking the previous version and renaming the new one
+      // in. Restore the backup first; never start by deleting it.
+      if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
+        throw new java.io.IOException(
+          s"publish: could not restore dangling backup $old to $dst")
       if (fs.exists(tmp)) fs.delete(tmp, true) // stale crashed staging
       write(tmp.toString)
-      if (fs.exists(old)) fs.delete(old, true)
       val hadPrev = fs.exists(dst)
+      // a stale .old alongside a LIVE table is superseded — safe to drop
+      if (fs.exists(old)) fs.delete(old, true)
       if (hadPrev && !fs.rename(dst, old))
         throw new java.io.IOException(
           s"publish: could not park previous version of $dst")
       if (!fs.rename(tmp, dst)) {
-        if (hadPrev) fs.rename(old, dst) // roll the previous version back
-        throw new java.io.IOException(s"publish: rename failed for $dst")
+        if (hadPrev && !fs.rename(old, dst))
+          throw new java.io.IOException(
+            s"publish: rename failed for $dst AND the rollback failed — " +
+              s"the previous version is parked at $old")
+        throw new java.io.IOException(s"publish: rename failed for $dst" +
+          (if (hadPrev) " (previous version rolled back)" else ""))
       }
       if (hadPrev) fs.delete(old, true)
     }
@@ -322,9 +338,15 @@ class FeatureStore(
     * time — a long backup doesn't freeze the whole store. Returns the
     * loaders copied. */
   def backupTo(destPath: String): Seq[String] = {
-    require(destPath != storePath, "backup destination equals the store")
     val destFs = new Path(destPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify BOTH roots against their filesystems before comparing:
+    // a trailing slash, relative path, or scheme alias must not slip a
+    // self-backup through and publish into the live tables under lock
+    val qualifiedDest = destFs.makeQualified(new Path(destPath))
+    val qualifiedStore = fs.makeQualified(new Path(storePath))
+    require(qualifiedDest != qualifiedStore,
+      s"backup destination $qualifiedDest equals the store")
     val copied = loaders.keys.toSeq.sorted.filter { l =>
       fs.exists(new Path(tablePath(l))) && {
         withTableLock(l) {
@@ -335,7 +357,9 @@ class FeatureStore(
         true
       }
     }
-    if (fs.exists(new Path(logPath))) withTableLock("logs") {
+    // "__logs" is outside the legal loader-name space — a loader
+    // literally named "logs" must not share this lock
+    if (fs.exists(new Path(logPath))) withTableLock("__logs") {
       val logs = spark.read.parquet(logPath)
       committer.publish(destFs, new Path(s"$destPath/logs"),
         tmp => logs.write.mode("overwrite").parquet(tmp))

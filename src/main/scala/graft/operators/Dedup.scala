@@ -80,7 +80,7 @@ object Dedup {
         graft.functions.NativeExprs.wordNgramHashes(
           TextAnalysis.words(col(textCol)), n).as("__hs"): _*)
       .withColumn("__sz", size(col("__hs")))
-      .cache()
+      .localCheckpoint(true)
     val sh = docs.select(
       (col(idCol) +: blockCols.map(col)) :+ col("__sz") :+
         explode(col("__hs")).as("__shash"): _*)
@@ -305,7 +305,8 @@ object Dedup {
                          minMatch: Int): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val r = numPerms / bands
-    val sigs = portableSigs(df, idCol, textCol, n, numPerms).cache()
+    val sigs = portableSigs(df, idCol, textCol, n, numPerms)
+      .localCheckpoint(true)
     val banded = portableBands(sigs, idCol, bands, r)
     val candIds = banded.select(col(idCol).as("id_a"), col("__band"),
         col("__bkey"))
@@ -347,9 +348,9 @@ object Dedup {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val r = numPerms / bands
     val corpusSigs = portableSigs(corpus, idCol, textCol, n, numPerms)
-      .withColumnRenamed(idCol, "corpus_id").cache()
+      .withColumnRenamed(idCol, "corpus_id").localCheckpoint(true)
     val newSigs = portableSigs(incoming, idCol, textCol, n, numPerms)
-      .withColumnRenamed(idCol, "new_id").cache()
+      .withColumnRenamed(idCol, "new_id").localCheckpoint(true)
     val candIds = portableBands(newSigs, "new_id", bands, r)
       .join(portableBands(corpusSigs, "corpus_id", bands, r)
           .withColumnRenamed("__band", "__band_c")
@@ -401,7 +402,13 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    // the final generation's persist must not outlive the call: the
+    // output is narrow (id, label) — checkpoint it, then release
+    val out = labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** All-pairs formulation (quadratic within a block); kept as the
@@ -412,7 +419,7 @@ object Dedup {
     val sh = shingles(df, idCol, textCol, blockCols, n)
       .withColumn("__shash", xxhash64(col("__shingle")))
       .drop("__shingle")
-      .cache()
+      .localCheckpoint(true)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
     val a = sh.select(
       (col(idCol).as("id_a") +: blockCols.map(c => col(c).as(s"__ba_$c"))) :+
@@ -473,7 +480,7 @@ object Dedup {
     val sigs = df.select(col(idCol),
       graft.functions.NativeExprs.minhashSignature(
         shingleArray(col(textCol), 3), numHashes).as("__sig"))
-      .cache()
+      .localCheckpoint(true)
     val banded = sigs.select(
       col(idCol),
       col("__sig"),
@@ -554,7 +561,7 @@ object Dedup {
                    maxHamming: Int): DataFrame = {
     val sigs = df.select(col(idCol),
       graft.functions.NativeExprs.simhash64(TextAnalysis.words(col(textCol)))
-        .as("__sh")).cache()
+        .as("__sh")).localCheckpoint(true)
     val banded = sigs.select(col(idCol), col("__sh"),
       posexplode(array((0 until 4).map(bi =>
         shiftright(col("__sh"), bi * 16).bitwiseAND(0xFFFFL)): _*)))

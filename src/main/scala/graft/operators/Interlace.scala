@@ -79,6 +79,11 @@ object Interlace {
     // (re-scanning beats materializing a cache copy, and the scan keeps
     // its pushed filters). Self-join attribute dedup blocks
     // ReuseExchange here, so the persist is the only sharing mechanism.
+    // Deliberately a persist, NOT a localCheckpoint like the dedup/ANN
+    // operators: a checkpointed LogicalRDD drops the size estimate that
+    // lets Catalyst broadcast the small stratification side, while the
+    // InMemoryRelation keeps it. The lifetime is bounded by the store
+    // build that consumes the interlaced frame.
     def isExpensive(df: DataFrame): Boolean =
       df.queryExecution.optimizedPlan.collectFirst {
         case p: org.apache.spark.sql.catalyst.plans.logical.Join => p

@@ -85,10 +85,14 @@ object Layout {
     require(targetBytes > 0, "targetBytes must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(partCol)).orderBy(col(fileCol))
+    // greatest(0): a partition whose leading file(s) total 0 bytes has
+    // cum = 0 there, and Spark's `div` truncates (-1 div N = 0) while
+    // floor-division engines yield -1 — clamping pins both to bin 0
     manifest
       .withColumn("__cum", sum(col(bytesCol).cast("long")).over(w))
       .withColumn("target_file",
-        expr(s"(__cum - 1) div ${targetBytes}L").cast("long"))
+        greatest(lit(0L), expr(s"(__cum - 1) div ${targetBytes}L"))
+          .cast("long"))
       .drop("__cum")
   }
 }

@@ -237,11 +237,13 @@ object Profile {
   def heavyHitters(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
     require(topN > 0, "topN must be positive")
     import org.apache.spark.sql.expressions.Window
-    // persisted: the total and the top-N both read the aggregated key
-    // counts — without it the base table is scanned twice (the total is
-    // just the sum of the counts, never a second pass over df)
+    // checkpointed: the total and the top-N both read the aggregated
+    // key counts — without it the base table is scanned twice (the
+    // total is just the sum of the counts, never a second pass over
+    // df). A localCheckpoint, not a cache, so the count blocks don't
+    // outlive the call as a session-lifetime InMemoryRelation.
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // max(1): an empty input yields no output rows, but the share
     // expressions must still be well-formed literals
     val total = math.max(

@@ -29,12 +29,15 @@ import org.apache.spark.sql.functions._
   *
   * Driver-side materialization is limited to model-sized frames (one
   * row per group for bounds, one row per requested rank for boundary
-  * buckets) — the same class of collect as IVF centroids. The input is
-  * scanned up to three times (level-1 counts, level-2 counts,
-  * refinement), a deliberate trade: re-reading a column-pruned scan
-  * beats persisting a corpus-sized projection at target scale. Callers
-  * whose input is an expensive derived frame should checkpoint it
-  * themselves.
+  * buckets and the final result) — the same class of collect as IVF
+  * centroids. [[valueAtRanks]] returns its (tiny) result as a literal
+  * relation, so downstream joins broadcast rows instead of re-running
+  * the selection lineage per action. The input is scanned three times
+  * (bounds, level-1 counts, level-2 counts; a fourth refinement pass
+  * only for a group whose value range exceeds 2^32), a deliberate
+  * trade: re-reading a column-pruned scan beats persisting a
+  * corpus-sized projection at target scale. Callers whose input is an
+  * expensive derived frame should checkpoint it themselves.
   */
 object Selection {
 
@@ -74,19 +77,37 @@ object Selection {
   def valueAtRanks(df: DataFrame, groupCol: String, valueCol: String,
                    targets: Seq[(String, String)]): DataFrame = {
     require(targets.nonEmpty, "targets must be non-empty")
+    val spark = df.sparkSession
+    val gType = df.schema(groupCol).dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(groupCol, gType),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType)))
     val facts = df
       .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
       .filter(col("__v").isNotNull)
 
-    // one row per group: min/count and the two bucket widths
-    val bounds = collectAsLiteral(
-      facts.groupBy(col("__g")).agg(
+    // scan 1 — one row per group: min/count and the two bucket widths
+    val boundRows: Array[Row] = facts.groupBy(col("__g")).agg(
         min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
         count(lit(1)).as("__n"))
-        .withColumn("__w1", expr(s"(__mx - __mn) div ${B}L") + lit(1L))
-        .withColumn("__w2", expr(s"(__w1 - 1) div ${B}L") + lit(1L)))
+      .withColumn("__w1", expr(s"(__mx - __mn) div ${B}L") + lit(1L))
+      .withColumn("__w2", expr(s"(__w1 - 1) div ${B}L") + lit(1L))
+      .collect()
+    val bounds = spark.createDataFrame(
+      java.util.Arrays.asList(boundRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__g", gType)) ++
+        Seq("__mn", "__mx", "__n", "__w1", "__w2").map(
+          org.apache.spark.sql.types.StructField(_,
+            org.apache.spark.sql.types.LongType))))
 
-    // one row per requested rank: (group, label, global rank)
+    // one row per requested rank: (group, label, global rank) — derived
+    // from the literal bounds, so no job runs here
     val reqs = bounds.select(col("__g").as("__tg"), col("__n"),
         explode(array(targets.map { case (lbl, rankSql) =>
           struct(lit(lbl).as("l"), expr(rankSql).cast("long").as("r"))
@@ -102,8 +123,9 @@ object Selection {
       .withColumn("__b1", expr("(__v - __mn) div __w1"))
       .withColumn("__b2", expr("(__v - __mn - __b1 * __w1) div __w2"))
 
-    // level 1: per-(group, bucket) counts, cumulative in bucket order.
-    // ≤ 65536 count rows per group see the window — constant-bounded.
+    // scan 2 — level 1: per-(group, bucket) counts, cumulative in
+    // bucket order. ≤ 65536 count rows per group see the window —
+    // constant-bounded, never the fact rows themselves.
     val w1 = Window.partitionBy(col("__g")).orderBy(col("__b1"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum1 = scoped.groupBy(col("__g"), col("__b1"))
@@ -117,8 +139,8 @@ object Selection {
         .select(col("__g"), col("__label"), col("__b1"),
           (col("__r") - col("__cb1")).as("__r1")))
 
-    // level 2: same resolution inside the boundary level-1 buckets only
-    // (≤ one bucket per requested rank survives the semi-join)
+    // scan 3 — level 2: same resolution inside the boundary level-1
+    // buckets only (≤ one bucket per requested rank survives)
     val bb1 = hit1.select(col("__g").as("__jg"), col("__b1").as("__jb1"))
       .distinct()
     val lvl2 = scoped.join(broadcast(bb1),
@@ -129,43 +151,67 @@ object Selection {
     val cum2 = lvl2.groupBy(col("__g"), col("__b1"), col("__b2"))
       .agg(count(lit(1)).as("__c2"))
       .withColumn("__cb2", coalesce(sum(col("__c2")).over(w2), lit(0L)))
-    val hit2 = collectAsLiteral(
-      cum2.join(broadcast(hit1
+    val hit2 = cum2.join(broadcast(hit1
           .select(col("__g").as("__hg"), col("__label"),
             col("__b1").as("__hb1"), col("__r1"))),
         col("__g") <=> col("__hg") && col("__b1") === col("__hb1") &&
           col("__cb2") < col("__r1") &&
           col("__r1") <= col("__cb2") + col("__c2"))
         .select(col("__g"), col("__label"), col("__b1"), col("__b2"),
-          (col("__r1") - col("__cb2")).as("__r2")))
+          (col("__r1") - col("__cb2")).as("__r2"))
 
-    // refinement: collapse ties to (value, count) inside the boundary
-    // sub-bucket, then rank over DISTINCT values — the only sort that
-    // touches values, bounded by the sub-bucket's distinct count
-    // (≤ max(1, range/2^32) values wide).
-    val bb2 = hit2.select(col("__g").as("__jg"), col("__b1").as("__jb1"),
-      col("__b2").as("__jb2")).distinct()
-    val wv = Window.partitionBy(col("__g"), col("__b1"), col("__b2"))
-      .orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val vcum = lvl2.join(broadcast(bb2),
-        col("__g") <=> col("__jg") && col("__b1") === col("__jb1") &&
-          col("__b2") === col("__jb2"))
-      .groupBy(col("__g"), col("__b1"), col("__b2"), col("__v"))
-      .agg(count(lit(1)).as("__vc"))
-      .withColumn("__cbv", coalesce(sum(col("__vc")).over(wv), lit(0L)))
-
-    vcum.join(broadcast(hit2
-        .select(col("__g").as("__hg"), col("__label"),
-          col("__b1").as("__hb1"), col("__b2").as("__hb2"), col("__r2"))),
-      col("__g") <=> col("__hg") && col("__b1") === col("__hb1") &&
-        col("__b2") === col("__hb2") &&
-        col("__cbv") < col("__r2") &&
-        col("__r2") <= col("__cbv") + col("__vc"))
-      .join(broadcast(bounds.select(col("__g").as("__ng"), col("__n"))),
-        col("__g") <=> col("__ng"))
-      .select(col("__g").as(groupCol), col("__label").as("label"),
-        col("__v").as("value"), col("__n").as("n"))
+    // The result is model-sized (one row per resolved target), so it is
+    // returned as a LITERAL relation: consumers joining it back onto a
+    // fact table broadcast a handful of rows instead of re-executing
+    // the whole selection lineage per downstream action.
+    val w2max = boundRows.iterator.map(_.getLong(5)).maxOption.getOrElse(1L)
+    if (w2max == 1L) {
+      // Every group's value range fits in B² (≈4.3e9 — any 32-bit-wide
+      // long range, which is all practical integral data): sub-bucket
+      // width is 1, so the level-2 bucket IS the value offset and
+      // value = mn + b1·w1 + b2 by arithmetic — no third pass over the
+      // values, no sort anywhere.
+      val byG = boundRows
+        .map(r => r.get(0) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
+        .toMap // __g -> (mn, n, w1)
+      val rows = hit2.collect().map { r =>
+        val (mn, n, w1v) = byG(r.get(0))
+        Row(r.get(0), r.getString(1),
+          mn + r.getLong(2) * w1v + r.getLong(3), n)
+      }
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.toIndexedSeq: _*), outSchema)
+    } else {
+      // Degenerate >2³²-wide range: refine inside the boundary
+      // sub-bucket, collapsing ties to (value, count) first so the only
+      // value-ordered window sees distinct values of ONE sub-bucket.
+      val hit2l = collectAsLiteral(hit2)
+      val bb2 = hit2l.select(col("__g").as("__jg"),
+        col("__b1").as("__jb1"), col("__b2").as("__jb2")).distinct()
+      val wv = Window.partitionBy(col("__g"), col("__b1"), col("__b2"))
+        .orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val vcum = scoped.join(broadcast(bb2),
+          col("__g") <=> col("__jg") && col("__b1") === col("__jb1") &&
+            col("__b2") === col("__jb2"))
+        .groupBy(col("__g"), col("__b1"), col("__b2"), col("__v"))
+        .agg(count(lit(1)).as("__vc"))
+        .withColumn("__cbv", coalesce(sum(col("__vc")).over(wv), lit(0L)))
+      val resolved = vcum.join(broadcast(hit2l
+          .select(col("__g").as("__hg"), col("__label"),
+            col("__b1").as("__hb1"), col("__b2").as("__hb2"), col("__r2"))),
+        col("__g") <=> col("__hg") && col("__b1") === col("__hb1") &&
+          col("__b2") === col("__hb2") &&
+          col("__cbv") < col("__r2") &&
+          col("__r2") <= col("__cbv") + col("__vc"))
+        .join(broadcast(bounds.select(col("__g").as("__ng"), col("__n"))),
+          col("__g") <=> col("__ng"))
+        .select(col("__g").as(groupCol), col("__label").as("label"),
+          col("__v").as("value"), col("__n").as("n"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(resolved.collect().toIndexedSeq: _*),
+        outSchema)
+    }
   }
 
   /** Keep, per group, the first `keepCol` rows in

@@ -123,15 +123,17 @@ object Similarity {
     val nBits = bands * rowsPerBand
     val sig = df.select(col(idCol), toDouble(col(embCol)).as("__e"),
       lshSignature(col(embCol), dim, nBits).as("__sig"))
-    // cached: `banded` feeds both the query side and the candidate side,
-    // and the signature fold is the dominant per-row cost
+    // `banded` feeds both the query side and the candidate side, and
+    // the signature fold is the dominant per-row cost. localCheckpoint
+    // (not cache) so the blocks are released when the result is dropped
+    // instead of pinning an InMemoryRelation for the session lifetime.
     val banded = sig.select(col(idCol), col("__e"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bi => concat_ws("", transform(
           slice(col("__sig"), bi * lit(rowsPerBand) + 1, lit(rowsPerBand)),
           _.cast("string"))))))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
-      .cache()
+      .localCheckpoint(true)
     val queries = banded.join(
       df.filter(queryPred).select(col(idCol)), Seq(idCol), "left_semi")
       .select(col(idCol).as("query_id"), col("__e").as("__qe"),

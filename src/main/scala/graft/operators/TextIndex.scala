@@ -26,11 +26,13 @@ object TextIndex {
     * postings. The vocabulary is pruned to `df ≥ minDf` FIRST and then
     * attached by broadcast join — the postings are shuffled exactly
     * once, and a window over bare (skewed) `term` never appears.
-    * tf is persisted because both the vocabulary build and the probe
-    * side read it (Catalyst would otherwise prune the two branches into
-    * different subtrees and scan + explode the corpus twice) — postings
-    * are (8B, 8B, 8B) rows, spillable, and an index build materializes
-    * them anyway.
+    * tf is locally checkpointed because both the vocabulary build and
+    * the probe side read it (Catalyst would otherwise prune the two
+    * branches into different subtrees and scan + explode the corpus
+    * twice) — postings are (8B, 8B, 8B) rows, spillable, and an index
+    * build materializes them anyway. A checkpoint, not a cache: the
+    * blocks die with the result's reference instead of outliving the
+    * call as a session-lifetime InMemoryRelation.
     */
   /** `broadcastVocab`: the pruned vocabulary is small at moderate scale
     * and broadcasting it keeps the postings un-reshuffled — but Heaps'
@@ -46,7 +48,7 @@ object TextIndex {
         explode(terms(col(textCol))).as("term"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val vocab = tf.groupBy("term")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
@@ -77,7 +79,7 @@ object TextIndex {
         explode(terms(col(textCol))).as("term"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val wd = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df"), col("term"))

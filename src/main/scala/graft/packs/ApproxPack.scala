@@ -106,7 +106,7 @@ object ApproxPack extends QueryPack {
       // Codebooks train on a deterministic 1/4 hash-sample — at corpus
       // scale a quantizer is always fit on a sample, and the k-means
       // passes are the dominant cost of this query
-      val emb = Tables.load(s, dir, "embeddings").cache()
+      val emb = Tables.load(s, dir, "embeddings").localCheckpoint(true)
       val sample = emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
       val pq = Pq.train(sample, "vec_id", "embedding", m = 8, ksub = 16,
         iters = 2)
@@ -120,7 +120,7 @@ object ApproxPack extends QueryPack {
     // concentrated than raw vectors → tighter error for the same
     // budget); score = ⟨q,centroid⟩ offset + residual ADC lookups
     "q94_ivf_pq_residual" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings").cache()
+      val emb = Tables.load(s, dir, "embeddings").localCheckpoint(true)
       val sample = emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
       val coarse = Ivf.train(sample, "vec_id", "embedding", k = 16,
         iters = 2)
@@ -137,7 +137,7 @@ object ApproxPack extends QueryPack {
     // brute-force within-cluster scan and measures recall vs the
     // global pair set
     "q87_semantic_dedup" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings").cache()
+      val emb = Tables.load(s, dir, "embeddings").localCheckpoint(true)
       val model = Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
       Similarity.semanticDedup(emb, "vec_id", "embedding", model,
         threshold = 0.9)

@@ -165,17 +165,19 @@ object LlmPack extends QueryPack {
     // into 512-token bins per language; output is the bin manifest
     "q98_pipeline_exact" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      // cached: the LSH-signature branch and the anti-join/packing
-      // branch both read it, and the excision subtree (corpus-wide
-      // gram shuffle + run window + reconstruction) is the dominant
-      // cost — without this it executes twice
+      // checkpointed: the LSH-signature branch and the anti-join/
+      // packing branch both read it, and the excision subtree
+      // (corpus-wide gram shuffle + run window + reconstruction) is
+      // the dominant cost — without this it executes twice. A
+      // localCheckpoint, not a cache, so the cleaned corpus doesn't
+      // outlive the query in the session's CacheManager.
       val cleaned = Dedup.exciseSpans(docs, "doc_id", "text",
           n = 5, minRun = 4)
         .join(docs.select("doc_id", "lang"), "doc_id")
         .filter(col("n_words") - col("n_removed") >= 10)
         .select(col("doc_id"), col("lang"),
           col("clean_text").as("text"))
-        .cache()
+        .localCheckpoint(true)
       val dupIds = Dedup.minhashLshPortable(cleaned, "doc_id", "text",
           n = 3, numPerms = 8, bands = 4, minMatch = 6)
         .select(col("id_b").as("doc_id")).distinct()

@@ -522,7 +522,7 @@ object ScalePack extends QueryPack {
         |  FROM m
         |)
         |SELECT lang, file_id, bytes,
-        |  CAST((cum - 1) // 32768 AS BIGINT) AS target_file
+        |  CAST(greatest(0, (cum - 1) // 32768) AS BIGINT) AS target_file
         |FROM c
         |""".stripMargin,
 

@@ -49,6 +49,24 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("valueAtRanks refinement path: value range wider than 2^32") {
+    // forces __w2 > 1, so resolution must fall through to the
+    // tie-collapsed value refinement inside the boundary sub-bucket
+    val wide = (1 to 500).map { i =>
+      (i.toLong, "w", (i.toLong * (1L << 33)) + (i % 7))
+    } ++ Seq((1000L, "w", 0L), (1001L, "w", Long.MaxValue - 1))
+    val df = wide.toDF("id", "g", "v")
+    val vs = wide.map(_._3).sorted
+    val got = Selection.valueAtRanks(df, "g", "v",
+      Seq("p10" -> "(__n * 1000L + 9999L) div 10000L",
+        "median" -> "(__n + 1) div 2", "last" -> "__n"))
+      .select("label", "value").as[(String, Long)].collect().toMap
+    val n = vs.size
+    assert(got("p10") == vs(((n * 1000L + 9999) / 10000).toInt - 1))
+    assert(got("median") == vs(((n + 1) / 2).toInt - 1))
+    assert(got("last") == vs(n - 1))
+  }
+
   test("valueAtRanks handles constant and single-row groups") {
     val df = Seq((1L, "const", 7L), (2L, "const", 7L), (3L, "one", 42L))
       .toDF("id", "g", "v")

@@ -274,6 +274,24 @@ class StoreSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(dst, "v2")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dst, "v1")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dst + ".old")))
+    // a crash BETWEEN the two renames leaves .old but no dst; the next
+    // publish must restore the backup — and keep serving it if its own
+    // writer then dies — instead of deleting the only surviving copy
+    assert(fs.rename(dst, new org.apache.hadoop.fs.Path(dst + ".old")))
+    intercept[RuntimeException] {
+      graft.core.Committer.Rename.publish(fs, dst,
+        _ => throw new RuntimeException("writer died"))
+    }
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dst, "v2")),
+      "dangling .old backup was not restored")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dst + ".old")))
+  }
+
+  test("backupTo rejects aliased self-backup paths") {
+    val path = Files.createTempDirectory("graft-store-alias").toString
+    val store = TpchFeatureStore(spark, sfDir, path)
+    intercept[IllegalArgumentException] { store.backupTo(path + "/") }
+    intercept[IllegalArgumentException] { store.backupTo(path + "/./") }
   }
 
   test("backupTo: the destination is a working store, nothing recomputes") {
