@@ -26,10 +26,17 @@ object Scd2 {
   val Checksum = "checksum"
 
   /** md5 checksum over the given columns; nulls get a sentinel so
-    * (NULL) and ("") differ. Avoid floating-point columns here — their
-    * string rendering is engine-specific. */
+    * (NULL) and ("") differ. The ordered COLUMN LIST is hashed in as a
+    * schema fingerprint: after an additive schema evolution the same
+    * logical row under the widened schema checksums differently, so the
+    * next merge closes every old-shape version and inserts new-shape
+    * ones — a schema change is a version event, visible to time
+    * travel, never a silent reinterpretation. Avoid floating-point
+    * columns here — their string rendering is engine-specific. */
   def checksum(cols: Seq[String]): Column =
-    md5(concat_ws("||", cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+    md5(concat_ws("||",
+      lit(cols.mkString(",")) +:
+        cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
 
   /** Occurrence numbers for multiset pairing. The current side orders by
     * `from_ts` so that when identical rows exist, the OLDEST copies are

@@ -161,6 +161,36 @@ class FeatureStore(
     readIfExists(tablePath(loader)).map(df =>
       if (partitionByMonth) df.drop("__vm") else df)
 
+  /** Additive schema evolution on append: widen the stored SCD2 table
+    * to the incoming data schema, backfilling NULL for columns the old
+    * versions never carried (widen-on-read for history). Because
+    * [[Scd2.checksum]] fingerprints the column list, the first merge
+    * after an evolution closes every old-shape version and re-inserts
+    * the current state under the new shape — the schema change is a
+    * transaction-time event: time travel before it returns the old
+    * rows (new columns NULL), after it the new ones. The reference's
+    * only path here is drop + full recompute
+    * (reference: R/drop_diseasystore.R:1-40); a 100 TB store cannot
+    * recompute, so evolution must be an incremental merge.
+    *
+    * Evolution is ADDITIVE-ONLY: a stored data column missing from the
+    * incoming schema aborts (dropping or renaming silently would
+    * destroy history — use erasure/recompute for that, deliberately). */
+  private def widenForMerge(cur: DataFrame,
+                            incoming: org.apache.spark.sql.types.StructType,
+                            loader: String): DataFrame = {
+    val sys = Set(Scd2.Checksum, Scd2.FromTs, Scd2.UntilTs)
+    val stored = cur.columns.filterNot(sys)
+    val incomingCols = incoming.fieldNames.toSet
+    val droppedCols = stored.filterNot(incomingCols)
+    require(droppedCols.isEmpty,
+      s"schema evolution on '$loader' is additive-only; stored columns " +
+        s"missing from the incoming schema: ${droppedCols.mkString(", ")}")
+    incoming.fields.filterNot(f => stored.contains(f.name))
+      .foldLeft(cur)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
+
   /** Covered dates for (loader, sliceTs) according to the log. */
   private def coveredDates(loader: String, sliceTs: String): DataFrame =
     readIfExists(logPath) match {
@@ -221,7 +251,8 @@ class FeatureStore(
     // register as a second occurrence (a new version) instead of a
     // no-op. Exactly-once materialization from at-least-once delivery
     // requires the feed's rows to be set-valued.
-    val merged = readTable(loader) match {
+    val merged = readTable(loader).map(widenForMerge(_, batch.schema,
+        loader)) match {
       case Some(cur) =>
         // Transaction-time monotonicity must hold against the TABLE,
         // not just this JVM's sequence: after a driver restart on a
@@ -507,6 +538,7 @@ class FeatureStore(
       val computed = handler.compute(this, s0, e0)
       val dataCols = computed.columns.toSeq
       val existing = readTable(loader)
+        .map(widenForMerge(_, computed.schema, loader))
       val merged = existing match {
         case Some(cur) =>
           // Keep every current-version row the recompute cannot return:

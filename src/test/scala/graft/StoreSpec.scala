@@ -215,6 +215,69 @@ class StoreSpec extends SparkSpec {
       i == 0 || vf(i - 1)._1 != pa || vf(i - 1)._2 <= da })
   }
 
+  test("schema evolution on append: widen, version event, time travel") {
+    val path = Files.createTempDirectory("graft-store-evolve").toString
+    def handler(withQuality: Boolean) = graft.core.FeatureHandler(
+      (st, s0, e0) => {
+        val base = Seq(
+          (1L, "2024-01-01", "2024-03-01", 5L),
+          (2L, "2024-01-10", "2024-02-01", 3L))
+          .toDF("key_cust", "vf", "vu", "n_widgets")
+          .select(col("key_cust"),
+            to_date(col("vf")).as("valid_from"),
+            to_date(col("vu")).as("valid_until"),
+            col("n_widgets"))
+        val rows = if (withQuality)
+          base.withColumn("quality", col("n_widgets") * 2L) else base
+        graft.core.Intervals.slice(rows, s0, e0)
+      }, graft.core.Aggregators.Count, "")
+    def storeWith(h: graft.core.FeatureHandler) =
+      new graft.core.FeatureStore(spark, sfDir, path,
+        Seq("n_widgets" -> "widgets"), Map("widgets" -> h),
+        storeScope = Some("EvoTest"))
+    val (t1, t2) = ("2030-01-01 00:00:00", "2030-02-01 00:00:00")
+    val (s, e) = ("2024-01-01", "2024-03-31")
+    val v1 = storeWith(handler(withQuality = false))
+      .getFeature("n_widgets", s, e, t1)
+    assert(!v1.columns.contains("quality") && v1.count() == 2)
+    // same table, evolved handler: the new column appears WITHOUT
+    // dropping the store (the reference's only path is drop+recompute)
+    val st2 = storeWith(handler(withQuality = true))
+    val v2 = st2.getFeature("n_widgets", s, e, t2)
+    assert(v2.select("quality").as[Long].collect().sorted.toSeq ==
+      Seq(6L, 10L))
+    // time travel BEFORE the evolution: same rows, new column NULL
+    val back = st2.getFeature("n_widgets", s, e, t1)
+    assert(back.count() == 2)
+    assert(back.filter(col("quality").isNotNull).count() == 0)
+    // the evolution is a version event (schema-fingerprinted checksums):
+    // every old-shape open version closed at t2, new-shape ones open
+    val tbl = spark.read.parquet(s"$path/widgets")
+    assert(tbl.filter(col("until_ts") === t2).count() == 2)
+    assert(tbl.filter(col("until_ts").isNull).count() == 2)
+    assert(tbl.count() == 4)
+    // idempotence: re-running the evolved handler at a later slice
+    // changes nothing (checksums stable under the new shape)
+    st2.getFeature("n_widgets", s, e, "2030-02-15 00:00:00")
+    assert(spark.read.parquet(s"$path/widgets").count() == 4)
+    // compaction and both slices survive the widened table
+    st2.compact("widgets")
+    assert(st2.getFeature("n_widgets", s, e, t1)
+      .filter(col("quality").isNull).count() == 2)
+    assert(st2.getFeature("n_widgets", s, e, t2)
+      .filter(col("quality").isNotNull).count() == 2)
+    // additive-only: a handler that DROPS a stored column aborts
+    val dropH = graft.core.FeatureHandler((st, s0, e0) =>
+      Seq((1L, "2024-01-01", "2024-03-01")).toDF("key_cust", "vf", "vu")
+        .select(col("key_cust"), to_date(col("vf")).as("valid_from"),
+          to_date(col("vu")).as("valid_until")),
+      graft.core.Aggregators.Count, "")
+    intercept[IllegalArgumentException] {
+      storeWith(dropH).getFeature("n_widgets", s, e,
+        "2030-03-01 00:00:00")
+    }
+  }
+
   test("committer seam: table publishes go through the pluggable committer") {
     val path = Files.createTempDirectory("graft-store-committer").toString
     val proto = TpchFeatureStore(spark, sfDir,
