@@ -282,4 +282,125 @@ object Pq {
     ivfAdcTail(df, idCol, embCol, queryPred, k, coarse, model, nprobe,
       corpus, centroidOffset = false)
   }
+
+  /** OPQ: an orthonormal rotation learned jointly with the codebooks
+    * (Ge et al., "Optimized Product Quantization", CVPR 2013,
+    * non-parametric variant) — the standard recall uplift at the same
+    * (m, ksub) budget when informative variance straddles the
+    * contiguous subspace boundaries plain PQ is stuck with. Because the
+    * rotation is orthonormal, inner products are preserved
+    * (⟨q, x⟩ = ⟨Rq, Rx⟩), so ADC in the rotated space approximates the
+    * original scores and every existing search tail applies unchanged. */
+  final case class OpqModel(rotation: Array[Array[Double]], pq: Model) {
+    def dim: Int = rotation.length
+  }
+
+  /** `R · x` as a Column: one literal-row dot per output position. The
+    * rotation is a tiny driver-side model (d², like a codebook); the
+    * d² multiply-adds per row are embarrassingly parallel scan work. */
+  def rotateCol(emb: Column, r: Array[Array[Double]]): Column =
+    array(r.map(row =>
+      Similarity.dot(array(row.map(lit): _*), emb)): _*)
+
+  /** Alternating OPQ training: with R fixed, train codebooks on the
+    * rotated vectors (the joint single-pass-per-iteration [[train]]);
+    * with codebooks fixed, R is the orthogonal Procrustes solution
+    * min_R ‖R·X − Y‖_F (Y = the codebook reconstructions of the
+    * current rotation's codes): R = V·Uᵀ from SVD(X·Yᵀ) = U·Σ·Vᵀ.
+    * The d×d correlation matrix is one distributed partial-agg sum of
+    * per-row outer products; the SVD is a d×d driver-side solve —
+    * model-sized, same class as the codebook means. Ends on a codebook
+    * pass so the published codebooks match the published rotation.
+    *
+    * R is INITIALIZED with the paper's parametric solution —
+    * eigenvalue allocation (Ge et al. §3.2): project onto the
+    * second-moment eigenbasis and deal the eigen-directions to the m
+    * subspaces greedily so each subspace carries a balanced share of
+    * the spectrum. Starting the alternation from identity leaves it in
+    * the identity's local optimum exactly when the data most needs a
+    * rotation (variance concentrated in few non-axis directions). */
+  def trainOpq(df: DataFrame, idCol: String, embCol: String,
+               m: Int, ksub: Int, iters: Int = 3,
+               opqIters: Int = 3): OpqModel = {
+    require(opqIters >= 1, "opqIters must be positive")
+    val v = df.select(col(idCol).as("__id"),
+        Similarity.toDouble(col(embCol)).as("__x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = v.select(size(col("__x"))).head.getInt(0)
+      require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+      val subDim = dim / m
+      // second-moment matrix C[i][j] = Σ x_i x_j (one partial-agg pass)
+      val cCells = v
+        .select(posexplode(col("__x")).as(Seq("__i", "__xi")), col("__x"))
+        .select(col("__i"), col("__xi"),
+          posexplode(col("__x")).as(Seq("__j", "__xj")))
+        .groupBy("__i", "__j").agg(sum(col("__xi") * col("__xj")).as("__s"))
+        .collect()
+      val cMat = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+      cCells.foreach { row =>
+        cMat(row.getAs[Int]("__i"), row.getAs[Int]("__j")) =
+          row.getAs[Double]("__s")
+      }
+      val eig = breeze.linalg.eigSym(cMat)
+      val byVar = eig.eigenvalues.toArray.zipWithIndex.sortBy(-_._1)
+      // greedy allocation: next-largest eigenvalue to the non-full
+      // subspace with the smallest variance product so far
+      val logSum = Array.fill(m)(0.0)
+      val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer
+        .empty[Int])
+      byVar.foreach { case (ev, idx) =>
+        val b = (0 until m).filter(buckets(_).size < subDim)
+          .minBy(logSum)
+        buckets(b) += idx
+        logSum(b) += math.log(math.max(ev, 1e-12))
+      }
+      var r: Array[Array[Double]] = buckets.flatMap(_.map(e =>
+        Array.tabulate(dim)(j => eig.eigenvectors(j, e))))
+      var pq: Model = null
+      var t = 0
+      while (t < opqIters) {
+        val rotated = v.withColumn("__rx", rotateCol(col("__x"), r))
+        pq = train(rotated, "__id", "__rx", m, ksub, iters)
+        if (t < opqIters - 1) {
+          // Y: decode this rotation's codes back to reconstructions
+          val books = pq.codebooks
+          val yCol = flatten(array((0 until pq.m).map(mi =>
+            element_at(
+              array(books(mi).map(c => array(c.map(lit): _*)): _*),
+              element_at(col("pq_codes"), mi + 1) + 1)): _*))
+          // M[i][j] = Σ_rows x_i · y_j — double posexplode to (i, j)
+          // cells; the groupBy is d² cells, partial-agg collapsed
+          val cells = encode(rotated, "__id", "__rx", pq)
+            .withColumn("__y", yCol)
+            .select(posexplode(col("__x")).as(Seq("__i", "__xi")),
+              col("__y"))
+            .select(col("__i"), col("__xi"),
+              posexplode(col("__y")).as(Seq("__j", "__yj")))
+            .groupBy("__i", "__j")
+            .agg(sum(col("__xi") * col("__yj")).as("__s"))
+            .collect()
+          val mMat = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+          cells.foreach { row =>
+            mMat(row.getAs[Int]("__i"), row.getAs[Int]("__j")) =
+              row.getAs[Double]("__s")
+          }
+          val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(mMat)
+          val rm = vt.t * u.t
+          r = Array.tabulate(dim, dim)((i, j) => rm(i, j))
+        }
+        t += 1
+      }
+      OpqModel(r, pq)
+    } finally v.unpersist()
+  }
+
+  /** Exhaustive OPQ top-k: rotate once in the scan, then the plain ADC
+    * tail — scores approximate the ORIGINAL inner products. */
+  def topKAdcOpq(df: DataFrame, idCol: String, embCol: String,
+                 queryPred: Column, k: Int, opq: OpqModel): DataFrame =
+    topKAdc(
+      df.withColumn("__rx",
+        rotateCol(Similarity.toDouble(col(embCol)), opq.rotation)),
+      idCol, "__rx", queryPred, k, opq.pq)
 }

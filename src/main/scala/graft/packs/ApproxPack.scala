@@ -131,6 +131,19 @@ object ApproxPack extends QueryPack {
         nprobe = 4)
     }),
 
+    // OPQ: eigenvalue-allocated PCA init + Procrustes-refined rotation
+    // before PQ — same (m, ksub) budget, tighter quantization. Float
+    // scores → rows-only; PqSpec proves the rotation stays orthonormal
+    // and recall >= plain PQ on subspace-straddling data
+    "q99_opq_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings").localCheckpoint(true)
+      val sample = emb.filter(pmod(xxhash64(col("vec_id")), lit(8)) === 0)
+      val opq = Pq.trainOpq(sample, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 2, opqIters = 2)
+      Pq.topKAdcOpq(emb, "vec_id", "embedding",
+        pmod(col("vec_id"), lit(50)) === 0, k = 10, opq)
+    }),
+
     // SemDeDup: coarse k-means clusters, then drop any vector with a
     // lower-id clustermate within 0.9 cosine — float similarity inside
     // → rows-only; SimilaritySpec proves the verdicts equal a

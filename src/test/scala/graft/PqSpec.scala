@@ -81,6 +81,61 @@ class PqSpec extends SparkSpec {
     assert(recallOf(ivf, k) >= 0.8, s"IVF-PQ recall ${recallOf(ivf, k)}")
   }
 
+  test("OPQ: orthonormal rotation, recall >= plain PQ at same budget") {
+    // Hadamard-smear the clustered vectors: every informative direction
+    // then straddles all four contiguous subspaces, the shape plain PQ
+    // cannot re-align and OPQ exists to fix (Ge et al. CVPR'13).
+    val h: Array[Array[Double]] = {
+      var m = Array(Array(1.0))
+      while (m.length < 16) {
+        val n = m.length
+        m = Array.tabulate(2 * n, 2 * n) { (i, j) =>
+          val s = if (i >= n && j >= n) -1.0 else 1.0
+          s * m(i % n)(j % n)
+        }
+      }
+      m.map(_.map(_ / 4.0)) // orthonormal: H·Hᵀ = I
+    }
+    val smeared = clustered.map { case (id, e, c) =>
+      val x = e.map(_.toDouble)
+      (id, h.map(row => row.zip(x).map(p => p._1 * p._2).sum.toFloat), c)
+    }
+    val sdf = smeared.toDF("vec_id", "embedding", "label")
+    val pq = Pq.train(sdf, "vec_id", "embedding", m = 4, ksub = 8,
+      iters = 2)
+    val opq = Pq.trainOpq(sdf, "vec_id", "embedding", m = 4, ksub = 8,
+      iters = 2, opqIters = 3)
+    // the learned rotation stays orthonormal through the SVD updates
+    val r = opq.rotation
+    for (i <- r.indices; j <- r.indices) {
+      val dot = r(i).zip(r(j)).map(p => p._1 * p._2).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"RRᵀ[$i][$j] = $dot")
+    }
+    def recallOf(approx: Set[(Long, Long)], k: Int): Double = {
+      val all = smeared.map { case (id, e, _) => id -> e.map(_.toDouble) }
+      val exact = (for {
+        (qid, qe) <- all if qid < 8
+        top = all.filter(_._1 != qid)
+          .map { case (cid, ce) =>
+            (cid, qe.zip(ce).map { case (a, b) => a * b }.sum) }
+          .sortBy { case (cid, s) => (-s, cid) }.take(k).map(_._1)
+        cid <- top
+      } yield (qid, cid)).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val k = 40
+    val flat = Pq.topKAdc(sdf, "vec_id", "embedding",
+        col("vec_id") < 8, k, pq)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rotated = Pq.topKAdcOpq(sdf, "vec_id", "embedding",
+        col("vec_id") < 8, k, opq)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val (pqR, opqR) = (recallOf(flat, k), recallOf(rotated, k))
+    assert(opqR >= pqR, s"OPQ recall $opqR < plain PQ recall $pqR")
+    assert(opqR >= 0.8, s"OPQ recall $opqR below floor")
+  }
+
   test("train rejects a dimension not divisible by m") {
     intercept[IllegalArgumentException] {
       Pq.train(vecs, "vec_id", "embedding", m = 5, ksub = 4)
