@@ -41,6 +41,24 @@ object Splits {
       .getOrElse(lit(splits.last._1))
   }
 
+  /** Leakage-safe dataset split: every row of a GROUP (source domain,
+    * user, near-dup cluster id) lands in the SAME split — closing the
+    * contamination vector a row-hash split leaves open, where
+    * near-identical rows from one source straddle train and eval. The
+    * assignment is the portable md5 bucket of the (seeded) group key,
+    * so it is engine-reproducible and append-stable: new rows of a
+    * known group inherit its split, new groups land by hash, and no
+    * shuffle or state is involved — pure per-row scan work.
+    * Proportions hold in expectation over GROUPS; size-weighted
+    * deviation is the price of zero leakage (report it from the
+    * output, never re-balance by rows — that would reopen the leak). */
+  def splitByGroup(df: DataFrame, groupCol: String,
+                   splits: Seq[(String, Int)],
+                   seed: String = ""): DataFrame =
+    df.withColumn("split",
+      assign(concat(col(groupCol).cast("string"), lit("|" + seed)),
+        splits))
+
   /** Downsample a corpus to a target domain mix (e.g. re-weighting web
     * sources before training). `weights` maps group value → relative
     * target share. Keeps the LARGEST total N such that every group can

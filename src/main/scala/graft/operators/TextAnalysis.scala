@@ -204,4 +204,52 @@ object TextAnalysis {
         array_min(col("__fps")).as("min_fp"),
         array_max(col("__fps")).as("max_fp"))
   }
+
+  /** Per-document word-bigram NOVELTY against the whole corpus: how
+    * much of a doc's distinct bigram vocabulary appears in NO other
+    * document. Near-zero novelty = boilerplate / templated content
+    * (the doc says nothing the corpus doesn't already say); very high
+    * novelty on long docs often flags noise. The count-based
+    * complement of embedding near-dup scoring, and integer-exact.
+    *
+    * Output per doc: `n_bigrams` (with multiplicity), `n_unique`
+    * (distinct), `n_novel` (distinct with corpus document-frequency
+    * 1), `novelty_bp` = n_novel·10000 div n_unique (0 for docs with
+    * fewer than two words).
+    *
+    * Plan shape: one (doc, bigram) partial-agg shuffle, then a
+    * bigram-keyed count rollup. Novel bigrams are recovered WITHOUT
+    * joining the df table back to the postings (the skewed attach
+    * invertedIndex needs): a bigram with df = 1 has exactly one owner,
+    * so `max(doc_id)` of its group IS the owner, and per-doc novel
+    * counts fall out of a second tiny aggregate. No window, no skewed
+    * join, nothing a hot stopword bigram can serialize. */
+  def bigramNovelty(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val bigrams = zip_with(
+      slice(w, lit(1), greatest(lit(0), size(w) - 1)),
+      slice(w, lit(2), greatest(lit(0), size(w) - 1)),
+      (a, b) => concat(a, lit(" "), b))
+    val perDoc = df
+      .select(col(idCol).as("__d"), explode(bigrams).as("__bg"))
+      .groupBy("__d", "__bg").agg(count(lit(1)).as("__k"))
+    val totals = perDoc.groupBy(col("__d"))
+      .agg(sum(col("__k")).as("n_bigrams"),
+        count(lit(1)).as("n_unique"))
+    val novel = perDoc.groupBy(col("__bg"))
+      .agg(count(lit(1)).as("__df"), max(col("__d")).as("__owner"))
+      .filter(col("__df") === 1)
+      .groupBy(col("__owner")).agg(count(lit(1)).as("__novel"))
+    df.select(col(idCol))
+      .join(totals, col(idCol) === col("__d"), "left")
+      .join(novel, col(idCol) === col("__owner"), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("__novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_unique"), lit(0L)) > 0,
+          expr("coalesce(__novel, 0L) * 10000L div n_unique"))
+          .otherwise(lit(0L)).as("novelty_bp"))
+  }
 }

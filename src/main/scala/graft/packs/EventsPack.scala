@@ -132,10 +132,37 @@ object EventsPack extends QueryPack {
           datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
         .agg(count(lit(1)).as("cnt"))
       graft.operators.Profile.trendFit(daily, "event_type", "day", "cnt")
-    })
+    }),
+
+    // leakage-safe split: every USER's events land in one split (a
+    // row-hash split would let one user's near-identical events
+    // straddle train and eval); manifest of achieved proportions
+    "q100_group_split" -> ((s, dir) =>
+      graft.operators.Splits.splitByGroup(
+          Tables.events(s, dir).select(col("user_id"), col("event_id")),
+          "user_id", Seq("train" -> 80, "val" -> 10, "test" -> 10),
+          seed = "gs")
+        .groupBy(col("split"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_rows")))
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q100_group_split" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|gs'),
+        |      1, 8)) AS BIGINT) % 100 AS b
+        |  FROM events
+        |)
+        |SELECT CASE WHEN b < 80 THEN 'train'
+        |            WHEN b < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM a GROUP BY 1
+        |""".stripMargin,
+
     "q97_trend_fit" ->
       """WITH d0 AS (
         |  SELECT event_type,

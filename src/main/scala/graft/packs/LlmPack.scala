@@ -193,6 +193,13 @@ object LlmPack extends QueryPack {
           sum(col("n_tokens")).as("bin_tokens"))
     }),
 
+    // corpus bigram novelty: share of each doc's distinct bigram
+    // vocabulary that no other document uses — near-zero flags
+    // boilerplate, integer-exact (counts + basis points)
+    "q101_bigram_novelty" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bigramNovelty(
+        Tables.load(s, dir, "documents"), "doc_id", "text")),
+
     // incremental ingest dedup: odd doc_ids (the "new batch") probed
     // against the band index of even doc_ids (the "corpus") — no
     // corpus-corpus or batch-batch pairing, the production ingest shape
@@ -694,6 +701,38 @@ object LlmPack extends QueryPack {
         |    + (1.0 - CAST(n_punct AS DOUBLE) / len(text)) * 0.3
         |    + (CAST(n_stop AS DOUBLE) / n_words) * 0.3 AS quality
         |FROM c""".stripMargin,
+
+    "q101_bigram_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, a[i] || ' ' || a[i + 1] AS b
+        |  FROM w, UNNEST(range(1, len(a))) AS t(i)
+        |), pd AS (
+        |  SELECT doc_id, b, count(*) AS k FROM bg GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |    CAST(count(*) AS BIGINT) AS n_unique
+        |  FROM pd GROUP BY 1
+        |), own AS (
+        |  SELECT b, count(*) AS df, max(doc_id) AS owner
+        |  FROM pd GROUP BY b
+        |), nov AS (
+        |  SELECT owner AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+        |  FROM own WHERE df = 1 GROUP BY owner
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(t.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(t.n_unique, 0) AS n_unique,
+        |  COALESCE(n.n_novel, 0) AS n_novel,
+        |  CAST(CASE WHEN COALESCE(t.n_unique, 0) > 0
+        |    THEN COALESCE(n.n_novel, 0) * 10000 // t.n_unique
+        |    ELSE 0 END AS BIGINT) AS novelty_bp
+        |FROM documents d
+        |LEFT JOIN tot t ON d.doc_id = t.doc_id
+        |LEFT JOIN nov n ON d.doc_id = n.doc_id
+        |""".stripMargin,
 
     "q35_dataset_split" ->
       """SELECT doc_id,

@@ -97,4 +97,49 @@ class FunctionsSpec extends SparkSpec {
     assert(stats == Map(
       "example.com" -> ((2L, 2L)), "sub.site.org" -> ((1L, 1L))))
   }
+
+  test("bigramNovelty matches brute force; short docs get zeros") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b c a b"),         // bigrams: a b, b c, c a, a b
+      (2L, "a b x y"),           // "a b" and "x y" shared; "b x" novel
+      (3L, "one"),               // no bigrams
+      (4L, "x y z"))             // shares "x y"; "y z" novel
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .bigramNovelty(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    // brute force: df("a b")=2, df("x y")=2, others 1
+    assert(got(1L) == ((4L, 3L, 2L, 2L * 10000 / 3)))
+    assert(got(2L) == ((3L, 3L, 1L, 10000 / 3)))
+    assert(got(3L) == ((0L, 0L, 0L, 0L)))
+    assert(got(4L) == ((2L, 2L, 1L, 5000L)))
+  }
+
+  test("splitByGroup: zero leakage, append-stable, engine-portable") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1 to 300).map(i => (i.toLong, (i % 40).toLong))
+    val df = rows.toDF("row_id", "grp")
+    val out = graft.operators.Splits.splitByGroup(df, "grp",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10), seed = "s1")
+      .select("grp", "split").as[(Long, String)].collect()
+    // leakage: every group maps to exactly one split
+    val byGrp = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byGrp.values.forall(_.size == 1))
+    // append stability: adding rows never moves an existing group
+    val more = (301 to 400).map(i => (i.toLong, (i % 40).toLong))
+    val out2 = graft.operators.Splits.splitByGroup(
+      (rows ++ more).toDF("row_id", "grp"), "grp",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10), seed = "s1")
+      .select("grp", "split").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    byGrp.foreach { case (g, s) => assert(out2(g) == s) }
+    // the seed changes assignments (independent draws)
+    val reseeded = graft.operators.Splits.splitByGroup(df, "grp",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10), seed = "s2")
+      .select("grp", "split").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byGrp.exists { case (g, s) => reseeded(g) != s })
+  }
 }
