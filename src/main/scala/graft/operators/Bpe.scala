@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING and application — the
+  * "train a tokenizer over the corpus" step of an LLM data pipeline
+  * (Sennrich et al., ACL 2016).
+  *
+  * Reference analogue: none (beyond-reference LLM-pipeline capability;
+  * [[TextAnalysis.bpeTokenCount]] is only a counting proxy).
+  *
+  * Scale design: BPE statistics never need corpus rows — merges are a
+  * function of the WORD-FREQUENCY DICTIONARY alone (pairs never cross
+  * word boundaries). So the distributed part is exactly one
+  * word-count-shaped partial-agg shuffle producing (word, count),
+  * pruned to the top `maxVocabWords` by count (Heaps' law bounds the
+  * useful dictionary; the sort ranks the vocab table, not the corpus).
+  * The merge loop then runs on the driver over that model-sized
+  * dictionary — the same "driver holds the model, cluster holds the
+  * data" split as Ivf/Pq k-means. Tokenization back at scale is a
+  * broadcast join of the precomputed word→tokens segmentation (one
+  * row per dictionary word); out-of-dictionary words fall back to
+  * character tokens, so coverage degrades gracefully and is REPORTED
+  * (`oov` flag per word) rather than silent.
+  *
+  * Determinism: the winning pair each round is (max count, then
+  * lexicographically smallest pair) — total order, so training is
+  * reproducible across runs and cluster layouts given the same pruned
+  * dictionary; the dictionary prune itself orders by (count DESC,
+  * word) for the same reason.
+  */
+object Bpe {
+
+  /** One learned merge: `left`+`right` fused at `rank` (0-based), with
+    * the weighted pair count that won the round. */
+  final case class Merge(rank: Int, left: String, right: String,
+                         count: Long)
+
+  /** Trained model: the ordered merge list plus the final
+    * segmentation of every dictionary word (the training byproduct —
+    * applying the merges is free for dictionary words). */
+  final case class BpeModel(merges: Seq[Merge],
+                            segments: Map[String, Seq[String]])
+
+  /** End-of-word marker appended as a separate initial symbol, so
+    * merges can distinguish word-final fusions ("er</w>" vs "er"). */
+  val Eow = "</w>"
+
+  private[graft] def initSymbols(word: String): Vector[String] =
+    word.map(_.toString).toVector :+ Eow
+
+  /** Sequential BPE over a (word → count) dictionary. Exposed
+    * package-private so specs can drive it directly. */
+  private[graft] def trainDict(dict: Seq[(String, Long)],
+                               numMerges: Int): BpeModel = {
+    var words: Vector[(Vector[String], Long)] =
+      dict.toVector.map { case (w, c) => (initSymbols(w), c) }
+    val merges = Vector.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(
+          o => Some(o.getOrElse(0L) + c))
+      if (counts.isEmpty) done = true
+      else {
+        val (pair, c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        if (c < 2) done = true // a pair seen once compresses nothing
+        else {
+          merges += Merge(rank, pair._1, pair._2, c)
+          val fused = pair._1 + pair._2
+          words = words.map { case (syms, wc) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == pair._1 &&
+                  syms(i + 1) == pair._2) { out += fused; i += 2 }
+              else { out += syms(i); i += 1 }
+            }
+            (out.result(), wc)
+          }
+          rank += 1
+        }
+      }
+    }
+    BpeModel(merges.result(),
+      dict.map(_._1).zip(words.map(_._1)).toMap)
+  }
+
+  /** Train on a corpus column: one word-count shuffle, a vocab-table
+    * prune, then the driver merge loop over the dictionary. */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            maxVocabWords: Int = 1 << 20): BpeModel = {
+    val dict = df
+      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxVocabWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    trainDict(dict, numMerges)
+  }
+
+  /** The merge table as a DataFrame — the distributable model
+    * artifact (persist with a plain parquet write). */
+  def mergesDf(spark: org.apache.spark.sql.SparkSession,
+               model: BpeModel): DataFrame = {
+    import spark.implicits._
+    model.merges.toDF("rank", "left", "right", "count")
+  }
+
+  /** Tokenize a corpus with a trained model. Dictionary words map
+    * through the broadcast segmentation (one BroadcastHashJoin, no
+    * per-row merge loop anywhere near the data); OOV words fall back
+    * to character symbols + [[Eow]]. Output: (id, tokens, n_tokens,
+    * n_oov_words) with tokens in original word order. */
+  def tokenize(df: DataFrame, idCol: String, textCol: String,
+               model: BpeModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val segs = model.segments.toSeq
+      .map { case (w, toks) => (w, toks) }
+      .toDF("__w", "__toks")
+    val positioned = df
+      .select(col(idCol).as("__id"),
+        posexplode(TextAnalysis.words(col(textCol)))
+          .as(Seq("__pos", "__w")))
+      .filter(col("__w") =!= "")
+      .join(broadcast(segs), Seq("__w"), "left")
+      .withColumn("__oov", col("__toks").isNull)
+      // OOV fallback: characters + the end-of-word marker, exactly the
+      // pre-merge symbol alphabet
+      .withColumn("__toks", coalesce(col("__toks"),
+        concat(filter(split(col("__w"), ""), s => s =!= ""),
+          array(lit(Eow)))))
+    positioned
+      .groupBy(col("__id"))
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__toks")))),
+          x => x.getField("__toks"))).as("tokens"),
+        sum(when(col("__oov"), 1L).otherwise(0L)).as("n_oov_words"))
+      .select(col("__id").as(idCol), col("tokens"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        col("n_oov_words"))
+  }
+}

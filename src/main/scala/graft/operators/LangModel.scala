@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Self-trained n-gram language-model scoring — the CCNet-style
+  * perplexity filter (Wenzek et al., LREC 2020): score every document
+  * by its cross-entropy under a bigram model trained on a trusted
+  * slice of the corpus, then gate/bucket on the score. Documents the
+  * model finds "surprising" are disproportionately noise (OCR garbage,
+  * menus, rot13, wrong-language) — the standard complement to the
+  * integer quality heuristics in [[TextAnalysis]].
+  *
+  * Reference analogue: none (the reference scores only rule-based
+  * signals); this is beyond-reference LLM-pipeline capability.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - TRAINING is two partial-agg shuffles (unigram counts, bigram
+  *    counts) — the same shape as a word-count, no joins on raw text.
+  *  - The model is PRUNED to the top-V unigrams / top-B bigrams
+  *    (Heaps' law bounds the useful vocabulary; pruning bounds the
+  *    model size by construction, like `invertedIndex`'s pruned-vocab
+  *    broadcast). The prune is an orderBy+limit on the VOCAB table
+  *    (model-sized), never on corpus rows.
+  *  - SCORING is map-side only: the pruned tables broadcast, so the
+  *    per-bigram probability lookup is a BroadcastHashJoin chain with
+  *    zero shuffle; the only exchange is the final per-doc-id rollup.
+  *  - Per-bigram surprisal is folded to FIXED-POINT nanonats
+  *    (`floor(-ln(p)·1e9)` as BIGINT) so the per-doc sum is an exact
+  *    integer — independent of aggregation order, reproducible across
+  *    partitionings and runs (the same determinism discipline as the
+  *    portable-hash kernels).
+  *
+  * Smoothing: interpolated bigram→unigram backoff,
+  *   p(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·p₁(w2)
+  * with add-one unigram smoothing p₁(w) = (c(w)+1)/(T+V+1); any word
+  * outside the pruned vocab scores as the single OOV bucket
+  * p₁(oov) = 1/(T+V+1). Pruned or unseen bigrams fall back to the
+  * (1−λ)·p₁ term alone. Probabilities need not sum to 1 after pruning
+  * — standard for a filter LM, where only the ORDERING of documents by
+  * cross-entropy matters.
+  */
+object LangModel {
+
+  /** Fixed-point scale: surprisal is stored in integer nanonats. */
+  val Scale: Double = 1e9
+
+  /** A trained, pruned bigram LM. `unigrams` = (w, c_uni), `bigrams` =
+    * (w1, w2, c_bi); both pruned, both broadcast-sized by construction.
+    * `totalTokens` = T (unpruned corpus token count), `vocabSize` = V
+    * (pruned vocab size, the smoothing denominator). */
+  final case class BigramLm(unigrams: DataFrame, bigrams: DataFrame,
+                            totalTokens: Long, vocabSize: Long)
+
+  private def bigramsOf(text: org.apache.spark.sql.Column) = {
+    val w = TextAnalysis.words(text)
+    zip_with(
+      slice(w, lit(1), greatest(lit(0), size(w) - 1)),
+      slice(w, lit(2), greatest(lit(0), size(w) - 1)),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+  }
+
+  /** Train a pruned bigram LM over `textCol`. Two word-count-shaped
+    * shuffles; the top-V / top-B prunes sort only the (already
+    * aggregated) vocab tables. Bigrams are kept only when BOTH words
+    * survive the unigram prune, so c(w1) is always defined where a
+    * bigram count is. */
+  def train(df: DataFrame, textCol: String,
+            topUnigrams: Int = 1 << 16,
+            topBigrams: Int = 1 << 20): BigramLm = {
+    val toks = df.select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val uniAll = toks.groupBy(col("w")).agg(count(lit(1)).as("c_uni"))
+    val total = uniAll.agg(sum(col("c_uni"))).head
+    val totalTokens = if (total.isNullAt(0)) 0L else total.getLong(0)
+    // deterministic prune: count desc, then word, so reruns and both
+    // engines agree on the boundary
+    val uni = uniAll.orderBy(col("c_uni").desc, col("w"))
+      .limit(topUnigrams)
+      // eager narrow result; released by ContextCleaner (never cache)
+      .localCheckpoint(true)
+    val vocabSize = uni.count()
+
+    val bi = df.select(explode(bigramsOf(col(textCol))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bi"))
+      .join(broadcast(uni.select(col("w").as("w1"))), Seq("w1"), "left_semi")
+      .join(broadcast(uni.select(col("w").as("w2"))), Seq("w2"), "left_semi")
+      .orderBy(col("c_bi").desc, col("w1"), col("w2"))
+      .limit(topBigrams)
+      .localCheckpoint(true)
+    BigramLm(uni, bi, totalTokens, vocabSize)
+  }
+
+  /** Score every document: exact integer `surprisal_fp` (nanonats,
+    * order-independent sum), `n_scored` bigrams, and the derived
+    * doubles `cross_entropy` (nats/bigram) and `ppl`. Docs with fewer
+    * than two tokens score 0 / null CE. Zero shuffle except the final
+    * per-doc rollup; all model joins broadcast. */
+  def score(lm: BigramLm, df: DataFrame, idCol: String, textCol: String,
+            lambda: Double = 0.9): DataFrame = {
+    require(lambda > 0 && lambda < 1, "lambda must be in (0, 1)")
+    val denom = lm.totalTokens.toDouble + lm.vocabSize.toDouble + 1.0
+    val docBi = df
+      .select(col(idCol).as("__d"),
+        explode(bigramsOf(col(textCol))).as("b"))
+      .select(col("__d"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+
+    val u1 = broadcast(lm.unigrams.select(col("w").as("w1"),
+      col("c_uni").as("__c1")))
+    val u2 = broadcast(lm.unigrams.select(col("w").as("w2"),
+      col("c_uni").as("__c2")))
+    val bi = broadcast(lm.bigrams.select(col("w1"), col("w2"),
+      col("c_bi").as("__cb")))
+
+    // p1(w2): add-one for in-vocab, OOV bucket otherwise; the bigram
+    // term contributes only when both the bigram and c(w1) exist
+    val p1 = (coalesce(col("__c2"), lit(0L)).cast("double") + lit(1.0)) / denom
+    val pBi = when(col("__cb").isNotNull && col("__c1").isNotNull,
+      col("__cb").cast("double") / col("__c1").cast("double"))
+      .otherwise(lit(0.0))
+    val p = lit(lambda) * pBi + lit(1.0 - lambda) * p1
+    val fp = floor(-log(p) * lit(Scale)).cast("long")
+
+    val perDoc = docBi
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(u1, Seq("w1"), "left")
+      .join(u2, Seq("w2"), "left")
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("n_scored"), sum(fp).as("surprisal_fp"))
+
+    df.select(col(idCol))
+      .join(perDoc, col(idCol) === col("__d"), "left")
+      .select(col(idCol),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("surprisal_fp"), lit(0L)).as("surprisal_fp"),
+        when(col("n_scored") > 0,
+          col("surprisal_fp").cast("double") / lit(Scale)
+            / col("n_scored").cast("double")).as("cross_entropy"))
+      .withColumn("ppl", exp(col("cross_entropy")))
+  }
+
+  /** Convenience: train on `trainPred` rows, score everything, and
+    * bucket by corpus cross-entropy percentile — CCNet's head/middle/
+    * tail split generalized to arbitrary `cuts` (percentile bounds,
+    * ascending). The cut VALUES come from [[Selection.valueAtRanks]]
+    * over the exact integer CE key (milli-nanonats per bigram), so the
+    * bucketing is exact-rank without any global sort or window: docs
+    * compare against a handful of broadcast cut values. `ce_bucket` =
+    * number of cuts whose value is strictly below the doc's key
+    * (0 = head … cuts.size = tail); unscorable docs (<2 tokens) get
+    * bucket 0 with key −1. */
+  def scoreWithBuckets(df: DataFrame, idCol: String, textCol: String,
+                       trainPred: org.apache.spark.sql.Column,
+                       cuts: Seq[Int] = Seq(33, 67),
+                       topUnigrams: Int = 1 << 16,
+                       topBigrams: Int = 1 << 20,
+                       lambda: Double = 0.9): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(c => c > 0 && c < 100),
+      "cuts must be percentiles in (0, 100)")
+    val lm = train(df.filter(trainPred), textCol, topUnigrams, topBigrams)
+    val scored = score(lm, df, idCol, textCol, lambda)
+      .withColumn("__k", when(col("n_scored") > 0,
+        expr("surprisal_fp * 1000L div n_scored")).otherwise(lit(-1L)))
+      .localCheckpoint(true) // scored twice below; never re-derive
+    val cutVals = Selection.valueAtRanks(
+        scored.withColumn("__one", lit(1)), "__one", "__k",
+        cuts.map(c => s"c$c" -> s"greatest(1L, (__n * ${c}L) div 100L)"))
+      .select(col("value")).collect().map(_.getLong(0)).sorted
+    val bucket = cutVals.foldLeft(lit(0)) { (acc, cv) =>
+      acc + when(col("__k") > cv, 1).otherwise(0)
+    }
+    scored.withColumn("ce_bucket", bucket).drop("__k")
+  }
+}

@@ -154,6 +154,40 @@ object ApproxPack extends QueryPack {
       val model = Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
       Similarity.semanticDedup(emb, "vec_id", "embedding", model,
         threshold = 0.9)
+    }),
+
+    // CCNet-style perplexity gate: bigram LM trained on the even-id
+    // half, every doc scored and head/middle/tail-bucketed by exact
+    // rank cuts — ln() doubles inside → rows-only; LangModelSpec
+    // proves bit-exact parity with a sequential reference
+    "q102_bigram_ppl" -> ((s, dir) =>
+      graft.operators.LangModel.scoreWithBuckets(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        trainPred = col("doc_id") % 2 === 0, cuts = Seq(33, 67))),
+
+    // BPE tokenizer training: word-count shuffle + driver merge loop
+    // over the dictionary — iterative argmax is not SQL-expressible →
+    // rows-only; BpeSpec checks the classic merge sequence and
+    // tokenize round-trips
+    "q103_bpe_merges" -> ((s, dir) => {
+      val model = graft.operators.Bpe.train(
+        Tables.load(s, dir, "documents"), "text", numMerges = 60)
+      graft.operators.Bpe.mergesDf(s, model)
+    }),
+
+    // hybrid retrieval: BM25 lexical + exact-cosine dense lists,
+    // RRF-fused — float scores feed the input ranks → rows-only;
+    // FusionSpec proves integer-exact fusion parity and q105 oracles
+    // the fusion kernel itself on deterministic rankings
+    "q104_hybrid_topk" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      graft.operators.Fusion.hybridTopK(
+        docs, "doc_id", "text", emb, "vec_id", "embedding",
+        queries, pmod(col("vec_id"), lit(100)) === 0, topK = 10)
     })
   )
 

@@ -200,6 +200,27 @@ object LlmPack extends QueryPack {
       graft.operators.TextAnalysis.bigramNovelty(
         Tables.load(s, dir, "documents"), "doc_id", "text")),
 
+    // reciprocal-rank fusion kernel, oracle-checked end to end: two
+    // deterministic per-lang rankings (byte length; portable doc-id
+    // hash) fused with integer fixed-point contributions. Rank inputs
+    // are top-20 WindowGroupLimit prunes, fusion input is
+    // langs x 2 x 20 rows — bounded, never corpus-sized
+    "q105_rrf_fuse" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val byLen = Window.partitionBy(col("lang"))
+        .orderBy(octet_length(col("text")).desc, col("doc_id"))
+      val byHash = Window.partitionBy(col("lang")).orderBy(
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8)," +
+          " 16, 10) as bigint)"), col("doc_id"))
+      val a = docs.select(col("lang"), col("doc_id"),
+        row_number().over(byLen).as("r")).filter(col("r") <= 20)
+      val b = docs.select(col("lang"), col("doc_id"),
+        row_number().over(byHash).as("r")).filter(col("r") <= 20)
+      graft.operators.Fusion.rrfFuse(Seq(a, b), "lang", "doc_id", "r",
+        topK = 10)
+    }),
+
     // incremental ingest dedup: odd doc_ids (the "new batch") probed
     // against the band index of even doc_ids (the "corpus") — no
     // corpus-corpus or batch-batch pairing, the production ingest shape
@@ -732,6 +753,38 @@ object LlmPack extends QueryPack {
         |FROM documents d
         |LEFT JOIN tot t ON d.doc_id = t.doc_id
         |LEFT JOIN nov n ON d.doc_id = n.doc_id
+        |""".stripMargin,
+
+    "q105_rrf_fuse" ->
+      """WITH a AS (
+        |  SELECT lang, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY strlen(text) DESC, doc_id)
+        |    AS INT) AS r
+        |  FROM documents
+        |), b AS (
+        |  SELECT lang, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT), doc_id) AS INT) AS r
+        |  FROM documents
+        |), u AS (
+        |  SELECT lang, doc_id, 1000000000 // (60 + r) AS c
+        |  FROM a WHERE r <= 20
+        |  UNION ALL
+        |  SELECT lang, doc_id, 1000000000 // (60 + r) AS c
+        |  FROM b WHERE r <= 20
+        |), f AS (
+        |  SELECT lang, doc_id, CAST(sum(c) AS BIGINT) AS rrf_fp,
+        |    CAST(count(*) AS BIGINT) AS n_sources
+        |  FROM u GROUP BY 1, 2
+        |), r AS (
+        |  SELECT lang, doc_id, rrf_fp, n_sources,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY rrf_fp DESC, doc_id) AS INT) AS rank
+        |  FROM f
+        |)
+        |SELECT lang, rank, doc_id, rrf_fp, n_sources
+        |FROM r WHERE rank <= 10
         |""".stripMargin,
 
     "q35_dataset_split" ->

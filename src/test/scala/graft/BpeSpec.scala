@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trainDict learns the classic merge sequence deterministically") {
+    // Sennrich et al. running example: {low:5, lower:2, newest:6,
+    // widest:3}. Pair counts round 1: (e,s)=9, (s,t)=9, (t,</w>)=9
+    // tie → lexicographically smallest pair wins.
+    val dict = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    val model = Bpe.trainDict(dict, numMerges = 5)
+    val merges = model.merges.map(m => (m.left, m.right, m.count))
+    assert(merges == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L)))
+    // segmentation byproduct reflects all applied merges
+    assert(model.segments("newest") == Seq("n", "e", "w", "est</w>"))
+    assert(model.segments("low") == Seq("low", "</w>"))
+  }
+
+  test("training stops when no pair repeats; ranks are contiguous") {
+    val model = Bpe.trainDict(Seq("ab" -> 1L, "cd" -> 1L), 10)
+    assert(model.merges.isEmpty) // every pair count is 1
+    val m2 = Bpe.trainDict(Seq("aaab" -> 3L), 100)
+    assert(m2.merges.map(_.rank) == m2.merges.indices.toSeq)
+  }
+
+  test("distributed train equals trainDict on the corpus word counts") {
+    val docs = Seq(
+      (1L, "low low low low low lower lower"),
+      (2L, "newest newest newest widest widest"),
+      (3L, "newest newest newest widest"))
+      .toDF("doc_id", "text")
+    val got = Bpe.train(docs, "text", numMerges = 5)
+    val want = Bpe.trainDict(Seq("low" -> 5L, "lower" -> 2L,
+      "newest" -> 6L, "widest" -> 3L), 5)
+    assert(got.merges == want.merges)
+    assert(got.segments == want.segments)
+  }
+
+  test("tokenize round-trips text and counts OOV words") {
+    val train = Seq((1L, "hello hello hello world world hello world"))
+      .toDF("doc_id", "text")
+    val model = Bpe.train(train, "text", numMerges = 20)
+    val docs = Seq((10L, "hello world"), (11L, "hello unseen"))
+      .toDF("doc_id", "text")
+    val out = Bpe.tokenize(docs, "doc_id", "text", model)
+      .as[(Long, Seq[String], Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // round-trip: concatenated tokens == words with </w> separators
+    assert(out(10L)._1.mkString == "hello</w>world</w>")
+    assert(out(11L)._1.mkString == "hello</w>unseen</w>")
+    // fully-merged training words collapse to one token each
+    assert(out(10L)._1 == Seq("hello</w>", "world</w>"))
+    assert(out(10L)._3 == 0L)
+    // OOV word falls back to characters + the marker
+    assert(out(11L)._1.drop(1) ==
+      Seq("u", "n", "s", "e", "e", "n", "</w>"))
+    assert(out(11L)._3 == 1L)
+    assert(out(11L)._2 == out(11L)._1.length.toLong)
+  }
+
+  test("vocab prune keeps the most frequent words only") {
+    val docs = Seq((1L, "aa aa aa bb bb cc")).toDF("doc_id", "text")
+    val model = Bpe.train(docs, "text", numMerges = 10,
+      maxVocabWords = 2)
+    assert(model.segments.keySet == Set("aa", "bb"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Fusion, Similarity, TextIndex}
+
+class FusionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rrfFuse matches a sequential reference exactly (integer fp)") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2)).toDF("q", "d", "r")
+    val b = Seq((1L, 11L, 1), (1L, 13L, 2), (2L, 21L, 1),
+      (2L, 20L, 2)).toDF("q", "d", "r")
+    val got = Fusion.rrfFuse(Seq(a, b), "q", "d", "r", topK = 3,
+        kRrf = 60)
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+
+    def c(r: Int): Long = Fusion.Scale / (60L + r)
+    // query 1: d11 in both lists (r2 + r1) beats d10 (r1 only)
+    assert(got((1L, 1)) == ((11L, c(2) + c(1), 2L)))
+    assert(got((1L, 2)) == ((10L, c(1), 1L)))
+    assert(got((1L, 3)) == ((13L, c(2), 1L))) // b's r2 beats a's r3
+    // query 2: d20 (r1+r2) vs d21 (r2+r1) tie on score → doc id asc
+    assert(got((2L, 1)) == ((20L, c(1) + c(2), 2L)))
+    assert(got((2L, 2)) == ((21L, c(2) + c(1), 2L)))
+  }
+
+  test("hybridTopK fuses its own sub-rankings (driver-recomputed)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val queries = docs.filter(col("doc_id") <= 2)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val pred = col("vec_id") <= 2
+    val topK = 5
+    val got = Fusion.hybridTopK(docs, "doc_id", "text",
+        emb, "vec_id", "embedding", queries, pred, topK)
+      .as[(Long, Int, Long, Long, Long)].collect()
+
+    // recompute the fusion on the driver from the two sub-rankings
+    val lex = TextIndex.bm25TopK(docs, "doc_id", "text", queries, topK * 4)
+      .select("query_id", "doc_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val den = Similarity.topK(emb, "vec_id", "embedding", pred, topK * 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val want = (lex ++ den).groupBy(t => (t._1, t._2)).view
+      .mapValues(v => (v.map(x => Fusion.Scale / (60L + x._3)).sum,
+        v.size.toLong))
+      .toSeq.map { case ((q, d), (s, n)) => (q, d, s, n) }
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(topK).zipWithIndex
+          .map { case ((q, d, s, n), i) => (q, i + 1, d, s, n) }
+      }.toSet
+    assert(got.toSet == want)
+    // structural: ranks contiguous from 1, scores non-increasing
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2).toSeq
+      assert(sorted.map(_._2) == (1 to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Seq(x, y) => x._4 >= y._4
+        case _ => true
+      })
+    }
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LangModel
+
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // reference surprisal computation, sequential, independent of the
+  // operator's join formulation
+  private def refScore(train: Seq[String], doc: String,
+                       lambda: Double): (Long, Long) = {
+    val toks = train.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+    val uni = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = toks.isEmpty match {
+      case true => Map.empty[(String, String), Long]
+      case false => train.flatMap { t =>
+        val w = t.trim.split("\\s+").filter(_.nonEmpty)
+        w.zip(w.drop(1))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    val total = toks.size.toDouble
+    val vocab = uni.size.toDouble
+    val denom = total + vocab + 1.0
+    val w = doc.trim.split("\\s+").filter(_.nonEmpty)
+    val pairs = w.zip(w.drop(1))
+    val fp = pairs.map { case (w1, w2) =>
+      val p1 = (uni.getOrElse(w2, 0L) + 1.0) / denom
+      val pBi = bi.get((w1, w2)) match {
+        case Some(c) => c.toDouble / uni(w1).toDouble
+        case None => 0.0
+      }
+      math.floor(-math.log(lambda * pBi + (1 - lambda) * p1) * 1e9).toLong
+    }.sum
+    (pairs.length.toLong, fp)
+  }
+
+  test("bigram LM surprisal matches the sequential reference bit-exactly") {
+    val train = Seq("the cat sat on the mat", "the dog sat on the rug",
+      "a cat and a dog")
+    val docs = Seq(
+      (1L, "the cat sat on the rug"),   // all seen bigrams
+      (2L, "zebra quantum flux"),       // all OOV
+      (3L, "the cat"),                  // one bigram
+      (4L, "single"))                   // unscorable
+    val corpus = train.zipWithIndex.map { case (t, i) => (100L + i, t) }
+    val df = (docs ++ corpus).toDF("doc_id", "text")
+    val lm = LangModel.train(df.filter(col("doc_id") >= 100L), "text")
+    val got = LangModel.score(lm, df, "doc_id", "text", lambda = 0.9)
+      .select("doc_id", "n_scored", "surprisal_fp")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3)))
+      .toMap
+    for ((id, text) <- docs) {
+      assert(got(id) == refScore(train, text, 0.9),
+        s"doc $id ('$text') surprisal mismatch")
+    }
+    // seen-bigram text must be less surprising per bigram than OOV text
+    assert(got(1L)._2 / got(1L)._1 < got(2L)._2 / got(2L)._1)
+    assert(got(4L) == ((0L, 0L)))
+  }
+
+  test("pruning drops rare words to the OOV bucket but keeps ordering") {
+    val common = (1 to 50).map(i => (i.toLong, "alpha beta gamma alpha beta"))
+    val rare = Seq((900L, "omicron sigma tau upsilon"))
+    val df = (common ++ rare).toDF("doc_id", "text")
+    // vocab budget of 3 keeps only alpha/beta/gamma
+    val lm = LangModel.train(df, "text", topUnigrams = 3, topBigrams = 10)
+    assert(lm.vocabSize == 3L)
+    assert(lm.unigrams.select("w").as[String].collect().toSet ==
+      Set("alpha", "beta", "gamma"))
+    val scored = LangModel.score(lm, df, "doc_id", "text")
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    assert(scored(900L) > scored(1L)) // pruned text is maximally surprising
+  }
+
+  test("scoreWithBuckets: exact-rank cuts, monotone in cross-entropy") {
+    val docs = (1 to 90).map { i =>
+      // three planted tiers: repeated seen text / mixed / pure OOV
+      val text = i % 3 match {
+        case 0 => "the cat sat on the mat the cat sat on the mat"
+        case 1 => "the cat xylophone on zzz mat the frobnicate"
+        case _ => s"qq$i ww$i ee$i rr$i tt$i yy$i uu$i ii$i"
+      }
+      (i.toLong, text)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val out = LangModel.scoreWithBuckets(df, "doc_id", "text",
+        trainPred = col("doc_id") % 3 === 0, cuts = Seq(33, 67))
+      .select("doc_id", "cross_entropy", "ce_bucket")
+      .as[(Long, Option[Double], Int)].collect()
+    // buckets are monotone: every bucket-0 CE <= every bucket-2 CE
+    val byBucket = out.groupBy(_._3).view
+      .mapValues(_.flatMap(_._2)).toMap
+    assert(byBucket.keySet == Set(0, 1, 2))
+    assert(byBucket(0).max <= byBucket(1).min + 1e-12)
+    assert(byBucket(1).max <= byBucket(2).min + 1e-12)
+    // planted tiers land in order: trained tier in head, OOV in tail
+    val tier0 = out.filter(t => t._1 % 3 == 0).map(_._3)
+    val tier2 = out.filter(t => t._1 % 3 == 2).map(_._3)
+    assert(tier0.forall(_ == 0))
+    assert(tier2.forall(_ == 2))
+  }
+}
