@@ -75,6 +75,42 @@ object Sketches {
   def approxTopK(c: Column, k: Int): Column =
     udaf(new MisraGries(k), Encoders.STRING).apply(c)
 
+  /** Mergeable bottom-k DISTINCT sketch (KMV, Bar-Yossef et al.
+    * RANDOM'02): the k smallest distinct values of a Long column. The
+    * partial state is a bounded sorted set (≤ k longs); merging unions
+    * and re-trims, and the FINAL result is exactly the k smallest
+    * distinct values — deterministic regardless of partitioning or
+    * merge order, unlike [[MisraGries]]. Over uniform hashes this is
+    * the classic distinct-value/set-resemblance sketch: two corpora's
+    * sketches union-merge into the sketch of their union, which is what
+    * [[graft.operators.CorpusSim]] exploits for pairwise Jaccard. */
+  final class BottomK(k: Int)
+      extends Aggregator[java.lang.Long, scala.collection.immutable.TreeSet[Long], Seq[Long]] {
+    require(k > 0, "k must be positive")
+    type B = scala.collection.immutable.TreeSet[Long]
+    def zero: B = scala.collection.immutable.TreeSet.empty[Long]
+    def reduce(b: B, a: java.lang.Long): B =
+      if (a == null) b
+      else {
+        val v = a.longValue()
+        if (b.size < k) b + v
+        else if (v >= b.last || b.contains(v)) b
+        else (b + v) - b.last
+      }
+    def merge(b1: B, b2: B): B = {
+      val u = b1 ++ b2
+      if (u.size <= k) u else u.take(k)
+    }
+    def finish(r: B): Seq[Long] = r.toSeq
+    def bufferEncoder: Encoder[B] = Encoders.kryo[B]
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Column form: `bottomK(col, k)` — exact k smallest distinct longs. */
+  def bottomK(c: Column, k: Int): Column =
+    udaf(new BottomK(k), Encoders.LONG).apply(c)
+
   /** Per-group approximate heavy hitters, exploded to scalar rows:
     * (group, item, estimate). */
   def approxHeavyHitters(df: DataFrame, groupCol: String,

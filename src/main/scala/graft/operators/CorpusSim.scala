@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Corpus-LEVEL similarity: how much do two sources/snapshots/dumps
+  * overlap, before any doc-level pairing is attempted? The standard
+  * curation question ("is this new crawl mostly a re-crawl?") answered
+  * with bottom-k set sketches (KMV — Bar-Yossef et al., RANDOM'02;
+  * Beyer et al., SIGMOD'07 for the union/Jaccard estimator): per
+  * group, keep the k smallest distinct md5 shingle hashes. Sketches
+  * union-merge exactly into the union's sketch, so for a pair (A, B)
+  * the k smallest of sketch(A) ∪ sketch(B) are EXACTLY the k smallest
+  * of A ∪ B, and the fraction of them present in both sides estimates
+  * Jaccard with error O(1/√k) — independent of corpus size.
+  *
+  * Scale shape: one scan projecting shingle hashes, ONE partial-agg
+  * shuffle of bounded (≤ k-long) [[graft.functions.Sketches.BottomK]]
+  * states, then a model-sized driver computation over |groups|² pairs
+  * of k-long arrays. Nothing doc×doc, nothing gram×gram; 100 TB of
+  * text reduces to |groups| · k longs before any pairing happens.
+  *
+  * Everything is md5-derived and integer-exact, so the whole pipeline
+  * — sketches AND pairwise estimates — is engine-reproducible and
+  * oracle-checkable (DuckDB twin in LlmPack's q106).
+  *
+  * Reference context: diseasystore has no corpus-diff tool; its
+  * age/stratification diagnostics are row-level. This is the
+  * training-data counterpart of those diagnostics at dump granularity.
+  */
+object CorpusSim {
+
+  /** Portable 32-bit hash of a word n-gram shingle (same construction
+    * as [[Dedup.portableSigs]]: md5 prefix, so DuckDB reproduces it as
+    * `('0x'||substr(md5(s),1,8))::BIGINT`). */
+  private def gramHash(text: org.apache.spark.sql.Column, n: Int) =
+    transform(Dedup.shingleArray(text, n), g =>
+      conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+
+  /** Per-group bottom-k shingle sketch: (groupCol, sketch ARRAY<BIGINT>
+    * ascending, ≤ k distinct hashes). */
+  def bottomKSketches(df: DataFrame, groupCol: String, textCol: String,
+                      n: Int, k: Int): DataFrame =
+    df.select(col(groupCol), explode(gramHash(col(textCol), n)).as("__gh"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.Sketches.bottomK(col("__gh"), k).as("sketch"))
+
+  /** Pairwise corpus similarity for every unordered group pair:
+    * (source_a, source_b, sketch_size, n_both, jaccard_bp) where
+    * `sketch_size` = |k smallest of A ∪ B|, `n_both` = how many of
+    * those fall in BOTH sketches, and `jaccard_bp` = n_both·10⁴ div
+    * sketch_size — the resemblance estimate in integer basis points.
+    * Group count is assumed model-sized (sources, dumps, shards — the
+    * same contract as [[Profile.histogram]]); the quadratic runs on the
+    * driver over k-long arrays, never in the cluster. */
+  def corpusSimilarity(df: DataFrame, groupCol: String, textCol: String,
+                       n: Int, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val sketches: Array[(String, Set[Long], Seq[Long])] =
+      bottomKSketches(df, groupCol, textCol, n, k).collect()
+        .map { r =>
+          val s = r.getSeq[Long](1)
+          (r.get(0).toString, s.toSet, s)
+        }
+        .sortBy(_._1)
+    val rows = for {
+      i <- sketches.indices
+      j <- (i + 1) until sketches.length
+    } yield {
+      val (ga, sa, _) = sketches(i)
+      val (gb, sb, _) = sketches(j)
+      // k smallest of the union — exactly the union corpus's sketch
+      val merged = (sa ++ sb).toSeq.sorted.take(k)
+      val nBoth = merged.count(h => sa.contains(h) && sb.contains(h)).toLong
+      val size = merged.size.toLong
+      Row(ga, gb, size, nBoth, if (size == 0) 0L else nBoth * 10000L / size)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source_a",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source_b",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("sketch_size",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_both",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("jaccard_bp",
+        org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+}

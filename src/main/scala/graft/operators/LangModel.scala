@@ -174,4 +174,66 @@ object LangModel {
     }
     scored.withColumn("ce_bucket", bucket).drop("__k")
   }
+
+  /** DSIR-style importance selection (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): rank
+    * every document by the log-likelihood RATIO between a target-domain
+    * LM and a whole-corpus LM, and keep the `nKeep` docs that look most
+    * like the target. The weight is the per-bigram fixed-point
+    * difference `(surprisal_corpus − surprisal_target)·1000 div
+    * n_scored` (milli-nanonats): positive ⇒ the target model explains
+    * the doc better than the corpus model does. Length-normalizing per
+    * bigram removes the long-doc bias both raw sums carry.
+    *
+    * Selection is EXACT top-N without a global sort: the weight cutoff
+    * comes from [[Selection.valueAtRanks]] on the integer weight key,
+    * docs strictly better than the cutoff pass directly, and only the
+    * ties AT the boundary value (typically O(1) docs; degenerate
+    * all-equal corpora degrade to one bounded rank task — the same
+    * caveat class as Selection's boundary-bucket refinement) are
+    * row-numbered by id for the remaining slots. Deterministic:
+    * re-runs and engine ports select the identical set.
+    *
+    * Output: (idCol, n_scored, weight_fp, selected). Both trainings
+    * are word-count-shaped; scoring is broadcast-join map work — the
+    * whole pipeline inherits [[train]]/[[score]]'s scale posture. */
+  def importanceSelect(df: DataFrame, idCol: String, textCol: String,
+                       targetPred: org.apache.spark.sql.Column,
+                       nKeep: Long,
+                       topUnigrams: Int = 1 << 16,
+                       topBigrams: Int = 1 << 20,
+                       lambda: Double = 0.9): DataFrame = {
+    require(nKeep > 0, "nKeep must be positive")
+    val lmTarget = train(df.filter(targetPred), textCol,
+      topUnigrams, topBigrams)
+    val lmCorpus = train(df, textCol, topUnigrams, topBigrams)
+    val scored = score(lmTarget, df, idCol, textCol, lambda)
+      .select(col(idCol), col("n_scored"), col("surprisal_fp").as("__tfp"))
+      .join(score(lmCorpus, df, idCol, textCol, lambda)
+        .select(col(idCol), col("surprisal_fp").as("__cfp")), Seq(idCol))
+      .withColumn("weight_fp", when(col("n_scored") > 0,
+        expr("(__cfp - __tfp) * 1000L div n_scored"))
+        .otherwise(lit(Long.MinValue + 1L)))
+      .select(col(idCol), col("n_scored"), col("weight_fp"))
+      .localCheckpoint(true) // cut resolve + filter reuse one result
+    // descending top-N == ascending rank nKeep of the negated key
+    val cutRows = Selection.valueAtRanks(
+      scored.withColumn("__one", lit(1))
+        .withColumn("__negw", -col("weight_fp")),
+      "__one", "__negw", Seq("cut" -> s"least(__n, ${nKeep}L)"))
+      .select(col("value")).collect()
+    if (cutRows.isEmpty) return scored.withColumn("selected", lit(false))
+    val cut = cutRows(0).getLong(0)
+    val nAbove = scored.filter(-col("weight_fp") < cut).count()
+    val tieSlots = nKeep - nAbove
+    val tieIds = scored.filter(-col("weight_fp") === cut)
+      .withColumn("__tr", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(idCol))))
+      .filter(col("__tr") <= tieSlots)
+      .select(col(idCol), lit(true).as("__tie"))
+    scored.join(tieIds, Seq(idCol), "left")
+      .withColumn("selected",
+        (-col("weight_fp") < cut) || coalesce(col("__tie"), lit(false)))
+      .drop("__tie")
+  }
 }

@@ -101,6 +101,59 @@ object Splits {
       .drop("__w", "__keep", "__rank")
   }
 
+  /** Token-budget mixture allocation: the planning step of data mixing
+    * — given a total token `budget` and relative target `weights` per
+    * group (domain, source, language), decide how many tokens each
+    * group CONTRIBUTES, exactly. Targets are `(budget·w_g) div ΣW`
+    * with the leftover `budget − Σ targets` distributed one token at a
+    * time to the groups with the largest remainders (largest-remainder
+    * / Hamilton apportionment — deterministic, ties broken by group
+    * name), so Σ target_tokens == budget EXACTLY whenever every
+    * weighted group is present. Allocations are capped by what the
+    * group actually has (`alloc_tokens = min(target, avail)`), with
+    * the deficit reported as `shortfall` rather than silently
+    * re-balanced — re-weighting a short corpus is a POLICY decision
+    * (epochs/upsampling), not something an allocator should hide.
+    *
+    * All arithmetic is 64-bit integer (`div`/`%`), so the plan is
+    * engine-reproducible and hash-checkable. Plan shape: one partial
+    * aggregate over the fact table, then windows over the |groups|-row
+    * summary frame — the single-partition window holds GROUPS, never
+    * rows (the accepted grid-window pattern, PLANS.md). Downstream,
+    * [[weightedMix]]/[[acceptByWeight]] realize the plan row-wise.
+    *
+    * Output: (groupCol, avail_tokens, target_tokens, alloc_tokens,
+    * shortfall) — weighted groups present in the data only. */
+  def mixtureAllocate(df: DataFrame, groupCol: String, tokenCol: String,
+                      budget: Long, weights: Map[String, Long]): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val totalW = weights.values.sum
+    require(budget <= Long.MaxValue / totalW,
+      "budget * totalW must fit in 64 bits")
+    val w = org.apache.spark.sql.expressions.Window
+    val wTbl = broadcast(df.sparkSession.createDataFrame(
+      weights.toSeq.map(kv => (kv._1, kv._2))).toDF(groupCol, "__w"))
+    df.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).cast("long").as("avail_tokens"))
+      .join(wTbl, Seq(groupCol))
+      .withColumn("__t", expr(s"(${budget}L * __w) div ${totalW}L"))
+      .withColumn("__rem", expr(s"(${budget}L * __w) % ${totalW}L"))
+      .withColumn("__left", lit(budget) - sum(col("__t")).over(
+        w.partitionBy().rowsBetween(
+          w.unboundedPreceding, w.unboundedFollowing)))
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("__rem").desc, col(groupCol))))
+      .withColumn("target_tokens",
+        col("__t") + when(col("__rn") <= col("__left"), 1L).otherwise(0L))
+      .withColumn("alloc_tokens",
+        least(col("target_tokens"), col("avail_tokens")))
+      .withColumn("shortfall", col("target_tokens") - col("alloc_tokens"))
+      .select(col(groupCol), col("avail_tokens"), col("target_tokens"),
+        col("alloc_tokens"), col("shortfall"))
+  }
+
   /** Exact-k deterministic sample per group: the k rows with the
     * smallest `(md5-bucket(id), id)` rank in each group — a seedable,
     * engine-reproducible stand-in for per-group reservoir sampling.

@@ -252,4 +252,36 @@ object TextAnalysis {
           expr("coalesce(__novel, 0L) * 10000L div n_unique"))
           .otherwise(lit(0L)).as("novelty_bp"))
   }
+
+  /** Shared pattern text for [[encodingQuality]] and its DuckDB oracle
+    * twin: literal characters (Scala unicode escapes) plus ASCII-hex
+    * ranges — the subset of regex syntax Java regex and RE2 parse
+    * IDENTICALLY, so one pattern string serves both engines. */
+  private[graft] val ReplacementPattern = "\uFFFD"
+  private[graft] val CtrlPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+  // UTF-8 bytes re-decoded as Latin-1/cp1252: C3 xx pairs surface as
+  // U+00C3 followed by a continuation-range char; E2 80 xx as U+00E2
+  // U+20AC. Bare accented letters (French pâte etc.) do
+  // NOT trigger - only the two-char artifacts.
+  private[graft] val MojibakePattern =
+    "(\u00C3[\u0080-\u00BF])|(\u00E2\u20AC)"
+
+  def encodingQuality(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      length(t).cast("long").as("n_chars"),
+      octet_length(t).cast("long").as("n_bytes"),
+      when(length(t) > 0,
+        expr(s"(octet_length($textCol) * 10000L) div length($textCol)"))
+        .otherwise(lit(0L)).cast("long").as("bytes_per_char_bp"),
+      regexp_count(t, lit(ReplacementPattern)).cast("long")
+        .as("n_replacement"),
+      regexp_count(t, lit(CtrlPattern)).cast("long").as("n_ctrl"),
+      regexp_count(t, lit(MojibakePattern)).cast("long")
+        .as("n_mojibake"))
+      .withColumn("clean",
+        col("n_replacement") === 0L && col("n_ctrl") === 0L &&
+          col("n_mojibake") === 0L)
+  }
 }

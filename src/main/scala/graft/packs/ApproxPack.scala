@@ -188,7 +188,18 @@ object ApproxPack extends QueryPack {
       graft.operators.Fusion.hybridTopK(
         docs, "doc_id", "text", emb, "vec_id", "embedding",
         queries, pmod(col("vec_id"), lit(100)) === 0, topK = 10)
-    })
+    }),
+
+    // DSIR importance selection: docs ranked by the fixed-point
+    // log-likelihood ratio between a target-domain bigram LM (src1)
+    // and the whole-corpus LM; exact top-120 via Selection's rank
+    // cutoff — ln() doubles inside the surprisals → rows-only;
+    // LangModelSpec proves the selected set equals the brute-force
+    // top-N and that target-domain docs outrank the rest
+    "q108_dsir_select" -> ((s, dir) =>
+      graft.operators.LangModel.importanceSelect(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        targetPred = col("source") === "src1", nKeep = 120))
   )
 
   def oracleSql: Map[String, String] = Map.empty

@@ -231,7 +231,39 @@ object LlmPack extends QueryPack {
         incoming = docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", n = 3, numPerms = 8, bands = 4, minMatch = 4)
     }),
+
+    // corpus-level similarity: bottom-k KMV sketches per source,
+    // pairwise union-merge Jaccard — 100 TB reduces to |sources|·k
+    // longs before any pairing; md5-portable, so the whole estimator
+    // (not just the sketches) hash-matches the DuckDB twin
+    "q106_corpus_sim" -> ((s, dir) =>
+      graft.operators.CorpusSim.corpusSimilarity(
+        Tables.load(s, dir, "documents"), "source", "text",
+        n = 3, k = 256)),
+
+    // token-budget mixture allocation: largest-remainder apportionment
+    // of a 30k-token budget across sources, capped by availability —
+    // exact integers end to end, windows only over the 10-row summary
+    "q107_mixture_alloc" -> ((s, dir) =>
+      graft.operators.Splits.mixtureAllocate(
+        Tables.load(s, dir, "documents").select(col("source"),
+          size(graft.operators.TextAnalysis.words(col("text")))
+            .as("n_tokens")),
+        "source", "n_tokens", budget = MixBudget, weights = MixWeights)),
+
+    // encoding-quality gate: replacement chars, C0 controls, mojibake
+    // artifacts, bytes-per-char profile — pure per-row scan work, all
+    // integer, one shared Java/RE2 pattern text on both engines
+    "q109_encoding_quality" -> ((s, dir) =>
+      graft.operators.TextAnalysis.encodingQuality(
+        Tables.load(s, dir, "documents"), "doc_id", "text")),
   )
+
+  /** q107's mixture spec, embedded as literals on BOTH sides (the
+    * q49/q52 portable recipe). */
+  private val MixWeights: Map[String, Long] =
+    (0 until 10).map(i => s"src$i" -> (((i % 4) + 1).toLong * 5L)).toMap
+  private val MixBudget = 30000L
 
   private val PackingSql =
     """WITH t AS (
@@ -754,6 +786,103 @@ object LlmPack extends QueryPack {
         |LEFT JOIN tot t ON d.doc_id = t.doc_id
         |LEFT JOIN nov n ON d.doc_id = n.doc_id
         |""".stripMargin,
+
+    "q106_corpus_sim" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT source, array_to_string(words[i:i+2], ' ') AS sg
+        |  FROM (SELECT source,
+        |          regexp_split_to_array(trim(text), '\s+') AS words
+        |        FROM documents) w,
+        |       LATERAL (SELECT unnest(generate_series(
+        |          1, greatest(1, len(words) - 2))) AS i) g
+        |), gh AS (
+        |  SELECT DISTINCT source,
+        |    CAST(('0x' || substr(md5(sg), 1, 8)) AS BIGINT) AS gv
+        |  FROM sh
+        |), rk AS (
+        |  SELECT source, gv,
+        |    row_number() OVER (PARTITION BY source ORDER BY gv) AS r
+        |  FROM gh
+        |), sk AS (
+        |  SELECT source, gv FROM rk WHERE r <= 256
+        |), pr AS (
+        |  SELECT DISTINCT a.source AS sa, b.source AS sb
+        |  FROM sk a, sk b WHERE a.source < b.source
+        |), u AS (
+        |  SELECT pr.sa, pr.sb, s.gv,
+        |    max(CASE WHEN s.source = pr.sa THEN 1 ELSE 0 END) AS ina,
+        |    max(CASE WHEN s.source = pr.sb THEN 1 ELSE 0 END) AS inb
+        |  FROM pr JOIN sk s ON s.source = pr.sa OR s.source = pr.sb
+        |  GROUP BY pr.sa, pr.sb, s.gv
+        |), l AS (
+        |  SELECT sa, sb, ina, inb,
+        |    row_number() OVER (PARTITION BY sa, sb ORDER BY gv) AS r
+        |  FROM u
+        |)
+        |SELECT sa AS source_a, sb AS source_b,
+        |  CAST(count(*) AS BIGINT) AS sketch_size,
+        |  CAST(sum(ina * inb) AS BIGINT) AS n_both,
+        |  CAST(CAST(sum(ina * inb) AS BIGINT) * 10000 // count(*)
+        |    AS BIGINT) AS jaccard_bp
+        |FROM l WHERE r <= 256 GROUP BY sa, sb""".stripMargin,
+
+    "q107_mixture_alloc" -> {
+      val wVals = MixWeights.toSeq.sorted
+        .map { case (g, wt) => s"('$g', $wt)" }.mkString(", ")
+      val totalW = MixWeights.values.sum
+      s"""WITH a AS (
+         |  SELECT source,
+         |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+         |      AS BIGINT) AS avail_tokens
+         |  FROM documents GROUP BY source
+         |), w AS (
+         |  SELECT * FROM (VALUES $wVals) AS w(source, wt)
+         |), b AS (
+         |  SELECT a.source, a.avail_tokens,
+         |    ($MixBudget * wt) // $totalW AS t,
+         |    ($MixBudget * wt) % $totalW AS rem
+         |  FROM a JOIN w ON a.source = w.source
+         |), c AS (
+         |  SELECT source, avail_tokens, t, rem,
+         |    CAST($MixBudget - CAST(sum(t) OVER () AS BIGINT) AS BIGINT)
+         |      AS leftover,
+         |    row_number() OVER (ORDER BY rem DESC, source) AS rn
+         |  FROM b
+         |), d AS (
+         |  SELECT source, avail_tokens,
+         |    CAST(t + CASE WHEN rn <= leftover THEN 1 ELSE 0 END
+         |      AS BIGINT) AS target_tokens
+         |  FROM c
+         |)
+         |SELECT source, avail_tokens, target_tokens,
+         |  CAST(least(target_tokens, avail_tokens) AS BIGINT)
+         |    AS alloc_tokens,
+         |  CAST(target_tokens - least(target_tokens, avail_tokens)
+         |    AS BIGINT) AS shortfall
+         |FROM d""".stripMargin
+    },
+
+    "q109_encoding_quality" -> {
+      import graft.operators.TextAnalysis.{
+        ReplacementPattern, CtrlPattern, MojibakePattern}
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+         |  CAST(CASE WHEN length(text) > 0
+         |    THEN (strlen(text) * 10000) // length(text)
+         |    ELSE 0 END AS BIGINT) AS bytes_per_char_bp,
+         |  CAST(len(regexp_extract_all(text, '$ReplacementPattern', 0))
+         |    AS BIGINT) AS n_replacement,
+         |  CAST(len(regexp_extract_all(text, '$CtrlPattern', 0))
+         |    AS BIGINT) AS n_ctrl,
+         |  CAST(len(regexp_extract_all(text, '$MojibakePattern', 0))
+         |    AS BIGINT) AS n_mojibake,
+         |  (len(regexp_extract_all(text, '$ReplacementPattern', 0)) = 0
+         |   AND len(regexp_extract_all(text, '$CtrlPattern', 0)) = 0
+         |   AND len(regexp_extract_all(text, '$MojibakePattern', 0)) = 0)
+         |    AS clean
+         |FROM documents""".stripMargin
+    },
 
     "q105_rrf_fuse" ->
       """WITH a AS (

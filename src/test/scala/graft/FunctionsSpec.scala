@@ -142,4 +142,59 @@ class FunctionsSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
     assert(byGrp.exists { case (g, s) => reseeded(g) != s })
   }
+
+  test("encodingQuality: planted artifacts are counted, clean text is clean") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "plain ascii text"),
+      (2L, "lossy � decode �"),            // 2 replacement chars
+      (3L, "ctrl\u0001chars\u0007here"),             // 2 C0 controls
+      (4L, "mojibake Ã©tÃ© and â€™"), // Ã© ×2, â€
+      (5L, "légitime français pâte"), // real accents: NOT mojibake
+      (6L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .encodingQuality(docs, "doc_id", "text")
+      .select("doc_id", "n_chars", "n_bytes", "bytes_per_char_bp",
+        "n_replacement", "n_ctrl", "n_mojibake", "clean")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(out(1L)._8 && out(1L)._5 == 0 && out(1L)._6 == 0 && out(1L)._7 == 0)
+    assert(out(2L)._5 == 2L && !out(2L)._8)
+    assert(out(3L)._6 == 2L && !out(3L)._8)
+    assert(out(4L)._7 == 3L && !out(4L)._8)
+    assert(out(5L)._8, "legitimate accented French flagged as mojibake")
+    assert(out(6L)._2 == 0L && out(6L)._4 == 0L && out(6L)._8)
+    // bytes/char profile: ASCII is exactly 10000 bp; accents push it up
+    assert(out(1L)._4 == 10000L)
+    assert(out(5L)._4 > 10000L)
+  }
+
+  test("mixtureAllocate: hand-checked largest-remainder apportionment") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", 100L), ("a", 50L), ("b", 500L), ("c", 10L))
+      .toDF("g", "toks")
+    val out = graft.operators.Splits.mixtureAllocate(df, "g", "toks",
+      budget = 1000L, weights = Map("a" -> 1L, "b" -> 2L, "c" -> 4L))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    // ΣW=7: t=(142 r6, 285 r5, 571 r3), Σt=998 → +1 to a and b
+    assert(out("a") == ((150L, 143L, 143L, 0L)))
+    assert(out("b") == ((500L, 286L, 286L, 0L)))
+    assert(out("c") == ((10L, 571L, 10L, 561L)))
+    // the invariant the plan exists for: targets exhaust the budget
+    assert(out.values.map(_._2).sum == 1000L)
+  }
+
+  test("mixtureAllocate: only weighted groups present in the data") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", 10L), ("d", 99L)).toDF("g", "toks")
+    val out = graft.operators.Splits.mixtureAllocate(df, "g", "toks",
+      budget = 70L, weights = Map("a" -> 1L, "z" -> 6L))
+      .as[(String, Long, Long, Long, Long)].collect()
+    // "d" is unweighted, "z" is absent → one row. z's 60-token share
+    // is NOT re-assigned; the leftover bonus is capped at one token
+    // per present group (row_number), so a = 10 + 1 against avail 10
+    assert(out.toSeq == Seq(("a", 10L, 11L, 10L, 1L)))
+  }
 }

@@ -101,4 +101,38 @@ class LangModelSpec extends SparkSpec {
     assert(tier0.forall(_ == 0))
     assert(tier2.forall(_ == 2))
   }
+
+  test("importanceSelect equals brute-force top-N; target docs win") {
+    // ids 1-15 are target-domain docs (repetitive vocab); 16-60 are
+    // background with distinct vocab; duplicates exercise the tie path
+    val docs = (1 to 60).map { i =>
+      val text =
+        if (i <= 15) "solar panel inverter grid solar panel battery"
+        else if (i % 2 == 0) "the quick brown fox jumps over the lazy dog"
+        else s"random widget $i assembly manual page $i section"
+      (i.toLong, text)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val out = LangModel.importanceSelect(df, "doc_id", "text",
+        targetPred = col("doc_id") <= 15, nKeep = 20)
+      .select("doc_id", "weight_fp", "selected")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == 60)
+    assert(out.count(_._3) == 20)
+    // the selected set IS the top-20 under (weight desc, id asc) —
+    // boundary ties resolved by smallest id, nothing else reordered
+    val expect = out.sortBy(t => (-t._2, t._1)).take(20).map(_._1).toSet
+    assert(out.filter(_._3).map(_._1).toSet == expect)
+    // the point of the operator: target-domain docs outrank background
+    val tw = out.filter(_._1 <= 15).map(_._2)
+    val bw = out.filter(_._1 > 15).map(_._2)
+    assert(tw.min > bw.max,
+      s"target floor ${tw.min} not above background ceiling ${bw.max}")
+    // determinism: a re-run selects the identical set
+    val again = LangModel.importanceSelect(df, "doc_id", "text",
+        targetPred = col("doc_id") <= 15, nKeep = 20)
+      .filter(col("selected")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(again == expect)
+  }
 }

@@ -147,4 +147,22 @@ class SketchesSpec extends SparkSpec {
     // cut = 4th largest of (10,7,5,3,2) = 3 → a:7, b:4, d:2 survive
     assert(m == Map("a" -> 7L, "b" -> 4L, "d" -> 2L))
   }
+
+  test("bottom-k is the exact k smallest distinct longs, any layout") {
+    // duplicates by construction: 3000 draws over 997 residues
+    val data: Seq[Long] = (0 until 3000).map(i => (i * 2654435761L) % 997L)
+    val truth = data.distinct.sorted.take(64)
+    for (parts <- Seq(1, 4, 13)) {
+      val out = data.toDF("v").repartition(parts)
+        .agg(Sketches.bottomK(col("v"), 64)).head.getSeq[Long](0)
+      assert(out == truth, s"bottom-k diverged at parts=$parts")
+    }
+  }
+
+  test("bottom-k ignores nulls and returns under-full sets as-is") {
+    val out = Seq[Option[Long]](Some(5L), None, Some(3L), Some(5L), None)
+      .toDF("v").agg(Sketches.bottomK(col("v"), 10))
+      .head.getSeq[Long](0)
+    assert(out == Seq(3L, 5L))
+  }
 }
