@@ -33,7 +33,7 @@ object CorpusSim {
   /** Portable 32-bit hash of a word n-gram shingle (same construction
     * as [[Dedup.portableSigs]]: md5 prefix, so DuckDB reproduces it as
     * `('0x'||substr(md5(s),1,8))::BIGINT`). */
-  private def gramHash(text: org.apache.spark.sql.Column, n: Int) =
+  private[graft] def gramHash(text: org.apache.spark.sql.Column, n: Int) =
     transform(Dedup.shingleArray(text, n), g =>
       conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
 
@@ -69,11 +69,8 @@ object CorpusSim {
     } yield {
       val (ga, sa, _) = sketches(i)
       val (gb, sb, _) = sketches(j)
-      // k smallest of the union — exactly the union corpus's sketch
-      val merged = (sa ++ sb).toSeq.sorted.take(k)
-      val nBoth = merged.count(h => sa.contains(h) && sb.contains(h)).toLong
-      val size = merged.size.toLong
-      Row(ga, gb, size, nBoth, if (size == 0) 0L else nBoth * 10000L / size)
+      val (size, nBoth, bp) = pairJaccard(sa, sb, k)
+      Row(ga, gb, size, nBoth, bp)
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("source_a",
@@ -87,5 +84,17 @@ object CorpusSim {
       org.apache.spark.sql.types.StructField("jaccard_bp",
         org.apache.spark.sql.types.LongType)))
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Resemblance of two bottom-k sketches: (sketch_size, n_both,
+    * jaccard_bp). The k smallest of the union of two sketches are
+    * EXACTLY the union corpus's sketch, so this estimator composes
+    * across any grouping — pairwise sources, consecutive stream
+    * windows ([[graft.streaming.SketchStream]]), snapshot diffs. */
+  def pairJaccard(sa: Set[Long], sb: Set[Long], k: Int): (Long, Long, Long) = {
+    val merged = (sa ++ sb).toSeq.sorted.take(k)
+    val nBoth = merged.count(h => sa.contains(h) && sb.contains(h)).toLong
+    val size = merged.size.toLong
+    (size, nBoth, if (size == 0) 0L else nBoth * 10000L / size)
   }
 }

@@ -101,6 +101,31 @@ object Splits {
       .drop("__w", "__keep", "__rank")
   }
 
+  /** Near-dup-aware leakage-safe split: [[splitByGroup]] where the
+    * group is the document's near-duplicate CLUSTER, so two almost-
+    * identical documents can never straddle train and eval — the
+    * contamination vector that survives even a group split when the
+    * same text re-appears under different sources/users. `clusters` is
+    * the (idCol, cluster_id) output of [[Dedup.nearDupClusters]] (or
+    * any clustering); unclustered docs form singleton groups keyed by
+    * their own id (prefixed, so a doc id can never collide with a
+    * cluster id). One uniform id-keyed join, then pure per-row hash
+    * work — the split inherits splitByGroup's append stability, and
+    * adding a NEW member to a known cluster lands it in the cluster's
+    * existing split. */
+  def dedupSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                     splits: Seq[(String, Int)],
+                     seed: String = ""): DataFrame = {
+    val c = clusters.select(col(idCol), col("cluster_id").as("__cl"))
+    val grouped = df.join(c, Seq(idCol), "left")
+      .withColumn("__split_grp",
+        when(col("__cl").isNotNull,
+          concat(lit("c|"), col("__cl").cast("string")))
+          .otherwise(concat(lit("d|"), col(idCol).cast("string"))))
+    splitByGroup(grouped, "__split_grp", splits, seed)
+      .drop("__split_grp", "__cl")
+  }
+
   /** Token-budget mixture allocation: the planning step of data mixing
     * — given a total token `budget` and relative target `weights` per
     * group (domain, source, language), decide how many tokens each

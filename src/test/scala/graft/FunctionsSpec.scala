@@ -143,6 +143,32 @@ class FunctionsSpec extends SparkSpec {
     assert(byGrp.exists { case (g, s) => reseeded(g) != s })
   }
 
+  test("dedupSafeSplit: near-dup clusters never straddle splits") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1 to 200).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "t")
+    // planted clusters: {1..5}, {10,11}, everything else singleton
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (10L, 10L), (11L, 10L)).toDF("doc_id", "cluster_id")
+    val out = graft.operators.Splits.dedupSafeSplit(docs, "doc_id",
+      clusters, Seq("train" -> 80, "val" -> 10, "test" -> 10), seed = "z")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.size == 200)
+    assert(Set(1L, 2L, 3L, 4L, 5L).map(out).size == 1,
+      "cluster 1 straddles splits")
+    assert(Set(10L, 11L).map(out).size == 1, "cluster 10 straddles splits")
+    // singletons are independent draws, so all three splits appear
+    assert(out.filterNot(kv => kv._1 <= 5 || kv._1 == 10 || kv._1 == 11)
+      .values.toSet.size == 3)
+    // a NEW member joining a known cluster inherits the cluster's split
+    val grown = clusters.union(Seq((42L, 1L)).toDF("doc_id", "cluster_id"))
+    val out2 = graft.operators.Splits.dedupSafeSplit(docs, "doc_id",
+      grown, Seq("train" -> 80, "val" -> 10, "test" -> 10), seed = "z")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out2(42L) == out(1L))
+    // and no pre-existing assignment moved except 42's
+    assert(out.forall { case (id, s) => id == 42L || out2(id) == s })
+  }
+
   test("encodingQuality: planted artifacts are counted, clean text is clean") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
