@@ -250,6 +250,51 @@ object Dedup {
           p => element_at(ws, p + 1))).as("clean_text"))
   }
 
+  /** Corpus-level LINE dedup (CCNet-style boilerplate removal,
+    * Wenzek et al. LREC'20): a line whose trimmed content appears in
+    * ≥ `minDocs` DISTINCT documents is boilerplate (cookie banners,
+    * nav menus, license footers) and is removed from EVERY document;
+    * blank lines are structure and always survive. The complement of
+    * span excision: `exciseSpans` cuts verbatim runs shared by few
+    * documents, this cuts short lines shared by many.
+    *
+    * Scale shape: lines are keyed by an 8-byte portable hash (md5
+    * prefix — engine-reproducible, so the whole operator is
+    * oracle-checkable); the document-frequency aggregate and the
+    * removal join shuffle only (hash, id, pos) — text never leaves its
+    * scan and the boilerplate set is heavy-hitter-sized by definition
+    * (AQE broadcasts the post-filter side at runtime). Reconstruction
+    * is per-row HOFs over the line array, `exciseSpans`' pattern.
+    * Output: (id, n_lines, n_removed, clean_text). */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__l")))
+      .withColumn("__t", trim(col("__l")))
+      .filter(col("__t") =!= "")
+      .withColumn("__h",
+        conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long"))
+    // distinct (doc, hash) first: a line repeated WITHIN one document
+    // counts once toward its document frequency
+    val boiler = lines.select(col(idCol), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__h").as("__bh"))
+    val removed = lines.join(boiler, col("__h") === col("__bh"))
+      .groupBy(col(idCol)).agg(collect_set(col("__pos")).as("__rm"))
+    val ls = col("__ls")
+    df.join(removed, Seq(idCol), "left")
+      .withColumn("__ls", split(col(textCol), "\n"))
+      .withColumn("__keep", array_except(
+        sequence(lit(0), size(ls) - 1),
+        coalesce(col("__rm"), array().cast("array<int>"))))
+      .select(col(idCol), size(ls).cast("long").as("n_lines"),
+        (size(ls) - size(col("__keep"))).cast("long").as("n_removed"),
+        concat_ws("\n", transform(col("__keep"),
+          p => element_at(ls, p + 1))).as("clean_text"))
+  }
+
   /** Engine-portable MinHash+LSH: per-permutation hash = md5 prefix of
     * `"<perm>|<shingle>"`, signature = per-permutation minimum, bands of
     * `numPerms / bands` rows, candidates from band-key equality, scored

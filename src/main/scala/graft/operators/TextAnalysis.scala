@@ -137,6 +137,21 @@ object TextAnalysis {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Decontamination as a TRANSFORMATION: drop every non-benchmark
+    * document whose distinct-n-gram overlap with the benchmark slice
+    * reaches `minOverlap` (the docs [[benchmarkOverlap]] only reports),
+    * and the benchmark rows themselves — what remains is the corpus
+    * that is safe to train on. Same shuffle shape as the scan (shingle
+    * hashes + broadcast benchmark set) plus one id-keyed anti-join;
+    * the text column rides along untouched. */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+                    benchPred: Column, n: Int,
+                    minOverlap: Long): DataFrame = {
+    val hot = benchmarkOverlap(df, idCol, textCol, benchPred, n,
+      minOverlap).select(col(idCol))
+    df.filter(!benchPred).join(hot, Seq(idCol), "left_anti")
+  }
+
   /** Document fingerprint: winnowing-style minimum over k-gram hashes,
     * plus the distinct k-gram count. Deterministic (murmur3 via `hash`). */
   def fingerprint(text: Column, k: Int = 8): Column = {

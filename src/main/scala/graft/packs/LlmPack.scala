@@ -257,6 +257,20 @@ object LlmPack extends QueryPack {
     "q109_encoding_quality" -> ((s, dir) =>
       graft.operators.TextAnalysis.encodingQuality(
         Tables.load(s, dir, "documents"), "doc_id", "text")),
+
+    // corpus-level line dedup (CCNet-style boilerplate removal): a
+    // trimmed line seen in >= 3 distinct docs is cut everywhere
+    "q111_line_dedup" -> ((s, dir) =>
+      Dedup.dedupLines(Tables.load(s, dir, "documents"),
+        "doc_id", "text", minDocs = 3)),
+
+    // decontamination as a transformation: the corpus that SURVIVES
+    // the q46 scan (non-benchmark docs below the overlap threshold)
+    "q112_decontaminate" -> ((s, dir) =>
+      TextAnalysis.decontaminate(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        pmod(col("doc_id"), lit(97)) === 0, n = 3, minOverlap = 3)
+        .select(col("doc_id"), col("lang"), col("source"))),
   )
 
   /** q107's mixture spec, embedded as literals on BOTH sides (the
@@ -1036,6 +1050,46 @@ object LlmPack extends QueryPack {
         |       WHEN s_es = best AND best > 0 THEN 'es'
         |       WHEN s_fr = best AND best > 0 THEN 'fr'
         |       ELSE 'und' END AS lang_id
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // q111: line-level boilerplate removal — same md5-prefix line hash
+    // on both engines; blank (trimmed-empty) lines never count and
+    // never get removed. 1-based positions here, 0-based on the Spark
+    // side — only counts and reconstructed text are compared.
+    "q111_line_dedup" ->
+      """WITH l0 AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+        |), l AS (
+        |  SELECT doc_id, i,
+        |    CAST(('0x' || substr(md5(trim(ls[i])), 1, 8)) AS BIGINT) AS h
+        |  FROM l0, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) u
+        |  WHERE trim(ls[i]) <> ''
+        |), b AS (
+        |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM l)
+        |  GROUP BY h HAVING count(*) >= 3
+        |), rm AS (
+        |  SELECT doc_id, list(i) AS rms FROM l JOIN b USING (h) GROUP BY 1
+        |)
+        |SELECT l0.doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(len(rms), 0) AS BIGINT) AS n_removed,
+        |  coalesce(array_to_string(list_transform(
+        |    list_filter(range(1, len(ls) + 1),
+        |      p -> NOT list_contains(coalesce(rms, []), p)),
+        |    p -> ls[p]), chr(10)), '') AS clean_text
+        |FROM l0 LEFT JOIN rm USING (doc_id)""".stripMargin,
+
+    // q112: the corpus surviving decontamination — q46's overlap scan
+    // inverted into a keep-filter over non-benchmark documents
+    "q112_decontaminate" ->
+      s"""WITH $ShinglesSql,
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         |hot AS (
+         |  SELECT doc_id FROM sh JOIN bench USING (s)
+         |  WHERE doc_id % 97 <> 0 GROUP BY 1 HAVING count(*) >= 3
+         |)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id % 97 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM hot)""".stripMargin
   )
 }

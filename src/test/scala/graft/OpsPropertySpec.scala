@@ -207,4 +207,37 @@ class OpsPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("dedupLines: equals brute-force boilerplate removal; blanks survive") {
+    // lines drawn from a small pool so cross-doc boilerplate emerges;
+    // blank and whitespace-only lines mixed in as structure
+    val docsGen: Gen[List[(Long, String)]] =
+      Gen.listOfN(14, for {
+        id <- Gen.choose(0L, 300L)
+        nLines <- Gen.choose(1, 8)
+        lines <- Gen.listOfN(nLines,
+          Gen.oneOf("cookie banner", "nav menu", "  cookie banner  ",
+            "", "   ", "body one", "body two", "unique tail"))
+      } yield (id, lines.mkString("\n"))).map(_.distinctBy(_._1))
+    val minDocs = 3
+    forSeeds(docsGen, 6) { docs =>
+      val out = Dedup.dedupLines(docs.toDF("doc_id", "text"),
+          "doc_id", "text", minDocs)
+        .as[(Long, Long, Long, String)].collect()
+        .map(t => t._1 -> t).toMap
+      // brute force: doc frequency of each trimmed non-blank line
+      val split = docs.map { case (id, t) => id -> t.split("\n", -1).toSeq }
+      val freq = split.flatMap { case (id, ls) =>
+        ls.map(_.trim).filter(_.nonEmpty).distinct.map(l => (l, id))
+      }.distinct.groupBy(_._1).view.mapValues(_.size).toMap
+      split.foreach { case (id, ls) =>
+        val kept = ls.filter(l =>
+          l.trim.isEmpty || freq(l.trim) < minDocs)
+        val (_, nl, nr, clean) = out(id)
+        assert(nl == ls.length)
+        assert(nr == ls.length - kept.length)
+        assert(clean == kept.mkString("\n"), s"doc $id")
+      }
+    }
+  }
 }
