@@ -117,6 +117,45 @@ object Profile {
       .drop("__lo", "__hi")
   }
 
+  /** Robust per-group outlier scoring on EXACT order statistics:
+    * median and MAD (median absolute deviation) both resolve through
+    * [[Selection.valueAtRanks]] bucket histograms — no group-partitioned
+    * sort of fact rows anywhere, so a domain-sized group scores in
+    * parallel (the same scale argument as [[winsorize]]). Lower-median
+    * rank `(n+1) div 2` on both passes: exact, deterministic,
+    * engine-reproducible. Appends `median`, `mad`,
+    * `score_bp = |v - median| * 10000 div max(mad, 1)` (robust z in
+    * MAD units, basis points) and `is_outlier = score_bp >= threshBp`.
+    * All-integer: requires |v| * 10000 to fit in a long. Nulls fail
+    * fast, as in [[winsorize]] — a silently shifted median is worse
+    * than an error. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     threshBp: Long): DataFrame = {
+    require(threshBp > 0, "threshBp must be positive")
+    val guarded = coalesce(col(valueCol).cast("long"),
+      raise_error(lit(s"robustOutliers: null value in $valueCol"))
+        .cast("long"))
+    val lowerMedian = Seq("med" -> "(__n + 1L) div 2L")
+    val med = Selection.valueAtRanks(
+        df.select(col(groupCol), guarded.as("__v")), groupCol, "__v",
+        lowerMedian)
+      .groupBy(col(groupCol))
+      .agg(max(col("value")).as("median"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(guarded - col("median")))
+    val mad = Selection.valueAtRanks(
+        dev.select(col(groupCol), col("__dev")), groupCol, "__dev",
+        lowerMedian)
+      .groupBy(col(groupCol))
+      .agg(max(col("value")).as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("score_bp",
+        expr("__dev * 10000L div greatest(mad, 1L)"))
+      .withColumn("is_outlier",
+        (col("score_bp") >= threshBp).cast("int"))
+      .drop("__dev")
+  }
+
   /** Per-group approximate distinct count (HyperLogLog++) next to the
     * relative standard deviation it was run at. Sketch-based → rows-only
     * (DuckDB's HLL differs); ScaleOpsSpec asserts the error bound against

@@ -234,7 +234,22 @@ object ScalePack extends QueryPack {
       Splits.acceptByWeight(Tables.load(s, dir, "documents"),
         "doc_id", w, seed = "q96")
         .select("doc_id", "lang")
-    })
+    }),
+
+    // robust per-group outliers: exact median + MAD through Selection
+    // bucket histograms (no group-window sort), folded to a per-group
+    // fingerprint that covers every row's score
+    "q113_mad_outliers" -> ((s, dir) =>
+      Profile.robustOutliers(
+        Tables.load(s, dir, "lineitem").select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "l_returnflag", "cents", threshBp = 20000)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          max(col("median")).as("median_cents"),
+          max(col("mad")).as("mad_cents"),
+          sum(col("is_outlier").cast("long")).as("n_outliers"),
+          max(col("score_bp")).as("max_score_bp")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -578,6 +593,45 @@ object ScalePack extends QueryPack {
         |  CAST((n * 10000) // t AS BIGINT) AS share_bp,
         |  CAST((cum * 10000) // t AS BIGINT) AS cum_share_bp
         |FROM u, tot
-        |""".stripMargin
+        |""".stripMargin,
+
+    // q113: lower median at rank (n+1)//2 on values, then on absolute
+    // deviations; score division is nonnegative, so DuckDB's floor //
+    // and Spark's truncating div agree
+    "q113_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |), r AS (
+        |  SELECT g, cents,
+        |    row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM v
+        |), m AS (
+        |  SELECT g, max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med
+        |  FROM r GROUP BY g
+        |), d AS (
+        |  SELECT v.g, cents, med, abs(cents - med) AS dev
+        |  FROM v JOIN m USING (g)
+        |), r2 AS (
+        |  SELECT g, dev,
+        |    row_number() OVER (PARTITION BY g ORDER BY dev) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM d
+        |), m2 AS (
+        |  SELECT g, max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+        |  FROM r2 GROUP BY g
+        |)
+        |SELECT d.g AS l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(med) AS BIGINT) AS median_cents,
+        |  CAST(max(mad) AS BIGINT) AS mad_cents,
+        |  CAST(sum(CASE WHEN dev * 10000 // greatest(mad, 1) >= 20000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(max(dev * 10000 // greatest(mad, 1)) AS BIGINT)
+        |    AS max_score_bp
+        |FROM d JOIN m2 USING (g)
+        |GROUP BY d.g""".stripMargin
   )
 }

@@ -208,6 +208,27 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("robustOutliers: median, MAD, scores and flags equal brute force") {
+    forSeeds(rowsGen, 8) { rows =>
+      val df = rows.toDF("id", "g", "v")
+      val out = Profile.robustOutliers(df, "g", "v", threshBp = 20000)
+        .select("id", "g", "v", "median", "mad", "score_bp", "is_outlier")
+        .as[(Long, String, Long, Long, Long, Long, Int)].collect()
+      assert(out.length == rows.length)
+      val byG = rows.groupBy(_._2)
+      def lowerMed(vs: Seq[Long]): Long =
+        vs.sorted.apply(((vs.size + 1) / 2) - 1)
+      out.foreach { case (_, g, v, med, mad, score, flag) =>
+        val vs = byG(g).map(_._3)
+        val m = lowerMed(vs)
+        val d = lowerMed(vs.map(x => math.abs(x - m)))
+        assert(med == m && mad == d, s"group $g median/mad")
+        assert(score == math.abs(v - m) * 10000L / math.max(d, 1L))
+        assert(flag == (if (score >= 20000L) 1 else 0))
+      }
+    }
+  }
+
   test("dedupLines: equals brute-force boilerplate removal; blanks survive") {
     // lines drawn from a small pool so cross-doc boilerplate emerges;
     // blank and whitespace-only lines mixed in as structure
