@@ -112,6 +112,42 @@ object Bpe {
     model.merges.toDF("rank", "left", "right", "count")
   }
 
+  /** The model's vocabulary with deterministic integer ids — the
+    * artifact a training run consumes. Id space: the initial alphabet
+    * (every character of every dictionary word, plus [[Eow]]) sorted
+    * lexicographically takes 0..A-1; merged symbols follow in rank
+    * order at A+rank. Reproducible across runs given the same model. */
+  def vocab(model: BpeModel): Seq[(String, Int)] = {
+    val alphabet = model.segments.keysIterator
+      .flatMap(w => initSymbols(w)).toSet.toSeq.sorted
+    val merged = model.merges.sortBy(_.rank).map(m => m.left + m.right)
+    (alphabet ++ merged).zipWithIndex
+  }
+
+  /** UNK id emitted for characters outside the training alphabet. */
+  val UnkId: Int = -1
+
+  /** Tokenize to integer token IDS: [[tokenize]]'s segmentation, then
+    * each token mapped through the model vocabulary embedded as a map
+    * LITERAL (model-sized — alphabet + one entry per merge; no join,
+    * no UDF, pure codegen'd column work). Characters outside the
+    * training alphabet become [[UnkId]] and are counted per document.
+    * Output: (id, token_ids, n_tokens, n_oov_words, n_unk). */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String,
+                model: BpeModel): DataFrame = {
+    val v = vocab(model)
+    val idMap = map_from_arrays(
+      array(v.map(t => lit(t._1)): _*),
+      array(v.map(t => lit(t._2)): _*))
+    tokenize(df, idCol, textCol, model)
+      .withColumn("token_ids", transform(col("tokens"),
+        t => coalesce(element_at(idMap, t), lit(UnkId))))
+      .withColumn("n_unk",
+        size(filter(col("token_ids"), i => i === UnkId)).cast("long"))
+      .select(col(idCol), col("token_ids"), col("n_tokens"),
+        col("n_oov_words"), col("n_unk"))
+  }
+
   /** Tokenize a corpus with a trained model. Dictionary words map
     * through the broadcast segmentation (one BroadcastHashJoin, no
     * per-row merge loop anywhere near the data); OOV words fall back

@@ -215,6 +215,16 @@ object ApproxPack extends QueryPack {
       graft.operators.Splits.dedupSafeSplit(docs, "doc_id", clusters,
         Seq("train" -> 80, "val" -> 10, "test" -> 10), seed = "r5")
         .select(col("doc_id"), col("split"))
+    }),
+
+    // tokenizer APPLICATION: train on the corpus, then encode every
+    // document to integer token ids through the vocab map literal —
+    // driver-side merge loop inside → rows-only; BpeSpec proves the
+    // id mapping round-trips and UNK accounting
+    "q114_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val model = graft.operators.Bpe.train(docs, "text", numMerges = 60)
+      graft.operators.Bpe.encodeIds(docs, "doc_id", "text", model)
     })
   )
 

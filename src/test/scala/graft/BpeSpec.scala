@@ -69,4 +69,33 @@ class BpeSpec extends SparkSpec {
       maxVocabWords = 2)
     assert(model.segments.keySet == Set("aa", "bb"))
   }
+
+  test("encodeIds: ids decode back to tokens; unseen chars become UNK") {
+    val train = Seq((1L, "low lower lowest low low"),
+      (2L, "new newer newest new")).toDF("doc_id", "text")
+    val model = Bpe.train(train, "text", numMerges = 8)
+    val v = Bpe.vocab(model)
+    // ids are dense, unique, and alphabet-first
+    assert(v.map(_._2) == v.indices)
+    assert(v.map(_._1).distinct.size == v.size)
+    val byId = v.map(_.swap).toMap
+    val enc = Bpe.encodeIds(
+      Seq((10L, "low newer"), (11L, "qqq")).toDF("doc_id", "text"),
+      "doc_id", "text", model)
+      .as[(Long, Seq[Int], Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    // known words: every id decodes to the tokenize() token stream
+    val toks = Bpe.tokenize(
+      Seq((10L, "low newer")).toDF("doc_id", "text"),
+      "doc_id", "text", model)
+      .select("tokens").as[Seq[String]].head()
+    assert(enc(10L)._2.map(byId) == toks)
+    assert(enc(10L)._5 == 0L)
+    // "qqq" is OOV and its chars are outside the training alphabet:
+    // chars map to UNK but the end-of-word symbol is in-vocab
+    val (_, ids11, n11, oov11, unk11) = enc(11L)
+    assert(oov11 == 1L && n11 == 4L)
+    assert(unk11 == 3L && ids11.count(_ == Bpe.UnkId) == 3)
+    assert(byId(ids11.last) == Bpe.Eow)
+  }
 }
