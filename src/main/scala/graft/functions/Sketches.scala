@@ -120,4 +120,57 @@ object Sketches {
       .select(col(groupCol), explode(col("__top")).as("__e"))
       .select(col(groupCol), col("__e._1").as("item"),
         col("__e._2").as("estimate"))
+
+  /** Row hash for [[CountMin]]: a pure function of (row, item), so the
+    * sketch is identical on every executor and across replays. */
+  private[graft] def cmHash(row: Int, item: String, width: Int): Int =
+    java.lang.Math.floorMod(
+      scala.util.hashing.MurmurHash3.stringHash(item, row), width)
+
+  /** Count-min sketch (Cormode & Muthukrishnan, J.Algorithms'05): a
+    * depth×width counter matrix; each row increments one counter per
+    * hash row, a point query takes the MINIMUM over the depth
+    * counters. Always an OVERestimate; with n rows total the excess is
+    * ≤ (e/width)·n with probability 1 − e^−depth. Merge is cell-wise
+    * sum — unlike [[MisraGries]] the merged sketch is IDENTICAL
+    * regardless of partitioning or merge order (SketchesSpec asserts
+    * bit-parity with a sequential plain-Scala build), so estimates are
+    * reproducible across cluster layouts, streaming restarts, and
+    * window merges. Buffer is the flat long matrix — bounded,
+    * map-side-combined, never the raw rows. */
+  final class CountMin(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Seq[Long]] {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    def zero: Array[Long] = new Array[Long](depth * width)
+    def reduce(b: Array[Long], a: String): Array[Long] = {
+      if (a != null) {
+        var r = 0
+        while (r < depth) {
+          b(r * width + cmHash(r, a, width)) += 1L
+          r += 1
+        }
+      }
+      b
+    }
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+    def finish(r: Array[Long]): Seq[Long] = r.toSeq
+    def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Column form: `countMin(col, d, w)` usable in any groupBy. */
+  def countMin(c: Column, depth: Int, width: Int): Column =
+    udaf(new CountMin(depth, width), Encoders.STRING).apply(c)
+
+  /** Point query against a collected [[CountMin]] sketch. */
+  def cmEstimate(sketch: Seq[Long], depth: Int, width: Int,
+                 item: String): Long = {
+    require(sketch.length == depth * width, "sketch shape mismatch")
+    (0 until depth).map(r => sketch(r * width + cmHash(r, item, width))).min
+  }
 }

@@ -165,4 +165,39 @@ class SketchesSpec extends SparkSpec {
       .head.getSeq[Long](0)
     assert(out == Seq(3L, 5L))
   }
+
+  test("count-min: bit-parity with sequential build, any layout; " +
+      "estimates never undercount") {
+    val depth = 4; val width = 64
+    // zipf-ish stream with nulls mixed in
+    val items: Seq[String] = (1 to 400).map(i =>
+      s"k${i % (i % 7 + 1)}") ++ Seq("rare1", "rare2")
+    val withNulls: Seq[Option[String]] =
+      items.map(Option(_)).patch(13, Seq(None, None), 0)
+
+    // sequential plain-Scala build — merge-order independence means
+    // ANY partitioning must reproduce it bit-for-bit
+    val expected = new Array[Long](depth * width)
+    items.foreach { a =>
+      (0 until depth).foreach { r =>
+        expected(r * width + Sketches.cmHash(r, a, width)) += 1L
+      }
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = withNulls.toDF("v").repartition(parts)
+        .agg(Sketches.countMin(col("v"), depth, width))
+        .head.getSeq[Long](0)
+      assert(got == expected.toSeq, s"layout $parts diverged")
+    }
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong)
+    truth.foreach { case (item, n) =>
+      val est = Sketches.cmEstimate(expected.toSeq, depth, width, item)
+      assert(est >= n, s"undercount for $item")
+      assert(est <= n + (math.E / width * items.size).ceil.toLong + 1,
+        s"excess beyond the eps*n bound for $item")
+    }
+    // absent key: bounded overestimate of zero
+    assert(Sketches.cmEstimate(expected.toSeq, depth, width, "absent")
+      <= (math.E / width * items.size).ceil.toLong)
+  }
 }
