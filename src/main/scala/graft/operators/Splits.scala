@@ -179,6 +179,33 @@ object Splits {
         col("alloc_tokens"), col("shortfall"))
   }
 
+  /** Epoch/upsampling plan on top of [[mixtureAllocate]]: when the
+    * mixture target EXCEEDS a group's availability, training repeats
+    * the group's data — this decides, per group and in exact integers,
+    * how many full passes (`epochs = target div avail`) plus what
+    * fraction of one more pass (`final_frac_bp`) realize the target,
+    * and flags groups repeated `maxEpochs`-or-more times (`over_cap`,
+    * the diminishing-returns regime of data-constrained scaling,
+    * Muennighoff et al. NeurIPS'23). Same shuffle shape as
+    * [[mixtureAllocate]] — one per-group aggregate, windows only over
+    * the group-count summary. */
+  def epochPlan(df: DataFrame, groupCol: String, tokenCol: String,
+                budget: Long, weights: Map[String, Long],
+                maxEpochs: Int = 4): DataFrame = {
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    require(budget <= Long.MaxValue / 10000L,
+      "budget * 10000 must fit in 64 bits")
+    mixtureAllocate(df, groupCol, tokenCol, budget, weights)
+      .withColumn("__av", greatest(col("avail_tokens"), lit(1L)))
+      .withColumn("epochs", expr("target_tokens div __av"))
+      .withColumn("final_frac_bp",
+        expr("(target_tokens % __av) * 10000L div __av"))
+      .withColumn("over_cap",
+        (col("epochs") >= maxEpochs).cast("int"))
+      .select(col(groupCol), col("avail_tokens"), col("target_tokens"),
+        col("epochs"), col("final_frac_bp"), col("over_cap"))
+  }
+
   /** Exact-k deterministic sample per group: the k rows with the
     * smallest `(md5-bucket(id), id)` rank in each group — a seedable,
     * engine-reproducible stand-in for per-group reservoir sampling.

@@ -102,4 +102,38 @@ object TrainingSet {
           when(live, col(s"__c$i.$c")).otherwise(lit(null)).as(c))
       }: _*)
   }
+
+  /** Deterministic contrastive NEGATIVE sampling: for each query row,
+    * the `k` pool rows with the smallest engine-portable hash of
+    * (query, candidate, seed) — a reproducible stand-in for uniform
+    * negative draws (the contrastive/embedding-training companion of
+    * [[graft.operators.Splits.samplePerGroup]]). Self-pairs are
+    * excluded; exclude known positives by anti-joining the pool first.
+    * Different seeds give independent draws; a grown pool perturbs
+    * ranks only where new candidates hash below old ones.
+    *
+    * Scale shape: the pool is an explicitly bounded negative set
+    * (in-batch / curated, not the corpus) and BROADCASTS under the
+    * cross join; the per-query rank window sees exactly |pool|-1 rows
+    * per query — bounded by construction, never corpus-sized. Output:
+    * (query_id, neg_rank, neg_id). */
+  def negativeSample(queries: DataFrame, pool: DataFrame,
+                     queryIdCol: String, poolIdCol: String,
+                     k: Int, seed: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val q = queries.select(col(queryIdCol).as("query_id"))
+    val p = pool.select(col(poolIdCol).as("neg_id"))
+    val h = conv(substring(md5(concat(
+      col("query_id").cast("string"), lit("|"),
+      col("neg_id").cast("string"), lit("|" + seed))), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__h"), col("neg_id"))
+    q.crossJoin(broadcast(p))
+      .filter(col("neg_id") =!= col("query_id"))
+      .withColumn("__h", h)
+      .withColumn("neg_rank", row_number().over(w).cast("int"))
+      .filter(col("neg_rank") <= k)
+      .select(col("query_id"), col("neg_rank"), col("neg_id"))
+  }
 }

@@ -258,6 +258,17 @@ object LlmPack extends QueryPack {
       graft.operators.TextAnalysis.encodingQuality(
         Tables.load(s, dir, "documents"), "doc_id", "text")),
 
+    // epoch/upsampling plan: q107's apportionment at a 40x budget so
+    // targets exceed availability — exact repeat epochs + final-pass
+    // fraction per source, over-repetition flagged
+    "q115_epoch_plan" -> ((s, dir) =>
+      graft.operators.Splits.epochPlan(
+        Tables.load(s, dir, "documents").select(col("source"),
+          size(graft.operators.TextAnalysis.words(col("text")))
+            .as("n_tokens")),
+        "source", "n_tokens", budget = MixBudget * 40,
+        weights = MixWeights)),
+
     // corpus-level line dedup (CCNet-style boilerplate removal): a
     // trimmed line seen in >= 3 distinct docs is cut everywhere
     "q111_line_dedup" -> ((s, dir) =>
@@ -278,6 +289,39 @@ object LlmPack extends QueryPack {
   private val MixWeights: Map[String, Long] =
     (0 until 10).map(i => s"src$i" -> (((i % 4) + 1).toLong * 5L)).toMap
   private val MixBudget = 30000L
+
+  /** The largest-remainder mixture CTE chain (`a`..`d`) shared by the
+    * q107 and q115 oracles, parameterized by budget — the same
+    * literals the Spark side embeds. */
+  private def mixtureSqlCtes(budget: Long): String = {
+    val wVals = MixWeights.toSeq.sorted
+      .map { case (g, wt) => s"('$g', $wt)" }.mkString(", ")
+    val totalW = MixWeights.values.sum
+    s"""a AS (
+       |  SELECT source,
+       |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+       |      AS BIGINT) AS avail_tokens
+       |  FROM documents GROUP BY source
+       |), w AS (
+       |  SELECT * FROM (VALUES $wVals) AS w(source, wt)
+       |), b AS (
+       |  SELECT a.source, a.avail_tokens,
+       |    ($budget * wt) // $totalW AS t,
+       |    ($budget * wt) % $totalW AS rem
+       |  FROM a JOIN w ON a.source = w.source
+       |), c AS (
+       |  SELECT source, avail_tokens, t, rem,
+       |    CAST($budget - CAST(sum(t) OVER () AS BIGINT) AS BIGINT)
+       |      AS leftover,
+       |    row_number() OVER (ORDER BY rem DESC, source) AS rn
+       |  FROM b
+       |), d AS (
+       |  SELECT source, avail_tokens,
+       |    CAST(t + CASE WHEN rn <= leftover THEN 1 ELSE 0 END
+       |      AS BIGINT) AS target_tokens
+       |  FROM c
+       |)""".stripMargin
+  }
 
   private val PackingSql =
     """WITH t AS (
@@ -840,41 +884,27 @@ object LlmPack extends QueryPack {
         |    AS BIGINT) AS jaccard_bp
         |FROM l WHERE r <= 256 GROUP BY sa, sb""".stripMargin,
 
-    "q107_mixture_alloc" -> {
-      val wVals = MixWeights.toSeq.sorted
-        .map { case (g, wt) => s"('$g', $wt)" }.mkString(", ")
-      val totalW = MixWeights.values.sum
-      s"""WITH a AS (
-         |  SELECT source,
-         |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
-         |      AS BIGINT) AS avail_tokens
-         |  FROM documents GROUP BY source
-         |), w AS (
-         |  SELECT * FROM (VALUES $wVals) AS w(source, wt)
-         |), b AS (
-         |  SELECT a.source, a.avail_tokens,
-         |    ($MixBudget * wt) // $totalW AS t,
-         |    ($MixBudget * wt) % $totalW AS rem
-         |  FROM a JOIN w ON a.source = w.source
-         |), c AS (
-         |  SELECT source, avail_tokens, t, rem,
-         |    CAST($MixBudget - CAST(sum(t) OVER () AS BIGINT) AS BIGINT)
-         |      AS leftover,
-         |    row_number() OVER (ORDER BY rem DESC, source) AS rn
-         |  FROM b
-         |), d AS (
-         |  SELECT source, avail_tokens,
-         |    CAST(t + CASE WHEN rn <= leftover THEN 1 ELSE 0 END
-         |      AS BIGINT) AS target_tokens
-         |  FROM c
-         |)
+    "q107_mixture_alloc" ->
+      s"""WITH ${mixtureSqlCtes(MixBudget)}
          |SELECT source, avail_tokens, target_tokens,
          |  CAST(least(target_tokens, avail_tokens) AS BIGINT)
          |    AS alloc_tokens,
          |  CAST(target_tokens - least(target_tokens, avail_tokens)
          |    AS BIGINT) AS shortfall
-         |FROM d""".stripMargin
-    },
+         |FROM d""".stripMargin,
+
+    // q115: q107's chain at a 40x budget (so targets exceed
+    // availability), resolved into repeat epochs + a final fraction
+    "q115_epoch_plan" ->
+      s"""WITH ${mixtureSqlCtes(MixBudget * 40)}
+         |SELECT source, avail_tokens, target_tokens,
+         |  CAST(target_tokens // greatest(avail_tokens, 1) AS BIGINT)
+         |    AS epochs,
+         |  CAST((target_tokens % greatest(avail_tokens, 1)) * 10000
+         |    // greatest(avail_tokens, 1) AS BIGINT) AS final_frac_bp,
+         |  CAST(CASE WHEN target_tokens // greatest(avail_tokens, 1) >= 4
+         |    THEN 1 ELSE 0 END AS INT) AS over_cap
+         |FROM d""".stripMargin,
 
     "q109_encoding_quality" -> {
       import graft.operators.TextAnalysis.{

@@ -236,6 +236,17 @@ object ScalePack extends QueryPack {
         .select("doc_id", "lang")
     }),
 
+    // contrastive negative sampling: per query, the k pool docs with
+    // the smallest portable (query, cand, seed) hash — broadcast pool,
+    // per-query windows bounded by |pool|
+    "q116_negative_sample" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.TrainingSet.negativeSample(
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+        "doc_id", "doc_id", k = 8, seed = "neg1")
+    }),
+
     // robust per-group outliers: exact median + MAD through Selection
     // bucket histograms (no group-window sort), folded to a per-group
     // fingerprint that covers every row's score
@@ -594,6 +605,28 @@ object ScalePack extends QueryPack {
         |  CAST((cum * 10000) // t AS BIGINT) AS cum_share_bp
         |FROM u, tot
         |""".stripMargin,
+
+    // q116: same md5 recipe as the Spark side; rank ties broken by
+    // neg_id so the top-k is total-ordered on both engines
+    "q116_negative_sample" ->
+      """WITH q AS (
+        |  SELECT doc_id AS query_id FROM documents WHERE doc_id % 50 = 0
+        |), p AS (
+        |  SELECT doc_id AS neg_id FROM documents WHERE doc_id % 7 = 0
+        |), s AS (
+        |  SELECT query_id, neg_id,
+        |    CAST(('0x' || substr(md5(CAST(query_id AS VARCHAR) || '|' ||
+        |      CAST(neg_id AS VARCHAR) || '|neg1'), 1, 8)) AS BIGINT) AS h
+        |  FROM q CROSS JOIN p
+        |  WHERE neg_id <> query_id
+        |), r AS (
+        |  SELECT query_id, neg_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY h, neg_id) AS rn
+        |  FROM s
+        |)
+        |SELECT query_id, CAST(rn AS INT) AS neg_rank, neg_id
+        |FROM r WHERE rn <= 8""".stripMargin,
 
     // q113: lower median at rank (n+1)//2 on values, then on absolute
     // deviations; score division is nonnegative, so DuckDB's floor //
