@@ -269,19 +269,37 @@ object Dedup {
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  minDocs: Int): DataFrame = {
     require(minDocs >= 2, "minDocs must be at least 2")
-    val lines = df.select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__l")))
-      .withColumn("__t", trim(col("__l")))
-      .filter(col("__t") =!= "")
-      .withColumn("__h",
-        conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long"))
+    val lines = lineHashes(df, idCol, textCol)
     // distinct (doc, hash) first: a line repeated WITHIN one document
     // counts once toward its document frequency
     val boiler = lines.select(col(idCol), col("__h")).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
       .select(col("__h").as("__bh"))
-    val removed = lines.join(boiler, col("__h") === col("__bh"))
+    removeLinesByHash(df, idCol, textCol, boiler)
+  }
+
+  /** Non-blank lines of each document with their 0-based position and
+    * portable md5-prefix hash: (id, __pos, __h). Shared by the batch
+    * operator and [[graft.streaming.LineDedupStream]]'s frequency
+    * index. */
+  private[graft] def lineHashes(df: DataFrame, idCol: String,
+                                textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__l")))
+      .withColumn("__t", trim(col("__l")))
+      .filter(col("__t") =!= "")
+      .withColumn("__h",
+        conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long"))
+      .select(col(idCol), col("__pos"), col("__h"))
+
+  /** Cut every line whose hash is in `boiler` (single column `__bh`)
+    * out of each document — [[dedupLines]]' reconstruction half. */
+  private[graft] def removeLinesByHash(df: DataFrame, idCol: String,
+                                       textCol: String,
+                                       boiler: DataFrame): DataFrame = {
+    val removed = lineHashes(df, idCol, textCol)
+      .join(boiler, col("__h") === col("__bh"))
       .groupBy(col(idCol)).agg(collect_set(col("__pos")).as("__rm"))
     val ls = col("__ls")
     df.join(removed, Seq(idCol), "left")
