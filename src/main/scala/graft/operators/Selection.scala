@@ -214,6 +214,111 @@ object Selection {
     }
   }
 
+  /** EXACT per-row rank within its group — SQL `RANK()` semantics
+    * (rank = 1 + rows with strictly smaller value; ties share) —
+    * WITHOUT any group-partitioned window over fact rows, completing
+    * the selection family: [[valueAtRanks]] answers "value at rank k",
+    * this answers "rank of every value" (the per-row CDF — percentile
+    * features, calibration curves, exact normalization).
+    *
+    * rank = (rows in lower level-1 buckets) + (rows in lower level-2
+    * buckets of the same level-1 bucket) + (strictly smaller ties in
+    * the same sub-bucket) + 1. The first two terms come from cumsum
+    * windows over per-bucket COUNT rows (≤ 65536 per group / per
+    * (group, b1) — constant-bounded); for value ranges ≤ 2^32 the
+    * sub-bucket holds exactly one value, so the third term is ZERO by
+    * arithmetic and no value-ordered window exists at all. Wider
+    * ranges collapse ties to (value, count) rows first, so the only
+    * value window sees distinct values of single sub-buckets. Ranks
+    * re-attach to rows by an aggregate-shaped (group, bucket[, value])
+    * join — a domain-sized hot group ranks in parallel.
+    *
+    * Output: the input columns plus `rank` and the group's non-null
+    * count `n`. Nulls in `valueCol` fail fast ([[Profile.winsorize]]'s
+    * contract); group cardinality is assumed broadcast-small. */
+  def rankRows(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val guarded = coalesce(col(valueCol).cast("long"),
+      raise_error(lit(s"rankRows: null value in $valueCol")).cast("long"))
+    val facts = df.withColumn("__v", guarded)
+    val gType = df.schema(groupCol).dataType
+    val bSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__bg", gType) +:
+        Seq("__mn", "__n", "__w1", "__w2").map(
+          org.apache.spark.sql.types.StructField(_,
+            org.apache.spark.sql.types.LongType)))
+    val boundRows: Array[Row] = facts.groupBy(col(groupCol)).agg(
+        min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+        count(lit(1)).as("__n"))
+      .withColumn("__w1", expr(s"(__mx - __mn) div ${B}L") + lit(1L))
+      .withColumn("__w2", expr(s"(__w1 - 1) div ${B}L") + lit(1L))
+      .select(col(groupCol), col("__mn"), col("__n"), col("__w1"),
+        col("__w2"))
+      .collect()
+    if (boundRows.isEmpty) return facts.drop("__v")
+      .withColumn("rank", lit(null).cast("long"))
+      .withColumn("n", lit(null).cast("long"))
+      .filter(lit(false))
+    val bounds = spark.createDataFrame(
+      java.util.Arrays.asList(boundRows: _*), bSchema)
+
+    val scoped = facts
+      .join(broadcast(bounds), col(groupCol) <=> col("__bg"))
+      .drop("__bg")
+      .withColumn("__b1", expr("(__v - __mn) div __w1"))
+      .withColumn("__b2", expr("(__v - __mn - __b1 * __w1) div __w2"))
+
+    // per-bucket prefix counts — windows over COUNT rows only
+    val w1 = Window.partitionBy(col(groupCol)).orderBy(col("__b1"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum1 = scoped.groupBy(col(groupCol), col("__b1"))
+      .agg(count(lit(1)).as("__c1"))
+      .withColumn("__cb1", coalesce(sum(col("__c1")).over(w1), lit(0L)))
+      .select(col(groupCol).as("__g1"), col("__b1").as("__rb1"),
+        col("__cb1"))
+    val w2 = Window.partitionBy(col(groupCol), col("__b1"))
+      .orderBy(col("__b2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum2 = scoped.groupBy(col(groupCol), col("__b1"), col("__b2"))
+      .agg(count(lit(1)).as("__c2"))
+      .withColumn("__cb2", coalesce(sum(col("__c2")).over(w2), lit(0L)))
+      .select(col(groupCol).as("__g2"), col("__b1").as("__sb1"),
+        col("__b2").as("__sb2"), col("__cb2"))
+
+    val based = scoped
+      .join(cum1, col(groupCol) <=> col("__g1") &&
+        col("__b1") === col("__rb1"))
+      .join(cum2, col(groupCol) <=> col("__g2") &&
+        col("__b1") === col("__sb1") && col("__b2") === col("__sb2"))
+      .drop("__g1", "__rb1", "__g2", "__sb1", "__sb2")
+
+    val w2max = boundRows.iterator.map(_.getLong(4)).maxOption.getOrElse(1L)
+    val ranked =
+      if (w2max == 1L)
+        // sub-bucket width 1: one value per sub-bucket, no ties below
+        based.withColumn("rank", col("__cb1") + col("__cb2") + 1L)
+      else {
+        // >2^32-wide range: strictly-smaller ties within the sub-bucket
+        // from tie-collapsed (value, count) rows
+        val wv = Window.partitionBy(col(groupCol), col("__b1"),
+            col("__b2")).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val vcum = scoped
+          .groupBy(col(groupCol), col("__b1"), col("__b2"), col("__v"))
+          .agg(count(lit(1)).as("__vc"))
+          .withColumn("__cbv", coalesce(sum(col("__vc")).over(wv), lit(0L)))
+          .select(col(groupCol).as("__gv"), col("__b1").as("__vb1"),
+            col("__b2").as("__vb2"), col("__v").as("__vv"), col("__cbv"))
+        based.join(vcum, col(groupCol) <=> col("__gv") &&
+            col("__b1") === col("__vb1") &&
+            col("__b2") === col("__vb2") && col("__v") === col("__vv"))
+          .withColumn("rank",
+            col("__cb1") + col("__cb2") + col("__cbv") + 1L)
+      }
+    ranked.select(df.columns.map(col) :+ col("rank") :+
+      col("__n").as("n"): _*)
+  }
+
   /** Keep, per group, the first `keepCol` rows in
     * `(md5-bucket(1e6), idCol)` ascending order — the exact semantics
     * of `row_number() over (partition by group order by hash, id)

@@ -236,6 +236,20 @@ object ScalePack extends QueryPack {
         .select("doc_id", "lang")
     }),
 
+    // exact per-row percentile rank (RANK() semantics) via Selection
+    // bucket prefixes — no group-window over fact rows; folded to a
+    // per-group fingerprint whose sum_cross covers every row's rank
+    "q117_pct_rank" -> ((s, dir) =>
+      graft.operators.Selection.rankRows(
+        Tables.load(s, dir, "lineitem").select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "l_returnflag", "cents")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("rank")).as("sum_rank"),
+          max(col("rank")).as("max_rank"),
+          sum(col("rank") * (col("cents") % 997)).as("sum_cross"))),
+
     // contrastive negative sampling: per query, the k pool docs with
     // the smallest portable (query, cand, seed) hash — broadcast pool,
     // per-query windows bounded by |pool|
@@ -605,6 +619,25 @@ object ScalePack extends QueryPack {
         |  CAST((cum * 10000) // t AS BIGINT) AS cum_share_bp
         |FROM u, tot
         |""".stripMargin,
+
+    // q117: RANK() ties semantics on both engines; sum_cross is an
+    // order-independent integer fold over (rank, value) pairs
+    "q117_pct_rank" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |), r AS (
+        |  SELECT g, cents,
+        |    rank() OVER (PARTITION BY g ORDER BY cents) AS rk
+        |  FROM v
+        |)
+        |SELECT g AS l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(rk) AS BIGINT) AS sum_rank,
+        |  CAST(max(rk) AS BIGINT) AS max_rank,
+        |  CAST(sum(rk * (cents % 997)) AS BIGINT) AS sum_cross
+        |FROM r GROUP BY g""".stripMargin,
 
     // q116: same md5 recipe as the Spark side; rank ties broken by
     // neg_id so the top-k is total-ordered on both engines

@@ -229,6 +229,27 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("rankRows: RANK() semantics vs brute force, narrow and >2^32 ranges") {
+    forSeeds(rowsGen, 6) { rows =>
+      // narrow (all values within 2^32) and wide (spread over 2^40 so
+      // the tie-refinement path runs) variants of the same data
+      for (scale <- Seq(1L, 1L << 40)) {
+        val scaled = rows.map { case (id, g, v) => (id, g, v * scale) }
+        val out = graft.operators.Selection.rankRows(
+            scaled.toDF("id", "g", "v"), "g", "v")
+          .select("id", "g", "v", "rank", "n")
+          .as[(Long, String, Long, Long, Long)].collect()
+        assert(out.length == scaled.length)
+        val byG = scaled.groupBy(_._2)
+        out.foreach { case (_, g, v, rk, n) =>
+          val vs = byG(g).map(_._3)
+          assert(n == vs.length)
+          assert(rk == vs.count(_ < v) + 1, s"rank of $v in $g")
+        }
+      }
+    }
+  }
+
   test("dedupLines: equals brute-force boilerplate removal; blanks survive") {
     // lines drawn from a small pool so cross-doc boilerplate emerges;
     // blank and whitespace-only lines mixed in as structure
