@@ -121,7 +121,11 @@ object Bpe {
     val alphabet = model.segments.keysIterator
       .flatMap(w => initSymbols(w)).toSet.toSeq.sorted
     val merged = model.merges.sortBy(_.rank).map(m => m.left + m.right)
-    (alphabet ++ merged).zipWithIndex
+    // first occurrence wins: a fused string can collide with an
+    // alphabet symbol (markup text containing literal "</w>") or with
+    // another merge ("a"+"ab" and "aa"+"b" both fuse to "aab") — the
+    // id map must stay duplicate-free or map_from_arrays throws
+    (alphabet ++ merged).distinct.zipWithIndex
   }
 
   /** UNK id emitted for characters outside the training alphabet. */

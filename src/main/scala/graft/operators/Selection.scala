@@ -50,6 +50,27 @@ object Selection {
   /** Hash-order bucket fan-out (matches [[Splits.bucket]]'s 1e6). */
   private val HB = 1000000
 
+  /** Bucket widths over the group's [min, max] span — ONE formula for
+    * [[valueAtRanks]] and [[rankRows]], computed driver-side AFTER
+    * [[requireSaneRanges]] so an overflowing span fails with the clear
+    * error, not ANSI arithmetic-overflow inside a task. */
+  private def bucketWidths(mn: Long, mx: Long): (Long, Long) = {
+    val w1 = (mx - mn) / B + 1L
+    (w1, (w1 - 1) / B + 1L)
+  }
+
+  /** `__mx - __mn` must be a valid non-negative long: a group spanning
+    * more than half the long domain wraps the subtraction and would
+    * silently corrupt every bucket id — fail fast instead (rescale or
+    * split such a column upstream). */
+  private def requireSaneRanges(rows: Iterable[Row], mnIdx: Int,
+                                mxIdx: Int): Unit =
+    rows.foreach { r =>
+      val mn = r.getLong(mnIdx); val mx = r.getLong(mxIdx)
+      require(mx - mn >= 0,
+        s"group value range [$mn, $mx] exceeds Long.MaxValue")
+    }
+
   /** Rebuild a tiny DataFrame as a literal local relation so every
     * downstream reuse is a broadcast of rows, not a re-run of the
     * aggregation lineage (which would re-scan the input per reuse). */
@@ -92,12 +113,14 @@ object Selection {
       .filter(col("__v").isNotNull)
 
     // scan 1 — one row per group: min/count and the two bucket widths
-    val boundRows: Array[Row] = facts.groupBy(col("__g")).agg(
+    val aggRows = facts.groupBy(col("__g")).agg(
         min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
-        count(lit(1)).as("__n"))
-      .withColumn("__w1", expr(s"(__mx - __mn) div ${B}L") + lit(1L))
-      .withColumn("__w2", expr(s"(__w1 - 1) div ${B}L") + lit(1L))
-      .collect()
+        count(lit(1)).as("__n")).collect()
+    requireSaneRanges(aggRows, mnIdx = 1, mxIdx = 2)
+    val boundRows: Array[Row] = aggRows.map { r =>
+      val (w1, w2) = bucketWidths(r.getLong(1), r.getLong(2))
+      Row(r.get(0), r.getLong(1), r.getLong(2), r.getLong(3), w1, w2)
+    }
     val bounds = spark.createDataFrame(
       java.util.Arrays.asList(boundRows: _*),
       org.apache.spark.sql.types.StructType(Seq(
@@ -244,17 +267,17 @@ object Selection {
     val gType = df.schema(groupCol).dataType
     val bSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("__bg", gType) +:
-        Seq("__mn", "__n", "__w1", "__w2").map(
+        Seq("__mn", "__mx", "__n", "__w1", "__w2").map(
           org.apache.spark.sql.types.StructField(_,
             org.apache.spark.sql.types.LongType)))
-    val boundRows: Array[Row] = facts.groupBy(col(groupCol)).agg(
+    val aggRows = facts.groupBy(col(groupCol)).agg(
         min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
-        count(lit(1)).as("__n"))
-      .withColumn("__w1", expr(s"(__mx - __mn) div ${B}L") + lit(1L))
-      .withColumn("__w2", expr(s"(__w1 - 1) div ${B}L") + lit(1L))
-      .select(col(groupCol), col("__mn"), col("__n"), col("__w1"),
-        col("__w2"))
-      .collect()
+        count(lit(1)).as("__n")).collect()
+    requireSaneRanges(aggRows, mnIdx = 1, mxIdx = 2)
+    val boundRows: Array[Row] = aggRows.map { r =>
+      val (w1, w2) = bucketWidths(r.getLong(1), r.getLong(2))
+      Row(r.get(0), r.getLong(1), r.getLong(2), r.getLong(3), w1, w2)
+    }
     if (boundRows.isEmpty) return facts.drop("__v")
       .withColumn("rank", lit(null).cast("long"))
       .withColumn("n", lit(null).cast("long"))
@@ -292,7 +315,7 @@ object Selection {
         col("__b1") === col("__sb1") && col("__b2") === col("__sb2"))
       .drop("__g1", "__rb1", "__g2", "__sb1", "__sb2")
 
-    val w2max = boundRows.iterator.map(_.getLong(4)).maxOption.getOrElse(1L)
+    val w2max = boundRows.iterator.map(_.getLong(5)).maxOption.getOrElse(1L)
     val ranked =
       if (w2max == 1L)
         // sub-bucket width 1: one value per sub-bucket, no ties below

@@ -99,15 +99,8 @@ object CurationStream {
     // the corpus append dies, the replay recomputes identical verdicts
     // from the already-updated index (corpus_id < new_id excludes
     // self- and higher-id matches).
-    val newIndexRows = gated
-      .join(index.select("doc_id"), Seq("doc_id"), "left_anti")
-    if (!newIndexRows.isEmpty)
-      newIndexRows.write.mode("append").parquet(indexPath)
-    val corpus = readIfExists(spark, corpusPath, indexSchema)
-    val newCorpusRows = accepted
-      .join(corpus.select("doc_id"), Seq("doc_id"), "left_anti")
-    if (!newCorpusRows.isEmpty)
-      newCorpusRows.write.mode("append").parquet(corpusPath)
+    Commits.appendIfAbsent(gated, indexPath, "doc_id")
+    Commits.appendIfAbsent(accepted, corpusPath, "doc_id")
   }
 
   /** Drive [[commitBatch]] from a stream of (doc_id, lang, text) rows —

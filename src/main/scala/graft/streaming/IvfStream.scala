@@ -33,21 +33,16 @@ object IvfStream {
     * vectors not already present. Idempotent under replay. */
   def commitBatch(batch: DataFrame, model: Ivf.Model,
                   postingsPath: String): Unit = {
-    val spark = batch.sparkSession
+    // eager checkpoint: the assignment kernel must run once, not once
+    // per downstream action (isEmpty probe + anti-join + write)
     val assigned = Ivf.assign(
         batch.select(col("vec_id").cast("long").as("vec_id"),
           col("embedding")),
         "vec_id", "embedding", model)
       .select("vec_id", "embedding", "cluster_id")
+      .localCheckpoint(true)
     if (assigned.isEmpty) return
-    val p = new org.apache.hadoop.fs.Path(postingsPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh =
-      if (!fs.exists(p)) assigned
-      else assigned.join(
-        spark.read.parquet(postingsPath).select("vec_id"),
-        Seq("vec_id"), "left_anti")
-    if (!fresh.isEmpty) fresh.write.mode("append").parquet(postingsPath)
+    Commits.appendIfAbsent(assigned, postingsPath, "vec_id")
   }
 
   /** Drive [[commitBatch]] from a stream of (vec_id, embedding) rows. */

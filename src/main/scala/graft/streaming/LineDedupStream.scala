@@ -17,11 +17,11 @@ import graft.operators.Dedup
   *
   * State is the line-frequency INDEX on disk: append-only
   * (line_hash, n_docs, batch_id) partial counts, summed at read time
-  * — no per-batch rewrite of a corpus-sized table. Replayed batches
-  * are detected by their `batch_id` marker rows and skip the append,
-  * so at-least-once delivery never double-counts (and the cleaned
-  * output appends through a doc_id anti-join, the
-  * [[CurationStream.commitBatch]] idempotence pattern).
+  * — no per-batch rewrite of a corpus-sized table. Same-batch replays
+  * are detected by `batch_id` marker rows; cross-batch re-delivery of
+  * an already-emitted doc is dropped by an anti-join before counting
+  * (see [[commitBatch]] for the one crash window that remains), and
+  * the cleaned output appends through [[Commits.appendIfAbsent]].
   *
   * Scale: per batch, |batch| line hashes shuffle for the distinct +
   * count; the index read is a column-pruned scan aggregated by an
@@ -32,20 +32,35 @@ object LineDedupStream {
 
   /** One commit: fold `batch`'s line frequencies into the index
     * (skipped on replay), then emit the batch cleaned against the
-    * updated totals. */
+    * updated totals.
+    *
+    * Two re-delivery guards compose: the `batch_id` marker makes a
+    * SAME-batch replay skip the index fold even when the output append
+    * died mid-commit, and the anti-join against already-EMITTED docs
+    * makes a doc re-delivered in a LATER batch (upstream retry,
+    * overlapping backfill) count zero a second time. The uncovered
+    * window is a doc whose first commit crashed between index and
+    * output appends AND that is then re-delivered under a NEW batch id
+    * — that doc's lines count twice until a batch [[Dedup.dedupLines]]
+    * run over the accumulated corpus reconciles the index. */
   def commitBatch(batch: DataFrame, indexPath: String, outPath: String,
                   minDocs: Int, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val docs = batch
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delivered = batch
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val docs = (
+      if (!fs.exists(outP)) delivered
+      else delivered.join(
+        spark.read.parquet(outPath).select("doc_id"),
+        Seq("doc_id"), "left_anti"))
       .localCheckpoint(true)
     if (docs.isEmpty) return
 
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val indexExists = fs.exists(p)
-    val replayed = indexExists && !spark.read.parquet(indexPath)
-      .filter(col("batch_id") === batchId).isEmpty
+    val replayed = fs.exists(new org.apache.hadoop.fs.Path(indexPath)) &&
+      !spark.read.parquet(indexPath)
+        .filter(col("batch_id") === batchId).isEmpty
     if (!replayed) {
       // a line counts once per doc, summed at read time across batches
       Dedup.lineHashes(docs, "doc_id", "text")
@@ -59,14 +74,9 @@ object LineDedupStream {
       .groupBy(col("__h")).agg(sum(col("n_docs")).as("__df"))
       .filter(col("__df") >= minDocs)
       .select(col("__h").as("__bh"))
-    val cleaned = Dedup.removeLinesByHash(docs, "doc_id", "text", boiler)
-    val outP = new org.apache.hadoop.fs.Path(outPath)
-    val fresh =
-      if (!fs.exists(outP)) cleaned
-      else cleaned.join(
-        spark.read.parquet(outPath).select("doc_id"),
-        Seq("doc_id"), "left_anti")
-    if (!fresh.isEmpty) fresh.write.mode("append").parquet(outPath)
+    Commits.appendIfAbsent(
+      Dedup.removeLinesByHash(docs, "doc_id", "text", boiler),
+      outPath, "doc_id")
   }
 
   /** Drive [[commitBatch]] from a stream of (doc_id, text) rows. */

@@ -70,6 +70,24 @@ class BpeSpec extends SparkSpec {
     assert(model.segments.keySet == Set("aa", "bb"))
   }
 
+  test("vocab: a fused symbol colliding with the alphabet keeps one id") {
+    // markup-heavy corpora can LEARN the literal end-of-word string:
+    // merges <+/ , </+w , </w+> fuse to "</w>", which the alphabet
+    // already contains as Eow — the id map must stay duplicate-free
+    val model = Bpe.BpeModel(
+      merges = Seq(Bpe.Merge(0, "<", "/", 9L),
+        Bpe.Merge(1, "</", "w", 8L), Bpe.Merge(2, "</w", ">", 7L)),
+      segments = Map("</w>" -> Seq("</w>", Bpe.Eow)))
+    val v = Bpe.vocab(model)
+    assert(v.map(_._1).distinct.size == v.size, "duplicate vocab symbol")
+    assert(v.map(_._2) == v.indices, "ids not dense")
+    // the map literal must build (no DUPLICATE_MAP_KEY) and encode
+    val enc = Bpe.encodeIds(Seq((1L, "</w>")).toDF("doc_id", "text"),
+      "doc_id", "text", model)
+      .as[(Long, Seq[Int], Long, Long, Long)].head()
+    assert(enc._5 == 0L, "in-vocab symbols must not map to UNK")
+  }
+
   test("encodeIds: ids decode back to tokens; unseen chars become UNK") {
     val train = Seq((1L, "low lower lowest low low"),
       (2L, "new newer newest new")).toDF("doc_id", "text")

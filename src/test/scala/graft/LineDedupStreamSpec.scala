@@ -53,6 +53,10 @@ class LineDedupStreamSpec extends SparkSpec {
     // replay batch 1 out-of-band with its original batch id
     LineDedupStream.commitBatch(b1.toDF("doc_id", "text"), idx, out,
       minDocs, batchId = 1L)
+    // cross-batch re-delivery: doc 3 arrives AGAIN under a new batch
+    // id (upstream retry) — already emitted, so it must count zero
+    LineDedupStream.commitBatch(Seq(b1.head).toDF("doc_id", "text"),
+      idx, out, minDocs, batchId = 99L)
 
     val got = spark.read.parquet(out)
       .as[(Long, Long, Long, String)].collect()

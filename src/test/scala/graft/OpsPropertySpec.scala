@@ -229,6 +229,18 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("selection family fails fast on a range exceeding Long.MaxValue") {
+    val df = Seq((1L, "g", Long.MinValue), (2L, "g", Long.MaxValue))
+      .toDF("id", "g", "v")
+    intercept[IllegalArgumentException] {
+      graft.operators.Selection.rankRows(df, "g", "v")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Selection.valueAtRanks(df, "g", "v",
+        Seq("m" -> "(__n + 1L) div 2L"))
+    }
+  }
+
   test("rankRows: RANK() semantics vs brute force, narrow and >2^32 ranges") {
     forSeeds(rowsGen, 6) { rows =>
       // narrow (all values within 2^32) and wide (spread over 2^40 so
