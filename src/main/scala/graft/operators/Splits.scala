@@ -151,17 +151,33 @@ object Splits {
     * shortfall) — weighted groups present in the data only. */
   def mixtureAllocate(df: DataFrame, groupCol: String, tokenCol: String,
                       budget: Long, weights: Map[String, Long]): DataFrame = {
-    require(budget >= 0, "budget must be non-negative")
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be positive")
+    allocateFromAvail(
+      df.groupBy(col(groupCol))
+        .agg(sum(col(tokenCol)).cast("long").as("avail_tokens")),
+      groupCol, budget, weights)
+  }
+
+  /** Largest-remainder apportionment over an already-aggregated
+    * (group, avail_tokens) summary — [[mixtureAllocate]]'s arithmetic
+    * half, shared with [[curriculumSchedule]] (which allocates every
+    * phase off ONE corpus scan). Zero weights are allowed here — a
+    * phase may switch a group off — as long as the total is positive. */
+  private[graft] def allocateFromAvail(avail: DataFrame, groupCol: String,
+                                       budget: Long,
+                                       weights: Map[String, Long]): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
+      weights.values.sum > 0,
+      "weights must be non-negative with a positive total")
     val totalW = weights.values.sum
     require(budget <= Long.MaxValue / totalW,
       "budget * totalW must fit in 64 bits")
     val w = org.apache.spark.sql.expressions.Window
-    val wTbl = broadcast(df.sparkSession.createDataFrame(
+    val wTbl = broadcast(avail.sparkSession.createDataFrame(
       weights.toSeq.map(kv => (kv._1, kv._2))).toDF(groupCol, "__w"))
-    df.groupBy(col(groupCol))
-      .agg(sum(col(tokenCol)).cast("long").as("avail_tokens"))
+    avail
       .join(wTbl, Seq(groupCol))
       .withColumn("__t", expr(s"(${budget}L * __w) div ${totalW}L"))
       .withColumn("__rem", expr(s"(${budget}L * __w) % ${totalW}L"))
@@ -177,6 +193,41 @@ object Splits {
       .withColumn("shortfall", col("target_tokens") - col("alloc_tokens"))
       .select(col(groupCol), col("avail_tokens"), col("target_tokens"),
         col("alloc_tokens"), col("shortfall"))
+  }
+
+  /** Curriculum data-mixing schedule: `budgets.length` training phases
+    * whose relative group weights INTERPOLATE linearly from
+    * `startWeights` to `endWeights` — the standard "web-heavy early,
+    * curated-heavy late" curriculum — each phase apportioning its own
+    * token budget by largest remainder. The interpolation is the exact
+    * unnormalized integer lerp `w_p = start·(P−1−p) + end·p`
+    * (apportionment only uses weight RATIOS, so no division, no
+    * drift); a phase may interpolate a group's weight to zero. The
+    * corpus is scanned ONCE for availability; every phase's allocation
+    * is window work over the per-group summary. Output: (phase, group,
+    * avail_tokens, target_tokens, alloc_tokens, shortfall). */
+  def curriculumSchedule(df: DataFrame, groupCol: String,
+                         tokenCol: String, budgets: Seq[Long],
+                         startWeights: Map[String, Long],
+                         endWeights: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "at least one phase")
+    require(startWeights.keySet == endWeights.keySet,
+      "start and end weights must cover the same groups")
+    val nP = budgets.length
+    val avail = df.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).cast("long").as("avail_tokens"))
+      .localCheckpoint(true)
+    budgets.zipWithIndex.map { case (b, p) =>
+      val wp =
+        if (nP == 1) startWeights
+        else startWeights.map { case (g, s) =>
+          g -> (s * (nP - 1 - p) + endWeights(g) * p)
+        }
+      allocateFromAvail(avail, groupCol, b, wp)
+        .withColumn("phase", lit(p))
+    }.reduce(_ unionByName _)
+      .select(col("phase"), col(groupCol), col("avail_tokens"),
+        col("target_tokens"), col("alloc_tokens"), col("shortfall"))
   }
 
   /** Epoch/upsampling plan on top of [[mixtureAllocate]]: when the

@@ -258,6 +258,16 @@ object LlmPack extends QueryPack {
       graft.operators.TextAnalysis.encodingQuality(
         Tables.load(s, dir, "documents"), "doc_id", "text")),
 
+    // curriculum schedule: three phases, weights lerping from the q107
+    // mix to uniform, growing budgets — one scan, exact integers
+    "q118_curriculum" -> ((s, dir) =>
+      graft.operators.Splits.curriculumSchedule(
+        Tables.load(s, dir, "documents").select(col("source"),
+          size(graft.operators.TextAnalysis.words(col("text")))
+            .as("n_tokens")),
+        "source", "n_tokens", budgets = CurricBudgets,
+        startWeights = MixWeights, endWeights = CurricEnd)),
+
     // epoch/upsampling plan: q107's apportionment at a 40x budget so
     // targets exceed availability — exact repeat epochs + final-pass
     // fraction per source, over-repetition flagged
@@ -289,14 +299,25 @@ object LlmPack extends QueryPack {
   private val MixWeights: Map[String, Long] =
     (0 until 10).map(i => s"src$i" -> (((i % 4) + 1).toLong * 5L)).toMap
   private val MixBudget = 30000L
+  /** q118's curriculum spec: three phases warming from the q107 mix to
+    * a uniform end mix, with a growing per-phase budget. */
+  private val CurricBudgets = Seq(10000L, 20000L, 40000L)
+  private val CurricEnd: Map[String, Long] =
+    MixWeights.map { case (g, _) => g -> 10L }
+  private def curricPhaseWeights(p: Int): Map[String, Long] =
+    MixWeights.map { case (g, s) =>
+      g -> (s * (CurricBudgets.length - 1 - p) + CurricEnd(g) * p)
+    }
 
   /** The largest-remainder mixture CTE chain (`a`..`d`) shared by the
-    * q107 and q115 oracles, parameterized by budget — the same
-    * literals the Spark side embeds. */
-  private def mixtureSqlCtes(budget: Long): String = {
-    val wVals = MixWeights.toSeq.sorted
+    * q107/q115/q118 oracles, parameterized by budget and weights — the
+    * same literals the Spark side embeds. */
+  private def mixtureSqlCtes(budget: Long,
+                             weights: Map[String, Long] = MixWeights)
+      : String = {
+    val wVals = weights.toSeq.sorted
       .map { case (g, wt) => s"('$g', $wt)" }.mkString(", ")
-    val totalW = MixWeights.values.sum
+    val totalW = weights.values.sum
     s"""a AS (
        |  SELECT source,
        |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
@@ -892,6 +913,18 @@ object LlmPack extends QueryPack {
          |  CAST(target_tokens - least(target_tokens, avail_tokens)
          |    AS BIGINT) AS shortfall
          |FROM d""".stripMargin,
+
+    // q118: one phase block per budget with its Scala-generated lerped
+    // weight literals, UNION ALL'd — WITH scoped inside each subquery
+    "q118_curriculum" -> CurricBudgets.zipWithIndex.map { case (b, p) =>
+      s"""SELECT $p AS phase, source, avail_tokens, target_tokens,
+         |  CAST(least(target_tokens, avail_tokens) AS BIGINT)
+         |    AS alloc_tokens,
+         |  CAST(target_tokens - least(target_tokens, avail_tokens)
+         |    AS BIGINT) AS shortfall
+         |FROM (WITH ${mixtureSqlCtes(b, curricPhaseWeights(p))}
+         |  SELECT source, avail_tokens, target_tokens FROM d)""".stripMargin
+    }.mkString("\nUNION ALL\n"),
 
     // q115: q107's chain at a 40x budget (so targets exceed
     // availability), resolved into repeat epochs + a final fraction
