@@ -197,6 +197,50 @@ object LangModel {
     * Output: (idCol, n_scored, weight_fp, selected). Both trainings
     * are word-count-shaped; scoring is broadcast-join map work — the
     * whole pipeline inherits [[train]]/[[score]]'s scale posture. */
+  /** Both LMs' surprisal sums off ONE bigram explosion: the corpus is
+    * exploded and aggregated once, with six broadcast count-table
+    * joins, instead of twice through [[score]] — the explosion and the
+    * per-doc aggregate are the dominant cost of DSIR, the LM lookups
+    * are broadcast-cheap. Numerically identical to two [[score]]
+    * calls. Output: (id, n_scored, __tfp, __cfp). */
+  private def scorePair(lmT: BigramLm, lmC: BigramLm, df: DataFrame,
+                        idCol: String, textCol: String,
+                        lambda: Double): DataFrame = {
+    val docBi = df
+      .select(col(idCol).as("__d"),
+        explode(bigramsOf(col(textCol))).as("b"))
+      .select(col("__d"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    def fpOf(lm: BigramLm, tag: String) = {
+      val denom = lm.totalTokens.toDouble + lm.vocabSize.toDouble + 1.0
+      val p1 = (coalesce(col(s"__c2$tag"), lit(0L)).cast("double") +
+        lit(1.0)) / denom
+      val pBi = when(col(s"__cb$tag").isNotNull &&
+          col(s"__c1$tag").isNotNull,
+        col(s"__cb$tag").cast("double") / col(s"__c1$tag").cast("double"))
+        .otherwise(lit(0.0))
+      floor(-log(lit(lambda) * pBi + lit(1.0 - lambda) * p1) *
+        lit(Scale)).cast("long")
+    }
+    def joined(base: DataFrame, lm: BigramLm, tag: String) = base
+      .join(broadcast(lm.bigrams.select(col("w1"), col("w2"),
+        col("c_bi").as(s"__cb$tag"))), Seq("w1", "w2"), "left")
+      .join(broadcast(lm.unigrams.select(col("w").as("w1"),
+        col("c_uni").as(s"__c1$tag"))), Seq("w1"), "left")
+      .join(broadcast(lm.unigrams.select(col("w").as("w2"),
+        col("c_uni").as(s"__c2$tag"))), Seq("w2"), "left")
+    val perDoc = joined(joined(docBi, lmT, "t"), lmC, "c")
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(fpOf(lmT, "t")).as("__tfp"), sum(fpOf(lmC, "c")).as("__cfp"))
+    df.select(col(idCol))
+      .join(perDoc, col(idCol) === col("__d"), "left")
+      .select(col(idCol),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("__tfp"), lit(0L)).as("__tfp"),
+        coalesce(col("__cfp"), lit(0L)).as("__cfp"))
+  }
+
   def importanceSelect(df: DataFrame, idCol: String, textCol: String,
                        targetPred: org.apache.spark.sql.Column,
                        nKeep: Long,
@@ -207,10 +251,7 @@ object LangModel {
     val lmTarget = train(df.filter(targetPred), textCol,
       topUnigrams, topBigrams)
     val lmCorpus = train(df, textCol, topUnigrams, topBigrams)
-    val scored = score(lmTarget, df, idCol, textCol, lambda)
-      .select(col(idCol), col("n_scored"), col("surprisal_fp").as("__tfp"))
-      .join(score(lmCorpus, df, idCol, textCol, lambda)
-        .select(col(idCol), col("surprisal_fp").as("__cfp")), Seq(idCol))
+    val scored = scorePair(lmTarget, lmCorpus, df, idCol, textCol, lambda)
       .withColumn("weight_fp", when(col("n_scored") > 0,
         expr("(__cfp - __tfp) * 1000L div n_scored"))
         .otherwise(lit(Long.MinValue + 1L)))
