@@ -86,6 +86,38 @@ object CorpusSim {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** Corpus drift SERIES: resemblance of every pair of CONSECUTIVE
+    * snapshots (day number, dump id, ingest shard — any numeric
+    * sequence where `snap` and `snap+1` are adjacent). The batch twin
+    * of [[graft.streaming.SketchStream]]: per-snapshot bottom-k KMV
+    * sketches (one partial-agg shuffle of 8-byte gram hashes), then
+    * [[pairJaccard]] on the driver over model-sized k-long arrays.
+    * KMV over the portable md5 gram hash is DETERMINISTIC, so the
+    * whole series — sketches, union sizes, overlap counts — is exact
+    * and oracle-checkable. Output: (snap_prev, snap, sketch_size,
+    * n_both, jaccard_bp). */
+  def driftSeries(df: DataFrame, snapCol: String, textCol: String,
+                  n: Int, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val sketches: Array[(Long, Set[Long])] =
+      bottomKSketches(
+          df.select(col(snapCol).cast("long").as("__snap"), col(textCol)),
+          "__snap", textCol, n, k)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet))
+    val byId = sketches.toMap
+    val rows = sketches.map(_._1).sorted.toIndexedSeq.flatMap { s =>
+      byId.get(s + 1L).map { nxt =>
+        val (size, nBoth, bp) = pairJaccard(byId(s), nxt, k)
+        Row(s, s + 1L, size, nBoth, bp)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq("snap_prev", "snap", "sketch_size", "n_both", "jaccard_bp")
+        .map(org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** Resemblance of two bottom-k sketches: (sketch_size, n_both,
     * jaccard_bp). The k smallest of the union of two sketches are
     * EXACTLY the union corpus's sketch, so this estimator composes

@@ -137,6 +137,32 @@ object TextAnalysis {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Feature hashing (the hashing trick, Weinberger et al. ICML'09):
+    * every document becomes a sparse `dim`-bucket vector with NO
+    * trained vocabulary — bucket = portable word hash mod dim, weight
+    * = signed count (sign from the hash's next bit, which unbiases
+    * collisions). All-integer and engine-portable, so the featurizer
+    * is oracle-checkable end to end; output is LONG format (id,
+    * bucket, weight), the join/pivot-ready sparse encoding. One
+    * partial-agg shuffle on (id, bucket) — word-count shape. Zero
+    * weights (colliding +1/−1) are dropped: they carry no signal and
+    * long-format sparsity is the point. */
+  def hashFeatures(df: DataFrame, idCol: String, textCol: String,
+                   dim: Int, seed: String): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val h = conv(substring(md5(concat(col("__w"), lit("|" + seed))),
+      1, 8), 16, 10).cast("long")
+    df.select(col(idCol), explode(words(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .withColumn("__h", h)
+      .withColumn("bucket", expr(s"__h % ${dim}L"))
+      .withColumn("__s",
+        when(expr(s"(__h div ${dim}L) % 2L") === 0L, 1L).otherwise(-1L))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__s")).as("weight"))
+      .filter(col("weight") =!= 0L)
+  }
+
   /** Decontamination as a TRANSFORMATION: drop every non-benchmark
     * document whose distinct-n-gram overlap with the benchmark slice
     * reaches `minOverlap` (the docs [[benchmarkOverlap]] only reports),

@@ -258,6 +258,21 @@ object LlmPack extends QueryPack {
       graft.operators.TextAnalysis.encodingQuality(
         Tables.load(s, dir, "documents"), "doc_id", "text")),
 
+    // feature hashing (the hashing trick): sparse long-format vectors
+    // with no trained vocab — portable hash bucket + sign bit, all
+    // integer, one word-count-shaped shuffle
+    "q119_hash_features" -> ((s, dir) =>
+      TextAnalysis.hashFeatures(Tables.load(s, dir, "documents"),
+        "doc_id", "text", dim = 256, seed = "fh1")),
+
+    // corpus drift series: consecutive doc_id-div-125 snapshots
+    // compared by deterministic KMV sketches — exact end to end
+    "q120_drift_series" -> ((s, dir) =>
+      graft.operators.CorpusSim.driftSeries(
+        Tables.load(s, dir, "documents")
+          .withColumn("snap", expr("doc_id div 125")),
+        "snap", "text", n = 3, k = 256)),
+
     // curriculum schedule: three phases, weights lerping from the q107
     // mix to uniform, growing budgets — one scan, exact integers
     "q118_curriculum" -> ((s, dir) =>
@@ -913,6 +928,69 @@ object LlmPack extends QueryPack {
          |  CAST(target_tokens - least(target_tokens, avail_tokens)
          |    AS BIGINT) AS shortfall
          |FROM d""".stripMargin,
+
+    // q119: same md5-prefix hash, modulus bucket, and sign bit as the
+    // Spark side; zero weights dropped on both engines
+    "q119_hash_features" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(w || '|fh1'), 1, 8)) AS BIGINT) AS h
+        |  FROM w WHERE w <> ''
+        |), s AS (
+        |  SELECT doc_id, h % 256 AS bucket,
+        |    CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM h
+        |)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(sum(sgn) AS BIGINT) AS weight
+        |FROM s GROUP BY 1, 2 HAVING sum(sgn) <> 0""".stripMargin,
+
+    // q120: KMV is deterministic — k smallest distinct gram hashes per
+    // snapshot via rank, union-sketch of each consecutive pair, exact
+    // overlap counts; the same shingle construction as ShinglesSql
+    "q120_drift_series" ->
+      """WITH w AS (
+        |  SELECT doc_id // 125 AS snap,
+        |    regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT snap, array_to_string(words[i:i+2], ' ') AS s
+        |  FROM w, LATERAL (SELECT unnest(generate_series(
+        |    1, greatest(1, len(words) - 2))) AS i) g
+        |), hh AS (
+        |  SELECT DISTINCT snap,
+        |    CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h
+        |  FROM sh
+        |), rk AS (
+        |  SELECT snap, h,
+        |    row_number() OVER (PARTITION BY snap ORDER BY h) AS rn
+        |  FROM hh
+        |), sk AS (SELECT snap, h FROM rk WHERE rn <= 256),
+        |snaps AS (SELECT DISTINCT snap FROM sk),
+        |pairs AS (
+        |  SELECT a.snap AS s0, b.snap AS s1
+        |  FROM snaps a JOIN snaps b ON b.snap = a.snap + 1
+        |), mrg AS (
+        |  SELECT p.s0, p.s1, sk.h,
+        |    max(CASE WHEN sk.snap = p.s0 THEN 1 ELSE 0 END) AS in0,
+        |    max(CASE WHEN sk.snap = p.s1 THEN 1 ELSE 0 END) AS in1
+        |  FROM pairs p JOIN sk ON sk.snap = p.s0 OR sk.snap = p.s1
+        |  GROUP BY 1, 2, 3
+        |), r2 AS (
+        |  SELECT s0, s1, in0, in1,
+        |    row_number() OVER (PARTITION BY s0, s1 ORDER BY h) AS rn
+        |  FROM mrg
+        |)
+        |SELECT s0 AS snap_prev, s1 AS snap,
+        |  CAST(count(*) AS BIGINT) AS sketch_size,
+        |  CAST(sum(in0 * in1) AS BIGINT) AS n_both,
+        |  CAST(sum(in0 * in1) * 10000 // count(*) AS BIGINT)
+        |    AS jaccard_bp
+        |FROM r2 WHERE rn <= 256 GROUP BY 1, 2""".stripMargin,
 
     // q118: one phase block per budget with its Scala-generated lerped
     // weight literals, UNION ALL'd — WITH scoped inside each subquery
