@@ -143,6 +143,30 @@ class FunctionsSpec extends SparkSpec {
     assert(byGrp.exists { case (g, s) => reseeded(g) != s })
   }
 
+  test("curriculumSchedule: per-phase budget exactness, pure-mix endpoints") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", 100L), ("b", 300L), ("c", 600L)).toDF("g", "n")
+    val start = Map("a" -> 8L, "b" -> 1L, "c" -> 1L)
+    val end = Map("a" -> 1L, "b" -> 1L, "c" -> 8L)
+    val budgets = Seq(999L, 1000L, 1001L)
+    val out = graft.operators.Splits.curriculumSchedule(
+        df, "g", "n", budgets, start, end)
+      .select("phase", "g", "target_tokens")
+      .as[(Int, String, Long)].collect()
+    // largest remainder: every phase's targets sum EXACTLY to its budget
+    val byPhase = out.groupBy(_._1)
+    budgets.zipWithIndex.foreach { case (b, p) =>
+      assert(byPhase(p).map(_._3).sum == b, s"phase $p misses its budget")
+    }
+    // endpoint phases equal the pure start/end mixes (lerp scale factors
+    // cancel in the ratios)
+    def pure(b: Long, w: Map[String, Long]) =
+      graft.operators.Splits.mixtureAllocate(df, "g", "n", b, w)
+        .select("g", "target_tokens").as[(String, Long)].collect().toMap
+    assert(byPhase(0).map(t => t._2 -> t._3).toMap == pure(999L, start))
+    assert(byPhase(2).map(t => t._2 -> t._3).toMap == pure(1001L, end))
+  }
+
   test("dedupSafeSplit: near-dup clusters never straddle splits") {
     import org.apache.spark.sql.functions.col
     val docs = (1 to 200).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "t")
