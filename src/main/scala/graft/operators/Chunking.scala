@@ -90,4 +90,38 @@ object Chunking {
     counts.withColumn("rank", row_number().over(w))
       .select("rank", "term", "n")
   }
+
+  /** Per-GROUP top-k vocabulary (per-language stopword/tokenizer seed
+    * lists) without a per-group rank window over vocab rows — at
+    * corpus scale a language's vocabulary is millions of terms, and
+    * `row_number() over (partition by lang order by c desc)` would
+    * sort each language's whole vocabulary in one task. Instead the
+    * k-th largest count per group resolves through
+    * [[Selection.valueAtRanks]] on NEGATED counts (rank k ascending of
+    * −c), and the count table filters against the broadcast
+    * thresholds. Every term TIED at the threshold is kept — the
+    * multiset's k-th largest value is tie-order-independent, so the
+    * result is deterministic and engine-reproducible (|result| may
+    * exceed k by the tie width, SQL `rank() <= k` semantics). Output:
+    * (group, term, c). */
+  def topVocabPerGroup(df: DataFrame, groupCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    // checkpointed: the threshold resolution and the final filter both
+    // read this word-count — without it the explode+shuffle reruns per
+    // Selection scan
+    val counts = df
+      .select(col(groupCol), explode(TextAnalysis.words(col(textCol)))
+        .as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val thr = Selection.valueAtRanks(
+        counts.withColumn("__neg", -col("c")), groupCol, "__neg",
+        Seq("kth" -> s"least(__n, ${k}L)"))
+      .select(col(groupCol), (-col("value")).as("__thr"))
+    counts.join(broadcast(thr), Seq(groupCol))
+      .filter(col("c") >= col("__thr"))
+      .select(col(groupCol), col("term"), col("c"))
+  }
 }

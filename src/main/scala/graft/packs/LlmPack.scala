@@ -258,6 +258,13 @@ object LlmPack extends QueryPack {
       graft.operators.TextAnalysis.encodingQuality(
         Tables.load(s, dir, "documents"), "doc_id", "text")),
 
+    // stratified top-k vocabulary: per-language top-50 terms, the
+    // k-th-largest-count threshold resolved through Selection — no
+    // per-group rank window over vocab rows; threshold ties all kept
+    "q121_top_vocab_strat" -> ((s, dir) =>
+      Chunking.topVocabPerGroup(Tables.load(s, dir, "documents"),
+        "lang", "text", k = 50)),
+
     // feature hashing (the hashing trick): sparse long-format vectors
     // with no trained vocab — portable hash bucket + sign bit, all
     // integer, one word-count-shaped shuffle
@@ -928,6 +935,28 @@ object LlmPack extends QueryPack {
          |  CAST(target_tokens - least(target_tokens, avail_tokens)
          |    AS BIGINT) AS shortfall
          |FROM d""".stripMargin,
+
+    // q121: threshold = value at descending-count position least(n, k)
+    // — the multiset's k-th largest, tie-order-independent on both
+    // engines; every term at or above it survives
+    "q121_top_vocab_strat" ->
+      """WITH t AS (
+        |  SELECT lang, w AS term, count(*) AS c FROM (
+        |    SELECT lang,
+        |      unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents) u
+        |  WHERE w <> '' GROUP BY 1, 2
+        |), r AS (
+        |  SELECT lang, c,
+        |    row_number() OVER (PARTITION BY lang ORDER BY c DESC) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM t
+        |), thr AS (
+        |  SELECT lang, max(CASE WHEN rn = least(n, 50) THEN c END) AS th
+        |  FROM r GROUP BY lang
+        |)
+        |SELECT t.lang, term, CAST(c AS BIGINT) AS c
+        |FROM t JOIN thr USING (lang) WHERE c >= th""".stripMargin,
 
     // q119: same md5-prefix hash, modulus bucket, and sign bit as the
     // Spark side; zero weights dropped on both engines
