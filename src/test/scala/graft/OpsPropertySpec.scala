@@ -229,6 +229,33 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("topVocabPerGroup: equals brute-force k-th-largest threshold filter") {
+    val docsGen: Gen[List[(Long, String, String)]] =
+      Gen.listOfN(20, for {
+        id <- Gen.choose(0L, 500L)
+        g <- Gen.oneOf("en", "de")
+        words <- Gen.listOfN(12, Gen.oneOf(
+          "a", "b", "c", "d", "e", "f", "g", "h"))
+      } yield (id, g, words.mkString(" "))).map(_.distinctBy(_._1))
+    val k = 3
+    forSeeds(docsGen, 6) { docs =>
+      val out = graft.operators.Chunking.topVocabPerGroup(
+          docs.toDF("doc_id", "lang", "text"), "lang", "text", k)
+        .as[(String, String, Long)].collect().toSet
+      val counts = docs
+        .flatMap { case (_, g, t) => t.split("\\s+").map(w => (g, w)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected = counts.keys.groupBy(_._1).flatMap { case (g, keys) =>
+        // keys is a Set — map counts over a Seq or tied values collapse
+        val cs = keys.toSeq.map(counts).sorted(Ordering[Long].reverse)
+        val thr = cs(math.min(k, cs.length) - 1)
+        keys.filter(kk => counts(kk) >= thr)
+          .map(kk => (g, kk._2, counts(kk)))
+      }.toSet
+      assert(out == expected)
+    }
+  }
+
   test("selection family fails fast on a range exceeding Long.MaxValue") {
     val df = Seq((1L, "g", Long.MinValue), (2L, "g", Long.MaxValue))
       .toDF("id", "g", "v")
