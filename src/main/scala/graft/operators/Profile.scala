@@ -117,6 +117,49 @@ object Profile {
       .drop("__lo", "__hi")
   }
 
+  /** Dataset card: the per-source summary a curation pipeline
+    * publishes next to the data — docs, tokens, characters, empty and
+    * exact-duplicate counts, integer-cents mean length, and the
+    * language mix — in long format (source, metric, value), all exact
+    * integers so the whole card is oracle-checkable. Duplicates use
+    * [[Dedup.exact]]'s global canonical-min-id rule and are counted
+    * against the DUPLICATE's source (the source that shipped the
+    * redundant copy). Shuffle shape: two source-keyed partial
+    * aggregates + the exact-dedup text-hash groupBy; the unions are
+    * plan-level only. */
+  def datasetCard(df: DataFrame, sourceCol: String, idCol: String,
+                  langCol: String, textCol: String): DataFrame = {
+    val base = df.groupBy(col(sourceCol)).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.words(col(textCol))))
+          .cast("long").as("n_tokens"),
+        sum(length(col(textCol))).cast("long").as("total_chars"),
+        sum(when(trim(col(textCol)) === "", 1L).otherwise(0L))
+          .as("n_empty"))
+      .withColumn("avg_tokens_c",
+        expr("n_tokens * 100L div greatest(n_docs, 1L)"))
+      .localCheckpoint(true) // five stack rows + the dup left join
+    val longBase = base.select(col(sourceCol), expr(
+      """stack(5,
+        |  'n_docs', n_docs, 'n_tokens', n_tokens,
+        |  'total_chars', total_chars, 'n_empty', n_empty,
+        |  'avg_tokens_c', avg_tokens_c) AS (metric, value)"""
+        .stripMargin))
+    val dups = Dedup.exact(df, idCol, textCol)
+      .filter(col("is_dup") === 1)
+      .join(df.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val dupRows = base.select(col(sourceCol))
+      .join(dups, Seq(sourceCol), "left")
+      .select(col(sourceCol), lit("n_exact_dup").as("metric"),
+        coalesce(col("__n"), lit(0L)).as("value"))
+    val langRows = df.groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("value"))
+      .select(col(sourceCol),
+        concat(lit("n_lang_"), col(langCol)).as("metric"), col("value"))
+    longBase.unionByName(dupRows).unionByName(langRows)
+  }
+
   /** Robust per-group outlier scoring on EXACT order statistics:
     * median and MAD (median absolute deviation) both resolve through
     * [[Selection.valueAtRanks]] bucket histograms — no group-partitioned

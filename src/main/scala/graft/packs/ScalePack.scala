@@ -250,6 +250,13 @@ object ScalePack extends QueryPack {
           max(col("rank")).as("max_rank"),
           sum(col("rank") * (col("cents") % 997)).as("sum_cross"))),
 
+    // dataset card: per-source docs/tokens/chars/empties/dups/lang-mix
+    // in long format — the exact-integer summary a curation pipeline
+    // publishes next to the data
+    "q122_dataset_card" -> ((s, dir) =>
+      Profile.datasetCard(Tables.load(s, dir, "documents"),
+        "source", "doc_id", "lang", "text")),
+
     // contrastive negative sampling: per query, the k pool docs with
     // the smallest portable (query, cand, seed) hash — broadcast pool,
     // per-query windows bounded by |pool|
@@ -638,6 +645,38 @@ object ScalePack extends QueryPack {
         |  CAST(max(rk) AS BIGINT) AS max_rank,
         |  CAST(sum(rk * (cents % 997)) AS BIGINT) AS sum_cross
         |FROM r GROUP BY g""".stripMargin,
+
+    // q122: every metric is an exact count; dups counted against the
+    // duplicate's source under the global canonical-min-id rule
+    "q122_dataset_card" ->
+      """WITH base AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |    CAST(sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_empty
+        |  FROM documents GROUP BY source
+        |), dup AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT source, doc_id,
+        |      min(doc_id) OVER (PARTITION BY text) AS canon
+        |    FROM documents)
+        |  WHERE doc_id <> canon GROUP BY source
+        |)
+        |SELECT source, 'n_docs' AS metric,
+        |  CAST(n_docs AS BIGINT) AS value FROM base
+        |UNION ALL SELECT source, 'n_tokens', n_tokens FROM base
+        |UNION ALL SELECT source, 'total_chars', total_chars FROM base
+        |UNION ALL SELECT source, 'n_empty', n_empty FROM base
+        |UNION ALL SELECT source, 'avg_tokens_c',
+        |  CAST(n_tokens * 100 // greatest(n_docs, 1) AS BIGINT) FROM base
+        |UNION ALL SELECT b.source, 'n_exact_dup',
+        |  CAST(coalesce(d.n, 0) AS BIGINT)
+        |FROM base b LEFT JOIN dup d USING (source)
+        |UNION ALL SELECT source, 'n_lang_' || lang,
+        |  CAST(count(*) AS BIGINT)
+        |FROM documents GROUP BY source, lang""".stripMargin,
 
     // q116: same md5 recipe as the Spark side; rank ties broken by
     // neg_id so the top-k is total-ordered on both engines
