@@ -99,7 +99,8 @@ object LangModel {
     * than two tokens score 0 / null CE. Zero shuffle except the final
     * per-doc rollup; all model joins broadcast. */
   def score(lm: BigramLm, df: DataFrame, idCol: String, textCol: String,
-            lambda: Double = 0.9): DataFrame = {
+            lambda: Double = 0.9,
+            keepCols: Seq[String] = Nil): DataFrame = {
     require(lambda > 0 && lambda < 1, "lambda must be in (0, 1)")
     val denom = lm.totalTokens.toDouble + lm.vocabSize.toDouble + 1.0
     val docBi = df
@@ -131,14 +132,14 @@ object LangModel {
       .groupBy(col("__d"))
       .agg(count(lit(1)).as("n_scored"), sum(fp).as("surprisal_fp"))
 
-    df.select(col(idCol))
+    df.select((idCol +: keepCols).map(col): _*)
       .join(perDoc, col(idCol) === col("__d"), "left")
-      .select(col(idCol),
+      .select((col(idCol) +: keepCols.map(col)) ++ Seq(
         coalesce(col("n_scored"), lit(0L)).as("n_scored"),
         coalesce(col("surprisal_fp"), lit(0L)).as("surprisal_fp"),
         when(col("n_scored") > 0,
           col("surprisal_fp").cast("double") / lit(Scale)
-            / col("n_scored").cast("double")).as("cross_entropy"))
+            / col("n_scored").cast("double")).as("cross_entropy")): _*)
       .withColumn("ppl", exp(col("cross_entropy")))
   }
 
@@ -161,9 +162,13 @@ object LangModel {
     require(cuts.nonEmpty && cuts.forall(c => c > 0 && c < 100),
       "cuts must be percentiles in (0, 100)")
     val lm = train(df.filter(trainPred), textCol, topUnigrams, topBigrams)
+    // decimal(38,0) intermediate: the fp sum fits a long, but ×1000
+    // can overflow it for very long docs — ANSI mode throws mid-task.
+    // `div` still returns BIGINT; the per-bigram mean always fits.
     val scored = score(lm, df, idCol, textCol, lambda)
       .withColumn("__k", when(col("n_scored") > 0,
-        expr("surprisal_fp * 1000L div n_scored")).otherwise(lit(-1L)))
+        expr("cast(surprisal_fp as decimal(38,0)) * 1000 div n_scored"))
+        .otherwise(lit(-1L)))
       .localCheckpoint(true) // scored twice below; never re-derive
     val cutVals = Selection.valueAtRanks(
         scored.withColumn("__one", lit(1)), "__one", "__k",
@@ -173,6 +178,49 @@ object LangModel {
       acc + when(col("__k") > cv, 1).otherwise(0)
     }
     scored.withColumn("ce_bucket", bucket).drop("__k")
+  }
+
+  /** Per-GROUP CCNet buckets: [[scoreWithBuckets]] with the percentile
+    * cuts computed independently inside each `groupCol` value (CCNet
+    * proper buckets per LANGUAGE, not globally — a global cut would
+    * call every doc of a high-entropy language "tail"). One LM, one
+    * scoring pass; the per-group cut values come from a single
+    * group-keyed [[Selection.valueAtRanks]] call (group cardinality is
+    * broadcast-small — the same contract as Profile.histogram), pivoted
+    * to one row per group and broadcast-joined back. Unscorable docs
+    * key at −1 → bucket 0, as in the global variant; a group with zero
+    * scorable docs has null cuts, which also resolves to bucket 0. */
+  def scoreWithBucketsBy(df: DataFrame, idCol: String, textCol: String,
+                         groupCol: String,
+                         trainPred: org.apache.spark.sql.Column,
+                         cuts: Seq[Int] = Seq(33, 67),
+                         topUnigrams: Int = 1 << 16,
+                         topBigrams: Int = 1 << 20,
+                         lambda: Double = 0.9): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(c => c > 0 && c < 100),
+      "cuts must be percentiles in (0, 100)")
+    val lm = train(df.filter(trainPred), textCol, topUnigrams, topBigrams)
+    val scored = score(lm, df, idCol, textCol, lambda,
+        keepCols = Seq(groupCol))
+      .withColumn("__k", when(col("n_scored") > 0,
+        expr("cast(surprisal_fp as decimal(38,0)) * 1000 div n_scored"))
+        .otherwise(lit(-1L)))
+      .localCheckpoint(true) // cut scan + final compare share one result
+    val labels = cuts.map(c => s"c$c")
+    val cutRows = Selection.valueAtRanks(
+      scored.filter(col("n_scored") > 0), groupCol, "__k",
+      cuts.map(c => s"c$c" -> s"greatest(1L, (__n * ${c}L) div 100L)"))
+      .groupBy(col(groupCol)).pivot("label", labels)
+      .agg(first(col("value")))
+    val bucket = labels.foldLeft(lit(0)) { (acc, l) =>
+      acc + when(col("__k") > col(s"__cut_$l"), 1).otherwise(0)
+    }
+    scored
+      .join(broadcast(cutRows.select(col(groupCol) +:
+        labels.map(l => col(l).as(s"__cut_$l")): _*)),
+        Seq(groupCol), "left")
+      .withColumn("ce_bucket", bucket)
+      .drop("__k" +: labels.map(l => s"__cut_$l"): _*)
   }
 
   /** DSIR-style importance selection (Xie et al., "Data Selection for
@@ -194,7 +242,11 @@ object LangModel {
     * row-numbered by id for the remaining slots. Deterministic:
     * re-runs and engine ports select the identical set.
     *
-    * Output: (idCol, n_scored, weight_fp, selected). Both trainings
+    * Output: (idCol, n_scored, weight_fp, selected). Unscorable docs
+    * (<2 tokens, n_scored = 0) carry a NULL weight_fp and are never
+    * selected; they are excluded from the rank cutoff entirely, so a
+    * single empty doc can neither crash the bounds math nor widen the
+    * Selection bucket span. Both trainings
     * are word-count-shaped; scoring is broadcast-join map work — the
     * whole pipeline inherits [[train]]/[[score]]'s scale posture. */
   /** Both LMs' surprisal sums off ONE bigram explosion: the corpus is
@@ -241,6 +293,66 @@ object LangModel {
         coalesce(col("__cfp"), lit(0L)).as("__cfp"))
   }
 
+  /** Train the target-slice LM and the whole-corpus LM off ONE token
+    * explosion and ONE bigram explosion: the corpus aggregates
+    * (w, c_all, c_target) / (w1, w2, c_all, c_target) via conditional
+    * sums, and each model prunes its own count column driver-cheap
+    * (orderBy+limit on the already-aggregated vocab table). Count-
+    * identical to `train(df.filter(pred))` + `train(df)` — words/
+    * bigrams absent from the target slice carry c_target = 0 and are
+    * filtered before the target prune, so tie-breaking and limits
+    * match the two-pass formulation bit for bit (LangModelSpec's
+    * brute-force parity test pins this). Halves DSIR's corpus-side
+    * shuffles from four to two — the explosions dominate at 100 TB,
+    * the prunes are model-sized. */
+  private def trainPair(df: DataFrame, textCol: String,
+                        targetPred: org.apache.spark.sql.Column,
+                        topUnigrams: Int,
+                        topBigrams: Int): (BigramLm, BigramLm) = {
+    val base = df.select(targetPred.as("__t"), col(textCol).as("__text"))
+
+    val toks = base
+      .select(col("__t"), explode(TextAnalysis.words(col("__text"))).as("w"))
+      .filter(col("w") =!= "")
+    val uniAll = toks.groupBy(col("w")).agg(
+      count(lit(1)).as("c_all"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("c_tgt"))
+      .localCheckpoint(true) // two prunes read one aggregation
+    val totals = uniAll.agg(
+      coalesce(sum(col("c_all")), lit(0L)),
+      coalesce(sum(col("c_tgt")), lit(0L))).head
+    def pruneUni(cCol: String) = uniAll
+      .filter(col(cCol) > 0)
+      .select(col("w"), col(cCol).as("c_uni"))
+      .orderBy(col("c_uni").desc, col("w"))
+      .limit(topUnigrams)
+      .localCheckpoint(true)
+    val uniCorpus = pruneUni("c_all")
+    val uniTarget = pruneUni("c_tgt")
+
+    val biAll = base
+      .select(col("__t"), explode(bigramsOf(col("__text"))).as("b"))
+      .select(col("__t"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy(col("w1"), col("w2")).agg(
+        count(lit(1)).as("c_all"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("c_tgt"))
+      .localCheckpoint(true)
+    def pruneBi(uni: DataFrame, cCol: String) = biAll
+      .filter(col(cCol) > 0)
+      .select(col("w1"), col("w2"), col(cCol).as("c_bi"))
+      .join(broadcast(uni.select(col("w").as("w1"))), Seq("w1"), "left_semi")
+      .join(broadcast(uni.select(col("w").as("w2"))), Seq("w2"), "left_semi")
+      .orderBy(col("c_bi").desc, col("w1"), col("w2"))
+      .limit(topBigrams)
+      .localCheckpoint(true)
+
+    (BigramLm(uniTarget, pruneBi(uniTarget, "c_tgt"),
+       totals.getLong(1), uniTarget.count()),
+     BigramLm(uniCorpus, pruneBi(uniCorpus, "c_all"),
+       totals.getLong(0), uniCorpus.count()))
+  }
+
   def importanceSelect(df: DataFrame, idCol: String, textCol: String,
                        targetPred: org.apache.spark.sql.Column,
                        nKeep: Long,
@@ -248,33 +360,39 @@ object LangModel {
                        topBigrams: Int = 1 << 20,
                        lambda: Double = 0.9): DataFrame = {
     require(nKeep > 0, "nKeep must be positive")
-    val lmTarget = train(df.filter(targetPred), textCol,
-      topUnigrams, topBigrams)
-    val lmCorpus = train(df, textCol, topUnigrams, topBigrams)
+    val (lmTarget, lmCorpus) =
+      trainPair(df, textCol, targetPred, topUnigrams, topBigrams)
+    // decimal(38,0) intermediate: each fp sum fits a long, but the
+    // difference ×1000 can overflow it for very long docs — ANSI mode
+    // throws mid-task. `div` still returns BIGINT. Unscorable docs
+    // get NULL, never a sentinel: a Long.MinValue-class sentinel in
+    // Selection's bounds math wraps the span and crashes (or degrades
+    // every group to the degenerate refinement path).
     val scored = scorePair(lmTarget, lmCorpus, df, idCol, textCol, lambda)
       .withColumn("weight_fp", when(col("n_scored") > 0,
-        expr("(__cfp - __tfp) * 1000L div n_scored"))
-        .otherwise(lit(Long.MinValue + 1L)))
+        expr("(cast(__cfp as decimal(38,0)) - __tfp) * 1000 div n_scored")))
       .select(col(idCol), col("n_scored"), col("weight_fp"))
       .localCheckpoint(true) // cut resolve + filter reuse one result
+    // rank cutoff over SCORABLE docs only; nKeep clamps to their count
+    val scorable = scored.filter(col("n_scored") > 0)
     // descending top-N == ascending rank nKeep of the negated key
     val cutRows = Selection.valueAtRanks(
-      scored.withColumn("__one", lit(1))
+      scorable.withColumn("__one", lit(1))
         .withColumn("__negw", -col("weight_fp")),
       "__one", "__negw", Seq("cut" -> s"least(__n, ${nKeep}L)"))
       .select(col("value")).collect()
     if (cutRows.isEmpty) return scored.withColumn("selected", lit(false))
     val cut = cutRows(0).getLong(0)
-    val nAbove = scored.filter(-col("weight_fp") < cut).count()
+    val nAbove = scorable.filter(-col("weight_fp") < cut).count()
     val tieSlots = nKeep - nAbove
-    val tieIds = scored.filter(-col("weight_fp") === cut)
+    val tieIds = scorable.filter(-col("weight_fp") === cut)
       .withColumn("__tr", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col(idCol))))
       .filter(col("__tr") <= tieSlots)
       .select(col(idCol), lit(true).as("__tie"))
     scored.join(tieIds, Seq(idCol), "left")
-      .withColumn("selected",
-        (-col("weight_fp") < cut) || coalesce(col("__tie"), lit(false)))
+      .withColumn("selected", col("n_scored") > 0 &&
+        ((-col("weight_fp") < cut) || coalesce(col("__tie"), lit(false))))
       .drop("__tie")
   }
 }

@@ -220,11 +220,15 @@ object ApproxPack extends QueryPack {
     // tokenizer APPLICATION: train on the corpus, then encode every
     // document to integer token ids through the vocab map literal —
     // driver-side merge loop inside → rows-only; BpeSpec proves the
-    // id mapping round-trips and UNK accounting
+    // id mapping round-trips and UNK accounting. token_ids is emitted
+    // space-joined: the driver's checker sorts result columns with
+    // pandas, which cannot order array cells (r5 q114 err row).
     "q114_bpe_encode" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val model = graft.operators.Bpe.train(docs, "text", numMerges = 60)
       graft.operators.Bpe.encodeIds(docs, "doc_id", "text", model)
+        .withColumn("token_ids",
+          concat_ws(" ", transform(col("token_ids"), _.cast("string"))))
     })
   )
 

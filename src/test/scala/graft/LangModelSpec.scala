@@ -135,4 +135,81 @@ class LangModelSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(again == expect)
   }
+
+  test("fused pair training matches two separate train+score passes") {
+    // importanceSelect trains both LMs off one explosion (trainPair);
+    // the weight must equal the one derived from two independent
+    // train() + score() passes — count-identical prunes, same ties
+    val docs = (1 to 40).map { i =>
+      val text =
+        if (i <= 10) "solar panel inverter grid solar panel battery"
+        else if (i % 2 == 0) "the quick brown fox jumps over the lazy dog"
+        else s"random widget $i assembly manual page $i section"
+      (i.toLong, text)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val pred = col("doc_id") <= 10
+    val fused = LangModel.importanceSelect(df, "doc_id", "text",
+        targetPred = pred, nKeep = 5)
+      .select("doc_id", "weight_fp")
+      .as[(Long, Option[Long])].collect().toMap
+    val lmT = LangModel.train(df.filter(pred), "text")
+    val lmC = LangModel.train(df, "text")
+    val tfp = LangModel.score(lmT, df, "doc_id", "text")
+      .select("doc_id", "surprisal_fp", "n_scored")
+      .as[(Long, Long, Long)].collect()
+    val cfp = LangModel.score(lmC, df, "doc_id", "text")
+      .select("doc_id", "surprisal_fp")
+      .as[(Long, Long)].collect().toMap
+    tfp.foreach { case (id, t, n) =>
+      val expect =
+        if (n == 0) None
+        else Some((BigInt(cfp(id)) - BigInt(t)) * 1000 / n)
+      assert(fused(id).map(BigInt(_)) == expect,
+        s"doc $id: fused ${fused(id)} vs two-pass $expect")
+    }
+  }
+
+  test("importanceSelect survives unscorable docs; they never select") {
+    // empty and single-token docs have no bigrams (n_scored = 0); the
+    // r5 sentinel encoding made any such doc crash the Selection
+    // bounds math (span wrap) — this corpus mixes both kinds in
+    val docs = (1 to 12).map { i =>
+      val text =
+        if (i <= 3) "solar panel inverter grid solar panel battery"
+        else if (i == 11) ""             // empty doc
+        else if (i == 12) "lone"         // one token, zero bigrams
+        else s"random widget $i assembly manual page $i section"
+      (i.toLong, text)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val out = LangModel.importanceSelect(df, "doc_id", "text",
+        targetPred = col("doc_id") <= 3, nKeep = 5)
+      .select("doc_id", "n_scored", "weight_fp", "selected")
+      .as[(Long, Long, Option[Long], Boolean)].collect()
+    assert(out.length == 12)
+    // unscorable docs: NULL weight, never selected
+    val unscorable = out.filter(_._2 == 0)
+    assert(unscorable.map(_._1).toSet == Set(11L, 12L))
+    assert(unscorable.forall(t => t._3.isEmpty && !t._4))
+    // exactly nKeep scorable docs selected; target docs all in
+    assert(out.count(_._4) == 5)
+    assert((1 to 3).forall(i => out.find(_._1 == i).exists(_._4)))
+
+    // nKeep above the scorable count: every scorable doc selects,
+    // unscorable still excluded, no crash
+    val all = LangModel.importanceSelect(df, "doc_id", "text",
+        targetPred = col("doc_id") <= 3, nKeep = 50)
+      .select("doc_id", "n_scored", "selected")
+      .as[(Long, Long, Boolean)].collect()
+    assert(all.count(_._3) == 10)
+    assert(all.filter(_._2 == 0).forall(!_._3))
+
+    // all-unscorable corpus: empty selection, no crash
+    val none = LangModel.importanceSelect(
+        Seq((1L, ""), (2L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", targetPred = col("doc_id") === 1, nKeep = 3)
+      .select("selected").as[Boolean].collect()
+    assert(none.length == 2 && none.forall(!_))
+  }
 }
