@@ -19,6 +19,8 @@ import graft.functions._
   *   - `graft_ngram_stats(array<string>, n)` → struct (repetition stats)
   *   - `graft_dot(array<double>, array<double>)` → double
   *   - `graft_norm(array<double>)` → double
+  *   - `graft_deflate_len(string)` → bigint (raw-deflate byte count,
+  *     the compression-ratio quality kernel)
   *   - `graft_shard(string, buckets)` → bigint (engine-portable md5
   *     bucket — the deterministic split/sample/shard primitive)
   */
@@ -96,6 +98,13 @@ object GraftExtensions {
           "usage: graft_shard(string, buckets int literal)").toLong)
         case _ => throw new IllegalArgumentException(
           "usage: graft_shard(string, buckets int literal)")
+      }),
+    (FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLength].getName, "graft_deflate_len"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => DeflateLength(s)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_deflate_len(string)")
       }))
 
   /** Register the same functions into an already-running session (for

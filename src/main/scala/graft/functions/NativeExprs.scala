@@ -557,6 +557,60 @@ case class LshSignBits(child: Expression, planesT: Array[Double], nBits: Int)
     copy(child = newChild)
 }
 
+object DeflateKernel {
+  // Deflater instances are expensive to create and not thread-safe;
+  // one per executor thread, reset per row. Fixed level + raw-deflate
+  // (no zlib header) so the byte count is a stable function of the
+  // input on a given JVM.
+  private val pool = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true)
+  }
+  private val bufPool = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](1 << 13)
+  }
+
+  /** Raw-deflate output byte count of the UTF-8 bytes. The scratch
+    * buffer is drained, never grown — memory per thread is constant
+    * regardless of document size. */
+  def compressedSize(s: UTF8String): Long = {
+    val d = pool.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    val buf = bufPool.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+}
+
+/** `graft_deflate_len(text)`: raw-deflate (zlib level 6) byte count of
+  * the UTF-8 encoding — the kernel behind the compression-ratio
+  * quality signal (Rae et al., Gopher 2021: near-incompressible docs
+  * are noise/binary, hyper-compressible docs are boilerplate/
+  * repetition). Per-row, zero-allocation steady state; deterministic
+  * on a given JVM (rows-only in the oracle gate — zlib output is not
+  * portable across engines). */
+case class DeflateLength(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    DeflateKernel.compressedSize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DeflateKernel.compressedSize($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object NativeExprs {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
@@ -599,4 +653,7 @@ object NativeExprs {
 
   def portableBucket(s: Column, buckets: Long): Column =
     Bridge.column(PortableBucket(Bridge.expression(s), buckets))
+
+  def deflateLen(text: Column): Column =
+    Bridge.column(DeflateLength(Bridge.expression(text)))
 }

@@ -307,6 +307,32 @@ object TextAnalysis {
   private[graft] val MojibakePattern =
     "(\u00C3[\u0080-\u00BF])|(\u00E2\u20AC)"
 
+  /** Compression-ratio quality signal (Rae et al., Gopher 2021 §A1.1
+    * filter on the gzip-compressibility of a page): raw-deflate byte
+    * count vs raw UTF-8 byte count, in basis points. Hyper-compressible
+    * docs (low ratio) are boilerplate/template/repetition; docs that
+    * barely compress (ratio near or above 10000) are binary noise,
+    * base64 blobs, or high-entropy garbage — both tails are what the
+    * filter drops. Complements [[repetitionStats]]: deflate sees
+    * LONG-RANGE and sub-token redundancy that word-bigram stats miss.
+    *
+    * Scale: per-row native codegen kernel ([[graft.functions.DeflateKernel]],
+    * constant scratch memory per executor thread), NO shuffle. The
+    * byte count is deterministic on a given JVM but zlib output is not
+    * engine-portable → rows-only in the oracle gate; the spec pins the
+    * orderings that make the signal useful. */
+  def compressionSignals(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      octet_length(t).cast("long").as("raw_bytes"),
+      graft.functions.NativeExprs.deflateLen(t).as("deflate_bytes"))
+      .withColumn("deflate_ratio_bp",
+        when(col("raw_bytes") > 0,
+          expr("deflate_bytes * 10000L div raw_bytes"))
+          .otherwise(lit(0L)))
+  }
+
   def encodingQuality(df: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
     val t = col(textCol)

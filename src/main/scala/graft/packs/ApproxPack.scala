@@ -229,7 +229,24 @@ object ApproxPack extends QueryPack {
       graft.operators.Bpe.encodeIds(docs, "doc_id", "text", model)
         .withColumn("token_ids",
           concat_ws(" ", transform(col("token_ids"), _.cast("string"))))
-    })
+    }),
+
+    // per-domain CCNet buckets: one LM trained on the src1 slice, CE
+    // percentile cuts computed INSIDE each source — ln() doubles in
+    // the surprisals → rows-only; LangModelSpec proves per-group
+    // monotonicity and constant-group ≡ global parity
+    "q119_domain_ce_buckets" -> ((s, dir) =>
+      graft.operators.LangModel.scoreWithBucketsBy(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "source",
+        trainPred = col("source") === "src1")),
+
+    // Gopher-style compression-ratio quality signal: raw-deflate byte
+    // count per doc via the native kernel — zlib bytes are JVM-
+    // deterministic but not engine-portable → rows-only; NativeExprSpec
+    // pins SQL round-trip, null handling, and the entropy ordering
+    "q120_compression_signal" -> ((s, dir) =>
+      graft.operators.TextAnalysis.compressionSignals(
+        Tables.load(s, dir, "documents"), "doc_id", "text"))
   )
 
   def oracleSql: Map[String, String] = Map.empty

@@ -136,6 +136,58 @@ class LangModelSpec extends SparkSpec {
     assert(again == expect)
   }
 
+  test("scoreWithBucketsBy cuts per group; constant group equals global") {
+    // two "domains" with different CE distributions: every doc mixes
+    // trained bigrams with j OOV words, so per-doc mean surprisal is
+    // strictly increasing in j INSIDE each group, and src_b (OOV-heavy)
+    // sits above src_a overall. A global cut would dump src_b into the
+    // tail; per-group cuts must produce all three buckets per group.
+    val docs = (1 to 30).map { i =>
+      val (g, j) = if (i <= 15) ("src_a", i) else ("src_b", i - 15)
+      val trained = if (g == "src_a") 20 else 2
+      val oov = if (g == "src_a") j else 5 + j
+      val text = ("alpha beta " * trained) +
+        (1 to oov).map(x => s"${g.last}${j}w$x").mkString(" ")
+      (i.toLong, g, text)
+    }
+    val df = docs.toDF("doc_id", "source", "text")
+    val out = LangModel.scoreWithBucketsBy(df, "doc_id", "text", "source",
+        trainPred = col("doc_id") <= 5)
+      .select("doc_id", "source", "cross_entropy", "ce_bucket")
+      .as[(Long, String, Option[Double], Int)].collect()
+    assert(out.length == 30)
+    Seq("src_a", "src_b").foreach { g =>
+      val inG = out.filter(_._2 == g)
+      val byBucket = inG.groupBy(_._4).view.mapValues(_.flatMap(_._3)).toMap
+      assert(byBucket.keySet == Set(0, 1, 2), s"$g buckets: ${byBucket.keySet}")
+      assert(byBucket(0).max <= byBucket(1).min + 1e-12, s"$g 0<=1")
+      assert(byBucket(1).max <= byBucket(2).min + 1e-12, s"$g 1<=2")
+    }
+    // per-group heads differ from a global cut: src_b's head docs
+    // would NOT be head under the global cuts (their CE is above
+    // src_a's tail boundary)
+    val globalOut = LangModel.scoreWithBuckets(df, "doc_id", "text",
+        trainPred = col("doc_id") <= 5)
+      .select("doc_id", "ce_bucket").as[(Long, Int)].collect().toMap
+    val bHeads = out.filter(t => t._2 == "src_b" && t._4 == 0).map(_._1)
+    assert(bHeads.nonEmpty && bHeads.exists(id => globalOut(id) > 0))
+
+    // a constant group column reproduces the global bucketing exactly
+    val const = LangModel.scoreWithBucketsBy(
+        df.withColumn("one", lit("x")), "doc_id", "text", "one",
+        trainPred = col("doc_id") <= 5)
+      .select("doc_id", "ce_bucket").as[(Long, Int)].collect().toMap
+    assert(const == globalOut)
+
+    // unscorable doc lands in bucket 0 without disturbing its group
+    val withEmpty = LangModel.scoreWithBucketsBy(
+        df.union(Seq((99L, "src_b", "")).toDF("doc_id", "source", "text")),
+        "doc_id", "text", "source", trainPred = col("doc_id") <= 5)
+      .filter(col("doc_id") === 99).select("ce_bucket")
+      .as[Int].collect()
+    assert(withEmpty.toSeq == Seq(0))
+  }
+
   test("fused pair training matches two separate train+score passes") {
     // importanceSelect trains both LMs off one explosion (trainPair);
     // the weight must equal the one derived from two independent

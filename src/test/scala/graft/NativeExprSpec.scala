@@ -159,6 +159,43 @@ class NativeExprSpec extends SparkSpec {
     assert(viaSql.head._4 == 11.0 && viaSql.head._5 == 5.0)
   }
 
+  test("deflate length: SQL round-trip, nulls, and entropy ordering") {
+    GraftExtensions.registerInto(spark)
+    val rnd = new scala.util.Random(7)
+    val repetitive = "the same boilerplate line over and over. " * 50
+    val entropy = rnd.nextString(repetitive.length)
+    val df = Seq(repetitive, entropy, "").toDF("text")
+    val viaCol = df.select(NativeExprs.deflateLen(col("text")))
+      .as[Long].collect()
+    df.createOrReplaceTempView("graft_deflate_docs")
+    val viaSql = spark.sql(
+      "SELECT graft_deflate_len(text) FROM graft_deflate_docs")
+      .as[Long].collect()
+    assert(viaCol.toSeq == viaSql.toSeq)
+    // repetition compresses an order of magnitude better than noise
+    assert(viaCol(0) * 5 < viaCol(1),
+      s"repetitive ${viaCol(0)} vs entropy ${viaCol(1)}")
+    // empty input still emits the (tiny) final deflate block
+    assert(viaCol(2) > 0 && viaCol(2) < 8)
+    // null in, null out; determinism across runs
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(NativeExprs.deflateLen(col("text"))).collect()
+    assert(n(0).isNullAt(0))
+    val again = df.select(NativeExprs.deflateLen(col("text")))
+      .as[Long].collect()
+    assert(again.toSeq == viaCol.toSeq)
+
+    // the operator-level signal: ratio tails order as documented
+    val sig = graft.operators.TextAnalysis.compressionSignals(
+      Seq((1L, repetitive), (2L, entropy), (3L, "")).toDF("id", "text"),
+      "id", "text")
+      .select("id", "raw_bytes", "deflate_bytes", "deflate_ratio_bp")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(sig(0)._4 < sig(1)._4) // boilerplate far more compressible
+    assert(sig(2) == ((3L, 0L, sig(2)._3, 0L))) // empty: ratio 0
+    assert(sig(0)._2 == repetitive.getBytes("UTF-8").length)
+  }
+
   test("portableBucket kernel equals the conv/substring/md5 recipe") {
     val rnd = new scala.util.Random(11)
     val strs = (0 until 200).map(_ => rnd.nextString(rnd.nextInt(24))) ++
