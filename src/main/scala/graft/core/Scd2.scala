@@ -32,7 +32,15 @@ object Scd2 {
     * next merge closes every old-shape version and inserts new-shape
     * ones — a schema change is a version event, visible to time
     * travel, never a silent reinterpretation. Avoid floating-point
-    * columns here — their string rendering is engine-specific. */
+    * columns here — their string rendering is engine-specific.
+    *
+    * STORE-FORMAT NOTE: prepending the fingerprint changed the checksum
+    * of every row relative to stores written before it existed, so the
+    * first merge over such a store closes and re-inserts every current
+    * version — one spurious whole-table transaction-time event.
+    * Acceptable pre-release; a deployed upgrade would version the
+    * checksum scheme per table (e.g. a `checksum_v` table property)
+    * and keep hashing old tables the old way. */
   def checksum(cols: Seq[String]): Column =
     md5(concat_ws("||",
       lit(cols.mkString(",")) +:

@@ -235,7 +235,7 @@ object ApproxPack extends QueryPack {
     // percentile cuts computed INSIDE each source — ln() doubles in
     // the surprisals → rows-only; LangModelSpec proves per-group
     // monotonicity and constant-group ≡ global parity
-    "q119_domain_ce_buckets" -> ((s, dir) =>
+    "q123_domain_ce_buckets" -> ((s, dir) =>
       graft.operators.LangModel.scoreWithBucketsBy(
         Tables.load(s, dir, "documents"), "doc_id", "text", "source",
         trainPred = col("source") === "src1")),
@@ -244,7 +244,7 @@ object ApproxPack extends QueryPack {
     // count per doc via the native kernel — zlib bytes are JVM-
     // deterministic but not engine-portable → rows-only; NativeExprSpec
     // pins SQL round-trip, null handling, and the entropy ordering
-    "q120_compression_signal" -> ((s, dir) =>
+    "q124_compression_signal" -> ((s, dir) =>
       graft.operators.TextAnalysis.compressionSignals(
         Tables.load(s, dir, "documents"), "doc_id", "text"))
   )
