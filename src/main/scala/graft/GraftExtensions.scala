@@ -21,6 +21,8 @@ import graft.functions._
   *   - `graft_norm(array<double>)` → double
   *   - `graft_deflate_len(string)` → bigint (raw-deflate byte count,
   *     the compression-ratio quality kernel)
+  *   - `graft_nfc(string)` → string (Unicode NFC normalization,
+  *     engine-portable per the Unicode stability policy)
   *   - `graft_shard(string, buckets)` → bigint (engine-portable md5
   *     bucket — the deterministic split/sample/shard primitive)
   */
@@ -105,6 +107,13 @@ object GraftExtensions {
         case Seq(s) => DeflateLength(s)
         case _ => throw new IllegalArgumentException(
           "usage: graft_deflate_len(string)")
+      }),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => NfcNormalize(s)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_nfc(string)")
       }))
 
   /** Register the same functions into an already-running session (for

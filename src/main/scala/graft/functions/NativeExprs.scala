@@ -611,6 +611,45 @@ case class DeflateLength(child: Expression)
     copy(child = newChild)
 }
 
+object NfcKernel {
+  /** Unicode NFC canonical normalization. The common case (already
+    * normalized, e.g. all-ASCII) is a quick-check scan that returns
+    * the INPUT UTF8String — zero allocation; only genuinely
+    * decomposed rows pay the String round-trip. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** `graft_nfc(text)`: Unicode NFC normalization as a codegen scalar —
+  * the canonicalization kernel under [[graft.operators.TextAnalysis
+  * .nfcProfile]]. NFC composition mappings are frozen by the Unicode
+  * stability policy, so the output is engine-portable (DuckDB's
+  * utf8proc `nfc_normalize` agrees byte-for-byte) and oracle-checked
+  * end to end. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcKernel.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcKernel.nfc($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object NativeExprs {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
@@ -656,4 +695,7 @@ object NativeExprs {
 
   def deflateLen(text: Column): Column =
     Bridge.column(DeflateLength(Bridge.expression(text)))
+
+  def nfc(text: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(text)))
 }

@@ -333,6 +333,99 @@ object TextAnalysis {
           .otherwise(lit(0L)))
   }
 
+  /** Shared PII pattern text — same Java/RE2-identical regex subset as
+    * [[ReplacementPattern]] (literal chars, ASCII classes, `\b`, no
+    * backreferences), so ONE string drives both engines. */
+  private[graft] val EmailPattern =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val SsnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  private[graft] val Ipv4Pattern = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private[graft] val PhonePattern = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII redaction — the pre-training scrub every public-web corpus
+    * runs (emails, SSN-shaped ids, IPv4 addresses, phone numbers
+    * replaced by typed placeholders). Patterns apply SEQUENTIALLY
+    * (email → ssn → ipv4 → phone, most-specific first) and each count
+    * is taken on the text as the PREVIOUS stages left it, so a digit
+    * run never double-counts as both SSN and phone; placeholders
+    * contain no digits, so later patterns cannot match into them.
+    *
+    * Scale: pure per-row projection — no shuffle, no UDF; Catalyst
+    * subexpression elimination shares the staged texts across the
+    * count and replace columns. Counts and the redacted text are
+    * engine-exact (shared pattern text) → fully oracle-checkable. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, lit(EmailPattern), lit("<EMAIL>"))
+    val t2 = regexp_replace(t1, lit(SsnPattern), lit("<SSN>"))
+    val t3 = regexp_replace(t2, lit(Ipv4Pattern), lit("<IP>"))
+    val t4 = regexp_replace(t3, lit(PhonePattern), lit("<PHONE>"))
+    df.select(col(idCol),
+      regexp_count(t0, lit(EmailPattern)).cast("long").as("n_email"),
+      regexp_count(t1, lit(SsnPattern)).cast("long").as("n_ssn"),
+      regexp_count(t2, lit(Ipv4Pattern)).cast("long").as("n_ipv4"),
+      regexp_count(t3, lit(PhonePattern)).cast("long").as("n_phone"),
+      t4.as("clean_text"))
+      .withColumn("has_pii",
+        col("n_email") + col("n_ssn") + col("n_ipv4") + col("n_phone") > 0L)
+  }
+
+  /** Line predicate pattern shared with the DuckDB oracle: a trimmed
+    * line "ends in terminal punctuation" (C4's sentence proxy). */
+  private[graft] val TerminalPattern = "[.!?\"]$"
+
+  /** C4-style quality-rule battery (Raffel et al., JMLR 2020 §2.2):
+    * line rules (keep lines that end in terminal punctuation AND carry
+    * ≥ `minLineWords` words) and page rules (≥ `minLines` surviving
+    * lines; no "lorem ipsum"; no '{'; no javascript warnings; no
+    * policy boilerplate). Emits per-document counts, each page flag,
+    * the cleaned text (surviving lines re-joined), and the final
+    * `page_keep` verdict — all string/integer exact, so the WHOLE
+    * battery is oracle-checkable.
+    *
+    * Scale: per-row HOF scan work over the line array — no shuffle;
+    * the per-line lambdas are cheap (one regex + one split per line),
+    * so the no-expensive-subtree-in-HOF rule is respected. */
+  def c4Rules(df: DataFrame, idCol: String, textCol: String,
+              minLineWords: Int = 5, minLines: Int = 3): DataFrame = {
+    val t = col(textCol)
+    val low = lower(t)
+    val lines = filter(split(t, "\n"), x => trim(x) =!= "")
+    val kept = filter(lines, x =>
+      trim(x).rlike(TerminalPattern) &&
+        size(split(trim(x), " +")) >= minLineWords)
+    df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      low.contains("lorem ipsum").as("has_lorem"),
+      t.contains("{").as("has_brace"),
+      low.contains("javascript").as("has_js"),
+      (low.contains("privacy policy") || low.contains("terms of use") ||
+        low.contains("cookie policy")).as("has_policy"),
+      concat_ws("\n", kept).as("clean_text"))
+      .withColumn("page_keep",
+        col("n_kept_lines") >= minLines.toLong && !col("has_lorem") &&
+          !col("has_brace") && !col("has_js") && !col("has_policy"))
+  }
+
+  /** Unicode NFC normalization profile — the canonicalization pass run
+    * before hashing/dedup so that decomposed ("e" + U+0301) and
+    * precomposed ("é") spellings of the same text collide. Emits the
+    * normalized text plus before/after char counts and an `is_nfc`
+    * flag (docs already canonical pass through byte-identical).
+    * Per-row native codegen kernel ([[graft.functions.NfcNormalize]]),
+    * no shuffle; NFC is frozen by the Unicode stability policy, so
+    * Java and utf8proc (DuckDB) agree → fully oracle-checkable. */
+  def nfcProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = graft.functions.NativeExprs.nfc(t)
+    df.select(col(idCol),
+      length(t).cast("long").as("n_chars_raw"),
+      length(n).cast("long").as("n_chars_nfc"),
+      (n === t).as("is_nfc"),
+      n.as("nfc_text"))
+  }
+
   def encodingQuality(df: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
     val t = col(textCol)

@@ -314,7 +314,81 @@ object LlmPack extends QueryPack {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         pmod(col("doc_id"), lit(97)) === 0, n = 3, minOverlap = 3)
         .select(col("doc_id"), col("lang"), col("source"))),
+
+    // PII redaction: the corpus carries no digits/'@', so the query
+    // plants deterministic PII via ONE shared SQL fragment parsed
+    // identically by Spark and DuckDB; staged counts + redacted text
+    // are engine-exact end to end
+    "q125_pii_redact" -> ((s, dir) =>
+      TextAnalysis.redactPii(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), expr(PiiAug).as("text")),
+        "doc_id", "text")),
+
+    // C4 quality-rule battery over synthesized multi-line pages (same
+    // shared-fragment trick): line rules + page flags + cleaned text
+    "q126_c4_rules" -> ((s, dir) =>
+      TextAnalysis.c4Rules(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), expr(C4Aug).as("text")),
+        "doc_id", "text")),
+
+    // Unicode NFC canonicalization: planted decomposed/precomposed
+    // accent spellings; the native kernel's output hash-matches
+    // DuckDB's utf8proc nfc_normalize (NFC is stability-frozen)
+    "q127_nfc_profile" -> ((s, dir) =>
+      TextAnalysis.nfcProfile(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), expr(NfcAug).as("text")),
+        "doc_id", "text")),
   )
+
+  /** Input-augmentation fragments for q125/q126/q127, written in the
+    * SQL subset Spark's `expr()` and DuckDB parse IDENTICALLY
+    * (`||`, CASE, substr, lpad, chr, `%` on nonnegative BIGINT,
+    * CAST(.. AS VARCHAR(n))) — ONE string drives both engines, so the
+    * planted inputs can never drift apart. */
+  // NOTE: continuation lines must never START with '||' — these
+  // fragments are re-interpolated into stripMargin oracle strings,
+  // which would eat the first '|' as a margin marker.
+  private[packs] val PiiAug: String =
+    """substr(text, 1, 80) || CASE doc_id % 5
+      |  WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR(20)) ||
+      |    '@mail.example.com for info'
+      |  WHEN 1 THEN ' call +1 (555) 010-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR(20)), 4, '0') || ' now'
+      |  WHEN 2 THEN ' node 10.' || CAST(doc_id % 256 AS VARCHAR(20)) ||
+      |    '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR(20)) || ' is up'
+      |  WHEN 3 THEN ' ref 123-45-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR(20)), 4, '0') || ' on file'
+      |  ELSE '' END""".stripMargin
+
+  private[packs] val C4Aug: String =
+    """'Heading line with no punctuation' || chr(10) ||
+      |substr(text, 1, 40 + doc_id % 40) || '.' || chr(10) ||
+      |CASE WHEN doc_id % 7 = 0
+      |  THEN 'lorem ipsum dolor sit amet.' || chr(10) ELSE '' END ||
+      |CASE WHEN doc_id % 11 = 0
+      |  THEN 'Please enable javascript to continue.' || chr(10)
+      |  ELSE '' END ||
+      |CASE WHEN doc_id % 13 = 0
+      |  THEN 'function f() { return 0; }' || chr(10) ELSE '' END ||
+      |CASE WHEN doc_id % 5 = 0
+      |  THEN 'See our privacy policy for details.' || chr(10)
+      |  ELSE '' END ||
+      |'Tiny line.' || chr(10) ||
+      |substr(text, 21, 30 + doc_id % 25) || '!'""".stripMargin
+
+  /** Combining acute / precomposed accents, embedded as literal chars
+    * (the q109 shared-pattern recipe: Scala escapes compile to the
+    * char; both engines read the same UTF-8 text). */
+  private val CombAcute = "\u0301"
+  private val PreComposed = "caf\u00e9 d\u00e9j\u00e0 vu"
+  private[packs] val NfcAug: String =
+    s"""substr(text, 1, 60) || CASE doc_id % 3
+       |  WHEN 0 THEN ' expose$CombAcute cafe$CombAcute naive'
+       |  WHEN 1 THEN ' $PreComposed'
+       |  ELSE '' END""".stripMargin
 
   /** q107's mixture spec, embedded as literals on BOTH sides (the
     * q49/q52 portable recipe). */
@@ -1260,6 +1334,79 @@ object LlmPack extends QueryPack {
          |)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id % 97 <> 0
-         |  AND doc_id NOT IN (SELECT doc_id FROM hot)""".stripMargin
+         |  AND doc_id NOT IN (SELECT doc_id FROM hot)""".stripMargin,
+
+    // q125: staged redaction — each count taken on the text as the
+    // previous stages left it, exactly as the Spark side computes
+    "q125_pii_redact" -> {
+      import TextAnalysis.{EmailPattern, SsnPattern, Ipv4Pattern,
+        PhonePattern}
+      s"""WITH base AS (SELECT doc_id, $PiiAug AS t FROM documents),
+         |s1 AS (SELECT doc_id, t,
+         |  len(regexp_extract_all(t, '$EmailPattern')) AS n_email,
+         |  regexp_replace(t, '$EmailPattern', '<EMAIL>', 'g') AS t1
+         |  FROM base),
+         |s2 AS (SELECT *,
+         |  len(regexp_extract_all(t1, '$SsnPattern')) AS n_ssn,
+         |  regexp_replace(t1, '$SsnPattern', '<SSN>', 'g') AS t2
+         |  FROM s1),
+         |s3 AS (SELECT *,
+         |  len(regexp_extract_all(t2, '$Ipv4Pattern')) AS n_ipv4,
+         |  regexp_replace(t2, '$Ipv4Pattern', '<IP>', 'g') AS t3
+         |  FROM s2),
+         |s4 AS (SELECT *,
+         |  len(regexp_extract_all(t3, '$PhonePattern')) AS n_phone,
+         |  regexp_replace(t3, '$PhonePattern', '<PHONE>', 'g') AS t4
+         |  FROM s3)
+         |SELECT doc_id,
+         |  CAST(n_email AS BIGINT) AS n_email,
+         |  CAST(n_ssn AS BIGINT) AS n_ssn,
+         |  CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+         |  CAST(n_phone AS BIGINT) AS n_phone,
+         |  t4 AS clean_text,
+         |  (n_email + n_ssn + n_ipv4 + n_phone > 0) AS has_pii
+         |FROM s4""".stripMargin
+    },
+
+    // q126: the same line/page rules over DuckDB list lambdas
+    "q126_c4_rules" -> {
+      val tp = TextAnalysis.TerminalPattern
+      s"""WITH base AS (SELECT doc_id, $C4Aug AS t FROM documents),
+         |l AS (SELECT doc_id, t,
+         |  list_filter(string_split(t, chr(10)),
+         |    x -> trim(x) <> '') AS lines FROM base),
+         |k AS (SELECT doc_id, t, lines,
+         |  list_filter(lines, x -> regexp_matches(trim(x), '$tp')
+         |    AND len(string_split_regex(trim(x), ' +')) >= 5) AS kept
+         |  FROM l)
+         |SELECT doc_id,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         |  contains(lower(t), 'lorem ipsum') AS has_lorem,
+         |  contains(t, '{') AS has_brace,
+         |  contains(lower(t), 'javascript') AS has_js,
+         |  (contains(lower(t), 'privacy policy')
+         |    OR contains(lower(t), 'terms of use')
+         |    OR contains(lower(t), 'cookie policy')) AS has_policy,
+         |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+         |  (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+         |    AND NOT contains(t, '{')
+         |    AND NOT contains(lower(t), 'javascript')
+         |    AND NOT (contains(lower(t), 'privacy policy')
+         |      OR contains(lower(t), 'terms of use')
+         |      OR contains(lower(t), 'cookie policy'))) AS page_keep
+         |FROM k""".stripMargin
+    },
+
+    // q127: utf8proc NFC vs the Java kernel — stability-frozen, so
+    // the normalized text itself hash-checks
+    "q127_nfc_profile" ->
+      s"""WITH base AS (SELECT doc_id, $NfcAug AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(t) AS BIGINT) AS n_chars_raw,
+         |  CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_nfc,
+         |  (nfc_normalize(t) = t) AS is_nfc,
+         |  nfc_normalize(t) AS nfc_text
+         |FROM base""".stripMargin
   )
 }

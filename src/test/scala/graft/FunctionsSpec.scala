@@ -247,4 +247,76 @@ class FunctionsSpec extends SparkSpec {
     // per present group (row_number), so a = 10 + 1 against avail 10
     assert(out.toSeq == Seq(("a", 10L, 11L, 10L, 1L)))
   }
+
+  test("redactPii: staged typed placeholders, no double counting") {
+    val df = Seq(
+      (1L, "mail a.b+c@x.example.org then ssn 123-45-6789 done"),
+      (2L, "host 10.0.0.1 and 192.168.255.3 call +1 (555) 010-4242 ok"),
+      (3L, "two mails p@q.example.com q@p.example.org"),
+      (4L, "nothing sensitive here"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, String, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((1L, 1L, 1L, 0L, 0L,
+      "mail <EMAIL> then ssn <SSN> done", true)))
+    // the SSN-shaped digits were consumed by the SSN stage — the
+    // phone stage must NOT re-count them; the true phone still hits
+    assert(out(1) == ((2L, 0L, 0L, 2L, 1L,
+      "host <IP> and <IP> call <PHONE> ok", true)))
+    assert(out(2)._2 == 2L &&
+      out(2)._6 == "two mails <EMAIL> <EMAIL>")
+    assert(out(3) == ((4L, 0L, 0L, 0L, 0L, "nothing sensitive here",
+      false)))
+    assert(out(4) == ((5L, 0L, 0L, 0L, 0L, "", false)))
+  }
+
+  test("c4Rules: line and page rules on a crafted page") {
+    val page =
+      "Heading with no punctuation\n" +
+        "This line has at least five words.\n" +
+        "Tiny line.\n" +
+        "Another sentence with plenty of words to keep!\n" +
+        "   \n" +
+        "does this rhetorical line count as a sentence?"
+    val bad = "lorem ipsum filler. But code { x } too.\n" +
+      "A good long line that would otherwise survive fine."
+    val out = TextAnalysis.c4Rules(
+      Seq((1L, page), (2L, bad), (3L, "")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .as[(Long, Long, Long, Boolean, Boolean, Boolean, Boolean,
+        String, Boolean)].collect().sortBy(_._1)
+    // page 1: 5 non-blank lines; heading (no terminal punct) and
+    // "Tiny line." (<5 words) are dropped, 3 survive → keep
+    assert(out(0)._2 == 5L && out(0)._3 == 3L)
+    assert(out(0)._8 ==
+      "This line has at least five words.\n" +
+        "Another sentence with plenty of words to keep!\n" +
+        "does this rhetorical line count as a sentence?")
+    assert(out(0)._9)
+    // page 2: lorem + brace flags veto the page outright
+    assert(out(1)._4 && out(1)._5 && !out(1)._9)
+    // empty page: zero lines, empty clean text, not kept
+    assert(out(2) == ((3L, 0L, 0L, false, false, false, false, "",
+      false)))
+  }
+
+  test("nfcProfile: decomposed collapses, canonical passes through") {
+    val decomposed = "expose\u0301 cafe\u0301" // e + U+0301
+    val precomposed = "caf\u00e9 d\u00e9j\u00e0"
+    val out = TextAnalysis.nfcProfile(
+      Seq((1L, decomposed), (2L, precomposed), (3L, "plain ascii"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Boolean, String)].collect().sortBy(_._1)
+    // two combining marks fold away: 13 chars → 11, not NFC before
+    assert(out(0) == ((1L, 13L, 11L, false, "expos\u00e9 caf\u00e9")))
+    // already canonical: byte-identical pass-through
+    assert(out(1) == ((2L, 9L, 9L, true, precomposed)))
+    assert(out(2) == ((3L, 11L, 11L, true, "plain ascii")))
+    // idempotence: normalizing the normalized text is a no-op
+    val again = TextAnalysis.nfcProfile(
+      Seq((1L, out(0)._5)).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Boolean, String)].collect()
+    assert(again(0)._4 && again(0)._5 == out(0)._5)
+  }
 }
