@@ -196,6 +196,24 @@ object VecKernel {
     }
     new GenericArrayData(out)
   }
+
+  /** Dense mat-vec, `matT` row-major [k][d]: out(j) = Σ_i x(i)·m(j,i).
+    * The [[lshSignBits]] accumulation loop without the sign step. */
+  def matVec(e: ArrayData, matT: Array[Double], k: Int): ArrayData = {
+    val dim = math.min(e.numElements(), matT.length / k)
+    val acc = new Array[Double](k)
+    var i = 0
+    while (i < dim) {
+      val x = e.getDouble(i)
+      var j = 0
+      while (j < k) {
+        acc(j) += x * matT(j * dim + i)
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(acc)
+  }
 }
 
 /** Native Catalyst expression: MinHash signature of a shingle array.
@@ -557,6 +575,28 @@ case class LshSignBits(child: Expression, planesT: Array[Double], nBits: Int)
     copy(child = newChild)
 }
 
+/** Native Catalyst expression: dense mat-vec for random projection.
+  * `matT` is row-major [k][d] (one row per OUTPUT dim), so the inner
+  * loop streams the input vector once per output dim — the same
+  * layout/codegen shape as [[LshSignBits]]. */
+case class MatVecProject(child: Expression, matT: Array[Double], k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecKernel.matVec(input.asInstanceOf[ArrayData], matT, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("graftProj", matT, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecKernel.matVec($c, $mRef, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object DeflateKernel {
   // Deflater instances are expensive to create and not thread-safe;
   // one per executor thread, reset per row. Fixed level + raw-deflate
@@ -688,6 +728,13 @@ object NativeExprs {
     val nBits = planes.length
     val flat = planes.flatten
     Bridge.column(LshSignBits(Bridge.expression(emb), flat, nBits))
+  }
+
+  /** mat(j)(i): k output dims over input positions. */
+  def matVecProject(emb: Column, mat: Array[Array[Double]]): Column = {
+    val k = mat.length
+    val flat = mat.flatten
+    Bridge.column(MatVecProject(Bridge.expression(emb), flat, k))
   }
 
   def portableBucket(s: Column, buckets: Long): Column =

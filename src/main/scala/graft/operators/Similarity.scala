@@ -90,6 +90,30 @@ object Similarity {
     Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
   }
 
+  /** Johnson–Lindenstrauss random projection (Achlioptas, JCSS 2003
+    * sign matrix): map `embCol` (dim d) to `k` dims through a seeded
+    * ±1/√k matrix — pairwise distances/inner products are preserved
+    * within 1±ε for k = O(log n / ε²), so downstream ANN (IVF/PQ/LSH)
+    * runs on a fraction of the bytes. The matrix is derived from md5
+    * of (seed, j, i) — deterministic and append-stable, like every
+    * seeded draw in this repo; the projection itself is the
+    * [[graft.functions.MatVecProject]] codegen kernel, per-row work
+    * with NO shuffle. Output replaces nothing: the projected vector
+    * rides in `outCol`. */
+  def randomProject(df: DataFrame, embCol: String, k: Int, dim: Int,
+                    seed: String = "jl",
+                    outCol: String = "projected"): DataFrame = {
+    require(k > 0 && dim > 0, "k and dim must be positive")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    val mat = Array.tabulate(k, dim) { (j, i) =>
+      val h = md.digest(s"$seed|$j|$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) scale else -scale
+    }
+    df.withColumn(outCol, graft.functions.NativeExprs.matVecProject(
+      toDouble(col(embCol)), mat))
+  }
+
   /** Random-hyperplane LSH signature: `nBits` sign bits of projections
     * onto pseudo-random (deterministic seed) hyperplanes. Native codegen
     * kernel; one pass over the embedding. */

@@ -246,7 +246,28 @@ object ApproxPack extends QueryPack {
     // pins SQL round-trip, null handling, and the entropy ordering
     "q124_compression_signal" -> ((s, dir) =>
       graft.operators.TextAnalysis.compressionSignals(
-        Tables.load(s, dir, "documents"), "doc_id", "text"))
+        Tables.load(s, dir, "documents"), "doc_id", "text")),
+
+    // lexical hashed-bag-of-words LR quality filter: trained to pick
+    // out the 'en' slice by word choice, exact top-25% kept through
+    // the Selection cutoff — float margins → rows-only; ClassifierSpec
+    // pins separation, loss descent, and exact-fraction semantics
+    "q128_lexical_filter" -> ((s, dir) =>
+      graft.operators.Classifier.filterByQuality(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        labelPred = col("lang") === "en", keepBp = 2500,
+        dim = 1024, iters = 12, lr = 2.0, seed = "q128")),
+
+    // Johnson–Lindenstrauss sign projection 64→16 dims ahead of ANN;
+    // floats → rows-only (vector stringified — pandas cannot order
+    // array cells); ClassifierSpec pins geometry and determinism
+    "q129_jl_project" -> ((s, dir) =>
+      graft.operators.Similarity.randomProject(
+          Tables.load(s, dir, "embeddings"), "embedding",
+          k = 16, dim = 64, seed = "q129")
+        .select(col("vec_id"),
+          concat_ws(" ", transform(col("projected"),
+            v => round(v, 6).cast("string"))).as("projected")))
   )
 
   def oracleSql: Map[String, String] = Map.empty
