@@ -32,12 +32,22 @@ import org.apache.spark.sql.functions._
   * buckets and the final result) — the same class of collect as IVF
   * centroids. [[valueAtRanks]] returns its (tiny) result as a literal
   * relation, so downstream joins broadcast rows instead of re-running
-  * the selection lineage per action. The input is scanned three times
-  * (bounds, level-1 counts, level-2 counts; a fourth refinement pass
-  * only for a group whose value range exceeds 2^32), a deliberate
-  * trade: re-reading a column-pruned scan beats persisting a
-  * corpus-sized projection at target scale. Callers whose input is an
-  * expensive derived frame should checkpoint it themselves.
+  * the selection lineage per action. The input is scanned two-to-three
+  * times (bounds; bucket counts; a refinement pass only for boundary
+  * buckets holding >1 distinct value) — a deliberate trade:
+  * re-reading a column-pruned scan beats persisting a corpus-sized
+  * projection at target scale. Callers whose input is an expensive
+  * derived frame should checkpoint it themselves.
+  *
+  * When the per-(group, 2^16-wide) bucket histogram fits a driver
+  * budget (default 1M rows — any ≤2^36-wide value range, i.e. all
+  * practical integral data), the prefix sums and rank walk run on
+  * driver arrays over the collected histogram instead of
+  * window+broadcast-join shuffle plans: same exact semantics, same
+  * scan count, but each job is ONE lean partial-agg — at local[32]
+  * the job floor, not row work, dominated the BENCH_r05 selection
+  * family. Over budget, the original two-level shuffled resolution
+  * takes over unchanged.
   */
 object Selection {
 
@@ -80,6 +90,118 @@ object Selection {
       java.util.Arrays.asList(rows: _*), df.schema)
   }
 
+  /** Fast path of [[valueAtRanks]]: the per-(group, 2^16-wide floor
+    * bucket) histogram fits the driver budget (guaranteed by the
+    * caller's bound from scan 1), so bucket location, prefix sums, and
+    * the rank walk all happen on model-sized driver arrays — no
+    * windows, no broadcast-join cascade. Scan 2 collects the bucket
+    * stats; a bucket whose min == max resolves its targets by
+    * arithmetic, and only genuinely mixed boundary buckets pay scan 3
+    * (tie-collapsed (value, count) rows inside those buckets — ≤ 2^16
+    * distinct values per bucket by construction). `shiftright` is
+    * floor division, so bucket order is exact for negative values and
+    * no subtraction can overflow — this path needs no sane-range
+    * guard. */
+  private def fastValueAtRanks(spark: org.apache.spark.sql.SparkSession,
+      gType: org.apache.spark.sql.types.DataType,
+      outSchema: org.apache.spark.sql.types.StructType,
+      facts: DataFrame, aggRows: Array[Row],
+      targets: Seq[(String, String)], groupCol: String): DataFrame = {
+    val nByG: Map[Any, Long] =
+      aggRows.map(r => r.get(0) -> r.getLong(3)).toMap
+
+    // rank expressions evaluate over a LITERAL (__g, __n) relation so
+    // the SQL strings keep exact integer semantics (LocalTableScan —
+    // milliseconds, no shuffle)
+    val nSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__g", gType),
+      org.apache.spark.sql.types.StructField("__n",
+        org.apache.spark.sql.types.LongType)))
+    val nRows: Array[Row] = aggRows.map(r => Row(r.get(0), r.getLong(3)))
+    val reqRows = spark.createDataFrame(
+        java.util.Arrays.asList(nRows: _*), nSchema)
+      .select(col("__g"), col("__n"),
+        explode(array(targets.map { case (lbl, rankSql) =>
+          struct(lit(lbl).as("l"), expr(rankSql).cast("long").as("r"))
+        }: _*)).as("__t"))
+      .select(col("__g"), col("__t.l").as("__label"),
+        col("__t.r").as("__r"), col("__n"))
+      .collect()
+      .filter(r => r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(3))
+    if (reqRows.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), outSchema)
+
+    // scan 2 — bucket histogram, collected (≤ driverBudgetRows by the
+    // caller's bound)
+    val bRows = facts
+      .groupBy(col("__g"), shiftright(col("__v"), 16).as("__b"))
+      .agg(count(lit(1)).as("__c"), min(col("__v")).as("__bmn"),
+        max(col("__v")).as("__bmx"))
+      .collect()
+    // per group: buckets in id order with exclusive prefix counts
+    val byG: Map[Any, Array[(Long, Long, Long, Long, Long)]] =
+      bRows.groupBy(r => r.get(0)).map { case (g, rs) =>
+        val bs = rs.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).sortBy(_._1)
+        var cum = 0L
+        g -> bs.map { case (b, c, mn, mx) =>
+          val pre = cum; cum += c; (b, c, mn, mx, pre)
+        }
+      }
+
+    // locate each target's bucket by binary search on prefix counts
+    val located = reqRows.map { rr =>
+      val g = rr.get(0); val lbl = rr.getString(1); val r = rr.getLong(2)
+      val arr = byG(g)
+      var lo = 0; var hi = arr.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr(mid)._5 + arr(mid)._2 < r) lo = mid + 1 else hi = mid
+      }
+      val (b, _, mn, mx, pre) = arr(lo)
+      (g, lbl, b, mn, mx, r - pre) // r within the bucket, 1-based
+    }
+    val (direct, needRefine) = located.partition(t => t._4 == t._5)
+    val refined: Seq[(Any, String, Long)] =
+      if (needRefine.isEmpty) Seq.empty
+      else {
+        // scan 3 — tie-collapsed values inside the mixed boundary
+        // buckets only
+        val pairs = needRefine.map(t => (t._1, t._3)).distinct
+        val pSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__pg", gType),
+          org.apache.spark.sql.types.StructField("__pb",
+            org.apache.spark.sql.types.LongType)))
+        val pRows: Seq[Row] = pairs.map(p => Row(p._1, p._2)).toIndexedSeq
+        val pDf = spark.createDataFrame(
+          java.util.Arrays.asList(pRows: _*), pSchema)
+        val vRows = facts.withColumn("__b", shiftright(col("__v"), 16))
+          .join(broadcast(pDf),
+            col("__g") <=> col("__pg") && col("__b") === col("__pb"))
+          .groupBy(col("__g"), col("__b"), col("__v"))
+          .agg(count(lit(1)).as("__vc"))
+          .collect()
+        val byPair = vRows.groupBy(r => (r.get(0), r.getLong(1)))
+          .map { case (k, rs) =>
+            k -> rs.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+          }
+        needRefine.toSeq.map { case (g, lbl, b, _, _, r1) =>
+          val vs = byPair((g, b))
+          var cum = 0L; var j = 0
+          while (j < vs.length && cum + vs(j)._2 < r1) {
+            cum += vs(j)._2; j += 1
+          }
+          (g, lbl, vs(j)._1)
+        }
+      }
+    val outRows: Seq[Row] =
+      (direct.toSeq.map(t => (t._1, t._2, t._4)) ++ refined)
+        .map { case (g, lbl, v) => Row(g, lbl, v, nByG(g)) }
+    spark.createDataFrame(
+      java.util.Arrays.asList(outRows.toIndexedSeq: _*), outSchema)
+  }
+
   /** The value at requested per-group ranks of the ascending non-null
     * value order.
     *
@@ -96,7 +218,8 @@ object Selection {
     * ignored — ranks are over the values that exist.
     */
   def valueAtRanks(df: DataFrame, groupCol: String, valueCol: String,
-                   targets: Seq[(String, String)]): DataFrame = {
+                   targets: Seq[(String, String)],
+                   driverBudgetRows: Int = 1 << 20): DataFrame = {
     require(targets.nonEmpty, "targets must be non-empty")
     val spark = df.sparkSession
     val gType = df.schema(groupCol).dataType
@@ -112,10 +235,30 @@ object Selection {
       .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
       .filter(col("__v").isNotNull)
 
-    // scan 1 — one row per group: min/count and the two bucket widths
+    // scan 1 — one row per group: min/max/count. Drives the histogram
+    // sizing on BOTH paths and the fast-path budget decision.
     val aggRows = facts.groupBy(col("__g")).agg(
         min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
         count(lit(1)).as("__n")).collect()
+
+    // Non-empty 2^16-wide floor buckets are bounded by
+    // min(span >> 16, n) per group; when the TOTAL fits the driver
+    // budget, the whole histogram is model-sized and the rank walk
+    // runs driver-side — two lean aggregate jobs instead of the
+    // window+broadcast-join shuffle cascade (the local[32] job floor,
+    // not row work, dominated q113/q86/q91 in BENCH_r05). The shifts
+    // are overflow-safe on any long range, so the fast path needs no
+    // sane-range guard at all.
+    var bucketBound = 0L
+    aggRows.foreach { r =>
+      val span = (r.getLong(2) >> 16) - (r.getLong(1) >> 16) + 1L
+      bucketBound = math.min(driverBudgetRows.toLong + 1L,
+        bucketBound + math.min(span, r.getLong(3)))
+    }
+    if (bucketBound <= driverBudgetRows)
+      return fastValueAtRanks(spark, gType, outSchema, facts, aggRows,
+        targets, groupCol)
+
     requireSaneRanges(aggRows, mnIdx = 1, mxIdx = 2)
     val boundRows: Array[Row] = aggRows.map { r =>
       val (w1, w2) = bucketWidths(r.getLong(1), r.getLong(2))

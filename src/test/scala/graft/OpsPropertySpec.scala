@@ -256,15 +256,23 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
-  test("selection family fails fast on a range exceeding Long.MaxValue") {
+  test("selection family on a range exceeding Long.MaxValue") {
     val df = Seq((1L, "g", Long.MinValue), (2L, "g", Long.MaxValue))
       .toDF("id", "g", "v")
+    // rankRows still fails fast — its bucket math subtracts the span
     intercept[IllegalArgumentException] {
       graft.operators.Selection.rankRows(df, "g", "v")
     }
+    // valueAtRanks' driver fast path uses floor-shift buckets (no
+    // subtraction), so the full long domain now RESOLVES exactly...
+    val got = graft.operators.Selection.valueAtRanks(df, "g", "v",
+        Seq("m" -> "(__n + 1L) div 2L", "mx" -> "__n"))
+      .select("label", "value").as[(String, Long)].collect().toMap
+    assert(got == Map("m" -> Long.MinValue, "mx" -> Long.MaxValue))
+    // ...while the over-budget shuffled fallback keeps the fail-fast
     intercept[IllegalArgumentException] {
       graft.operators.Selection.valueAtRanks(df, "g", "v",
-        Seq("m" -> "(__n + 1L) div 2L"))
+        Seq("m" -> "(__n + 1L) div 2L"), driverBudgetRows = 1)
     }
   }
 

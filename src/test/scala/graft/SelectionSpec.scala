@@ -67,6 +67,32 @@ class SelectionSpec extends SparkSpec {
     assert(got("last") == vs(n - 1))
   }
 
+  test("valueAtRanks: shuffled fallback equals the driver fast path") {
+    // a tiny driverBudgetRows forces the window+broadcast-join
+    // resolution; results must be identical row-for-row on the same
+    // hot-group input (covers the budget dispatch itself)
+    val targets = Seq(
+      "p1" -> "greatest(1L, (__n * 100L + 9999L) div 10000L)",
+      "median" -> "(__n + 1) div 2",
+      "p99" -> "(__n * 9900L + 9999L) div 10000L",
+      "last" -> "__n")
+    def run(budget: Int) = Selection.valueAtRanks(hot, "g", "v",
+        targets, driverBudgetRows = budget)
+      .select("g", "label", "value", "n")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(run(1) == run(1 << 20))
+    // the wide-range shape through BOTH paths too
+    val wide = ((1 to 500).map { i =>
+      (i.toLong, "w", (i.toLong * (1L << 33)) + (i % 7))
+    } ++ Seq((1000L, "w", 0L), (1001L, "w", Long.MaxValue - 1)))
+      .toDF("id", "g", "v")
+    def runWide(budget: Int) = Selection.valueAtRanks(wide, "g", "v",
+        Seq("median" -> "(__n + 1) div 2", "last" -> "__n"),
+        driverBudgetRows = budget)
+      .select("label", "value").as[(String, Long)].collect().toSet
+    assert(runWide(1) == runWide(1 << 20))
+  }
+
   test("valueAtRanks handles constant and single-row groups") {
     val df = Seq((1L, "const", 7L), (2L, "const", 7L), (3L, "one", 42L))
       .toDF("id", "g", "v")
