@@ -250,6 +250,25 @@ object ScalePack extends QueryPack {
           max(col("rank")).as("max_rank"),
           sum(col("rank") * (col("cents") % 997)).as("sum_cross"))),
 
+    // integer fixed-point PageRank over the supplier<->customer trade
+    // graph (distinct pairs, both directions so no node is sink-only):
+    // 5 damped power-iteration rounds, every division integer — the
+    // whole iteration hash-checks against a DuckDB recursive CTE
+    "q130_pagerank" -> ((s, dir) => {
+      val pairs = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast("long").as("supp"),
+          col("o_custkey").cast("long").as("cust"))
+        .distinct()
+      val edges = pairs.select(
+          (col("supp") + 10000000L).as("src"),
+          (col("cust") + 20000000L).as("dst"))
+        .union(pairs.select((col("cust") + 20000000L).as("src"),
+          (col("supp") + 10000000L).as("dst")))
+      graft.operators.PageRank.iterate(edges, "src", "dst", iters = 5)
+    }),
+
     // dataset card: per-source docs/tokens/chars/empties/dups/lang-mix
     // in long format — the exact-integer summary a curation pipeline
     // publishes next to the data
@@ -737,6 +756,53 @@ object ScalePack extends QueryPack {
         |  CAST(max(dev * 10000 // greatest(mad, 1)) AS BIGINT)
         |    AS max_score_bp
         |FROM d JOIN m2 USING (g)
-        |GROUP BY d.g""".stripMargin
+        |GROUP BY d.g""".stripMargin,
+
+    // q130: the same 5 integer power-iteration rounds as a recursive
+    // CTE. Single recursive reference (DuckDB/Postgres rule): the
+    // contribution aggregate carries `it` forward; the LEFT JOIN is
+    // safe because the graph is bidirectional — every node has an
+    // in-edge, so every node appears in the aggregate each round.
+    "q130_pagerank" ->
+      """WITH RECURSIVE
+        |p AS (
+        |  SELECT DISTINCT l_suppkey + 10000000 AS supp,
+        |    o_custkey + 20000000 AS cust
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |),
+        |edges AS (
+        |  SELECT supp AS src, cust AS dst FROM p
+        |  UNION ALL SELECT cust, supp FROM p
+        |),
+        |nodes AS (
+        |  -- explicit outer DISTINCT: under WITH RECURSIVE, DuckDB
+        |  -- runs a bare `a UNION b` CTE body as UNION ALL
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM edges
+        |    UNION ALL SELECT dst FROM edges)
+        |),
+        |od AS (SELECT src, count(*) AS cnt FROM edges GROUP BY src),
+        |consts AS (
+        |  SELECT CAST(1000000000000 AS BIGINT) AS scale,
+        |    (SELECT count(*) FROM nodes) AS n
+        |),
+        |pr(it, node, r) AS (
+        |  SELECT 0, node, CAST(scale // n AS BIGINT)
+        |  FROM nodes, consts
+        |  UNION ALL
+        |  SELECT c.it, nd.node,
+        |    CAST((SELECT scale * 1500 // 10000 // n FROM consts)
+        |      + coalesce(c.s, 0) AS BIGINT)
+        |  FROM nodes nd
+        |  LEFT JOIN (
+        |    SELECT pr.it + 1 AS it, e.dst AS node,
+        |      SUM((pr.r * 8500 // 10000) // od.cnt) AS s
+        |    FROM pr JOIN edges e ON pr.node = e.src
+        |    JOIN od ON od.src = pr.node
+        |    GROUP BY 1, 2) c ON c.node = nd.node
+        |  WHERE c.it <= 5
+        |)
+        |SELECT node, CAST(r AS BIGINT) AS rank
+        |FROM pr WHERE it = 5""".stripMargin
   )
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.PageRank
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side twin of the exact integer recurrence. */
+  private def brute(edges: Seq[(Long, Long)], iters: Int,
+                    dampBp: Long = 8500L,
+                    scale: Long = 1000000000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = scale * (10000L - dampBp) / 10000L / n
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 0 until iters) {
+      val contribs = edges.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        r(s) * dampBp / 10000L / out(s)
+      }.sum).toMap
+      r = nodes.map(v => v -> (base + contribs.getOrElse(v, 0L))).toMap
+    }
+    r
+  }
+
+  test("matches the integer recurrence on a cycle + star graph") {
+    // 1→2→3→1 cycle; hub 9 pointed at by 4..8 (which 1 links to, so
+    // the graph stays strongly reachable enough to be interesting)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L),
+      (4L, 9L), (5L, 9L), (6L, 9L), (7L, 9L), (8L, 9L), (9L, 1L))
+    for (iters <- Seq(0, 1, 3, 7)) {
+      val got = PageRank.iterate(edges.toDF("src", "dst"), "src", "dst",
+          iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got == brute(edges, iters), s"iters=$iters")
+    }
+    // the in-degree-5 hub outranks every cycle node at convergence-ish
+    val r7 = PageRank.iterate(edges.toDF("src", "dst"), "src", "dst", 7)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(2L, 3L, 5L, 6L).forall(v => r7(9L) > r7(v)))
+  }
+
+  test("mass leaks deterministically, never grows; dangling safe") {
+    // node 5 is dangling (no out-edges): its mass evaporates
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 5L), (3L, 5L), (3L, 1L))
+    val scale = 1000000000000L
+    var prevTotal = scale
+    for (iters <- 1 to 4) {
+      val total = PageRank.iterate(edges.toDF("src", "dst"),
+          "src", "dst", iters)
+        .agg(sum(col("rank"))).as[Long].head()
+      assert(total <= prevTotal, s"mass grew at iter $iters")
+      prevTotal = total
+    }
+    // parallel edges act as weights: with 3→1 doubled, node 1 takes
+    // 2/3 of 3's damped mass instead of 1/2 — and the operator still
+    // matches the recurrence exactly
+    val withDouble = edges ++ Seq((3L, 1L))
+    val op = PageRank.iterate(withDouble.toDF("src", "dst"),
+      "src", "dst", 3).as[(Long, Long)].collect().toMap
+    assert(op == brute(withDouble, 3))
+    assert(brute(withDouble, 1)(1L) > brute(edges, 1)(1L))
+  }
+}
