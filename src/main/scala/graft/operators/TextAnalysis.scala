@@ -354,6 +354,18 @@ object TextAnalysis {
     * subexpression elimination shares the staged texts across the
     * count and replace columns. Counts and the redacted text are
     * engine-exact (shared pattern text) → fully oracle-checkable. */
+  /** The full redaction chain as ONE column expression — for
+    * pipelines (e.g. the streaming scrub) that rewrite the text in
+    * place and carry every other column along. */
+  def piiRedactedText(t: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, lit(EmailPattern), lit("<EMAIL>")),
+          lit(SsnPattern), lit("<SSN>")),
+        lit(Ipv4Pattern), lit("<IP>")),
+      lit(PhonePattern), lit("<PHONE>"))
+
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t0 = col(textCol)
     val t1 = regexp_replace(t0, lit(EmailPattern), lit("<EMAIL>"))
@@ -425,6 +437,13 @@ object TextAnalysis {
       (n === t).as("is_nfc"),
       n.as("nfc_text"))
   }
+
+  /** [[encodingQuality]]'s `clean` verdict as a standalone predicate
+    * (no replacement chars, no C0 controls, no mojibake artifacts). */
+  def encodingClean(t: Column): Column =
+    regexp_count(t, lit(ReplacementPattern)) === 0 &&
+      regexp_count(t, lit(CtrlPattern)) === 0 &&
+      regexp_count(t, lit(MojibakePattern)) === 0
 
   def encodingQuality(df: DataFrame, idCol: String,
                       textCol: String): DataFrame = {

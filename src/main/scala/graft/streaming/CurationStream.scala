@@ -63,6 +63,21 @@ object CurationStream {
     org.apache.spark.sql.types.StructField("text",
       org.apache.spark.sql.types.StringType)))
 
+  /** Stateless scrub stage (enabled with `scrub = true`): Unicode NFC
+    * canonicalization, typed PII redaction, then an encoding-quality
+    * veto (replacement chars / C0 controls / mojibake artifacts drop
+    * the doc). Runs BEFORE the word gate and the dedup probe, so
+    * signatures and the veto index see canonical redacted text — a
+    * decomposed-accent copy of an indexed doc collides with it, which
+    * raw bytes would miss. Per-row deterministic ⇒ stream ≡ batch by
+    * construction (the CurationStreamSpec scrub case proves the whole
+    * chain). The encoding veto reads the NFC text pre-redaction:
+    * placeholders are ASCII and cannot mask artifacts. */
+  private def scrubbed(df: DataFrame): DataFrame = df
+    .withColumn("text", graft.functions.NativeExprs.nfc(col("text")))
+    .filter(TextAnalysis.encodingClean(col("text")))
+    .withColumn("text", TextAnalysis.piiRedactedText(col("text")))
+
   /** One curation commit: gate `batch`, veto docs matching any lower-id
     * doc in (index ∪ batch), accept by weight, append survivors to the
     * curated corpus and every gated doc to the index. Idempotent under
@@ -71,11 +86,12 @@ object CurationStream {
   def commitBatch(batch: DataFrame, indexPath: String, corpusPath: String,
                   minWords: Int, weightBp: Column, seed: String,
                   n: Int = 3, numPerms: Int = 8, bands: Int = 4,
-                  minMatch: Int = 6): Unit = {
+                  minMatch: Int = 6, scrub: Boolean = false): Unit = {
     val spark = batch.sparkSession
-    val gated = batch
+    val prepared = batch
       .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
         col("text"))
+    val gated = (if (scrub) scrubbed(prepared) else prepared)
       .filter(size(TextAnalysis.words(col("text"))) >= minWords)
       .localCheckpoint(true)
     if (gated.isEmpty) return
@@ -109,7 +125,7 @@ object CurationStream {
   def run(docs: DataFrame, indexPath: String, corpusPath: String,
           checkpointDir: String, minWords: Int, weightBp: Column,
           seed: String, n: Int = 3, numPerms: Int = 8, bands: Int = 4,
-          minMatch: Int = 6)
+          minMatch: Int = 6, scrub: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -117,7 +133,7 @@ object CurationStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], _: Long) =>
         commitBatch(batch, indexPath, corpusPath, minWords, weightBp,
-          seed, n, numPerms, bands, minMatch)
+          seed, n, numPerms, bands, minMatch, scrub)
       }
       .start()
 }
