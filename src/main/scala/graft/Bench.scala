@@ -40,8 +40,16 @@ object Bench {
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
+    // Timing runs as `repeat` PASSES over the whole query list, with
+    // every even-numbered pass in REVERSE name order: cumulative heap/
+    // code-cache pressure in the shared JVM grows over a ~130-query
+    // session and inflated late-alphabet queries ~3x at min-of-3 in
+    // r5/r6 (q63 9.1 s vs 3.5 s on a clean JVM). Alternating the order
+    // gives every query at least one early-session sample, so the min
+    // is an honest clean-ish figure at both ends of the alphabet.
+    val passes = (1 to repeat).map { p =>
+      val ordered = if (p % 2 == 0) selected.reverse else selected
+      ordered.map { case (name, fn) =>
         // an operator's leftover cache must not speed up (or crowd out)
         // later iterations/queries — measure plans, not JVM history.
         // The gc() nudges the ContextCleaner to drop unreferenced
@@ -50,9 +58,11 @@ object Bench {
         System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    val results = selected.map { case (name, _) =>
+      name -> passes.map(_(name))
     }
     // Short keys (q01, q02, …) + 3-decimal values keep the JSON line
     // well under the driver's output-tail window: with full names and
@@ -82,15 +92,48 @@ object Bench {
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(path), body.getBytes)
       catch { case _: Throwable => () }
+    // best-ever min per query on this machine: a min > 2x best for an
+    // untouched path is shared-JVM pressure, not a plan regression —
+    // flag it so nobody re-adjudicates phantom regressions from the
+    // artifact alone. Crude regex parse: the file is our own flat map.
+    val bestPath = "bench_best.json"
+    val prevBest: Map[String, Double] =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(bestPath)))
+        """"([^"]+)":([-0-9.eE+]+)""".r.findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val minMap = mins.toMap
+    val suspects = mins.collect { case (k, v)
+      if prevBest.get(k).exists(b => v > 2 * b && v > 1.0) => k }
+    if (suspects.nonEmpty)
+      System.err.println("SUSPECT (min > 2x best-ever; likely shared-JVM " +
+        s"pressure, re-run clean before calling it a regression): ${suspects.mkString(",")}")
+    val newBest = (prevBest.keySet ++ minMap.keySet).toSeq.sorted.map { k =>
+      k -> math.min(prevBest.getOrElse(k, Double.MaxValue),
+        minMap.getOrElse(k, Double.MaxValue))
+    }
+    writeJson(bestPath, newBest
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}") + "\n")
     writeJson("bench_full.json",
       s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"queries":${
         mins.map { case (k, v) => "\"" + k + "\":" + v }
-          .mkString("{", ",", "}")},"sf":"$sfDir"}\n""")
-    writeJson("bench_iters.json",
+          .mkString("{", ",", "}")},"suspect":${
+        suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}\n""")
+    // bench_iters is APPEND-ONLY (one JSON line per run): overwriting
+    // lost the r5 clean-JVM adjudication baselines (r6 advice).
+    val itersLine =
       s"""{"repeat":$repeat,"queries":${
         results.map { case (k, ts) =>
           "\"" + k + "\":" + ts.mkString("[", ",", "]")
-        }.mkString("{", ",", "}")},"sf":"$sfDir"}\n""")
+        }.mkString("{", ",", "}")},"sf":"$sfDir"}\n"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_iters.json"), itersLine.getBytes,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => () }
     spark.stop()
     // Printed AFTER spark.stop() so no executor/log line lands behind it.
     println(line)

@@ -38,6 +38,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full query manifest: a query that THREW above leaves no parquet
+    // dir, and a checker iterating only oracle_sql keys would record a
+    // silent absence instead of a red row (exactly how q28's r6 break
+    // hid in CORRECTNESS_r06.json). tools/check.py diffs this list
+    // against the produced outputs so every query is either green,
+    // rows-only-green, or explicitly FAILED — never missing.
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted
+        .map(q(_)).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Linear quality classifier over hashed features — the
@@ -51,12 +50,23 @@ object Classifier {
   /** Train on `labelPred` (curated slice = positive class) vs the
     * rest. Every doc participates; empty docs contribute only to the
     * bias. Returns the model plus the per-iteration mean log-loss
-    * trace (driver-side, for monitoring/specs). */
+    * trace (driver-side, for monitoring/specs).
+    *
+    * One Spark ACTION per iteration: the loss and bias-gradient sums
+    * ride the same groupBy(bucket) collect as the weight gradient,
+    * as a tagged-union row under the sentinel bucket −1 (a real
+    * feature bucket is always ≥ 0). The per-doc error subtree feeds
+    * both union branches without a checkpoint — the margin shuffle is
+    * plan-identical on both sides, so ReuseExchange computes it once.
+    * Training stops early once the mean-loss improvement over an
+    * iteration falls below `tol` (relative); pass `tol = 0` to force
+    * all `iters` iterations. */
   def train(df: DataFrame, idCol: String, textCol: String,
             labelPred: org.apache.spark.sql.Column,
             dim: Int = 4096, iters: Int = 30, lr: Double = 1.0,
-            seed: String = "lr"): (LrModel, Seq[Double]) = {
+            seed: String = "lr", tol: Double = 1e-4): (LrModel, Seq[Double]) = {
     require(dim > 0 && iters > 0 && lr > 0, "dim/iters/lr must be positive")
+    require(tol >= 0, "tol must be non-negative")
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -73,8 +83,11 @@ object Classifier {
     val w = new Array[Double](dim)
     var b = 0.0
     val losses = Seq.newBuilder[Double]
+    var prevLoss = Double.NaN
+    var iter = 0
+    var stopped = false
 
-    for (_ <- 0 until iters) {
+    while (iter < iters && !stopped) {
       val wDf = w.toIndexedSeq.zipWithIndex
         .map { case (wv, i) => (i.toLong, wv) }
         .toDF("bucket", "__w")
@@ -88,21 +101,34 @@ object Classifier {
           coalesce(col("__m"), lit(0.0)).as("__m"))
         .withColumn("__p", lit(1.0) / (lit(1.0) + exp(-(lit(b) + col("__m")))))
         .withColumn("__err", col("__p") - col("__y"))
-        .localCheckpoint(true) // three consumers: loss, bias grad, w grad
-      val Row(lossSum: Double, errSum: Double) = errDf.agg(
-        sum(-(col("__y") * log(greatest(col("__p"), lit(1e-12))) +
+      val docStats = errDf.select(
+        lit(-1L).as("bucket"),
+        col("__err").as("__g"),
+        (-(col("__y") * log(greatest(col("__p"), lit(1e-12))) +
           (lit(1.0) - col("__y")) *
-            log(greatest(lit(1.0) - col("__p"), lit(1e-12))))),
-        sum(col("__err"))).head
-      val grad = feats.join(errDf.select(col("__d"), col("__err")), Seq("__d"))
+            log(greatest(lit(1.0) - col("__p"), lit(1e-12))))).as("__l"))
+      val wGrad = feats.join(errDf.select(col("__d"), col("__err")), Seq("__d"))
+        .select(col("bucket"), (col("__x") * col("__err")).as("__g"),
+          lit(0.0).as("__l"))
+      val rows = wGrad.unionByName(docStats)
         .groupBy(col("bucket"))
-        .agg(sum(col("__x") * col("__err")).as("__g"))
-        .as[(Long, Double)].collect()
-      losses += lossSum / n
-      b -= lr * errSum / n
-      grad.foreach { case (bucket, g) =>
-        w(bucket.toInt) -= lr * g / n
+        .agg(sum(col("__g")).as("g"), sum(col("__l")).as("l"))
+        .as[(Long, Double, Double)].collect()
+
+      var lossSum = 0.0
+      var errSum = 0.0
+      rows.foreach { case (bucket, g, l) =>
+        if (bucket < 0) { errSum = g; lossSum = l }
+        else w(bucket.toInt) -= lr * g / n
       }
+      b -= lr * errSum / n
+      val loss = lossSum / n
+      losses += loss
+      if (!prevLoss.isNaN &&
+          prevLoss - loss < tol * math.max(1.0, math.abs(prevLoss)))
+        stopped = true
+      prevLoss = loss
+      iter += 1
     }
     (LrModel(dim, seed, b, w), losses.result())
   }
@@ -133,9 +159,13 @@ object Classifier {
   }
 
   /** Train-and-keep convenience: keep the top `keepFrac` (in basis
-    * points) of documents by classifier probability, ties broken by
-    * id. The cut resolves through [[Selection.valueAtRanks]] on the
-    * integer `prob_bp` key — no global sort. */
+    * points) of documents by classifier probability, boundary ties
+    * broken by id-hash rank. The cut resolves through
+    * [[Selection.valueAtRanks]] on the integer `prob_bp` key and the
+    * tie slots through [[Selection.hashRankFilter]] — no global sort
+    * and no unpartitioned window anywhere: `prob_bp` has only 10001
+    * distinct values, so the boundary tie set is ~n/10⁴ rows and a
+    * single-task row_number over it would serialize at corpus scale. */
   def filterByQuality(df: DataFrame, idCol: String, textCol: String,
                       labelPred: org.apache.spark.sql.Column,
                       keepBp: Int, dim: Int = 4096, iters: Int = 30,
@@ -155,9 +185,11 @@ object Classifier {
     val total = scored.count()
     val nKeep = math.max(1L, total * keepBp / 10000L)
     val tieSlots = nKeep - nAbove
-    val tieIds = scored.filter(col("__negp") === cut)
-      .withColumn("__tr", row_number().over(Window.orderBy(col(idCol))))
-      .filter(col("__tr") <= tieSlots)
+    val tieIds = Selection.hashRankFilter(
+        scored.filter(col("__negp") === cut)
+          .withColumn("__tg", lit(1))
+          .withColumn("__ts", lit(tieSlots)),
+        "__tg", idCol, Splits.bucket(col(idCol), 1000000), "__ts")
       .select(col(idCol), lit(true).as("__tie"))
     scored.join(tieIds, Seq(idCol), "left")
       .withColumn("selected",

@@ -385,10 +385,14 @@ object LangModel {
     val cut = cutRows(0).getLong(0)
     val nAbove = scorable.filter(-col("weight_fp") < cut).count()
     val tieSlots = nKeep - nAbove
-    val tieIds = scorable.filter(-col("weight_fp") === cut)
-      .withColumn("__tr", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col(idCol))))
-      .filter(col("__tr") <= tieSlots)
+    // `weight_fp` is fine-grained fixed-point so cutoff ties are O(1)
+    // in practice, but resolve them through the same bucket-parallel
+    // id-hash rank as every other keep-cutoff (no global window).
+    val tieIds = Selection.hashRankFilter(
+        scorable.filter(-col("weight_fp") === cut)
+          .withColumn("__tg", lit(1))
+          .withColumn("__ts", lit(tieSlots)),
+        "__tg", idCol, Splits.bucket(col(idCol), 1000000), "__ts")
       .select(col(idCol), lit(true).as("__tie"))
     scored.join(tieIds, Seq(idCol), "left")
       .withColumn("selected", col("n_scored") > 0 &&

@@ -251,12 +251,14 @@ object ApproxPack extends QueryPack {
     // lexical hashed-bag-of-words LR quality filter: trained to pick
     // out the 'en' slice by word choice, exact top-25% kept through
     // the Selection cutoff — float margins → rows-only; ClassifierSpec
-    // pins separation, loss descent, and exact-fraction semantics
+    // pins separation, loss descent, and exact-fraction semantics.
+    // 6 single-action GD iterations (loss+bias+grad fused into one
+    // groupBy collect) separate the planted slice comfortably
     "q128_lexical_filter" -> ((s, dir) =>
       graft.operators.Classifier.filterByQuality(
         Tables.load(s, dir, "documents"), "doc_id", "text",
         labelPred = col("lang") === "en", keepBp = 2500,
-        dim = 1024, iters = 12, lr = 2.0, seed = "q128")),
+        dim = 1024, iters = 6, lr = 2.0, seed = "q128")),
 
     // Johnson–Lindenstrauss sign projection 64→16 dims ahead of ANN;
     // floats → rows-only (vector stringified — pandas cannot order

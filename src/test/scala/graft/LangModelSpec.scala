@@ -119,9 +119,18 @@ class LangModelSpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect()
     assert(out.length == 60)
     assert(out.count(_._3) == 20)
-    // the selected set IS the top-20 under (weight desc, id asc) —
-    // boundary ties resolved by smallest id, nothing else reordered
-    val expect = out.sortBy(t => (-t._2, t._1)).take(20).map(_._1).toSet
+    // the selected set IS the top-20 under (weight desc, id-hash-
+    // bucket asc, id asc) — boundary ties resolve through the same
+    // bucket-parallel hashRankFilter order every keep-cutoff uses
+    // (portable md5 bucket of the stringified id, then id)
+    def pb(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val expect = out.sortBy(t => (-t._2, pb(t._1), t._1))
+      .take(20).map(_._1).toSet
     assert(out.filter(_._3).map(_._1).toSet == expect)
     // the point of the operator: target-domain docs outrank background
     val tw = out.filter(_._1 <= 15).map(_._2)

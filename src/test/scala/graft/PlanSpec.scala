@@ -157,17 +157,38 @@ class PlanSpec extends SparkSpec {
     * no Aggregate on the path (an Aggregate bounds the window's input
     * to per-bucket count rows; a literal LocalRelation is model-sized).
     * The Selection primitives run bare-group cumsum windows ONLY over
-    * per-bucket count aggregates — those are allowed. */
+    * per-bucket count aggregates — those are allowed. A partition spec
+    * that resolves to a [[graft.functions.PortableBucket]] hash is
+    * also allowed: hashRankFilter's rank window is (group, bucket)-
+    * partitioned, and when the group is a literal (single-group
+    * callers like the tie-break resolvers) Catalyst folds it out of
+    * the spec, leaving the 1e6-way bucket alone — which is exactly
+    * the scale guarantee this lock protects. */
   private def bareFactWindows(df: DataFrame) = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression}
+    val plan = df.queryExecution.optimizedPlan
+    val defs: Map[Long, Expression] = plan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case a: Alias => a.exprId.id -> a.child
+      })
+    }.flatten.toMap
+    def isBucketed(e: Expression, depth: Int = 0): Boolean =
+      if (depth > 8) false
+      else if (e.isInstanceOf[graft.functions.PortableBucket]) true
+      else e match {
+        case a: Attribute => defs.get(a.exprId.id).exists(isBucketed(_, depth + 1))
+        case other => other.children.exists(isBucketed(_, depth + 1))
+      }
     def scanWithoutAgg(p: LogicalPlan): Boolean = p match {
       case _: Aggregate => false
       case _: LocalRelation => false
       case l: LeafNode => true
       case other => other.children.exists(scanWithoutAgg)
     }
-    df.queryExecution.optimizedPlan.collect {
+    plan.collect {
       case w: Window if w.partitionSpec.size < 2 &&
+        !w.partitionSpec.exists(isBucketed(_)) &&
         scanWithoutAgg(w.child) => w
     }
   }
@@ -183,6 +204,20 @@ class PlanSpec extends SparkSpec {
       assert(bare.isEmpty,
         s"$q has a bare-group window over fact rows " +
           s"(single-task hot-group sort):\n${bare.mkString("\n")}")
+    }
+  }
+
+  test("keep-cutoff tie-breaks: no unpartitioned window over fact rows") {
+    // the boundary-tie resolvers (Classifier.filterByQuality, DSIR
+    // importanceSelect) must rank tie rows through the bucketed
+    // hashRankFilter, never a global row_number — a 10⁴-bucket score
+    // key makes the tie set ~n/10⁴, which would serialize in one task
+    Seq("q128_lexical_filter", "q108_dsir_select").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      val bare = bareFactWindows(df)
+      assert(bare.isEmpty,
+        s"$q resolves ties through a bare/global window over fact " +
+          s"rows:\n${bare.mkString("\n")}")
     }
   }
 

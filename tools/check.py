@@ -30,6 +30,24 @@ def canon(df):
     return df
 
 fails = 0
+
+# Every query in the manifest must produce output — a thrown query leaves
+# no parquet dir, and iterating only oracle keys hides rows-only breaks
+# entirely (the q28 r6 lesson, generalized). Rows-only queries (no oracle
+# SQL) get an existence + row-count check here; their semantics are pinned
+# by ScalaTest specs.
+manifest_path = f"{out_dir}/queries.json"
+if os.path.exists(manifest_path):
+    manifest = json.load(open(manifest_path))
+    for name in sorted(set(manifest) - set(oracle)):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output (rows-only)"); fails += 1; continue
+        n = sum(len(pd.read_parquet(f)) for f in files)
+        if n == 0:
+            print(f"WARN {name}: rows-only query returned 0 rows")
+        print(f"PASS {name} (rows-only, {n} rows)")
+
 for name in sorted(oracle):
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
