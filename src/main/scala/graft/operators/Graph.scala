@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph structure metrics for corpus curation — the quality
+  * priors next to [[PageRank]]: local clustering (triangle density)
+  * separates organic link neighborhoods from link farms (spam pages
+  * interlink heavily but their neighbors don't interlink), HITS
+  * hub/authority scores rank aggregator vs content domains, and the
+  * k-core separates the densely-connected backbone from peripheral
+  * pages. No counterpart in ssi-dk/diseasystore; formulations follow
+  * the public literature (Schank & Wagner 2005 degree-ordered triangle
+  * counting; Kleinberg 1999 HITS; Batagelj & Zaversnik 2003 core
+  * decomposition), re-expressed as DataFrame joins.
+  *
+  * All three are EXACT-INTEGER: every value is a 64-bit count or a
+  * floored fixed-point ratio computed identically by any engine, so
+  * the driver queries hash-check against DuckDB (triangles as plain
+  * joins, HITS/k-core as recursive CTEs).
+  */
+object Graph {
+
+  /** Canonical undirected simple edges: self-loops dropped, (u,v)
+    * ordered u < v, duplicates collapsed. */
+  def undirected(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+  /** Exact per-node triangle count + local clustering coefficient (in
+    * basis points, floored). Output: (node, degree, triangles, cc_bp).
+    *
+    * Scale: the classic degree-ordered orientation — each undirected
+    * edge points from its lower-(degree, id) endpoint to the higher —
+    * bounds every node's out-degree by O(√m), so the wedge join
+    * generates O(m^1.5) candidates TOTAL regardless of skew (a
+    * celebrity node's million neighbors produce no wedges at the
+    * celebrity; its low-degree neighbors each produce few). Wedges
+    * shuffle on the apex (co-located with the orientation join), the
+    * closure check is one equi-join on the wedge's outer pair, and the
+    * per-node rollup is a count aggregate. No windows, no driver data.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol)
+      .localCheckpoint(true) // three consumers: degrees, orientation, closure
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true) // consumed by orientation + final join
+    // orient: (a -> b) iff (deg(a), a) < (deg(b), b); total order, so
+    // exactly one direction per edge and out-degrees are O(sqrt(m)).
+    // __bd rides along = deg(b), the head's orientation key, so wedge
+    // pairs can be ordered without re-joining degrees.
+    val du = deg.select(col("node").as("u"), col("degree").as("__du"))
+    val dv = deg.select(col("node").as("v"), col("degree").as("__dv"))
+    val uFirst = col("__du") < col("__dv") ||
+      (col("__du") === col("__dv") && col("u") < col("v"))
+    val oriented = und.join(du, Seq("u")).join(dv, Seq("v"))
+      .select(
+        when(uFirst, col("u")).otherwise(col("v")).as("a"),
+        when(uFirst, col("v")).otherwise(col("u")).as("b"),
+        when(uFirst, col("__dv")).otherwise(col("__du")).as("__bd"))
+      .localCheckpoint(true) // wedge self-join + closure probe
+    // ordered wedges (b, c) with b before c in the orientation order:
+    // a triangle's three oriented edges form a -> b -> c, so it is
+    // found exactly once — at its unique apex a, closed by edge b -> c
+    val wedges = oriented
+      .join(oriented.select(col("a"), col("b").as("c"), col("__bd").as("__cd")),
+        Seq("a"))
+      .filter(col("__bd") < col("__cd") ||
+        (col("__bd") === col("__cd") && col("b") < col("c")))
+    val tris = wedges.join(
+        oriented.select(col("a").as("__bb"), col("b").as("__cc")),
+        col("b") === col("__bb") && col("c") === col("__cc"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("cc_bp",
+        when(col("degree") >= 2,
+          expr("(20000L * triangles) div (degree * (degree - 1L))"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Integer fixed-point HITS (Kleinberg 1999): `iters` rounds of
+    * auth(v) = Σ hub(in-neighbors), hub(u) = Σ auth(out-neighbors),
+    * each renormalized to sum ≈ `scale` by floored integer division
+    * after every half-step — so every intermediate is a 64-bit integer
+    * and the whole iteration hash-checks against a recursive CTE.
+    * Output: (node, hub, auth) over all endpoint nodes.
+    *
+    * Scale: edges repartition by src once and checkpoint; each round
+    * is two co-located joins + two keyed aggregates (the PageRank
+    * posture, twice per round). The normalizing totals are 1-row
+    * aggregates broadcast back — never a collect, never a window over
+    * node rows. Overflow: normalized values sum to ≤ scale, a raw
+    * half-step value is ≤ scale·dmax, and the normalization product is
+    * ≤ scale²·dmax — the `require` pins scale²·dmax < 2⁶³ using the
+    * collected max degree (ANSI mode would otherwise throw mid-task).
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    require(scale > 0, "scale must be positive")
+    val e = edges.select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct()
+      .repartition(col("__src"))
+      .localCheckpoint(true) // scanned 2x per round
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst")))
+      .distinct()
+      .localCheckpoint(true)
+    require(nodes.count() > 0, "empty edge set")
+    val dmax = e.select(col("__src").as("n"))
+      .union(e.select(col("__dst")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head.getLong(0)
+    require(scale <= 1000000L && dmax <= 1000000L,
+      s"scale^2 * max-degree must stay below 2^63 (scale=$scale, dmax=$dmax)")
+
+    var hub = nodes.withColumn("hub", lit(scale))
+    var auth = nodes.withColumn("auth", lit(scale))
+    for (_ <- 0 until iters) {
+      val rawA = e.join(hub.withColumnRenamed("node", "__src"), Seq("__src"))
+        .groupBy(col("__dst")).agg(sum(col("hub")).as("__ra"))
+        .localCheckpoint(true) // total + normalize read it
+      val aTot = rawA.agg(sum(col("__ra")).as("__t"))
+      val na = rawA.crossJoin(broadcast(aTot))
+        .select(col("__dst").as("node"),
+          expr(s"__ra * ${scale}L div greatest(__t, 1L)").as("auth"))
+      val rawH = e.join(na.withColumnRenamed("node", "__dst"), Seq("__dst"))
+        .groupBy(col("__src")).agg(sum(col("auth")).as("__rh"))
+        .localCheckpoint(true)
+      val hTot = rawH.agg(sum(col("__rh")).as("__t"))
+      val nh = rawH.crossJoin(broadcast(hTot))
+        .select(col("__src").as("node"),
+          expr(s"__rh * ${scale}L div greatest(__t, 1L)").as("hub"))
+      auth = nodes.join(na, Seq("node"), "left")
+        .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth"))
+        .localCheckpoint(true)
+      hub = nodes.join(nh, Seq("node"), "left")
+        .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"))
+        .localCheckpoint(true)
+    }
+    hub.join(auth, Seq("node"))
+  }
+
+  /** k-core: peel nodes of degree < k for `maxRounds` rounds (or to
+    * the fixpoint, whichever comes first — extra rounds past the
+    * fixpoint are no-ops, so a fixed-round oracle matches). Output:
+    * (node, core_degree) for surviving nodes, with the node's degree
+    * inside the surviving subgraph.
+    *
+    * Scale: the live frame is the EDGE list (node-degree state would
+    * need two edge joins per round anyway); each round is one degree
+    * aggregate + two semi-joins, all keyed on node ids, with a
+    * localCheckpoint pinning the shrinking edge set. Rounds are
+    * O(peel depth); each round's cost shrinks with the live set. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 0, "maxRounds must be non-negative")
+    var live = undirected(edges, srcCol, dstCol).localCheckpoint(true)
+    var nLive = live.count()
+    var round = 0
+    var fixed = false
+    while (round < maxRounds && !fixed && nLive > 0) {
+      val deg = live.select(col("u").as("node"))
+        .union(live.select(col("v")))
+        .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+      val alive = deg.filter(col("__d") >= k)
+        .select(col("node"))
+        .localCheckpoint(true) // probed twice (u side + v side)
+      val next = live
+        .join(alive.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(alive.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      val nNext = next.count()
+      fixed = nNext == nLive
+      live = next
+      nLive = nNext
+      round += 1
+    }
+    live.select(col("u").as("node"))
+      .union(live.select(col("v")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
+  }
+}

@@ -269,6 +269,48 @@ object ScalePack extends QueryPack {
       graft.operators.PageRank.iterate(edges, "src", "dst", iters = 5)
     }),
 
+    // per-node triangle count + clustering coefficient over the part
+    // co-occurrence graph (parts sharing an order; 2k nodes, 116k
+    // edges, 414k triangles at sf0.01) — degree-ordered wedge join,
+    // all integer, hash-checks against plain DuckDB joins
+    "q131_triangles" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+      val pairs = li.withColumnRenamed("pk", "u")
+        .join(li.withColumnRenamed("pk", "v"), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      graft.operators.Graph.triangleStats(pairs, "u", "v")
+    }),
+
+    // integer fixed-point HITS over the directed supplier->customer
+    // trade graph: 4 rounds, every half-step renormalized to 1e6 by
+    // floored division — hash-checks against a recursive CTE
+    "q132_hits" -> ((s, dir) => {
+      val edges = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey").cast("long") + 10000000L).as("src"),
+          (col("o_custkey").cast("long") + 20000000L).as("dst"))
+      graft.operators.Graph.hits(edges, "src", "dst", iters = 4)
+    }),
+
+    // 80-core of the part co-occurrence graph: 5 cascade rounds to
+    // the fixpoint at sf0.01 (1857 of 2000 parts survive); the Spark
+    // loop early-exits at the fixpoint, the oracle's fixed 8 rounds
+    // are no-ops past it — identical output either way
+    "q133_kcore" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+      val pairs = li.withColumnRenamed("pk", "u")
+        .join(li.withColumnRenamed("pk", "v"), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      graft.operators.Graph.kCore(pairs, "u", "v", k = 80, maxRounds = 8)
+    }),
+
     // dataset card: per-source docs/tokens/chars/empties/dups/lang-mix
     // in long format — the exact-integer summary a curation pipeline
     // publishes next to the data
@@ -803,6 +845,117 @@ object ScalePack extends QueryPack {
         |  WHERE c.it <= 5
         |)
         |SELECT node, CAST(r AS BIGINT) AS rank
-        |FROM pr WHERE it = 5""".stripMargin
+        |FROM pr WHERE it = 5""".stripMargin,
+
+    // q131: canonical u<v part pairs, then the textbook three-way
+    // self-join triangle enumeration (u<v<w appears once); per-node
+    // membership via a 3-way union. The Spark side's degree-ordered
+    // wedge join finds the same set — exact integers both ways.
+    "q131_triangles" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (
+        |  SELECT node, count(*) AS degree FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (
+        |  SELECT node, count(*) AS t FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY node)
+        |SELECT CAST(deg.node AS BIGINT) AS node,
+        |  CAST(deg.degree AS BIGINT) AS degree,
+        |  CAST(coalesce(tn.t, 0) AS BIGINT) AS triangles,
+        |  CAST(CASE WHEN degree >= 2
+        |    THEN (20000 * coalesce(tn.t, 0)) // (degree * (degree - 1))
+        |    ELSE 0 END AS BIGINT) AS cc_bp
+        |FROM deg LEFT JOIN tn USING (node)""".stripMargin,
+
+    // q132: the same 4 normalized HITS rounds as a recursive CTE; the
+    // recursive term references r once (the auth half-step), computes
+    // the hub half-step from the fresh auths in a nested CTE, and
+    // re-joins the halves FULL OUTER (a node absent from one side
+    // that round scores 0 there). sum() returns HUGEINT -> every
+    // normalized value is CAST back to BIGINT, and greatest(.., 1)
+    // guards the all-zero total.
+    "q132_hits" ->
+      """WITH RECURSIVE
+        |p AS (
+        |  SELECT DISTINCT CAST(l_suppkey + 10000000 AS BIGINT) AS src,
+        |    CAST(o_custkey + 20000000 AS BIGINT) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM p UNION ALL SELECT dst FROM p)),
+        |r AS (
+        |  SELECT 0 AS it, node, CAST(1000000 AS BIGINT) AS hub,
+        |    CAST(1000000 AS BIGINT) AS auth
+        |  FROM nodes
+        |  UNION ALL
+        |  SELECT it, node, hub, auth FROM (
+        |    WITH a AS (
+        |      SELECT r.it + 1 AS it, p.dst AS node, sum(r.hub) AS ra
+        |      FROM r JOIN p ON r.node = p.src
+        |      WHERE r.it < 4
+        |      GROUP BY r.it + 1, p.dst),
+        |    na AS (
+        |      SELECT it, node, CAST(ra * 1000000 //
+        |        greatest(sum(ra) OVER (PARTITION BY it), 1) AS BIGINT) AS auth
+        |      FROM a),
+        |    h AS (
+        |      SELECT na.it, p.src AS node, sum(na.auth) AS rh
+        |      FROM na JOIN p ON na.node = p.dst
+        |      GROUP BY na.it, p.src),
+        |    nh AS (
+        |      SELECT it, node, CAST(rh * 1000000 //
+        |        greatest(sum(rh) OVER (PARTITION BY it), 1) AS BIGINT) AS hub
+        |      FROM h)
+        |    SELECT coalesce(na.it, nh.it) AS it,
+        |      coalesce(na.node, nh.node) AS node,
+        |      coalesce(nh.hub, 0) AS hub, coalesce(na.auth, 0) AS auth
+        |    FROM na FULL OUTER JOIN nh
+        |      ON na.it = nh.it AND na.node = nh.node
+        |  )
+        |)
+        |SELECT node, CAST(hub AS BIGINT) AS hub, CAST(auth AS BIGINT) AS auth
+        |FROM r WHERE it = 4""".stripMargin,
+
+    // q133: fixed 8 peel rounds over edge-endpoint incidence rows —
+    // degree = count per (it, node) window, an edge survives iff
+    // min(endpoint degree) >= k; rounds past the fixpoint are no-ops
+    // so the Spark loop's early exit matches. Final degree = row
+    // count per node at it = 8.
+    "q133_kcore" ->
+      """WITH RECURSIVE
+        |li AS (
+        |  SELECT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |inc AS (
+        |  SELECT 0 AS it, u, v, u AS node FROM e
+        |  UNION ALL SELECT 0, u, v, v FROM e),
+        |r AS (
+        |  SELECT * FROM inc
+        |  UNION ALL
+        |  SELECT it + 1, u, v, node FROM (
+        |    SELECT *, min(dn) OVER (PARTITION BY it, u, v) AS mind FROM (
+        |      SELECT *, count(*) OVER (PARTITION BY it, node) AS dn FROM r
+        |    )
+        |  ) WHERE mind >= 80 AND it < 8
+        |)
+        |SELECT CAST(node AS BIGINT) AS node,
+        |  CAST(count(*) AS BIGINT) AS core_degree
+        |FROM r WHERE it = 8 GROUP BY node""".stripMargin
   )
 }

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomEdges(n: Int, m: Int, seed: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to m).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+  }
+
+  private def undirect(edges: Seq[(Long, Long)]): Set[(Long, Long)] =
+    edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(t => t._1 != t._2).toSet
+
+  test("triangleStats matches brute-force enumeration") {
+    val edges = randomEdges(30, 150, 7)
+    val und = undirect(edges)
+    val nodes = und.flatMap(t => Seq(t._1, t._2))
+    val adj = nodes.map(v => v ->
+      und.collect { case (a, b) if a == v => b
+                    case (a, b) if b == v => a }).toMap
+    val expect = nodes.map { v =>
+      val nb = adj(v).toSeq.sorted
+      val t = (for {
+        i <- nb.indices; j <- (i + 1) until nb.size
+        if und.contains((math.min(nb(i), nb(j)), math.max(nb(i), nb(j))))
+      } yield 1).size.toLong
+      val d = nb.size.toLong
+      val cc = if (d >= 2) 20000L * t / (d * (d - 1)) else 0L
+      v -> ((d, t, cc))
+    }.toMap
+
+    val out = Graph.triangleStats(edges.toDF("src", "dst"), "src", "dst")
+      .select("node", "degree", "triangles", "cc_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == nodes.size)
+    out.foreach { case (v, d, t, cc) =>
+      assert(expect(v) == ((d, t, cc)),
+        s"node $v: got ($d,$t,$cc), want ${expect(v)}")
+    }
+    // sanity: the random graph actually has triangles
+    assert(out.map(_._3).sum > 0)
+  }
+
+  test("triangleStats: a known 5-node graph") {
+    // K4 on {1,2,3,4} plus pendant 5-1: node 1..4 in 3 triangles... K4
+    // has 4 triangles; each K4 node sits in 3 of them; node 5 in none.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L), (2L, 1L) /* dup */ , (3L, 3L) /* loop */)
+    val m = Graph.triangleStats(edges.toDF("src", "dst"), "src", "dst")
+      .select("node", "triangles").as[(Long, Long)].collect().toMap
+    assert(m == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+  }
+
+  test("hits matches the exact integer recurrence; authorities rank by in-links") {
+    val scale = 1000000L
+    // 3 hubs pointing at 3 pages with in-degrees 3, 2, 1
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L),
+      (3L, 10L))
+    val iters = 4
+    // driver-side exact recurrence, replicating floored normalization
+    val nodes = edges.flatMap(t => Seq(t._1, t._2)).distinct
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = nodes.map(_ -> scale).toMap
+    for (_ <- 0 until iters) {
+      val rawA = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => hub(e._1)).sum }
+      val aT = math.max(rawA.values.sum, 1L)
+      val na = rawA.map { case (v, r) => v -> r * scale / aT }
+      val rawH = edges.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(e => na(e._2)).sum }
+      val hT = math.max(rawH.values.sum, 1L)
+      val nh = rawH.map { case (u, r) => u -> r * scale / hT }
+      auth = nodes.map(v => v -> na.getOrElse(v, 0L)).toMap
+      hub = nodes.map(v => v -> nh.getOrElse(v, 0L)).toMap
+    }
+    val out = Graph.hits(edges.toDF("src", "dst"), "src", "dst", iters)
+      .select("node", "hub", "auth").as[(Long, Long, Long)].collect()
+    assert(out.length == nodes.size)
+    out.foreach { case (v, h, a) =>
+      assert(h == hub(v) && a == auth(v),
+        s"node $v: got ($h,$a), want (${hub(v)},${auth(v)})")
+    }
+    val authMap = out.map(t => t._1 -> t._3).toMap
+    assert(authMap(10L) > authMap(11L) && authMap(11L) > authMap(12L))
+    val hubMap = out.map(t => t._1 -> t._2).toMap
+    assert(hubMap(1L) > hubMap(2L) && hubMap(2L) > hubMap(3L))
+  }
+
+  test("kCore peels to the exact fixpoint and reports in-core degrees") {
+    // path 5-4-3 into triangle {1,2,3}: 2-core is exactly the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val out = Graph.kCore(edges.toDF("src", "dst"), "src", "dst",
+        k = 2, maxRounds = 10)
+      .select("node", "core_degree").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k larger than any degree -> empty core
+    val empty = Graph.kCore(edges.toDF("src", "dst"), "src", "dst",
+        k = 5, maxRounds = 10).count()
+    assert(empty == 0)
+  }
+
+  test("kCore matches brute-force peeling on a random graph") {
+    val edges = randomEdges(40, 100, 11)
+    val k = 3
+    var live = undirect(edges)
+    var changed = true
+    while (changed && live.nonEmpty) {
+      val deg = live.toSeq.flatMap(t => Seq(t._1, t._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val alive = deg.filter(_._2 >= k).keySet
+      val next = live.filter(t => alive(t._1) && alive(t._2))
+      changed = next.size != live.size
+      live = next
+    }
+    val expect = live.toSeq.flatMap(t => Seq(t._1, t._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val out = Graph.kCore(edges.toDF("src", "dst"), "src", "dst",
+        k = k, maxRounds = 100)
+      .select("node", "core_degree").as[(Long, Long)].collect().toMap
+    assert(out == expect)
+  }
+}
