@@ -40,29 +40,34 @@ object Bench {
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // Timing runs as `repeat` PASSES over the whole query list, with
-    // every even-numbered pass in REVERSE name order: cumulative heap/
-    // code-cache pressure in the shared JVM grows over a ~130-query
-    // session and inflated late-alphabet queries ~3x at min-of-3 in
-    // r5/r6 (q63 9.1 s vs 3.5 s on a clean JVM). Alternating the order
-    // gives every query at least one early-session sample, so the min
-    // is an honest clean-ish figure at both ends of the alphabet.
-    val passes = (1 to repeat).map { p =>
-      val ordered = if (p % 2 == 0) selected.reverse else selected
-      ordered.map { case (name, fn) =>
-        // an operator's leftover cache must not speed up (or crowd out)
-        // later iterations/queries — measure plans, not JVM history.
-        // The gc() nudges the ContextCleaner to drop unreferenced
-        // localCheckpoint blocks the operators released.
-        spark.catalog.clearCache()
-        System.gc()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // an operator's leftover cache must not speed up (or crowd out)
+      // later iterations/queries — measure plans, not JVM history.
+      // The gc() nudges the ContextCleaner to drop unreferenced
+      // localCheckpoint blocks the operators released.
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
     }
+    // Per-query CONSECUTIVE min-of-`repeat` (comparable round-over-
+    // round; back-to-back repeats share the query's own JIT/codegen
+    // warmth, which is also the recurring-production posture), PLUS
+    // one whole-list pass in REVERSE name order: cumulative heap/
+    // code-cache pressure in the shared JVM inflated late-alphabet
+    // queries ~3x at min-of-3 in r5/r6 (q63 9.1 s vs 3.5 s on a clean
+    // JVM). The reverse pass gives every query one early-session
+    // sample, so the reported min is honest at both ends of the
+    // alphabet without losing comparability with earlier rounds.
+    val consecutive = selected.map { case (name, fn) =>
+      name -> (1 to repeat).map(_ => timed(fn))
+    }.toMap
+    val reversePass = selected.reverse.map { case (name, fn) =>
+      name -> timed(fn)
+    }.toMap
     val results = selected.map { case (name, _) =>
-      name -> passes.map(_(name))
+      name -> (consecutive(name) :+ reversePass(name))
     }
     // Short keys (q01, q02, …) + 3-decimal values keep the JSON line
     // well under the driver's output-tail window: with full names and

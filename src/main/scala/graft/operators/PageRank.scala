@@ -69,4 +69,67 @@ object PageRank {
     }
     ranks
   }
+
+  /** Personalized (seeded-teleport) PageRank — the TrustRank shape
+    * (Gyöngyi et al. VLDB 2004): teleport mass lands ONLY on `seeds`
+    * (a trusted slice — curated domains, verified entities), so rank
+    * measures proximity to the trusted set and decays through the
+    * link graph; spam neighborhoods score ≈ 0. Same exact-integer
+    * mass-leaking arithmetic as [[iterate]] (remainders and dangling
+    * mass drop), so every round hash-checks against a recursive CTE.
+    *
+    * `seeds` is one node id per row; ids outside the edge set are
+    * ignored. Initial mass `scale div |seeds|` on each seed, 0
+    * elsewhere; per round each node gets its damped in-contributions
+    * plus, if a seed, the undamped teleport share.
+    *
+    * Scale posture identical to [[iterate]]; the seed set stays a
+    * distributed frame (it can be millions of rows) joined by node id
+    * — never collected, never broadcast by assumption. */
+  def personalized(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String, iters: Int,
+                   dampBp: Long = 8500L,
+                   scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    require(dampBp >= 0 && dampBp <= 10000, "dampBp in [0, 10000]")
+    require(scale > 0 && scale <= 1000000000000L,
+      "scale in (0, 10^12] keeps damped products within a long")
+    val e = edges.select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+      .repartition(col("__src"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__od"))
+      .localCheckpoint(true)
+    // seed markers ride the node frame for the whole loop: one flag
+    // column instead of a per-round join against the seed table
+    val seeded = nodes.join(
+        seeds.select(col(seedCol).cast("long").as("node")).distinct()
+          .withColumn("__seed", lit(1L)),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(0L)).as("__seed"))
+      .localCheckpoint(true)
+    val ns = seeded.agg(sum(col("__seed"))).head.getLong(0)
+    require(ns > 0, "no seed id appears in the edge set")
+    val base = scale * (10000L - dampBp) / 10000L / ns
+    var ranks = seeded.select(col("node"),
+      (col("__seed") * lit(scale / ns)).as("rank"))
+    for (_ <- 0 until iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "__src"), Seq("__src"))
+        .join(outdeg, Seq("__src"))
+        .select(col("__dst").as("node"),
+          expr(s"(rank * ${dampBp}L div 10000L) div __od").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
+      ranks = seeded.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (col("__seed") * lit(base) +
+            coalesce(col("__s"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
 }

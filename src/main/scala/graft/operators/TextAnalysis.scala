@@ -137,6 +137,55 @@ object TextAnalysis {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Cross-split n-gram leakage matrix — the train/eval contamination
+    * AUDIT next to the binary scan ([[benchmarkOverlap]]) and the
+    * transformation ([[decontaminate]]): for every ordered split pair
+    * (a, b), how many distinct word-n-gram hashes the two splits
+    * share, and how many of b's documents contain at least one gram
+    * also present in a (the Lee et al. 2022 / GPT-3 appendix-style
+    * overlap report, published next to a dataset card). Output:
+    * (split_a, split_b, shared_shingles, leaked_docs) — ordered pairs
+    * with zero overlap are omitted.
+    *
+    * All counts are exact integers over portable md5 gram hashes (the
+    * [[Dedup]] shingle recipe), so the whole matrix hash-checks.
+    *
+    * Scale: gram rows reduce to DISTINCT (split, hash) FIRST (partial
+    * agg — corpus text never moves); the pair join is keyed on the
+    * 8-byte hash and each hash matches at most |splits| rows per
+    * side, so fanout is bounded by the split count, never by document
+    * frequency (a stopword gram contributes |splits|² rows, not
+    * df²). The doc-level probe joins per-doc distinct grams against
+    * the same bounded split-gram frame. No windows, no collects. */
+  def crossSplitLeakage(df: DataFrame, idCol: String, textCol: String,
+                        splitCol: String, n: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(df, idCol, textCol, Seq(splitCol), n)
+      .select(col(idCol).as("__d"), col(splitCol).as("__s"),
+        conv(substring(md5(col("__shingle")), 1, 8), 16, 10)
+          .cast("long").as("__g"))
+      .distinct()
+      .localCheckpoint(true) // feeds the split-gram set + doc probe
+    val sp = sh.select(col("__s"), col("__g")).distinct()
+      .localCheckpoint(true) // self-join + doc probe
+    val shared = sp.select(col("__s").as("split_a"), col("__g"))
+      .join(sp.select(col("__s").as("split_b"), col("__g").as("__g2")),
+        col("__g") === col("__g2"))
+      .filter(col("split_a") =!= col("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+    val leaked = sh
+      .join(sp.select(col("__s").as("split_a"), col("__g").as("__g2")),
+        col("__g") === col("__g2"))
+      .filter(col("split_a") =!= col("__s"))
+      .select(col("split_a"), col("__s").as("split_b"), col("__d"))
+      .distinct()
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("leaked_docs"))
+    shared.join(leaked, Seq("split_a", "split_b"), "left")
+      .select(col("split_a"), col("split_b"), col("shared_shingles"),
+        coalesce(col("leaked_docs"), lit(0L)).as("leaked_docs"))
+  }
+
   /** Feature hashing (the hashing trick, Weinberger et al. ICML'09):
     * every document becomes a sparse `dim`-bucket vector with NO
     * trained vocabulary — bucket = portable word hash mod dim, weight

@@ -82,6 +82,16 @@ object LlmPack extends QueryPack {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         pmod(col("doc_id"), lit(97)) === 0, n = 3, minOverlap = 3)),
 
+    // cross-split 3-gram leakage matrix over the portable hash split:
+    // per ordered split pair, distinct shared gram hashes + documents
+    // of the target split touching any of them — all exact integers
+    "q135_split_leakage" -> ((s, dir) =>
+      TextAnalysis.crossSplitLeakage(
+        Tables.load(s, dir, "documents")
+          .withColumn("split", Splits.assign(col("doc_id"),
+            Seq("train" -> 80, "val" -> 10, "test" -> 10))),
+        "doc_id", "text", "split")),
+
     // End-to-end training-data pipeline: dedup -> quality filter ->
     // train split -> chunk -> per-language stats. One DataFrame flow.
     "q42_pipeline" -> ((s, dir) => {
@@ -834,6 +844,40 @@ object LlmPack extends QueryPack {
          |FROM sh JOIN bench USING (s)
          |WHERE doc_id % 97 <> 0
          |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
+    // q135: the q35 portable-bucket split recipe + the q46 shingle
+    // recipe, reduced to DISTINCT (split, gram-hash) before the pair
+    // join — both sides mirror that reduction, so fanout per hash is
+    // bounded by the split count on either engine
+    "q135_split_leakage" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |           1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |           1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, split,
+        |    CAST(('0x' || substr(md5(array_to_string(words[i:i+2], ' ')),
+        |      1, 8)) AS BIGINT) AS g
+        |  FROM w, LATERAL (SELECT unnest(generate_series(
+        |    1, greatest(1, len(words) - 2))) AS i) t),
+        |sp AS (SELECT DISTINCT split, g FROM sh),
+        |shared AS (
+        |  SELECT a.split AS split_a, b.split AS split_b, count(*) AS c
+        |  FROM sp a JOIN sp b ON a.g = b.g AND a.split <> b.split
+        |  GROUP BY 1, 2),
+        |leaked AS (
+        |  SELECT a.split AS split_a, sh.split AS split_b,
+        |    count(DISTINCT sh.doc_id) AS ld
+        |  FROM sh JOIN sp a ON a.g = sh.g AND a.split <> sh.split
+        |  GROUP BY 1, 2)
+        |SELECT split_a, split_b, CAST(shared.c AS BIGINT) AS shared_shingles,
+        |  CAST(coalesce(leaked.ld, 0) AS BIGINT) AS leaked_docs
+        |FROM shared LEFT JOIN leaked USING (split_a, split_b)""".stripMargin,
 
     "q20_dedup_exact" ->
       """SELECT doc_id,

@@ -269,6 +269,29 @@ object ScalePack extends QueryPack {
       graft.operators.PageRank.iterate(edges, "src", "dst", iters = 5)
     }),
 
+    // personalized (seeded-teleport) PageRank — TrustRank: teleport
+    // mass lands only on suppliers of nations 0-4, so rank measures
+    // trade proximity to that trusted slice; same exact-integer
+    // arithmetic as q130, hash-checked against a recursive CTE
+    "q134_trustrank" -> ((s, dir) => {
+      val pairs = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast("long").as("supp"),
+          col("o_custkey").cast("long").as("cust"))
+        .distinct()
+      val edges = pairs.select(
+          (col("supp") + 10000000L).as("src"),
+          (col("cust") + 20000000L).as("dst"))
+        .union(pairs.select((col("cust") + 20000000L).as("src"),
+          (col("supp") + 10000000L).as("dst")))
+      val seeds = Tables.load(s, dir, "supplier")
+        .filter(col("s_nationkey") < 5)
+        .select((col("s_suppkey").cast("long") + 10000000L).as("id"))
+      graft.operators.PageRank.personalized(edges, "src", "dst",
+        seeds, "id", iters = 5)
+    }),
+
     // per-node triangle count + clustering coefficient over the part
     // co-occurrence graph (parts sharing an order; 2k nodes, 116k
     // edges, 414k triangles at sf0.01) — degree-ordered wedge join,
@@ -836,6 +859,57 @@ object ScalePack extends QueryPack {
         |    CAST((SELECT scale * 1500 // 10000 // n FROM consts)
         |      + coalesce(c.s, 0) AS BIGINT)
         |  FROM nodes nd
+        |  LEFT JOIN (
+        |    SELECT pr.it + 1 AS it, e.dst AS node,
+        |      SUM((pr.r * 8500 // 10000) // od.cnt) AS s
+        |    FROM pr JOIN edges e ON pr.node = e.src
+        |    JOIN od ON od.src = pr.node
+        |    GROUP BY 1, 2) c ON c.node = nd.node
+        |  WHERE c.it <= 5
+        |)
+        |SELECT node, CAST(r AS BIGINT) AS rank
+        |FROM pr WHERE it = 5""".stripMargin,
+
+    // q134: q130's recursive CTE with the teleport restricted to the
+    // seed slice — initial mass and the undamped base land only on
+    // seed nodes (CASE on the seed flag); the LEFT JOIN stays safe
+    // for the same reason as q130 (bidirectional graph: every node
+    // takes an aggregate row every round, even at rank 0)
+    "q134_trustrank" ->
+      """WITH RECURSIVE
+        |p AS (
+        |  SELECT DISTINCT l_suppkey + 10000000 AS supp,
+        |    o_custkey + 20000000 AS cust
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |),
+        |edges AS (
+        |  SELECT supp AS src, cust AS dst FROM p
+        |  UNION ALL SELECT cust, supp FROM p
+        |),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM edges
+        |    UNION ALL SELECT dst FROM edges)
+        |),
+        |seeded AS (
+        |  SELECT node, CASE WHEN node IN (
+        |    SELECT s_suppkey + 10000000 FROM supplier
+        |    WHERE s_nationkey < 5) THEN 1 ELSE 0 END AS sd
+        |  FROM nodes
+        |),
+        |od AS (SELECT src, count(*) AS cnt FROM edges GROUP BY src),
+        |consts AS (
+        |  SELECT CAST(1000000000000 AS BIGINT) AS scale,
+        |    (SELECT CAST(sum(sd) AS BIGINT) FROM seeded) AS ns
+        |),
+        |pr(it, node, r) AS (
+        |  SELECT 0, node, CAST(sd * (scale // ns) AS BIGINT)
+        |  FROM seeded, consts
+        |  UNION ALL
+        |  SELECT c.it, nd.node,
+        |    CAST(nd.sd * (SELECT scale * 1500 // 10000 // ns FROM consts)
+        |      + coalesce(c.s, 0) AS BIGINT)
+        |  FROM seeded nd
         |  LEFT JOIN (
         |    SELECT pr.it + 1 AS it, e.dst AS node,
         |      SUM((pr.r * 8500 // 10000) // od.cnt) AS s

@@ -319,4 +319,26 @@ class FunctionsSpec extends SparkSpec {
       .as[(Long, Long, Long, Boolean, String)].collect()
     assert(again(0)._4 && again(0)._5 == out(0)._5)
   }
+
+  test("crossSplitLeakage: exact shared-gram and leaked-doc counts") {
+    // 3-grams: doc 1 (train) {a b c, b c d}; doc 2 (train) {x y z};
+    // doc 3 (eval) {a b c}; doc 4 (eval) {p q r}; doc 5 (eval)
+    // {b c d, c d e}. shared(train,eval) = {a b c, b c d} = 2;
+    // leaked eval docs = {3, 5}; leaked train docs = {1} (both its
+    // grams are in eval, counted once).
+    val docs = Seq(
+      (1L, "a b c d", "train"),
+      (2L, "x y z", "train"),
+      (3L, "a b c", "eval"),
+      (4L, "p q r", "eval"),
+      (5L, "b c d e", "eval")
+    ).toDF("doc_id", "text", "split")
+    val out = TextAnalysis.crossSplitLeakage(docs, "doc_id", "text", "split")
+      .select("split_a", "split_b", "shared_shingles", "leaked_docs")
+      .as[(String, String, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    assert(out == Map(
+      ("train", "eval") -> ((2L, 2L)),
+      ("eval", "train") -> ((2L, 1L))))
+  }
 }

@@ -63,4 +63,65 @@ class PageRankSpec extends SparkSpec {
     assert(op == brute(withDouble, 3))
     assert(brute(withDouble, 1)(1L) > brute(edges, 1)(1L))
   }
+
+  /** Driver-side twin of the personalized recurrence. */
+  private def bruteSeeded(edges: Seq[(Long, Long)], seeds: Set[Long],
+                          iters: Int, dampBp: Long = 8500L,
+                          scale: Long = 1000000000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val s = nodes.filter(seeds).toSet
+    val ns = s.size.toLong
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = scale * (10000L - dampBp) / 10000L / ns
+    var r = nodes.map(v => v -> (if (s(v)) scale / ns else 0L)).toMap
+    for (_ <- 0 until iters) {
+      val contribs = edges.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+        r(u) * dampBp / 10000L / out(u)
+      }.sum).toMap
+      r = nodes.map(v => v ->
+        ((if (s(v)) base else 0L) + contribs.getOrElse(v, 0L))).toMap
+    }
+    r
+  }
+
+  test("personalized matches the seeded recurrence; rank decays from seeds") {
+    // chain 1→2→3→4→5 plus back-edges keeping everything reachable
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L),
+      (3L, 1L), (10L, 11L), (11L, 10L)) // {10,11}: disconnected island
+    val seeds = Set(1L)
+    for (iters <- Seq(0, 1, 4)) {
+      val got = PageRank.personalized(edges.toDF("src", "dst"),
+          "src", "dst", seeds.toSeq.toDF("id"), "id", iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got == bruteSeeded(edges, seeds, iters), s"iters=$iters")
+    }
+    val r4 = PageRank.personalized(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toSeq.toDF("id"), "id", 4)
+      .as[(Long, Long)].collect().toMap
+    // trust propagates in hop order: after 2 rounds it has reached
+    // {1,2,3} but not yet the 3-hop tail {4,5}...
+    val r2 = PageRank.personalized(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toSeq.toDF("id"), "id", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2(1L) > 0L && r2(2L) > 0L && r2(3L) > 0L)
+    assert(r2(4L) == 0L && r2(5L) == 0L)
+    // ...and the disconnected island gets exactly zero, always
+    assert(r4(10L) == 0L && r4(11L) == 0L)
+    // seed ids absent from the graph are ignored, present ones kept
+    val withGhost = PageRank.personalized(edges.toDF("src", "dst"),
+        "src", "dst", Seq(1L, 999L).toDF("id"), "id", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(withGhost == r4)
+  }
+
+  test("personalized with every node seeded equals plain iterate") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 1L))
+    val all = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val plain = PageRank.iterate(edges.toDF("src", "dst"), "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    val seededAll = PageRank.personalized(edges.toDF("src", "dst"),
+        "src", "dst", all.toDF("id"), "id", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(seededAll == plain)
+  }
 }
