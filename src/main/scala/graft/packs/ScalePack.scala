@@ -292,6 +292,28 @@ object ScalePack extends QueryPack {
         seeds, "id", iters = 5)
     }),
 
+    // declarative data-quality expectations compiled to one scan (all
+    // scalar rules in a single aggregate) + one count-distinct + one
+    // anti-join — the ingest admission gate; exact counts hash-check.
+    // in_range(l_linenumber,1,4) and the discount bound are DELIBERATE
+    // violations (TPC-H linenumbers run 1..7) so the report is
+    // non-trivial at every scale factor
+    "q136_expectations" -> ((s, dir) => {
+      val E = graft.operators.Expectations
+      E.validate(Tables.load(s, dir, "lineitem"),
+        checks = Seq(
+          E.notNull("l_orderkey"),
+          E.inRange("l_quantity", 1, 50),
+          E.inRange("l_linenumber", 1, 4),
+          E.matches("l_returnflag", "^[ARN]$"),
+          E.inSet("l_linestatus", Seq("O", "F")),
+          E.Check("disc_bound", col("l_discount") > 0.06)),
+        uniques = Seq(E.Unique("pk_unique",
+          Seq("l_orderkey", "l_linenumber"))),
+        refs = Seq(E.ReferencedIn("fk_orders", "l_orderkey",
+          Tables.load(s, dir, "orders"), "o_orderkey")))
+    }),
+
     // per-node triangle count + clustering coefficient over the part
     // co-occurrence graph (parts sharing an order; 2k nodes, 116k
     // edges, 414k triangles at sf0.01) — degree-ordered wedge join,
@@ -920,6 +942,50 @@ object ScalePack extends QueryPack {
         |)
         |SELECT node, CAST(r AS BIGINT) AS rank
         |FROM pr WHERE it = 5""".stripMargin,
+
+    // q136: each rule re-stated as plain SQL; DuckDB sum() is HUGEINT
+    // so every count is CAST back to BIGINT. Rule labels must match
+    // the Scala constructors byte-for-byte (they are data here).
+    "q136_expectations" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lineitem)
+        |SELECT 'not_null(l_orderkey)' AS rule,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |  (SELECT total FROM t) AS total FROM lineitem
+        |UNION ALL
+        |SELECT 'in_range(l_quantity,1,50)',
+        |  CAST(sum(CASE WHEN l_quantity IS NOT NULL
+        |    AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END) AS BIGINT),
+        |  (SELECT total FROM t) FROM lineitem
+        |UNION ALL
+        |SELECT 'in_range(l_linenumber,1,4)',
+        |  CAST(sum(CASE WHEN l_linenumber IS NOT NULL
+        |    AND (l_linenumber < 1 OR l_linenumber > 4) THEN 1 ELSE 0 END) AS BIGINT),
+        |  (SELECT total FROM t) FROM lineitem
+        |UNION ALL
+        |SELECT 'matches(l_returnflag)',
+        |  CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+        |    AND NOT regexp_matches(l_returnflag, '^[ARN]$') THEN 1 ELSE 0 END) AS BIGINT),
+        |  (SELECT total FROM t) FROM lineitem
+        |UNION ALL
+        |SELECT 'in_set(l_linestatus)',
+        |  CAST(sum(CASE WHEN l_linestatus IS NOT NULL
+        |    AND l_linestatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS BIGINT),
+        |  (SELECT total FROM t) FROM lineitem
+        |UNION ALL
+        |SELECT 'disc_bound',
+        |  CAST(sum(CASE WHEN l_discount > 0.06 THEN 1 ELSE 0 END) AS BIGINT),
+        |  (SELECT total FROM t) FROM lineitem
+        |UNION ALL
+        |SELECT 'pk_unique',
+        |  (SELECT total FROM t) - CAST((SELECT count(*) FROM (
+        |    SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS BIGINT),
+        |  (SELECT total FROM t)
+        |UNION ALL
+        |SELECT 'fk_orders',
+        |  CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT),
+        |  CAST((SELECT count(*) FROM lineitem
+        |    WHERE l_orderkey IS NOT NULL) AS BIGINT)""".stripMargin,
 
     // q131: canonical u<v part pairs, then the textbook three-way
     // self-join triangle enumeration (u<v<w appears once); per-node

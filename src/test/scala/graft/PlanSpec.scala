@@ -221,6 +221,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("triangles: wedge and closure stay equi-joins, no windows") {
+    // the degree-ordered wedge join must never degrade to a cartesian
+    // or nested-loop join (the naive all-pairs neighborhood check),
+    // and per-node rollups are aggregates — no window may appear
+    val df = SparkEntry.queries("q131_triangles")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting must stay equi-join only:\n$plan")
+    assert(!plan.contains(") Window"),
+      s"no window in the triangle plan:\n$plan")
+  }
+
   test("heavyHitters: top-N via TakeOrderedAndProject, no global sort") {
     val plan = planOf(SparkEntry.queries("q92_heavy_keys")(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"),
