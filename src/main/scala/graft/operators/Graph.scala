@@ -152,6 +152,48 @@ object Graph {
     hub.join(auth, Seq("node"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * undirected graph: every node starts as its own community, then
+    * `rounds` times adopts the most frequent label among its
+    * neighbors AND itself (the self-vote damps the bipartite
+    * oscillation of pure-sync LPA), ties broken by smallest label —
+    * fully deterministic, so the whole iteration hash-checks against
+    * a recursive CTE. Output: (node, label) after exactly `rounds`
+    * rounds.
+    *
+    * Scale: the propagation frame (both edge directions + one
+    * self-loop per node) is repartitioned by src once and
+    * checkpointed; each round is one co-located join + a two-level
+    * aggregate — (node, label) counts, then per-node argmax via
+    * max(struct(count, -label)) — partial aggregation absorbs hot
+    * communities map-side, and there is no window anywhere. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val und = undirected(edges, srcCol, dstCol).localCheckpoint(true)
+    val nodes = und.select(col("u").as("node"))
+      .union(und.select(col("v")))
+      .distinct()
+      .localCheckpoint(true)
+    val prop = und.select(col("u").as("__src"), col("v").as("__dst"))
+      .union(und.select(col("v"), col("u")))
+      .union(nodes.select(col("node"), col("node")))
+      .repartition(col("__src"))
+      .localCheckpoint(true) // scanned every round
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 0 until rounds) {
+      labels = prop
+        .join(labels.withColumnRenamed("node", "__src"), Seq("__src"))
+        .groupBy(col("__dst"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("__dst"))
+        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__m"))
+        .select(col("__dst").as("node"), (-col("__m.__nl")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** k-core: peel nodes of degree < k for `maxRounds` rounds (or to
     * the fixpoint, whichever comes first — extra rounds past the
     * fixpoint are no-ops, so a fixed-round oracle matches). Output:

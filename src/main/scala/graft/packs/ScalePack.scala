@@ -341,6 +341,25 @@ object ScalePack extends QueryPack {
       graft.operators.Graph.hits(edges, "src", "dst", iters = 4)
     }),
 
+    // synchronous label-propagation communities over the REPEATED
+    // part co-occurrence graph (pairs sharing >= 2 distinct orders —
+    // the single-order graph is too dense to have communities): 5
+    // deterministic rounds, min-label tie-break, 356 communities at
+    // sf0.01 — hash-checks against a recursive CTE
+    "q137_communities" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+      val pairs = li.withColumnRenamed("pk", "u")
+        .join(li.withColumnRenamed("pk", "v"), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count_distinct(col("ok")).as("__c"))
+        .filter(col("__c") >= 2)
+        .select(col("u"), col("v"))
+      graft.operators.Graph.labelPropagation(pairs, "u", "v", rounds = 5)
+    }),
+
     // 80-core of the part co-occurrence graph: 5 cascade rounds to
     // the fixpoint at sf0.01 (1857 of 2000 parts survive); the Spark
     // loop early-exits at the fixpoint, the oracle's fixed 8 rounds
@@ -1068,6 +1087,46 @@ object ScalePack extends QueryPack {
         |)
         |SELECT node, CAST(hub AS BIGINT) AS hub, CAST(auth AS BIGINT) AS auth
         |FROM r WHERE it = 4""".stripMargin,
+
+    // q137: the same 5 LPA rounds as a recursive CTE — neighbor+self
+    // label counts (self-loops appended to the propagation list), the
+    // argmax resolved by a window ordered (count DESC, label ASC)
+    // inside the recursive term
+    "q137_communities" ->
+      """WITH RECURSIVE
+        |li AS (
+        |  SELECT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        |  FROM lineitem),
+        |p0 AS (
+        |  SELECT u, v FROM (
+        |    SELECT a.pk AS u, b.pk AS v, count(DISTINCT a.ok) AS c
+        |    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |    GROUP BY 1, 2) WHERE c >= 2),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT u AS node FROM p0 UNION ALL SELECT v FROM p0)),
+        |prop AS (
+        |  SELECT u AS src, v AS dst FROM p0
+        |  UNION ALL SELECT v, u FROM p0
+        |  UNION ALL SELECT node, node FROM nodes),
+        |r AS (
+        |  SELECT 0 AS it, node, node AS label FROM nodes
+        |  UNION ALL
+        |  SELECT it, node, label FROM (
+        |    SELECT c.it, c.node, c.label,
+        |      row_number() OVER (PARTITION BY c.it, c.node
+        |                         ORDER BY c.cnt DESC, c.label ASC) AS rn
+        |    FROM (
+        |      SELECT r.it + 1 AS it, p.dst AS node, r.label AS label,
+        |        count(*) AS cnt
+        |      FROM r JOIN prop p ON r.node = p.src
+        |      WHERE r.it < 5
+        |      GROUP BY r.it + 1, p.dst, r.label
+        |    ) c
+        |  ) WHERE rn = 1
+        |)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+        |FROM r WHERE it = 5""".stripMargin,
 
     // q133: fixed 8 peel rounds over edge-endpoint incidence rows —
     // degree = count per (it, node) window, an edge survives iff

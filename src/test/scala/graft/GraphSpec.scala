@@ -104,6 +104,40 @@ class GraphSpec extends SparkSpec {
     assert(empty == 0)
   }
 
+  test("labelPropagation matches the deterministic recurrence; finds planted communities") {
+    // two 4-cliques joined by one bridge edge: LPA should settle each
+    // clique on its minimum id
+    val clique = (base: Long) => for {
+      i <- 0 until 4; j <- (i + 1) until 4
+    } yield (base + i, base + j)
+    val edges = clique(1L) ++ clique(10L) :+ ((4L, 10L))
+    val out = Graph.labelPropagation(edges.toDF("src", "dst"),
+        "src", "dst", rounds = 5)
+      .select("node", "label").as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(out).toSet == Set(1L))
+    assert(Seq(10L, 11L, 12L, 13L).map(out).toSet == Set(10L))
+
+    // exact parity with a driver-side recurrence on a random graph
+    val rEdges = randomEdges(25, 40, 23)
+    val und = undirect(rEdges)
+    val nodes = und.flatMap(t => Seq(t._1, t._2)).toSeq.distinct.sorted
+    val nb = nodes.map(v => v -> (und.collect {
+      case (a, b) if a == v => b
+      case (a, b) if b == v => a
+    }.toSeq :+ v)).toMap // neighbors + self
+    var lab = nodes.map(v => v -> v).toMap
+    for (_ <- 0 until 4) {
+      lab = nodes.map { v =>
+        val counts = nb(v).groupBy(lab).map { case (l, xs) => (l, xs.size) }
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val got = Graph.labelPropagation(rEdges.toDF("src", "dst"),
+        "src", "dst", rounds = 4)
+      .select("node", "label").as[(Long, Long)].collect().toMap
+    assert(got == lab)
+  }
+
   test("kCore matches brute-force peeling on a random graph") {
     val edges = randomEdges(40, 100, 11)
     val k = 3
