@@ -28,6 +28,16 @@ object EventsPack extends QueryPack {
           .withColumn("ts_us", unix_micros(col("ts"))),
         "user_id", "ts_us", "event_id", gapSeconds = 1800)),
 
+    // top-20 in-session event trigrams (the "common user journeys"
+    // report): lead() over the session window, partial-agg count,
+    // TakeOrdered cut with a fully deterministic tie order
+    "q138_event_paths" -> ((s, dir) =>
+      graft.streaming.Paths.topTrigrams(
+        Tables.events(s, dir)
+          .withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "ts_us", "event_id", "event_type",
+        gapSeconds = 1800, k = 20)),
+
     // exact lower-median per group via distributed rank-pick (engine-
     // portable, no interpolation-semantics ambiguity). Selection
     // resolves the rank on bucket histograms — no full-group sort, so
@@ -305,6 +315,46 @@ object EventsPack extends QueryPack {
         |  count(DISTINCT weekly.user_id) AS n_users
         |FROM weekly JOIN firsts f ON weekly.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // q138: q28's sessionization CTE carrying event_type, then two
+    // leads over the (user, session) window; the LIMIT cut is safe
+    // because the ORDER BY is a total order on both engines
+    "q138_event_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events
+        |),
+        |l AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS prev
+        |  FROM e
+        |),
+        |f AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |    CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM l
+        |),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM f
+        |),
+        |g AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id, session_idx
+        |      ORDER BY ts_us, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id, session_idx
+        |      ORDER BY ts_us, event_id) AS e3
+        |  FROM s
+        |)
+        |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS cnt
+        |FROM g WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY cnt DESC, e1, e2, e3
+        |LIMIT 20""".stripMargin,
 
     "q28_sessionize" ->
       """WITH e AS (

@@ -53,3 +53,36 @@ object Sessions {
         min(col(tsUsCol)).as("start_us"),
         max(col(tsUsCol)).as("end_us"))
 }
+
+/** Session path mining: the most frequent event n-grams WITHIN
+  * sessions — the product-analytics "common user journeys" report
+  * (funnel discovery without declaring the funnel up front).
+  *
+  * Scale: n-grams come from `lead()` over the (user, session) window
+  * — row-based, no per-session arrays, so a pathological always-on
+  * session costs window state of n rows, not a collected list. The
+  * count rollup is a partial-agg groupBy on the n-gram tuple and the
+  * top-k resolves through TakeOrderedAndProject (limit + full
+  * deterministic tie order), never a global sort. */
+object Paths {
+
+  /** Top-`k` session event trigrams by frequency; ties broken by the
+    * gram itself, so the cut is deterministic on any engine.
+    * `tsUsCol` must be epoch-microseconds BIGINT (see
+    * [[Sessions.assign]]). */
+  def topTrigrams(df: DataFrame, userCol: String, tsUsCol: String,
+                  tieBreak: String, typeCol: String,
+                  gapSeconds: Long, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col(userCol), col("session_idx"))
+      .orderBy(col(tsUsCol), col(tieBreak))
+    Sessions.assign(df, userCol, tsUsCol, tieBreak, gapSeconds)
+      .withColumn("e2", lead(col(typeCol), 1).over(w))
+      .withColumn("e3", lead(col(typeCol), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col(typeCol).as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
+}

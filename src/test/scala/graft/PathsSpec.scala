@@ -1,0 +1,38 @@
+package graft
+
+import graft.streaming.Paths
+
+class PathsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topTrigrams counts in-session trigrams exactly, never across sessions") {
+    val M = 60L * 1000000 // one minute in us
+    // user A, session 1: view,view,cart,buy -> trigrams (view,view,cart),
+    // (view,cart,buy); then a 2h gap; session 2: view,view,cart ->
+    // (view,view,cart). user B: view,cart,buy -> (view,cart,buy).
+    val events = Seq(
+      ("a", 1L, 0 * M, "view"), ("a", 2L, 1 * M, "view"),
+      ("a", 3L, 2 * M, "cart"), ("a", 4L, 3 * M, "buy"),
+      ("a", 5L, 200 * M, "view"), ("a", 6L, 201 * M, "view"),
+      ("a", 7L, 202 * M, "cart"),
+      ("b", 8L, 0 * M, "view"), ("b", 9L, 5 * M, "cart"),
+      ("b", 10L, 9 * M, "buy")
+    ).toDF("user_id", "event_id", "ts_us", "event_type")
+    val out = Paths.topTrigrams(events, "user_id", "ts_us", "event_id",
+        "event_type", gapSeconds = 1800, k = 10)
+      .as[(String, String, String, Long)].collect()
+    val counts = out.map(t => (t._1, t._2, t._3) -> t._4).toMap
+    assert(counts == Map(
+      ("view", "view", "cart") -> 2L,
+      ("view", "cart", "buy") -> 2L))
+    // the cross-gap trigram (buy, view, view) must NOT exist: session
+    // boundaries cut paths
+    assert(!counts.contains(("buy", "view", "view")))
+    // k cuts deterministically: k=1 keeps the lexicographically first
+    // of the tied-top grams
+    val top1 = Paths.topTrigrams(events, "user_id", "ts_us", "event_id",
+        "event_type", gapSeconds = 1800, k = 1)
+      .as[(String, String, String, Long)].collect()
+    assert(top1.toSeq == Seq(("view", "cart", "buy", 2L)))
+  }
+}
