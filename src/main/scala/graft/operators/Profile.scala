@@ -342,4 +342,47 @@ object Profile {
         expr(s"n * 10000L div ${total}L").as("share_bp"),
         expr(s"__cum * 10000L div ${total}L").as("cum_share_bp"))
   }
+
+  /** RFM customer segmentation (the classic direct-marketing /
+    * lifecycle report): per key, recency (days from last event to
+    * `refDate`), frequency (event count) and monetary (integer amount
+    * sum), each cut into `buckets` EXACT quantile buckets — value at
+    * rank `i·n div buckets` under ascending order, bucket = 1 + number
+    * of cuts strictly below the value, so ties never straddle a cut
+    * and any engine reproduces the assignment bit-for-bit. Bucket 1 =
+    * lowest values on every axis (for recency that means MOST recent).
+    *
+    * Scale: one per-key aggregate (partial-agg shuffle), then the
+    * bucket edges resolve through [[Selection.valueAtRanks]] on the
+    * key-sized frame — histogram rank walk, no global sort — and come
+    * back as `buckets−1` literals per axis folded into a codegen'd
+    * comparison chain. No windows over key rows. */
+  def rfm(df: DataFrame, keyCol: String, dateCol: String,
+          centsCol: String, refDate: String, buckets: Int = 5): DataFrame = {
+    require(buckets >= 2 && buckets <= 100, "buckets in [2, 100]")
+    val per = df.groupBy(col(keyCol))
+      .agg(
+        datediff(lit(refDate).cast("date"), max(to_date(col(dateCol))))
+          .cast("long").as("recency"),
+        count(lit(1)).as("frequency"),
+        sum(col(centsCol)).as("monetary"))
+      .localCheckpoint(true) // 3 rank resolutions + final bucket pass
+    val targets = (1 until buckets).map(i =>
+      s"c$i" -> s"greatest(1L, (__n * ${i}L) div ${buckets}L)")
+    def cuts(measure: String): Seq[Long] =
+      Selection.valueAtRanks(per.withColumn("__one", lit(1)), "__one",
+          measure, targets)
+        .select(col("label"), col("value")).collect()
+        .map(r => r.getString(0).drop(1).toInt -> r.getLong(1))
+        .sortBy(_._1).map(_._2).toSeq
+    def bucketOf(measure: String, cs: Seq[Long]): org.apache.spark.sql.Column =
+      cs.foldLeft(lit(1L)) { (acc, c) =>
+        acc + when(col(measure) > c, 1L).otherwise(0L) }
+    val out = per
+      .withColumn("r", bucketOf("recency", cuts("recency")))
+      .withColumn("f", bucketOf("frequency", cuts("frequency")))
+      .withColumn("m", bucketOf("monetary", cuts("monetary")))
+    out.withColumn("segment",
+      col("r") * 100L + col("f") * 10L + col("m"))
+  }
 }

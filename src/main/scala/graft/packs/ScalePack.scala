@@ -292,6 +292,19 @@ object ScalePack extends QueryPack {
         seeds, "id", iters = 5)
     }),
 
+    // RFM customer segmentation: exact quintile buckets per axis via
+    // Selection's rank machinery (no global sort, no key-row window);
+    // all-integer bucket assignment hash-checks
+    "q139_rfm" -> ((s, dir) =>
+      Profile.rfm(
+        Tables.load(s, dir, "orders")
+          .withColumn("cents",
+            round(col("o_totalprice") * 100).cast("long")),
+        "o_custkey", "o_orderdate", "cents", refDate = "1998-12-01")
+        .select(col("o_custkey").cast("long").as("cust"),
+          col("recency"), col("frequency"), col("monetary"),
+          col("r"), col("f"), col("m"), col("segment"))),
+
     // declarative data-quality expectations compiled to one scan (all
     // scalar rules in a single aggregate) + one count-distinct + one
     // anti-join — the ingest admission gate; exact counts hash-check.
@@ -961,6 +974,45 @@ object ScalePack extends QueryPack {
         |)
         |SELECT node, CAST(r AS BIGINT) AS rank
         |FROM pr WHERE it = 5""".stripMargin,
+
+    // q139: cut values via row_number rank joins (DuckDB cannot use a
+    // correlated OFFSET), bucket = 1 + count of cuts strictly below —
+    // the same deterministic rule the Spark side folds into literals
+    "q139_rfm" ->
+      """WITH per AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS cust,
+        |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |      DATE '1998-12-01') AS BIGINT) AS recency,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+        |i4 AS (SELECT unnest(generate_series(1, 4)) AS i),
+        |rr AS (SELECT recency AS v,
+        |  row_number() OVER (ORDER BY recency) AS rn FROM per),
+        |fr AS (SELECT frequency AS v,
+        |  row_number() OVER (ORDER BY frequency) AS rn FROM per),
+        |mr AS (SELECT monetary AS v,
+        |  row_number() OVER (ORDER BY monetary) AS rn FROM per),
+        |rc AS (SELECT i, v AS cut FROM i4 JOIN rr
+        |  ON rr.rn = greatest(1, (SELECT n FROM n) * i // 5)),
+        |fc AS (SELECT i, v AS cut FROM i4 JOIN fr
+        |  ON fr.rn = greatest(1, (SELECT n FROM n) * i // 5)),
+        |mc AS (SELECT i, v AS cut FROM i4 JOIN mr
+        |  ON mr.rn = greatest(1, (SELECT n FROM n) * i // 5)),
+        |b AS (
+        |  SELECT cust, recency, frequency, monetary,
+        |    CAST(1 + (SELECT count(*) FROM rc
+        |      WHERE per.recency > rc.cut) AS BIGINT) AS r,
+        |    CAST(1 + (SELECT count(*) FROM fc
+        |      WHERE per.frequency > fc.cut) AS BIGINT) AS f,
+        |    CAST(1 + (SELECT count(*) FROM mc
+        |      WHERE per.monetary > mc.cut) AS BIGINT) AS m
+        |  FROM per)
+        |SELECT cust, recency, frequency, monetary, r, f, m,
+        |  r * 100 + f * 10 + m AS segment
+        |FROM b""".stripMargin,
 
     // q136: each rule re-stated as plain SQL; DuckDB sum() is HUGEINT
     // so every count is CAST back to BIGINT. Rule labels must match

@@ -189,4 +189,43 @@ class SamplingProfileSpec extends SparkSpec {
     // the planted copies were actually caught
     assert((10L until 14L).forall(id => !out(id)._1))
   }
+
+  test("rfm: exact quantile buckets, ties never straddle a cut") {
+    // 10 customers; amounts/counts/dates crafted so quintile cuts and
+    // the > cut rule are hand-checkable. Customer i has i orders of
+    // 100*i cents on day (2024-01-i).
+    val rows = (1 to 10).flatMap { i =>
+      (1 to i).map(_ => (i.toLong, f"2024-01-$i%02d", 100L * i))
+    }
+    val df = rows.toDF("cust", "d", "cents")
+    val out = Profile.rfm(df, "cust", "d", "cents",
+        refDate = "2024-02-01", buckets = 5)
+      .select(col("cust"), col("recency"), col("frequency"),
+        col("monetary"), col("r"), col("f"), col("m"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out.length == 10)
+    // recency: customer i last ordered Jan i -> recency 32-i days;
+    // HIGHER cust id = more recent = smaller recency = lower r bucket
+    assert(out.head._2 == 31L && out.last._2 == 22L)
+    val r = out.map(t => t._1 -> t._5).toMap
+    assert(r(10L) == 1L && r(1L) == 5L)
+    // frequency i and monetary 100*i*i are strictly increasing in i:
+    // buckets of 2 per quintile (n=10, cuts at ranks 2,4,6,8 ->
+    // values 2,4,6,8; bucket = 1 + #cuts strictly below)
+    val f = out.map(t => t._1 -> t._6).toMap
+    assert(f == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L,
+      6L -> 3L, 7L -> 4L, 8L -> 4L, 9L -> 5L, 10L -> 5L))
+    val m = out.map(t => t._1 -> t._7).toMap
+    assert(m == f) // same ordering, same cuts rule
+    // all-equal values land in ONE bucket (no straddling): single
+    // measure, all ties
+    val flat = (1 to 8).map(i => (i.toLong, "2024-01-15", 500L))
+      .toDF("cust", "d", "cents")
+    val fb = Profile.rfm(flat, "cust", "d", "cents",
+        refDate = "2024-02-01", buckets = 4)
+      .select(col("r"), col("f"), col("m")).distinct()
+      .as[(Long, Long, Long)].collect()
+    assert(fb.toSeq == Seq((1L, 1L, 1L)))
+  }
 }
