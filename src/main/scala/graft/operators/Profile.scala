@@ -369,19 +369,30 @@ object Profile {
       .localCheckpoint(true) // 3 rank resolutions + final bucket pass
     val targets = (1 until buckets).map(i =>
       s"c$i" -> s"greatest(1L, (__n * ${i}L) div ${buckets}L)")
-    def cuts(measure: String): Seq[Long] =
-      Selection.valueAtRanks(per.withColumn("__one", lit(1)), "__one",
-          measure, targets)
-        .select(col("label"), col("value")).collect()
-        .map(r => r.getString(0).drop(1).toInt -> r.getLong(1))
-        .sortBy(_._1).map(_._2).toSeq
-    def bucketOf(measure: String, cs: Seq[Long]): org.apache.spark.sql.Column =
-      cs.foldLeft(lit(1L)) { (acc, c) =>
+    // all three axes resolve in ONE valueAtRanks pass over a tagged
+    // union (the Pq.train lesson: m separate rank collects pay the
+    // job-scheduling floor m times)
+    val stacked = per.select(explode(array(
+        struct(lit("recency").as("__ms"), col("recency").as("__v")),
+        struct(lit("frequency").as("__ms"), col("frequency").as("__v")),
+        struct(lit("monetary").as("__ms"), col("monetary").as("__v"))))
+        .as("s"))
+      .select(col("s.__ms").as("__ms"), col("s.__v").as("__v"))
+    val cutsByMeasure: Map[String, Seq[Long]] =
+      Selection.valueAtRanks(stacked, "__ms", "__v", targets)
+        .select(col("__ms"), col("label"), col("value")).collect()
+        .groupBy(_.getString(0))
+        .map { case (ms, rows) =>
+          ms -> rows.map(r => r.getString(1).drop(1).toInt -> r.getLong(2))
+            .sortBy(_._1).map(_._2).toSeq
+        }
+    def bucketOf(measure: String): org.apache.spark.sql.Column =
+      cutsByMeasure(measure).foldLeft(lit(1L)) { (acc, c) =>
         acc + when(col(measure) > c, 1L).otherwise(0L) }
     val out = per
-      .withColumn("r", bucketOf("recency", cuts("recency")))
-      .withColumn("f", bucketOf("frequency", cuts("frequency")))
-      .withColumn("m", bucketOf("monetary", cuts("monetary")))
+      .withColumn("r", bucketOf("recency"))
+      .withColumn("f", bucketOf("frequency"))
+      .withColumn("m", bucketOf("monetary"))
     out.withColumn("segment",
       col("r") * 100L + col("f") * 10L + col("m"))
   }
