@@ -28,6 +28,18 @@ object EventsPack extends QueryPack {
           .withColumn("ts_us", unix_micros(col("ts"))),
         "user_id", "ts_us", "event_id", gapSeconds = 1800)),
 
+    // time-constrained sequential funnel (windowFunnel): deepest of
+    // view -> click -> purchase reached per user, each step within
+    // 30 min of the previous, first-match semantics — a pure min-
+    // recurrence, exact integers, no per-user ordered traversal
+    "q140_window_funnel" -> ((s, dir) =>
+      graft.operators.Funnels.windowFunnel(
+        Tables.events(s, dir)
+          .withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"),
+        windowUs = 1800L * 1000000)),
+
     // top-20 in-session event trigrams (the "common user journeys"
     // report): lead() over the session window, partial-agg count,
     // TakeOrdered cut with a fully deterministic tie order
@@ -315,6 +327,38 @@ object EventsPack extends QueryPack {
         |  count(DISTINCT weekly.user_id) AS n_users
         |FROM weekly JOIN firsts f ON weekly.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // q140: the same min-recurrence as chained aggregates; each step
+    // joins only that step's events against the previous step's times
+    "q140_window_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts FROM events
+        |),
+        |s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1
+        |),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts - s1.t1 <= 1800000000
+        |  GROUP BY 1
+        |),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts - s2.t2 <= 1800000000
+        |  GROUP BY 1
+        |)
+        |SELECT s1.user_id, s1.t1 AS t1,
+        |  coalesce(s2.t2, -1) AS t2, coalesce(s3.t3, -1) AS t3,
+        |  CAST(1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS stage
+        |FROM s1 LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)""".stripMargin,
 
     // q138: q28's sessionization CTE carrying event_type, then two
     // leads over the (user, session) window; the LIMIT cut is safe

@@ -35,4 +35,35 @@ class PathsSpec extends SparkSpec {
       .as[(String, String, String, Long)].collect()
     assert(top1.toSeq == Seq(("view", "cart", "buy", 2L)))
   }
+
+  test("windowFunnel: first-match steps, window bound, stall stages") {
+    val M = 60L * 1000000
+    val W = 30 * M
+    val events = Seq(
+      // a: full funnel within windows
+      ("a", 0 * M, "view"), ("a", 10 * M, "click"), ("a", 25 * M, "purchase"),
+      // b: click arrives 40min after view -> stalls at stage 1, and the
+      // later purchase (even though within 30min of the late click)
+      // must NOT count
+      ("b", 0 * M, "view"), ("b", 40 * M, "click"), ("b", 50 * M, "purchase"),
+      // c: purchase BEFORE click -> stage 2 (no purchase after click)
+      ("c", 0 * M, "view"), ("c", 5 * M, "purchase"), ("c", 10 * M, "click"),
+      // d: no view at all -> absent from the report
+      ("d", 0 * M, "click"), ("d", 5 * M, "purchase"),
+      // e: first view is the anchor (first-match), second view closer
+      // to the click must not re-anchor: click at 45 is >30 from view@0
+      ("e", 0 * M, "view"), ("e", 20 * M, "view"), ("e", 45 * M, "click")
+    ).toDF("user_id", "ts_us", "event_type")
+    val out = graft.operators.Funnels.windowFunnel(events,
+        "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"), windowUs = W)
+      .select("user_id", "t1", "t2", "t3", "stage")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(out("a") == ((0L, 10 * M, 25 * M, 3L)))
+    assert(out("b") == ((0L, -1L, -1L, 1L)))
+    assert(out("c") == ((0L, 10 * M, -1L, 2L)))
+    assert(!out.contains("d"))
+    assert(out("e") == ((0L, -1L, -1L, 1L)))
+  }
 }
