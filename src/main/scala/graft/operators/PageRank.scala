@@ -70,6 +70,55 @@ object PageRank {
     ranks
   }
 
+  /** Warm-start continuation: run `iters` more rounds starting from
+    * an existing rank frame (node, rank) instead of the uniform
+    * vector — the incremental-maintenance path: after edge appends,
+    * resume from the last published ranks for a few rounds instead of
+    * recomputing from scratch (power iteration converges from any
+    * non-negative start). Exactly equals [[iterate]] when resumed
+    * from its own output: `resume(iterate(e, k), e, j) ≡
+    * iterate(e, k + j)` — PageRankSpec pins the law. */
+  def resume(ranks: DataFrame, edges: DataFrame, srcCol: String,
+             dstCol: String, iters: Int, dampBp: Long = 8500L,
+             scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    require(dampBp >= 0 && dampBp <= 10000, "dampBp in [0, 10000]")
+    require(scale > 0 && scale <= 1000000000000L,
+      "scale in (0, 10^12] keeps damped products within a long")
+    val e = edges.select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+      .repartition(col("__src"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "empty edge set")
+    val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__od"))
+      .localCheckpoint(true)
+    val base = scale * (10000L - dampBp) / 10000L / n
+    // nodes new since the published ranks start at the uniform share
+    var r = nodes.join(
+        ranks.select(col("node"), col("rank")), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("rank"), lit(scale / n)).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val contribs = e
+        .join(r.withColumnRenamed("node", "__src"), Seq("__src"))
+        .join(outdeg, Seq("__src"))
+        .select(col("__dst").as("node"),
+          expr(s"(rank * ${dampBp}L div 10000L) div __od").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
+      r = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("__s"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
+    }
+    r
+  }
+
   /** Personalized (seeded-teleport) PageRank — the TrustRank shape
     * (Gyöngyi et al. VLDB 2004): teleport mass lands ONLY on `seeds`
     * (a trusted slice — curated domains, verified entities), so rank

@@ -114,6 +114,27 @@ class PageRankSpec extends SparkSpec {
     assert(withGhost == r4)
   }
 
+  test("resume continues exactly: resume(iterate(k), j) == iterate(k+j)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 9L),
+      (5L, 9L), (9L, 1L), (3L, 5L))
+    val df = edges.toDF("src", "dst")
+    val full = PageRank.iterate(df, "src", "dst", 6)
+      .as[(Long, Long)].collect().toMap
+    val resumed = PageRank.resume(
+        PageRank.iterate(df, "src", "dst", 4), df, "src", "dst", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(resumed == full)
+    // a node appearing only in the NEW edge set starts at the uniform
+    // share and the continuation still matches the recurrence
+    val grown = edges :+ ((4L, 99L)) :+ ((99L, 1L))
+    val g = grown.toDF("src", "dst")
+    val r = PageRank.resume(PageRank.iterate(df, "src", "dst", 3),
+        g, "src", "dst", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r.contains(99L) && r.keySet ==
+      (grown.map(_._1) ++ grown.map(_._2)).toSet)
+  }
+
   test("personalized with every node seeded equals plain iterate") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 1L))
     val all = (edges.map(_._1) ++ edges.map(_._2)).distinct

@@ -66,4 +66,38 @@ class PathsSpec extends SparkSpec {
     assert(!out.contains("d"))
     assert(out("e") == ((0L, -1L, -1L, 1L)))
   }
+
+  test("windowFunnel matches a brute-force recurrence on random event streams") {
+    val rnd = new scala.util.Random(41)
+    val types = Array("A", "B", "C", "x")
+    val events = (1 to 600).map { _ =>
+      (s"u${rnd.nextInt(25)}", rnd.nextInt(5000).toLong,
+        types(rnd.nextInt(types.length)))
+    }
+    val W = 700L
+    val steps = Seq("A", "B", "C")
+    // brute force: first-match min-recurrence per user
+    val expect = events.groupBy(_._1).flatMap { case (u, es) =>
+      def firstAfter(tp: String, after: Long): Option[Long] = {
+        val c = es.filter(e => e._3 == tp && e._2 > after &&
+          e._2 - after <= W).map(_._2)
+        if (c.isEmpty) None else Some(c.min)
+      }
+      val t1 = es.filter(_._3 == "A").map(_._2)
+        .reduceOption(math.min(_, _))
+      t1.map { a =>
+        val b = firstAfter("B", a)
+        val c = b.flatMap(firstAfter("C", _))
+        u -> ((a, b.getOrElse(-1L), c.getOrElse(-1L),
+          1L + b.size + c.size))
+      }
+    }
+    val got = graft.operators.Funnels.windowFunnel(
+        events.toDF("user_id", "ts_us", "event_type"),
+        "user_id", "ts_us", "event_type", steps, windowUs = W)
+      .select("user_id", "t1", "t2", "t3", "stage")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(got == expect)
+  }
 }
