@@ -343,6 +343,58 @@ object Profile {
         expr(s"__cum * 10000L div ${total}L").as("cum_share_bp"))
   }
 
+  /** Exact Gini concentration index per group (the Lorenz-curve
+    * inequality diagnosis: how concentrated order revenue, token
+    * counts, or link mass is across keys — 0 bp = perfectly even,
+    * →10000 bp = one key holds everything). Formula
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over values sorted
+    * ascending, emitted in floored basis points.
+    *
+    * Exactness with ties: [[Selection.rankRows]] assigns MIN-rank to
+    * tied values, so Σ rank·v undercounts the ordinal Σ i·xᵢ by
+    * exactly Σ_values v·c·(c−1)/2 — one extra (group, value) count
+    * aggregate recovers it. Since tied values are equal, the ordinal
+    * sum is permutation-invariant and any engine reproduces it.
+    *
+    * Scale: rankRows' bucket-histogram machinery ranks a hot group in
+    * parallel (no group window over fact rows); both correction sums
+    * are partial aggregates in decimal(38,0) (rank·value overflows a
+    * long at warehouse scale). The per-group finals are collected
+    * (group cardinality is broadcast-small by rankRows' contract) and
+    * the division runs driver-side in BigInt — ANSI Spark would
+    * otherwise throw mid-task on the widened products. */
+  def giniConcentration(df: DataFrame, groupCol: String,
+                        valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val ranked = Selection.rankRows(
+      df.select(col(groupCol), col(valueCol)), groupCol, valueCol)
+    val main = ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("long")).as("s0"),
+        sum(expr(s"cast(rank as $dec) * cast($valueCol as $dec)"))
+          .as("s1rows"))
+    val corr = df.groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(sum(expr(s"cast(__v as $dec) * cast(__c as $dec) * " +
+        s"cast(__c - 1L as $dec) / 2")).as("s1corr"))
+    val rows = main.join(corr, Seq(groupCol))
+      .select(col(groupCol).cast("string"), col("n"), col("s0"),
+        (col("s1rows") + col("s1corr")).cast(dec).as("s1"))
+      .collect()
+    val out = rows.map { r =>
+      val (g, n, s0) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val s1 = BigInt(r.getDecimal(3).toBigInteger)
+      require(s0 > 0, s"giniConcentration: non-positive total in group $g")
+      val gini = (BigInt(2) * s1 - BigInt(n + 1) * BigInt(s0)) *
+        BigInt(10000) / (BigInt(n) * BigInt(s0))
+      (g, n, s0, gini.toLong)
+    }
+    out.toSeq.toDF(groupCol, "n", "total", "gini_bp")
+  }
+
   /** RFM customer segmentation (the classic direct-marketing /
     * lifecycle report): per key, recency (days from last event to
     * `refDate`), frequency (event count) and monetary (integer amount

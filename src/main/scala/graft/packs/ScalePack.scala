@@ -292,6 +292,20 @@ object ScalePack extends QueryPack {
         seeds, "id", iters = 5)
     }),
 
+    // exact Gini concentration of per-customer revenue per market
+    // segment: rankRows histogram ranks + min-rank tie correction,
+    // finals divided driver-side in BigInt — hash-checks against a
+    // row_number formulation
+    "q141_gini" -> ((s, dir) => {
+      val per = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      Profile.giniConcentration(per, "c_mktsegment", "cents")
+    }),
+
     // RFM customer segmentation: exact quintile buckets per axis via
     // Selection's rank machinery (no global sort, no key-row window);
     // all-integer bucket assignment hash-checks
@@ -974,6 +988,25 @@ object ScalePack extends QueryPack {
         |)
         |SELECT node, CAST(r AS BIGINT) AS rank
         |FROM pr WHERE it = 5""".stripMargin,
+
+    // q141: ordinal Σ rank·v is permutation-invariant under ties, so
+    // a bare row_number over v reproduces the Spark side's min-rank +
+    // correction formulation exactly; HUGEINT keeps the products exact
+    "q141_gini" ->
+      """WITH per AS (
+        |  SELECT c_mktsegment AS seg, o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT seg, v,
+        |  row_number() OVER (PARTITION BY seg ORDER BY v) AS rk FROM per),
+        |g AS (SELECT seg, CAST(count(*) AS BIGINT) AS n, sum(v) AS s0,
+        |  sum(rk * v) AS s1 FROM r GROUP BY 1)
+        |SELECT seg AS c_mktsegment, n, CAST(s0 AS BIGINT) AS total,
+        |  CAST((2 * s1 - (n + 1) * s0) * 10000 // (n * s0) AS BIGINT)
+        |    AS gini_bp
+        |FROM g""".stripMargin,
 
     // q139: cut values via row_number rank joins (DuckDB cannot use a
     // correlated OFFSET), bucket = 1 + count of cuts strictly below —

@@ -228,4 +228,39 @@ class SamplingProfileSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(fb.toSeq == Seq((1L, 1L, 1L)))
   }
+
+  test("giniConcentration: exact index incl. tie correction") {
+    // group a: perfectly even [10,10,10,10] -> ordinal S1 with ties
+    //   = 10+20+30+40 = 100; G = (200 - 5*40)*10000 / (4*40) = 0
+    // group b: one holder [0 is not allowed; use 1,1,1,97]:
+    //   S1 = 1+2+3+4*97 = 394; G = (788 - 500)*10000 // 400 = 7200
+    // group c: [1,2,3,4]: S1 = 1+4+9+16 = 30; G = (60-50)*1e4//40 = 2500
+    val df = Seq(
+      ("a", 10L), ("a", 10L), ("a", 10L), ("a", 10L),
+      ("b", 1L), ("b", 1L), ("b", 1L), ("b", 97L),
+      ("c", 1L), ("c", 2L), ("c", 3L), ("c", 4L)
+    ).toDF("g", "v")
+    val out = Profile.giniConcentration(df, "g", "v")
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out("a") == ((4L, 40L, 0L)))
+    assert(out("b") == ((4L, 100L, 7200L)))
+    assert(out("c") == ((4L, 10L, 2500L)))
+    // random parity vs a driver-side sort-based computation
+    val rnd = new scala.util.Random(17)
+    val rand = (1 to 500).map(_ =>
+      (s"g${rnd.nextInt(3)}", (rnd.nextInt(50) + 1).toLong))
+    val got = Profile.giniConcentration(rand.toDF("g", "v"), "g", "v")
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> t._4).toMap
+    val want = rand.groupBy(_._1).map { case (g, xs) =>
+      val vs = xs.map(_._2).sorted
+      val n = vs.size.toLong
+      val s0 = vs.sum
+      val s1 = vs.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum
+      g -> (BigInt(2) * BigInt(s1) - BigInt(n + 1) * BigInt(s0)) *
+        BigInt(10000) / (BigInt(n) * BigInt(s0))
+    }
+    assert(got == want.map { case (k, v) => k -> v.toLong })
+  }
 }
