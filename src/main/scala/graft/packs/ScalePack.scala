@@ -292,6 +292,16 @@ object ScalePack extends QueryPack {
         seeds, "id", iters = 5)
     }),
 
+    // market-basket association: top-50 part pairs by exact lift
+    // (basis points) among pairs sharing >= 3 orders — decimal(38,0)
+    // product against overflow, deterministic (lift, pair) tie order
+    "q142_assoc_rules" -> ((s, dir) =>
+      graft.operators.Association.pairLift(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("basket"),
+            col("l_partkey").cast("long").as("item")),
+        "basket", "item", minSupport = 3, k = 50)),
+
     // exact Gini concentration of per-customer revenue per market
     // segment: rankRows histogram ranks + min-rank tie correction,
     // finals divided driver-side in BigInt — hash-checks against a
@@ -988,6 +998,26 @@ object ScalePack extends QueryPack {
         |)
         |SELECT node, CAST(r AS BIGINT) AS rank
         |FROM pr WHERE it = 5""".stripMargin,
+
+    // q142: HUGEINT promotion before the lift product mirrors the
+    // Spark side's decimal(38,0); LIMIT is safe on the total
+    // (lift, pair) order
+    "q142_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, CAST(l_partkey AS BIGINT) AS i
+        |  FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM items),
+        |sup AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT item_a, item_b, sa.c AS c_a, sb.c AS c_b, c_ab,
+        |  CAST(CAST(c_ab AS HUGEINT) * (SELECT n FROM nb) * 10000
+        |    // (CAST(sa.c AS HUGEINT) * sb.c) AS BIGINT) AS lift_bp
+        |FROM pairs JOIN sup sa ON sa.i = item_a JOIN sup sb ON sb.i = item_b
+        |ORDER BY lift_bp DESC, item_a, item_b
+        |LIMIT 50""".stripMargin,
 
     // q141: ordinal Σ rank·v is permutation-invariant under ties, so
     // a bare row_number over v reproduces the Spark side's min-rank +

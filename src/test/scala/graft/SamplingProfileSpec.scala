@@ -263,4 +263,28 @@ class SamplingProfileSpec extends SparkSpec {
     }
     assert(got == want.map { case (k, v) => k -> v.toLong })
   }
+
+  test("pairLift: exact lift, support floor, dedup within basket") {
+    // 10 baskets; x,y co-occur in 4 of them; x alone in 2 more,
+    // y alone in 1 more; u,v in 2 baskets (below minSupport 3).
+    // n=10, c_x=6, c_y=5, c_xy=4 -> lift = 4*10/(6*5) = 1.333 ->
+    // 13333 bp. Basket 1 repeats x twice (dedup must collapse it).
+    val rows = Seq(
+      (1L, "x"), (1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "y"), (3L, "x"), (3L, "y"), (4L, "x"), (4L, "y"),
+      (5L, "x"), (6L, "x"), (7L, "y"),
+      (8L, "u"), (8L, "v"), (9L, "u"), (9L, "v"),
+      (10L, "z")
+    ).toDF("basket", "item")
+    val out = graft.operators.Association.pairLift(rows,
+        "basket", "item", minSupport = 3, k = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("x", "y", 6L, 5L, 4L, 13333L)))
+    // lowering the floor admits (u, v): lift = 2*10/(2*2) = 5 -> 50000
+    val out2 = graft.operators.Association.pairLift(rows,
+        "basket", "item", minSupport = 2, k = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(out2.length == 2)
+    assert(out2.head == (("u", "v", 2L, 2L, 2L, 50000L))) // highest lift first
+  }
 }
