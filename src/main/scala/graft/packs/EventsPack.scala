@@ -28,6 +28,27 @@ object EventsPack extends QueryPack {
           .withColumn("ts_us", unix_micros(col("ts"))),
         "user_id", "ts_us", "event_id", gapSeconds = 1800)),
 
+    // exact SLA latency quantiles: p50/p90/p99 of same-type inter-
+    // event gaps per event_type, resolved through ONE multi-target
+    // valueAtRanks call (bucket-histogram ranks, no per-type sort);
+    // gap derivation is a (user, type)-partitioned lag window
+    "q143_latency_quantiles" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val gaps = e.withColumn("__prev", lag(col("ts_us"), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .select(col("event_type"),
+          (col("ts_us") - col("__prev")).as("gap"))
+      graft.operators.Selection.valueAtRanks(gaps, "event_type", "gap",
+        Seq(
+          "p50" -> "greatest(1L, (__n * 50L) div 100L)",
+          "p90" -> "greatest(1L, (__n * 90L) div 100L)",
+          "p99" -> "greatest(1L, (__n * 99L) div 100L)"))
+    }),
+
     // time-constrained sequential funnel (windowFunnel): deepest of
     // view -> click -> purchase reached per user, each step within
     // 30 min of the previous, first-match semantics — a pure min-
@@ -327,6 +348,30 @@ object EventsPack extends QueryPack {
         |  count(DISTINCT weekly.user_id) AS n_users
         |FROM weekly JOIN firsts f ON weekly.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // q143: value at rank k = greatest(1, n*pct div 100) ascending —
+    // identical rank arithmetic to valueAtRanks; row_number tie order
+    // is irrelevant because the VALUE at a rank is tie-invariant
+    "q143_latency_quantiles" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts
+        |  FROM events
+        |),
+        |g AS (
+        |  SELECT event_type, ts - lag(ts) OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS gap
+        |  FROM e),
+        |gg AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+        |r AS (SELECT event_type, gap,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY gap) AS rk,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM gg),
+        |t AS (SELECT * FROM (
+        |  VALUES ('p50', 50), ('p90', 90), ('p99', 99)) q(label, pct))
+        |SELECT r.event_type, t.label, CAST(r.gap AS BIGINT) AS value,
+        |  CAST(r.n AS BIGINT) AS n
+        |FROM r JOIN t ON r.rk = greatest(1, (r.n * t.pct) // 100)""".stripMargin,
 
     // q140: the same min-recurrence as chained aggregates; each step
     // joins only that step's events against the previous step's times
