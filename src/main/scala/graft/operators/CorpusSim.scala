@@ -123,6 +123,56 @@ object CorpusSim {
     * EXACTLY the union corpus's sketch, so this estimator composes
     * across any grouping — pairwise sources, consecutive stream
     * windows ([[graft.streaming.SketchStream]]), snapshot diffs. */
+  /** Exact total-variation distance between slice distributions over
+    * an integer bucket column, in floored basis points — the
+    * DISTRIBUTION-drift audit next to the content-leakage matrix
+    * ([[TextAnalysis.crossSplitLeakage]]) and the sketch-based
+    * content drift ([[driftSeries]]): TV(P,Q) = ½·Σ_b |P(b) − Q(b)|,
+    * computed cross-multiplied so every intermediate is an integer:
+    * Σ |c_a·N_b − c_b·N_a| · 10⁴ div (2·N_a·N_b). 0 bp = identical
+    * histograms, 10000 bp = disjoint support.
+    *
+    * Scale: one (slice, bucket) count aggregate; slice totals are a
+    * slice-count-sized collect (model-sized — slices are splits /
+    * snapshots); each ordered pair is a bucket-keyed FULL OUTER join
+    * of two filtered count frames plus one abs-sum — products ride
+    * decimal(38,0) (count·total overflows a long at warehouse scale)
+    * with an integral div back to a long. No windows, no text
+    * movement. */
+  def totalVariationBp(df: DataFrame, sliceCol: String,
+                       bucketCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val cnt = df
+      .select(col(sliceCol).cast("string").as("__s"),
+        col(bucketCol).cast("long").as("__b"))
+      .groupBy(col("__s"), col("__b")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // per-pair filtered probes + totals
+    val totals = cnt.groupBy(col("__s")).agg(sum(col("__c")).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(totals.size >= 2, "need at least two slices")
+    val slices = totals.keys.toSeq.sorted
+    val dec = "decimal(38,0)"
+    val perPair = for {
+      i <- slices.indices; j <- (i + 1) until slices.size
+    } yield {
+      val (sa, sb) = (slices(i), slices(j))
+      val (na, nb) = (totals(sa), totals(sb))
+      val a = cnt.filter(col("__s") === sa)
+        .select(col("__b"), col("__c").as("__ca"))
+      val b = cnt.filter(col("__s") === sb)
+        .select(col("__b"), col("__c").as("__cb"))
+      a.join(b, Seq("__b"), "full_outer")
+        .agg(sum(expr(
+          s"abs(cast(coalesce(__ca, 0L) as $dec) * ${nb}L - " +
+            s"cast(coalesce(__cb, 0L) as $dec) * ${na}L)")).as("__d"))
+        .select(lit(sa).as("slice_a"), lit(sb).as("slice_b"),
+          expr(s"cast(__d * 10000L div (cast(${na}L as $dec) * 2L * ${nb}L) as long)")
+            .as("tv_bp"),
+          lit(na).as("n_a"), lit(nb).as("n_b"))
+    }
+    perPair.reduce(_ unionByName _)
+  }
+
   def pairJaccard(sa: Set[Long], sb: Set[Long], k: Int): (Long, Long, Long) = {
     val merged = (sa ++ sb).toSeq.sorted.take(k)
     val nBoth = merged.count(h => sa.contains(h) && sb.contains(h)).toLong

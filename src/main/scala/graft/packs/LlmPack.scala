@@ -92,6 +92,18 @@ object LlmPack extends QueryPack {
             Seq("train" -> 80, "val" -> 10, "test" -> 10))),
         "doc_id", "text", "split")),
 
+    // exact total-variation drift of the doc-length distribution
+    // between splits (the DISTRIBUTION-drift audit next to q135's
+    // content leakage): cross-multiplied integer arithmetic, 0 bp =
+    // identical histograms
+    "q144_dist_drift" -> ((s, dir) =>
+      graft.operators.CorpusSim.totalVariationBp(
+        Tables.load(s, dir, "documents")
+          .withColumn("split", Splits.assign(col("doc_id"),
+            Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+          .withColumn("len_bucket", expr("length(text) div 100")),
+        "split", "len_bucket")),
+
     // End-to-end training-data pipeline: dedup -> quality filter ->
     // train split -> chunk -> per-language stats. One DataFrame flow.
     "q42_pipeline" -> ((s, dir) => {
@@ -844,6 +856,38 @@ object LlmPack extends QueryPack {
          |FROM sh JOIN bench USING (s)
          |WHERE doc_id % 97 <> 0
          |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
+    // q144: the full (pair, bucket) grid makes absent buckets
+    // explicit zeros — same sum as the Spark side's FULL OUTER join
+    // over the union of supports; HUGEINT promotion mirrors the
+    // decimal(38,0) products
+    "q144_dist_drift" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |           1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |           1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    length(text) // 100 AS b
+        |  FROM documents),
+        |cnt AS (SELECT split, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM d GROUP BY 1, 2),
+        |tot AS (SELECT split, CAST(sum(c) AS BIGINT) AS n
+        |  FROM cnt GROUP BY 1),
+        |sp AS (SELECT a.split AS sa, a.n AS na, b.split AS sb, b.n AS nb
+        |  FROM tot a JOIN tot b ON a.split < b.split),
+        |bk AS (SELECT DISTINCT b FROM cnt),
+        |grid AS (SELECT sa, na, sb, nb, bk.b FROM sp, bk),
+        |j AS (SELECT g.sa, g.sb, g.na, g.nb,
+        |    coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+        |  FROM grid g
+        |  LEFT JOIN cnt ca ON ca.split = g.sa AND ca.b = g.b
+        |  LEFT JOIN cnt cb ON cb.split = g.sb AND cb.b = g.b)
+        |SELECT sa AS slice_a, sb AS slice_b,
+        |  CAST(sum(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na))
+        |    * 10000 // (CAST(na AS HUGEINT) * 2 * nb) AS BIGINT) AS tv_bp,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+        |FROM j GROUP BY sa, sb, na, nb""".stripMargin,
 
     // q135: the q35 portable-bucket split recipe + the q46 shingle
     // recipe, reduced to DISTINCT (split, gram-hash) before the pair

@@ -287,4 +287,31 @@ class SamplingProfileSpec extends SparkSpec {
     assert(out2.length == 2)
     assert(out2.head == (("u", "v", 2L, 2L, 2L, 50000L))) // highest lift first
   }
+
+  test("totalVariationBp: exact TVD, disjoint and identical extremes") {
+    // a: buckets {1:2, 2:2}; b: {1:1, 2:1} -> identical distributions
+    // -> 0 bp. c: {3:2} -> disjoint from a -> 10000 bp.
+    // a vs c check by hand: |2*2-0*4| + |2*2-0*4| + |0*2-2*4| = 16;
+    // 16*10000/(2*4*2) = 10000.
+    val df = Seq(
+      ("a", 1L), ("a", 1L), ("a", 2L), ("a", 2L),
+      ("b", 1L), ("b", 2L),
+      ("c", 3L), ("c", 3L)
+    ).toDF("slice", "bucket")
+    val out = graft.operators.CorpusSim.totalVariationBp(df, "slice", "bucket")
+      .select("slice_a", "slice_b", "tv_bp", "n_a", "n_b")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    assert(out(("a", "b")) == ((0L, 4L, 2L)))
+    assert(out(("a", "c")) == ((10000L, 4L, 2L)))
+    assert(out(("b", "c")) == ((10000L, 2L, 2L)))
+    // asymmetric overlap: d {1:3, 2:1} vs b {1:1, 2:1}:
+    // |3*2-1*4| + |1*2-1*4| = 2+2 = 4; 4*10000/(2*4*2) = 2500
+    val df2 = Seq(("d", 1L), ("d", 1L), ("d", 1L), ("d", 2L),
+      ("b", 1L), ("b", 2L)).toDF("slice", "bucket")
+    val o2 = graft.operators.CorpusSim.totalVariationBp(df2, "slice", "bucket")
+      .select("slice_a", "slice_b", "tv_bp")
+      .as[(String, String, Long)].collect()
+    assert(o2.toSeq == Seq(("b", "d", 2500L)))
+  }
 }
