@@ -194,6 +194,58 @@ object Graph {
     labels
   }
 
+  /** Multi-source BFS hop distance over the DIRECTED graph: for every
+    * node reachable from the seed set within `maxHops` edges, the
+    * minimum hop count from any seed. Output: (node, hops) — seeds
+    * present in the graph at 0, unreachable nodes absent. The
+    * reachability/audit primitive next to [[PageRank.personalized]]:
+    * TrustRank scores proximity continuously, this reports the exact
+    * hop radius (e.g. "every doc within 2 links of a seed list").
+    *
+    * Scale: frontier expansion, not per-round full relaxation — round
+    * h joins ONLY the hop-(h−1) frontier against the src-repartitioned
+    * edge frame (co-located), dedupes the successor set, and anti-joins
+    * the settled set, so each round's cost is proportional to the
+    * frontier and the settled set is append-only with O(1) lineage via
+    * per-round localCheckpoint. Early-exits when a frontier is empty,
+    * so maxHops only bounds the diameter walked. Ghost seeds (ids
+    * absent from the edge set) are dropped, as in TrustRank. */
+  def bfsDistance(edges: DataFrame, srcCol: String, dstCol: String,
+                  seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e = edges.select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct()
+      .repartition(col("__src"))
+      .localCheckpoint(true) // scanned once per round
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst")))
+      .distinct()
+    var settled = seeds.select(col(seedCol).cast("long").as("node"))
+      .filter(col("node").isNotNull)
+      .distinct()
+      .join(nodes, Seq("node"), "left_semi")
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(true)
+    var frontier = settled
+    var hop = 1
+    var drained = frontier.isEmpty
+    while (hop <= maxHops && !drained) {
+      val next = e.join(frontier.withColumnRenamed("node", "__src"), Seq("__src"))
+        .select(col("__dst").as("node"))
+        .distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .withColumn("hops", lit(hop.toLong))
+        .localCheckpoint(true) // frontier probed next round + unioned
+      drained = next.isEmpty
+      if (!drained) settled = settled.union(next).localCheckpoint(true)
+      frontier = next
+      hop += 1
+    }
+    settled
+  }
+
   /** k-core: peel nodes of degree < k for `maxRounds` rounds (or to
     * the fixpoint, whichever comes first — extra rounds past the
     * fixpoint are no-ops, so a fixed-round oracle matches). Output:

@@ -412,6 +412,29 @@ object ScalePack extends QueryPack {
       graft.operators.Graph.kCore(pairs, "u", "v", k = 80, maxRounds = 8)
     }),
 
+    // multi-source BFS hop distance over the bipartite trade graph:
+    // exact hop radius from the nation-0 supplier seed slice, 3 hops
+    // (suppliers at even hops, customers at odd) — frontier expansion,
+    // hash-checks against a recursive UNION-dedupe CTE
+    "q145_bfs_hops" -> ((s, dir) => {
+      val pairs = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast("long").as("supp"),
+          col("o_custkey").cast("long").as("cust"))
+        .distinct()
+      val edges = pairs.select(
+          (col("supp") + 10000000L).as("src"),
+          (col("cust") + 20000000L).as("dst"))
+        .union(pairs.select((col("cust") + 20000000L).as("src"),
+          (col("supp") + 10000000L).as("dst")))
+      val seeds = Tables.load(s, dir, "supplier")
+        .filter(col("s_nationkey") === 0)
+        .select((col("s_suppkey").cast("long") + 10000000L).as("id"))
+      graft.operators.Graph.bfsDistance(edges, "src", "dst",
+        seeds, "id", maxHops = 3)
+    }),
+
     // dataset card: per-source docs/tokens/chars/empties/dups/lang-mix
     // in long format — the exact-integer summary a curation pipeline
     // publishes next to the data
@@ -1270,6 +1293,31 @@ object ScalePack extends QueryPack {
         |)
         |SELECT CAST(node AS BIGINT) AS node,
         |  CAST(count(*) AS BIGINT) AS core_degree
-        |FROM r WHERE it = 8 GROUP BY node""".stripMargin
+        |FROM r WHERE it = 8 GROUP BY node""".stripMargin,
+
+    "q145_bfs_hops" ->
+      """WITH RECURSIVE
+        |li AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS supp,
+        |    CAST(o_custkey AS BIGINT) AS cust
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (
+        |  SELECT supp + 10000000 AS src, cust + 20000000 AS dst FROM li
+        |  UNION ALL
+        |  SELECT cust + 20000000, supp + 10000000 FROM li),
+        |seeds AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) + 10000000 AS node
+        |  FROM supplier WHERE s_nationkey = 0),
+        |walk AS (
+        |  SELECT node, 0 AS hops FROM seeds
+        |  WHERE node IN (SELECT src FROM e UNION SELECT dst FROM e)
+        |  UNION
+        |  SELECT e.dst, walk.hops + 1
+        |  FROM walk JOIN e ON walk.node = e.src
+        |  WHERE walk.hops < 3
+        |)
+        |SELECT CAST(node AS BIGINT) AS node,
+        |  CAST(min(hops) AS BIGINT) AS hops
+        |FROM walk GROUP BY node""".stripMargin
   )
 }

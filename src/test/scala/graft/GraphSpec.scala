@@ -158,4 +158,47 @@ class GraphSpec extends SparkSpec {
       .select("node", "core_degree").as[(Long, Long)].collect().toMap
     assert(out == expect)
   }
+
+  test("bfsDistance: directed chain with branches, seeds, cutoff") {
+    // 1 -> 2 -> 3 -> 4 -> 5, plus shortcut 1 -> 3, island 8 -> 9,
+    // back-edge 3 -> 1; seeds {1, 9} (9 only appears as a dst so it IS
+    // a graph node), ghost seed 77 dropped
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L),
+      (8L, 9L), (3L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L, 9L, 77L).toDF("id")
+    val out = Graph.bfsDistance(edges, "src", "dst", seeds, "id", maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    // 1@0, 9@0, 2@1, 3@1 (shortcut beats 2-hop), 4@2; 5 beyond cutoff,
+    // 8 unreachable (edges are directed), 77 ghost
+    assert(out == Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("bfsDistance matches brute-force BFS on a random directed graph") {
+    val edges = randomEdges(40, 200, 13).filter(e => e._1 != e._2)
+    val seedIds = Seq(0L, 1L, 2L)
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val nodes = edges.flatMap(t => Seq(t._1, t._2)).toSet
+    // driver-side BFS
+    var dist = seedIds.filter(nodes.contains).map(_ -> 0L).toMap
+    var frontier = dist.keySet
+    var h = 1L
+    while (h <= 5 && frontier.nonEmpty) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> h)
+      frontier = next
+      h += 1
+    }
+    val out = Graph.bfsDistance(edges.toDF("src", "dst"), "src", "dst",
+        seedIds.toDF("id"), "id", maxHops = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(out == dist)
+  }
+
+  test("bfsDistance: empty seed intersection yields empty output") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = Graph.bfsDistance(edges, "src", "dst",
+      Seq(99L).toDF("id"), "id", maxHops = 3)
+    assert(out.count() == 0)
+  }
 }
