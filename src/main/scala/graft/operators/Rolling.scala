@@ -80,4 +80,47 @@ object Rolling {
       .select(col(groupCol), col("__e.date").as("date"),
         col("__e.n").as("n"), col("__e.ewma_scaled").as("ewma_scaled"))
   }
+
+  /** Exact-integer two-sided CUSUM drift statistic (Page 1954) over a
+    * per-(group, date) count series: the first `refDays` observed days
+    * form the in-control reference, then every later day accumulates
+    * the cross-multiplied deviation `d_t = refN·x_t − refSum` (the
+    * mean never divides, so everything stays 64-bit exact) into
+    * one-sided statistics
+    * `s_up_t = max(0, s_up_{t−1} + d_t)`,
+    * `s_dn_t = max(0, s_dn_{t−1} − d_t)`
+    * — the standard change-point detector for count drift, here in
+    * the closed cumulative form `s_up = C − min(0, runmin C)` /
+    * `s_dn = max(0, runmax C) − C`, so two window passes replace the
+    * recurrence. Output: (group, date, n, s_up, s_dn) for monitored
+    * (post-reference) days, in refN·count units.
+    *
+    * Scale: one shuffle to daily counts, then windows partitioned by
+    * group over the per-day aggregates — bounded by calendar days per
+    * series, never raw events; the reference stats attach by a
+    * group-keyed aggregate join. All integer, so the series
+    * hash-checks against the same windows in any engine. */
+  def cusum(df: DataFrame, groupCol: String, tsCol: String,
+            refDays: Int): DataFrame = {
+    require(refDays >= 1, "refDays must be >= 1")
+    val daily = df
+      .groupBy(col(groupCol), to_date(col(tsCol)).as("date"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("date"))
+    val rn = daily.withColumn("__rn", row_number().over(wOrd))
+    val ref = rn.filter(col("__rn") <= refDays)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__refn"), sum(col("n")).as("__refsum"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rn.filter(col("__rn") > refDays)
+      .join(ref, Seq(groupCol))
+      .withColumn("__d", col("__refn") * col("n") - col("__refsum"))
+      .withColumn("__c", sum(col("__d")).over(wCum))
+      .withColumn("s_up",
+        col("__c") - least(lit(0L), min(col("__c")).over(wCum)))
+      .withColumn("s_dn",
+        greatest(lit(0L), max(col("__c")).over(wCum)) - col("__c"))
+      .select(col(groupCol), col("date"), col("n"),
+        col("s_up"), col("s_dn"))
+  }
 }

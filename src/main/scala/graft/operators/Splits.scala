@@ -126,6 +126,47 @@ object Splits {
       .drop("__split_grp", "__cl")
   }
 
+  /** Temporal train/test split with a purge embargo (the time-series /
+    * financial-ML split discipline, López de Prado 2018 ch.7): the
+    * earliest `trainBp`/10000 of rows by event time are `train`, rows
+    * inside the `embargoUs` window after the cut are `embargo`
+    * (excluded — features computed over trailing windows straddle the
+    * boundary and leak the future into training), and later rows are
+    * `test`. The cut is the EXACT value at rank
+    * `greatest(1, n·trainBp div 10000)` of the ascending time order —
+    * tie-invariant, so any engine reproduces the label from the
+    * timestamp alone. `tsUsCol` must be an integral epoch column
+    * (e.g. `unix_micros`), `embargoUs` in the same unit.
+    *
+    * Scale: the cut resolves through [[Selection.valueAtRanks]]'s
+    * bucket histograms (no global sort, no window); labeling is pure
+    * per-row scan work against the collected 1-row cut. NOT
+    * append-stable by construction (the rank moves with n): pin the
+    * returned boundary via [[temporalSplitAt]] for incremental use. */
+  def temporalSplit(df: DataFrame, tsUsCol: String, trainBp: Int,
+                    embargoUs: Long): DataFrame = {
+    require(trainBp >= 1 && trainBp <= 9999,
+      "trainBp must be in [1, 9999]")
+    val cutRows = Selection.valueAtRanks(
+        df.withColumn("__one", lit(1)), "__one", tsUsCol,
+        Seq("cut" -> s"greatest(1L, (__n * ${trainBp}L) div 10000L)"))
+      .collect()
+    require(cutRows.nonEmpty, "temporalSplit: empty input")
+    temporalSplitAt(df, tsUsCol, cutRows.head.getLong(2), embargoUs)
+  }
+
+  /** [[temporalSplit]] at an EXPLICIT cut — the append-stable variant:
+    * new rows label purely by their own timestamp against the pinned
+    * boundary, so an incremental pipeline re-labels nothing. */
+  def temporalSplitAt(df: DataFrame, tsUsCol: String, cutUs: Long,
+                      embargoUs: Long): DataFrame = {
+    require(embargoUs >= 0, "embargoUs must be non-negative")
+    df.withColumn("split",
+      when(col(tsUsCol) <= cutUs, "train")
+        .when(col(tsUsCol) > cutUs + embargoUs, "test")
+        .otherwise("embargo"))
+  }
+
   /** Token-budget mixture allocation: the planning step of data mixing
     * — given a total token `budget` and relative target `weights` per
     * group (domain, source, language), decide how many tokens each

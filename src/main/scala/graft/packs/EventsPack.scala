@@ -71,6 +71,39 @@ object EventsPack extends QueryPack {
         "user_id", "ts_us", "event_id", "event_type",
         gapSeconds = 1800, k = 20)),
 
+    // temporal split with a 1-day purge embargo: earliest 80% of
+    // events by time are train, the embargo day after the exact
+    // rank-resolved cut is excluded, the rest is test — the
+    // leakage-safe time-series split; labels hash-check from the
+    // tie-invariant cut value
+    "q146_temporal_split" -> ((s, dir) =>
+      graft.operators.Splits.temporalSplit(
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us")),
+        "ts_us", trainBp = 8000, embargoUs = 86400L * 1000000)
+        .select(col("event_id"), col("event_type"), col("split"))),
+
+    // two-sided exact-integer CUSUM drift statistic per event type:
+    // first 7 observed days are the reference, later days accumulate
+    // cross-multiplied deviations — the change-point detector, all
+    // integer so the whole series hash-checks
+    "q147_cusum" -> ((s, dir) =>
+      Rolling.cusum(Tables.events(s, dir), "event_type", "ts",
+        refDays = 7)
+        .select(col("event_type"), col("date").cast("string").as("date"),
+          col("n"), col("s_up"), col("s_dn"))),
+
+    // first-order in-session Markov transition matrix: (from, to)
+    // event-type counts + row-normalized probability in basis points
+    // — "what users do next"; session gap 30 min, all integer
+    "q148_transitions" -> ((s, dir) =>
+      graft.streaming.Paths.transitionMatrix(
+        Tables.events(s, dir)
+          .withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "ts_us", "event_id", "event_type",
+        gapSeconds = 1800)),
+
     // exact lower-median per group via distributed rank-pick (engine-
     // portable, no interpolation-semantics ambiguity). Selection
     // resolves the rank on bucket histograms — no full-group sort, so
@@ -191,6 +224,100 @@ object EventsPack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // q146: the cut is the VALUE at rank greatest(1, n*8000 div 10000)
+    // ascending — tie-invariant, so row_number's tie order is moot
+    "q146_temporal_split" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS us FROM events
+        |),
+        |r AS (
+        |  SELECT us, row_number() OVER (ORDER BY us) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM v
+        |),
+        |c AS (
+        |  SELECT us AS cut FROM r
+        |  WHERE rn = greatest(1, (n * 8000) // 10000)
+        |)
+        |SELECT event_id, event_type,
+        |  CASE WHEN us <= c.cut THEN 'train'
+        |       WHEN us > c.cut + 86400000000 THEN 'test'
+        |       ELSE 'embargo' END AS split
+        |FROM v, c""".stripMargin,
+
+    // q147: identical window formulation — cumsum of cross-multiplied
+    // deviations, closed-form one-sided CUSUMs from running min/max
+    "q147_cusum" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY date) AS rn
+        |  FROM d
+        |),
+        |ref AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS refn,
+        |    CAST(sum(n) AS BIGINT) AS refsum
+        |  FROM r WHERE rn <= 7 GROUP BY 1
+        |),
+        |m AS (
+        |  SELECT r.event_type, r.date, r.n,
+        |    ref.refn * r.n - ref.refsum AS dd
+        |  FROM r JOIN ref USING (event_type) WHERE r.rn > 7
+        |),
+        |c AS (
+        |  SELECT event_type, date, n,
+        |    CAST(sum(dd) OVER w AS BIGINT) AS cc
+        |  FROM m
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY date
+        |    ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT event_type, CAST(date AS VARCHAR) AS date,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(cc - least(0, min(cc) OVER w) AS BIGINT) AS s_up,
+        |  CAST(greatest(0, max(cc) OVER w) - cc AS BIGINT) AS s_dn
+        |FROM c
+        |WINDOW w AS (PARTITION BY event_type ORDER BY date
+        |  ROWS UNBOUNDED PRECEDING)""".stripMargin,
+
+    // q148: q28's sessionization CTE, one lead, pair counts + floored
+    // bp normalization over the aggregated matrix
+    "q148_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events
+        |),
+        |l AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS prev
+        |  FROM e
+        |),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |    sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+        |      AS session_idx
+        |  FROM l
+        |),
+        |p AS (
+        |  SELECT event_type AS "from",
+        |    lead(event_type, 1) OVER (PARTITION BY user_id, session_idx
+        |      ORDER BY ts_us, event_id) AS "to"
+        |  FROM s
+        |),
+        |m AS (
+        |  SELECT "from", "to", CAST(count(*) AS BIGINT) AS cnt
+        |  FROM p WHERE "to" IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT "from", "to", cnt,
+        |  CAST((cnt * 10000) // CAST(sum(cnt) OVER
+        |    (PARTITION BY "from") AS BIGINT) AS BIGINT) AS p_bp
+        |FROM m""".stripMargin,
+
     "q100_group_split" ->
       """WITH a AS (
         |  SELECT user_id, event_id,

@@ -85,4 +85,32 @@ object Paths {
       .orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3"))
       .limit(k)
   }
+
+  /** First-order Markov transition matrix WITHIN sessions: for every
+    * (from, to) event-type pair, the count of consecutive in-session
+    * occurrences and the row-normalized transition probability in
+    * floored basis points — "after a `view`, 62% of next actions are
+    * `click`". Output: (from, to, cnt, p_bp).
+    *
+    * Scale: pairs come from one `lead()` over the session window (row
+    * state, no per-session arrays), the count rollup is a partial-agg
+    * groupBy on the type pair, and the normalizing row totals are a
+    * window over the AGGREGATED |types|² frame — model-sized, never
+    * the event stream. All integer, so the matrix hash-checks. */
+  def transitionMatrix(df: DataFrame, userCol: String, tsUsCol: String,
+                       tieBreak: String, typeCol: String,
+                       gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol), col("session_idx"))
+      .orderBy(col(tsUsCol), col(tieBreak))
+    val pairs = Sessions.assign(df, userCol, tsUsCol, tieBreak, gapSeconds)
+      .withColumn("__to", lead(col(typeCol), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .groupBy(col(typeCol).as("from"), col("__to").as("to"))
+      .agg(count(lit(1)).as("cnt"))
+    pairs
+      .withColumn("__rt",
+        sum(col("cnt")).over(Window.partitionBy(col("from"))))
+      .withColumn("p_bp", expr("(cnt * 10000L) div __rt"))
+      .drop("__rt")
+  }
 }

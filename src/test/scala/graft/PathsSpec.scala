@@ -100,4 +100,100 @@ class PathsSpec extends SparkSpec {
       .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
     assert(got == expect)
   }
+
+  test("transitionMatrix: in-session pairs only, floored bp rows sum sanely") {
+    val M = 60L * 1000000
+    // user A session 1: view->view->cart; 2h gap; session 2: view->buy
+    // user B: cart->view
+    val events = Seq(
+      ("a", 1L, 0 * M, "view"), ("a", 2L, 1 * M, "view"),
+      ("a", 3L, 2 * M, "cart"),
+      ("a", 4L, 200 * M, "view"), ("a", 5L, 201 * M, "buy"),
+      ("b", 6L, 0 * M, "cart"), ("b", 7L, 1 * M, "view")
+    ).toDF("user_id", "event_id", "ts_us", "event_type")
+    val out = Paths.transitionMatrix(events, "user_id", "ts_us",
+        "event_id", "event_type", gapSeconds = 1800)
+      .as[(String, String, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    // from view: view->view 1, view->cart 1, view->buy 1 (3 total,
+    // 3333 bp each); from cart: cart->view 1 (10000 bp). The
+    // cross-session pair cart->view for user A must NOT be counted
+    // (session 1 ends at cart) — only B's contributes.
+    assert(out == Map(
+      ("view", "view") -> ((1L, 3333L)),
+      ("view", "cart") -> ((1L, 3333L)),
+      ("view", "buy") -> ((1L, 3333L)),
+      ("cart", "view") -> ((1L, 10000L))))
+  }
+
+  test("cusum matches the max(0, s+d) recurrence on a drifting series") {
+    val rnd = new scala.util.Random(5)
+    // two series: one flat around 10, one that jumps at day 20
+    val rows = for {
+      g <- Seq("flat", "jump"); d <- 0 until 30
+      base = if (g == "jump" && d >= 20) 25 else 10
+      n = base + rnd.nextInt(3)
+      i <- 0 until n
+    } yield (g, java.sql.Timestamp.valueOf(
+      f"2024-01-${d + 1}%02d 12:00:0${i % 10}.${i}%03d"), i)
+    val df = rows.toDF("g", "ts", "i")
+    val out = graft.operators.Rolling.cusum(df, "g", "ts", refDays = 7)
+      .select("g", "date", "n", "s_up", "s_dn")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // driver-side recurrence per group
+    val daily = rows.groupBy(r => (r._1,
+        r._2.toLocalDateTime.toLocalDate.toString))
+      .map { case (k, v) => k -> v.size.toLong }
+    for (g <- Seq("flat", "jump")) {
+      val series = daily.collect { case ((gg, d), n) if gg == g => (d, n) }
+        .toSeq.sortBy(_._1)
+      val (refRows, mon) = series.splitAt(7)
+      val refN = refRows.size.toLong
+      val refSum = refRows.map(_._2).sum
+      var sUp = 0L; var sDn = 0L
+      for ((d, n) <- mon) {
+        val dev = refN * n - refSum
+        sUp = math.max(0L, sUp + dev)
+        sDn = math.max(0L, sDn - dev)
+        assert(out((g, d)) == ((n, sUp, sDn)),
+          s"($g, $d): got ${out((g, d))}, want ($n, $sUp, $sDn)")
+      }
+      // reference days are not monitored
+      refRows.foreach { case (d, _) => assert(!out.contains((g, d))) }
+    }
+    // the jump series must actually alarm upward
+    assert(out.filter(_._1._1 == "jump").values.map(_._2).max >
+      out.filter(_._1._1 == "flat").values.map(_._2).max * 5)
+  }
+
+  test("temporalSplit: exact rank cut, embargo band, explicit-cut stability") {
+    val S = graft.operators.Splits
+    val df = (1L to 100L).map(i => (i, i * 1000L)).toDF("id", "ts_us")
+    val out = S.temporalSplit(df, "ts_us", trainBp = 8000,
+        embargoUs = 5000L)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    // cut = value at rank 80 = 80000; embargo covers (80000, 85000]
+    assert((1L to 80L).forall(out(_) == "train"))
+    assert((81L to 85L).forall(out(_) == "embargo"))
+    assert((86L to 100L).forall(out(_) == "test"))
+    // explicit-cut variant labels an appended row without moving the cut
+    val out2 = S.temporalSplitAt(
+        (1L to 120L).map(i => (i, i * 1000L)).toDF("id", "ts_us"),
+        "ts_us", cutUs = 80000L, embargoUs = 5000L)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert((1L to 100L).forall(i => out2(i) == out(i)))
+    assert((101L to 120L).forall(out2(_) == "test"))
+    // ties at the cut all land in train (tie-invariant boundary)
+    val tied = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 20L), (5L, 30L))
+      .toDF("id", "ts_us")
+    val out3 = S.temporalSplit(tied, "ts_us", trainBp = 6000,
+        embargoUs = 0L)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    // rank 3 of (10,20,20,20,30) = 20 -> ids 2,3,4 all train
+    assert(out3 == Map(1L -> "train", 2L -> "train", 3L -> "train",
+      4L -> "train", 5L -> "test"))
+  }
 }
