@@ -19,13 +19,12 @@ import org.apache.spark.sql.functions._
   * total (lift, pair) order, never a global sort. */
 object Association {
 
-  /** Top-`k` item pairs by lift among pairs with co-occurrence
-    * support ≥ `minSupport`. Output: (item_a, item_b, c_a, c_b,
-    * c_ab, lift_bp), item_a < item_b. */
-  def pairLift(df: DataFrame, basketCol: String, itemCol: String,
-               minSupport: Long, k: Int): DataFrame = {
+  /** Shared co-occurrence core: distinct-basket pair counts with both
+    * items' supports attached, plus the basket count. Columns:
+    * (item_a, item_b, c_a, c_b, c_ab), item_a < item_b. */
+  private def cooc(df: DataFrame, basketCol: String, itemCol: String,
+                   minSupport: Long): (DataFrame, Long) = {
     require(minSupport >= 1, "minSupport must be >= 1")
-    require(k > 0, "k must be positive")
     val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .filter(col("__i").isNotNull)
       .distinct()
@@ -40,16 +39,47 @@ object Association {
       .groupBy(col("__i"), col("__j"))
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minSupport)
-    pairs
+    val out = pairs
       .join(support.select(col("__i"), col("__c").as("c_a")), Seq("__i"))
       .join(support.select(col("__i").as("__j"), col("__c").as("c_b")),
         Seq("__j"))
       .select(col("__i").as("item_a"), col("__j").as("item_b"),
         col("c_a"), col("c_b"), col("c_ab"))
+    (out, nB)
+  }
+
+  /** Top-`k` item pairs by lift among pairs with co-occurrence
+    * support ≥ `minSupport`. Output: (item_a, item_b, c_a, c_b,
+    * c_ab, lift_bp), item_a < item_b. */
+  def pairLift(df: DataFrame, basketCol: String, itemCol: String,
+               minSupport: Long, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val (pairs, nB) = cooc(df, basketCol, itemCol, minSupport)
+    pairs
       .withColumn("lift_bp", expr(
         s"cast(c_ab as decimal(38,0)) * ${nB}L * 10000L" +
           s" div (cast(c_a as decimal(38,0)) * c_b)"))
       .orderBy(col("lift_bp").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
+  /** Item-item Jaccard similarity (the co-occurrence recommender's
+    * "customers who bought A also bought B" core): top-`k` item pairs
+    * by exact `|A∩B| / |A∪B|` over their basket sets, in floored basis
+    * points — pure long arithmetic (no product with the basket count,
+    * unlike lift, so no decimal widening is needed). Popularity-
+    * normalized where raw co-counts just rank the bestsellers. Output:
+    * (item_a, item_b, c_a, c_b, c_ab, jaccard_bp), item_a < item_b;
+    * deterministic (jaccard, pair) tie order via
+    * TakeOrderedAndProject, never a global sort. */
+  def itemJaccard(df: DataFrame, basketCol: String, itemCol: String,
+                  minSupport: Long, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val (pairs, _) = cooc(df, basketCol, itemCol, minSupport)
+    pairs
+      .withColumn("jaccard_bp",
+        expr("(c_ab * 10000L) div (c_a + c_b - c_ab)"))
+      .orderBy(col("jaccard_bp").desc, col("item_a"), col("item_b"))
       .limit(k)
   }
 }

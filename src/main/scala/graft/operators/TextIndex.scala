@@ -90,6 +90,39 @@ object TextIndex {
         col("term"), col("tf"), col("df"))
   }
 
+  /** Exact phrase search: documents containing the consecutive token
+    * sequence `phrase`, with the exact occurrence count (overlapping
+    * occurrences count — "a a a" contains "a a" twice). Output:
+    * (doc_id, n_matches). The positional-index retrieval primitive
+    * next to [[bm25TopK]]'s bag-of-words scoring.
+    *
+    * Scale: ONE tokenize + posexplode pass keeps only phrase-term
+    * positions (the `isin` filter runs before any shuffle, so a
+    * 50-term vocabulary document contributes just its phrase-term
+    * hits), then the match is |phrase|−1 equi-joins on
+    * (doc_id, anchor_pos) — all co-located after the first shuffle;
+    * the filtered position table is locally checkpointed because every
+    * chain step probes it. No windows, all integer — hash-checks
+    * against the same join chain over `generate_subscripts`. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phrase must have at least 2 tokens")
+    require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      "phrase tokens must be non-empty and whitespace-free")
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(terms(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+      .localCheckpoint(true) // probed once per phrase token
+    var cur = toks.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos").as("__p0"))
+    for (i <- 1 until phrase.size)
+      cur = cur.join(
+        toks.filter(col("term") === phrase(i))
+          .select(col("doc_id"), (col("pos") - i).as("__p0")),
+        Seq("doc_id", "__p0"))
+    cur.groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+  }
+
   /** BM25 top-k retrieval for a small set of queries (broadcast).
     * idf = ln(1 + (N - df + 0.5)/(df + 0.5)); score = Σ_t idf(t) ·
     * tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)). Output

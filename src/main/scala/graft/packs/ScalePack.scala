@@ -302,6 +302,24 @@ object ScalePack extends QueryPack {
             col("l_partkey").cast("long").as("item")),
         "basket", "item", minSupport = 3, k = 50)),
 
+    // item-item Jaccard similarity ("bought A also bought B"): top-50
+    // part pairs by exact basket-set Jaccard in basis points — pure
+    // long arithmetic, deterministic tie order
+    "q151_item_jaccard" -> ((s, dir) =>
+      graft.operators.Association.itemJaccard(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("basket"),
+            col("l_partkey").cast("long").as("item")),
+        "basket", "item", minSupport = 3, k = 50)),
+
+    // exact phrase search over the positional index: docs containing
+    // the consecutive token pair "table value" with overlapping-match
+    // counts — one filtered posexplode + a (doc, pos) equi-join chain
+    "q149_phrase_search" -> ((s, dir) =>
+      graft.operators.TextIndex.phraseSearch(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("table", "value"))),
+
     // exact Gini concentration of per-customer revenue per market
     // segment: rankRows histogram ranks + min-rank tie correction,
     // finals divided driver-side in BigInt — hash-checks against a
@@ -1041,6 +1059,36 @@ object ScalePack extends QueryPack {
         |FROM pairs JOIN sup sa ON sa.i = item_a JOIN sup sb ON sb.i = item_b
         |ORDER BY lift_bp DESC, item_a, item_b
         |LIMIT 50""".stripMargin,
+
+    "q151_item_jaccard" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, CAST(l_partkey AS BIGINT) AS i
+        |  FROM lineitem),
+        |sup AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT item_a, item_b, sa.c AS c_a, sb.c AS c_b, c_ab,
+        |  CAST((c_ab * 10000) // (sa.c + sb.c - c_ab) AS BIGINT)
+        |    AS jaccard_bp
+        |FROM pairs JOIN sup sa ON sa.i = item_a JOIN sup sb ON sb.i = item_b
+        |ORDER BY jaccard_bp DESC, item_a, item_b
+        |LIMIT 50""".stripMargin,
+
+    "q149_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, generate_subscripts(a, 1) AS pos,
+        |    unnest(a) AS term
+        |  FROM t),
+        |a0 AS (SELECT doc_id, pos AS p0 FROM p WHERE term = 'table'),
+        |a1 AS (SELECT doc_id, pos - 1 AS p0 FROM p WHERE term = 'value')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+        |FROM a0 JOIN a1 USING (doc_id, p0)
+        |GROUP BY doc_id""".stripMargin,
 
     // q141: ordinal Σ rank·v is permutation-invariant under ties, so
     // a bare row_number over v reproduces the Spark side's min-rank +

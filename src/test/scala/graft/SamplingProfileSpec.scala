@@ -288,6 +288,45 @@ class SamplingProfileSpec extends SparkSpec {
     assert(out2.head == (("u", "v", 2L, 2L, 2L, 50000L))) // highest lift first
   }
 
+  test("itemJaccard: exact basket-set Jaccard, floor, ranking") {
+    // same fixture as pairLift: c_x=6, c_y=5, c_xy=4 ->
+    // J = 4/(6+5-4) = 4/7 -> 5714 bp; u,v: 2/(2+2-2) = 1 -> 10000 bp
+    val rows = Seq(
+      (1L, "x"), (1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "y"), (3L, "x"), (3L, "y"), (4L, "x"), (4L, "y"),
+      (5L, "x"), (6L, "x"), (7L, "y"),
+      (8L, "u"), (8L, "v"), (9L, "u"), (9L, "v"),
+      (10L, "z")
+    ).toDF("basket", "item")
+    val out = graft.operators.Association.itemJaccard(rows,
+        "basket", "item", minSupport = 3, k = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("x", "y", 6L, 5L, 4L, 5714L)))
+    val out2 = graft.operators.Association.itemJaccard(rows,
+        "basket", "item", minSupport = 2, k = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(out2.toSeq == Seq(("u", "v", 2L, 2L, 2L, 10000L),
+      ("x", "y", 6L, 5L, 4L, 5714L)))
+  }
+
+  test("phraseSearch: overlapping matches, 3-token chain, no partial hits") {
+    val docs = Seq(
+      (1L, "a a a a"),          // "a a" overlaps: 3 matches
+      (2L, "x a a y a a"),      // 2 matches
+      (3L, "a b a"),            // none for "a a"
+      (4L, "q w e q w e q w"),  // "q w e" twice, trailing "q w" partial
+      (5L, "")                  // empty doc
+    ).toDF("doc_id", "text")
+    val two = graft.operators.TextIndex.phraseSearch(docs, "doc_id",
+        "text", Seq("a", "a"))
+      .as[(Long, Long)].collect().toMap
+    assert(two == Map(1L -> 3L, 2L -> 2L))
+    val three = graft.operators.TextIndex.phraseSearch(docs, "doc_id",
+        "text", Seq("q", "w", "e"))
+      .as[(Long, Long)].collect().toMap
+    assert(three == Map(4L -> 2L))
+  }
+
   test("totalVariationBp: exact TVD, disjoint and identical extremes") {
     // a: buckets {1:2, 2:2}; b: {1:1, 2:1} -> identical distributions
     // -> 0 bp. c: {3:2} -> disjoint from a -> 10000 bp.
