@@ -246,6 +246,70 @@ object Graph {
     settled
   }
 
+  /** Hop-bounded weighted shortest paths from a seed set: after
+    * `rounds` rounds, dist(v) = the exact minimum total weight over
+    * paths of ≤ `rounds` edges from any seed (classic Bellman-Ford
+    * semantics). Weights must be non-negative 64-bit integers so every
+    * distance is exact. Output: (node, dist) for nodes reached within
+    * the bound; seeds at 0.
+    *
+    * Scale: frontier-limited Bellman-Ford — a node re-relaxes only in
+    * the round after its distance improved, which provably yields the
+    * same ≤k-edge minima as full relaxation (an unimproved node's
+    * out-candidates are unchanged). Each round: one co-located join of
+    * the frontier against the src-repartitioned edge frame, a per-node
+    * min partial agg, and one full-outer merge with the settled
+    * distances; per-round localCheckpoint keeps lineage O(1), and the
+    * loop early-exits when no distance improves. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    weightCol: String, seeds: DataFrame, seedCol: String,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val e = edges.select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+      .groupBy(col("__src"), col("__dst"))
+      .agg(min(col("__w")).as("__w")) // parallel edges: keep cheapest
+      .repartition(col("__src"))
+      .localCheckpoint(true) // scanned once per round
+    val minW = e.agg(min(col("__w"))).head
+    require(minW.isNullAt(0) || minW.getLong(0) >= 0,
+      "edge weights must be non-negative")
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst")))
+      .distinct()
+    var dist = seeds.select(col(seedCol).cast("long").as("node"))
+      .filter(col("node").isNotNull)
+      .distinct()
+      .join(nodes, Seq("node"), "left_semi")
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = dist
+    var round = 1
+    var drained = frontier.isEmpty
+    while (round <= rounds && !drained) {
+      val cand = e.join(frontier.withColumnRenamed("node", "__src"),
+          Seq("__src"))
+        .select(col("__dst").as("node"), (col("dist") + col("__w")).as("__nd"))
+        .groupBy(col("node")).agg(min(col("__nd")).as("__nd"))
+      val merged = dist.join(cand, Seq("node"), "full_outer")
+        .localCheckpoint(true) // read twice: next dist + next frontier
+      dist = merged.select(col("node"),
+          least(coalesce(col("dist"), col("__nd")),
+            coalesce(col("__nd"), col("dist"))).as("dist"))
+        .localCheckpoint(true)
+      frontier = merged
+        .filter(col("__nd").isNotNull &&
+          (col("dist").isNull || col("__nd") < col("dist")))
+        .select(col("node"), col("__nd").as("dist"))
+        .localCheckpoint(true)
+      drained = frontier.isEmpty
+      round += 1
+    }
+    dist
+  }
+
   /** k-core: peel nodes of degree < k for `maxRounds` rounds (or to
     * the fixpoint, whichever comes first — extra rounds past the
     * fixpoint are no-ops, so a fixed-round oracle matches). Output:

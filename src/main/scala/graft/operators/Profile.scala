@@ -448,4 +448,69 @@ object Profile {
     out.withColumn("segment",
       col("r") * 100L + col("f") * 10L + col("m"))
   }
+
+  /** Hierarchical rollup report: exact integer totals at every prefix
+    * level of `dims` (the classic region → nation → (all) subtotal
+    * pyramid), via Spark's native `rollup` — ONE pass, partial aggs
+    * absorb each level map-side, no self-union of the input. Subtotal
+    * rows label their collapsed dimensions `(all)` (inputs must not
+    * contain that literal or NULL in a dim — enforced), so the report
+    * is string/integer exact and hash-checks against `GROUP BY ROLLUP`
+    * in any engine. Output: (dims..., n, total). */
+  def rollupReport(df: DataFrame, dims: Seq[String],
+                   valueCol: String): DataFrame = {
+    require(dims.nonEmpty, "dims must be non-empty")
+    require(!dims.contains("n") && !dims.contains("total"),
+      "dims may not be named 'n' or 'total' (output columns)")
+    val guarded = dims.foldLeft(df) { (d, c) =>
+      d.withColumn(c, coalesce(
+        when(col(c).cast("string") === "(all)",
+          raise_error(lit(s"rollupReport: '(all)' literal in $c"))
+            .cast("string"))
+          .otherwise(col(c).cast("string")),
+        raise_error(lit(s"rollupReport: null in $c")).cast("string")))
+    }
+    guarded
+      .rollup(dims.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(dims.map(c => coalesce(col(c), lit("(all)")).as(c)) ++
+        Seq(col("n"), col("total")): _*)
+  }
+
+  /** Snapshot diff — the CDC/audit primitive: classify every key of
+    * two table versions as `added`, `removed`, `changed`, or `same`,
+    * comparing non-key columns by a canonical md5 row fingerprint
+    * (column-name-sorted `name=value` list, NULL spelled explicitly —
+    * so the verdict is engine-reproducible). Output: (key..., verdict,
+    * fp_old, fp_new) with NULL fingerprints on the absent side.
+    *
+    * Scale: ONE full-outer equi-join on the key — fingerprints are
+    * computed per-row in the scan (codegen concat/md5, no shuffle
+    * beyond the join), so 100 TB diffs like any co-partitioned join;
+    * keys are assumed unique per snapshot (enforce upstream — a dup
+    * key would fan out the join). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    def fp(d: DataFrame): DataFrame = {
+      val rest = d.columns.filterNot(keyCols.contains).sorted
+      require(rest.nonEmpty, "snapshotDiff: no non-key columns")
+      // \u0001 between pieces and a \u0002-prefixed NULL sentinel keep
+      // the fingerprint unambiguous ("a=b c=" vs "a=b c" can never
+      // collide) while staying expressible as chr(1)/chr(2) in SQL
+      d.select(keyCols.map(col) :+
+        md5(concat_ws("\u0001", rest.map(c =>
+          concat(lit(c + "="),
+            coalesce(col(c).cast("string"), lit("\u0002NULL")))): _*))
+          .as("__fp"): _*)
+    }
+    fp(oldDf).withColumnRenamed("__fp", "fp_old")
+      .join(fp(newDf).withColumnRenamed("__fp", "fp_new"),
+        keyCols, "full_outer")
+      .withColumn("verdict",
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") === col("fp_new"), "same")
+          .otherwise("changed"))
+  }
 }

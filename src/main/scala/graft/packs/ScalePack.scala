@@ -430,6 +430,67 @@ object ScalePack extends QueryPack {
       graft.operators.Graph.kCore(pairs, "u", "v", k = 80, maxRounds = 8)
     }),
 
+    // hop-bounded weighted shortest paths (frontier Bellman-Ford):
+    // edge cost 1e6 div shared-order-count (stronger trade link =
+    // cheaper), 3 rounds from the nation-0 supplier slice — exact
+    // integer minima, hash-checked against a layered relax oracle
+    "q150_shortest_paths" -> ((s, dir) => {
+      val pc = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey").cast("long").as("supp"),
+          col("o_custkey").cast("long").as("cust"))
+        .agg(count_distinct(col("l_orderkey")).as("cnt"))
+      val edges = pc.select((col("supp") + 10000000L).as("src"),
+          (col("cust") + 20000000L).as("dst"),
+          expr("1000000L div cnt").as("w"))
+        .union(pc.select((col("cust") + 20000000L).as("src"),
+          (col("supp") + 10000000L).as("dst"),
+          expr("1000000L div cnt").as("w")))
+      val seeds = Tables.load(s, dir, "supplier")
+        .filter(col("s_nationkey") === 0)
+        .select((col("s_suppkey").cast("long") + 10000000L).as("id"))
+      graft.operators.Graph.shortestPaths(edges, "src", "dst", "w",
+        seeds, "id", rounds = 3)
+    }),
+
+    // hierarchical rollup report: revenue cents + order counts at the
+    // region -> nation -> (all) subtotal pyramid in ONE native rollup
+    // pass — hash-checks against GROUP BY ROLLUP
+    "q152_rollup_report" -> ((s, dir) =>
+      Profile.rollupReport(
+        Tables.load(s, dir, "orders")
+          .join(Tables.load(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.load(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(Tables.load(s, dir, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name"), col("n_name"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+        Seq("r_name", "n_name"), "cents")),
+
+    // snapshot diff (CDC audit): two integer-safe projections of
+    // orders — 1%-ish slices added/removed by modulus, a perturbed
+    // cents slice as 'changed' — classified per key by canonical md5
+    // fingerprints over one full-outer join; verdicts AND fingerprints
+    // hash-check against the same construction in DuckDB
+    "q153_snapshot_diff" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderdate").cast("string").as("odate"),
+          col("o_orderpriority"))
+      val old = base.filter(col("o_orderkey") % 100 =!= 0)
+        .withColumn("cents", col("cents") +
+          when(col("o_orderkey") % 97 === 0, 1L).otherwise(0L))
+      val neu = base.filter(col("o_orderkey") % 101 =!= 0)
+      Profile.snapshotDiff(old, neu, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("verdict"),
+          col("fp_old"), col("fp_new"))
+    }),
+
     // multi-source BFS hop distance over the bipartite trade graph:
     // exact hop radius from the nation-0 supplier seed slice, 3 hops
     // (suppliers at even hops, customers at odd) — frontier expansion,
@@ -1342,6 +1403,102 @@ object ScalePack extends QueryPack {
         |SELECT CAST(node AS BIGINT) AS node,
         |  CAST(count(*) AS BIGINT) AS core_degree
         |FROM r WHERE it = 8 GROUP BY node""".stripMargin,
+
+    "q150_shortest_paths" ->
+      """WITH li AS (
+        |  SELECT CAST(l_suppkey AS BIGINT) AS supp,
+        |    CAST(o_custkey AS BIGINT) AS cust, l_orderkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |pc AS (
+        |  SELECT supp, cust,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS cnt
+        |  FROM li GROUP BY 1, 2),
+        |e0 AS (
+        |  SELECT supp + 10000000 AS src, cust + 20000000 AS dst,
+        |    1000000 // cnt AS w
+        |  FROM pc
+        |  UNION ALL
+        |  SELECT cust + 20000000, supp + 10000000, 1000000 // cnt
+        |  FROM pc),
+        |e AS (SELECT src, dst, min(w) AS w FROM e0 GROUP BY 1, 2),
+        |d0 AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) + 10000000 AS node,
+        |    CAST(0 AS BIGINT) AS d
+        |  FROM supplier WHERE s_nationkey = 0
+        |    AND CAST(s_suppkey AS BIGINT) + 10000000 IN
+        |      (SELECT src FROM e UNION SELECT dst FROM e)),
+        |d1 AS (
+        |  SELECT node, min(d) AS d FROM (
+        |    SELECT node, d FROM d0
+        |    UNION ALL
+        |    SELECT e.dst, d0.d + e.w FROM d0 JOIN e ON d0.node = e.src
+        |  ) GROUP BY 1),
+        |d2 AS (
+        |  SELECT node, min(d) AS d FROM (
+        |    SELECT node, d FROM d1
+        |    UNION ALL
+        |    SELECT e.dst, d1.d + e.w FROM d1 JOIN e ON d1.node = e.src
+        |  ) GROUP BY 1),
+        |d3 AS (
+        |  SELECT node, min(d) AS d FROM (
+        |    SELECT node, d FROM d2
+        |    UNION ALL
+        |    SELECT e.dst, d2.d + e.w FROM d2 JOIN e ON d2.node = e.src
+        |  ) GROUP BY 1)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(d AS BIGINT) AS dist
+        |FROM d3""".stripMargin,
+
+    "q152_rollup_report" ->
+      """WITH v AS (
+        |  SELECT r_name, n_name,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |SELECT coalesce(r_name, '(all)') AS r_name,
+        |  coalesce(n_name, '(all)') AS n_name,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS total
+        |FROM v GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q153_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(o_orderdate AS VARCHAR) AS odate, o_orderpriority
+        |  FROM orders),
+        |old AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    cents + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END
+        |      AS cents,
+        |    odate, o_orderpriority
+        |  FROM base WHERE o_orderkey % 100 <> 0),
+        |new AS (SELECT * FROM base WHERE o_orderkey % 101 <> 0),
+        |fo AS (
+        |  SELECT o_orderkey, md5(concat(
+        |    'cents=', CAST(cents AS VARCHAR), chr(1),
+        |    'o_custkey=', CAST(o_custkey AS VARCHAR), chr(1),
+        |    'o_orderpriority=', o_orderpriority, chr(1),
+        |    'o_orderstatus=', o_orderstatus, chr(1),
+        |    'odate=', odate)) AS fp_old
+        |  FROM old),
+        |fn AS (
+        |  SELECT o_orderkey, md5(concat(
+        |    'cents=', CAST(cents AS VARCHAR), chr(1),
+        |    'o_custkey=', CAST(o_custkey AS VARCHAR), chr(1),
+        |    'o_orderpriority=', o_orderpriority, chr(1),
+        |    'o_orderstatus=', o_orderstatus, chr(1),
+        |    'odate=', odate)) AS fp_new
+        |  FROM new)
+        |SELECT coalesce(fo.o_orderkey, fn.o_orderkey) AS o_orderkey,
+        |  CASE WHEN fp_old IS NULL THEN 'added'
+        |       WHEN fp_new IS NULL THEN 'removed'
+        |       WHEN fp_old = fp_new THEN 'same'
+        |       ELSE 'changed' END AS verdict,
+        |  fp_old, fp_new
+        |FROM fo FULL OUTER JOIN fn ON fo.o_orderkey = fn.o_orderkey
+        |""".stripMargin,
 
     "q145_bfs_hops" ->
       """WITH RECURSIVE

@@ -195,6 +195,51 @@ class GraphSpec extends SparkSpec {
     assert(out == dist)
   }
 
+  test("shortestPaths matches hop-bounded Bellman-Ford on a random weighted graph") {
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 250).map(_ => (rnd.nextInt(40).toLong,
+      rnd.nextInt(40).toLong, (rnd.nextInt(20) + 1).toLong))
+      .filter(e => e._1 != e._2)
+    val seedIds = Seq(0L, 5L)
+    // driver-side k-round Bellman-Ford (full relaxation = reference)
+    val nodes = edges.flatMap(t => Seq(t._1, t._2)).toSet
+    val minEdge = edges.groupBy(e => (e._1, e._2))
+      .map { case (k, v) => k -> v.map(_._3).min }
+    var dist = seedIds.filter(nodes.contains).map(_ -> 0L).toMap
+    for (_ <- 1 to 4) {
+      val relax = minEdge.toSeq.flatMap { case ((u, v), w) =>
+        dist.get(u).map(d => v -> (d + w)) }
+      dist = (dist.toSeq ++ relax).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).min }
+    }
+    val out = graft.operators.Graph.shortestPaths(
+        edges.toDF("src", "dst", "w"), "src", "dst", "w",
+        seedIds.toDF("id"), "id", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out == dist)
+  }
+
+  test("shortestPaths: cheap long route beats short expensive one within bound") {
+    // 1 -> 9 direct costs 100; 1 -> 2 -> 3 -> 9 costs 3
+    val edges = Seq((1L, 9L, 100L), (1L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 9L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    val r1 = graft.operators.Graph.shortestPaths(edges, "src", "dst",
+        "w", seeds, "id", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 0L, 9L -> 100L, 2L -> 1L))
+    val r3 = graft.operators.Graph.shortestPaths(edges, "src", "dst",
+        "w", seeds, "id", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 9L -> 3L))
+    // negative weights rejected
+    intercept[IllegalArgumentException] {
+      graft.operators.Graph.shortestPaths(
+        Seq((1L, 2L, -1L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", seeds, "id", rounds = 1)
+    }
+  }
+
   test("bfsDistance: empty seed intersection yields empty output") {
     val edges = Seq((1L, 2L)).toDF("src", "dst")
     val out = Graph.bfsDistance(edges, "src", "dst",

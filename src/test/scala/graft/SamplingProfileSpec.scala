@@ -327,6 +327,52 @@ class SamplingProfileSpec extends SparkSpec {
     assert(three == Map(4L -> 2L))
   }
 
+  test("rollupReport: subtotal pyramid, guards on NULL and '(all)'") {
+    val df = Seq(
+      ("eu", "de", 10L), ("eu", "de", 5L), ("eu", "fr", 7L),
+      ("us", "us", 3L)
+    ).toDF("r", "c", "v")
+    val out = graft.operators.Profile.rollupReport(df, Seq("r", "c"), "v")
+      .as[(String, String, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    assert(out == Map(
+      ("eu", "de") -> ((2L, 15L)), ("eu", "fr") -> ((1L, 7L)),
+      ("us", "us") -> ((1L, 3L)),
+      ("eu", "(all)") -> ((3L, 22L)), ("us", "(all)") -> ((1L, 3L)),
+      ("(all)", "(all)") -> ((4L, 25L))))
+    intercept[Exception] {
+      graft.operators.Profile.rollupReport(
+        Seq((null.asInstanceOf[String], "x", 1L)).toDF("r", "c", "v"),
+        Seq("r", "c"), "v").collect()
+    }
+    intercept[Exception] {
+      graft.operators.Profile.rollupReport(
+        Seq(("(all)", "x", 1L)).toDF("r", "c", "v"),
+        Seq("r", "c"), "v").collect()
+    }
+  }
+
+  test("snapshotDiff: verdict classes, null spelling, no concat ambiguity") {
+    val a = Seq(
+      (1L, Option("x"), Option(10L)), // same
+      (2L, Option("y"), Option(20L)), // changed in b
+      (3L, Option("z"), Option(30L)), // removed
+      (5L, None: Option[String], Option(50L)), // null vs "null" string
+      (6L, Option("ab"), Option(7L))  // ambiguity probe vs b's ("a", ...)
+    ).toDF("k", "s", "v")
+    val b = Seq(
+      (1L, Option("x"), Option(10L)),
+      (2L, Option("y"), Option(21L)),
+      (4L, Option("w"), Option(40L)), // added
+      (5L, Option("null"), Option(50L)),
+      (6L, Option("a"), Option(7L))
+    ).toDF("k", "s", "v")
+    val out = graft.operators.Profile.snapshotDiff(a, b, Seq("k"))
+      .select("k", "verdict").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "same", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "changed", 6L -> "changed"))
+  }
+
   test("totalVariationBp: exact TVD, disjoint and identical extremes") {
     // a: buckets {1:2, 2:2}; b: {1:1, 2:1} -> identical distributions
     // -> 0 bp. c: {3:2} -> disjoint from a -> 10000 bp.
