@@ -477,6 +477,32 @@ object Profile {
         Seq(col("n"), col("total")): _*)
   }
 
+  /** Index of dispersion (Fano factor) of the per-(group, date) count
+    * series, in floored basis points: `F = var/mean` — 10000 bp for a
+    * Poisson-like (memoryless) arrival process, higher = bursty,
+    * lower = metronomic. The burstiness diagnosis next to
+    * [[Rolling.cusum]]'s level-shift detection. Exact-integer
+    * cross-multiplied form `F_bp = 10000·(n·Σx² − S²) div (n·S)` over
+    * population variance, so any engine reproduces it; products ride
+    * decimal(38,0) against warehouse-scale overflow. Output:
+    * (group, n_days, total, fano_bp).
+    *
+    * Scale: one shuffle to daily counts, one partial agg per group —
+    * no windows, no driver data. */
+  def dispersionIndex(df: DataFrame, groupCol: String,
+                      tsCol: String): DataFrame =
+    df.groupBy(col(groupCol), to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("__x"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_days"), sum(col("__x")).as("total"),
+        sum(col("__x") * col("__x")).as("__sq"))
+      .withColumn("fano_bp", expr(
+        """cast(10000L as decimal(38,0)) *
+          |  (n_days * cast(__sq as decimal(38,0)) - cast(total as decimal(38,0)) * total)
+          |  div (n_days * cast(total as decimal(38,0)))""".stripMargin)
+        .cast("long"))
+      .drop("__sq")
+
   /** Snapshot diff — the CDC/audit primitive: classify every key of
     * two table versions as `added`, `removed`, `changed`, or `same`,
     * comparing non-key columns by a canonical md5 row fingerprint

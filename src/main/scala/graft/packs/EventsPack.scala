@@ -94,6 +94,13 @@ object EventsPack extends QueryPack {
         .select(col("event_type"), col("date").cast("string").as("date"),
           col("n"), col("s_up"), col("s_dn"))),
 
+    // index of dispersion (Fano factor) of each event type's daily
+    // count series in basis points — burstiness next to q147's CUSUM
+    // level shifts; cross-multiplied exact integers on decimal(38,0)
+    "q155_dispersion" -> ((s, dir) =>
+      graft.operators.Profile.dispersionIndex(
+        Tables.events(s, dir), "event_type", "ts")),
+
     // first-order in-session Markov transition matrix: (from, to)
     // event-type counts + row-normalized probability in basis points
     // — "what users do next"; session gap 30 min, all integer
@@ -224,6 +231,24 @@ object EventsPack extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q155_dispersion" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS total,
+        |    CAST(sum(x * x) AS BIGINT) AS sq
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT event_type, n_days, total,
+        |  CAST(CAST(10000 AS HUGEINT) *
+        |    (n_days * CAST(sq AS HUGEINT) - CAST(total AS HUGEINT) * total)
+        |    // (n_days * CAST(total AS HUGEINT)) AS BIGINT) AS fano_bp
+        |FROM g""".stripMargin,
+
     // q146: the cut is the VALUE at rank greatest(1, n*8000 div 10000)
     // ascending — tie-invariant, so row_number's tie order is moot
     "q146_temporal_split" ->

@@ -132,6 +132,19 @@ object ScalePack extends QueryPack {
         block = split(col("p_name"), " ").getItem(1), maxDist = 2)
     }),
 
+    // mutual best-match linkage: even-id vs odd-id canonical part
+    // names, reciprocal top-1 within edit distance 3 — argmin via
+    // min(struct), no per-key window, mutuality by one equi-join
+    "q154_mutual_link" -> ((s, dir) => {
+      val canon = Tables.load(s, dir, "part")
+        .groupBy("p_name").agg(min(col("p_partkey")).as("id"))
+      Linkage.mutualBest(
+        canon.filter(col("id") % 2 === 0),
+        canon.filter(col("id") % 2 === 1),
+        "id", "p_name",
+        block = split(col("p_name"), " ").getItem(1), maxDist = 3)
+    }),
+
     // exact keyword extraction (integer TF-IDF ordering)
     "q75_keywords" -> ((s, dir) =>
       TextIndex.characteristicTerms(Tables.load(s, dir, "documents"),
@@ -671,6 +684,31 @@ object ScalePack extends QueryPack {
         |    AS n_orders_to_date
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |""".stripMargin,
+
+    "q154_mutual_link" ->
+      """WITH n AS (
+        |  SELECT p_name, min(p_partkey) AS id FROM part GROUP BY p_name
+        |), p AS (
+        |  SELECT id, p_name, string_split(p_name, ' ')[2] AS blk FROM n
+        |), a AS (
+        |  SELECT id AS id_a, p_name AS name_a, blk FROM p WHERE id % 2 = 0
+        |), b AS (
+        |  SELECT id AS id_b, p_name AS name_b, blk FROM p WHERE id % 2 = 1
+        |), c AS (
+        |  SELECT id_a, id_b, levenshtein(name_a, name_b) AS dist
+        |  FROM a JOIN b USING (blk)
+        |  WHERE levenshtein(name_a, name_b) <= 3
+        |), ba AS (
+        |  SELECT id_a, id_b, dist FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id_a
+        |      ORDER BY dist, id_b) AS rn FROM c) WHERE rn = 1
+        |), bb AS (
+        |  SELECT id_a, id_b, dist FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id_b
+        |      ORDER BY dist, id_a) AS rn FROM c) WHERE rn = 1
+        |)
+        |SELECT id_a, id_b, CAST(ba.dist AS INT) AS dist
+        |FROM ba JOIN bb USING (id_a, id_b, dist)""".stripMargin,
 
     "q74_fuzzy_parts" ->
       """WITH n AS (

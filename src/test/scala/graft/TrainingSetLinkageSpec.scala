@@ -93,4 +93,41 @@ class TrainingSetLinkageSpec extends SparkSpec {
     // cross-block near-matches are (by design) not reported
     assert(!got.exists { case (a, b, _) => Set(a, b) == Set(1L, 4L) })
   }
+
+  test("mutualBest keeps only reciprocal top-1 pairs, ties deterministic") {
+    // block = first word. Left 1 "a xx" is closest to right 10 "a xy"
+    // (d=1) and vice versa -> kept. Left 2 "a zz" best is ALSO 10
+    // (d=2) but 10 prefers 1 -> dropped (one-sided). Right 11 "a qq"
+    // best is 2 (d=2) but 2 prefers 10 -> dropped. Tie case: left 3
+    // "b mm" at d=1 from both 12 "b mn" and 13 "b mo"; (dist, id)
+    // order picks 12, and 3 is 12's best -> (3, 12) kept.
+    val left = Seq((1L, "a xx"), (2L, "a zz"), (3L, "b mm"))
+      .toDF("id", "name")
+    val right = Seq((10L, "a xy"), (11L, "a qq"), (12L, "b mn"),
+      (13L, "b mo")).toDF("id", "name")
+    val out = graft.operators.Linkage.mutualBest(left, right, "id",
+        "name", block = split(col("name"), " ").getItem(0), maxDist = 3)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(out == Set((1L, 10L, 1), (3L, 12L, 1)))
+  }
+
+  test("dispersionIndex: metronomic series ~0 bp, bursty series high") {
+    // flat: 5 events every day for 10 days -> variance 0 -> 0 bp.
+    // bursty: 50 events on day 1, 0-ish elsewhere (2 days active:
+    // x = [50, 2]; n=2, S=52, sq=2504; F_bp = 10000*(2*2504-2704)
+    // div (2*52) = 10000*2304 div 104 = 221538461... / compute:
+    // 23040000 div 104 = 221538
+    val mk = (g: String, day: Int, n: Int) => (0 until n).map(i =>
+      (g, java.sql.Timestamp.valueOf(f"2024-02-${day}%02d 10:00:${i % 60}%02d")))
+    val rows = (1 to 10).flatMap(d => mk("flat", d, 5)) ++
+      mk("burst", 1, 50) ++ mk("burst", 2, 2)
+    val out = graft.operators.Profile.dispersionIndex(
+        rows.toDF("g", "ts"), "g", "ts")
+      .select("g", "n_days", "total", "fano_bp")
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out("flat") == ((10L, 50L, 0L)))
+    assert(out("burst") == ((2L, 52L, 221538L)))
+  }
 }
