@@ -52,6 +52,45 @@ object Fusion {
         col("n_sources"))
   }
 
+  /** Exact retrieval evaluation — per-query Recall@k and fixed-point
+    * reciprocal rank against a relevance-pair ground truth: the eval
+    * primitive that closes the retrieval loop (BM25 / ANN / fusion
+    * emit rankings; this scores them). All integer —
+    * `recall_bp = hits·10⁴ div min(k, n_truth)` (the @k-attainable
+    * denominator) and `rr_fp = 10⁶ div first_rank` (0 when no truth
+    * doc ranks) — so the whole report is engine-exact; mean MRR/recall
+    * are one trivial aggregate over the output. Output per truth
+    * query: (query, n_truth, hits, first_rank, recall_bp, rr_fp);
+    * queries with no truth pairs are omitted (recall undefined).
+    *
+    * Scale: truth pairs dedupe once (checkpointed — the per-query
+    * count and the hit join both read them); hits are one
+    * (query, doc) equi-join + a per-query partial agg. Rankings are
+    * top-k-bounded by construction, truth stays a distributed frame —
+    * nothing is broadcast by assumption, no windows. */
+  def retrievalMetrics(results: DataFrame, truth: DataFrame,
+                       queryCol: String, docCol: String, rankCol: String,
+                       k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val res = results.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(docCol), col(rankCol).cast("long").as("__rk"))
+    val tr = truth.select(col(queryCol), col(docCol)).distinct()
+      .localCheckpoint(true) // n_truth agg + hit join both read it
+    val nTruth = tr.groupBy(col(queryCol)).agg(count(lit(1)).as("n_truth"))
+    val hits = res.join(tr, Seq(queryCol, docCol))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("hits"), min(col("__rk")).as("first_rank"))
+    nTruth.join(hits, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_truth"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("first_rank"), lit(0L)).as("first_rank"))
+      .withColumn("recall_bp",
+        expr(s"(hits * 10000L) div least(n_truth, ${k}L)"))
+      .withColumn("rr_fp",
+        when(col("first_rank") > 0, expr("1000000L div first_rank"))
+          .otherwise(lit(0L)))
+  }
+
   /** Hybrid lexical+dense retrieval: BM25 over `text`/`textCol` fused
     * with exact cosine top-k over `emb`/`embCol`, RRF-combined. The
     * two retrievers run on their own tables (ids must agree);

@@ -97,6 +97,26 @@ object ScalePack extends QueryPack {
       TextIndex.invertedIndex(Tables.load(s, dir, "documents"),
         "doc_id", "text", minDf = 25)),
 
+    // exact retrieval eval: Recall@10 + fixed-point reciprocal rank
+    // of the q69 integer-MIPS ranking against same-label ground truth
+    // — the closing eval primitive for the ANN/BM25/fusion family
+    "q156_retrieval_eval" -> ((s, dir) => {
+      val t = Tables.load(s, dir, "embeddings")
+      val results = Quantize.topKQuantized(t, "vec_id", "embedding",
+          pmod(col("vec_id"), lit(50)) === 0, k = 10,
+          Quantize.scaleOf(t, "embedding"))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      val q = t.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("label").as("__ql"))
+      val truth = t.select(col("vec_id").as("doc_id"), col("label"))
+        .join(q, col("label") === col("__ql") &&
+          col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"))
+      graft.operators.Fusion.retrievalMetrics(results, truth,
+        "query_id", "doc_id", "rank", k = 10)
+    }),
+
     // point-in-time training-set assembly: every order enriched with the
     // customer's segment and order-count-to-date — N feature tables,
     // ONE shuffle
@@ -673,6 +693,54 @@ object ScalePack extends QueryPack {
         |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, qdot
         |FROM r WHERE rnk <= 10
         |""".stripMargin,
+
+    // q156: q69's integer-MIPS ranking re-derived, scored against
+    // same-label truth pairs with integer recall/RR arithmetic
+    "q156_retrieval_eval" ->
+      """WITH sc AS (
+        |  SELECT max(av) AS s FROM (
+        |    SELECT unnest(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS av
+        |    FROM embeddings)
+        |), q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> greatest(-127, least(127,
+        |      CAST(round(CAST(x AS DOUBLE) * 127.0 / sc.s) AS BIGINT)))) AS qv
+        |  FROM embeddings, sc
+        |), p AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+        |      x -> x[1] * x[2])) AS BIGINT) AS qdot
+        |  FROM q a JOIN q b
+        |    ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id, qdot,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY qdot DESC, neighbor_id) AS rnk
+        |  FROM p
+        |), tr AS (
+        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS doc_id
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id % 50 = 0 AND a.label = b.label
+        |      AND b.vec_id <> a.vec_id
+        |), nt AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+        |  FROM tr GROUP BY 1
+        |), h AS (
+        |  SELECT r.query_id, CAST(count(*) AS BIGINT) AS hits,
+        |    CAST(min(r.rnk) AS BIGINT) AS first_rank
+        |  FROM r JOIN tr ON r.query_id = tr.query_id
+        |    AND r.neighbor_id = tr.doc_id
+        |  WHERE r.rnk <= 10 GROUP BY 1
+        |)
+        |SELECT nt.query_id, nt.n_truth,
+        |  coalesce(h.hits, 0) AS hits,
+        |  coalesce(h.first_rank, 0) AS first_rank,
+        |  (coalesce(h.hits, 0) * 10000) // least(nt.n_truth, 10)
+        |    AS recall_bp,
+        |  CASE WHEN coalesce(h.first_rank, 0) > 0
+        |       THEN 1000000 // h.first_rank ELSE 0 END AS rr_fp
+        |FROM nt LEFT JOIN h ON nt.query_id = h.query_id""".stripMargin,
 
     "q73_training_matrix" ->
       """SELECT o_orderkey, o_custkey AS key_cust,

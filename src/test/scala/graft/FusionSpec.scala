@@ -66,4 +66,34 @@ class FusionSpec extends SparkSpec {
       })
     }
   }
+
+  test("retrievalMetrics: exact recall/RR, attainable denominator, edge cases") {
+    // q1: truth {a,b,c}; results rank a@2, x@1, b@5 (k=4 cuts b) ->
+    //     hits=1 (a), first=2, recall = 1*10000 div min(3,4)=3 -> 3333
+    // q2: truth {z}; results never hit -> hits=0, rr=0, recall=0
+    // q3: truth {m,n,m dup}; results m@1 -> hits=1, first=1,
+    //     recall = 10000 div min(2,4)=2 -> 5000, rr = 1000000
+    // q4: results only, no truth -> omitted
+    val results = Seq(
+      (1L, "x", 1), (1L, "a", 2), (1L, "y", 3), (1L, "b", 5),
+      (2L, "p", 1), (2L, "q", 2),
+      (3L, "m", 1), (3L, "o", 2),
+      (4L, "w", 1)
+    ).toDF("query_id", "doc_id", "rank")
+    val truth = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "z"),
+      (3L, "m"), (3L, "n"), (3L, "m")
+    ).toDF("query_id", "doc_id")
+    val out = graft.operators.Fusion.retrievalMetrics(results, truth,
+        "query_id", "doc_id", "rank", k = 4)
+      .select("query_id", "n_truth", "hits", "first_rank",
+        "recall_bp", "rr_fp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+    assert(out == Map(
+      1L -> ((3L, 1L, 2L, 3333L, 500000L)),
+      2L -> ((1L, 0L, 0L, 0L, 0L)),
+      3L -> ((2L, 1L, 1L, 5000L, 1000000L))))
+  }
 }
