@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-integer model/signal evaluation primitives: the measurement
+  * side of the classifier/retrieval family (reference analogue: the
+  * quality-filter validation loops around `key_join_features`;
+  * everything here is original Spark-first design).
+  *
+  * Both metrics are emitted in fixed point (`scale`, default 10^6) with
+  * explicitly ordered integer arithmetic, so an independent engine
+  * reproduces them bit-for-bit — no float folds, no sort-order hazards.
+  */
+object Eval {
+
+  /** Exact ROC-AUC per group via the rank-sum (Mann–Whitney U)
+    * identity, tie-aware: with per-score-value tallies pos_s/neg_s and
+    * cneg_s = negatives strictly below s,
+    * `2·U = Σ_s pos_s·(2·cneg_s + neg_s)` and `AUC = U / (P·N)`.
+    * Ties contribute the conventional half credit (the `+ neg_s` term).
+    *
+    * Scale: the raw rows collapse to (group, score) tallies in ONE
+    * partial-agg shuffle; the running-negatives window then orders only
+    * the per-group DISTINCT-score series, whose length is bounded by
+    * the score domain (e.g. ≤ a few thousand for integer scores), never
+    * by corpus size — the same bounded-series posture as
+    * [[Profile.equiDepthHistogram]]. U rides decimal(38,0): at 10^10
+    * rows per class, P·N = 10^20 overflows BIGINT but not decimal.
+    *
+    * Groups with only one class present are dropped (AUC undefined).
+    * Output: (group, n_pos, n_neg, auc_fp) with auc_fp in [0, scale].
+    *
+    * @param labelCol integer column, nonzero = positive
+    * @param scoreCol integral score (cast to long); higher = more
+    *                 positive-looking
+    */
+  def rocAuc(df: DataFrame, groupCol: String, scoreCol: String,
+             labelCol: String, scale: Long = 1000000L): DataFrame = {
+    val byScore = df
+      .groupBy(col(groupCol), col(scoreCol).cast("long").as("__s"))
+      .agg(sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("__pos"),
+        sum(when(col(labelCol) =!= 0, 0L).otherwise(1L)).as("__neg"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("__cneg", sum(col("__neg")).over(w) - col("__neg"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"),
+        sum(col("__pos").cast("decimal(38,0)") *
+          (lit(2L) * col("__cneg") + col("__neg"))).as("__u2"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .withColumn("auc_fp", expr(
+        s"""cast((cast($scale as decimal(38,0)) * __u2)
+           |  div (cast(2 as decimal(38,0)) * n_pos * n_neg)
+           |  as long)""".stripMargin))
+      .drop("__u2")
+  }
+
+  /** Cohen's kappa between two deterministic binary raters, per group:
+    * `κ = (p_o − p_e) / (1 − p_e)` computed purely from the 2×2
+    * contingency counts — `κ_fp = scale·(n·agree − pe_num) div
+    * (n² − pe_num)` with `pe_num = a1·b1 + a0·b0`. κ can be negative
+    * (below-chance agreement); because Spark's `div` truncates toward
+    * zero while floor division is also common, the sign is factored out
+    * and magnitudes divide, making the rounding engine-portable.
+    *
+    * Scale: one partial-agg shuffle to the per-group contingency
+    * counts; everything after is per-group scalar math. n² rides
+    * decimal(38,0). Degenerate groups (either rater constant:
+    * denominator 0) emit NULL kappa_fp.
+    *
+    * Output: (group, n, n_agree, kappa_fp).
+    */
+  def cohenKappa(df: DataFrame, groupCol: String, raterA: Column,
+                 raterB: Column, scale: Long = 1000000L): DataFrame =
+    df.select(col(groupCol),
+        when(raterA, 1L).otherwise(0L).as("__a"),
+        when(raterB, 1L).otherwise(0L).as("__b"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__a") === col("__b"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(col("__a")).as("__a1"), sum(col("__b")).as("__b1"))
+      // pe_num = a1·b1 + a0·b0; num = n·agree − pe_num; den = n² − pe_num
+      .withColumn("__pe", expr(
+        """cast(__a1 as decimal(38,0)) * __b1 +
+          |  (n - cast(__a1 as decimal(38,0))) * (n - __b1)""".stripMargin))
+      .withColumn("__num",
+        expr("cast(n as decimal(38,0)) * n_agree - __pe"))
+      .withColumn("__den", expr("cast(n as decimal(38,0)) * n - __pe"))
+      .withColumn("kappa_fp", expr(
+        s"""cast(case
+           |  when __den = 0 then null
+           |  when __num >= 0
+           |    then (cast($scale as decimal(38,0)) * __num) div __den
+           |  else -((cast($scale as decimal(38,0)) * -__num) div __den)
+           |  end as long)""".stripMargin))
+      .drop("__a1", "__b1", "__pe", "__num", "__den")
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-constrained sequential funnels — the ClickHouse
@@ -48,5 +49,49 @@ object Funnels {
     val tCols = (1 to steps.size).map(i =>
       coalesce(col(s"t$i"), lit(-1L)).as(s"t$i"))
     acc.select((col(userCol) +: tCols) :+ stage.as("stage"): _*)
+  }
+
+  /** Last-touch conversion attribution: each conversion is credited to
+    * the user's LATEST touch event STRICTLY before it and at most
+    * `windowUs` old (NULL channel when no touch qualifies — "organic").
+    * Ties are deterministic: among touches at the same microsecond the
+    * highest `idCol` wins.
+    *
+    * Scale: the merge-as-of posture of [[AsOf.join]], not a range join —
+    * touches and conversions union, shuffle ONCE on the user key, sort
+    * by (ts, kind, id), and a last-non-null window carries the latest
+    * touch struct onto each conversion. Conversions sort BEFORE touches
+    * at equal ts (kind −1 < 0), which is exactly the strict-precedence
+    * rule. One shuffle, one sort, zero fanout.
+    *
+    * Output: the conversion rows + `channel` (nullable). */
+  def lastTouch(conversions: DataFrame, touches: DataFrame,
+                userCol: String, tsUsCol: String, idCol: String,
+                channelCol: String, windowUs: Long): DataFrame = {
+    require(windowUs > 0, "windowUs must be positive")
+    val payload = conversions.columns.toSeq.filterNot(_ == userCol)
+    val tSide = touches.select(
+      Seq(col(userCol), col(tsUsCol).cast("long").as("__t"),
+        lit(0).as("__k"), col(idCol).cast("long").as("__oid"),
+        col(channelCol).as("__ch")) ++
+        payload.map(c => lit(null).cast(conversions.schema(c).dataType)
+          .as(s"__c_$c")): _*)
+    val cSide = conversions.select(
+      Seq(col(userCol), col(tsUsCol).cast("long").as("__t"),
+        lit(-1).as("__k"), col(idCol).cast("long").as("__oid"),
+        lit(null).cast(touches.schema(channelCol).dataType).as("__ch")) ++
+        payload.map(c => col(c).as(s"__c_$c")): _*)
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__t"), col("__k"), col("__oid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tSide.unionByName(cSide)
+      .withColumn("__last", last(when(col("__k") === 0,
+        struct(col("__t").as("t"), col("__ch").as("ch"))),
+        ignoreNulls = true).over(w))
+      .filter(col("__k") === -1)
+      .select(col(userCol) +: payload.map(c => col(s"__c_$c").as(c)) :+
+        when(col("__last").isNotNull &&
+          col("__t") - col("__last.t") <= windowUs, col("__last.ch"))
+          .as("channel"): _*)
   }
 }

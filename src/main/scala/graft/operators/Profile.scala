@@ -539,4 +539,113 @@ object Profile {
           .when(col("fp_old") === col("fp_new"), "same")
           .otherwise("changed"))
   }
+
+  /** Exact central moments per group — mean, variance, and the raw 3rd
+    * and 4th central moments in fixed point (`scale`, default 10^4),
+    * from single-pass integer power sums. Central moments are
+    * shift-invariant, so values are first anchored to the per-group
+    * minimum: the power sums then grow with the value RANGE, not the
+    * absolute magnitude, which is what keeps `s1^4` inside
+    * decimal(38,0) at warehouse scale (exact while n·range < ~3·10^9;
+    * beyond that, pre-bucket or rescale the values).
+    *
+    * `var_fp  = scale·(n·s2 − s1²) div n²`           (population)
+    * `m3_fp   = scale·(n²·s3 − 3n·s1·s2 + 2s1³) div n³`  (signed —
+    *            sign factored out so truncation is engine-portable)
+    * `m4_fp   = scale·(n³·s4 − 4n²·s1·s3 + 6n·s1²·s2 − 3s1⁴) div n⁴`
+    *
+    * Scale: one small groupBy for the anchors (broadcast back), one
+    * partial-agg shuffle for the power sums — raw values never sort,
+    * nothing driver-side. Output: (group, n, mean_fp, var_fp, m3_fp,
+    * m4_fp). */
+  def moments(df: DataFrame, groupCol: String, valueCol: String,
+              scale: Long = 10000L): DataFrame = {
+    val anchors = df.groupBy(col(groupCol))
+      .agg(min(col(valueCol).cast("long")).as("__mn"))
+    val x = col("__x").cast("decimal(38,0)")
+    df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .join(broadcast(anchors), Seq(groupCol))
+      .withColumn("__x", col("__v") - col("__mn"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        min(col("__mn")).cast("decimal(38,0)").as("__mn"),
+        sum(x).as("__s1"), sum(x * x).as("__s2"),
+        sum(x * x * x).as("__s3"), sum(x * x * x * x).as("__s4"))
+      .select(col(groupCol), col("__n").cast("long").as("n"),
+        expr(s"cast(($scale * (__mn * __n + __s1)) div __n as long)")
+          .as("mean_fp"),
+        expr(s"""cast(($scale * (__n * __s2 - __s1 * __s1))
+                |  div (__n * __n) as long)""".stripMargin).as("var_fp"),
+        expr(
+          s"""cast(case
+             |  when __n*__n*__s3 - 3*__n*__s1*__s2 + 2*__s1*__s1*__s1 >= 0
+             |    then ($scale * (__n*__n*__s3 - 3*__n*__s1*__s2 +
+             |          2*__s1*__s1*__s1)) div (__n*__n*__n)
+             |  else -(($scale * -(__n*__n*__s3 - 3*__n*__s1*__s2 +
+             |          2*__s1*__s1*__s1)) div (__n*__n*__n))
+             |  end as long)""".stripMargin).as("m3_fp"),
+        expr(
+          s"""cast(($scale * (__n*__n*__n*__s4 - 4*__n*__n*__s1*__s3 +
+             |  6*__n*__s1*__s1*__s2 - 3*__s1*__s1*__s1*__s1))
+             |  div (__n*__n*__n*__n) as long)""".stripMargin).as("m4_fp"))
+  }
+
+  /** k-anonymity audit: the re-identification-risk complement to the
+    * PII redaction battery. Every combination of the quasi-identifier
+    * columns gets its anonymity-set size and an `at_risk` verdict
+    * (size < k ⇒ the combination singles people out and must be
+    * suppressed or generalized before release).
+    *
+    * Scale: ONE partial-agg shuffle on the QI combination — the audit
+    * costs the same as any groupBy-count at 100 TB. Output:
+    * (qiCols..., group_size, at_risk). */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty && k > 0, "need QI columns and k > 0")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("at_risk", col("group_size") < k)
+  }
+
+  /** Benford-law first-digit fp of log10(1 + 1/d), d = 1..9 — embed the
+    * SAME literals in any oracle (they are pure math constants). */
+  val BenfordFp: Seq[Long] =
+    (1 to 9).map(d => math.round(math.log10(1.0 + 1.0 / d) * 1e6))
+
+  /** Benford first-significant-digit audit per group over a positive
+    * integral column — the classic fabricated-data / corrupted-feed
+    * tripwire. Each observed leading digit gets its count against the
+    * Benford expectation and an exact-integer χ² contribution:
+    * `chi2_fp = (10^6·n_d − n·p_fp)² div (n·p_fp) div 10^6`
+    * (= 10^6·(n_d − e_d)²/e_d with e_d = n·p_fp/10^6; nested floor
+    * division equals single floor division for positive divisors).
+    *
+    * Scale: digits come from a per-row substring of the decimal
+    * rendering (codegen, no shuffle); then one partial-agg shuffle to
+    * ≤ 9 rows per group. Output: (group, digit, n_digit, n, p_fp,
+    * chi2_fp); digits with zero count emit no row (their contribution
+    * n·p_fp div 10^6 is reportable from the present rows). */
+  def benford(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val digits = df
+      .filter(col(valueCol) > 0)
+      .select(col(groupCol),
+        substring(col(valueCol).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      .groupBy(col(groupCol), col("digit"))
+      .agg(count(lit(1)).as("n_digit"))
+    val totals = digits.groupBy(col(groupCol))
+      .agg(sum(col("n_digit")).as("n"))
+    val pFp = (1 to 9).zip(BenfordFp)
+      .foldLeft(lit(null).cast("long")) { case (acc, (d, p)) =>
+        when(col("digit") === d, p).otherwise(acc) }
+    digits.join(broadcast(totals), Seq(groupCol))
+      .withColumn("p_fp", pFp)
+      .withColumn("chi2_fp", expr(
+        """cast((
+          |  (cast(1000000 as decimal(38,0)) * n_digit -
+          |   cast(n as decimal(38,0)) * p_fp) *
+          |  (cast(1000000 as decimal(38,0)) * n_digit -
+          |   cast(n as decimal(38,0)) * p_fp)
+          |) div (cast(n as decimal(38,0)) * p_fp) div 1000000
+          |as long)""".stripMargin))
+  }
 }

@@ -123,4 +123,34 @@ object Rolling {
       .select(col(groupCol), col("date"), col("n"),
         col("s_up"), col("s_dn"))
   }
+
+  /** Day-of-week seasonal profile + deseasonalized residuals of the
+    * per-(group, day) count series — the naive seasonal decomposition
+    * that turns "weekends are always quiet" into a baseline so [[cusum]]
+    * and the EWMA trend see genuine shifts, not the weekly rhythm.
+    *
+    * All integer: the weekday baseline is `expected_fp = scale·total_w
+    * div ndays_w` (mean daily count of that weekday, fixed point) and
+    * `residual_fp = scale·n − expected_fp`.
+    *
+    * Scale: one shuffle to daily counts; the weekday baseline is a
+    * ≤ 7·groups-row aggregate broadcast back onto the daily series —
+    * bounded by calendar days, never raw events. Output: (group, date,
+    * isodow 1=Mon..7=Sun, n, expected_fp, residual_fp). */
+  def seasonalProfile(df: DataFrame, groupCol: String, tsCol: String,
+                      scale: Long = 10000L): DataFrame = {
+    val daily = df
+      .groupBy(col(groupCol), to_date(col(tsCol)).as("date"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("isodow", weekday(col("date")) + lit(1))
+    val base = daily.groupBy(col(groupCol), col("isodow"))
+      .agg(sum(col("n")).as("__tot"), count(lit(1)).as("__nd"))
+      .withColumn("expected_fp",
+        expr(s"($scale * __tot) div __nd"))
+      .drop("__tot", "__nd")
+    daily.join(broadcast(base), Seq(groupCol, "isodow"))
+      .withColumn("residual_fp", lit(scale) * col("n") - col("expected_fp"))
+      .select(col(groupCol), col("date"), col("isodow"), col("n"),
+        col("expected_fp"), col("residual_fp"))
+  }
 }

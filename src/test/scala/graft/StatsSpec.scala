@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Eval, Funnels, Profile, Rolling, Survival}
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rocAuc matches brute-force pair counting, ties half-credited") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 400).map { i =>
+      val label = rnd.nextInt(2)
+      // overlapping score distributions with plenty of ties
+      val score = rnd.nextInt(20) + label * rnd.nextInt(6)
+      ("g" + (i % 2), score.toLong, label)
+    }
+    val out = Eval.rocAuc(rows.toDF("g", "score", "label"),
+        "g", "score", "label")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    for (g <- Seq("g0", "g1")) {
+      val grp = rows.filter(_._1 == g)
+      val pos = grp.filter(_._3 == 1).map(_._2)
+      val neg = grp.filter(_._3 == 0).map(_._2)
+      var u2 = BigInt(0) // 2·U = 2·wins + ties
+      for (p <- pos; n <- neg)
+        u2 += (if (p > n) 2 else if (p == n) 1 else 0)
+      val expected = (BigInt(1000000) * u2 /
+        (BigInt(2) * pos.size * neg.size)).toLong
+      assert(out(g) === ((pos.size.toLong, neg.size.toLong, expected)))
+    }
+  }
+
+  test("rocAuc: perfect separation = scale, inverted = 0") {
+    val df = Seq(("a", 10L, 1), ("a", 11L, 1), ("a", 1L, 0), ("a", 2L, 0))
+      .toDF("g", "s", "l")
+    assert(Eval.rocAuc(df, "g", "s", "l").select("auc_fp")
+      .as[Long].head() === 1000000L)
+    val inv = df.withColumn("l", lit(1) - col("l"))
+    assert(Eval.rocAuc(inv, "g", "s", "l").select("auc_fp")
+      .as[Long].head() === 0L)
+  }
+
+  test("cohenKappa: hand-computed 2x2, negative truncation, degenerate") {
+    // 20 (+,+), 5 (+,-), 10 (-,+), 15 (-,-): kappa = 0.4 exactly
+    val rows =
+      Seq.fill(20)(("k", 1, 1)) ++ Seq.fill(5)(("k", 1, 0)) ++
+        Seq.fill(10)(("k", 0, 1)) ++ Seq.fill(15)(("k", 0, 0)) ++
+        // below-chance group: n=5, a1=3, b1=3, agree=1, pe = 9+4 = 13
+        // num = 5·1 − 13 = −8, den = 25 − 13 = 12 → −⌊8e6/12⌋ = −666666
+        Seq(("m", 1, 0), ("m", 1, 0), ("m", 0, 1), ("m", 0, 1),
+          ("m", 1, 1)) ++
+        // degenerate: BOTH raters constant → pe = n² → den = 0 → NULL
+        Seq(("z", 1, 1), ("z", 1, 1))
+    val out = Eval.cohenKappa(rows.toDF("g", "a", "b"), "g",
+        col("a") === 1, col("b") === 1)
+      .select(col("g"), col("n"), col("n_agree"), col("kappa_fp"))
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out("k") === ((50L, 35L, Some(400000L))))
+    assert(out("m") === ((5L, 1L, Some(-666666L))))
+    assert(out("z")._3 === None)
+  }
+
+  test("kaplanMeier: hand-computed curve, deaths-before-censoring ties") {
+    val df = Seq(("c", 1L, 1), ("c", 2L, 0), ("c", 3L, 1), ("c", 3L, 1),
+        ("c", 5L, 0))
+      .toDF("g", "dur", "ev")
+    val out = Survival.kaplanMeier(df, "g", "dur", "ev")
+      .orderBy("t")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("c", 1L, 5L, 1L, 0L, 800000L), // 1e6·4/5
+      ("c", 2L, 4L, 0L, 1L, 800000L), // censor only: unchanged
+      ("c", 3L, 3L, 2L, 0L, 266666L), // ⌊800000·1/3⌋
+      ("c", 5L, 1L, 0L, 1L, 266666L)))
+  }
+
+  test("moments: exact fixed-point incl. negative means and skew sign") {
+    val df = Seq(("a", -5L), ("a", -3L), ("a", -4L),
+        ("b", 1L), ("b", 1L), ("b", 10L))
+      .toDF("g", "v")
+    val out = Profile.moments(df, "g", "v")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // a: mean −4, dev (−1,1,0): var 2/3, m3 0, m4 2/3
+    assert(out("a") === ((3L, -40000L, 6666L, 0L, 6666L)))
+    // b: mean 4, dev (−3,−3,6): var 18, m3 (−27−27+216)/3 = 54,
+    // m4 (81+81+1296)/3 = 486
+    assert(out("b") === ((3L, 40000L, 180000L, 540000L, 4860000L)))
+  }
+
+  test("kAnonymity flags combos under k") {
+    val df = Seq(("x", 1), ("x", 1), ("x", 1), ("y", 1), ("y", 2))
+      .toDF("seg", "code")
+    val out = Profile.kAnonymity(df, Seq("seg", "code"), k = 2)
+      .as[(String, Int, Long, Boolean)].collect().toSet
+    assert(out === Set(("x", 1, 3L, false), ("y", 1, 1L, true),
+      ("y", 2, 1L, true)))
+  }
+
+  test("benford: digit counts and an exact chi2 contribution") {
+    val df = (Seq(1L, 19L, 2L, 25L, 3L) ++ Seq.fill(5)(111L))
+      .map(("g", _)).toDF("g", "v")
+    val out = Profile.benford(df, "g", "v")
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(out(1)._1 === 7L && out(2)._1 === 2L && out(3)._1 === 1L)
+    assert(out(1)._2 === 10L)
+    // digit 1: p_fp = 301030, n = 10 → chi2_fp =
+    // (1e6·7 − 10·301030)² // (10·301030) // 1e6
+    val num = BigInt(1000000L * 7 - 10 * 301030L)
+    val expected = (num * num / BigInt(10 * 301030L) / 1000000).toLong
+    assert(out(1)._4 === expected)
+  }
+
+  test("lastTouch matches brute force on a randomized stream") {
+    val rnd = new scala.util.Random(7)
+    val W = 2000L
+    val events = (1 to 300).map { i =>
+      val u = rnd.nextInt(5).toLong
+      val t = rnd.nextInt(10000).toLong
+      val kind = rnd.nextInt(3) // 0 = conversion, 1/2 = channels
+      (u, i.toLong, t, kind)
+    }
+    val conv = events.filter(_._4 == 0)
+      .map(e => (e._1, e._2, e._3)).toDF("u", "id", "ts")
+    val tch = events.filter(_._4 != 0)
+      .map(e => (e._1, e._2, e._3, "ch" + e._4))
+      .toDF("u", "id", "ts", "chan")
+    val got = Funnels.lastTouch(conv, tch, "u", "ts", "id", "chan", W)
+      .as[(Long, Long, Long, Option[String])].collect()
+      .map(r => r._2 -> r._4).toMap
+    val touches = events.filter(_._4 != 0)
+    for ((u, id, t, _) <- events.filter(_._4 == 0)) {
+      val cands = touches.filter(e =>
+        e._1 == u && e._3 < t && t - e._3 <= W)
+      val expected =
+        if (cands.isEmpty) None
+        else {
+          val best = cands.maxBy(e => (e._3, e._2))
+          Some("ch" + best._4)
+        }
+      assert(got(id) === expected, s"conversion $id (user $u, t $t)")
+    }
+  }
+
+  test("seasonalProfile: weekday baseline and residuals, exact") {
+    // Mondays 2024-01-01/08 with 2 and 4 events; Tuesday 01-02 with 3
+    def ts(d: String, n: Int) = (1 to n).map(i => (s"$d 0$i:00:00", "e"))
+    val df = (ts("2024-01-01", 2) ++ ts("2024-01-08", 4) ++
+        ts("2024-01-02", 3))
+      .toDF("ts", "g").withColumn("ts", to_timestamp(col("ts")))
+    val out = Rolling.seasonalProfile(df, "g", "ts")
+      .select(col("date").cast("string"), col("isodow"), col("n"),
+        col("expected_fp"), col("residual_fp"))
+      .as[(String, Int, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      ("2024-01-01", 1, 2L, 30000L, -10000L), // Monday mean (2+4)/2 = 3
+      ("2024-01-08", 1, 4L, 30000L, 10000L),
+      ("2024-01-02", 2, 3L, 30000L, 0L)))
+  }
+}
