@@ -98,4 +98,77 @@ object Eval {
            |  else -((cast($scale as decimal(38,0)) * -__num) div __den)
            |  end as long)""".stripMargin))
       .drop("__a1", "__b1", "__pe", "__num", "__den")
+
+  /** Calibration (reliability) bins per group: a fixed-point score in
+    * [0, scale] buckets into `nBins` equal-width bins; each bin reports
+    * its size, mean score, and observed positive fraction — the
+    * reliability diagram that tells you whether a quality classifier's
+    * 0.9 actually means 90%.
+    *
+    * Scale: per-row bin assignment in the scan + ONE partial-agg
+    * shuffle to ≤ nBins·groups rows. Output: (group, bin, n,
+    * mean_score_fp, frac_pos_fp), all floored integer division. */
+  def calibration(df: DataFrame, groupCol: String, scoreFpCol: String,
+                  labelCol: String, nBins: Int,
+                  scale: Long = 1000000L): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    df.select(col(groupCol),
+        least(lit(nBins - 1), greatest(lit(0),
+          expr(s"($nBins * cast($scoreFpCol as bigint)) div $scale")))
+          .cast("int").as("bin"),
+        col(scoreFpCol).cast("long").as("__s"),
+        when(col(labelCol) =!= 0, 1L).otherwise(0L).as("__l"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("__ss"),
+        sum(col("__l")).as("__pos"))
+      .select(col(groupCol), col("bin"), col("n"),
+        expr("__ss div n").as("mean_score_fp"),
+        expr(s"($scale * __pos) div n").as("frac_pos_fp"))
+  }
+
+  /** φ² (mean-square contingency) between two binary conditions per
+    * group — the scale-free effect size of a 2×2 association (χ² =
+    * n·φ²), e.g. an A/B test's arm-vs-conversion table. Computed
+    * through fp-NORMALIZED intermediates so magnitudes stay bounded by
+    * `scale` regardless of n (the naive n·(ad−bc)² form overflows
+    * decimal(38,0) past ~3·10^7 rows):
+    * `D = scale·(n11·n00 − n10·n01) div n²` (sign factored),
+    * `m_a = scale·a1 div n`, `m_b = scale·b1 div n`,
+    * `phi2_fp = (scale³·D²) div (m_a·(scale−m_a)) div (m_b·(scale−m_b))`.
+    * The metric is DEFINED as this declared-order integer procedure, so
+    * any engine reproduces it exactly. Margins that floor to 0 or
+    * scale (finer than 1/scale resolution) emit NULL.
+    *
+    * Scale: one partial-agg shuffle to per-group 2×2 counts; scalar
+    * math after. Output: (group, n, n11, n10, n01, n00, phi2_fp). */
+  def assocPhi2(df: DataFrame, groupCol: String, aCond: Column,
+                bCond: Column, scale: Long = 1000000L): DataFrame =
+    df.select(col(groupCol), when(aCond, 1L).otherwise(0L).as("__a"),
+        when(bCond, 1L).otherwise(0L).as("__b"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__a") * col("__b")).as("n11"),
+        sum(col("__a") * (lit(1L) - col("__b"))).as("n10"),
+        sum((lit(1L) - col("__a")) * col("__b")).as("n01"),
+        sum((lit(1L) - col("__a")) * (lit(1L) - col("__b"))).as("n00"))
+      .withColumn("__det", expr(
+        """cast(n11 as decimal(38,0)) * n00 -
+          |  cast(n10 as decimal(38,0)) * n01""".stripMargin))
+      .withColumn("__d", expr(
+        s"""case when __det >= 0
+           |  then ($scale * __det) div (cast(n as decimal(38,0)) * n)
+           |  else -(($scale * -__det) div (cast(n as decimal(38,0)) * n))
+           |  end""".stripMargin))
+      .withColumn("__ma", expr(s"($scale * (n11 + n10)) div n"))
+      .withColumn("__mb", expr(s"($scale * (n11 + n01)) div n"))
+      .withColumn("phi2_fp", expr(
+        s"""cast(case
+           |  when __ma <= 0 or __ma >= $scale or __mb <= 0 or __mb >= $scale
+           |    then null
+           |  else (cast($scale as decimal(38,0)) * $scale * $scale *
+           |        __d * __d)
+           |       div (cast(__ma as decimal(38,0)) * ($scale - __ma))
+           |       div (cast(__mb as decimal(38,0)) * ($scale - __mb))
+           |  end as long)""".stripMargin))
+      .drop("__det", "__d", "__ma", "__mb")
 }

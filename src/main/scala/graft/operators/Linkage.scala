@@ -69,4 +69,41 @@ object Linkage {
     bestA.join(bestB, Seq("id_a", "id_b", "dist"))
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
+
+  /** Golden-record consolidation (survivorship): collapse each entity
+    * cluster to one canonical row — per attribute the most frequent
+    * non-null value wins, ties break to the lexicographically smallest
+    * (values compared as strings, so the rule is engine-portable). The
+    * step after clustering in every MDM / entity-resolution pipeline
+    * ([[fuzzyPairs]] → connected components → THIS).
+    *
+    * Scale: attributes melt via ONE `stack` projection (one scan, no
+    * per-attr passes), mode-election is two partial-agg shuffles —
+    * (cluster, attr, value) counts, then an argmin over
+    * (−count, value) structs, NO per-cluster windows — and the pivot
+    * back is over the declared attr list. Output: (clusterCol,
+    * n_members, attrs... as strings, NULL when a cluster has no
+    * non-null value for an attr). */
+  def goldenRecords(records: DataFrame, clusterCol: String,
+                    attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty, "attrs must be non-empty")
+    require(attrs.forall(a => a != clusterCol),
+      "clusterCol cannot be an attr")
+    val stackExpr = s"stack(${attrs.size}, " +
+      attrs.map(a => s"'$a', cast(`$a` as string)").mkString(", ") +
+      ") as (attr, value)"
+    val best = records.select(col(clusterCol).as("__cl"), expr(stackExpr))
+      .filter(col("value").isNotNull)
+      .groupBy(col("__cl"), col("attr"), col("value"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("__cl"), col("attr"))
+      .agg(min(struct((-col("__n")).as("nn"), col("value").as("v")))
+        .as("__m"))
+      .select(col("__cl"), col("attr"), col("__m.v").as("value"))
+    records.groupBy(col(clusterCol).as("__cl"))
+      .agg(count(lit(1)).as("n_members"))
+      .join(best.groupBy("__cl").pivot("attr", attrs).agg(first("value")),
+        Seq("__cl"), "left")
+      .withColumnRenamed("__cl", clusterCol)
+  }
 }

@@ -648,4 +648,96 @@ object Profile {
           |) div (cast(n as decimal(38,0)) * p_fp) div 1000000
           |as long)""".stripMargin))
   }
+
+  /** ABC / Pareto classification per group: items ranked by total
+    * value; an item is class A while the cumulative share BEFORE it is
+    * under `cutABp` (so the item straddling 80% still counts as A), B
+    * until `cutBBp`, else C — the inventory/corpus triage "20% of
+    * sources carry 80% of tokens". The cut test is the exact
+    * cross-multiplication `10000·cum_prev < cut·grand` on
+    * decimal(38,0) — no percentage division at all.
+    *
+    * Scale: raw rows collapse to (group, item) totals in one partial-
+    * agg shuffle; the rank/cumsum windows partition by group over the
+    * ITEM-domain-bounded totals, never raw rows. Deterministic
+    * (total desc, item asc) order. Output: (group, item, total, rank,
+    * abc_class). */
+  def abcClassify(df: DataFrame, groupCol: String, itemCol: String,
+                  valueCol: String, cutABp: Int = 8000,
+                  cutBBp: Int = 9500): DataFrame = {
+    require(0 < cutABp && cutABp <= cutBBp && cutBBp <= 10000,
+      "need 0 < cutABp <= cutBBp <= 10000")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(groupCol))
+      .orderBy(col("total").desc, col(itemCol))
+    df.groupBy(col(groupCol), col(itemCol))
+      .agg(sum(col(valueCol)).cast("long").as("total"))
+      .withColumn("__prev", coalesce(sum(col("total")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__grand",
+        sum(col("total")).over(Window.partitionBy(col(groupCol))))
+      .withColumn("rank", row_number().over(wOrd))
+      .withColumn("abc_class", expr(
+        s"""case
+           |  when 10000 * cast(__prev as decimal(38,0)) <
+           |       $cutABp * cast(__grand as decimal(38,0)) then 'A'
+           |  when 10000 * cast(__prev as decimal(38,0)) <
+           |       $cutBBp * cast(__grand as decimal(38,0)) then 'B'
+           |  else 'C' end""".stripMargin))
+      .select(col(groupCol), col(itemCol), col("total"), col("rank"),
+        col("abc_class"))
+  }
+
+  /** Signed fixed-point r² (coefficient of determination, carrying the
+    * correlation's sign) per group. Pearson r needs a square root, so
+    * the EXACT portable form squares instead: magnitudes are first
+    * fp-NORMALIZED — `cov_n = scale·cov div n²`, `vx_n = scale·vx div
+    * n²`, `vy_n = scale·vy div n²` with cov/vx/vy the classic
+    * n·ΣXY − ΣX·ΣY forms over min-anchored values — then
+    * `r2_fp = sign(cov)·scale·cov_n² div (vx_n·vy_n)`. Normalizing by
+    * n² first keeps every operand bounded by scale·range² regardless
+    * of row count (the naive cov² overflows decimal(38,0) at
+    * warehouse scale); the metric is DEFINED as this declared-order
+    * procedure, so any engine reproduces it bit-for-bit.
+    *
+    * Scale: anchor groupBy (broadcast back) + one partial-agg shuffle;
+    * scalar math after. Constant columns (vx_n or vy_n = 0) emit NULL.
+    * Output: (group, n, r2_fp). */
+  def corrR2(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+             scale: Long = 1000000L): DataFrame = {
+    val anchors = df.groupBy(col(groupCol))
+      .agg(min(col(xCol).cast("long")).as("__ax"),
+        min(col(yCol).cast("long")).as("__ay"))
+    val x = col("__x").cast("decimal(38,0)")
+    val y = col("__y").cast("decimal(38,0)")
+    df.select(col(groupCol), col(xCol).cast("long").as("__rx"),
+        col(yCol).cast("long").as("__ry"))
+      .join(broadcast(anchors), Seq(groupCol))
+      .withColumn("__x", col("__rx") - col("__ax"))
+      .withColumn("__y", col("__ry") - col("__ay"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(x).as("__sx"), sum(y).as("__sy"), sum(x * x).as("__sxx"),
+        sum(y * y).as("__syy"), sum(x * y).as("__sxy"))
+      .withColumn("__cov", expr("__n * __sxy - __sx * __sy"))
+      .withColumn("__covn", expr(
+        s"""case when __cov >= 0
+           |  then ($scale * __cov) div (__n * __n)
+           |  else -(($scale * -__cov) div (__n * __n)) end""".stripMargin))
+      .withColumn("__vxn", expr(
+        s"($scale * (__n * __sxx - __sx * __sx)) div (__n * __n)"))
+      .withColumn("__vyn", expr(
+        s"($scale * (__n * __syy - __sy * __sy)) div (__n * __n)"))
+      .withColumn("r2_fp", expr(
+        s"""cast(case
+           |  when __vxn = 0 or __vyn = 0 then null
+           |  when __covn >= 0
+           |    then ($scale * cast(__covn as decimal(38,0)) * __covn)
+           |         div (cast(__vxn as decimal(38,0)) * __vyn)
+           |  else -(($scale * cast(__covn as decimal(38,0)) * __covn)
+           |         div (cast(__vxn as decimal(38,0)) * __vyn))
+           |  end as long)""".stripMargin))
+      .select(col(groupCol), col("__n").cast("long").as("n"),
+        col("r2_fp"))
+  }
 }

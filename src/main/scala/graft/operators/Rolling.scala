@@ -153,4 +153,42 @@ object Rolling {
       .select(col(groupCol), col("date"), col("isodow"), col("n"),
         col("expected_fp"), col("residual_fp"))
   }
+
+  /** Cohort lifetime-value curves: users cohort by the ISO week of
+    * their FIRST event (any type — the cohort is arrival, not
+    * purchase); `revenueCents` (0 on non-revenue rows) accumulates per
+    * (cohort, week offset) and divides by cohort size in fixed point —
+    * the cumulative-revenue-per-user curve marketing reads cohort
+    * retention against.
+    *
+    * Scale: one user-keyed aggregate for first-event weeks, joined back
+    * onto events on the SAME user key (co-partitioned); revenue then
+    * collapses to (cohort, offset) cells in one partial-agg shuffle,
+    * and the cumsum window runs over the week-DOMAIN-bounded cells,
+    * never events. Offsets with zero revenue emit no row (the cum at
+    * present offsets is unaffected). Output: (cohort ISO-date string,
+    * week_offset, users, revenue_cents, cum_cents, ltv_per_user_fp). */
+  def cohortLtv(df: DataFrame, userCol: String, tsCol: String,
+                revenueCents: Column, scale: Long = 10000L): DataFrame = {
+    val firsts = df.groupBy(col(userCol))
+      .agg(min(date_trunc("week", col(tsCol))).as("__cw"))
+      .localCheckpoint(true) // consumed by cohort sizes AND the re-join
+    val sizes = firsts.groupBy(col("__cw")).agg(count(lit(1)).as("users"))
+    val wc = Window.partitionBy(col("__cw")).orderBy(col("week_offset"))
+    df.select(col(userCol), date_trunc("week", col(tsCol)).as("__ew"),
+        revenueCents.cast("long").as("__cents"))
+      .join(firsts, Seq(userCol))
+      .withColumn("week_offset",
+        expr("(unix_micros(__ew) - unix_micros(__cw)) div 604800000000"))
+      .groupBy(col("__cw"), col("week_offset"))
+      .agg(sum(col("__cents")).as("revenue_cents"))
+      .withColumn("cum_cents", sum(col("revenue_cents")).over(
+        wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(sizes), Seq("__cw"))
+      .withColumn("ltv_per_user_fp", expr(
+        s"cast((cast($scale as decimal(38,0)) * cum_cents) div users as long)"))
+      .select(col("__cw").cast("date").cast("string").as("cohort"),
+        col("week_offset"), col("users"), col("revenue_cents"),
+        col("cum_cents"), col("ltv_per_user_fp"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-to-event (survival) analysis — the Kaplan–Meier product-limit
@@ -64,5 +65,53 @@ object Survival {
       }
       out.result().iterator
     }.toDF(groupCol, "t", "n_risk", "n_event", "n_censor", "surv_fp")
+  }
+
+  /** Log-rank observed-vs-expected table: for each cohort, the total
+    * observed events and the fixed-point expected events under the
+    * null that all cohorts share one hazard — at each death time t the
+    * cohort's expectation is `d(t)·n_g(t)/n(t)`, summed as
+    * `Σ ⌊scale·d(t)·n_g(t) / n(t)⌋` (declared floor order, so any
+    * engine matches). `oe_fp = scale·observed − expected_fp` is the
+    * log-rank numerator: a cohort dying faster than the pooled hazard
+    * goes positive.
+    *
+    * Scale: subjects collapse to (cohort, time) tallies once; the
+    * at-risk series comes from windows partitioned by cohort over the
+    * time-DOMAIN-bounded tally rows, evaluated on the cohorts ×
+    * death-times grid (a bounded crossJoin, the sanctioned grid×strata
+    * shape); per-time pooled totals are a window over the same grid.
+    * Output: (groupCol, n_subjects, observed, expected_fp, oe_fp). */
+  def logRank(df: DataFrame, groupCol: String, durationCol: String,
+              eventCol: String, scale: Long = 1000000L): DataFrame = {
+    val tal = df
+      .groupBy(col(groupCol).cast("string").as("__g"),
+        col(durationCol).cast("long").as("__t"))
+      .agg(sum(when(col(eventCol) =!= 0, 1L).otherwise(0L)).as("__d"),
+        sum(when(col(eventCol) =!= 0, 0L).otherwise(1L)).as("__c"))
+      .localCheckpoint(true) // reused: death times, groups, series
+    val grid = tal.select(col("__g")).distinct()
+      .crossJoin(tal.filter(col("__d") > 0).select(col("__t")).distinct())
+      .withColumn("__isdt", lit(1))
+    val wg = Window.partitionBy("__g").orderBy("__t")
+    val series = tal.join(grid, Seq("__g", "__t"), "full_outer")
+      .na.fill(0L, Seq("__d", "__c"))
+      .withColumn("__cumb", coalesce(sum(col("__d") + col("__c")).over(
+        wg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__tot", sum(col("__d") + col("__c"))
+        .over(Window.partitionBy("__g")))
+      .withColumn("__nrisk", col("__tot") - col("__cumb"))
+      .filter(col("__isdt") === 1)
+    val wt = Window.partitionBy("__t")
+    series
+      .withColumn("__dT", sum(col("__d")).over(wt))
+      .withColumn("__nT", sum(col("__nrisk")).over(wt))
+      .withColumn("__e", expr(
+        s"(cast($scale as decimal(38,0)) * __dT * __nrisk) div __nT"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(min(col("__tot")).as("n_subjects"),
+        sum(col("__d")).as("observed"),
+        sum(col("__e")).cast("long").as("expected_fp"))
+      .withColumn("oe_fp", lit(scale) * col("observed") - col("expected_fp"))
   }
 }

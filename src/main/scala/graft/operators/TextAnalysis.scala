@@ -512,4 +512,48 @@ object TextAnalysis {
         col("n_replacement") === 0L && col("n_ctrl") === 0L &&
           col("n_mojibake") === 0L)
   }
+
+  /** Patterns shared with readability oracles — pure ASCII with NO
+    * backslash escapes, because Spark SQL string literals process
+    * escapes while standard SQL strings do not; these parse identically
+    * in Java regex and RE2. */
+  val ReadWordPattern = "[^ ]+"
+  val ReadSentencePattern = "[.!?]+"
+  val ReadSyllablePattern = "[aeiouyAEIOUY]+"
+
+  /** Flesch–Kincaid grade-level readability per document, exact fixed
+    * point (scale 10^4): counts words (space-separated runs), sentences
+    * (terminal-punctuation runs, min 1), and syllables (vowel-group
+    * runs, the standard cheap proxy), then
+    * `fk_fp = (3900·w² + 118000·sy·s − 155900·w·s) div (w·s)`
+    * — the cross-multiplied form of 0.39·w/s + 11.8·sy/w − 15.59,
+    * sign factored out so truncation is engine-portable. Counts ride
+    * regexp_count in the scan (codegen), products ride decimal(38,0).
+    *
+    * Per-row only — no shuffle at all. Output: (id, words, sentences,
+    * syllables, fk_fp). */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        greatest(lit(1L),
+          regexp_count(col(textCol), lit(ReadWordPattern)).cast("long"))
+          .as("words"),
+        greatest(lit(1L),
+          regexp_count(col(textCol), lit(ReadSentencePattern)).cast("long"))
+          .as("sentences"),
+        regexp_count(col(textCol), lit(ReadSyllablePattern)).cast("long")
+          .as("syllables"))
+      .withColumn("fk_fp", expr(
+        """cast(case
+          |  when 3900 * cast(words as decimal(38,0)) * words +
+          |       118000 * cast(syllables as decimal(38,0)) * sentences -
+          |       155900 * cast(words as decimal(38,0)) * sentences >= 0
+          |    then (3900 * cast(words as decimal(38,0)) * words +
+          |          118000 * cast(syllables as decimal(38,0)) * sentences -
+          |          155900 * cast(words as decimal(38,0)) * sentences)
+          |         div (cast(words as decimal(38,0)) * sentences)
+          |  else -((-(3900 * cast(words as decimal(38,0)) * words +
+          |            118000 * cast(syllables as decimal(38,0)) * sentences -
+          |            155900 * cast(words as decimal(38,0)) * sentences))
+          |         div (cast(words as decimal(38,0)) * sentences))
+          |  end as long)""".stripMargin))
 }

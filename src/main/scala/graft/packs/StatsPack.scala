@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryPack
 import graft.core.Tables
-import graft.operators.{Eval, Funnels, Profile, Rolling, Survival}
+import graft.operators.{Eval, Funnels, Graph, Linkage, Profile, Rolling,
+  Survival, TextAnalysis}
 
 /** Exact-integer statistics & evaluation: ROC-AUC, Kaplan–Meier
   * survival, central moments, k-anonymity, conversion attribution,
@@ -95,6 +96,103 @@ object StatsPack extends QueryPack {
         .select(col("event_type"), col("date").cast("string").as("d"),
           col("isodow"), col("n"), col("expected_fp"),
           col("residual_fp"))),
+
+    // calibration bins: does the space-ratio "English-ness" score's
+    // decile actually track the observed English fraction?
+    "q165_calibration" -> ((s, dir) =>
+      Eval.calibration(Tables.load(s, dir, "documents")
+          .withColumn("score_fp", expr(
+            """least(1000000L, (1000000L *
+              |  (length(text) - length(replace(text, ' ', ''))) * 6L)
+              |  div greatest(1L, cast(length(text) as bigint)))"""
+              .stripMargin))
+          .withColumn("__lbl", when(col("lang") === "en", 1).otherwise(0)),
+        "source", "score_fp", "__lbl", nBins = 10)),
+
+    // φ² association of (user parity) × (high-value event) per type —
+    // the A/B-table effect size, fp-normalized so n never overflows
+    "q166_phi2" -> ((s, dir) =>
+      Eval.assocPhi2(Tables.events(s, dir), "event_type",
+        pmod(col("user_id"), lit(2)) === 0,
+        expr("cast(round(value * 100) as bigint)") >= 5000)),
+
+    // golden-record survivorship over synthetic household clusters
+    "q167_golden_record" -> ((s, dir) =>
+      Linkage.goldenRecords(Tables.load(s, dir, "customer")
+          .select(expr("c_custkey div 10").as("cluster"),
+            col("c_mktsegment"), col("c_nationkey")),
+        "cluster", Seq("c_mktsegment", "c_nationkey"))),
+
+    // log-rank observed-vs-expected: do the three user cohorts share
+    // one time-to-first-purchase hazard?
+    "q168_logrank" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val perUser = e.groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("__t0"),
+          min(when(col("event_type") === "purchase", col("ts_us")))
+            .as("__fp"),
+          max(col("ts_us")).as("__tl"))
+        .select(
+          concat(lit("c"), pmod(col("user_id"), lit(3)).cast("string"))
+            .as("cohort"),
+          expr("(coalesce(__fp, __tl) - __t0) div 86400000000")
+            .as("dur"),
+          when(col("__fp").isNotNull, 1).otherwise(0).as("ev"))
+      Survival.logRank(perUser, "cohort", "dur", "ev")
+    }),
+
+    // ABC / Pareto classification of customers by revenue per priority
+    "q169_abc" -> ((s, dir) =>
+      Profile.abcClassify(Tables.load(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_custkey"),
+            expr("cast(round(o_totalprice*100) as bigint)").as("cents")),
+        "o_orderpriority", "o_custkey", "cents")),
+
+    // Flesch–Kincaid readability per document, exact fixed point
+    "q170_readability" -> ((s, dir) =>
+      TextAnalysis.readability(Tables.load(s, dir, "documents"),
+        "doc_id", "text")),
+
+    // signed fixed-point r² of quantity vs discount per line status
+    "q171_corr" -> ((s, dir) =>
+      Profile.corrR2(Tables.load(s, dir, "lineitem")
+          .select(col("l_linestatus"),
+            col("l_quantity").cast("long").as("qty"),
+            expr("cast(round(l_discount*10000) as bigint)").as("disc_bp")),
+        "l_linestatus", "qty", "disc_bp")),
+
+    // weekly-cohort cumulative revenue per user (LTV curves)
+    "q172_cohort_ltv" -> ((s, dir) =>
+      Rolling.cohortLtv(Tables.events(s, dir), "user_id", "ts",
+        when(col("event_type") === "purchase",
+          expr("cast(round(value * 100) as bigint)")).otherwise(0L))),
+
+    // degree assortativity (signed r² over per-edge degree pairs, both
+    // directions) of the part co-occurrence graph — operator
+    // composition: Graph.undirected + degree rollup + Profile.corrR2
+    "q173_assortativity" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+      val pairs = li.withColumnRenamed("pk", "u")
+        .join(li.withColumnRenamed("pk", "v"), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      val und = Graph.undirected(pairs, "u", "v").localCheckpoint(true)
+      val deg = und.select(col("u").as("node"))
+        .unionByName(und.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val doubled = und.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(und.select(col("v").as("a"), col("u").as("b")))
+      val withDeg = doubled
+        .join(deg.select(col("node").as("a"), col("deg").as("deg_a")),
+          Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("deg_b")),
+          Seq("b"))
+      Profile.corrR2(withDeg.withColumn("g", lit("parts")), "g",
+        "deg_a", "deg_b")
+    }),
   )
 
   private val benfordCase: String =
@@ -272,5 +370,288 @@ object StatsPack extends QueryPack {
         |SELECT dw.event_type, CAST(dw.dd AS VARCHAR) AS d, dw.isodow, dw.n,
         |  base.expected_fp, 10000 * dw.n - base.expected_fp AS residual_fp
         |FROM dw JOIN base USING (event_type, isodow)""".stripMargin,
+
+    "q165_calibration" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    least(1000000, (1000000 *
+        |      (length(text) - length(replace(text, ' ', ''))) * 6)
+        |      // greatest(1, length(text))) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l
+        |  FROM documents),
+        |b AS (
+        |  SELECT source,
+        |    CAST(least(9, greatest(0, (10 * score) // 1000000)) AS INT)
+        |      AS bin,
+        |    score, l
+        |  FROM s)
+        |SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CAST(sum(score) AS HUGEINT) // count(*) AS BIGINT)
+        |    AS mean_score_fp,
+        |  CAST((1000000 * CAST(sum(l) AS HUGEINT)) // count(*) AS BIGINT)
+        |    AS frac_pos_fp
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q166_phi2" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN CAST(round(value * 100) AS BIGINT) >= 5000
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a * b) AS BIGINT) AS n11,
+        |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+        |    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+        |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+        |  FROM r GROUP BY 1),
+        |d AS (
+        |  SELECT *, CAST(n11 AS HUGEINT) * n00 - CAST(n10 AS HUGEINT) * n01
+        |    AS det FROM g),
+        |e AS (
+        |  SELECT *,
+        |    CASE WHEN det >= 0
+        |      THEN (1000000 * det) // (CAST(n AS HUGEINT) * n)
+        |      ELSE -((1000000 * (-det)) // (CAST(n AS HUGEINT) * n))
+        |      END AS dd,
+        |    (1000000 * CAST(n11 + n10 AS HUGEINT)) // n AS ma,
+        |    (1000000 * CAST(n11 + n01 AS HUGEINT)) // n AS mb
+        |  FROM d)
+        |SELECT event_type, n, n11, n10, n01, n00,
+        |  CAST(CASE WHEN ma <= 0 OR ma >= 1000000 OR mb <= 0
+        |      OR mb >= 1000000 THEN NULL
+        |    ELSE (CAST(1000000 AS HUGEINT) * 1000000 * 1000000 * dd * dd)
+        |      // (ma * (1000000 - ma)) // (mb * (1000000 - mb))
+        |    END AS BIGINT) AS phi2_fp
+        |FROM e""".stripMargin,
+
+    "q167_golden_record" ->
+      """WITH rec AS (
+        |  SELECT c_custkey // 10 AS cluster, c_mktsegment,
+        |    CAST(c_nationkey AS VARCHAR) AS nat
+        |  FROM customer),
+        |melt AS (
+        |  SELECT cluster, 'c_mktsegment' AS attr, c_mktsegment AS value
+        |  FROM rec
+        |  UNION ALL
+        |  SELECT cluster, 'c_nationkey', nat FROM rec),
+        |cnt AS (
+        |  SELECT cluster, attr, value, count(*) AS n
+        |  FROM melt WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT cluster, attr, value FROM (
+        |    SELECT cluster, attr, value, row_number() OVER (
+        |      PARTITION BY cluster, attr ORDER BY n DESC, value ASC) AS rn
+        |    FROM cnt) WHERE rn = 1),
+        |sz AS (
+        |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM rec GROUP BY 1)
+        |SELECT sz.cluster, sz.n_members,
+        |  max(CASE WHEN b.attr = 'c_mktsegment' THEN b.value END)
+        |    AS c_mktsegment,
+        |  max(CASE WHEN b.attr = 'c_nationkey' THEN b.value END)
+        |    AS c_nationkey
+        |FROM sz JOIN best b ON sz.cluster = b.cluster
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q168_logrank" ->
+      """WITH per_user AS (
+        |  SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS g,
+        |    (epoch_us(coalesce(min(ts) FILTER (WHERE event_type = 'purchase'),
+        |                       max(ts))) - epoch_us(min(ts))) // 86400000000 AS t,
+        |    CASE WHEN min(ts) FILTER (WHERE event_type = 'purchase') IS NOT NULL
+        |      THEN 1 ELSE 0 END AS ev
+        |  FROM events GROUP BY user_id),
+        |tal AS (
+        |  SELECT g, t, CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(sum(1 - ev) AS BIGINT) AS c
+        |  FROM per_user GROUP BY 1, 2),
+        |dt AS (SELECT DISTINCT t FROM tal WHERE d > 0),
+        |gs AS (SELECT DISTINCT g FROM tal),
+        |grid AS (SELECT gs.g, dt.t, 1 AS isdt FROM gs CROSS JOIN dt),
+        |m AS (
+        |  SELECT coalesce(tal.g, grid.g) AS g, coalesce(tal.t, grid.t) AS t,
+        |    coalesce(tal.d, 0) AS d, coalesce(tal.c, 0) AS c, grid.isdt
+        |  FROM tal FULL OUTER JOIN grid
+        |    ON tal.g = grid.g AND tal.t = grid.t),
+        |ser AS (
+        |  SELECT g, t, d, isdt,
+        |    CAST(coalesce(sum(d + c) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cumb,
+        |    CAST(sum(d + c) OVER (PARTITION BY g) AS BIGINT) AS tot
+        |  FROM m),
+        |sr AS (
+        |  SELECT g, t, d, tot, tot - cumb AS n_risk
+        |  FROM ser WHERE isdt = 1),
+        |ct AS (
+        |  SELECT g, d, tot, n_risk,
+        |    CAST(sum(d) OVER (PARTITION BY t) AS BIGINT) AS dT,
+        |    CAST(sum(n_risk) OVER (PARTITION BY t) AS BIGINT) AS nT
+        |  FROM sr)
+        |SELECT g AS cohort, CAST(min(tot) AS BIGINT) AS n_subjects,
+        |  CAST(sum(d) AS BIGINT) AS observed,
+        |  CAST(sum((1000000 * CAST(dT AS HUGEINT) * n_risk) // nT)
+        |    AS BIGINT) AS expected_fp,
+        |  CAST(1000000 * sum(d) -
+        |    sum((1000000 * CAST(dT AS HUGEINT) * n_risk) // nT)
+        |    AS BIGINT) AS oe_fp
+        |FROM ct GROUP BY g""".stripMargin,
+
+    "q169_abc" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority, o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS total
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT o_orderpriority, o_custkey, total,
+        |    CAST(coalesce(sum(total) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY total DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS HUGEINT) AS prev,
+        |    CAST(sum(total) OVER (PARTITION BY o_orderpriority)
+        |      AS HUGEINT) AS grand,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY total DESC, o_custkey) AS INT) AS "rank"
+        |  FROM t)
+        |SELECT o_orderpriority, o_custkey, total, "rank",
+        |  CASE WHEN 10000 * prev < 8000 * grand THEN 'A'
+        |    WHEN 10000 * prev < 9500 * grand THEN 'B'
+        |    ELSE 'C' END AS abc_class
+        |FROM w""".stripMargin,
+
+    "q170_readability" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    greatest(1, len(regexp_extract_all(text,
+         |      '${TextAnalysis.ReadWordPattern}'))) AS w,
+         |    greatest(1, len(regexp_extract_all(text,
+         |      '${TextAnalysis.ReadSentencePattern}'))) AS s,
+         |    len(regexp_extract_all(text,
+         |      '${TextAnalysis.ReadSyllablePattern}')) AS sy
+         |  FROM documents)
+         |SELECT doc_id, CAST(w AS BIGINT) AS words,
+         |  CAST(s AS BIGINT) AS sentences, CAST(sy AS BIGINT) AS syllables,
+         |  CAST(CASE WHEN 3900 * CAST(w AS HUGEINT) * w +
+         |      118000 * CAST(sy AS HUGEINT) * s -
+         |      155900 * CAST(w AS HUGEINT) * s >= 0
+         |    THEN (3900 * CAST(w AS HUGEINT) * w +
+         |          118000 * CAST(sy AS HUGEINT) * s -
+         |          155900 * CAST(w AS HUGEINT) * s)
+         |         // (CAST(w AS HUGEINT) * s)
+         |    ELSE -((-(3900 * CAST(w AS HUGEINT) * w +
+         |              118000 * CAST(sy AS HUGEINT) * s -
+         |              155900 * CAST(w AS HUGEINT) * s))
+         |         // (CAST(w AS HUGEINT) * s))
+         |    END AS BIGINT) AS fk_fp
+         |FROM c""".stripMargin,
+
+    "q171_corr" ->
+      """WITH v AS (
+        |  SELECT l_linestatus AS g, CAST(l_quantity AS BIGINT) AS x0,
+        |    CAST(round(l_discount * 10000) AS BIGINT) AS y0
+        |  FROM lineitem),
+        |a AS (SELECT g, min(x0) AS ax, min(y0) AS ay FROM v GROUP BY 1),
+        |sh AS (SELECT v.g, v.x0 - a.ax AS x, v.y0 - a.ay AS y
+        |       FROM v JOIN a USING (g)),
+        |p AS (
+        |  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x*x) AS HUGEINT) AS sxx,
+        |    CAST(sum(y*y) AS HUGEINT) AS syy,
+        |    CAST(sum(x*y) AS HUGEINT) AS sxy
+        |  FROM sh GROUP BY 1),
+        |q AS (
+        |  SELECT g, n, n*sxy - sx*sy AS cov, n*sxx - sx*sx AS vx,
+        |    n*syy - sy*sy AS vy
+        |  FROM p),
+        |r AS (
+        |  SELECT g, n,
+        |    CASE WHEN cov >= 0 THEN (1000000 * cov) // (n*n)
+        |      ELSE -((1000000 * (-cov)) // (n*n)) END AS covn,
+        |    (1000000 * vx) // (n*n) AS vxn,
+        |    (1000000 * vy) // (n*n) AS vyn
+        |  FROM q)
+        |SELECT g AS l_linestatus, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN vxn = 0 OR vyn = 0 THEN NULL
+        |    WHEN covn >= 0 THEN (1000000 * covn * covn) // (vxn * vyn)
+        |    ELSE -((1000000 * covn * covn) // (vxn * vyn))
+        |    END AS BIGINT) AS r2_fp
+        |FROM r""".stripMargin,
+
+    "q172_cohort_ltv" ->
+      """WITH fe AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM events GROUP BY 1),
+        |ev AS (
+        |  SELECT e.user_id, fe.cw,
+        |    (epoch_us(date_trunc('week', e.ts)) - epoch_us(fe.cw))
+        |      // 604800000000 AS off,
+        |    CASE WHEN e.event_type = 'purchase'
+        |      THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END AS cents
+        |  FROM events e JOIN fe USING (user_id)),
+        |g AS (
+        |  SELECT cw, off, CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |  FROM ev GROUP BY 1, 2),
+        |u AS (SELECT cw, CAST(count(*) AS BIGINT) AS users FROM fe
+        |      GROUP BY 1),
+        |c AS (
+        |  SELECT cw, off, revenue_cents,
+        |    CAST(sum(revenue_cents) OVER (PARTITION BY cw ORDER BY off)
+        |      AS BIGINT) AS cum_cents
+        |  FROM g)
+        |SELECT CAST(CAST(c.cw AS DATE) AS VARCHAR) AS cohort,
+        |  c.off AS week_offset, u.users, c.revenue_cents, c.cum_cents,
+        |  CAST((10000 * CAST(c.cum_cents AS HUGEINT)) // u.users AS BIGINT)
+        |    AS ltv_per_user_fp
+        |FROM c JOIN u USING (cw)""".stripMargin,
+
+    "q173_assortativity" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        |  FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |dbl AS (
+        |  SELECT u AS a, v AS b FROM und
+        |  UNION ALL SELECT v, u FROM und),
+        |pd AS (
+        |  SELECT 'parts' AS g, da.deg AS x0, db.deg AS y0
+        |  FROM dbl JOIN deg da ON dbl.a = da.node
+        |           JOIN deg db ON dbl.b = db.node),
+        |a AS (SELECT g, min(x0) AS ax, min(y0) AS ay FROM pd GROUP BY 1),
+        |sh AS (SELECT pd.g, pd.x0 - a.ax AS x, pd.y0 - a.ay AS y
+        |       FROM pd JOIN a USING (g)),
+        |p AS (
+        |  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x*x) AS HUGEINT) AS sxx,
+        |    CAST(sum(y*y) AS HUGEINT) AS syy,
+        |    CAST(sum(x*y) AS HUGEINT) AS sxy
+        |  FROM sh GROUP BY 1),
+        |q AS (
+        |  SELECT g, n, n*sxy - sx*sy AS cov, n*sxx - sx*sx AS vx,
+        |    n*syy - sy*sy AS vy
+        |  FROM p),
+        |r AS (
+        |  SELECT g, n,
+        |    CASE WHEN cov >= 0 THEN (1000000 * cov) // (n*n)
+        |      ELSE -((1000000 * (-cov)) // (n*n)) END AS covn,
+        |    (1000000 * vx) // (n*n) AS vxn,
+        |    (1000000 * vy) // (n*n) AS vyn
+        |  FROM q)
+        |SELECT g, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN vxn = 0 OR vyn = 0 THEN NULL
+        |    WHEN covn >= 0 THEN (1000000 * covn * covn) // (vxn * vyn)
+        |    ELSE -((1000000 * covn * covn) // (vxn * vyn))
+        |    END AS BIGINT) AS r2_fp
+        |FROM r""".stripMargin,
   )
 }

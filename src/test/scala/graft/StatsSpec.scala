@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Eval, Funnels, Profile, Rolling, Survival}
+import graft.operators.{Eval, Funnels, Linkage, Profile, Rolling, Survival}
 
 class StatsSpec extends SparkSpec {
   import spark.implicits._
@@ -144,6 +144,133 @@ class StatsSpec extends SparkSpec {
         }
       assert(got(id) === expected, s"conversion $id (user $u, t $t)")
     }
+  }
+
+  test("calibration: bin assignment, mean score, positive fraction") {
+    val df = Seq(("g", 0L, 0), ("g", 250000L, 1), ("g", 260000L, 0),
+        ("g", 999999L, 1), ("g", 1000000L, 1))
+      .toDF("g", "score", "l")
+    val out = Eval.calibration(df, "g", "score", "l", nBins = 10)
+      .as[(String, Int, Long, Long, Long)].collect()
+      .map(r => r._2 -> (r._3, r._4, r._5)).toMap
+    assert(out(0) === ((1L, 0L, 0L)))
+    // bin 2: scores 250000, 260000 → mean 255000, 1 of 2 positive
+    assert(out(2) === ((2L, 255000L, 500000L)))
+    // scores 999999 (bin 9) and 1000000 (clamped to bin 9)
+    assert(out(9) === ((2L, 999999L, 1000000L)))
+  }
+
+  test("assocPhi2: perfect association = scale, independence = 0") {
+    val perfect = Seq(("p", 1, 1), ("p", 1, 1), ("p", 0, 0), ("p", 0, 0))
+      .toDF("g", "a", "b")
+    assert(Eval.assocPhi2(perfect, "g", col("a") === 1, col("b") === 1)
+      .select("phi2_fp").as[Option[Long]].head() === Some(1000000L))
+    val indep = Seq(("i", 1, 1), ("i", 1, 0), ("i", 0, 1), ("i", 0, 0))
+      .toDF("g", "a", "b")
+    assert(Eval.assocPhi2(indep, "g", col("a") === 1, col("b") === 1)
+      .select("phi2_fp").as[Option[Long]].head() === Some(0L))
+    val degenerate = Seq(("d", 1, 1), ("d", 1, 0)).toDF("g", "a", "b")
+    assert(Eval.assocPhi2(degenerate, "g", col("a") === 1, col("b") === 1)
+      .select("phi2_fp").as[Option[Long]].head() === None)
+  }
+
+  test("goldenRecords: mode wins, ties break low, nulls excluded") {
+    val recs = Seq(
+      (1L, "BUILDING", "dk"), (1L, "BUILDING", null), (1L, "AUTO", "de"),
+      (2L, null, null), (2L, null, "se"))
+      .toDF("cluster", "seg", "country")
+    val out = Linkage.goldenRecords(recs, "cluster",
+        Seq("seg", "country"))
+      .as[(Long, Long, Option[String], Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) === ((3L, Some("BUILDING"), Some("de")))) // dk/de tie → de
+    assert(out(2L) === ((2L, None, Some("se"))))
+  }
+
+  test("logRank: hand-computed O/E; single cohort has oe = 0") {
+    val df = Seq(("g1", 1L, 1), ("g1", 2L, 1), ("g2", 1L, 0), ("g2", 3L, 1))
+      .toDF("g", "dur", "ev")
+    val out = Survival.logRank(df, "g", "dur", "ev")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(out("g1") === ((2L, 2L, 1000000L, 1000000L)))
+    assert(out("g2") === ((2L, 1L, 2000000L, -1000000L)))
+    val solo = Survival.logRank(df.withColumn("g", lit("all")), "g",
+      "dur", "ev").as[(String, Long, Long, Long, Long)].head()
+    assert(solo._3 === 3L && solo._5 === 0L) // E = O exactly when alone
+  }
+
+  test("abcClassify: straddling item stays A, deterministic ties") {
+    val df = Seq(("g", "i1", 50L), ("g", "i2", 30L), ("g", "i3", 15L),
+        ("g", "i4", 5L)).toDF("g", "item", "v")
+    val out = Profile.abcClassify(df, "g", "item", "v")
+      .as[(String, String, Long, Int, String)].collect()
+      .map(r => r._2 -> ((r._4, r._5))).toMap
+    assert(out === Map("i1" -> ((1, "A")), "i2" -> ((2, "A")),
+      "i3" -> ((3, "B")), "i4" -> ((4, "C"))))
+  }
+
+  test("readability: hand-computed Flesch-Kincaid fixed point") {
+    val df = Seq((1L, "the cat sat. a big dog ran!")).toDF("id", "text")
+    val out = graft.operators.TextAnalysis.readability(df, "id", "text")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // 7 words, 2 sentence runs, 7 vowel groups:
+    // (3900·49 + 118000·14 − 155900·14) div 14 = −339500 div 14
+    assert(out === ((1L, 7L, 2L, 7L, -24250L)))
+  }
+
+  test("corrR2 matches the declared BigInt procedure; sign carried") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map { _ =>
+      val x = rnd.nextInt(50).toLong
+      // negatively correlated with noise
+      val y = 100L - x + rnd.nextInt(10)
+      ("g", x, y)
+    }
+    val got = Profile.corrR2(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .as[(String, Long, Option[Long])].head()
+    // mirror the declared fixed-point procedure exactly
+    val ax = rows.map(_._2).min; val ay = rows.map(_._3).min
+    val xs = rows.map(r => BigInt(r._2 - ax))
+    val ys = rows.map(r => BigInt(r._3 - ay))
+    val n = BigInt(rows.size)
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(v => v * v).sum
+    val syy = ys.map(v => v * v).sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val S = BigInt(1000000)
+    val cov = n * sxy - sx * sy
+    def normDiv(v: BigInt): BigInt =
+      if (v >= 0) (S * v) / (n * n) else -((S * -v) / (n * n))
+    val covn = normDiv(cov)
+    val vxn = (S * (n * sxx - sx * sx)) / (n * n)
+    val vyn = (S * (n * syy - sy * sy)) / (n * n)
+    val mag = (S * covn * covn) / (vxn * vyn)
+    val expected = if (cov >= 0) mag else -mag
+    assert(got._2 === rows.size.toLong)
+    assert(got._3 === Some(expected.toLong))
+    assert(expected < 0) // the construction is negatively correlated
+  }
+
+  test("cohortLtv: hand-computed cumulative per-user curve") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // two users arrive in week 2024-01-01 (Mon); one in week 01-08
+    val df = Seq(
+      (1L, t("2024-01-02 10:00:00"), "signup", 0.0),
+      (1L, t("2024-01-03 10:00:00"), "purchase", 10.0),
+      (1L, t("2024-01-10 10:00:00"), "purchase", 5.0),
+      (2L, t("2024-01-04 10:00:00"), "signup", 0.0),
+      (3L, t("2024-01-09 10:00:00"), "purchase", 7.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = Rolling.cohortLtv(df, "user_id", "ts",
+        when(col("event_type") === "purchase",
+          expr("cast(round(value*100) as bigint)")).otherwise(0L))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    // ltv = scale(10^4) · cum_cents / users
+    assert(out === Set(
+      ("2024-01-01", 0L, 2L, 1000L, 1000L, 5000000L),
+      ("2024-01-01", 1L, 2L, 500L, 1500L, 7500000L),
+      ("2024-01-08", 0L, 1L, 700L, 700L, 7000000L)))
   }
 
   test("seasonalProfile: weekday baseline and residuals, exact") {
