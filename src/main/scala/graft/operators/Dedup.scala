@@ -640,4 +640,33 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Duplication-multiplicity profile — the dedup impact report: for
+    * each exact-duplicate cluster size s, how many clusters, docs, and
+    * removable excess copies the corpus holds, plus each multiplicity's
+    * share of the corpus in basis points. The "is 30% of this crawl
+    * copies?" headline [[exact]] feeds.
+    *
+    * Scale: text collapses to (hash, text) cluster sizes in one
+    * partial-agg shuffle (same keys as [[exact]]'s canonical window,
+    * but pure aggregation — no per-cluster min window needed for
+    * counting); sizes then collapse to ≤ max-multiplicity rows. The
+    * corpus total is a 1-row aggregate joined by a literal-true
+    * broadcast. Output: (multiplicity, n_clusters, n_docs, n_excess,
+    * share_bp). */
+  def dupProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sizes = df
+      .groupBy(xxhash64(col(textCol)).as("__h"), col(textCol))
+      .agg(count(lit(1)).as("__s"))
+    val prof = sizes.groupBy(col("__s").as("multiplicity"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("multiplicity") * col("n_clusters"))
+      .withColumn("n_excess",
+        (col("multiplicity") - 1L) * col("n_clusters"))
+    val total = prof.agg(sum(col("n_docs")).as("__tot"))
+    prof.crossJoin(broadcast(total))
+      .withColumn("share_bp", expr(
+        "cast((10000 * cast(n_docs as decimal(38,0))) div __tot as long)"))
+      .drop("__tot")
+  }
 }

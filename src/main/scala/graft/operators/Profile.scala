@@ -704,18 +704,25 @@ object Profile {
     * scalar math after. Constant columns (vx_n or vy_n = 0) emit NULL.
     * Output: (group, n, r2_fp). */
   def corrR2(df: DataFrame, groupCol: String, xCol: String, yCol: String,
-             scale: Long = 1000000L): DataFrame = {
-    val anchors = df.groupBy(col(groupCol))
+             scale: Long = 1000000L): DataFrame =
+    corrOver(df, Seq(groupCol), xCol, yCol, scale)
+
+  /** [[corrR2]] over a composite group key — shared with
+    * [[Rolling.autocorr]], whose group is (series, lag). */
+  private[operators] def corrOver(df: DataFrame, groupCols: Seq[String],
+      xCol: String, yCol: String, scale: Long): DataFrame = {
+    val anchors = df.groupBy(groupCols.map(col): _*)
       .agg(min(col(xCol).cast("long")).as("__ax"),
         min(col(yCol).cast("long")).as("__ay"))
     val x = col("__x").cast("decimal(38,0)")
     val y = col("__y").cast("decimal(38,0)")
-    df.select(col(groupCol), col(xCol).cast("long").as("__rx"),
-        col(yCol).cast("long").as("__ry"))
-      .join(broadcast(anchors), Seq(groupCol))
+    df.select(groupCols.map(col) ++ Seq(
+        col(xCol).cast("long").as("__rx"),
+        col(yCol).cast("long").as("__ry")): _*)
+      .join(broadcast(anchors), groupCols)
       .withColumn("__x", col("__rx") - col("__ax"))
       .withColumn("__y", col("__ry") - col("__ay"))
-      .groupBy(col(groupCol))
+      .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
         sum(x).as("__sx"), sum(y).as("__sy"), sum(x * x).as("__sxx"),
         sum(y * y).as("__syy"), sum(x * y).as("__sxy"))
@@ -737,7 +744,49 @@ object Profile {
            |  else -(($scale * cast(__covn as decimal(38,0)) * __covn)
            |         div (cast(__vxn as decimal(38,0)) * __vyn))
            |  end as long)""".stripMargin))
-      .select(col(groupCol), col("__n").cast("long").as("n"),
-        col("r2_fp"))
+      .select(groupCols.map(col) ++ Seq(
+        col("__n").cast("long").as("n"), col("r2_fp")): _*)
+  }
+
+  /** Weighted per-group quantiles: the value at cumulative-WEIGHT
+    * ranks — e.g. the doc length below which half the corpus TOKEN
+    * mass sits, which unweighted quantiles misstate badly on skewed
+    * length distributions. `bps` are (label, basis points); rank =
+    * max(1, Σw·bp div 10^4). Rides [[Selection.valueAtRanks]]'s
+    * weighted bucket histograms — two-to-three aggregate scans, no
+    * sorts, no per-group windows over facts. Output: (group, label,
+    * value, n = Σweight). */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                        weightCol: String,
+                        bps: Seq[(String, Int)]): DataFrame = {
+    require(bps.nonEmpty && bps.forall(b => b._2 >= 1 && b._2 <= 10000),
+      "bps must be in [1, 10000]")
+    Selection.valueAtRanks(df, groupCol, valueCol,
+      bps.map { case (lbl, bp) =>
+        lbl -> s"greatest(1L, (__n * ${bp}L) div 10000L)" },
+      weightCol = Some(weightCol))
+  }
+
+  /** Spearman rank correlation as signed fp r² — monotone association
+    * where [[corrR2]] only sees linear: both columns are replaced by
+    * their PERCENTILE ranks (10^4·rank div n, RANK() tie semantics via
+    * [[Selection.rankRows]] — no group window over facts), then the
+    * same fp-normalized r² procedure runs on the percentiles. Using
+    * percentile ranks (domain-bounded 0..10^4) rather than raw ranks
+    * keeps the corr procedure's operands n-independent — raw ranks
+    * would overflow decimal(38,0) past ~10^5 rows. The metric is the
+    * declared integer procedure, engine-exact.
+    *
+    * Output: (group, n, r2_fp). */
+  def spearmanR2(df: DataFrame, groupCol: String, xCol: String,
+                 yCol: String, scale: Long = 1000000L): DataFrame = {
+    val rx = Selection.rankRows(
+        df.select(col(groupCol), col(xCol), col(yCol)), groupCol, xCol)
+      .withColumn("__px", expr("(10000 * rank) div n"))
+      .drop("rank", "n")
+    val rxy = Selection.rankRows(rx, groupCol, yCol)
+      .withColumn("__py", expr("(10000 * rank) div n"))
+      .drop("rank", "n")
+    corrOver(rxy, Seq(groupCol), "__px", "__py", scale)
   }
 }

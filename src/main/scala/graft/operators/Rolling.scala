@@ -191,4 +191,33 @@ object Rolling {
         col("week_offset"), col("users"), col("revenue_cents"),
         col("cum_cents"), col("ltv_per_user_fp"))
   }
+
+  /** Exact autocorrelation diagnosis of the per-(group, day) count
+    * series at declared CALENDAR lags: for each lag L the (x_d,
+    * x_{d−L}) pairs come from an equi-join of the daily series with
+    * itself shifted L days (a missing day simply contributes no pair —
+    * calendar semantics, not row-offset), and each (group, lag) cell
+    * reports [[Profile.corrR2]]'s signed fp r² — lag-7 lighting up is
+    * the weekly rhythm [[seasonalProfile]] then removes.
+    *
+    * Scale: one shuffle to daily counts (checkpointed once — each lag
+    * re-joins it), |lags| self-joins over the calendar-bounded series,
+    * then the corr procedure's single partial agg per cell. Output:
+    * (group, lag, n, r2_fp), n = pair count. */
+  def autocorr(df: DataFrame, groupCol: String, tsCol: String,
+               lags: Seq[Int], scale: Long = 1000000L): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0), "lags must be positive")
+    require(lags.distinct.size == lags.size, "lags must be distinct")
+    val daily = df
+      .groupBy(col(groupCol), to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("__x"))
+      .localCheckpoint(true) // re-joined once per lag
+    val pairs = lags.map { l =>
+      daily.join(daily.select(col(groupCol),
+          date_add(col("__d"), l).as("__d"), col("__x").as("__y")),
+        Seq(groupCol, "__d"))
+        .select(col(groupCol), lit(l).as("lag"), col("__x"), col("__y"))
+    }.reduce(_ unionByName _)
+    Profile.corrOver(pairs, Seq(groupCol, "lag"), "__x", "__y", scale)
+  }
 }

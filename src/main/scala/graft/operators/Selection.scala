@@ -106,7 +106,10 @@ object Selection {
       gType: org.apache.spark.sql.types.DataType,
       outSchema: org.apache.spark.sql.types.StructType,
       facts: DataFrame, aggRows: Array[Row],
-      targets: Seq[(String, String)], groupCol: String): DataFrame = {
+      targets: Seq[(String, String)], groupCol: String,
+      weighted: Boolean): DataFrame = {
+    def tally: org.apache.spark.sql.Column =
+      if (!weighted) count(lit(1)) else sum(col("__w"))
     val nByG: Map[Any, Long] =
       aggRows.map(r => r.get(0) -> r.getLong(3)).toMap
 
@@ -136,7 +139,7 @@ object Selection {
     // caller's bound)
     val bRows = facts
       .groupBy(col("__g"), shiftright(col("__v"), 16).as("__b"))
-      .agg(count(lit(1)).as("__c"), min(col("__v")).as("__bmn"),
+      .agg(tally.as("__c"), min(col("__v")).as("__bmn"),
         max(col("__v")).as("__bmx"))
       .collect()
     // per group: buckets in id order with exclusive prefix counts
@@ -180,7 +183,7 @@ object Selection {
           .join(broadcast(pDf),
             col("__g") <=> col("__pg") && col("__b") === col("__pb"))
           .groupBy(col("__g"), col("__b"), col("__v"))
-          .agg(count(lit(1)).as("__vc"))
+          .agg(tally.as("__vc"))
           .collect()
         val byPair = vRows.groupBy(r => (r.get(0), r.getLong(1)))
           .map { case (k, rs) =>
@@ -216,10 +219,17 @@ object Selection {
     * [[Profile.histogram]]/[[Profile.minMaxScale]]); null group keys
     * are preserved (null-safe joins throughout). Null values are
     * ignored — ranks are over the values that exist.
+    *
+    * With `weightCol`, `__n` and every bucket tally become Σweight and
+    * a rank addresses the cumulative WEIGHT in ascending value order —
+    * weighted quantiles ("the doc length at which half the TOKEN mass
+    * sits") at the same two-to-three aggregate-scan cost; weights must
+    * be integral >= 1 (enforced per row).
     */
   def valueAtRanks(df: DataFrame, groupCol: String, valueCol: String,
                    targets: Seq[(String, String)],
-                   driverBudgetRows: Int = 1 << 20): DataFrame = {
+                   driverBudgetRows: Int = 1 << 20,
+                   weightCol: Option[String] = None): DataFrame = {
     require(targets.nonEmpty, "targets must be non-empty")
     val spark = df.sparkSession
     val gType = df.schema(groupCol).dataType
@@ -231,15 +241,31 @@ object Selection {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("n",
         org.apache.spark.sql.types.LongType)))
+    // weighted mode: __n and every bucket tally become Σweight instead
+    // of row counts, so a target rank addresses the cumulative WEIGHT
+    // order (weighted quantiles). Weights must be >= 1 (enforced per
+    // row) — that keeps the fast-path budget bound valid (non-empty
+    // buckets <= rows <= Σweight) and rank semantics unambiguous.
+    val wExpr = weightCol match {
+      case None => lit(1L)
+      case Some(wc) =>
+        val w = col(wc).cast("long")
+        when(w.isNull || w < 1L,
+          raise_error(lit(s"valueAtRanks: weight $wc must be >= 1"))
+            .cast("long")).otherwise(w)
+    }
     val facts = df
-      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"),
+        wExpr.as("__w"))
       .filter(col("__v").isNotNull)
+    def tally: org.apache.spark.sql.Column =
+      if (weightCol.isEmpty) count(lit(1)) else sum(col("__w"))
 
-    // scan 1 — one row per group: min/max/count. Drives the histogram
-    // sizing on BOTH paths and the fast-path budget decision.
+    // scan 1 — one row per group: min/max/count (or Σweight). Drives
+    // the histogram sizing on BOTH paths and the budget decision.
     val aggRows = facts.groupBy(col("__g")).agg(
         min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
-        count(lit(1)).as("__n")).collect()
+        tally.as("__n")).collect()
 
     // Non-empty 2^16-wide floor buckets are bounded by
     // min(span >> 16, n) per group; when the TOTAL fits the driver
@@ -257,7 +283,7 @@ object Selection {
     }
     if (bucketBound <= driverBudgetRows)
       return fastValueAtRanks(spark, gType, outSchema, facts, aggRows,
-        targets, groupCol)
+        targets, groupCol, weighted = weightCol.nonEmpty)
 
     requireSaneRanges(aggRows, mnIdx = 1, mxIdx = 2)
     val boundRows: Array[Row] = aggRows.map { r =>
@@ -295,7 +321,7 @@ object Selection {
     val w1 = Window.partitionBy(col("__g")).orderBy(col("__b1"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum1 = scoped.groupBy(col("__g"), col("__b1"))
-      .agg(count(lit(1)).as("__c1"))
+      .agg(tally.as("__c1"))
       .withColumn("__cb1", coalesce(sum(col("__c1")).over(w1), lit(0L)))
     // each rank lands in exactly one bucket: cb < r <= cb + c
     val hit1 = collectAsLiteral(
@@ -315,7 +341,7 @@ object Selection {
     val w2 = Window.partitionBy(col("__g"), col("__b1")).orderBy(col("__b2"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum2 = lvl2.groupBy(col("__g"), col("__b1"), col("__b2"))
-      .agg(count(lit(1)).as("__c2"))
+      .agg(tally.as("__c2"))
       .withColumn("__cb2", coalesce(sum(col("__c2")).over(w2), lit(0L)))
     val hit2 = cum2.join(broadcast(hit1
           .select(col("__g").as("__hg"), col("__label"),
@@ -361,7 +387,7 @@ object Selection {
           col("__g") <=> col("__jg") && col("__b1") === col("__jb1") &&
             col("__b2") === col("__jb2"))
         .groupBy(col("__g"), col("__b1"), col("__b2"), col("__v"))
-        .agg(count(lit(1)).as("__vc"))
+        .agg(tally.as("__vc"))
         .withColumn("__cbv", coalesce(sum(col("__vc")).over(wv), lit(0L)))
       val resolved = vcum.join(broadcast(hit2l
           .select(col("__g").as("__hg"), col("__label"),

@@ -175,4 +175,35 @@ object TextIndex {
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("doc_id"), col("score"))
   }
+
+  /** Term document-frequency drift between two corpus slices — the
+    * "what vocabulary moved" diagnosis behind a drift alarm: per term
+    * the per-slice df share in basis points (10^4·df div n_docs) and
+    * the share delta, top-k by |delta| (ties: term asc). All integer,
+    * so the movers list is engine-exact.
+    *
+    * Scale: each slice reduces to per-term df in one distinct +
+    * partial-agg pass; slices then meet in ONE term-keyed full-outer
+    * join of aggregate frames, and the cut is TakeOrderedAndProject —
+    * no windows, nothing doc×doc. Doc totals are two count() actions
+    * (model-sized literals). Output: (term, df_a, df_b, share_a_bp,
+    * share_b_bp, delta_bp). */
+  def dfDrift(a: DataFrame, b: DataFrame, idCol: String, textCol: String,
+              minDf: Int, topK: Int): DataFrame = {
+    require(minDf >= 1 && topK >= 1, "minDf and topK must be positive")
+    def dfOf(d: DataFrame, out: String): DataFrame =
+      d.select(col(idCol), explode(array_distinct(terms(col(textCol))))
+          .as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as(out))
+    val (nA, nB) = (a.count(), b.count())
+    require(nA > 0 && nB > 0, "both slices must be non-empty")
+    dfOf(a, "df_a").join(dfOf(b, "df_b"), Seq("term"), "full_outer")
+      .na.fill(0L, Seq("df_a", "df_b"))
+      .filter(greatest(col("df_a"), col("df_b")) >= minDf)
+      .withColumn("share_a_bp", expr(s"(10000 * df_a) div $nA"))
+      .withColumn("share_b_bp", expr(s"(10000 * df_b) div $nB"))
+      .withColumn("delta_bp", col("share_b_bp") - col("share_a_bp"))
+      .orderBy(abs(col("delta_bp")).desc, col("term"))
+      .limit(topK)
+  }
 }

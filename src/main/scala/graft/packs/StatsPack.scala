@@ -193,6 +193,78 @@ object StatsPack extends QueryPack {
       Profile.corrR2(withDeg.withColumn("g", lit("parts")), "g",
         "deg_a", "deg_b")
     }),
+
+    // token-mass-weighted doc-length quantiles: the length below which
+    // half / 90% of the corpus TOKEN mass sits (weight = spaces + 1)
+    "q174_weighted_quantiles" -> ((s, dir) =>
+      Profile.weightedQuantiles(Tables.load(s, dir, "documents")
+          .withColumn("__w", expr(
+            "cast(length(text) - length(replace(text, ' ', '')) + 1 as bigint)")),
+        "source", "n_chars", "__w", Seq("p50" -> 5000, "p90" -> 9000))),
+
+    // exact calendar-lag autocorrelation of daily event counts: lag 7
+    // lighting up is the weekly rhythm q164 removes
+    "q175_autocorr" -> ((s, dir) =>
+      Rolling.autocorr(Tables.events(s, dir), "event_type", "ts",
+        lags = Seq(1, 7))),
+
+    // seasonal anomaly watch — operator composition: weekday-adjusted
+    // residuals (q164's baseline) scored by MAD outlier detection
+    "q176_seasonal_anomaly" -> ((s, dir) => {
+      val res = Rolling.seasonalProfile(Tables.events(s, dir),
+          "event_type", "ts")
+        .select(col("event_type"), col("date"), col("residual_fp"))
+      Profile.robustOutliers(res, "event_type", "residual_fp",
+          threshBp = 35000)
+        .select(col("event_type"), col("date").cast("string").as("d"),
+          col("residual_fp"), col("median"), col("mad"),
+          col("score_bp"), col("is_outlier"))
+    }),
+
+    // term document-frequency drift between the even/odd doc slices:
+    // top-50 vocabulary movers by df-share delta
+    "q177_df_drift" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.TextIndex.dfDrift(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", minDf = 5, topK = 50)
+    }),
+
+    // duplication-multiplicity profile: how much of the corpus is
+    // copies, at what cluster sizes
+    "q178_dup_profile" -> ((s, dir) =>
+      graft.operators.Dedup.dupProfile(
+        Tables.load(s, dir, "documents"), "doc_id", "text")),
+
+    // Spearman (monotone) association of quantity vs extended price
+    // per return flag — percentile ranks via Selection.rankRows, then
+    // the shared fp r² procedure
+    "q179_spearman" -> ((s, dir) =>
+      Profile.spearmanR2(Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("qty"),
+            expr("cast(round(l_extendedprice*100) as bigint)")
+              .as("price_cents")),
+        "l_returnflag", "qty", "price_cents")),
+
+    // funnel conversion-lag quantiles: p50/p90 of view->purchase time
+    // for full-funnel users — windowFunnel composed into valueAtRanks
+    // (1-day step window: the 30-min funnel of q140 has no full-funnel
+    // users at sf0.01, which would make the gate row trivially empty)
+    "q180_funnel_lag" -> ((s, dir) => {
+      val f = Funnels.windowFunnel(
+          Tables.events(s, dir)
+            .withColumn("ts_us", unix_micros(col("ts"))),
+          "user_id", "ts_us", "event_type",
+          Seq("view", "click", "purchase"), windowUs = 86400L * 1000000)
+        .filter(col("stage") === 3)
+        .select(lit("view->purchase").as("g"),
+          (col("t3") - col("t1")).as("lag_us"))
+      graft.operators.Selection.valueAtRanks(f, "g", "lag_us",
+        Seq("p50" -> "greatest(1L, (__n * 50L) div 100L)",
+          "p90" -> "greatest(1L, (__n * 90L) div 100L)"))
+    }),
   )
 
   private val benfordCase: String =
@@ -653,5 +725,230 @@ object StatsPack extends QueryPack {
         |    ELSE -((1000000 * covn * covn) // (vxn * vyn))
         |    END AS BIGINT) AS r2_fp
         |FROM r""".stripMargin,
+
+    "q174_weighted_quantiles" ->
+      """WITH d AS (
+        |  SELECT source, n_chars AS v,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS w
+        |  FROM documents),
+        |a AS (SELECT source, v, CAST(sum(w) AS BIGINT) AS w
+        |      FROM d GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, v, w,
+        |    CAST(sum(w) OVER (PARTITION BY source ORDER BY v) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS tot
+        |  FROM a),
+        |t AS (SELECT DISTINCT source, tot FROM c),
+        |f AS (
+        |  SELECT source, tot, 'p50' AS label,
+        |    greatest(1, (tot * 5000) // 10000) AS r FROM t
+        |  UNION ALL
+        |  SELECT source, tot, 'p90',
+        |    greatest(1, (tot * 9000) // 10000) FROM t)
+        |SELECT f.source, f.label, CAST(min(c.v) AS BIGINT) AS value,
+        |  CAST(f.tot AS BIGINT) AS n
+        |FROM f JOIN c ON c.source = f.source AND c.cum >= f.r
+        |GROUP BY 1, 2, f.tot""".stripMargin,
+
+    "q175_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS dd,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |lags AS (SELECT 1 AS lag UNION ALL SELECT 7),
+        |p AS (
+        |  SELECT a.g, l.lag, a.x AS x0, b.x AS y0
+        |  FROM daily a CROSS JOIN lags l
+        |  JOIN daily b ON b.g = a.g AND b.dd = a.dd - l.lag),
+        |an AS (SELECT g, lag, min(x0) AS ax, min(y0) AS ay
+        |       FROM p GROUP BY 1, 2),
+        |sh AS (SELECT p.g, p.lag, p.x0 - an.ax AS x, p.y0 - an.ay AS y
+        |       FROM p JOIN an USING (g, lag)),
+        |pp AS (
+        |  SELECT g, lag, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x*x) AS HUGEINT) AS sxx,
+        |    CAST(sum(y*y) AS HUGEINT) AS syy,
+        |    CAST(sum(x*y) AS HUGEINT) AS sxy
+        |  FROM sh GROUP BY 1, 2),
+        |q AS (
+        |  SELECT g, lag, n, n*sxy - sx*sy AS cov, n*sxx - sx*sx AS vx,
+        |    n*syy - sy*sy AS vy
+        |  FROM pp),
+        |r AS (
+        |  SELECT g, lag, n,
+        |    CASE WHEN cov >= 0 THEN (1000000 * cov) // (n*n)
+        |      ELSE -((1000000 * (-cov)) // (n*n)) END AS covn,
+        |    (1000000 * vx) // (n*n) AS vxn,
+        |    (1000000 * vy) // (n*n) AS vyn
+        |  FROM q)
+        |SELECT g AS event_type, lag, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN vxn = 0 OR vyn = 0 THEN NULL
+        |    WHEN covn >= 0 THEN (1000000 * covn * covn) // (vxn * vyn)
+        |    ELSE -((1000000 * covn * covn) // (vxn * vyn))
+        |    END AS BIGINT) AS r2_fp
+        |FROM r""".stripMargin,
+
+    "q176_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS dd,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (
+        |  SELECT event_type, dd, n, CAST(isodow(dd) AS INT) AS isodow
+        |  FROM daily),
+        |base AS (
+        |  SELECT event_type, isodow,
+        |    CAST((10000 * CAST(sum(n) AS HUGEINT)) //
+        |      CAST(count(*) AS HUGEINT) AS BIGINT) AS expected_fp
+        |  FROM dw GROUP BY 1, 2),
+        |res AS (
+        |  SELECT dw.event_type AS g, CAST(dw.dd AS VARCHAR) AS d,
+        |    10000 * dw.n - base.expected_fp AS v
+        |  FROM dw JOIN base USING (event_type, isodow)),
+        |r AS (
+        |  SELECT g, d, v, row_number() OVER (PARTITION BY g ORDER BY v)
+        |    AS rn, count(*) OVER (PARTITION BY g) AS n
+        |  FROM res),
+        |m AS (SELECT g, max(CASE WHEN rn = (n + 1) // 2 THEN v END)
+        |      AS med FROM r GROUP BY g),
+        |dv AS (
+        |  SELECT res.g, res.d, res.v, m.med, abs(res.v - m.med) AS dev
+        |  FROM res JOIN m USING (g)),
+        |r2 AS (
+        |  SELECT g, dev, row_number() OVER (PARTITION BY g ORDER BY dev)
+        |    AS rn, count(*) OVER (PARTITION BY g) AS n
+        |  FROM dv),
+        |m2 AS (SELECT g, max(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+        |       AS mad FROM r2 GROUP BY g)
+        |SELECT dv.g AS event_type, dv.d, dv.v AS residual_fp,
+        |  CAST(dv.med AS BIGINT) AS median, CAST(m2.mad AS BIGINT) AS mad,
+        |  CAST(dev * 10000 // greatest(m2.mad, 1) AS BIGINT) AS score_bp,
+        |  CAST(CASE WHEN dev * 10000 // greatest(m2.mad, 1) >= 35000
+        |    THEN 1 ELSE 0 END AS INT) AS is_outlier
+        |FROM dv JOIN m2 USING (g)""".stripMargin,
+
+    "q177_df_drift" ->
+      """WITH ta AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df_a FROM (
+        |    SELECT doc_id, unnest(list_distinct(
+        |      regexp_split_to_array(trim(text), '\s+'))) AS term
+        |    FROM documents WHERE doc_id % 2 = 0)
+        |  GROUP BY 1),
+        |tb AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df_b FROM (
+        |    SELECT doc_id, unnest(list_distinct(
+        |      regexp_split_to_array(trim(text), '\s+'))) AS term
+        |    FROM documents WHERE doc_id % 2 = 1)
+        |  GROUP BY 1),
+        |na AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0),
+        |nb AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 1),
+        |j AS (
+        |  SELECT coalesce(ta.term, tb.term) AS term,
+        |    coalesce(df_a, 0) AS df_a, coalesce(df_b, 0) AS df_b
+        |  FROM ta FULL OUTER JOIN tb ON ta.term = tb.term),
+        |sh AS (
+        |  SELECT term, df_a, df_b,
+        |    (10000 * df_a) // (SELECT n FROM na) AS share_a_bp,
+        |    (10000 * df_b) // (SELECT n FROM nb) AS share_b_bp
+        |  FROM j WHERE greatest(df_a, df_b) >= 5)
+        |SELECT term, df_a, df_b, share_a_bp, share_b_bp,
+        |  share_b_bp - share_a_bp AS delta_bp
+        |FROM sh
+        |ORDER BY abs(share_b_bp - share_a_bp) DESC, term
+        |LIMIT 50""".stripMargin,
+
+    "q178_dup_profile" ->
+      """WITH sizes AS (
+        |  SELECT text, CAST(count(*) AS BIGINT) AS s
+        |  FROM documents GROUP BY 1),
+        |prof AS (
+        |  SELECT s AS multiplicity, CAST(count(*) AS BIGINT) AS n_clusters
+        |  FROM sizes GROUP BY 1),
+        |tot AS (SELECT CAST(sum(multiplicity * n_clusters) AS BIGINT)
+        |        AS t FROM prof)
+        |SELECT multiplicity, n_clusters,
+        |  multiplicity * n_clusters AS n_docs,
+        |  (multiplicity - 1) * n_clusters AS n_excess,
+        |  CAST((10000 * CAST(multiplicity * n_clusters AS HUGEINT))
+        |    // (SELECT t FROM tot) AS BIGINT) AS share_bp
+        |FROM prof""".stripMargin,
+
+    "q179_spearman" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS xv,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS yv
+        |  FROM lineitem),
+        |rk AS (
+        |  SELECT g,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |    CAST(rank() OVER (PARTITION BY g ORDER BY xv) AS BIGINT)
+        |      AS rx,
+        |    CAST(rank() OVER (PARTITION BY g ORDER BY yv) AS BIGINT)
+        |      AS ry
+        |  FROM v),
+        |pc AS (
+        |  SELECT g, (10000 * rx) // n AS x0, (10000 * ry) // n AS y0
+        |  FROM rk),
+        |a AS (SELECT g, min(x0) AS ax, min(y0) AS ay FROM pc GROUP BY 1),
+        |sh AS (SELECT pc.g, pc.x0 - a.ax AS x, pc.y0 - a.ay AS y
+        |       FROM pc JOIN a USING (g)),
+        |p AS (
+        |  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x*x) AS HUGEINT) AS sxx,
+        |    CAST(sum(y*y) AS HUGEINT) AS syy,
+        |    CAST(sum(x*y) AS HUGEINT) AS sxy
+        |  FROM sh GROUP BY 1),
+        |q AS (
+        |  SELECT g, n, n*sxy - sx*sy AS cov, n*sxx - sx*sx AS vx,
+        |    n*syy - sy*sy AS vy
+        |  FROM p),
+        |r AS (
+        |  SELECT g, n,
+        |    CASE WHEN cov >= 0 THEN (1000000 * cov) // (n*n)
+        |      ELSE -((1000000 * (-cov)) // (n*n)) END AS covn,
+        |    (1000000 * vx) // (n*n) AS vxn,
+        |    (1000000 * vy) // (n*n) AS vyn
+        |  FROM q)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN vxn = 0 OR vyn = 0 THEN NULL
+        |    WHEN covn >= 0 THEN (1000000 * covn * covn) // (vxn * vyn)
+        |    ELSE -((1000000 * covn * covn) // (vxn * vyn))
+        |    END AS BIGINT) AS r2_fp
+        |FROM r""".stripMargin,
+
+    "q180_funnel_lag" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts - s1.t1 <= 86400000000
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts - s2.t2 <= 86400000000
+        |  GROUP BY 1),
+        |lg AS (
+        |  SELECT s3.t3 - s1.t1 AS v
+        |  FROM s1 JOIN s3 USING (user_id)),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lg),
+        |f AS (
+        |  SELECT 'p50' AS label, greatest(1, (n * 50) // 100) AS r, n
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'p90', greatest(1, (n * 90) // 100), n FROM t),
+        |c AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM lg)
+        |SELECT 'view->purchase' AS g, f.label, CAST(c.v AS BIGINT)
+        |  AS value, f.n
+        |FROM f JOIN c ON c.rn = f.r""".stripMargin,
   )
 }

@@ -273,6 +273,90 @@ class StatsSpec extends SparkSpec {
       ("2024-01-08", 0L, 1L, 700L, 700L, 7000000L)))
   }
 
+  test("weightedQuantiles: ranks address cumulative weight, not rows") {
+    // values 1..4 with weights 1,1,1,7: total 10 → p50 rank 5 → value 4
+    // (unweighted median would be 2)
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L),
+        ("g", 4L, 7L)).toDF("g", "v", "w")
+    val out = Profile.weightedQuantiles(df, "g", "v", "w",
+        Seq("p50" -> 5000, "p90" -> 9000))
+      .as[(String, String, Long, Long)].collect()
+      .map(r => r._2 -> (r._3, r._4)).toMap
+    assert(out("p50") === ((4L, 10L)))
+    assert(out("p90") === ((4L, 10L)))
+    // weight < 1 fails fast
+    val bad = Seq(("g", 1L, 0L)).toDF("g", "v", "w")
+    val e = intercept[Exception] {
+      Profile.weightedQuantiles(bad, "g", "v", "w", Seq("p50" -> 5000))
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("autocorr: perfect period-2 series gives -scale at lag 1, +scale at lag 2") {
+    // alternating daily counts 1,3,1,3,... (2 events vs 6 events is
+    // overkill — build counts via repeated rows per day)
+    def day(i: Int) = f"2024-01-${i + 1}%02d 12:00:00"
+    val rows = (0 until 14).flatMap { i =>
+      val n = if (i % 2 == 0) 1 else 3
+      Seq.fill(n)(("s", java.sql.Timestamp.valueOf(day(i))))
+    }
+    val out = Rolling.autocorr(rows.toDF("g", "ts"), "g", "ts",
+        lags = Seq(1, 2))
+      .as[(String, Int, Long, Option[Long])].collect()
+      .map(r => r._2 -> (r._3, r._4)).toMap
+    assert(out(1) === ((13L, Some(-1000000L))))
+    assert(out(2) === ((12L, Some(1000000L))))
+  }
+
+  test("dfDrift: share deltas, full-outer terms, deterministic top-k") {
+    val a = Seq((1L, "alpha beta"), (2L, "alpha gamma"), (3L, "alpha"),
+      (4L, "beta")).toDF("id", "text")
+    val b = Seq((5L, "beta gamma"), (6L, "gamma")).toDF("id", "text")
+    val out = graft.operators.TextIndex.dfDrift(a, b, "id", "text",
+        minDf = 1, topK = 10)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // alpha: 3/4 vs 0/2 → 7500 → 0 (only-in-A term survives via outer)
+    assert(out("alpha") === ((3L, 0L, 7500L, 0L, -7500L)))
+    // gamma: 1/4 vs 2/2 → 2500 → 10000
+    assert(out("gamma") === ((1L, 2L, 2500L, 10000L, 7500L)))
+    assert(out("beta") === ((2L, 1L, 5000L, 5000L, 0L)))
+    // top-1 is the largest |delta|; alpha (7500) ties gamma (7500) →
+    // term asc keeps alpha
+    val top1 = graft.operators.TextIndex.dfDrift(a, b, "id", "text",
+      minDf = 1, topK = 1).select("term").as[String].collect().toSeq
+    assert(top1 === Seq("alpha"))
+  }
+
+  test("dupProfile: multiplicity histogram with excess and share") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"), (5L, "y"),
+      (6L, "z")).toDF("id", "text")
+    val out = graft.operators.Dedup.dupProfile(df, "id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(3L) === ((1L, 3L, 2L, 5000L))) // 3 of 6 docs
+    assert(out(2L) === ((1L, 2L, 1L, 3333L)))
+    assert(out(1L) === ((1L, 1L, 0L, 1666L)))
+  }
+
+  test("spearmanR2: monotone nonlinear relation scores scale; reversal negative") {
+    // y = x³ is perfectly monotone (spearman 1) but nonlinear
+    val rows = (1 to 60).map(i => ("g", i.toLong, i.toLong * i * i))
+    val up = Profile.spearmanR2(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .select("r2_fp").as[Option[Long]].head()
+    assert(up === Some(1000000L))
+    val down = Profile.spearmanR2(
+        rows.map(r => (r._1, r._2, -r._3)).toDF("g", "x", "y"),
+        "g", "x", "y")
+      .select("r2_fp").as[Option[Long]].head()
+    assert(down === Some(-1000000L))
+    // linear corrR2 on the same data is well below spearman
+    val lin = Profile.corrR2(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .select("r2_fp").as[Option[Long]].head().get
+    assert(lin < 900000L)
+  }
+
   test("seasonalProfile: weekday baseline and residuals, exact") {
     // Mondays 2024-01-01/08 with 2 and 4 events; Tuesday 01-02 with 3
     def ts(d: String, n: Int) = (1 to n).map(i => (s"$d 0$i:00:00", "e"))
