@@ -171,4 +171,46 @@ object Eval {
            |       div (cast(__mb as decimal(38,0)) * ($scale - __mb))
            |  end as long)""".stripMargin))
       .drop("__det", "__d", "__ma", "__mb")
+
+  /** Two-sample Kolmogorov–Smirnov statistic per group, exact fixed
+    * point: `D = max_v |F_A(v) − F_B(v)|` computed as the cross-
+    * multiplied integer `max |cum_a·n_b − cum_b·n_a|` over the
+    * DISTINCT-value series, then `d_fp = scale·max div (n_a·n_b)` —
+    * the distribution-shift test that complements total-variation
+    * (TVD sums cellwise gaps; KS finds the worst CDF gap, catching
+    * location shifts TVD dilutes).
+    *
+    * Scale: raw rows collapse to (group, value) slice tallies in one
+    * partial-agg shuffle; the CDF windows order only each group's
+    * distinct-value series (domain-bounded, the [[rocAuc]] posture);
+    * products ride decimal(38,0) (cum·n ≤ 10^20 at 10^10-row slices).
+    * Groups missing either slice are dropped. Output: (group, n_a,
+    * n_b, d_fp). */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+             sliceA: Column, scale: Long = 1000000L): DataFrame = {
+    val byV = df.select(col(groupCol), col(valueCol).cast("long").as("__v"),
+        when(sliceA, 1L).otherwise(0L).as("__a"))
+      .groupBy(col(groupCol), col("__v"))
+      .agg(sum(col("__a")).as("__ca"), sum(lit(1L) - col("__a")).as("__cb"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    byV
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .withColumn("__term", abs(
+        col("__cuma").cast("decimal(38,0)") * col("__nb") -
+          col("__cumb").cast("decimal(38,0)") * col("__na")))
+      .groupBy(col(groupCol))
+      .agg(min(col("__na")).as("n_a"), min(col("__nb")).as("n_b"),
+        max(col("__term")).as("__d"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("d_fp", expr(
+        s"""cast((cast($scale as decimal(38,0)) * __d)
+           |  div (cast(n_a as decimal(38,0)) * n_b) as long)"""
+          .stripMargin))
+      .drop("__d")
+  }
 }

@@ -106,4 +106,42 @@ object Linkage {
         Seq("__cl"), "left")
       .withColumnRenamed("__cl", clusterCol)
   }
+
+  /** ε-band numeric self-join: all pairs with |v_a − v_b| <= eps
+    * (within optional blocking columns), id_a < id_b — the numeric-
+    * field twin of [[fuzzyPairs]] (near-identical amounts, timestamps,
+    * coordinates) without an O(n²) cross join.
+    *
+    * Scale: values bucket by `v div eps`; a within-eps pair can only
+    * sit in the same or adjacent buckets, so candidates come from ONE
+    * equi-join of the table against itself shifted {0, +1} buckets —
+    * candidate volume is bounded by per-bucket collisions, never n².
+    * Dedup is exact: same-bucket pairs keep id order, adjacent-bucket
+    * pairs match exactly once (higher bucket probes lower) and then
+    * canonicalize to (min id, max id). Output: (blockCols..., id_a,
+    * id_b, value_a, value_b, diff = value_b − value_a). */
+  def bandJoin(df: DataFrame, idCol: String, valueCol: String, eps: Long,
+               blockCols: Seq[String] = Seq.empty): DataFrame = {
+    require(eps > 0, "eps must be positive")
+    val base = df.select(col(idCol).cast("long").as("__id") +:
+        col(valueCol).cast("long").as("__v") +: blockCols.map(col): _*)
+      .withColumn("__b", expr(s"__v div ${eps}L"))
+    val probe = Seq(0L, 1L).map { d =>
+      base.select(col("__id").as("__pid") +: col("__v").as("__pv") +:
+        col("__b").as("__ob") +: (col("__b") + lit(d)).as("__b") +:
+        blockCols.map(col): _*)
+    }.reduce(_ unionByName _)
+    base.join(probe, Seq("__b") ++ blockCols)
+      .filter(((col("__ob") === col("__b") && col("__pid") > col("__id")) ||
+        col("__ob") === col("__b") - 1) &&
+        abs(col("__pv") - col("__v")) <= eps)
+      .select(blockCols.map(col) ++ Seq(
+        least(col("__id"), col("__pid")).as("id_a"),
+        greatest(col("__id"), col("__pid")).as("id_b"),
+        when(col("__id") <= col("__pid"), col("__v")).otherwise(col("__pv"))
+          .as("value_a"),
+        when(col("__id") <= col("__pid"), col("__pv")).otherwise(col("__v"))
+          .as("value_b")): _*)
+      .withColumn("diff", col("value_b") - col("value_a"))
+  }
 }

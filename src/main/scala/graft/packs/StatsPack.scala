@@ -265,6 +265,42 @@ object StatsPack extends QueryPack {
         Seq("p50" -> "greatest(1L, (__n * 50L) div 100L)",
           "p90" -> "greatest(1L, (__n * 90L) div 100L)"))
     }),
+
+    // two-sample KS: does the returned-flag slice draw quantities from
+    // the same distribution as the rest, per line status?
+    "q181_ks" -> ((s, dir) =>
+      Eval.ksTest(Tables.load(s, dir, "lineitem"),
+        "l_linestatus", "l_quantity", col("l_returnflag") === "R")),
+
+    // ε-band numeric self-join: order pairs within 100 cents of each
+    // other inside a priority class — bucketed candidates, never n²
+    "q182_band_pairs" -> ((s, dir) =>
+      graft.operators.Linkage.bandJoin(Tables.load(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            expr("cast(round(o_totalprice*100) as bigint)").as("cents")),
+        "o_orderkey", "cents", eps = 100L,
+        blockCols = Seq("o_orderpriority"))),
+
+    // daily audience accounting: new vs returning actives + exact
+    // cumulative distinct users (first-seen date, no sketch needed)
+    "q183_new_returning" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val firsts = e.groupBy(col("user_id")).agg(min(col("d")).as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("new_users"))
+      val active = e.groupBy(col("d")).agg(count(lit(1)).as("active_users"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      active.join(firsts, Seq("d"), "left")
+        .na.fill(0L, Seq("new_users"))
+        .withColumn("returning_users",
+          col("active_users") - col("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .select(col("d").cast("string").as("d"), col("active_users"),
+          col("new_users"), col("returning_users"), col("cum_users"))
+    }),
   )
 
   private val benfordCase: String =
@@ -950,5 +986,58 @@ object StatsPack extends QueryPack {
         |SELECT 'view->purchase' AS g, f.label, CAST(c.v AS BIGINT)
         |  AS value, f.n
         |FROM f JOIN c ON c.rn = f.r""".stripMargin,
+
+    "q181_ks" ->
+      """WITH v AS (
+        |  SELECT l_linestatus AS g, CAST(l_quantity AS BIGINT) AS vv,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT g, vv, CAST(sum(a) AS BIGINT) AS ca,
+        |    CAST(sum(1 - a) AS BIGINT) AS cb
+        |  FROM v GROUP BY 1, 2),
+        |c AS (
+        |  SELECT g, vv, ca, cb,
+        |    CAST(sum(ca) OVER (PARTITION BY g ORDER BY vv) AS BIGINT)
+        |      AS cuma,
+        |    CAST(sum(cb) OVER (PARTITION BY g ORDER BY vv) AS BIGINT)
+        |      AS cumb,
+        |    CAST(sum(ca) OVER (PARTITION BY g) AS BIGINT) AS na,
+        |    CAST(sum(cb) OVER (PARTITION BY g) AS BIGINT) AS nb
+        |  FROM b),
+        |m AS (
+        |  SELECT g, min(na) AS n_a, min(nb) AS n_b,
+        |    max(abs(CAST(cuma AS HUGEINT) * nb -
+        |            CAST(cumb AS HUGEINT) * na)) AS d
+        |  FROM c GROUP BY 1)
+        |SELECT g AS l_linestatus, n_a, n_b,
+        |  CAST((1000000 * d) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+        |    AS d_fp
+        |FROM m WHERE n_a > 0 AND n_b > 0""".stripMargin,
+
+    "q182_band_pairs" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS p, o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders)
+        |SELECT a.p AS o_orderpriority, a.k AS id_a, b.k AS id_b,
+        |  a.v AS value_a, b.v AS value_b, b.v - a.v AS diff
+        |FROM o a JOIN o b
+        |  ON a.p = b.p AND a.k < b.k AND abs(a.v - b.v) <= 100""".stripMargin,
+
+    "q183_new_returning" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS d FROM e GROUP BY 1),
+        |nu AS (SELECT d, CAST(count(*) AS BIGINT) AS new_users
+        |       FROM f GROUP BY 1),
+        |act AS (SELECT d, CAST(count(*) AS BIGINT) AS active_users
+        |        FROM e GROUP BY 1)
+        |SELECT CAST(act.d AS VARCHAR) AS d, act.active_users,
+        |  coalesce(nu.new_users, 0) AS new_users,
+        |  act.active_users - coalesce(nu.new_users, 0) AS returning_users,
+        |  CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY act.d)
+        |    AS BIGINT) AS cum_users
+        |FROM act LEFT JOIN nu ON act.d = nu.d""".stripMargin,
   )
 }

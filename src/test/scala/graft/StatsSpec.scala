@@ -357,6 +357,48 @@ class StatsSpec extends SparkSpec {
     assert(lin < 900000L)
   }
 
+  test("ksTest: hand-computed D, identical slices give 0") {
+    // A = {1,2}, B = {3,4}: D = 1 at v=2 → d_fp = scale
+    val apart = Seq(("g", 1L, 1), ("g", 2L, 1), ("g", 3L, 0),
+      ("g", 4L, 0)).toDF("g", "v", "a")
+    val d1 = Eval.ksTest(apart, "g", "v", col("a") === 1)
+      .as[(String, Long, Long, Long)].head()
+    assert(d1 === (("g", 2L, 2L, 1000000L)))
+    // A = B = {1,2,3} → D = 0
+    val same = (1 to 3).flatMap(v =>
+      Seq(("g", v.toLong, 1), ("g", v.toLong, 0))).toDF("g", "v", "a")
+    assert(Eval.ksTest(same, "g", "v", col("a") === 1)
+      .select("d_fp").as[Long].head() === 0L)
+    // interleaved hand case: A={1,3}, B={2,3}: cum at v=1: (1,0)→|1·2−0·2|=2
+    // v=2: (1,1)→0; v=3: (2,2)→0 → D=2/4 → 500000
+    val mix = Seq(("g", 1L, 1), ("g", 3L, 1), ("g", 2L, 0), ("g", 3L, 0))
+      .toDF("g", "v", "a")
+    assert(Eval.ksTest(mix, "g", "v", col("a") === 1)
+      .select("d_fp").as[Long].head() === 500000L)
+  }
+
+  test("bandJoin matches brute force incl. negatives and bucket edges") {
+    val rnd = new scala.util.Random(5)
+    val eps = 7L
+    val rows = (1 to 120).map(i =>
+      (i.toLong, rnd.nextInt(200).toLong - 100L, "b" + (i % 2)))
+    val got = Linkage.bandJoin(rows.toDF("id", "v", "blk"),
+        "id", "v", eps, blockCols = Seq("blk"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // uniqueness: every pair appears exactly once
+    assert(got.map(r => (r._2, r._3)).distinct.length === got.length)
+    val expected = (for {
+      a <- rows; b <- rows
+      if a._3 == b._3 && a._1 < b._1 && math.abs(a._2 - b._2) <= eps
+    } yield ((a._1, b._1), (a._2, b._2))).toMap
+    assert(got.map(r => (r._2, r._3)).toSet === expected.keySet)
+    got.foreach { r =>
+      assert((r._4, r._5) === expected((r._2, r._3)),
+        s"values for pair ${(r._2, r._3)}")
+      assert(r._6 === r._5 - r._4)
+    }
+  }
+
   test("seasonalProfile: weekday baseline and residuals, exact") {
     // Mondays 2024-01-01/08 with 2 and 4 events; Tuesday 01-02 with 3
     def ts(d: String, n: Int) = (1 to n).map(i => (s"$d 0$i:00:00", "e"))
