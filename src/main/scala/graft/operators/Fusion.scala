@@ -109,4 +109,46 @@ object Fusion {
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     rrfFuse(Seq(lexical, dense), "query_id", "doc_id", "rank", topK, kRrf)
   }
+
+  /** Fixed-point DCG discount table: round(scale / log2(r+1)) for
+    * r = 1..k — pure math constants; embed the SAME literals in any
+    * oracle (the [[graft.operators.Profile.BenfordFp]] pattern). */
+  def ndcgDiscFp(k: Int, scale: Long = 1000000L): Seq[Long] =
+    (1 to k).map(r => math.round(scale / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Exact NDCG@k (binary relevance) per query — positional quality
+    * where Recall@k is positional-blind: DCG_fp sums the fixed-point
+    * discount of each hit's rank, IDCG_fp is the discount prefix-sum at
+    * min(k, n_truth), and ndcg_fp = scale·DCG div IDCG. Because the
+    * discounts are embedded integer constants, the whole metric is
+    * engine-exact despite the log in its definition.
+    *
+    * Scale: same shape as [[retrievalMetrics]] — truth dedupes once
+    * (checkpointed), hits are one (query, doc) equi-join with a per-row
+    * array-literal discount lookup, per-query partial aggs; nothing
+    * ranks globally. Queries without truth are dropped; queries with no
+    * hits report 0. Output: (queryCol, n_truth, dcg_fp, idcg_fp,
+    * ndcg_fp). */
+  def ndcgAtK(results: DataFrame, truth: DataFrame, queryCol: String,
+              docCol: String, rankCol: String, k: Int,
+              scale: Long = 1000000L): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
+    val disc = ndcgDiscFp(k, scale)
+    val cum = disc.scanLeft(0L)(_ + _).tail
+    val res = results.filter(col(rankCol) >= 1 && col(rankCol) <= k)
+      .select(col(queryCol), col(docCol), col(rankCol).cast("int").as("__rk"))
+    val tr = truth.select(col(queryCol), col(docCol)).distinct()
+      .localCheckpoint(true) // n_truth agg + hit join both read it
+    val nT = tr.groupBy(col(queryCol)).agg(count(lit(1)).as("n_truth"))
+    val dcg = res.join(tr, Seq(queryCol, docCol))
+      .select(col(queryCol),
+        element_at(array(disc.map(lit): _*), col("__rk")).as("__d"))
+      .groupBy(col(queryCol)).agg(sum(col("__d")).as("dcg_fp"))
+    nT.join(dcg, Seq(queryCol), "left")
+      .na.fill(0L, Seq("dcg_fp"))
+      .withColumn("idcg_fp",
+        element_at(array(cum.map(lit): _*),
+          least(col("n_truth"), lit(k.toLong)).cast("int")))
+      .withColumn("ndcg_fp", expr(s"($scale * dcg_fp) div idcg_fp"))
+  }
 }

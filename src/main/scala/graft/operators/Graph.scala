@@ -350,4 +350,53 @@ object Graph {
       .union(live.select(col("v")))
       .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
   }
+
+  /** Modularity Q of a community assignment over an undirected simple
+    * graph, exact fixed point: with m edges, Σe_c intra-community
+    * edges, and d_c community degree sums,
+    * `Q = (4m·Σe_c − Σd_c²) / (4m²)` — emitted as
+    * `q_fp = scale·(4m·Σe_c − Σd_c²) div (4m²)` with the sign factored
+    * (Q < 0 means worse than random). The quality score for
+    * [[labelPropagation]]'s output (Newman 2004 — public formula).
+    *
+    * Contract: `communities` must label every edge endpoint (inner
+    * joins drop unlabeled edges, silently shrinking m otherwise).
+    *
+    * Scale: edges canonicalize once (checkpointed — reread by the
+    * label join and the degree rollup); intra/total counts are ONE
+    * aggregate over the label-joined edges; Σd_c² is two partial aggs
+    * (node degrees → community sums → one squared-sum row). Products
+    * ride decimal(38,0) (4m² at 10^12 edges ≈ 4·10^24). Output: one
+    * row (m, intra_edges, q_fp). */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 communities: DataFrame, nodeCol: String, labelCol: String,
+                 scale: Long = 1000000L): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol).localCheckpoint(true)
+    val lab = communities.select(col(nodeCol).cast("long").as("__n"),
+      col(labelCol).cast("long").as("__l"))
+    val counts = und
+      .join(lab.select(col("__n").as("u"), col("__l").as("__lu")), Seq("u"))
+      .join(lab.select(col("__n").as("v"), col("__l").as("__lv")), Seq("v"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("__lu") === col("__lv"), 1L).otherwise(0L))
+          .as("intra_edges"))
+    val sd2 = und.select(col("u").as("__n"))
+      .unionByName(und.select(col("v").as("__n")))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+      .join(lab, Seq("__n"))
+      .groupBy(col("__l"))
+      .agg(sum(col("__d")).cast("decimal(38,0)").as("__dc"))
+      .agg(sum(col("__dc") * col("__dc")).as("__sd2"))
+    counts.crossJoin(broadcast(sd2))
+      .withColumn("q_fp", expr(
+        s"""cast(case
+           |  when 4 * cast(m as decimal(38,0)) * intra_edges - __sd2 >= 0
+           |    then ($scale * (4 * cast(m as decimal(38,0)) * intra_edges
+           |          - __sd2)) div (4 * cast(m as decimal(38,0)) * m)
+           |  else -(($scale * (__sd2 -
+           |          4 * cast(m as decimal(38,0)) * intra_edges))
+           |         div (4 * cast(m as decimal(38,0)) * m))
+           |  end as long)""".stripMargin))
+      .drop("__sd2")
+  }
 }

@@ -301,11 +301,78 @@ object StatsPack extends QueryPack {
         .select(col("d").cast("string").as("d"), col("active_users"),
           col("new_users"), col("returning_users"), col("cum_users"))
     }),
+
+    // exact NDCG@10 of the integer-MIPS ranking vs same-label truth —
+    // positional quality next to q156's Recall/MRR; the log2 discounts
+    // are embedded fixed-point constants, so the metric hash-checks
+    "q184_ndcg" -> ((s, dir) => {
+      val t = Tables.load(s, dir, "embeddings")
+      val results = graft.operators.Quantize.topKQuantized(t, "vec_id",
+          "embedding", pmod(col("vec_id"), lit(50)) === 0, k = 10,
+          graft.operators.Quantize.scaleOf(t, "embedding"))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      val q = t.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("label").as("__ql"))
+      val truth = t.select(col("vec_id").as("doc_id"), col("label"))
+        .join(q, col("label") === col("__ql") &&
+          col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"))
+      graft.operators.Fusion.ndcgAtK(results, truth, "query_id",
+        "doc_id", "rank", k = 10)
+    }),
+
+    // modularity of the label-propagation communities on the part
+    // co-occurrence graph — the quality verdict on q137's clustering
+    "q185_modularity" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+      val pairs = li.withColumnRenamed("pk", "u")
+        .join(li.withColumnRenamed("pk", "v"), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count_distinct(col("ok")).as("__c"))
+        .filter(col("__c") >= 2)
+        .select(col("u"), col("v"))
+      val comm = Graph.labelPropagation(pairs, "u", "v", rounds = 5)
+      Graph.modularity(pairs, "u", "v", comm, "node", "label")
+    }),
+
+    // estimate-vs-truth quantile report from the deterministic
+    // portable per-group sample — how far off is a 12-doc sample's
+    // median/p90? (samplePerGroup → valueAtRanks, twice, joined)
+    "q186_sample_quantiles" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val ranks = Seq("p50" -> "greatest(1L, (__n * 50L) div 100L)",
+        "p90" -> "greatest(1L, (__n * 90L) div 100L)")
+      val est = graft.operators.Selection.valueAtRanks(
+          graft.operators.Splits.samplePerGroup(docs, "source",
+            "doc_id", k = 12, seed = "q186"),
+          "source", "n_chars", ranks)
+        .select(col("source"), col("label"),
+          col("value").as("est_value"), col("n").as("n_sample"))
+      val exact = graft.operators.Selection.valueAtRanks(docs, "source",
+          "n_chars", ranks)
+        .select(col("source"), col("label"),
+          col("value").as("exact_value"), col("n"))
+      est.join(exact, Seq("source", "label"))
+        .withColumn("err", col("est_value") - col("exact_value"))
+    }),
   )
 
   private val benfordCase: String =
     (1 to 9).zip(Profile.BenfordFp)
       .map { case (d, p) => s"WHEN $d THEN $p" }.mkString(" ")
+
+  // NDCG@10 discount / ideal-prefix constants, shared with the oracle
+  private val NdcgDisc = graft.operators.Fusion.ndcgDiscFp(10)
+  private val ndcgDiscCase: String = (1 to 10).zip(NdcgDisc)
+    .map { case (r, d) => s"WHEN $r THEN $d" }.mkString(" ")
+  private val ndcgIdcgCase: String =
+    (1 to 10).zip(NdcgDisc.scanLeft(0L)(_ + _).tail)
+      .map { case (n, c) => s"WHEN $n THEN $c" }.mkString(" ")
 
   def oracleSql: Map[String, String] = Map(
     "q157_auc" ->
@@ -1039,5 +1106,156 @@ object StatsPack extends QueryPack {
         |  CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY act.d)
         |    AS BIGINT) AS cum_users
         |FROM act LEFT JOIN nu ON act.d = nu.d""".stripMargin,
+
+    "q184_ndcg" ->
+      s"""WITH sc AS (
+         |  SELECT max(av) AS s FROM (
+         |    SELECT unnest(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE)))) AS av
+         |    FROM embeddings)
+         |), q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> greatest(-127, least(127,
+         |      CAST(round(CAST(x AS DOUBLE) * 127.0 / sc.s) AS BIGINT)))) AS qv
+         |  FROM embeddings, sc
+         |), p AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+         |      x -> x[1] * x[2])) AS BIGINT) AS qdot
+         |  FROM q a JOIN q b
+         |    ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
+         |), r AS (
+         |  SELECT query_id, neighbor_id, qdot,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY qdot DESC, neighbor_id) AS rnk
+         |  FROM p
+         |), tr AS (
+         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS doc_id
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id % 50 = 0 AND a.label = b.label
+         |      AND b.vec_id <> a.vec_id
+         |), nt AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+         |  FROM tr GROUP BY 1
+         |), h AS (
+         |  SELECT r.query_id,
+         |    CAST(sum(CASE r.rnk $ndcgDiscCase END) AS BIGINT) AS dcg_fp
+         |  FROM r JOIN tr ON r.query_id = tr.query_id
+         |    AND r.neighbor_id = tr.doc_id
+         |  WHERE r.rnk <= 10 GROUP BY 1
+         |)
+         |SELECT nt.query_id, nt.n_truth,
+         |  coalesce(h.dcg_fp, 0) AS dcg_fp,
+         |  CAST(CASE least(nt.n_truth, 10) $ndcgIdcgCase END AS BIGINT)
+         |    AS idcg_fp,
+         |  (1000000 * coalesce(h.dcg_fp, 0))
+         |    // (CASE least(nt.n_truth, 10) $ndcgIdcgCase END) AS ndcg_fp
+         |FROM nt LEFT JOIN h ON nt.query_id = h.query_id""".stripMargin,
+
+    "q185_modularity" ->
+      """WITH RECURSIVE
+        |li AS (
+        |  SELECT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        |  FROM lineitem),
+        |p0 AS (
+        |  SELECT u, v FROM (
+        |    SELECT a.pk AS u, b.pk AS v, count(DISTINCT a.ok) AS c
+        |    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |    GROUP BY 1, 2) WHERE c >= 2),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT u AS node FROM p0 UNION ALL SELECT v FROM p0)),
+        |prop AS (
+        |  SELECT u AS src, v AS dst FROM p0
+        |  UNION ALL SELECT v, u FROM p0
+        |  UNION ALL SELECT node, node FROM nodes),
+        |r AS (
+        |  SELECT 0 AS it, node, node AS label FROM nodes
+        |  UNION ALL
+        |  SELECT it, node, label FROM (
+        |    SELECT c.it, c.node, c.label,
+        |      row_number() OVER (PARTITION BY c.it, c.node
+        |                         ORDER BY c.cnt DESC, c.label ASC) AS rn
+        |    FROM (
+        |      SELECT r.it + 1 AS it, p.dst AS node, r.label AS label,
+        |        count(*) AS cnt
+        |      FROM r JOIN prop p ON r.node = p.src
+        |      WHERE r.it < 5
+        |      GROUP BY r.it + 1, p.dst, r.label
+        |    ) c
+        |  ) WHERE rn = 1
+        |),
+        |lab AS (SELECT node, label FROM r WHERE it = 5),
+        |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM p0),
+        |intra AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS i
+        |  FROM p0 JOIN lab a ON p0.u = a.node
+        |          JOIN lab b ON p0.v = b.node
+        |  WHERE a.label = b.label),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS node FROM p0 UNION ALL SELECT v FROM p0)
+        |  GROUP BY 1),
+        |dc AS (
+        |  SELECT a.label, CAST(sum(deg.d) AS HUGEINT) AS dcv
+        |  FROM deg JOIN lab a ON deg.node = a.node GROUP BY 1),
+        |s2 AS (SELECT CAST(sum(dcv * dcv) AS HUGEINT) AS sd2 FROM dc)
+        |SELECT CAST(mm.m AS BIGINT) AS m,
+        |  CAST(intra.i AS BIGINT) AS intra_edges,
+        |  CAST(CASE WHEN 4 * mm.m * intra.i - s2.sd2 >= 0
+        |    THEN (1000000 * (4 * mm.m * intra.i - s2.sd2))
+        |         // (4 * mm.m * mm.m)
+        |    ELSE -((1000000 * (s2.sd2 - 4 * mm.m * intra.i))
+        |         // (4 * mm.m * mm.m)) END AS BIGINT) AS q_fp
+        |FROM mm, intra, s2""".stripMargin,
+
+    "q186_sample_quantiles" ->
+      """WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_chars, row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5(
+        |          CAST(doc_id AS VARCHAR) || '|q186'), 1, 8))
+        |        ::BIGINT % 1000000, doc_id) AS rk
+        |  FROM d),
+        |samp AS (SELECT source, n_chars FROM r WHERE rk <= 12),
+        |sr AS (
+        |  SELECT source, n_chars AS v,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM samp),
+        |sq AS (
+        |  SELECT source, 'p50' AS label,
+        |    max(CASE WHEN rn = greatest(1, (n * 50) // 100) THEN v END)
+        |      AS est_value, CAST(min(n) AS BIGINT) AS n_sample
+        |  FROM sr GROUP BY 1
+        |  UNION ALL
+        |  SELECT source, 'p90',
+        |    max(CASE WHEN rn = greatest(1, (n * 90) // 100) THEN v END),
+        |    CAST(min(n) AS BIGINT)
+        |  FROM sr GROUP BY 1),
+        |fr AS (
+        |  SELECT source, n_chars AS v,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM d),
+        |fq AS (
+        |  SELECT source, 'p50' AS label,
+        |    max(CASE WHEN rn = greatest(1, (n * 50) // 100) THEN v END)
+        |      AS exact_value, CAST(min(n) AS BIGINT) AS n
+        |  FROM fr GROUP BY 1
+        |  UNION ALL
+        |  SELECT source, 'p90',
+        |    max(CASE WHEN rn = greatest(1, (n * 90) // 100) THEN v END),
+        |    CAST(min(n) AS BIGINT)
+        |  FROM fr GROUP BY 1)
+        |SELECT sq.source, sq.label, CAST(sq.est_value AS BIGINT)
+        |    AS est_value, sq.n_sample,
+        |  CAST(fq.exact_value AS BIGINT) AS exact_value, fq.n,
+        |  CAST(sq.est_value - fq.exact_value AS BIGINT) AS err
+        |FROM sq JOIN fq ON sq.source = fq.source AND sq.label = fq.label
+        |""".stripMargin,
   )
 }

@@ -399,6 +399,36 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("ndcgAtK: positional credit, ideal prefix, zero-hit query") {
+    val results = Seq((1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3),
+      (2L, 98L, 1)).toDF("q", "doc", "rank")
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L))
+      .toDF("q", "doc")
+    val out = graft.operators.Fusion.ndcgAtK(results, truth, "q", "doc",
+        "rank", k = 10)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val disc = graft.operators.Fusion.ndcgDiscFp(10)
+    val dcg = disc(0) + disc(2) // hits at ranks 1 and 3
+    val idcg = disc.take(3).sum
+    assert(out(1L) === ((3L, dcg, idcg, 1000000L * dcg / idcg)))
+    assert(out(2L) === ((1L, 0L, disc(0), 0L))) // no hits → 0
+  }
+
+  test("modularity: two-triangle hand case; single community gives 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("u", "v")
+    val comm2 = (1 to 6).map(n => (n.toLong, if (n <= 3) 1L else 2L))
+      .toDF("node", "label")
+    val q2 = graft.operators.Graph.modularity(edges, "u", "v", comm2,
+      "node", "label").as[(Long, Long, Long)].head()
+    // m=7, intra=6, d_c = 7 each: Q = (4·7·6 − 98)/196 = 70/196
+    assert(q2 === ((7L, 6L, 1000000L * 70 / 196)))
+    val comm1 = (1 to 6).map(n => (n.toLong, 1L)).toDF("node", "label")
+    assert(graft.operators.Graph.modularity(edges, "u", "v", comm1,
+      "node", "label").select("q_fp").as[Long].head() === 0L)
+  }
+
   test("seasonalProfile: weekday baseline and residuals, exact") {
     // Mondays 2024-01-01/08 with 2 and 4 events; Tuesday 01-02 with 3
     def ts(d: String, n: Int) = (1 to n).map(i => (s"$d 0$i:00:00", "e"))
