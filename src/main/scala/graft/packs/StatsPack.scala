@@ -214,6 +214,10 @@ object StatsPack extends QueryPack {
       val res = Rolling.seasonalProfile(Tables.events(s, dir),
           "event_type", "ts")
         .select(col("event_type"), col("date"), col("residual_fp"))
+        // robustOutliers' two Selection passes + two deviation joins
+        // each re-read the input; pin the (day-bounded) residual rows
+        // once instead of re-deriving them from raw events per pass
+        .localCheckpoint(true)
       Profile.robustOutliers(res, "event_type", "residual_fp",
           threshBp = 35000)
         .select(col("event_type"), col("date").cast("string").as("d"),
@@ -335,6 +339,9 @@ object StatsPack extends QueryPack {
         .agg(count_distinct(col("ok")).as("__c"))
         .filter(col("__c") >= 2)
         .select(col("u"), col("v"))
+        // consumed by BOTH the LPA loop and modularity's edge/degree
+        // rollups — pin the expensive co-occurrence derivation once
+        .localCheckpoint(true)
       val comm = Graph.labelPropagation(pairs, "u", "v", rounds = 5)
       Graph.modularity(pairs, "u", "v", comm, "node", "label")
     }),
