@@ -789,4 +789,57 @@ object Profile {
       .drop("rank", "n")
     corrOver(rxy, Seq(groupCol), "__px", "__py", scale)
   }
+
+  /** Quantile normalization: replace each value with the GLOBAL value
+    * at its within-group percentile — the distribution-alignment
+    * transform (batch-effect correction) that makes groups comparable
+    * without destroying order. Declared integer procedure, engine-
+    * exact: per-row `pct_bp = scale·rank_g div n_g` (RANK() semantics
+    * via [[Selection.rankRows]] — no group window over facts), then
+    * `normalized = global value at multiset rank
+    * max(1, pct_bp·N div scale)`.
+    *
+    * Scale: one rankRows pass (bucket histograms) for the per-group
+    * percentiles; the global inverse CDF resolves by a MERGE-AS-OF on
+    * the rank axis — distinct values carry their multiset min-rank as
+    * anchors, the ≤ scale+1 requested ranks probe them, and a
+    * last-non-null carry answers every probe in one bounded window
+    * pass (anchors are DISTINCT values: value-domain bounded — for a
+    * very wide domain pre-quantize, the [[Eval.rocAuc]] caveat). The
+    * scale+1-row lookup broadcasts back onto the rows. Output: input
+    * columns + pct_bp + normalized. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        scale: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(scale >= 1 && scale <= 1000000L, "scale in [1, 10^6]")
+    val ranked = Selection.rankRows(df, groupCol, valueCol)
+      .withColumn("pct_bp", expr(s"($scale * rank) div n"))
+      .drop("rank", "n")
+      .localCheckpoint(true) // rankRows lineage is multi-scan; pin it
+    val n = df.count()
+    require(n > 0, "quantileNormalize: empty input")
+    val wv = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val anchors = df.groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__r", coalesce(sum(col("__c")).over(wv), lit(0L)) + 1L)
+      .select(col("__r"), lit(0).as("__k"), col("__v"),
+        lit(null).cast("long").as("pct_bp"))
+    val levels = df.sparkSession.range(0, scale + 1)
+      .select(col("id").as("pct_bp"))
+      .withColumn("__r", expr(s"greatest(1L, (pct_bp * ${n}L) div $scale)"))
+      .select(col("__r"), lit(1).as("__k"),
+        lit(null).cast("long").as("__v"), col("pct_bp"))
+    val wc = Window.orderBy(col("__r"), col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lookup = anchors.unionByName(levels)
+      .withColumn("__nv",
+        last(when(col("__k") === 0, col("__v")), ignoreNulls = true)
+          .over(wc))
+      .filter(col("__k") === 1)
+      .select(col("pct_bp"), col("__nv").as("normalized"))
+    ranked.join(broadcast(lookup), Seq("pct_bp"))
+      .select(df.columns.map(col) ++
+        Seq(col("pct_bp"), col("normalized")): _*)
+  }
 }

@@ -220,4 +220,29 @@ object Rolling {
     }.reduce(_ unionByName _)
     Profile.corrOver(pairs, Seq(groupCol, "lag"), "__x", "__y", scale)
   }
+
+  /** Cross-series correlation matrix: signed fp r² between every pair
+    * of groups' daily count series, date-aligned — "which metrics move
+    * together" across event types / sources / tenants. Only dates
+    * where BOTH series have counts pair up (inner date join).
+    *
+    * Scale: one shuffle to daily counts (checkpointed — both sides of
+    * the pair join read it); the date-keyed self-join is bounded by
+    * series × days; then the shared corr procedure's one partial agg
+    * per pair. Output: (series_a, series_b, n, r2_fp), a < b. */
+  def crossCorrelation(df: DataFrame, groupCol: String, tsCol: String,
+                       scale: Long = 1000000L): DataFrame = {
+    val daily = df
+      .groupBy(col(groupCol), to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("__x"))
+      .localCheckpoint(true)
+    val joined = daily
+      .select(col(groupCol).as("series_a"), col("__d"),
+        col("__x").as("__xa"))
+      .join(daily.select(col(groupCol).as("series_b"), col("__d"),
+        col("__x").as("__xb")), Seq("__d"))
+      .filter(col("series_a") < col("series_b"))
+    Profile.corrOver(joined, Seq("series_a", "series_b"), "__xa", "__xb",
+      scale)
+  }
 }

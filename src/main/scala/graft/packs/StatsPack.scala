@@ -367,6 +367,36 @@ object StatsPack extends QueryPack {
       est.join(exact, Seq("source", "label"))
         .withColumn("err", col("est_value") - col("exact_value"))
     }),
+
+    // quantile normalization: align each return-flag's price
+    // distribution onto the global one (batch-effect correction)
+    "q187_quantile_norm" -> ((s, dir) =>
+      Profile.quantileNormalize(Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"),
+            expr("cast(round(l_extendedprice*100) as bigint)")
+              .as("cents")),
+        "l_returnflag", "cents")),
+
+    // which event-type daily series move together: pairwise signed r²
+    "q188_cross_corr" -> ((s, dir) =>
+      Rolling.crossCorrelation(Tables.events(s, dir), "event_type",
+        "ts")),
+
+    // tokenizer-vocab coverage: OOV rate per language against the
+    // corpus top-200 vocabulary
+    "q189_oov" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val vocab = graft.operators.Chunking.topVocab(docs, "text", 200)
+        .select(col("term"), lit(1).as("__in"))
+      docs.select(col("lang"),
+          explode(TextAnalysis.words(col("text"))).as("term"))
+        .join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_bp", expr("(10000 * n_oov) div n_tokens"))
+    }),
   )
 
   private val benfordCase: String =
@@ -1264,5 +1294,87 @@ object StatsPack extends QueryPack {
         |  CAST(sq.est_value - fq.exact_value AS BIGINT) AS err
         |FROM sq JOIN fq ON sq.source = fq.source AND sq.label = fq.label
         |""".stripMargin,
+
+    "q187_quantile_norm" ->
+      """WITH v AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |rk AS (
+        |  SELECT l_orderkey, l_linenumber, g, cents,
+        |    CAST(rank() OVER (PARTITION BY g ORDER BY cents) AS BIGINT)
+        |      AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM v),
+        |p AS (
+        |  SELECT l_orderkey, l_linenumber, g, cents,
+        |    (10000 * rnk) // n AS pct_bp
+        |  FROM rk),
+        |gl AS (
+        |  SELECT cents AS gval,
+        |    CAST(row_number() OVER (ORDER BY cents) AS BIGINT) AS grn
+        |  FROM v),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+        |SELECT p.l_orderkey, p.l_linenumber, p.g AS l_returnflag,
+        |  p.cents, p.pct_bp, gl.gval AS normalized
+        |FROM p JOIN gl
+        |  ON gl.grn = greatest(1, (p.pct_bp * (SELECT n FROM nn)) // 10000)
+        |""".stripMargin,
+
+    "q188_cross_corr" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS dd,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT a.g AS series_a, b.g AS series_b, a.x AS x0, b.x AS y0
+        |  FROM daily a JOIN daily b ON a.dd = b.dd AND a.g < b.g),
+        |an AS (SELECT series_a, series_b, min(x0) AS ax, min(y0) AS ay
+        |       FROM pd GROUP BY 1, 2),
+        |sh AS (SELECT pd.series_a, pd.series_b, pd.x0 - an.ax AS x,
+        |         pd.y0 - an.ay AS y
+        |       FROM pd JOIN an USING (series_a, series_b)),
+        |p AS (
+        |  SELECT series_a, series_b, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x*x) AS HUGEINT) AS sxx,
+        |    CAST(sum(y*y) AS HUGEINT) AS syy,
+        |    CAST(sum(x*y) AS HUGEINT) AS sxy
+        |  FROM sh GROUP BY 1, 2),
+        |q AS (
+        |  SELECT series_a, series_b, n, n*sxy - sx*sy AS cov,
+        |    n*sxx - sx*sx AS vx, n*syy - sy*sy AS vy
+        |  FROM p),
+        |r AS (
+        |  SELECT series_a, series_b, n,
+        |    CASE WHEN cov >= 0 THEN (1000000 * cov) // (n*n)
+        |      ELSE -((1000000 * (-cov)) // (n*n)) END AS covn,
+        |    (1000000 * vx) // (n*n) AS vxn,
+        |    (1000000 * vy) // (n*n) AS vyn
+        |  FROM q)
+        |SELECT series_a, series_b, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN vxn = 0 OR vyn = 0 THEN NULL
+        |    WHEN covn >= 0 THEN (1000000 * covn * covn) // (vxn * vyn)
+        |    ELSE -((1000000 * covn * covn) // (vxn * vyn))
+        |    END AS BIGINT) AS r2_fp
+        |FROM r""".stripMargin,
+
+    "q189_oov" ->
+      """WITH terms AS (
+        |  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS term
+        |  FROM documents),
+        |counts AS (SELECT term, count(*) AS n FROM terms GROUP BY 1),
+        |vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, row_number() OVER (ORDER BY n DESC, term) AS rk
+        |    FROM counts) WHERE rk <= 200)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  (10000 * CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // CAST(count(*) AS BIGINT) AS oov_bp
+        |FROM terms t LEFT JOIN vocab v ON t.term = v.term
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -429,6 +429,43 @@ class StatsSpec extends SparkSpec {
       "node", "label").select("q_fp").as[Long].head() === 0L)
   }
 
+  test("quantileNormalize aligns group distributions onto the global") {
+    val df = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++
+        Seq(10L, 10L, 30L, 40L).map(("b", _)))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    val out = Profile.quantileNormalize(df, "g", "v")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => (r._2, r._3) -> r._5).toMap
+    // global sorted: 1,2,3,4,10,10,30,40 (N=8)
+    assert(out(("a", 1L)) === 2L) // pct 2500 → rank 2
+    assert(out(("a", 2L)) === 4L) // pct 5000 → rank 4
+    assert(out(("a", 3L)) === 10L) // pct 7500 → rank 6
+    assert(out(("a", 4L)) === 40L) // pct 10000 → rank 8
+    // ties: both b=10 rows share rank 1 → pct 2500 → 2
+    assert(out(("b", 10L)) === 2L)
+    assert(out(("b", 30L)) === 10L) // rank 3/4 → pct 7500 → rank 6
+    assert(out(("b", 40L)) === 40L)
+  }
+
+  test("crossCorrelation: identical series +scale, mirrored -scale") {
+    def t(d: Int, h: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-$d%02d $h%02d:00:00")
+    // series A and B identical counts per day; C mirrored (5-n)
+    val rows = (1 to 6).flatMap { d =>
+      val n = 1 + (d % 3) // 2,3,1,2,3,1
+      Seq.fill(n)(("A", t(d, 1))) ++ Seq.fill(n)(("B", t(d, 2))) ++
+        Seq.fill(4 - n)(("C", t(d, 3)))
+    }
+    val out = graft.operators.Rolling.crossCorrelation(
+        rows.toDF("g", "ts"), "g", "ts")
+      .as[(String, String, Long, Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(out(("A", "B")) === Some(1000000L))
+    assert(out(("A", "C")) === Some(-1000000L))
+    assert(out(("B", "C")) === Some(-1000000L))
+  }
+
   test("seasonalProfile: weekday baseline and residuals, exact") {
     // Mondays 2024-01-01/08 with 2 and 4 events; Tuesday 01-02 with 3
     def ts(d: String, n: Int) = (1 to n).map(i => (s"$d 0$i:00:00", "e"))
