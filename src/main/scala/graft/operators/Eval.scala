@@ -213,4 +213,54 @@ object Eval {
           .stripMargin))
       .drop("__d")
   }
+
+  /** Isotonic (PAV) calibration over [[calibration]]'s bins: pool
+    * adjacent violators until the bin means are non-decreasing — the
+    * standard monotone recalibration of a score (Zadrozny & Elkan
+    * 2002; public algorithm). Pooling compares block means as exact
+    * cross-multiplied rationals (no intermediate flooring), and each
+    * final block's calibrated value floors once:
+    * `calibrated_fp = Σ(n_i·frac_fp_i) div Σn_i`.
+    *
+    * Scale: PAV is inherently sequential, but only over the ≤ nBins
+    * rows per group — the fold runs in `flatMapGroups` over the BINNED
+    * aggregate, never raw rows (the [[Survival.kaplanMeier]] posture).
+    * Output: (group, bin, n, frac_fp, calibrated_fp), calibrated_fp
+    * non-decreasing in bin within every group. */
+  def isotonicCalibrate(binned: DataFrame, groupCol: String,
+                        binCol: String, nCol: String,
+                        fracFpCol: String): DataFrame = {
+    val spark = binned.sparkSession
+    import spark.implicits._
+    binned.select(col(groupCol).cast("string"), col(binCol).cast("int"),
+        col(nCol).cast("long"), col(fracFpCol).cast("long"))
+      .as[(String, Int, Long, Long)]
+      .groupByKey(_._1).flatMapGroups { (g, it) =>
+        val bins = it.toArray.sortBy(_._2)
+        // blocks on a stack: (start index, weight, mass = Σ n·frac)
+        val stack =
+          scala.collection.mutable.ArrayBuffer.empty[(Int, BigInt, BigInt)]
+        for (((_, _, n, f), idx) <- bins.zipWithIndex) {
+          var cur = (idx, BigInt(n), BigInt(n) * f)
+          // pool while the previous block's mean >= current's:
+          // mass_p/w_p >= mass_c/w_c  ⇔  mass_p·w_c >= mass_c·w_p
+          while (stack.nonEmpty &&
+              stack.last._3 * cur._2 >= cur._3 * stack.last._2) {
+            val p = stack.remove(stack.length - 1)
+            cur = (p._1, p._2 + cur._2, p._3 + cur._3)
+          }
+          stack += cur
+        }
+        val out = Array.newBuilder[(String, Int, Long, Long, Long)]
+        for (i <- stack.indices) {
+          val (start, w, mass) = stack(i)
+          val end =
+            if (i + 1 < stack.length) stack(i + 1)._1 else bins.length
+          val cal = (mass / w).toLong
+          for (j <- start until end)
+            out += ((g, bins(j)._2, bins(j)._3, bins(j)._4, cal))
+        }
+        out.result().iterator
+      }.toDF(groupCol, binCol, nCol, fracFpCol, "calibrated_fp")
+  }
 }

@@ -84,4 +84,43 @@ object Quantize {
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("neighbor_id"), col("qdot"))
   }
+
+  /** Embedding centroid drift between two corpus slices, all-integer:
+    * per label the int8-quantized per-dimension centroid
+    * `c_fp = 1000·Σq div n` (per-mille of int8 units, shared `scale`
+    * across both slices so the codes are comparable) and the squared
+    * L2 distance between the two slices' centroids — the "did this
+    * label's embedding mass move" drift alarm, exact where float
+    * centroid math never hash-checks.
+    *
+    * Scale: ONE pass explodes codes to (slice, label, pos) partial
+    * sums (bounded by 2·labels·dims rows); slices meet in one
+    * aggregate-frame join; the distance rollup is a labels-sized agg.
+    * Output: (label, n_a, n_b, dist2) with dist2 = Σ_pos (c_a − c_b)².
+    */
+  def centroidShift(df: DataFrame, idCol: String, embCol: String,
+                    labelCol: String, sliceA: Column,
+                    scale: Double): DataFrame = {
+    val codes = df.select(col(labelCol).as("label"),
+        when(sliceA, 0).otherwise(1).as("__s"),
+        posexplode(quantize(col(embCol), scale)).as(Seq("__p", "__q")))
+      .groupBy(col("label"), col("__s"), col("__p"))
+      .agg(sum(col("__q")).as("__sum"), count(lit(1)).as("__n"))
+      // sums can be negative: factor the sign so Spark's truncating
+      // div and an oracle's floor division agree
+      .withColumn("__c", expr(
+        """case when __sum >= 0 then (1000 * __sum) div __n
+          |  else -((1000 * -__sum) div __n) end""".stripMargin))
+    val a = codes.filter(col("__s") === 0)
+      .select(col("label"), col("__p"), col("__c").as("__ca"),
+        col("__n").as("n_a"))
+    val b = codes.filter(col("__s") === 1)
+      .select(col("label"), col("__p"), col("__c").as("__cb"),
+        col("__n").as("n_b"))
+    a.join(b, Seq("label", "__p"))
+      .groupBy(col("label"))
+      .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
+        sum((col("__ca") - col("__cb")) * (col("__ca") - col("__cb")))
+          .as("dist2"))
+  }
 }

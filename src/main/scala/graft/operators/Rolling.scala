@@ -245,4 +245,60 @@ object Rolling {
     Profile.corrOver(joined, Seq("series_a", "series_b"), "__xa", "__xb",
       scale)
   }
+
+  /** Weekly growth accounting — the standard active-user quad: per ISO
+    * week, how many actives are NEW (first-ever week), RETAINED
+    * (active the prior week too), RESURRECTED (returning after a gap),
+    * and how many prior-week actives CHURNED out. The identity
+    * `active_w = new + retained + resurrected` and
+    * `retained_w + churned_w = active_{w−1}` make the report
+    * self-auditing.
+    *
+    * Scale: distinct (user, week) once (checkpointed — five consumers);
+    * first-week is a user-keyed aggregate; retained/churned are
+    * (user, week)-keyed self-joins with the week shifted 7 days —
+    * all co-partitioned equi-joins — and the rollup is one conditional
+    * partial agg per week. Output: (week ISO-date string, new_users,
+    * retained_users, resurrected_users, churned_users, active_users).
+    */
+  def growthAccounting(df: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val uw = df.select(col(userCol).as("__u"),
+        date_trunc("week", col(tsCol)).as("__w")).distinct()
+      .localCheckpoint(true)
+    val first = uw.groupBy(col("__u")).agg(min(col("__w")).as("__fw"))
+    val shifted = uw.select(col("__u"),
+      (col("__w") + expr("INTERVAL 7 DAYS")).as("__w"))
+    val states = uw
+      .join(first, Seq("__u"))
+      .join(shifted.withColumn("__wasPrev", lit(1)), Seq("__u", "__w"),
+        "left")
+      .select(col("__w"),
+        when(col("__w") === col("__fw"), "new")
+          .when(col("__wasPrev") === 1, "retained")
+          .otherwise("resurrected").as("state"))
+    val churned = shifted
+      .join(uw.withColumn("__act", lit(1)), Seq("__u", "__w"), "left")
+      .filter(col("__act").isNull)
+      .select(col("__w"), lit("churned").as("state"))
+    val maxW = uw.agg(max(col("__w"))).collect()(0).getTimestamp(0)
+    states.unionByName(churned)
+      .filter(col("__w") <= lit(maxW))
+      .groupBy(col("__w"))
+      .agg(
+        sum(when(col("state") === "new", 1L).otherwise(0L))
+          .as("new_users"),
+        sum(when(col("state") === "retained", 1L).otherwise(0L))
+          .as("retained_users"),
+        sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+          .as("resurrected_users"),
+        sum(when(col("state") === "churned", 1L).otherwise(0L))
+          .as("churned_users"),
+        sum(when(col("state") =!= "churned", 1L).otherwise(0L))
+          .as("active_users"))
+      .select(col("__w").cast("date").cast("string").as("week"),
+        col("new_users"), col("retained_users"),
+        col("resurrected_users"), col("churned_users"),
+        col("active_users"))
+  }
 }

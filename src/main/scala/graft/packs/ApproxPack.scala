@@ -37,6 +37,23 @@ object ApproxPack extends QueryPack {
       Dedup.minhashLsh(Tables.load(s, dir, "documents"), "doc_id", "text",
         numHashes = 128, bands = 32, threshold = 0.5)),
 
+    // isotonic (PAV) recalibration of q165's reliability bins —
+    // rows-only: PAV's sequential pooling is not reasonably
+    // SQL-expressible; StatsSpec pins the exact pooling semantics
+    "q193_isotonic" -> ((s, dir) =>
+      graft.operators.Eval.isotonicCalibrate(
+        graft.operators.Eval.calibration(
+          Tables.load(s, dir, "documents")
+            .withColumn("score_fp", expr(
+              """least(1000000L, (1000000L *
+                |  (length(text) - length(replace(text, ' ', ''))) * 6L)
+                |  div greatest(1L, cast(length(text) as bigint)))"""
+                .stripMargin))
+            .withColumn("__lbl",
+              when(col("lang") === "en", 1).otherwise(0)),
+          "source", "score_fp", "__lbl", nBins = 10),
+        "source", "bin", "n", "frac_pos_fp")),
+
     "q30_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
         maxHamming = 16)),

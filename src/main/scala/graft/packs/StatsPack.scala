@@ -397,6 +397,29 @@ object StatsPack extends QueryPack {
           sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
         .withColumn("oov_bp", expr("(10000 * n_oov) div n_tokens"))
     }),
+
+    // weekly growth accounting: new / retained / resurrected /
+    // churned actives — the self-auditing DAU quad
+    "q190_growth" -> ((s, dir) =>
+      Rolling.growthAccounting(Tables.events(s, dir), "user_id", "ts")),
+
+    // embedding centroid drift between the even/odd vector slices,
+    // all-integer in shared-int8 space
+    "q191_embedding_drift" -> ((s, dir) => {
+      val t = Tables.load(s, dir, "embeddings")
+      graft.operators.Quantize.centroidShift(t, "vec_id", "embedding",
+        "label", pmod(col("vec_id"), lit(2)) === 0,
+        graft.operators.Quantize.scaleOf(t, "embedding"))
+    }),
+
+    // top co-occurring term pairs by lift — the market-basket kernel
+    // re-aimed at doc→term baskets (q142's machinery, text corpus)
+    "q192_term_pairs" -> ((s, dir) =>
+      graft.operators.Association.pairLift(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextAnalysis.words(col("text"))).as("term")),
+        "doc_id", "term", minSupport = 50L, k = 40)),
   )
 
   private val benfordCase: String =
@@ -1376,5 +1399,94 @@ object StatsPack extends QueryPack {
         |    AS BIGINT)) // CAST(count(*) AS BIGINT) AS oov_bp
         |FROM terms t LEFT JOIN vocab v ON t.term = v.term
         |GROUP BY 1""".stripMargin,
+
+    "q190_growth" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w
+        |  FROM events),
+        |fw AS (SELECT u, min(w) AS fwk FROM uw GROUP BY 1),
+        |st AS (
+        |  SELECT uw.w,
+        |    CASE WHEN uw.w = fw.fwk THEN 'new'
+        |      WHEN p.u IS NOT NULL THEN 'retained'
+        |      ELSE 'resurrected' END AS state
+        |  FROM uw JOIN fw ON uw.u = fw.u
+        |  LEFT JOIN uw p ON p.u = uw.u AND p.w + INTERVAL 7 DAY = uw.w),
+        |ch AS (
+        |  SELECT a.w + INTERVAL 7 DAY AS w, 'churned' AS state
+        |  FROM uw a LEFT JOIN uw b
+        |    ON b.u = a.u AND b.w = a.w + INTERVAL 7 DAY
+        |  WHERE b.u IS NULL),
+        |mx AS (SELECT max(w) AS mw FROM uw),
+        |allst AS (
+        |  SELECT * FROM st
+        |  UNION ALL SELECT * FROM ch)
+        |SELECT CAST(CAST(w AS DATE) AS VARCHAR) AS week,
+        |  CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_users,
+        |  CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS retained_users,
+        |  CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS resurrected_users,
+        |  CAST(sum(CASE WHEN state = 'churned' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS churned_users,
+        |  CAST(sum(CASE WHEN state <> 'churned' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS active_users
+        |FROM allst WHERE w <= (SELECT mw FROM mx)
+        |GROUP BY 1""".stripMargin,
+
+    "q191_embedding_drift" ->
+      """WITH sc AS (
+        |  SELECT max(av) AS s FROM (
+        |    SELECT unnest(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS av
+        |    FROM embeddings)
+        |), e AS (
+        |  SELECT label, CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS sl,
+        |    i AS pos,
+        |    greatest(-127, least(127,
+        |      CAST(round(CAST(embedding[i] AS DOUBLE) * 127.0 / s)
+        |        AS BIGINT))) AS qv
+        |  FROM (SELECT vec_id, label, embedding, len(embedding) AS l
+        |        FROM embeddings) emb, sc,
+        |    LATERAL (SELECT unnest(generate_series(1, l)) AS i) t
+        |), c AS (
+        |  SELECT label, sl, pos, CAST(sum(qv) AS BIGINT) AS sm,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2, 3
+        |), cc AS (
+        |  SELECT label, sl, pos,
+        |    CASE WHEN sm >= 0 THEN (1000 * sm) // n
+        |      ELSE -((1000 * (-sm)) // n) END AS cv, n
+        |  FROM c
+        |), a AS (SELECT label, pos, cv AS ca, n AS n_a FROM cc WHERE sl = 0
+        |), b AS (SELECT label, pos, cv AS cb, n AS n_b FROM cc WHERE sl = 1)
+        |SELECT label, CAST(min(n_a) AS BIGINT) AS n_a,
+        |  CAST(min(n_b) AS BIGINT) AS n_b,
+        |  CAST(sum((ca - cb) * (ca - cb)) AS BIGINT) AS dist2
+        |FROM a JOIN b USING (label, pos)
+        |GROUP BY label""".stripMargin,
+
+    "q192_term_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT doc_id AS b, term AS i FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text),
+        |      '\s+')) AS term
+        |    FROM documents)),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM items),
+        |sup AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM items
+        |        GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT)
+        |    AS c_ab
+        |  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 50)
+        |SELECT item_a, item_b, sa.c AS c_a, sb.c AS c_b, c_ab,
+        |  CAST(CAST(c_ab AS HUGEINT) * (SELECT n FROM nb) * 10000
+        |    // (CAST(sa.c AS HUGEINT) * sb.c) AS BIGINT) AS lift_bp
+        |FROM pairs JOIN sup sa ON sa.i = item_a
+        |           JOIN sup sb ON sb.i = item_b
+        |ORDER BY lift_bp DESC, item_a, item_b
+        |LIMIT 40""".stripMargin,
   )
 }

@@ -466,6 +466,78 @@ class StatsSpec extends SparkSpec {
     assert(out(("B", "C")) === Some(-1000000L))
   }
 
+  test("growthAccounting: the self-auditing DAU quad") {
+    def t(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    // weeks: W1=2024-01-01, W2=01-08, W3=01-15
+    // u1 active W1,W2,W3; u2 active W1 then gone; u3 active W1,W3
+    val df = Seq(
+      (1L, t("2024-01-02")), (1L, t("2024-01-09")), (1L, t("2024-01-16")),
+      (2L, t("2024-01-03")),
+      (3L, t("2024-01-04")), (3L, t("2024-01-17")))
+      .toDF("user_id", "ts")
+    val out = graft.operators.Rolling.growthAccounting(df, "user_id", "ts")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out("2024-01-01") === ((3L, 0L, 0L, 0L, 3L)))
+    // W2: u1 retained; u2,u3 churned
+    assert(out("2024-01-08") === ((0L, 1L, 0L, 2L, 1L)))
+    // W3: u1 retained, u3 resurrected
+    assert(out("2024-01-15") === ((0L, 1L, 1L, 0L, 2L)))
+    // identity: retained_w + churned_w = active_{w-1}
+    assert(out("2024-01-08")._2 + out("2024-01-08")._4 ===
+      out("2024-01-01")._5)
+  }
+
+  test("centroidShift: identical slices drift 0; a moved label doesn't") {
+    val rnd = new scala.util.Random(13)
+    def vec(shift: Float) =
+      Array.fill(8)(rnd.nextFloat() * 2 - 1).map(_ + shift)
+    // labels must straddle both slices (slice = id parity, label =
+    // id-pair parity); label 1's odd-slice vectors are shifted far
+    val rows = (1 to 200).map { i =>
+      val lbl = (i / 2) % 2
+      val shift = if (lbl == 1 && i % 2 == 1) 50.0f else 0.0f
+      (i.toLong, vec(shift), lbl)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Quantize.centroidShift(df, "vec_id",
+        "embedding", "label", col("vec_id") % 2 === 0,
+        graft.operators.Quantize.scaleOf(df, "embedding"))
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // label 1's odd slice is shifted to the saturation rail: large drift
+    assert(out(1) > 100 * out(0).max(1L))
+  }
+
+  test("isotonicCalibrate: PAV pooling, weights, monotone output") {
+    // equal weights [1000, 3000, 2000, 4000] → pool bins 1,2 → 2500
+    val df = Seq(("g", 0, 10L, 1000L), ("g", 1, 10L, 3000L),
+      ("g", 2, 10L, 2000L), ("g", 3, 10L, 4000L))
+      .toDF("g", "bin", "n", "frac")
+    val out = graft.operators.Eval.isotonicCalibrate(df, "g", "bin",
+        "n", "frac")
+      .as[(String, Int, Long, Long, Long)].collect()
+      .map(r => r._2 -> r._5).toMap
+    assert(out === Map(0 -> 1000L, 1 -> 2500L, 2 -> 2500L, 3 -> 4000L))
+    // weighted pooling: [5000(n=1), 1000(n=9)] → pooled (5000+9000)/10
+    val wdf = Seq(("g", 0, 1L, 5000L), ("g", 1, 9L, 1000L))
+      .toDF("g", "bin", "n", "frac")
+    val wout = graft.operators.Eval.isotonicCalibrate(wdf, "g", "bin",
+        "n", "frac")
+      .as[(String, Int, Long, Long, Long)].collect()
+      .map(r => r._2 -> r._5).toMap
+    assert(wout === Map(0 -> 1400L, 1 -> 1400L))
+    // property: output non-decreasing on random input
+    val rnd = new scala.util.Random(3)
+    val rdf = (0 until 20).map(b =>
+      ("r", b, 1L + rnd.nextInt(9), rnd.nextInt(10000).toLong))
+      .toDF("g", "bin", "n", "frac")
+    val cal = graft.operators.Eval.isotonicCalibrate(rdf, "g", "bin",
+        "n", "frac")
+      .orderBy("bin").select("calibrated_fp").as[Long].collect()
+    assert(cal.zip(cal.tail).forall { case (a, b) => a <= b })
+  }
+
   test("seasonalProfile: weekday baseline and residuals, exact") {
     // Mondays 2024-01-01/08 with 2 and 4 events; Tuesday 01-02 with 3
     def ts(d: String, n: Int) = (1 to n).map(i => (s"$d 0$i:00:00", "e"))
