@@ -187,4 +187,39 @@ object Bpe {
         size(col("tokens")).cast("long").as("n_tokens"),
         col("n_oov_words"))
   }
+
+  /** Tokenizer fertility report — the per-language coverage check run
+    * before committing a tokenizer to a training run: pieces per word
+    * (`fertility_bp = 10^4·Σn_tokens div Σn_words`, Eow markers
+    * included, so a fully in-vocabulary word costs ≥ 2), bytes per
+    * piece, and the OOV-word share. A language whose fertility is 2–3×
+    * the corpus median is being shredded to characters and will train
+    * badly at its nominal data share.
+    *
+    * Scale: [[tokenize]]'s broadcast-segmentation pass, one id-keyed
+    * equi-join back to the (lang, bytes, words) projection, one
+    * partial agg to languages-sized output. Output: (lang, n_docs,
+    * n_words, n_tokens, n_bytes, n_oov_words, fertility_bp,
+    * bytes_per_token_bp, oov_bp). */
+  def fertility(df: DataFrame, idCol: String, textCol: String,
+                langCol: String, model: BpeModel): DataFrame = {
+    val meta = df.select(col(idCol),
+      col(langCol).as("lang"),
+      octet_length(col(textCol)).cast("long").as("__bytes"),
+      size(filter(TextAnalysis.words(col(textCol)), w => w =!= ""))
+        .cast("long").as("__words"))
+    tokenize(df, idCol, textCol, model)
+      .join(meta, Seq(idCol))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("__bytes")).as("n_bytes"),
+        sum(col("n_oov_words")).as("n_oov_words"))
+      .withColumn("fertility_bp",
+        expr("(10000 * n_tokens) div greatest(1L, n_words)"))
+      .withColumn("bytes_per_token_bp",
+        expr("(10000 * n_bytes) div greatest(1L, n_tokens)"))
+      .withColumn("oov_bp",
+        expr("(10000 * n_oov_words) div greatest(1L, n_words)"))
+  }
 }

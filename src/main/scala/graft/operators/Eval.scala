@@ -263,4 +263,45 @@ object Eval {
         out.result().iterator
       }.toDF(groupCol, binCol, nCol, fracFpCol, "calibrated_fp")
   }
+
+  /** Grouped difference-in-differences — the pre/post × treated/control
+    * causal contrast: per group, the four cell counts and fixed-point
+    * cell means (`mean_fp = 100·Σv div n`, sign-factored so truncating
+    * and flooring engines agree), and
+    * `did_fp = (m_treat_post − m_treat_pre) − (m_ctrl_post − m_ctrl_pre)`
+    * — the treatment-effect estimate under parallel trends. Groups
+    * missing a cell emit NULL means/did (0-row cells divide to NULL,
+    * never throw).
+    *
+    * Scale: ONE conditional partial-agg shuffle over the raw rows —
+    * the whole report is a groupBy-agg regardless of corpus size.
+    * Output: (group, n_tpre, n_tpost, n_cpre, n_cpost, m_tpre_fp,
+    * m_tpost_fp, m_cpre_fp, m_cpost_fp, did_fp).
+    *
+    * @param treated  boolean column: in the treatment arm
+    * @param post     boolean column: after the intervention
+    * @param valueCol integral outcome (e.g. cents)
+    */
+  def diffInDiff(df: DataFrame, groupCol: String, treated: Column,
+                 post: Column, valueCol: String): DataFrame = {
+    def cell(t: Boolean, p: Boolean, tag: String) = Seq(
+      sum(when(treated === t && post === p, col(valueCol))
+        .otherwise(lit(null))).as(s"__s_$tag"),
+      sum(when(treated === t && post === p, 1L).otherwise(0L))
+        .as(s"n_$tag"))
+    val aggs = cell(true, false, "tpre") ++ cell(true, true, "tpost") ++
+      cell(false, false, "cpre") ++ cell(false, true, "cpost")
+    def meanFp(tag: String) = expr(
+      s"""case when n_$tag = 0 then cast(null as bigint)
+         |  when __s_$tag >= 0 then (100 * __s_$tag) div n_$tag
+         |  else -((100 * -__s_$tag) div n_$tag) end""".stripMargin)
+      .as(s"m_${tag}_fp")
+    df.groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol) +: Seq("tpre", "tpost", "cpre", "cpost")
+        .flatMap(t => Seq(col(s"n_$t"), meanFp(t))): _*)
+      .withColumn("did_fp",
+        (col("m_tpost_fp") - col("m_tpre_fp")) -
+          (col("m_cpost_fp") - col("m_cpre_fp")))
+  }
 }

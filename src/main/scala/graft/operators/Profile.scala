@@ -606,6 +606,55 @@ object Profile {
       .withColumn("at_risk", col("group_size") < k)
   }
 
+  /** l-diversity audit — the release gate k-anonymity misses: a QI
+    * group can be large (k-anonymous) yet give away the sensitive
+    * attribute because everyone in it shares ONE value. Every QI
+    * combination gets its size, its count of DISTINCT sensitive
+    * values, and an `at_risk` verdict (`l_distinct < l` ⇒ the group
+    * leaks; Machanavajjhala et al. 2007, public definition).
+    *
+    * Scale: one partial-agg shuffle on the QI combination; the
+    * distinct count is Spark's two-phase distinct aggregate (expand +
+    * partial), never a collect. Output: (qiCols..., group_size,
+    * l_distinct, at_risk). */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 l: Int): DataFrame = {
+    require(qiCols.nonEmpty && l > 0, "need QI columns and l > 0")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        count_distinct(col(sensitiveCol)).as("l_distinct"))
+      .withColumn("at_risk", col("l_distinct") < l)
+  }
+
+  /** Herfindahl–Hirschman concentration index per group, exact: with
+    * per-entity masses v_i and total T, `hhi_e8 = Σv_i² · 10^8 div T²`
+    * — 10^8 at single-entity monopoly, →0 when mass is spread thin.
+    * The squared-share sum is computed as ONE exact rational (no
+    * per-entity share division), on decimal(38,0) so cent-scale masses
+    * square without ANSI overflow (Σv_i² ≤ T² ≤ ~10^30 at 100 TB cent
+    * sums — inside decimal(38) headroom).
+    *
+    * Complements [[StatsPack]]'s Gini: HHI weights the head
+    * quadratically, the standard market/source-dominance alarm.
+    *
+    * Scale: two partial-agg shuffles (group×entity, then group) — the
+    * same shape as any two-level rollup. Output: (group, n_entities,
+    * total, hhi_e8); requires a non-negative integral value column. */
+  def herfindahl(df: DataFrame, groupCol: String, entityCol: String,
+                 valueCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol), col(entityCol))
+      .agg(sum(col(valueCol)).as("__v"))
+    per.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_entities"), sum(col("__v")).as("total"),
+        sum(col("__v").cast("decimal(38,0)") *
+          col("__v").cast("decimal(38,0)")).as("__ss"))
+      .withColumn("hhi_e8", expr(
+        """cast((__ss * 100000000) div
+          |  (cast(total as decimal(38,0)) * total) as long)"""
+          .stripMargin))
+      .drop("__ss")
+  }
+
   /** Benford-law first-digit fp of log10(1 + 1/d), d = 1..9 — embed the
     * SAME literals in any oracle (they are pure math constants). */
   val BenfordFp: Seq[Long] =

@@ -54,6 +54,15 @@ object ApproxPack extends QueryPack {
           "source", "score_fp", "__lbl", nBins = 10),
         "source", "bin", "n", "frac_pos_fp")),
 
+    // tokenizer fertility per language: pieces/word, bytes/piece,
+    // OOV share under the q103 BPE model — rows-only (BPE
+    // segmentation is not SQL-expressible); BpeSpec pins semantics
+    "q196_fertility" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val model = graft.operators.Bpe.train(docs, "text", numMerges = 60)
+      graft.operators.Bpe.fertility(docs, "doc_id", "text", "lang", model)
+    }),
+
     "q30_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
         maxHamming = 16)),

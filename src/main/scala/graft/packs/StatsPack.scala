@@ -420,6 +420,39 @@ object StatsPack extends QueryPack {
           .select(col("doc_id"),
             explode(TextAnalysis.words(col("text"))).as("term")),
         "doc_id", "term", minSupport = 50L, k = 40)),
+
+    // l-diversity audit: q160's QI groups must also be diverse in the
+    // balance-bucket sensitive attribute (same +10^9-cent offset)
+    "q194_l_diversity" -> ((s, dir) =>
+      Profile.lDiversity(Tables.load(s, dir, "customer")
+          .select(col("c_mktsegment"), col("c_nationkey"),
+            expr("(cast(round(c_acctbal*100) as bigint) + 1000000000) div 100000")
+              .as("bal_bucket")),
+        Seq("c_mktsegment", "c_nationkey"), "bal_bucket", l = 3)),
+
+    // difference-in-differences per event type: treated = even users,
+    // post = at/after the corpus timespan midpoint, outcome = cents
+    "q195_did" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("cents", expr("cast(round(value*100) as bigint)"))
+      val mm = e.agg(min(col("ts_us")), max(col("ts_us"))).collect()(0)
+      val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+      graft.operators.Eval.diffInDiff(e, "event_type",
+        pmod(col("user_id"), lit(2)) === 0, col("ts_us") >= mid, "cents")
+    }),
+
+    // Herfindahl spend-concentration per nation: which markets are
+    // dominated by a few customers (exact rational, decimal(38,0))
+    "q197_hhi" -> ((s, dir) =>
+      Profile.herfindahl(
+        Tables.load(s, dir, "orders")
+          .withColumn("cents", expr("cast(round(o_totalprice*100) as bigint)"))
+          .join(Tables.load(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey"), col("o_custkey"), col("cents")),
+        "c_nationkey", "o_custkey", "cents")),
   )
 
   private val benfordCase: String =
@@ -1488,5 +1521,83 @@ object StatsPack extends QueryPack {
         |           JOIN sup sb ON sb.i = item_b
         |ORDER BY lift_bp DESC, item_a, item_b
         |LIMIT 40""".stripMargin,
+
+    "q194_l_diversity" ->
+      """WITH q AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000000) // 100000
+        |      AS bal_bucket
+        |  FROM customer)
+        |SELECT c_mktsegment, c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS group_size,
+        |  CAST(count(DISTINCT bal_bucket) AS BIGINT) AS l_distinct,
+        |  count(DISTINCT bal_bucket) < 3 AS at_risk
+        |FROM q GROUP BY 1, 2""".stripMargin,
+
+    "q195_did" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |mid AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS m FROM e),
+        |cells AS (
+        |  SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS tr,
+        |    CASE WHEN ts_us >= (SELECT m FROM mid) THEN 1 ELSE 0 END
+        |      AS post,
+        |    cents
+        |  FROM e),
+        |a AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN tr = 1 AND post = 0 THEN cents END)
+        |      AS BIGINT) AS s_tpre,
+        |    CAST(sum(CASE WHEN tr = 1 AND post = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_tpre,
+        |    CAST(sum(CASE WHEN tr = 1 AND post = 1 THEN cents END)
+        |      AS BIGINT) AS s_tpost,
+        |    CAST(sum(CASE WHEN tr = 1 AND post = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_tpost,
+        |    CAST(sum(CASE WHEN tr = 0 AND post = 0 THEN cents END)
+        |      AS BIGINT) AS s_cpre,
+        |    CAST(sum(CASE WHEN tr = 0 AND post = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_cpre,
+        |    CAST(sum(CASE WHEN tr = 0 AND post = 1 THEN cents END)
+        |      AS BIGINT) AS s_cpost,
+        |    CAST(sum(CASE WHEN tr = 0 AND post = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_cpost
+        |  FROM cells GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, n_tpre, n_tpost, n_cpre, n_cpost,
+        |    CASE WHEN n_tpre = 0 THEN NULL
+        |      WHEN s_tpre >= 0 THEN (100 * s_tpre) // n_tpre
+        |      ELSE -((100 * (-s_tpre)) // n_tpre) END AS m_tpre_fp,
+        |    CASE WHEN n_tpost = 0 THEN NULL
+        |      WHEN s_tpost >= 0 THEN (100 * s_tpost) // n_tpost
+        |      ELSE -((100 * (-s_tpost)) // n_tpost) END AS m_tpost_fp,
+        |    CASE WHEN n_cpre = 0 THEN NULL
+        |      WHEN s_cpre >= 0 THEN (100 * s_cpre) // n_cpre
+        |      ELSE -((100 * (-s_cpre)) // n_cpre) END AS m_cpre_fp,
+        |    CASE WHEN n_cpost = 0 THEN NULL
+        |      WHEN s_cpost >= 0 THEN (100 * s_cpost) // n_cpost
+        |      ELSE -((100 * (-s_cpost)) // n_cpost) END AS m_cpost_fp
+        |  FROM a)
+        |SELECT event_type, n_tpre, m_tpre_fp, n_tpost, m_tpost_fp,
+        |  n_cpre, m_cpre_fp, n_cpost, m_cpost_fp,
+        |  (m_tpost_fp - m_tpre_fp) - (m_cpost_fp - m_cpre_fp) AS did_fp
+        |FROM m""".stripMargin,
+
+    "q197_hhi" ->
+      """WITH per AS (
+        |  SELECT c_nationkey, o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS HUGEINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_entities,
+        |  CAST(sum(v) AS BIGINT) AS total,
+        |  CAST((sum(v * v) * 100000000) // (sum(v) * sum(v)) AS BIGINT)
+        |    AS hhi_e8
+        |FROM per GROUP BY 1""".stripMargin,
   )
 }

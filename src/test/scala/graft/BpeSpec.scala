@@ -63,6 +63,29 @@ class BpeSpec extends SparkSpec {
     assert(out(11L)._2 == out(11L)._1.length.toLong)
   }
 
+  test("fertility: pieces/word, bytes/piece, OOV share per language") {
+    val train = Seq((1L, "hello hello hello world world hello world"))
+      .toDF("doc_id", "text")
+    val model = Bpe.train(train, "text", numMerges = 20)
+    // en: both words fully merged -> 1 piece/word; xx: "ab" is OOV ->
+    // 3 char pieces + marker
+    val docs = Seq((10L, "hello world", "en"), (11L, "ab", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val out = Bpe.fertility(docs, "doc_id", "text", "lang", model)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // en: 2 words, 2 tokens ("hello</w>", "world</w>"), 11 bytes
+    assert(out("en")._3 === 2L && out("en")._4 === 2L)
+    assert(out("en")._7 === 10000L)            // fertility_bp
+    assert(out("en")._8 === (10000L * 11) / 2) // bytes_per_token_bp
+    assert(out("en")._9 === 0L)
+    // xx: 1 word -> tokens a, b, </w>; 1 OOV word of 2 bytes
+    assert(out("xx")._3 === 1L && out("xx")._4 === 3L)
+    assert(out("xx")._7 === 30000L)
+    assert(out("xx")._8 === (10000L * 2) / 3)
+    assert(out("xx")._9 === 10000L)
+  }
+
   test("vocab prune keeps the most frequent words only") {
     val docs = Seq((1L, "aa aa aa bb bb cc")).toDF("doc_id", "text")
     val model = Bpe.train(docs, "text", numMerges = 10,

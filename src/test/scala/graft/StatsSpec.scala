@@ -538,6 +538,58 @@ class StatsSpec extends SparkSpec {
     assert(cal.zip(cal.tail).forall { case (a, b) => a <= b })
   }
 
+  test("lDiversity: a large-but-uniform group is flagged, a diverse one isn't") {
+    val df = Seq(
+      ("A", 1, 100), ("A", 1, 100), ("A", 1, 100), ("A", 1, 100),
+      ("B", 2, 100), ("B", 2, 200), ("B", 2, 300))
+      .toDF("seg", "nat", "sens")
+    val out = graft.operators.Profile
+      .lDiversity(df, Seq("seg", "nat"), "sens", l = 2)
+      .as[(String, Int, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(out("A") === ((4L, 1L, true)))  // k-anonymous yet leaking
+    assert(out("B") === ((3L, 3L, false)))
+  }
+
+  test("diffInDiff: hand quad; empty cell yields NULL did") {
+    // treated: pre mean 100, post mean 400; control: 100 -> 200
+    // -> did = (400-100) - (200-100) = 200 (fp x100 = 20000)
+    val df = Seq(
+      ("g", true, false, 100L), ("g", true, true, 400L),
+      ("g", false, false, 100L), ("g", false, true, 200L),
+      ("h", true, false, 50L), ("h", true, true, 70L),
+      ("h", false, false, 10L)) // h has no control-post cell
+      .toDF("g", "tr", "post", "v")
+    val out = graft.operators.Eval
+      .diffInDiff(df, "g", col("tr"), col("post"), "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g").getLong(9) === 20000L)
+    assert(out("g").getLong(4) === 40000L) // m_tpost_fp
+    assert(out("h").isNullAt(8) && out("h").isNullAt(9))
+    // negative-sum cell: truncating and flooring engines must agree
+    val neg = Seq(("n", true, false, -5L), ("n", true, false, -2L),
+      ("n", true, true, 0L), ("n", false, false, 0L),
+      ("n", false, true, 0L)).toDF("g", "tr", "post", "v")
+    val nout = graft.operators.Eval
+      .diffInDiff(neg, "g", col("tr"), col("post"), "v").collect()(0)
+    assert(nout.getLong(2) === -((100L * 7) / 2)) // -350, not -351
+  }
+
+  test("herfindahl: monopoly 1e8; equal split 1e8/n; skew between") {
+    val df = Seq(
+      ("mono", "a", 500L), ("mono", "a", 500L),
+      ("eq", "a", 250L), ("eq", "b", 250L), ("eq", "c", 250L),
+      ("eq", "d", 250L),
+      ("skew", "a", 900L), ("skew", "b", 100L))
+      .toDF("g", "e", "v")
+    val out = graft.operators.Profile.herfindahl(df, "g", "e", "v")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("mono") === ((1L, 1000L, 100000000L)))
+    assert(out("eq") === ((4L, 1000L, 25000000L)))
+    assert(out("skew") === ((2L, 1000L, 82000000L))) // 0.81+0.01
+  }
+
   test("seasonalProfile: weekday baseline and residuals, exact") {
     // Mondays 2024-01-01/08 with 2 and 4 events; Tuesday 01-02 with 3
     def ts(d: String, n: Int) = (1 to n).map(i => (s"$d 0$i:00:00", "e"))
