@@ -94,4 +94,184 @@ object Funnels {
           col("__t") - col("__last.t") <= windowUs, col("__last.ch"))
           .as("channel"): _*)
   }
+
+  /** Position-based (U-shaped) multi-touch attribution, exact-integer:
+    * each conversion's credit (10^4 bp) splits over its qualifying
+    * touch path — touches strictly before the conversion and at most
+    * `windowUs` old, ordered by (ts, id). Split: one touch → 10000;
+    * two → 5000/5000; k ≥ 3 → last 4000, middles 2000 div (k−2) each,
+    * first 4000 plus the middle-division remainder (so every
+    * conversion's credits sum to exactly 10000). Conversions with no
+    * qualifying touch credit 10000 to `organic`.
+    *
+    * Scale: one user-keyed equi-join conversions×touches filtered to
+    * the window (fanout bounded by per-user touch activity inside
+    * `windowUs`, never corpus-sized), windows partitioned by the
+    * CONVERSION id (path-length partitions), then one channel-sized
+    * partial agg. Output: (channel, n_conversions, n_touches,
+    * credit_bp). */
+  def positionalAttribution(conversions: DataFrame, touches: DataFrame,
+                            userCol: String, tsUsCol: String,
+                            idCol: String, channelCol: String,
+                            windowUs: Long): DataFrame = {
+    require(windowUs > 0, "windowUs must be positive")
+    val c = conversions.select(col(userCol).as("__u"),
+      col(tsUsCol).cast("long").as("__ct"),
+      col(idCol).cast("long").as("__cid"))
+    val t = touches.select(col(userCol).as("__u"),
+      col(tsUsCol).cast("long").as("__tt"),
+      col(idCol).cast("long").as("__tid"),
+      col(channelCol).as("__ch"))
+    val qual = c.join(t, Seq("__u"))
+      .filter(col("__tt") < col("__ct") &&
+        col("__ct") - col("__tt") <= windowUs)
+    val w = Window.partitionBy(col("__cid"))
+    val ranked = qual
+      .withColumn("__k", count(lit(1)).over(w))
+      .withColumn("__rn",
+        row_number().over(w.orderBy(col("__tt"), col("__tid"))))
+    val mid = expr("2000L div (__k - 2)")
+    val credit = when(col("__k") === 1, 10000L)
+      .when(col("__k") === 2, 5000L)
+      .when(col("__rn") === col("__k"), 4000L)
+      .when(col("__rn") === 1, lit(4000L) + lit(2000L) -
+        mid * (col("__k") - 2))
+      .otherwise(mid)
+    val credited = ranked.select(col("__cid"), col("__ch").as("channel"),
+      credit.as("__credit"))
+    val organic = c.join(qual.select(col("__cid")).distinct(),
+        Seq("__cid"), "left_anti")
+      .select(col("__cid"), lit("organic").as("channel"),
+        lit(10000L).as("__credit"))
+    credited.unionByName(organic)
+      .groupBy(col("channel"))
+      .agg(count_distinct(col("__cid")).as("n_conversions"),
+        count(lit(1)).as("n_touches"),
+        sum(col("__credit")).as("credit_bp"))
+  }
+
+  /** Exact rational for the driver-side Markov solve. */
+  private case class Frac(n: BigInt, d: BigInt) {
+    def +(o: Frac): Frac = Frac.norm(n * o.d + o.n * d, d * o.d)
+    def -(o: Frac): Frac = Frac.norm(n * o.d - o.n * d, d * o.d)
+    def *(o: Frac): Frac = Frac.norm(n * o.n, d * o.d)
+    def /(o: Frac): Frac = Frac.norm(n * o.d, d * o.n)
+    def isZero: Boolean = n == 0
+  }
+  private object Frac {
+    val Zero = Frac(0, 1); val One = Frac(1, 1)
+    def norm(n: BigInt, d: BigInt): Frac = {
+      require(d != 0, "division by zero")
+      val s = if (d < 0) -1 else 1
+      val g = n.gcd(d); if (g == 0) Frac(0, 1)
+      else Frac(s * n / g, s * d / g)
+    }
+  }
+
+  /** Solve (I − T)·p = b over exact rationals (Gaussian elimination,
+    * first-nonzero pivot; the matrix is states-sized, ≤ tens). */
+  private def solve(tm: Array[Array[Frac]],
+                    b: Array[Frac]): Array[Frac] = {
+    val n = b.length
+    val a = Array.tabulate(n, n) { (i, j) =>
+      val id = if (i == j) Frac.One else Frac.Zero
+      id - tm(i)(j)
+    }
+    val rhs = b.clone()
+    for (c0 <- 0 until n) {
+      val piv = (c0 until n).find(r => !a(r)(c0).isZero)
+        .getOrElse(throw new IllegalStateException(
+          "singular chain matrix")) // cannot happen: I−T is an
+      // absorbing-chain fundamental matrix, always nonsingular
+      val tmp = a(piv); a(piv) = a(c0); a(c0) = tmp
+      val tb = rhs(piv); rhs(piv) = rhs(c0); rhs(c0) = tb
+      val inv = Frac.One / a(c0)(c0)
+      for (j <- c0 until n) a(c0)(j) = a(c0)(j) * inv
+      rhs(c0) = rhs(c0) * inv
+      for (r <- 0 until n if r != c0 && !a(r)(c0).isZero) {
+        val f = a(r)(c0)
+        for (j <- c0 until n) a(r)(j) = a(r)(j) - f * a(c0)(j)
+        rhs(r) = rhs(r) - f * rhs(c0)
+      }
+    }
+    rhs
+  }
+
+  /** Markov removal-effect attribution (Anderl et al. 2016, public
+    * formulation): journeys become a first-order chain START →
+    * channels → CONV/DROP; a channel's value is how much the absorbing
+    * conversion probability falls when every transition INTO it is
+    * redirected to DROP (no renormalization). Credits are the removal
+    * effects normalized to 10^4 bp. All chain math runs in exact
+    * BigInt rationals, floored once per reported bp value — bitwise
+    * reproducible, but the matrix solve is not SQL-expressible →
+    * rows-only (spec pins a hand-solvable chain).
+    *
+    * Scale: the cluster side is one per-user lead() window (partitions
+    * = per-user journeys) collapsed to a (from, to) transition-count
+    * aggregate — the ONLY collected artifact, (channels+2)²-sized
+    * (budget-guarded), the sanctioned model-sized driver solve.
+    * Output: (channel, removal_effect_bp, credit_bp). */
+  def markovAttribution(touches: DataFrame, userCol: String,
+                        tsUsCol: String, channelCol: String,
+                        converters: DataFrame,
+                        maxChannels: Int = 1000): DataFrame = {
+    val spark = touches.sparkSession
+    import spark.implicits._
+    val conv = converters.select(col(userCol).as("__u")).distinct()
+      .withColumn("__isConv", lit(1))
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__t"), col("__ch"))
+    val seq0 = touches.select(col(userCol).as("__u"),
+      col(tsUsCol).cast("long").as("__t"),
+      col(channelCol).cast("string").as("__ch"))
+    val withNext = seq0
+      .withColumn("__next", lead(col("__ch"), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+    val starts = withNext.filter(col("__rn") === 1)
+      .select(lit("__START__").as("__from"), col("__ch").as("__to"))
+    val mids = withNext.filter(col("__next").isNotNull)
+      .select(col("__ch").as("__from"), col("__next").as("__to"))
+    val ends = withNext.filter(col("__next").isNull)
+      .join(conv, Seq("__u"), "left")
+      .select(col("__ch").as("__from"),
+        when(col("__isConv") === 1, "__CONV__").otherwise("__DROP__")
+          .as("__to"))
+    val trans = starts.unionByName(mids).unionByName(ends)
+      .groupBy(col("__from"), col("__to")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val channels = trans.flatMap(t => Seq(t._1, t._2))
+      .filter(s => s != "__START__" && s != "__CONV__" && s != "__DROP__")
+      .distinct.sorted
+    require(channels.length <= maxChannels,
+      s"channel vocabulary ${channels.length} exceeds the " +
+        s"$maxChannels driver-solve budget")
+    val states = "__START__" +: channels // transient states
+    val idx = states.zipWithIndex.toMap
+    val outTotals = trans.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toMap
+    def pConv(removed: Set[String]): Frac = {
+      val n = states.length
+      val tm = Array.fill(n, n)(Frac.Zero)
+      val b = Array.fill(n)(Frac.Zero)
+      for ((f, t, c) <- trans if idx.contains(f) && !removed(f)) {
+        val p = Frac.norm(BigInt(c), BigInt(outTotals(f)))
+        if (t == "__CONV__") b(idx(f)) = b(idx(f)) + p
+        else if (idx.contains(t) && !removed(t))
+          tm(idx(f))(idx(t)) = tm(idx(f))(idx(t)) + p
+        // transitions into removed states / __DROP__ absorb at 0
+      }
+      solve(tm, b)(idx("__START__"))
+    }
+    val p0 = pConv(Set.empty)
+    def bp(x: Frac): Long = ((x.n * 10000) / x.d).toLong
+    val effects = channels.map(c => c -> (p0 - pConv(Set(c))))
+    val total = effects.map(_._2).foldLeft(Frac.Zero)(_ + _)
+    val rows = effects.map { case (c, e) =>
+      val re = if (p0.isZero) Frac.Zero else e / p0
+      val cr = if (total.isZero) Frac.Zero else e / total
+      (c, bp(re), bp(cr))
+    }.toSeq
+    rows.toDF(channelCol, "removal_effect_bp", "credit_bp")
+  }
 }

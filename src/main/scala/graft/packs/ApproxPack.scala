@@ -63,6 +63,20 @@ object ApproxPack extends QueryPack {
       graft.operators.Bpe.fertility(docs, "doc_id", "text", "lang", model)
     }),
 
+    // Markov removal-effect attribution over user journeys — the
+    // matrix solve runs on the driver over the (channels+2)²-sized
+    // transition counts in exact rationals; not SQL-expressible →
+    // rows-only, StatsSpec pins a hand-solvable chain
+    "q199_markov" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val tch = e.filter(col("event_type").isin("click", "view", "signup"))
+      val converters = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"))
+      graft.operators.Funnels.markovAttribution(tch, "user_id", "ts_us",
+        "event_type", converters)
+    }),
+
     "q30_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
         maxHamming = 16)),

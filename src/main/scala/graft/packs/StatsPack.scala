@@ -442,6 +442,20 @@ object StatsPack extends QueryPack {
         pmod(col("user_id"), lit(2)) === 0, col("ts_us") >= mid, "cents")
     }),
 
+    // position-based (U-shaped) multi-touch attribution: purchases
+    // split 40/20/40 bp credit over their 7-day touch paths
+    "q198_positional" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val conv = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val tch = e.filter(col("event_type").isin("click", "view", "signup"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type").as("chan"))
+      Funnels.positionalAttribution(conv, tch, "user_id", "ts_us",
+        "event_id", "chan", AttributionWindowUs)
+    }),
+
     // Herfindahl spend-concentration per nation: which markets are
     // dominated by a few customers (exact rational, decimal(38,0))
     "q197_hhi" -> ((s, dir) =>
@@ -1585,6 +1599,41 @@ object StatsPack extends QueryPack {
         |  n_cpre, m_cpre_fp, n_cpost, m_cpost_fp,
         |  (m_tpost_fp - m_tpre_fp) - (m_cpost_fp - m_cpre_fp) AS did_fp
         |FROM m""".stripMargin,
+
+    "q198_positional" ->
+      s"""WITH conv AS (
+         |  SELECT event_id AS cid, user_id AS u, epoch_us(ts) AS ct
+         |  FROM events WHERE event_type = 'purchase'),
+         |tch AS (
+         |  SELECT event_id AS tid, user_id AS u, epoch_us(ts) AS tt,
+         |    event_type AS ch
+         |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+         |qual AS (
+         |  SELECT c.cid, t.tid, t.tt, t.ch
+         |  FROM conv c JOIN tch t ON c.u = t.u
+         |  WHERE t.tt < c.ct AND c.ct - t.tt <= $AttributionWindowUs),
+         |ranked AS (
+         |  SELECT cid, ch,
+         |    CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS k,
+         |    CAST(row_number() OVER (PARTITION BY cid ORDER BY tt, tid)
+         |      AS BIGINT) AS rn
+         |  FROM qual),
+         |cr AS (
+         |  SELECT cid, ch AS channel,
+         |    CASE WHEN k = 1 THEN 10000
+         |      WHEN k = 2 THEN 5000
+         |      WHEN rn = k THEN 4000
+         |      WHEN rn = 1 THEN 6000 - (2000 // (k - 2)) * (k - 2)
+         |      ELSE 2000 // (k - 2) END AS credit
+         |  FROM ranked
+         |  UNION ALL
+         |  SELECT c.cid, 'organic', 10000 FROM conv c
+         |  WHERE NOT EXISTS (SELECT 1 FROM qual q WHERE q.cid = c.cid))
+         |SELECT channel,
+         |  CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions,
+         |  CAST(count(*) AS BIGINT) AS n_touches,
+         |  CAST(sum(credit) AS BIGINT) AS credit_bp
+         |FROM cr GROUP BY 1""".stripMargin,
 
     "q197_hhi" ->
       """WITH per AS (

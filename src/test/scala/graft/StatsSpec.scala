@@ -590,6 +590,47 @@ class StatsSpec extends SparkSpec {
     assert(out("skew") === ((2L, 1000L, 82000000L))) // 0.81+0.01
   }
 
+  test("positionalAttribution: U-shaped credit splits sum to 10000") {
+    // conv 100 at t=1000 for u1: touches a@100 b@200 c@300 d@400 e@500
+    // k=5: first 4000+rem2=4002, mids 666 each, last 4000
+    val conv = Seq((1L, 1000L, 100L)).toDF("u", "ts", "id")
+    val tch = Seq((1L, 100L, 1L, "a"), (1L, 200L, 2L, "b"),
+      (1L, 300L, 3L, "c"), (1L, 400L, 4L, "d"), (1L, 500L, 5L, "e"),
+      (2L, 100L, 6L, "zz")) // other user: never credited
+      .toDF("u", "ts", "id", "ch")
+    val out = graft.operators.Funnels
+      .positionalAttribution(conv, tch, "u", "ts", "id", "ch", 10000L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out === Map("a" -> 4002L, "b" -> 666L, "c" -> 666L,
+      "d" -> 666L, "e" -> 4000L))
+    // no-touch conversion goes organic at full credit; k=2 splits even
+    val conv2 = Seq((1L, 1000L, 100L), (3L, 1000L, 101L))
+      .toDF("u", "ts", "id")
+    val tch2 = Seq((1L, 100L, 1L, "a"), (1L, 200L, 2L, "b"))
+      .toDF("u", "ts", "id", "ch")
+    val out2 = graft.operators.Funnels
+      .positionalAttribution(conv2, tch2, "u", "ts", "id", "ch", 10000L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(out2 === Map("a" -> ((1L, 5000L)), "b" -> ((1L, 5000L)),
+      "organic" -> ((1L, 10000L))))
+  }
+
+  test("markovAttribution: hand-solvable chain removal effects") {
+    // u1: a->b then converts; u2: a then drops; u3: b then converts
+    // P = 2/3; remove a -> 1/3; remove b -> 0
+    val tch = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 100L, "a"),
+      (3L, 100L, "b")).toDF("u", "ts", "ch")
+    val conv = Seq(Tuple1(1L), Tuple1(3L)).toDF("u")
+    val out = graft.operators.Funnels
+      .markovAttribution(tch, "u", "ts", "ch", conv)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("a") === ((5000L, 3333L)))
+    assert(out("b") === ((10000L, 6666L)))
+  }
+
   test("seasonalProfile: weekday baseline and residuals, exact") {
     // Mondays 2024-01-01/08 with 2 and 4 events; Tuesday 01-02 with 3
     def ts(d: String, n: Int) = (1 to n).map(i => (s"$d 0$i:00:00", "e"))
