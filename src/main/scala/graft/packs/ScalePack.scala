@@ -325,6 +325,35 @@ object ScalePack extends QueryPack {
         seeds, "id", iters = 5)
     }),
 
+    // strongly connected components of the DIRECTED trade graph:
+    // supp→cust for every trade pair, cust→supp only for pairs with a
+    // high-value order — SCCs are the reciprocated trade meshes; scc
+    // label = min member id, hash-checked against the DuckDB
+    // transitive closure (graph pre-shrunk to nations 0-4 so the
+    // oracle's closure stays small)
+    "q200_scc" -> ((s, dir) => {
+      val sup = Tables.load(s, dir, "supplier")
+        .filter(col("s_nationkey") < 5)
+        .select(col("s_suppkey").cast("long").as("sk"))
+      val cus = Tables.load(s, dir, "customer")
+        .filter(col("c_nationkey") < 5)
+        .select(col("c_custkey").cast("long").as("ck"))
+      val pairs = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast("long").as("sk"),
+          col("o_custkey").cast("long").as("ck"), col("o_totalprice"))
+        .join(sup, Seq("sk"), "left_semi")
+        .join(cus, Seq("ck"), "left_semi")
+      val fwd = pairs.select((col("sk") + 10000000L).as("src"),
+        (col("ck") + 20000000L).as("dst")).distinct()
+      val back = pairs.filter(col("o_totalprice") > 300000.0)
+        .select((col("ck") + 20000000L).as("src"),
+          (col("sk") + 10000000L).as("dst")).distinct()
+      graft.operators.Graph.stronglyConnected(
+        fwd.unionByName(back), "src", "dst", maxSteps = 200)
+    }),
+
     // market-basket association: top-50 part pairs by exact lift
     // (basis points) among pairs sharing >= 3 orders — decimal(38,0)
     // product against overflow, deterministic (lift, pair) tie order
@@ -1155,6 +1184,41 @@ object ScalePack extends QueryPack {
         |)
         |SELECT node, CAST(r AS BIGINT) AS rank
         |FROM pr WHERE it = 5""".stripMargin,
+
+    // q200: SCC = mutual-reachability classes from the transitive
+    // closure (UNION-fixpoint recursion, one recursive reference);
+    // scc label = min mutually-reachable id (self included)
+    "q200_scc" ->
+      """WITH RECURSIVE
+        |pr AS (
+        |  SELECT l_suppkey AS sk, o_custkey AS ck, o_totalprice
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                      WHERE s_nationkey < 5)
+        |    AND o_custkey IN (SELECT c_custkey FROM customer
+        |                      WHERE c_nationkey < 5)),
+        |edges AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT sk + 10000000 AS src, ck + 20000000 AS dst FROM pr
+        |    UNION ALL
+        |    SELECT ck + 20000000, sk + 10000000 FROM pr
+        |    WHERE o_totalprice > 300000)),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM edges
+        |    UNION ALL SELECT dst FROM edges)),
+        |reach(s, d) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.s, e.dst FROM reach r JOIN edges e ON r.d = e.src),
+        |mutual AS (
+        |  SELECT a.s AS u, a.d AS v
+        |  FROM reach a JOIN reach b ON b.s = a.d AND b.d = a.s)
+        |SELECT n.node,
+        |  CAST(least(coalesce(min(m.v), n.node), n.node) AS BIGINT)
+        |    AS scc
+        |FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+        |GROUP BY n.node""".stripMargin,
 
     // q134: q130's recursive CTE with the teleport restricted to the
     // seed slice — initial mass and the undamped base land only on

@@ -91,6 +91,46 @@ class GraphSpec extends SparkSpec {
     assert(hubMap(1L) > hubMap(2L) && hubMap(2L) > hubMap(3L))
   }
 
+  test("stronglyConnected: cycles, bridges, and DAG singletons") {
+    // SCCs: {1,2,3} (cycle), {4} (bridge), {5,6} (2-cycle)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 5L)).toDF("src", "dst")
+    val out = graft.operators.Graph
+      .stronglyConnected(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L))
+    // pure DAG: trim alone resolves everything to singletons
+    val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val dout = graft.operators.Graph
+      .stronglyConnected(dag, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(dout === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("stronglyConnected matches brute-force mutual reachability") {
+    val rnd = new scala.util.Random(11)
+    val n = 14
+    val edges = (0 until 40).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+    // brute-force closure
+    val reach = Array.fill(n, n)(false)
+    edges.foreach { case (a, b) => reach(a.toInt)(b.toInt) = true }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = nodes.map { v =>
+      val mutual = nodes.filter(u =>
+        u == v || (reach(v.toInt)(u.toInt) && reach(u.toInt)(v.toInt)))
+      v -> mutual.min
+    }.toMap
+    val out = graft.operators.Graph
+      .stronglyConnected(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(out === expected)
+  }
+
   test("kCore peels to the exact fixpoint and reports in-core degrees") {
     // path 5-4-3 into triangle {1,2,3}: 2-core is exactly the triangle
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
