@@ -33,8 +33,16 @@ object Association {
     require(nB > 0, "no baskets")
     val support = items.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
       .localCheckpoint(true) // joined twice
-    val pairs = items
-      .join(items.select(col("__b"), col("__i").as("__j")), Seq("__b"))
+    // apriori prune BEFORE pairing: c_ab <= min(c_a, c_b), so a pair
+    // reaching minSupport needs both items frequent — dropping rare
+    // items first cannot change the output but collapses the
+    // quadratic per-basket pair generation for long-tailed baskets
+    // (doc->term baskets are mostly rare terms; order baskets aren't)
+    val freqItems = items.join(
+      support.filter(col("__c") >= minSupport).select(col("__i")),
+      Seq("__i"), "left_semi")
+    val pairs = freqItems
+      .join(freqItems.select(col("__b"), col("__i").as("__j")), Seq("__b"))
       .filter(col("__i") < col("__j"))
       .groupBy(col("__i"), col("__j"))
       .agg(count(lit(1)).as("c_ab"))

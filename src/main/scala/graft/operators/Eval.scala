@@ -264,6 +264,49 @@ object Eval {
       }.toDF(groupCol, binCol, nCol, fracFpCol, "calibrated_fp")
   }
 
+  /** Uplift by score bucket — the Qini-style targeting report: rows
+    * split into `nBuckets` exact score quantile buckets (cut values
+    * from [[Selection.valueAtRanks]] at ranks `(n·i) div nBuckets` —
+    * no global sort, no window; bucket = count of cut values strictly
+    * below the row's score), then per bucket the treated/control
+    * conversion rates and their difference:
+    * `uplift_bp = (10^4·conv_t) div n_t − (10^4·conv_c) div n_c`
+    * (NULL where an arm is empty). High buckets responding and low
+    * buckets not = the score targets treatment well.
+    *
+    * Scale: one cut-value resolution (Selection's bucket-histogram
+    * machinery), then ONE conditional partial agg against the ≤
+    * nBuckets broadcast cut literals. Output: (bucket, n_t, conv_t,
+    * n_c, conv_c, rate_t_bp, rate_c_bp, uplift_bp). */
+  def upliftByBucket(df: DataFrame, scoreCol: String, treated: Column,
+                     converted: Column, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, "need at least 2 buckets")
+    val base = df.select(col(scoreCol).cast("long").as("__k"),
+        when(treated, 1L).otherwise(0L).as("__t"),
+        when(converted, 1L).otherwise(0L).as("__y"))
+      .localCheckpoint(true) // cut scan + bucket agg share the rows
+    val cutVals = Selection.valueAtRanks(
+        base.withColumn("__one", lit(1)), "__one", "__k",
+        (1 until nBuckets).map(i =>
+          s"c$i" -> s"greatest(1L, (__n * ${i}L) div ${nBuckets}L)"))
+      .select(col("value")).collect().map(_.getLong(0)).sorted
+    val bucket = cutVals.foldLeft(lit(0)) { (acc, cv) =>
+      acc + when(col("__k") > cv, 1).otherwise(0) }
+    base.withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(sum(col("__t")).as("n_t"),
+        sum(col("__t") * col("__y")).as("conv_t"),
+        sum(lit(1L) - col("__t")).as("n_c"),
+        sum((lit(1L) - col("__t")) * col("__y")).as("conv_c"))
+      .withColumn("rate_t_bp", expr(
+        "case when n_t = 0 then cast(null as bigint)" +
+          " else (10000 * conv_t) div n_t end"))
+      .withColumn("rate_c_bp", expr(
+        "case when n_c = 0 then cast(null as bigint)" +
+          " else (10000 * conv_c) div n_c end"))
+      .withColumn("uplift_bp", col("rate_t_bp") - col("rate_c_bp"))
+  }
+
   /** Grouped difference-in-differences — the pre/post × treated/control
     * causal contrast: per group, the four cell counts and fixed-point
     * cell means (`mean_fp = 100·Σv div n`, sign-factored so truncating

@@ -442,6 +442,19 @@ object StatsPack extends QueryPack {
         pmod(col("user_id"), lit(2)) === 0, col("ts_us") >= mid, "cents")
     }),
 
+    // uplift by activity decile: does high engagement predict
+    // treatment response (treated = even users, conv = any purchase)
+    "q201_uplift" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("clicks"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("purchased"))
+      graft.operators.Eval.upliftByBucket(perUser, "clicks",
+        pmod(col("user_id"), lit(2)) === 0, col("purchased") === 1L,
+        nBuckets = 10)
+    }),
+
     // position-based (U-shaped) multi-touch attribution: purchases
     // split 40/20/40 bp credit over their 7-day touch paths
     "q198_positional" -> ((s, dir) => {
@@ -1599,6 +1612,48 @@ object StatsPack extends QueryPack {
         |  n_cpre, m_cpre_fp, n_cpost, m_cpost_fp,
         |  (m_tpost_fp - m_tpre_fp) - (m_cpost_fp - m_cpre_fp) AS did_fp
         |FROM m""".stripMargin,
+
+    "q201_uplift" -> {
+      val cutDefs = (1 to 9).map(i =>
+        s"CAST(max(CASE WHEN rn = greatest(1, (n * $i) // 10)" +
+          s" THEN k END) AS BIGINT) AS c$i").mkString(",\n    ")
+      val bucketExpr = (1 to 9).map(i =>
+        s"(CASE WHEN k > (SELECT c$i FROM cuts) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS k,
+         |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS y,
+         |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t
+         |  FROM events GROUP BY 1),
+         |ord AS (
+         |  SELECT k, row_number() OVER (ORDER BY k) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM pu),
+         |cuts AS (
+         |  SELECT $cutDefs
+         |  FROM ord),
+         |b AS (SELECT pu.*, $bucketExpr AS bucket FROM pu),
+         |a AS (
+         |  SELECT CAST(bucket AS INT) AS bucket,
+         |    CAST(sum(t) AS BIGINT) AS n_t,
+         |    CAST(sum(t * y) AS BIGINT) AS conv_t,
+         |    CAST(sum(1 - t) AS BIGINT) AS n_c,
+         |    CAST(sum((1 - t) * y) AS BIGINT) AS conv_c
+         |  FROM b GROUP BY 1)
+         |SELECT bucket, n_t, conv_t, n_c, conv_c,
+         |  CASE WHEN n_t = 0 THEN NULL
+         |    ELSE (10000 * conv_t) // n_t END AS rate_t_bp,
+         |  CASE WHEN n_c = 0 THEN NULL
+         |    ELSE (10000 * conv_c) // n_c END AS rate_c_bp,
+         |  (CASE WHEN n_t = 0 THEN NULL
+         |    ELSE (10000 * conv_t) // n_t END) -
+         |  (CASE WHEN n_c = 0 THEN NULL
+         |    ELSE (10000 * conv_c) // n_c END) AS uplift_bp
+         |FROM a""".stripMargin
+    },
 
     "q198_positional" ->
       s"""WITH conv AS (

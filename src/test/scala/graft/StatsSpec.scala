@@ -631,6 +631,27 @@ class StatsSpec extends SparkSpec {
     assert(out("b") === ((10000L, 6666L)))
   }
 
+  test("upliftByBucket: exact quantile buckets and arm rates") {
+    val df = Seq((1L, true, false), (2L, false, false),
+      (3L, true, true), (4L, false, false))
+      .toDF("score", "tr", "conv")
+    val out = graft.operators.Eval
+      .upliftByBucket(df, "score", col("tr"), col("conv"), nBuckets = 2)
+      .as[(Int, Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect().map(r => r._1 -> r).toMap
+    // cut at rank 2 -> value 2; bucket = score > 2
+    assert(out(0)._8 === Some(0L))
+    assert(out(1)._6 === Some(10000L) && out(1)._8 === Some(10000L))
+    // an empty arm yields NULL rate and NULL uplift
+    val solo = Seq((1L, true, true), (2L, true, false))
+      .toDF("score", "tr", "conv")
+    val sout = graft.operators.Eval
+      .upliftByBucket(solo, "score", col("tr"), col("conv"), nBuckets = 2)
+      .as[(Int, Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect()
+    assert(sout.forall(r => r._7.isEmpty && r._8.isEmpty))
+  }
+
   test("seasonalProfile: weekday baseline and residuals, exact") {
     // Mondays 2024-01-01/08 with 2 and 4 events; Tuesday 01-02 with 3
     def ts(d: String, n: Int) = (1 to n).map(i => (s"$d 0$i:00:00", "e"))
