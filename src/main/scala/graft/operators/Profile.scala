@@ -655,6 +655,40 @@ object Profile {
       .drop("__ss")
   }
 
+  /** Order-insensitive content digest per group — the replication /
+    * migration audit: every row hashes once (md5 of a `|`-joined
+    * canonical string rendering, first 8 hex digits as an integer —
+    * the portable-hash recipe any engine reproduces), and the group
+    * digest is the SUM of row hashes modulo 2^62 — a commutative fold,
+    * so partition order, shuffle order, and engine parallelism cannot
+    * change it. Two copies of a table disagree ⇒ digests differ with
+    * probability ≈ 1 (birthday-bounded); equal digests + equal counts
+    * is the cheap "replica matches" check that needs NO join and moves
+    * no data between the copies.
+    *
+    * Callers must render value columns deterministically BEFORE
+    * calling (integers/strings; never raw doubles or timestamps —
+    * engine string renderings differ). Nulls encode as \u0001.
+    *
+    * Scale: one partial-agg shuffle to group-sized output; the row
+    * hash is per-row codegen. Sums ride decimal(38,0) (10^10 rows ×
+    * 2^32 ≈ 4·10^19 overflows a long). Output: (group, n_rows,
+    * digest). */
+  def contentDigest(df: DataFrame, groupCol: String,
+                    cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one content column")
+    val repr = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*)
+    val h = conv(substring(md5(repr), 1, 8), 16, 10).cast("long")
+    df.select(col(groupCol), h.as("__h"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__h").cast("decimal(38,0)")).as("__s"))
+      .withColumn("digest",
+        expr("cast(__s % 4611686018427387904 as bigint)"))
+      .drop("__s")
+  }
+
   /** Benford-law first-digit fp of log10(1 + 1/d), d = 1..9 — embed the
     * SAME literals in any oracle (they are pure math constants). */
   val BenfordFp: Seq[Long] =

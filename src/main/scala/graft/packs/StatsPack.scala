@@ -442,6 +442,16 @@ object StatsPack extends QueryPack {
         pmod(col("user_id"), lit(2)) === 0, col("ts_us") >= mid, "cents")
     }),
 
+    // order-insensitive per-priority content digest of orders — the
+    // no-join replica/migration equality check
+    "q202_digest" -> ((s, dir) =>
+      Profile.contentDigest(
+        Tables.load(s, dir, "orders")
+          .withColumn("cents",
+            expr("cast(round(o_totalprice*100) as bigint)")),
+        "o_orderpriority",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "cents"))),
+
     // uplift by activity decile: does high engagement predict
     // treatment response (treated = even users, conv = any purchase)
     "q201_uplift" -> ((s, dir) => {
@@ -1612,6 +1622,21 @@ object StatsPack extends QueryPack {
         |  n_cpre, m_cpre_fp, n_cpost, m_cpost_fp,
         |  (m_tpost_fp - m_tpre_fp) - (m_cpost_fp - m_cpre_fp) AS did_fp
         |FROM m""".stripMargin,
+
+    "q202_digest" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority,
+        |    ('0x' || substr(md5(
+        |      CAST(o_orderkey AS VARCHAR) || '|' ||
+        |      CAST(o_custkey AS VARCHAR) || '|' ||
+        |      o_orderstatus || '|' ||
+        |      CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+        |    ), 1, 8))::BIGINT AS h
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(CAST(sum(h) AS HUGEINT) % 4611686018427387904 AS BIGINT)
+        |    AS digest
+        |FROM r GROUP BY 1""".stripMargin,
 
     "q201_uplift" -> {
       val cutDefs = (1 to 9).map(i =>

@@ -631,6 +631,27 @@ class StatsSpec extends SparkSpec {
     assert(out("b") === ((10000L, 6666L)))
   }
 
+  test("contentDigest: order-insensitive, content-sensitive") {
+    val a = Seq(("g", 1L, "x"), ("g", 2L, "y"), ("h", 3L, "z"))
+      .toDF("g", "id", "v")
+    val d1 = graft.operators.Profile.contentDigest(a, "g", Seq("id", "v"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // permuted + repartitioned copy digests identically
+    val b = Seq(("h", 3L, "z"), ("g", 2L, "y"), ("g", 1L, "x"))
+      .toDF("g", "id", "v").repartition(7)
+    val d2 = graft.operators.Profile.contentDigest(b, "g", Seq("id", "v"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(d1 === d2)
+    assert(d1("g")._2 === 2L)
+    // one changed value flips the group digest, leaves others alone
+    val c = Seq(("g", 1L, "x"), ("g", 2L, "Y"), ("h", 3L, "z"))
+      .toDF("g", "id", "v")
+    val d3 = graft.operators.Profile.contentDigest(c, "g", Seq("id", "v"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(d3("g")._3 !== d1("g")._3)
+    assert(d3("h") === d1("h"))
+  }
+
   test("upliftByBucket: exact quantile buckets and arm rates") {
     val df = Seq((1L, true, false), (2L, false, false),
       (3L, true, true), (4L, false, false))
