@@ -655,6 +655,43 @@ object Profile {
       .drop("__ss")
   }
 
+  /** Exact per-group trimmed mean — the robust location estimate
+    * [[winsorize]]'s clamp is not: values OUTSIDE the group's
+    * [loBp, hiBp] discrete-percentile VALUE bounds are dropped, and
+    * the mean is over the survivors:
+    * `mean_fp = (100·Σv) div n_kept` (sign-factored). Bounds use the
+    * same `max(1, ceil(n·bp/10000))` rank arithmetic as winsorize, and
+    * trimming by value (ties included) keeps the result independent of
+    * rank tie-breaks — any engine reproduces it.
+    *
+    * Scale: [[Selection.valueAtRanks]] resolves both bounds on bucket
+    * histograms (no group sort), broadcast back, ONE conditional
+    * partial agg. Output: (group, n, n_kept, mean_fp). */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  loBp: Int, hiBp: Int): DataFrame = {
+    require(loBp >= 0 && hiBp <= 10000 && loBp < hiBp,
+      "need 0 <= loBp < hiBp <= 10000")
+    val vals = df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
+    val picked = Selection.valueAtRanks(vals, groupCol, "__v",
+      Seq("lo" -> s"greatest(1L, (__n * ${loBp}L + 9999L) div 10000L)",
+        "hi" -> s"greatest(1L, (__n * ${hiBp}L + 9999L) div 10000L)"))
+    val bounds = picked.groupBy(col(groupCol)).agg(
+      max(when(col("label") === "lo", col("value"))).as("__lo"),
+      max(when(col("label") === "hi", col("value"))).as("__hi"))
+    vals.join(broadcast(bounds), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__v").between(col("__lo"), col("__hi")), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("__v").between(col("__lo"), col("__hi")), col("__v"))
+          .otherwise(lit(0L))).as("__s"))
+      .withColumn("mean_fp", expr(
+        """case when n_kept = 0 then cast(null as bigint)
+          |  when __s >= 0 then (100 * __s) div n_kept
+          |  else -((100 * -__s) div n_kept) end""".stripMargin))
+      .drop("__s")
+  }
+
   /** Order-insensitive content digest per group — the replication /
     * migration audit: every row hashes once (md5 of a `|`-joined
     * canonical string rendering, first 8 hex digits as an integer —

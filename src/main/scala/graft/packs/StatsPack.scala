@@ -442,6 +442,14 @@ object StatsPack extends QueryPack {
         pmod(col("user_id"), lit(2)) === 0, col("ts_us") >= mid, "cents")
     }),
 
+    // exact 2.5%-trimmed mean of lineitem price cents per returnflag
+    "q203_trimmed_mean" -> ((s, dir) =>
+      Profile.trimmedMean(
+        Tables.load(s, dir, "lineitem")
+          .withColumn("cents",
+            expr("cast(round(l_extendedprice*100) as bigint)")),
+        "l_returnflag", "cents", loBp = 250, hiBp = 9750)),
+
     // order-insensitive per-priority content digest of orders — the
     // no-join replica/migration equality check
     "q202_digest" -> ((s, dir) =>
@@ -1622,6 +1630,32 @@ object StatsPack extends QueryPack {
         |  n_cpre, m_cpre_fp, n_cpost, m_cpost_fp,
         |  (m_tpost_fp - m_tpre_fp) - (m_cpost_fp - m_cpre_fp) AS did_fp
         |FROM m""".stripMargin,
+
+    "q203_trimmed_mean" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS k
+        |  FROM lineitem),
+        |ord AS (
+        |  SELECT g, k, row_number() OVER (PARTITION BY g ORDER BY k)
+        |    AS rn, count(*) OVER (PARTITION BY g) AS n
+        |  FROM v),
+        |b AS (
+        |  SELECT g,
+        |    max(CASE WHEN rn = greatest(1, (n * 250 + 9999) // 10000)
+        |      THEN k END) AS lo,
+        |    max(CASE WHEN rn = greatest(1, (n * 9750 + 9999) // 10000)
+        |      THEN k END) AS hi
+        |  FROM ord GROUP BY 1)
+        |SELECT v.g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN k BETWEEN lo AND hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  (100 * CAST(sum(CASE WHEN k BETWEEN lo AND hi THEN k ELSE 0
+        |    END) AS BIGINT))
+        |    // CAST(sum(CASE WHEN k BETWEEN lo AND hi THEN 1 ELSE 0
+        |    END) AS BIGINT) AS mean_fp
+        |FROM v JOIN b ON v.g = b.g
+        |GROUP BY 1""".stripMargin,
 
     "q202_digest" ->
       """WITH r AS (

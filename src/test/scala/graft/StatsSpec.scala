@@ -631,6 +631,23 @@ class StatsSpec extends SparkSpec {
     assert(out("b") === ((10000L, 6666L)))
   }
 
+  test("trimmedMean: drops tails by value bounds, tie-inclusive") {
+    // 10 values 1..9 + outlier 1000; 10-90% trim:
+    // lo = value at rank 1 = 1, hi = value at rank 9 = 9
+    val df = ((1L to 9L) :+ 1000L).map(("g", _)).toDF("g", "v")
+    val out = graft.operators.Profile
+      .trimmedMean(df, "g", "v", loBp = 1000, hiBp = 9000)
+      .as[(String, Long, Long, Option[Long])].collect()(0)
+    assert(out._2 === 10L && out._3 === 9L)
+    assert(out._4 === Some((100L * 45) / 9)) // mean of 1..9 = 5.00
+    // negative values: sign-factored division
+    val neg = Seq(("n", -7L), ("n", -8L)).toDF("g", "v")
+    val nout = graft.operators.Profile
+      .trimmedMean(neg, "g", "v", loBp = 1, hiBp = 9999)
+      .as[(String, Long, Long, Option[Long])].collect()(0)
+    assert(nout._4 === Some(-((100L * 15) / 2))) // -750, not -751
+  }
+
   test("contentDigest: order-insensitive, content-sensitive") {
     val a = Seq(("g", 1L, "x"), ("g", 2L, "y"), ("h", 3L, "z"))
       .toDF("g", "id", "v")
