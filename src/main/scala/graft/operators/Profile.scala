@@ -711,13 +711,18 @@ object Profile {
     * hash is per-row codegen. Sums ride decimal(38,0) (10^10 rows ×
     * 2^32 ≈ 4·10^19 overflows a long). Output: (group, n_rows,
     * digest). */
-  def contentDigest(df: DataFrame, groupCol: String,
-                    cols: Seq[String]): DataFrame = {
+  /** The per-row portable hash [[contentDigest]] folds — shared with
+    * the streaming twin so both sides digest identically. */
+  private[graft] def rowHash(cols: Seq[String]): org.apache.spark.sql.Column = {
     require(cols.nonEmpty, "need at least one content column")
     val repr = concat_ws("|",
       cols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*)
-    val h = conv(substring(md5(repr), 1, 8), 16, 10).cast("long")
-    df.select(col(groupCol), h.as("__h"))
+    conv(substring(md5(repr), 1, 8), 16, 10).cast("long")
+  }
+
+  def contentDigest(df: DataFrame, groupCol: String,
+                    cols: Seq[String]): DataFrame = {
+    df.select(col(groupCol), rowHash(cols).as("__h"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("__h").cast("decimal(38,0)")).as("__s"))

@@ -70,4 +70,27 @@ class SketchStreamSpec extends SparkSpec {
         s"expected partial drift, got size=$size both=$both bp=$bp")
     } finally q.stop()
   }
+
+  test("streaming digests equal the batch contentDigest across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, String)]
+    val q = graft.streaming.DigestStream.digests(
+        ms.toDF.toDF("g", "id", "v"), "g", Seq("id", "v"))
+      .writeStream.format("memory").queryName("digeststream")
+      .outputMode("complete").start()
+    try {
+      val b1 = Seq(("g", 1L, "x"), ("h", 3L, "z"))
+      val b2 = Seq(("g", 2L, "y"))
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val got = spark.table("digeststream")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val truth = graft.operators.Profile.contentDigest(
+          (b1 ++ b2).toDF("g", "id", "v"), "g", Seq("id", "v"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === truth)
+    } finally q.stop()
+  }
 }
