@@ -307,6 +307,73 @@ object Eval {
       .withColumn("uplift_bp", col("rate_t_bp") - col("rate_c_bp"))
   }
 
+  /** Cochran–Mantel–Haenszel stratified 2×2 association test — "is
+    * exposure associated with outcome AFTER controlling for the
+    * stratifying confounder" (the missing piece next to [[assocPhi2]],
+    * which a confounded pooled table fools — Simpson's paradox). Per
+    * stratum i with cells a,b,c,d and n = a+b+c+d:
+    * `E_i = (a+b)(a+c)/n`, `V_i = (a+b)(c+d)(a+c)(b+d)/(n²(n−1))`,
+    * `CMH = (Σa − ΣE)² / ΣV` (uncorrected), plus the Mantel–Haenszel
+    * common odds ratio `OR = Σ(ad/n) / Σ(bc/n)`. All folds run in
+    * exact BigInt rationals, floored ONCE into the reported fixed
+    * point — bitwise reproducible, but not SQL-expressible →
+    * rows-only (spec pins a hand-computed two-stratum table).
+    * Strata with n < 2 are skipped (V undefined).
+    *
+    * Scale: the cluster side is ONE conditional partial agg to
+    * strata-sized cells — the only collected artifact (budget-
+    * guarded); the rational fold is driver-side over those rows.
+    * Output: one row (n_strata, sum_a, cmh_fp ×10^6,
+    * or_mh_bp ×10^4, NULL when undefined). */
+  def cmh(df: DataFrame, strataCol: String, exposed: Column,
+          outcome: Column, maxStrata: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.groupBy(col(strataCol)).agg(
+        sum(when(exposed && outcome, 1L).otherwise(0L)).as("a"),
+        sum(when(exposed && !outcome, 1L).otherwise(0L)).as("b"),
+        sum(when(!exposed && outcome, 1L).otherwise(0L)).as("c"),
+        sum(when(!exposed && !outcome, 1L).otherwise(0L)).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"))
+      .as[(Long, Long, Long, Long)].collect()
+    require(cells.length <= maxStrata,
+      s"strata cardinality ${cells.length} exceeds the $maxStrata " +
+        "driver-fold budget")
+    def red(n: BigInt, d: BigInt): (BigInt, BigInt) = {
+      val g = n.gcd(d); if (g == 0) (BigInt(0), BigInt(1))
+      else (n / g, d / g)
+    }
+    def add(x: (BigInt, BigInt), y: (BigInt, BigInt)): (BigInt, BigInt) =
+      red(x._1 * y._2 + y._1 * x._2, x._2 * y._2)
+    var e = (BigInt(0), BigInt(1)); var v = (BigInt(0), BigInt(1))
+    var orNum = (BigInt(0), BigInt(1)); var orDen = (BigInt(0), BigInt(1))
+    var sumA = 0L; var nStrata = 0L
+    for ((a, b, c, d) <- cells; n = a + b + c + d; if n >= 2) {
+      nStrata += 1; sumA += a
+      val (ba, bb, bc, bd) = (BigInt(a), BigInt(b), BigInt(c), BigInt(d))
+      val bn = BigInt(n)
+      e = add(e, red((ba + bb) * (ba + bc), bn))
+      v = add(v, red((ba + bb) * (bc + bd) * (ba + bc) * (bb + bd),
+        bn * bn * (bn - 1)))
+      orNum = add(orNum, red(ba * bd, bn))
+      orDen = add(orDen, red(bb * bc, bn))
+    }
+    val cmhFp: Option[Long] =
+      if (v._1 == 0) None
+      else {
+        // (sumA - E)^2 / V, one floor into 10^6 fixed point
+        val diffN = BigInt(sumA) * e._2 - e._1 // over denominator e._2
+        Some(((diffN * diffN * v._2 * 1000000) /
+          (e._2 * e._2 * v._1)).toLong)
+      }
+    val orBp: Option[Long] =
+      if (orDen._1 == 0) None
+      else Some(((orNum._1 * orDen._2 * 10000) /
+        (orNum._2 * orDen._1)).toLong)
+    Seq((nStrata, sumA, cmhFp, orBp))
+      .toDF("n_strata", "sum_a", "cmh_fp", "or_mh_bp")
+  }
+
   /** Grouped difference-in-differences — the pre/post × treated/control
     * causal contrast: per group, the four cell counts and fixed-point
     * cell means (`mean_fp = 100·Σv div n`, sign-factored so truncating

@@ -77,6 +77,19 @@ object ApproxPack extends QueryPack {
         "event_type", converters)
     }),
 
+    // CMH stratified association: is even-nation exposure associated
+    // with high-value orders after controlling for order priority —
+    // driver-side exact-rational fold over 5 strata cells; rows-only
+    // (StatsSpec pins a hand-computed two-stratum table)
+    "q204_cmh" -> ((s, dir) =>
+      graft.operators.Eval.cmh(
+        Tables.load(s, dir, "orders")
+          .join(Tables.load(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey")),
+        "o_orderpriority",
+        pmod(col("c_nationkey"), lit(2)) === 0,
+        col("o_totalprice") > 150000.0)),
+
     "q30_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
         maxHamming = 16)),

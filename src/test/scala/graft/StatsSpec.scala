@@ -631,6 +631,28 @@ class StatsSpec extends SparkSpec {
     assert(out("b") === ((10000L, 6666L)))
   }
 
+  test("cmh: hand-computed two-stratum table, exact rationals") {
+    // stratum 1: a=2 b=1 c=1 d=2; stratum 2: a=3 b=0 c=1 d=2
+    // E = 1.5 + 2 = 3.5; V = 0.45 + 0.4 = 0.85; sumA = 5
+    // CMH = 1.5^2 / 0.85 = 2.6470588... -> 2647058 fp
+    // OR_MH = (4/6 + 6/6) / (1/6) = 10 -> 100000 bp
+    def rows(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+        Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    val df = (rows("s1", 2, 1, 1, 2) ++ rows("s2", 3, 0, 1, 2))
+      .toDF("st", "e", "y")
+    val out = graft.operators.Eval.cmh(df, "st", col("e"), col("y"))
+      .as[(Long, Long, Option[Long], Option[Long])].collect()(0)
+    assert(out._1 === 2L && out._2 === 5L)
+    assert(out._3 === Some(2647058L))
+    assert(out._4 === Some(100000L))
+    // all-zero Σbc leaves the odds ratio undefined, not a crash
+    val onlyA = rows("s1", 2, 0, 0, 2).toDF("st", "e", "y")
+    val o2 = graft.operators.Eval.cmh(onlyA, "st", col("e"), col("y"))
+      .as[(Long, Long, Option[Long], Option[Long])].collect()(0)
+    assert(o2._4.isEmpty)
+  }
+
   test("trimmedMean: drops tails by value bounds, tie-inclusive") {
     // 10 values 1..9 + outlier 1000; 10-90% trim:
     // lo = value at rank 1 = 1, hi = value at rank 9 = 9
