@@ -924,18 +924,21 @@ object Profile {
     * `normalized = global value at multiset rank
     * max(1, pct_bp·N div scale)`.
     *
-    * Scale: one rankRows pass (bucket histograms) for the per-group
-    * percentiles; the global inverse CDF resolves by a MERGE-AS-OF on
-    * the rank axis — distinct values carry their multiset min-rank as
-    * anchors, the ≤ scale+1 requested ranks probe them, and a
-    * last-non-null carry answers every probe in one bounded window
-    * pass (anchors are DISTINCT values: value-domain bounded — for a
-    * very wide domain pre-quantize, the [[Eval.rocAuc]] caveat). The
-    * scale+1-row lookup broadcasts back onto the rows. Output: input
-    * columns + pct_bp + normalized. */
+    * Scale: TWO rankRows passes (bucket histograms — the Spearman
+    * posture), no ordered window anywhere. Pass 1 gives the per-group
+    * percentiles; pass 2 (constant group) gives every row its GLOBAL
+    * multiset rank, which tie-collapses to per-distinct-value anchors
+    * `[lo, lo+c)` that partition the rank axis 1..N. Each anchor then
+    * answers its probe ranks `r_p = max(1, p·N div scale)` by EXACT
+    * integer inversion — the probe indices p falling inside an
+    * anchor's rank interval form a closed-form range, emitted with
+    * `explode(sequence(...))` — so the inverse CDF is pure per-row
+    * arithmetic over the distributed anchor frame: a corpus-wide or
+    * near-continuous value domain never serializes into one task. The
+    * exactly-scale+1-row lookup broadcasts back onto the rows.
+    * Output: input columns + pct_bp + normalized. */
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
                         scale: Long = 10000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(scale >= 1 && scale <= 1000000L, "scale in [1, 10^6]")
     val ranked = Selection.rankRows(df, groupCol, valueCol)
       .withColumn("pct_bp", expr(s"($scale * rank) div n"))
@@ -943,26 +946,28 @@ object Profile {
       .localCheckpoint(true) // rankRows lineage is multi-scan; pin it
     val n = df.count()
     require(n > 0, "quantileNormalize: empty input")
-    val wv = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val anchors = df.groupBy(col(valueCol).cast("long").as("__v"))
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__r", coalesce(sum(col("__c")).over(wv), lit(0L)) + 1L)
-      .select(col("__r"), lit(0).as("__k"), col("__v"),
-        lit(null).cast("long").as("pct_bp"))
-    val levels = df.sparkSession.range(0, scale + 1)
-      .select(col("id").as("pct_bp"))
-      .withColumn("__r", expr(s"greatest(1L, (pct_bp * ${n}L) div $scale)"))
-      .select(col("__r"), lit(1).as("__k"),
-        lit(null).cast("long").as("__v"), col("pct_bp"))
-    val wc = Window.orderBy(col("__r"), col("__k"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val lookup = anchors.unionByName(levels)
-      .withColumn("__nv",
-        last(when(col("__k") === 0, col("__v")), ignoreNulls = true)
-          .over(wc))
-      .filter(col("__k") === 1)
-      .select(col("pct_bp"), col("__nv").as("normalized"))
+    // (hi+1)·scale and lo·scale + n must stay in Long (ANSI throws
+    // mid-task otherwise); fail fast driver-side with the clear error
+    require(n <= Long.MaxValue / (scale + 1) - 1,
+      s"quantileNormalize: n=$n too large for scale=$scale")
+    val granked = Selection.rankRows(
+      df.select(col(valueCol).cast("long").as("__v"))
+        .withColumn("__gg", lit(0)), "__gg", "__v")
+    // probe p answers rank r_p = max(1, (p·N) div scale); anchor
+    // [lo, hi] therefore answers p in [ceil(lo·scale/N),
+    // ((hi+1)·scale − 1) div N] (lo ≤ 1 extends down to p = 0 to
+    // absorb the max(1,·) clamp). The intervals partition 1..N, so
+    // every p in 0..scale lands in exactly one anchor.
+    val lookup = granked.groupBy(col("__v"))
+      .agg(min(col("rank")).as("__lo"), count(lit(1)).as("__c"))
+      .withColumn("__hi", col("__lo") + col("__c") - 1L)
+      .withColumn("__pLo", when(col("__lo") <= 1L, lit(0L))
+        .otherwise(expr(s"(__lo * ${scale}L + ${n}L - 1L) div ${n}L")))
+      .withColumn("__pHi", least(lit(scale),
+        expr(s"((__hi + 1L) * ${scale}L - 1L) div ${n}L")))
+      .filter(col("__pLo") <= col("__pHi"))
+      .select(explode(sequence(col("__pLo"), col("__pHi"))).as("pct_bp"),
+        col("__v").as("normalized"))
     ranked.join(broadcast(lookup), Seq("pct_bp"))
       .select(df.columns.map(col) ++
         Seq(col("pct_bp"), col("normalized")): _*)

@@ -255,9 +255,14 @@ object Splits {
     require(startWeights.keySet == endWeights.keySet,
       "start and end weights must cover the same groups")
     val nP = budgets.length
-    val avail = df.groupBy(col(groupCol))
+    // per-group availability is weights-map-sized: collect it to a
+    // LITERAL relation (not localCheckpoint) so the nP phase branches
+    // reuse the one corpus scan AND the allocation windows sit over a
+    // frame the plan linter can prove bounded (LocalRelation leaf)
+    val availAgg = df.groupBy(col(groupCol))
       .agg(sum(col(tokenCol)).cast("long").as("avail_tokens"))
-      .localCheckpoint(true)
+    val avail = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(availAgg.collect(): _*), availAgg.schema)
     budgets.zipWithIndex.map { case (b, p) =>
       val wp =
         if (nP == 1) startWeights

@@ -25,6 +25,13 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *    reaches a raw scan with no Aggregate on the path — a hot group
   *    serializes into ONE task's sort (the exact defect class the r6
   *    verdict found in Classifier.filterByQuality).
+  *  - `global-window`: a window with an EMPTY partition spec whose
+  *    child frame is not bounded (literal relation, Range, limit, or
+  *    an Aggregate on every path to a leaf) — the whole frame sorts
+  *    in ONE task regardless of cluster size. Subsumes the empty-spec
+  *    half of `bare-fact-window` but is tracked as its own rule so a
+  *    corpus sweep can assert ZERO occurrences (aggregate-bounded
+  *    cumsums — calendar grids, bucket histograms — stay legal).
   *  - `unpushed-filter`: a Filter sitting directly on a parquet scan
   *    that reports no pushed-down data filters — the predicate should
   *    have reached the scan for row-group pruning; a cast or UDF in
@@ -65,11 +72,40 @@ object PlanLint {
       case _: LeafNode => true
       case other => other.children.exists(scanWithoutAgg)
     }
+    // a frame is bounded when every leaf it can reach is a literal /
+    // Range, sits under an Aggregate (count rows, not fact rows), or
+    // under a Limit — those stay model/domain-sized at any input scale.
+    // An InMemoryRelation (the deliberate persist-for-broadcast seam)
+    // is bounded iff the plan it CACHES tops out in an aggregate.
+    def physHasAgg(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        true
+      case a: AdaptiveSparkPlanExec => physHasAgg(a.executedPlan)
+      case other => other.children.exists(physHasAgg)
+    }
+    def boundedFrame(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _: LocalRelation => true
+      case _: Range => true
+      case _: OneRowRelation => true
+      case _: GlobalLimit => true
+      case _: LocalLimit => true
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        physHasAgg(imr.cachedPlan)
+      case _: LeafNode => false
+      case other => other.children.forall(boundedFrame)
+    }
     optimized.foreach {
       case w: Window if w.partitionSpec.size < 2 &&
           !w.partitionSpec.exists(isBucketed(_)) &&
           scanWithoutAgg(w.child) =>
         findings += Finding("bare-fact-window", "error", oneLine(w))
+      case _ => ()
+    }
+    optimized.foreach {
+      case w: Window if w.partitionSpec.isEmpty &&
+          !boundedFrame(w.child) =>
+        findings += Finding("global-window", "error", oneLine(w))
       case _ => ()
     }
 
