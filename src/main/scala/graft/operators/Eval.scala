@@ -15,6 +15,34 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** Driver-side guard for the distinct-value-series posture shared by
+    * [[rocAuc]] / [[ksTest]] / [[Survival.logRank]]: those operators
+    * order each group's DISTINCT-value tally series in a window, which
+    * is safe exactly when the series is domain-bounded (fixed-point bp
+    * scores, day durations). This pins the tally (localCheckpoint —
+    * guard and main query share one scan of the input) and REQUIREs
+    * the largest per-group series under `maxSeries` BEFORE any ordered
+    * window can see it, so feeding a raw continuous 64-bit column
+    * fails fast with the fix in the message instead of serializing a
+    * corpus-sized series into one task's sort. Returns the pinned
+    * tally. */
+  private[graft] def boundedTally(tally: DataFrame, groupCol: String,
+                                  maxSeries: Long, op: String): DataFrame = {
+    require(maxSeries > 0, s"$op: maxSeries must be positive")
+    val pinned = tally.localCheckpoint(true)
+    val worst = pinned.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__nd"))
+      .agg(max(col("__nd"))).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    require(worst <= maxSeries,
+      s"$op: a group's distinct-value series has $worst entries " +
+        s"(> maxSeries=$maxSeries). Pre-quantize the value column to a " +
+        "bounded domain (e.g. fixed-point basis points, day-granular " +
+        "durations) or raise maxSeries deliberately.")
+    pinned
+  }
+
   /** Exact ROC-AUC per group via the rank-sum (Mann–Whitney U)
     * identity, tie-aware: with per-score-value tallies pos_s/neg_s and
     * cneg_s = negatives strictly below s,
@@ -26,7 +54,8 @@ object Eval {
     * the per-group DISTINCT-score series, whose length is bounded by
     * the score domain (e.g. ≤ a few thousand for integer scores), never
     * by corpus size — the same bounded-series posture as
-    * [[Profile.equiDepthHistogram]]. U rides decimal(38,0): at 10^10
+    * [[Profile.equiDepthHistogram]], ENFORCED by [[boundedTally]]
+    * (`maxSeries`) before the window runs. U rides decimal(38,0): at 10^10
     * rows per class, P·N = 10^20 overflows BIGINT but not decimal.
     *
     * Groups with only one class present are dropped (AUC undefined).
@@ -37,11 +66,13 @@ object Eval {
     *                 positive-looking
     */
   def rocAuc(df: DataFrame, groupCol: String, scoreCol: String,
-             labelCol: String, scale: Long = 1000000L): DataFrame = {
-    val byScore = df
+             labelCol: String, scale: Long = 1000000L,
+             maxSeries: Long = 1L << 22): DataFrame = {
+    val byScore = boundedTally(df
       .groupBy(col(groupCol), col(scoreCol).cast("long").as("__s"))
       .agg(sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("__pos"),
-        sum(when(col(labelCol) =!= 0, 0L).otherwise(1L)).as("__neg"))
+        sum(when(col(labelCol) =!= 0, 0L).otherwise(1L)).as("__neg")),
+      groupCol, maxSeries, "rocAuc")
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byScore
@@ -187,11 +218,14 @@ object Eval {
     * Groups missing either slice are dropped. Output: (group, n_a,
     * n_b, d_fp). */
   def ksTest(df: DataFrame, groupCol: String, valueCol: String,
-             sliceA: Column, scale: Long = 1000000L): DataFrame = {
-    val byV = df.select(col(groupCol), col(valueCol).cast("long").as("__v"),
-        when(sliceA, 1L).otherwise(0L).as("__a"))
-      .groupBy(col(groupCol), col("__v"))
-      .agg(sum(col("__a")).as("__ca"), sum(lit(1L) - col("__a")).as("__cb"))
+             sliceA: Column, scale: Long = 1000000L,
+             maxSeries: Long = 1L << 22): DataFrame = {
+    val byV = boundedTally(
+      df.select(col(groupCol), col(valueCol).cast("long").as("__v"),
+          when(sliceA, 1L).otherwise(0L).as("__a"))
+        .groupBy(col(groupCol), col("__v"))
+        .agg(sum(col("__a")).as("__ca"), sum(lit(1L) - col("__a")).as("__cb")),
+      groupCol, maxSeries, "ksTest")
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col(groupCol))

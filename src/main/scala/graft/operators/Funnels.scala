@@ -102,7 +102,8 @@ object Funnels {
     * two → 5000/5000; k ≥ 3 → last 4000, middles 2000 div (k−2) each,
     * first 4000 plus the middle-division remainder (so every
     * conversion's credits sum to exactly 10000). Conversions with no
-    * qualifying touch credit 10000 to `organic`.
+    * qualifying touch credit 10000 to `organic` — synthetic credit
+    * rows, so `organic` reports `n_touches = 0`.
     *
     * Scale: one user-keyed equi-join conversions×touches filtered to
     * the window (fanout bounded by per-user touch activity inside
@@ -138,15 +139,17 @@ object Funnels {
         mid * (col("__k") - 2))
       .otherwise(mid)
     val credited = ranked.select(col("__cid"), col("__ch").as("channel"),
-      credit.as("__credit"))
+      credit.as("__credit"), lit(1L).as("__is_touch"))
+    // organic rows are SYNTHETIC credit carriers (one per touchless
+    // conversion), not touches — they must not inflate n_touches
     val organic = c.join(qual.select(col("__cid")).distinct(),
         Seq("__cid"), "left_anti")
       .select(col("__cid"), lit("organic").as("channel"),
-        lit(10000L).as("__credit"))
+        lit(10000L).as("__credit"), lit(0L).as("__is_touch"))
     credited.unionByName(organic)
       .groupBy(col("channel"))
       .agg(count_distinct(col("__cid")).as("n_conversions"),
-        count(lit(1)).as("n_touches"),
+        sum(col("__is_touch")).as("n_touches"),
         sum(col("__credit")).as("credit_bp"))
   }
 

@@ -366,9 +366,14 @@ object Graph {
     * the reached set is exactly the root's SCC (forward reach is
     * color-constrained by construction); assign, remove, repeat.
     * Every round retires at least one SCC per color, so progress is
-    * guaranteed; `maxSteps` bounds the total join rounds and the
-    * operator REQUIRES completion within it (partial SCC output is
-    * never silently returned).
+    * guaranteed; `maxSteps` bounds the OUTER trim/color/collect
+    * rounds only, and the operator REQUIRES completion within it
+    * (partial SCC output is never silently returned). The inner
+    * coloring / backward-reach fixpoints each provably converge in at
+    * most |live| levels (colors only grow, the member set only grows),
+    * so they carry their own |live|-bounded guard instead of draining
+    * the round budget — a converging graph whose cyclic residue has a
+    * large diameter can no longer exhaust `maxSteps` mid-fixpoint.
     *
     * Scale: every step is an id-keyed equi-join or partial agg over
     * the LIVE subgraph (shrinking monotonically), with one
@@ -379,11 +384,20 @@ object Graph {
   def stronglyConnected(edges: DataFrame, srcCol: String, dstCol: String,
                         maxSteps: Int = 200): DataFrame = {
     val spark = edges.sparkSession
-    var steps = maxSteps
+    var rounds = maxSteps
     def step(): Unit = {
-      steps -= 1
-      require(steps >= 0,
-        s"stronglyConnected exceeded the $maxSteps step budget")
+      rounds -= 1
+      require(rounds >= 0,
+        s"stronglyConnected exceeded the $maxSteps outer-round budget")
+    }
+    // inner fixpoints make guaranteed progress (≥ 1 node per level),
+    // so a |live|-bounded guard only fires on a genuine logic bug —
+    // it never competes with the outer budget
+    var innerLeft = 0L
+    def inner(): Unit = {
+      innerLeft -= 1
+      require(innerLeft >= 0,
+        "stronglyConnected: inner fixpoint failed to converge")
     }
     var live = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -419,8 +433,9 @@ object Graph {
         var colr = remaining.select(col("node"), col("node").as("c"))
           .localCheckpoint(true)
         var changed = 1L
+        innerLeft = nRemaining + 1L
         while (changed > 0) {
-          step()
+          inner()
           val inc = live
             .join(colr.select(col("node").as("src"), col("c").as("__cs")),
               Seq("src"))
@@ -440,8 +455,9 @@ object Graph {
           .localCheckpoint(true)
         var nMember = member.count()
         var grew = true
+        innerLeft = nRemaining + 1L
         while (grew) {
-          step()
+          inner()
           val cand = live
             .join(member.select(col("node").as("dst"), col("c")), Seq("dst"))
             .select(col("src").as("node"), col("c")).distinct()

@@ -244,8 +244,10 @@ object Selection {
     // weighted mode: __n and every bucket tally become Σweight instead
     // of row counts, so a target rank addresses the cumulative WEIGHT
     // order (weighted quantiles). Weights must be >= 1 (enforced per
-    // row) — that keeps the fast-path budget bound valid (non-empty
-    // buckets <= rows <= Σweight) and rank semantics unambiguous.
+    // row) — the fast-path budget decision uses the separate ROW count
+    // (non-empty buckets <= rows; Σweight only addresses rank targets)
+    // so heavy weights never force the slow path; weights >= 1 keeps
+    // rank semantics unambiguous.
     val wExpr = weightCol match {
       case None => lit(1L)
       case Some(wc) =>
@@ -261,16 +263,19 @@ object Selection {
     def tally: org.apache.spark.sql.Column =
       if (weightCol.isEmpty) count(lit(1)) else sum(col("__w"))
 
-    // scan 1 — one row per group: min/max/count (or Σweight). Drives
-    // the histogram sizing on BOTH paths and the budget decision.
+    // scan 1 — one row per group: min/max/count (or Σweight, plus the
+    // plain ROW count — the bucket-bound must use rows, not weight
+    // mass, or heavy-weight groups needlessly fall to the multi-scan
+    // slow path). Drives the histogram sizing on BOTH paths and the
+    // budget decision.
     val aggRows = facts.groupBy(col("__g")).agg(
         min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
-        tally.as("__n")).collect()
+        tally.as("__n"), count(lit(1)).as("__rc")).collect()
 
     // Non-empty 2^16-wide floor buckets are bounded by
-    // min(span >> 16, n) per group; when the TOTAL fits the driver
-    // budget, the whole histogram is model-sized and the rank walk
-    // runs driver-side — two lean aggregate jobs instead of the
+    // min(span >> 16, rowCount) per group; when the TOTAL fits the
+    // driver budget, the whole histogram is model-sized and the rank
+    // walk runs driver-side — two lean aggregate jobs instead of the
     // window+broadcast-join shuffle cascade (the local[32] job floor,
     // not row work, dominated q113/q86/q91 in BENCH_r05). The shifts
     // are overflow-safe on any long range, so the fast path needs no
@@ -279,7 +284,7 @@ object Selection {
     aggRows.foreach { r =>
       val span = (r.getLong(2) >> 16) - (r.getLong(1) >> 16) + 1L
       bucketBound = math.min(driverBudgetRows.toLong + 1L,
-        bucketBound + math.min(span, r.getLong(3)))
+        bucketBound + math.min(span, r.getLong(4)))
     }
     if (bucketBound <= driverBudgetRows)
       return fastValueAtRanks(spark, gType, outSchema, facts, aggRows,

@@ -83,13 +83,17 @@ object Survival {
     * shape); per-time pooled totals are a window over the same grid.
     * Output: (groupCol, n_subjects, observed, expected_fp, oe_fp). */
   def logRank(df: DataFrame, groupCol: String, durationCol: String,
-              eventCol: String, scale: Long = 1000000L): DataFrame = {
-    val tal = df
+              eventCol: String, scale: Long = 1000000L,
+              maxSeries: Long = 1L << 22): DataFrame = {
+    // boundedTally pins the tally (reused: death times, groups,
+    // series) AND enforces the time-domain-bounded contract before
+    // any ordered window sees the series
+    val tal = Eval.boundedTally(df
       .groupBy(col(groupCol).cast("string").as("__g"),
         col(durationCol).cast("long").as("__t"))
       .agg(sum(when(col(eventCol) =!= 0, 1L).otherwise(0L)).as("__d"),
-        sum(when(col(eventCol) =!= 0, 0L).otherwise(1L)).as("__c"))
-      .localCheckpoint(true) // reused: death times, groups, series
+        sum(when(col(eventCol) =!= 0, 0L).otherwise(1L)).as("__c")),
+      "__g", maxSeries, "logRank")
     val grid = tal.select(col("__g")).distinct()
       .crossJoin(tal.filter(col("__d") > 0).select(col("__t")).distinct())
       .withColumn("__isdt", lit(1))

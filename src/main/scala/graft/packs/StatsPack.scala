@@ -1738,14 +1738,15 @@ object StatsPack extends QueryPack {
          |      WHEN k = 2 THEN 5000
          |      WHEN rn = k THEN 4000
          |      WHEN rn = 1 THEN 6000 - (2000 // (k - 2)) * (k - 2)
-         |      ELSE 2000 // (k - 2) END AS credit
+         |      ELSE 2000 // (k - 2) END AS credit,
+         |    1 AS is_touch
          |  FROM ranked
          |  UNION ALL
-         |  SELECT c.cid, 'organic', 10000 FROM conv c
+         |  SELECT c.cid, 'organic', 10000, 0 FROM conv c
          |  WHERE NOT EXISTS (SELECT 1 FROM qual q WHERE q.cid = c.cid))
          |SELECT channel,
          |  CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions,
-         |  CAST(count(*) AS BIGINT) AS n_touches,
+         |  CAST(sum(is_touch) AS BIGINT) AS n_touches,
          |  CAST(sum(credit) AS BIGINT) AS credit_bp
          |FROM cr GROUP BY 1""".stripMargin,
 

@@ -104,6 +104,24 @@ class SelectionSpec extends SparkSpec {
     assert(got(("one", "med")) == 42L && got(("one", "max")) == 42L)
   }
 
+  test("valueAtRanks weighted: heavy weights stay on the driver fast path") {
+    // 6 rows spread over 80 floor-buckets with Σweight = 6·10^9: the
+    // fast-path decision must key on ROW count (6 ≤ budget 32), not on
+    // min(span, Σweight) = 80 — and the weighted median must still be
+    // exact under the tiny budget
+    val v0 = 1L << 20
+    val df = Seq.tabulate(6)(i =>
+        ((i + 1).toLong, "a", (i + 1) * 10L * v0, 1000000000L))
+      .toDF("id", "g", "v", "w")
+    val got = Selection.valueAtRanks(df, "g", "v",
+        Seq("med" -> "(__n + 1) div 2", "p99" -> "(__n * 99) div 100"),
+        driverBudgetRows = 32, weightCol = Some("w"))
+      .select("label", "value").as[(String, Long)].collect().toMap
+    // rank (6e9+1)/2 = 3e9 (floored) lands in the 3rd row's weight span
+    assert(got("med") === 30L * v0)
+    assert(got("p99") === 60L * v0)
+  }
+
   test("winsorize on the hot group matches brute force") {
     val out = Profile.winsorize(hot, "g", "v", loBp = 100, hiBp = 9900)
       .select("id", "g", "v", "winsorized")

@@ -42,6 +42,29 @@ class StatsSpec extends SparkSpec {
       .as[Long].head() === 0L)
   }
 
+  test("bounded-series guard trips on a synthetic continuous column") {
+    // 1000 distinct values in one group: legal at the default budget,
+    // fails fast (driver-side require, BEFORE any window job) when the
+    // caller's maxSeries contract is tighter
+    val cont = (1 to 1000).map(i => ("g", i.toLong, i % 2)).toDF("g", "v", "l")
+    val eRoc = intercept[IllegalArgumentException] {
+      Eval.rocAuc(cont, "g", "v", "l", maxSeries = 100L)
+    }
+    assert(eRoc.getMessage.contains("rocAuc") &&
+      eRoc.getMessage.contains("Pre-quantize"))
+    val eKs = intercept[IllegalArgumentException] {
+      Eval.ksTest(cont, "g", "v", col("l") === 1, maxSeries = 100L)
+    }
+    assert(eKs.getMessage.contains("ksTest"))
+    val eLr = intercept[IllegalArgumentException] {
+      Survival.logRank(cont, "g", "v", "l", maxSeries = 100L)
+    }
+    assert(eLr.getMessage.contains("logRank"))
+    // under the budget the same input still computes
+    assert(Eval.rocAuc(cont, "g", "v", "l", maxSeries = 1000L)
+      .count() === 1L)
+  }
+
   test("cohenKappa: hand-computed 2x2, negative truncation, degenerate") {
     // 20 (+,+), 5 (+,-), 10 (-,+), 15 (-,-): kappa = 0.4 exactly
     val rows =
@@ -612,9 +635,10 @@ class StatsSpec extends SparkSpec {
     val out2 = graft.operators.Funnels
       .positionalAttribution(conv2, tch2, "u", "ts", "id", "ch", 10000L)
       .as[(String, Long, Long, Long)].collect()
-      .map(r => r._1 -> ((r._2, r._4))).toMap
-    assert(out2 === Map("a" -> ((1L, 5000L)), "b" -> ((1L, 5000L)),
-      "organic" -> ((1L, 10000L))))
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // organic rows are synthetic credit carriers: n_touches must be 0
+    assert(out2 === Map("a" -> ((1L, 1L, 5000L)),
+      "b" -> ((1L, 1L, 5000L)), "organic" -> ((1L, 0L, 10000L))))
   }
 
   test("markovAttribution: hand-solvable chain removal effects") {
