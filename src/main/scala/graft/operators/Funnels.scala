@@ -153,6 +153,65 @@ object Funnels {
         sum(col("__credit")).as("credit_bp"))
   }
 
+  /** Time-decay multi-touch attribution, exact-integer: each
+    * conversion's 10^4 bp of credit splits over its qualifying touch
+    * path (strictly before the conversion, at most `windowUs` old)
+    * proportionally to the half-life-decayed weight
+    * `w = 10000 >> min(age div halfLifeUs, 13)` — a power-of-two decay
+    * so every weight is an exact integer in [1, 10000] (the >= 13
+    * half-lives floor keeps stale-but-qualifying touches at weight 1
+    * instead of a zero-sum path). Shares floor-divide; the rounding
+    * remainder goes to the LATEST touch (ts, id order), so every
+    * conversion's credits sum to exactly 10000. Conversions with no
+    * qualifying touch credit 10000 to `organic` — synthetic credit
+    * rows, `n_touches = 0`.
+    *
+    * Scale: one user-keyed equi-join filtered to the window (fanout
+    * bounded by per-user activity inside `windowUs`), two windows
+    * partitioned by the CONVERSION id (path-length partitions), one
+    * channel-sized partial agg. Output: (channel, n_conversions,
+    * n_touches, credit_bp). */
+  def timeDecayAttribution(conversions: DataFrame, touches: DataFrame,
+                           userCol: String, tsUsCol: String,
+                           idCol: String, channelCol: String,
+                           windowUs: Long, halfLifeUs: Long): DataFrame = {
+    require(windowUs > 0, "windowUs must be positive")
+    require(halfLifeUs > 0, "halfLifeUs must be positive")
+    val c = conversions.select(col(userCol).as("__u"),
+      col(tsUsCol).cast("long").as("__ct"),
+      col(idCol).cast("long").as("__cid"))
+    val t = touches.select(col(userCol).as("__u"),
+      col(tsUsCol).cast("long").as("__tt"),
+      col(idCol).cast("long").as("__tid"),
+      col(channelCol).as("__ch"))
+    val qual = c.join(t, Seq("__u"))
+      .filter(col("__tt") < col("__ct") &&
+        col("__ct") - col("__tt") <= windowUs)
+      .withColumn("__w", expr(
+        s"shiftright(10000L, cast(least((__ct - __tt) div " +
+          s"${halfLifeUs}L, 13L) as int))"))
+    val w = Window.partitionBy(col("__cid"))
+    val ranked = qual
+      .withColumn("__sw", sum(col("__w")).over(w))
+      .withColumn("__share", expr("(10000L * __w) div __sw"))
+      .withColumn("__ssum", sum(col("__share")).over(w))
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("__tt").desc, col("__tid").desc)))
+    val credited = ranked.select(col("__cid"), col("__ch").as("channel"),
+      (col("__share") + when(col("__rn") === 1,
+        lit(10000L) - col("__ssum")).otherwise(0L)).as("__credit"),
+      lit(1L).as("__is_touch"))
+    val organic = c.join(qual.select(col("__cid")).distinct(),
+        Seq("__cid"), "left_anti")
+      .select(col("__cid"), lit("organic").as("channel"),
+        lit(10000L).as("__credit"), lit(0L).as("__is_touch"))
+    credited.unionByName(organic)
+      .groupBy(col("channel"))
+      .agg(count_distinct(col("__cid")).as("n_conversions"),
+        sum(col("__is_touch")).as("n_touches"),
+        sum(col("__credit")).as("credit_bp"))
+  }
+
   /** Exact rational for the driver-side Markov solve. */
   private case class Frac(n: BigInt, d: BigInt) {
     def +(o: Frac): Frac = Frac.norm(n * o.d + o.n * d, d * o.d)

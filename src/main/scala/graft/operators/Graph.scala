@@ -539,4 +539,112 @@ object Graph {
            |  end as long)""".stripMargin))
       .drop("__sd2")
   }
+
+  /** Link prediction over an undirected simple graph: for every
+    * NON-ADJACENT node pair with at least `minCommon` common
+    * neighbors, the three classic scores (Liben-Nowell & Kleinberg
+    * 2003, public formulation) — common-neighbor count, exact
+    * neighborhood Jaccard in floored basis points, and preferential
+    * attachment `deg_a·deg_b` — top-`k` by (common, pair) total order.
+    * All integer, so the report hash-checks in any engine.
+    *
+    * Scale: candidate pairs enumerate as wedges at their common
+    * neighbor (the apex), so the fanout is Σ deg(apex)² — bounded by
+    * `maxApexDegree`: apexes above the cap generate no wedges. With
+    * the cap at or above the true max degree the scores are EXACT
+    * (the oracle query runs that way); capped, a hub stops minting
+    * quadratic candidate pairs and the score becomes the standard
+    * degree-capped CN approximation (a mega-hub's endorsement of a
+    * pair is the weakest CN evidence, so production rankers drop it
+    * anyway). Existing edges are removed by one anti-join; degrees
+    * attach by two broadcast-sized joins; top-k resolves through
+    * TakeOrderedAndProject, never a global sort.
+    *
+    * Output: (node_a, node_b, deg_a, deg_b, common, jaccard_bp, pa),
+    * node_a < node_b. */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxApexDegree: Long, minCommon: Long,
+                     k: Int): DataFrame = {
+    require(maxApexDegree >= 1, "maxApexDegree must be >= 1")
+    require(minCommon >= 1, "minCommon must be >= 1")
+    require(k > 0, "k must be positive")
+    val und = undirected(edges, srcCol, dstCol)
+      .localCheckpoint(true) // adjacency + degrees + the anti-join
+    val adj = und.select(col("u").as("a"), col("v").as("n"))
+      .union(und.select(col("v"), col("u")))
+    val deg = adj.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true) // apex cap + two degree attaches
+    val capped = adj.join(
+        deg.filter(col("degree") <= maxApexDegree)
+          .select(col("node").as("a")),
+        Seq("a"), "left_semi")
+    val cn = capped
+      .join(capped.select(col("a"), col("n").as("m")), Seq("a"))
+      .filter(col("n") < col("m"))
+      .groupBy(col("n").as("u"), col("m").as("v"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .join(und, Seq("u", "v"), "left_anti")
+    cn.join(deg.select(col("node").as("u"), col("degree").as("deg_a")),
+        Seq("u"))
+      .join(deg.select(col("node").as("v"), col("degree").as("deg_b")),
+        Seq("v"))
+      .select(col("u").as("node_a"), col("v").as("node_b"),
+        col("deg_a"), col("deg_b"), col("common"),
+        expr("(10000L * common) div (deg_a + deg_b - common)")
+          .as("jaccard_bp"),
+        (col("deg_a") * col("deg_b")).as("pa"))
+      .orderBy(col("common").desc, col("node_a"), col("node_b"))
+      .limit(k)
+  }
+
+  /** Per-edge triangle SUPPORT — the number of triangles each
+    * undirected edge participates in (the k-truss building block and
+    * the classic spam-link signal: a real community edge is embedded
+    * in triangles, a link-farm spoke is not). Output: (u, v, support)
+    * over ALL canonical edges, support 0 included.
+    *
+    * Scale: the same degree-ordered O(m^1.5) wedge enumeration as
+    * [[triangleStats]]; each triangle found once at its apex then
+    * explodes to its three canonical edges, which partial-aggregate
+    * on the edge key — no windows, no driver data. */
+  def edgeSupport(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol)
+      .localCheckpoint(true) // degrees, orientation, closure, final join
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val du = deg.select(col("node").as("u"), col("degree").as("__du"))
+    val dv = deg.select(col("node").as("v"), col("degree").as("__dv"))
+    val uFirst = col("__du") < col("__dv") ||
+      (col("__du") === col("__dv") && col("u") < col("v"))
+    val oriented = und.join(du, Seq("u")).join(dv, Seq("v"))
+      .select(
+        when(uFirst, col("u")).otherwise(col("v")).as("a"),
+        when(uFirst, col("v")).otherwise(col("u")).as("b"),
+        when(uFirst, col("__dv")).otherwise(col("__du")).as("__bd"))
+      .localCheckpoint(true)
+    val wedges = oriented
+      .join(oriented.select(col("a"), col("b").as("c"), col("__bd").as("__cd")),
+        Seq("a"))
+      .filter(col("__bd") < col("__cd") ||
+        (col("__bd") === col("__cd") && col("b") < col("c")))
+    val tris = wedges.join(
+        oriented.select(col("a").as("__bb"), col("b").as("__cc")),
+        col("b") === col("__bb") && col("c") === col("__cc"))
+      .select(col("a"), col("b"), col("c"))
+    val perEdge = tris.select(explode(array(
+        struct(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")),
+        struct(least(col("a"), col("c")).as("u"),
+          greatest(col("a"), col("c")).as("v")),
+        struct(least(col("b"), col("c")).as("u"),
+          greatest(col("b"), col("c")).as("v")))).as("__e"))
+      .groupBy(col("__e.u").as("u"), col("__e.v").as("v"))
+      .agg(count(lit(1)).as("support"))
+    und.join(perEdge, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
 }

@@ -972,4 +972,52 @@ object Profile {
       .select(df.columns.map(col) ++
         Seq(col("pct_bp"), col("normalized")): _*)
   }
+
+  /** Exact per-group MODE of an integral column with a deterministic
+    * tie-break (the SMALLEST value among the max-count ties — any
+    * engine reproduces it). The categorical location statistic the
+    * mean/median family lacks: top value of a domain, per segment.
+    *
+    * Scale: one partial-agg shuffle to (group, value) tallies, then
+    * the per-group argmax folds as `min(struct(-count, value))` — a
+    * plain aggregate, no window, no sort; a domain-sized hot group
+    * tallies in parallel. Output: (group, mode_value, mode_count, n,
+    * n_distinct). */
+  def modeValue(df: DataFrame, groupCol: String,
+                valueCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(min(struct((-col("__c")).as("nc"), col("__v").as("v")))
+          .as("__m"),
+        sum(col("__c")).as("n"), count(lit(1)).as("n_distinct"))
+      .select(col(groupCol), col("__m.v").as("mode_value"),
+        (-col("__m.nc")).as("mode_count"), col("n"), col("n_distinct"))
+
+  /** Functional-dependency audit: does `lhs` determine `rhs`? Reports,
+    * per violating determinant group (a lhs tuple mapping to MORE than
+    * one distinct rhs value), the distinct-rhs count and row count —
+    * plus the majority-rhs row count, so `rows - majority` is the
+    * minimal number of rows to repair for the FD to hold (the data-
+    * cleaning budget). Deterministic majority tie-break as in
+    * [[modeValue]].
+    *
+    * Scale: one partial-agg shuffle to (lhs, rhs) tallies, one to lhs
+    * groups — aggregates end to end, no windows. Top-`k` violating
+    * groups by (distinct rhs, rows, lhs) via TakeOrderedAndProject.
+    * Output: (lhs..., n_rhs_values, n_rows, majority_rows). */
+  def fdAudit(df: DataFrame, lhs: Seq[String], rhs: String,
+              k: Int = 100): DataFrame = {
+    require(lhs.nonEmpty, "lhs must be non-empty")
+    require(k > 0, "k must be positive")
+    df.groupBy((lhs.map(col) :+ col(rhs).as("__r")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(lhs.map(col): _*)
+      .agg(count(lit(1)).as("n_rhs_values"), sum(col("__c")).as("n_rows"),
+        max(col("__c")).as("majority_rows"))
+      .filter(col("n_rhs_values") > 1)
+      .orderBy(col("n_rhs_values").desc +: col("n_rows").desc +:
+        lhs.map(col(_).asc): _*)
+      .limit(k)
+  }
 }

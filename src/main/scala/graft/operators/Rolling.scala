@@ -81,6 +81,66 @@ object Rolling {
         col("__e.n").as("n"), col("__e.ewma_scaled").as("ewma_scaled"))
   }
 
+  /** Exact-integer HOLT (double exponential) smoothing of a
+    * per-(group, date) count series — [[ewmaDaily]] plus a TREND
+    * carry, the level+slope baseline that follows a ramping series
+    * without the plain EWMA's lag (Holt 1957, public formulation).
+    * With α = 1/denomA, β = 1/denomB (powers of two, so every step is
+    * an arithmetic shift — exact floor on negatives in Spark AND
+    * DuckDB's `>>`; `//` truncates and would diverge):
+    * `l_t = ((denomA−1)·(l_{t−1}+b_{t−1}) + scale·x_t) >> log2 denomA`,
+    * `b_t = ((denomB−1)·b_{t−1} + (l_t − l_{t−1})) >> log2 denomB`,
+    * seeded `l_0 = scale·x_0, b_0 = 0`; `forecast = l_t + b_t` is the
+    * one-step-ahead prediction, all carried at `scale`×.
+    *
+    * Same shape as [[ewmaDaily]]: one shuffle to daily counts, one to
+    * group series, the recurrence folds each group's bounded daily
+    * array ONCE with an array accumulator (the CLAUDE.md HOF rule).
+    * Output: (group, date, n, level_scaled, trend_scaled, forecast_scaled). */
+  def holtDaily(df: DataFrame, groupCol: String, tsCol: String,
+                scale: Long = 256L, denomA: Long = 4L,
+                denomB: Long = 4L): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    require(denomA > 1 && (denomA & (denomA - 1)) == 0 &&
+      denomB > 1 && (denomB & (denomB - 1)) == 0,
+      "denomA/denomB must be powers of two > 1")
+    val shA = java.lang.Long.numberOfTrailingZeros(denomA)
+    val shB = java.lang.Long.numberOfTrailingZeros(denomB)
+    val daily = df
+      .groupBy(col(groupCol), to_date(col(tsCol)).as("date"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("date"), col("n"))))
+        .as("__s"))
+    val folded = series.withColumn("__acc",
+      aggregate(col("__s"),
+        expr("CAST(array() AS ARRAY<STRUCT<date DATE, n BIGINT," +
+          " level_scaled BIGINT, trend_scaled BIGINT>>)"),
+        (acc, x) => {
+          val pl = element_at(acc, -1).getField("level_scaled")
+          val pb = element_at(acc, -1).getField("trend_scaled")
+          val lvl = when(size(acc) === 0, x.getField("n") * lit(scale))
+            .otherwise(shiftright(
+              (pl + pb) * lit(denomA - 1) + x.getField("n") * lit(scale),
+              shA))
+          val tr = when(size(acc) === 0, lit(0L))
+            .otherwise(shiftright(pb * lit(denomB - 1) + (lvl - pl), shB))
+          concat(acc, array(struct(
+            x.getField("date").as("date"),
+            x.getField("n").as("n"),
+            lvl.as("level_scaled"),
+            tr.as("trend_scaled"))))
+        }))
+    folded
+      .select(col(groupCol), explode(col("__acc")).as("__e"))
+      .select(col(groupCol), col("__e.date").as("date"),
+        col("__e.n").as("n"), col("__e.level_scaled").as("level_scaled"),
+        col("__e.trend_scaled").as("trend_scaled"),
+        (col("__e.level_scaled") + col("__e.trend_scaled"))
+          .as("forecast_scaled"))
+  }
+
   /** Exact-integer two-sided CUSUM drift statistic (Page 1954) over a
     * per-(group, date) count series: the first `refDays` observed days
     * form the in-control reference, then every later day accumulates

@@ -487,6 +487,77 @@ object StatsPack extends QueryPack {
         "event_id", "chan", AttributionWindowUs)
     }),
 
+    // link prediction over the repeated part co-occurrence graph:
+    // exact common-neighbor / Jaccard / preferential-attachment
+    // scores for non-adjacent pairs (apex cap above max degree)
+    "q205_link_pred" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+      val pairs = li.withColumnRenamed("pk", "u")
+        .join(li.withColumnRenamed("pk", "v"), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count_distinct(col("ok")).as("__c"))
+        .filter(col("__c") >= 2)
+        .select(col("u"), col("v"))
+      Graph.linkPrediction(pairs, "u", "v",
+        maxApexDegree = 1L << 40, minCommon = 2L, k = 100)
+    }),
+
+    // exact per-group mode of the quantity domain (smallest-value
+    // tie-break), plain aggregates end to end
+    "q206_mode" -> ((s, dir) =>
+      Profile.modeValue(Tables.load(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity")),
+
+    // functional-dependency audit: l_partkey -> l_suppkey is violated
+    // by multi-supplier parts; report the top repair budgets
+    "q207_fd_audit" -> ((s, dir) =>
+      Profile.fdAudit(Tables.load(s, dir, "lineitem")
+          .select(col("l_partkey").cast("long").as("l_partkey"),
+            col("l_suppkey").cast("long").as("l_suppkey")),
+        Seq("l_partkey"), "l_suppkey", k = 50)),
+
+    // time-decay multi-touch attribution: 1-day half-life over the
+    // 7-day purchase touch paths, exact 10^4 bp per conversion
+    "q208_time_decay" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val conv = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val tch = e.filter(col("event_type").isin("click", "view", "signup"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type").as("chan"))
+      Funnels.timeDecayAttribution(conv, tch, "user_id", "ts_us",
+        "event_id", "chan", AttributionWindowUs,
+        halfLifeUs = 86400L * 1000000L)
+    }),
+
+    // Holt level+trend smoothing of the daily event series
+    // (alpha = beta = 1/4 at 256x) — oracle: recursive CTE twin
+    "q209_holt" -> ((s, dir) =>
+      Rolling.holtDaily(Tables.events(s, dir), "event_type", "ts")
+        .select(col("event_type"), col("date").cast("string").as("date"),
+          col("n"), col("level_scaled"), col("trend_scaled"),
+          col("forecast_scaled"))),
+
+    // per-edge triangle support (k-truss building block) over the
+    // repeated part co-occurrence graph
+    "q210_edge_support" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+      val pairs = li.withColumnRenamed("pk", "u")
+        .join(li.withColumnRenamed("pk", "v"), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count_distinct(col("ok")).as("__c"))
+        .filter(col("__c") >= 2)
+        .select(col("u"), col("v"))
+      Graph.edgeSupport(pairs, "u", "v")
+    }),
+
     // Herfindahl spend-concentration per nation: which markets are
     // dominated by a few customers (exact rational, decimal(38,0))
     "q197_hhi" -> ((s, dir) =>
@@ -1749,6 +1820,162 @@ object StatsPack extends QueryPack {
          |  CAST(sum(is_touch) AS BIGINT) AS n_touches,
          |  CAST(sum(credit) AS BIGINT) AS credit_bp
          |FROM cr GROUP BY 1""".stripMargin,
+
+    "q205_link_pred" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT u, v FROM (
+        |    SELECT a.pk AS u, b.pk AS v, count(DISTINCT a.ok) AS c
+        |    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |    GROUP BY 1, 2)
+        |  WHERE c >= 2),
+        |adj AS (SELECT u AS a, v AS n FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+        |  FROM adj GROUP BY 1),
+        |cn AS (
+        |  SELECT x.n AS u, y.n AS v, CAST(count(*) AS BIGINT) AS common
+        |  FROM adj x JOIN adj y ON x.a = y.a AND x.n < y.n
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |cand AS (
+        |  SELECT cn.u, cn.v, cn.common FROM cn
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |    WHERE e.u = cn.u AND e.v = cn.v))
+        |SELECT cand.u AS node_a, cand.v AS node_b,
+        |  da.degree AS deg_a, db.degree AS deg_b, cand.common,
+        |  CAST((10000 * cand.common)
+        |    // (da.degree + db.degree - cand.common) AS BIGINT)
+        |    AS jaccard_bp,
+        |  CAST(da.degree * db.degree AS BIGINT) AS pa
+        |FROM cand
+        |JOIN deg da ON da.node = cand.u
+        |JOIN deg db ON db.node = cand.v
+        |ORDER BY cand.common DESC, node_a, node_b
+        |LIMIT 100""".stripMargin,
+
+    "q206_mode" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT g, max(c) AS mc, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM t GROUP BY 1)
+        |SELECT m.g AS l_returnflag,
+        |  CAST(min(t.v) AS BIGINT) AS mode_value,
+        |  CAST(m.mc AS BIGINT) AS mode_count, m.n, m.nd AS n_distinct
+        |FROM t JOIN m ON t.g = m.g AND t.c = m.mc
+        |GROUP BY m.g, m.mc, m.n, m.nd""".stripMargin,
+
+    "q207_fd_audit" ->
+      """WITH t AS (
+        |  SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+        |    CAST(l_suppkey AS BIGINT) AS r, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |g AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rhs_values,
+        |    CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(max(c) AS BIGINT) AS majority_rows
+        |  FROM t GROUP BY 1)
+        |SELECT l_partkey, n_rhs_values, n_rows, majority_rows
+        |FROM g WHERE n_rhs_values > 1
+        |ORDER BY n_rhs_values DESC, n_rows DESC, l_partkey
+        |LIMIT 50""".stripMargin,
+
+    "q208_time_decay" ->
+      s"""WITH conv AS (
+         |  SELECT event_id AS cid, user_id AS u, epoch_us(ts) AS ct
+         |  FROM events WHERE event_type = 'purchase'),
+         |tch AS (
+         |  SELECT event_id AS tid, user_id AS u, epoch_us(ts) AS tt,
+         |    event_type AS ch
+         |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+         |qual AS (
+         |  SELECT c.cid, t.tid, t.tt, t.ch,
+         |    CAST(10000 >> CAST(least((c.ct - t.tt) // 86400000000, 13)
+         |      AS INT) AS BIGINT) AS w
+         |  FROM conv c JOIN tch t ON c.u = t.u
+         |  WHERE t.tt < c.ct AND c.ct - t.tt <= $AttributionWindowUs),
+         |agg AS (
+         |  SELECT cid, tid, tt, ch, w,
+         |    CAST(sum(w) OVER (PARTITION BY cid) AS BIGINT) AS sw,
+         |    CAST(row_number() OVER (PARTITION BY cid
+         |      ORDER BY tt DESC, tid DESC) AS BIGINT) AS rn
+         |  FROM qual),
+         |sh AS (
+         |  SELECT cid, ch, rn, (10000 * w) // sw AS share,
+         |    CAST(sum((10000 * w) // sw) OVER (PARTITION BY cid)
+         |      AS BIGINT) AS ssum
+         |  FROM agg),
+         |cr AS (
+         |  SELECT cid, ch AS channel,
+         |    share + CASE WHEN rn = 1 THEN 10000 - ssum ELSE 0 END
+         |      AS credit,
+         |    1 AS is_touch
+         |  FROM sh
+         |  UNION ALL
+         |  SELECT c.cid, 'organic', 10000, 0 FROM conv c
+         |  WHERE NOT EXISTS (SELECT 1 FROM tch t
+         |    WHERE t.u = c.u AND t.tt < c.ct
+         |      AND c.ct - t.tt <= $AttributionWindowUs))
+         |SELECT channel,
+         |  CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions,
+         |  CAST(sum(is_touch) AS BIGINT) AS n_touches,
+         |  CAST(sum(credit) AS BIGINT) AS credit_bp
+         |FROM cr GROUP BY 1""".stripMargin,
+
+    "q209_holt" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), o AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY date) AS rn
+        |  FROM d
+        |), r AS (
+        |  SELECT event_type, date, n, rn, CAST(n * 256 AS BIGINT) AS l,
+        |    CAST(0 AS BIGINT) AS b
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.date, o.n, o.rn,
+        |    CAST(((r.l + r.b) * 3 + o.n * 256) >> 2 AS BIGINT),
+        |    CAST((r.b * 3 +
+        |      ((((r.l + r.b) * 3 + o.n * 256) >> 2) - r.l)) >> 2
+        |      AS BIGINT)
+        |  FROM o JOIN r ON o.event_type = r.event_type
+        |    AND o.rn = r.rn + 1
+        |)
+        |SELECT event_type, CAST(date AS VARCHAR) AS date,
+        |  CAST(n AS BIGINT) AS n, l AS level_scaled, b AS trend_scaled,
+        |  CAST(l + b AS BIGINT) AS forecast_scaled
+        |FROM r""".stripMargin,
+
+    "q210_edge_support" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT u, v FROM (
+        |    SELECT a.pk AS u, b.pk AS v, count(DISTINCT a.ok) AS c
+        |    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |    GROUP BY 1, 2)
+        |  WHERE c >= 2),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pe AS (
+        |  SELECT u, v, CAST(count(*) AS BIGINT) AS s FROM (
+        |    SELECT a AS u, b AS v FROM tri
+        |    UNION ALL SELECT a, c FROM tri
+        |    UNION ALL SELECT b, c FROM tri)
+        |  GROUP BY 1, 2)
+        |SELECT e.u, e.v,
+        |  CAST(coalesce(pe.s, 0) AS BIGINT) AS support
+        |FROM e LEFT JOIN pe ON e.u = pe.u AND e.v = pe.v""".stripMargin,
 
     "q197_hhi" ->
       """WITH per AS (

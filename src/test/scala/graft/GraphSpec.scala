@@ -286,4 +286,60 @@ class GraphSpec extends SparkSpec {
       Seq(99L).toDF("id"), "id", maxHops = 3)
     assert(out.count() == 0)
   }
+
+  test("linkPrediction: exact CN/Jaccard/PA on a hand graph, apex cap") {
+    // triangle 1-2-3 plus 2-4, 3-4: the only non-adjacent pairs with
+    // common neighbors are (1,4) via {2,3} and none else
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s", "d")
+    val out = Graph.linkPrediction(edges, "s", "d",
+        maxApexDegree = 100L, minCommon = 1L, k = 10)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    // deg: 1->2, 2->3, 3->3, 4->2; (1,4): cn=2, jac=2/(2+2-2)=1
+    assert(out === Set((1L, 4L, 2L, 2L, 2L, 10000L, 4L)))
+    // cap below every degree: no apexes, no candidates
+    assert(Graph.linkPrediction(edges, "s", "d",
+      maxApexDegree = 1L, minCommon = 1L, k = 10).count() === 0L)
+  }
+
+  test("linkPrediction matches brute force on a random graph") {
+    val edges = randomEdges(25, 80, 11)
+    val und = undirect(edges)
+    val adj = und.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val deg = adj.map { case (k, ns) => k -> ns.size.toLong }
+    val nodes = adj.keys.toSeq.sorted
+    val expected = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      u = nodes(i); v = nodes(j)
+      if !und.contains((u, v))
+      cn = (adj(u) & adj(v)).size.toLong
+      if cn >= 2
+    } yield (u, v, deg(u), deg(v), cn,
+      10000L * cn / (deg(u) + deg(v) - cn), deg(u) * deg(v))).toSet
+    val out = Graph.linkPrediction(edges.toDF("s", "d"), "s", "d",
+        maxApexDegree = 1000L, minCommon = 2L, k = 100000)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out === expected)
+  }
+
+  test("edgeSupport: triangle edges support 1, pendant edge 0") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val out = Graph.edgeSupport(edges, "s", "d")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 0L)))
+  }
+
+  test("edgeSupport matches brute force on a random graph") {
+    val edges = randomEdges(25, 90, 13)
+    val und = undirect(edges)
+    val adj = und.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val expected = und.map { case (u, v) =>
+      (u, v, (adj(u) & adj(v)).size.toLong) }
+    val out = Graph.edgeSupport(edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === expected)
+  }
 }

@@ -751,4 +751,85 @@ class StatsSpec extends SparkSpec {
       ("2024-01-08", 1, 4L, 30000L, 10000L),
       ("2024-01-02", 2, 3L, 30000L, 0L)))
   }
+
+  test("modeValue: deterministic smallest-value tie-break") {
+    val df = Seq(("a", 5L), ("a", 5L), ("a", 3L), ("a", 3L), ("a", 9L),
+        ("b", 7L)).toDF("g", "v")
+    val out = Profile.modeValue(df, "g", "v")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // counts: 5->2, 3->2, 9->1 — tie at 2, smallest value 3 wins
+    assert(out("a") === ((3L, 2L, 5L, 3L)))
+    assert(out("b") === ((7L, 1L, 1L, 1L)))
+  }
+
+  test("fdAudit reports violating determinants with repair budget") {
+    val df = Seq((1L, "x"), (1L, "x"), (1L, "y"), // 1 -> {x,x,y}: violates
+        (2L, "z"), (2L, "z"),                     // 2 -> z: holds
+        (3L, "p"), (3L, "q"), (3L, "q"), (3L, "r")) // 3 -> {p,q,q,r}
+      .toDF("k", "dep")
+    val out = Profile.fdAudit(df, Seq("k"), "dep")
+      .as[(Long, Long, Long, Long)].collect()
+    // ordered by (n_rhs_values DESC, n_rows DESC, k)
+    assert(out.toSeq === Seq((3L, 3L, 4L, 2L), (1L, 2L, 3L, 2L)))
+    // repair budget: rows - majority = 2 for k=3, 1 for k=1
+  }
+
+  test("timeDecayAttribution: half-life weights, exact 10000 per conversion") {
+    val hl = 100L
+    // conv at t=1000: touch a at age 50 (w=10000), b at age 250
+    // (2 half-lives -> w=2500); shares 8000/2000 exactly
+    val conv = Seq((1L, 1000L, 100L), (3L, 1000L, 101L)).toDF("u", "ts", "id")
+    val tch = Seq((1L, 950L, 1L, "a"), (1L, 750L, 2L, "b"))
+      .toDF("u", "ts", "id", "ch")
+    val out = graft.operators.Funnels.timeDecayAttribution(
+        conv, tch, "u", "ts", "id", "ch", windowUs = 10000L,
+        halfLifeUs = hl)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("a") === ((1L, 1L, 8000L)))
+    assert(out("b") === ((1L, 1L, 2000L)))
+    assert(out("organic") === ((1L, 0L, 10000L)))
+    // three equal-weight touches: 3333 each + remainder 1 to the LATEST
+    val tch3 = Seq((1L, 950L, 1L, "a"), (1L, 940L, 2L, "b"),
+      (1L, 930L, 3L, "c")).toDF("u", "ts", "id", "ch")
+    val out3 = graft.operators.Funnels.timeDecayAttribution(
+        Seq((1L, 1000L, 100L)).toDF("u", "ts", "id"), tch3,
+        "u", "ts", "id", "ch", windowUs = 10000L, halfLifeUs = hl)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out3 === Map("a" -> 3334L, "b" -> 3333L, "c" -> 3333L))
+    // stale-but-qualifying touch floors at weight 1, never 0
+    val far = Seq((1L, 1000L - 50L * hl, 9L, "z")).toDF("u", "ts", "id", "ch")
+    val outF = graft.operators.Funnels.timeDecayAttribution(
+        Seq((1L, 1000L, 100L)).toDF("u", "ts", "id"), far,
+        "u", "ts", "id", "ch", windowUs = 100000L, halfLifeUs = hl)
+      .as[(String, Long, Long, Long)].collect()
+    assert(outF.toSeq === Seq(("z", 1L, 1L, 10000L)))
+  }
+
+  test("holtDaily matches the driver-side recurrence, tracks a ramp") {
+    def t(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    // ramp: day d has d+1 events -> trend should go positive
+    val rows = (0 until 10).flatMap(d => Seq.fill(d + 1)(("g", t(d))))
+    val out = Rolling.holtDaily(rows.toDF("g", "ts"), "g", "ts")
+      .orderBy("date")
+      .as[(String, java.sql.Date, Long, Long, Long, Long)].collect()
+    // brute recurrence
+    var l = 0L; var b = 0L
+    (0 until 10).foreach { d =>
+      val x = (d + 1).toLong
+      if (d == 0) { l = x * 256L; b = 0L }
+      else {
+        val pl = l
+        l = ((pl + b) * 3L + x * 256L) >> 2
+        b = (b * 3L + (l - pl)) >> 2
+      }
+      assert(out(d)._3 === x)
+      assert(out(d)._4 === l, s"level day $d")
+      assert(out(d)._5 === b, s"trend day $d")
+      assert(out(d)._6 === l + b)
+    }
+    assert(out.last._5 > 0L) // positive trend on a ramp
+  }
 }
