@@ -647,4 +647,39 @@ object Graph {
       .select(col("u"), col("v"),
         coalesce(col("support"), lit(0L)).as("support"))
   }
+
+  /** k-truss of an undirected simple graph (Cohen 2008, public
+    * formulation): the maximal subgraph in which EVERY edge is
+    * supported by at least k−2 triangles — the edge-level cohesion
+    * complement of [[kCore]] (a k-core can be a star hub; a k-truss
+    * cannot). Computed by support peeling: drop under-supported
+    * edges, recount on the survivors, repeat to the fixpoint.
+    *
+    * Scale: each round is one [[edgeSupport]] pass over the SHRINKING
+    * checkpointed live edge frame (degree-ordered O(m^1.5) wedge
+    * join) + one filter — the [[kCore]] peeling posture at edge
+    * granularity. `maxRounds` REQUIRES completion (no silent partial
+    * output); each round drops ≥ 1 edge or exits, so rounds ≤ the
+    * peel depth, not |E|. Output: the surviving canonical (u, v,
+    * support) edges, support ≥ k−2. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+             maxRounds: Int = 50): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    var live = undirected(edges, srcCol, dstCol).localCheckpoint(true)
+    var rounds = maxRounds
+    var done = false
+    var sup: DataFrame = null
+    while (!done) {
+      rounds -= 1
+      require(rounds >= 0,
+        s"kTruss did not converge within $maxRounds rounds")
+      sup = edgeSupport(live, "u", "v").localCheckpoint(true)
+      val under = sup.filter(col("support") < k - 2)
+      if (under.isEmpty) done = true
+      else live = sup.filter(col("support") >= k - 2)
+        .select(col("u"), col("v")).localCheckpoint(true)
+    }
+    sup
+  }
 }

@@ -626,6 +626,65 @@ object Profile {
       .withColumn("at_risk", col("l_distinct") < l)
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian ICDE'07, public
+    * formulation, ordered-domain variant): per quasi-identifier group,
+    * the maximum cumulative-share gap between the group's sensitive-
+    * value distribution and the GLOBAL one — the equal-distance EMD
+    * for an ordered domain — in exact floored basis points:
+    * `t_bp = max_v (10^4·|cum_g(v)·N − cum_G(v)·n_g|) div (n_g·N)`
+    * (one division at the end; the max runs over the cross-multiplied
+    * integer numerators, so no rational ever rounds before the max).
+    * The release gate after [[kAnonymity]]/[[lDiversity]]: a group can
+    * be large and diverse yet still leak by skewing toward one value.
+    *
+    * Scale: rows collapse to (group, value) and (value) tallies (two
+    * partial-agg shuffles); the CDF windows run over the groups ×
+    * sensitive-DOMAIN grid (the sanctioned bounded crossJoin shape of
+    * [[Survival.logRank]]), guarded by [[Eval.boundedTally]]'s
+    * maxSeries contract — never over raw rows. Products ride
+    * decimal(38,0). Output: (qi..., n, t_bp). */
+  def tCloseness(df: DataFrame, qiCols: Seq[String],
+                 sensitiveCol: String,
+                 maxSeries: Long = 1L << 22): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qiCols.nonEmpty, "need QI columns")
+    val tal = Eval.boundedTally(
+      df.select((qiCols.map(col) :+
+          col(sensitiveCol).cast("long").as("__v")): _*)
+        .groupBy((qiCols.map(col) :+ col("__v")): _*)
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__g", lit(0)),
+      "__g", maxSeries, "tCloseness").drop("__g")
+    val glob = tal.groupBy(col("__v")).agg(sum(col("__c")).as("__gc"))
+    val groups = tal.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__c")).as("__n"))
+    val nRow = glob.agg(sum(col("__gc"))).collect()(0)
+    require(!nRow.isNullAt(0), "tCloseness: empty input")
+    val nTotal = nRow.getLong(0)
+    // groups × domain grid, each cell carrying the group tally (0 when
+    // absent) and the global tally
+    val grid = groups.crossJoin(broadcast(glob))
+      .join(tal, qiCols :+ "__v", "left")
+      .na.fill(0L, Seq("__c"))
+    val wg = Window.partitionBy(qiCols.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NOTE: names differing only in case collide under Spark's
+    // case-insensitive resolution — keep these two fully distinct
+    grid
+      .withColumn("__cum_grp", sum(col("__c")).over(wg))
+      .withColumn("__cum_all", sum(col("__gc")).over(wg))
+      .withColumn("__num", abs(
+        col("__cum_grp").cast("decimal(38,0)") * lit(nTotal) -
+          col("__cum_all").cast("decimal(38,0)") * col("__n")))
+      .groupBy((qiCols.map(col) :+ col("__n")): _*)
+      .agg(max(col("__num")).as("__mx"))
+      .withColumnRenamed("__n", "n")
+      .withColumn("t_bp", expr(
+        s"cast((10000 * __mx) div (cast(n as decimal(38,0)) * ${nTotal}L)" +
+          " as long)"))
+      .drop("__mx")
+  }
+
   /** Herfindahl–Hirschman concentration index per group, exact: with
     * per-entity masses v_i and total T, `hhi_e8 = Σv_i² · 10^8 div T²`
     * — 10^8 at single-entity monopoly, →0 when mass is spread thin.

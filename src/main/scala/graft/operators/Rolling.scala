@@ -141,6 +141,39 @@ object Rolling {
           .as("forecast_scaled"))
   }
 
+  /** One-step-ahead forecast BACKTEST of a (group, date, actual,
+    * forecast) series — e.g. [[holtDaily]]'s output, whose
+    * `forecast_scaled` at day t predicts day t+1. Scores, per group,
+    * the exact weighted absolute percentage error in basis points:
+    * `wape_bp = 10^4·Σ|scale·x_t − f_{t−1}| div Σ(scale·x_t)` over the
+    * days that HAVE a prior forecast (the first observed day is
+    * excluded). WAPE rather than MAPE: one division at the end, no
+    * per-day share, zero-actual days well-defined — all exact
+    * integers.
+    *
+    * Scale: one lag window partitioned by group over the per-day
+    * AGGREGATE series (calendar-bounded, the [[trailing]] posture),
+    * then a group-sized partial agg. Output: (group, n_days, wape_bp).
+    */
+  def backtestWape(series: DataFrame, groupCol: String, dateCol: String,
+                   actualCol: String, forecastCol: String,
+                   scale: Long = 256L): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(dateCol))
+    series
+      .withColumn("__pf", lag(col(forecastCol), 1).over(w))
+      .filter(col("__pf").isNotNull)
+      .withColumn("__a", col(actualCol).cast("long") * lit(scale))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("__a") - col("__pf"))).as("__errs"),
+        sum(col("__a")).as("__acts"))
+      .withColumn("wape_bp",
+        expr("case when __acts > 0 then (10000L * __errs) div __acts" +
+          " else null end"))
+      .drop("__errs", "__acts")
+  }
+
   /** Exact-integer two-sided CUSUM drift statistic (Page 1954) over a
     * per-(group, date) count series: the first `refDays` observed days
     * form the in-control reference, then every later day accumulates

@@ -33,6 +33,24 @@ object ApproxPack extends QueryPack {
           |GROUP BY lang""".stripMargin)
     }),
 
+    // k-truss cohesive core of the repeated part co-occurrence graph
+    // (rows-only: the support-recount peeling loop is not reasonably
+    // CTE-expressible under DuckDB's single-recursive-reference rule;
+    // GraphSpec pins brute-force parity)
+    "q214_ktruss" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+      val pairs = li.withColumnRenamed("pk", "u")
+        .join(li.withColumnRenamed("pk", "v"), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count_distinct(col("ok")).as("__c"))
+        .filter(col("__c") >= 2)
+        .select(col("u"), col("v"))
+      graft.operators.Graph.kTruss(pairs, "u", "v", k = 3)
+    }),
+
     "q29_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.load(s, dir, "documents"), "doc_id", "text",
         numHashes = 128, bands = 32, threshold = 0.5)),

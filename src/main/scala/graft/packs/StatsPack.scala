@@ -558,6 +558,32 @@ object StatsPack extends QueryPack {
       Graph.edgeSupport(pairs, "u", "v")
     }),
 
+    // 2-D Pareto frontier of the part catalog: cheapest-and-smallest
+    // shortlist — prefix-min over distinct-x tallies, never the
+    // quadratic domination join
+    "q211_skyline" -> ((s, dir) =>
+      graft.operators.Skyline.frontier2d(
+        Tables.load(s, dir, "part")
+          .select(expr("cast(round(p_retailprice*100) as bigint)")
+            .as("price_cents"), col("p_size").cast("long").as("p_size")),
+        "price_cents", "p_size")),
+
+    // t-closeness release audit over (segment, nation): max cumulative
+    // share gap of the balance-bucket distribution vs global, exact bp
+    "q212_t_closeness" -> ((s, dir) =>
+      Profile.tCloseness(Tables.load(s, dir, "customer")
+          .select(col("c_mktsegment"), col("c_nationkey"),
+            expr("(cast(round(c_acctbal*100) as bigint) + 1000000000)" +
+              " div 100000000").as("v")),
+        Seq("c_mktsegment", "c_nationkey"), "v")),
+
+    // one-step-ahead backtest of the q209 Holt forecasts: exact WAPE
+    // per event type in basis points
+    "q213_forecast_eval" -> ((s, dir) =>
+      Rolling.backtestWape(
+        Rolling.holtDaily(Tables.events(s, dir), "event_type", "ts"),
+        "event_type", "date", "n", "forecast_scaled")),
+
     // Herfindahl spend-concentration per nation: which markets are
     // dominated by a few customers (exact rational, decimal(38,0))
     "q197_hhi" -> ((s, dir) =>
@@ -1976,6 +2002,82 @@ object StatsPack extends QueryPack {
         |SELECT e.u, e.v,
         |  CAST(coalesce(pe.s, 0) AS BIGINT) AS support
         |FROM e LEFT JOIN pe ON e.u = pe.u AND e.v = pe.v""".stripMargin,
+
+    "q211_skyline" ->
+      """WITH t AS (
+        |  SELECT CAST(round(p_retailprice * 100) AS BIGINT)
+        |      AS price_cents,
+        |    CAST(p_size AS BIGINT) AS p_size,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM part GROUP BY 1, 2)
+        |SELECT p.price_cents, p.p_size, p.n FROM t p
+        |WHERE NOT EXISTS (SELECT 1 FROM t q
+        |  WHERE q.price_cents <= p.price_cents AND q.p_size <= p.p_size
+        |    AND (q.price_cents < p.price_cents OR q.p_size < p.p_size))
+        |""".stripMargin,
+
+    "q212_t_closeness" ->
+      """WITH t AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000000)
+        |      // 100000000 AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM customer GROUP BY 1, 2, 3),
+        |g AS (SELECT v, CAST(sum(c) AS BIGINT) AS gc FROM t GROUP BY 1),
+        |gr AS (SELECT c_mktsegment, c_nationkey,
+        |  CAST(sum(c) AS BIGINT) AS n FROM t GROUP BY 1, 2),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM t),
+        |grid AS (
+        |  SELECT gr.c_mktsegment, gr.c_nationkey, gr.n, g.v, g.gc,
+        |    coalesce(t.c, 0) AS c
+        |  FROM gr CROSS JOIN g
+        |  LEFT JOIN t ON t.c_mktsegment = gr.c_mktsegment
+        |    AND t.c_nationkey = gr.c_nationkey AND t.v = g.v),
+        |z AS (
+        |  SELECT c_mktsegment, c_nationkey, n,
+        |    CAST(sum(c) OVER (PARTITION BY c_mktsegment, c_nationkey
+        |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS HUGEINT) AS cg,
+        |    CAST(sum(gc) OVER (PARTITION BY c_mktsegment, c_nationkey
+        |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS HUGEINT) AS ca
+        |  FROM grid)
+        |SELECT z.c_mktsegment, z.c_nationkey, z.n,
+        |  CAST((10000 * max(abs(z.cg * nt.nn - z.ca * z.n)))
+        |    // (z.n * nt.nn) AS BIGINT) AS t_bp
+        |FROM z CROSS JOIN nt
+        |GROUP BY z.c_mktsegment, z.c_nationkey, z.n, nt.nn
+        |""".stripMargin,
+
+    "q213_forecast_eval" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), o AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY date) AS rn
+        |  FROM d
+        |), r AS (
+        |  SELECT event_type, date, n, rn, CAST(n * 256 AS BIGINT) AS l,
+        |    CAST(0 AS BIGINT) AS b
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.date, o.n, o.rn,
+        |    CAST(((r.l + r.b) * 3 + o.n * 256) >> 2 AS BIGINT),
+        |    CAST((r.b * 3 +
+        |      ((((r.l + r.b) * 3 + o.n * 256) >> 2) - r.l)) >> 2
+        |      AS BIGINT)
+        |  FROM o JOIN r ON o.event_type = r.event_type
+        |    AND o.rn = r.rn + 1
+        |), w AS (
+        |  SELECT event_type, rn, CAST(n AS BIGINT) AS n, l + b AS f
+        |  FROM r)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST((10000 * sum(abs(a.n * 256 - b.f))) // sum(a.n * 256)
+        |    AS BIGINT) AS wape_bp
+        |FROM w a JOIN w b ON a.event_type = b.event_type
+        |  AND a.rn = b.rn + 1
+        |GROUP BY 1""".stripMargin,
 
     "q197_hhi" ->
       """WITH per AS (

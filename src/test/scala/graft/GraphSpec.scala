@@ -342,4 +342,42 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(out === expected)
   }
+
+  test("kTruss peels to the cohesive core") {
+    // 4-clique {1,2,3,4} + a triangle {4,5,6} + pendant 6-7
+    val clique = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val edges = (clique ++ Seq((4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)))
+      .toDF("s", "d")
+    // 4-truss (support >= 2): only the 4-clique survives (each clique
+    // edge sits in 2 triangles; the {4,5,6} triangle edges have 1)
+    val t4 = Graph.kTruss(edges, "s", "d", k = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t4.map(t => (t._1, t._2)) === clique.toSet)
+    assert(t4.forall(_._3 == 2L))
+    // 3-truss (support >= 1): clique + triangle survive, pendant drops
+    val t3 = Graph.kTruss(edges, "s", "d", k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t3.map(t => (t._1, t._2)) ===
+      (clique ++ Seq((4L, 5L), (4L, 6L), (5L, 6L))).toSet)
+    // k = 2: every edge survives with its support
+    assert(Graph.kTruss(edges, "s", "d", k = 2).count() === 10L)
+  }
+
+  test("kTruss matches brute-force peeling on a random graph") {
+    val edges = randomEdges(20, 60, 17)
+    var live = undirect(edges)
+    var changed = true
+    while (changed) {
+      val adj = live.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).toSet }
+      val sup = live.map { case (u, v) =>
+        (u, v) -> (adj(u) & adj(v)).size }.toMap
+      val next = live.filter(e => sup(e) >= 2) // k = 4
+      changed = next != live
+      live = next
+    }
+    val got = Graph.kTruss(edges.toDF("s", "d"), "s", "d", k = 4)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2)).toSet
+    assert(got === live)
+  }
 }

@@ -832,4 +832,70 @@ class StatsSpec extends SparkSpec {
     }
     assert(out.last._5 > 0L) // positive trend on a ramp
   }
+
+  test("frontier2d: exact Pareto frontier with ties and duplicates") {
+    val pts = Seq((1L, 9L), (2L, 7L), (2L, 7L), (3L, 7L), (4L, 5L),
+      (4L, 8L), (5L, 5L), (6L, 4L), (6L, 9L), (2L, 9L))
+    val out = graft.operators.Skyline.frontier2d(
+        pts.toDF("x", "y"), "x", "y")
+      .as[(Long, Long, Long)].collect().toSet
+    // (1,9); (2,7) x2; (4,5); (6,4). (3,7) dominated by (2,7);
+    // (5,5) by (4,5); (2,9) by (1,9)? x strict? (1,9): x 1<2, y 9=9
+    // -> dominates. (4,8) dominated by (2,7).
+    assert(out === Set((1L, 9L, 1L), (2L, 7L, 2L), (4L, 5L, 1L),
+      (6L, 4L, 1L)))
+    // brute-force check on a random cloud
+    val rnd = new scala.util.Random(3)
+    val cloud = Seq.fill(300)((rnd.nextInt(40).toLong,
+      rnd.nextInt(40).toLong))
+    val got = graft.operators.Skyline.frontier2d(
+        cloud.toDF("x", "y"), "x", "y")
+      .as[(Long, Long, Long)].collect()
+      .flatMap(t => Seq.fill(t._3.toInt)((t._1, t._2))).sorted
+    val expected = cloud.filter { case (x, y) =>
+      !cloud.exists { case (a, b) =>
+        a <= x && b <= y && (a < x || b < y) } }.sorted
+    assert(got.toSeq === expected)
+  }
+
+  test("tCloseness: skewed group maxes the CDF gap, uniform group is 0") {
+    // global: values 1,2 in equal parts; group "skew" all 1s,
+    // group "fair" mirrors the global mix
+    val df = (Seq.fill(4)(("skew", 1L)) ++
+        Seq.fill(2)(("fair", 1L)) ++ Seq.fill(2)(("fair", 2L)) ++
+        Seq.fill(2)(("rest", 2L))).toDF("qi", "v")
+    // global: 6x1, 4x2 (N=10); cum at v=1: 6/10
+    val out = Profile.tCloseness(df, Seq("qi"), "v")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // skew: cum_g(1)=4/4=1 vs 6/10 -> |1 - 0.6| = 0.4 -> 4000 bp
+    assert(out("skew") === ((4L, 4000L)))
+    // fair: cum(1) = 2/4 = 0.5 vs 0.6 -> 1000 bp
+    assert(out("fair") === ((4L, 1000L)))
+    // rest: cum(1) = 0 vs 0.6 -> 6000 bp
+    assert(out("rest") === ((2L, 6000L)))
+  }
+
+  test("backtestWape scores holt one-step forecasts exactly") {
+    def t(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    val rows = (0 until 6).flatMap(d => Seq.fill(d + 1)(("g", t(d))))
+    val holt = Rolling.holtDaily(rows.toDF("g", "ts"), "g", "ts")
+    val out = Rolling.backtestWape(holt, "g", "date", "n",
+        "forecast_scaled")
+      .as[(String, Long, Option[Long])].collect().head
+    // brute: replay the recurrence, accumulate |256 n_t - f_{t-1}|
+    var l = 0L; var b = 0L; var errs = 0L; var acts = 0L; var pf = 0L
+    (0 until 6).foreach { d =>
+      val x = (d + 1).toLong
+      if (d == 0) { l = x * 256L; b = 0L }
+      else {
+        val pl = l
+        l = ((pl + b) * 3L + x * 256L) >> 2
+        b = (b * 3L + (l - pl)) >> 2
+        errs += math.abs(x * 256L - pf); acts += x * 256L
+      }
+      pf = l + b
+    }
+    assert(out === (("g", 5L, Some(10000L * errs / acts))))
+  }
 }
