@@ -151,4 +151,44 @@ object Fusion {
           least(col("n_truth"), lit(k.toLong)).cast("int")))
       .withColumn("ndcg_fp", expr(s"($scale * dcg_fp) div idcg_fp"))
   }
+
+  /** Exact-integer Average Precision@k (binary relevance) per query —
+    * the rank-sensitive retrieval score NDCG's log discount smooths
+    * over: each HIT at rank j contributes its precision-at-j, and the
+    * sum normalizes by the best achievable hit count. Declared integer
+    * procedure (the [[ndcgAtK]] posture): per-hit terms floor once —
+    * `term_j = (scale·relcnt_j) div j` — and
+    * `ap_fp = Σ term_j div min(n_truth, k)`, so any engine reproduces
+    * the value bit-for-bit.
+    *
+    * Scale: truth dedupes once (checkpointed); hits are one
+    * (query, doc) equi-join; relcnt is a row_number over each query's
+    * ≤ k HIT rows (fine-keyed, k-bounded partitions); one per-query
+    * partial agg. Queries without truth are dropped; queries with no
+    * hits report 0. Output: (queryCol, n_truth, n_hits, ap_fp). */
+  def averagePrecisionAtK(results: DataFrame, truth: DataFrame,
+                          queryCol: String, docCol: String,
+                          rankCol: String, k: Int,
+                          scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    require(scale >= 1, "scale must be >= 1")
+    val res = results.filter(col(rankCol) >= 1 && col(rankCol) <= k)
+      .select(col(queryCol), col(docCol),
+        col(rankCol).cast("long").as("__rk"))
+    val tr = truth.select(col(queryCol), col(docCol)).distinct()
+      .localCheckpoint(true) // n_truth agg + hit join both read it
+    val nT = tr.groupBy(col(queryCol)).agg(count(lit(1)).as("n_truth"))
+    val wq = Window.partitionBy(col(queryCol)).orderBy(col("__rk"))
+    val ap = res.join(tr, Seq(queryCol, docCol))
+      .withColumn("__relcnt", row_number().over(wq).cast("long"))
+      .withColumn("__term", expr(s"($scale * __relcnt) div __rk"))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_hits"), sum(col("__term")).as("__sum"))
+    nT.join(ap, Seq(queryCol), "left")
+      .na.fill(0L, Seq("n_hits", "__sum"))
+      .withColumn("ap_fp",
+        expr(s"__sum div least(n_truth, ${k.toLong}L)"))
+      .drop("__sum")
+  }
 }

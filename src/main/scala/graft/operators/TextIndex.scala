@@ -153,8 +153,18 @@ object TextIndex {
     val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val qTerms = queries.toDF("query_id", "__qtext")
       .select(col("query_id"),
-        explode(array_distinct(terms(col("__qtext")))).as("term"))
+        explode(array_distinct(terms(col("__qtext")))).as("term"),
+        lit(1.0).as("__qw"))
+    bm25Score(tf, dfTbl, qTerms, nDocs, avgdl, k, k1, b)
+  }
 
+  /** Shared weighted-BM25 scoring tail: a (query_id, term, __qw)
+    * weighted query table scores against the corpus tf/df tables; the
+    * per-(query, doc) score is Σ __qw·idf·tf-saturation and top-k
+    * resolves per query. `qTerms` must be broadcast-small. */
+  private def bm25Score(tf: DataFrame, dfTbl: DataFrame,
+                        qTerms: DataFrame, nDocs: Long, avgdl: Double,
+                        k: Int, k1: Double, b: Double): DataFrame = {
     val scored = tf
       .join(broadcast(qTerms), Seq("term")) // only query terms survive
       .join(dfTbl, Seq("term"))
@@ -162,7 +172,7 @@ object TextIndex {
         log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5))
           / (col("df") + lit(0.5))))
       .withColumn("__w",
-        col("__idf") * col("tf") * lit(k1 + 1.0)
+        col("__qw") * col("__idf") * col("tf") * lit(k1 + 1.0)
           / (col("tf") + lit(k1) * (lit(1.0 - b)
             + lit(b) * col("dl") / lit(avgdl))))
       .groupBy("query_id", "doc_id")
@@ -174,6 +184,81 @@ object TextIndex {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("doc_id"), col("score"))
+  }
+
+  /** RM3 pseudo-relevance feedback retrieval (Lavrenko & Croft 2001 /
+    * Abdul-Jaleel et al. 2004, public formulation): run [[bm25TopK]],
+    * estimate a relevance model from the top `fbDocs` documents
+    * (`P(t|R) ∝ Σ_d tf_{t,d}/dl_d`, uniform doc prior), keep the top
+    * `fbTerms` expansion terms, interpolate with the original query
+    * (`λ·P_mle(t|q) + (1−λ)·P_rm1(t)`), and re-score the corpus with
+    * the weighted query — the classic fix for vocabulary mismatch (a
+    * "car" query retrieving "auto"-only documents via the feedback
+    * bridge). Float scores → rows-only; the spec pins the synonym-
+    * bridge behavior.
+    *
+    * Scale: the corpus tf/df tables build ONCE (checkpointed) and feed
+    * both passes; the feedback join touches only queries×fbDocs rows
+    * (broadcast); expansion-term selection is a row_number over each
+    * query's ≤ fbDocs·|doc vocab| candidate rows. Output:
+    * (query_id, rank, doc_id, score). */
+  def rm3TopK(df: DataFrame, idCol: String, textCol: String,
+              queries: Seq[(Long, String)], k: Int, fbDocs: Int = 5,
+              fbTerms: Int = 10, lambdaOrig: Double = 0.5,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(fbDocs >= 1 && fbTerms >= 1, "fbDocs/fbTerms must be >= 1")
+    require(lambdaOrig >= 0.0 && lambdaOrig <= 1.0, "lambda in [0,1]")
+
+    val docTerms = df.select(col(idCol).as("doc_id"),
+        terms(col(textCol)).as("__terms"))
+      .select(col("doc_id"), size(col("__terms")).as("dl"),
+        explode(col("__terms")).as("term"))
+    val tf = docTerms.groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // both retrieval passes + the feedback join
+    val stats = df.select(col(idCol), size(terms(col(textCol))).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")).head
+    val nDocs = stats.getLong(0)
+    val avgdl = if (stats.isNullAt(1)) 1.0 else stats.getDouble(1)
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+
+    val qTerms1 = queries.toDF("query_id", "__qtext")
+      .select(col("query_id"),
+        explode(array_distinct(terms(col("__qtext")))).as("term"),
+        lit(1.0).as("__qw"))
+    val fb = bm25Score(tf, dfTbl, qTerms1, nDocs, avgdl, fbDocs, k1, b)
+      .select(col("query_id"), col("doc_id"))
+
+    // relevance model over the feedback docs; top fbTerms per query
+    val wExp = Window.partitionBy(col("query_id"))
+      .orderBy(col("__rm").desc, col("term"))
+    val rm1 = tf.join(broadcast(fb), Seq("doc_id"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("tf").cast("double") / col("dl")).as("__rm"))
+      .withColumn("__rn", row_number().over(wExp))
+      .filter(col("__rn") <= fbTerms)
+      .drop("__rn")
+    val wNorm = Window.partitionBy(col("query_id"))
+    val expTerms = rm1.withColumn("__rmn",
+      col("__rm") / sum(col("__rm")).over(wNorm))
+
+    // interpolate with the original query MLE (1/|q| per distinct term)
+    val qSizes = qTerms1.groupBy("query_id")
+      .agg(count(lit(1)).as("__ql"))
+    val orig = qTerms1.join(qSizes, Seq("query_id"))
+      .select(col("query_id"), col("term"),
+        (lit(lambdaOrig) / col("__ql")).as("__qw"))
+    val expanded = expTerms
+      .select(col("query_id"), col("term"),
+        (lit(1.0 - lambdaOrig) * col("__rmn")).as("__qw"))
+    val qTerms2 = orig.unionByName(expanded)
+      .groupBy("query_id", "term")
+      .agg(sum(col("__qw")).as("__qw"))
+
+    bm25Score(tf, dfTbl, qTerms2, nDocs, avgdl, k, k1, b)
   }
 
   /** Term document-frequency drift between two corpus slices — the

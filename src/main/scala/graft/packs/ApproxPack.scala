@@ -147,6 +147,18 @@ object ApproxPack extends QueryPack {
 
     // BM25 retrieval: float scores → rows-only; TextIndexSpec proves
     // self-retrieval and parity with a brute-force scorer
+    // RM3 pseudo-relevance-feedback retrieval: BM25 first pass,
+    // relevance-model expansion from the top-5 docs, weighted second
+    // pass (rows-only: float scores; FusionSpec pins the synonym
+    // bridge and the lexical-anchor ordering)
+    "q217_rm3" -> ((s, dir) =>
+      graft.operators.TextIndex.rm3TopK(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        queries = Seq(1L -> "hash join strategy",
+          2L -> "customer order filter",
+          3L -> "slow batch scan"),
+        k = 10, fbDocs = 5, fbTerms = 8)),
+
     "q71_bm25" -> ((s, dir) =>
       graft.operators.TextIndex.bm25TopK(
         Tables.load(s, dir, "documents"), "doc_id", "text",

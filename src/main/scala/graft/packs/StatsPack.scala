@@ -584,6 +584,33 @@ object StatsPack extends QueryPack {
         Rolling.holtDaily(Tables.events(s, dir), "event_type", "ts"),
         "event_type", "date", "n", "forecast_scaled")),
 
+    // exact-integer Average Precision@10 of the quantized-MIPS
+    // retrieval (the q184 setup scored rank-sensitively)
+    "q215_avg_precision" -> ((s, dir) => {
+      val t = Tables.load(s, dir, "embeddings")
+      val results = graft.operators.Quantize.topKQuantized(t, "vec_id",
+          "embedding", pmod(col("vec_id"), lit(50)) === 0, k = 10,
+          graft.operators.Quantize.scaleOf(t, "embedding"))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      val q = t.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("label").as("__ql"))
+      val truth = t.select(col("vec_id").as("doc_id"), col("label"))
+        .join(q, col("label") === col("__ql") &&
+          col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"))
+      graft.operators.Fusion.averagePrecisionAtK(results, truth,
+        "query_id", "doc_id", "rank", k = 10)
+    }),
+
+    // session entry/exit/bounce accounting per event type (30-min gap)
+    "q216_entry_exit" -> ((s, dir) =>
+      graft.streaming.Sessions.entryExit(
+        Tables.events(s, dir)
+          .withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "ts_us", "event_id", "event_type",
+        gapSeconds = 1800L)),
+
     // Herfindahl spend-concentration per nation: which markets are
     // dominated by a few customers (exact rational, decimal(38,0))
     "q197_hhi" -> ((s, dir) =>
@@ -2078,6 +2105,92 @@ object StatsPack extends QueryPack {
         |FROM w a JOIN w b ON a.event_type = b.event_type
         |  AND a.rn = b.rn + 1
         |GROUP BY 1""".stripMargin,
+
+    "q215_avg_precision" ->
+      """WITH sc AS (
+        |  SELECT max(av) AS s FROM (
+        |    SELECT unnest(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS av
+        |    FROM embeddings)
+        |), q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> greatest(-127, least(127,
+        |      CAST(round(CAST(x AS DOUBLE) * 127.0 / sc.s) AS BIGINT)))) AS qv
+        |  FROM embeddings, sc
+        |), p AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+        |      x -> x[1] * x[2])) AS BIGINT) AS qdot
+        |  FROM q a JOIN q b
+        |    ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id, qdot,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY qdot DESC, neighbor_id) AS rnk
+        |  FROM p
+        |), tr AS (
+        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS doc_id
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id % 50 = 0 AND a.label = b.label
+        |      AND b.vec_id <> a.vec_id
+        |), nt AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+        |  FROM tr GROUP BY 1
+        |), hits AS (
+        |  SELECT r.query_id, r.rnk,
+        |    CAST(row_number() OVER (PARTITION BY r.query_id
+        |      ORDER BY r.rnk) AS BIGINT) AS relcnt
+        |  FROM r JOIN tr ON r.query_id = tr.query_id
+        |    AND r.neighbor_id = tr.doc_id
+        |  WHERE r.rnk <= 10
+        |), ap AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |    CAST(sum((1000000 * relcnt) // rnk) AS BIGINT) AS s
+        |  FROM hits GROUP BY 1)
+        |SELECT nt.query_id, nt.n_truth,
+        |  CAST(coalesce(ap.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(ap.s, 0) // least(nt.n_truth, 10) AS BIGINT)
+        |    AS ap_fp
+        |FROM nt LEFT JOIN ap ON nt.query_id = ap.query_id""".stripMargin,
+
+    "q216_entry_exit" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |l AS (
+        |  SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS prev
+        |  FROM e),
+        |f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM l),
+        |s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY
+        |    ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM f),
+        |r AS (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_idx
+        |      ORDER BY ts_us, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY user_id, session_idx
+        |      ORDER BY ts_us DESC, event_id DESC) AS rl,
+        |    count(*) OVER (PARTITION BY user_id, session_idx) AS n
+        |  FROM s),
+        |en AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_entries,
+        |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_bounces
+        |  FROM r WHERE rf = 1 GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exits
+        |  FROM r WHERE rl = 1 GROUP BY 1)
+        |SELECT coalesce(en.event_type, ex.event_type) AS event_type,
+        |  CAST(coalesce(en.n_entries, 0) AS BIGINT) AS n_entries,
+        |  CAST(coalesce(ex.n_exits, 0) AS BIGINT) AS n_exits,
+        |  CAST(coalesce(en.n_bounces, 0) AS BIGINT) AS n_bounces
+        |FROM en FULL OUTER JOIN ex ON en.event_type = ex.event_type
+        |""".stripMargin,
 
     "q197_hhi" ->
       """WITH per AS (

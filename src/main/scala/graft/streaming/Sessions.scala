@@ -43,6 +43,40 @@ object Sessions {
       .drop("__new_s")
   }
 
+  /** Per-event-type ENTRY / EXIT / BOUNCE accounting — the landing-
+    * and-abandonment report web analytics reads next to funnels: how
+    * many sessions START with each event type, END with it, and are
+    * single-event (bounce) sessions of it. First/last resolve by the
+    * deterministic (ts, tieBreak) order via min/max over an ordered
+    * struct — no second window pass.
+    *
+    * Scale: the [[assign]] windows (fine user-keyed partitions over
+    * raw events) + one (user, session) partial agg + one type-sized
+    * rollup. Output: (event_type, n_entries, n_exits, n_bounces). */
+  def entryExit(df: DataFrame, userCol: String, tsUsCol: String,
+                tieBreak: String, typeCol: String,
+                gapSeconds: Long): DataFrame = {
+    val per = assign(df, userCol, tsUsCol, tieBreak, gapSeconds)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col(tsUsCol), col(tieBreak), col(typeCol).as("t")))
+          .as("__first"),
+        max(struct(col(tsUsCol), col(tieBreak), col(typeCol).as("t")))
+          .as("__last"))
+      .select(col("__first.t").as("__ft"), col("__last.t").as("__lt"),
+        col("__n"))
+      .localCheckpoint(true) // three conditional rollups read it
+    val entries = per.groupBy(col("__ft").as("event_type"))
+      .agg(count(lit(1)).as("n_entries"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_bounces"))
+    val exits = per.groupBy(col("__lt").as("event_type"))
+      .agg(count(lit(1)).as("n_exits"))
+    entries.join(exits, Seq("event_type"), "full_outer")
+      .na.fill(0L, Seq("n_entries", "n_bounces", "n_exits"))
+      .select(col("event_type"), col("n_entries"), col("n_exits"),
+        col("n_bounces"))
+  }
+
   /** Per-session aggregate: event count and start/end (µs). */
   def aggregate(df: DataFrame, userCol: String, tsUsCol: String,
                 tieBreak: String, gapSeconds: Long): DataFrame =

@@ -96,4 +96,51 @@ class FusionSpec extends SparkSpec {
       2L -> ((1L, 0L, 0L, 0L, 0L)),
       3L -> ((2L, 1L, 1L, 5000L, 1000000L))))
   }
+
+  test("averagePrecisionAtK: hand-computed AP, no-hit and missing queries") {
+    // q1 truth {10,20,30}; results ranks: 10@1 (hit), 99@2, 20@3 (hit)
+    // terms: 1e6·1/1 + 1e6·2/3 = 1000000 + 666666; / min(3,5) = 555555
+    val results = Seq((1L, 10L, 1), (1L, 99L, 2), (1L, 20L, 3),
+        (2L, 7L, 1), (3L, 8L, 1))
+      .toDF("q", "d", "rank")
+    val truth = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 50L))
+      .toDF("q", "d")
+    val out = graft.operators.Fusion.averagePrecisionAtK(
+        results, truth, "q", "d", "rank", k = 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((3L, 2L, (1000000L + 666666L) / 3)))
+    assert(out(2L) === ((1L, 0L, 0L)))     // truth but no hits
+    assert(!out.contains(3L))              // no truth -> dropped
+    // perfect ranking of all truths = scale
+    val perfect = Seq((9L, 1L, 1), (9L, 2L, 2)).toDF("q", "d", "rank")
+    val pt = Seq((9L, 1L), (9L, 2L)).toDF("q", "d")
+    assert(graft.operators.Fusion.averagePrecisionAtK(
+        perfect, pt, "q", "d", "rank", k = 5)
+      .select("ap_fp").as[Long].head() === 1000000L)
+  }
+
+  test("rm3TopK bridges vocabulary mismatch via feedback expansion") {
+    val docs = Seq(
+      (1L, "car auto motor"),   // matches 'car', carries the bridge
+      (2L, "auto vehicle motor"), // no 'car' at all
+      (3L, "banana fruit salad"),
+      (4L, "car wheel"),
+      (5L, "fruit market stand")).toDF("doc_id", "text")
+    val queries = Seq((100L, "car"))
+    val base = graft.operators.TextIndex.bm25TopK(
+        docs, "doc_id", "text", queries, k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(base === Set(1L, 4L)) // lexical only: docs containing 'car'
+    val exp = graft.operators.TextIndex.rm3TopK(
+        docs, "doc_id", "text", queries, k = 5, fbDocs = 2,
+        fbTerms = 4, lambdaOrig = 0.5)
+      .orderBy("rank")
+      .as[(Long, Int, Long, Double)].collect()
+    val expIds = exp.map(_._3).toSet
+    assert(expIds.contains(2L), s"expansion must recover doc 2: $exp")
+    assert(Set(1L, 4L).subsetOf(expIds)) // originals still retrieved
+    // an original-term doc outranks the bridge-only doc at lambda 0.5
+    assert(Set(1L, 4L).contains(exp.head._3))
+  }
 }

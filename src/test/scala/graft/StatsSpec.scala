@@ -898,4 +898,21 @@ class StatsSpec extends SparkSpec {
     }
     assert(out === (("g", 5L, Some(10000L * errs / acts))))
   }
+
+  test("entryExit: sessions classify entries, exits, bounces by type") {
+    val gapUs = 1800L * 1000000L
+    // user 1: session A = [view@0, click@1s], session B = [buy@2h]
+    // user 2: session C = [view@0] (bounce)
+    val rows = Seq(
+      (1L, 0L, 1L, "view"), (1L, 1000000L, 2L, "click"),
+      (1L, 7200L * 1000000L, 3L, "buy"),
+      (2L, 0L, 4L, "view")).toDF("u", "ts_us", "id", "t")
+    val out = graft.streaming.Sessions.entryExit(
+        rows, "u", "ts_us", "id", "t", gapSeconds = 1800L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("view") === ((2L, 1L, 1L)))  // entries A,C; exit C; bounce C
+    assert(out("click") === ((0L, 1L, 0L))) // exit of A
+    assert(out("buy") === ((1L, 1L, 1L)))   // session B is a bounce
+  }
 }
