@@ -143,4 +143,68 @@ object DriftStream {
           out.result().iterator
       }
   }
+
+  case class HoltState(pending: Map[Long, Long], started: Boolean,
+                       level: Long, trend: Long)
+  case class HoltOut(group: String, day: Long, n: Long,
+                     level_scaled: Long, trend_scaled: Long,
+                     forecast_scaled: Long)
+
+  /** STREAMING twin of [[graft.operators.Rolling.holtDaily]]: as the
+    * watermark closes days in order, each closed day folds the same
+    * exact-integer level+trend shift recurrence
+    * (`l ← ((l+b)·(dA−1) + scale·x) >> log2 dA`,
+    * `b ← (b·(dB−1) + Δl) >> log2 dB`) and emits the one-step-ahead
+    * forecast — bit-identical to the batch fold on the closed days,
+    * which the spec proves under out-of-order delivery. State per
+    * group: open-day map + the (level, trend) carry. */
+  def holtStream(events: Dataset[DayEvent], watermark: String,
+                 scale: Long = 256L, denomA: Long = 4L,
+                 denomB: Long = 4L): Dataset[HoltOut] = {
+    require(scale > 0, "scale must be positive")
+    require(denomA > 1 && (denomA & (denomA - 1)) == 0 &&
+      denomB > 1 && (denomB & (denomB - 1)) == 0,
+      "denomA/denomB must be powers of two > 1")
+    val shA = java.lang.Long.numberOfTrailingZeros(denomA)
+    val shB = java.lang.Long.numberOfTrailingZeros(denomB)
+    val zoneId = events.sparkSession.sessionState.conf.sessionLocalTimeZone
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[HoltState, HoltOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (group, evs, state: GroupState[HoltState]) =>
+          val zone = java.time.ZoneId.of(zoneId)
+          def dayOf(ts: java.sql.Timestamp): Long =
+            ts.toInstant.atZone(zone).toLocalDate.toEpochDay
+          def dayEndMs(d: Long): Long = java.time.LocalDate
+            .ofEpochDay(d + 1).atStartOfDay(zone).toInstant.toEpochMilli
+          var st = state.getOption.getOrElse(
+            HoltState(Map.empty, false, 0L, 0L))
+          val added = evs.foldLeft(st.pending) { (m, e) =>
+            val d = dayOf(e.ts)
+            m.updated(d, m.getOrElse(d, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) =
+            added.partition { case (d, _) => dayEndMs(d) <= wm }
+          val out = Seq.newBuilder[HoltOut]
+          closed.toSeq.sortBy(_._1).foreach { case (d, n) =>
+            val (l, b) =
+              if (!st.started) (n * scale, 0L)
+              else {
+                val nl = ((st.level + st.trend) * (denomA - 1) +
+                  n * scale) >> shA
+                (nl, (st.trend * (denomB - 1) + (nl - st.level)) >> shB)
+              }
+            st = st.copy(started = true, level = l, trend = b)
+            out += HoltOut(group, d, n, l, b, l + b)
+          }
+          state.update(st.copy(pending = open))
+          open.keys.minOption.foreach(d =>
+            state.setTimeoutTimestamp(dayEndMs(d)))
+          out.result().iterator
+      }
+  }
 }

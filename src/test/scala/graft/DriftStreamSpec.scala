@@ -104,4 +104,22 @@ class DriftStreamSpec extends SparkSpec {
       assert(batchBase(k) === e, s"final baseline cell $k")
     }
   }
+
+  test("holtStream matches Rolling.holtDaily on out-of-order delivery") {
+    drive(ds => DriftStream.holtStream(ds, watermark = "2 days"),
+      "holtstream")
+    val got = spark.table("holtstream")
+      .as[DriftStream.HoltOut].collect()
+      .map(o => (o.group, o.day, o.n, o.level_scaled, o.trend_scaled,
+        o.forecast_scaled)).toSet
+    val batch = graft.operators.Rolling.holtDaily(
+        rows.toDF("g", "ts"), "g", "ts")
+      .select(col("g"),
+        datediff(col("date"), lit("1970-01-01")).cast("long"),
+        col("n"), col("level_scaled"), col("trend_scaled"),
+        col("forecast_scaled"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == batch)
+    assert(got.nonEmpty && !got.exists(_._2 == 40L))
+  }
 }
