@@ -329,4 +329,86 @@ class OpsPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("frontier2d: duplication-invariant set, dominated adds are no-ops") {
+    val ptsGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(80, for {
+        x <- Gen.choose(0L, 60L); y <- Gen.choose(0L, 60L)
+      } yield (x, y))
+    forSeeds(ptsGen, 6) { pts =>
+      def front(rows: Seq[(Long, Long)]): Set[(Long, Long)] =
+        graft.operators.Skyline.frontier2d(rows.toDF("x", "y"), "x", "y")
+          .as[(Long, Long, Long)].collect()
+          .map(t => (t._1, t._2)).toSet
+      val base = front(pts)
+      // duplicating every row leaves the frontier SET unchanged
+      assert(front(pts ++ pts) === base)
+      // adding a point dominated by an existing frontier point changes
+      // nothing
+      val (fx, fy) = base.head
+      assert(front(pts :+ ((fx + 1, fy + 1))) === base)
+      // a strictly-dominating-everything point becomes the sole member
+      assert(front(pts :+ ((-1L, -1L))) === Set((-1L, -1L)))
+    }
+  }
+
+  test("modeValue: adding copies of the mode keeps it; counts exact") {
+    forSeeds(rowsGen, 6) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("id", "g", "v").drop("id")
+        val out = Profile.modeValue(df, "g", "v")
+          .as[(String, Long, Long, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        rows.groupBy(_._2).foreach { case (g, rs) =>
+          val counts = rs.groupBy(_._3).view.mapValues(_.size.toLong)
+          val mc = counts.values.max
+          val mv = counts.filter(_._2 == mc).keys.min
+          assert(out(g) === ((mv, mc)), s"group $g")
+        }
+        // add 3 more copies of group-a's mode (if present): still mode
+        out.get("a").foreach { case (mv, mc) =>
+          val boosted = rows.map(r => (r._2, r._3)) ++
+            Seq.fill(3)(("a", mv))
+          val out2 = Profile.modeValue(boosted.toDF("g", "v"), "g", "v")
+            .as[(String, Long, Long, Long, Long)].collect()
+            .map(r => r._1 -> ((r._2, r._3))).toMap
+          assert(out2("a") === ((mv, mc + 3)))
+        }
+      }
+    }
+  }
+
+  test("timeDecayAttribution: credits sum to 10^4 per conversion, any input") {
+    val evGen: Gen[(List[(Long, Long, Long)], List[(Long, Long, Long, String)])] =
+      for {
+        convs <- Gen.listOfN(10, for {
+          u <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 5000L)
+        } yield (u, t))
+        tchs <- Gen.listOfN(30, for {
+          u <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 5000L)
+          ch <- Gen.oneOf("a", "b", "c")
+        } yield (u, t, ch))
+      } yield (
+        convs.zipWithIndex.map { case ((u, t), i) => (u, t, 1000L + i) },
+        tchs.zipWithIndex.map { case ((u, t, ch), i) => (u, t, i.toLong, ch) })
+    forSeeds(evGen, 6) { case (convs, tchs) =>
+      val out = graft.operators.Funnels.timeDecayAttribution(
+          convs.toDF("u", "ts", "id"), tchs.toDF("u", "ts", "id", "ch"),
+          "u", "ts", "id", "ch", windowUs = 1000L, halfLifeUs = 200L)
+        .as[(String, Long, Long, Long)].collect()
+      assert(out.map(_._4).sum === 10000L * convs.size)
+    }
+  }
+
+  test("holtDaily: constant series has constant level and zero trend") {
+    def t(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    val rows = (0 until 12).flatMap(d => Seq.fill(4)(("g", t(d))))
+    val out = graft.operators.Rolling.holtDaily(
+        rows.toDF("g", "ts"), "g", "ts")
+      .as[(String, java.sql.Date, Long, Long, Long, Long)].collect()
+    assert(out.length === 12)
+    out.foreach { r =>
+      assert(r._4 === 4L * 256L && r._5 === 0L && r._6 === 4L * 256L)
+    }
+  }
 }
