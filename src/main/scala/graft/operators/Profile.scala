@@ -1003,30 +1003,64 @@ object Profile {
       .withColumn("pct_bp", expr(s"($scale * rank) div n"))
       .drop("rank", "n")
       .localCheckpoint(true) // rankRows lineage is multi-scan; pin it
-    val n = df.count()
+    // Inverse CDF via tie-collapsed global anchors. FAST PATH (the
+    // [[Selection.valueAtRanks]] driver-histogram posture): when the
+    // distinct-value bound min(span+1, n) fits the driver budget, the
+    // per-value tally collects and the whole scale+1-row lookup is a
+    // driver walk — two lean jobs. Over budget, the distributed
+    // anchors come from [[Selection.distinctMinRanks]] (windows only
+    // over ≤B-row bucket-count frames — never a single-task sort).
+    val facts = df.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val head = facts.agg(min(col("__v")).as("__mn"),
+      max(col("__v")).as("__mx"), count(lit(1)).as("__n")).head()
+    val n = head.getLong(2)
     require(n > 0, "quantileNormalize: empty input")
     // (hi+1)·scale and lo·scale + n must stay in Long (ANSI throws
     // mid-task otherwise); fail fast driver-side with the clear error
     require(n <= Long.MaxValue / (scale + 1) - 1,
       s"quantileNormalize: n=$n too large for scale=$scale")
-    val granked = Selection.rankRows(
-      df.select(col(valueCol).cast("long").as("__v"))
-        .withColumn("__gg", lit(0)), "__gg", "__v")
+    val (mn, mx) = (head.getLong(0), head.getLong(1))
+    require(mx - mn >= 0,
+      s"quantileNormalize: value range [$mn, $mx] exceeds Long.MaxValue")
+    val span = mx - mn
+    val budget = 1L << 21
+    val distinctBound =
+      if (span >= budget) n else math.min(span + 1L, n)
     // probe p answers rank r_p = max(1, (p·N) div scale); anchor
-    // [lo, hi] therefore answers p in [ceil(lo·scale/N),
-    // ((hi+1)·scale − 1) div N] (lo ≤ 1 extends down to p = 0 to
-    // absorb the max(1,·) clamp). The intervals partition 1..N, so
-    // every p in 0..scale lands in exactly one anchor.
-    val lookup = granked.groupBy(col("__v"))
-      .agg(min(col("rank")).as("__lo"), count(lit(1)).as("__c"))
-      .withColumn("__hi", col("__lo") + col("__c") - 1L)
-      .withColumn("__pLo", when(col("__lo") <= 1L, lit(0L))
-        .otherwise(expr(s"(__lo * ${scale}L + ${n}L - 1L) div ${n}L")))
-      .withColumn("__pHi", least(lit(scale),
-        expr(s"((__hi + 1L) * ${scale}L - 1L) div ${n}L")))
-      .filter(col("__pLo") <= col("__pHi"))
-      .select(explode(sequence(col("__pLo"), col("__pHi"))).as("pct_bp"),
-        col("__v").as("normalized"))
+    // [lo, hi] answers p in [ceil(lo·scale/N), ((hi+1)·scale−1) div N]
+    // (lo ≤ 1 extends down to p = 0 to absorb the max(1,·) clamp).
+    // The anchor intervals partition 1..N, so every p in 0..scale
+    // lands in exactly one anchor.
+    val lookup: DataFrame =
+      if (distinctBound <= budget) {
+        val tl = facts.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val out = new Array[Long](scale.toInt + 1)
+        var lo = 1L; var ai = 0; var p = 0L
+        while (p <= scale) {
+          val r = math.max(1L, (p * n) / scale)
+          while (lo + tl(ai)._2 - 1L < r) { lo += tl(ai)._2; ai += 1 }
+          out(p.toInt) = tl(ai)._1
+          p += 1L
+        }
+        val spark = df.sparkSession
+        import spark.implicits._
+        out.toIndexedSeq.zipWithIndex
+          .map { case (v, i) => (i.toLong, v) }
+          .toDF("pct_bp", "normalized")
+      } else {
+        val (anchors, _) = Selection.distinctMinRanks(df, valueCol)
+        anchors
+          .withColumn("__hi", col("__lo") + col("__c") - 1L)
+          .withColumn("__pLo", when(col("__lo") <= 1L, lit(0L))
+            .otherwise(expr(s"(__lo * ${scale}L + ${n}L - 1L) div ${n}L")))
+          .withColumn("__pHi", least(lit(scale),
+            expr(s"((__hi + 1L) * ${scale}L - 1L) div ${n}L")))
+          .filter(col("__pLo") <= col("__pHi"))
+          .select(explode(sequence(col("__pLo"), col("__pHi")))
+            .as("pct_bp"), col("__v").as("normalized"))
+      }
     ranked.join(broadcast(lookup), Seq("pct_bp"))
       .select(df.columns.map(col) ++
         Seq(col("pct_bp"), col("normalized")): _*)

@@ -123,4 +123,57 @@ object Quantize {
         sum((col("__ca") - col("__cb")) * (col("__ca") - col("__cb")))
           .as("dist2"))
   }
+
+  /** Nearest-centroid classification report over an embedding corpus,
+    * all-integer (Rocchio classifier, public formulation): per-label
+    * centroids are the sign-factored floored per-dimension means of
+    * the int8 codes (×1000, the [[centroidShift]] convention); every
+    * vector is assigned to the centroid with the largest exact integer
+    * dot product (ties → lexicographically smaller label), and the
+    * output is the confusion matrix (label, predicted, n) — the "are
+    * my embedding labels even separable" QA report next to
+    * [[centroidShift]]'s drift alarm. Resubstitution semantics: the
+    * centroids include every scored vector (a training-set separability
+    * report, not a held-out accuracy estimate).
+    *
+    * Scale: ONE explode pass partial-aggregates the labels×dims
+    * centroid cells (model-sized, collected under a REQUIRE budget and
+    * re-broadcast as literal arrays); scoring is then per-row integer
+    * dot work against k literal centroids inside the scan — no join,
+    * no shuffle until the labels²-sized confusion rollup. */
+  def centroidClassify(df: DataFrame, idCol: String, embCol: String,
+                       labelCol: String, scale: Double,
+                       maxCells: Long = 1L << 20): DataFrame = {
+    val cells = df.select(col(labelCol).cast("string").as("label"),
+        posexplode(quantize(col(embCol), scale)).as(Seq("__p", "__q")))
+      .groupBy(col("label"), col("__p"))
+      .agg(sum(col("__q")).as("__sum"), count(lit(1)).as("__n"))
+      .withColumn("__c", expr(
+        """case when __sum >= 0 then (1000 * __sum) div __n
+          |  else -((1000 * -__sum) div __n) end""".stripMargin))
+      .select(col("label"), col("__p"), col("__c"))
+    val nCells = cells.count()
+    require(nCells > 0, "centroidClassify: empty input")
+    require(nCells <= maxCells,
+      s"centroidClassify: $nCells centroid cells exceed $maxCells " +
+        "(labels x dims must stay model-sized)")
+    val collected = cells.collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getLong(2)) }
+    val labels = collected.keys.toSeq.sorted
+    require(labels.size >= 1, "centroidClassify: no labels")
+    val scored = labels.zipWithIndex.map { case (l, i) =>
+      struct(
+        qdot(col("__qv"), array(collected(l).map(lit(_)): _*)).as("d"),
+        lit(-i).as("ni"), lit(l).as("l"))
+    }
+    val best =
+      if (scored.size == 1) scored.head else greatest(scored: _*)
+    df.select(col(labelCol).cast("string").as("label"),
+        quantize(col(embCol), scale).as("__qv"))
+      .withColumn("predicted", best.getField("l"))
+      .groupBy(col("label"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -465,7 +465,15 @@ object Selection {
       .withColumn("__b1", expr("(__v - __mn) div __w1"))
       .withColumn("__b2", expr("(__v - __mn - __b1 * __w1) div __w2"))
 
-    // per-bucket prefix counts — windows over COUNT rows only
+    // per-bucket prefix counts — windows over COUNT rows only. The
+    // cumulative frames FUSE on the aggregate side (cum1 joins into
+    // cum2, and — on the wide-range branch — into the tie-collapsed
+    // value frame) so the FACT rows pay exactly ONE equi-join to pick
+    // up their rank base, not a two-to-three join cascade (the r8
+    // q187/q179 bench finding: each fact join is a full shuffle of
+    // the corpus, the aggregate-frame joins are noise; a driver-side
+    // cum1 was ALSO tried and reverted — its collect is an extra full
+    // pass over the scan, costlier than the saved stages).
     val w1 = Window.partitionBy(col(groupCol)).orderBy(col("__b1"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum1 = scoped.groupBy(col(groupCol), col("__b1"))
@@ -476,27 +484,27 @@ object Selection {
     val w2 = Window.partitionBy(col(groupCol), col("__b1"))
       .orderBy(col("__b2"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cum2 = scoped.groupBy(col(groupCol), col("__b1"), col("__b2"))
+    val cum12 = scoped.groupBy(col(groupCol), col("__b1"), col("__b2"))
       .agg(count(lit(1)).as("__c2"))
       .withColumn("__cb2", coalesce(sum(col("__c2")).over(w2), lit(0L)))
-      .select(col(groupCol).as("__g2"), col("__b1").as("__sb1"),
-        col("__b2").as("__sb2"), col("__cb2"))
-
-    val based = scoped
       .join(cum1, col(groupCol) <=> col("__g1") &&
         col("__b1") === col("__rb1"))
-      .join(cum2, col(groupCol) <=> col("__g2") &&
-        col("__b1") === col("__sb1") && col("__b2") === col("__sb2"))
-      .drop("__g1", "__rb1", "__g2", "__sb1", "__sb2")
+      .select(col(groupCol).as("__gb"), col("__b1").as("__bb1"),
+        col("__b2").as("__bb2"),
+        (col("__cb1") + col("__cb2")).as("__base"))
 
     val w2max = boundRows.iterator.map(_.getLong(5)).maxOption.getOrElse(1L)
     val ranked =
       if (w2max == 1L)
-        // sub-bucket width 1: one value per sub-bucket, no ties below
-        based.withColumn("rank", col("__cb1") + col("__cb2") + 1L)
+        // sub-bucket width 1: one value per sub-bucket, no ties below —
+        // the single fact join attaches the fused base directly
+        scoped.join(cum12, col(groupCol) <=> col("__gb") &&
+            col("__b1") === col("__bb1") && col("__b2") === col("__bb2"))
+          .withColumn("rank", col("__base") + 1L)
       else {
         // >2^32-wide range: strictly-smaller ties within the sub-bucket
-        // from tie-collapsed (value, count) rows
+        // from tie-collapsed (value, count) rows; the base fuses into
+        // the value frame so facts still join ONCE (on the value key)
         val wv = Window.partitionBy(col(groupCol), col("__b1"),
             col("__b2")).orderBy(col("__v"))
           .rowsBetween(Window.unboundedPreceding, -1)
@@ -504,16 +512,76 @@ object Selection {
           .groupBy(col(groupCol), col("__b1"), col("__b2"), col("__v"))
           .agg(count(lit(1)).as("__vc"))
           .withColumn("__cbv", coalesce(sum(col("__vc")).over(wv), lit(0L)))
+        val vbase = vcum
+          .join(cum12, col(groupCol) <=> col("__gb") &&
+            col("__b1") === col("__bb1") && col("__b2") === col("__bb2"))
           .select(col(groupCol).as("__gv"), col("__b1").as("__vb1"),
-            col("__b2").as("__vb2"), col("__v").as("__vv"), col("__cbv"))
-        based.join(vcum, col(groupCol) <=> col("__gv") &&
+            col("__b2").as("__vb2"), col("__v").as("__vv"),
+            (col("__base") + col("__cbv")).as("__vbase"))
+        scoped.join(vbase, col(groupCol) <=> col("__gv") &&
             col("__b1") === col("__vb1") &&
             col("__b2") === col("__vb2") && col("__v") === col("__vv"))
-          .withColumn("rank",
-            col("__cb1") + col("__cb2") + col("__cbv") + 1L)
+          .withColumn("rank", col("__vbase") + 1L)
       }
     ranked.select(df.columns.map(col) :+ col("rank") :+
       col("__n").as("n"): _*)
+  }
+
+  /** Tie-collapsed GLOBAL multiset min-ranks of a value column: one
+    * row per DISTINCT value with its 1-based min-rank (`__lo`) and
+    * multiplicity (`__c`) — the anchor table of an inverse CDF —
+    * plus the total row count. Computed from per-value tallies with
+    * the width-scaled two-level bucket cumsum: level-1 buckets number
+    * ≤ B+1 REGARDLESS of the value span (width scales with the span),
+    * so the only unpartitioned window runs over ≤ B+1 aggregate count
+    * rows; level-2 windows partition by the level-1 bucket. Unlike
+    * [[rankRows]] there is no per-row rank attach — ONE driver action
+    * (the bounds head), everything else composes into the caller's
+    * plan. Sub-bucket value windows see one value each for any span
+    * ≤ 2^32·B; wider degenerate spans collapse ties first (the
+    * [[rankRows]] caveat). */
+  private[graft] def distinctMinRanks(df: DataFrame,
+                                      valueCol: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val facts = df.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val head = facts.agg(min(col("__v")).as("__mn"),
+      max(col("__v")).as("__mx"), count(lit(1)).as("__n")).head()
+    val n = head.getLong(2)
+    if (n == 0L) {
+      import spark.implicits._
+      return (Seq.empty[(Long, Long, Long)].toDF("__v", "__lo", "__c"), 0L)
+    }
+    val (mn, mx) = (head.getLong(0), head.getLong(1))
+    require(mx - mn >= 0,
+      s"value range [$mn, $mx] exceeds Long.MaxValue")
+    val (w1, w2) = bucketWidths(mn, mx)
+    val tally = facts.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .withColumn("__b1", expr(s"(__v - ${mn}L) div ${w1}L"))
+      .withColumn("__b2",
+        expr(s"(__v - ${mn}L - __b1 * ${w1}L) div ${w2}L"))
+    val wb1 = Window.orderBy(col("__b1"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum1 = tally.groupBy(col("__b1")).agg(sum(col("__c")).as("__t1"))
+      .withColumn("__cb1", coalesce(sum(col("__t1")).over(wb1), lit(0L)))
+      .select(col("__b1"), col("__cb1"))
+    val wb2 = Window.partitionBy(col("__b1")).orderBy(col("__b2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum2 = tally.groupBy(col("__b1"), col("__b2"))
+      .agg(sum(col("__c")).as("__t2"))
+      .withColumn("__cb2", coalesce(sum(col("__t2")).over(wb2), lit(0L)))
+      .select(col("__b1"), col("__b2"), col("__cb2"))
+    val wv = Window.partitionBy(col("__b1"), col("__b2"))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val anchors = tally
+      .withColumn("__cbv", coalesce(sum(col("__c")).over(wv), lit(0L)))
+      .join(cum1, Seq("__b1"))
+      .join(cum2, Seq("__b1", "__b2"))
+      .select(col("__v"),
+        (col("__cb1") + col("__cb2") + col("__cbv") + 1L).as("__lo"),
+        col("__c"))
+    (anchors, n)
   }
 
   /** Keep, per group, the first `keepCol` rows in

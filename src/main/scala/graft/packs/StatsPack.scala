@@ -611,6 +611,15 @@ object StatsPack extends QueryPack {
         "user_id", "ts_us", "event_id", "event_type",
         gapSeconds = 1800L)),
 
+    // nearest-centroid (Rocchio) label-separability report over the
+    // embedding corpus: exact int8 confusion matrix
+    "q218_centroid_classify" -> ((s, dir) => {
+      val t = Tables.load(s, dir, "embeddings")
+      graft.operators.Quantize.centroidClassify(t, "vec_id",
+        "embedding", "label", graft.operators.Quantize.scaleOf(t,
+          "embedding"))
+    }),
+
     // Herfindahl spend-concentration per nation: which markets are
     // dominated by a few customers (exact rational, decimal(38,0))
     "q197_hhi" -> ((s, dir) =>
@@ -2191,6 +2200,46 @@ object StatsPack extends QueryPack {
         |  CAST(coalesce(en.n_bounces, 0) AS BIGINT) AS n_bounces
         |FROM en FULL OUTER JOIN ex ON en.event_type = ex.event_type
         |""".stripMargin,
+
+    "q218_centroid_classify" ->
+      """WITH sc AS (
+        |  SELECT max(av) AS s FROM (
+        |    SELECT unnest(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS av
+        |    FROM embeddings)
+        |), e AS (
+        |  SELECT vec_id, CAST(label AS VARCHAR) AS label, i AS pos,
+        |    greatest(-127, least(127,
+        |      CAST(round(CAST(embedding[i] AS DOUBLE) * 127.0 / s)
+        |        AS BIGINT))) AS qv
+        |  FROM (SELECT vec_id, label, embedding, len(embedding) AS l
+        |        FROM embeddings) emb, sc,
+        |    LATERAL (SELECT unnest(generate_series(1, l)) AS i) t
+        |), c AS (
+        |  SELECT label AS clabel, pos, CAST(sum(qv) AS BIGINT) AS sm,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2
+        |), cc AS (
+        |  SELECT clabel, pos,
+        |    CASE WHEN sm >= 0 THEN (1000 * sm) // n
+        |      ELSE -((1000 * (-sm)) // n) END AS cv
+        |  FROM c
+        |), dots AS (
+        |  SELECT e.vec_id, cc.clabel,
+        |    CAST(sum(e.qv * cc.cv) AS BIGINT) AS d
+        |  FROM e JOIN cc ON e.pos = cc.pos
+        |  GROUP BY 1, 2
+        |), pred AS (
+        |  SELECT vec_id, clabel AS predicted,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d DESC, clabel) AS rn
+        |  FROM dots
+        |)
+        |SELECT CAST(emb.label AS VARCHAR) AS label, pred.predicted,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM embeddings emb JOIN pred
+        |  ON emb.vec_id = pred.vec_id AND pred.rn = 1
+        |GROUP BY 1, 2""".stripMargin,
 
     "q197_hhi" ->
       """WITH per AS (
