@@ -527,6 +527,65 @@ object Selection {
       col("__n").as("n"): _*)
   }
 
+  /** EXACT top-`k` rows per group by `valueCol` DESCENDING — the
+    * `row_number() over (partition by group order by value desc) <= k`
+    * query WITHOUT ever sorting a whole group in one task, with an
+    * ENGINE-PORTABLE deterministic tie-break: rows tied at the cutoff
+    * value rank by `(md5-bucket(id), id)` (the [[Splits.bucket]]
+    * recipe, reproducible in any engine from the md5 formula).
+    *
+    * Resolution: [[valueAtRanks]] finds each group's cutoff value (the
+    * k-th largest) on bucket-count histograms; rows STRICTLY above the
+    * cutoff pass by comparison (scan-local, broadcast cut literals);
+    * only the boundary tie set — bounded by the multiplicity of one
+    * value — competes through [[hashRankFilter]]'s 1e6-way bucket
+    * split. Output: exactly min(k, |group|) input rows per group.
+    * `valueCol` casts to long and must not contain Long.MinValue (the
+    * ANSI negation guard fires mid-task otherwise). */
+  def topKPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+                   idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    val tagged = df.withColumn("__negv", -col(valueCol).cast("long"))
+      .localCheckpoint(true) // cut resolve + above/tie filters share it
+    val cuts = valueAtRanks(tagged, groupCol, "__negv",
+      Seq("cut" -> s"least(${k.toLong}L, __n)"))
+      .collect().map(r => r.get(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap // group -> (cutNegV, n)
+    if (cuts.isEmpty) return tagged.drop("__negv").filter(lit(false))
+    val gType = df.schema(groupCol).dataType
+    val cutSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__cg", gType),
+      org.apache.spark.sql.types.StructField("__cut",
+        org.apache.spark.sql.types.LongType)))
+    val cutRows: Array[Row] =
+      cuts.toArray.map { case (g, (c, _)) => Row(g, c) }
+    val cutLit = spark.createDataFrame(
+      java.util.Arrays.asList(cutRows: _*), cutSchema)
+    val joined = tagged.join(broadcast(cutLit),
+      col(groupCol) <=> col("__cg")).drop("__cg")
+    val above = joined.filter(col("__negv") < col("__cut"))
+    val nAbove: Map[Any, Long] = above.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__na")).collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    val slotSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__sg", gType),
+      org.apache.spark.sql.types.StructField("__ts",
+        org.apache.spark.sql.types.LongType)))
+    val slotRows: Array[Row] = cuts.toArray.map { case (g, (_, n)) =>
+      Row(g, math.min(k.toLong, n) - nAbove.getOrElse(g, 0L))
+    }
+    val slotLit = spark.createDataFrame(
+      java.util.Arrays.asList(slotRows: _*), slotSchema)
+    val ties = hashRankFilter(
+      joined.filter(col("__negv") === col("__cut"))
+        .join(broadcast(slotLit), col(groupCol) <=> col("__sg"))
+        .drop("__sg"),
+      groupCol, idCol, Splits.bucket(col(idCol), 1000000), "__ts")
+    above.select(df.columns.map(col): _*)
+      .unionByName(ties.select(df.columns.map(col): _*))
+  }
+
   /** Tie-collapsed GLOBAL multiset min-ranks of a value column: one
     * row per DISTINCT value with its 1-based min-rank (`__lo`) and
     * multiplicity (`__c`) — the anchor table of an inverse CDF —

@@ -620,6 +620,19 @@ object StatsPack extends QueryPack {
           "embedding"))
     }),
 
+    // exact top-3 lineitems per return flag by price — the
+    // row_number-free top-k-per-group primitive with the portable
+    // md5 tie-break (heavy cents ties at the cutoff exercise it)
+    "q219_topk_group" -> ((s, dir) =>
+      graft.operators.Selection.topKPerGroup(
+        Tables.load(s, dir, "lineitem")
+          .select((col("l_orderkey") * 8 + col("l_linenumber"))
+            .cast("long").as("id"),
+            col("l_returnflag"),
+            expr("cast(round(l_extendedprice*100) as bigint)")
+              .as("cents")),
+        "l_returnflag", "cents", "id", k = 3)),
+
     // Herfindahl spend-concentration per nation: which markets are
     // dominated by a few customers (exact rational, decimal(38,0))
     "q197_hhi" -> ((s, dir) =>
@@ -2240,6 +2253,21 @@ object StatsPack extends QueryPack {
         |FROM embeddings emb JOIN pred
         |  ON emb.vec_id = pred.vec_id AND pred.rn = 1
         |GROUP BY 1, 2""".stripMargin,
+
+    "q219_topk_group" ->
+      """WITH t AS (
+        |  SELECT CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS id,
+        |    l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY cents DESC,
+        |      ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT
+        |        % 1000000,
+        |      id) AS rn
+        |  FROM t)
+        |SELECT id, l_returnflag, cents FROM r WHERE rn <= 3""".stripMargin,
 
     "q197_hhi" ->
       """WITH per AS (

@@ -225,4 +225,26 @@ class SelectionSpec extends SparkSpec {
         s"bare-group fact window in:\n${df.queryExecution.optimizedPlan}")
     }
   }
+
+  test("topKPerGroup: exact rank-by-value with portable hash tie-break") {
+    def bkt(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16) % 1000000L
+    }
+    // heavy ties: values drawn from a tiny domain
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 500).map(i =>
+      (i.toLong, "g" + (i % 3), rnd.nextInt(5).toLong))
+    for (k <- Seq(1, 7, 200)) {
+      val got = Selection.topKPerGroup(rows.toDF("id", "g", "v"),
+          "g", "v", "id", k)
+        .as[(Long, String, Long)].collect().toSet
+      val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._3, bkt(r._1), r._1)).take(k)
+      }.toSet
+      assert(got === expected, s"k=$k")
+    }
+  }
 }
