@@ -119,6 +119,67 @@ object PageRank {
     r
   }
 
+  /** WEIGHTED PageRank: transition mass from `src` splits over its
+    * out-edges proportionally to the integral edge weight —
+    * `contrib = ((rank·dampBp div 10⁴) · w) div W_src` with
+    * `W_src = Σ out-weights` — the trade-intensity / click-count
+    * variant of [[iterate]] (same Page et al. formulation, weighted
+    * transition matrix). Identical mass-leaking exact-integer
+    * discipline: remainders and dangling mass drop, every
+    * intermediate is a 64-bit integer, the whole iteration
+    * hash-checks against a recursive CTE.
+    *
+    * Weights must be integral ≥ 1 with max ≤ Long.Max/scale (both
+    * REQUIREd driver-side from one aggregate) so the damped product
+    * cannot overflow. Scale posture identical to [[iterate]]. */
+  def iterateWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                      weightCol: String, iters: Int,
+                      dampBp: Long = 8500L,
+                      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    require(dampBp >= 0 && dampBp <= 10000, "dampBp in [0, 10000]")
+    require(scale > 0 && scale <= 1000000000000L,
+      "scale in (0, 10^12] keeps damped products within a long")
+    val e = edges.select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"),
+        col(weightCol).cast("long").as("__w"))
+      .repartition(col("__src"))
+      .localCheckpoint(true) // scanned every round; never re-derived
+    val wRow = e.agg(min(col("__w")).as("mn"), max(col("__w")).as("mx"))
+      .head()
+    require(!wRow.isNullAt(0), "empty edge set")
+    require(wRow.getLong(0) >= 1L,
+      s"edge weights must be >= 1 (saw ${wRow.getLong(0)})")
+    require(wRow.getLong(1) <= Long.MaxValue / scale,
+      s"max edge weight ${wRow.getLong(1)} overflows rank*w at scale " +
+        scale)
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    // NOTE: __W would collide with __w under case-insensitive
+    // resolution — keep the name fully distinct
+    val outw = e.groupBy(col("__src")).agg(sum(col("__w")).as("__wsum"))
+      .localCheckpoint(true)
+    val base = scale * (10000L - dampBp) / 10000L / n
+    var ranks = nodes.withColumn("rank", lit(scale / n))
+    for (_ <- 0 until iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "__src"), Seq("__src"))
+        .join(outw, Seq("__src"))
+        .select(col("__dst").as("node"),
+          expr(s"((rank * ${dampBp}L div 10000L) * __w) div __wsum")
+            .as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("__s"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Personalized (seeded-teleport) PageRank — the TrustRank shape
     * (Gyöngyi et al. VLDB 2004): teleport mass lands ONLY on `seeds`
     * (a trusted slice — curated domains, verified entities), so rank

@@ -685,6 +685,48 @@ object Profile {
       .drop("__mx")
   }
 
+  /** Lorenz concentration curve per group: for each decile of
+    * ENTITIES (ranked ascending by their total value), the cumulative
+    * entity count and value share in floored basis points — the
+    * curve behind [[StatsPack]]'s Gini scalar ("the bottom 80% of
+    * customers hold 23% of spend"). RANK (min-rank) semantics via
+    * [[Selection.rankRows]] keep tied entities in ONE decile, so the
+    * report is engine-deterministic; decile of rank r is
+    * `(r−1)·10 div n + 1`.
+    *
+    * Scale: one (group, entity) partial agg; rankRows runs over the
+    * ENTITY-sized aggregate frame (never raw rows); the decile rollup
+    * and its cumsum window see ≤ 10 rows per group. Values must be
+    * non-negative; share products ride decimal(38,0). Output:
+    * (group, decile, n_entities_cum, value_cum, share_bp). */
+  def lorenz(df: DataFrame, groupCol: String, entityCol: String,
+             valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(groupCol), col(entityCol))
+      .agg(sum(col(valueCol).cast("long")).as("__v"))
+    val guarded = per.withColumn("__v",
+      when(col("__v") < 0L, raise_error(
+        lit("lorenz: negative entity total")).cast("long"))
+        .otherwise(col("__v")))
+    val ranked = Selection.rankRows(guarded, groupCol, "__v")
+      .withColumn("decile", expr("((rank - 1) * 10) div n + 1"))
+    val wg = Window.partitionBy(col(groupCol)).orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.groupBy(col(groupCol), col("decile"))
+      .agg(count(lit(1)).as("__ne"), sum(col("__v")).as("__dv"),
+        max(col("n")).as("__n"))
+      .withColumn("n_entities_cum", sum(col("__ne")).over(wg))
+      .withColumn("value_cum", sum(col("__dv")).over(wg))
+      .join(per.groupBy(col(groupCol))
+        .agg(sum(col("__v")).as("__tot")), Seq(groupCol))
+      .withColumn("share_bp", expr(
+        """cast(case when __tot > 0
+          |  then (10000 * cast(value_cum as decimal(38,0))) div __tot
+          |  else 0 end as long)""".stripMargin))
+      .select(col(groupCol), col("decile"), col("n_entities_cum"),
+        col("value_cum"), col("share_bp"))
+  }
+
   /** Herfindahl–Hirschman concentration index per group, exact: with
     * per-entity masses v_i and total T, `hhi_e8 = Σv_i² · 10^8 div T²`
     * — 10^8 at single-entity monopoly, →0 when mass is spread thin.

@@ -633,6 +633,35 @@ object StatsPack extends QueryPack {
               .as("cents")),
         "l_returnflag", "cents", "id", k = 3)),
 
+    // weighted PageRank over the supp<->cust trade graph, edge weight
+    // = shared-order count (trade intensity), 4 exact-integer rounds
+    "q220_weighted_pagerank" -> ((s, dir) => {
+      val pairs = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("l_suppkey").cast("long") + 10000000L).as("supp"),
+          (col("o_custkey").cast("long") + 20000000L).as("cust"))
+        .agg(count_distinct(col("o_orderkey")).as("w"))
+      val edges = pairs.select(col("supp").as("src"),
+          col("cust").as("dst"), col("w"))
+        .unionByName(pairs.select(col("cust").as("src"),
+          col("supp").as("dst"), col("w")))
+      graft.operators.PageRank.iterateWeighted(edges, "src", "dst",
+        "w", iters = 4)
+    }),
+
+    // Lorenz spend-concentration curve per nation: cumulative customer
+    // deciles vs cumulative spend share (the curve behind Gini/HHI)
+    "q221_lorenz" -> ((s, dir) =>
+      Profile.lorenz(
+        Tables.load(s, dir, "orders")
+          .withColumn("cents",
+            expr("cast(round(o_totalprice*100) as bigint)"))
+          .join(Tables.load(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey")),
+        "c_nationkey", "o_custkey", "cents")),
+
     // Herfindahl spend-concentration per nation: which markets are
     // dominated by a few customers (exact rational, decimal(38,0))
     "q197_hhi" -> ((s, dir) =>
@@ -2268,6 +2297,84 @@ object StatsPack extends QueryPack {
         |      id) AS rn
         |  FROM t)
         |SELECT id, l_returnflag, cents FROM r WHERE rn <= 3""".stripMargin,
+
+    "q220_weighted_pagerank" ->
+      """WITH RECURSIVE
+        |p AS (
+        |  SELECT l_suppkey + 10000000 AS supp,
+        |    o_custkey + 20000000 AS cust,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |),
+        |edges AS (
+        |  SELECT supp AS src, cust AS dst, w FROM p
+        |  UNION ALL SELECT cust, supp, w FROM p
+        |),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM edges
+        |    UNION ALL SELECT dst FROM edges)
+        |),
+        |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+        |       FROM edges GROUP BY src),
+        |consts AS (
+        |  SELECT CAST(1000000000000 AS BIGINT) AS scale,
+        |    (SELECT count(*) FROM nodes) AS n
+        |),
+        |pr(it, node, r) AS (
+        |  SELECT 0, node, CAST(scale // n AS BIGINT)
+        |  FROM nodes, consts
+        |  UNION ALL
+        |  SELECT c.it, nd.node,
+        |    CAST((SELECT scale * 1500 // 10000 // n FROM consts)
+        |      + coalesce(c.s, 0) AS BIGINT)
+        |  FROM nodes nd
+        |  LEFT JOIN (
+        |    SELECT pr.it + 1 AS it, e.dst AS node,
+        |      SUM(((pr.r * 8500 // 10000) * e.w) // ow.wsum) AS s
+        |    FROM pr JOIN edges e ON pr.node = e.src
+        |    JOIN ow ON ow.src = pr.node
+        |    GROUP BY 1, 2) c ON c.node = nd.node
+        |  WHERE c.it <= 4
+        |)
+        |SELECT node, CAST(r AS BIGINT) AS rank
+        |FROM pr WHERE it = 4""".stripMargin,
+
+    "q221_lorenz" ->
+      """WITH per AS (
+        |  SELECT c_nationkey, o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT c_nationkey, v,
+        |    CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY v)
+        |      AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY c_nationkey) AS BIGINT)
+        |      AS n
+        |  FROM per),
+        |cells AS (
+        |  SELECT c_nationkey, ((r - 1) * 10) // n + 1 AS decile,
+        |    CAST(count(*) AS BIGINT) AS ne, CAST(sum(v) AS BIGINT)
+        |      AS dv
+        |  FROM rk GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT c_nationkey, decile,
+        |    CAST(sum(ne) OVER (PARTITION BY c_nationkey ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_entities_cum,
+        |    CAST(sum(dv) OVER (PARTITION BY c_nationkey ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS value_cum
+        |  FROM cells),
+        |tot AS (SELECT c_nationkey, CAST(sum(v) AS BIGINT) AS t
+        |        FROM per GROUP BY 1)
+        |SELECT cum.c_nationkey, cum.decile, cum.n_entities_cum,
+        |  cum.value_cum,
+        |  CAST(CASE WHEN tot.t > 0 THEN
+        |    (10000 * CAST(cum.value_cum AS HUGEINT)) // tot.t
+        |    ELSE 0 END AS BIGINT) AS share_bp
+        |FROM cum JOIN tot ON cum.c_nationkey = tot.c_nationkey""".stripMargin,
 
     "q197_hhi" ->
       """WITH per AS (

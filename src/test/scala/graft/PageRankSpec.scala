@@ -145,4 +145,36 @@ class PageRankSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(seededAll == plain)
   }
+
+  test("iterateWeighted: unit weights equal iterate; brute-force replay") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+    val unit = edges.map { case (a, b) => (a, b, 1L) }
+      .toDF("s", "d", "w")
+    val plain = PageRank.iterate(edges.toDF("s", "d"), "s", "d", 4)
+      .as[(Long, Long)].collect().toMap
+    val weighted1 = PageRank.iterateWeighted(unit, "s", "d", "w", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(weighted1 === plain)
+    // genuinely weighted graph vs a driver-side replay
+    val wedges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 5L),
+      (3L, 1L, 2L), (4L, 2L, 7L))
+    val got = PageRank.iterateWeighted(wedges.toDF("s", "d", "w"),
+        "s", "d", "w", 4)
+      .as[(Long, Long)].collect().toMap
+    val scale = 1000000000000L
+    val nodes = wedges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val outW = wedges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val base = scale * 1500L / 10000L / n
+    var r = nodes.map(_ -> scale / n).toMap
+    (1 to 4).foreach { _ =>
+      val contribs = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      wedges.foreach { case (a, b, w) =>
+        contribs(b) += (r(a) * 8500L / 10000L) * w / outW(a)
+      }
+      r = nodes.map(nd => nd -> (base + contribs(nd))).toMap
+    }
+    assert(got === r)
+  }
 }

@@ -938,4 +938,22 @@ class StatsSpec extends SparkSpec {
     assert(out2.map(_._3).sum === 5L)
     assert(out2.forall(t => Set("A", "B").contains(t._2)))
   }
+
+  test("lorenz: hand curve with rank ties in one decile") {
+    val df = Seq(("g", "a", 1L), ("g", "b", 1L), ("g", "c", 2L),
+        ("g", "d", 6L)).toDF("grp", "e", "v")
+    val out = Profile.lorenz(df, "grp", "e", "v")
+      .orderBy("decile")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // ranks 1,1,3,4 (RANK ties) -> deciles 1,1,6,8
+    assert(out === Seq(("g", 1L, 2L, 2L, 2000L),
+      ("g", 6L, 3L, 4L, 4000L), ("g", 8L, 4L, 10L, 10000L)))
+    // entity totals aggregate across rows before ranking
+    val split = df.unionByName(
+      Seq(("g", "d", 0L)).toDF("grp", "e", "v"))
+    val out2 = Profile.lorenz(split, "grp", "e", "v")
+      .orderBy("decile")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out2 === out)
+  }
 }
