@@ -727,6 +727,49 @@ object Profile {
         col("value_cum"), col("share_bp"))
   }
 
+  /** Schema & column-stats drift report between two frames (table
+    * versions, replica vs source, yesterday vs today): one row per
+    * (column, metric) with both sides and the delta — the first thing
+    * an on-call engineer pulls when a pipeline "looks wrong". Metrics
+    * per column: presence (1/0 — catches added/dropped columns), row
+    * count, null count, exact distinct count. All exact integers.
+    *
+    * Scale: ONE aggregate pass per side computes every column's stats
+    * together (the column loop builds the expression list, it never
+    * iterates data); the single stats row collects (model-sized) and
+    * the report is a literal-frame full-outer join. Output:
+    * (column, metric, a, b, delta). */
+  def schemaDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def longStats(df: DataFrame): DataFrame = {
+      val cols = df.columns.toSeq
+      if (cols.isEmpty)
+        return Seq.empty[(String, String, Long)]
+          .toDF("column", "metric", "value")
+      // coalesce: sum() over an EMPTY side is NULL — an empty frame
+      // must report zeros, not crash the row decode
+      val aggs = count(lit(1)).as("__n") +: cols.flatMap { c => Seq(
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)),
+        count_distinct(col(c))) }
+      val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val n = r.getLong(0)
+      val rows = cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq((c, "present", 1L), (c, "n_rows", n),
+          (c, "n_nulls", r.getLong(1 + 2 * i)),
+          (c, "n_distinct", r.getLong(2 + 2 * i)))
+      }
+      rows.toDF("column", "metric", "value")
+    }
+    val sa = longStats(a).select(col("column"), col("metric"),
+      col("value").as("a"))
+    val sb = longStats(b).select(col("column"), col("metric"),
+      col("value").as("b"))
+    sa.join(sb, Seq("column", "metric"), "full_outer")
+      .na.fill(0L, Seq("a", "b"))
+      .withColumn("delta", col("b") - col("a"))
+  }
+
   /** Herfindahl–Hirschman concentration index per group, exact: with
     * per-entity masses v_i and total T, `hhi_e8 = Σv_i² · 10^8 div T²`
     * — 10^8 at single-entity monopoly, →0 when mass is spread thin.

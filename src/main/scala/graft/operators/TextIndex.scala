@@ -291,4 +291,42 @@ object TextIndex {
       .orderBy(abs(col("delta_bp")).desc, col("term"))
       .limit(topK)
   }
+
+  /** Temporal term-BURST detection: terms whose document frequency
+    * concentrates in one day — "what vocabulary spiked" (the Kleinberg
+    * burst question answered with the exact one-day-share statistic
+    * instead of the HMM): per term the total df, active-day count,
+    * argmax day (deterministic: highest daily df, earliest day on
+    * ties) and `burst_bp = 10^4·max_day_df div df_total`. A term that
+    * only ever appears on one day scores 10000; an evenly-spread term
+    * scores ≈ 10^4/n_days. All integer, engine-exact.
+    *
+    * Scale: one explode to DISTINCT (doc, day, term), one (term, day)
+    * partial agg, one term-sized rollup whose argmax folds as
+    * `min(struct(−df, day))` — no windows; top-k via
+    * TakeOrderedAndProject on a total order. Output: (term, df_total,
+    * n_days, max_day, max_day_df, burst_bp). */
+  def termBursts(df: DataFrame, idCol: String, textCol: String,
+                 dayCol: String, minDf: Long, k: Int): DataFrame = {
+    require(minDf >= 1, "minDf must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    val td = df.select(col(idCol), col(dayCol).cast("date").as("__day"),
+        explode(array_distinct(terms(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+      .groupBy(col("term"), col("__day"))
+      .agg(count(lit(1)).as("__c"))
+    td.groupBy(col("term"))
+      .agg(sum(col("__c")).as("df_total"), count(lit(1)).as("n_days"),
+        min(struct((-col("__c")).as("nc"), col("__day").as("d")))
+          .as("__m"))
+      .filter(col("df_total") >= minDf)
+      .select(col("term"), col("df_total"), col("n_days"),
+        col("__m.d").cast("string").as("max_day"),
+        (-col("__m.nc")).as("max_day_df"))
+      .withColumn("burst_bp",
+        expr("(10000L * max_day_df) div df_total"))
+      .orderBy(col("burst_bp").desc, col("df_total").desc, col("term"))
+      .limit(k)
+  }
 }

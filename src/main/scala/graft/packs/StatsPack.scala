@@ -662,6 +662,32 @@ object StatsPack extends QueryPack {
             col("o_custkey") === col("c_custkey")),
         "c_nationkey", "o_custkey", "cents")),
 
+    // schema & column-stats drift between two order-table versions
+    // (column dropped, column added, rows grown): the on-call diff
+    "q222_schema_drift" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val va = o.filter(col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+      val vb = o.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"))
+      Profile.schemaDrift(va, vb)
+    }),
+
+    // temporal term bursts over order comments: which vocabulary
+    // concentrates its df in one order date
+    "q223_term_bursts" -> ((s, dir) =>
+      graft.operators.TextIndex.termBursts(
+        Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.load(s, dir, "part"),
+            col("l_partkey") === col("p_partkey"))
+          .select((col("l_orderkey") * 8 + col("l_linenumber"))
+            .cast("long").as("id"),
+            col("p_name"), col("o_orderdate")),
+        "id", "p_name", "o_orderdate", minDf = 20L, k = 50)),
+
     // Herfindahl spend-concentration per nation: which markets are
     // dominated by a few customers (exact rational, decimal(38,0))
     "q197_hhi" -> ((s, dir) =>
@@ -2375,6 +2401,90 @@ object StatsPack extends QueryPack {
         |    (10000 * CAST(cum.value_cum AS HUGEINT)) // tot.t
         |    ELSE 0 END AS BIGINT) AS share_bp
         |FROM cum JOIN tot ON cum.c_nationkey = tot.c_nationkey""".stripMargin,
+
+    "q222_schema_drift" ->
+      """WITH va AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |vb AS (SELECT o_orderkey, o_orderstatus, o_orderpriority
+        |  FROM orders),
+        |sa AS (
+        |  SELECT 'o_orderkey' AS "column", s.metric, s.value FROM (
+        |    SELECT unnest(['present','n_rows','n_nulls','n_distinct']) AS metric,
+        |      unnest([CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+        |        CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |        CAST(count(DISTINCT o_orderkey) AS BIGINT)]) AS value
+        |    FROM va) s
+        |  UNION ALL
+        |  SELECT 'o_custkey' AS "column", s.metric, s.value FROM (
+        |    SELECT unnest(['present','n_rows','n_nulls','n_distinct']) AS metric,
+        |      unnest([CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+        |        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |        CAST(count(DISTINCT o_custkey) AS BIGINT)]) AS value
+        |    FROM va) s
+        |  UNION ALL
+        |  SELECT 'o_orderstatus' AS "column", s.metric, s.value FROM (
+        |    SELECT unnest(['present','n_rows','n_nulls','n_distinct']) AS metric,
+        |      unnest([CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+        |        CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |        CAST(count(DISTINCT o_orderstatus) AS BIGINT)]) AS value
+        |    FROM va) s),
+        |sb AS (
+        |  SELECT 'o_orderkey' AS "column", s.metric, s.value FROM (
+        |    SELECT unnest(['present','n_rows','n_nulls','n_distinct']) AS metric,
+        |      unnest([CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+        |        CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |        CAST(count(DISTINCT o_orderkey) AS BIGINT)]) AS value
+        |    FROM vb) s
+        |  UNION ALL
+        |  SELECT 'o_orderstatus' AS "column", s.metric, s.value FROM (
+        |    SELECT unnest(['present','n_rows','n_nulls','n_distinct']) AS metric,
+        |      unnest([CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+        |        CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |        CAST(count(DISTINCT o_orderstatus) AS BIGINT)]) AS value
+        |    FROM vb) s
+        |  UNION ALL
+        |  SELECT 'o_orderpriority' AS "column", s.metric, s.value FROM (
+        |    SELECT unnest(['present','n_rows','n_nulls','n_distinct']) AS metric,
+        |      unnest([CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+        |        CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |        CAST(count(DISTINCT o_orderpriority) AS BIGINT)]) AS value
+        |    FROM vb) s)
+        |SELECT coalesce(sa."column", sb."column") AS "column",
+        |  coalesce(sa.metric, sb.metric) AS metric,
+        |  CAST(coalesce(sa.value, 0) AS BIGINT) AS a,
+        |  CAST(coalesce(sb.value, 0) AS BIGINT) AS b,
+        |  CAST(coalesce(sb.value, 0) - coalesce(sa.value, 0) AS BIGINT) AS delta
+        |FROM sa FULL OUTER JOIN sb
+        |  ON sa."column" = sb."column" AND sa.metric = sb.metric""".stripMargin,
+
+    "q223_term_bursts" ->
+      """WITH td AS (
+        |  SELECT term, day, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT DISTINCT l_orderkey * 8 + l_linenumber AS id,
+        |      o_orderdate AS day,
+        |      unnest(regexp_split_to_array(trim(p_name), '\s+')) AS term
+        |    FROM lineitem
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN part ON l_partkey = p_partkey)
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |per AS (
+        |  SELECT term, CAST(sum(c) AS BIGINT) AS df_total,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM td GROUP BY 1),
+        |m AS (SELECT term, max(c) AS mc FROM td GROUP BY 1),
+        |md AS (
+        |  SELECT td.term, m.mc, min(td.day) AS mday
+        |  FROM td JOIN m ON td.term = m.term AND td.c = m.mc
+        |  GROUP BY 1, 2)
+        |SELECT per.term, per.df_total, per.n_days,
+        |  CAST(CAST(md.mday AS DATE) AS VARCHAR) AS max_day,
+        |  CAST(md.mc AS BIGINT) AS max_day_df,
+        |  CAST((10000 * md.mc) // per.df_total AS BIGINT) AS burst_bp
+        |FROM per JOIN md ON per.term = md.term
+        |WHERE per.df_total >= 20
+        |ORDER BY burst_bp DESC, df_total DESC, per.term
+        |LIMIT 50""".stripMargin,
 
     "q197_hhi" ->
       """WITH per AS (

@@ -956,4 +956,36 @@ class StatsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect().toSeq
     assert(out2 === out)
   }
+
+  test("schemaDrift: added/dropped columns, null and distinct deltas") {
+    val a = Seq((1L, Some("x"), 10L), (2L, None, 10L), (3L, Some("y"), 20L))
+      .toDF("id", "s", "v")
+    val b = Seq((1L, 10L, "p"), (2L, 30L, "q"), (3L, 30L, "r"),
+        (4L, 40L, "s")).toDF("id", "v", "extra")
+    val out = Profile.schemaDrift(a, b)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out(("id", "n_rows")) === ((3L, 4L, 1L)))
+    assert(out(("s", "present")) === ((1L, 0L, -1L)))   // dropped
+    assert(out(("extra", "present")) === ((0L, 1L, 1L))) // added
+    assert(out(("s", "n_nulls")) === ((1L, 0L, -1L)))
+    assert(out(("v", "n_distinct")) === ((2L, 3L, 1L)))
+    assert(out(("v", "n_nulls")) === ((0L, 0L, 0L)))
+  }
+
+  test("termBursts: planted one-day spike tops the report") {
+    def d(i: Int) = java.sql.Date.valueOf(f"2024-01-$i%02d")
+    // 'steady' appears once a day for 10 days; 'spike' 5x on day 3
+    val rows = (1 to 10).map(i => (i.toLong, s"steady filler$i", d(i))) ++
+      (11 to 15).map(i => (i.toLong, "spike news", d(3)))
+    val out = graft.operators.TextIndex.termBursts(
+        rows.toDF("id", "text", "day"), "id", "text", "day",
+        minDf = 3, k = 5)
+      .as[(String, Long, Long, String, Long, Long)].collect()
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m("spike") === (("spike", 5L, 1L, "2024-01-03", 5L, 10000L)))
+    assert(m("news") === (("news", 5L, 1L, "2024-01-03", 5L, 10000L)))
+    assert(m("steady") === (("steady", 10L, 10L, "2024-01-01", 1L, 1000L)))
+    assert(out.head._6 === 10000L) // burst order
+  }
 }
