@@ -33,44 +33,9 @@ object ApproxPack extends QueryPack {
           |GROUP BY lang""".stripMargin)
     }),
 
-    // k-truss cohesive core of the repeated part co-occurrence graph
-    // (rows-only: the support-recount peeling loop is not reasonably
-    // CTE-expressible under DuckDB's single-recursive-reference rule;
-    // GraphSpec pins brute-force parity)
-    "q214_ktruss" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"),
-          col("l_partkey").cast("long").as("pk"))
-      val pairs = li.withColumnRenamed("pk", "u")
-        .join(li.withColumnRenamed("pk", "v"), Seq("ok"))
-        .filter(col("u") < col("v"))
-        .groupBy(col("u"), col("v"))
-        .agg(count_distinct(col("ok")).as("__c"))
-        .filter(col("__c") >= 2)
-        .select(col("u"), col("v"))
-      graft.operators.Graph.kTruss(pairs, "u", "v", k = 3)
-    }),
-
     "q29_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.load(s, dir, "documents"), "doc_id", "text",
         numHashes = 128, bands = 32, threshold = 0.5)),
-
-    // isotonic (PAV) recalibration of q165's reliability bins —
-    // rows-only: PAV's sequential pooling is not reasonably
-    // SQL-expressible; StatsSpec pins the exact pooling semantics
-    "q193_isotonic" -> ((s, dir) =>
-      graft.operators.Eval.isotonicCalibrate(
-        graft.operators.Eval.calibration(
-          Tables.load(s, dir, "documents")
-            .withColumn("score_fp", expr(
-              """least(1000000L, (1000000L *
-                |  (length(text) - length(replace(text, ' ', ''))) * 6L)
-                |  div greatest(1L, cast(length(text) as bigint)))"""
-                .stripMargin))
-            .withColumn("__lbl",
-              when(col("lang") === "en", 1).otherwise(0)),
-          "source", "score_fp", "__lbl", nBins = 10),
-        "source", "bin", "n", "frac_pos_fp")),
 
     // tokenizer fertility per language: pieces/word, bytes/piece,
     // OOV share under the q103 BPE model — rows-only (BPE

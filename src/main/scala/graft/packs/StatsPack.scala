@@ -558,6 +558,44 @@ object StatsPack extends QueryPack {
       Graph.edgeSupport(pairs, "u", "v")
     }),
 
+    // k-truss (k=3) cohesive core of the repeated part co-occurrence
+    // graph: support peeling to the fixpoint. Oracle: a FIXED stack of
+    // unrolled peel rounds (post-fixpoint rounds are no-ops, so any
+    // depth >= the actual peel depth matches exactly — depth is 2 at
+    // the checked SF, the SQL unrolls 5)
+    "q214_ktruss" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+      val pairs = li.withColumnRenamed("pk", "u")
+        .join(li.withColumnRenamed("pk", "v"), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count_distinct(col("ok")).as("__c"))
+        .filter(col("__c") >= 2)
+        .select(col("u"), col("v"))
+      Graph.kTruss(pairs, "u", "v", k = 3)
+    }),
+
+    // isotonic (PAV) recalibration of q165's reliability bins. Oracle:
+    // the minimax characterization of weighted L2 isotonic regression
+    // (fitted(i) = max over j<=i of min over l>=i of the interval
+    // mean), compared as exact cross-multiplied rationals — identical
+    // block means to PAV's sequential pooling, floored once per block
+    "q193_isotonic" -> ((s, dir) =>
+      Eval.isotonicCalibrate(
+        Eval.calibration(
+          Tables.load(s, dir, "documents")
+            .withColumn("score_fp", expr(
+              """least(1000000L, (1000000L *
+                |  (length(text) - length(replace(text, ' ', ''))) * 6L)
+                |  div greatest(1L, cast(length(text) as bigint)))"""
+                .stripMargin))
+            .withColumn("__lbl",
+              when(col("lang") === "en", 1).otherwise(0)),
+          "source", "score_fp", "__lbl", nBins = 10),
+        "source", "bin", "n", "frac_pos_fp")),
+
     // 2-D Pareto frontier of the part catalog: cheapest-and-smallest
     // shortlist — prefix-min over distinct-x tallies, never the
     // quadratic domination join
@@ -712,6 +750,48 @@ object StatsPack extends QueryPack {
   private val ndcgIdcgCase: String =
     (1 to 10).zip(NdcgDisc.scanLeft(0L)(_ + _).tail)
       .map { case (n, c) => s"WHEN $n THEN $c" }.mkString(" ")
+
+  /** q214's oracle: `rounds` UNROLLED support-peel rounds (k=3, so the
+    * keep filter is support >= 1). Each round recounts per-edge
+    * triangle support over the previous round's survivors (the q210
+    * formulation) and keeps supported edges; once the peel reaches its
+    * fixpoint every further round is a no-op, so any `rounds` >= the
+    * actual peel depth (2 at sf0.01) reproduces Graph.kTruss exactly. */
+  private def kTrussOracleSql(rounds: Int): String = {
+    // AS MATERIALIZED: DuckDB inlines plain CTEs per reference, so a
+    // round chain would re-expand every prior round 3x per join —
+    // exponential plan (and parquet re-open) blowup without it
+    val base =
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        |  FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT u, v FROM (
+        |    SELECT a.pk AS u, b.pk AS v, count(DISTINCT a.ok) AS c
+        |    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |    GROUP BY 1, 2)
+        |  WHERE c >= 2)""".stripMargin
+    val peel = (0 until rounds).map { r =>
+      s""",
+         |t$r AS MATERIALIZED (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM e$r e1 JOIN e$r e2 ON e2.u = e1.v
+         |  JOIN e$r e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |p$r AS MATERIALIZED (
+         |  SELECT u, v, count(*) AS s FROM (
+         |    SELECT a AS u, b AS v FROM t$r
+         |    UNION ALL SELECT a, c FROM t$r
+         |    UNION ALL SELECT b, c FROM t$r) GROUP BY 1, 2),
+         |s$r AS MATERIALIZED (
+         |  SELECT e.u, e.v, coalesce(p$r.s, 0) AS support
+         |  FROM e$r e LEFT JOIN p$r ON e.u = p$r.u AND e.v = p$r.v),
+         |e${r + 1} AS MATERIALIZED (
+         |  SELECT u, v FROM s$r WHERE support >= 1)"""
+        .stripMargin
+    }.mkString
+    base + peel +
+      s"\nSELECT u, v, CAST(support AS BIGINT) AS support FROM s${rounds - 1}"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q157_auc" ->
@@ -2106,6 +2186,57 @@ object StatsPack extends QueryPack {
         |SELECT e.u, e.v,
         |  CAST(coalesce(pe.s, 0) AS BIGINT) AS support
         |FROM e LEFT JOIN pe ON e.u = pe.u AND e.v = pe.v""".stripMargin,
+
+    "q214_ktruss" -> kTrussOracleSql(rounds = 5),
+
+    "q193_isotonic" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    least(1000000, (1000000 *
+        |      (length(text) - length(replace(text, ' ', ''))) * 6)
+        |      // greatest(1, length(text))) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l
+        |  FROM documents),
+        |b AS (
+        |  SELECT source,
+        |    CAST(least(9, greatest(0, (10 * score) // 1000000)) AS INT)
+        |      AS bin,
+        |    score, l
+        |  FROM s),
+        |c AS (
+        |  SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST((1000000 * CAST(sum(l) AS HUGEINT)) // count(*)
+        |      AS BIGINT) AS frac_pos_fp
+        |  FROM b GROUP BY 1, 2),
+        |iv AS (
+        |  SELECT a.source, a.bin AS j, b.bin AS l,
+        |    CAST(sum(CAST(c.n AS HUGEINT) * c.frac_pos_fp) AS HUGEINT)
+        |      AS m,
+        |    CAST(sum(CAST(c.n AS HUGEINT)) AS HUGEINT) AS w
+        |  FROM c a JOIN c b ON b.source = a.source AND b.bin >= a.bin
+        |  JOIN c ON c.source = a.source AND c.bin BETWEEN a.bin AND b.bin
+        |  GROUP BY 1, 2, 3),
+        |mn AS (
+        |  SELECT t.source, t.i, t.j, iv.m, iv.w
+        |  FROM (SELECT c.source, c.bin AS i, jj.bin AS j
+        |        FROM c JOIN c jj ON jj.source = c.source
+        |          AND jj.bin <= c.bin) t
+        |  JOIN iv ON iv.source = t.source AND iv.j = t.j AND iv.l >= t.i
+        |  WHERE NOT EXISTS (SELECT 1 FROM iv o
+        |    WHERE o.source = t.source AND o.j = t.j AND o.l >= t.i
+        |      AND (o.m * iv.w < iv.m * o.w
+        |        OR (o.m * iv.w = iv.m * o.w AND o.l < iv.l)))),
+        |mx AS (
+        |  SELECT mn.source, mn.i, mn.m, mn.w
+        |  FROM mn
+        |  WHERE NOT EXISTS (SELECT 1 FROM mn o
+        |    WHERE o.source = mn.source AND o.i = mn.i
+        |      AND (o.m * mn.w > mn.m * o.w
+        |        OR (o.m * mn.w = mn.m * o.w AND o.j < mn.j))))
+        |SELECT c.source, c.bin, c.n, c.frac_pos_fp,
+        |  CAST(mx.m // mx.w AS BIGINT) AS calibrated_fp
+        |FROM c JOIN mx ON mx.source = c.source AND mx.i = c.bin"""
+        .stripMargin,
 
     "q211_skyline" ->
       """WITH t AS (
