@@ -287,6 +287,14 @@ object Funnels {
     val seq0 = touches.select(col(userCol).as("__u"),
       col(tsUsCol).cast("long").as("__t"),
       col(channelCol).cast("string").as("__ch"))
+    // budget gate BEFORE the transition collect: the collected matrix
+    // is (channels+2)²-sized, so a high-cardinality channel column
+    // (URLs) must fail fast cluster-side, not after a driver-sized
+    // collect (the centroidClassify require-before-collect posture)
+    val nCh = seq0.agg(count_distinct(col("__ch"))).first().getLong(0)
+    require(nCh <= maxChannels,
+      s"channel vocabulary $nCh exceeds the $maxChannels " +
+        "driver-solve budget")
     val withNext = seq0
       .withColumn("__next", lead(col("__ch"), 1).over(w))
       .withColumn("__rn", row_number().over(w))
@@ -304,10 +312,7 @@ object Funnels {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val channels = trans.flatMap(t => Seq(t._1, t._2))
       .filter(s => s != "__START__" && s != "__CONV__" && s != "__DROP__")
-      .distinct.sorted
-    require(channels.length <= maxChannels,
-      s"channel vocabulary ${channels.length} exceeds the " +
-        s"$maxChannels driver-solve budget")
+      .distinct.sorted // ⊆ the pre-checked __ch vocabulary
     val states = "__START__" +: channels // transient states
     val idx = states.zipWithIndex.toMap
     val outTotals = trans.groupBy(_._1).view

@@ -100,9 +100,25 @@ object Graph {
     * aggregates broadcast back — never a collect, never a window over
     * node rows. Overflow: normalized values sum to ≤ scale, a raw
     * half-step value is ≤ scale·dmax, and the normalization product is
-    * ≤ scale²·dmax — the `require` pins scale²·dmax < 2⁶³ using the
-    * collected max degree (ANSI mode would otherwise throw mid-task).
+    * ≤ scale²·dmax — so the EFFECTIVE scale is auto-derived as the
+    * largest s ≤ `scale` with s²·dmax ≤ 2⁶³−1 ([[hitsScale]]): a
+    * web-scale hub degrades fixed-point precision instead of refusing
+    * to run (ANSI mode would otherwise throw mid-task on overflow).
     */
+  /** Effective HITS fixed-point scale: the largest s ≤ `scale` with
+    * s²·dmax ≤ 2⁶³−1, so the normalization product `raw · s` (raw ≤
+    * s·dmax) can never overflow a long. Exact-integer adjusted from a
+    * double sqrt seed — no float can sneak an off-by-one past the
+    * BigInt check. */
+  private[graft] def hitsScale(scale: Long, dmax: Long): Long = {
+    val d = math.max(dmax, 1L)
+    var s = math.min(scale,
+      math.sqrt(Long.MaxValue.toDouble / d).toLong + 1L)
+    while (s > 0 && BigInt(s) * s * d > BigInt(Long.MaxValue)) s -= 1
+    require(s > 0, s"max degree $dmax admits no positive scale")
+    s
+  }
+
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int, scale: Long = 1000000L): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
@@ -122,11 +138,10 @@ object Graph {
       .union(e.select(col("__dst")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
       .agg(max(col("d"))).head.getLong(0)
-    require(scale <= 1000000L && dmax <= 1000000L,
-      s"scale^2 * max-degree must stay below 2^63 (scale=$scale, dmax=$dmax)")
+    val eff = hitsScale(scale, dmax)
 
-    var hub = nodes.withColumn("hub", lit(scale))
-    var auth = nodes.withColumn("auth", lit(scale))
+    var hub = nodes.withColumn("hub", lit(eff))
+    var auth = nodes.withColumn("auth", lit(eff))
     for (_ <- 0 until iters) {
       val rawA = e.join(hub.withColumnRenamed("node", "__src"), Seq("__src"))
         .groupBy(col("__dst")).agg(sum(col("hub")).as("__ra"))
@@ -134,14 +149,14 @@ object Graph {
       val aTot = rawA.agg(sum(col("__ra")).as("__t"))
       val na = rawA.crossJoin(broadcast(aTot))
         .select(col("__dst").as("node"),
-          expr(s"__ra * ${scale}L div greatest(__t, 1L)").as("auth"))
+          expr(s"__ra * ${eff}L div greatest(__t, 1L)").as("auth"))
       val rawH = e.join(na.withColumnRenamed("node", "__dst"), Seq("__dst"))
         .groupBy(col("__src")).agg(sum(col("auth")).as("__rh"))
         .localCheckpoint(true)
       val hTot = rawH.agg(sum(col("__rh")).as("__t"))
       val nh = rawH.crossJoin(broadcast(hTot))
         .select(col("__src").as("node"),
-          expr(s"__rh * ${scale}L div greatest(__t, 1L)").as("hub"))
+          expr(s"__rh * ${eff}L div greatest(__t, 1L)").as("hub"))
       auth = nodes.join(na, Seq("node"), "left")
         .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth"))
         .localCheckpoint(true)

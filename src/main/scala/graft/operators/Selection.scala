@@ -64,7 +64,7 @@ object Selection {
     * [[valueAtRanks]] and [[rankRows]], computed driver-side AFTER
     * [[requireSaneRanges]] so an overflowing span fails with the clear
     * error, not ANSI arithmetic-overflow inside a task. */
-  private def bucketWidths(mn: Long, mx: Long): (Long, Long) = {
+  private[graft] def bucketWidths(mn: Long, mx: Long): (Long, Long) = {
     val w1 = (mx - mn) / B + 1L
     (w1, (w1 - 1) / B + 1L)
   }

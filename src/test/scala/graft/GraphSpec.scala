@@ -91,6 +91,38 @@ class GraphSpec extends SparkSpec {
     assert(hubMap(1L) > hubMap(2L) && hubMap(2L) > hubMap(3L))
   }
 
+  test("hitsScale: degrades precision for big hubs instead of refusing") {
+    // exact contract: largest s <= scale with s^2 * dmax <= 2^63 - 1
+    def ok(s: Long, d: Long) = BigInt(s) * s * math.max(d, 1L) <=
+      BigInt(Long.MaxValue)
+    for (d <- Seq(1L, 2L, 1000000L, 10000000L, 100000000L, 1L << 40)) {
+      val s = Graph.hitsScale(1000000L, d)
+      assert(ok(s, d), s"dmax=$d scale=$s overflows")
+      assert(s == 1000000L || !ok(s + 1, d),
+        s"dmax=$d scale=$s not maximal")
+    }
+    // small hubs keep the full default scale
+    assert(Graph.hitsScale(1000000L, 1000000L) == 1000000L)
+    // a 10^8-degree hub shrinks the scale rather than throwing
+    val shrunk = Graph.hitsScale(1000000L, 100000000L)
+    assert(shrunk < 1000000L && shrunk > 0)
+  }
+
+  test("hits runs on a dmax > 1e6 hub graph (auto-derived scale)") {
+    // 1.2M pages all pointing at one sink — the shape the old
+    // dmax <= 1e6 REQUIRE refused. s^2 * 1.2e6 still fits 2^63, so
+    // the scale stays 1e6 and the sole authority takes ALL auth mass.
+    val n = 1200000L
+    val edges = spark.range(n)
+      .select((col("id") + 1L).as("src"), lit(0L).as("dst"))
+    val out = Graph.hits(edges, "src", "dst", iters = 1)
+      .filter(col("node") === 0L)
+      .select("hub", "auth").as[(Long, Long)].collect()
+    assert(out.length == 1)
+    assert(out(0)._2 == 1000000L) // sole authority holds the auth sum
+    assert(out(0)._1 == 0L)       // the sink points at nothing
+  }
+
   test("stronglyConnected: cycles, bridges, and DAG singletons") {
     // SCCs: {1,2,3} (cycle), {4} (bridge), {5,6} (2-cycle)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),

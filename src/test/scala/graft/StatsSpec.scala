@@ -653,6 +653,16 @@ class StatsSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(out("a") === ((5000L, 3333L)))
     assert(out("b") === ((10000L, 6666L)))
+
+    // high-cardinality channel column fails the budget gate BEFORE the
+    // transition matrix is collected (cluster-side distinct count)
+    val wide = (1L to 8L).map(i => (i, 100L, s"url_$i"))
+      .toDF("u", "ts", "ch")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Funnels.markovAttribution(
+        wide, "u", "ts", "ch", conv, maxChannels = 5)
+    }
+    assert(ex.getMessage.contains("channel vocabulary 8"))
   }
 
   test("cmh: hand-computed two-stratum table, exact rationals") {
