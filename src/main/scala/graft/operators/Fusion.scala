@@ -124,19 +124,23 @@ object Fusion {
     * engine-exact despite the log in its definition.
     *
     * Scale: same shape as [[retrievalMetrics]] — truth dedupes once
-    * (checkpointed), hits are one (query, doc) equi-join with a per-row
-    * array-literal discount lookup, per-query partial aggs; nothing
-    * ranks globally. Queries without truth are dropped; queries with no
-    * hits report 0. Output: (queryCol, n_truth, dcg_fp, idcg_fp,
-    * ndcg_fp). */
+    * (checkpointed), results dedupe on (query, doc) keeping the best
+    * rank (a duplicated doc must not earn its discount twice), hits
+    * are one (query, doc) equi-join with a per-row array-literal
+    * discount lookup, per-query partial aggs; nothing ranks globally.
+    * Queries without truth are dropped; queries with no hits report 0.
+    * Output: (queryCol, n_truth, dcg_fp, idcg_fp, ndcg_fp). */
   def ndcgAtK(results: DataFrame, truth: DataFrame, queryCol: String,
               docCol: String, rankCol: String, k: Int,
               scale: Long = 1000000L): DataFrame = {
     require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
     val disc = ndcgDiscFp(k, scale)
     val cum = disc.scanLeft(0L)(_ + _).tail
+    // dedupe on (query, doc) keeping the best rank: a doc listed
+    // twice in a ranking must not earn its discount twice
     val res = results.filter(col(rankCol) >= 1 && col(rankCol) <= k)
-      .select(col(queryCol), col(docCol), col(rankCol).cast("int").as("__rk"))
+      .groupBy(col(queryCol), col(docCol))
+      .agg(min(col(rankCol).cast("int")).as("__rk"))
     val tr = truth.select(col(queryCol), col(docCol)).distinct()
       .localCheckpoint(true) // n_truth agg + hit join both read it
     val nT = tr.groupBy(col(queryCol)).agg(count(lit(1)).as("n_truth"))
@@ -161,11 +165,13 @@ object Fusion {
     * `ap_fp = Σ term_j div min(n_truth, k)`, so any engine reproduces
     * the value bit-for-bit.
     *
-    * Scale: truth dedupes once (checkpointed); hits are one
-    * (query, doc) equi-join; relcnt is a row_number over each query's
-    * ≤ k HIT rows (fine-keyed, k-bounded partitions); one per-query
-    * partial agg. Queries without truth are dropped; queries with no
-    * hits report 0. Output: (queryCol, n_truth, n_hits, ap_fp). */
+    * Scale: truth dedupes once (checkpointed); results dedupe on
+    * (query, doc) keeping the best rank (a duplicated doc must not
+    * inflate relcnt or n_hits); hits are one (query, doc) equi-join;
+    * relcnt is a row_number over each query's ≤ k HIT rows
+    * (fine-keyed, k-bounded partitions); one per-query partial agg.
+    * Queries without truth are dropped; queries with no hits report
+    * 0. Output: (queryCol, n_truth, n_hits, ap_fp). */
   def averagePrecisionAtK(results: DataFrame, truth: DataFrame,
                           queryCol: String, docCol: String,
                           rankCol: String, k: Int,
@@ -174,8 +180,8 @@ object Fusion {
     require(k >= 1, "k must be >= 1")
     require(scale >= 1, "scale must be >= 1")
     val res = results.filter(col(rankCol) >= 1 && col(rankCol) <= k)
-      .select(col(queryCol), col(docCol),
-        col(rankCol).cast("long").as("__rk"))
+      .groupBy(col(queryCol), col(docCol))
+      .agg(min(col(rankCol).cast("long")).as("__rk"))
     val tr = truth.select(col(queryCol), col(docCol)).distinct()
       .localCheckpoint(true) // n_truth agg + hit join both read it
     val nT = tr.groupBy(col(queryCol)).agg(count(lit(1)).as("n_truth"))

@@ -640,9 +640,13 @@ object Profile {
     * Scale: rows collapse to (group, value) and (value) tallies (two
     * partial-agg shuffles); the CDF windows run over the groups ×
     * sensitive-DOMAIN grid (the sanctioned bounded crossJoin shape of
-    * [[Survival.logRank]]), guarded by [[Eval.boundedTally]]'s
-    * maxSeries contract — never over raw rows. Products ride
-    * decimal(38,0). Output: (qi..., n, t_bp). */
+    * [[Survival.logRank]]), guarded TWICE: [[Eval.boundedTally]]'s
+    * maxSeries contract on the tally itself, and a |groups|·|domain|
+    * ≤ maxSeries REQUIRE on the materialized grid row count (a tally
+    * can pass the first while its cross product would not — both
+    * counts come from the same one-row aggregate, no extra pass).
+    * Never over raw rows; products ride decimal(38,0). Output:
+    * (qi..., n, t_bp). */
   def tCloseness(df: DataFrame, qiCols: Seq[String],
                  sensitiveCol: String,
                  maxSeries: Long = 1L << 22): DataFrame = {
@@ -658,9 +662,16 @@ object Profile {
     val glob = tal.groupBy(col("__v")).agg(sum(col("__c")).as("__gc"))
     val groups = tal.groupBy(qiCols.map(col): _*)
       .agg(sum(col("__c")).as("__n"))
-    val nRow = glob.agg(sum(col("__gc"))).collect()(0)
+    val nRow = tal.agg(sum(col("__c")),
+      count_distinct(col("__v")),
+      count_distinct(struct(qiCols.map(col): _*))).collect()(0)
     require(!nRow.isNullAt(0), "tCloseness: empty input")
     val nTotal = nRow.getLong(0)
+    val gridCells = nRow.getLong(2) * nRow.getLong(1)
+    require(gridCells <= maxSeries,
+      s"tCloseness: groups x domain grid has $gridCells cells " +
+        s"(> maxSeries=$maxSeries). Coarsen the sensitive domain " +
+        "(bucket it) or the QI columns, or raise maxSeries deliberately.")
     // groups × domain grid, each cell carrying the group tally (0 when
     // absent) and the global tally
     val grid = groups.crossJoin(broadcast(glob))

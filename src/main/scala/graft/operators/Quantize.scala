@@ -151,16 +151,31 @@ object Quantize {
       .withColumn("__c", expr(
         """case when __sum >= 0 then (1000 * __sum) div __n
           |  else -((1000 * -__sum) div __n) end""".stripMargin))
-      .select(col("label"), col("__p"), col("__c"))
+      .select(col("label"), col("__p"), col("__c"), col("__n"))
     val nCells = cells.count()
     require(nCells > 0, "centroidClassify: empty input")
     require(nCells <= maxCells,
       s"centroidClassify: $nCells centroid cells exceed $maxCells " +
         "(labels x dims must stay model-sized)")
-    val collected = cells.collect()
-      .groupBy(_.getString(0))
-      .map { case (l, rows) =>
-        l -> rows.sortBy(_.getInt(1)).map(_.getLong(2)) }
+    val byLabel = cells.collect().groupBy(_.getString(0))
+    // rectangular-embedding guard: ragged vector lengths misalign the
+    // (label, pos) centroid grid, and qdot against a wrong-length
+    // literal array yields NULL, which greatest() silently skips —
+    // rows would misroute to another label. Raggedness ALWAYS shows
+    // in the already-collected model cells (a mixed-length label has
+    // unequal per-position counts; uniformly different labels have
+    // unequal dims), so the check is driver-side, no extra pass.
+    byLabel.foreach { case (l, rows) =>
+      val ns = rows.map(_.getLong(3)).distinct
+      require(ns.length == 1,
+        s"centroidClassify: label $l mixes embedding lengths " +
+          s"(per-position counts ${ns.min}..${ns.max})")
+    }
+    val dims = byLabel.values.map(_.length).toSeq.distinct
+    require(dims.length == 1,
+      s"centroidClassify: labels disagree on embedding length ($dims)")
+    val collected = byLabel.map { case (l, rows) =>
+      l -> rows.sortBy(_.getInt(1)).map(_.getLong(2)) }
     val labels = collected.keys.toSeq.sorted
     require(labels.size >= 1, "centroidClassify: no labels")
     val scored = labels.zipWithIndex.map { case (l, i) =>

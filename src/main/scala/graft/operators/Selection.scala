@@ -541,12 +541,20 @@ object Selection {
     * value — competes through [[hashRankFilter]]'s 1e6-way bucket
     * split. Output: exactly min(k, |group|) input rows per group.
     * `valueCol` casts to long and must not contain Long.MinValue (the
-    * ANSI negation guard fires mid-task otherwise). */
+    * ANSI negation guard fires mid-task otherwise) nor NULL: a NULL
+    * has no rank here (unlike `row_number`'s NULLS-LAST slots, which
+    * count toward k), so rather than silently returning fewer than
+    * min(k, |group|) rows the scan fails fast — filter or coalesce
+    * NULLs upstream to choose their semantics explicitly. */
   def topKPerGroup(df: DataFrame, groupCol: String, valueCol: String,
                    idCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val spark = df.sparkSession
-    val tagged = df.withColumn("__negv", -col(valueCol).cast("long"))
+    val tagged = df.withColumn("__negv",
+        when(col(valueCol).isNull, raise_error(lit(
+          s"topKPerGroup: NULL $valueCol has no rank; filter or " +
+            "coalesce NULLs upstream")).cast("long"))
+          .otherwise(-col(valueCol).cast("long")))
       .localCheckpoint(true) // cut resolve + above/tie filters share it
     val cuts = valueAtRanks(tagged, groupCol, "__negv",
       Seq("cut" -> s"least(${k.toLong}L, __n)"))

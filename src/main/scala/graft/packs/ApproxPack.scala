@@ -213,16 +213,6 @@ object ApproxPack extends QueryPack {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         trainPred = col("doc_id") % 2 === 0, cuts = Seq(33, 67))),
 
-    // BPE tokenizer training: word-count shuffle + driver merge loop
-    // over the dictionary — iterative argmax is not SQL-expressible →
-    // rows-only; BpeSpec checks the classic merge sequence and
-    // tokenize round-trips
-    "q103_bpe_merges" -> ((s, dir) => {
-      val model = graft.operators.Bpe.train(
-        Tables.load(s, dir, "documents"), "text", numMerges = 60)
-      graft.operators.Bpe.mergesDf(s, model)
-    }),
-
     // hybrid retrieval: BM25 lexical + exact-cosine dense lists,
     // RRF-fused — float scores feed the input ranks → rows-only;
     // FusionSpec proves integer-exact fusion parity and q105 oracles

@@ -363,6 +363,33 @@ object LlmPack extends QueryPack {
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), expr(NfcAug).as("text")),
         "doc_id", "text")),
+
+    // BPE tokenizer training: word-count shuffle + driver merge loop.
+    // Oracle: the FULL training replayed as a DuckDB recursive CTE —
+    // the working table carries the per-word symbol sequences (each
+    // symbol sep-wrapped so replace() is exactly the left-to-right
+    // non-overlapping fusion), each iteration computes pair counts
+    // via per-position unnest, picks the (max count, lexicographically
+    // smallest) pair under the count >= 2 stop rule, and rewrites
+    // every word — the merge sequence falls out of the iteration tags
+    "q103_bpe_merges" -> ((s, dir) => {
+      val model = graft.operators.Bpe.train(
+        Tables.load(s, dir, "documents"), "text", numMerges = 60)
+      graft.operators.Bpe.mergesDf(s, model)
+    }),
+
+    // the trained model's dictionary segmentation (the training
+    // byproduct applied at scale via broadcast join) — same recursive
+    // replay, read out at the final iteration instead of the tags
+    "q224_bpe_segments" -> ((s, dir) => {
+      val ss = s
+      import ss.implicits._
+      val model = graft.operators.Bpe.train(
+        Tables.load(s, dir, "documents"), "text", numMerges = 60)
+      model.segments.toSeq.map { case (w, toks) =>
+        (w, toks.length.toLong, toks.mkString(" "))
+      }.toDF("w", "n_tokens", "tokens")
+    }),
   )
 
   /** Input-augmentation fragments for q125/q126/q127, written in the
@@ -661,7 +688,64 @@ object LlmPack extends QueryPack {
          |FROM cum GROUP BY lang, bin_id""".stripMargin
   }
 
+  /** Shared recursive BPE-training replay (see q103's comment): the
+    * recursive term references `rec` ONCE (the nested-CTE recipe);
+    * per-symbol sep-wrapping (chr(31)·sym·chr(31) concatenated) keeps
+    * adjacent fusions from sharing boundary separators, so replace()
+    * is bit-exact left-to-right greedy pair fusion. */
+  private val BpeRecursiveCte: String =
+    """WITH RECURSIVE dict AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+      |          AS w
+      |        FROM documents)
+      |  WHERE w <> '' GROUP BY 1),
+      |rec AS (
+      |  SELECT 0 AS iter, w, cnt,
+      |    chr(31) ||
+      |      array_to_string(string_split(w, ''), chr(31)||chr(31)) ||
+      |      chr(31) || chr(31) || '</w>' || chr(31) AS seq,
+      |    CAST(NULL AS VARCHAR) AS ml, CAST(NULL AS VARCHAR) AS mr,
+      |    CAST(NULL AS BIGINT) AS mc
+      |  FROM dict
+      |  UNION ALL
+      |  (WITH cur AS (SELECT * FROM rec WHERE iter < 60),
+      |   syms AS (
+      |     SELECT iter, w, cnt, seq,
+      |       string_split(trim(seq, chr(31)), chr(31)||chr(31)) AS ss
+      |     FROM cur),
+      |   pairs AS (
+      |     SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c FROM (
+      |       SELECT cnt, ss[gs] AS a, ss[gs + 1] AS b FROM (
+      |         SELECT cnt, ss,
+      |           unnest(generate_series(1, array_length(ss) - 1)) AS gs
+      |         FROM syms))
+      |     GROUP BY 1, 2 HAVING sum(cnt) >= 2),
+      |   best AS (SELECT a, b, c FROM pairs ORDER BY c DESC, a, b
+      |     LIMIT 1)
+      |   SELECT s.iter + 1, s.w, s.cnt,
+      |     replace(s.seq,
+      |       chr(31) || best.a || chr(31) || chr(31) || best.b ||
+      |         chr(31),
+      |       chr(31) || best.a || best.b || chr(31)) AS seq,
+      |     best.a, best.b, best.c
+      |   FROM syms s CROSS JOIN best))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q103_bpe_merges" -> (BpeRecursiveCte + "\n" +
+      """SELECT DISTINCT CAST(iter - 1 AS INT) AS rank, ml AS "left",
+        |  mr AS "right", mc AS count
+        |FROM rec WHERE iter >= 1""".stripMargin),
+
+    "q224_bpe_segments" -> (BpeRecursiveCte + ",\n" +
+      """fin AS (
+        |  SELECT w,
+        |    string_split(trim(seq, chr(31)), chr(31)||chr(31)) AS toks
+        |  FROM rec WHERE iter = (SELECT max(iter) FROM rec))
+        |SELECT w, CAST(array_length(toks) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks, ' ') AS tokens
+        |FROM fin""".stripMargin),
+
     "q56_packing" -> PackingSql,
     "q83_incr_dedup" -> IncrDedupSql,
     "q98_pipeline_exact" -> PipelineExactSql,

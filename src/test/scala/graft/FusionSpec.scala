@@ -118,6 +118,23 @@ class FusionSpec extends SparkSpec {
     assert(graft.operators.Fusion.averagePrecisionAtK(
         perfect, pt, "q", "d", "rank", k = 5)
       .select("ap_fp").as[Long].head() === 1000000L)
+    // a doc listed twice counts ONCE at its best rank — n_hits and
+    // the per-hit terms must not inflate
+    val dup = Seq((1L, 10L, 1), (1L, 10L, 2), (1L, 99L, 3),
+        (1L, 20L, 4), (1L, 20L, 4))
+      .toDF("q", "d", "rank")
+    val dout = graft.operators.Fusion.averagePrecisionAtK(
+        dup, truth, "q", "d", "rank", k = 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // hits: 10@1, 20@4 -> terms 1e6·1/1 + 1e6·2/4; / min(3,5)
+    assert(dout(1L) === ((3L, 2L, (1000000L + 500000L) / 3)))
+    // same guard on the NDCG side: discount earned once per doc
+    val nout = graft.operators.Fusion.ndcgAtK(
+        dup, truth, "q", "d", "rank", k = 5)
+      .filter(col("q") === 1L).select("dcg_fp").as[Long].head()
+    val disc = graft.operators.Fusion.ndcgDiscFp(5)
+    assert(nout === disc(0) + disc(3)) // ranks 1 and 4
   }
 
   test("rm3TopK bridges vocabulary mismatch via feedback expansion") {

@@ -246,5 +246,14 @@ class SelectionSpec extends SparkSpec {
       }.toSet
       assert(got === expected, s"k=$k")
     }
+    // NULL values have no rank: fail fast instead of silently
+    // returning fewer than min(k, |group|) rows
+    val withNull = Seq((1L, "g", Some(5L)), (2L, "g", None))
+      .toDF("id", "g", "v")
+    val ex = intercept[Exception] {
+      Selection.topKPerGroup(withNull, "g", "v", "id", 2).collect()
+    }
+    assert(ex.getMessage.contains("NULL v has no rank") ||
+      Option(ex.getCause).exists(_.getMessage.contains("NULL v has no rank")))
   }
 }

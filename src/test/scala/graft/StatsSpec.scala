@@ -884,6 +884,12 @@ class StatsSpec extends SparkSpec {
     assert(out("fair") === ((4L, 1000L)))
     // rest: cum(1) = 0 vs 0.6 -> 6000 bp
     assert(out("rest") === ((2L, 6000L)))
+    // the groups x domain GRID budget fires even when the tally
+    // passes: 3 groups x 2 values = 6 cells > 5
+    val ex = intercept[IllegalArgumentException] {
+      Profile.tCloseness(df, Seq("qi"), "v", maxSeries = 5L)
+    }
+    assert(ex.getMessage.contains("grid has 6 cells"))
   }
 
   test("backtestWape scores holt one-step forecasts exactly") {
@@ -947,6 +953,24 @@ class StatsSpec extends SparkSpec {
     // totals conserve and predictions are from the label set
     assert(out2.map(_._3).sum === 5L)
     assert(out2.forall(t => Set("A", "B").contains(t._2)))
+    // ragged embedding lengths fail fast instead of silently
+    // misrouting rows (NULL dot skipped by greatest): mixed WITHIN a
+    // label and uniformly different ACROSS labels both refuse
+    val mixed = rows.unionByName(
+      Seq((6L, "A", Array(1.0f, 1.0f, 1.0f))).toDF("id", "lab", "emb"))
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Quantize.centroidClassify(
+        mixed, "id", "emb", "lab", scale = 4.0)
+    }
+    assert(e1.getMessage.contains("mixes embedding lengths"))
+    val crossed = Seq(
+      (1L, "A", Array(4.0f, 0.0f)), (2L, "B", Array(0.0f, 4.0f, 1.0f)))
+      .toDF("id", "lab", "emb")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Quantize.centroidClassify(
+        crossed, "id", "emb", "lab", scale = 4.0)
+    }
+    assert(e2.getMessage.contains("disagree on embedding length"))
   }
 
   test("lorenz: hand curve with rank ties in one decile") {
