@@ -448,4 +448,205 @@ object Eval {
         (col("m_tpost_fp") - col("m_tpre_fp")) -
           (col("m_cpost_fp") - col("m_cpre_fp")))
   }
+
+  /** Multiclass classification report: per-class support, predicted
+    * count, true positives, and fixed-point precision / recall / F1 —
+    * the confusion-matrix rollup every labeling pipeline (language ID,
+    * quality gates, routing rules) reports before shipping a model.
+    * All three scores are declared floored integer divisions
+    * (`precision_fp = scale·tp div n_predicted`,
+    * `recall_fp = scale·tp div n_actual`,
+    * `f1_fp = 2·scale·tp div (n_predicted + n_actual)`), so any engine
+    * reproduces them bit-for-bit; empty denominators emit NULL.
+    *
+    * Scale: raw rows collapse to (actual, predicted) confusion cells
+    * in ONE partial-agg shuffle (cells ≤ |classes|², class-domain-
+    * bounded, never corpus-bounded); the per-class margins are two
+    * aggregates over the cell frame and join back class-keyed —
+    * everything after the first shuffle is label-sized. Classes that
+    * only ever appear as predictions report n_actual = 0 (NULL
+    * recall), and vice versa. Output: (class, n_actual, n_predicted,
+    * tp, precision_fp, recall_fp, f1_fp). */
+  def classificationReport(df: DataFrame, actualCol: String,
+                           predictedCol: String,
+                           scale: Long = 1000000L): DataFrame = {
+    val cells = df.groupBy(
+        col(actualCol).cast("string").as("__a"),
+        col(predictedCol).cast("string").as("__p"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // margins + diagonal share one scan
+    val byActual = cells.groupBy(col("__a").as("class"))
+      .agg(sum(col("__c")).as("n_actual"))
+    val byPred = cells.groupBy(col("__p").as("class"))
+      .agg(sum(col("__c")).as("n_predicted"))
+    val diag = cells.filter(col("__a") === col("__p"))
+      .select(col("__a").as("class"), col("__c").as("tp"))
+    byActual.join(byPred, Seq("class"), "full_outer")
+      .join(diag, Seq("class"), "left_outer")
+      .na.fill(0L, Seq("n_actual", "n_predicted", "tp"))
+      .withColumn("precision_fp", expr(
+        s"""case when n_predicted = 0 then cast(null as bigint)
+           |  else ($scale * tp) div n_predicted end""".stripMargin))
+      .withColumn("recall_fp", expr(
+        s"""case when n_actual = 0 then cast(null as bigint)
+           |  else ($scale * tp) div n_actual end""".stripMargin))
+      .withColumn("f1_fp", expr(
+        s"""case when n_predicted + n_actual = 0 then cast(null as bigint)
+           |  else (2 * $scale * tp) div (n_predicted + n_actual)
+           |  end""".stripMargin))
+  }
+
+  /** McNemar's paired test for comparing two classifiers on the SAME
+    * rows — the discordant-pair statistic `(b − c)² / (b + c)` where
+    * b = A right / B wrong and c = A wrong / B right, fixed point via
+    * `mcnemar_fp = scale·(b−c)² div (b+c)` (NULL when b + c = 0: the
+    * classifiers never disagree). Accuracy deltas mislead when the
+    * classifiers err on different rows; McNemar conditions on exactly
+    * the disagreements.
+    *
+    * Scale: ONE conditional partial-agg shuffle to per-group counts;
+    * (b−c)² rides decimal(38,0). Output: (group, n, n_b, n_c,
+    * mcnemar_fp).
+    *
+    * @param correctA boolean column: classifier A correct on this row
+    * @param correctB boolean column: classifier B correct on this row
+    */
+  def mcnemar(df: DataFrame, groupCol: String, correctA: Column,
+              correctB: Column, scale: Long = 1000000L): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(correctA && !correctB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(!correctA && correctB, 1L).otherwise(0L)).as("n_c"))
+      .withColumn("mcnemar_fp", expr(
+        s"""cast(case when n_b + n_c = 0 then null
+           |  else (cast($scale as decimal(38,0)) * (n_b - n_c) *
+           |        (n_b - n_c)) div (n_b + n_c)
+           |  end as long)""".stripMargin))
+
+  /** Brier score per group: the mean squared gap between a fixed-point
+    * probability in [0, scale] and the binary outcome —
+    * `brier_fp = Σ (p_i − y_i·scale)² div (n·scale)`, exact integer
+    * (numerator ≤ n·scale², rides decimal(38,0)). The strictly proper
+    * score that calibration bins summarize and ROC-AUC ignores
+    * (AUC only ranks; Brier punishes a confident wrong probability).
+    *
+    * Scale: per-row squared term in the scan + ONE partial-agg
+    * shuffle. Output: (group, n, n_pos, brier_fp) with brier_fp in
+    * [0, scale].
+    *
+    * @param scoreFpCol fixed-point probability in [0, scale]
+    * @param labelCol   integer column, nonzero = positive
+    */
+  def brier(df: DataFrame, groupCol: String, scoreFpCol: String,
+            labelCol: String, scale: Long = 1000000L): DataFrame =
+    df.select(col(groupCol), col(scoreFpCol).cast("long").as("__s"),
+        when(col(labelCol) =!= 0, 1L).otherwise(0L).as("__y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(expr(s"""cast(__s - __y * $scale as decimal(38,0)) *
+                    |  (__s - __y * $scale)""".stripMargin)).as("__se"))
+      .withColumn("brier_fp", expr(
+        s"cast(__se div (cast(n as decimal(38,0)) * $scale) as long)"))
+      .drop("__se")
+
+  /** Expected / maximum calibration error per group, composed over
+    * [[calibration]]'s reliability bins: with per-bin size n_b, mean
+    * score conf_b and positive fraction acc_b (both already declared
+    * floored fp), `ece_fp = Σ_b n_b·|acc_b − conf_b| div n` and
+    * `mce_fp = max_b |acc_b − conf_b|` — the one-number summaries of
+    * the reliability diagram (ECE weights bins by mass; MCE reports
+    * the worst bin).
+    *
+    * Scale: [[calibration]]'s one partial-agg shuffle to ≤ nBins·groups
+    * rows, then a groups-sized rollup. Output: (group, n, n_bins_used,
+    * ece_fp, mce_fp). */
+  def ece(df: DataFrame, groupCol: String, scoreFpCol: String,
+          labelCol: String, nBins: Int,
+          scale: Long = 1000000L): DataFrame =
+    calibration(df, groupCol, scoreFpCol, labelCol, nBins, scale)
+      .withColumn("__gap", abs(col("frac_pos_fp") - col("mean_score_fp")))
+      .groupBy(col(groupCol))
+      .agg(sum(col("n")).as("n"),
+        count(lit(1)).cast("long").as("n_bins_used"),
+        sum(expr("cast(n as decimal(38,0)) * __gap")).as("__w"),
+        max(col("__gap")).as("mce_fp"))
+      .withColumn("ece_fp", expr("cast(__w div n as long)"))
+      .drop("__w")
+      .select(col(groupCol), col("n"), col("n_bins_used"),
+        col("ece_fp"), col("mce_fp"))
+
+  /** Kendall concordance report per group over PAIRED ORDINAL columns:
+    * concordant / discordant / tied pair counts and the fixed-point
+    * tau-a `tau_a_fp = scale·(nc − nd) div (n·(n−1)/2)` (sign
+    * factored) — the rank-agreement complement of [[rocAuc]] (which
+    * needs a binary label) and Spearman (whose rank transform hides
+    * tie structure). Tie counts are reported raw (ties_x / ties_y /
+    * ties_xy) so a caller can form any tie-corrected variant; tau-b's
+    * sqrt denominator is deliberately NOT computed (not engine-exact).
+    *
+    * Scale: raw rows collapse to (group, x, y) cell tallies in ONE
+    * partial-agg shuffle; pair counting is a within-group cell
+    * self-join — quadratic in CELLS, never rows — guarded by a
+    * driver REQUIRE that the largest group's cell count stays under
+    * `maxCells` (so worst-case join volume is maxCells²·groups;
+    * default 2^11 cells → ≤ 4M pairs per group). Quantize x/y to
+    * bounded ordinal domains (buckets, grades, fp deciles) before
+    * calling — that is the contract, enforced fail-fast. Pair products
+    * ride decimal(38,0). Output: (group, n, nc, nd, ties_x, ties_y,
+    * ties_xy, tau_a_fp). */
+  def kendall(df: DataFrame, groupCol: String, xCol: String,
+              yCol: String, scale: Long = 1000000L,
+              maxCells: Long = 1L << 11): DataFrame = {
+    val tal = boundedTally(
+      df.groupBy(col(groupCol).cast("string").as("__g"),
+          col(xCol).cast("long").as("__x"),
+          col(yCol).cast("long").as("__y"))
+        .agg(count(lit(1)).as("__c")),
+      "__g", maxCells, "kendall")
+    val a = tal.select(col("__g"), col("__x").as("__xa"),
+      col("__y").as("__ya"), col("__c").as("__ca"))
+    val b = tal.select(col("__g").as("__gb"), col("__x").as("__xb"),
+      col("__y").as("__yb"), col("__c").as("__cb"))
+    // each unordered cell pair once: strict (x, y) lexicographic order
+    val pairs = a.join(b,
+      col("__g") === col("__gb") &&
+        (col("__xa") < col("__xb") ||
+          (col("__xa") === col("__xb") && col("__ya") < col("__yb"))))
+      .select(col("__g"), col("__xa"), col("__ya"), col("__xb"),
+        col("__yb"), expr("cast(__ca as decimal(38,0)) * __cb").as("__w"))
+    val cls = when(col("__xa") === col("__xb"), lit("tx"))
+      .when(col("__ya") === col("__yb"), lit("ty"))
+      .when((col("__xa") < col("__xb")) === (col("__ya") < col("__yb")),
+        lit("c"))
+      .otherwise(lit("d"))
+    val within = tal.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("n"),
+        sum(expr("cast(__c as decimal(38,0)) * (__c - 1) div 2"))
+          .as("__txy"))
+    pairs.withColumn("__k", cls)
+      .groupBy(col("__g"))
+      .agg(sum(when(col("__k") === "c", col("__w")).otherwise(lit(0)))
+          .as("__nc"),
+        sum(when(col("__k") === "d", col("__w")).otherwise(lit(0)))
+          .as("__nd"),
+        sum(when(col("__k") === "tx", col("__w")).otherwise(lit(0)))
+          .as("__tx"),
+        sum(when(col("__k") === "ty", col("__w")).otherwise(lit(0)))
+          .as("__ty"))
+      .join(within, Seq("__g"), "right_outer")
+      .select(col("__g").as(groupCol), col("n"),
+        coalesce(col("__nc"), lit(0)).cast("long").as("nc"),
+        coalesce(col("__nd"), lit(0)).cast("long").as("nd"),
+        coalesce(col("__tx"), lit(0)).cast("long").as("ties_x"),
+        coalesce(col("__ty"), lit(0)).cast("long").as("ties_y"),
+        col("__txy").cast("long").as("ties_xy"))
+      .withColumn("tau_a_fp", expr(
+        s"""cast(case when n < 2 then null
+           |  when nc >= nd
+           |    then (cast($scale as decimal(38,0)) * (nc - nd))
+           |         div (cast(n as decimal(38,0)) * (n - 1) div 2)
+           |  else -((cast($scale as decimal(38,0)) * (nd - nc))
+           |         div (cast(n as decimal(38,0)) * (n - 1) div 2))
+           |  end as long)""".stripMargin))
+  }
 }
