@@ -350,8 +350,10 @@ object Eval {
     * `CMH = (Σa − ΣE)² / ΣV` (uncorrected), plus the Mantel–Haenszel
     * common odds ratio `OR = Σ(ad/n) / Σ(bc/n)`. All folds run in
     * exact BigInt rationals, floored ONCE into the reported fixed
-    * point — bitwise reproducible, but not SQL-expressible →
-    * rows-only (spec pins a hand-computed two-stratum table).
+    * point — bitwise reproducible, but past 128-bit integer SQL
+    * engines (~211-bit intermediates at sf0.01) → rows-only; the
+    * cell frame is hash-checked via [[cmhCells]] and the fold is
+    * spec-pinned on a hand-computed two-stratum table.
     * Strata with n < 2 are skipped (V undefined).
     *
     * Scale: the cluster side is ONE conditional partial agg to
@@ -359,15 +361,24 @@ object Eval {
     * guarded); the rational fold is driver-side over those rows.
     * Output: one row (n_strata, sum_a, cmh_fp ×10^6,
     * or_mh_bp ×10^4, NULL when undefined). */
+  /** [[cmh]]'s distributed half, exposed for hash-verification: the
+    * per-stratum 2×2 cells (a = exposed∧outcome, b = exposed∧¬outcome,
+    * c = ¬exposed∧outcome, d = neither) in ONE conditional partial-agg
+    * shuffle. Everything past this frame is the strata-sized driver
+    * fold. Output: (stratum, a, b, c, d). */
+  def cmhCells(df: DataFrame, strataCol: String, exposed: Column,
+               outcome: Column): DataFrame =
+    df.groupBy(col(strataCol)).agg(
+      sum(when(exposed && outcome, 1L).otherwise(0L)).as("a"),
+      sum(when(exposed && !outcome, 1L).otherwise(0L)).as("b"),
+      sum(when(!exposed && outcome, 1L).otherwise(0L)).as("c"),
+      sum(when(!exposed && !outcome, 1L).otherwise(0L)).as("d"))
+
   def cmh(df: DataFrame, strataCol: String, exposed: Column,
           outcome: Column, maxStrata: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cells = df.groupBy(col(strataCol)).agg(
-        sum(when(exposed && outcome, 1L).otherwise(0L)).as("a"),
-        sum(when(exposed && !outcome, 1L).otherwise(0L)).as("b"),
-        sum(when(!exposed && outcome, 1L).otherwise(0L)).as("c"),
-        sum(when(!exposed && !outcome, 1L).otherwise(0L)).as("d"))
+    val cells = cmhCells(df, strataCol, exposed, outcome)
       .select(col("a"), col("b"), col("c"), col("d"))
       .as[(Long, Long, Long, Long)].collect()
     require(cells.length <= maxStrata,
@@ -465,14 +476,19 @@ object Eval {
     * aggregates over the cell frame and join back class-keyed —
     * everything after the first shuffle is label-sized. Classes that
     * only ever appear as predictions report n_actual = 0 (NULL
-    * recall), and vice versa. Output: (class, n_actual, n_predicted,
-    * tp, precision_fp, recall_fp, f1_fp). */
+    * recall), and vice versa. NULL labels coalesce to the sentinel
+    * class `__NULL__` BEFORE grouping — a null never equi-joins, so
+    * without the sentinel a null class would split into two margin
+    * rows with zeroed opposite sides. Output: (class, n_actual,
+    * n_predicted, tp, precision_fp, recall_fp, f1_fp). */
   def classificationReport(df: DataFrame, actualCol: String,
                            predictedCol: String,
                            scale: Long = 1000000L): DataFrame = {
     val cells = df.groupBy(
-        col(actualCol).cast("string").as("__a"),
-        col(predictedCol).cast("string").as("__p"))
+        coalesce(col(actualCol).cast("string"), lit("__NULL__"))
+          .as("__a"),
+        coalesce(col(predictedCol).cast("string"), lit("__NULL__"))
+          .as("__p"))
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint(true) // margins + diagonal share one scan
     val byActual = cells.groupBy(col("__a").as("class"))

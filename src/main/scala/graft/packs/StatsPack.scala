@@ -737,7 +737,94 @@ object StatsPack extends QueryPack {
             col("o_custkey") === col("c_custkey"))
           .select(col("c_nationkey"), col("o_custkey"), col("cents")),
         "c_nationkey", "o_custkey", "cents")),
+
+    // multiclass confusion report of the langId heuristic against the
+    // corpus's true lang labels — per-class support / predictions /
+    // tp and floored fp precision/recall/F1
+    "q225_class_report" -> ((s, dir) =>
+      Eval.classificationReport(
+        Tables.load(s, dir, "documents")
+          .withColumn("__pred", TextAnalysis.langId(col("text"))),
+        "lang", "__pred")),
+
+    // McNemar's paired test: does the langId heuristic beat the crude
+    // space-ratio threshold at "is this English", conditioning on the
+    // rows where the two classifiers DISAGREE
+    "q226_mcnemar" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("__score", expr(SpaceScoreSpark))
+        .withColumn("__isEn", col("lang") === "en")
+        .withColumn("__okA", (col("__score") >= 500000L) === col("__isEn"))
+        .withColumn("__okB",
+          (TextAnalysis.langId(col("text")) === "en") === col("__isEn"))
+      Eval.mcnemar(d, "source", col("__okA"), col("__okB"))
+    }),
+
+    // Brier score of the q165 space-ratio score as an "is English"
+    // probability, per source — the strictly proper calibration-aware
+    // counterpart of q157's ROC-AUC
+    "q227_brier" -> ((s, dir) =>
+      Eval.brier(Tables.load(s, dir, "documents")
+          .withColumn("__score", expr(SpaceScoreSpark))
+          .withColumn("__lbl", when(col("lang") === "en", 1L).otherwise(0L)),
+        "source", "__score", "__lbl")),
+
+    // expected / maximum calibration error over q165's reliability
+    // bins — the one-number summaries of the calibration diagram
+    "q228_ece" -> ((s, dir) =>
+      Eval.ece(Tables.load(s, dir, "documents")
+          .withColumn("__score", expr(SpaceScoreSpark))
+          .withColumn("__lbl", when(col("lang") === "en", 1).otherwise(0)),
+        "source", "__score", "__lbl", nBins = 10)),
+
+    // Kendall concordance of quantity vs line position per return
+    // flag — both ordinal domains are tiny (50 × 7 cells), so the
+    // cell-pair join is bounded far under the maxCells contract
+    "q229_kendall" -> ((s, dir) =>
+      Eval.kendall(Tables.load(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", "l_linenumber")),
   )
+
+  /** q165/q226/q227/q228's shared space-ratio "English-ness" score —
+    * ONE formula in the Spark `expr` dialect; [[SpaceScoreSql]] is the
+    * DuckDB twin (identical integer arithmetic, `//` for `div`). */
+  private val SpaceScoreSpark: String =
+    "least(1000000L, (1000000L * (length(text) - " +
+      "length(replace(text, ' ', ''))) * 6L) " +
+      "div greatest(1L, cast(length(text) as bigint)))"
+  private val SpaceScoreSql: String =
+    "least(1000000, (1000000 * (length(text) - " +
+      "length(replace(text, ' ', ''))) * 6) // greatest(1, length(text)))"
+
+  /** The q26 langId heuristic as a DuckDB CTE chain (`lt`→`lm`→`lp`),
+    * carrying `keep` pass-through columns; `lp` emits them + lang_id.
+    * Tie order (en > de > es > fr) matches TextAnalysis.langId. */
+  private def langIdSqlCtes(keep: String): String =
+    s"""lt AS (
+       |  SELECT $keep,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS words,
+       |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+       |  FROM documents),
+       |lm AS (
+       |  SELECT $keep, cjk,
+       |    len(list_filter(words, w -> w IN ('the','and','of','with','a'))) AS s_en,
+       |    len(list_filter(words, w -> w IN ('der','die','und','nicht'))) AS s_de,
+       |    len(list_filter(words, w -> w IN ('el','los','las','es'))) AS s_es,
+       |    len(list_filter(words, w -> w IN ('le','les','et','est'))) AS s_fr
+       |  FROM lt),
+       |lp AS (
+       |  SELECT $keep,
+       |    CASE WHEN cjk > 0 THEN 'zh'
+       |         WHEN s_en = greatest(s_en, s_de, s_es, s_fr)
+       |           AND s_en > 0 THEN 'en'
+       |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr)
+       |           AND s_de > 0 THEN 'de'
+       |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr)
+       |           AND s_es > 0 THEN 'es'
+       |         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr)
+       |           AND s_fr > 0 THEN 'fr'
+       |         ELSE 'und' END AS lang_id
+       |  FROM lm)""".stripMargin
 
   private val benfordCase: String =
     (1 to 9).zip(Profile.BenfordFp)
@@ -2630,5 +2717,155 @@ object StatsPack extends QueryPack {
         |  CAST((sum(v * v) * 100000000) // (sum(v) * sum(v)) AS BIGINT)
         |    AS hhi_e8
         |FROM per GROUP BY 1""".stripMargin,
+
+    // classificationReport: langId confusion cells → class margins →
+    // full-outer margin join, all floored integer divisions
+    "q225_class_report" -> ("WITH " + langIdSqlCtes("lang") + ",\n" +
+      """cells AS (
+        |  SELECT coalesce(lang, '__NULL__') AS a, lang_id AS p,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lp GROUP BY 1, 2),
+        |ba AS (SELECT a AS cl, CAST(sum(c) AS BIGINT) AS n_actual
+        |  FROM cells GROUP BY 1),
+        |bp AS (SELECT p AS cl, CAST(sum(c) AS BIGINT) AS n_predicted
+        |  FROM cells GROUP BY 1),
+        |dg AS (SELECT a AS cl, c AS tp FROM cells WHERE a = p),
+        |j AS (
+        |  SELECT coalesce(ba.cl, bp.cl) AS cl,
+        |    coalesce(n_actual, 0) AS n_actual,
+        |    coalesce(n_predicted, 0) AS n_predicted
+        |  FROM ba FULL OUTER JOIN bp ON ba.cl = bp.cl)
+        |SELECT j.cl AS "class", j.n_actual, j.n_predicted,
+        |  CAST(coalesce(dg.tp, 0) AS BIGINT) AS tp,
+        |  CASE WHEN j.n_predicted = 0 THEN NULL
+        |    ELSE CAST((1000000 * coalesce(dg.tp, 0)) // j.n_predicted
+        |      AS BIGINT) END AS precision_fp,
+        |  CASE WHEN j.n_actual = 0 THEN NULL
+        |    ELSE CAST((1000000 * coalesce(dg.tp, 0)) // j.n_actual
+        |      AS BIGINT) END AS recall_fp,
+        |  CASE WHEN j.n_predicted + j.n_actual = 0 THEN NULL
+        |    ELSE CAST((2000000 * coalesce(dg.tp, 0)) //
+        |      (j.n_predicted + j.n_actual) AS BIGINT) END AS f1_fp
+        |FROM j LEFT JOIN dg ON j.cl = dg.cl""".stripMargin),
+
+    // mcnemar: per-source discordant-pair counts of the two "is it
+    // English" classifiers; (b−c)²·10^6 // (b+c), NULL when b+c = 0
+    "q226_mcnemar" -> ("WITH " + langIdSqlCtes("source, lang, text") +
+      ",\n" +
+      s"""r AS (
+         |  SELECT source,
+         |    CASE WHEN ($SpaceScoreSql >= 500000) = (lang = 'en')
+         |      THEN 1 ELSE 0 END AS oka,
+         |    CASE WHEN (lang_id = 'en') = (lang = 'en')
+         |      THEN 1 ELSE 0 END AS okb
+         |  FROM lp),
+         |g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN oka = 1 AND okb = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN oka = 0 AND okb = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_c
+         |  FROM r GROUP BY 1)
+         |SELECT source, n, n_b, n_c,
+         |  CASE WHEN n_b + n_c = 0 THEN NULL
+         |    ELSE CAST((1000000 * CAST(n_b - n_c AS HUGEINT) *
+         |      (n_b - n_c)) // (n_b + n_c) AS BIGINT) END AS mcnemar_fp
+         |FROM g""".stripMargin),
+
+    // brier: exact integer mean squared gap between the fp score and
+    // the binary label, floored once per group
+    "q227_brier" ->
+      s"""WITH s AS (
+         |  SELECT source, $SpaceScoreSql AS sc,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS n_pos,
+         |    sum(CAST(sc - y * 1000000 AS HUGEINT) *
+         |      (sc - y * 1000000)) AS se
+         |  FROM s GROUP BY 1)
+         |SELECT source, n, n_pos,
+         |  CAST(se // (CAST(n AS HUGEINT) * 1000000) AS BIGINT)
+         |    AS brier_fp
+         |FROM g""".stripMargin,
+
+    // ece/mce: q165's reliability bins rolled up to the mass-weighted
+    // and worst-bin |acc − conf| gaps
+    "q228_ece" ->
+      s"""WITH s AS (
+         |  SELECT source, $SpaceScoreSql AS score,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l
+         |  FROM documents),
+         |b AS (
+         |  SELECT source,
+         |    CAST(least(9, greatest(0, (10 * score) // 1000000)) AS INT)
+         |      AS bin,
+         |    score, l
+         |  FROM s),
+         |cal AS (
+         |  SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(CAST(sum(score) AS HUGEINT) // count(*) AS BIGINT)
+         |      AS ms,
+         |    CAST((1000000 * CAST(sum(l) AS HUGEINT)) // count(*)
+         |      AS BIGINT) AS fp
+         |  FROM b GROUP BY 1, 2),
+         |g AS (
+         |  SELECT source, CAST(sum(n) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_bins_used,
+         |    sum(CAST(n AS HUGEINT) * abs(fp - ms)) AS w,
+         |    CAST(max(abs(fp - ms)) AS BIGINT) AS mce_fp
+         |  FROM cal GROUP BY 1)
+         |SELECT source, n, n_bins_used,
+         |  CAST(w // n AS BIGINT) AS ece_fp, mce_fp
+         |FROM g""".stripMargin,
+
+    // kendall: (x, y) cell tallies, strict-lexicographic cell-pair
+    // self-join classified c/d/tx/ty, tie pairs within cells exact;
+    // l_quantity is integral-valued, so CAST-vs-truncate agree
+    "q229_kendall" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(l_linenumber AS BIGINT) AS y,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT g, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CAST(c AS HUGEINT) * (c - 1) // 2) AS BIGINT)
+        |      AS txy
+        |  FROM cells GROUP BY 1),
+        |p AS (
+        |  SELECT a.g,
+        |    CASE WHEN a.x = b.x THEN 'tx'
+        |         WHEN a.y = b.y THEN 'ty'
+        |         WHEN (a.x < b.x) = (a.y < b.y) THEN 'c'
+        |         ELSE 'd' END AS k,
+        |    CAST(a.c AS HUGEINT) * b.c AS wgt
+        |  FROM cells a JOIN cells b ON a.g = b.g
+        |    AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))),
+        |agg AS (
+        |  SELECT g,
+        |    sum(CASE WHEN k = 'c' THEN wgt ELSE 0 END) AS nc,
+        |    sum(CASE WHEN k = 'd' THEN wgt ELSE 0 END) AS nd,
+        |    sum(CASE WHEN k = 'tx' THEN wgt ELSE 0 END) AS tx,
+        |    sum(CASE WHEN k = 'ty' THEN wgt ELSE 0 END) AS ty
+        |  FROM p GROUP BY 1),
+        |j AS (
+        |  SELECT w.g, w.n, w.txy,
+        |    coalesce(agg.nc, 0) AS nc, coalesce(agg.nd, 0) AS nd,
+        |    coalesce(agg.tx, 0) AS tx, coalesce(agg.ty, 0) AS ty
+        |  FROM w LEFT JOIN agg ON w.g = agg.g)
+        |SELECT g AS l_returnflag, n,
+        |  CAST(nc AS BIGINT) AS nc, CAST(nd AS BIGINT) AS nd,
+        |  CAST(tx AS BIGINT) AS ties_x, CAST(ty AS BIGINT) AS ties_y,
+        |  txy AS ties_xy,
+        |  CASE WHEN n < 2 THEN NULL
+        |    WHEN nc >= nd THEN
+        |      CAST((1000000 * (nc - nd)) //
+        |        (CAST(n AS HUGEINT) * (n - 1) // 2) AS BIGINT)
+        |    ELSE -CAST((1000000 * (nd - nc)) //
+        |        (CAST(n AS HUGEINT) * (n - 1) // 2) AS BIGINT)
+        |  END AS tau_a_fp
+        |FROM j""".stripMargin,
   )
 }

@@ -1022,4 +1022,122 @@ class StatsSpec extends SparkSpec {
     assert(m("steady") === (("steady", 10L, 10L, "2024-01-01", 1L, 1000L)))
     assert(out.head._6 === 10000L) // burst order
   }
+
+  test("classificationReport: hand confusion, margins, NULL sentinel") {
+    // actual a: 3 right + 1 predicted-as-b; b: 2 right; c only ever
+    // PREDICTED (never actual); one row with NULL actual AND one with
+    // NULL predicted — both must land in the single __NULL__ class
+    val rows: Seq[(String, String)] =
+      Seq(("a", "a"), ("a", "a"), ("a", "a"), ("a", "b"),
+        ("b", "b"), ("b", "b"), ("b", "c"),
+        (null, "a"), ("b", null))
+    val out = Eval.classificationReport(rows.toDF("act", "pred"),
+        "act", "pred")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[Long])))).toMap
+    // a: n_actual 4, n_predicted 4 (3 tp + 1 from NULL-actual), tp 3
+    assert(out("a") === ((4L, 4L, 3L,
+      Some(750000L), Some(750000L), Some(750000L))))
+    // b: n_actual 4 (incl the NULL-predicted row), n_predicted 3, tp 2
+    assert(out("b") === ((4L, 3L, 2L,
+      Some(666666L), Some(500000L), Some(571428L)))) // 4e6/7
+    // c: prediction-only class → n_actual 0 → NULL recall
+    assert(out("c") === ((0L, 1L, 0L, Some(0L), None, Some(0L))))
+    // the two NULL labels merge into ONE sentinel class row:
+    // n_actual 1 (the null-actual row), n_predicted 1 (the
+    // null-predicted row), tp 0 — not two rows with zeroed margins
+    assert(out("__NULL__") === ((1L, 1L, 0L,
+      Some(0L), Some(0L), Some(0L))))
+    assert(out.size === 4)
+  }
+
+  test("mcnemar: hand discordant counts, agreement group NULL") {
+    // g: b=3 (A right, B wrong), c=1 → (3−1)²·1e6/4 = 1000000
+    val rows =
+      Seq.fill(3)(("g", true, false)) ++ Seq(("g", false, true)) ++
+        Seq.fill(5)(("g", true, true)) ++
+        // z: the classifiers never disagree → NULL statistic
+        Seq(("z", true, true), ("z", false, false))
+    val out = Eval.mcnemar(rows.toDF("g", "a", "b"), "g",
+        col("a"), col("b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(out("g") === ((9L, 3L, 1L, Some(1000000L))))
+    assert(out("z") === ((2L, 0L, 0L, None)))
+  }
+
+  test("brier: perfect, inverted, and floored mid scores") {
+    val rows = Seq(
+      ("p", 1000000L, 1), ("p", 0L, 0),       // perfect → 0
+      ("i", 0L, 1), ("i", 1000000L, 0),       // inverted → scale
+      // m: (250000−0)² + (250000−1e6)² = 62.5e9 + 562.5e9 = 625e9
+      // → 625e9 div (2·1e6) = 312500
+      ("m", 250000L, 0), ("m", 250000L, 1))
+    val out = Eval.brier(rows.toDF("g", "s", "l"), "g", "s", "l")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("p") === ((2L, 1L, 0L)))
+    assert(out("i") === ((2L, 1L, 1000000L)))
+    assert(out("m") === ((2L, 1L, 312500L)))
+  }
+
+  test("ece: mass-weighted and max bin gaps, hand bins") {
+    // bin 0 (scores < 500k with nBins=2): n=2, mean 100000, pos 0/2
+    //   → gap = |0 − 100000| = 100000
+    // bin 1: n=3, mean 800000, pos 3/3 → gap = |1e6 − 800000| = 200000
+    // ece = (2·100000 + 3·200000) div 5 = 160000 ; mce = 200000
+    val rows = Seq(("g", 100000L, 0), ("g", 100000L, 0),
+      ("g", 800000L, 1), ("g", 800000L, 1), ("g", 800000L, 1))
+    val out = Eval.ece(rows.toDF("g", "s", "l"), "g", "s", "l",
+        nBins = 2)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out === Array(("g", 5L, 2L, 160000L, 200000L)))
+  }
+
+  test("kendall: brute-force pair parity with ties, cell guard trips") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { i =>
+      ("g" + (i % 2), rnd.nextInt(8).toLong,
+        (rnd.nextInt(8) / 2).toLong) // correlated-ish tied domains
+    }
+    val out = Eval.kendall(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6),
+          Option(r.get(7)).map(_.asInstanceOf[Long])))).toMap
+    for (g <- Seq("g0", "g1")) {
+      val grp = rows.filter(_._1 == g).map(t => (t._2, t._3))
+      var (nc, nd, tx, ty, txy) = (0L, 0L, 0L, 0L, 0L)
+      for (i <- grp.indices; j <- i + 1 until grp.size) {
+        val ((xa, ya), (xb, yb)) = (grp(i), grp(j))
+        if (xa == xb && ya == yb) txy += 1
+        else if (xa == xb) tx += 1
+        else if (ya == yb) ty += 1
+        else if ((xa < xb) == (ya < yb)) nc += 1
+        else nd += 1
+      }
+      val n = grp.size.toLong
+      val tau =
+        if (nc >= nd) 1000000L * (nc - nd) / (n * (n - 1) / 2)
+        else -(1000000L * (nd - nc) / (n * (n - 1) / 2))
+      assert(out(g) === ((n, nc, nd, tx, ty, txy, Some(tau))))
+    }
+    // single-row group → n < 2 → NULL tau (and zero pair counts)
+    val one = Eval.kendall(Seq(("s", 1L, 1L)).toDF("g", "x", "y"),
+      "g", "x", "y").collect().head
+    assert(one.getLong(1) === 1L && one.isNullAt(7))
+    // quadratic surface fail-fast: 100 distinct cells in one group
+    // against a 50-cell budget REQUIREs before any pair join runs
+    val wide = (1 to 100).map(i => ("w", i.toLong, i.toLong))
+    val e = intercept[IllegalArgumentException] {
+      Eval.kendall(wide.toDF("g", "x", "y"), "g", "x", "y",
+        maxCells = 50L)
+    }
+    assert(e.getMessage.contains("kendall") &&
+      e.getMessage.contains("Pre-quantize"))
+  }
 }
