@@ -50,6 +50,26 @@ object Bpe {
   private[graft] def initSymbols(word: String): Vector[String] =
     word.map(_.toString).toVector :+ Eow
 
+  /** Code-point lexicographic String order. The default String order
+    * compares UTF-16 code units, which sorts supplementary-plane
+    * characters (surrogate pairs, 0xD800-prefixed) BEFORE U+E000..
+    * U+FFFF; code-point order equals binary UTF-8 collation — what
+    * DuckDB's ORDER BY uses — so tie-breaks and vocab ids stay
+    * engine-portable beyond the BMP. (Note initSymbols still splits
+    * words into UTF-16 units, so a supplementary-plane corpus would
+    * also need a code-point split; the shipped corpora are ASCII.) */
+  private[graft] val codePointOrder: Ordering[String] = (x, y) => {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    var r = 0
+    while (r == 0 && i < n) {
+      val cx = x.codePointAt(i)
+      r = Integer.compare(cx, y.codePointAt(i))
+      if (r == 0) i += Character.charCount(cx)
+    }
+    if (r != 0) r else Integer.compare(x.length, y.length)
+  }
+
   /** Sequential BPE over a (word → count) dictionary. Exposed
     * package-private so specs can drive it directly. */
   private[graft] def trainDict(dict: Seq[(String, Long)],
@@ -67,7 +87,18 @@ object Bpe {
           o => Some(o.getOrElse(0L) + c))
       if (counts.isEmpty) done = true
       else {
-        val (pair, c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        // winner = (max count, code-point-smallest pair): total order,
+        // and the tie-break collates identically in any engine
+        val (pair, c) = counts.min(
+          Ordering.fromLessThan[((String, String), Long)] {
+            case (((a1, b1), n1), ((a2, b2), n2)) =>
+              if (n1 != n2) n1 > n2
+              else {
+                val ca = codePointOrder.compare(a1, a2)
+                if (ca != 0) ca < 0
+                else codePointOrder.compare(b1, b2) < 0
+              }
+          })
         if (c < 2) done = true // a pair seen once compresses nothing
         else {
           merges += Merge(rank, pair._1, pair._2, c)
@@ -119,7 +150,7 @@ object Bpe {
     * order at A+rank. Reproducible across runs given the same model. */
   def vocab(model: BpeModel): Seq[(String, Int)] = {
     val alphabet = model.segments.keysIterator
-      .flatMap(w => initSymbols(w)).toSet.toSeq.sorted
+      .flatMap(w => initSymbols(w)).toSet.toSeq.sorted(codePointOrder)
     val merged = model.merges.sortBy(_.rank).map(m => m.left + m.right)
     // first occurrence wins: a fused string can collide with an
     // alphabet symbol (markup text containing literal "</w>") or with

@@ -37,33 +37,16 @@ object ApproxPack extends QueryPack {
       Dedup.minhashLsh(Tables.load(s, dir, "documents"), "doc_id", "text",
         numHashes = 128, bands = 32, threshold = 0.5)),
 
-    // tokenizer fertility per language: pieces/word, bytes/piece,
-    // OOV share under the q103 BPE model — rows-only (BPE
-    // segmentation is not SQL-expressible); BpeSpec pins semantics
-    "q196_fertility" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val model = graft.operators.Bpe.train(docs, "text", numMerges = 60)
-      graft.operators.Bpe.fertility(docs, "doc_id", "text", "lang", model)
-    }),
-
-    // Markov removal-effect attribution over user journeys — the
-    // matrix solve runs on the driver over the (channels+2)²-sized
-    // transition counts in exact rationals; not SQL-expressible →
-    // rows-only, StatsSpec pins a hand-solvable chain
-    "q199_markov" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-        .withColumn("ts_us", unix_micros(col("ts")))
-      val tch = e.filter(col("event_type").isin("click", "view", "signup"))
-      val converters = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"))
-      graft.operators.Funnels.markovAttribution(tch, "user_id", "ts_us",
-        "event_type", converters)
-    }),
-
     // CMH stratified association: is even-nation exposure associated
     // with high-value orders after controlling for order priority —
     // driver-side exact-rational fold over 5 strata cells; rows-only
-    // (StatsSpec pins a hand-computed two-stratum table)
+    // BY NECESSITY: the exact statistic needs ~211-bit intermediates
+    // (measured at sf0.01: diffN²·Vd·10^6 is 211 bits, the reduced
+    // variance denominator alone 113 bits), past DuckDB 1.0.0's
+    // 127-bit HUGEINT, and its arbitrary-precision VARINT only lands
+    // in 1.1+. The distributed half (the per-stratum 2×2 cells) IS
+    // hash-checked — q230_cmh_cells below — and StatsSpec pins the
+    // driver fold on a hand-computed two-stratum table.
     "q204_cmh" -> ((s, dir) =>
       graft.operators.Eval.cmh(
         Tables.load(s, dir, "orders")
@@ -253,20 +236,6 @@ object ApproxPack extends QueryPack {
       graft.operators.Splits.dedupSafeSplit(docs, "doc_id", clusters,
         Seq("train" -> 80, "val" -> 10, "test" -> 10), seed = "r5")
         .select(col("doc_id"), col("split"))
-    }),
-
-    // tokenizer APPLICATION: train on the corpus, then encode every
-    // document to integer token ids through the vocab map literal —
-    // driver-side merge loop inside → rows-only; BpeSpec proves the
-    // id mapping round-trips and UNK accounting. token_ids is emitted
-    // space-joined: the driver's checker sorts result columns with
-    // pandas, which cannot order array cells (r5 q114 err row).
-    "q114_bpe_encode" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val model = graft.operators.Bpe.train(docs, "text", numMerges = 60)
-      graft.operators.Bpe.encodeIds(docs, "doc_id", "text", model)
-        .withColumn("token_ids",
-          concat_ws(" ", transform(col("token_ids"), _.cast("string"))))
     }),
 
     // per-domain CCNet buckets: one LM trained on the src1 slice, CE

@@ -390,6 +390,31 @@ object LlmPack extends QueryPack {
         (w, toks.length.toLong, toks.mkString(" "))
       }.toDF("w", "n_tokens", "tokens")
     }),
+
+    // tokenizer APPLICATION: train on the corpus, then encode every
+    // document to integer token ids through the vocab map literal.
+    // Oracle: the q224 recursive replay's final segmentation + the
+    // vocab id assignment re-derived in SQL (code-point-sorted
+    // alphabet, then merges in rank order, first occurrence wins).
+    // token_ids is emitted space-joined: the driver's checker sorts
+    // result columns with pandas, which cannot order array cells
+    // (r5 q114 err row).
+    "q114_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val model = graft.operators.Bpe.train(docs, "text", numMerges = 60)
+      graft.operators.Bpe.encodeIds(docs, "doc_id", "text", model)
+        .withColumn("token_ids",
+          concat_ws(" ", transform(col("token_ids"), _.cast("string"))))
+    }),
+
+    // tokenizer fertility per language: pieces/word, bytes/piece,
+    // OOV share under the q103 BPE model — per-language integer
+    // rollups of the same recursive-replay segmentation
+    "q196_fertility" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val model = graft.operators.Bpe.train(docs, "text", numMerges = 60)
+      graft.operators.Bpe.fertility(docs, "doc_id", "text", "lang", model)
+    }),
   )
 
   /** Input-augmentation fragments for q125/q126/q127, written in the
@@ -692,7 +717,15 @@ object LlmPack extends QueryPack {
     * recursive term references `rec` ONCE (the nested-CTE recipe);
     * per-symbol sep-wrapping (chr(31)·sym·chr(31) concatenated) keeps
     * adjacent fusions from sharing boundary separators, so replace()
-    * is bit-exact left-to-right greedy pair fusion. */
+    * is bit-exact left-to-right greedy pair fusion.
+    *
+    * Corpus contract (holds for the shipped testdata, all code points
+    * in 32..121): words must not contain chr(31) — it is the reserved
+    * separator, and a word containing it would corrupt the wrapping on
+    * the SQL side only (the Scala trainer is unaffected) → loud verify
+    * mismatch. Tie-breaks collate identically because the Scala side
+    * compares CODE POINTS (Bpe.codePointOrder) and DuckDB ORDER BY is
+    * binary UTF-8 — equal orders on every valid string. */
   private val BpeRecursiveCte: String =
     """WITH RECURSIVE dict AS (
       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
@@ -731,6 +764,23 @@ object LlmPack extends QueryPack {
       |     best.a, best.b, best.c
       |   FROM syms s CROSS JOIN best))""".stripMargin
 
+  /** Shared application side of the replay: `fin` = each dictionary
+    * word's FINAL segmentation, `dw` = the corpus re-split to (doc,
+    * word-position, word) — the SQL twin of Bpe.tokenize's broadcast
+    * segmentation join. */
+  private val BpeApplyCtes: String =
+    """fin AS (
+      |  SELECT w,
+      |    string_split(trim(seq, chr(31)), chr(31)||chr(31)) AS toks
+      |  FROM rec WHERE iter = (SELECT max(iter) FROM rec)),
+      |dw AS (
+      |  SELECT doc_id, i AS pos, ws[i] AS w
+      |  FROM (SELECT doc_id,
+      |          regexp_split_to_array(trim(text), '\s+') AS ws
+      |        FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) t
+      |  WHERE ws[i] <> '')""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q103_bpe_merges" -> (BpeRecursiveCte + "\n" +
       """SELECT DISTINCT CAST(iter - 1 AS INT) AS rank, ml AS "left",
@@ -745,6 +795,72 @@ object LlmPack extends QueryPack {
         |SELECT w, CAST(array_length(toks) AS BIGINT) AS n_tokens,
         |  array_to_string(toks, ' ') AS tokens
         |FROM fin""".stripMargin),
+
+    // q114: the replay's final segmentation applied per document, ids
+    // re-derived exactly as Bpe.vocab does — code-point-sorted initial
+    // alphabet at 0..A-1, then fused symbols in merge-rank order,
+    // first occurrence winning duplicates. Every corpus word is in the
+    // dictionary by construction (the model trains unpruned on the
+    // same documents), so the fin join is total and n_oov_words/n_unk
+    // are identically zero — any future prune would surface as a loud
+    // row-count mismatch, never a silent drop.
+    "q114_bpe_encode" -> (BpeRecursiveCte + ",\n" + BpeApplyCtes +
+      ",\n" +
+      """alpha AS (
+        |  SELECT DISTINCT unnest(string_split(w, '')) AS s FROM dict
+        |  UNION SELECT '</w>' AS s),
+        |mg AS (SELECT DISTINCT iter, ml || mr AS s FROM rec
+        |  WHERE iter >= 1),
+        |ord1 AS (
+        |  SELECT s, row_number() OVER (ORDER BY grp, k1, k2) - 1 AS p
+        |  FROM (
+        |    SELECT s, 0 AS grp, s AS k1, CAST(0 AS BIGINT) AS k2
+        |    FROM alpha
+        |    UNION ALL
+        |    SELECT s, 1 AS grp, '' AS k1, iter AS k2 FROM mg)),
+        |firsts AS (SELECT s, min(p) AS fp FROM ord1 GROUP BY 1),
+        |vocab AS (
+        |  SELECT s, CAST(row_number() OVER (ORDER BY fp) - 1 AS INT)
+        |    AS id
+        |  FROM firsts),
+        |dtok AS (
+        |  SELECT dw.doc_id, dw.pos, u.ti, fin.toks[u.ti] AS tok
+        |  FROM dw JOIN fin ON dw.w = fin.w,
+        |       LATERAL (SELECT unnest(generate_series(
+        |         1, len(fin.toks))) AS ti) u),
+        |ids AS (
+        |  SELECT d2.doc_id, d2.pos, d2.ti, vocab.id
+        |  FROM dtok d2 JOIN vocab ON d2.tok = vocab.s)
+        |SELECT doc_id,
+        |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos, ti)
+        |    AS token_ids,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(0 AS BIGINT) AS n_oov_words,
+        |  CAST(0 AS BIGINT) AS n_unk
+        |FROM ids GROUP BY doc_id""".stripMargin),
+
+    // q196: per-language integer rollups of the same segmentation;
+    // byte length is DuckDB strlen ⇄ Spark octet_length
+    "q196_fertility" -> (BpeRecursiveCte + ",\n" + BpeApplyCtes +
+      ",\n" +
+      """dn AS (
+        |  SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS nw,
+        |    CAST(sum(len(fin.toks)) AS BIGINT) AS nt
+        |  FROM dw JOIN fin ON dw.w = fin.w GROUP BY 1),
+        |g AS (
+        |  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dn.nw) AS BIGINT) AS n_words,
+        |    CAST(sum(dn.nt) AS BIGINT) AS n_tokens,
+        |    CAST(sum(strlen(d.text)) AS BIGINT) AS n_bytes,
+        |    CAST(0 AS BIGINT) AS n_oov_words
+        |  FROM documents d JOIN dn ON d.doc_id = dn.doc_id
+        |  GROUP BY 1)
+        |SELECT lang, n_docs, n_words, n_tokens, n_bytes, n_oov_words,
+        |  (10000 * n_tokens) // greatest(1, n_words) AS fertility_bp,
+        |  (10000 * n_bytes) // greatest(1, n_tokens)
+        |    AS bytes_per_token_bp,
+        |  (10000 * n_oov_words) // greatest(1, n_words) AS oov_bp
+        |FROM g""".stripMargin),
 
     "q56_packing" -> PackingSql,
     "q83_incr_dedup" -> IncrDedupSql,
