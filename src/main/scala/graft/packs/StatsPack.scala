@@ -783,7 +783,153 @@ object StatsPack extends QueryPack {
     "q229_kendall" -> ((s, dir) =>
       Eval.kendall(Tables.load(s, dir, "lineitem"),
         "l_returnflag", "l_quantity", "l_linenumber")),
+
+    // Markov removal-effect attribution over user journeys — the
+    // cluster side is one per-user lead() window collapsed to
+    // (channels+2)²-sized transition counts; the driver solves the
+    // absorbing chain in exact rationals. Oracle: the same solve as
+    // integer Cramer determinants (MarkovOracleSql below)
+    "q199_markov" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val tch = e.filter(col("event_type").isin("click", "view", "signup"))
+      val converters = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"))
+      Funnels.markovAttribution(tch, "user_id", "ts_us",
+        "event_type", converters)
+    }),
+
+    // the distributed half of q204's CMH fold, hash-checked: the
+    // per-priority 2×2 exposure/outcome cells (the full statistic
+    // stays rows-only — see ApproxPack's q204 comment)
+    "q230_cmh_cells" -> ((s, dir) =>
+      Eval.cmhCells(
+        Tables.load(s, dir, "orders")
+          .join(Tables.load(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey")),
+        "o_orderpriority",
+        pmod(col("c_nationkey"), lit(2)) === 0,
+        col("o_totalprice") > 150000.0)),
   )
+
+  /** q199's DuckDB oracle, GENERATED: the absorbing-chain solve as
+    * integer Cramer determinants. Scaling row i of (I − T)·x = b by
+    * its out-degree o_i turns the rational system into the integer
+    * one (diag(o) − C)·x = b_conv, so each conversion probability is
+    * a ratio of two integer determinants — 4×4 for the full chain,
+    * 3×3 per removal, Leibniz-expanded below (24 / 6 terms, written
+    * by this generator so the cofactor bookkeeping can't typo).
+    * Fractions are gcd-reduced before cross-multiplying; every
+    * reported quantity is nonnegative (absorption probabilities and
+    * their removal drops), so `//` floor equals the Scala BigInt
+    * truncation. A state with no outgoing transitions gets an
+    * identity row — exactly its absence from the Scala state list.
+    * Determinants measured ~35 bits at the gate SF; the HUGEINT bound
+    * 24·o_max⁴ holds to o_max ≈ 2·10⁷ out-transitions per state. */
+  private val MarkovOracleSql: String = {
+    val states = Vector("__START__", "click", "signup", "view")
+    def a(i: Int, j: Int): String =
+      if (i == j) s"((CASE WHEN o$i = 0 THEN 1 ELSE o$i END) - c${i}_$j)"
+      else s"(0 - c${i}_$j)"
+    def det(s: Vector[Int], repl: Boolean): String =
+      s.indices.toVector.permutations.map { p =>
+        var sign = 1
+        for (i <- p.indices; j <- i + 1 until p.length)
+          if (p(i) > p(j)) sign = -sign
+        val term = p.indices.map { r =>
+          if (repl && p(r) == 0) s"b${s(r)}" else a(s(r), s(p(r)))
+        }.mkString(" * ")
+        (if (sign > 0) "+ " else "- ") + term
+      }.mkString("(", " ", ")")
+    val full = Vector(0, 1, 2, 3)
+    val oDefs = states.indices.map(i =>
+      s"  coalesce((SELECT CAST(sum(c) AS HUGEINT) FROM trc " +
+        s"WHERE f = '${states(i)}'), 0) AS o$i")
+    val cDefs = for { i <- states.indices; j <- states.indices } yield
+      s"  coalesce((SELECT c FROM trc WHERE f = '${states(i)}' " +
+        s"AND tt = '${states(j)}'), 0) AS c${i}_$j"
+    val bDefs = states.indices.map(i =>
+      s"  coalesce((SELECT c FROM trc WHERE f = '${states(i)}' " +
+        s"AND tt = '__CONV__'), 0) AS b$i")
+    val detDefs =
+      Seq(s"  ${det(full, repl = false)} AS rd0",
+        s"  ${det(full, repl = true)} AS rn0") ++
+        (1 to 3).flatMap { k =>
+          val sub = full.filterNot(_ == k)
+          Seq(s"  ${det(sub, repl = false)} AS rd$k",
+            s"  ${det(sub, repl = true)} AS rn$k")
+        }
+    val nrmDefs = (0 to 3).flatMap(k => Seq(
+      s"  CASE WHEN rd$k < 0 THEN -rn$k ELSE rn$k END AS sn$k",
+      s"  abs(rd$k) AS sd$k"))
+    val redDefs = (0 to 3).flatMap(k => Seq(
+      s"  sn$k // gcd(sn$k, sd$k) AS n$k",
+      s"  sd$k // gcd(sn$k, sd$k) AS d$k"))
+    val ewDefs = (1 to 3).flatMap(k => Seq(
+      s"  n0 * d$k - n$k * d0 AS w$k",
+      s"  d0 * d$k AS v$k"))
+    val ekDefs = (1 to 3).flatMap(k => Seq(
+      s"  w$k // gcd(w$k, v$k) AS e${k}n",
+      s"  v$k // gcd(w$k, v$k) AS e${k}d"))
+    val bpDefs = (1 to 3).flatMap(k => Seq(
+      s"  CASE WHEN n0 = 0 THEN 0 ELSE " +
+        s"(10000 * e${k}n * d0) // (e${k}d * n0) END AS re$k",
+      s"  CASE WHEN tn = 0 THEN 0 ELSE " +
+        s"(10000 * e${k}n * td) // (e${k}d * tn) END AS cr$k"))
+    s"""WITH tch AS (
+       |  SELECT user_id, epoch_us(ts) AS tu, event_type AS ch
+       |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+       |conv AS (SELECT DISTINCT user_id FROM events
+       |  WHERE event_type = 'purchase'),
+       |seq AS (
+       |  SELECT user_id, ch,
+       |    lead(ch) OVER (PARTITION BY user_id ORDER BY tu, ch) AS nxt,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY tu, ch) AS rn
+       |  FROM tch),
+       |tr AS (
+       |  SELECT '__START__' AS f, ch AS tt FROM seq WHERE rn = 1
+       |  UNION ALL
+       |  SELECT ch, nxt FROM seq WHERE nxt IS NOT NULL
+       |  UNION ALL
+       |  SELECT seq.ch,
+       |    CASE WHEN conv.user_id IS NOT NULL THEN '__CONV__'
+       |         ELSE '__DROP__' END
+       |  FROM seq LEFT JOIN conv USING (user_id) WHERE nxt IS NULL),
+       |trc AS (SELECT f, tt, CAST(count(*) AS HUGEINT) AS c
+       |  FROM tr GROUP BY 1, 2),
+       |m AS (SELECT
+       |${(oDefs ++ cDefs ++ bDefs).mkString(",\n")}),
+       |dets AS (SELECT
+       |${detDefs.mkString(",\n")}
+       |  FROM m),
+       |nrm AS (SELECT
+       |${nrmDefs.mkString(",\n")}
+       |  FROM dets),
+       |red AS (SELECT
+       |${redDefs.mkString(",\n")}
+       |  FROM nrm),
+       |ew AS (SELECT *,
+       |${ewDefs.mkString(",\n")}
+       |  FROM red),
+       |ek AS (SELECT *,
+       |${ekDefs.mkString(",\n")}
+       |  FROM ew),
+       |tote AS (SELECT *,
+       |  e1n * e2d * e3d + e2n * e1d * e3d + e3n * e1d * e2d AS tn,
+       |  e1d * e2d * e3d AS td
+       |  FROM ek),
+       |bp AS (SELECT *,
+       |${bpDefs.mkString(",\n")}
+       |  FROM tote)
+       |SELECT ch AS event_type,
+       |  CAST(re AS BIGINT) AS removal_effect_bp,
+       |  CAST(cr AS BIGINT) AS credit_bp
+       |FROM (
+       |  SELECT 'click' AS ch, re1 AS re, cr1 AS cr FROM bp
+       |  UNION ALL SELECT 'signup', re2, cr2 FROM bp
+       |  UNION ALL SELECT 'view', re3, cr3 FROM bp)
+       |WHERE EXISTS (SELECT 1 FROM trc WHERE trc.f = ch)""".stripMargin
+  }
 
   /** q165/q226/q227/q228's shared space-ratio "English-ness" score —
     * ONE formula in the Spark `expr` dialect; [[SpaceScoreSql]] is the
@@ -2867,5 +3013,22 @@ object StatsPack extends QueryPack {
         |        (CAST(n AS HUGEINT) * (n - 1) // 2) AS BIGINT)
         |  END AS tau_a_fp
         |FROM j""".stripMargin,
+
+    "q199_markov" -> MarkovOracleSql,
+
+    "q230_cmh_cells" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN c_nationkey % 2 = 0
+        |    AND o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(sum(CASE WHEN c_nationkey % 2 = 0
+        |    AND NOT o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS b,
+        |  CAST(sum(CASE WHEN c_nationkey % 2 <> 0
+        |    AND o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |  CAST(sum(CASE WHEN c_nationkey % 2 <> 0
+        |    AND NOT o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS d
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
   )
 }
