@@ -168,4 +168,64 @@ class StreamingMultimodalSpec extends SparkSpec {
       assert(rows("2024-01-01 12:00:00") == 1L)
     } finally q.stop()
   }
+
+  private def pngBytes(w: Int, h: Int,
+                       rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("imageFeatures: real PNG decode, exact dims and channel stats") {
+    // 3×2: R = 40·x (cols 0/40/80, two rows each), G = 100·y
+    // (rows 0/100, three cols each), B = constant 7 — PNG is
+    // lossless, so the decoded raster must reproduce them exactly
+    val img = pngBytes(3, 2, (x, y) => (x * 40 << 16) | (y * 100 << 8) | 7)
+    val corrupt = Array[Byte](1, 2, 3, 4)
+    val df = Seq((1L, "image", img), (2L, "image", corrupt))
+      .toDF("asset_id", "kind", "content")
+      .repartition(2) // decode must be partition-local
+    val out = Multimodal.imageFeatures(df)
+      .select("asset_id", "decode_ok", "width", "height", "n_channels",
+        "mean_centi", "px_min", "px_max")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ok = out(1L)
+    assert(ok.getBoolean(1))
+    assert(ok.getInt(2) === 3 && ok.getInt(3) === 2 && ok.getInt(4) === 3)
+    // sums over 6 px: R = 2·(0+40+80) = 240, G = 3·(0+100) = 300,
+    // B = 6·7 = 42 → mean_centi = 100·sum/6
+    assert(ok.getSeq[Long](5) === Seq(4000L, 5000L, 700L))
+    assert(ok.getSeq[Int](6) === Seq(0, 0, 7))
+    assert(ok.getSeq[Int](7) === Seq(80, 100, 7))
+    // corrupt payload: row kept, decode_ok = false, null features
+    val bad = out(2L)
+    assert(!bad.getBoolean(1) && bad.isNullAt(2) && bad.isNullAt(5))
+  }
+
+  test("imageFeatures: grayscale single band and parquet round-trip") {
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSample(0, 0, 0, 10)
+    img.getRaster.setSample(1, 0, 0, 20)
+    img.getRaster.setSample(0, 1, 0, 30)
+    img.getRaster.setSample(1, 1, 0, 200)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    // through parquet: binary columns must survive a real source
+    val dir = Files.createTempDirectory("graft-img").toFile
+    Seq((7L, "image", bos.toByteArray))
+      .toDF("asset_id", "kind", "content")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val out = Multimodal.imageFeatures(spark.read.parquet(dir.getAbsolutePath))
+      .select("asset_id", "decode_ok", "width", "height", "n_channels",
+        "mean_centi", "px_min", "px_max").collect().head
+    assert(out.getBoolean(1) && out.getInt(2) === 2 && out.getInt(3) === 2)
+    assert(out.getInt(4) === 1)
+    assert(out.getSeq[Long](5) === Seq(100L * 260 / 4)) // = 6500
+    assert(out.getSeq[Int](6) === Seq(10))
+    assert(out.getSeq[Int](7) === Seq(200))
+  }
 }
