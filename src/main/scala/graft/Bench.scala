@@ -11,6 +11,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // sanctioned constant-group windows over bucket aggregates (see
+    // Verify) — drop the per-query "No Partition Defined" noise
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm the session (codegen, file index, shuffle, window and
     // broadcast machinery) so the first timed query per table doesn't
     // absorb JVM/session startup.

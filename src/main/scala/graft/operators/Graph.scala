@@ -139,6 +139,10 @@ object Graph {
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
       .agg(max(col("d"))).head.getLong(0)
     val eff = hitsScale(scale, dmax)
+    if (eff < scale)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"hits: requested scale $scale degraded to effective scale " +
+          s"$eff (max degree $dmax) — read results in units of $eff")
 
     var hub = nodes.withColumn("hub", lit(eff))
     var auth = nodes.withColumn("auth", lit(eff))

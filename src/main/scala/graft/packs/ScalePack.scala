@@ -1463,6 +1463,10 @@ object ScalePack extends QueryPack {
     // that round scores 0 there). sum() returns HUGEINT -> every
     // normalized value is CAST back to BIGINT, and greatest(.., 1)
     // guards the all-zero total.
+    // eff mirrors Graph.hitsScale EXACTLY: the largest s ≤ 10^6 with
+    // s²·dmax ≤ 2⁶³−1, via integer-corrected float sqrt (the ±2 CASE
+    // ladder absorbs any double rounding) — so operator and oracle
+    // stay in lockstep at ANY max degree, not just dmax < ~9.2e6
     "q132_hits" ->
       """WITH RECURSIVE
         |p AS (
@@ -1472,9 +1476,26 @@ object ScalePack extends QueryPack {
         |nodes AS (
         |  SELECT DISTINCT node FROM (
         |    SELECT src AS node FROM p UNION ALL SELECT dst FROM p)),
+        |dm AS (
+        |  SELECT greatest(max(d), 1) AS dmax FROM (
+        |    SELECT node, count(*) AS d FROM (
+        |      SELECT src AS node FROM p UNION ALL SELECT dst FROM p)
+        |    GROUP BY 1)),
+        |effc AS (
+        |  SELECT least(1000000, CASE
+        |      WHEN (s0 + 2) * (s0 + 2) <= q THEN s0 + 2
+        |      WHEN (s0 + 1) * (s0 + 1) <= q THEN s0 + 1
+        |      WHEN s0 * s0 <= q THEN s0
+        |      WHEN (s0 - 1) * (s0 - 1) <= q THEN s0 - 1
+        |      ELSE s0 - 2 END) AS eff
+        |  FROM (
+        |    SELECT q, CAST(floor(sqrt(CAST(q AS DOUBLE))) AS HUGEINT)
+        |      AS s0
+        |    FROM (SELECT 9223372036854775807 // dmax AS q FROM dm))),
         |r AS (
-        |  SELECT 0 AS it, node, CAST(1000000 AS BIGINT) AS hub,
-        |    CAST(1000000 AS BIGINT) AS auth
+        |  SELECT 0 AS it, node,
+        |    CAST((SELECT eff FROM effc) AS BIGINT) AS hub,
+        |    CAST((SELECT eff FROM effc) AS BIGINT) AS auth
         |  FROM nodes
         |  UNION ALL
         |  SELECT it, node, hub, auth FROM (
@@ -1484,7 +1505,7 @@ object ScalePack extends QueryPack {
         |      WHERE r.it < 4
         |      GROUP BY r.it + 1, p.dst),
         |    na AS (
-        |      SELECT it, node, CAST(ra * 1000000 //
+        |      SELECT it, node, CAST(ra * (SELECT eff FROM effc) //
         |        greatest(sum(ra) OVER (PARTITION BY it), 1) AS BIGINT) AS auth
         |      FROM a),
         |    h AS (
@@ -1492,7 +1513,7 @@ object ScalePack extends QueryPack {
         |      FROM na JOIN p ON na.node = p.dst
         |      GROUP BY na.it, p.src),
         |    nh AS (
-        |      SELECT it, node, CAST(rh * 1000000 //
+        |      SELECT it, node, CAST(rh * (SELECT eff FROM effc) //
         |        greatest(sum(rh) OVER (PARTITION BY it), 1) AS BIGINT) AS hub
         |      FROM h)
         |    SELECT coalesce(na.it, nh.it) AS it,

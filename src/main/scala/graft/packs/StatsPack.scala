@@ -1022,8 +1022,20 @@ object StatsPack extends QueryPack {
          |  SELECT u, v FROM s$r WHERE support >= 1)"""
         .stripMargin
     }.mkString
-    base + peel +
-      s"\nSELECT u, v, CAST(support AS BIGINT) AS support FROM s${rounds - 1}"
+    // depth probe: the unroll is exact only once the peel has reached
+    // its fixpoint by round `rounds` — edge sets only shrink, so count
+    // equality of the last two rounds IS set equality. If a larger SF
+    // ever peels deeper, this emits a poison row (-1, -1, -1) that can
+    // never match the operator output: the gate fails with a
+    // self-describing row, a clear "raise rounds" signal instead of a
+    // bare hash mismatch.
+    base + peel + s"""
+      |SELECT u, v, CAST(support AS BIGINT) AS support
+      |FROM s${rounds - 1}
+      |UNION ALL
+      |SELECT -1, -1, CAST(-1 AS BIGINT)
+      |WHERE (SELECT count(*) FROM e$rounds) <>
+      |      (SELECT count(*) FROM e${rounds - 1})""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
