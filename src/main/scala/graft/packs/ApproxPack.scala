@@ -222,22 +222,6 @@ object ApproxPack extends QueryPack {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         targetPred = col("source") === "src1", nKeep = 120)),
 
-    // near-dup-aware leakage-safe split: LSH pairs → connected
-    // components → cluster-keyed group split, so near-identical docs
-    // can never straddle train/eval — iterative CC inside → rows-only;
-    // FunctionsSpec proves the no-straddle and append-inherit laws
-    "q110_dedup_split" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val pairs = graft.operators.Dedup.minhashLshPortable(
-        docs, "doc_id", "text", n = 3, numPerms = 8, bands = 4,
-        minMatch = 4)
-      val clusters = graft.operators.Dedup.nearDupClusters(
-        pairs, "id_a", "id_b")
-      graft.operators.Splits.dedupSafeSplit(docs, "doc_id", clusters,
-        Seq("train" -> 80, "val" -> 10, "test" -> 10), seed = "r5")
-        .select(col("doc_id"), col("split"))
-    }),
-
     // per-domain CCNet buckets: one LM trained on the src1 slice, CE
     // percentile cuts computed INSIDE each source — ln() doubles in
     // the surprisals → rows-only; LangModelSpec proves per-group

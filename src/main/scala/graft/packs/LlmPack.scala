@@ -415,6 +415,25 @@ object LlmPack extends QueryPack {
       val model = graft.operators.Bpe.train(docs, "text", numMerges = 60)
       graft.operators.Bpe.fertility(docs, "doc_id", "text", "lang", model)
     }),
+
+    // near-dup-aware leakage-safe split: portable LSH pairs →
+    // connected components → cluster-keyed md5 split, so near-identical
+    // docs can never straddle train/eval. Every stage is
+    // engine-portable (q52's LSH recipe, q79's recursive closure,
+    // q35's bucket hash), so the whole composition hash-checks;
+    // FunctionsSpec additionally proves the no-straddle and
+    // append-inherit laws
+    "q110_dedup_split" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = graft.operators.Dedup.minhashLshPortable(
+        docs, "doc_id", "text", n = 3, numPerms = 8, bands = 4,
+        minMatch = 4)
+      val clusters = graft.operators.Dedup.nearDupClusters(
+        pairs, "id_a", "id_b")
+      graft.operators.Splits.dedupSafeSplit(docs, "doc_id", clusters,
+        Seq("train" -> 80, "val" -> 10, "test" -> 10), seed = "r5")
+        .select(col("doc_id"), col("split"))
+    }),
   )
 
   /** Input-augmentation fragments for q125/q126/q127, written in the
@@ -575,6 +594,76 @@ object LlmPack extends QueryPack {
          |  GROUP BY c.id_a, c.id_b
          |)
          |SELECT id_a, id_b, n_match FROM m WHERE n_match >= 4""".stripMargin
+  }
+
+  /** q110: [[LshPortableSql]]'s pair construction, closed into
+    * components by q79's recursive-closure recipe (min label per
+    * node), then the q35 md5-bucket split keyed by "c|cluster" for
+    * clustered docs / "d|id" for singletons — the exact composition
+    * Splits.dedupSafeSplit evaluates. */
+  private lazy val DedupSplitSql: String = {
+    val permValues = graft.operators.Dedup.portablePerms(8).zipWithIndex
+      .map { case ((a, b), p) => s"($p, $a, $b)" }.mkString(", ")
+    s"""WITH RECURSIVE $ShinglesSql,
+       |gh AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS g
+       |  FROM sh
+       |),
+       |ph AS (
+       |  SELECT doc_id, p, min((a * g + b) % 2147483647) AS h
+       |  FROM gh, (VALUES $permValues) AS perms(p, a, b)
+       |  GROUP BY doc_id, p
+       |),
+       |sig AS (
+       |  SELECT doc_id, p // 2 AS band,
+       |    string_agg(CAST(h AS VARCHAR), ',' ORDER BY p) AS bkey
+       |  FROM ph GROUP BY doc_id, p // 2
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sig a JOIN sig b ON a.band = b.band AND a.bkey = b.bkey
+       |    AND a.doc_id < b.doc_id
+       |),
+       |m AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(sum(CASE WHEN pa.h = pb.h THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_match
+       |  FROM cand c
+       |  JOIN ph pa ON pa.doc_id = c.id_a
+       |  JOIN ph pb ON pb.doc_id = c.id_b AND pb.p = pa.p
+       |  GROUP BY c.id_a, c.id_b
+       |),
+       |pr AS (SELECT id_a, id_b FROM m WHERE n_match >= 4),
+       |e AS (
+       |  SELECT id_a AS a, id_b AS b FROM pr
+       |  UNION
+       |  SELECT id_b, id_a FROM pr
+       |),
+       |r AS (
+       |  SELECT a AS id, a AS l FROM e
+       |  UNION
+       |  SELECT e.a, r.l FROM e JOIN r ON e.b = r.id
+       |),
+       |cl AS (SELECT id, min(l) AS cluster_id FROM r GROUP BY id),
+       |k AS (
+       |  SELECT d.doc_id,
+       |    (CASE WHEN cl.cluster_id IS NOT NULL
+       |       THEN 'c|' || CAST(cl.cluster_id AS VARCHAR)
+       |       ELSE 'd|' || CAST(d.doc_id AS VARCHAR) END) || '|r5'
+       |      AS key
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+       |),
+       |bk AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(key), 1, 8)) AS BIGINT) % 100 AS b
+       |  FROM k
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN b < 80 THEN 'train'
+       |       WHEN b < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM bk""".stripMargin
   }
 
   /** q83: same md5/affine construction as [[LshPortableSql]], but
@@ -961,6 +1050,7 @@ object LlmPack extends QueryPack {
         |GROUP BY 1""".stripMargin,
 
     "q52_lsh_portable" -> LshPortableSql,
+    "q110_dedup_split" -> DedupSplitSql,
 
     // connected components of the candidate-pair graph by recursive
     // closure — an INDEPENDENT formulation of the min-label fixpoint
