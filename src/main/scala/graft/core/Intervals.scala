@@ -196,4 +196,72 @@ object Intervals {
       .withColumnRenamed("__bf", s"${ValidFrom}_b")
       .withColumnRenamed("__bu", s"${ValidUntil}_b")
   }
+
+  /** Allen's interval algebra (Allen, CACM 1983): classify every
+    * ordered pair of a key's intervals into exactly one of the 13
+    * relations — the vocabulary for auditing bitemporal feature tables
+    * ("which validity windows meet vs overlap vs nest?") on the
+    * half-open `[valid_from, valid_until)` convention this store uses.
+    * Pair (a, b) is ordered by `idCol` (a.id < b.id) and labelled with
+    * a's relation to b: `before/meets/overlaps/starts/during/finishes/
+    * equal` plus the primed inverses (`after/met_by/overlapped_by/
+    * started_by/contains/finished_by`). The CASE ladder tests
+    * equalities first, so every pair lands in exactly one arm — dates
+    * compare exactly, nothing floats.
+    *
+    * Scale: the pair set is a per-key self-join — quadratic in the
+    * key's interval COUNT, never in rows — REQUIREd under `maxPerKey`
+    * before the join runs (the [[graft.operators.Eval.kendall]] cell
+    * posture; unlike [[overlapJoin]] this must see DISJOINT pairs too,
+    * so banding cannot bound it). Open-ended intervals
+    * (NULL `valid_until`) are rejected — close them with a horizon
+    * date first. Output: key cols + (id_a, id_b, relation). */
+  def allenRelations(df: DataFrame, keys: Seq[String], idCol: String,
+                     maxPerKey: Long = 1L << 10): DataFrame = {
+    require(keys.nonEmpty, "allenRelations: at least one key column")
+    val base = df.select(
+      keys.map(col) :+ col(idCol).as("__id") :+
+        col(ValidFrom).as("__f") :+ col(ValidUntil).as("__u"): _*)
+      .withColumn("__u", coalesce(col("__u"),
+        raise_error(lit("allenRelations: open-ended interval " +
+          "(NULL valid_until) — close with a horizon date first"))
+          .cast(df.schema(ValidUntil).dataType)))
+      .localCheckpoint(true) // guard + both join sides share one scan
+    val worst = base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    require(worst <= maxPerKey,
+      s"allenRelations: a key holds $worst intervals (> maxPerKey=" +
+        s"$maxPerKey) — the pair set is quadratic per key; split the " +
+        "key or raise maxPerKey deliberately.")
+    val b = base.select(
+      keys.map(c => col(c).as(s"__k_$c")) :+ col("__id").as("__idb") :+
+        col("__f").as("__fb") :+ col("__u").as("__ub"): _*)
+    val joined = base.join(b,
+      keys.map(c => col(c) === col(s"__k_$c"))
+        .reduce(_ && _) && col("__id") < col("__idb"))
+    val rel = when(col("__f") === col("__fb") && col("__u") === col("__ub"),
+        lit("equal"))
+      .when(col("__u") < col("__fb"), lit("before"))
+      .when(col("__ub") < col("__f"), lit("after"))
+      .when(col("__u") === col("__fb"), lit("meets"))
+      .when(col("__ub") === col("__f"), lit("met_by"))
+      .when(col("__f") === col("__fb"),
+        when(col("__u") < col("__ub"), lit("starts"))
+          .otherwise(lit("started_by")))
+      .when(col("__u") === col("__ub"),
+        when(col("__f") > col("__fb"), lit("finishes"))
+          .otherwise(lit("finished_by")))
+      .when(col("__f") > col("__fb"),
+        when(col("__u") < col("__ub"), lit("during"))
+          .otherwise(lit("overlapped_by")))
+      .otherwise(
+        when(col("__u") > col("__ub"), lit("contains"))
+          .otherwise(lit("overlaps")))
+    joined.withColumn("relation", rel)
+      .select(keys.map(col) :+ col("__id").as("id_a") :+
+        col("__idb").as("id_b") :+ col("relation"): _*)
+  }
 }

@@ -68,6 +68,46 @@ object Chunking {
       .drop("__cum")
   }
 
+  /** Token-shard binarization — the training-loader export step that
+    * turns per-document token-id arrays into the fixed-width binary
+    * payload + offset manifest shape (Megatron-style `.bin`/`.idx`):
+    * each doc gets a deterministic md5 shard ([[Splits.bucket]]), its
+    * ids packed as unsigned 16-bit BIG-ENDIAN words (REQUIREd
+    * `0 ≤ id ≤ 65535` up front — map UNK sentinels before calling),
+    * and its exact byte offset within the shard file in ascending
+    * `idCol` order. The payload is emitted as a lowercase hex string —
+    * byte-exact, engine-checkable (`string_agg(printf('%04x', id))`),
+    * and `unhex`-able to the raw blob at write time.
+    *
+    * Scale: payload building is per-row codegen'd column work
+    * (transform + hex + array_join — no UDF); offsets come from
+    * [[Selection.prefixSums]]'s two-level bucket cumsum, so no shard
+    * is ever sorted in one task. Output: (idCol, shard, n_tokens,
+    * n_bytes, offset, shard_bytes, payload_hex). */
+  def binarizeTokenShards(df: DataFrame, idCol: String, idsCol: String,
+                          shards: Int): DataFrame = {
+    require(shards >= 1, "binarizeTokenShards: shards must be >= 1")
+    val rng = df.agg(
+      min(array_min(col(idsCol))).as("__mn"),
+      max(array_max(col(idsCol))).as("__mx")).collect()(0)
+    require(rng.isNullAt(0) ||
+      (rng.getAs[Number](0).longValue() >= 0L &&
+        rng.getAs[Number](1).longValue() <= 65535L),
+      s"binarizeTokenShards: token ids span [${rng.get(0)}, " +
+        s"${rng.get(1)}] — u16 packing needs [0, 65535]; remap UNK/" +
+        "overflow ids first.")
+    val packed = df.select(
+        col(idCol),
+        Splits.bucket(col(idCol).cast("string"), shards).as("shard"),
+        size(col(idsCol)).cast("long").as("n_tokens"),
+        (size(col(idsCol)).cast("long") * 2L).as("n_bytes"),
+        array_join(transform(col(idsCol),
+          t => lower(lpad(hex(t), 4, "0"))), "").as("payload_hex"))
+    Selection.prefixSums(packed, "shard", idCol, "n_bytes")
+      .select(col(idCol), col("shard"), col("n_tokens"), col("n_bytes"),
+        col("offset"), col("total").as("shard_bytes"), col("payload_hex"))
+  }
+
   /** Redact URLs, e-mail addresses, and long digit runs. Patterns avoid
     * capture-group backreferences so the exact same regex text runs on
     * Java regex and RE2 engines identically. */

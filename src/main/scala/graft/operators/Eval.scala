@@ -665,4 +665,56 @@ object Eval {
            |         div (cast(n as decimal(38,0)) * (n - 1) div 2))
            |  end as long)""".stripMargin))
   }
+
+  /** Benjamini–Hochberg FDR gate (JRSS-B 1995) over a table of tests
+    * with fixed-point p-values: reject the k* smallest p-values where
+    * `k* = max{i : p_(i) ≤ i·α/m}`. Exact by cross-multiplication —
+    * with p_fp and alpha_fp both at `scale`, the step-up condition for
+    * the i-th order statistic is the integer test
+    * `p_fp · m ≤ i · alpha_fp` — so the rejection set is
+    * engine-reproducible with no float ranks. This is the
+    * multiple-testing discipline for the drift/burst scan families
+    * (run one test per term/segment, gate alarms at a controlled
+    * false-discovery rate instead of per-test thresholds).
+    *
+    * Resolution entirely on the DISTINCT-p tally (ties share the
+    * LARGEST index among equal p, which is the standard and the
+    * monotone-safe choice): cumulative counts give each distinct value
+    * its best index i = count(p' ≤ p); the threshold p* is the largest
+    * value passing, found on the [[boundedTally]]-pinned tally series;
+    * every row then gets `rejected = p_fp ≤ p*` from a 1-row broadcast
+    * — no global sort, no per-row rank.
+    *
+    * Output: input rows + (m, k_star, p_threshold_fp, rejected 0/1);
+    * if no value passes, k_star = 0 and p_threshold_fp is NULL. */
+  def bhFdr(df: DataFrame, pFpCol: String, alphaFp: Long,
+            scale: Long = 1000000L,
+            maxSeries: Long = 1L << 22): DataFrame = {
+    require(alphaFp > 0 && alphaFp <= scale,
+      s"bhFdr: alphaFp must be in (0, $scale]")
+    val tal = boundedTally(
+      df.groupBy(col(pFpCol).cast("long").as("__p"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__g", lit(1)),
+      "__g", maxSeries, "bhFdr")
+    val wP = Window.partitionBy(col("__g")).orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cut = tal
+      .withColumn("__i", sum(col("__c")).over(wP))
+      .withColumn("__m", sum(col("__c")).over(Window.partitionBy("__g")))
+      .filter(expr(s"cast(__p as decimal(38,0)) * __m <= " +
+        s"cast(__i as decimal(38,0)) * $alphaFp"))
+      .agg(max(col("__p")).as("__pstar"), max(col("__m")).as("__mm"),
+        max(col("__i")).as("__kstar"))
+    val m = tal.agg(sum(col("__c")).as("__mAll"))
+    df.crossJoin(broadcast(
+        cut.crossJoin(m).select(
+          coalesce(col("__mm"), col("__mAll")).as("m"),
+          coalesce(col("__kstar"), lit(0L)).as("k_star"),
+          col("__pstar").as("p_threshold_fp"))))
+      .withColumn("rejected",
+        when(col("p_threshold_fp").isNotNull &&
+          col(pFpCol).cast("long") <= col("p_threshold_fp"), 1L)
+          .otherwise(0L))
+  }
 }

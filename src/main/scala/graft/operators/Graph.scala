@@ -329,6 +329,77 @@ object Graph {
     dist
   }
 
+  /** Hop-bounded closeness from a small seed panel: per reachable
+    * node, the exact count of seeds reaching it within `maxHops`, the
+    * total hop distance, and the fixed-point HARMONIC closeness
+    * `Σ_{seeds at d>0} ⌊scale/d⌋` (the variant that handles
+    * disconnection gracefully — unreached seeds simply contribute 0).
+    * The "how central is every page relative to the trusted hubs"
+    * audit next to [[bfsDistance]]'s single min-hop radius: this keeps
+    * PER-SEED distances, which min-hop BFS destroys.
+    *
+    * Scale: one BFS whose state is (seed, node) — frontier volume is
+    * bounded by seeds × nodes, so the seed panel is REQUIREd ≤
+    * `maxSeeds` up front (closeness from every node is all-pairs and
+    * has no distributed exact form; a bounded panel is the honest
+    * contract). Per round: one co-located join of the frontier
+    * against the src-repartitioned edge frame + a (seed, node)
+    * anti-join against the settled set; O(1) lineage via per-round
+    * localCheckpoint; early exit on a drained frontier. Ghost seeds
+    * are dropped as in [[bfsDistance]].
+    * Output: (node, n_reached, sum_hops, harmonic_fp). */
+  def closenessFromSeeds(edges: DataFrame, srcCol: String, dstCol: String,
+                         seeds: DataFrame, seedCol: String, maxHops: Int,
+                         scale: Long = 1000000L,
+                         maxSeeds: Int = 64): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e = edges.select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct()
+      .repartition(col("__src"))
+      .localCheckpoint(true) // scanned once per round
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst")))
+      .distinct()
+    val seedFrame = seeds.select(col(seedCol).cast("long").as("__seed"))
+      .filter(col("__seed").isNotNull)
+      .distinct()
+      .join(nodes.withColumnRenamed("node", "__seed"), Seq("__seed"),
+        "left_semi")
+      .localCheckpoint(true) // counted for the guard + BFS layer 0
+    val nSeeds = seedFrame.count()
+    require(nSeeds <= maxSeeds,
+      s"closenessFromSeeds: $nSeeds seeds (> maxSeeds=$maxSeeds) — " +
+        "frontier state is seeds × nodes; shrink the panel or raise " +
+        "maxSeeds deliberately.")
+    var settled = seedFrame
+      .select(col("__seed"), col("__seed").as("node"))
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(true)
+    var frontier = settled
+    var hop = 1
+    var drained = frontier.isEmpty
+    while (hop <= maxHops && !drained) {
+      val next = e.join(frontier.withColumnRenamed("node", "__src"),
+          Seq("__src"))
+        .select(col("__seed"), col("__dst").as("node"))
+        .distinct()
+        .join(settled, Seq("__seed", "node"), "left_anti")
+        .withColumn("hops", lit(hop.toLong))
+        .localCheckpoint(true) // probed next round + unioned
+      drained = next.isEmpty
+      if (!drained) settled = settled.union(next).localCheckpoint(true)
+      frontier = next
+      hop += 1
+    }
+    settled.groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("hops")).as("sum_hops"),
+        sum(when(col("hops") > 0, expr(s"$scale div hops"))
+          .otherwise(lit(0L))).as("harmonic_fp"))
+  }
+
   /** k-core: peel nodes of degree < k for `maxRounds` rounds (or to
     * the fixpoint, whichever comes first — extra rounds past the
     * fixpoint are no-ops, so a fixed-round oracle matches). Output:

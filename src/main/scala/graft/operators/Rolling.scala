@@ -394,4 +394,132 @@ object Rolling {
         col("resurrected_users"), col("churned_users"),
         col("active_users"))
   }
+
+  /** Pettitt changepoint test (Pettitt 1979) over each group's daily
+    * count series, all-integer: with the day-ordered series x_1..x_n,
+    * `U_t = Σ_{i≤t, j>t} sgn(x_j − x_i)` and the change point is the
+    * first t < n maximizing |U_t| (`k_u = max |U_t|`). Computed WITHOUT
+    * the quadratic pair sum via the rank identity
+    * `U_t − U_{t−1} = Σ_{j≠t} sgn(x_j − x_t) = n − c(x_t) − 2·lt(x_t)`
+    * where c(v)/lt(v) are the per-group value tally and
+    * strictly-below cumulative — so each day's increment depends only
+    * on its value, and U is a day-ordered cumulative sum.
+    *
+    * Scale: one shuffle to daily counts; the value-cumulative window
+    * orders only the per-group DISTINCT-value tally (pinned and
+    * REQUIREd bounded by [[Eval.boundedTally]]); the U cumsum orders
+    * the per-group day series — bounded by calendar days like
+    * [[cusum]], never by raw events. Output one row per group:
+    * (group, n_days, cp_date, k_u, u_cp) where u_cp is the signed U at
+    * the change point (ties on |U| break to the earliest date). Groups
+    * with a single day emit a NULL change point. */
+  def pettitt(df: DataFrame, groupCol: String, tsCol: String,
+              maxSeries: Long = 1L << 22): DataFrame = {
+    val daily = df
+      .groupBy(col(groupCol), to_date(col(tsCol)).as("date"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // shared: tally, U series, single-day arm
+    val tal = Eval.boundedTally(
+      daily.groupBy(col(groupCol), col("n").as("__v"))
+        .agg(count(lit(1)).as("__c")),
+      groupCol, maxSeries, "pettitt")
+    val wV = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = tal
+      .withColumn("__lt", coalesce(sum(col("__c")).over(wV), lit(0L)))
+      .withColumn("__nd",
+        sum(col("__c")).over(Window.partitionBy(col(groupCol))))
+      .select(col(groupCol).as("__tg"), col("__v"), col("__c"),
+        col("__lt"), col("__nd"))
+    val wD = Window.partitionBy(col(groupCol)).orderBy(col("date"))
+    val u = daily
+      .join(cum, col(groupCol) === col("__tg") && col("n") === col("__v"))
+      .withColumn("__inc", col("__nd") - col("__c") - lit(2L) * col("__lt"))
+      .withColumn("__u", sum(col("__inc")).over(
+        wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__rn", row_number().over(wD))
+      .filter(col("__rn") < col("__nd"))
+    u.groupBy(col(groupCol))
+      .agg(max(col("__nd")).as("__ndays"),
+        min(struct(negate(abs(col("__u"))).as("__negk"),
+          col("date").as("__d"), col("__u").as("__su"))).as("__best"))
+      .select(col(groupCol),
+        col("__ndays").as("n_days"),
+        col("__best.__d").cast("string").as("cp_date"),
+        negate(col("__best.__negk")).as("k_u"),
+        col("__best.__su").as("u_cp"))
+      .unionByName(
+        // single-day groups never enter u (rn < nd filters them out):
+        // report them with a NULL change point rather than dropping
+        daily.groupBy(col(groupCol))
+          .agg(count(lit(1)).as("n_days"))
+          .filter(col("n_days") === 1L)
+          .select(col(groupCol), col("n_days"),
+            lit(null).cast("string").as("cp_date"),
+            lit(null).cast("long").as("k_u"),
+            lit(null).cast("long").as("u_cp")))
+  }
+
+  /** Mann–Kendall trend S statistic + Theil–Sen slope of each group's
+    * daily integral series — the robust trend pair (monotone-trend
+    * sign test and median-of-pairwise-slopes estimator) next to the
+    * closed-form OLS fit ([[Profile.trendFit]]), insensitive to
+    * outliers that wreck least squares.
+    *
+    * All integer: over day-ordered pairs i<j,
+    * `S = Σ sgn(v_j − v_i)`; each pair's slope in fixed point is the
+    * sign-safe truncated division
+    * `sgn(dy) · (|dy|·scale div dx)` with dx = calendar-day gap (> 0),
+    * and the Theil–Sen estimate is the LOWER MEDIAN (rank
+    * `(P+1) div 2` of P pair slopes) — deterministic, no float sort.
+    *
+    * Scale: one shuffle to daily sums; the pair join is per-group
+    * day×day — quadratic in DAYS (REQUIREd ≤ `maxDays`, so ≤
+    * maxDays²/2 pairs per group), never in rows; the median comes from
+    * a cumulative window over the per-group DISTINCT-slope tally, not
+    * a pair sort. Output: (group, n_days, n_pairs, s_stat, slope_fp);
+    * single-day groups emit NULL slope and S = 0. */
+  def mannKendall(df: DataFrame, groupCol: String, tsCol: String,
+                  valueCol: Column, scale: Long = 1000000L,
+                  maxDays: Int = 2048): DataFrame = {
+    require(maxDays >= 1, "mannKendall: maxDays must be positive")
+    val daily = Eval.boundedTally(
+      df.groupBy(col(groupCol), to_date(col(tsCol)).as("date"))
+        .agg(sum(valueCol.cast("long")).as("__v")),
+      groupCol, maxDays.toLong, "mannKendall")
+    val a = daily.select(col(groupCol), unix_date(col("date")).as("__da"),
+      col("__v").as("__va"))
+    val b = daily.select(col(groupCol).as("__gb"),
+      unix_date(col("date")).as("__db"), col("__v").as("__vb"))
+    val pairs = a.join(b,
+        col(groupCol) === col("__gb") && col("__da") < col("__db"))
+      .withColumn("__dy", col("__vb") - col("__va"))
+      .withColumn("__dx", col("__db") - col("__da"))
+      .withColumn("__slope", when(col("__dy") >= 0,
+          expr(s"(__dy * $scale) div __dx"))
+        .otherwise(negate(expr(s"((-__dy) * $scale) div __dx"))))
+    val sStat = pairs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(signum(col("__dy")).cast("long")).as("s_stat"))
+    val wS = Window.partitionBy(col("__sg")).orderBy(col("__slope"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = pairs
+      .groupBy(col(groupCol).as("__sg"), col("__slope"))
+      .agg(count(lit(1)).as("__sc"))
+      .withColumn("__ce", sum(col("__sc")).over(wS))
+      .join(sStat.select(col(groupCol).as("__mg"),
+          expr("(n_pairs + 1) div 2").as("__target")),
+        col("__sg") === col("__mg"))
+      .filter(col("__ce") >= col("__target"))
+      .groupBy(col("__sg"))
+      .agg(min(col("__slope")).as("slope_fp"))
+    daily.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_days"))
+      .join(sStat, Seq(groupCol), "left")
+      .join(med, col(groupCol) === col("__sg"), "left")
+      .select(col(groupCol), col("n_days"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+        col("slope_fp"))
+  }
 }

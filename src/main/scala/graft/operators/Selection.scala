@@ -527,6 +527,120 @@ object Selection {
       col("__n").as("n"): _*)
   }
 
+  /** EXACT exclusive prefix sums per group: for each row, the sum of
+    * `weightCol` over the rows of its group with STRICTLY SMALLER
+    * `orderCol` — the distributed replacement for
+    * `sum(w) over (partition by g order by o rows unbounded preceding)
+    * − w`, WITHOUT a per-group single-task sort (the [[rankRows]]
+    * machinery with weights instead of counts: two-level 65536-way
+    * bucket decomposition, cumulative windows only over bucket-
+    * aggregate rows, facts pay ONE rank-attach equi-join). The shape
+    * behind byte-offset assignment in export manifests (.idx files),
+    * cumulative-capacity packing, and any "position = total size
+    * before me" bookkeeping.
+    *
+    * `orderCol` must be UNIQUE within its group (offsets are
+    * ill-defined under ties) — REQUIREd up front. `weightCol` must be
+    * a non-negative long; per-group totals must fit a long (callers
+    * with 10^19-byte groups have other problems, but the overflow
+    * would be ANSI-loud, not silent). Output: input columns +
+    * (`offset` = exclusive prefix sum, `total` = group total). */
+  def prefixSums(df: DataFrame, groupCol: String, orderCol: String,
+                 weightCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val guardedV = coalesce(col(orderCol).cast("long"),
+      raise_error(lit(s"prefixSums: null order in $orderCol")).cast("long"))
+    val guardedW = coalesce(col(weightCol).cast("long"),
+      raise_error(lit(s"prefixSums: null weight in $weightCol")).cast("long"))
+    val facts = df.withColumn("__v", guardedV).withColumn("__wt", guardedW)
+    val gType = df.schema(groupCol).dataType
+    val bSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__bg", gType) +:
+        Seq("__mn", "__mx", "__tot", "__w1", "__w2").map(
+          org.apache.spark.sql.types.StructField(_,
+            org.apache.spark.sql.types.LongType)))
+    val aggRows = facts.groupBy(col(groupCol)).agg(
+        min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+        count(lit(1)).as("__n"), count_distinct(col("__v")).as("__ndv"),
+        sum(col("__wt")).as("__tot"), min(col("__wt")).as("__wmn"))
+      .collect()
+    aggRows.foreach { r =>
+      require(r.getLong(3) == r.getLong(4),
+        s"prefixSums: $orderCol is not unique within group ${r.get(0)} " +
+          s"(${r.getLong(3)} rows, ${r.getLong(4)} distinct)")
+      require(r.getLong(6) >= 0,
+        s"prefixSums: negative weight in group ${r.get(0)}")
+    }
+    requireSaneRanges(aggRows, mnIdx = 1, mxIdx = 2)
+    val boundRows: Array[Row] = aggRows.map { r =>
+      val (w1, w2) = bucketWidths(r.getLong(1), r.getLong(2))
+      Row(r.get(0), r.getLong(1), r.getLong(2), r.getLong(5), w1, w2)
+    }
+    if (boundRows.isEmpty) return facts.drop("__v", "__wt")
+      .withColumn("offset", lit(null).cast("long"))
+      .withColumn("total", lit(null).cast("long"))
+      .filter(lit(false))
+    val bounds = spark.createDataFrame(
+      java.util.Arrays.asList(boundRows: _*), bSchema)
+    val scoped = facts
+      .join(broadcast(bounds), col(groupCol) <=> col("__bg"))
+      .drop("__bg")
+      .withColumn("__b1", expr("(__v - __mn) div __w1"))
+      .withColumn("__b2", expr("(__v - __mn - __b1 * __w1) div __w2"))
+    // cum1 fuses into cum12 aggregate-side (the rankRows finding):
+    // facts pay exactly ONE equi-join to pick up their offset base
+    val w1 = Window.partitionBy(col(groupCol)).orderBy(col("__b1"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum1 = scoped.groupBy(col(groupCol), col("__b1"))
+      .agg(sum(col("__wt")).as("__c1"))
+      .withColumn("__cb1", coalesce(sum(col("__c1")).over(w1), lit(0L)))
+      .select(col(groupCol).as("__g1"), col("__b1").as("__rb1"),
+        col("__cb1"))
+    val w2 = Window.partitionBy(col(groupCol), col("__b1"))
+      .orderBy(col("__b2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum12 = scoped.groupBy(col(groupCol), col("__b1"), col("__b2"))
+      .agg(sum(col("__wt")).as("__c2"))
+      .withColumn("__cb2", coalesce(sum(col("__c2")).over(w2), lit(0L)))
+      .join(cum1, col(groupCol) <=> col("__g1") &&
+        col("__b1") === col("__rb1"))
+      .select(col(groupCol).as("__gb"), col("__b1").as("__bb1"),
+        col("__b2").as("__bb2"),
+        (col("__cb1") + col("__cb2")).as("__base"))
+    val w2max = boundRows.iterator.map(_.getLong(5)).maxOption.getOrElse(1L)
+    val based =
+      if (w2max == 1L)
+        // sub-bucket width 1 + unique order values ⇒ one row per
+        // sub-bucket: the fused base IS the exclusive prefix sum
+        scoped.join(cum12, col(groupCol) <=> col("__gb") &&
+            col("__b1") === col("__bb1") && col("__b2") === col("__bb2"))
+          .withColumn("offset", col("__base"))
+      else {
+        // >2^32-wide order range: strictly-smaller weights within the
+        // sub-bucket (unique values ⇒ one row per value, the window
+        // sees ≤ sub-bucket-row-count aggregate rows)
+        val wv = Window.partitionBy(col(groupCol), col("__b1"),
+            col("__b2")).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val vcum = scoped
+          .groupBy(col(groupCol), col("__b1"), col("__b2"), col("__v"))
+          .agg(sum(col("__wt")).as("__vc"))
+          .withColumn("__cbv", coalesce(sum(col("__vc")).over(wv), lit(0L)))
+        val vbase = vcum
+          .join(cum12, col(groupCol) <=> col("__gb") &&
+            col("__b1") === col("__bb1") && col("__b2") === col("__bb2"))
+          .select(col(groupCol).as("__gv"), col("__b1").as("__vb1"),
+            col("__b2").as("__vb2"), col("__v").as("__vv"),
+            (col("__base") + col("__cbv")).as("__vbase"))
+        scoped.join(vbase, col(groupCol) <=> col("__gv") &&
+            col("__b1") === col("__vb1") &&
+            col("__b2") === col("__vb2") && col("__v") === col("__vv"))
+          .withColumn("offset", col("__vbase"))
+      }
+    based.select(df.columns.map(col) :+ col("offset") :+
+      col("__tot").as("total"): _*)
+  }
+
   /** EXACT top-`k` rows per group by `valueCol` DESCENDING — the
     * `row_number() over (partition by group order by value desc) <= k`
     * query WITHOUT ever sorting a whole group in one task, with an

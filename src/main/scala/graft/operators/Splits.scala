@@ -59,6 +59,23 @@ object Splits {
       assign(concat(col(groupCol).cast("string"), lit("|" + seed)),
         splits))
 
+  /** Group-aware k-fold cross-validation assignment: every row of a
+    * group lands in the SAME fold (the k-fold twin of [[splitByGroup]]
+    * — fold boundaries that cut a user/domain/near-dup cluster leak
+    * exactly like a bad train/test split). `fold ∈ [0, k)` is the
+    * portable md5 bucket of the seeded group key taken mod k, so folds
+    * are engine-reproducible, append-stable, and shuffle-free (pure
+    * per-row scan work); fold sizes balance in expectation over
+    * GROUPS. Train membership for fold i is simply `fold =!= i` —
+    * no materialized k-times blowup. */
+  def kfoldByGroup(df: DataFrame, groupCol: String, k: Int,
+                   seed: String = ""): DataFrame = {
+    require(k >= 2, "kfoldByGroup: k must be >= 2")
+    df.withColumn("fold",
+      bucket(concat(col(groupCol).cast("string"), lit("|" + seed)),
+        k).cast("long"))
+  }
+
   /** Downsample a corpus to a target domain mix (e.g. re-weighting web
     * sources before training). `weights` maps group value → relative
     * target share. Keeps the LARGEST total N such that every group can

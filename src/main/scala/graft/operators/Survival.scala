@@ -118,4 +118,44 @@ object Survival {
         sum(col("__e")).cast("long").as("expected_fp"))
       .withColumn("oe_fp", lit(scale) * col("observed") - col("expected_fp"))
   }
+
+  /** Nelson–Aalen cumulative-hazard estimator per group — the
+    * integrated-hazard companion to [[kaplanMeier]] (H(t) = Σ_{s≤t}
+    * d_s/n_s; preferred when curves are compared additively or fed to
+    * a proportional-hazards step). Deterministic fixed point: each
+    * step contributes `hazard_fp = ⌊scale·d/n_risk⌋` and the curve is
+    * the plain integer cumulative sum of those floored terms — a
+    * declared summation order any engine reproduces (unlike KM's
+    * product, no recursion is even needed).
+    *
+    * Same tie rule as KM (censored-at-t still at risk for deaths at
+    * t) and the same scale posture: one shuffle to (group, time)
+    * tallies, windows only over the time-domain-bounded tally series
+    * ([[Eval.boundedTally]]-pinned). Output: (groupCol, t, n_risk,
+    * n_event, n_censor, hazard_fp, cumhaz_fp), one row per distinct
+    * observed time per group, ascending t. */
+  def nelsonAalen(df: DataFrame, groupCol: String, durationCol: String,
+                  eventCol: String, scale: Long = 1000000L,
+                  maxSeries: Long = 1L << 22): DataFrame = {
+    val tal = Eval.boundedTally(df
+      .groupBy(col(groupCol).cast("string").as("__g"),
+        col(durationCol).cast("long").as("__t"))
+      .agg(sum(when(col(eventCol) =!= 0, 1L).otherwise(0L)).as("__d"),
+        sum(when(col(eventCol) =!= 0, 0L).otherwise(1L)).as("__c")),
+      "__g", maxSeries, "nelsonAalen")
+    val wg = Window.partitionBy("__g").orderBy("__t")
+    tal
+      .withColumn("__cumb", coalesce(sum(col("__d") + col("__c")).over(
+        wg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__tot", sum(col("__d") + col("__c"))
+        .over(Window.partitionBy("__g")))
+      .withColumn("__nrisk", col("__tot") - col("__cumb"))
+      .withColumn("hazard_fp", expr(
+        s"cast((cast($scale as decimal(38,0)) * __d) div __nrisk as long)"))
+      .withColumn("cumhaz_fp", sum(col("hazard_fp")).over(
+        wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("__g").as(groupCol), col("__t").as("t"),
+        col("__nrisk").as("n_risk"), col("__d").as("n_event"),
+        col("__c").as("n_censor"), col("hazard_fp"), col("cumhaz_fp"))
+  }
 }

@@ -258,6 +258,58 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_mentions"),
         count_distinct(col(idCol)).as("n_docs"))
 
+  // URL canonicalization pattern constants — ONE string each, shared
+  // verbatim with every oracle (the q109 recipe): the RE2 ∩ Java
+  // subset, no \uXXXX, no backreferences in replacements.
+  val UrlFragmentRe = "#.*"
+  val UrlSchemeHostRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+  val UrlPort80Re = ":80$"
+  val UrlPort443Re = ":443$"
+  val UrlQmRe = "\\?"
+  val UrlTrackingRe = "&(utm_[a-z0-9_]+|fbclid|gclid|igshid|ref)=[^&#]*"
+  val UrlQmAmpRe = "\\?&"
+  val UrlTailRe = "[?&]+$"
+  val UrlSlashRe = "/+$"
+
+  /** Canonical URL form for dedup/accounting — the normalization a
+    * web-corpus pipeline applies before "same page, same URL"
+    * grouping collapses re-crawls: strip the fragment, lowercase
+    * scheme+host (path/query stay case-sensitive), drop default ports
+    * :80/:443, remove tracking parameters (utm_*, fbclid, gclid,
+    * igshid, ref) wherever they sit in the query string, and trim
+    * dangling `?`/`&`/trailing slashes. Pure per-row regex chain over
+    * the shared pattern constants above — engine-reproducible (DuckDB
+    * mirrors each step with the 'g' flag), scan-local, zero shuffle.
+    * Mechanics: the one literal `?` is doubled to `?&` first so every
+    * parameter is `&`-preceded and ONE tracking-pattern erase handles
+    * first/middle/last positions alike; the marker is folded back
+    * after. Multi-`?` URLs are malformed; they degrade identically on
+    * both engines. */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, UrlFragmentRe, "")
+    val prefix = regexp_extract(noFrag, UrlSchemeHostRe, 0)
+    val rest = noFrag.substr(length(prefix) + 1, lit(1000000))
+    val canonPre = regexp_replace(
+      regexp_replace(lower(prefix), UrlPort80Re, ""), UrlPort443Re, "")
+    val marked = regexp_replace(concat(canonPre, rest), UrlQmRe, "?&")
+    val stripped = regexp_replace(marked, UrlTrackingRe, "")
+    val folded = regexp_replace(stripped, UrlQmAmpRe, "?")
+    regexp_replace(regexp_replace(folded, UrlTailRe, ""), UrlSlashRe, "")
+  }
+
+  /** Canonical-URL dedup accounting: rows collapse to one row per
+    * canonical form with mention/distinct-doc counts and the
+    * canonical representative (smallest id) — the exact-dedup shape
+    * ([[Dedup.exact]]) keyed on [[canonicalUrl]]. One partial-agg
+    * shuffle on the canonical string. */
+  def urlDedupStats(df: DataFrame, idCol: String,
+                    urlCol: String): DataFrame =
+    df.select(col(idCol), canonicalUrl(col(urlCol)).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_mentions"),
+        count_distinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("canonical_id"))
+
   /** Full winnowing fingerprint set (Schleimer et al., SIGMOD'03 — the
     * algorithm behind MOSS): character k-gram hashes, minimum per
     * sliding window of `w`, distinct minima per document. Guarantees a
