@@ -84,4 +84,74 @@ object AsOf {
           payload.map(c => when(live, col(s"__c.$c")).otherwise(lit(null))
             .as(c)): _*)
   }
+
+  /** Interpolating as-of: attach to each probe (key, t) the LINEARLY
+    * interpolated sample value — `v0 + (v1−v0)·(t−t0) / (t1−t0)` between
+    * the bracketing samples, the sensor/feature time-alignment the
+    * carry-forward [[join]] cannot answer (a reading 1 ms before the
+    * next sample should not still report the hour-old one). Exact
+    * integer arithmetic on long values/timestamps: the division is a
+    * single sign-factored floor, so any engine reproduces it
+    * bit-for-bit. Probes outside the sampled range (no bracket on one
+    * side) get NULL — interpolation, never extrapolation; a probe ON a
+    * sample time returns that sample exactly.
+    *
+    * Scale: the merge-as-of posture — samples collapse to one value per
+    * (key, t) (deterministic max, so duplicate readings cannot make the
+    * answer ordering-dependent), then probes and samples union, shuffle
+    * ONCE on the key, and two opposite-direction carry windows over the
+    * same partitioning attach (t0,v0]/(t1,v1] — one exchange, two
+    * in-partition sorts, zero fanout (a range join would fan out per
+    * sample version and re-rank). */
+  def lerp(probes: DataFrame, samples: DataFrame, keys: Seq[String],
+           tsCol: String, valueCol: String,
+           outCol: String = "value_lerp"): DataFrame = {
+    val probeCols = probes.columns.toSeq
+    val samp = samples.select(
+        keys.map(col) :+ col(tsCol).cast("long").as("__t") :+
+          col(valueCol).cast("long").as("__v"): _*)
+      .filter(col("__t").isNotNull && col("__v").isNotNull)
+      .groupBy(keys.map(col) :+ col("__t"): _*)
+      .agg(max(col("__v")).as("__v"))
+      .withColumn("__probe", lit(0))
+    val sampSide = samp.select(
+      keys.map(col) ++ Seq(col("__t"), col("__probe"), col("__v")) ++
+        probeCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(probes.schema(c).dataType).as(c)): _*)
+    val probeSide = probes.select(
+      keys.map(col) ++ Seq(col(tsCol).cast("long").as("__t"),
+        lit(1).as("__probe"), lit(null).cast("long").as("__v")) ++
+        probeCols.filterNot(keys.contains).map(col): _*)
+    // forward: samples sort before probes at equal t, so an exact-time
+    // sample is its probe's (t0, v0); backward: after, so it is also
+    // (t1, v1) — and the t1 == t0 guard returns it exactly.
+    val wFwd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBack = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sample = when(col("__probe") === 0,
+      struct(col("__t").as("t"), col("__v").as("v")))
+    val carried = sampSide.unionByName(probeSide)
+      .withColumn("__lo", last(sample, ignoreNulls = true).over(wFwd))
+      .withColumn("__hi", last(sample, ignoreNulls = true).over(wBack))
+    val t0 = col("__lo.t"); val v0 = col("__lo.v")
+    val t1 = col("__hi.t")
+    // value·time products overflow long (ANSI throws mid-task) —
+    // decimal(38,0) intermediates; ONE sign-factored floor division
+    val lerped = when(t1 === t0, v0).otherwise(v0 + expr(
+      """CAST(CASE WHEN (__hi.v - __lo.v) >= 0
+        |  THEN (CAST(__hi.v - __lo.v AS DECIMAL(38,0)) *
+        |        CAST(__t - __lo.t AS DECIMAL(38,0))) div
+        |       CAST(__hi.t - __lo.t AS DECIMAL(38,0))
+        |  ELSE -((CAST(__lo.v - __hi.v AS DECIMAL(38,0)) *
+        |          CAST(__t - __lo.t AS DECIMAL(38,0))) div
+        |         CAST(__hi.t - __lo.t AS DECIMAL(38,0)))
+        |END AS BIGINT)""".stripMargin))
+    carried.filter(col("__probe") === 1)
+      .select(probeCols.map(col) :+
+        when(col("__lo").isNotNull && col("__hi").isNotNull, lerped)
+          .as(outCol): _*)
+  }
 }

@@ -717,4 +717,119 @@ object Eval {
           col(pFpCol).cast("long") <= col("p_threshold_fp"), 1L)
           .otherwise(0L))
   }
+
+  /** Cochran–Armitage trend test (Cochran 1954 / Armitage 1955): does a
+    * binary outcome's rate move MONOTONICALLY with an ordered dose
+    * score — the dose-response question a 2×k χ² cannot answer (χ²
+    * rejects any heterogeneity; CA spends all its power on the linear
+    * trend). Per group: `T = Σᵢ wᵢ(rᵢ − nᵢR/n)` with integer numerator
+    * `T_num = n·Σwr − R·Σwn`, and `z² = T_num²(n−1) /
+    * (R(n−R)(nΣw²nᵢ − (Σwnᵢ)²))`. Reported through the
+    * [[assocPhi2]] fp-normalization discipline — `t_fp = scale·T_num
+    * div n²`, variance factors normalized by n² likewise, then ONE
+    * declared division chain — so every intermediate stays bounded by
+    * scale·wmax² regardless of n (the naive T_num² overflows
+    * decimal(38,0) past ~10^9 rows) and any engine reproduces the
+    * procedure bit-for-bit.
+    *
+    * Scale: ONE row-level partial aggregate per group (the score sums
+    * Σw, Σw², Σw·outcome are plain row sums — no per-dose cell table
+    * materializes); NULL z² on degenerate groups (all/no successes,
+    * constant score, n < 2). Output: (groupCol, n, r, t_fp, z2_fp) —
+    * t_fp signed (trend direction), z2_fp ~ χ²₁ under no trend. */
+  def trendTest(df: DataFrame, groupCol: String, scoreCol: Column,
+                outcome: Column, scale: Long = 1000000L): DataFrame =
+    df.select(col(groupCol), scoreCol.cast("long").as("__w"),
+        when(outcome, 1L).otherwise(0L).as("__r"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__r")).as("r"),
+        sum(col("__w")).as("__sw"),
+        sum(expr("cast(__w as decimal(38,0)) * __w")).as("__sww"),
+        sum(col("__w") * col("__r")).as("__swr"))
+      .withColumn("__tnum", expr(
+        """cast(n as decimal(38,0)) * __swr -
+          |  cast(r as decimal(38,0)) * __sw""".stripMargin))
+      .withColumn("t_fp", expr(
+        s"""case when __tnum >= 0
+           |  then ($scale * __tnum) div (cast(n as decimal(38,0)) * n)
+           |  else -(($scale * -__tnum) div (cast(n as decimal(38,0)) * n))
+           |  end""".stripMargin))
+      .withColumn("__v1", expr( // scale·R(n−R)/n² ≤ scale/4
+        s"($scale * (cast(r as decimal(38,0)) * (n - r))) " +
+          "div (cast(n as decimal(38,0)) * n)"))
+      .withColumn("__v2", expr( // scale·(nΣw²−(Σw)²)/n² ≤ scale·wmax²
+        s"($scale * (cast(n as decimal(38,0)) * __sww - " +
+          "cast(__sw as decimal(38,0)) * __sw)) " +
+          "div (cast(n as decimal(38,0)) * n)"))
+      .withColumn("__nf", expr(s"($scale * (n - 1)) div n"))
+      .withColumn("z2_fp", expr(
+        // t_fp²·nf/(v1·v2) carries a stray 1/n (each fp factor divides
+        // by a power of n; they don't cancel) — the ·n restores the
+        // dimensionless z²·scale. Bound: (scale·wmax)²·scale·n < 10^38
+        // holds to n ~ 10^12 at wmax ~ 10.
+        s"""cast(case when n < 2 or __v1 <= 0 or __v2 <= 0 then null
+           |  else (cast(t_fp as decimal(38,0)) * t_fp * __nf * n)
+           |       div __v1 div __v2
+           |  end as long)""".stripMargin))
+      .select(col(groupCol), col("n"), col("r"),
+        expr("cast(t_fp as long)").as("t_fp"), col("z2_fp"))
+
+  /** CUPED variance-reduced experiment readout (Deng et al. WSDM 2013):
+    * adjust each variant's metric mean by the pre-experiment covariate,
+    * `adj = ȳ_v − θ·(x̄_v − x̄)` with `θ = cov(x,y)/var(x)` pooled over
+    * the whole group — removes the covariate-explained variance so the
+    * same experiment resolves smaller effects. Deterministic fixed
+    * point: `theta_fp = scale·(nΣxy − ΣxΣy) div (nΣx² − (Σx)²)`, the
+    * variant deviations `dx_fp = scale·(n·Σx_v − n_v·Σx) div (n_v·n)`,
+    * and the correction `(theta_fp·dx_fp) div scale` — every division a
+    * declared sign-factored floor, so the report hash-checks.
+    *
+    * Scale: ONE row-level partial aggregate per (group, variant) —
+    * moment sums only, decimal(38,0) against 10^12-row groups (bound:
+    * n·Σxy needs n·n·x·y < 10^38) — then per-group pooled moments via a
+    * groups-sized window; zero-variance covariate → theta NULL,
+    * adjustment 0 (the correct limit). Output: (groupCol, variant, n,
+    * ybar_fp, theta_fp, adj_fp). */
+  def cuped(df: DataFrame, groupCol: String, variantCol: String,
+            metric: Column, covariate: Column,
+            scale: Long = 1000000L): DataFrame = {
+    val wg = Window.partitionBy(col(groupCol))
+    def signedDiv(num: String, den: String) =
+      s"""case when ($num) >= 0 then ($num) div ($den)
+         |  else -((-($num)) div ($den)) end""".stripMargin
+    df.select(col(groupCol), col(variantCol).cast("string").as("variant"),
+        metric.cast("long").as("__y"), covariate.cast("long").as("__x"))
+      .groupBy(col(groupCol), col("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(__y as decimal(38,0))")).as("__sy"),
+        sum(expr("cast(__x as decimal(38,0))")).as("__sx"),
+        sum(expr("cast(__x as decimal(38,0)) * __y")).as("__sxy"),
+        sum(expr("cast(__x as decimal(38,0)) * __x")).as("__sxx"))
+      // pooled-moment names must not collide case-insensitively with
+      // the per-variant ones (withColumn REPLACES on a case-insensitive
+      // match, silently losing the per-variant sums)
+      .withColumn("__pn", sum(col("n")).over(wg))
+      .withColumn("__psy", sum(col("__sy")).over(wg))
+      .withColumn("__psx", sum(col("__sx")).over(wg))
+      .withColumn("__psxy", sum(col("__sxy")).over(wg))
+      .withColumn("__psxx", sum(col("__sxx")).over(wg))
+      .withColumn("__covn", expr("__pn * __psxy - __psx * __psy"))
+      .withColumn("__varn", expr("__pn * __psxx - __psx * __psx"))
+      .withColumn("theta_fp", expr(s"""cast(case when __varn <= 0
+           |  then null else ${signedDiv(s"$scale * __covn", "__varn")}
+           |  end as long)""".stripMargin))
+      .withColumn("ybar_fp", expr(
+        s"cast(${signedDiv(s"$scale * __sy", "n")} as long)"))
+      .withColumn("__dx_fp", expr(signedDiv(
+        s"$scale * (__pn * __sx - cast(n as decimal(38,0)) * __psx)",
+        "cast(n as decimal(38,0)) * __pn")))
+      .withColumn("adj_fp", expr(
+        s"""cast(case when theta_fp is null then ybar_fp
+           |  else ybar_fp - ${signedDiv(
+                 "cast(theta_fp as decimal(38,0)) * __dx_fp",
+                 s"$scale")}
+           |  end as long)""".stripMargin))
+      .select(col(groupCol), col("variant"), col("n"), col("ybar_fp"),
+        col("theta_fp"), col("adj_fp"))
+  }
 }

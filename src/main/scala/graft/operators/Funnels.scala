@@ -341,4 +341,92 @@ object Funnels {
     }.toSeq
     rows.toDF(channelCol, "removal_effect_bp", "credit_bp")
   }
+
+  /** Shapley-value multi-touch attribution (Shapley 1953 applied to
+    * journey coalitions, the order-independent complement to the
+    * position/time-decay heuristics and the Markov removal effect):
+    * the characteristic function is `v(S)` = conversions of journeys
+    * whose DISTINCT touched-channel set ⊆ S, and each channel's credit
+    * is its exact Shapley value under v. Computed entirely in integer /
+    * BigInt arithmetic — `num_c = Σ_{S∌c} |S|!·(k−1−|S|)!·(v(S∪c)−v(S))`
+    * with the k! denominator divided out ONCE per reported value — so
+    * both `shapley_fp = ⌊scale·num_c / k!⌋` and
+    * `credit_bp = ⌊10^4·num_c / (k!·v(C))⌋` are engine-exact (a DuckDB
+    * oracle reproduces them from the same coalition counts).
+    *
+    * Scale: the cluster side is one distinct-(user, channel) aggregate
+    * → per-converter sorted channel-set key → a set-count aggregate of
+    * AT MOST 2^k rows (k ≤ `maxChannels`, REQUIREd cluster-side BEFORE
+    * the collect, the markovAttribution posture); the driver holds the
+    * 2^k coalition table and runs the O(k·2^k) subset-sum (zeta)
+    * transform + Shapley fold — model-sized, never journey-sized.
+    * Efficiency (Σ shapley = v(C) − v(∅)) is asserted exactly.
+    *
+    * Output: (channelCol, n_converters, shapley_fp, credit_bp), one
+    * row per observed channel. */
+  def shapleyAttribution(touches: DataFrame, userCol: String,
+                         channelCol: String, converters: DataFrame,
+                         scale: Long = 1000000L,
+                         maxChannels: Int = 16): DataFrame = {
+    val spark = touches.sparkSession
+    import spark.implicits._
+    require(maxChannels >= 1 && maxChannels <= 20,
+      s"maxChannels $maxChannels outside the 2^k driver budget [1, 20]")
+    val t = touches.select(col(userCol).as("__u"),
+        col(channelCol).cast("string").as("__ch"))
+      .filter(col("__u").isNotNull && col("__ch").isNotNull)
+      .distinct()
+    val nCh = t.agg(count_distinct(col("__ch"))).first().getLong(0)
+    require(nCh <= maxChannels,
+      s"channel vocabulary $nCh exceeds the $maxChannels " +
+        "2^k coalition budget")
+    val conv = converters.select(col(userCol).as("__u")).distinct()
+    // ≤ 2^k coalition rows: (sorted distinct channel set, converters)
+    val setCounts = t.join(conv, Seq("__u"))
+      .groupBy(col("__u"))
+      .agg(sort_array(collect_set(col("__ch"))).as("__set"))
+      .groupBy(col("__set")).agg(count(lit(1)).as("__n"))
+      .as[(Seq[String], Long)].collect()
+
+    val channels = setCounts.flatMap(_._1).distinct.sorted
+    val k = channels.length
+    if (k == 0)
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF(channelCol, "n_converters", "shapley_fp", "credit_bp")
+    val bit = channels.zipWithIndex.toMap
+    val v = Array.fill(1 << k)(BigInt(0))
+    for ((set, n) <- setCounts)
+      v(set.map(bit).foldLeft(0)((m, b) => m | (1 << b))) += n
+    // zeta transform: v(S) = Σ_{T ⊆ S} count(T)
+    for (i <- 0 until k; s <- 0 until (1 << k); if (s & (1 << i)) != 0)
+      v(s) += v(s ^ (1 << i))
+    val fact = new Array[BigInt](k + 1)
+    fact(0) = BigInt(1)
+    for (i <- 1 to k) fact(i) = fact(i - 1) * i
+    val kFact = fact(k)
+    val vFull = v((1 << k) - 1)
+    val nums = channels.indices.map { i =>
+      var num = BigInt(0)
+      for (s <- 0 until (1 << k); if (s & (1 << i)) == 0) {
+        val w = fact(Integer.bitCount(s)) * fact(k - 1 - Integer.bitCount(s))
+        num += w * (v(s | (1 << i)) - v(s))
+      }
+      num
+    }
+    // efficiency: Σ_c num_c = k!·(v(C) − v(∅)); v(∅) = 0 by construction
+    require(nums.sum == kFact * vFull,
+      "Shapley efficiency violated — coalition table inconsistent")
+    // ONE job for every per-channel converter tally (k separate
+    // count() jobs would pay the job-scheduling floor k times)
+    val nByCh = t.join(conv, Seq("__u"))
+      .groupBy(col("__ch")).agg(count(lit(1)).as("__n"))
+      .as[(String, Long)].collect().toMap
+    val rows = channels.indices.map { i =>
+      val credit = if (vFull == 0) 0L
+        else ((nums(i) * 10000) / (kFact * vFull)).toLong
+      (channels(i), nByCh.getOrElse(channels(i), 0L),
+        ((nums(i) * scale) / kFact).toLong, credit)
+    }
+    rows.toDF(channelCol, "n_converters", "shapley_fp", "credit_bp")
+  }
 }

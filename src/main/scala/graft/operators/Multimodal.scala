@@ -193,4 +193,130 @@ object Multimodal {
     df.withColumn("meta",
       struct(lit(w).as("width"), lit(h).as("height"),
         col("meta.format").as("format")))
+
+  /** Decoded-audio summary over the interleaved PCM sample stream:
+    * exact extrema/sums (integer, so downstream aggregation
+    * hash-checks) plus strict sign-change zero crossings
+    * (`s_{i-1}·s_i < 0`; zeros break runs). */
+  final case class WavStats(sampleRate: Int, channels: Int, bits: Int,
+                            nSamples: Long, sMin: Int, sMax: Int,
+                            sumAbs: Long, sumSq: Long, zeroCross: Long)
+
+  /** Minimal RIFF/WAVE writer for integer PCM (16-bit LE or 8-bit
+    * unsigned), the fixture/export half of [[decodeWav]]. */
+  def encodeWav(samples: Array[Int], sampleRate: Int, channels: Int,
+                bits: Int = 16): Array[Byte] = {
+    require(bits == 16 || bits == 8, s"unsupported PCM width $bits")
+    require(channels >= 1 && sampleRate > 0)
+    val bytesPer = bits / 8
+    val dataLen = samples.length * bytesPer
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * bytesPer)
+      .putShort((channels * bytesPer).toShort).putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) {
+      if (bits == 16) bb.putShort(samples(i).toShort)
+      else bb.put((samples(i) + 128).toByte) // 8-bit PCM: unsigned disk
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** REAL audio decode: a from-scratch RIFF/WAVE chunk walker +
+    * integer-PCM reader (16-bit signed LE / 8-bit unsigned, the
+    * overwhelmingly common uncompressed layouts) — pure JVM byte
+    * arithmetic, zero codec dependencies, so it runs identically on
+    * every executor. Non-RIFF / compressed / truncated payloads return
+    * None (degrade to a reported miss, never a task failure). One pass
+    * over the sample bytes, O(1) scratch. 8-bit samples are re-centered
+    * to signed (−128..127) so stats share one scale. */
+  def decodeWav(content: Array[Byte]): Option[WavStats] = {
+    if (content.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(content)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(content, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmtOk = false
+    var channels = 0; var rate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= content.length && (dataOff < 0 || !fmtOk)) {
+      val id = tag(off); val size = bb.getInt(off + 4)
+      if (size < 0 || off + 8 + size > content.length) return None
+      if (id == "fmt " && size >= 16) {
+        val audioFormat = bb.getShort(off + 8) & 0xffff
+        channels = bb.getShort(off + 10) & 0xffff
+        rate = bb.getInt(off + 12)
+        bits = bb.getShort(off + 22) & 0xffff
+        if (audioFormat != 1 || (bits != 16 && bits != 8) ||
+          channels < 1 || rate <= 0) return None
+        fmtOk = true
+      } else if (id == "data") { dataOff = off + 8; dataLen = size }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0) return None
+    val bytesPer = bits / 8
+    val n = dataLen / bytesPer
+    var i = 0
+    var mn = Int.MaxValue; var mx = Int.MinValue
+    var sumAbs = 0L; var sumSq = 0L; var zc = 0L; var prev = 0
+    while (i < n) {
+      val v =
+        if (bits == 16) bb.getShort(dataOff + i * 2).toInt
+        else (content(dataOff + i) & 0xff) - 128
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      sumAbs += math.abs(v).toLong
+      sumSq += v.toLong * v
+      if (i > 0 && prev.toLong * v < 0) zc += 1
+      prev = v
+      i += 1
+    }
+    if (n == 0) { mn = 0; mx = 0 }
+    Some(WavStats(rate, channels, bits, n, mn, mx, sumAbs, sumSq, zc))
+  }
+
+  /** Partition-parallel REAL audio feature extraction — the WAV twin of
+    * [[imageFeatures]]: decode `content` with [[decodeWav]] into exact
+    * integer PCM stats; undecodable payloads keep their row with
+    * `decode_ok = false`. Embarrassingly parallel scan work, no
+    * shuffle. */
+  def wavFeatures(df: DataFrame): DataFrame = {
+    val session = df.sparkSession
+    val outSchema = StructType(
+      df.schema.fields.filterNot(_.name == "content") ++ Seq(
+        StructField("decode_ok", BooleanType, nullable = false),
+        StructField("sample_rate", IntegerType),
+        StructField("channels", IntegerType),
+        StructField("bits", IntegerType),
+        StructField("n_samples", LongType),
+        StructField("s_min", IntegerType),
+        StructField("s_max", IntegerType),
+        StructField("sum_abs", LongType),
+        StructField("sum_sq", LongType),
+        StructField("zero_crossings", LongType)))
+    val contentIdx = df.schema.fieldIndex("content")
+    val keepIdx = df.schema.fields.indices.filterNot(_ == contentIdx)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val kept = keepIdx.map(r.get)
+        decodeWav(r.getAs[Array[Byte]](contentIdx)) match {
+          case Some(st) =>
+            Row.fromSeq(kept ++ Seq(true, st.sampleRate, st.channels,
+              st.bits, st.nSamples, st.sMin, st.sMax, st.sumAbs,
+              st.sumSq, st.zeroCross))
+          case None =>
+            Row.fromSeq(kept ++ Seq(false, null, null, null, null,
+              null, null, null, null, null))
+        }
+      }
+    }
+    session.createDataFrame(rdd, outSchema)
+  }
 }

@@ -158,4 +158,63 @@ object Survival {
         col("__nrisk").as("n_risk"), col("__d").as("n_event"),
         col("__c").as("n_censor"), col("hazard_fp"), col("cumhaz_fp"))
   }
+
+  /** Aalen–Johansen cumulative incidence under COMPETING risks (Aalen &
+    * Johansen 1978): when a subject can fail from one of several causes
+    * (churn vs conversion, death vs transplant), `1 − KM_k` computed on
+    * one cause with the others censored OVERSTATES that cause's
+    * incidence — the correct cumulative incidence of cause k is
+    * `CIF_k(t) = Σ_{s ≤ t} S(s−) · d_k(s) / n(s)` with S the all-cause
+    * KM survival. Deterministic fixed point: S follows kaplanMeier's
+    * floored product recurrence on TOTAL deaths, and each cause's
+    * increment is `⌊S(s−)·d_k(s) / n(s)⌋` summed in ascending-time
+    * order — a declared integer procedure a DuckDB recursive CTE + one
+    * cumsum reproduces bit-for-bit.
+    *
+    * Same tie rule (censored at t still at risk at t) and scale posture
+    * as [[kaplanMeier]]: ONE shuffle to (group, time, cause) tallies,
+    * then a per-group fold over the distinct-time series (bounded by
+    * the time domain, never cohort size) in flatMapGroups with BigInt
+    * arithmetic.
+    *
+    * @param causeCol failure cause (cast to string); NULL = censored
+    * @return (groupCol, t, cause, n_risk, n_event, surv_fp, cif_fp) —
+    *         one row per (time, cause) with events of that cause;
+    *         surv_fp is the all-cause survival AFTER the deaths at t,
+    *         cif_fp the cause's cumulative incidence THROUGH t */
+  def aalenJohansen(df: DataFrame, groupCol: String, durationCol: String,
+                    causeCol: String, scale: Long = 1000000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tallies = df
+      .groupBy(col(groupCol).cast("string").as("__g"),
+        col(durationCol).cast("long").as("__t"),
+        col(causeCol).cast("string").as("__k")) // NULL __k = censored
+      .agg(count(lit(1)).as("__n"))
+      .as[(String, Long, Option[String], Long)]
+    tallies.groupByKey(_._1).flatMapGroups { (g, it) =>
+      val byTime = it.toArray.groupBy(_._2).toArray.sortBy(_._1)
+      var atRisk = byTime.iterator.flatMap(_._2).map(_._4).sum
+      var s = BigInt(scale)
+      val cif = scala.collection.mutable.Map.empty[String, BigInt]
+      val out = Array.newBuilder[(String, Long, String, Long, Long,
+        Long, Long)]
+      for ((t, rows) <- byTime) {
+        val nRisk = atRisk
+        val d = rows.iterator.filter(_._3.isDefined).map(_._4).sum
+        val c = rows.iterator.filter(_._3.isEmpty).map(_._4).sum
+        val sPrev = s
+        s = s * BigInt(nRisk - d) / BigInt(nRisk)
+        for ((_, _, Some(k), dk) <- rows.sortBy(_._3.getOrElse(""))) {
+          val inc = sPrev * BigInt(dk) / BigInt(nRisk)
+          val tot = cif.getOrElse(k, BigInt(0)) + inc
+          cif(k) = tot
+          out += ((g, t, k, nRisk, dk, s.toLong, tot.toLong))
+        }
+        atRisk -= (d + c)
+      }
+      out.result().iterator
+    }.toDF(groupCol, "t", "cause", "n_risk", "n_event", "surv_fp",
+      "cif_fp")
+  }
 }

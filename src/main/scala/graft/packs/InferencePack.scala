@@ -1,0 +1,388 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.core.Tables
+import graft.operators.{AsOf, Eval, Funnels, Multimodal, Survival}
+
+/** Causal / experimentation inference + real-media decode (round-10
+  * additions): Shapley attribution, Aalen–Johansen competing risks,
+  * interpolating as-of alignment, Cochran–Armitage trend, CUPED
+  * variance reduction, and an end-to-end WAV PCM decode check. Every
+  * query is exact integer / declared-division fixed point, so DuckDB
+  * reproduces each bit-for-bit — including the Shapley values (the
+  * coalition table is enumerable for a literal channel vocabulary) and
+  * the WAV stats (the oracle recomputes the portable-hash PCM series
+  * directly, certifying the encode→decode roundtrip as an identity). */
+object InferencePack extends QueryPack {
+
+  private def cents(c: String) = expr(s"cast(round($c * 100) as long)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Shapley-value attribution over the 3-channel touch vocabulary;
+    // conversions = purchase users. Exact coalition math at fp scale.
+    "q250_shapley" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      Funnels.shapleyAttribution(
+        e.filter(col("event_type").isin("click", "signup", "view")),
+        "user_id", "event_type",
+        e.filter(col("event_type") === "purchase"))
+        .withColumnRenamed("event_type", "channel")
+    }),
+
+    // Aalen–Johansen cumulative incidence: first purchase vs first
+    // error compete per user (ties → purchase); censored at the last
+    // event; cohorts = user_id parity (the q158 construction).
+    "q251_aj_cif" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val perUser = e.groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("__t0"),
+          min(when(col("event_type") === "purchase", col("ts_us")))
+            .as("__tp"),
+          min(when(col("event_type") === "error", col("ts_us")))
+            .as("__te"),
+          max(col("ts_us")).as("__tl"))
+        .select(
+          concat(lit("c"), pmod(col("user_id"), lit(2)).cast("string"))
+            .as("cohort"),
+          expr("""(case
+              |  when __tp is not null and (__te is null or __tp <= __te)
+              |    then __tp
+              |  when __te is not null then __te
+              |  else __tl end - __t0) div 86400000000""".stripMargin)
+            .as("dur"),
+          expr("""case
+              |  when __tp is not null and (__te is null or __tp <= __te)
+              |    then 'purchase'
+              |  when __te is not null then 'error'
+              |  else null end""".stripMargin).as("cause"))
+      Survival.aalenJohansen(perUser, "cohort", "dur", "cause")
+    }),
+
+    // interpolating as-of: each purchase gets the user's view-value
+    // (cents) linearly interpolated between the bracketing views
+    "q252_asof_lerp" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      AsOf.lerp(
+        probes = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us")),
+        samples = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_us"),
+            cents("value").as("cents")),
+        keys = Seq("user_id"), tsCol = "ts_us", valueCol = "cents")
+        .select(col("event_id"), col("user_id"), col("value_lerp"))
+    }),
+
+    // end-to-end REAL WAV decode: portable-hash PCM16 samples per doc
+    // are RIFF-encoded and decoded back by the from-scratch parser;
+    // the oracle recomputes the stats from the same md5 series, so a
+    // hash match certifies the byte-level codec roundtrip exactly
+    "q253_wav_stats" -> ((s, dir) => {
+      val enc = udf((samples: Seq[Long]) =>
+        Multimodal.encodeWav(samples.map(_.toInt).toArray,
+          sampleRate = 8000, channels = 1))
+      val assets = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), enc(expr(
+          """transform(sequence(0, 63), i ->
+            |  cast(conv(substring(md5(concat(cast(doc_id as string),
+            |    '-', cast(i as string))), 1, 8), 16, 10) as bigint)
+            |  % 65536 - 32768)""".stripMargin)).as("content"))
+      Multimodal.wavFeatures(assets)
+        .select(col("doc_id"), col("n_samples"), col("s_min"),
+          col("s_max"), col("sum_abs"), col("sum_sq"),
+          col("zero_crossings"))
+    }),
+
+    // Cochran–Armitage: does the return rate trend with the line
+    // number, per line status (ordered dose = l_linenumber)
+    "q254_ca_trend" -> ((s, dir) =>
+      Eval.trendTest(Tables.load(s, dir, "lineitem"), "l_linestatus",
+        col("l_linenumber"), col("l_returnflag") === "R")),
+
+    // CUPED: purchase spend adjusted by browse spend per variant
+    // (user_id parity) within user segments (user_id mod 3)
+    "q255_cuped" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val perUser = e.groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase", cents("value"))
+            .otherwise(0L)).as("y"),
+          sum(when(col("event_type").isin("view", "click"),
+            cents("value")).otherwise(0L)).as("x"))
+        .select(
+          concat(lit("s"), pmod(col("user_id"), lit(3)).cast("string"))
+            .as("segment"),
+          concat(lit("v"), pmod(col("user_id"), lit(2)).cast("string"))
+            .as("variant"),
+          col("y"), col("x"))
+      Eval.cuped(perUser, "segment", "variant", col("y"), col("x"))
+    })
+  )
+
+  /** Shapley oracle for the literal channel vocabulary: the coalition
+    * characteristic values v(S) enumerate as 2^k scalar subqueries and
+    * the Shapley numerators as literal-weighted marginal sums — the
+    * generated-literal posture of the q199 Cramer oracle. */
+  private val ShapleyOracleSql: String = {
+    val chs = Vector("click", "signup", "view")
+    val k = chs.length
+    def fact(n: Int): BigInt = (1 to n).foldLeft(BigInt(1))(_ * _)
+    val kf = fact(k)
+    val full = (1 << k) - 1
+    val flagDefs = chs.indices.map(b =>
+      s"    max(CASE WHEN ch = '${chs(b)}' THEN 1 ELSE 0 END) AS b$b")
+    val vDefs = (0 until (1 << k)).map { m =>
+      val conds = chs.indices.filter(b => (m & (1 << b)) == 0)
+        .map(b => s"b$b = 0")
+      val where = if (conds.isEmpty) "1 = 1" else conds.mkString(" AND ")
+      s"  coalesce((SELECT CAST(sum(c) AS BIGINT) FROM cnt " +
+        s"WHERE $where), 0) AS v$m"
+    }
+    val numDefs = chs.indices.map { i =>
+      val terms = (0 until (1 << k)).filter(m => (m & (1 << i)) == 0)
+        .map { m =>
+          val w = fact(Integer.bitCount(m)) * fact(k - 1 -
+            Integer.bitCount(m))
+          s"$w * (v${m | (1 << i)} - v$m)"
+        }
+      s"  SELECT '${chs(i)}' AS channel, " +
+        s"CAST(${terms.mkString(" + ")} AS HUGEINT) AS num FROM v"
+    }
+    s"""WITH touch AS (
+       |  SELECT DISTINCT user_id, event_type AS ch FROM events
+       |  WHERE event_type IN (${chs.map(c => s"'$c'").mkString(", ")})),
+       |conv AS (
+       |  SELECT DISTINCT user_id FROM events
+       |  WHERE event_type = 'purchase'),
+       |flags AS (
+       |  SELECT t.user_id,
+       |${flagDefs.mkString(",\n")}
+       |  FROM touch t JOIN conv USING (user_id) GROUP BY t.user_id),
+       |cnt AS (
+       |  SELECT ${chs.indices.map(b => s"b$b").mkString(", ")},
+       |    count(*) AS c
+       |  FROM flags GROUP BY ${chs.indices.map(_ + 1).mkString(", ")}),
+       |v AS (SELECT
+       |${vDefs.mkString(",\n")}),
+       |nch AS (
+       |  SELECT ch, CAST(count(DISTINCT t.user_id) AS BIGINT) AS n
+       |  FROM touch t JOIN conv USING (user_id) GROUP BY 1),
+       |sh AS (
+       |${numDefs.mkString("\n  UNION ALL\n")})
+       |SELECT sh.channel, coalesce(nch.n, 0) AS n_converters,
+       |  CAST((num * 1000000) // $kf AS BIGINT) AS shapley_fp,
+       |  CAST(CASE WHEN v.v$full > 0
+       |    THEN (num * 10000) // ($kf * v.v$full)
+       |    ELSE 0 END AS BIGINT) AS credit_bp
+       |FROM sh CROSS JOIN v LEFT JOIN nch ON nch.ch = sh.channel""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q250_shapley" -> ShapleyOracleSql,
+
+    "q251_aj_cif" ->
+      """WITH RECURSIVE per_user AS (
+        |  SELECT 'c' || CAST(user_id % 2 AS VARCHAR) AS g,
+        |    (CASE
+        |       WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN tp
+        |       WHEN te IS NOT NULL THEN te ELSE tl END - t0)
+        |      // 86400000000 AS t,
+        |    CASE
+        |      WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te)
+        |        THEN 'purchase'
+        |      WHEN te IS NOT NULL THEN 'error' ELSE NULL END AS cause
+        |  FROM (
+        |    SELECT user_id, epoch_us(min(ts)) AS t0,
+        |      epoch_us(min(ts) FILTER (WHERE event_type = 'purchase'))
+        |        AS tp,
+        |      epoch_us(min(ts) FILTER (WHERE event_type = 'error'))
+        |        AS te,
+        |      epoch_us(max(ts)) AS tl
+        |    FROM events GROUP BY user_id)),
+        |agg AS (
+        |  SELECT g, t,
+        |    CAST(sum(CASE WHEN cause IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN cause IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM per_user GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT g, t, d, c,
+        |    CAST(sum(d + c) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(d + c) OVER (PARTITION BY g) AS BIGINT) AS tot,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY t)
+        |      AS BIGINT) AS idx
+        |  FROM agg),
+        |s2 AS (
+        |  SELECT g, t, d, c, tot - cum + d + c AS n_risk, idx FROM ser),
+        |km AS (
+        |  SELECT g, idx, t, n_risk, d,
+        |    CAST((1000000 * (n_risk - d)) // n_risk AS BIGINT) AS surv_fp
+        |  FROM s2 WHERE idx = 1
+        |  UNION ALL
+        |  SELECT s.g, s.idx, s.t, s.n_risk, s.d,
+        |    CAST((km.surv_fp * (s.n_risk - s.d)) // s.n_risk AS BIGINT)
+        |  FROM km JOIN s2 s ON s.g = km.g AND s.idx = km.idx + 1),
+        |prev AS (
+        |  SELECT g, t, n_risk, surv_fp,
+        |    lag(surv_fp, 1, 1000000) OVER (PARTITION BY g ORDER BY t)
+        |      AS s_prev
+        |  FROM km),
+        |ck AS (
+        |  SELECT g, t, cause, CAST(count(*) AS BIGINT) AS dk
+        |  FROM per_user WHERE cause IS NOT NULL GROUP BY 1, 2, 3),
+        |inc AS (
+        |  SELECT ck.g, ck.t, ck.cause, p.n_risk, ck.dk, p.surv_fp,
+        |    CAST((p.s_prev * ck.dk) // p.n_risk AS BIGINT) AS i
+        |  FROM ck JOIN prev p ON p.g = ck.g AND p.t = ck.t)
+        |SELECT g AS cohort, t, cause, n_risk, dk AS n_event, surv_fp,
+        |  CAST(sum(i) OVER (PARTITION BY g, cause ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cif_fp
+        |FROM inc""".stripMargin,
+
+    "q252_asof_lerp" ->
+      """WITH samp0 AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'view'),
+        |samp AS (
+        |  SELECT user_id, t, max(v) AS v FROM samp0 GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        |  WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT user_id, t, 0 AS p, v,
+        |    CAST(NULL AS BIGINT) AS event_id
+        |  FROM samp
+        |  UNION ALL
+        |  SELECT user_id, t, 1, NULL, event_id FROM probe),
+        |c AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN p = 0 THEN t END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY t, p
+        |        ROWS UNBOUNDED PRECEDING) AS t0,
+        |    last_value(CASE WHEN p = 0 THEN v END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY t, p
+        |        ROWS UNBOUNDED PRECEDING) AS v0,
+        |    last_value(CASE WHEN p = 0 THEN t END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY t DESC, p
+        |        ROWS UNBOUNDED PRECEDING) AS t1,
+        |    last_value(CASE WHEN p = 0 THEN v END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY t DESC, p
+        |        ROWS UNBOUNDED PRECEDING) AS v1
+        |  FROM u)
+        |SELECT event_id, user_id,
+        |  CAST(CASE
+        |    WHEN t0 IS NULL OR t1 IS NULL THEN NULL
+        |    WHEN t1 = t0 THEN v0
+        |    WHEN v1 >= v0 THEN
+        |      v0 + (CAST(v1 - v0 AS HUGEINT) * (t - t0)) // (t1 - t0)
+        |    ELSE
+        |      v0 - (CAST(v0 - v1 AS HUGEINT) * (t - t0)) // (t1 - t0)
+        |    END AS BIGINT) AS value_lerp
+        |FROM c WHERE p = 1""".stripMargin,
+
+    "q253_wav_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id, t.i AS i,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' ||
+        |        CAST(t.i AS VARCHAR)), 1, 8))::BIGINT
+        |      % 65536 - 32768 AS BIGINT) AS v
+        |  FROM documents CROSS JOIN range(0, 64) t(i)),
+        |l AS (
+        |  SELECT doc_id, i, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(min(v) AS INT) AS s_min, CAST(max(v) AS INT) AS s_max,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(coalesce(sum(CASE WHEN pv * v < 0 THEN 1 END), 0)
+        |    AS BIGINT) AS zero_crossings
+        |FROM l GROUP BY 1""".stripMargin,
+
+    "q254_ca_trend" ->
+      """WITH a AS (
+        |  SELECT l_linestatus, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS r,
+        |    CAST(sum(l_linenumber) AS HUGEINT) AS sw,
+        |    CAST(sum(CAST(l_linenumber AS HUGEINT) * l_linenumber)
+        |      AS HUGEINT) AS sww,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_linenumber
+        |      ELSE 0 END) AS HUGEINT) AS swr
+        |  FROM lineitem GROUP BY 1),
+        |b AS (SELECT *, n * swr - r * sw AS tnum FROM a),
+        |c AS (SELECT *,
+        |    CASE WHEN tnum >= 0 THEN (1000000 * tnum) // (n * n)
+        |      ELSE -((1000000 * -tnum) // (n * n)) END AS t_fp,
+        |    (1000000 * (r * (n - r))) // (n * n) AS v1,
+        |    (1000000 * (n * sww - sw * sw)) // (n * n) AS v2,
+        |    (1000000 * (n - 1)) // n AS nf
+        |  FROM b)
+        |SELECT l_linestatus, CAST(n AS BIGINT) AS n,
+        |  CAST(r AS BIGINT) AS r, CAST(t_fp AS BIGINT) AS t_fp,
+        |  CAST(CASE WHEN n < 2 OR v1 <= 0 OR v2 <= 0 THEN NULL
+        |    ELSE (t_fp * t_fp * nf * n) // v1 // v2 END AS BIGINT)
+        |    AS z2_fp
+        |FROM c""".stripMargin,
+
+    "q255_cuped" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y,
+        |    CAST(sum(CASE WHEN event_type IN ('view', 'click')
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM events GROUP BY user_id),
+        |pv AS (
+        |  SELECT 's' || CAST(user_id % 3 AS VARCHAR) AS segment,
+        |    'v' || CAST(user_id % 2 AS VARCHAR) AS variant,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM per_user GROUP BY 1, 2),
+        |seg AS (
+        |  SELECT segment, sum(n) AS nn, sum(sy) AS ssy,
+        |    sum(sx) AS ssx, sum(sxy) AS ssxy, sum(sxx) AS ssxx
+        |  FROM pv GROUP BY 1),
+        |j AS (
+        |  SELECT pv.*, seg.nn, seg.ssy, seg.ssx, seg.ssxy, seg.ssxx,
+        |    seg.nn * seg.ssxy - seg.ssx * seg.ssy AS covn,
+        |    seg.nn * seg.ssxx - seg.ssx * seg.ssx AS varn
+        |  FROM pv JOIN seg USING (segment)),
+        |k AS (
+        |  SELECT *,
+        |    CASE WHEN varn <= 0 THEN NULL
+        |      WHEN 1000000 * covn >= 0 THEN (1000000 * covn) // varn
+        |      ELSE -((-(1000000 * covn)) // varn) END AS theta_fp,
+        |    CASE WHEN 1000000 * sy >= 0 THEN (1000000 * sy) // n
+        |      ELSE -((-(1000000 * sy)) // n) END AS ybar_fp,
+        |    CASE WHEN 1000000 * (nn * sx - n * ssx) >= 0
+        |      THEN (1000000 * (nn * sx - n * ssx)) // (n * nn)
+        |      ELSE -((-(1000000 * (nn * sx - n * ssx))) // (n * nn))
+        |      END AS dx_fp
+        |  FROM j)
+        |SELECT segment, variant, CAST(n AS BIGINT) AS n,
+        |  CAST(ybar_fp AS BIGINT) AS ybar_fp,
+        |  CAST(theta_fp AS BIGINT) AS theta_fp,
+        |  CAST(CASE WHEN theta_fp IS NULL THEN ybar_fp
+        |    ELSE ybar_fp - (CASE
+        |      WHEN theta_fp * dx_fp >= 0
+        |        THEN (theta_fp * dx_fp) // 1000000
+        |      ELSE -((-(theta_fp * dx_fp)) // 1000000) END)
+        |    END AS BIGINT) AS adj_fp
+        |FROM k""".stripMargin
+  )
+}

@@ -1,0 +1,261 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOf, Eval, Funnels, Multimodal, Survival}
+
+/** Round-10 inference operators: Shapley attribution, interpolating
+  * as-of, Aalen–Johansen competing risks, Cochran–Armitage trend,
+  * CUPED — hand-computed cases plus guard trips. */
+class InferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------- Shapley attribution ----------
+
+  test("shapleyAttribution matches the hand-solved 2-channel game") {
+    // converter journeys: {A}×2, {A,B}×1, {B}×1 →
+    // v(∅)=0, v({A})=2, v({B})=1, v({A,B})=4
+    // φ_A = ½(v(A)−v(∅)) + ½(v(AB)−v(B)) = ½·2 + ½·3 = 2.5
+    // φ_B = ½·1 + ½·2 = 1.5 ; efficiency 2.5+1.5 = v(AB) = 4
+    val touches = Seq(
+      (1L, "A"), (2L, "A"), (3L, "A"), (3L, "B"), (4L, "B"),
+      (3L, "A"), // duplicate touch — must not change the set
+      (9L, "A")  // non-converter touch — not in v, but counts channels
+    ).toDF("user_id", "channel")
+    val conv = Seq(1L, 2L, 3L, 4L, 7L) // 7 converts with NO touches
+      .toDF("user_id")
+    val got = Funnels.shapleyAttribution(touches, "user_id", "channel",
+        conv).as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq("A", "B"))
+    val a = got(0); val b = got(1)
+    assert(a._3 == 2500000L && b._3 == 1500000L)
+    // credit: 2.5/4 = 0.625, 1.5/4 = 0.375
+    assert(a._4 == 6250L && b._4 == 3750L)
+    // n_converters touching the channel
+    assert(a._2 == 3L && b._2 == 2L)
+  }
+
+  test("shapleyAttribution is order-independent and trips its budget") {
+    val touches = (1 to 30).map(i => (i.toLong, s"ch${i % 20}"))
+      .toDF("user_id", "channel")
+    val conv = (1 to 30).map(_.toLong).toDF("user_id")
+    val e = intercept[IllegalArgumentException] {
+      Funnels.shapleyAttribution(touches, "user_id", "channel", conv,
+        maxChannels = 8)
+    }
+    assert(e.getMessage.contains("coalition budget"))
+  }
+
+  // ---------- interpolating as-of ----------
+
+  test("AsOf.lerp brackets, floors, and refuses to extrapolate") {
+    val samples = Seq(
+      ("k1", 0L, 0L), ("k1", 3L, 10L),     // rising, non-even division
+      ("k2", 0L, 10L), ("k2", 3L, 0L),     // falling
+      ("k3", 5L, 7L),                      // single sample
+      ("k4", 2L, 4L), ("k4", 2L, 9L)       // duplicate ts → max wins
+    ).toDF("k", "ts", "v")
+    val probes = Seq(
+      ("k1", 1L, "in"), ("k1", 3L, "on"), ("k1", 4L, "after"),
+      ("k1", -1L, "before"),
+      ("k2", 1L, "in"),
+      ("k3", 5L, "on"), ("k3", 6L, "after"),
+      ("k4", 2L, "on"),
+      ("k5", 1L, "nosamples")
+    ).toDF("k", "ts", "tag")
+    val got = AsOf.lerp(probes, samples, Seq("k"), "ts", "v")
+      .select(col("k"), col("tag"), col("value_lerp"))
+      .as[(String, String, Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("k1", "in")).contains(3L))   // floor(10·1/3) = 3
+    assert(got(("k1", "on")).contains(10L))  // exact hit
+    assert(got(("k1", "after")).isEmpty)     // no right bracket
+    assert(got(("k1", "before")).isEmpty)    // no left bracket
+    assert(got(("k2", "in")).contains(7L))   // 10 − floor(10·1/3) = 7
+    assert(got(("k3", "on")).contains(7L))
+    assert(got(("k3", "after")).isEmpty)
+    assert(got(("k4", "on")).contains(9L))   // dedup keeps max
+    assert(got(("k5", "nosamples")).isEmpty)
+  }
+
+  // ---------- Aalen–Johansen ----------
+
+  test("aalenJohansen matches the hand curve and conserves mass") {
+    // g: t=1 cause A (n=4) → S 750000, cif_A 250000
+    //    t=2 cause B (n=3) → cif_B 250000, S 500000
+    //    t=3 censor (n=2) → no output row
+    //    t=4 cause A (n=1) → cif_A 250000+500000 = 750000, S 0
+    val df = Seq(
+      ("g", 1L, Some("A")), ("g", 2L, Some("B")),
+      ("g", 3L, None), ("g", 4L, Some("A"))
+    ).toDF("g", "dur", "cause")
+    val got = Survival.aalenJohansen(df, "g", "dur", "cause")
+      .as[(String, Long, String, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._2, r._3))
+    assert(got.toSeq == Seq(
+      ("g", 1L, "A", 4L, 1L, 750000L, 250000L),
+      ("g", 2L, "B", 3L, 1L, 500000L, 250000L),
+      ("g", 4L, "A", 1L, 1L, 0L, 750000L)))
+  }
+
+  test("aalenJohansen: single cause ≈ 1 − KM, ties share one n_risk") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      ("g", rnd.nextInt(12).toLong,
+        if (rnd.nextInt(3) == 0) None else Some("A"))
+    }
+    val df = rows.toDF("g", "dur", "cause")
+    val aj = Survival.aalenJohansen(df, "g", "dur", "cause")
+      .select("t", "surv_fp", "cif_fp")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val steps = aj.length
+    // mass conservation: cif_A + S == scale, up to one floor ulp/step
+    for ((_, s, cif) <- aj) {
+      assert(cif + s <= 1000000L)
+      assert(cif + s >= 1000000L - steps)
+    }
+    // parity with KM on the same data (all-cause = the single cause)
+    val km = Survival.kaplanMeier(
+        df.withColumn("ev", when(col("cause").isNotNull, 1).otherwise(0)),
+        "g", "dur", "ev")
+      .filter(col("n_event") > 0)
+      .select("t", "surv_fp").as[(Long, Long)].collect().toMap
+    for ((t, s, _) <- aj) assert(km(t) == s)
+  }
+
+  // ---------- Cochran–Armitage ----------
+
+  test("trendTest matches the declared procedure and the true z²") {
+    // doses 1,2,3 with n_i = 4 each; successes r_i = 0, 2, 4
+    // n=12, R=6, Σwr = 16, Σwn = 24, Σw²n = 56, T_num = 48
+    // true z² = T_num²(n−1)/(R(n−R)(nΣw²n−(Σwn)²)) = 48²·11/(36·96)
+    val rows = for {
+      w <- 1 to 3; i <- 1 to 4
+    } yield ("exp", w.toLong, i <= (w - 1) * 2)
+    val got = Eval.trendTest(rows.toDF("g", "w", "s"), "g", col("w"),
+        col("s")).as[(String, Long, Long, Long, Option[Long])]
+      .collect().head
+    // the declared fp procedure, replayed sequentially in BigInt
+    val (n, r, swr, sw, sww) =
+      (BigInt(12), BigInt(6), BigInt(16), BigInt(24), BigInt(56))
+    val S = BigInt(1000000)
+    val tnum = n * swr - r * sw
+    val tFp = S * tnum / (n * n)
+    val v1 = S * (r * (n - r)) / (n * n)
+    val v2 = S * (n * sww - sw * sw) / (n * n)
+    val nf = S * (n - 1) / n
+    val z2 = tFp * tFp * nf * n / v1 / v2
+    assert(got._1 == "exp" && got._2 == 12L && got._3 == 6L)
+    assert(got._4 == tFp.toLong)
+    assert(got._5.contains(z2.toLong))
+    // and the fp result approximates the true χ² within floor slack
+    val trueZ2Fp = S * tnum * tnum * (n - 1) /
+      (r * (n - r) * (n * sww - sw * sw))
+    assert((z2 - trueZ2Fp).abs <= 300)
+  }
+
+  test("trendTest: degenerate groups yield NULL z², signed t") {
+    val df = Seq(
+      ("allpos", 1L, true), ("allpos", 2L, true),   // R = n → v1 = 0
+      ("const", 5L, true), ("const", 5L, false),    // constant score
+      ("down", 1L, true), ("down", 1L, true),
+      ("down", 2L, false), ("down", 2L, false)      // negative trend
+    ).toDF("g", "w", "s")
+    val got = Eval.trendTest(df, "g", col("w"), col("s"))
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("allpos")._5.isEmpty)
+    assert(got("const")._5.isEmpty)
+    assert(got("down")._4 < 0 && got("down")._5.nonEmpty)
+  }
+
+  // ---------- CUPED ----------
+
+  test("cuped removes a perfectly explanatory covariate") {
+    // y = 2x exactly → θ = 2, every variant's adjusted mean equals
+    // the pooled ȳ (all between-variant difference was covariate)
+    val df = Seq(
+      ("e", "a", 20L, 10L), ("e", "a", 40L, 20L),
+      ("e", "b", 60L, 30L), ("e", "b", 80L, 40L)
+    ).toDF("g", "variant", "y", "x")
+    val got = Eval.cuped(df, "g", "variant", col("y"), col("x"))
+      .as[(String, String, Long, Long, Option[Long], Long)]
+      .collect().sortBy(_._2)
+    assert(got.forall(_._5.contains(2000000L))) // θ = 2.0
+    // pooled ȳ = 50; both adjusted means = 50·10^6
+    assert(got.map(_._6).toSeq == Seq(50000000L, 50000000L))
+    // raw means differ (30 vs 70) — the adjustment did the work
+    assert(got.map(_._4).toSeq == Seq(30000000L, 70000000L))
+  }
+
+  test("cuped: zero-variance covariate degrades to raw means") {
+    val df = Seq(
+      ("e", "a", 10L, 5L), ("e", "a", 30L, 5L),
+      ("e", "b", 20L, 5L)
+    ).toDF("g", "variant", "y", "x")
+    val got = Eval.cuped(df, "g", "variant", col("y"), col("x"))
+      .as[(String, String, Long, Long, Option[Long], Long)]
+      .collect().sortBy(_._2)
+    assert(got.forall(_._5.isEmpty))
+    assert(got.map(r => r._6 == r._4).forall(identity))
+  }
+
+  // ---------- WAV codec ----------
+
+  test("encodeWav → decodeWav roundtrips exact PCM16 stats") {
+    val rnd = new scala.util.Random(3)
+    val samples = Array.fill(777)(rnd.nextInt(65536) - 32768)
+    val st = Multimodal.decodeWav(
+      Multimodal.encodeWav(samples, 44100, 2)).get
+    assert(st.sampleRate == 44100 && st.channels == 2 && st.bits == 16)
+    assert(st.nSamples == 777L)
+    assert(st.sMin == samples.min && st.sMax == samples.max)
+    assert(st.sumAbs == samples.map(v => math.abs(v).toLong).sum)
+    assert(st.sumSq == samples.map(v => v.toLong * v).sum)
+    val zc = samples.sliding(2).count(p => p(0).toLong * p(1) < 0)
+    assert(st.zeroCross == zc.toLong)
+  }
+
+  test("decodeWav: 8-bit recenter, extra chunks, corrupt payloads") {
+    // 8-bit: stored unsigned, decoded re-centered to −128..127
+    val s8 = Array(0, 255, 128, 64)
+    val st8 = Multimodal.decodeWav(
+      Multimodal.encodeWav(s8.map(_ - 128), 8000, 1, bits = 8)).get
+    assert(st8.bits == 8 && st8.nSamples == 4)
+    assert(st8.sMin == -128 && st8.sMax == 127)
+    // a LIST chunk between fmt and data must be skipped, odd-sized
+    // chunks are word-aligned
+    val base = Multimodal.encodeWav(Array(5, -5, 7), 8000, 1)
+    val bb = java.nio.ByteBuffer.allocate(base.length + 8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(base, 0, 36) // RIFF header + fmt chunk
+    bb.put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3, 0)) // 3 bytes + pad
+    bb.put(base, 36, base.length - 36)
+    val withList = bb.array()
+    // patch the RIFF size field
+    java.nio.ByteBuffer.wrap(withList)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, withList.length - 8)
+    val stL = Multimodal.decodeWav(withList).get
+    assert(stL.nSamples == 3 && stL.sMin == -5 && stL.sMax == 7)
+    // corrupt payloads degrade to None, never throw
+    assert(Multimodal.decodeWav(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeWav("not a wav at all, truly".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(base.take(40)).isEmpty)
+    val badFmt = base.clone(); badFmt(20) = 3 // audioFormat = 3 (float)
+    assert(Multimodal.decodeWav(badFmt).isEmpty)
+  }
+
+  test("wavFeatures keeps undecodable rows with decode_ok = false") {
+    val rows = Seq(
+      (1L, Multimodal.encodeWav(Array(1, -2, 3), 8000, 1)),
+      (2L, "garbage".getBytes)
+    ).toDF("asset_id", "content")
+    val got = Multimodal.wavFeatures(rows)
+      .select("asset_id", "decode_ok", "n_samples")
+      .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1)
+    assert(got(0) == ((1L, true, Some(3L))))
+    assert(got(1) == ((2L, false, None)))
+  }
+}
