@@ -774,6 +774,108 @@ object Eval {
       .select(col(groupCol), col("n"), col("r"),
         expr("cast(t_fp as long)").as("t_fp"), col("z2_fp"))
 
+  /** Poisson-bootstrap confidence intervals (Chamandy et al., Google
+    * 2012 — the standard DISTRIBUTED uncertainty machinery: true
+    * resampling needs n draws per replicate coordinated across
+    * machines; giving every row an independent Poisson(1) weight per
+    * replicate is asymptotically equivalent and embarrassingly
+    * parallel). Deterministic and engine-exact: the per-(row,
+    * replicate) weight is the count of Poisson(1) CDF literals (fixed
+    * point, 10^6) below a portable md5 draw — the BenfordFp
+    * embedded-constant pattern — replicate means are sign-factored
+    * floored fp, and the CI endpoints are EXACT order statistics of
+    * the replicate means at declared ranks.
+    *
+    * Scale: the explode is rows × b with map-side combine straight to
+    * per-(group, replicate) weight/weighted-sum partials — state is
+    * groups × b, never rows; the rank pick is a window over those
+    * b-bounded aggregate rows. Replicates with zero total weight
+    * (P = e^−n, only microscopic groups) are dropped and reported via
+    * b_eff. `idCol` must uniquely key rows (append-stable draws).
+    *
+    * Output: (groupCol, n, mean_fp, b_eff, lo_fp, hi_fp). */
+  def poissonBootstrap(df: DataFrame, groupCol: String, idCol: String,
+                       value: Column, b: Int = 48,
+                       alphaBp: Long = 250, seed: String = "boot",
+                       scale: Long = 1000000L): DataFrame = {
+    require(b >= 2 && b <= 256, s"replicate count $b outside [2, 256]")
+    require(alphaBp > 0 && alphaBp < 5000,
+      s"alphaBp $alphaBp outside (0, 5000)")
+    // floor(10^6 · P(Poisson(1) ≤ k)), k = 0..9; weight 10 caps the
+    // tail (P < 10^-7 at the draw resolution)
+    val cdf = Seq(367879L, 735758L, 919698L, 981011L, 996340L,
+      999405L, 999916L, 999989L, 999998L, 999999L)
+    def signedDiv(num: String, den: String) =
+      s"""case when ($num) >= 0 then ($num) div ($den)
+         |  else -((-($num)) div ($den)) end""".stripMargin
+    val rows = df.select(col(groupCol), col(idCol).cast("string")
+        .as("__id"), value.cast("long").as("__x"))
+    val reps = rows
+      .withColumn("__rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__u", expr("cast(conv(substring(md5(concat(" +
+        s"__id, '-', cast(__rep as string), '-', '$seed')), 1, 8), " +
+        "16, 10) as bigint) % 1000000"))
+      .withColumn("__w", expr(
+        s"size(filter(array(${cdf.mkString("L,")}L), t -> __u >= t))"))
+    val means = reps.groupBy(col(groupCol), col("__rep"))
+      .agg(sum(col("__w")).as("__sw"),
+        sum(expr("cast(__w as decimal(38,0)) * __x")).as("__swx"))
+      .filter(col("__sw") > 0)
+      .withColumn("__m", expr(
+        s"cast(${signedDiv(s"$scale * __swx", "__sw")} as long)"))
+    val wg = Window.partitionBy(col(groupCol))
+    val wOrd = wg.orderBy(col("__m"), col("__rep"))
+    val picked = means
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("b_eff", count(lit(1)).over(wg))
+      .withColumn("__lo",
+        expr(s"($alphaBp * (b_eff - 1)) div 10000 + 1"))
+      .withColumn("__hi",
+        expr(s"((10000 - $alphaBp) * (b_eff - 1)) div 10000 + 1"))
+      .groupBy(col(groupCol), col("b_eff"))
+      .agg(max(when(col("__rn") === col("__lo"), col("__m"))).as("lo_fp"),
+        max(when(col("__rn") === col("__hi"), col("__m"))).as("hi_fp"))
+    val point = rows.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(__x as decimal(38,0))")).as("__sx"))
+      .withColumn("mean_fp", expr(
+        s"cast(${signedDiv(s"$scale * __sx", "n")} as long)"))
+    point.join(picked, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("mean_fp"), col("b_eff"),
+        col("lo_fp"), col("hi_fp"))
+  }
+
+  /** Split-conformal calibration (Vovk; Lei et al. 2018): the
+    * nonconformity-score threshold `q̂ = s_(⌈(n+1)(1−α)⌉)` that makes
+    * prediction sets cover with probability ≥ 1−α on exchangeable
+    * data — the distribution-free uncertainty wrapper every deployed
+    * predictor needs. Exact: the order statistic resolves through
+    * [[Selection.valueAtRanks]] bucket histograms (no per-group fact
+    * sort — a dominant group cannot serialize the job), and the
+    * realized calibration coverage is reported in floored bp.
+    *
+    * Output: (groupCol, n, qhat, coverage_bp) — coverage_bp ≥
+    * 10^4·(1−α)·n/(n+1) by the conformal guarantee (asserted in spec). */
+  def conformal(df: DataFrame, groupCol: String, scoreCol: String,
+                alphaBp: Long = 1000): DataFrame = {
+    require(alphaBp > 0 && alphaBp < 10000,
+      s"alphaBp $alphaBp outside (0, 10000)")
+    val q = 10000 - alphaBp
+    val scores = df.select(col(groupCol),
+        col(scoreCol).cast("long").as("__s"))
+      .filter(col("__s").isNotNull)
+    val thr = Selection.valueAtRanks(scores, groupCol, "__s",
+        Seq("qhat" ->
+          s"least(__n, ((__n + 1L) * ${q}L + 9999L) div 10000L)"))
+      .select(col(groupCol), col("value").as("qhat"), col("n"))
+    scores.join(broadcast(thr), Seq(groupCol))
+      .groupBy(col(groupCol), col("qhat"), col("n"))
+      .agg(sum(when(col("__s") <= col("qhat"), 1L).otherwise(0L))
+        .as("__cov"))
+      .select(col(groupCol), col("n"), col("qhat"),
+        expr("(__cov * 10000L) div n").as("coverage_bp"))
+  }
+
   /** CUPED variance-reduced experiment readout (Deng et al. WSDM 2013):
     * adjust each variant's metric mean by the pre-experiment covariate,
     * `adj = ȳ_v − θ·(x̄_v − x̄)` with `θ = cov(x,y)/var(x)` pooled over

@@ -1268,4 +1268,59 @@ object Profile {
         // scale even ⇒ (s/2)·scale = s·(scale/2) exactly, no division
         (col("med_sum2") * lit(scale / 2)).as("hl_fp"))
   }
+
+  /** Unary inclusion-dependency audit (de Marchi 2002 / Bell &
+    * Brockhausen 1995 lineage — the foreign-key DISCOVERY pass of
+    * schema profiling): for every ordered pair of labeled key columns,
+    * how much of A's distinct value set lies inside B's
+    * (`inclusion_bp`, exact), and whether A ⊆ B outright — the
+    * candidate FK edges of an undocumented warehouse.
+    *
+    * Scale: every column collapses to DISTINCT (label, value) pairs in
+    * one tagged union + one value-keyed aggregate that folds each
+    * value's label set into a BITMASK; masks roll up to ≤ 2^m combo
+    * counts (m = |columns| REQUIREd ≤ maxCols) — the ONLY collected
+    * artifact, Shapley-posture model-sized. All m² pair statistics
+    * derive from the combo table on the driver: adding a column never
+    * adds a shuffle, and a billion-row fact column costs one distinct
+    * + one aggregate regardless of how many pairs it participates in.
+    * Values compare as strings (exact, type-stable).
+    *
+    * Output: (a, b, n_a, n_both, inclusion_bp, is_subset) for every
+    * ordered label pair a ≠ b. */
+  def inclusionAudit(cols: Seq[(String, DataFrame, String)],
+                     maxCols: Int = 16): DataFrame = {
+    require(cols.nonEmpty && cols.size <= maxCols,
+      s"${cols.size} columns outside the 2^m combo budget [1, $maxCols]")
+    val labels = cols.map(_._1)
+    require(labels.distinct.size == labels.size,
+      "column labels must be unique")
+    val spark = cols.head._2.sparkSession
+    import spark.implicits._
+    val tagged = cols.map { case (lbl, df, c) =>
+      df.select(lit(lbl).as("__lbl"), col(c).cast("string").as("__v"))
+        .filter(col("__v").isNotNull)
+    }.reduce(_ unionByName _).distinct()
+    val bit = labels.zipWithIndex.foldLeft(lit(0L)) { case (acc, (l, i)) =>
+      when(col("__lbl") === l, lit(1L << i)).otherwise(acc)
+    }
+    // (label, value) is distinct, so the per-value mask is a plain sum
+    val combos = tagged.withColumn("__bit", bit)
+      .groupBy(col("__v")).agg(sum(col("__bit")).as("__mask"))
+      .groupBy(col("__mask")).agg(count(lit(1)).as("__n"))
+      .as[(Long, Long)].collect()
+    val rows = for {
+      i <- labels.indices; j <- labels.indices; if i != j
+    } yield {
+      val nA = combos.collect {
+        case (m, n) if (m & (1L << i)) != 0 => n }.sum
+      val nBoth = combos.collect {
+        case (m, n) if (m & (1L << i)) != 0 && (m & (1L << j)) != 0 => n
+      }.sum
+      val bp = // BigInt: ×10^4 overflows long past ~10^15 distincts
+        if (nA > 0) Some((BigInt(nBoth) * 10000 / nA).toLong) else None
+      (labels(i), labels(j), nA, nBoth, bp, nA > 0 && nBoth == nA)
+    }
+    rows.toDF("a", "b", "n_a", "n_both", "inclusion_bp", "is_subset")
+  }
 }

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryPack
 import graft.core.Tables
-import graft.operators.{AsOf, Eval, Funnels, Multimodal, Survival}
+import graft.operators.{AsOf, Eval, Funnels, Multimodal, Profile,
+  Survival}
 
 /** Causal / experimentation inference + real-media decode (round-10
   * additions): Shapley attribution, Aalen–Johansen competing risks,
@@ -120,8 +121,78 @@ object InferencePack extends QueryPack {
             .as("variant"),
           col("y"), col("x"))
       Eval.cuped(perUser, "segment", "variant", col("y"), col("x"))
-    })
+    }),
+
+    // sequential-pattern support: which event-type subsequences (gaps
+    // allowed) appear in ≥ 3 users' streams — the journey-mining
+    // complement to contiguous trigrams (q138)
+    "q256_seq_patterns" -> ((s, dir) =>
+      graft.streaming.Paths.frequentSubsequences(
+        Tables.events(s, dir)
+          .withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "ts_us", "event_type", minUsers = 3L)),
+
+    // inclusion-dependency / FK-candidate audit over the TPC-H keys
+    "q257_ind_audit" -> ((s, dir) =>
+      Profile.inclusionAudit(IndCols.map { case (lbl, tbl, c) =>
+        (lbl, Tables.load(s, dir, tbl), c)
+      })),
+
+    // Poisson-bootstrap 95% CI of mean event value (cents) per type —
+    // portable md5 draws, so the replicate ensemble hash-checks
+    "q258_bootstrap_ci" -> ((s, dir) =>
+      Eval.poissonBootstrap(Tables.events(s, dir), "event_type",
+        "event_id", cents("value"), b = 48, alphaBp = 250)),
+
+    // split-conformal 90% calibration of a constant value predictor
+    // (50.00): nonconformity = |cents − 5000|, per event type
+    "q259_conformal" -> ((s, dir) =>
+      Eval.conformal(Tables.events(s, dir)
+          .select(col("event_type"),
+            abs(cents("value") - 5000L).as("score")),
+        "event_type", "score", alphaBp = 1000))
   )
+
+  private val IndCols: Seq[(String, String, String)] = Seq(
+    ("region.r_regionkey", "region", "r_regionkey"),
+    ("nation.n_regionkey", "nation", "n_regionkey"),
+    ("nation.n_nationkey", "nation", "n_nationkey"),
+    ("customer.c_nationkey", "customer", "c_nationkey"),
+    ("supplier.s_nationkey", "supplier", "s_nationkey"),
+    ("customer.c_custkey", "customer", "c_custkey"),
+    ("orders.o_custkey", "orders", "o_custkey"))
+
+  /** IND oracle: literal per-label membership flags folded per value,
+    * pair statistics as flag-product sums — generated for the same
+    * literal column list the query audits. */
+  private val IndOracleSql: String = {
+    val unions = IndCols.map { case (lbl, tbl, c) =>
+      s"  SELECT DISTINCT '$lbl' AS l, CAST($c AS VARCHAR) AS v " +
+        s"FROM $tbl WHERE $c IS NOT NULL"
+    }
+    val flags = IndCols.zipWithIndex.map { case ((lbl, _, _), i) =>
+      s"    max(CASE WHEN l = '$lbl' THEN 1 ELSE 0 END) AS f$i"
+    }
+    val pairs = for {
+      i <- IndCols.indices; j <- IndCols.indices; if i != j
+    } yield
+      s"  SELECT '${IndCols(i)._1}' AS a, '${IndCols(j)._1}' AS b, " +
+        s"CAST(sum(f$i) AS BIGINT) AS n_a, " +
+        s"CAST(sum(f$i * f$j) AS BIGINT) AS n_both FROM m"
+    s"""WITH d AS (
+       |${unions.mkString("\n  UNION ALL\n")}),
+       |m AS (
+       |  SELECT v,
+       |${flags.mkString(",\n")}
+       |  FROM d GROUP BY v),
+       |p AS (
+       |${pairs.mkString("\n  UNION ALL\n")})
+       |SELECT a, b, n_a, n_both,
+       |  CASE WHEN n_a > 0 THEN CAST((n_both * 10000) // n_a AS BIGINT)
+       |    ELSE NULL END AS inclusion_bp,
+       |  (n_a > 0 AND n_both = n_a) AS is_subset
+       |FROM p""".stripMargin
+  }
 
   /** Shapley oracle for the literal channel vocabulary: the coalition
     * characteristic values v(S) enumerate as 2^k scalar subqueries and
@@ -183,6 +254,104 @@ object InferencePack extends QueryPack {
 
   def oracleSql: Map[String, String] = Map(
     "q250_shapley" -> ShapleyOracleSql,
+    "q257_ind_audit" -> IndOracleSql,
+
+    "q258_bootstrap_ci" ->
+      """WITH r AS (
+        |  SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
+        |    CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events),
+        |e AS (
+        |  SELECT g, id, x, t.b AS rep
+        |  FROM r CROSS JOIN range(0, 48) t(b)),
+        |u AS (
+        |  SELECT g, rep, x,
+        |    ('0x' || substr(md5(id || '-' || CAST(rep AS VARCHAR) ||
+        |      '-' || 'boot'), 1, 8))::BIGINT % 1000000 AS u
+        |  FROM e),
+        |w AS (
+        |  SELECT g, rep, x,
+        |    len(list_filter([367879, 735758, 919698, 981011, 996340,
+        |      999405, 999916, 999989, 999998, 999999],
+        |      t -> u >= t)) AS w
+        |  FROM u),
+        |m AS (
+        |  SELECT g, rep, CAST(sum(w) AS BIGINT) AS sw,
+        |    CAST(sum(CAST(w AS HUGEINT) * x) AS HUGEINT) AS swx
+        |  FROM w GROUP BY 1, 2),
+        |mm AS (
+        |  SELECT g, rep,
+        |    CAST(CASE WHEN swx >= 0 THEN (1000000 * swx) // sw
+        |      ELSE -((1000000 * -swx) // sw) END AS BIGINT) AS m
+        |  FROM m WHERE sw > 0),
+        |rk AS (
+        |  SELECT g, rep, m,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY m, rep)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS beff
+        |  FROM mm),
+        |ci AS (
+        |  SELECT g, beff AS b_eff,
+        |    max(CASE WHEN rn = (250 * (beff - 1)) // 10000 + 1
+        |      THEN m END) AS lo_fp,
+        |    max(CASE WHEN rn = (9750 * (beff - 1)) // 10000 + 1
+        |      THEN m END) AS hi_fp
+        |  FROM rk GROUP BY 1, 2),
+        |p AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(CASE WHEN sum(CAST(x AS HUGEINT)) >= 0
+        |      THEN (1000000 * sum(CAST(x AS HUGEINT))) // count(*)
+        |      ELSE -((1000000 * -sum(CAST(x AS HUGEINT)))
+        |        // count(*)) END AS BIGINT) AS mean_fp
+        |  FROM r GROUP BY 1)
+        |SELECT p.g AS event_type, n, mean_fp, b_eff, lo_fp, hi_fp
+        |FROM p JOIN ci ON ci.g = p.g""".stripMargin,
+
+    "q259_conformal" ->
+      """WITH s AS (
+        |  SELECT event_type AS g,
+        |    abs(CAST(round(value * 100) AS BIGINT) - 5000) AS sc
+        |  FROM events),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+        |r AS (
+        |  SELECT g, sc,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY sc)
+        |      AS BIGINT) AS rn
+        |  FROM s),
+        |t AS (
+        |  SELECT r.g, n.n,
+        |    max(CASE WHEN rn =
+        |      least(n.n, ((n.n + 1) * 9000 + 9999) // 10000)
+        |      THEN sc END) AS qhat
+        |  FROM r JOIN n USING (g) GROUP BY 1, 2)
+        |SELECT t.g AS event_type, t.n, t.qhat,
+        |  CAST((sum(CASE WHEN s.sc <= t.qhat THEN 1 ELSE 0 END)
+        |    * 10000) // t.n AS BIGINT) AS coverage_bp
+        |FROM s JOIN t ON s.g = t.g GROUP BY 1, 2, 3""".stripMargin,
+
+    "q256_seq_patterns" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_type AS et
+        |  FROM events),
+        |t1 AS (
+        |  SELECT user_id, et AS a, min(t) AS ft FROM e GROUP BY 1, 2),
+        |t2 AS (
+        |  SELECT t1.user_id, t1.a, e.et AS b, min(e.t) AS ft
+        |  FROM t1 JOIN e ON e.user_id = t1.user_id AND e.t > t1.ft
+        |  GROUP BY 1, 2, 3),
+        |t3 AS (
+        |  SELECT DISTINCT t2.user_id, t2.a, t2.b, e.et AS c
+        |  FROM t2 JOIN e ON e.user_id = t2.user_id AND e.t > t2.ft)
+        |SELECT pattern, len, n_users FROM (
+        |  SELECT a AS pattern, CAST(1 AS INT) AS len,
+        |    CAST(count(*) AS BIGINT) AS n_users FROM t1 GROUP BY 1
+        |  UNION ALL
+        |  SELECT a || '>' || b, CAST(2 AS INT),
+        |    CAST(count(*) AS BIGINT) FROM t2 GROUP BY 1
+        |  UNION ALL
+        |  SELECT a || '>' || b || '>' || c, CAST(3 AS INT),
+        |    CAST(count(*) AS BIGINT) FROM t3 GROUP BY 1)
+        |WHERE n_users >= 3""".stripMargin,
 
     "q251_aj_cif" ->
       """WITH RECURSIVE per_user AS (

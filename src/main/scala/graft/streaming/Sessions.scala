@@ -147,4 +147,64 @@ object Paths {
       .withColumn("p_bp", expr("(cnt * 10000L) div __rt"))
       .drop("__rt")
   }
+
+  /** Sequential-pattern support counting (PrefixSpan/GSP lineage,
+    * existence semantics): for every event-type SUBSEQUENCE of length
+    * ≤ 3 — order-preserving, gaps allowed, where [[topTrigrams]] only
+    * sees contiguous runs — the number of users whose stream contains
+    * it. Existence reduces to the GREEDY first-occurrence recurrence
+    * `f(p·x) = min{ t of x : t > f(p) }` (greedy is complete for
+    * subsequence existence), so support counting is a JOIN LADDER, not
+    * a per-user scan of the 2^n subsequence lattice. Simultaneous
+    * events (equal ts) do not chain — strictly-after is the declared,
+    * engine-exact tie rule.
+    *
+    * Scale: the event frame is key-partitioned and checkpointed once,
+    * then each ladder rung is one user-keyed equi-join with fanout
+    * bounded by the ALPHABET (REQUIREd ≤ maxTypes cluster-side before
+    * any join): rung r holds ≤ |types|^r rows per user. Supports are
+    * partial-agg rollups on the pattern tuple. Output: (pattern, len,
+    * n_users), patterns joined with '>', len 1..3, support ≥ minUsers. */
+  def frequentSubsequences(df: DataFrame, userCol: String,
+                           tsUsCol: String, typeCol: String,
+                           minUsers: Long = 1L,
+                           maxTypes: Int = 12): DataFrame = {
+    val e = df.select(col(userCol).as("__u"),
+        col(tsUsCol).cast("long").as("__t"),
+        col(typeCol).cast("string").as("__et"))
+      .filter(col("__u").isNotNull && col("__t").isNotNull &&
+        col("__et").isNotNull)
+      .repartition(col("__u"))
+      .localCheckpoint(true) // probed by every ladder rung
+    val nTypes = e.agg(count_distinct(col("__et"))).first().getLong(0)
+    require(nTypes <= maxTypes,
+      s"event-type alphabet $nTypes exceeds the $maxTypes ladder " +
+        "fanout budget (rung r fans out |types|^r per user)")
+    val t1 = e.groupBy(col("__u"), col("__et").as("a"))
+      .agg(min(col("__t")).as("__ft"))
+    val probe2 = e.select(col("__u"), col("__t").as("__t2"),
+      col("__et").as("b"))
+    val t2 = t1.join(probe2, Seq("__u"))
+      .filter(col("__t2") > col("__ft"))
+      .groupBy(col("__u"), col("a"), col("b"))
+      .agg(min(col("__t2")).as("__ft2"))
+    val probe3 = e.select(col("__u"), col("__t").as("__t3"),
+      col("__et").as("c"))
+    val t3 = t2.join(probe3, Seq("__u"))
+      .filter(col("__t3") > col("__ft2"))
+      .select(col("__u"), col("a"), col("b"), col("c"))
+      .distinct()
+    val s1 = t1.groupBy(col("a")).agg(count(lit(1)).as("n_users"))
+      .select(col("a").as("pattern"), lit(1).as("len"), col("n_users"))
+    val s2 = t2.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(concat_ws(">", col("a"), col("b")).as("pattern"),
+        lit(2).as("len"), col("n_users"))
+    val s3 = t3.groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(concat_ws(">", col("a"), col("b"), col("c")).as("pattern"),
+        lit(3).as("len"), col("n_users"))
+    s1.unionByName(s2).unionByName(s3)
+      .filter(col("n_users") >= minUsers)
+  }
 }

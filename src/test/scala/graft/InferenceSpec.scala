@@ -200,6 +200,67 @@ class InferenceSpec extends SparkSpec {
     assert(got.map(r => r._6 == r._4).forall(identity))
   }
 
+  // ---------- Poisson bootstrap ----------
+
+  test("poissonBootstrap: constant data collapses the interval") {
+    val df = (1 to 300).map(i => ("g", i.toLong, 42L))
+      .toDF("g", "id", "x")
+    val got = Eval.poissonBootstrap(df, "g", "id", col("x"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(got == (("g", 300L, 42000000L, 48L, 42000000L, 42000000L)))
+  }
+
+  test("poissonBootstrap: deterministic, straddling, √n-narrowing") {
+    val rnd = new scala.util.Random(5)
+    val rows =
+      (1 to 2000).map(i => ("big", i.toLong, rnd.nextInt(1000).toLong)) ++
+      (1 to 40).map(i => ("small", 10000L + i, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("g", "id", "x")
+    val run1 = Eval.poissonBootstrap(df, "g", "id", col("x"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val run2 = Eval.poissonBootstrap(df, "g", "id", col("x"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(run1 == run2) // portable draws ⇒ bitwise repeatable
+    for (g <- Seq("big", "small")) {
+      val (_, _, mean, bEff, lo, hi) = run1(g)
+      assert(bEff == 48L)
+      assert(lo <= mean && mean <= hi)
+    }
+    val wBig = run1("big")._6 - run1("big")._5
+    val wSmall = run1("small")._6 - run1("small")._5
+    assert(wBig < wSmall, s"CI width $wBig !< $wSmall")
+    val e = intercept[IllegalArgumentException] {
+      Eval.poissonBootstrap(df, "g", "id", col("x"), b = 1)
+    }
+    assert(e.getMessage.contains("replicate count"))
+  }
+
+  // ---------- conformal calibration ----------
+
+  test("conformal: hand thresholds and the coverage guarantee") {
+    val df = (1 to 10).map(i => ("g", i.toLong)).toDF("g", "s")
+    val at50 = Eval.conformal(df, "g", "s", alphaBp = 5000)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(at50 == (("g", 10L, 6L, 6000L))) // ⌈11·0.5⌉ = 6th smallest
+    val at10 = Eval.conformal(df, "g", "s", alphaBp = 1000)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(at10 == (("g", 10L, 10L, 10000L))) // ⌈11·0.9⌉ = 10 (capped)
+    // finite-sample guarantee on random data: cov ≥ rank/n
+    val rnd = new scala.util.Random(17)
+    val big = (1 to 500).map(_ => (s"g${rnd.nextInt(3)}",
+      rnd.nextInt(100000).toLong)).toDF("g", "s")
+    for (alpha <- Seq(500L, 1000L, 2500L)) {
+      val got = Eval.conformal(big, "g", "s", alphaBp = alpha)
+        .as[(String, Long, Long, Long)].collect()
+      for ((_, n, _, cov) <- got) {
+        val k = math.min(n, ((n + 1) * (10000 - alpha) + 9999) / 10000)
+        assert(cov >= k * 10000 / n, s"alpha $alpha n $n cov $cov")
+      }
+    }
+  }
+
   // ---------- WAV codec ----------
 
   test("encodeWav → decodeWav roundtrips exact PCM16 stats") {
@@ -245,6 +306,89 @@ class InferenceSpec extends SparkSpec {
     assert(Multimodal.decodeWav(base.take(40)).isEmpty)
     val badFmt = base.clone(); badFmt(20) = 3 // audioFormat = 3 (float)
     assert(Multimodal.decodeWav(badFmt).isEmpty)
+  }
+
+  // ---------- sequential patterns ----------
+
+  test("frequentSubsequences: greedy ladder matches hand supports") {
+    // u1: A B A C ; u2: B A C ; u3: A C ; u4: A,B simultaneous
+    val df = Seq(
+      (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "A"), (1L, 40L, "C"),
+      (2L, 10L, "B"), (2L, 20L, "A"), (2L, 30L, "C"),
+      (3L, 10L, "A"), (3L, 20L, "C"),
+      (4L, 10L, "A"), (4L, 10L, "B")
+    ).toDF("u", "ts", "et")
+    val got = graft.streaming.Paths
+      .frequentSubsequences(df, "u", "ts", "et")
+      .as[(String, Int, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got("A") == 4L && got("B") == 3L && got("C") == 3L)
+    assert(got("A>C") == 3L)
+    assert(got("B>A>C") == 2L) // u1 greedy: B@20 → A@30 → C@40; u2
+    assert(got("A>B") == 1L)   // u2's B precedes its first A; u4 ties
+    assert(!got.contains("C>A"))
+  }
+
+  test("frequentSubsequences: greedy ≡ brute-force existence") {
+    val rnd = new scala.util.Random(13)
+    val alpha = Vector("a", "b", "c", "d")
+    val rows = for {
+      u <- 1 to 25
+      i <- 1 to rnd.nextInt(8) + 1
+    } yield (u.toLong, i.toLong * 10, alpha(rnd.nextInt(alpha.size)))
+    val got = graft.streaming.Paths
+      .frequentSubsequences(rows.toDF("u", "ts", "et"), "u", "ts", "et")
+      .as[(String, Int, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // brute force: a pattern is contained iff an increasing index
+    // chain spells it
+    val byUser = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    def contains(seq: Vector[String], p: Vector[String]): Boolean = {
+      var i = 0
+      for (s <- seq if i < p.size && s == p(i)) i += 1
+      i == p.size
+    }
+    val pats = alpha.map(Vector(_)) ++
+      (for (a <- alpha; b <- alpha) yield Vector(a, b)) ++
+      (for (a <- alpha; b <- alpha; c <- alpha) yield Vector(a, b, c))
+    for (p <- pats) {
+      val n = byUser.values.count(contains(_, p))
+      assert(got.getOrElse(p.mkString(">"), 0L) == n.toLong,
+        s"pattern ${p.mkString(">")}")
+    }
+  }
+
+  test("frequentSubsequences trips the alphabet budget") {
+    val df = (1 to 20).map(i => (1L, i.toLong, s"t$i"))
+      .toDF("u", "ts", "et")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Paths.frequentSubsequences(df, "u", "ts", "et",
+        maxTypes = 8)
+    }
+    assert(e.getMessage.contains("fanout budget"))
+  }
+
+  // ---------- inclusion dependencies ----------
+
+  test("inclusionAudit finds subsets, partial overlaps, and dups") {
+    import graft.operators.Profile
+    val a = Seq(1L, 2L, 3L, 3L).toDF("k") // dup collapses
+    val b = Seq(2L, 3L, 4L, 5L).toDF("k")
+    val c = Seq(Some(1L), Some(2L), Some(3L), None).toDF("k") // NULL out
+    val got = Profile.inclusionAudit(Seq(
+        ("A", a, "k"), ("B", b, "k"), ("C", c, "k")))
+      .as[(String, String, Long, Long, Option[Long], Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got(("A", "B")) == (("A", "B", 3L, 2L, Some(6666L), false)))
+    assert(got(("B", "A")) == (("B", "A", 4L, 2L, Some(5000L), false)))
+    assert(got(("A", "C"))._6 && got(("C", "A"))._6) // mutual subset
+    assert(got(("C", "B")) == (("C", "B", 3L, 2L, Some(6666L), false)))
+    assert(got.size == 6)
+    val e = intercept[IllegalArgumentException] {
+      Profile.inclusionAudit(Seq(("A", a, "k"), ("A", b, "k")))
+    }
+    assert(e.getMessage.contains("unique"))
   }
 
   test("wavFeatures keeps undecodable rows with decode_ok = false") {
