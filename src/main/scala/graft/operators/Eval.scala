@@ -797,32 +797,59 @@ object Eval {
   def poissonBootstrap(df: DataFrame, groupCol: String, idCol: String,
                        value: Column, b: Int = 48,
                        alphaBp: Long = 250, seed: String = "boot",
-                       scale: Long = 1000000L): DataFrame = {
+                       scale: Long = 1000000L): DataFrame =
+    bootCi(bootPartials(df, groupCol, idCol, value, b, seed),
+      bootPoint(df, groupCol, idCol, value), groupCol, alphaBp, scale)
+
+  private def bootSignedDiv(num: String, den: String) =
+    s"""case when ($num) >= 0 then ($num) div ($den)
+       |  else -((-($num)) div ($den)) end""".stripMargin
+
+  /** Per-(group, replicate) bootstrap weight partials — PLAIN SUMS, so
+    * partials from disjoint row slices merge by addition: the property
+    * the streaming twin rides (weights depend only on (id, replicate,
+    * seed), never on batching). */
+  private[graft] def bootPartials(df: DataFrame, groupCol: String,
+                                  idCol: String, value: Column, b: Int,
+                                  seed: String): DataFrame = {
     require(b >= 2 && b <= 256, s"replicate count $b outside [2, 256]")
-    require(alphaBp > 0 && alphaBp < 5000,
-      s"alphaBp $alphaBp outside (0, 5000)")
     // floor(10^6 · P(Poisson(1) ≤ k)), k = 0..9; weight 10 caps the
     // tail (P < 10^-7 at the draw resolution)
     val cdf = Seq(367879L, 735758L, 919698L, 981011L, 996340L,
       999405L, 999916L, 999989L, 999998L, 999999L)
-    def signedDiv(num: String, den: String) =
-      s"""case when ($num) >= 0 then ($num) div ($den)
-         |  else -((-($num)) div ($den)) end""".stripMargin
-    val rows = df.select(col(groupCol), col(idCol).cast("string")
-        .as("__id"), value.cast("long").as("__x"))
-    val reps = rows
+    df.select(col(groupCol), col(idCol).cast("string").as("__id"),
+        value.cast("long").as("__x"))
       .withColumn("__rep", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("__u", expr("cast(conv(substring(md5(concat(" +
         s"__id, '-', cast(__rep as string), '-', '$seed')), 1, 8), " +
         "16, 10) as bigint) % 1000000"))
       .withColumn("__w", expr(
         s"size(filter(array(${cdf.mkString("L,")}L), t -> __u >= t))"))
-    val means = reps.groupBy(col(groupCol), col("__rep"))
-      .agg(sum(col("__w")).as("__sw"),
+      .groupBy(col(groupCol), col("__rep"))
+      .agg(sum(expr("cast(__w as decimal(38,0))")).as("__sw"),
         sum(expr("cast(__w as decimal(38,0)) * __x")).as("__swx"))
+  }
+
+  /** Per-group point-estimate moment partials (additive, like
+    * [[bootPartials]]). */
+  private[graft] def bootPoint(df: DataFrame, groupCol: String,
+                               idCol: String, value: Column): DataFrame =
+    df.select(col(groupCol), value.cast("long").as("__x"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(__x as decimal(38,0))")).as("__sx"))
+
+  /** Assemble the CI report from (possibly merged) partials: replicate
+    * means, exact order-statistic endpoints, point estimate. */
+  private[graft] def bootCi(partials: DataFrame, point: DataFrame,
+                            groupCol: String, alphaBp: Long,
+                            scale: Long): DataFrame = {
+    require(alphaBp > 0 && alphaBp < 5000,
+      s"alphaBp $alphaBp outside (0, 5000)")
+    val means = partials
       .filter(col("__sw") > 0)
       .withColumn("__m", expr(
-        s"cast(${signedDiv(s"$scale * __swx", "__sw")} as long)"))
+        s"cast(${bootSignedDiv(s"$scale * __swx", "__sw")} as long)"))
     val wg = Window.partitionBy(col(groupCol))
     val wOrd = wg.orderBy(col("__m"), col("__rep"))
     val picked = means
@@ -835,12 +862,10 @@ object Eval {
       .groupBy(col(groupCol), col("b_eff"))
       .agg(max(when(col("__rn") === col("__lo"), col("__m"))).as("lo_fp"),
         max(when(col("__rn") === col("__hi"), col("__m"))).as("hi_fp"))
-    val point = rows.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"),
-        sum(expr("cast(__x as decimal(38,0))")).as("__sx"))
+    point
       .withColumn("mean_fp", expr(
-        s"cast(${signedDiv(s"$scale * __sx", "n")} as long)"))
-    point.join(picked, Seq(groupCol))
+        s"cast(${bootSignedDiv(s"$scale * __sx", "n")} as long)"))
+      .join(picked, Seq(groupCol))
       .select(col(groupCol), col("n"), col("mean_fp"), col("b_eff"),
         col("lo_fp"), col("hi_fp"))
   }

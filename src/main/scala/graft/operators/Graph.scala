@@ -400,6 +400,118 @@ object Graph {
           .otherwise(lit(0L))).as("harmonic_fp"))
   }
 
+  /** Seed-sampled betweenness centrality (Brandes 2001 dependency
+    * accumulation from a bounded pivot panel — Bader et al. 2007's
+    * sampled estimator; exact all-pairs betweenness is all-sources and
+    * has no distributed exact form, so like [[closenessFromSeeds]] the
+    * honest contract is a REQUIREd seed budget): which nodes shortest
+    * paths actually route THROUGH — the brokerage complement to
+    * closeness (being near everything ≠ lying between things).
+    *
+    * Deterministic fixed point: the forward phase computes exact
+    * integer shortest-path counts σ per (seed, node) level by level
+    * (hop-bounded BFS DAG); the backward phase accumulates Brandes'
+    * dependency as `δ_fp(v) = Σ_{w ∈ succ(v)} ⌊σ_v·(scale + δ_fp(w)) /
+    * σ_w⌋` — each edge term floored ONCE, summed exactly, so the whole
+    * accumulation is engine-reproducible. `bc_fp(v) = Σ_seeds δ_fp`.
+    * Edges follow their direction (pass both orientations for an
+    * undirected reading).
+    *
+    * Scale: forward = closenessFromSeeds' posture (frontier ≤ seeds ×
+    * nodes, one co-located join + one anti-join per hop, σ summed on
+    * decimal(38,0) against path-count explosion); backward = one join
+    * of each level against its successor level per hop (levels are
+    * checkpointed, O(1) lineage); 2·depth rounds total, depth ≤
+    * maxHops. Output: (node, bc_fp), non-seed-endpoint interior
+    * dependency only (sinks and the seeds' own rows score 0 and are
+    * emitted only if some path routes through them). */
+  def betweennessFromSeeds(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: DataFrame,
+                           seedCol: String, maxHops: Int,
+                           scale: Long = 1000000L,
+                           maxSeeds: Int = 64): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct()
+      .repartition(col("__src"))
+      .localCheckpoint(true) // scanned twice per hop (fwd + back)
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst")))
+      .distinct()
+    val seedFrame = seeds.select(col(seedCol).cast("long").as("__seed"))
+      .filter(col("__seed").isNotNull)
+      .distinct()
+      .join(nodes.withColumnRenamed("node", "__seed"), Seq("__seed"),
+        "left_semi")
+      .localCheckpoint(true)
+    val nSeeds = seedFrame.count()
+    require(nSeeds <= maxSeeds,
+      s"betweennessFromSeeds: $nSeeds seeds (> maxSeeds=$maxSeeds) — " +
+        "BFS-DAG state is seeds × nodes; shrink the panel or raise " +
+        "maxSeeds deliberately.")
+    val spark = edges.sparkSession
+
+    // forward: levels(d) = (seed, node, sigma) at distance exactly d
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var level = seedFrame
+      .select(col("__seed"), col("__seed").as("node"),
+        expr("cast(1 as decimal(38,0))").as("__sigma"))
+      .localCheckpoint(true)
+    var settled = level
+    levels += level
+    var hop = 1
+    var drained = level.isEmpty
+    while (hop <= maxHops && !drained) {
+      val next = e.join(level.withColumnRenamed("node", "__src"),
+          Seq("__src"))
+        .groupBy(col("__seed"), col("__dst").as("node"))
+        .agg(sum(col("__sigma")).as("__sigma"))
+        .join(settled.select("__seed", "node"), Seq("__seed", "node"),
+          "left_anti")
+        .localCheckpoint(true)
+      drained = next.isEmpty
+      if (!drained) {
+        levels += next
+        settled = settled.unionByName(next).localCheckpoint(true)
+        level = next
+      }
+      hop += 1
+    }
+
+    // backward: delta(d) via one join against (level d+1) ⋈ delta(d+1)
+    val zero = expr("cast(0 as decimal(38,0))")
+    var deltaNext = levels.last.select(col("__seed"), col("node"),
+      zero.as("__delta"))
+    val perLevel = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (levels.size > 1) perLevel += deltaNext // deepest level scores 0
+    for (d <- (levels.size - 2) to 0 by -1) {
+      val succ = levels(d + 1).join(deltaNext, Seq("__seed", "node"))
+        .select(col("__seed"), col("node").as("__dst"),
+          col("__sigma").as("__sw"), col("__delta").as("__dw"))
+      val contrib = levels(d).withColumnRenamed("node", "__src")
+        .join(e, Seq("__src"))
+        .join(succ, Seq("__seed", "__dst"))
+        .groupBy(col("__seed"), col("__src").as("node"))
+        .agg(sum(expr(s"(__sigma * ($scale + __dw)) div __sw"))
+          .as("__acc"))
+      val deltaD = levels(d).select(col("__seed"), col("node"))
+        .join(contrib, Seq("__seed", "node"), "left")
+        .select(col("__seed"), col("node"),
+          coalesce(col("__acc"), zero).as("__delta"))
+        .localCheckpoint(true)
+      if (d > 0) perLevel += deltaD // seeds (d = 0) don't score
+      deltaNext = deltaD
+    }
+    if (perLevel.isEmpty)
+      return spark.range(0).select(col("id").as("node"),
+        col("id").as("bc_fp")).limit(0)
+    perLevel.reduce(_ unionByName _)
+      .groupBy(col("node"))
+      .agg(expr("cast(sum(__delta) as long)").as("bc_fp"))
+  }
+
   /** k-core: peel nodes of degree < k for `maxRounds` rounds (or to
     * the fixpoint, whichever comes first — extra rounds past the
     * fixpoint are no-ops, so a fixed-round oracle matches). Output:

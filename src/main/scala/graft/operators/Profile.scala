@@ -1269,6 +1269,59 @@ object Profile {
         (col("med_sum2") * lit(scale / 2)).as("hl_fp"))
   }
 
+  /** Differentially-private count release — the ε-DP geometric
+    * mechanism (Ghosh, Roughgarden & Sundararajan 2009: universally
+    * optimal for sensitivity-1 counts), ±`t`-truncated, at ε = ln 2:
+    * each cell's count is perturbed by two-sided geometric noise
+    * `P(k) ∝ 2^−|k|` with the tail mass folded into ±t. The privacy
+    * gate [[kAnonymity]]/[[lDiversity]]/t-closeness can only AUDIT;
+    * this RELEASES. Noise draws are portable md5 of the cell key (a
+    * cryptographic hash as the DP PRNG — the standard deployment
+    * practice; one release per `seed`, and re-releasing with fresh
+    * seeds spends budget like any DP system). All 2^−|k| masses over
+    * denominator 3·2^t are EXACT integers, embedded as generated
+    * literal thresholds — the Poisson-bootstrap pattern — so the
+    * release hash-checks across engines. Negative noisy counts are
+    * released as-is (unbiasedness over clamping).
+    *
+    * Scale: one partial-agg shuffle to cells, then per-cell codegen'd
+    * hash + literal-array lookup — no second pass, no driver state.
+    * Output: (dims..., n_noisy); the true count never leaves. */
+  def dpCounts(df: DataFrame, dims: Seq[String], seed: String,
+               t: Int = 10): DataFrame = {
+    require(dims.nonEmpty, "at least one release dimension")
+    require(t >= 1 && t <= 30, s"truncation $t outside [1, 30]")
+    val m = 3L * (1L << t)
+    val cum = geomCum(t)
+    require(!seed.contains("'"), "seed must not contain quotes")
+    // chr(1)-separated cell key (a bare concat would collide
+    // ("ab","c") with ("a","bc")); NULL dims hash as chr(0)
+    val keySql = "concat_ws(chr(1), " + dims.map(d =>
+      s"coalesce(cast(`$d` as string), chr(0))").mkString(", ") +
+      s", '$seed')"
+    df.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__u", expr(
+        s"cast(conv(substring(md5($keySql), 1, 8), 16, 10) " +
+          s"as bigint) % $m"))
+      .withColumn("__noise", expr(
+        s"size(filter(array(${cum.mkString("L,")}L), x -> __u >= x)) " +
+          s"- $t"))
+      .select(dims.map(col) :+
+        (col("__n") + col("__noise")).as("n_noisy"): _*)
+  }
+
+  /** Cumulative draw thresholds of the ±t-truncated two-sided
+    * geometric over denominator 3·2^t — exact cell masses, extremes
+    * folding the tail (always mass 2). Shared with oracle generation. */
+  private[graft] def geomCum(t: Int): Seq[Long] = {
+    val probs = (-t to t).map(k =>
+      if (math.abs(k) == t) 2L else (1L << t) >> math.abs(k))
+    require(probs.sum == 3L * (1L << t),
+      "geometric masses must partition the draw")
+    probs.scanLeft(0L)(_ + _).slice(1, 2 * t + 1) // exclusive of total
+  }
+
   /** Unary inclusion-dependency audit (de Marchi 2002 / Bell &
     * Brockhausen 1995 lineage — the foreign-key DISCOVERY pass of
     * schema profiling): for every ordered pair of labeled key columns,

@@ -150,8 +150,95 @@ object InferencePack extends QueryPack {
       Eval.conformal(Tables.events(s, dir)
           .select(col("event_type"),
             abs(cents("value") - 5000L).as("score")),
-        "event_type", "score", alphaBp = 1000))
+        "event_type", "score", alphaBp = 1000)),
+
+    // seed-sampled Brandes betweenness on the q246 supplier↔customer
+    // bipartite graph: which accounts shortest paths route THROUGH
+    "q260_betweenness" -> ((s, dir) => {
+      val pairs = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast("long").as("supp"),
+          col("o_custkey").cast("long").as("cust"))
+        .distinct()
+      val edges = pairs.select(
+          (col("supp") + 10000000L).as("src"),
+          (col("cust") + 20000000L).as("dst"))
+        .union(pairs.select((col("cust") + 20000000L).as("src"),
+          (col("supp") + 10000000L).as("dst")))
+      val seeds = Tables.load(s, dir, "supplier")
+        .filter(col("s_nationkey") === 0)
+        .select((col("s_suppkey").cast("long") + 10000000L).as("id"))
+      graft.operators.Graph.betweennessFromSeeds(edges, "src", "dst",
+        seeds, "id", maxHops = 3)
+    }),
+
+    // ε-DP release of per-(type, day) event counts via the truncated
+    // geometric mechanism — portable draws, so the release hash-checks
+    "q261_dp_release" -> ((s, dir) =>
+      Profile.dpCounts(Tables.events(s, dir)
+          .select(col("event_type"),
+            to_date(col("ts")).cast("string").as("day")),
+        Seq("event_type", "day"), seed = "dp1"))
   )
+
+  /** Betweenness oracle: the forward BFS-DAG levels and the backward
+    * dependency layers unrolled for the query's LITERAL maxHops — the
+    * k-core fixed-unroll property holds because an empty level yields
+    * zero contributions, so any unroll depth ≥ the true depth matches
+    * the operator exactly. */
+  private val BetweennessOracleSql: String = {
+    val H = 3
+    val scale = 1000000L
+    val fwd = (1 to H).map { k =>
+      s"""l$k AS (
+         |  SELECT p.seed, e.dst AS node,
+         |    CAST(sum(p.sigma) AS HUGEINT) AS sigma
+         |  FROM l${k - 1} p JOIN e ON e.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${k - 1} v
+         |    WHERE v.seed = p.seed AND v.node = e.dst)
+         |  GROUP BY 1, 2),
+         |v$k AS (SELECT seed, node FROM v${k - 1}
+         |  UNION ALL SELECT seed, node FROM l$k)""".stripMargin
+    }
+    val back = ((H - 1) to 1 by -1).map { k =>
+      s"""d$k AS (
+         |  SELECT l.seed, l.node,
+         |    CAST(coalesce(s.acc, 0) AS HUGEINT) AS delta
+         |  FROM l$k l LEFT JOIN (
+         |    SELECT c.seed, c.node,
+         |      sum((c.sigma * ($scale + dn.delta)) // ln.sigma) AS acc
+         |    FROM l$k c JOIN e ON e.src = c.node
+         |      JOIN l${k + 1} ln ON ln.seed = c.seed AND ln.node = e.dst
+         |      JOIN d${k + 1} dn ON dn.seed = c.seed AND dn.node = ln.node
+         |    GROUP BY 1, 2) s
+         |    ON s.seed = l.seed AND s.node = l.node)""".stripMargin
+    }
+    val unionAll = (1 to H)
+      .map(k => s"  SELECT node, delta FROM d$k").mkString("\n  UNION ALL\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_suppkey + 10000000 AS supp,
+       |    o_custkey + 20000000 AS cust
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (
+       |  SELECT supp AS src, cust AS dst FROM pairs
+       |  UNION
+       |  SELECT cust, supp FROM pairs),
+       |l0 AS (
+       |  SELECT DISTINCT s_suppkey + 10000000 AS seed,
+       |    s_suppkey + 10000000 AS node, CAST(1 AS HUGEINT) AS sigma
+       |  FROM supplier WHERE s_nationkey = 0
+       |    AND EXISTS (SELECT 1 FROM e
+       |      WHERE e.src = s_suppkey + 10000000
+       |         OR e.dst = s_suppkey + 10000000)),
+       |v0 AS (SELECT seed, node FROM l0),
+       |${fwd.mkString(",\n")},
+       |d$H AS (SELECT seed, node, CAST(0 AS HUGEINT) AS delta FROM l$H),
+       |${back.mkString(",\n")}
+       |SELECT node, CAST(sum(delta) AS BIGINT) AS bc_fp FROM (
+       |$unionAll)
+       |GROUP BY 1""".stripMargin
+  }
 
   private val IndCols: Seq[(String, String, String)] = Seq(
     ("region.r_regionkey", "region", "r_regionkey"),
@@ -255,6 +342,24 @@ object InferencePack extends QueryPack {
   def oracleSql: Map[String, String] = Map(
     "q250_shapley" -> ShapleyOracleSql,
     "q257_ind_audit" -> IndOracleSql,
+    "q260_betweenness" -> BetweennessOracleSql,
+
+    "q261_dp_release" -> {
+      val cum = Profile.geomCum(10).mkString(", ")
+      s"""WITH g AS (
+         |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |u AS (
+         |  SELECT *,
+         |    ('0x' || substr(md5(event_type || chr(1) || day ||
+         |      chr(1) || 'dp1'), 1, 8))::BIGINT % 3072 AS u
+         |  FROM g)
+         |SELECT event_type, day,
+         |  CAST(n + len(list_filter([$cum], x -> u >= x)) - 10
+         |    AS BIGINT) AS n_noisy
+         |FROM u""".stripMargin
+    },
 
     "q258_bootstrap_ci" ->
       """WITH r AS (

@@ -412,4 +412,70 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(t => (t._1, t._2)).toSet
     assert(got === live)
   }
+
+  test("betweennessFromSeeds: path and diamond hand cases") {
+    // path 1→2→3, seed 1: the middle node carries the (1,3) pair
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val gotPath = Graph.betweennessFromSeeds(path, "s", "d",
+        Seq(1L).toDF("seed"), "seed", maxHops = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(gotPath == Map(2L -> 1000000L, 3L -> 0L))
+    // diamond 1→{2,3}→4: two shortest paths split the dependency
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s", "d")
+    val gotD = Graph.betweennessFromSeeds(diamond, "s", "d",
+        Seq(1L).toDF("seed"), "seed", maxHops = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(gotD == Map(2L -> 500000L, 3L -> 500000L, 4L -> 0L))
+    // seed budget trips before any BFS state materializes
+    val e = intercept[IllegalArgumentException] {
+      Graph.betweennessFromSeeds(path, "s", "d",
+        (1L to 9L).toDF("seed"), "seed", maxHops = 2, maxSeeds = 1)
+    }
+    assert(e.getMessage.contains("maxSeeds"))
+  }
+
+  test("betweennessFromSeeds ≡ sequential Brandes fp replay") {
+    val edges = randomEdges(25, 90, 11).filter(t => t._1 != t._2).distinct
+    val seeds = Seq(0L, 7L, 13L)
+    val maxHops = 8
+    val scale = 1000000L
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // sequential reference: BFS sigma + declared per-edge-floored delta
+    val want = scala.collection.mutable.Map.empty[Long, BigInt]
+    for (s <- seeds if edges.exists(t => t._1 == s || t._2 == s)) {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> BigInt(1))
+      var frontier = Seq(s)
+      var d = 0
+      val byLevel = scala.collection.mutable.ArrayBuffer(Seq(s))
+      while (frontier.nonEmpty && d < maxHops) {
+        val nextSigma = scala.collection.mutable.Map.empty[Long, BigInt]
+        for (v <- frontier; w <- adj.getOrElse(v, Nil)
+             if !dist.contains(w))
+          nextSigma(w) = nextSigma.getOrElse(w, BigInt(0)) + sigma(v)
+        for ((w, sg) <- nextSigma) { dist(w) = d + 1; sigma(w) = sg }
+        frontier = nextSigma.keys.toSeq
+        if (frontier.nonEmpty) byLevel += frontier
+        d += 1
+      }
+      val delta = scala.collection.mutable.Map.empty[Long, BigInt]
+        .withDefaultValue(BigInt(0))
+      for (lvl <- (byLevel.size - 2) to 0 by -1; v <- byLevel(lvl)) {
+        var acc = BigInt(0)
+        for (w <- adj.getOrElse(v, Nil)
+             if dist.get(w).contains(lvl + 1))
+          acc += sigma(v) * (scale + delta(w)) / sigma(w)
+        delta(v) = acc
+        if (lvl > 0) want(v) = want.getOrElse(v, BigInt(0)) + acc
+      }
+      // reached non-seed nodes with zero dependency still score 0 rows
+      for (v <- dist.keys if dist(v) > 0)
+        want.getOrElseUpdate(v, BigInt(0))
+    }
+    val got = Graph.betweennessFromSeeds(edges.toDF("s", "d"), "s", "d",
+        seeds.toDF("seed"), "seed", maxHops)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want.map { case (k, v) => k -> v.toLong }.toMap)
+  }
 }

@@ -261,6 +261,29 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  // ---------- DP release ----------
+
+  test("dpCounts: bounded, deterministic, calibrated geometric noise") {
+    import graft.operators.Profile
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 5000).map(_ => (s"d${rnd.nextInt(300)}", 1))
+    val df = rows.toDF("cell", "one")
+    val truth = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val rel1 = Profile.dpCounts(df, Seq("cell"), "s1")
+      .as[(String, Long)].collect().toMap
+    val rel2 = Profile.dpCounts(df, Seq("cell"), "s1")
+      .as[(String, Long)].collect().toMap
+    assert(rel1 == rel2) // one seed = one release, bitwise
+    val noises = rel1.map { case (c, n) => n - truth(c) }
+    assert(noises.forall(k => k >= -10 && k <= 10)) // ±t truncation
+    val meanAbs = noises.map(math.abs).sum.toDouble / noises.size
+    assert(meanAbs > 0.9 && meanAbs < 1.8) // E|noise| = 4/3 at ε = ln 2
+    assert(noises.exists(_ < 0) && noises.exists(_ > 0))
+    val relB = Profile.dpCounts(df, Seq("cell"), "s2")
+      .as[(String, Long)].collect().toMap
+    assert(relB != rel1) // fresh seed, fresh draws
+  }
+
   // ---------- WAV codec ----------
 
   test("encodeWav → decodeWav roundtrips exact PCM16 stats") {
