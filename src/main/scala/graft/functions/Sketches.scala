@@ -173,4 +173,104 @@ object Sketches {
     require(sketch.length == depth * width, "sketch shape mismatch")
     (0 until depth).map(r => sketch(r * width + cmHash(r, item, width))).min
   }
+
+  /** KLL-style compactor state: `levels(i)` holds items of weight 2^i
+    * (level 0 unsorted raw arrivals), `flips` drives the deterministic
+    * even/odd compaction coin. */
+  final case class KllState(levels: Vector[Vector[Long]], flips: Long)
+
+  /** Mergeable quantile sketch (KLL compactor hierarchy, Karnin, Lang
+    * & Liberty FOCS'16 — uniform-capacity variant): the missing
+    * QUANTILE member of the sketch family ([[MisraGries]] frequencies,
+    * [[BottomK]] distinctness, [[CountMin]] point counts). A level-i
+    * compaction sorts its ≥ k items and promotes every other one to
+    * level i+1 (weight doubles), so the state stays ≤ k·levels longs;
+    * each compaction perturbs any rank by ≤ 2^i, and with ≤ n/(k·2^i)
+    * compactions per level the TOTAL rank error is ≤ n·H/k,
+    * H = ⌈log2(n/k)⌉ + 2 — the bound [[kllRankErrorBound]] exposes and
+    * SketchesSpec asserts across partition layouts. The coin is the
+    * deterministic flip counter (a replayed partition re-compacts
+    * identically); like Misra-Gries the result depends on merge order
+    * but the GUARANTEE does not. Exact (zero error) while n < k.
+    *
+    * finish() emits sorted (value, weight) pairs; query quantiles with
+    * [[kllQuantile]] by cumulative-weight walk. */
+  final class Kll(k: Int)
+      extends Aggregator[java.lang.Long, KllState, Seq[(Long, Long)]] {
+    require(k >= 8, "capacity must be >= 8")
+    def zero: KllState = KllState(Vector(Vector.empty), 0L)
+    def reduce(b: KllState, a: java.lang.Long): KllState =
+      if (a == null) b
+      else compact(b.copy(levels =
+        b.levels.updated(0, b.levels(0) :+ a.longValue())))
+    def merge(b1: KllState, b2: KllState): KllState = {
+      val h = math.max(b1.levels.size, b2.levels.size)
+      def at(s: KllState, i: Int): Vector[Long] =
+        if (i < s.levels.size) s.levels(i) else Vector.empty
+      compact(KllState(
+        Vector.tabulate(h)(i => at(b1, i) ++ at(b2, i)),
+        b1.flips + b2.flips))
+    }
+    private def compact(s0: KllState): KllState = {
+      var s = s0
+      var i = 0
+      while (i < s.levels.size) {
+        if (s.levels(i).size >= k) {
+          val sorted = s.levels(i).sorted
+          // an odd count can't halve weight-exactly: the largest item
+          // stays behind so Σ weight is preserved bit-for-bit
+          val (toCompact, leftover) =
+            if (sorted.size % 2 == 0) (sorted, Vector.empty[Long])
+            else (sorted.init, Vector(sorted.last))
+          val offset = (s.flips % 2).toInt
+          val kept = toCompact.indices.collect {
+            case j if j % 2 == offset => toCompact(j)
+          }.toVector
+          val levels0 =
+            if (i + 1 < s.levels.size) s.levels
+            else s.levels :+ Vector.empty[Long]
+          s = KllState(
+            levels0.updated(i, leftover)
+              .updated(i + 1, levels0(i + 1) ++ kept),
+            s.flips + 1)
+        }
+        i += 1
+      }
+      s
+    }
+    def finish(r: KllState): Seq[(Long, Long)] =
+      r.levels.zipWithIndex.flatMap { case (items, lvl) =>
+        items.map(v => (v, 1L << lvl))
+      }.sortBy(_._1)
+    def bufferEncoder: Encoder[KllState] = Encoders.kryo[KllState]
+    def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Column form: `kllSketch(col, k)` usable in any groupBy. */
+  def kllSketch(c: Column, k: Int): Column =
+    udaf(new Kll(k), Encoders.LONG).apply(c)
+
+  /** Quantile query against a collected [[Kll]] sketch: the value at
+    * cumulative weight ≥ ⌈q·W⌉ (q in basis points, exact rank walk). */
+  def kllQuantile(sketch: Seq[(Long, Long)], qBp: Long): Long = {
+    require(sketch.nonEmpty, "empty sketch")
+    require(qBp >= 0 && qBp <= 10000, s"qBp $qBp outside [0, 10000]")
+    val w = sketch.map(_._2).sum
+    val target = math.max(1L, (qBp * w + 9999L) / 10000L)
+    var cum = 0L
+    for ((v, wt) <- sketch) {
+      cum += wt
+      if (cum >= target) return v
+    }
+    sketch.last._1
+  }
+
+  /** The worst-case rank error of [[Kll]] at capacity k over n rows. */
+  def kllRankErrorBound(n: Long, k: Int): Long =
+    if (n <= k) 0L
+    else {
+      val h = (64 - java.lang.Long.numberOfLeadingZeros(n / k)) + 2
+      n * h / k
+    }
 }

@@ -180,6 +180,27 @@ object InferencePack extends QueryPack {
           .select(col("event_type"),
             to_date(col("ts")).cast("string").as("day")),
         Seq("event_type", "day"), seed = "dp1"))
+
+    ,
+    // CDC merge-apply: fold an order-derived change log (upsert /
+    // delete by status) onto the customer base, last writer wins
+    "q262_cdc_apply" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          expr("cast(round(c_acctbal * 100) as long)").as("bal_cents"))
+      val changes = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"),
+          when(col("o_orderstatus") === "O", "U")
+            .when(col("o_orderstatus") === "F", "D")
+            .otherwise("I").as("op"),
+          unix_date(to_date(col("o_orderdate"))).as("ts"),
+          col("o_orderkey").as("cid"),
+          concat(lit("ORD-"), col("o_orderpriority")).as("segment"),
+          expr("cast(round(o_totalprice * 100) as long)")
+            .as("bal_cents"))
+      graft.core.Cdc.apply(base, changes, Seq("c_custkey"), "op",
+        "ts", "cid")
+    })
   )
 
   /** Betweenness oracle: the forward BFS-DAG levels and the backward
@@ -343,6 +364,30 @@ object InferencePack extends QueryPack {
     "q250_shapley" -> ShapleyOracleSql,
     "q257_ind_audit" -> IndOracleSql,
     "q260_betweenness" -> BetweennessOracleSql,
+
+    "q262_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS k,
+        |    CASE WHEN o_orderstatus = 'O' THEN 'U'
+        |      WHEN o_orderstatus = 'F' THEN 'D' ELSE 'I' END AS op,
+        |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+        |      AS BIGINT) AS ts,
+        |    CAST(o_orderkey AS BIGINT) AS id,
+        |    'ORD-' || o_orderpriority AS segment,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS bal
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT c_custkey, 'I',
+        |    CAST(-9223372036854775807 - 1 AS BIGINT),
+        |    CAST(-9223372036854775807 - 1 AS BIGINT),
+        |    c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT)
+        |  FROM customer),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k
+        |    ORDER BY ts DESC, id DESC) AS rn
+        |  FROM ch)
+        |SELECT k AS c_custkey, segment, bal AS bal_cents
+        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
 
     "q261_dp_release" -> {
       val cum = Profile.geomCum(10).mkString(", ")

@@ -261,6 +261,31 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  // ---------- CDC apply ----------
+
+  test("Cdc.apply: upsert chains, deletes, inserts, tie-breaks") {
+    import graft.core.Cdc
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (5L, "e", 50L)).toDF("k", "seg", "bal")
+    val changes = Seq(
+      (1L, "U", 100L, 1L, "a2", 11L),
+      (1L, "U", 200L, 2L, "a3", 12L),   // latest wins
+      (2L, "D", 100L, 3L, "x", 0L),     // delete
+      (4L, "I", 100L, 4L, "d", 40L),    // insert new key
+      (5L, "U", 100L, 5L, "e1", 51L),   // same-ts tie:
+      (5L, "U", 100L, 6L, "e2", 52L),   //   higher id wins
+      (6L, "I", 100L, 7L, "f", 60L),
+      (6L, "D", 200L, 8L, "f", 60L),    // insert then delete → gone
+      (7L, "D", 100L, 9L, "g", 70L),
+      (7L, "I", 200L, 10L, "g2", 71L)   // delete then insert → alive
+    ).toDF("k", "op", "ts", "cid", "seg", "bal")
+    val got = Cdc.apply(base, changes, Seq("k"), "op", "ts", "cid")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "a3", 12L), (3L, "c", 30L), (4L, "d", 40L),
+      (5L, "e2", 52L), (7L, "g2", 71L)))
+  }
+
   // ---------- DP release ----------
 
   test("dpCounts: bounded, deterministic, calibrated geometric noise") {

@@ -200,4 +200,46 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.cmEstimate(expected.toSeq, depth, width, "absent")
       <= (math.E / width * items.size).ceil.toLong)
   }
+
+  test("KLL: exact under capacity, rank bound holds on any layout") {
+    // exact while n < k: every quantile is the true order statistic
+    val small = (1L to 100L).toSeq
+    val exact = small.toDF("v")
+      .agg(Sketches.kllSketch(col("v"), k = 256))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.map(_._1).sorted == small)
+    assert(exact.forall(_._2 == 1L))
+    assert(Sketches.kllQuantile(exact, 5000) == 50L)
+    assert(Sketches.kllQuantile(exact, 0) == 1L)
+    assert(Sketches.kllQuantile(exact, 10000) == 100L)
+
+    // big skewed corpus: rank error within the published bound under
+    // every partition layout
+    val rnd = new scala.util.Random(41)
+    val n = 60000
+    val data = (1 to n).map(_ => math.abs(rnd.nextGaussian() * 10000)
+      .toLong + (if (rnd.nextInt(10) == 0) 500000L else 0L))
+    val sortedData = data.sorted
+    val k = 200
+    val bound = Sketches.kllRankErrorBound(n.toLong, k)
+    for (parts <- Seq(1, 8, 32)) {
+      val sk = data.toDF("v").repartition(parts)
+        .agg(Sketches.kllSketch(col("v"), k))
+        .head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(sk.map(_._2).sum == n.toLong, "weights must cover n")
+      for (qBp <- Seq(100L, 2500L, 5000L, 7500L, 9900L)) {
+        val est = Sketches.kllQuantile(sk, qBp)
+        // true rank band of the estimate vs the queried rank
+        val target = math.max(1L, (qBp * n + 9999L) / 10000L)
+        val lo = sortedData.indexWhere(_ >= est) + 1
+        val hi = sortedData.lastIndexWhere(_ <= est) + 1
+        val err = if (target < lo) lo - target
+          else if (target > hi) target - hi else 0L
+        assert(err <= bound,
+          s"layout $parts q$qBp: rank error $err > bound $bound")
+      }
+    }
+  }
 }
