@@ -817,14 +817,28 @@ object Eval {
     // tail (P < 10^-7 at the draw resolution)
     val cdf = Seq(367879L, 735758L, 919698L, 981011L, 996340L,
       999405L, 999916L, 999989L, 999998L, 999999L)
+    // ONE md5 per row, then per-replicate draws as exact-integer
+    // affine perms of it (the portable-hash recipe): a per-(row, rep)
+    // md5 costs b hashes per row, and the array-HOF weight lookup
+    // falls out of codegen — together they made the first cut ~15×
+    // slower. The CASE ladder and the affine math are pure codegen'd
+    // comparisons; both are reproduced literally by the oracle.
+    val ladder = cdf.zipWithIndex
+      .map { case (t, i) => s"when __u < ${t}L then $i" }
+      .mkString("case ", " ", s" else ${cdf.size} end")
     df.select(col(groupCol), col(idCol).cast("string").as("__id"),
         value.cast("long").as("__x"))
+      .withColumn("__g0", expr("cast(conv(substring(md5(concat(" +
+        s"__id, '-', '$seed')), 1, 8), 16, 10) as bigint)"))
       .withColumn("__rep", explode(sequence(lit(0), lit(b - 1))))
-      .withColumn("__u", expr("cast(conv(substring(md5(concat(" +
-        s"__id, '-', cast(__rep as string), '-', '$seed')), 1, 8), " +
-        "16, 10) as bigint) % 1000000"))
-      .withColumn("__w", expr(
-        s"size(filter(array(${cdf.mkString("L,")}L), t -> __u >= t))"))
+      .withColumn("__u", expr( // L-suffixed: int×int THROWS under ANSI
+        """((((1103515245L * (cast(__rep as bigint) + 1) + 12345L)
+          |      % 1073741824L) * 2L + 1L)
+          |  * __g0
+          |  + (22695477L * (cast(__rep as bigint) + 1) + 54321L)
+          |      % 2147483647L)
+          |  % 2147483647L % 1000000L""".stripMargin))
+      .withColumn("__w", expr(ladder))
       .groupBy(col(groupCol), col("__rep"))
       .agg(sum(expr("cast(__w as decimal(38,0))")).as("__sw"),
         sum(expr("cast(__w as decimal(38,0)) * __x")).as("__swx"))

@@ -51,6 +51,60 @@ object Funnels {
     acc.select((col(userCol) +: tCols) :+ stage.as("stage"): _*)
   }
 
+  /** STRICT-ORDER windowed funnel (the ClickHouse `strict_order` mode
+    * next to [[windowFunnel]]'s loose first-match): the funnel only
+    * advances when the steps are CONSECUTIVE events in the user's
+    * stream — ANY intervening event (tracked or not) breaks the chain.
+    * "view → click → purchase with nothing in between" measures flow
+    * quality where the loose funnel measures eventual conversion.
+    * Per user: `stage` = the longest step-prefix appearing as a
+    * contiguous run within `windowUs` of its anchor, `t_anchor` = the
+    * earliest anchor achieving it. Deterministic event order is
+    * (ts, idCol).
+    *
+    * Scale: one user-keyed window with k−1 codegen'd lead() pairs —
+    * row state only (the sessionize posture), no per-user arrays, one
+    * shuffle; the per-user reduction is a partial-agg max(struct).
+    * Output: (userCol, stage, t_anchor); users with no anchor event
+    * don't appear. */
+  def windowFunnelStrictOrder(df: DataFrame, userCol: String,
+                              tsUsCol: String, idCol: String,
+                              typeCol: String, steps: Seq[String],
+                              windowUs: Long): DataFrame = {
+    require(steps.size >= 2 && steps.size <= 8,
+      "declare 2..8 steps (k−1 lead columns per extra step)")
+    require(steps.distinct.size == steps.size, "steps must be distinct")
+    require(windowUs > 0, "windowUs must be positive")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__t"), col("__id"))
+    var withLeads = df.select(col(userCol),
+      col(tsUsCol).cast("long").as("__t"), col(idCol).as("__id"),
+      col(typeCol).cast("string").as("__et"))
+    for (j <- 1 until steps.size) {
+      withLeads = withLeads
+        .withColumn(s"__e$j", lead(col("__et"), j).over(w))
+        .withColumn(s"__t$j", lead(col("__t"), j).over(w))
+    }
+    // chain(j) = the j following events are exactly steps(1..j) and
+    // the j-th lands inside the window of the anchor
+    val lvl = (1 until steps.size).foldLeft(lit(1L)) { (acc, j) =>
+      val chainJ = (1 to j).map(i =>
+        col(s"__e$i") === steps(i) &&
+          col(s"__t$i") - col("__t") <= windowUs)
+        .reduce(_ && _)
+      acc + when(chainJ, 1L).otherwise(0L)
+    }
+    // `+ when(chain_j)` must not skip gaps: chain_j requires ALL
+    // prefixes, so the sum is exactly the longest prefix length
+    withLeads.filter(col("__et") === steps.head)
+      .withColumn("__lvl", lvl)
+      .groupBy(col(userCol))
+      .agg(max(struct(col("__lvl"), (-col("__t")).as("__nt")))
+        .as("__best"))
+      .select(col(userCol), col("__best.__lvl").as("stage"),
+        (-col("__best.__nt")).as("t_anchor"))
+  }
+
   /** Last-touch conversion attribution: each conversion is credited to
     * the user's LATEST touch event STRICTLY before it and at most
     * `windowUs` old (NULL channel when no touch qualifies — "organic").

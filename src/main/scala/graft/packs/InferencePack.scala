@@ -167,7 +167,8 @@ object InferencePack extends QueryPack {
         .union(pairs.select((col("cust") + 20000000L).as("src"),
           (col("supp") + 10000000L).as("dst")))
       val seeds = Tables.load(s, dir, "supplier")
-        .filter(col("s_nationkey") === 0)
+        .filter(col("s_nationkey") === 0 &&
+          pmod(col("s_suppkey"), lit(5)) === 1)
         .select((col("s_suppkey").cast("long") + 10000000L).as("id"))
       graft.operators.Graph.betweennessFromSeeds(edges, "src", "dst",
         seeds, "id", maxHops = 3)
@@ -200,7 +201,15 @@ object InferencePack extends QueryPack {
             .as("bal_cents"))
       graft.core.Cdc.apply(base, changes, Seq("c_custkey"), "op",
         "ts", "cid")
-    })
+    }),
+
+    // strict-order funnel: view→click→purchase with NOTHING in
+    // between, within a day of the anchor view
+    "q263_strict_funnel" -> ((s, dir) =>
+      Funnels.windowFunnelStrictOrder(Tables.events(s, dir)
+          .withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "ts_us", "event_id", "event_type",
+        Seq("view", "click", "purchase"), windowUs = 86400000000L))
   )
 
   /** Betweenness oracle: the forward BFS-DAG levels and the backward
@@ -248,7 +257,7 @@ object InferencePack extends QueryPack {
        |l0 AS (
        |  SELECT DISTINCT s_suppkey + 10000000 AS seed,
        |    s_suppkey + 10000000 AS node, CAST(1 AS HUGEINT) AS sigma
-       |  FROM supplier WHERE s_nationkey = 0
+       |  FROM supplier WHERE s_nationkey = 0 AND s_suppkey % 5 = 1
        |    AND EXISTS (SELECT 1 FROM e
        |      WHERE e.src = s_suppkey + 10000000
        |         OR e.dst = s_suppkey + 10000000)),
@@ -365,6 +374,31 @@ object InferencePack extends QueryPack {
     "q257_ind_audit" -> IndOracleSql,
     "q260_betweenness" -> BetweennessOracleSql,
 
+    "q263_strict_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id AS id,
+        |    event_type AS et
+        |  FROM events),
+        |l AS (
+        |  SELECT *,
+        |    lead(et, 1) OVER w AS e1, lead(t, 1) OVER w AS t1,
+        |    lead(et, 2) OVER w AS e2, lead(t, 2) OVER w AS t2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, id)),
+        |a AS (
+        |  SELECT user_id, t,
+        |    1 + CASE WHEN e1 = 'click' AND t1 - t <= 86400000000
+        |          THEN 1 ELSE 0 END
+        |      + CASE WHEN e1 = 'click' AND t1 - t <= 86400000000
+        |          AND e2 = 'purchase' AND t2 - t <= 86400000000
+        |          THEN 1 ELSE 0 END AS lvl
+        |  FROM l WHERE et = 'view'),
+        |r AS (
+        |  SELECT user_id, lvl, t, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY lvl DESC, t ASC) AS rn
+        |  FROM a)
+        |SELECT user_id, CAST(lvl AS BIGINT) AS stage, t AS t_anchor
+        |FROM r WHERE rn = 1""".stripMargin,
+
     "q262_cdc_apply" ->
       """WITH ch AS (
         |  SELECT o_custkey AS k,
@@ -412,18 +446,25 @@ object InferencePack extends QueryPack {
         |    CAST(round(value * 100) AS BIGINT) AS x
         |  FROM events),
         |e AS (
-        |  SELECT g, id, x, t.b AS rep
+        |  SELECT g, id, x, t.b AS rep,
+        |    ('0x' || substr(md5(id || '-' || 'boot'), 1, 8))::BIGINT
+        |      AS g0
         |  FROM r CROSS JOIN range(0, 48) t(b)),
         |u AS (
         |  SELECT g, rep, x,
-        |    ('0x' || substr(md5(id || '-' || CAST(rep AS VARCHAR) ||
-        |      '-' || 'boot'), 1, 8))::BIGINT % 1000000 AS u
+        |    ((((1103515245 * (rep + 1) + 12345) % 1073741824) * 2 + 1)
+        |      * g0
+        |      + (22695477 * (rep + 1) + 54321) % 2147483647)
+        |      % 2147483647 % 1000000 AS u
         |  FROM e),
         |w AS (
         |  SELECT g, rep, x,
-        |    len(list_filter([367879, 735758, 919698, 981011, 996340,
-        |      999405, 999916, 999989, 999998, 999999],
-        |      t -> u >= t)) AS w
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+        |      WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+        |      WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+        |      WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7
+        |      WHEN u < 999998 THEN 8 WHEN u < 999999 THEN 9
+        |      ELSE 10 END AS w
         |  FROM u),
         |m AS (
         |  SELECT g, rep, CAST(sum(w) AS BIGINT) AS sw,

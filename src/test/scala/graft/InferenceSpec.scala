@@ -261,6 +261,34 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  // ---------- strict-order funnel ----------
+
+  test("windowFunnelStrictOrder: intervening events break the chain") {
+    val steps = Seq("A", "B", "C")
+    val df = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"), (1L, 30L, 3L, "C"),
+      (2L, 10L, 4L, "A"), (2L, 20L, 5L, "X"), (2L, 30L, 6L, "B"),
+      (3L, 10L, 7L, "A"), (3L, 20L, 8L, "B"), (3L, 30L, 9L, "A"),
+      (3L, 40L, 10L, "B"), (3L, 50L, 11L, "C"),
+      (4L, 10L, 12L, "A"), (4L, 500L, 13L, "B"), // window violation
+      (5L, 10L, 14L, "A"), (5L, 20L, 15L, "B"),
+      (5L, 100L, 16L, "A"), (5L, 110L, 17L, "B") // tie → earliest
+    ).toDF("u", "ts", "id", "et")
+    val got = Funnels.windowFunnelStrictOrder(df, "u", "ts", "id",
+        "et", steps, windowUs = 100L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(got(1L) == ((3L, 10L)))
+    assert(got(2L) == ((1L, 10L)))  // X broke the chain
+    assert(got(3L) == ((3L, 30L)))  // second anchor completes
+    assert(got(4L) == ((1L, 10L)))  // B outside the window
+    assert(got(5L) == ((2L, 10L)))  // stage tie → earliest anchor
+    // contrast: the LOOSE funnel lets user 2 reach stage 2
+    val loose = Funnels.windowFunnel(df, "u", "ts", "et", steps, 100L)
+      .select("u", "stage").as[(Long, Long)].collect().toMap
+    assert(loose(2L) == 2L && got(2L)._1 == 1L)
+  }
+
   // ---------- CDC apply ----------
 
   test("Cdc.apply: upsert chains, deletes, inserts, tie-breaks") {
@@ -284,6 +312,28 @@ class InferenceSpec extends SparkSpec {
     assert(got.toSeq == Seq(
       (1L, "a3", 12L), (3L, "c", 30L), (4L, "d", 40L),
       (5L, "e2", 52L), (7L, "g2", 71L)))
+  }
+
+  test("Cdc.apply ≡ sequential per-key fold on random logs") {
+    import graft.core.Cdc
+    val rnd = new scala.util.Random(31)
+    val baseRows = (1L to 20L).map(k => (k, s"b$k", k * 100))
+    val changeRows = (1 to 300).map { i =>
+      (rnd.nextInt(25).toLong + 1, Seq("I", "U", "D")(rnd.nextInt(3)),
+        rnd.nextInt(50).toLong + 1, i.toLong, s"c$i", i.toLong * 7)
+    }
+    val got = Cdc.apply(baseRows.toDF("k", "seg", "bal"),
+        changeRows.toDF("k", "op", "ts", "cid", "seg", "bal"),
+        Seq("k"), "op", "ts", "cid")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    val want = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    baseRows.foreach { case (k, s, b) => want(k) = (s, b) }
+    changeRows.sortBy(c => (c._3, c._4)).foreach {
+      case (k, "D", _, _, _, _) => want.remove(k)
+      case (k, _, _, _, s, b) => want(k) = (s, b)
+    }
+    assert(got == want.toMap)
   }
 
   // ---------- DP release ----------
