@@ -896,21 +896,34 @@ object Eval {
     * Output: (groupCol, n, qhat, coverage_bp) — coverage_bp ≥
     * 10^4·(1−α)·n/(n+1) by the conformal guarantee (asserted in spec). */
   def conformal(df: DataFrame, groupCol: String, scoreCol: String,
-                alphaBp: Long = 1000): DataFrame = {
+                alphaBp: Long = 1000): DataFrame =
+    conformalFromTallies(
+      df.select(col(groupCol), col(scoreCol).cast("long").as("__s"))
+        .filter(col("__s").isNotNull)
+        .groupBy(col(groupCol), col("__s"))
+        .agg(count(lit(1)).as("__c")),
+      groupCol, alphaBp)
+
+  /** [[conformal]] from (group, score, count) tallies — tallies are
+    * PLAIN SUMS, so slices merge by addition: the streaming twin's
+    * read view feeds summed per-batch tallies here and gets the batch
+    * answer bitwise. The weighted valueAtRanks rank walk makes the
+    * tally path exactly the raw-row order statistic. */
+  private[graft] def conformalFromTallies(tal: DataFrame,
+                                          groupCol: String,
+                                          alphaBp: Long): DataFrame = {
     require(alphaBp > 0 && alphaBp < 10000,
       s"alphaBp $alphaBp outside (0, 10000)")
     val q = 10000 - alphaBp
-    val scores = df.select(col(groupCol),
-        col(scoreCol).cast("long").as("__s"))
-      .filter(col("__s").isNotNull)
-    val thr = Selection.valueAtRanks(scores, groupCol, "__s",
+    val thr = Selection.valueAtRanks(tal, groupCol, "__s",
         Seq("qhat" ->
-          s"least(__n, ((__n + 1L) * ${q}L + 9999L) div 10000L)"))
+          s"least(__n, ((__n + 1L) * ${q}L + 9999L) div 10000L)"),
+        weightCol = Some("__c"))
       .select(col(groupCol), col("value").as("qhat"), col("n"))
-    scores.join(broadcast(thr), Seq(groupCol))
+    tal.join(broadcast(thr), Seq(groupCol))
       .groupBy(col(groupCol), col("qhat"), col("n"))
-      .agg(sum(when(col("__s") <= col("qhat"), 1L).otherwise(0L))
-        .as("__cov"))
+      .agg(sum(when(col("__s") <= col("qhat"), col("__c"))
+        .otherwise(0L)).as("__cov"))
       .select(col(groupCol), col("n"), col("qhat"),
         expr("(__cov * 10000L) div n").as("coverage_bp"))
   }

@@ -282,6 +282,121 @@ object Multimodal {
     Some(WavStats(rate, channels, bits, n, mn, mx, sumAbs, sumSq, zc))
   }
 
+  /** Decoded-video summary: container geometry plus exact luma-plane
+    * stats over all frames (integer, so aggregation hash-checks). */
+  final case class Y4mStats(width: Int, height: Int, nFrames: Int,
+                            ySum: Long, yMin: Int, yMax: Int)
+
+  /** Minimal YUV4MPEG2 writer (C420, constant-gray chroma): the
+    * fixture/export half of [[decodeY4m]]. `frames` are w·h luma
+    * planes in raster order. */
+  def encodeY4m(width: Int, height: Int,
+                frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0)
+    require(frames.forall(_.length == width * height))
+    val header =
+      s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C420jpeg\n"
+        .getBytes("US-ASCII")
+    val chroma = Array.fill[Byte]((width / 2) * (height / 2))(128.toByte)
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val bb = java.nio.ByteBuffer.allocate(header.length +
+      frames.size * (marker.length + width * height + 2 * chroma.length))
+    bb.put(header)
+    for (f <- frames) { bb.put(marker); bb.put(f); bb.put(chroma)
+      bb.put(chroma) }
+    bb.array()
+  }
+
+  /** REAL video-container decode: a from-scratch YUV4MPEG2
+    * (`ffmpeg`'s uncompressed interchange format) header parser +
+    * C420/C444/C422 frame walker — pure JVM byte arithmetic, zero
+    * codec dependencies. Per frame it folds the LUMA plane into exact
+    * integer stats; chroma is skipped by size. Compressed codecs stay
+    * out of scope (no codec libs in this container) — but "video as an
+    * opaque binary column" is now REAL end-to-end for the standard
+    * uncompressed format, closing #36's video leg the way
+    * [[decodeWav]] closed audio. Non-Y4M / truncated payloads return
+    * None. */
+  def decodeY4m(content: Array[Byte]): Option[Y4mStats] = {
+    val magic = "YUV4MPEG2"
+    if (content.length < magic.length + 1) return None
+    if (new String(content, 0, magic.length, "US-ASCII") != magic)
+      return None
+    val nl = content.indexOf('\n'.toByte)
+    if (nl < 0) return None
+    val header = new String(content, 0, nl, "US-ASCII")
+    var w = -1; var h = -1; var chromaDiv = 4 // C420 default
+    for (tok <- header.split(' ').drop(1)) {
+      if (tok.startsWith("W")) w =
+        try tok.substring(1).toInt catch { case _: Exception => -1 }
+      else if (tok.startsWith("H")) h =
+        try tok.substring(1).toInt catch { case _: Exception => -1 }
+      else if (tok.startsWith("C")) {
+        if (tok.startsWith("C420")) chromaDiv = 4
+        else if (tok.startsWith("C422")) chromaDiv = 2
+        else if (tok.startsWith("C444")) chromaDiv = 1
+        else return None
+      }
+    }
+    if (w <= 0 || h <= 0) return None
+    val ySize = w * h
+    val frameSize = ySize + 2 * (ySize / chromaDiv)
+    var off = nl + 1
+    var n = 0
+    var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+    while (off < content.length) {
+      // frame header: "FRAME" + optional params + '\n'
+      if (off + 6 > content.length ||
+        new String(content, off, 5, "US-ASCII") != "FRAME") return None
+      val fnl = content.indexOf('\n'.toByte, off)
+      if (fnl < 0 || fnl + 1 + frameSize > content.length) return None
+      var i = fnl + 1
+      val yEnd = i + ySize
+      while (i < yEnd) {
+        val v = content(i) & 0xff
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      off = fnl + 1 + frameSize
+      n += 1
+    }
+    if (n == 0) { mn = 0; mx = 0 }
+    Some(Y4mStats(w, h, n, sum, mn, mx))
+  }
+
+  /** Partition-parallel REAL video feature extraction — the Y4M twin
+    * of [[imageFeatures]]/[[wavFeatures]]. */
+  def y4mFeatures(df: DataFrame): DataFrame = {
+    val session = df.sparkSession
+    val outSchema = StructType(
+      df.schema.fields.filterNot(_.name == "content") ++ Seq(
+        StructField("decode_ok", BooleanType, nullable = false),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("n_frames", IntegerType),
+        StructField("y_sum", LongType),
+        StructField("y_min", IntegerType),
+        StructField("y_max", IntegerType)))
+    val contentIdx = df.schema.fieldIndex("content")
+    val keepIdx = df.schema.fields.indices.filterNot(_ == contentIdx)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val kept = keepIdx.map(r.get)
+        decodeY4m(r.getAs[Array[Byte]](contentIdx)) match {
+          case Some(st) =>
+            Row.fromSeq(kept ++ Seq(true, st.width, st.height,
+              st.nFrames, st.ySum, st.yMin, st.yMax))
+          case None =>
+            Row.fromSeq(kept ++ Seq(false, null, null, null, null,
+              null, null))
+        }
+      }
+    }
+    session.createDataFrame(rdd, outSchema)
+  }
+
   /** Partition-parallel REAL audio feature extraction — the WAV twin of
     * [[imageFeatures]]: decode `content` with [[decodeWav]] into exact
     * integer PCM stats; undecodable payloads keep their row with

@@ -209,7 +209,29 @@ object InferencePack extends QueryPack {
       Funnels.windowFunnelStrictOrder(Tables.events(s, dir)
           .withColumn("ts_us", unix_micros(col("ts"))),
         "user_id", "ts_us", "event_id", "event_type",
-        Seq("view", "click", "purchase"), windowUs = 86400000000L))
+        Seq("view", "click", "purchase"), windowUs = 86400000000L)),
+
+    // end-to-end REAL video-container decode (the q253 pattern for
+    // Y4M): md5-derived 8×8 2-frame luma planes are container-encoded
+    // and decoded back; the oracle recomputes the plane series, so a
+    // hash match certifies the byte-level container roundtrip
+    "q264_y4m_stats" -> ((s, dir) => {
+      val enc = udf((bytes: Seq[Long]) => {
+        val arr = bytes.map(_.toByte).toArray
+        Multimodal.encodeY4m(8, 8,
+          Seq(arr.slice(0, 64), arr.slice(64, 128)))
+      })
+      val assets = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), enc(expr(
+          """transform(sequence(0, 127), i ->
+            |  cast(conv(substring(md5(concat(cast(doc_id as string),
+            |    '-', cast(i div 16 as string))),
+            |    (i % 16) * 2 + 1, 2), 16, 10) as bigint))"""
+            .stripMargin)).as("content"))
+      Multimodal.y4mFeatures(assets)
+        .select(col("doc_id"), col("n_frames"), col("width"),
+          col("height"), col("y_sum"), col("y_min"), col("y_max"))
+    })
   )
 
   /** Betweenness oracle: the forward BFS-DAG levels and the backward
@@ -373,6 +395,19 @@ object InferencePack extends QueryPack {
     "q250_shapley" -> ShapleyOracleSql,
     "q257_ind_audit" -> IndOracleSql,
     "q260_betweenness" -> BetweennessOracleSql,
+
+    "q264_y4m_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id, t.i AS i,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' ||
+        |      CAST(t.i // 16 AS VARCHAR)),
+        |      (t.i % 16) * 2 + 1, 2))::BIGINT AS v
+        |  FROM documents CROSS JOIN range(0, 128) t(i))
+        |SELECT doc_id, CAST(2 AS INT) AS n_frames,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(sum(v) AS BIGINT) AS y_sum,
+        |  CAST(min(v) AS INT) AS y_min, CAST(max(v) AS INT) AS y_max
+        |FROM s GROUP BY 1""".stripMargin,
 
     "q263_strict_funnel" ->
       """WITH e AS (

@@ -489,6 +489,42 @@ class InferenceSpec extends SparkSpec {
     assert(e.getMessage.contains("unique"))
   }
 
+  test("encodeY4m → decodeY4m roundtrips exact luma stats") {
+    val rnd = new scala.util.Random(19)
+    val frames = Seq.fill(5)(Array.fill(16 * 8)(rnd.nextInt(256).toByte))
+    val st = Multimodal.decodeY4m(
+      Multimodal.encodeY4m(16, 8, frames)).get
+    assert(st.width == 16 && st.height == 8 && st.nFrames == 5)
+    val all = frames.flatten.map(_ & 0xff)
+    assert(st.ySum == all.map(_.toLong).sum)
+    assert(st.yMin == all.min && st.yMax == all.max)
+    // frame headers may carry parameters; C444 changes plane sizes
+    val hdr = "YUV4MPEG2 W2 H2 F25:1 C444\n".getBytes("US-ASCII")
+    val f = "FRAME Xtag\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40) ++ Array.fill[Byte](8)(99)
+    val st444 = Multimodal.decodeY4m(hdr ++ f ++ f).get
+    assert(st444.nFrames == 2 && st444.ySum == 200L &&
+      st444.yMin == 10 && st444.yMax == 40)
+    // corrupt payloads degrade to None
+    assert(Multimodal.decodeY4m("not video".getBytes).isEmpty)
+    assert(Multimodal.decodeY4m(
+      Multimodal.encodeY4m(4, 4, Seq(new Array[Byte](16)))
+        .dropRight(3)).isEmpty) // truncated frame
+    assert(Multimodal.decodeY4m(
+      "YUV4MPEG2 W4 H4 C999\nFRAME\n".getBytes).isEmpty)
+    // undecodable rows keep their row in the frame API
+    val rows = Seq(
+      (1L, Multimodal.encodeY4m(4, 4, Seq(Array.fill[Byte](16)(7)))),
+      (2L, "garbage".getBytes)
+    ).toDF("asset_id", "content")
+    val got = Multimodal.y4mFeatures(rows)
+      .select("asset_id", "decode_ok", "n_frames", "y_sum")
+      .as[(Long, Boolean, Option[Int], Option[Long])].collect()
+      .sortBy(_._1)
+    assert(got(0) == ((1L, true, Some(1), Some(112L))))
+    assert(got(1) == ((2L, false, None, None)))
+  }
+
   test("wavFeatures keeps undecodable rows with decode_ok = false") {
     val rows = Seq(
       (1L, Multimodal.encodeWav(Array(1, -2, 3), 8000, 1)),
