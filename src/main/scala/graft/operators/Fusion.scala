@@ -197,4 +197,52 @@ object Fusion {
         expr(s"__sum div least(n_truth, ${k.toLong}L)"))
       .drop("__sum")
   }
+
+  /** Rank-biased overlap at depth k (Webber, Moffat & Zobel TOIS'10)
+    * with persistence p = 1/2 — the RANKING-DRIFT monitor: how much do
+    * two rankers agree, top-weighted, without any relevance labels
+    * (retrievalMetrics/ndcg score one ranking against truth; RBO
+    * compares two rankings against each other — the "did the new
+    * ranker version change results?" release gate). p = 1/2 makes
+    * every depth weight `(1−p)p^(d−1) = 2^−d` exactly dyadic, so
+    * `rbo_fp = Σ_{d≤k} ⌊scale·|A_d ∩ B_d| / (d·2^d)⌋` is a declared
+    * integer procedure any engine reproduces (truncated-at-k RBO:
+    * identical rankings score scale·(1−2^−k) minus floor dust).
+    *
+    * Scale: one (query, doc) equi-join of the two rank frames — a
+    * shared doc contributes to every depth ≥ max(rank_a, rank_b), so
+    * overlaps reduce to a ≤ k-row per-query tally exploded over the
+    * ≤ k remaining depths (grid ≤ queries × k, never docs); the 2^d
+    * divisors are generated literals (no float pow). Output:
+    * (queryCol, rbo_fp), 0 for zero-overlap queries. */
+  def rboAtK(a: DataFrame, b: DataFrame, queryCol: String,
+             docCol: String, rankCol: String, k: Int,
+             scale: Long = 1000000L): DataFrame = {
+    require(k >= 1 && k <= 30, s"depth $k outside [1, 30]")
+    def side(df: DataFrame, as: String) = df.select(
+        col(queryCol), col(docCol),
+        col(rankCol).cast("long").as(as))
+      .filter(col(as).between(1, k))
+    val shared = side(a, "__ra").join(side(b, "__rb"),
+        Seq(queryCol, docCol))
+      .select(col(queryCol),
+        greatest(col("__ra"), col("__rb")).cast("int").as("__m"))
+      .groupBy(col(queryCol), col("__m"))
+      .agg(count(lit(1)).as("__c"))
+    val pow2 = (1 to k).map(1L << _)
+    val perQuery = shared
+      .withColumn("__d", explode(expr(s"sequence(__m, $k)")))
+      .groupBy(col(queryCol), col("__d"))
+      .agg(sum(col("__c")).as("__ov"))
+      .withColumn("__t", expr(s"($scale * __ov) div " +
+        s"(cast(__d as bigint) * " +
+        s"element_at(array(${pow2.mkString("L,")}L), __d))"))
+      .groupBy(col(queryCol))
+      .agg(sum(col("__t")).as("rbo_fp"))
+    val queries = a.select(col(queryCol))
+      .unionByName(b.select(col(queryCol))).distinct()
+    queries.join(perQuery, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("rbo_fp"), lit(0L)).as("rbo_fp"))
+  }
 }

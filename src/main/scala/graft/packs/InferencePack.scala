@@ -231,6 +231,24 @@ object InferencePack extends QueryPack {
       Multimodal.y4mFeatures(assets)
         .select(col("doc_id"), col("n_frames"), col("width"),
           col("height"), col("y_sum"), col("y_min"), col("y_max"))
+    }),
+
+    // ranking drift: RBO@10 between q105's two rankers (by length vs
+    // by portable hash) per language — label-free agreement
+    "q265_rbo" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val byLen = Window.partitionBy(col("lang"))
+        .orderBy(octet_length(col("text")).desc, col("doc_id"))
+      val byHash = Window.partitionBy(col("lang")).orderBy(
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8)," +
+          " 16, 10) as bigint)"), col("doc_id"))
+      val a = docs.select(col("lang"), col("doc_id"),
+        row_number().over(byLen).as("r")).filter(col("r") <= 10)
+      val b = docs.select(col("lang"), col("doc_id"),
+        row_number().over(byHash).as("r")).filter(col("r") <= 10)
+      graft.operators.Fusion.rboAtK(a, b, "lang", "doc_id", "r",
+        k = 10)
     })
   )
 
@@ -395,6 +413,39 @@ object InferencePack extends QueryPack {
     "q250_shapley" -> ShapleyOracleSql,
     "q257_ind_audit" -> IndOracleSql,
     "q260_betweenness" -> BetweennessOracleSql,
+
+    "q265_rbo" -> {
+      val pow2 = (1 to 10).map(d => s"(1::BIGINT << $d)")
+      s"""WITH ra AS (
+         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+         |    ORDER BY strlen(text) DESC, doc_id) AS r
+         |  FROM documents),
+         |rb AS (
+         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |      1, 8))::BIGINT, doc_id) AS r
+         |  FROM documents),
+         |shared AS (
+         |  SELECT ra.lang,
+         |    CAST(greatest(ra.r, rb.r) AS INT) AS m,
+         |    count(*) AS c
+         |  FROM ra JOIN rb ON rb.lang = ra.lang
+         |    AND rb.doc_id = ra.doc_id
+         |  WHERE ra.r <= 10 AND rb.r <= 10
+         |  GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT s.lang, t.d, CAST(sum(s.c) AS BIGINT) AS ov
+         |  FROM shared s CROSS JOIN range(1, 11) t(d)
+         |  WHERE t.d >= s.m GROUP BY 1, 2),
+         |pq AS (
+         |  SELECT lang, CAST(sum((1000000 * ov) //
+         |    (d * list_extract([${pow2.mkString(", ")}], d)))
+         |    AS BIGINT) AS rbo_fp
+         |  FROM grid GROUP BY 1)
+         |SELECT d.lang, coalesce(pq.rbo_fp, 0) AS rbo_fp
+         |FROM (SELECT DISTINCT lang FROM documents) d
+         |LEFT JOIN pq ON pq.lang = d.lang""".stripMargin
+    },
 
     "q264_y4m_stats" ->
       """WITH s AS (

@@ -406,6 +406,27 @@ class InferenceSpec extends SparkSpec {
     assert(Multimodal.decodeWav(badFmt).isEmpty)
   }
 
+  // ---------- rank-biased overlap ----------
+
+  test("rboAtK: identical, reversed, disjoint, depth-cut rankings") {
+    import graft.operators.Fusion
+    def rk(rows: (String, String, Int)*) = rows.toSeq.toDF("q", "d", "r")
+    // identical @3: Σ scale/2^d = 875000
+    val ident = rk(("q1", "x", 1), ("q1", "y", 2), ("q1", "z", 3))
+    assert(Fusion.rboAtK(ident, ident, "q", "d", "r", k = 3)
+      .as[(String, Long)].collect().head._2 == 875000L)
+    // reversed pair @2: overlap only at depth 2 → scale·2/(2·4)
+    val ab = rk(("q1", "x", 1), ("q1", "y", 2))
+    val ba = rk(("q1", "y", 1), ("q1", "x", 2))
+    assert(Fusion.rboAtK(ab, ba, "q", "d", "r", k = 2)
+      .as[(String, Long)].collect().head._2 == 250000L)
+    // disjoint → 0 row still emitted; ranks beyond k ignored
+    val other = rk(("q1", "u", 1), ("q1", "x", 9))
+    val got = Fusion.rboAtK(ab, other, "q", "d", "r", k = 2)
+      .as[(String, Long)].collect().head
+    assert(got == (("q1", 0L)))
+  }
+
   // ---------- sequential patterns ----------
 
   test("frequentSubsequences: greedy ladder matches hand supports") {
