@@ -248,6 +248,59 @@ object Eval {
       .drop("__d")
   }
 
+  /** Exact 1-D Wasserstein (earth-mover) distance per group — the
+    * MAGNITUDE-sensitive distribution-shift metric completing the
+    * trio: total-variation sums cellwise gaps, KS takes the worst CDF
+    * gap, W1 integrates the CDF gap over the VALUE AXIS
+    * (`W1 = ∫|F_A − F_B| dv`), so a shift's SIZE matters — a
+    * distribution sliding 10 units scores 10× one sliding 1, where KS
+    * saturates. Exact integers throughout: per distinct value,
+    * `|cum_a·n_b − cum_b·n_a| · Δv` (Δv = gap to the next observed
+    * value), then `w1_fp = scale·Σ div (n_a·n_b)` — one declared
+    * floor.
+    *
+    * Same scale posture as [[ksTest]]: raw rows collapse to (group,
+    * value) slice tallies once; CDF cumsums and the Δv lead() run only
+    * over the bounded distinct-value series ([[boundedTally]]);
+    * products ride decimal(38,0). Groups missing either slice drop.
+    * Output: (group, n_a, n_b, w1_fp) — w1_fp in value units ×
+    * scale. */
+  def wasserstein1(df: DataFrame, groupCol: String, valueCol: String,
+                   sliceA: Column, scale: Long = 1000000L,
+                   maxSeries: Long = 1L << 22): DataFrame = {
+    val byV = boundedTally(
+      df.select(col(groupCol), col(valueCol).cast("long").as("__v"),
+          when(sliceA, 1L).otherwise(0L).as("__a"))
+        .groupBy(col(groupCol), col("__v"))
+        .agg(sum(col("__a")).as("__ca"),
+          sum(lit(1L) - col("__a")).as("__cb")),
+      groupCol, maxSeries, "wasserstein1")
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    val w = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    byV
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .withColumn("__dv", // last value: no interval to integrate over
+        coalesce(lead(col("__v"), 1).over(wOrd) - col("__v"), lit(0L)))
+      .withColumn("__term", abs(
+        col("__cuma").cast("decimal(38,0)") * col("__nb") -
+          col("__cumb").cast("decimal(38,0)") * col("__na")) *
+        col("__dv"))
+      .groupBy(col(groupCol))
+      .agg(min(col("__na")).as("n_a"), min(col("__nb")).as("n_b"),
+        sum(col("__term")).as("__s"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("w1_fp", expr(
+        s"""cast((cast($scale as decimal(38,0)) * __s)
+           |  div (cast(n_a as decimal(38,0)) * n_b) as long)"""
+          .stripMargin))
+      .drop("__s")
+  }
+
   /** Isotonic (PAV) calibration over [[calibration]]'s bins: pool
     * adjacent violators until the bin means are non-decreasing — the
     * standard monotone recalibration of a score (Zadrozny & Elkan

@@ -249,7 +249,13 @@ object InferencePack extends QueryPack {
         row_number().over(byHash).as("r")).filter(col("r") <= 10)
       graft.operators.Fusion.rboAtK(a, b, "lang", "doc_id", "r",
         k = 10)
-    })
+    }),
+
+    // magnitude-sensitive distribution shift: exact 1-D Wasserstein
+    // between open and finished line quantities per return flag
+    "q266_wasserstein" -> ((s, dir) =>
+      Eval.wasserstein1(Tables.load(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", col("l_linestatus") === "O"))
   )
 
   /** Betweenness oracle: the forward BFS-DAG levels and the backward
@@ -413,6 +419,33 @@ object InferencePack extends QueryPack {
     "q250_shapley" -> ShapleyOracleSql,
     "q257_ind_audit" -> IndOracleSql,
     "q260_betweenness" -> BetweennessOracleSql,
+
+    "q266_wasserstein" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN l_linestatus = 'O' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS cb
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT g, v, ca, cb,
+        |    CAST(sum(ca) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS HUGEINT) AS cuma,
+        |    CAST(sum(cb) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS HUGEINT) AS cumb,
+        |    CAST(sum(ca) OVER (PARTITION BY g) AS BIGINT) AS na,
+        |    CAST(sum(cb) OVER (PARTITION BY g) AS BIGINT) AS nb,
+        |    coalesce(lead(v) OVER (PARTITION BY g ORDER BY v) - v, 0)
+        |      AS dv
+        |  FROM t)
+        |SELECT g AS l_returnflag, min(na) AS n_a, min(nb) AS n_b,
+        |  CAST((1000000 * sum(abs(cuma * nb - cumb * na) * dv))
+        |    // (CAST(min(na) AS HUGEINT) * min(nb)) AS BIGINT) AS w1_fp
+        |FROM c GROUP BY 1
+        |HAVING min(na) > 0 AND min(nb) > 0""".stripMargin,
 
     "q265_rbo" -> {
       val pow2 = (1 to 10).map(d => s"(1::BIGINT << $d)")

@@ -406,6 +406,34 @@ class InferenceSpec extends SparkSpec {
     assert(Multimodal.decodeWav(badFmt).isEmpty)
   }
 
+  // ---------- Wasserstein-1 ----------
+
+  test("wasserstein1: exact shift distance where KS saturates") {
+    def df(rows: (String, Long, Boolean)*) =
+      rows.toSeq.toDF("g", "v", "a")
+    // identical slices → 0
+    val same = df(("g", 1L, true), ("g", 1L, false),
+      ("g", 5L, true), ("g", 5L, false))
+    assert(Eval.wasserstein1(same, "g", "v", col("a"))
+      .as[(String, Long, Long, Long)].collect().head._4 == 0L)
+    // B is A shifted by 10 → W1 = 10·scale, by 1 → 1·scale; KS gives
+    // scale (total CDF gap) for BOTH — W1 sees the magnitude
+    def shifted(d: Long) = df(("g", 0L, true), ("g", 0L, true),
+      ("g", d, false), ("g", d, false))
+    val w10 = Eval.wasserstein1(shifted(10), "g", "v", col("a"))
+      .as[(String, Long, Long, Long)].collect().head
+    val w1 = Eval.wasserstein1(shifted(1), "g", "v", col("a"))
+      .as[(String, Long, Long, Long)].collect().head
+    assert(w10 == (("g", 2L, 2L, 10000000L)))
+    assert(w1 == (("g", 2L, 2L, 1000000L)))
+    val ks = Eval.ksTest(shifted(10), "g", "v", col("a"))
+      .select("d_fp").as[Long].collect().head
+    assert(ks == 1000000L) // saturated — no magnitude signal
+    // one-sided groups drop
+    val oneSided = df(("h", 1L, true), ("h", 2L, true))
+    assert(Eval.wasserstein1(oneSided, "g", "v", col("a")).count() == 0)
+  }
+
   // ---------- rank-biased overlap ----------
 
   test("rboAtK: identical, reversed, disjoint, depth-cut rankings") {
