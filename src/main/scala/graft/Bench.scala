@@ -132,15 +132,18 @@ object Bench {
         mins.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")},"suspect":${
         suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}\n""")
-    // bench_iters is APPEND-ONLY (one JSON line per run): overwriting
-    // lost the r5 clean-JVM adjudication baselines (r6 advice).
+    // bench_iters is APPEND-ONLY (one JSON object per line — JSON
+    // Lines, hence the .jsonl name; read with a per-line json parse):
+    // overwriting lost the r5 clean-JVM adjudication baselines (r6
+    // advice), and the earlier .json name made whole-file json.load
+    // choke on the concatenated records (r10 advice).
     val itersLine =
       s"""{"repeat":$repeat,"queries":${
         results.map { case (k, ts) =>
           "\"" + k + "\":" + ts.mkString("[", ",", "]")
         }.mkString("{", ",", "}")},"sf":"$sfDir"}\n"""
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_iters.json"), itersLine.getBytes,
+      java.nio.file.Paths.get("bench_iters.jsonl"), itersLine.getBytes,
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Throwable => () }

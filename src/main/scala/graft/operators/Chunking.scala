@@ -87,9 +87,20 @@ object Chunking {
   def binarizeTokenShards(df: DataFrame, idCol: String, idsCol: String,
                           shards: Int): DataFrame = {
     require(shards >= 1, "binarizeTokenShards: shards must be >= 1")
+    // array_min/array_max IGNORE null elements and array_join silently
+    // drops them, so a NULL id would otherwise produce payload_hex
+    // shorter than the declared n_bytes (corrupt manifest offsets)
+    // instead of an error — count nulls explicitly in the same pass.
     val rng = df.agg(
       min(array_min(col(idsCol))).as("__mn"),
-      max(array_max(col(idsCol))).as("__mx")).collect()(0)
+      max(array_max(col(idsCol))).as("__mx"),
+      sum(when(col(idsCol).isNull
+          .or(exists(col(idsCol), _.isNull)), 1L)
+        .otherwise(0L)).as("__nulls")).collect()(0)
+    require(rng.getAs[Number](2).longValue() == 0L,
+      s"binarizeTokenShards: ${rng.get(2)} row(s) carry NULL token ids" +
+        " (or a NULL id array) — u16 packing has no NULL encoding; " +
+        "remap or drop them first.")
     require(rng.isNullAt(0) ||
       (rng.getAs[Number](0).longValue() >= 0L &&
         rng.getAs[Number](1).longValue() <= 65535L),

@@ -434,6 +434,12 @@ object Funnels {
     require(nCh <= maxChannels,
       s"channel vocabulary $nCh exceeds the $maxChannels " +
         "2^k coalition budget")
+    // the channel universe is the FULL touch vocabulary, not just the
+    // channels converters touched: a channel touched solely by
+    // non-converters must still emit a (zero-credit) row, matching any
+    // vocabulary-driven oracle. Collected only AFTER the cluster-side
+    // REQUIRE above bounds it to ≤ maxChannels ≤ 20 strings.
+    val vocab = t.select(col("__ch")).distinct().as[String].collect()
     val conv = converters.select(col(userCol).as("__u")).distinct()
     // ≤ 2^k coalition rows: (sorted distinct channel set, converters)
     val setCounts = t.join(conv, Seq("__u"))
@@ -442,7 +448,7 @@ object Funnels {
       .groupBy(col("__set")).agg(count(lit(1)).as("__n"))
       .as[(Seq[String], Long)].collect()
 
-    val channels = setCounts.flatMap(_._1).distinct.sorted
+    val channels = vocab.toSeq.sorted
     val k = channels.length
     if (k == 0)
       return Seq.empty[(String, Long, Long, Long)]

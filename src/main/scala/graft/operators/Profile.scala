@@ -1278,7 +1278,18 @@ object Profile {
     * this RELEASES. Noise draws are portable md5 of the cell key (a
     * cryptographic hash as the DP PRNG — the standard deployment
     * practice; one release per `seed`, and re-releasing with fresh
-    * seeds spends budget like any DP system). All 2^−|k| masses over
+    * seeds spends budget like any DP system).
+    *
+    * SECURITY CONTRACT on `seed`: the noise is a DETERMINISTIC function
+    * of (cell key, seed), so the ε-DP guarantee holds ONLY if the seed
+    * is secret, high-entropy, and used for exactly one release — anyone
+    * who learns the seed inverts the noise exactly and recovers the
+    * true counts, voiding the release's privacy. Treat the seed as a
+    * key: generate it from a CSPRNG, never embed it in published code
+    * or query text next to the released table, and never reuse it
+    * across releases (reuse correlates the noise, compounding leakage).
+    * Test fixtures here use literal seeds for reproducibility — those
+    * releases are NOT private. All 2^−|k| masses over
     * denominator 3·2^t are EXACT integers, embedded as generated
     * literal thresholds — the Poisson-bootstrap pattern — so the
     * release hash-checks across engines. Negative noisy counts are

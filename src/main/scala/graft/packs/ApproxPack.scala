@@ -203,12 +203,18 @@ object ApproxPack extends QueryPack {
     "q104_hybrid_topk" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val emb = Tables.load(s, dir, "embeddings")
-      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+      // SF-INVARIANT query panel: the bare %100 slice grows linearly
+      // with the corpus and is collected WITH TEXT to the driver; the
+      // doc_id <= 2000 cap bounds it at ≤ 21 queries at every SF
+      val panel = pmod(col("doc_id"), lit(100)) === 0 &&
+        col("doc_id") <= 2000
+      val queries = docs.filter(panel)
         .select(col("doc_id"), col("text")).collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq
       graft.operators.Fusion.hybridTopK(
         docs, "doc_id", "text", emb, "vec_id", "embedding",
-        queries, pmod(col("vec_id"), lit(100)) === 0, topK = 10)
+        queries, pmod(col("vec_id"), lit(100)) === 0 &&
+          col("vec_id") <= 2000, topK = 10)
     }),
 
     // DSIR importance selection: docs ranked by the fixed-point

@@ -166,8 +166,12 @@ object InferencePack extends QueryPack {
           (col("cust") + 20000000L).as("dst"))
         .union(pairs.select((col("cust") + 20000000L).as("src"),
           (col("supp") + 10000000L).as("dst")))
+      // SF-INVARIANT seed panel: suppkeys are 1..10000·SF, so the
+      // low-key slice `s_suppkey <= 80 AND s_suppkey % 5 = 1` is the
+      // SAME 16 seeds at every SF ≥ 0.01 (an SF-scaling predicate like
+      // s_nationkey=0 would overflow the maxSeeds REQUIRE at sf ≥ ~1)
       val seeds = Tables.load(s, dir, "supplier")
-        .filter(col("s_nationkey") === 0 &&
+        .filter(col("s_suppkey") <= 80 &&
           pmod(col("s_suppkey"), lit(5)) === 1)
         .select((col("s_suppkey").cast("long") + 10000000L).as("id"))
       graft.operators.Graph.betweennessFromSeeds(edges, "src", "dst",
@@ -303,7 +307,7 @@ object InferencePack extends QueryPack {
        |l0 AS (
        |  SELECT DISTINCT s_suppkey + 10000000 AS seed,
        |    s_suppkey + 10000000 AS node, CAST(1 AS HUGEINT) AS sigma
-       |  FROM supplier WHERE s_nationkey = 0 AND s_suppkey % 5 = 1
+       |  FROM supplier WHERE s_suppkey <= 80 AND s_suppkey % 5 = 1
        |    AND EXISTS (SELECT 1 FROM e
        |      WHERE e.src = s_suppkey + 10000000
        |         OR e.dst = s_suppkey + 10000000)),

@@ -83,7 +83,7 @@ object RobustPack extends QueryPack {
           col("id_b").cast("long").as("id_b"), col("relation"))
     }),
 
-    // harmonic closeness from the nation-0 supplier seed panel over
+    // harmonic closeness from a fixed low-suppkey seed panel over
     // the bipartite trade graph, 3 hops — per-seed BFS state
     "q246_closeness" -> ((s, dir) => {
       val pairs = Tables.load(s, dir, "lineitem")
@@ -97,8 +97,12 @@ object RobustPack extends QueryPack {
           (col("cust") + 20000000L).as("dst"))
         .union(pairs.select((col("cust") + 20000000L).as("src"),
           (col("supp") + 10000000L).as("dst")))
+      // SF-INVARIANT seed panel (the q260 posture): the low-key slice
+      // is the SAME 16 seeds at every SF ≥ 0.01, never overflowing the
+      // maxSeeds REQUIRE the way an s_nationkey predicate would
       val seeds = Tables.load(s, dir, "supplier")
-        .filter(col("s_nationkey") === 0)
+        .filter(col("s_suppkey") <= 80 &&
+          pmod(col("s_suppkey"), lit(5)) === 2)
         .select((col("s_suppkey").cast("long") + 10000000L).as("id"))
       Graph.closenessFromSeeds(edges, "src", "dst", seeds, "id",
         maxHops = 3)
@@ -363,7 +367,7 @@ object RobustPack extends QueryPack {
         |  SELECT cust + 20000000, supp + 10000000 FROM li),
         |seeds AS (
         |  SELECT CAST(s_suppkey AS BIGINT) + 10000000 AS node
-        |  FROM supplier WHERE s_nationkey = 0),
+        |  FROM supplier WHERE s_suppkey <= 80 AND s_suppkey % 5 = 2),
         |walk AS (
         |  SELECT node AS seed, node, 0 AS hops FROM seeds
         |  WHERE node IN (SELECT src FROM e UNION SELECT dst FROM e)

@@ -61,9 +61,14 @@ object FunnelStream {
           val pend0 = st.pending ++ incoming.filter(_._1 > 0)
           t1Opt match {
             case Some(t1) =>
-              // horizon: a chain of N−1 gaps of ≤ windowUs each
+              // horizon: a chain of N−1 gaps of ≤ windowUs each. Events
+              // at ts ≤ t1 can't chain TODAY but must survive while
+              // above the watermark: a step-1 event ≥ wm arriving in a
+              // later batch can lower t1 below them (the horizon only
+              // shrinks when t1 drops, so the upper cut is final).
               val pend = pend0.filter { case (_, ts) =>
-                ts > t1 && ts <= t1 + (n - 1).toLong * windowUs }
+                (ts > t1 || ts > wmUs) &&
+                  ts <= t1 + (n - 1).toLong * windowUs }
               val times = Array.fill(n)(-1L)
               times(0) = t1
               var prev = t1

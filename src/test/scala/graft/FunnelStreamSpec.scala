@@ -79,4 +79,44 @@ class FunnelStreamSpec extends SparkSpec {
     assert(u4._2 == Seq(ts(10).getTime * 1000, ts(14).getTime * 1000,
       ts(21).getTime * 1000) && u4._3 == 3L)
   }
+
+  test("late step-1 event below current t1 re-chains a kept later-step " +
+    "event (pend must survive ts <= t1 while above the watermark)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StepEvent]
+    val q = FunnelStream.windowFunnelStream(ms.toDS(),
+        watermark = "60 minutes", Steps, WindowUs)
+      .writeStream.format("memory").queryName("funnelstream_late1")
+      .outputMode("append").start()
+    try {
+      // batch 1: view@100, click@50 — click precedes the only t1 seen
+      // so far, but sits ABOVE the watermark (wm = 100 − 60 = 40 after
+      // this batch), so a later, earlier view can still chain it
+      ms.addData(StepEvent(7L, ts(100), "view"),
+        StepEvent(7L, ts(50), "click"))
+      q.processAllAvailable()
+      // batch 2: view@45 (≥ wm=40 ⇒ admitted) lowers t1 to 45; the
+      // kept click@50 now chains (gap 5 min ≤ 10-min window)
+      ms.addData(StepEvent(7L, ts(45), "view"))
+      q.processAllAvailable()
+      ms.addData(StepEvent(sentinel._1, ts(sentinel._2), sentinel._3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnelstream_late1").as[FunnelOut].collect()
+      .map(o => (o.user, o.times, o.stage)).toSet
+    val batch = graft.operators.Funnels.windowFunnel(
+        Seq((7L, 100L, "view"), (7L, 50L, "click"), (7L, 45L, "view"))
+          .toDF("user", "min", "etype")
+          .withColumn("ts_us", col("min") * 60000000L),
+        "user", "ts_us", "etype", Steps, WindowUs)
+      .select(col("user"), array(col("t1"), col("t2"), col("t3")),
+        col("stage"))
+      .as[(Long, Seq[Long], Long)].collect().toSet
+    assert(got.filterNot(_._1 == sentinel._1) == batch,
+      s"stream $got vs batch $batch")
+    val u7 = got.find(_._1 == 7L).get
+    assert(u7._3 == 2L &&
+      u7._2.take(2) == Seq(ts(45).getTime * 1000, ts(50).getTime * 1000))
+  }
 }

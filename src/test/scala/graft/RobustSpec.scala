@@ -287,6 +287,20 @@ class RobustSpec extends SparkSpec {
         .toDF("doc_id", "ids"), "doc_id", "ids", 2)
     }
     assert(e2.getMessage.contains("u16"))
+    // NULL ids must fail LOUDLY (array_min/max ignore nulls and
+    // array_join drops them, which would silently corrupt offsets)
+    val eNull = intercept[IllegalArgumentException] {
+      Chunking.binarizeTokenShards(
+        Seq((1L, Seq[Integer](5, null)), (2L, Seq[Integer](7)))
+          .toDF("doc_id", "ids"), "doc_id", "ids", 2)
+    }
+    assert(eNull.getMessage.contains("NULL token ids"))
+    val eNullArr = intercept[IllegalArgumentException] {
+      Chunking.binarizeTokenShards(
+        Seq((1L, Seq[Integer](5)), (2L, null: Seq[Integer]))
+          .toDF("doc_id", "ids"), "doc_id", "ids", 2)
+    }
+    assert(eNullArr.getMessage.contains("NULL token ids"))
   }
 
   // ---- k-fold -------------------------------------------------------
