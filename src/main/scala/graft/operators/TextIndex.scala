@@ -158,6 +158,92 @@ object TextIndex {
     bm25Score(tf, dfTbl, qTerms, nDocs, avgdl, k, k1, b)
   }
 
+  /** ENGINE-EXACT BM25 top-k at the (k1 = 1.2, b = 0.75) default
+    * profile — the hash-checkable twin of [[bm25TopK]]: every float in
+    * the classic formula is replaced by an exact integer form, so the
+    * scores (and therefore the ranking, ties and all) reproduce
+    * bit-for-bit on any engine.
+    *
+    *  - idf: ln(1 + (N−df+0.5)/(df+0.5)) = ln((N+1)/(df+0.5)) becomes
+    *    `idf_fp = PortableLn.lnFp(2(N+1), 2df+1)` ≈ 10^6·ln — the
+    *    portable shift-and-square fixed-point log, computed DRIVER-side
+    *    for just the query terms' df values (queries are a driver Seq
+    *    by contract, so this panel is model-sized) and attached as a
+    *    broadcast literal frame.
+    *  - saturation: with k1 = 6/5, b = 3/4 and avgdl = T/N (T = total
+    *    tokens), tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) multiplies out to
+    *    the single integer division 22·tf·T / (10·tf·T + 3·T + 9·dl·N),
+    *    so each term's weight is ONE floor division:
+    *    `w_fp = (idf_fp·22·tf·T) div (10·tf·T + 3·T + 9·dl·N)`.
+    *
+    * Magnitudes are REQUIREd into signed-64 range up front from the
+    * collected (N, T, max dl) — a corpus past that gets the loud
+    * bounds error, not a silent wrap (ANSI posture).
+    *
+    * Scale: same plan as [[bm25TopK]] — one tokenize/explode, one
+    * (term, doc) partial agg, query-term df by one filtered partial
+    * agg, broadcast query join, per-query top-k window over the
+    * candidate set. Output (query_id, rank, doc_id, score_fp). */
+  def bm25TopKExactFp(df: DataFrame, idCol: String, textCol: String,
+                      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    require(queries.nonEmpty, "at least one query")
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val docTerms = df.select(col(idCol).as("doc_id"),
+        terms(col(textCol)).as("__terms"))
+      .select(col("doc_id"), size(col("__terms")).as("dl"),
+        explode(col("__terms")).as("term"))
+    val tf = docTerms.groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // probed by the df agg AND the score join
+
+    // null-text docs (dl = −1 under size()) carry no terms and score
+    // nowhere; exclude them from the corpus constants too
+    val stats = df.select(size(terms(col(textCol))).cast("long").as("dl"))
+      .filter(col("dl") >= 0)
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("t"),
+        max(col("dl")).as("m")).head
+    val nDocs = stats.getLong(0)
+    require(nDocs > 0, "empty corpus")
+    val tTok = stats.getLong(1)
+    val maxDl = stats.getLong(2)
+
+    val qTerms = queries.flatMap { case (qid, qt) =>
+      qt.trim.split("\\s+").distinct.map(t => (qid, t)) }
+    val termSet = qTerms.map(_._2).distinct
+    val dfMap = tf.filter(col("term").isin(termSet: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    val idfMap = dfMap.map { case (term, d) =>
+      term -> graft.functions.PortableLn.lnFp(
+        BigInt(2) * (nDocs + 1), BigInt(2) * d + 1) }
+    val maxIdf = if (idfMap.isEmpty) 0L else idfMap.values.max
+    require(BigInt(maxIdf) * 22 * maxDl * tTok <= Long.MaxValue &&
+      BigInt(10) * maxDl * tTok + 3L * tTok +
+        BigInt(9) * maxDl * nDocs <= Long.MaxValue,
+      s"bm25TopKExactFp: corpus constants (N=$nDocs, T=$tTok, " +
+        s"maxdl=$maxDl) push the integer score past signed-64 — " +
+        "shard the corpus or rescale")
+    val qidf = qTerms.collect { case (qid, term)
+        if idfMap.contains(term) => (qid, term, idfMap(term)) }
+      .toDF("query_id", "term", "idf_fp")
+
+    val scored = tf.join(broadcast(qidf), Seq("term"))
+      .withColumn("__w", expr(
+        s"(idf_fp * 22 * tf * ${tTok}L) div " +
+          s"(10 * tf * ${tTok}L + 3 * ${tTok}L + 9 * dl * ${nDocs}L)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__w")).as("score_fp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("score_fp"))
+  }
+
   /** Shared weighted-BM25 scoring tail: a (query_id, term, __qw)
     * weighted query table scores against the corpus tf/df tables; the
     * per-(query, doc) score is Σ __qw·idf·tf-saturation and top-k

@@ -107,13 +107,10 @@ object ApproxPack extends QueryPack {
           3L -> "slow batch scan"),
         k = 10, fbDocs = 5, fbTerms = 8)),
 
-    "q71_bm25" -> ((s, dir) =>
-      graft.operators.TextIndex.bm25TopK(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
-        queries = Seq(1L -> "hash join strategy",
-          2L -> "customer order filter",
-          3L -> "slow batch scan"),
-        k = 10)),
+    // q71_bm25 moved to ScalePack: the exact-integer profile
+    // (bm25TopKExactFp + PortableLn) made it hash-oracleable in r11.
+    // The float bm25TopK stays API-covered through q217_rm3 (its
+    // first pass) and the FusionSpec parity battery.
 
     // HyperLogLog++ distinct profile: sketch-based → rows-only;
     // ScaleOpsSpec asserts the rsd error bound against exact counts

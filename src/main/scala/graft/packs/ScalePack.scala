@@ -20,6 +20,13 @@ object ScalePack extends QueryPack {
   private val MixWeights = Seq(
     "en" -> 5L, "zh" -> 2L, "de" -> 2L, "fr" -> 1L, "es" -> 1L)
 
+  // Shared by the q71 query AND its oracle: the oracle embeds the
+  // SAME (query_id, token) pairs, tokenized by the SAME Scala split.
+  private val Bm25Queries = Seq(
+    1L -> "hash join strategy",
+    2L -> "customer order filter",
+    3L -> "slow batch scan")
+
   /** Order fulfillment window: [orderdate, +90). */
   private def orderWindows(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders").select(
@@ -96,6 +103,16 @@ object ScalePack extends QueryPack {
     "q70_inverted_index" -> ((s, dir) =>
       TextIndex.invertedIndex(Tables.load(s, dir, "documents"),
         "doc_id", "text", minDf = 25)),
+
+    // BM25 top-k at the exact-integer (k1=1.2, b=0.75) profile: idf
+    // through the portable fixed-point ln kernel (driver-side for the
+    // query panel; the oracle replays the SAME integer algorithm as a
+    // recursive CTE), saturation as one floor division — scores
+    // hash-check bit-for-bit
+    "q71_bm25" -> ((s, dir) =>
+      TextIndex.bm25TopKExactFp(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        queries = Bm25Queries, k = 10)),
 
     // exact retrieval eval: Recall@10 + fixed-point reciprocal rank
     // of the q69 integer-MIPS ranking against same-label ground truth
@@ -610,6 +627,54 @@ object ScalePack extends QueryPack {
           max(col("score_bp")).as("max_score_bp")))
   )
 
+  /** q71 oracle: the exact-integer BM25 replayed end-to-end in DuckDB.
+    * The query panel embeds as literal (query_id, token) VALUES rows —
+    * tokenized by the SAME Scala split as the operator — and idf_fp
+    * comes from [[graft.functions.PortableLn.duckLnCtes]], the
+    * recursive-CTE twin of the integer ln the operator ran driver-side,
+    * so every score is the identical BIGINT. sum() is CAST back to
+    * BIGINT (HUGEINT rule) and rank to INT (row_number rule). */
+  private val Bm25OracleSql: String = {
+    val qvals = Bm25Queries.flatMap { case (qid, text) =>
+      text.trim.split("\\s+").distinct.map { t =>
+        require(!t.contains("'"), s"query token $t needs quoting")
+        s"(CAST($qid AS BIGINT), '$t')"
+      }
+    }.mkString(", ")
+    val lnCtes = graft.functions.PortableLn.duckLnCtes(
+      "__ln_in", Seq("df"), "idf")
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |       FROM t GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |       FROM t GROUP BY 1),
+       |nst AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |               CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+       |q(query_id, term) AS (VALUES $qvals),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+       |        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |__ln_in AS (SELECT DISTINCT df,
+       |    2 * ((SELECT n FROM nst) + 1) AS a, 2 * df + 1 AS b
+       |  FROM dfq),
+       |$lnCtes,
+       |sc AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    CAST(sum((idf.ln_fp * 22 * tf.tf * nst.tt) //
+       |      (10 * tf.tf * nst.tt + 3 * nst.tt + 9 * dl.dl * nst.n))
+       |      AS BIGINT) AS score_fp
+       |  FROM q JOIN tf USING (term) JOIN dfq USING (term)
+       |    JOIN idf USING (df) JOIN dl USING (doc_id), nst
+       |  GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score_fp, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_fp
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q64_overlap_join" ->
       """WITH a AS (
@@ -902,6 +967,8 @@ object ScalePack extends QueryPack {
         |FROM tf JOIN d USING (term)
         |WHERE d.df >= 25
         |""".stripMargin,
+
+    "q71_bm25" -> Bm25OracleSql,
 
     "q84_group_sample" ->
       """WITH r AS (

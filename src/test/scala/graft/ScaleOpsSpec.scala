@@ -303,4 +303,43 @@ class ScaleOpsSpec extends SparkSpec {
       assert(math.abs(s1 - s2) < 1e-9)
     }
   }
+
+  test("PortableLn.lnFp tracks 1e6*ln within 3 units; guards fire") {
+    import graft.functions.PortableLn
+    val cases = Seq((1L, 1L), (3L, 2L), (2L, 1L), (12L, 11L),
+      (1000L, 3L), (65537L, 2L), (1L << 39, 1L), (999999937L, 7L),
+      (202L, 201L), (4096L, 4095L))
+    cases.foreach { case (a, b) =>
+      val got = PortableLn.lnFp(BigInt(a), BigInt(b))
+      val want = 1e6 * math.log(a.toDouble / b.toDouble)
+      assert(math.abs(got - want) <= 3.0, s"lnFp($a,$b)=$got vs $want")
+    }
+    // monotone in the ratio (needed for rank stability)
+    val seq = (1L to 400L).map(d =>
+      PortableLn.lnFp(BigInt(2) * 401, BigInt(2) * d + 1))
+    assert(seq.zip(seq.tail).forall { case (x, y) => x >= y })
+    intercept[IllegalArgumentException] { PortableLn.lnFp(1, 0) }
+    intercept[IllegalArgumentException] { PortableLn.lnFp(1, 2) }
+    intercept[IllegalArgumentException] {
+      PortableLn.lnFp(BigInt(1) << 41, 1) }
+  }
+
+  test("bm25TopKExactFp: ranking matches float bm25 at the same " +
+    "profile; scores are the fixed-point scores") {
+    val queries = Seq(1L -> "spark join", 2L -> "quantum chamber")
+    val float = TextIndex.bm25TopK(docs, "doc_id", "text", queries, 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect()
+    val exact = TextIndex.bm25TopKExactFp(docs, "doc_id", "text",
+        queries, 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(exact.map(e => (e._1, e._2, e._3)).toSeq ==
+      float.map(f => (f._1, f._2, f._3)).toSeq)
+    exact.zip(float).foreach { case (e, f) =>
+      // fp scale 1e6; per-term floor + ln quantization stay tiny
+      assert(math.abs(e._4 / 1e6 - f._4) < 1e-3,
+        s"score_fp ${e._4} vs float ${f._4}")
+    }
+  }
 }
