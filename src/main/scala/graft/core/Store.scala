@@ -44,7 +44,74 @@ trait Committer {
               write: String => Unit): Unit
 }
 
+/** A publish lost the generation race: another writer committed the
+  * table after this writer read it. RETRYABLE by contract — re-read
+  * the table (and the generation), re-derive the new version, publish
+  * again. Store operations do this automatically (bounded attempts);
+  * only a pathologically contended table surfaces it to callers. */
+final class StaleWriteException(msg: String)
+  extends RuntimeException(msg)
+
 object Committer {
+  /** Optimistic-concurrency seam for MULTI-WRITER stores: a
+    * monotonically increasing generation per table, advanced by an
+    * atomic create-if-absent marker file — the compare-and-swap the
+    * bare marker-file lock lacks. Writers capture [[currentGen]]
+    * BEFORE reading the table; [[commitGen]] (called inside the
+    * staging callback, after the new version is fully written but
+    * before the swap) atomically claims `expected + 1` and throws
+    * [[StaleWriteException]] if any other writer — same JVM, another
+    * driver, another machine — claimed it first: the CAS loser never
+    * touches the live table, so a writer whose table lock was wrongly
+    * broken as stale can no longer clobber the breaker's commit. The
+    * claim primitive is `FileSystem.create(path, overwrite = false)`,
+    * atomic on HDFS-like stores (same primitive the table lock uses).
+    * Residual window: the winner's marker precedes its two metadata
+    * renames by milliseconds, so a reader that captures the gen in
+    * that window sees the previous directory contents — closing that
+    * fully is what a transactional-format Committer is for. */
+  private def gensPath(dst: Path) = new Path(dst.toString + ".gens")
+
+  /** Highest committed generation of the table at `dst` (0 = no
+    * generation markers yet — a legacy or brand-new table). */
+  def currentGen(fs: org.apache.hadoop.fs.FileSystem, dst: Path): Long = {
+    val gp = gensPath(dst)
+    if (!fs.exists(gp)) 0L
+    else fs.listStatus(gp).iterator.flatMap(s =>
+      scala.util.Try(s.getPath.getName.toLong).toOption)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Atomically claim generation `expected + 1` for `dst`; throws
+    * [[StaleWriteException]] when another writer already did. Old
+    * markers are garbage-collected with a trailing window (max-only
+    * readers never miss the head). */
+  def commitGen(fs: org.apache.hadoop.fs.FileSystem, dst: Path,
+                expected: Long, gcKeep: Int = 8): Unit = {
+    val next = expected + 1
+    val gp = gensPath(dst)
+    fs.mkdirs(gp)
+    val marker = new Path(gp, next.toString)
+    // two layers, like the table lock: the JVM mutex makes the claim
+    // atomic between threads of ONE driver (local-FS create(false) is
+    // check-then-act); the create-if-absent excludes OTHER processes
+    // (atomic on HDFS-like stores)
+    val claimed = KeyedLocks.withLock(s"__gens#$gp") {
+      try { fs.create(marker, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+    if (!claimed)
+      throw new StaleWriteException(
+        s"table $dst advanced past generation $expected (now ≥ " +
+          s"${currentGen(fs, dst)}): another writer committed after " +
+          "this one read — re-read and retry")
+    fs.listStatus(gp).foreach { s =>
+      scala.util.Try(s.getPath.getName.toLong).toOption
+        .filter(_ <= next - gcKeep)
+        .foreach(_ => fs.delete(s.getPath, false))
+    }
+  }
+
   /** Stage-to-temp + double rename (the local/HDFS default): write to
     * `<dst>.tmp`, park the live table at `<dst>.old`, rename the new
     * version in, drop the backup. Both renames are metadata-atomic on
@@ -221,11 +288,19 @@ class FeatureStore(
   protected def committer: Committer = Committer.Rename
 
   /** Atomically replace the loader's SCD2 table with `df` (through the
-    * [[Committer]] seam). With `partitionByMonth`, rows are laid out by
-    * month(valid_from) so the study-period upper bound prunes partitions
-    * at read time (the lower bound cannot prune: an old row may still be
-    * valid via an open `valid_until`). */
-  private def swapIn(loader: String, df: DataFrame): Unit =
+    * [[Committer]] seam), guarded by the generation CAS: `expectedGen`
+    * is the [[tableGen]] the writer captured BEFORE reading the table,
+    * and the publish claims `expectedGen + 1` right after staging —
+    * a concurrent commit (e.g. by a writer on another machine that
+    * legitimately broke this one's stale lock, or vice versa) makes
+    * this publish throw [[StaleWriteException]] WITHOUT touching the
+    * live table, turning silent lost-updates into a retry. With
+    * `partitionByMonth`, rows are laid out by month(valid_from) so the
+    * study-period upper bound prunes partitions at read time (the
+    * lower bound cannot prune: an old row may still be valid via an
+    * open `valid_until`). */
+  private def swapIn(loader: String, df: DataFrame,
+                     expectedGen: Long): Unit =
     committer.publish(fs, new Path(tablePath(loader)), tmp => {
       val w =
         if (partitionByMonth)
@@ -234,7 +309,37 @@ class FeatureStore(
             .write.partitionBy("__vm")
         else df.write
       w.mode("overwrite").parquet(tmp)
+      // CAS after staging (the version is fully built, nothing of the
+      // live table touched yet), before the swap renames
+      Committer.commitGen(fs, new Path(tablePath(loader)), expectedGen)
     })
+
+  /** Current commit generation of a loader's table — capture it BEFORE
+    * reading the table when deriving a new version to publish. */
+  def tableGen(loader: String): Long =
+    Committer.currentGen(fs, new Path(tablePath(loader)))
+
+  /** Bounded optimistic-retry loop around a read-merge-publish cycle:
+    * on [[StaleWriteException]] the whole `body` re-runs (re-reading
+    * the generation and the table). Normal single-driver operation
+    * never retries — the table lock serializes same-store writers; the
+    * CAS only fires when cross-process exclusion failed (broken stale
+    * lock, two drivers racing), which is exactly when re-deriving from
+    * the fresh table is the correct behavior. */
+  private def withCasRetry[T](what: String, attempts: Int = 5,
+                              onStale: () => Unit = () => ())
+                             (body: => T): T = {
+    var tries = 0
+    while (true) {
+      try return body
+      catch { case e: StaleWriteException =>
+        tries += 1
+        if (tries >= attempts) throw e
+        onStale()
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** One lock-guarded append-style SCD2 micro-commit: `batch` rows join
     * the loader's current open version set and the union is
@@ -244,6 +349,12 @@ class FeatureStore(
     * streaming replay. */
   def appendCommit(loader: String, batch: DataFrame,
                    sliceTs: String): Unit = withTableLock(loader) {
+    // on a stale retry the cached transaction-time high water may
+    // trail the interfering writer's commit — drop it so the clamp
+    // re-derives from the (fresh) table
+    withCasRetry(s"appendCommit($loader)", onStale = () =>
+        FeatureStore.ingestHighWater.remove((storePath, loader))) {
+    val expectedGen = tableGen(loader)
     val dataCols = batch.columns.toSeq
     // SET semantics throughout (first batch included): updateSnapshot
     // pairs duplicates as a multiset, so without the distinct a
@@ -282,7 +393,8 @@ class FeatureStore(
       case None => Scd2.updateSnapshot(None, batch.distinct(), sliceTs,
         dataCols)
     }
-    swapIn(loader, merged)
+    swapIn(loader, merged, expectedGen)
+    }
   }
 
   /** Monotone wall-clock transaction times for streaming commits: if
@@ -352,10 +464,11 @@ class FeatureStore(
       // would give every file the global range and prune nothing.
       // (On month-partitioned tables the file budget applies per month
       // directory.)
+      val expectedGen = tableGen(loader)
       val df = spark.read.parquet(tablePath(loader))
         .repartitionByRange(nFiles, col(Intervals.ValidFrom))
         .sortWithinPartitions(Intervals.ValidFrom)
-      swapIn(loader, df)
+      swapIn(loader, df, expectedGen)
       nFiles
     }
 
@@ -413,6 +526,8 @@ class FeatureStore(
     * sizing afterwards. */
   def purgeKeys(loader: String, keyCol: String, keys: DataFrame): Long =
     withTableLock(loader) {
+      withCasRetry(s"purgeKeys($loader)") {
+      val expectedGen = tableGen(loader)
       readTable(loader) match {
         case Some(cur) =>
           val keyVals = keys.select(col(keyCol)).distinct()
@@ -422,9 +537,10 @@ class FeatureStore(
             .join(broadcast(keyVals), Seq(keyCol), "left_semi").count()
           if (removed > 0L)
             swapIn(loader, cur.join(broadcast(keyVals), Seq(keyCol),
-              "left_anti"))
+              "left_anti"), expectedGen)
           removed
         case None => 0L
+      }
       }
     }
 
@@ -535,6 +651,11 @@ class FeatureStore(
       val missing = MissingRanges(coveredDates(loader, sliceTs), start, end)
         .collect().map(r => (r.getDate(0).toString, r.getDate(1).toString))
       missing.foreach { case (s0, e0) =>
+      // the whole read-merge-publish cycle re-runs on a lost CAS race
+      // (a writer whose lock was broken must re-derive from the fresh
+      // table, not blindly republish its stale merge)
+      withCasRetry(s"getFeature($loader, $s0, $e0)") {
+      val expectedGen = tableGen(loader)
       val computed = handler.compute(this, s0, e0)
       val dataCols = computed.columns.toSeq
       val existing = readTable(loader)
@@ -557,7 +678,8 @@ class FeatureStore(
         case None =>
           Scd2.updateSnapshot(None, computed, sliceTs, dataCols)
       }
-      swapIn(loader, merged)
+      swapIn(loader, merged, expectedGen)
+      }
       appendLog(loader, sliceTs, s0, e0)
       }
     }
@@ -669,7 +791,8 @@ object StoreCatalog {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Seq.empty
     fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
-      .filterNot(_.endsWith(".tmp")).toSeq.sorted
+      .filterNot(n => n.endsWith(".tmp") || n.endsWith(".old") ||
+        n.endsWith(".gens")).toSeq.sorted
   }
 
   /** Drop tables matching `pattern` (all when None) and scrub their log
@@ -684,7 +807,13 @@ object StoreCatalog {
       case Some(pat) =>
         val victims = tables(spark, storePath)
           .filter(t => t != "logs" && t.matches(pat))
-        victims.foreach(t => fs.delete(new Path(s"$storePath/$t"), true))
+        victims.foreach { t =>
+          fs.delete(new Path(s"$storePath/$t"), true)
+          // sidecars: generation markers, stale staging/backup dirs,
+          // abandoned lock files — a re-created table starts fresh
+          Seq(".gens", ".tmp", ".old", ".lock").foreach(sfx =>
+            fs.delete(new Path(s"$storePath/$t$sfx"), true))
+        }
         val logP = new Path(s"$storePath/logs")
         if (fs.exists(logP) && victims.nonEmpty) {
           val logs = spark.read.parquet(logP.toString)

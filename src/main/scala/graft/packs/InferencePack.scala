@@ -259,8 +259,41 @@ object InferencePack extends QueryPack {
     // between open and finished line quantities per return flag
     "q266_wasserstein" -> ((s, dir) =>
       Eval.wasserstein1(Tables.load(s, dir, "lineitem"),
-        "l_returnflag", "l_quantity", col("l_linestatus") === "O"))
+        "l_returnflag", "l_quantity", col("l_linestatus") === "O")),
+
+    // SCD2 transaction-time change capture: three cumulative
+    // order-count snapshots merged through updateSnapshot, then
+    // changesBetween classifies every version opened/closed/
+    // opened_closed in (T1, T3] — the CDC companion of q13's time
+    // travel, oracle-replayed as consecutive-presence runs (counts
+    // are cumulative, so a (cust, n) pair occupies consecutive
+    // snapshots; run ends ⇒ closed, run starts past T1 ⇒ opened)
+    "q267_scd2_changes" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").cast("long").as("c_custkey"),
+          to_date(col("o_orderdate")).as("__d"))
+      def snap(cut: String) = orders
+        .filter(col("__d") <= lit(java.sql.Date.valueOf(cut)))
+        .groupBy("c_custkey").agg(count(lit(1)).as("n_orders"))
+      val cols = Seq("c_custkey", "n_orders")
+      // checkpoint between merges: each updateSnapshot reads its
+      // `current` in three branches, so a bare lineage chain would
+      // recompute v1 ~16x inside v3 (the store's real path
+      // materializes to parquet between transactions)
+      val v1 = graft.core.Scd2.updateSnapshot(None,
+        snap("1994-01-01"), Cdc1, cols).localCheckpoint(true)
+      val v2 = graft.core.Scd2.updateSnapshot(Some(v1),
+        snap("1995-01-01"), Cdc2, cols).localCheckpoint(true)
+      val v3 = graft.core.Scd2.updateSnapshot(Some(v2),
+        snap("1996-01-01"), Cdc3, cols)
+      graft.core.Scd2.changesBetween(v3, Cdc1, Cdc3)
+    })
   )
+
+  // q267's transaction-time labels — shared with the oracle below
+  private val Cdc1 = "2024-01-01 00:00:00"
+  private val Cdc2 = "2024-02-01 00:00:00"
+  private val Cdc3 = "2024-03-01 00:00:00"
 
   /** Betweenness oracle: the forward BFS-DAG levels and the backward
     * dependency layers unrolled for the query's LITERAL maxHops — the
@@ -423,6 +456,51 @@ object InferencePack extends QueryPack {
     "q250_shapley" -> ShapleyOracleSql,
     "q257_ind_audit" -> IndOracleSql,
     "q260_betweenness" -> BetweennessOracleSql,
+
+    // q267: cumulative counts make each (cust, n) pair occupy
+    // CONSECUTIVE snapshots, so SCD2 versions are presence runs:
+    // from_ts = label of the first snapshot in the run, until_ts =
+    // label after the last (NULL if the run reaches snapshot 3). The
+    // checksum replays Scd2.checksum's md5-over-fingerprint+cols.
+    "q267_scd2_changes" ->
+      s"""WITH s1 AS (
+         |  SELECT CAST(o_custkey AS BIGINT) AS c,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM orders WHERE o_orderdate <= DATE '1994-01-01' GROUP BY 1),
+         |s2 AS (
+         |  SELECT CAST(o_custkey AS BIGINT) AS c,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM orders WHERE o_orderdate <= DATE '1995-01-01' GROUP BY 1),
+         |s3 AS (
+         |  SELECT CAST(o_custkey AS BIGINT) AS c,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM orders WHERE o_orderdate <= DATE '1996-01-01' GROUP BY 1),
+         |p AS (
+         |  SELECT c, n, 1 AS k FROM s1
+         |  UNION ALL SELECT c, n, 2 FROM s2
+         |  UNION ALL SELECT c, n, 3 FROM s3),
+         |runs AS (
+         |  SELECT c, n, min(k) AS kf, max(k) AS ku FROM p GROUP BY 1, 2),
+         |v AS (
+         |  SELECT c AS c_custkey, n AS n_orders,
+         |    md5(concat_ws('||', 'c_custkey,n_orders',
+         |      CAST(c AS VARCHAR), CAST(n AS VARCHAR))) AS checksum,
+         |    CASE kf WHEN 1 THEN '$Cdc1' WHEN 2 THEN '$Cdc2'
+         |      ELSE '$Cdc3' END AS from_ts,
+         |    CASE ku WHEN 1 THEN '$Cdc2' WHEN 2 THEN '$Cdc3'
+         |      ELSE NULL END AS until_ts
+         |  FROM runs)
+         |SELECT c_custkey, n_orders, checksum, from_ts, until_ts,
+         |  CASE WHEN from_ts > '$Cdc1' AND from_ts <= '$Cdc3'
+         |         AND until_ts IS NOT NULL
+         |         AND until_ts > '$Cdc1' AND until_ts <= '$Cdc3'
+         |       THEN 'opened_closed'
+         |       WHEN from_ts > '$Cdc1' AND from_ts <= '$Cdc3'
+         |       THEN 'opened' ELSE 'closed' END AS change
+         |FROM v
+         |WHERE (from_ts > '$Cdc1' AND from_ts <= '$Cdc3')
+         |   OR (until_ts IS NOT NULL AND until_ts > '$Cdc1'
+         |       AND until_ts <= '$Cdc3')""".stripMargin,
 
     "q266_wasserstein" ->
       """WITH t AS (

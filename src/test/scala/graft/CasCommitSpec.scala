@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.core.{Aggregators, Committer, FeatureHandler, FeatureStore,
+  StaleWriteException}
+
+/** Multi-writer optimistic concurrency: the generation CAS that makes
+  * two drivers racing one store SAFE — the loser of a commit race gets
+  * a retryable [[StaleWriteException]] instead of silently clobbering
+  * the winner (the lost-update hole a bare marker-file lock leaves when
+  * a live writer's lock is wrongly broken as stale). */
+class CasCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hfs = new Path("/tmp")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("commitGen kernel: N racing writers each land exactly once per " +
+    "won generation; losers observe stale and retry") {
+    val dst = new Path(
+      Files.createTempDirectory("graft-cas").toString + "/tbl")
+    val writers = 4
+    val perWriter = 20
+    val stales = new AtomicInteger(0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to writers).map { _ =>
+      new Thread(() => {
+        try {
+          var committed = 0
+          while (committed < perWriter) {
+            val g = Committer.currentGen(hfs, dst)
+            try { Committer.commitGen(hfs, dst, g); committed += 1 }
+            catch { case _: StaleWriteException => stales.incrementAndGet() }
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(errors.isEmpty, s"writer died: ${Option(errors.peek())}")
+    // every one of the 80 commits claimed a distinct generation
+    assert(Committer.currentGen(hfs, dst) == writers.toLong * perWriter)
+    // the race was real: at least one writer lost at least one round
+    assert(stales.get() > 0, "no contention observed — race not exercised")
+  }
+
+  test("two drivers, broken stale lock: loser's publish is refused, " +
+    "retry lands BOTH commits") {
+    val dir = Files.createTempDirectory("graft-cas-race").toString
+    // same directory on disk, but distinct KeyedLocks keys (the JVM
+    // mutex keys on the RAW path string; '//' collapses in Path) — so
+    // the two stores exclude each other ONLY through the FS marker
+    // file, exactly like two drivers on two machines
+    val pathA = s"$dir/store"
+    val pathB = s"$dir//store"
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val computes = new AtomicInteger(0)
+    def rows(k: Long, v: Long, vf: String, vu: String) =
+      Seq((k, v, vf, vu)).toDF("key_x", "n_val", "vf", "vu")
+        .select(col("key_x"), col("n_val"),
+          to_date(col("vf")).as("valid_from"),
+          to_date(col("vu")).as("valid_until"))
+    def mkStore(p: String) = new FeatureStore(spark, "unused", p,
+      dsMap = Seq("n_val" -> "ld"),
+      loaders = Map("ld" -> FeatureHandler(
+        compute = (_, _, _) => {
+          // first invocation parks INSIDE the A-side critical section
+          // (lock held, generation captured) until B has committed
+          if (computes.incrementAndGet() == 1) {
+            entered.countDown()
+            assert(release.await(60, TimeUnit.SECONDS))
+          }
+          rows(1L, 10L, "2020-01-05", "2020-01-10")
+        },
+        keyJoin = Aggregators.Sum, feature = "n_val")))
+    val storeA = mkStore(pathA)
+    val storeB = mkStore(pathB)
+    spark.conf.set("graft.lock_stale_ms", "250")
+    spark.conf.set("graft.lock_wait_increment_ms", "20")
+    try {
+      val aErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val a = new Thread(() => {
+        try storeA.getFeature("n_val", "2020-01-01", "2020-01-31")
+        catch { case t: Throwable => aErr.set(t) }
+      })
+      a.start()
+      assert(entered.await(60, TimeUnit.SECONDS))
+      Thread.sleep(400) // age A's lock past lock_stale_ms
+      // B (the "second machine") breaks A's now-stale lock and commits
+      // a row OUTSIDE A's compute range
+      storeB.appendCommit("ld",
+        rows(9L, 77L, "2021-06-01", "2021-06-02"),
+        "1970-01-01 00:00:00")
+      assert(storeB.tableGen("ld") == 1L)
+      release.countDown()
+      a.join(120000)
+      assert(aErr.get() == null, s"driver A failed: ${aErr.get()}")
+      // A's first publish was CAS-refused (gen 0 -> taken), so compute
+      // re-ran against the fresh table
+      assert(computes.get() == 2,
+        s"expected a stale retry (2 computes), saw ${computes.get()}")
+      assert(storeA.tableGen("ld") == 2L)
+      // BOTH commits landed: B's appended row survived A's merge and
+      // A's computed row is present
+      val open = spark.read.parquet(s"$pathA/ld")
+        .filter(col(graft.core.Scd2.UntilTs).isNull)
+        .select(col("key_x"), col("n_val"))
+        .as[(Long, Long)].collect().toSet
+      assert(open == Set((1L, 10L), (9L, 77L)), s"open rows: $open")
+    } finally {
+      spark.conf.unset("graft.lock_stale_ms")
+      spark.conf.unset("graft.lock_wait_increment_ms")
+    }
+  }
+}
