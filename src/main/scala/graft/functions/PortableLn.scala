@@ -39,18 +39,20 @@ object PortableLn {
   /** Final right-shift: FracBits + the 10 ln2 head-room bits. */
   val OutShift: Int = FracBits + 10
 
-  /** Max representable exponent: a/b < 2^KMax. 40 covers any ratio a
-    * driver-collectable panel produces; callers with wider ratios get
-    * the loud require below, not a silent wrap. */
-  val KMax: Int = 40
+  /** Max representable exponent: a/b < 2^KMax. 50 covers probability
+    * denominators up to ~10^15 (a 100-TB-corpus token count); callers
+    * with wider ratios get the loud require below, not a silent wrap. */
+  val KMax: Int = 50
 
   /** 10^6·ln(a/b) in PORTABLE fixed point (see object doc). Pure
     * BigInt — no overflow for any inputs; caller bounds magnitude. */
   def lnFp(a: BigInt, b: BigInt): Long = {
     require(b > 0 && a >= b, s"lnFp needs a/b >= 1, got $a/$b")
     require(a < (b << KMax), s"lnFp: $a/$b >= 2^$KMax")
+    // overflow-free exponent probe (the SQL twin compares a div 2^j
+    // >= b for the same reason): a >= b·2^j ⟺ a div 2^j >= b
     var k = 0
-    while (k < KMax && a >= (b << (k + 1))) k += 1
+    while (k < KMax && (a >> (k + 1)) >= b) k += 1
     var x = (a << SShift) / (b << k)
     var frac = 0L
     val lo = BigInt(1) << SShift
@@ -66,8 +68,9 @@ object PortableLn {
   }
 
   /** The same algorithm as DuckDB CTE text. `inCte` must expose one
-    * row per key with BIGINT columns `a`, `b` (a ≥ b ≥ 1, a·2^S and
-    * b·2^KMax within BIGINT). Appends CTE definitions ending in
+    * row per key with BIGINT columns `a`, `b` (a ≥ b ≥ 1, a/b <
+    * 2^KMax; a·2^S rides HUGEINT internally, so any BIGINT operands
+    * are safe). Appends CTE definitions ending in
     * `outCte`(keyCols..., ln_fp) — splice into a WITH chain AFTER
     * `inCte` (caller supplies the leading/trailing commas). */
   def duckLnCtes(inCte: String, keyCols: Seq[String],
@@ -77,15 +80,19 @@ object PortableLn {
     val hi = 2L * s
     val f = 1L << FracBits
     val outDiv = 1L << OutShift
-    // k = Σ_j [a ≥ b·2^j] — floor(log2(a/b)) by KMax compare-counts
+    // k = Σ_j [a div 2^j ≥ b] — floor(log2(a/b)) by KMax
+    // compare-counts; the div form never overflows (b·2^j would)
     val kExpr = (1 to KMax)
-      .map(j => s"CASE WHEN a >= b * ${1L << j} THEN 1 ELSE 0 END")
+      .map(j => s"CASE WHEN a // ${1L << j} >= b THEN 1 ELSE 0 END")
       .mkString(" + ")
+    // x = (a·2^S) div (b·2^k) via nested floor divisions (exact:
+    // ⌊⌊aS/b⌋/2^k⌋ = ⌊aS/(b·2^k)⌋); a·2^S needs HUGEINT head-room
     s"""__ln_k AS (
        |  SELECT $ks, a, b, CAST($kExpr AS BIGINT) AS k FROM $inCte),
        |__ln_it AS (
        |  SELECT $ks, k,
-       |    (a * $s) // (b * (CAST(1 AS BIGINT) << k)) AS x,
+       |    CAST(((CAST(a AS HUGEINT) * $s) // b)
+       |      // (CAST(1 AS BIGINT) << k) AS BIGINT) AS x,
        |    0 AS i, CAST(0 AS BIGINT) AS frac
        |  FROM __ln_k
        |  UNION ALL

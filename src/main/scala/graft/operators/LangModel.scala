@@ -143,6 +143,114 @@ object LangModel {
       .withColumn("ppl", exp(col("cross_entropy")))
   }
 
+  /** Exact-integer surprisal tables for a trained LM: every per-bigram
+    * probability the interpolated model can emit — bigram hit,
+    * unigram fallback, OOV bucket — has its −ln folded to 10^6-scaled
+    * fixed point through [[graft.functions.PortableLn]], so scoring
+    * carries NO floats and the per-doc sums hash-check across engines
+    * (libm-ln floors don't: Java and DuckDB may differ in the last
+    * ulp). λ is the exact rational `lamNum/lamDen`; with D = T+V+1:
+    *   p_bi  = (n·cb·D + (d−n)·c1·(c2+1)) / (d·c1·D)
+    *   p_uni = (d−n)·(c2+1) / (d·D)
+    *   p_oov = (d−n) / (d·D)
+    * The fold runs DRIVER-side over the pruned model — the same
+    * model-sized budget the float path already pays to broadcast the
+    * count tables (BigInt throughout, so a 100-TB token count cannot
+    * overflow; PortableLn bounds ratios at 2^50 with a loud require).
+    */
+  final case class ExactLm(biSurp: DataFrame, uniSurp: DataFrame,
+                           oovFp: Long)
+
+  def exactSurprisals(lm: BigramLm, lamNum: Long = 9,
+                      lamDen: Long = 10): ExactLm = {
+    require(lamNum > 0 && lamNum < lamDen,
+      s"lambda $lamNum/$lamDen must be a rational in (0, 1)")
+    val spark = lm.unigrams.sparkSession
+    import spark.implicits._
+    val dTot = BigInt(lm.totalTokens) + lm.vocabSize + 1
+    val n = BigInt(lamNum)
+    val d = BigInt(lamDen)
+    def fp(den: BigInt, num: BigInt): Long =
+      graft.functions.PortableLn.lnFp(den, num)
+    val uniPairs = lm.unigrams.select(col("w"), col("c_uni"))
+      .as[(String, Long)].collect()
+    val uniMap = uniPairs.toMap
+    val uniRows = uniPairs.toSeq.map { case (w, c) =>
+      (w, fp(d * dTot, (d - n) * (BigInt(c) + 1))) }
+    val biRows = lm.bigrams.select(col("w1"), col("w2"), col("c_bi"))
+      .as[(String, String, Long)].collect().toSeq
+      .map { case (w1, w2, cb) =>
+        val c1 = BigInt(uniMap(w1))
+        val c2 = BigInt(uniMap(w2))
+        (w1, w2,
+          fp(d * c1 * dTot, n * cb * dTot + (d - n) * c1 * (c2 + 1)))
+      }
+    ExactLm(biRows.toDF("w1", "w2", "__sb"),
+      uniRows.toDF("w2", "__su"),
+      fp(d * dTot, d - n))
+  }
+
+  /** ENGINE-EXACT twin of [[score]]: identical join plan (broadcast
+    * surprisal tables instead of broadcast count tables; zero shuffle
+    * except the per-doc rollup), but the per-bigram fixed point comes
+    * from [[exactSurprisals]] — all-integer output
+    * (idCol, keepCols..., n_scored, surprisal_fp). */
+  def scoreExactFp(lm: BigramLm, df: DataFrame, idCol: String,
+                   textCol: String, lamNum: Long = 9, lamDen: Long = 10,
+                   keepCols: Seq[String] = Nil): DataFrame = {
+    val ex = exactSurprisals(lm, lamNum, lamDen)
+    val docBi = df
+      .select(col(idCol).as("__d"),
+        explode(bigramsOf(col(textCol))).as("b"))
+      .select(col("__d"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val fpc = coalesce(col("__sb"), col("__su"), lit(ex.oovFp))
+    val perDoc = docBi
+      .join(broadcast(ex.biSurp), Seq("w1", "w2"), "left")
+      .join(broadcast(ex.uniSurp), Seq("w2"), "left")
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("n_scored"), sum(fpc).as("surprisal_fp"))
+    df.select((idCol +: keepCols).map(col): _*)
+      .join(perDoc, col(idCol) === col("__d"), "left")
+      .select((col(idCol) +: keepCols.map(col)) ++ Seq(
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("surprisal_fp"), lit(0L)).as("surprisal_fp")): _*)
+  }
+
+  /** ENGINE-EXACT twin of [[scoreWithBuckets]] — same training, same
+    * exact-rank percentile cuts over the same milli-nanonat key, but
+    * the key derives from [[scoreExactFp]], so every output column is
+    * an integer and the whole result (buckets included) hash-checks.
+    * Output: (idCol, n_scored, surprisal_fp, ce_mnn, ce_bucket). */
+  def scoreWithBucketsExactFp(df: DataFrame, idCol: String,
+                              textCol: String,
+                              trainPred: org.apache.spark.sql.Column,
+                              cuts: Seq[Int] = Seq(33, 67),
+                              topUnigrams: Int = 1 << 16,
+                              topBigrams: Int = 1 << 20,
+                              lamNum: Long = 9,
+                              lamDen: Long = 10): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(c => c > 0 && c < 100),
+      "cuts must be percentiles in (0, 100)")
+    val lm = train(df.filter(trainPred), textCol, topUnigrams, topBigrams)
+    val scored = scoreExactFp(lm, df, idCol, textCol, lamNum, lamDen)
+      .withColumn("__k", when(col("n_scored") > 0,
+        expr("cast(surprisal_fp as decimal(38,0)) * 1000 div n_scored"))
+        .otherwise(lit(-1L)))
+      .localCheckpoint(true) // scored twice below; never re-derive
+    val cutVals = Selection.valueAtRanks(
+        scored.withColumn("__one", lit(1)), "__one", "__k",
+        cuts.map(c => s"c$c" -> s"greatest(1L, (__n * ${c}L) div 100L)"))
+      .select(col("value")).collect().map(_.getLong(0)).sorted
+    val bucket = cutVals.foldLeft(lit(0)) { (acc, cv) =>
+      acc + when(col("__k") > cv, 1).otherwise(0)
+    }
+    scored.withColumn("ce_bucket", bucket)
+      .withColumn("ce_mnn", col("__k").cast("long")).drop("__k")
+      .select(col(idCol), col("n_scored"), col("surprisal_fp"),
+        col("ce_mnn"), col("ce_bucket"))
+  }
+
   /** Convenience: train on `trainPred` rows, score everything, and
     * bucket by corpus cross-entropy percentile — CCNet's head/middle/
     * tail split generalized to arbitrary `cuts` (percentile bounds,
@@ -353,6 +461,87 @@ object LangModel {
        totals.getLong(0), uniCorpus.count()))
   }
 
+  /** ENGINE-EXACT twin of [[importanceSelect]]: both LMs' surprisals
+    * come from [[exactSurprisals]] (fixed-point integer ln, driver-
+    * folded over the pruned models), so weight_fp and the selected set
+    * hash-check across engines — including the boundary-tie resolution
+    * (portable md5 bucket + id, replayable as a SQL row_number). Same
+    * one-explosion scoring plan; Spark div and DuckDB `//` both
+    * truncate toward zero, so the possibly-negative weight quotient is
+    * engine-identical. Output: (idCol, n_scored, weight_fp, selected). */
+  def importanceSelectExactFp(df: DataFrame, idCol: String,
+                              textCol: String,
+                              targetPred: org.apache.spark.sql.Column,
+                              nKeep: Long,
+                              topUnigrams: Int = 1 << 16,
+                              topBigrams: Int = 1 << 20,
+                              lamNum: Long = 9,
+                              lamDen: Long = 10): DataFrame = {
+    require(nKeep > 0, "nKeep must be positive")
+    val (lmTarget, lmCorpus) =
+      trainPair(df, textCol, targetPred, topUnigrams, topBigrams)
+    val exT = exactSurprisals(lmTarget, lamNum, lamDen)
+    val exC = exactSurprisals(lmCorpus, lamNum, lamDen)
+    val docBi = df
+      .select(col(idCol).as("__d"),
+        explode(bigramsOf(col(textCol))).as("b"))
+      .select(col("__d"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val tfp = coalesce(col("__sbt"), col("__sut"), lit(exT.oovFp))
+    val cfp = coalesce(col("__sbc"), col("__suc"), lit(exC.oovFp))
+    val perDoc = docBi
+      .join(broadcast(exT.biSurp
+        .withColumnRenamed("__sb", "__sbt")), Seq("w1", "w2"), "left")
+      .join(broadcast(exT.uniSurp
+        .withColumnRenamed("__su", "__sut")), Seq("w2"), "left")
+      .join(broadcast(exC.biSurp
+        .withColumnRenamed("__sb", "__sbc")), Seq("w1", "w2"), "left")
+      .join(broadcast(exC.uniSurp
+        .withColumnRenamed("__su", "__suc")), Seq("w2"), "left")
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(tfp).as("__tfp"), sum(cfp).as("__cfp"))
+    val scoredAll = df.select(col(idCol))
+      .join(perDoc, col(idCol) === col("__d"), "left")
+      .select(col(idCol),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("__tfp"), lit(0L)).as("__tfp"),
+        coalesce(col("__cfp"), lit(0L)).as("__cfp"))
+    selectByWeight(scoredAll, idCol, nKeep)
+  }
+
+  /** Shared selection tail of DSIR: weight from the (t, c) surprisal
+    * sums, exact top-`nKeep` via rank cutoff + portable-bucket tie
+    * resolution. */
+  private def selectByWeight(scoredAll: DataFrame, idCol: String,
+                             nKeep: Long): DataFrame = {
+    val scored = scoredAll
+      .withColumn("weight_fp", when(col("n_scored") > 0,
+        expr("(cast(__cfp as decimal(38,0)) - __tfp) * 1000 div n_scored")))
+      .select(col(idCol), col("n_scored"), col("weight_fp"))
+      .localCheckpoint(true) // cut resolve + filter reuse one result
+    val scorable = scored.filter(col("n_scored") > 0)
+    val cutRows = Selection.valueAtRanks(
+      scorable.withColumn("__one", lit(1))
+        .withColumn("__negw", -col("weight_fp")),
+      "__one", "__negw", Seq("cut" -> s"least(__n, ${nKeep}L)"))
+      .select(col("value")).collect()
+    if (cutRows.isEmpty) return scored.withColumn("selected", lit(false))
+    val cut = cutRows(0).getLong(0)
+    val nAbove = scorable.filter(-col("weight_fp") < cut).count()
+    val tieSlots = nKeep - nAbove
+    val tieIds = Selection.hashRankFilter(
+        scorable.filter(-col("weight_fp") === cut)
+          .withColumn("__tg", lit(1))
+          .withColumn("__ts", lit(tieSlots)),
+        "__tg", idCol, Splits.bucket(col(idCol), 1000000), "__ts")
+      .select(col(idCol), lit(true).as("__tie"))
+    scored.join(tieIds, Seq(idCol), "left")
+      .withColumn("selected", col("n_scored") > 0 &&
+        ((-col("weight_fp") < cut) || coalesce(col("__tie"), lit(false))))
+      .drop("__tie")
+  }
+
   def importanceSelect(df: DataFrame, idCol: String, textCol: String,
                        targetPred: org.apache.spark.sql.Column,
                        nKeep: Long,
@@ -368,35 +557,8 @@ object LangModel {
     // get NULL, never a sentinel: a Long.MinValue-class sentinel in
     // Selection's bounds math wraps the span and crashes (or degrades
     // every group to the degenerate refinement path).
-    val scored = scorePair(lmTarget, lmCorpus, df, idCol, textCol, lambda)
-      .withColumn("weight_fp", when(col("n_scored") > 0,
-        expr("(cast(__cfp as decimal(38,0)) - __tfp) * 1000 div n_scored")))
-      .select(col(idCol), col("n_scored"), col("weight_fp"))
-      .localCheckpoint(true) // cut resolve + filter reuse one result
-    // rank cutoff over SCORABLE docs only; nKeep clamps to their count
-    val scorable = scored.filter(col("n_scored") > 0)
-    // descending top-N == ascending rank nKeep of the negated key
-    val cutRows = Selection.valueAtRanks(
-      scorable.withColumn("__one", lit(1))
-        .withColumn("__negw", -col("weight_fp")),
-      "__one", "__negw", Seq("cut" -> s"least(__n, ${nKeep}L)"))
-      .select(col("value")).collect()
-    if (cutRows.isEmpty) return scored.withColumn("selected", lit(false))
-    val cut = cutRows(0).getLong(0)
-    val nAbove = scorable.filter(-col("weight_fp") < cut).count()
-    val tieSlots = nKeep - nAbove
-    // `weight_fp` is fine-grained fixed-point so cutoff ties are O(1)
-    // in practice, but resolve them through the same bucket-parallel
-    // id-hash rank as every other keep-cutoff (no global window).
-    val tieIds = Selection.hashRankFilter(
-        scorable.filter(-col("weight_fp") === cut)
-          .withColumn("__tg", lit(1))
-          .withColumn("__ts", lit(tieSlots)),
-        "__tg", idCol, Splits.bucket(col(idCol), 1000000), "__ts")
-      .select(col(idCol), lit(true).as("__tie"))
-    scored.join(tieIds, Seq(idCol), "left")
-      .withColumn("selected", col("n_scored") > 0 &&
-        ((-col("weight_fp") < cut) || coalesce(col("__tie"), lit(false))))
-      .drop("__tie")
+    selectByWeight(
+      scorePair(lmTarget, lmCorpus, df, idCol, textCol, lambda),
+      idCol, nKeep)
   }
 }

@@ -184,14 +184,10 @@ object ApproxPack extends QueryPack {
         threshold = 0.9)
     }),
 
-    // CCNet-style perplexity gate: bigram LM trained on the even-id
-    // half, every doc scored and head/middle/tail-bucketed by exact
-    // rank cuts — ln() doubles inside → rows-only; LangModelSpec
-    // proves bit-exact parity with a sequential reference
-    "q102_bigram_ppl" -> ((s, dir) =>
-      graft.operators.LangModel.scoreWithBuckets(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
-        trainPred = col("doc_id") % 2 === 0, cuts = Seq(33, 67))),
+    // q102_bigram_ppl moved to LlmPack: scoreWithBucketsExactFp +
+    // PortableLn made the surprisal sums hash-oracleable in r11. The
+    // float scoreWithBuckets stays API-covered via q123's per-group
+    // variant and the LangModelSpec parity battery.
 
     // hybrid retrieval: BM25 lexical + exact-cosine dense lists,
     // RRF-fused — float scores feed the input ranks → rows-only;
@@ -214,16 +210,10 @@ object ApproxPack extends QueryPack {
           col("vec_id") <= 2000, topK = 10)
     }),
 
-    // DSIR importance selection: docs ranked by the fixed-point
-    // log-likelihood ratio between a target-domain bigram LM (src1)
-    // and the whole-corpus LM; exact top-120 via Selection's rank
-    // cutoff — ln() doubles inside the surprisals → rows-only;
-    // LangModelSpec proves the selected set equals the brute-force
-    // top-N and that target-domain docs outrank the rest
-    "q108_dsir_select" -> ((s, dir) =>
-      graft.operators.LangModel.importanceSelect(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
-        targetPred = col("source") === "src1", nKeep = 120)),
+    // q108_dsir_select moved to LlmPack: importanceSelectExactFp +
+    // PortableLn made the likelihood-ratio weights hash-oracleable in
+    // r11. The float importanceSelect stays spec-covered
+    // (LangModelSpec brute-force parity).
 
     // per-domain CCNet buckets: one LM trained on the src1 slice, CE
     // percentile cuts computed INSIDE each source — ln() doubles in

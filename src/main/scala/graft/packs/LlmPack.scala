@@ -364,6 +364,30 @@ object LlmPack extends QueryPack {
           .select(col("doc_id"), expr(NfcAug).as("text")),
         "doc_id", "text")),
 
+    // CCNet-style perplexity gate, ENGINE-EXACT: bigram LM trained on
+    // the even-id half, every doc's surprisal summed in fixed-point
+    // nanonats through the portable integer ln kernel (model-table
+    // fold driver-side; the oracle replays the SAME integer algorithm
+    // as a recursive CTE over the distinct probability rationals), and
+    // head/middle/tail buckets cut at exact ranks — every column
+    // integer, hash-checked (was rows-only while the surprisals used
+    // libm ln)
+    "q102_bigram_ppl" -> ((s, dir) =>
+      graft.operators.LangModel.scoreWithBucketsExactFp(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        trainPred = col("doc_id") % 2 === 0, cuts = Seq(33, 67))),
+
+    // DSIR importance selection, ENGINE-EXACT: docs ranked by the
+    // fixed-point log-likelihood ratio between the src1-trained LM and
+    // the whole-corpus LM, both through the portable integer ln; exact
+    // top-120 via rank cutoff + portable-bucket tie resolution — the
+    // weights AND the selected set hash-check (was rows-only while
+    // surprisals used libm ln)
+    "q108_dsir_select" -> ((s, dir) =>
+      graft.operators.LangModel.importanceSelectExactFp(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        targetPred = col("source") === "src1", nKeep = 120)),
+
     // BPE tokenizer training: word-count shuffle + driver merge loop.
     // Oracle: the FULL training replayed as a DuckDB recursive CTE —
     // the working table carries the per-word symbol sequences (each
@@ -870,7 +894,228 @@ object LlmPack extends QueryPack {
       |       LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) t
       |  WHERE ws[i] <> '')""".stripMargin
 
+  /** q102 oracle: the exact-fp bigram-LM gate replayed end-to-end —
+    * training (unigram/bigram counts, deterministic top-V/top-B
+    * prunes), every probability rational's −ln through
+    * [[graft.functions.PortableLn.duckLnCtes]] (the recursive-CTE twin
+    * of the integer ln the operator folded driver-side), per-doc
+    * surprisal sums, and the exact-rank percentile cuts. λ = 9/10:
+    * p_bi = (9·cb·D + c1·(c2+1)) / (10·c1·D), p_uni = (c2+1)/(10·D),
+    * p_oov = 1/(10·D), D = T+V+1. */
+  private val Q102OracleSql: String = {
+    val lnCtes = graft.functions.PortableLn.duckLnCtes(
+      "__ln_in", Seq("den", "num"), "__ln_out")
+    s"""WITH RECURSIVE tr AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |trtok AS (
+       |  SELECT unnest(a) AS w FROM tr),
+       |uniall AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM trtok
+       |  WHERE w <> '' GROUP BY 1),
+       |tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t
+       |        FROM uniall),
+       |uni AS (SELECT w, c FROM uniall ORDER BY c DESC, w LIMIT 65536),
+       |dd AS (SELECT t + (SELECT count(*) FROM uni) + 1 AS d0 FROM tot),
+       |trp AS (
+       |  SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS w
+       |  FROM tr),
+       |bi AS (
+       |  SELECT w1, w2, cb FROM (
+       |    SELECT p1.w AS w1, p2.w AS w2, CAST(count(*) AS BIGINT) AS cb
+       |    FROM trp p1 JOIN trp p2
+       |      ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+       |    WHERE p1.w <> '' AND p2.w <> ''
+       |    GROUP BY 1, 2)
+       |  WHERE w1 IN (SELECT w FROM uni) AND w2 IN (SELECT w FROM uni)
+       |  ORDER BY cb DESC, w1, w2 LIMIT 1048576),
+       |bim AS (
+       |  SELECT b.w1, b.w2, 10 * u1.c * dd.d0 AS den,
+       |    9 * b.cb * dd.d0 + u1.c * (u2.c + 1) AS num
+       |  FROM bi b JOIN uni u1 ON u1.w = b.w1
+       |    JOIN uni u2 ON u2.w = b.w2, dd),
+       |unim AS (SELECT w, 10 * d0 AS den, c + 1 AS num FROM uni, dd),
+       |oovm AS (SELECT 10 * d0 AS den, CAST(1 AS BIGINT) AS num FROM dd),
+       |__ln_in AS (
+       |  SELECT DISTINCT den, num, den AS a, num AS b FROM (
+       |    SELECT den, num FROM bim
+       |    UNION ALL SELECT den, num FROM unim
+       |    UNION ALL SELECT den, num FROM oovm)),
+       |$lnCtes,
+       |bis AS (SELECT w1, w2, ln_fp FROM bim
+       |        JOIN __ln_out USING (den, num)),
+       |unis AS (SELECT w, ln_fp FROM unim JOIN __ln_out USING (den, num)),
+       |oovs AS (SELECT ln_fp FROM oovm JOIN __ln_out USING (den, num)),
+       |arr AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS w
+       |  FROM arr),
+       |docbi AS (
+       |  SELECT p1.doc_id, p1.w AS w1, p2.w AS w2
+       |  FROM p p1 JOIN p p2
+       |    ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+       |  WHERE p1.w <> '' AND p2.w <> ''),
+       |per AS (
+       |  SELECT d.doc_id,
+       |    coalesce(b.ln_fp, u.ln_fp, (SELECT ln_fp FROM oovs)) AS fp
+       |  FROM docbi d
+       |    LEFT JOIN bis b ON b.w1 = d.w1 AND b.w2 = d.w2
+       |    LEFT JOIN unis u ON u.w = d.w2),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+       |    CAST(sum(fp) AS BIGINT) AS surprisal_fp
+       |  FROM per GROUP BY 1),
+       |sc AS (
+       |  SELECT d.doc_id, coalesce(n_scored, 0) AS n_scored,
+       |    coalesce(surprisal_fp, 0) AS surprisal_fp
+       |  FROM documents d LEFT JOIN agg USING (doc_id)),
+       |kk AS (
+       |  SELECT doc_id, n_scored, surprisal_fp,
+       |    CASE WHEN n_scored > 0 THEN CAST(
+       |      (CAST(surprisal_fp AS HUGEINT) * 1000) // n_scored AS BIGINT)
+       |    ELSE -1 END AS ce_mnn
+       |  FROM sc),
+       |ord AS (
+       |  SELECT ce_mnn, row_number() OVER (ORDER BY ce_mnn) AS rn,
+       |    count(*) OVER () AS nn
+       |  FROM kk),
+       |cutv AS (
+       |  SELECT
+       |    max(CASE WHEN rn = greatest(1, (nn * 33) // 100)
+       |        THEN ce_mnn END) AS c33,
+       |    max(CASE WHEN rn = greatest(1, (nn * 67) // 100)
+       |        THEN ce_mnn END) AS c67
+       |  FROM ord)
+       |SELECT doc_id, n_scored, surprisal_fp, ce_mnn,
+       |  CAST(CASE WHEN ce_mnn > c33 THEN 1 ELSE 0 END
+       |     + CASE WHEN ce_mnn > c67 THEN 1 ELSE 0 END AS INT) AS ce_bucket
+       |FROM kk, cutv""".stripMargin
+  }
+
+  /** q108 oracle: the exact-fp DSIR replay — BOTH models (target =
+    * src1 slice, corpus = everything) trained from one token/bigram
+    * tally with per-model prunes, all six probability-rational
+    * families through ONE shared ln CTE, per-doc (tfp, cfp) sums, the
+    * truncating weight quotient (Spark div ≡ DuckDB //), and the exact
+    * top-120: rank cutoff + portable md5-bucket tie resolution. */
+  private val Q108OracleSql: String = {
+    val lnCtes = graft.functions.PortableLn.duckLnCtes(
+      "__ln_in", Seq("den", "num"), "__ln_out")
+    s"""WITH RECURSIVE tr AS (
+       |  SELECT doc_id, source = 'src1' AS tgt,
+       |    regexp_split_to_array(trim(text), '\\s+') AS a
+       |  FROM documents),
+       |tok AS (SELECT tgt, unnest(a) AS w FROM tr),
+       |uniall AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       |  FROM tok WHERE w <> '' GROUP BY 1),
+       |tot AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS ta,
+       |               CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt
+       |        FROM uniall),
+       |unic AS (SELECT w, ca AS c FROM uniall
+       |         ORDER BY ca DESC, w LIMIT 65536),
+       |unit AS (SELECT w, ct AS c FROM uniall WHERE ct > 0
+       |         ORDER BY ct DESC, w LIMIT 65536),
+       |ddc AS (SELECT ta + (SELECT count(*) FROM unic) + 1 AS d0 FROM tot),
+       |ddt AS (SELECT tt + (SELECT count(*) FROM unit) + 1 AS d0 FROM tot),
+       |trp AS (
+       |  SELECT doc_id, tgt, generate_subscripts(a, 1) AS pos,
+       |    unnest(a) AS w
+       |  FROM tr),
+       |docbi AS (
+       |  SELECT p1.doc_id, p1.tgt, p1.w AS w1, p2.w AS w2
+       |  FROM trp p1 JOIN trp p2
+       |    ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+       |  WHERE p1.w <> '' AND p2.w <> ''),
+       |biall AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       |  FROM docbi GROUP BY 1, 2),
+       |bic AS (SELECT w1, w2, ca AS cb FROM biall
+       |  WHERE w1 IN (SELECT w FROM unic) AND w2 IN (SELECT w FROM unic)
+       |  ORDER BY ca DESC, w1, w2 LIMIT 1048576),
+       |bit AS (SELECT w1, w2, ct AS cb FROM biall
+       |  WHERE ct > 0
+       |    AND w1 IN (SELECT w FROM unit) AND w2 IN (SELECT w FROM unit)
+       |  ORDER BY ct DESC, w1, w2 LIMIT 1048576),
+       |bimc AS (
+       |  SELECT b.w1, b.w2, 10 * u1.c * ddc.d0 AS den,
+       |    9 * b.cb * ddc.d0 + u1.c * (u2.c + 1) AS num
+       |  FROM bic b JOIN unic u1 ON u1.w = b.w1
+       |    JOIN unic u2 ON u2.w = b.w2, ddc),
+       |unimc AS (SELECT w, 10 * d0 AS den, c + 1 AS num FROM unic, ddc),
+       |oovmc AS (SELECT 10 * d0 AS den, CAST(1 AS BIGINT) AS num FROM ddc),
+       |bimt AS (
+       |  SELECT b.w1, b.w2, 10 * u1.c * ddt.d0 AS den,
+       |    9 * b.cb * ddt.d0 + u1.c * (u2.c + 1) AS num
+       |  FROM bit b JOIN unit u1 ON u1.w = b.w1
+       |    JOIN unit u2 ON u2.w = b.w2, ddt),
+       |unimt AS (SELECT w, 10 * d0 AS den, c + 1 AS num FROM unit, ddt),
+       |oovmt AS (SELECT 10 * d0 AS den, CAST(1 AS BIGINT) AS num FROM ddt),
+       |__ln_in AS (
+       |  SELECT DISTINCT den, num, den AS a, num AS b FROM (
+       |    SELECT den, num FROM bimc UNION ALL SELECT den, num FROM unimc
+       |    UNION ALL SELECT den, num FROM oovmc
+       |    UNION ALL SELECT den, num FROM bimt
+       |    UNION ALL SELECT den, num FROM unimt
+       |    UNION ALL SELECT den, num FROM oovmt)),
+       |$lnCtes,
+       |bisc AS (SELECT w1, w2, ln_fp FROM bimc
+       |         JOIN __ln_out USING (den, num)),
+       |unisc AS (SELECT w, ln_fp FROM unimc JOIN __ln_out USING (den, num)),
+       |oovsc AS (SELECT ln_fp FROM oovmc JOIN __ln_out USING (den, num)),
+       |bist AS (SELECT w1, w2, ln_fp FROM bimt
+       |         JOIN __ln_out USING (den, num)),
+       |unist AS (SELECT w, ln_fp FROM unimt JOIN __ln_out USING (den, num)),
+       |oovst AS (SELECT ln_fp FROM oovmt JOIN __ln_out USING (den, num)),
+       |per AS (
+       |  SELECT d.doc_id,
+       |    coalesce(bt.ln_fp, ut.ln_fp, (SELECT ln_fp FROM oovst)) AS tfp,
+       |    coalesce(bc.ln_fp, uc.ln_fp, (SELECT ln_fp FROM oovsc)) AS cfp
+       |  FROM docbi d
+       |    LEFT JOIN bist bt ON bt.w1 = d.w1 AND bt.w2 = d.w2
+       |    LEFT JOIN unist ut ON ut.w = d.w2
+       |    LEFT JOIN bisc bc ON bc.w1 = d.w1 AND bc.w2 = d.w2
+       |    LEFT JOIN unisc uc ON uc.w = d.w2),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+       |    CAST(sum(tfp) AS BIGINT) AS tfp, CAST(sum(cfp) AS BIGINT) AS cfp
+       |  FROM per GROUP BY 1),
+       |wgt AS (
+       |  SELECT d.doc_id, coalesce(n_scored, 0) AS n_scored,
+       |    CASE WHEN coalesce(n_scored, 0) > 0 THEN CAST(
+       |      ((CAST(cfp AS HUGEINT) - tfp) * 1000) // n_scored AS BIGINT)
+       |    END AS weight_fp
+       |  FROM documents d LEFT JOIN agg USING (doc_id)),
+       |scor AS (SELECT * FROM wgt WHERE n_scored > 0),
+       |cutv AS (
+       |  SELECT negw AS cut FROM (
+       |    SELECT -weight_fp AS negw,
+       |      row_number() OVER (ORDER BY -weight_fp) AS rn,
+       |      count(*) OVER () AS nn
+       |    FROM scor)
+       |  WHERE rn = least(nn, 120)),
+       |nabove AS (SELECT count(*) AS na FROM scor, cutv
+       |           WHERE -weight_fp < cut),
+       |ties AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY
+       |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |        % 1000000, doc_id) AS tr
+       |  FROM scor, cutv WHERE -weight_fp = cut),
+       |sel AS (SELECT t.doc_id FROM ties t, nabove WHERE tr <= 120 - na)
+       |SELECT w.doc_id, w.n_scored, w.weight_fp,
+       |  (w.n_scored > 0 AND ((-w.weight_fp < (SELECT cut FROM cutv))
+       |    OR w.doc_id IN (SELECT doc_id FROM sel))) AS selected
+       |FROM wgt w""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q102_bigram_ppl" -> Q102OracleSql,
+    "q108_dsir_select" -> Q108OracleSql,
+
     "q103_bpe_merges" -> (BpeRecursiveCte + "\n" +
       """SELECT DISTINCT CAST(iter - 1 AS INT) AS rank, ml AS "left",
         |  mr AS "right", mc AS count

@@ -273,4 +273,84 @@ class LangModelSpec extends SparkSpec {
       .select("selected").as[Boolean].collect()
     assert(none.length == 2 && none.forall(!_))
   }
+
+  test("exactSurprisals tracks -1e6*ln of every model probability " +
+    "within 3 units; scoreExactFp sums agree with the float path") {
+    val train = Seq("the cat sat on the mat", "the dog sat on the rug",
+      "a cat and a dog")
+    val docs = (train ++ Seq("the cat sat", "zebra quark the cat", "",
+      "onlyoneword")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val lm = LangModel.train(docs.filter(col("doc_id") < 3), "text")
+    val ex = LangModel.exactSurprisals(lm)
+    val uniC = lm.unigrams.as[(String, Long)].collect().toMap
+    val denom = lm.totalTokens.toDouble + lm.vocabSize.toDouble + 1.0
+    // bigram rows
+    ex.biSurp.as[(String, String, Long)].collect().foreach {
+      case (w1, w2, fp) =>
+        val cb = lm.bigrams.filter(col("w1") === w1 && col("w2") === w2)
+          .select("c_bi").as[Long].head()
+        val p = 0.9 * cb.toDouble / uniC(w1) + 0.1 * (uniC(w2) + 1) / denom
+        assert(math.abs(fp - (-math.log(p) * 1e6)) <= 3.0,
+          s"bigram ($w1,$w2): $fp vs ${-math.log(p) * 1e6}")
+    }
+    // unigram fallback + OOV
+    ex.uniSurp.as[(String, Long)].collect().foreach { case (w, fp) =>
+      val p = 0.1 * (uniC(w) + 1) / denom
+      assert(math.abs(fp - (-math.log(p) * 1e6)) <= 3.0)
+    }
+    assert(math.abs(ex.oovFp - (-math.log(0.1 / denom) * 1e6)) <= 3.0)
+    // per-doc sums: exact (micronat) vs float (nanonat) within
+    // n_scored * 3 millinat of each other
+    val fl = LangModel.score(lm, docs, "doc_id", "text")
+      .select("doc_id", "n_scored", "surprisal_fp")
+      .as[(Long, Long, Long)].collect()
+    val flMap = fl.map(t => t._1 -> (t._2, t._3)).toMap
+    LangModel.scoreExactFp(lm, docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().foreach { case (id, n, fp6) =>
+        val (nf, fp9) = flMap(id)
+        assert(n == nf)
+        assert(math.abs(fp6 - fp9 / 1000.0) <= 3.0 * math.max(1, n),
+          s"doc $id: exact $fp6 vs float/1000 ${fp9 / 1000.0}")
+      }
+  }
+
+  test("importanceSelectExactFp selects the same documents as the " +
+    "float path on a well-separated corpus; buckets are exact") {
+    val docs = (1 to 60).map { i =>
+      val text =
+        if (i <= 15) "solar panel inverter grid solar panel battery"
+        else if (i % 2 == 0) "the quick brown fox jumps over the lazy dog"
+        else s"random widget $i assembly manual page $i section"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val exact = LangModel.importanceSelectExactFp(docs, "doc_id", "text",
+        targetPred = col("doc_id") <= 15, nKeep = 20)
+      .filter(col("selected")).select("doc_id").as[Long].collect().toSet
+    val float = LangModel.importanceSelect(docs, "doc_id", "text",
+        targetPred = col("doc_id") <= 15, nKeep = 20)
+      .filter(col("selected")).select("doc_id").as[Long].collect().toSet
+    assert(exact == float, s"exact $exact vs float $float")
+    // bucket twin: ce_mnn is surprisal_fp*1000 div n_scored, buckets
+    // count cuts strictly below the key
+    val b = LangModel.scoreWithBucketsExactFp(docs, "doc_id", "text",
+        trainPred = col("doc_id") <= 15)
+      .as[(Long, Long, Long, Long, Int)].collect()
+    assert(b.length == 60)
+    b.foreach { case (_, n, fp, mnn, bucket) =>
+      if (n > 0) assert(mnn == fp * 1000 / n)
+      else assert(mnn == -1L && bucket == 0)
+      assert(bucket >= 0 && bucket <= 2)
+    }
+    // bucket rule mirror: cuts are the keys at ranks
+    // greatest(1, n*c div 100) of the ascending key order (ALL docs),
+    // bucket = #cuts strictly below the doc's key
+    val keys = b.map(_._4).sorted
+    val cut33 = keys(math.max(1, keys.length * 33 / 100) - 1)
+    val cut67 = keys(math.max(1, keys.length * 67 / 100) - 1)
+    b.foreach { case (id, _, _, mnn, bucket) =>
+      val want = (if (mnn > cut33) 1 else 0) + (if (mnn > cut67) 1 else 0)
+      assert(bucket == want, s"doc $id: bucket $bucket vs $want")
+    }
+  }
 }
