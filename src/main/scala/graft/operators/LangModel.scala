@@ -288,6 +288,47 @@ object LangModel {
     scored.withColumn("ce_bucket", bucket).drop("__k")
   }
 
+  /** ENGINE-EXACT twin of [[scoreWithBucketsBy]] — per-group cuts over
+    * the [[scoreExactFp]] integer key; group semantics identical (cuts
+    * from scorable docs only, absent/NULL cuts resolve to bucket 0).
+    * Output: (idCol, groupCol, n_scored, surprisal_fp, ce_mnn,
+    * ce_bucket) — all integers, hash-checkable. */
+  def scoreWithBucketsByExactFp(df: DataFrame, idCol: String,
+                                textCol: String, groupCol: String,
+                                trainPred: org.apache.spark.sql.Column,
+                                cuts: Seq[Int] = Seq(33, 67),
+                                topUnigrams: Int = 1 << 16,
+                                topBigrams: Int = 1 << 20,
+                                lamNum: Long = 9,
+                                lamDen: Long = 10): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(c => c > 0 && c < 100),
+      "cuts must be percentiles in (0, 100)")
+    val lm = train(df.filter(trainPred), textCol, topUnigrams, topBigrams)
+    val scored = scoreExactFp(lm, df, idCol, textCol, lamNum, lamDen,
+        keepCols = Seq(groupCol))
+      .withColumn("__k", when(col("n_scored") > 0,
+        expr("cast(surprisal_fp as decimal(38,0)) * 1000 div n_scored"))
+        .otherwise(lit(-1L)))
+      .localCheckpoint(true) // cut scan + final compare share one result
+    val labels = cuts.map(c => s"c$c")
+    val cutRows = Selection.valueAtRanks(
+      scored.filter(col("n_scored") > 0), groupCol, "__k",
+      cuts.map(c => s"c$c" -> s"greatest(1L, (__n * ${c}L) div 100L)"))
+      .groupBy(col(groupCol)).pivot("label", labels)
+      .agg(first(col("value")))
+    val bucket = labels.foldLeft(lit(0)) { (acc, l) =>
+      acc + when(col("__k") > col(s"__cut_$l"), 1).otherwise(0)
+    }
+    scored
+      .join(broadcast(cutRows.select(col(groupCol) +:
+        labels.map(l => col(l).as(s"__cut_$l")): _*)),
+        Seq(groupCol), "left")
+      .withColumn("ce_bucket", bucket)
+      .withColumn("ce_mnn", col("__k").cast("long"))
+      .select(col(idCol), col(groupCol), col("n_scored"),
+        col("surprisal_fp"), col("ce_mnn"), col("ce_bucket"))
+  }
+
   /** Per-GROUP CCNet buckets: [[scoreWithBuckets]] with the percentile
     * cuts computed independently inside each `groupCol` value (CCNet
     * proper buckets per LANGUAGE, not globally — a global cut would

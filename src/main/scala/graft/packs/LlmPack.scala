@@ -902,12 +902,34 @@ object LlmPack extends QueryPack {
     * surprisal sums, and the exact-rank percentile cuts. λ = 9/10:
     * p_bi = (9·cb·D + c1·(c2+1)) / (10·c1·D), p_uni = (c2+1)/(10·D),
     * p_oov = 1/(10·D), D = T+V+1. */
-  private val Q102OracleSql: String = {
+  private val Q102OracleSql: String = ccnetOracle(
+    trainWhere = "doc_id % 2 = 0", groupCol = None)
+
+  /** q123 oracle: the same replay with the LM trained on the src1
+    * slice and the percentile cuts computed PER SOURCE over scorable
+    * docs (NULL cuts — a group with no scorable docs — bucket 0, the
+    * operator's documented posture). */
+  private val Q123OracleSql: String = ccnetOracle(
+    trainWhere = "source = 'src1'", groupCol = Some("source"))
+
+  private def ccnetOracle(trainWhere: String,
+                          groupCol: Option[String]): String = {
     val lnCtes = graft.functions.PortableLn.duckLnCtes(
       "__ln_in", Seq("den", "num"), "__ln_out")
+    val gSel = groupCol.map(g => s"d.$g, ").getOrElse("")
+    val gCol = groupCol.map(g => s"$g, ").getOrElse("")
+    val gPart = groupCol.map(g => s"PARTITION BY $g ").getOrElse("")
+    // global cuts rank ALL docs (unscorable key −1 included) — the
+    // scoreWithBuckets contract; per-group cuts rank scorable only —
+    // the scoreWithBucketsBy contract
+    val ordWhere = if (groupCol.isDefined) "WHERE n_scored > 0" else ""
+    val cutJoin = groupCol match {
+      case Some(g) => s"LEFT JOIN cutv USING ($g)"
+      case None => ", cutv"
+    }
     s"""WITH RECURSIVE tr AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
-       |  FROM documents WHERE doc_id % 2 = 0),
+       |  FROM documents WHERE $trainWhere),
        |trtok AS (
        |  SELECT unnest(a) AS w FROM tr),
        |uniall AS (
@@ -968,30 +990,31 @@ object LlmPack extends QueryPack {
        |    CAST(sum(fp) AS BIGINT) AS surprisal_fp
        |  FROM per GROUP BY 1),
        |sc AS (
-       |  SELECT d.doc_id, coalesce(n_scored, 0) AS n_scored,
+       |  SELECT d.doc_id, ${gSel}coalesce(n_scored, 0) AS n_scored,
        |    coalesce(surprisal_fp, 0) AS surprisal_fp
        |  FROM documents d LEFT JOIN agg USING (doc_id)),
        |kk AS (
-       |  SELECT doc_id, n_scored, surprisal_fp,
+       |  SELECT doc_id, ${gCol}n_scored, surprisal_fp,
        |    CASE WHEN n_scored > 0 THEN CAST(
        |      (CAST(surprisal_fp AS HUGEINT) * 1000) // n_scored AS BIGINT)
        |    ELSE -1 END AS ce_mnn
        |  FROM sc),
        |ord AS (
-       |  SELECT ce_mnn, row_number() OVER (ORDER BY ce_mnn) AS rn,
-       |    count(*) OVER () AS nn
-       |  FROM kk),
+       |  SELECT ${gCol}ce_mnn,
+       |    row_number() OVER (${gPart}ORDER BY ce_mnn) AS rn,
+       |    count(*) OVER ($gPart) AS nn
+       |  FROM kk $ordWhere),
        |cutv AS (
-       |  SELECT
+       |  SELECT ${gCol}
        |    max(CASE WHEN rn = greatest(1, (nn * 33) // 100)
        |        THEN ce_mnn END) AS c33,
        |    max(CASE WHEN rn = greatest(1, (nn * 67) // 100)
        |        THEN ce_mnn END) AS c67
-       |  FROM ord)
-       |SELECT doc_id, n_scored, surprisal_fp, ce_mnn,
+       |  FROM ord${groupCol.map(g => s" GROUP BY $g").getOrElse("")})
+       |SELECT doc_id, ${gCol}n_scored, surprisal_fp, ce_mnn,
        |  CAST(CASE WHEN ce_mnn > c33 THEN 1 ELSE 0 END
        |     + CASE WHEN ce_mnn > c67 THEN 1 ELSE 0 END AS INT) AS ce_bucket
-       |FROM kk, cutv""".stripMargin
+       |FROM kk $cutJoin""".stripMargin
   }
 
   /** q108 oracle: the exact-fp DSIR replay — BOTH models (target =
