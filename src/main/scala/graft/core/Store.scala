@@ -93,18 +93,42 @@ object Committer {
     fs.mkdirs(gp)
     val marker = new Path(gp, next.toString)
     // two layers, like the table lock: the JVM mutex makes the claim
-    // atomic between threads of ONE driver (local-FS create(false) is
-    // check-then-act); the create-if-absent excludes OTHER processes
-    // (atomic on HDFS-like stores)
+    // atomic between threads of ONE driver; the create-if-absent
+    // excludes OTHER processes. On HDFS-like stores create(false) is
+    // the atomic primitive; Hadoop's LOCAL create(false) is exists-
+    // then-create — NOT atomic across processes (CasCommitSpec's
+    // two-JVM race caught a double-claim) — so the file scheme claims
+    // through java.io createNewFile, which is O_CREAT|O_EXCL at the
+    // OS level.
     val claimed = KeyedLocks.withLock(s"__gens#$gp") {
-      try { fs.create(marker, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      if ("file" == fs.getUri.getScheme)
+        new java.io.File(marker.toUri.getPath).createNewFile()
+      else
+        try { fs.create(marker, false).close(); true }
+        catch { case _: java.io.IOException => false }
     }
     if (!claimed)
       throw new StaleWriteException(
         s"table $dst advanced past generation $expected (now ≥ " +
           s"${currentGen(fs, dst)}): another writer committed after " +
           "this one read — re-read and retry")
+    // A writer stalled across > gcKeep intervening commits could
+    // re-create a GC'd marker: its create-if-absent succeeds even
+    // though the table is far ahead, and its publish would clobber
+    // every newer commit. Verify the claim is actually the head
+    // (gcKeep trailing markers guarantee the true head marker still
+    // exists, so currentGen is never under-read); otherwise withdraw
+    // the marker and fail loudly. A concurrent writer claiming next+1
+    // inside this tiny window makes the check fire spuriously — that
+    // degrades to one extra retry, never to a lost update.
+    val head = currentGen(fs, dst)
+    if (head > next) {
+      fs.delete(marker, false)
+      throw new StaleWriteException(
+        s"table $dst advanced past generation $expected (now $head): " +
+          s"claimed marker $next is below the GC horizon — this " +
+          "writer slept across the retention window; re-read and retry")
+    }
     fs.listStatus(gp).foreach { s =>
       scala.util.Try(s.getPath.getName.toLong).toOption
         .filter(_ <= next - gcKeep)
@@ -310,7 +334,16 @@ class FeatureStore(
         else df.write
       w.mode("overwrite").parquet(tmp)
       // CAS after staging (the version is fully built, nothing of the
-      // live table touched yet), before the swap renames
+      // live table touched yet), before the swap renames. KNOWN residual
+      // window: the marker lands milliseconds BEFORE the renames, so a
+      // writer that captures the new gen in that gap reads the
+      // PRE-commit table, merges against stale data, and commits gen+2
+      // — a lost update, not just a reader-visibility blip. Single-
+      // driver operation never hits it (the table lock serializes
+      // same-store writers); closing it cross-driver needs a
+      // transactional-format Committer (claim provisional marker →
+      // rename table → finalize marker), which is the documented
+      // scale-out path, not this rename Committer.
       Committer.commitGen(fs, new Path(tablePath(loader)), expectedGen)
     })
 

@@ -94,9 +94,9 @@ object Chunking {
     val rng = df.agg(
       min(array_min(col(idsCol))).as("__mn"),
       max(array_max(col(idsCol))).as("__mx"),
-      sum(when(col(idsCol).isNull
+      coalesce(sum(when(col(idsCol).isNull
           .or(exists(col(idsCol), _.isNull)), 1L)
-        .otherwise(0L)).as("__nulls")).collect()(0)
+        .otherwise(0L)), lit(0L)).as("__nulls")).collect()(0)
     require(rng.getAs[Number](2).longValue() == 0L,
       s"binarizeTokenShards: ${rng.get(2)} row(s) carry NULL token ids" +
         " (or a NULL id array) — u16 packing has no NULL encoding; " +

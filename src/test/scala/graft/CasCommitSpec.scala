@@ -28,6 +28,7 @@ class CasCommitSpec extends SparkSpec {
     val writers = 4
     val perWriter = 20
     val stales = new AtomicInteger(0)
+    val wins = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
     val threads = (1 to writers).map { _ =>
       new Thread(() => {
@@ -35,7 +36,10 @@ class CasCommitSpec extends SparkSpec {
           var committed = 0
           while (committed < perWriter) {
             val g = Committer.currentGen(hfs, dst)
-            try { Committer.commitGen(hfs, dst, g); committed += 1 }
+            try {
+              Committer.commitGen(hfs, dst, g)
+              wins.add(g + 1); committed += 1
+            }
             catch { case _: StaleWriteException => stales.incrementAndGet() }
           }
         } catch { case t: Throwable => errors.add(t) }
@@ -43,10 +47,78 @@ class CasCommitSpec extends SparkSpec {
     }
     threads.foreach(_.start()); threads.foreach(_.join(60000))
     assert(errors.isEmpty, s"writer died: ${Option(errors.peek())}")
-    // every one of the 80 commits claimed a distinct generation
-    assert(Committer.currentGen(hfs, dst) == writers.toLong * perWriter)
+    // every one of the 80 commits won a DISTINCT generation (withdrawn
+    // head-check claims may leave numbered holes, so the final gen can
+    // exceed 80 — distinctness of wins is the lost-update invariant)
+    val wonGens = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(wins).asScala.map(_.longValue()).toSeq
+    assert(wonGens.size == writers * perWriter)
+    assert(wonGens.distinct.size == wonGens.size,
+      "two writers won the same generation — lost update possible")
+    assert(Committer.currentGen(hfs, dst) == wonGens.max)
     // the race was real: at least one writer lost at least one round
     assert(stales.get() > 0, "no contention observed — race not exercised")
+  }
+
+  test("commitGen CROSS-PROCESS: two real JVMs racing one table — " +
+    "all wins distinct, losers retry (FS marker is the only exclusion)") {
+    val perWriter = 20
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    // graft classes + the spark/hadoop/scala jars the build already uses
+    val cp = Seq("target/scala-2.13/classes", "/opt/spark/jars/*")
+      .mkString(java.io.File.pathSeparator)
+    // slow JVM startup can serialize an attempt (no overlap at all) —
+    // retry the whole race until contention materializes; the
+    // correctness invariants are asserted on EVERY attempt
+    val contended = (1 to 3).exists { _ =>
+      val dir = Files.createTempDirectory("graft-cas-jvm")
+      val dst = s"$dir/tbl"
+      val goFile = s"$dir/go"
+      def probe() = new ProcessBuilder(
+          javaBin, "-cp", cp, "graft.tools.CasProbe",
+          dst, perWriter.toString, goFile)
+        .redirectErrorStream(true).start()
+      val ps = Seq(probe(), probe())
+      Files.createFile(new java.io.File(goFile).toPath) // start barrier
+      val outs = ps.map { p =>
+        val lines = scala.io.Source.fromInputStream(p.getInputStream)
+          .getLines().toList
+        assert(p.waitFor(90, TimeUnit.SECONDS) && p.exitValue() == 0,
+          s"probe failed:\n${lines.mkString("\n")}")
+        lines
+      }
+      val wins = outs.map(_.collect { case s if s.startsWith("WIN ") =>
+        s.stripPrefix("WIN ").trim.toLong })
+      assert(wins.forall(_.size == perWriter))
+      val all = wins.flatten
+      assert(all.distinct.size == all.size,
+        s"two JVMs won the same generation: ${all.sorted}")
+      assert(Committer.currentGen(hfs, new Path(dst)) == all.max)
+      outs.exists(_.contains("STALE"))
+    }
+    assert(contended,
+      "no cross-process contention observed in 3 attempts")
+  }
+
+  test("commitGen: a writer stalled past the GC horizon cannot " +
+    "re-create a GC'd marker and spuriously win the CAS") {
+    val dst = new Path(
+      Files.createTempDirectory("graft-cas-gc").toString + "/tbl")
+    // advance the table to gen 20 (gcKeep = 8 ⇒ markers ≤ 12 GC'd)
+    (0L until 20L).foreach(g => Committer.commitGen(hfs, dst, g))
+    assert(Committer.currentGen(hfs, dst) == 20L)
+    // a writer that read gen 5 long ago wakes up: marker 6 is GC'd,
+    // so its create-if-absent SUCCEEDS — the head-check must refuse
+    val e = intercept[StaleWriteException] {
+      Committer.commitGen(hfs, dst, 5L)
+    }
+    assert(e.getMessage.contains("GC horizon"))
+    // the bogus claim was withdrawn and the head is untouched
+    assert(Committer.currentGen(hfs, dst) == 20L)
+    assert(!hfs.exists(new Path(dst.toString + ".gens/6")))
+    // a CORRECT head claim still lands afterwards
+    Committer.commitGen(hfs, dst, 20L)
+    assert(Committer.currentGen(hfs, dst) == 21L)
   }
 
   test("two drivers, broken stale lock: loser's publish is refused, " +

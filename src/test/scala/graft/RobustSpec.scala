@@ -301,6 +301,11 @@ class RobustSpec extends SparkSpec {
           .toDF("doc_id", "ids"), "doc_id", "ids", 2)
     }
     assert(eNullArr.getMessage.contains("NULL token ids"))
+    // empty input passes straight through (sum() is NULL on empty —
+    // must not NPE in the null-count guard)
+    assert(Chunking.binarizeTokenShards(
+      Seq.empty[(Long, Seq[Int])].toDF("doc_id", "ids"),
+      "doc_id", "ids", 2).count() == 0L)
   }
 
   // ---- k-fold -------------------------------------------------------

@@ -320,8 +320,10 @@ class ScaleOpsSpec extends SparkSpec {
     assert(seq.zip(seq.tail).forall { case (x, y) => x >= y })
     intercept[IllegalArgumentException] { PortableLn.lnFp(1, 0) }
     intercept[IllegalArgumentException] { PortableLn.lnFp(1, 2) }
+    // legal just below the KMax=50 bound, loud require at/above it
+    assert(PortableLn.lnFp(BigInt(1) << 49, 1) > 0)
     intercept[IllegalArgumentException] {
-      PortableLn.lnFp(BigInt(1) << 41, 1) }
+      PortableLn.lnFp(BigInt(1) << 51, 1) }
   }
 
   test("bm25TopKExactFp: ranking matches float bm25 at the same " +
