@@ -215,14 +215,11 @@ object ApproxPack extends QueryPack {
     // r11. The float importanceSelect stays spec-covered
     // (LangModelSpec brute-force parity).
 
-    // per-domain CCNet buckets: one LM trained on the src1 slice, CE
-    // percentile cuts computed INSIDE each source — ln() doubles in
-    // the surprisals → rows-only; LangModelSpec proves per-group
-    // monotonicity and constant-group ≡ global parity
-    "q123_domain_ce_buckets" -> ((s, dir) =>
-      graft.operators.LangModel.scoreWithBucketsBy(
-        Tables.load(s, dir, "documents"), "doc_id", "text", "source",
-        trainPred = col("source") === "src1")),
+    // q123_domain_ce_buckets moved to LlmPack:
+    // scoreWithBucketsByExactFp + PortableLn made the per-group cuts
+    // hash-oracleable in r12. The float scoreWithBucketsBy stays
+    // spec-covered (LangModelSpec per-group monotonicity,
+    // constant-group ≡ global parity, and exactFp bucket parity).
 
     // Gopher-style compression-ratio quality signal: raw-deflate byte
     // count per doc via the native kernel — zlib bytes are JVM-

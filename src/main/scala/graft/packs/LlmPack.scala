@@ -377,6 +377,17 @@ object LlmPack extends QueryPack {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         trainPred = col("doc_id") % 2 === 0, cuts = Seq(33, 67))),
 
+    // per-domain CCNet buckets, ENGINE-EXACT: one LM trained on the
+    // src1 slice, surprisals through the portable integer ln, and the
+    // CE percentile cuts computed INSIDE each source (scorable docs
+    // only; a group with no scorable docs has NULL cuts → bucket 0) —
+    // every column integer, hash-checked (was rows-only in ApproxPack
+    // while the surprisals used libm ln)
+    "q123_domain_ce_buckets" -> ((s, dir) =>
+      graft.operators.LangModel.scoreWithBucketsByExactFp(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "source",
+        trainPred = col("source") === "src1", cuts = Seq(33, 67))),
+
     // DSIR importance selection, ENGINE-EXACT: docs ranked by the
     // fixed-point log-likelihood ratio between the src1-trained LM and
     // the whole-corpus LM, both through the portable integer ln; exact
@@ -1137,6 +1148,7 @@ object LlmPack extends QueryPack {
 
   def oracleSql: Map[String, String] = Map(
     "q102_bigram_ppl" -> Q102OracleSql,
+    "q123_domain_ce_buckets" -> Q123OracleSql,
     "q108_dsir_select" -> Q108OracleSql,
 
     "q103_bpe_merges" -> (BpeRecursiveCte + "\n" +

@@ -353,4 +353,54 @@ class LangModelSpec extends SparkSpec {
       assert(bucket == want, s"doc $id: bucket $bucket vs $want")
     }
   }
+
+  test("scoreWithBucketsByExactFp: per-group buckets match the float " +
+    "path; NULL-cut group and unscorable docs land in bucket 0") {
+    // the scoreWithBucketsBy corpus: CE strictly increasing inside
+    // each group, so exact-integer ranks must bucket identically to
+    // the float path (well-separated keys — no float/int rank flips)
+    val docs = (1 to 30).map { i =>
+      val (g, j) = if (i <= 15) ("src_a", i) else ("src_b", i - 15)
+      val trained = if (g == "src_a") 20 else 2
+      val oov = if (g == "src_a") j else 5 + j
+      val text = ("alpha beta " * trained) +
+        (1 to oov).map(x => s"${g.last}${j}w$x").mkString(" ")
+      (i.toLong, g, text)
+    }
+    val df = docs.toDF("doc_id", "source", "text")
+    val exact = LangModel.scoreWithBucketsByExactFp(df, "doc_id", "text",
+        "source", trainPred = col("doc_id") <= 5)
+      .select("doc_id", "source", "n_scored", "surprisal_fp", "ce_mnn",
+        "ce_bucket")
+      .as[(Long, String, Long, Long, Long, Int)].collect()
+    assert(exact.length == 30)
+    val float = LangModel.scoreWithBucketsBy(df, "doc_id", "text",
+        "source", trainPred = col("doc_id") <= 5)
+      .select("doc_id", "ce_bucket").as[(Long, Int)].collect().toMap
+    exact.foreach { case (id, _, n, fp, mnn, bucket) =>
+      assert(bucket == float(id), s"doc $id: exact $bucket vs ${float(id)}")
+      if (n > 0) assert(mnn == fp * 1000 / n) else assert(mnn == -1L)
+    }
+    // per-group cut mirror: cuts at ranks greatest(1, n*c div 100) of
+    // the ascending key order over SCORABLE docs of the SAME group
+    exact.groupBy(_._2).foreach { case (g, inG) =>
+      val keys = inG.filter(_._3 > 0).map(_._5).sorted
+      val c33 = keys(math.max(1, keys.length * 33 / 100) - 1)
+      val c67 = keys(math.max(1, keys.length * 67 / 100) - 1)
+      inG.foreach { case (id, _, _, _, mnn, bucket) =>
+        val want = (if (mnn > c33) 1 else 0) + (if (mnn > c67) 1 else 0)
+        assert(bucket == want, s"$g doc $id: $bucket vs $want")
+      }
+    }
+    // a group whose docs are ALL unscorable has NULL cuts → bucket 0,
+    // and unscorable docs in a scorable group also land in bucket 0
+    val aug = df.union(Seq(
+      (97L, "src_c", ""), (98L, "src_c", "solo"),
+      (99L, "src_b", "")).toDF("doc_id", "source", "text"))
+    val edge = LangModel.scoreWithBucketsByExactFp(aug, "doc_id", "text",
+        "source", trainPred = col("doc_id") <= 5)
+      .filter(col("doc_id") >= 97)
+      .select("doc_id", "ce_bucket").as[(Long, Int)].collect().toMap
+    assert(edge == Map(97L -> 0, 98L -> 0, 99L -> 0))
+  }
 }
