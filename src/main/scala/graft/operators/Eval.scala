@@ -472,6 +472,55 @@ object Eval {
       .toDF("n_strata", "sum_a", "cmh_fp", "or_mh_bp")
   }
 
+  /** ENGINE-EXACT twin of [[cmh]]: instead of the exact-rational fold
+    * (whose single final floor needs ~211-bit intermediates — past any
+    * 128-bit SQL engine), each stratum's E/V/OR terms are floored into
+    * 10^9 fixed point FIRST and the integer sums carry through. Both
+    * engines replay the same floors, so the result hash-checks; the
+    * per-stratum floor loses < 1 part in 10^9 per term, so the
+    * statistic agrees with the rational fold to within a few 10^-6
+    * units (EvalSpec pins the parity). Width bound: every oracle-side
+    * intermediate ≤ (N·10^9)²·10^6 — inside HUGEINT up to N ≈ 10^6
+    * rows; the operator itself folds BigInt and has no bound.
+    * Output: (n_strata, sum_a, cmh_fp ×10^6, or_mh_bp ×10^4, NULL when
+    * undefined) — same shape as [[cmh]]. */
+  def cmhExactFp(df: DataFrame, strataCol: String, exposed: Column,
+                 outcome: Column, maxStrata: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val S = BigInt(1000000000L)
+    val cells = cmhCells(df, strataCol, exposed, outcome)
+      .select(col("a"), col("b"), col("c"), col("d"))
+      .as[(Long, Long, Long, Long)].collect()
+    require(cells.length <= maxStrata,
+      s"strata cardinality ${cells.length} exceeds the $maxStrata " +
+        "driver-fold budget")
+    var e = BigInt(0); var v = BigInt(0)
+    var orNum = BigInt(0); var orDen = BigInt(0)
+    var sumA = 0L; var nStrata = 0L
+    for ((a, b, c, d) <- cells; n = a + b + c + d; if n >= 2) {
+      nStrata += 1; sumA += a
+      val (ba, bb, bc, bd) = (BigInt(a), BigInt(b), BigInt(c), BigInt(d))
+      val bn = BigInt(n)
+      e += (ba + bb) * (ba + bc) * S / bn
+      v += (ba + bb) * (bc + bd) * (ba + bc) * (bb + bd) * S /
+        (bn * bn * (bn - 1))
+      orNum += ba * bd * S / bn
+      orDen += bb * bc * S / bn
+    }
+    val cmhFp: Option[Long] =
+      if (v == 0) None
+      else {
+        val diff = BigInt(sumA) * S - e
+        Some((diff * diff * 1000000 / (v * S)).toLong)
+      }
+    val orBp: Option[Long] =
+      if (orDen == 0) None
+      else Some((orNum * 10000 / orDen).toLong)
+    Seq((nStrata, sumA, cmhFp, orBp))
+      .toDF("n_strata", "sum_a", "cmh_fp", "or_mh_bp")
+  }
+
   /** Grouped difference-in-differences — the pre/post × treated/control
     * causal contrast: per group, the four cell counts and fixed-point
     * cell means (`mean_fp = 100·Σv div n`, sign-factored so truncating

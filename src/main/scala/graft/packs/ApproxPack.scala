@@ -37,24 +37,10 @@ object ApproxPack extends QueryPack {
       Dedup.minhashLsh(Tables.load(s, dir, "documents"), "doc_id", "text",
         numHashes = 128, bands = 32, threshold = 0.5)),
 
-    // CMH stratified association: is even-nation exposure associated
-    // with high-value orders after controlling for order priority —
-    // driver-side exact-rational fold over 5 strata cells; rows-only
-    // BY NECESSITY: the exact statistic needs ~211-bit intermediates
-    // (measured at sf0.01: diffN²·Vd·10^6 is 211 bits, the reduced
-    // variance denominator alone 113 bits), past DuckDB 1.0.0's
-    // 127-bit HUGEINT, and its arbitrary-precision VARINT only lands
-    // in 1.1+. The distributed half (the per-stratum 2×2 cells) IS
-    // hash-checked — q230_cmh_cells below — and StatsSpec pins the
-    // driver fold on a hand-computed two-stratum table.
-    "q204_cmh" -> ((s, dir) =>
-      graft.operators.Eval.cmh(
-        Tables.load(s, dir, "orders")
-          .join(Tables.load(s, dir, "customer"),
-            col("o_custkey") === col("c_custkey")),
-        "o_orderpriority",
-        pmod(col("c_nationkey"), lit(2)) === 0,
-        col("o_totalprice") > 150000.0)),
+    // q204_cmh moved to StatsPack: Eval.cmhExactFp (per-stratum 10^9
+    // fixed-point floors instead of the ~211-bit exact-rational fold)
+    // made the statistic hash-oracleable in r12. The exact-rational
+    // Eval.cmh stays for precision-critical use, parity spec-pinned.
 
     "q30_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",

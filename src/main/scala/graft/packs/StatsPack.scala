@@ -800,10 +800,25 @@ object StatsPack extends QueryPack {
     }),
 
     // the distributed half of q204's CMH fold, hash-checked: the
-    // per-priority 2×2 exposure/outcome cells (the full statistic
-    // stays rows-only — see ApproxPack's q204 comment)
+    // per-priority 2×2 exposure/outcome cells
     "q230_cmh_cells" -> ((s, dir) =>
       Eval.cmhCells(
+        Tables.load(s, dir, "orders")
+          .join(Tables.load(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey")),
+        "o_orderpriority",
+        pmod(col("c_nationkey"), lit(2)) === 0,
+        col("o_totalprice") > 150000.0)),
+
+    // CMH stratified association, ENGINE-EXACT: is even-nation
+    // exposure associated with high-value orders after controlling
+    // for order priority. Each stratum's E/V/OR terms floor into 10^9
+    // fixed point BEFORE summing (the exact-rational fold needs
+    // ~211-bit intermediates — past HUGEINT — so the rational twin
+    // Eval.cmh stays for precision-critical use, parity spec-pinned);
+    // the sums and the one final floor replay identically in DuckDB
+    "q204_cmh" -> ((s, dir) =>
+      Eval.cmhExactFp(
         Tables.load(s, dir, "orders")
           .join(Tables.load(s, dir, "customer"),
             col("o_custkey") === col("c_custkey")),
@@ -3042,5 +3057,53 @@ object StatsPack extends QueryPack {
         |    AS d
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+
+    // the q230 cells rolled into the CMH statistic with per-stratum
+    // 10^9-fixed-point floors (sum-of-floors on BOTH engines — the
+    // exact-rational fold would need ~211-bit intermediates); diff can
+    // be negative, so it is squared before the single final floor
+    "q204_cmh" ->
+      """WITH cells AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN c_nationkey % 2 = 0
+        |      AND o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN c_nationkey % 2 = 0
+        |      AND NOT o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b,
+        |    CAST(sum(CASE WHEN c_nationkey % 2 <> 0
+        |      AND o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c,
+        |    CAST(sum(CASE WHEN c_nationkey % 2 <> 0
+        |      AND NOT o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY o_orderpriority),
+        |t AS (
+        |  SELECT a, b, c, d, a + b + c + d AS n FROM cells
+        |  WHERE a + b + c + d >= 2),
+        |terms AS (
+        |  SELECT a,
+        |    (CAST(a + b AS HUGEINT) * (a + c) * 1000000000) // n AS e_fp,
+        |    (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
+        |      * 1000000000)
+        |      // (CAST(n AS HUGEINT) * n * (n - 1)) AS v_fp,
+        |    (CAST(a AS HUGEINT) * d * 1000000000) // n AS orn,
+        |    (CAST(b AS HUGEINT) * c * 1000000000) // n AS ord
+        |  FROM t),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(coalesce(sum(a), 0) AS BIGINT) AS sum_a,
+        |    sum(e_fp) AS e, sum(v_fp) AS v,
+        |    sum(orn) AS onum, sum(ord) AS oden
+        |  FROM terms)
+        |SELECT n_strata, sum_a,
+        |  CASE WHEN v > 0 THEN CAST(
+        |    ((CAST(sum_a AS HUGEINT) * 1000000000 - e)
+        |      * (CAST(sum_a AS HUGEINT) * 1000000000 - e) * 1000000)
+        |      // (v * 1000000000) AS BIGINT) END AS cmh_fp,
+        |  CASE WHEN oden > 0
+        |    THEN CAST((onum * 10000) // oden AS BIGINT) END AS or_mh_bp
+        |FROM agg""".stripMargin,
   )
 }

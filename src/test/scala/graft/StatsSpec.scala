@@ -685,6 +685,20 @@ class StatsSpec extends SparkSpec {
     val o2 = graft.operators.Eval.cmh(onlyA, "st", col("e"), col("y"))
       .as[(Long, Long, Option[Long], Option[Long])].collect()(0)
     assert(o2._4.isEmpty)
+
+    // the engine-exact fixed-point twin tracks the rational fold: the
+    // per-stratum 10^9 floors lose < 1e-9 per term, so the 10^6-scale
+    // statistic agrees within a few units (and the counts exactly)
+    val fp = graft.operators.Eval.cmhExactFp(df, "st", col("e"), col("y"))
+      .as[(Long, Long, Option[Long], Option[Long])].collect()(0)
+    assert(fp._1 === 2L && fp._2 === 5L)
+    assert(math.abs(fp._3.get - 2647058L) <= 3,
+      s"cmh_fp ${fp._3.get} vs rational 2647058")
+    assert(math.abs(fp._4.get - 100000L) <= 1)
+    val fp2 = graft.operators.Eval
+      .cmhExactFp(onlyA, "st", col("e"), col("y"))
+      .as[(Long, Long, Option[Long], Option[Long])].collect()(0)
+    assert(fp2._4.isEmpty)
   }
 
   test("trimmedMean: drops tails by value bounds, tie-inclusive") {
