@@ -347,6 +347,146 @@ object TextIndex {
     bm25Score(tf, dfTbl, qTerms2, nDocs, avgdl, k, k1, b)
   }
 
+  /** ENGINE-EXACT twin of [[rm3TopK]] at the (k1=1.2, b=0.75) integer
+    * profile: both BM25 passes run the [[bm25TopKExactFp]] kernel (idf
+    * through the portable integer ln, saturation as one floor
+    * division), the relevance model is a sum of per-doc 10^6
+    * fixed-point floors `Σ tf·10^6 div dl`, and the interpolated query
+    * weights clear denominators — per query every weight is multiplied
+    * by `lamDen·|q|·R` (R = Σ kept rm_fp), turning
+    * `λ/|q| + (1−λ)·rm/R` into the INTEGER
+    * `w = lamNum·R·[t∈q] + (lamDen−lamNum)·|q|·rm_fp(t)`. Scaling is
+    * per-query positive, so the ranking is exactly [[rm3TopK]]'s under
+    * the same floors, and every score hash-checks. A query with an
+    * empty relevance model (R = 0) falls back to w = [t∈q] — plain
+    * BM25 ranking, the float path's behavior. λ = lamNum/lamDen.
+    *
+    * Scale: same shape as the float path — tf builds once
+    * (checkpointed) and feeds both passes; the feedback docs and
+    * expansion terms are panel-sized driver literals (queries×fbDocs /
+    * ×fbTerms rows), so the weighted second pass is one broadcast join
+    * over tf. Corpus constants are REQUIRE-bounded so the integer
+    * score cannot overflow signed-64 mid-task.
+    * Output (query_id, rank, doc_id, score_fp). */
+  def rm3TopKExactFp(df: DataFrame, idCol: String, textCol: String,
+                     queries: Seq[(Long, String)], k: Int,
+                     fbDocs: Int = 5, fbTerms: Int = 10,
+                     lamNum: Long = 1, lamDen: Long = 2): DataFrame = {
+    require(queries.nonEmpty, "at least one query")
+    require(k > 0, "k must be positive")
+    require(fbDocs >= 1 && fbTerms >= 1, "fbDocs/fbTerms must be >= 1")
+    require(lamDen >= 1 && lamNum >= 0 && lamNum <= lamDen,
+      "lambda = lamNum/lamDen must lie in [0,1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val RmScale = 1000000L
+
+    val docTerms = df.select(col(idCol).as("doc_id"),
+        terms(col(textCol)).as("__terms"))
+      .select(col("doc_id"), size(col("__terms")).as("dl"),
+        explode(col("__terms")).as("term"))
+    val tf = docTerms.groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // both passes + the feedback join probe it
+    val stats = df.select(size(terms(col(textCol))).cast("long").as("dl"))
+      .filter(col("dl") >= 0)
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("t"),
+        max(col("dl")).as("m")).head
+    val nDocs = stats.getLong(0)
+    require(nDocs > 0, "empty corpus")
+    val tTok = stats.getLong(1)
+    val maxDl = stats.getLong(2)
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    def idfOf(d: Long): Long = graft.functions.PortableLn.lnFp(
+      BigInt(2) * (nDocs + 1), BigInt(2) * d + 1)
+    def dfOf(termSet: Seq[String]): Map[String, Long] =
+      dfTbl.filter(col("term").isin(termSet: _*))
+        .as[(String, Long)].collect().toMap
+    // the shared saturation·idf kernel (exact bm25TopKExactFp profile)
+    val satExpr =
+      s"(__idf * 22 * tf * ${tTok}L) div " +
+        s"(10 * tf * ${tTok}L + 3 * ${tTok}L + 9 * dl * ${nDocs}L)"
+
+    // ---- pass 1: plain exact BM25, top fbDocs per query ----
+    val qTerms = queries.flatMap { case (qid, qt) =>
+      qt.trim.split("\\s+").distinct.map(t => (qid, t)) }
+    val idf1 = dfOf(qTerms.map(_._2).distinct).map {
+      case (t, d) => t -> idfOf(d) }
+    val maxIdf1 = if (idf1.isEmpty) 0L else idf1.values.max
+    require(BigInt(maxIdf1) * 22 * maxDl * tTok <= Long.MaxValue &&
+      BigInt(10) * maxDl * tTok + 3L * tTok +
+        BigInt(9) * maxDl * nDocs <= Long.MaxValue,
+      s"rm3TopKExactFp: corpus constants (N=$nDocs, T=$tTok, " +
+        s"maxdl=$maxDl) push the integer score past signed-64 — " +
+        "shard the corpus or rescale")
+    val qidf1 = qTerms.collect { case (qid, t) if idf1.contains(t) =>
+      (qid, t, idf1(t)) }.toDF("query_id", "term", "__idf")
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    val fbRows = tf.join(broadcast(qidf1), Seq("term"))
+      .withColumn("__w", expr(satExpr))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__w")).as("score_fp"))
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= fbDocs)
+      .select(col("query_id"), col("doc_id"))
+      .as[(Long, Long)].collect()
+
+    // ---- relevance model over the feedback docs (panel-sized) ----
+    val wExp = Window.partitionBy(col("query_id"))
+      .orderBy(col("__rm").desc, col("term"))
+    val rmTop: Seq[(Long, String, Long)] =
+      if (fbRows.isEmpty) Nil
+      else tf.join(
+          broadcast(fbRows.toSeq.toDF("query_id", "doc_id")),
+          Seq("doc_id"))
+        .groupBy(col("query_id"), col("term"))
+        .agg(sum(expr(s"tf * ${RmScale}L div dl")).as("__rm"))
+        .withColumn("__rn", row_number().over(wExp))
+        .filter(col("__rn") <= fbTerms)
+        .select(col("query_id"), col("term"), col("__rm"))
+        .as[(Long, String, Long)].collect().toSeq
+
+    // ---- integer interpolation weights (cleared denominators) ----
+    val nq: Map[Long, Long] = qTerms.groupBy(_._1).map {
+      case (q, ts) => q -> ts.size.toLong }
+    val rByQ: Map[Long, Long] = rmTop.groupBy(_._1).map {
+      case (q, rows) => q -> rows.map(_._3).sum }
+    val orig = qTerms.map { case (qid, t) =>
+      val r = rByQ.getOrElse(qid, 0L)
+      (qid, t, if (r > 0) lamNum * r else 1L) }
+    val exp = rmTop.map { case (qid, t, rm) =>
+      (qid, t, (lamDen - lamNum) * nq(qid) * rm) }
+    val wRows = (orig ++ exp).groupBy(x => (x._1, x._2))
+      .map { case ((qid, t), xs) => (qid, t, xs.map(_._3).sum) }.toSeq
+
+    // ---- pass 2: weighted exact BM25 over the full corpus ----
+    val idf2 = dfOf(wRows.map(_._2).distinct).map {
+      case (t, d) => t -> idfOf(d) }
+    val maxIdf2 = if (idf2.isEmpty) 0L else idf2.values.max
+    val maxW = if (wRows.isEmpty) 1L else wRows.map(_._3).max
+    val maxTermsPerQ = wRows.groupBy(_._1).values
+      .foldLeft(1)((m, xs) => math.max(m, xs.size))
+    require(BigInt(maxTermsPerQ) * maxW *
+      (BigInt(maxIdf2) * 22 / 10 + 1) <= Long.MaxValue,
+      s"rm3TopKExactFp: interpolation weights (maxW=$maxW) push the " +
+        "weighted score past signed-64 — lower fbTerms or RmScale")
+    val qw = wRows.collect { case (qid, t, w) if idf2.contains(t) =>
+      (qid, t, w, idf2(t)) }
+      .toDF("query_id", "term", "__qw", "__idf")
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    tf.join(broadcast(qw), Seq("term"))
+      .withColumn("__s", expr(satExpr))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__qw") * col("__s")).as("score_fp"))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("score_fp"))
+  }
+
   /** Term document-frequency drift between two corpus slices — the
     * "what vocabulary moved" diagnosis behind a drift alarm: per term
     * the per-slice df share in basis points (10^4·df div n_docs) and

@@ -79,24 +79,11 @@ object ApproxPack extends QueryPack {
           element_at(col("features"), 8).as("f7"))
     }),
 
-    // BM25 retrieval: float scores → rows-only; TextIndexSpec proves
-    // self-retrieval and parity with a brute-force scorer
-    // RM3 pseudo-relevance-feedback retrieval: BM25 first pass,
-    // relevance-model expansion from the top-5 docs, weighted second
-    // pass (rows-only: float scores; FusionSpec pins the synonym
-    // bridge and the lexical-anchor ordering)
-    "q217_rm3" -> ((s, dir) =>
-      graft.operators.TextIndex.rm3TopK(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
-        queries = Seq(1L -> "hash join strategy",
-          2L -> "customer order filter",
-          3L -> "slow batch scan"),
-        k = 10, fbDocs = 5, fbTerms = 8)),
-
-    // q71_bm25 moved to ScalePack: the exact-integer profile
-    // (bm25TopKExactFp + PortableLn) made it hash-oracleable in r11.
-    // The float bm25TopK stays API-covered through q217_rm3 (its
-    // first pass) and the FusionSpec parity battery.
+    // q71_bm25 moved to ScalePack in r11 and q217_rm3 in r12: the
+    // exact-integer profile (PortableLn idf + fixed-point relevance
+    // model + cleared-denominator interpolation weights) made both
+    // hash-oracleable. The float bm25TopK/rm3TopK stay API-covered
+    // through FusionSpec/TextIndexSpec parity batteries.
 
     // HyperLogLog++ distinct profile: sketch-based → rows-only;
     // ScaleOpsSpec asserts the rsd error bound against exact counts

@@ -114,6 +114,17 @@ object ScalePack extends QueryPack {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         queries = Bm25Queries, k = 10)),
 
+    // RM3 pseudo-relevance feedback, ENGINE-EXACT: both BM25 passes
+    // on the q71 integer kernel, the relevance model as 10^6
+    // fixed-point floors, and the λ-interpolated weights with cleared
+    // denominators (w = R·[t∈q] + |q|·rm_fp at λ=1/2) — per-query
+    // positive scaling, so the ranking is the float path's and every
+    // score hash-checks (was rows-only while scores used libm ln)
+    "q217_rm3" -> ((s, dir) =>
+      TextIndex.rm3TopKExactFp(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        queries = Bm25Queries, k = 10, fbDocs = 5, fbTerms = 8)),
+
     // exact retrieval eval: Recall@10 + fixed-point reciprocal rank
     // of the q69 integer-MIPS ranking against same-label ground truth
     // — the closing eval primitive for the ANN/BM25/fusion family
@@ -675,7 +686,98 @@ object ScalePack extends QueryPack {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** q217 oracle: the exact-integer RM3 replayed end-to-end. Pass 1 =
+    * the q71 scoring over the literal query panel; the relevance model
+    * sums `tf·10^6 // dl` over each query's top-5 docs; the top-8
+    * expansion terms and the cleared-denominator weights
+    * `w = lamNum·R·[t∈q] + (lamDen−lamNum)·|q|·rm_fp` (R = 0 fallback
+    * to w = 1) feed pass 2 through the SAME single ln CTE — idf_fp is
+    * materialized for EVERY distinct df value, which decouples the
+    * derived expansion terms from the recursive CTE's one-instance
+    * limit. λ = 1/2, fbDocs = 5, fbTerms = 8, k = 10. */
+  private val Rm3OracleSql: String = {
+    val qvals = Bm25Queries.flatMap { case (qid, text) =>
+      text.trim.split("\\s+").distinct.map { t =>
+        require(!t.contains("'"), s"query token $t needs quoting")
+        s"(CAST($qid AS BIGINT), '$t')"
+      }
+    }.mkString(", ")
+    val lnCtes = graft.functions.PortableLn.duckLnCtes(
+      "__ln_in", Seq("df"), "idf")
+    val (lamNum, lamDen) = (1L, 2L)
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |       FROM t GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |       FROM t GROUP BY 1),
+       |nst AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |               CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+       |dfall AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+       |          GROUP BY 1),
+       |__ln_in AS (SELECT DISTINCT df,
+       |    2 * ((SELECT n FROM nst) + 1) AS a, 2 * df + 1 AS b
+       |  FROM dfall),
+       |$lnCtes,
+       |q(query_id, term) AS (VALUES $qvals),
+       |sc1 AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    CAST(sum((idf.ln_fp * 22 * tf.tf * nst.tt) //
+       |      (10 * tf.tf * nst.tt + 3 * nst.tt + 9 * dl.dl * nst.n))
+       |      AS BIGINT) AS score_fp
+       |  FROM q JOIN tf USING (term) JOIN dfall USING (term)
+       |    JOIN idf USING (df) JOIN dl USING (doc_id), nst
+       |  GROUP BY 1, 2),
+       |fb AS (SELECT query_id, doc_id FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rn
+       |    FROM sc1)
+       |  WHERE rn <= 5),
+       |rm AS (
+       |  SELECT fb.query_id, tf.term,
+       |    CAST(sum((tf.tf * 1000000) // dl.dl) AS BIGINT) AS rm_fp
+       |  FROM fb JOIN tf USING (doc_id) JOIN dl USING (doc_id)
+       |  GROUP BY 1, 2),
+       |ex AS (SELECT query_id, term, rm_fp FROM (
+       |    SELECT query_id, term, rm_fp, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY rm_fp DESC, term) AS rn
+       |    FROM rm)
+       |  WHERE rn <= 8),
+       |rr AS (SELECT query_id, CAST(sum(rm_fp) AS BIGINT) AS r
+       |       FROM ex GROUP BY 1),
+       |ql AS (SELECT query_id, CAST(count(*) AS BIGINT) AS nq
+       |       FROM q GROUP BY 1),
+       |wts AS (
+       |  SELECT query_id, term, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT q.query_id, q.term,
+       |      CASE WHEN coalesce(rr.r, 0) > 0 THEN $lamNum * rr.r
+       |           ELSE 1 END AS w
+       |    FROM q LEFT JOIN rr USING (query_id)
+       |    UNION ALL
+       |    SELECT e.query_id, e.term,
+       |      ${lamDen - lamNum} * ql.nq * e.rm_fp AS w
+       |    FROM ex e JOIN ql USING (query_id))
+       |  GROUP BY 1, 2),
+       |sc2 AS (
+       |  SELECT w.query_id, tf.doc_id,
+       |    CAST(sum(w.w * ((idf.ln_fp * 22 * tf.tf * nst.tt) //
+       |      (10 * tf.tf * nst.tt + 3 * nst.tt + 9 * dl.dl * nst.n)))
+       |      AS BIGINT) AS score_fp
+       |  FROM wts w JOIN tf USING (term) JOIN dfall USING (term)
+       |    JOIN idf USING (df) JOIN dl USING (doc_id), nst
+       |  GROUP BY 1, 2),
+       |r2 AS (SELECT query_id, doc_id, score_fp, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank
+       |  FROM sc2)
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_fp
+       |FROM r2 WHERE rank <= 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q217_rm3" -> Rm3OracleSql,
+
     "q64_overlap_join" ->
       """WITH a AS (
         |  SELECT o_orderkey,

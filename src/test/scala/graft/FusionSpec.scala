@@ -159,5 +159,35 @@ class FusionSpec extends SparkSpec {
     assert(Set(1L, 4L).subsetOf(expIds)) // originals still retrieved
     // an original-term doc outranks the bridge-only doc at lambda 0.5
     assert(Set(1L, 4L).contains(exp.head._3))
+
+    // the engine-exact twin retrieves the same ranking on this corpus
+    // (well-separated scores — no float/int rank flips) and bridges
+    // the same vocabulary mismatch
+    val fp = graft.operators.TextIndex.rm3TopKExactFp(
+        docs, "doc_id", "text", queries, k = 5, fbDocs = 2,
+        fbTerms = 4, lamNum = 1, lamDen = 2)
+      .orderBy("rank")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(fp.map(_._3).toSeq == exp.map(_._3).toSeq,
+      s"exact ${fp.toSeq} vs float ${exp.toSeq}")
+    assert(fp.forall(_._4 > 0))
+  }
+
+  test("rm3TopKExactFp: R = 0 relevance-model fallback is plain BM25 " +
+    "ranking; no-match query returns nothing") {
+    val docs = Seq(
+      (1L, "car auto motor"), (2L, "auto vehicle motor"),
+      (3L, "banana fruit salad"), (4L, "car wheel")).toDF("doc_id", "text")
+    // a query matching NO document: empty feedback set, empty result
+    val none = graft.operators.TextIndex.rm3TopKExactFp(
+      docs, "doc_id", "text", Seq((1L, "zzz qqq")), k = 3)
+    assert(none.count() == 0L)
+    // mixed panel: the matching query is unaffected by the dead one
+    val mixed = graft.operators.TextIndex.rm3TopKExactFp(
+        docs, "doc_id", "text", Seq((1L, "zzz qqq"), (2L, "banana")),
+        k = 3, fbDocs = 2, fbTerms = 4)
+      .select("query_id", "doc_id").as[(Long, Long)].collect()
+    assert(mixed.forall(_._1 == 2L))
+    assert(mixed.map(_._2).contains(3L))
   }
 }
