@@ -110,6 +110,32 @@ object Fusion {
     rrfFuse(Seq(lexical, dense), "query_id", "doc_id", "rank", topK, kRrf)
   }
 
+  /** ENGINE-EXACT hybrid retrieval: [[TextIndex.bm25TopKExactFp]]
+    * (integer BM25) fused with [[Quantize.topKQuantized]] (int8
+    * integer-MIPS dense ranking) through the integer RRF kernel —
+    * every input rank and every fused score is an integer, so the
+    * whole hybrid result hash-checks. The dense retriever is the int8
+    * quantized-MIPS one (the standard first compression step at
+    * corpus scale) rather than float cosine — rankings agree wherever
+    * the quantization gap doesn't flip a pair, and the float variant
+    * [[hybridTopK]] stays for calibration studies. Same plan shape:
+    * both retrievers emit panel×depth rows; fusion is one partial-agg
+    * shuffle plus a ≤ 2·depth-row per-query rank window. */
+  def hybridTopKExactFp(text: DataFrame, idCol: String, textCol: String,
+                        emb: DataFrame, embIdCol: String, embCol: String,
+                        queries: Seq[(Long, String)], queryPred: Column,
+                        topK: Int, kEach: Int = 0,
+                        kRrf: Int = 60): DataFrame = {
+    val depth = if (kEach > 0) kEach else topK * 4
+    val lexical = TextIndex.bm25TopKExactFp(text, idCol, textCol,
+        queries, depth)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val dense = Quantize.topKQuantized(emb, embIdCol, embCol, queryPred,
+        depth, Quantize.scaleOf(emb, embCol))
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lexical, dense), "query_id", "doc_id", "rank", topK, kRrf)
+  }
+
   /** Fixed-point DCG discount table: round(scale / log2(r+1)) for
     * r = 1..k — pure math constants; embed the SAME literals in any
     * oracle (the [[graft.operators.Profile.BenfordFp]] pattern). */

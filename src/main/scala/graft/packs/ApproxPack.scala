@@ -162,26 +162,10 @@ object ApproxPack extends QueryPack {
     // float scoreWithBuckets stays API-covered via q123's per-group
     // variant and the LangModelSpec parity battery.
 
-    // hybrid retrieval: BM25 lexical + exact-cosine dense lists,
-    // RRF-fused — float scores feed the input ranks → rows-only;
-    // FusionSpec proves integer-exact fusion parity and q105 oracles
-    // the fusion kernel itself on deterministic rankings
-    "q104_hybrid_topk" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val emb = Tables.load(s, dir, "embeddings")
-      // SF-INVARIANT query panel: the bare %100 slice grows linearly
-      // with the corpus and is collected WITH TEXT to the driver; the
-      // doc_id <= 2000 cap bounds it at ≤ 21 queries at every SF
-      val panel = pmod(col("doc_id"), lit(100)) === 0 &&
-        col("doc_id") <= 2000
-      val queries = docs.filter(panel)
-        .select(col("doc_id"), col("text")).collect()
-        .map(r => (r.getLong(0), r.getString(1))).toSeq
-      graft.operators.Fusion.hybridTopK(
-        docs, "doc_id", "text", emb, "vec_id", "embedding",
-        queries, pmod(col("vec_id"), lit(100)) === 0 &&
-          col("vec_id") <= 2000, topK = 10)
-    }),
+    // q104_hybrid_topk moved to ScalePack: hybridTopKExactFp (integer
+    // BM25 ∪ int8 integer-MIPS, RRF-fused) made it hash-oracleable in
+    // r12. The float-cosine hybridTopK stays spec-covered (FusionSpec
+    // driver-recomputed fusion parity).
 
     // q108_dsir_select moved to LlmPack: importanceSelectExactFp +
     // PortableLn made the likelihood-ratio weights hash-oracleable in

@@ -114,6 +114,27 @@ object ScalePack extends QueryPack {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         queries = Bm25Queries, k = 10)),
 
+    // hybrid retrieval, ENGINE-EXACT: integer BM25 ∪ int8 integer-MIPS
+    // dense ranking, fused through the integer RRF kernel — every rank
+    // and fused score is an integer, so the hybrid result hash-checks
+    // (was rows-only while the dense side used float cosine). The
+    // SF-INVARIANT panel (id % 100 = 0, ≤ 2000) bounds the collected
+    // query texts at ≤ 21 rows at every SF; the oracle derives the
+    // SAME panel and tokens in SQL
+    "q104_hybrid_topk" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val panel = pmod(col("doc_id"), lit(100)) === 0 &&
+        col("doc_id") <= 2000
+      val queries = docs.filter(panel)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      graft.operators.Fusion.hybridTopKExactFp(
+        docs, "doc_id", "text", emb, "vec_id", "embedding",
+        queries, pmod(col("vec_id"), lit(100)) === 0 &&
+          col("vec_id") <= 2000, topK = 10)
+    }),
+
     // RM3 pseudo-relevance feedback, ENGINE-EXACT: both BM25 passes
     // on the q71 integer kernel, the relevance model as 10^6
     // fixed-point floors, and the λ-interpolated weights with cleared
@@ -775,8 +796,84 @@ object ScalePack extends QueryPack {
        |FROM r2 WHERE rank <= 10""".stripMargin
   }
 
+  /** q104 oracle: the exact hybrid replayed — q71's integer BM25 over
+    * the SQL-derived SF-invariant panel (top 40), q69's int8
+    * integer-MIPS over the matching vec panel (top 40), RRF-fused with
+    * the integer kernel (Scale 10^9, kRrf 60), fused top 10. */
+  private val HybridOracleSql: String = {
+    val lnCtes = graft.functions.PortableLn.duckLnCtes(
+      "__ln_in", Seq("df"), "idf")
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |       FROM t GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |       FROM t GROUP BY 1),
+       |nst AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |               CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+       |q AS (SELECT DISTINCT doc_id AS query_id, term FROM t
+       |      WHERE doc_id % 100 = 0 AND doc_id <= 2000),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+       |        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |__ln_in AS (SELECT DISTINCT df,
+       |    2 * ((SELECT n FROM nst) + 1) AS a, 2 * df + 1 AS b
+       |  FROM dfq),
+       |$lnCtes,
+       |sc1 AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    CAST(sum((idf.ln_fp * 22 * tf.tf * nst.tt) //
+       |      (10 * tf.tf * nst.tt + 3 * nst.tt + 9 * dl.dl * nst.n))
+       |      AS BIGINT) AS score_fp
+       |  FROM q JOIN tf USING (term) JOIN dfq USING (term)
+       |    JOIN idf USING (df) JOIN dl USING (doc_id), nst
+       |  GROUP BY 1, 2),
+       |lexr AS (SELECT query_id, doc_id, rn FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rn
+       |    FROM sc1)
+       |  WHERE rn <= 40),
+       |scq AS (SELECT max(av) AS s FROM (
+       |    SELECT unnest(list_transform(embedding,
+       |      x -> abs(CAST(x AS DOUBLE)))) AS av
+       |    FROM embeddings)),
+       |qv AS (SELECT vec_id, list_transform(embedding,
+       |    x -> greatest(-127, least(127,
+       |      CAST(round(CAST(x AS DOUBLE) * 127.0 / scq.s) AS BIGINT))))
+       |    AS qv
+       |  FROM embeddings, scq),
+       |dp AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+       |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+       |      x -> x[1] * x[2])) AS BIGINT) AS qdot
+       |  FROM qv a JOIN qv b
+       |    ON a.vec_id % 100 = 0 AND a.vec_id <= 2000
+       |      AND b.vec_id <> a.vec_id),
+       |denr AS (SELECT query_id, doc_id, rn FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY qdot DESC, doc_id) AS rn
+       |    FROM dp)
+       |  WHERE rn <= 40),
+       |contrib AS (
+       |  SELECT query_id, doc_id, 1000000000 // (60 + rn) AS c FROM lexr
+       |  UNION ALL
+       |  SELECT query_id, doc_id, 1000000000 // (60 + rn) AS c FROM denr),
+       |fused AS (SELECT query_id, doc_id,
+       |    CAST(sum(c) AS BIGINT) AS rrf_fp,
+       |    CAST(count(*) AS BIGINT) AS n_sources
+       |  FROM contrib GROUP BY 1, 2),
+       |fr AS (SELECT query_id, doc_id, rrf_fp, n_sources,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_fp DESC, doc_id) AS rn
+       |  FROM fused)
+       |SELECT query_id, CAST(rn AS INT) AS rank, doc_id, rrf_fp,
+       |  n_sources
+       |FROM fr WHERE rn <= 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q217_rm3" -> Rm3OracleSql,
+    "q104_hybrid_topk" -> HybridOracleSql,
 
     "q64_overlap_join" ->
       """WITH a AS (

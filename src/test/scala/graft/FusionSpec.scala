@@ -67,6 +67,39 @@ class FusionSpec extends SparkSpec {
     }
   }
 
+  test("hybridTopKExactFp fuses its exact sub-rankings " +
+    "(driver-recomputed); all columns integer") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val queries = docs.filter(col("doc_id") <= 2)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val pred = col("vec_id") <= 2
+    val topK = 5
+    val got = Fusion.hybridTopKExactFp(docs, "doc_id", "text",
+        emb, "vec_id", "embedding", queries, pred, topK)
+      .as[(Long, Int, Long, Long, Long)].collect()
+    val lex = TextIndex.bm25TopKExactFp(docs, "doc_id", "text",
+        queries, topK * 4)
+      .select("query_id", "doc_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val den = graft.operators.Quantize.topKQuantized(emb, "vec_id",
+        "embedding", pred, topK * 4,
+        graft.operators.Quantize.scaleOf(emb, "embedding"))
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val want = (lex ++ den).groupBy(t => (t._1, t._2)).view
+      .mapValues(v => (v.map(x => Fusion.Scale / (60L + x._3)).sum,
+        v.size.toLong))
+      .toSeq.map { case ((q, d), (s, n)) => (q, d, s, n) }
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(topK).zipWithIndex
+          .map { case ((q, d, s, n), i) => (q, i + 1, d, s, n) }
+      }.toSet
+    assert(got.toSet == want)
+  }
+
   test("retrievalMetrics: exact recall/RR, attainable denominator, edge cases") {
     // q1: truth {a,b,c}; results rank a@2, x@1, b@5 (k=4 cuts b) ->
     //     hits=1 (a), first=2, recall = 1*10000 div min(3,4)=3 -> 3333
