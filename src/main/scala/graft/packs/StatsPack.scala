@@ -1948,19 +1948,20 @@ object StatsPack extends QueryPack {
         |      AS rnk,
         |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
         |  FROM v),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
         |p AS (
         |  SELECT l_orderkey, l_linenumber, g, cents,
-        |    (10000 * rnk) // n AS pct_bp
+        |    (10000 * rnk) // n AS pct_bp,
+        |    greatest(1, (((10000 * rnk) // n) * (SELECT n FROM nn))
+        |      // 10000) AS gkey
         |  FROM rk),
         |gl AS (
         |  SELECT cents AS gval,
         |    CAST(row_number() OVER (ORDER BY cents) AS BIGINT) AS grn
-        |  FROM v),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+        |  FROM v)
         |SELECT p.l_orderkey, p.l_linenumber, p.g AS l_returnflag,
         |  p.cents, p.pct_bp, gl.gval AS normalized
-        |FROM p JOIN gl
-        |  ON gl.grn = greatest(1, (p.pct_bp * (SELECT n FROM nn)) // 10000)
+        |FROM p JOIN gl ON gl.grn = p.gkey
         |""".stripMargin,
 
     "q188_cross_corr" ->
