@@ -384,14 +384,25 @@ object Funnels {
       }
       solve(tm, b)(idx("__START__"))
     }
-    val p0 = pConv(Set.empty)
-    def bp(x: Frac): Long = ((x.n * 10000) / x.d).toLong
-    val effects = channels.map(c => c -> (p0 - pConv(Set(c))))
-    val total = effects.map(_._2).foldLeft(Frac.Zero)(_ + _)
+    // each conversion probability floors into 10^9 fixed point BEFORE
+    // the removal-effect ratios (the Eval.cmhExactFp discipline): the
+    // exact-rational ratios cross-multiply 4x4-determinant-sized
+    // integers into ~10^100 products that overflow any 128-bit SQL
+    // oracle at sf0.1+, while floors of each determinant ratio stay
+    // inside HUGEINT on the oracle side and lose < 1e-9 per
+    // probability (< 10^-5 of a basis point downstream). Floors are
+    // monotone, so e_k = p0_fp - pk_fp stays >= 0 exactly like the
+    // rational effect.
+    val ProbScale = 1000000000L
+    def fp(x: Frac): Long =
+      if (x.isZero) 0L else ((x.n * ProbScale) / x.d).toLong
+    val p0fp = fp(pConv(Set.empty))
+    val effects = channels.map(c => c -> (p0fp - fp(pConv(Set(c)))))
+    val total = effects.map(_._2).sum
     val rows = effects.map { case (c, e) =>
-      val re = if (p0.isZero) Frac.Zero else e / p0
-      val cr = if (total.isZero) Frac.Zero else e / total
-      (c, bp(re), bp(cr))
+      val re = if (p0fp == 0L) 0L else 10000L * e / p0fp
+      val cr = if (total == 0L) 0L else 10000L * e / total
+      (c, re, cr)
     }.toSeq
     rows.toDF(channelCol, "removal_effect_bp", "credit_bp")
   }

@@ -114,6 +114,20 @@ object ScalePack extends QueryPack {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         queries = Bm25Queries, k = 10)),
 
+    // EXACT substring duplication via the distributed suffix array
+    // (Lee et al. ACL'22 ExactSubstr class): prefix-doubling ranks,
+    // SA-adjacent pairs, capped LCP — catches duplicate runs the
+    // window-aligned q80/q82 accounting can't, at ANY alignment and
+    // with the exact maximal length. All-integer output; the oracle
+    // is a brute-force SQL suffix sort on the same doc slice (the
+    // slice is a distributed input filter, so it may scale with SF —
+    // it is NOT a driver panel)
+    "q268_suffix_spans" -> ((s, dir) =>
+      graft.operators.SuffixDedup.duplicatedSpans(
+        Tables.load(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", minLen = 8)),
+
     // hybrid retrieval, ENGINE-EXACT: integer BM25 ∪ int8 integer-MIPS
     // dense ranking, fused through the integer RRF kernel — every rank
     // and fused score is an integer, so the hybrid result hash-checks
@@ -874,6 +888,45 @@ object ScalePack extends QueryPack {
   def oracleSql: Map[String, String] = Map(
     "q217_rm3" -> Rm3OracleSql,
     "q104_hybrid_topk" -> HybridOracleSql,
+
+    // brute-force suffix sort: DuckDB list comparison is elementwise
+    // with missing-element-sorts-first — exactly the operator's
+    // rank-0-for-past-the-end convention; ties (identical suffixes)
+    // break by (doc, pos) on both sides. LCP = first mismatch index
+    // over the EXACT suffixes, capped at 512 like the operator's
+    // capped zip_with compare.
+    "q268_suffix_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |s AS (
+        |  SELECT doc_id, i AS pos, a[i:] AS suf, len(a) - i + 1 AS sl
+        |  FROM d,
+        |    LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) t),
+        |o AS (
+        |  SELECT doc_id, pos, suf, sl,
+        |    row_number() OVER (ORDER BY suf, doc_id, pos) AS rn
+        |  FROM s),
+        |p AS (
+        |  SELECT x.doc_id AS doc_a, x.pos AS pos_a, x.suf AS sa,
+        |    x.sl AS la, y.doc_id AS doc_b, y.pos AS pos_b, y.suf AS sb,
+        |    y.sl AS lb
+        |  FROM o x JOIN o y ON y.rn = x.rn + 1),
+        |m AS (
+        |  SELECT doc_a, pos_a, doc_b, pos_b, la, lb,
+        |    list_position(list_transform(list_zip(sa, sb),
+        |      x -> x[1] IS NOT DISTINCT FROM x[2]), false) AS mism
+        |  FROM p),
+        |l AS (
+        |  -- list_position yields 0/NULL (version-dependent) when no
+        |  -- mismatch exists, i.e. the suffixes are identical
+        |  SELECT doc_a, pos_a, doc_b, pos_b,
+        |    least(512, CASE WHEN mism IS NULL OR mism = 0
+        |      THEN least(la, lb) ELSE mism - 1 END) AS lcp
+        |  FROM m)
+        |SELECT doc_a, CAST(pos_a AS INT) AS pos_a, doc_b,
+        |  CAST(pos_b AS INT) AS pos_b, lcp
+        |FROM l WHERE lcp >= 8""".stripMargin,
 
     "q64_overlap_join" ->
       """WITH a AS (

@@ -874,23 +874,21 @@ object StatsPack extends QueryPack {
           Seq(s"  ${det(sub, repl = false)} AS rd$k",
             s"  ${det(sub, repl = true)} AS rn$k")
         }
+    // each probability floors into 10^9 fixed point (matching the
+    // operator's ProbScale floor) — exact-rational cross-products of
+    // determinant-sized integers overflow INT128 at sf0.1, floors
+    // never exceed 10^9 · |det| ≈ 10^29
     val nrmDefs = (0 to 3).flatMap(k => Seq(
       s"  CASE WHEN rd$k < 0 THEN -rn$k ELSE rn$k END AS sn$k",
       s"  abs(rd$k) AS sd$k"))
-    val redDefs = (0 to 3).flatMap(k => Seq(
-      s"  sn$k // gcd(sn$k, sd$k) AS n$k",
-      s"  sd$k // gcd(sn$k, sd$k) AS d$k"))
-    val ewDefs = (1 to 3).flatMap(k => Seq(
-      s"  n0 * d$k - n$k * d0 AS w$k",
-      s"  d0 * d$k AS v$k"))
-    val ekDefs = (1 to 3).flatMap(k => Seq(
-      s"  w$k // gcd(w$k, v$k) AS e${k}n",
-      s"  v$k // gcd(w$k, v$k) AS e${k}d"))
+    val pfpDefs = (0 to 3).map(k =>
+      s"  CASE WHEN sd$k = 0 THEN 0 ELSE " +
+        s"(1000000000 * sn$k) // sd$k END AS p$k")
+    val effDefs = (1 to 3).map(k => s"  p0 - p$k AS e$k")
     val bpDefs = (1 to 3).flatMap(k => Seq(
-      s"  CASE WHEN n0 = 0 THEN 0 ELSE " +
-        s"(10000 * e${k}n * d0) // (e${k}d * n0) END AS re$k",
-      s"  CASE WHEN tn = 0 THEN 0 ELSE " +
-        s"(10000 * e${k}n * td) // (e${k}d * tn) END AS cr$k"))
+      s"  CASE WHEN p0 = 0 THEN 0 ELSE (10000 * e$k) // p0 END AS re$k",
+      s"  CASE WHEN e1 + e2 + e3 = 0 THEN 0 ELSE " +
+        s"(10000 * e$k) // (e1 + e2 + e3) END AS cr$k"))
     s"""WITH tch AS (
        |  SELECT user_id, epoch_us(ts) AS tu, event_type AS ch
        |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
@@ -920,22 +918,15 @@ object StatsPack extends QueryPack {
        |nrm AS (SELECT
        |${nrmDefs.mkString(",\n")}
        |  FROM dets),
-       |red AS (SELECT
-       |${redDefs.mkString(",\n")}
+       |pfp AS (SELECT
+       |${pfpDefs.mkString(",\n")}
        |  FROM nrm),
-       |ew AS (SELECT *,
-       |${ewDefs.mkString(",\n")}
-       |  FROM red),
-       |ek AS (SELECT *,
-       |${ekDefs.mkString(",\n")}
-       |  FROM ew),
-       |tote AS (SELECT *,
-       |  e1n * e2d * e3d + e2n * e1d * e3d + e3n * e1d * e2d AS tn,
-       |  e1d * e2d * e3d AS td
-       |  FROM ek),
+       |eff AS (SELECT *,
+       |${effDefs.mkString(",\n")}
+       |  FROM pfp),
        |bp AS (SELECT *,
        |${bpDefs.mkString(",\n")}
-       |  FROM tote)
+       |  FROM eff)
        |SELECT ch AS event_type,
        |  CAST(re AS BIGINT) AS removal_effect_bp,
        |  CAST(cr AS BIGINT) AS credit_bp

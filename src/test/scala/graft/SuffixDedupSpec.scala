@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SuffixDedup
+
+/** Distributed suffix-array substring dedup vs a brute-force suffix
+  * sort: the operator's prefix-doubling order and adjacent-pair LCPs
+  * must equal the naive enumerate-sort-compare answer exactly. */
+class SuffixDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute force: all suffixes sorted by (tokens, doc, pos), adjacent
+    * pairs, LCP capped, filter ≥ minLen. */
+  private def brute(docs: Seq[(Long, String)], minLen: Int,
+                    maxLcp: Int): Set[(Long, Int, Long, Int, Long)] = {
+    import scala.math.Ordering.Implicits._
+    val sufs = docs.flatMap { case (d, text) =>
+      val ts = text.trim.split("\\s+").toSeq
+      (1 to ts.length).map(p => (d, p, ts.drop(p - 1)))
+    }
+    val sorted = sufs.sortBy { case (d, p, s) => (s, d, p) }
+    sorted.zip(sorted.tail).map { case ((da, pa, sa), (db, pb, sb)) =>
+      val lcp = sa.take(maxLcp).zip(sb.take(maxLcp))
+        .takeWhile { case (x, y) => x == y }.size.toLong
+      (da, pa, db, pb, math.min(lcp, math.min(sa.length, sb.length)))
+    }.filter(_._5 >= minLen).toSet
+  }
+
+  private def run(docs: Seq[(Long, String)], minLen: Int,
+                  maxLcp: Int = 512): Set[(Long, Int, Long, Int, Long)] =
+    SuffixDedup.duplicatedSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen, maxLcp)
+      .as[(Long, Int, Long, Int, Long)].collect().toSet
+
+  test("duplicatedSpans equals the brute-force suffix sort, including " +
+    "unaligned cross-doc duplicates and within-doc repetition") {
+    val shared = (1 to 30).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"alpha beta $shared gamma delta",
+      2L -> s"x1 x2 x3 x4 x5 $shared y1",             // other alignment
+      3L -> "rep rep rep rep rep rep rep rep",        // self-repetition
+      4L -> "solo tokens that appear nowhere else at all",
+      5L -> s"alpha beta $shared gamma delta")        // exact doc dup
+    val minLen = 5
+    val got = run(docs, minLen)
+    val want = brute(docs, minLen, 512)
+    assert(got == want, s"got ${got.toSeq.sorted}\nwant ${want.toSeq.sorted}")
+    assert(got.nonEmpty)
+    // the 30-token planted span is found at FULL length from doc 1 vs 2
+    // (adjacent in suffix order at the span start) or via doc 5
+    assert(got.exists(_._5 >= 30L))
+    // within-doc repetition reported (doc 3 suffix pairs)
+    assert(got.exists(t => t._1 == 3L && t._3 == 3L))
+  }
+
+  test("duplicatedSpans: lcp caps at maxLcp; empty and tiny inputs") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(1L -> long, 2L -> long)
+    val capped = run(docs, minLen = 3, maxLcp = 5)
+    assert(capped == brute(docs, 3, 5))
+    assert(capped.exists(_._5 == 5L)) // the 40-token dup reports AT cap
+    assert(capped.forall(_._5 <= 5L))
+    // single position: no adjacent pair to report
+    assert(run(Seq(1L -> "one"), minLen = 1).isEmpty)
+    assert(run(Seq.empty[(Long, String)], minLen = 1).isEmpty)
+    intercept[IllegalArgumentException] {
+      SuffixDedup.duplicatedSpans(Seq(1L -> "a").toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 9, maxLcp = 5)
+    }
+  }
+
+  test("duplicatedSpans: randomized parity with brute force") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val docs = (1L to 12L).map { d =>
+      d -> (1 to (3 + rnd.nextInt(10)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    assert(run(docs, minLen = 2) == brute(docs, 2, 512))
+    assert(run(docs, minLen = 1) == brute(docs, 1, 512))
+  }
+}
