@@ -143,4 +143,40 @@ object SuffixDedup {
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
         col("lcp"))
   }
+
+  /** The excision half of ExactSubstr dedup: fold [[duplicatedSpans]]
+    * pairs into per-document token ranges to CUT. For each adjacent
+    * pair the occurrence at the LARGER (doc, pos) is the cut candidate
+    * — the smallest copy survives, and inside a group of k identical
+    * suffixes the adjacency chain marks exactly the k−1 later copies.
+    * Candidate half-open intervals [pos, pos+lcp) merge when they
+    * overlap or touch (gaps-and-islands per doc; the window partitions
+    * by doc, bounded by that doc's span count — never corpus-wide).
+    * Output: (doc, cut_from, cut_until, n_spans), 1-based token
+    * positions, cut_until exclusive. */
+  def exciseRanges(spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = spans.select(
+        when(col("doc_a") > col("doc_b") ||
+          (col("doc_a") === col("doc_b") && col("pos_a") > col("pos_b")),
+          struct(col("doc_a").as("d"), col("pos_a").as("p")))
+          .otherwise(struct(col("doc_b").as("d"), col("pos_b").as("p")))
+          .as("c"),
+        col("lcp"))
+      .select(col("c.d").as("doc"), col("c.p").cast("long").as("f"),
+        (col("c.p") + col("lcp")).cast("long").as("u"))
+    val w = Window.partitionBy(col("doc")).orderBy(col("f"), col("u"))
+    cand
+      .withColumn("__maxu", max(col("u")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__maxu").isNull || col("f") > col("__maxu"), 1L)
+          .otherwise(0L))
+      .withColumn("__grp", sum(col("__new")).over(w))
+      .groupBy(col("doc"), col("__grp"))
+      .agg(min(col("f")).as("cut_from"), max(col("u")).as("cut_until"),
+        count(lit(1)).as("n_spans"))
+      .select(col("doc"), col("cut_from"), col("cut_until"),
+        col("n_spans"))
+  }
 }

