@@ -38,6 +38,15 @@ import org.apache.spark.sql.functions._
   * lcp) for adjacent pairs with lcp ≥ minLen; positions 1-based;
   * lcp is capped at `maxLcp` (a pair reported AT the cap shares at
   * least that many tokens).
+  *
+  * Known optimization, deliberately not taken yet: after each level,
+  * positions whose rank is already unique are fully ordered and could
+  * be frozen, shrinking the re-ranked set to positions inside
+  * still-tied groups (∝ duplicated text volume, which collapses
+  * geometrically). That trades the simple whole-corpus dense rank per
+  * level for an overlay bookkeeping frame; worth it if SA construction
+  * ever dominates a pipeline. The current shape is the textbook
+  * O(log maxDocLen) distributed sorts bound.
   */
 object SuffixDedup {
 
