@@ -39,34 +39,24 @@ import org.apache.spark.sql.functions._
   * lcp is capped at `maxLcp` (a pair reported AT the cap shares at
   * least that many tokens).
   *
-  * Known optimization, deliberately not taken yet: after each level,
-  * positions whose rank is already unique are fully ordered and could
-  * be frozen, shrinking the re-ranked set to positions inside
-  * still-tied groups (∝ duplicated text volume, which collapses
-  * geometrically). That trades the simple whole-corpus dense rank per
-  * level for an overlay bookkeeping frame; worth it if SA construction
-  * ever dominates a pipeline. The current shape is the textbook
-  * O(log maxDocLen) distributed sorts bound.
+  * Tied-group refinement (the optimization that makes this 100-TB
+  * shaped): ranks here are POSITION ranks — pr(p) = #positions with a
+  * strictly smaller key, so a rank class occupying [pr, pr+size)
+  * refines IN PLACE: pr'(p) = pr(p) + #{q in the class : k2(q) <
+  * k2(p)}, computed by a window partitioned by the class (bounded by
+  * duplicate multiplicity, never corpus-wide). Positions whose rank is
+  * already unique are fully ordered and FROZEN — each level re-ranks
+  * only the still-tied set, which collapses geometrically toward the
+  * positions inside true duplicate runs. Per level the corpus-sized
+  * work is two lineage-free scans (the k2 lookup join and the rank
+  * overlay, broadcast once the tied set is small); only level 1
+  * shuffles corpus-sized frames.
   */
 object SuffixDedup {
 
-  /** Dense rank of (k1, k2) keys: distinct → distributed range sort →
-    * zipWithIndex (per-partition sizes then offsets — never a single
-    * task). Unique keys make the order total, so the assignment is
-    * deterministic. Returns (k1, k2, r) with r in [1, #distinct]. */
-  private def denseRank(keys: DataFrame): DataFrame = {
-    val spark = keys.sparkSession
-    import spark.implicits._
-    keys.distinct().orderBy(col("k1"), col("k2")).rdd
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .zipWithIndex()
-      .map { case ((k1, k2), i) => (k1, k2, i + 1) }
-      .toDF("k1", "k2", "r")
-      .localCheckpoint(true)
-  }
-
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       minLen: Int, maxLcp: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(minLen >= 1, "minLen must be >= 1")
     require(maxLcp >= minLen, "maxLcp must be >= minLen")
     val spark = df.sparkSession
@@ -85,42 +75,73 @@ object SuffixDedup {
       .toDF("doc_a", "pos_a", "doc_b", "pos_b", "lcp")
     if (nPos < 2) return empty
 
-    // rank_0: vocabulary dense rank (UTF8-binary order — the same
-    // order DuckDB compares VARCHARs by)
+    // pr_0: per-token position rank = exclusive prefix sum of sorted
+    // vocabulary counts (UTF8-binary order — the order DuckDB compares
+    // VARCHARs by). Distributed range sort; only the ≤ #partitions
+    // per-partition subtotals reach the driver.
     val positions = toks.select(col("doc"),
         posexplode(col("ta")).as(Seq("pos0", "tok")))
       .select(col("doc"), (col("pos0") + 1).as("pos"), col("tok"))
-    val vocab = positions.select(col("tok")).distinct()
-      .orderBy(col("tok")).rdd.map(_.getString(0)).zipWithIndex()
-      .map { case (t, i) => (t, i + 1) }.toDF("tok", "r")
+    val sortedVc = positions.groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("tok")).rdd
+      .map(r => (r.getString(0), r.getLong(1)))
+    val partTotals = sortedVc
+      .mapPartitionsWithIndex { (i, it) =>
+        Iterator((i, it.foldLeft(0L)(_ + _._2))) }
+      .collect().sortBy(_._1).map(_._2)
+    val partOffsets = partTotals.scanLeft(0L)(_ + _)
+    val vocabPr = sortedVc
+      .mapPartitionsWithIndex { (i, it) =>
+        var run = partOffsets(i)
+        it.map { case (t, c) => val p = run; run += c; (t, p, c) }
+      }.toDF("tok", "pr", "c")
       .localCheckpoint(true)
-    var cur = positions.join(vocab, Seq("tok"))
-      .select(col("doc"), col("pos"), col("r").as("rank"))
+    var prTab = positions.join(vocabPr, Seq("tok"))
+      .select(col("doc"), col("pos"), col("pr"), col("c"))
       .localCheckpoint(true)
-    var distinctRanks = vocab.count()
+    var tied = prTab.filter(col("c") >= 2)
+      .select(col("doc"), col("pos"), col("pr"))
+      .localCheckpoint(true)
+    prTab = prTab.drop("c")
 
-    // prefix doubling: after the level with offset 2^j, rank order ==
-    // order of the first 2^(j+1) tokens of each suffix
+    // prefix doubling over the tied set only: after the level with
+    // offset `off`, ranks order the first 2·off tokens of each suffix
     var off = 1L
-    while (distinctRanks < nPos && off < maxDl) {
-      val nxt = cur.select(col("doc"), (col("pos") - lit(off)).as("pos"),
-        col("rank").as("__nr"))
-      val keyed = cur.join(nxt, Seq("doc", "pos"), "left")
-        .select(col("doc"), col("pos"), col("rank").as("k1"),
-          coalesce(col("__nr"), lit(0L)).as("k2"))
-        .localCheckpoint(true) // feeds the distinct AND the rank join
-      val rk = denseRank(keyed.select(col("k1"), col("k2")))
-      cur = keyed.join(rk, Seq("k1", "k2"))
-        .select(col("doc"), col("pos"), col("r").as("rank"))
+    var tiedCount = tied.count()
+    while (tiedCount > 0 && off < maxDl) {
+      // k2 = pr_{level-1}(doc, pos+off); past-the-end sorts first
+      val lookup = prTab.select(col("doc"),
+        (col("pos") - lit(off)).as("pos"), col("pr").as("__nr"))
+      val keyed = tied.join(lookup, Seq("doc", "pos"), "left")
+        .select(col("doc"), col("pos"), col("pr"),
+          coalesce(col("__nr"), lit(-1L)).as("k2"))
+      // in-place class refinement: rank() ties keep refined classes
+      // tied; the window partitions by the CLASS (size = duplicate
+      // multiplicity), never by anything corpus-wide
+      val w = Window.partitionBy(col("pr")).orderBy(col("k2"))
+      val upd = keyed
+        .select(col("doc"), col("pos"),
+          (col("pr") + rank().over(w) - 1L).as("npr"))
+        .localCheckpoint(true) // feeds the size agg AND both overlays
+      val sizes = upd.groupBy(col("npr")).agg(count(lit(1)).as("n"))
+      tied = upd.join(broadcast(sizes.filter(col("n") >= 2)), Seq("npr"))
+        .select(col("doc"), col("pos"), col("npr").as("pr"))
         .localCheckpoint(true)
-      distinctRanks = rk.count()
+      // overlay the refined ranks onto the full table (broadcast-hash
+      // once upd is small — one corpus scan, no shuffle)
+      prTab = prTab.join(upd, Seq("doc", "pos"), "left")
+        .select(col("doc"), col("pos"),
+          coalesce(col("npr"), col("pr")).as("pr"))
+        .localCheckpoint(true)
+      tiedCount = tied.count()
       off *= 2
     }
 
-    // suffix-array order = (rank, doc, pos); exactly-equal suffixes
+    // suffix-array order = (pr, doc, pos); exactly-equal suffixes
     // (the only possible rank ties after full doubling) tie-break by
     // (doc, pos) — mirror `ORDER BY suffix, doc, pos` in any oracle
-    val sa = cur.orderBy(col("rank"), col("doc"), col("pos")).rdd
+    val sa = prTab.orderBy(col("pr"), col("doc"), col("pos")).rdd
       .map(r => (r.getLong(0), r.getInt(1)))
       .zipWithIndex()
       .map { case ((d, p), i) => (d, p, i) }
