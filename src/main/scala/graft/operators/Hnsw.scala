@@ -1,0 +1,242 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-refined ANN: per-shard HNSW (Malkov & Yashunin, TPAMI 2018 —
+  * public formulation) layered ON TOP of the IVF router, exactly the
+  * distributed shape SURVEY §4 prescribes: a monolithic HNSW build is
+  * a sequential, mutation-heavy graph walk with no faithful Catalyst
+  * expression, but per-IVF-cluster graphs build independently INSIDE
+  * `mapPartitions` — no driver loop, no cross-partition mutation — and
+  * a query only searches the graphs of its `nprobe` closest clusters.
+  *
+  * Layout: the corpus repartitions by `cluster_id` (the same co-located
+  * layout Ivf.topK wants at warehouse scale); each task builds one
+  * in-core graph per cluster it holds, inserting in ascending-id order
+  * so the build is DETERMINISTIC for a given assignment. Node levels
+  * come from an md5-derived uniform (not Random), so they are stable
+  * across runs and appends. Queries are panel-sized: the (query,
+  * probed-cluster) routing table is collected (REQUIRE-bounded) and
+  * broadcast; per-cluster top-k candidates meet in one per-query rank
+  * window bounded by nprobe·k rows.
+  *
+  * Float cosine scores → rows-only by the ANN-recall family contract
+  * (like IVF/PQ/LSH): the spec pins recall ≥ 0.9 against the exact
+  * ranking plus build determinism and the routing bound. */
+object Hnsw {
+
+  /** One in-core HNSW graph (lives inside a single task). Similarity =
+    * dot of L2-normalized vectors ≡ cosine; zero-norm vectors stay at
+    * the origin and rank last, matching Similarity.topK's -inf. */
+  final class Index(m: Int, efConstruction: Int) {
+    require(m >= 2 && efConstruction >= m,
+      "HNSW needs m >= 2 and efConstruction >= m")
+    private val mL = 1.0 / math.log(m.toDouble)
+    private val ids = mutable.ArrayBuffer.empty[Long]
+    private val vecs = mutable.ArrayBuffer.empty[Array[Double]]
+    private val levels = mutable.ArrayBuffer.empty[Int]
+    // neighbors(node)(level) = adjacency list
+    private val nbrs = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    private var entry = -1
+    private var maxLevel = -1
+
+    def size: Int = ids.length
+
+    private def sim(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    /** Deterministic level from the node id: u = md5-derived uniform,
+      * level = floor(-ln(u)·mL) — the paper's draw, seeded by data. */
+    private def levelOf(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
+      val u = ((h >>> 11) + 1).toDouble / (1L << 53).toDouble // (0, 1]
+      math.min(32, (-math.log(u) * mL).toInt)
+    }
+
+    /** Best-first search of one layer; returns up to ef (sim, node)
+      * pairs, best first. */
+    private def searchLayer(q: Array[Double], eps: Seq[Int], ef: Int,
+                            level: Int): mutable.ArrayBuffer[(Double, Int)] = {
+      val visited = mutable.HashSet.empty[Int]
+      // candidates: best first; results: worst first (bounded ef)
+      val cand = mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.by(_._1))
+      val res = mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.by(t => -t._1))
+      eps.foreach { e =>
+        if (visited.add(e)) {
+          val s = sim(q, vecs(e)); cand.enqueue((s, e)); res.enqueue((s, e))
+        }
+      }
+      while (res.size > ef) res.dequeue()
+      while (cand.nonEmpty) {
+        val (cs, c) = cand.dequeue()
+        if (res.size >= ef && cs < res.head._1) {
+          cand.clear() // best remaining candidate can't improve results
+        } else {
+          nbrs(c)(level).foreach { n =>
+            if (visited.add(n)) {
+              val s = sim(q, vecs(n))
+              if (res.size < ef || s > res.head._1) {
+                cand.enqueue((s, n)); res.enqueue((s, n))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Double, Int)]
+      while (res.nonEmpty) out += res.dequeue()
+      // dequeued worst-first — reverse to best-first
+      val n2 = out.length
+      var i2 = 0
+      while (i2 < n2 / 2) {
+        val t = out(i2); out(i2) = out(n2 - 1 - i2); out(n2 - 1 - i2) = t
+        i2 += 1
+      }
+      out
+    }
+
+    def insert(id: Long, rawVec: Array[Double]): Unit = {
+      val n = {
+        var s = 0.0; var i = 0
+        while (i < rawVec.length) { s += rawVec(i) * rawVec(i); i += 1 }
+        math.sqrt(s)
+      }
+      val v = if (n > 0) rawVec.map(_ / n) else rawVec.clone()
+      val lvl = levelOf(id)
+      val node = ids.length
+      ids += id; vecs += v; levels += lvl
+      nbrs += Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Int])
+      if (entry < 0) { entry = node; maxLevel = lvl; return }
+      var ep = entry
+      var lc = maxLevel
+      while (lc > lvl) { // greedy descend above the node's level
+        ep = searchLayer(v, Seq(ep), 1, lc).head._2
+        lc -= 1
+      }
+      while (lc >= 0) {
+        val mMax = if (lc == 0) 2 * m else m
+        val found = searchLayer(v, Seq(ep), efConstruction, lc)
+        val chosen = found.take(m) // simple closest-M selection
+        chosen.foreach { case (_, nb) =>
+          nbrs(node)(lc) += nb
+          val back = nbrs(nb)(lc)
+          back += node
+          if (back.length > mMax) {
+            // shrink to the mMax closest of nb
+            val kept = back.map(x => (sim(vecs(nb), vecs(x)), x))
+              .sortBy(-_._1).take(mMax).map(_._2)
+            back.clear(); back ++= kept
+          }
+        }
+        ep = found.head._2
+        lc -= 1
+      }
+      if (lvl > maxLevel) { maxLevel = lvl; entry = node }
+    }
+
+    /** Top-k (similarity, id), best first, excluding `exclude`. */
+    def search(q: Array[Double], k: Int, efSearch: Int,
+               exclude: Long): Seq[(Double, Long)] = {
+      if (entry < 0) return Nil
+      val qn = {
+        var s = 0.0; var i = 0
+        while (i < q.length) { s += q(i) * q(i); i += 1 }
+        math.sqrt(s)
+      }
+      val qv = if (qn > 0) q.map(_ / qn) else q
+      var ep = entry
+      var lc = maxLevel
+      while (lc > 0) { ep = searchLayer(qv, Seq(ep), 1, lc).head._2; lc -= 1 }
+      searchLayer(qv, Seq(ep), math.max(efSearch, k + 1), 0)
+        .iterator.map { case (s, node) => (s, ids(node)) }
+        .filter(_._2 != exclude)
+        .take(k).toSeq
+    }
+  }
+
+  /** Distributed HNSW top-k over the IVF-routed corpus. Output:
+    * (query_id, rank, neighbor_id) — the Ivf.topK contract, so recall
+    * specs and downstream fusion compose unchanged. */
+  def topK(df: DataFrame, idCol: String, embCol: String,
+           queryPred: Column, k: Int, model: Ivf.Model, nprobe: Int,
+           m: Int = 8, efConstruction: Int = 64, efSearch: Int = 48,
+           maxQueries: Int = 4096): DataFrame = {
+    require(k >= 1 && nprobe >= 1, "k and nprobe must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // query routing table: nprobe closest centroids per query (the
+    // Ivf.topK probe logic), panel-sized and REQUIRE-bounded
+    val centDists = graft.functions.NativeExprs.centroidSqDists(
+      col(embCol).cast("array<double>"), model.centroids)
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__d"))
+    val probedRows = df.filter(queryPred)
+      .select(col(idCol).as("query_id"),
+        Similarity.toDouble(col(embCol)).as("__qe"),
+        posexplode(centDists))
+      .withColumnRenamed("pos", "cluster_id")
+      .withColumnRenamed("col", "__d")
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__qe"), col("cluster_id"))
+      .as[(Long, Seq[Double], Int)].collect()
+    require(probedRows.length <= maxQueries.toLong * nprobe,
+      s"query panel ${probedRows.length / math.max(1, nprobe)} exceeds " +
+        s"the $maxQueries broadcast budget — shrink the panel")
+    val byCluster: Map[Int, Array[(Long, Array[Double])]] = probedRows
+      .groupBy(_._3).view
+      .mapValues(_.map(r => (r._1, r._2.toArray))).toMap
+    val bc = spark.sparkContext.broadcast(byCluster)
+    val (mC, efC, efS, kC) = (m, efConstruction, efSearch, k)
+
+    // cluster-partitioned corpus; ONE graph per cluster per task,
+    // ascending-id insertion for a deterministic build
+    val assigned = Ivf.assign(df, idCol, embCol, model)
+      .select(col(idCol).as("__id"),
+        Similarity.toDouble(col(embCol)).as("__e"), col("cluster_id"))
+      .repartition(math.max(1, model.k / 2), col("cluster_id"))
+    val cands = assigned
+      .as[(Long, Seq[Double], Int)]
+      .mapPartitions { it =>
+        val byC = mutable.HashMap
+          .empty[Int, mutable.ArrayBuffer[(Long, Array[Double])]]
+        it.foreach { case (id, e, c) =>
+          if (bc.value.contains(c))
+            byC.getOrElseUpdate(c,
+              mutable.ArrayBuffer.empty) += ((id, e.toArray))
+        }
+        byC.iterator.flatMap { case (c, rows) =>
+          val idx = new Index(mC, efC)
+          rows.sortInPlaceBy(_._1)
+          rows.foreach { case (id, v) => idx.insert(id, v) }
+          bc.value(c).iterator.flatMap { case (qid, qv) =>
+            idx.search(qv, kC, efS, exclude = qid)
+              .map { case (s, nid) => (qid, nid, s) }
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "__sim")
+    // per-query merge of the <= nprobe candidate lists (each <= k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("neighbor_id"))
+    cands
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("__sim")).as("__sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"))
+  }
+}

@@ -51,6 +51,20 @@ object ApproxPack extends QueryPack {
         "vec_id", "embedding", pmod(col("vec_id"), lit(50)) === 0,
         k = 10, dim = 64, bands = 8, rowsPerBand = 4)),
 
+    // graph-refined ANN: per-IVF-cluster HNSW graphs built inside
+    // mapPartitions, queries routed to nprobe clusters — rows-only by
+    // the ANN-recall family contract (float cosine + approximate
+    // recall guarantee; HnswSpec pins recall ≥ 0.9, determinism, and
+    // the routing bound). SF-INVARIANT panel: vec_id % 100 = 0, ≤ 2000
+    "q270_hnsw_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings").localCheckpoint(true)
+      val model = graft.operators.Ivf.train(
+        emb, "vec_id", "embedding", k = 16, iters = 2)
+      graft.operators.Hnsw.topK(emb, "vec_id", "embedding",
+        pmod(col("vec_id"), lit(100)) === 0 && col("vec_id") <= 2000,
+        k = 10, model, nprobe = 4)
+    }),
+
     "q40_ivf_topk" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val model = Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)

