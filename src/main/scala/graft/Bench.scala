@@ -106,9 +106,13 @@ object Bench {
         """"([^"]+)":([-0-9.eE+]+)""".r.findAllMatchIn(s)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    // 1.5x: the r12 full run recorded q179 at 6.68 s vs a stable
+    // fresh-JVM 4.10 s — 63% shared-JVM inflation that the old 2x
+    // threshold let through; a fresh-JVM pass per suspect costs ~40 s,
+    // so a tighter net is cheap insurance for comparability
     def findSuspects(ms: Seq[(String, Double)]): Seq[String] =
       ms.collect { case (k, v)
-        if prevBest.get(k).exists(b => v > 2 * b && v > 1.0) => k }
+        if prevBest.get(k).exists(b => v > 1.5 * b && v > 1.0) => k }
     val suspects0 = findSuspects(mins0)
     // ADJUDICATION runs after the shared session is gone — the fresh
     // JVMs need the machine to themselves for an honest number.
