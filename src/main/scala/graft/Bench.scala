@@ -106,13 +106,16 @@ object Bench {
         """"([^"]+)":([-0-9.eE+]+)""".r.findAllMatchIn(s)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
-    // 1.5x: the r12 full run recorded q179 at 6.68 s vs a stable
-    // fresh-JVM 4.10 s — 63% shared-JVM inflation that the old 2x
-    // threshold let through; a fresh-JVM pass per suspect costs ~40 s,
-    // so a tighter net is cheap insurance for comparability
+    // Dual threshold: >2x best for anything over 1 s (the classic
+    // phantom-regression signature, q260 r11), plus >1.5x for queries
+    // over 3 s (q179's 63% inflation slid under 2x in r12). A bare
+    // 1.5x net over-flags sub-2s queries whose fresh-JVM re-runs
+    // confirm ordinary variance (q221 1.37->1.57 s) — each false flag
+    // costs a ~40 s JVM and pollutes the suspect list's meaning.
     def findSuspects(ms: Seq[(String, Double)]): Seq[String] =
       ms.collect { case (k, v)
-        if prevBest.get(k).exists(b => v > 1.5 * b && v > 1.0) => k }
+        if prevBest.get(k).exists(b =>
+          (v > 2 * b && v > 1.0) || (v > 1.5 * b && v > 3.0)) => k }
     val suspects0 = findSuspects(mins0)
     // ADJUDICATION runs after the shared session is gone — the fresh
     // JVMs need the machine to themselves for an honest number.
