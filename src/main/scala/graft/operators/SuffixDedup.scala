@@ -44,18 +44,151 @@ import org.apache.spark.sql.functions._
   * strictly smaller key, so a rank class occupying [pr, pr+size)
   * refines IN PLACE: pr'(p) = pr(p) + #{q in the class : k2(q) <
   * k2(p)}, computed by a window partitioned by the class (bounded by
-  * duplicate multiplicity, never corpus-wide). Positions whose rank is
-  * already unique are fully ordered and FROZEN — each level re-ranks
-  * only the still-tied set, which collapses geometrically toward the
-  * positions inside true duplicate runs. Per level the corpus-sized
-  * work is two lineage-free scans (the k2 lookup join and the rank
-  * overlay, broadcast once the tied set is small); only level 1
-  * shuffles corpus-sized frames.
+  * duplicate multiplicity — skew note: a very frequent token makes a
+  * single large level-1 class and thus one heavy task; natural-text
+  * stopword classes split on the first doubling). Positions whose rank
+  * is already unique are fully ordered and FROZEN — each level
+  * re-ranks only the still-tied set, which collapses geometrically
+  * toward the positions inside true duplicate runs.
+  *
+  * Level cost model: while the tied set is corpus-scaled (early
+  * levels) the k2 lookup and rank overlay are inherent corpus-sized
+  * shuffles and Catalyst plans them freely. Once `tiedCount` drops
+  * below [[BroadcastTiedMax]] the loop switches modes: the lookup is
+  * pre-pruned by a broadcast LEFT-SEMI against the tied keys (one
+  * corpus SCAN — never a corpus shuffle; a plain left join could only
+  * broadcast its corpus-sized right side, so it would sort-merge-
+  * shuffle the full rank table every remaining level), and refined
+  * ranks accumulate in a small OVERLAY frame instead of rewriting and
+  * re-checkpointing the corpus-sized rank table per level — the
+  * overlay folds back into the base table once, after the loop.
   */
 object SuffixDedup {
 
+  /** Tied-set size below which the loop switches to broadcast mode
+    * (semi-pruned lookups + overlay accumulation). (doc, pos) keys are
+    * ~16 bytes packed, so 4M rows is a few hundred MB of hash map at
+    * worst — comfortably under executor memory and the driver
+    * broadcast ceiling; above it, Catalyst plans the joins unhinted.
+    * Tied counts shrink monotonically, so the mode switches at most
+    * once per build. */
+  private[graft] val BroadcastTiedMax = 4L * 1000 * 1000
+
+  /** Broadcast mode runs MULTI-doubling: one level compares the
+    * (m−1)-tuple of current ranks at pos+off, pos+2·off, …,
+    * pos+(m−1)·off, extending the ordered prefix off → m·off in a
+    * single pass (Larsson–Sadakane multi-factor doubling: the current
+    * table already orders any off-token window, so the tuple compare
+    * IS the m·off-token compare, with −1 past-the-end keeping the
+    * shorter-suffix-first convention — equal rank on a shorter-than-off
+    * tail implies identical tails, so −1 slots agree inside a tied
+    * class). m = 8 cuts the level count to ceil(log₈) at the price of
+    * 7 shifts resolved per level — all against the SAME single corpus
+    * scan, so the extra shifts are nearly free while each saved level
+    * saves the whole per-level job floor. */
+  private[graft] val SmallFactor = 8
+
+  /** One broadcast-mode level's shift resolution: the current rank of
+    * (doc, pos + i·off) for every tied position and every shift index
+    * i ∈ [1, m), reading `base` (corpus-sized, checkpointed) through
+    * exactly ONE scan — explode the (m−1) shifted keys scan-side,
+    * semi-prune by the broadcast tied keys, coalesce the small
+    * overlay's refined rank over the base rank, pivot to one row per
+    * (doc, pos) with columns k2..k{m} (null = past-the-end). Exposed
+    * for the PlanSpec lock: the executed plan must contain no
+    * SortMergeJoin on the base scan. */
+  private[graft] def resolveShiftsSmall(base: DataFrame, ovl: DataFrame,
+      tied: DataFrame, off: Long, m: Int): DataFrame = {
+    val tiedKeys = broadcast(tied.select(col("doc"), col("pos")))
+    def shifted(src: DataFrame, rc: String, out: String): DataFrame =
+      src.select(col("doc"), explode(array((1 until m).map { i =>
+          struct((col("pos") - lit(i.toLong * off)).as("pos"),
+            lit(i + 1).as("tag"))
+        }: _*)).as("e"), col(rc).as(out))
+        .select(col("doc"), col("e.pos").as("pos"), col("e.tag").as("tag"),
+          col(out))
+    val pruned = shifted(base, "pr", "__bpr")
+      .join(tiedKeys, Seq("doc", "pos"), "left_semi")
+    val resolved =
+      if (ovl == null) pruned.select(col("doc"), col("pos"), col("tag"),
+        col("__bpr").as("__r"))
+      else pruned.join(broadcast(shifted(ovl, "npr", "__opr")),
+          Seq("doc", "pos", "tag"), "left")
+        .select(col("doc"), col("pos"), col("tag"),
+          coalesce(col("__opr"), col("__bpr")).as("__r"))
+    val kCols = (2 to m).map(t =>
+      max(when(col("tag") === t, col("__r"))).as(s"k$t"))
+    resolved.groupBy(col("doc"), col("pos"))
+      .agg(kCols.head, kCols.tail: _*)
+  }
+
+  /** Exact in-memory finish of the suffix sort, used once the tied set
+    * and the rank arrays of its documents fit a fixed driver budget
+    * (the Pq.train / Selection bounded-fold posture, but with a
+    * DYNAMIC fallback: a corpus whose duplication blows the budget
+    * simply keeps the distributed doubling loop — no require-crash on
+    * big data). Comparing the CURRENT-LEVEL rank sequences
+    * r(p), r(p+1), … element-wise with shorter-first IS the exact
+    * suffix comparison at any level (equal ranks ⇒ equal off-token
+    * windows; the first differing rank orders the suffixes), so the
+    * finish is exact even straight after the vocabulary ranking.
+    * Returns the refined overlay (doc, pos, npr) for every tied
+    * position as a LITERAL DataFrame; identical suffixes share npr
+    * (the SA stage tie-breaks them by (doc, pos), matching the
+    * oracle's ORDER BY suffix, doc, pos). */
+  private def driverFinishOverlay(prTab: DataFrame, ovl: DataFrame,
+      tied: DataFrame, affected: DataFrame): DataFrame = {
+    val spark = prTab.sparkSession
+    import spark.implicits._
+    val curBase = prTab.join(broadcast(affected), Seq("doc"), "left_semi")
+    val cur =
+      if (ovl == null) curBase
+      else curBase.join(ovl, Seq("doc", "pos"), "left")
+        .select(col("doc"), col("pos"),
+          coalesce(col("npr"), col("pr")).as("pr"))
+    val ranks = new java.util.HashMap[Long, Array[Long]]()
+    cur.groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("pr"))))
+        .as("a"))
+      .collect().foreach { r =>
+        val seq = r.getSeq[org.apache.spark.sql.Row](1)
+        val arr = new Array[Long](seq.size)
+        seq.foreach(e => arr(e.getInt(0) - 1) = e.getLong(1))
+        ranks.put(r.getLong(0), arr)
+      }
+    // suffix compare via rank sequences, shorter suffix first
+    def cmp(da: Long, pa: Int, db: Long, pb: Int): Int = {
+      val ra = ranks.get(da); val rb = ranks.get(db)
+      var i = pa - 1; var j = pb - 1
+      while (i < ra.length && j < rb.length) {
+        if (ra(i) != rb(j)) return java.lang.Long.compare(ra(i), rb(j))
+        i += 1; j += 1
+      }
+      java.lang.Integer.compare(ra.length - i, rb.length - j)
+    }
+    val out = Seq.newBuilder[(Long, Int, Long)]
+    tied.select(col("doc"), col("pos"), col("pr")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._3).foreach { case (pr, members) =>
+        val sorted = members.sortWith((x, y) =>
+          cmp(x._1, x._2, y._1, y._2) < 0)
+        var prevNpr = pr
+        sorted.zipWithIndex.foreach { case ((d, p, _), idx) =>
+          val npr =
+            if (idx > 0 && cmp(sorted(idx - 1)._1, sorted(idx - 1)._2,
+              d, p) == 0) prevNpr
+            else pr + idx
+          prevNpr = npr
+          out += ((d, p, npr))
+        }
+      }
+    out.result().toDF("doc", "pos", "npr")
+  }
+
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-                      minLen: Int, maxLcp: Int = 512): DataFrame = {
+                      minLen: Int, maxLcp: Int = 512,
+                      driverFinishMaxPos: Long = 300000L,
+                      driverFinishMaxTok: Long = 8L * 1000 * 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minLen >= 1, "minLen must be >= 1")
     require(maxLcp >= minLen, "maxLcp must be >= minLen")
@@ -106,37 +239,107 @@ object SuffixDedup {
     prTab = prTab.drop("c")
 
     // prefix doubling over the tied set only: after the level with
-    // offset `off`, ranks order the first 2·off tokens of each suffix
+    // offset `off`, ranks order the first 2·off tokens of each suffix.
+    // `ovl` (broadcast mode only) holds the latest refined rank for
+    // every position re-ranked since prTab was last rewritten; it is
+    // non-null iff at least one broadcast-mode level has run, and
+    // tiedCount shrinks monotonically so the mode switches at most
+    // once — prTab is never stale in large mode.
     var off = 1L
     var tiedCount = tied.count()
+    var ovl: DataFrame = null
     while (tiedCount > 0 && off < maxDl) {
-      // k2 = pr_{level-1}(doc, pos+off); past-the-end sorts first
-      val lookup = prTab.select(col("doc"),
-        (col("pos") - lit(off)).as("pos"), col("pr").as("__nr"))
-      val keyed = tied.join(lookup, Seq("doc", "pos"), "left")
-        .select(col("doc"), col("pos"), col("pr"),
-          coalesce(col("__nr"), lit(-1L)).as("k2"))
+      // exact driver finish once (tied rows, affected-doc positions)
+      // fit the fixed budget; both checks are distributed and cheap,
+      // and failing them just continues the distributed loop
+      if (tiedCount <= driverFinishMaxPos) {
+        val affected = tied.select(col("doc")).distinct()
+          .localCheckpoint(true)
+        val budget = prTab
+          .join(broadcast(affected), Seq("doc"), "left_semi").count()
+        if (budget <= driverFinishMaxTok) {
+          val dOvl = driverFinishOverlay(prTab, ovl, tied, affected)
+          ovl =
+            (if (ovl == null) dOvl
+             else dOvl.unionByName(ovl.join(
+               dOvl.select(col("doc"), col("pos")),
+               Seq("doc", "pos"), "left_anti")))
+          tiedCount = 0
+          if (sys.env.contains("SPARK_GRAFT_SA_DEBUG"))
+            System.err.println(s"SA driver finish off=$off " +
+              s"budget=$budget t=${System.nanoTime() / 1e9}")
+        }
+      }
+      if (tiedCount == 0) { /* finished by the driver pass */ }
+      else {
+      val small = tiedCount <= BroadcastTiedMax
+      val m = if (small) SmallFactor else 2
+      // shift keys k2..k{m} = pr_{level-1}(doc, pos + i·off); −1 (past
+      // the end) sorts first. Broadcast mode: ONE semi-pruned corpus
+      // scan (resolveShiftsSmall) then a broadcast hash probe into
+      // tied. Large mode: the corpus-sized shuffle is inherent
+      // (tied ≈ corpus) — leave it unhinted.
+      val keyNames = (2 to m).map(t => s"k$t")
+      val keyed =
+        if (small)
+          tied.join(
+              broadcast(resolveShiftsSmall(prTab, ovl, tied, off, m)),
+              Seq("doc", "pos"), "left")
+            .select(col("doc") +: col("pos") +: col("pr") +:
+              keyNames.map(k => coalesce(col(k), lit(-1L)).as(k)): _*)
+        else {
+          val lookup = prTab.select(col("doc"),
+            (col("pos") - lit(off)).as("pos"), col("pr").as("__nr"))
+          tied.join(lookup, Seq("doc", "pos"), "left")
+            .select(col("doc"), col("pos"), col("pr"),
+              coalesce(col("__nr"), lit(-1L)).as("k2"))
+        }
       // in-place class refinement: rank() ties keep refined classes
-      // tied; the window partitions by the CLASS (size = duplicate
-      // multiplicity), never by anything corpus-wide
-      val w = Window.partitionBy(col("pr")).orderBy(col("k2"))
+      // tied; both windows partition by the CLASS (size = duplicate
+      // multiplicity), never by anything corpus-wide, and the count
+      // window reuses the rank window's exchange (partition keys are
+      // a superset clustered by the same pr hash)
+      val w = Window.partitionBy(col("pr"))
+        .orderBy(keyNames.map(col): _*)
+      val wCls = Window.partitionBy(col("pr") +: keyNames.map(col): _*)
       val upd = keyed
         .select(col("doc"), col("pos"),
-          (col("pr") + rank().over(w) - 1L).as("npr"))
-        .localCheckpoint(true) // feeds the size agg AND both overlays
-      val sizes = upd.groupBy(col("npr")).agg(count(lit(1)).as("n"))
-      tied = upd.join(broadcast(sizes.filter(col("n") >= 2)), Seq("npr"))
+          (col("pr") + rank().over(w) - 1L).as("npr"),
+          count(lit(1)).over(wCls).as("__n"))
+        .localCheckpoint(true) // feeds tied, the overlay, and the count
+      tied = upd.filter(col("__n") >= 2)
         .select(col("doc"), col("pos"), col("npr").as("pr"))
-        .localCheckpoint(true)
-      // overlay the refined ranks onto the full table (broadcast-hash
-      // once upd is small — one corpus scan, no shuffle)
-      prTab = prTab.join(upd, Seq("doc", "pos"), "left")
+      if (small) {
+        // accumulate the refined ranks in the small overlay (latest
+        // wins; upd's keys ⊆ the previous overlay's keys, both ≤
+        // BroadcastTiedMax) — no corpus-sized rewrite this level
+        val updR = upd.select(col("doc"), col("pos"), col("npr"))
+        ovl = (if (ovl == null) updR
+               else updR.unionByName(ovl.join(
+                 updR.select(col("doc"), col("pos")),
+                 Seq("doc", "pos"), "left_anti")))
+          .localCheckpoint(true)
+      } else {
+        // overlay the refined ranks onto the full table
+        prTab = prTab.join(upd.select(col("doc"), col("pos"), col("npr")),
+            Seq("doc", "pos"), "left")
+          .select(col("doc"), col("pos"),
+            coalesce(col("npr"), col("pr")).as("pr"))
+          .localCheckpoint(true)
+      }
+      tiedCount = tied.count()
+      off *= m
+      if (sys.env.contains("SPARK_GRAFT_SA_DEBUG"))
+        System.err.println(s"SA level off=$off tied=$tiedCount " +
+          s"small=$small m=$m t=${System.nanoTime() / 1e9}")
+      }
+    }
+    // fold the broadcast-mode overlay back into the rank table ONCE
+    // (one corpus scan) instead of once per late level
+    if (ovl != null)
+      prTab = prTab.join(broadcast(ovl), Seq("doc", "pos"), "left")
         .select(col("doc"), col("pos"),
           coalesce(col("npr"), col("pr")).as("pr"))
-        .localCheckpoint(true)
-      tiedCount = tied.count()
-      off *= 2
-    }
 
     // suffix-array order = (pr, doc, pos); exactly-equal suffixes
     // (the only possible rank ties after full doubling) tie-break by

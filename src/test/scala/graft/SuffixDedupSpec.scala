@@ -119,4 +119,36 @@ class SuffixDedupSpec extends SparkSpec {
     assert(run(docs, minLen = 2) == brute(docs, 2, 512))
     assert(run(docs, minLen = 1) == brute(docs, 1, 512))
   }
+
+  /** Zero budgets disable the exact driver finish, forcing the full
+    * distributed multi-doubling loop — the path a 100-TB duplication-
+    * heavy corpus takes. */
+  private def runDistributed(docs: Seq[(Long, String)], minLen: Int,
+      maxLcp: Int = 512): Set[(Long, Int, Long, Int, Long)] =
+    SuffixDedup.duplicatedSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen, maxLcp,
+        driverFinishMaxPos = 0L, driverFinishMaxTok = 0L)
+      .as[(Long, Int, Long, Int, Long)].collect().toSet
+
+  test("distributed doubling path (driver finish disabled): brute-force" +
+    " parity and agreement with the driver-finish path") {
+    val shared = (1 to 30).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"alpha beta $shared gamma delta",
+      2L -> s"x1 x2 x3 x4 x5 $shared y1",
+      3L -> "rep rep rep rep rep rep rep rep",
+      4L -> "solo tokens that appear nowhere else at all",
+      5L -> s"alpha beta $shared gamma delta")
+    val dist = runDistributed(docs, minLen = 5)
+    assert(dist == brute(docs, 5, 512))
+    assert(dist == run(docs, minLen = 5))
+    // randomized: multi-doubling levels + tied-class refinement
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val rdocs = (1L to 12L).map { d =>
+      d -> (1 to (3 + rnd.nextInt(10)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    assert(runDistributed(rdocs, minLen = 1) == brute(rdocs, 1, 512))
+  }
 }
