@@ -387,6 +387,42 @@ object SuffixDedup {
     * by doc, bounded by that doc's span count — never corpus-wide).
     * Output: (doc, cut_from, cut_until, n_spans), 1-based token
     * positions, cut_until exclusive. */
+  /** The full ExactSubstr TRANSFORM (Lee et al. ACL'22 §4): apply
+    * [[exciseRanges]]' merged cut ranges to the text itself — every
+    * token whose 1-based position falls in a cut range is dropped and
+    * the remainder re-joined (whitespace-normalized, like any
+    * tokenizing round-trip). The smallest copy of each duplicate run
+    * survives; later copies are cut. Output: (doc, n_tokens,
+    * n_removed, clean_text).
+    *
+    * Scale shape: the ranges are span-count-bounded per doc and
+    * re-attach by doc id; reconstruction is per-row HOFs over the
+    * token array (exciseSpans' pattern — array_except keeps the cut
+    * linear in doc length). The text moves once, on the final join. */
+  def exciseText(df: DataFrame, idCol: String, textCol: String,
+                 minLen: Int, maxLcp: Int = 512): DataFrame = {
+    val ranges = exciseRanges(
+      duplicatedSpans(df, idCol, textCol, minLen, maxLcp))
+    // disjoint merged ranges → per-doc covered position set, bounded
+    // by the doc's own length
+    val covered = ranges.select(col("doc"),
+        explode(sequence(col("cut_from"), col("cut_until") - 1))
+          .as("__cp"))
+      .groupBy(col("doc")).agg(collect_set(col("__cp")).as("__cov"))
+    val ws = col("__ws")
+    df.select(col(idCol).cast("long").as("doc"), col(textCol))
+      .filter(col(textCol).isNotNull)
+      .join(covered, Seq("doc"), "left")
+      .withColumn("__ws", split(trim(col(textCol)), "\\s+"))
+      .withColumn("__keep", array_except(
+        sequence(lit(1L), size(ws).cast("long")),
+        coalesce(col("__cov"), array().cast("array<bigint>"))))
+      .select(col("doc"), size(ws).cast("long").as("n_tokens"),
+        (size(ws) - size(col("__keep"))).cast("long").as("n_removed"),
+        concat_ws(" ", transform(col("__keep"),
+          p => element_at(ws, p.cast("int")))).as("clean_text"))
+  }
+
   def exciseRanges(spans: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cand = spans.select(

@@ -139,6 +139,34 @@ object ScalePack extends QueryPack {
             .filter(pmod(col("doc_id"), lit(2)) === 0),
           "doc_id", "text", minLen = 8))),
 
+    // the ExactSubstr TRANSFORM: the merged cut ranges applied to the
+    // corpus text — later copies of each duplicate run are excised,
+    // the smallest copy survives, cleaned text hash-checks exactly
+    "q271_sa_excise_text" -> ((s, dir) =>
+      graft.operators.SuffixDedup.exciseText(
+        Tables.load(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", minLen = 8)),
+
+    // SA-path curation pipeline (q98's posture on the suffix-array
+    // transform): excise -> kept-length gate -> per-language survivor
+    // accounting; proves the SA path composes downstream
+    "q272_sa_pipeline" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+      val cleaned = graft.operators.SuffixDedup.exciseText(
+          docs, "doc_id", "text", minLen = 8)
+        .withColumn("n_kept", col("n_tokens") - col("n_removed"))
+        .filter(col("n_kept") >= 20)
+      cleaned
+        .join(docs.select(col("doc_id").as("doc"), col("lang")),
+          Seq("doc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_kept")).as("kept_tokens"),
+          sum(col("n_removed")).as("removed_tokens"))
+    }),
+
     // hybrid retrieval, ENGINE-EXACT: integer BM25 ∪ int8 integer-MIPS
     // dense ranking, fused through the integer RRF kernel — every rank
     // and fused score is an integer, so the hybrid result hash-checks
@@ -929,6 +957,55 @@ object ScalePack extends QueryPack {
       |      THEN least(la, lb) ELSE mism - 1 END) AS lcp
       |  FROM m)""".stripMargin
 
+  /** Shared by the q269/q271/q272 oracles: q268's adjacent-pair spans
+    * (`l`) folded into merge-grouped cut candidates — the larger
+    * (doc, pos) occurrence is cut, half-open intervals group when they
+    * overlap or touch (gaps-and-islands). Ends in `g3`(doc, f, u, grp). */
+  private val SaCutCtes: String =
+    """cand AS (
+      |  SELECT CASE WHEN (doc_a, pos_a) > (doc_b, pos_b)
+      |      THEN doc_a ELSE doc_b END AS doc,
+      |    CAST(CASE WHEN (doc_a, pos_a) > (doc_b, pos_b)
+      |      THEN pos_a ELSE pos_b END AS BIGINT) AS f,
+      |    CAST(CASE WHEN (doc_a, pos_a) > (doc_b, pos_b)
+      |      THEN pos_a ELSE pos_b END + lcp AS BIGINT) AS u
+      |  FROM l WHERE lcp >= 8),
+      |g1 AS (
+      |  SELECT doc, f, u, max(u) OVER (PARTITION BY doc
+      |    ORDER BY f, u ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND 1 PRECEDING) AS mu
+      |  FROM cand),
+      |g2 AS (SELECT *, CASE WHEN mu IS NULL OR f > mu THEN 1 ELSE 0
+      |    END AS nw
+      |  FROM g1),
+      |g3 AS (SELECT *, sum(nw) OVER (PARTITION BY doc
+      |    ORDER BY f, u ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM g2)""".stripMargin
+
+  /** Shared by the q271/q272 oracles: g3's groups merged to ranges,
+    * expanded to covered positions, anti-joined against the token
+    * stream, kept tokens re-joined in position order. Ends in
+    * `ka`(doc, n_kept, ct). */
+  private val SaCleanCtes: String =
+    """rng AS (
+      |  SELECT doc, min(f) AS cf, max(u) AS cu
+      |  FROM g3 GROUP BY doc, grp),
+      |cov AS (
+      |  SELECT doc, unnest(generate_series(cf, cu - 1)) AS cp
+      |  FROM rng),
+      |toks AS (
+      |  SELECT doc_id AS doc, t.i AS pos, a[t.i] AS tok
+      |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(a)))
+      |    AS i) t),
+      |kept AS (
+      |  SELECT t.doc, t.pos, t.tok
+      |  FROM toks t LEFT JOIN cov c ON c.doc = t.doc AND c.cp = t.pos
+      |  WHERE c.doc IS NULL),
+      |ka AS (
+      |  SELECT doc, count(*) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY pos) AS ct
+      |  FROM kept GROUP BY doc)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q217_rm3" -> Rm3OracleSql,
     "q104_hybrid_topk" -> HybridOracleSql,
@@ -947,30 +1024,40 @@ object ScalePack extends QueryPack {
     // the q268 spans folded to per-doc cut ranges: larger-(doc, pos)
     // occurrence is the cut candidate, half-open intervals merge when
     // they overlap or touch (same gaps-and-islands the operator runs)
-    "q269_sa_excise" -> (SuffixSpansCtes + ",\n" +
-      """cand AS (
-        |  SELECT CASE WHEN (doc_a, pos_a) > (doc_b, pos_b)
-        |      THEN doc_a ELSE doc_b END AS doc,
-        |    CAST(CASE WHEN (doc_a, pos_a) > (doc_b, pos_b)
-        |      THEN pos_a ELSE pos_b END AS BIGINT) AS f,
-        |    CAST(CASE WHEN (doc_a, pos_a) > (doc_b, pos_b)
-        |      THEN pos_a ELSE pos_b END + lcp AS BIGINT) AS u
-        |  FROM l WHERE lcp >= 8),
-        |g1 AS (
-        |  SELECT doc, f, u, max(u) OVER (PARTITION BY doc
-        |    ORDER BY f, u ROWS BETWEEN UNBOUNDED PRECEDING
-        |    AND 1 PRECEDING) AS mu
-        |  FROM cand),
-        |g2 AS (SELECT *, CASE WHEN mu IS NULL OR f > mu THEN 1 ELSE 0
-        |    END AS nw
-        |  FROM g1),
-        |g3 AS (SELECT *, sum(nw) OVER (PARTITION BY doc
-        |    ORDER BY f, u ROWS UNBOUNDED PRECEDING) AS grp
-        |  FROM g2)
-        |SELECT doc, CAST(min(f) AS BIGINT) AS cut_from,
+    "q269_sa_excise" -> (SuffixSpansCtes + ",\n" + SaCutCtes + "\n" +
+      """SELECT doc, CAST(min(f) AS BIGINT) AS cut_from,
         |  CAST(max(u) AS BIGINT) AS cut_until,
         |  CAST(count(*) AS BIGINT) AS n_spans
         |FROM g3 GROUP BY doc, grp""".stripMargin),
+
+    // the ExactSubstr TRANSFORM: q269's merged ranges applied to the
+    // text — tokens inside cut ranges dropped, remainder re-joined.
+    // string_agg over zero kept rows is NULL (DuckDB) vs '' (Spark
+    // concat_ws) → coalesce, per the array_to_string invariant
+    "q271_sa_excise_text" -> (SuffixSpansCtes + ",\n" + SaCutCtes +
+      ",\n" + SaCleanCtes + "\n" +
+      """SELECT d.doc_id AS doc, CAST(len(d.a) AS BIGINT) AS n_tokens,
+        |  CAST(len(d.a) - coalesce(ka.n_kept, 0) AS BIGINT)
+        |    AS n_removed,
+        |  coalesce(ka.ct, '') AS clean_text
+        |FROM d LEFT JOIN ka ON ka.doc = d.doc_id""".stripMargin),
+
+    // SA-path curation pipeline: excise -> >= 20 kept tokens gate ->
+    // per-language survivor accounting; every stage integer/hash-exact
+    "q272_sa_pipeline" -> (SuffixSpansCtes + ",\n" + SaCutCtes +
+      ",\n" + SaCleanCtes + ",\n" +
+      """fin AS (
+        |  SELECT d.doc_id AS doc, CAST(len(d.a) AS BIGINT) AS n_toks,
+        |    CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept
+        |  FROM d LEFT JOIN ka ON ka.doc = d.doc_id),
+        |sv AS (
+        |  SELECT doc, n_kept, n_toks - n_kept AS n_removed
+        |  FROM fin WHERE n_kept >= 20)
+        |SELECT d0.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(sv.n_kept) AS BIGINT) AS kept_tokens,
+        |  CAST(sum(sv.n_removed) AS BIGINT) AS removed_tokens
+        |FROM sv JOIN documents d0 ON sv.doc = d0.doc_id
+        |GROUP BY d0.lang""".stripMargin),
 
     "q64_overlap_join" ->
       """WITH a AS (

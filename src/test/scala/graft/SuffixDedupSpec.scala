@@ -120,6 +120,30 @@ class SuffixDedupSpec extends SparkSpec {
     assert(run(docs, minLen = 1) == brute(docs, 1, 512))
   }
 
+  test("exciseText applies the merged ranges: later copies cut, the " +
+    "smallest copy survives, counts and cleaned text exact") {
+    val shared = (1 to 20).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"alpha beta $shared gamma",
+      2L -> s"x1 x2 $shared y1",
+      3L -> "unique words only here")
+    val got = SuffixDedup.exciseText(
+        docs.toDF("doc_id", "text"), "doc_id", "text", minLen = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 holds the smaller (doc, pos) copy -> survives intact
+    assert(got(1L) == ((1L, 23L, 0L, docs(0)._2)))
+    // doc 2's copy is cut: 20 dup tokens removed, frame survives
+    assert(got(2L)._3 == 20L && got(2L)._4 == "x1 x2 y1")
+    // untouched doc passes through whitespace-normalized
+    assert(got(3L) == ((3L, 4L, 0L, "unique words only here")))
+    // every reported count is consistent with the cleaned text
+    got.values.foreach { case (_, n, rem, ct) =>
+      val kept = if (ct.isEmpty) 0 else ct.split(" ").length
+      assert(kept == n - rem)
+    }
+  }
+
   /** Zero budgets disable the exact driver finish, forcing the full
     * distributed multi-doubling loop — the path a 100-TB duplication-
     * heavy corpus takes. */
