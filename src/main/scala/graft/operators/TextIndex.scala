@@ -468,6 +468,14 @@ object TextIndex {
     val maxW = if (wRows.isEmpty) 1L else wRows.map(_._3).max
     val maxTermsPerQ = wRows.groupBy(_._1).values
       .foldLeft(1)((m, xs) => math.max(m, xs.size))
+    // expansion terms can be rarer than the originals (maxIdf2 >
+    // maxIdf1), so the pass-2 satExpr numerator __idf*22*tf*T needs its
+    // own bound — the pass-1 require only covered maxIdf1 (the
+    // denominator terms are corpus constants, already checked there)
+    require(BigInt(maxIdf2) * 22 * maxDl * tTok <= Long.MaxValue,
+      s"rm3TopKExactFp: expansion-term idf (maxIdf2=$maxIdf2) pushes " +
+        "the pass-2 saturation numerator past signed-64 — shard the " +
+        "corpus or rescale")
     require(BigInt(maxTermsPerQ) * maxW *
       (BigInt(maxIdf2) * 22 / 10 + 1) <= Long.MaxValue,
       s"rm3TopKExactFp: interpolation weights (maxW=$maxW) push the " +

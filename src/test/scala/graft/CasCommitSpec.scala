@@ -64,9 +64,10 @@ class CasCommitSpec extends SparkSpec {
     "all wins distinct, losers retry (FS marker is the only exclusion)") {
     val perWriter = 20
     val javaBin = System.getProperty("java.home") + "/bin/java"
-    // graft classes + the spark/hadoop/scala jars the build already uses
-    val cp = Seq("target/scala-2.13/classes", "/opt/spark/jars/*")
-      .mkString(java.io.File.pathSeparator)
+    // this JVM's class path IS the test class path (classes dirs +
+    // spark jars) — reuse it verbatim (the Bench.freshJvmMin posture)
+    // instead of hardcoding layout-specific paths
+    val cp = System.getProperty("java.class.path")
     // slow JVM startup can serialize an attempt (no overlap at all) —
     // retry the whole race until contention materializes; the
     // correctness invariants are asserted on EVERY attempt
@@ -119,6 +120,189 @@ class CasCommitSpec extends SparkSpec {
     // a CORRECT head claim still lands afterwards
     Committer.commitGen(hfs, dst, 20L)
     assert(Committer.currentGen(hfs, dst) == 21L)
+  }
+
+  // ---- ManifestLog: the transactional committer (claim IS publish) ----
+
+  private val M = Committer.ManifestLog
+
+  private def writeDir(path: String, content: String): Unit = {
+    val p = new Path(path)
+    hfs.mkdirs(p)
+    val out = hfs.create(new Path(p, "part-0.txt"), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+  private def readDir(p: Path): String = {
+    val in = hfs.open(new Path(p, "part-0.txt"))
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  test("ManifestLog: gen and data flip atomically — the " +
+    "capture-gen-inside-the-publish-window lost update is REFUSED") {
+    val dst = new Path(
+      Files.createTempDirectory("graft-mlog").toString + "/tbl")
+    M.publishCas(hfs, dst, 0L, d => writeDir(d, "v1"))
+    assert(M.currentGen(hfs, dst) == 1L)
+    assert(readDir(M.resolve(hfs, dst).get) == "v1")
+    // Writer B interleaves at the most dangerous instant: A's new
+    // version fully staged, a hair before A's commit. Under the
+    // marker-file CAS this was THE window — B captured A's freshly
+    // claimed gen while still reading the pre-commit data, merged
+    // from stale rows, and committed gen+2 over A's update silently.
+    var bGen = -1L
+    var bData: String = null
+    M.publishCas(hfs, dst, 1L, d => {
+      writeDir(d, "v2")
+      bGen = M.currentGen(hfs, dst)
+      bData = readDir(M.resolve(hfs, dst).get)
+    })
+    // under ManifestLog, B saw a CONSISTENT old world: gen 1 AND v1
+    assert(bGen == 1L, s"B captured gen $bGen inside A's publish")
+    assert(bData == "v1")
+    assert(readDir(M.resolve(hfs, dst).get) == "v2")
+    // ...so B's publish at its captured gen is refused, not lost
+    intercept[StaleWriteException] {
+      M.publishCas(hfs, dst, bGen, d => writeDir(d, "v-lost"))
+    }
+    assert(M.currentGen(hfs, dst) == 2L)
+    assert(readDir(M.resolve(hfs, dst).get) == "v2",
+      "the refused writer touched the live table")
+  }
+
+  test("ManifestLog: a crash after staging leaves gen AND data " +
+    "untouched; the orphan staging dir ages past the GC horizon") {
+    val dst = new Path(
+      Files.createTempDirectory("graft-mlog-crash").toString + "/tbl")
+    M.publishCas(hfs, dst, 0L, d => writeDir(d, "v1"))
+    val boom = intercept[RuntimeException] {
+      M.publishCas(hfs, dst, 1L, d => {
+        writeDir(d, "half-written"); throw new RuntimeException("crash")
+      })
+    }
+    assert(boom.getMessage == "crash")
+    // nothing observable changed — no manifest, old data served
+    assert(M.currentGen(hfs, dst) == 1L)
+    assert(readDir(M.resolve(hfs, dst).get) == "v1")
+    // the orphan staging dir exists (invisible) and is GC'd once its
+    // generation prefix falls 8 behind the head
+    val mdata = new Path(dst.toString + ".mdata")
+    def dataDirs() = hfs.listStatus(mdata).map(_.getPath.getName).toSet
+    val orphan = dataDirs().filter(_.startsWith("00000000000000000002"))
+    assert(orphan.size == 1, s"expected one orphan: ${dataDirs()}")
+    var g = 1L
+    while (g < 10L) { M.publishCas(hfs, dst, g, d =>
+      writeDir(d, s"v${g + 1}")); g += 1 }
+    assert(!dataDirs().contains(orphan.head),
+      "crashed staging dir survived the GC horizon")
+    assert(readDir(M.resolve(hfs, dst).get) == "v10")
+  }
+
+  test("ManifestLog: N racing writers each land exactly once per won " +
+    "generation; every loser is refused, nothing is lost") {
+    val dst = new Path(
+      Files.createTempDirectory("graft-mlog-race").toString + "/tbl")
+    val writers = 4
+    val perWriter = 10
+    val stales = new AtomicInteger(0)
+    val wins = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to writers).map { w =>
+      new Thread(() => {
+        try {
+          var committed = 0
+          while (committed < perWriter) {
+            val g = M.currentGen(hfs, dst)
+            try {
+              M.publishCas(hfs, dst, g, d => writeDir(d, s"w$w-g${g + 1}"))
+              wins.add(g + 1); committed += 1
+            } catch {
+              case _: StaleWriteException => stales.incrementAndGet()
+            }
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"writer died: ${Option(errors.peek())}")
+    val wonGens = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(wins).asScala.map(_.longValue()).toSeq
+    assert(wonGens.size == writers * perWriter)
+    assert(wonGens.distinct.size == wonGens.size,
+      "two writers won the same generation — lost update possible")
+    assert(M.currentGen(hfs, dst) == wonGens.max)
+    // the winner of the LAST generation is the data on disk
+    assert(readDir(M.resolve(hfs, dst).get).endsWith(s"g${wonGens.max}"))
+    assert(stales.get() > 0, "no contention observed — race not exercised")
+  }
+
+  test("ManifestLog: a stalled writer's below-GC-horizon manifest " +
+    "claim is withdrawn and refused") {
+    val dst = new Path(
+      Files.createTempDirectory("graft-mlog-gc").toString + "/tbl")
+    var g = 0L
+    while (g < 20L) { M.publishCas(hfs, dst, g, d =>
+      writeDir(d, s"v${g + 1}")); g += 1 }
+    assert(M.currentGen(hfs, dst) == 20L)
+    // a writer that read gen 5 long ago wakes up: manifest 6 was GC'd,
+    // so its atomic create SUCCEEDS — resolve reads the HIGHEST
+    // manifest, so without the head check this commit would be
+    // silently invisible (a lost update for the stalled writer)
+    val e = intercept[StaleWriteException] {
+      M.publishCas(hfs, dst, 5L, d => writeDir(d, "stale"))
+    }
+    assert(e.getMessage.contains("GC horizon"))
+    assert(M.currentGen(hfs, dst) == 20L)
+    assert(readDir(M.resolve(hfs, dst).get) == "v20")
+    // and a correct head claim still lands afterwards
+    M.publishCas(hfs, dst, 20L, d => writeDir(d, "v21"))
+    assert(readDir(M.resolve(hfs, dst).get) == "v21")
+  }
+
+  test("FeatureStore over ManifestLog: ingest, merge, time travel, " +
+    "purge and stats run unchanged through the resolve seam") {
+    val p = Files.createTempDirectory("graft-mlog-store").toString + "/s"
+    def rows(k: Long, v: Long, vf: String, vu: String) =
+      Seq((k, v, vf, vu)).toDF("key_x", "n_val", "vf", "vu")
+        .select(col("key_x"), col("n_val"),
+          to_date(col("vf")).as("valid_from"),
+          to_date(col("vu")).as("valid_until"))
+    val store = new FeatureStore(spark, "unused", p,
+      dsMap = Seq("n_val" -> "ld"),
+      loaders = Map("ld" -> FeatureHandler(
+        compute = (_, _, _) => rows(1L, 10L, "2020-01-05", "2020-01-10"),
+        keyJoin = Aggregators.Sum, feature = "n_val"))) {
+      override protected def committer: Committer = Committer.ManifestLog
+    }
+    store.appendCommit("ld", rows(1L, 10L, "2020-01-05", "2020-01-10"),
+      "2024-01-01 00:00:00")
+    store.appendCommit("ld", rows(1L, 99L, "2020-01-05", "2020-01-10"),
+      "2024-02-01 00:00:00")
+    assert(store.tableGen("ld") == 2L)
+    // the table's logical address never exists on disk — only the
+    // committer can resolve it
+    assert(!hfs.exists(new Path(s"$p/ld")))
+    def openVals(ts: String) = graft.core.Scd2
+      .sliceAt(store.versionedTable("ld"), ts)
+      .select("n_val").as[Long].collect().toSet
+    assert(openVals("2024-01-15 00:00:00") == Set(10L)) // time travel
+    // appendCommit is an append-style feed: both rows are current
+    assert(openVals("2024-03-01 00:00:00") == Set(10L, 99L))
+    val stats = store.storeStats().select("loader", "n_versions")
+      .as[(String, Long)].collect().toMap
+    assert(stats("ld") == 2L)
+    assert(store.purgeKeys("ld", "key_x",
+      Seq(1L).toDF("key_x")) == 2L)
+    assert(store.versionedTable("ld").count() == 0L)
+    assert(store.tableGen("ld") == 3L)
+    // compact on a manifest table publishes a new generation
+    store.appendCommit("ld", rows(2L, 5L, "2020-02-01", "2020-02-03"),
+      "2024-03-01 00:00:00")
+    store.compact("ld")
+    assert(store.versionedTable("ld").count() == 1L)
   }
 
   test("two drivers, broken stale lock: loser's publish is refused, " +

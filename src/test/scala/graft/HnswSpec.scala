@@ -85,6 +85,49 @@ class HnswSpec extends SparkSpec {
     assert(again.toSet == got.toSet)
   }
 
+  test("persistence: loadTopK over a saved index == fresh-build topK; " +
+    "append-then-reload is bit-identical to a fresh build of the union") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+      .localCheckpoint(true)
+    val pred = pmod(col("vec_id"), lit(25)) === 0
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-hnsw").toString
+    val idxPath = s"$root/idx"
+    Hnsw.saveIndex(emb, "vec_id", "embedding", model, idxPath)
+    // parity: the loaded-index search returns exactly the fresh build's
+    // answer (same graphs — ascending-id insertion is deterministic)
+    val fresh = Hnsw.topK(emb, "vec_id", "embedding", pred, k = 10,
+        model, nprobe = 4, efSearch = 96)
+      .as[(Long, Int, Long)].collect().toSet
+    val loaded = Hnsw.loadTopK(emb, "vec_id", "embedding", pred, k = 10,
+        model, nprobe = 4, indexPath = idxPath, efSearch = 96)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(loaded == fresh, "loaded-index search != fresh-build search")
+    // append determinism: ids above the split sort after every existing
+    // id, so append(build(A), B) must dump BIT-IDENTICAL rows to
+    // build(A ∪ B) — same insertion order, same graphs
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+    val split = maxId / 2
+    val a = emb.filter(col("vec_id") <= split)
+    val b = emb.filter(col("vec_id") > split)
+    val aPath = s"$root/idx_a"
+    Hnsw.saveIndex(a, "vec_id", "embedding", model, aPath)
+    Hnsw.appendIndex(b, "vec_id", "embedding", model, aPath)
+    def dump(p: String) = spark.read.parquet(p)
+      .select(col("cluster_id"), col("ord"), col("doc_id"), col("level"),
+        col("vec"), col("nbrs"), col("entry"), col("max_level"))
+      .as[(Int, Int, Long, Int, Seq[Double], Seq[Seq[Int]], Int, Int)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(dump(aPath).toSeq == dump(idxPath).toSeq,
+      "append-then-reload diverged from the fresh union build")
+    // and the appended index answers queries identically to the full one
+    val viaAppend = Hnsw.loadTopK(emb, "vec_id", "embedding", pred,
+        k = 10, model, nprobe = 4, indexPath = aPath, efSearch = 96)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(viaAppend == fresh)
+  }
+
   test("routing bound: a query only receives candidates from its " +
     "nprobe clusters; oversized panels are refused") {
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
