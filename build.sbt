@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-scrapes `runMain graft.Bench` stdout for one JSON
+// summary line; sbt's default LoggedOutput prefixes every forked-run
+// line with "[info] "/"[error] ", which has defeated that parse for 13
+// rounds. StdoutOutput inherits sbt's raw streams, so the summary line
+// lands unprefixed (bench_summary.json stays as the file fallback).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -193,16 +193,41 @@ object Bench {
       // sample this machine can produce — if even THAT is still above
       // the suspect threshold, the recorded best is a stale lucky
       // outlier (q187's 2.37 s r10 sample re-flagged every round for
-      // three rounds against a stable ~4.1 s). Reset the best to the
-      // adjudicated value so the flag fires once, not forever; a real
-      // regression still shows this round (suspects is computed
-      // against prevBest) and in round-over-round bench_full history.
-      val resets = adjudicated.filter { case (k, v) =>
+      // three rounds against a stable ~4.1 s). But ONE confirmation is
+      // not enough: r13 reset q260's best from a single noisy 19.7 s
+      // adjudication, raising its suspect threshold to ~39 s and
+      // masking any real regression below 2x. A reset now needs TWO
+      // CONSECUTIVE runs whose fresh-JVM adjudications both exceed the
+      // threshold; the first confirmation parks in bench_pending.json
+      // and the reset (to the MIN of the two fresh samples) only lands
+      // if the next run re-confirms. A query that stops flagging drops
+      // out of pending — its best was fine.
+      val pendingPath = "bench_pending.json"
+      val pending: Map[String, Double] =
+        try {
+          val s = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(pendingPath)))
+          """"([^"]+)":([-0-9.eE+]+)""".r.findAllMatchIn(s)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        } catch { case _: Throwable => Map.empty }
+      val stillFlagged = adjudicated.filter { case (k, v) =>
         prevBest.get(k).exists(b =>
           (v > 2 * b && v > 1.0) || (v > 1.5 * b && v > 3.0)) }
+      val resets = stillFlagged.flatMap { case (k, v) =>
+        pending.get(k).map(prev => k -> math.min(prev, v)) }
       resets.foreach { case (k, v) =>
         System.err.println(s"BEST-RESET $k: stale best ${
-          fmt(prevBest(k))} s aged out -> fresh-JVM ${fmt(v)} s") }
+          fmt(prevBest(k))} s aged out -> 2x-confirmed fresh-JVM ${
+          fmt(v)} s") }
+      val newPending = stillFlagged -- resets.keySet
+      newPending.foreach { case (k, v) =>
+        System.err.println(s"BEST-RESET-PENDING $k: fresh-JVM ${
+          fmt(v)} s still above threshold vs best ${
+          fmt(prevBest.getOrElse(k, Double.NaN))} s; reset deferred " +
+          "until a second consecutive confirmation") }
+      writeJson(pendingPath, newPending.toSeq.sorted
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}") + "\n")
       val newBest = (prevBest.keySet ++ minMap.keySet).toSeq.sorted.map { k =>
         k -> resets.getOrElse(k,
           math.min(prevBest.getOrElse(k, Double.MaxValue),
@@ -217,6 +242,9 @@ object Bench {
             .mkString("{", ",", "}")},"suspect":${
           suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},"adjudicated":${
           adjudicated.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }
+            .mkString("{", ",", "}")},"aged_out":${
+          resets.toSeq.sorted.map { case (k, _) =>
+            "\"" + k + "\":" + prevBest(k) }
             .mkString("{", ",", "}")},"sf":"$sfDir"}\n""")
       // bench_iters is APPEND-ONLY (one JSON object per line — JSON
       // Lines; read with a per-line json parse): overwriting lost the

@@ -398,7 +398,8 @@ class FeatureStore(
     val partitionByMonth: Boolean = false,
     val minStartDate: Option[String] = None,
     val maxEndDate: Option[String] = None,
-    val storeScope: Option[String] = None) {
+    val storeScope: Option[String] = None,
+    val commitProtocol: Committer = Committer.Rename) {
 
   /** Validate a requested study period against the store's bounds
     * (reference: `ds$min_start_date` / `ds$max_end_date`,
