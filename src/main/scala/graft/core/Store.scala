@@ -506,9 +506,20 @@ class FeatureStore(
     }
   }
 
-  /** The commit protocol for table publishes — override to commit
-    * through a transactional table format. */
-  protected def committer: Committer = Committer.Rename
+  /** The commit protocol for table publishes — `commitProtocol` from
+    * the constructor (or override this directly). [[Committer.Rename]]
+    * stays the DEFAULT deliberately: a Rename table is a plain parquet
+    * directory any external engine (the DuckDB oracle, parquet CLI
+    * tooling, a downstream Spark job given the path) reads directly,
+    * and pre-existing plain-layout tables are adopted at zero cost.
+    * [[Committer.ManifestLog]] is the supported opt-in for deployments
+    * that need the claim→swap window closed (true snapshot commits,
+    * multi-writer without the residual reader window) — the FULL store
+    * battery (conformance, compaction, backup, purge, schema
+    * evolution, streaming ingest) runs against it in
+    * ManifestLogStoreSpec; its cost is that the data lives in
+    * generation dirs only a committer-aware reader resolves. */
+  protected def committer: Committer = commitProtocol
 
   /** Atomically replace the loader's SCD2 table with `df` (through the
     * [[Committer]] seam), guarded by the generation CAS: `expectedGen`
@@ -742,9 +753,21 @@ class FeatureStore(
     }
     // "__logs" is outside the legal loader-name space — a loader
     // literally named "logs" must not share this lock
+    //
+    // The coverage log is ALWAYS a plain parquet directory, on every
+    // committer: coveredDates reads `logPath` directly and appendLog
+    // appends in place (append is not a versioned publish). Publishing
+    // the backup's logs through a log-structured committer would put
+    // them where the plain-path read never looks (restored store
+    // silently recomputes everything) and the first post-restore
+    // appendLog would create a plain dir shadowing them — so the
+    // backup copy goes through Committer.Rename unconditionally, which
+    // serves the plain path. Loader TABLES above do travel through
+    // `committer`: the destination is opened with the same
+    // commitProtocol as the source.
     if (fs.exists(new Path(logPath))) withTableLock("__logs") {
       val logs = spark.read.parquet(logPath)
-      committer.publish(destFs, new Path(s"$destPath/logs"),
+      Committer.Rename.publish(destFs, new Path(s"$destPath/logs"),
         tmp => logs.write.mode("overwrite").parquet(tmp))
     }
     copied
@@ -1027,15 +1050,26 @@ class FeatureStore(
 /** Store-directory management (reference: R/drop_diseasystore.R). */
 object StoreCatalog {
 
-  /** List loader tables present under a store path. */
+  /** List loader tables present under a store path. A ManifestLog
+    * table's logical directory never exists on disk (only its
+    * `.mlog`/`.mdata` sidecars do — CasCommitSpec asserts this), so
+    * table names are ALSO derived from those suffixed dirs: without
+    * that, `drop(pattern)` would silently skip manifest-log tables
+    * and never scrub their log entries. */
   def tables(spark: SparkSession, storePath: String): Seq[String] = {
     val p = new Path(storePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Seq.empty
-    fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
-      .filterNot(n => n.endsWith(".tmp") || n.endsWith(".old") ||
-        n.endsWith(".gens") || n.endsWith(".mlog") ||
-        n.endsWith(".mdata")).toSeq.sorted
+    val dirs = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName)
+    val plain = dirs.filterNot(n => n.endsWith(".tmp") ||
+      n.endsWith(".old") || n.endsWith(".gens") || n.endsWith(".mlog") ||
+      n.endsWith(".mdata"))
+    val manifest = dirs.collect {
+      case n if n.endsWith(".mlog") => n.stripSuffix(".mlog")
+      case n if n.endsWith(".mdata") => n.stripSuffix(".mdata")
+    }
+    (plain ++ manifest).distinct.toSeq.sorted
   }
 
   /** Drop tables matching `pattern` (all when None) and scrub their log

@@ -357,6 +357,8 @@ object Hnsw {
     require(k >= 1 && nprobe >= 1, "k and nprobe must be >= 1")
     val spark = queriesDf.sparkSession
     import spark.implicits._
+    recoverParked(new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath)
     val byCluster = routeQueries(
       queriesDf, idCol, embCol, queryPred, model, nprobe, maxQueries)
     val bc = spark.sparkContext.broadcast(byCluster)
@@ -390,25 +392,64 @@ object Hnsw {
     mergeCandidates(cands, k)
   }
 
-  /** Append a batch of new vectors to a persisted index: each touched
-    * cluster's graph is restored and the new nodes inserted in
-    * ascending-id order, then the artifact is rewritten (old path is
-    * replaced only after the new one is fully written — for
-    * transactional multi-writer publish, put the path behind the
-    * Committer manifest log). When every appended id sorts after the
-    * existing ids of its cluster, the result is BIT-IDENTICAL to a
-    * fresh build over the union (insertion order matches), which is
-    * the determinism contract HnswSpec pins. */
+  /** Restore any cluster directory a crashed [[appendIndex]] left
+    * parked (the Rename-committer park/restore pattern, per partition
+    * dir): a parked dir whose live dir is MISSING is a predecessor
+    * that died between parking the old version and renaming the new
+    * one in — put it back; a parked dir alongside a live dir is
+    * superseded — drop it. Runs at the top of every append and load,
+    * so a crash never strands the index. */
+  private def recoverParked(fs: org.apache.hadoop.fs.FileSystem,
+                            path: String): Unit = {
+    val park = new org.apache.hadoop.fs.Path(path + "__park")
+    if (!fs.exists(park)) return
+    fs.listStatus(park).foreach { st =>
+      val live = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
+      if (!fs.exists(live)) {
+        if (!fs.rename(st.getPath, live))
+          throw new java.io.IOException(
+            s"appendIndex recovery: could not restore ${st.getPath}")
+      } else fs.delete(st.getPath, true)
+    }
+    fs.delete(park, true)
+  }
+
+  /** Append a batch of new vectors to a persisted index. Only the
+    * TOUCHED clusters (those the batch routes to) are read —
+    * partition-pruned — and only their `cluster_id=` directories are
+    * rewritten; the rest of the artifact's files are never opened.
+    * Each touched cluster's graph is restored, the new nodes insert in
+    * ascending-id order (ids already present are SKIPPED, making a
+    * retry after a crash idempotent), and the swap goes per cluster
+    * dir through the Rename-committer park/restore pattern: old dir
+    * parks at `<path>__park/`, the staged dir renames in, the park is
+    * dropped — a crash at any point either leaves the old version
+    * live or leaves it parked, and [[recoverParked]] (run on entry by
+    * both append and [[loadTopK]]) restores it; no interleaving loses
+    * a cluster. When every appended id sorts after the existing ids of
+    * its cluster, the result is BIT-IDENTICAL to a fresh build over
+    * the union (insertion order matches), which is the determinism
+    * contract HnswSpec pins. */
   def appendIndex(newDf: DataFrame, idCol: String, embCol: String,
                   model: Ivf.Model, path: String,
                   m: Int = 8, efConstruction: Int = 64): Unit = {
     val spark = newDf.sparkSession
     import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    recoverParked(fs, path)
     val (mC, efC) = (m, efConstruction)
     val fresh = Ivf.assign(newDf, idCol, embCol, model)
       .select(col(idCol).as("doc_id"),
         Similarity.toDouble(col(embCol)).as("vec"), col("cluster_id"))
+      .localCheckpoint(true) // feeds the touched-set probe AND the merge
+    // the clusters this batch routes to — model.k-bounded driver list
+    val touched = fresh.select(col("cluster_id")).distinct()
+      .as[Int].collect().sorted
+    if (touched.isEmpty) return
     val old = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(touched.map(Int.box): _*)) // pruned
       .select(col("cluster_id"), col("ord"), col("doc_id"), col("level"),
         col("vec"), col("nbrs"), col("entry"), col("max_level"))
     // tag old graph rows vs fresh inserts in one union, co-located by
@@ -443,8 +484,16 @@ object Hnsw {
             idx.setEntry(entry, maxLvl)
           }
           inserts.get(c).foreach { rows =>
+            // skip ids already in the graph: a retried append after a
+            // crash re-offers ids that landed in already-swapped
+            // clusters; skipping keeps the retry idempotent (and a
+            // skipped id changes nothing, so determinism holds)
+            val existing = graphs.get(c)
+              .map(_._1.iterator.map(_._2).toSet)
+              .getOrElse(Set.empty[Long])
             rows.sortInPlaceBy(_._1)
-            rows.foreach { case (id, v) => idx.insert(id, v) }
+            rows.foreach { case (id, v) =>
+              if (!existing.contains(id)) idx.insert(id, v) }
           }
           idx.dumpNodes().map { case (ord, id, lvl, vec, adj) =>
             (c, ord, id, lvl, vec.toSeq, adj.map(_.toSeq).toSeq,
@@ -454,15 +503,39 @@ object Hnsw {
       }
       .toDF("cluster_id", "ord", "doc_id", "level", "vec", "nbrs",
         "entry", "max_level")
-    // can't overwrite a path mid-read: land the new generation beside
-    // it, then swap (delete + rename) once fully written
-    val tmp = path + "__next"
-    merged.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(hconf)
-    fs.delete(p, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
-      s"appendIndex: rename $tmp -> $path failed")
+    // stage the touched clusters beside the live index, then swap ONE
+    // CLUSTER DIR AT A TIME through park/restore — untouched cluster
+    // files are never rewritten
+    val stage = new org.apache.hadoop.fs.Path(path + "__stage")
+    if (fs.exists(stage)) fs.delete(stage, true) // crashed staging
+    merged.write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(stage.toString)
+    val park = new org.apache.hadoop.fs.Path(path + "__park")
+    fs.mkdirs(park)
+    touched.foreach { c =>
+      val dirName = s"cluster_id=$c"
+      val live = new org.apache.hadoop.fs.Path(root, dirName)
+      val staged = new org.apache.hadoop.fs.Path(stage, dirName)
+      val parked = new org.apache.hadoop.fs.Path(park, dirName)
+      if (!fs.exists(staged))
+        throw new java.io.IOException(
+          s"appendIndex: staged output missing for $dirName")
+      if (fs.exists(parked)) fs.delete(parked, true) // superseded
+      if (fs.exists(live) && !fs.rename(live, parked))
+        throw new java.io.IOException(
+          s"appendIndex: could not park $live")
+      if (!fs.rename(staged, live)) {
+        if (fs.exists(parked) && !fs.rename(parked, live))
+          throw new java.io.IOException(
+            s"appendIndex: swap failed for $live AND the rollback " +
+              s"failed — the previous version is parked at $parked")
+        throw new java.io.IOException(
+          s"appendIndex: swap failed for $live (previous version " +
+            "rolled back)")
+      }
+      fs.delete(parked, true)
+    }
+    fs.delete(stage, true)
+    fs.delete(park, true)
   }
 }

@@ -396,31 +396,126 @@ object SuffixDedup {
     * n_removed, clean_text).
     *
     * Scale shape: the ranges are span-count-bounded per doc and
-    * re-attach by doc id; reconstruction is per-row HOFs over the
-    * token array (exciseSpans' pattern — array_except keeps the cut
-    * linear in doc length). The text moves once, on the final join. */
+    * re-attach by doc id — only (doc, ranges) rows shuffle, never a
+    * per-position set (a doc that is mostly duplicate would otherwise
+    * pay O(len) extra rows through the shuffle). Reconstruction is
+    * scan-local: the sorted disjoint ranges' COMPLEMENT (the gaps,
+    * with [0,1) and [n+1,n+1) sentinels) flattens directly into the
+    * kept-position array — O(len + ranges) per row, one pass, no
+    * per-token membership probe at all. The text moves once, on the
+    * final join. */
   def exciseText(df: DataFrame, idCol: String, textCol: String,
                  minLen: Int, maxLcp: Int = 512): DataFrame = {
     val ranges = exciseRanges(
       duplicatedSpans(df, idCol, textCol, minLen, maxLcp))
-    // disjoint merged ranges → per-doc covered position set, bounded
-    // by the doc's own length
-    val covered = ranges.select(col("doc"),
-        explode(sequence(col("cut_from"), col("cut_until") - 1))
-          .as("__cp"))
-      .groupBy(col("doc")).agg(collect_set(col("__cp")).as("__cov"))
+    // merged ranges are disjoint and non-touching (next.cut_from >
+    // prev.cut_until), so per doc they form a small sorted array
+    val rngs = ranges
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(
+        struct(col("cut_from").as("f"), col("cut_until").as("u"))))
+        .as("__rng"))
     val ws = col("__ws")
+    val emptyRng = array().cast("array<struct<f:bigint,u:bigint>>")
     df.select(col(idCol).cast("long").as("doc"), col(textCol))
       .filter(col(textCol).isNotNull)
-      .join(covered, Seq("doc"), "left")
+      .join(rngs, Seq("doc"), "left")
       .withColumn("__ws", split(trim(col(textCol)), "\\s+"))
-      .withColumn("__keep", array_except(
-        sequence(lit(1L), size(ws).cast("long")),
-        coalesce(col("__cov"), array().cast("array<bigint>"))))
+      // bounds = sentinel ∥ ranges ∥ sentinel; kept positions are the
+      // gaps [bounds(i).u, bounds(i+1).f) — the middle gaps are
+      // nonempty by the merge invariant, the edge gaps may be empty
+      // (doc starts/ends inside a cut), hence the guard: an unguarded
+      // sequence(a, b) with b < a would generate DESCENDING positions
+      .withColumn("__b", concat(
+        array(struct(lit(0L).as("f"), lit(1L).as("u"))),
+        coalesce(col("__rng"), emptyRng),
+        array(struct((size(ws) + 1).cast("long").as("f"),
+          (size(ws) + 1).cast("long").as("u")))))
+      .withColumn("__keep", flatten(zip_with(
+        slice(col("__b"), lit(1), size(col("__b")) - 1),
+        slice(col("__b"), lit(2), size(col("__b")) - 1),
+        (a, b) => when(a("u") <= b("f") - 1, sequence(a("u"), b("f") - 1))
+          .otherwise(array().cast("array<bigint>")))))
       .select(col("doc"), size(ws).cast("long").as("n_tokens"),
         (size(ws) - size(col("__keep"))).cast("long").as("n_removed"),
         concat_ws(" ", transform(col("__keep"),
           p => element_at(ws, p.cast("int")))).as("clean_text"))
+  }
+
+  /** Corpus docs that can possibly share a ≥ `minLen`-token run with
+    * the batch: docs containing at least one `minLen`-gram that also
+    * occurs in the batch. EXACT gram strings (space-joined token
+    * slices — injective, tokens carry no whitespace; and portable, so
+    * a SQL oracle replays the same set), matched with one corpus scan
+    * + one gram join; with AQE the distinct batch-gram side broadcasts
+    * at runtime when it is small (the common append-batch case). A
+    * SUPERSET here would still be correct (extra docs sort outside
+    * every batch block and cannot create batch-endpoint pairs); this
+    * set is exact. */
+  private[graft] def affectedDocs(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, minLen: Int): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(idCol).cast("long").as("doc"),
+        split(trim(col(textCol)), "\\s+").as("ta"))
+      .filter(col("ta").isNotNull && size(col("ta")) >= minLen)
+      .select(col("doc"), explode(transform(
+        sequence(lit(1), size(col("ta")) - (minLen - 1)),
+        p => array_join(slice(col("ta"), p, lit(minLen)), " ")))
+        .as("gram"))
+    grams(corpus)
+      .join(grams(batch).select(col("gram")).distinct(),
+        Seq("gram"), "left_semi")
+      .select(col("doc")).distinct()
+  }
+
+  /** Incremental ExactSubstr for append-only corpora: the duplicated
+    * spans a NEW batch introduces, WITHOUT rebuilding the suffix array
+    * over the whole corpus. The corpus is touched by exactly one gram
+    * scan ([[affectedDocs]]); the prefix-doubling loop then runs over
+    * batch ∪ affected docs only — cost tracks the batch and its
+    * duplication hits, never corpus size (the minhashProbePortable
+    * posture applied to [[duplicatedSpans]]' machinery).
+    *
+    * EXACTNESS (the q273 oracle + SuffixDedupSpec pin this): the
+    * output equals the FULL-REBUILD `duplicatedSpans(corpus ∪ batch)`
+    * restricted to pairs with a batch endpoint. Why: a reported pair
+    * has lcp ≥ minLen, so both suffixes share a minLen-prefix and lie
+    * in the same "block" (the contiguous SA run of suffixes with that
+    * exact minLen-prefix). Every block containing a batch suffix is
+    * WHOLLY included in the probe scope — any corpus suffix in it
+    * starts with a batch gram, so its doc is affected, and all of an
+    * affected doc's positions enter the scope (the doubling loop needs
+    * rank lookups at pos+off, so the scope must be closed under
+    * in-doc shifts — doc granularity gives that for free). A subset
+    * preserves relative order, and blocks are contiguous in both
+    * orders, so SA-adjacency INSIDE a batch-touching block — which is
+    * exactly what batch-endpoint pairs and their LCPs are — is
+    * identical in the probe and the full SA; pairs that straddle
+    * blocks have lcp < minLen and are filtered on both sides.
+    *
+    * `corpus` and `batch` must be id-disjoint (append semantics); for
+    * later-copies-get-cut excision feed ids that sort after the
+    * corpus. Output schema = [[duplicatedSpans]]; compose with
+    * [[exciseRanges]] for the batch's cut ranges. */
+  def probeSpans(corpus: DataFrame, batch: DataFrame, idCol: String,
+                 textCol: String, minLen: Int,
+                 maxLcp: Int = 512): DataFrame = {
+    val affected = affectedDocs(corpus, batch, idCol, textCol, minLen)
+    val scoped = corpus.select(col(idCol), col(textCol))
+      .join(affected.select(col("doc").as(idCol)), Seq(idCol),
+        "left_semi")
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    val spans = duplicatedSpans(scoped, idCol, textCol, minLen, maxLcp)
+    val bIds = batch.select(col(idCol).cast("long").as("__bid"))
+      .distinct().localCheckpoint(true) // feeds both endpoint probes
+    spans
+      .join(bIds.select(col("__bid").as("doc_a"), lit(1).as("__ba")),
+        Seq("doc_a"), "left")
+      .join(bIds.select(col("__bid").as("doc_b"), lit(1).as("__bb")),
+        Seq("doc_b"), "left")
+      .filter(col("__ba") === 1 || col("__bb") === 1)
+      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
+        col("lcp"))
   }
 
   def exciseRanges(spans: DataFrame): DataFrame = {

@@ -167,6 +167,52 @@ object ScalePack extends QueryPack {
           sum(col("n_removed")).as("removed_tokens"))
     }),
 
+    // incremental ExactSubstr: duplicated spans a NEW batch (doc_id %
+    // 4 = 2) introduces against an append-only corpus (doc_id % 4 =
+    // 0), WITHOUT rebuilding the corpus suffix array — one corpus
+    // gram scan finds the affected docs, the doubling loop runs over
+    // batch ∪ affected only. Union = q268's exact doc slice, so the
+    // oracle's brute sort replays the identical blocks.
+    "q273_sa_probe" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.SuffixDedup.probeSpans(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(4)) === 2),
+        "doc_id", "text", minLen = 8)
+    }),
+
+    // the SA-dedup CAPSTONE: ExactSubstr excision composed with the
+    // LSH/packing stages in ONE hash-checked chain — exciseText →
+    // kept-length gate → portable MinHash+LSH near-dup removal →
+    // token-budget bin packing, per-language bin accounting. Proves
+    // the suffix-array path slots into the q98-style curation pipeline
+    // rather than existing as an island.
+    "q274_sa_lsh_pack" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+      // checkpointed: the LSH branch and the anti-join/packing branch
+      // both read the cleaned corpus, and the SA excision is the
+      // dominant subtree — without this it executes twice
+      val cleaned = graft.operators.SuffixDedup.exciseText(
+          docs, "doc_id", "text", minLen = 8)
+        .filter(col("n_tokens") - col("n_removed") >= 10)
+        .join(docs.select(col("doc_id").as("doc"), col("lang")),
+          Seq("doc"))
+        .select(col("doc").as("doc_id"), col("lang"),
+          col("clean_text").as("text"))
+        .localCheckpoint(true)
+      val dupIds = graft.operators.Dedup.minhashLshPortable(cleaned,
+          "doc_id", "text", n = 3, numPerms = 8, bands = 4,
+          minMatch = 6)
+        .select(col("id_b").as("doc_id")).distinct()
+      graft.operators.Chunking.packBins(
+          cleaned.join(dupIds, Seq("doc_id"), "left_anti"),
+          "doc_id", "text", "lang", binTokens = 512)
+        .groupBy(col("lang"), col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"))
+    }),
+
     // hybrid retrieval, ENGINE-EXACT: integer BM25 ∪ int8 integer-MIPS
     // dense ranking, fused through the integer RRF kernel — every rank
     // and fused score is an integer, so the hybrid result hash-checks
@@ -924,14 +970,12 @@ object ScalePack extends QueryPack {
        |FROM fr WHERE rn <= 10""".stripMargin
   }
 
-  /** Shared CTE chain of the q268/q269 oracles: the brute-force suffix
-    * sort over the half-corpus slice, ending in `l`(doc_a, pos_a,
-    * doc_b, pos_b, lcp) — adjacent-pair LCPs capped at 512. */
-  private val SuffixSpansCtes: String =
-    """WITH d AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
-      |  FROM documents WHERE doc_id % 2 = 0),
-      |s AS (
+  /** Brute-force suffix sort over whatever CTE `d`(doc_id, a) holds,
+    * ending in `l`(doc_a, pos_a, doc_b, pos_b, lcp) — adjacent-pair
+    * LCPs capped at 512. Prepend a `d` definition (q268-q272 use the
+    * half-corpus slice; q273 the probe scope). */
+  private val SaSortCtes: String =
+    """s AS (
       |  SELECT doc_id, i AS pos, a[i:] AS suf, len(a) - i + 1 AS sl
       |  FROM d,
       |    LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) t),
@@ -956,6 +1000,98 @@ object ScalePack extends QueryPack {
       |    least(512, CASE WHEN mism IS NULL OR mism = 0
       |      THEN least(la, lb) ELSE mism - 1 END) AS lcp
       |  FROM m)""".stripMargin
+
+  /** Shared CTE chain of the q268-q272 oracles: [[SaSortCtes]] over
+    * the half-corpus slice. */
+  private val SuffixSpansCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |""".stripMargin + SaSortCtes
+
+  /** q273's probe-scope `d`: the batch slice (doc_id % 4 = 2) plus
+    * exactly the corpus docs (doc_id % 4 = 0) sharing an 8-gram with
+    * it — the same affected-doc derivation the operator runs. */
+  private val SaProbeCtes: String =
+    """WITH db AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+      |  FROM documents WHERE doc_id % 4 = 2),
+      |dc AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |bg AS (
+      |  SELECT DISTINCT array_to_string(a[i:i+7], ' ') AS gram
+      |  FROM db, LATERAL (SELECT unnest(generate_series(1,
+      |    len(a) - 7)) AS i) t),
+      |aff AS (
+      |  SELECT DISTINCT doc_id
+      |  FROM dc, LATERAL (SELECT unnest(generate_series(1,
+      |    len(a) - 7)) AS i) t
+      |  WHERE array_to_string(a[i:i+7], ' ') IN (SELECT gram FROM bg)),
+      |d AS (
+      |  SELECT doc_id, a FROM db
+      |  UNION ALL
+      |  SELECT dc.doc_id, dc.a FROM dc JOIN aff USING (doc_id)),
+      |""".stripMargin + SaSortCtes
+
+  /** q274's oracle: the SA excision chain (shared CTEs) feeding the
+    * q98-style portable-LSH + bin-packing stages — kept token lists
+    * shingle to 3-grams, md5+affine-perm minhash signatures band into
+    * LSH buckets, later-id members of confirmed pairs drop, survivors
+    * pack into 512-token bins per language (cumulative sum by doc id,
+    * the packBins contract). Same literal perms as the Spark side. */
+  private lazy val SaLshPackSql: String = {
+    val permValues = graft.operators.Dedup.portablePerms(8).zipWithIndex
+      .map { case ((a, b), p) => s"($p, $a, $b)" }.mkString(", ")
+    raw"""cl2 AS (
+         |  SELECT k2.doc, d0.lang, k2.kl AS kept
+         |  FROM (SELECT doc, list(tok ORDER BY pos) AS kl,
+         |          count(*) AS nk
+         |        FROM kept GROUP BY doc) k2
+         |  JOIN documents d0 ON k2.doc = d0.doc_id
+         |  WHERE k2.nk >= 10),
+         |sh2 AS (
+         |  SELECT DISTINCT doc, array_to_string(kept[i:i+2], ' ') AS s
+         |  FROM cl2, LATERAL (SELECT unnest(generate_series(
+         |    1, greatest(1, len(kept) - 2))) AS i) gi),
+         |gh2 AS (
+         |  SELECT doc,
+         |    CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS g
+         |  FROM sh2),
+         |ph2 AS (
+         |  SELECT doc, p, min((a * g + b) % 2147483647) AS h
+         |  FROM gh2, (VALUES $permValues) AS perms(p, a, b)
+         |  GROUP BY doc, p),
+         |sig2 AS (
+         |  SELECT doc, p // 2 AS band,
+         |    string_agg(CAST(h AS VARCHAR), ',' ORDER BY p) AS bkey
+         |  FROM ph2 GROUP BY doc, p // 2),
+         |cnd2 AS (
+         |  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+         |  FROM sig2 a JOIN sig2 b ON a.band = b.band
+         |    AND a.bkey = b.bkey AND a.doc < b.doc),
+         |m2 AS (
+         |  SELECT c2.id_a, c2.id_b,
+         |    sum(CASE WHEN pa.h = pb.h THEN 1 ELSE 0 END) AS n_match
+         |  FROM cnd2 c2
+         |  JOIN ph2 pa ON pa.doc = c2.id_a
+         |  JOIN ph2 pb ON pb.doc = c2.id_b AND pb.p = pa.p
+         |  GROUP BY c2.id_a, c2.id_b),
+         |dup2 AS (SELECT DISTINCT id_b AS doc FROM m2
+         |  WHERE n_match >= 6),
+         |surv2 AS (
+         |  SELECT doc, lang, len(kept) AS n_tokens FROM cl2
+         |  WHERE doc NOT IN (SELECT doc FROM dup2)),
+         |cum2 AS (
+         |  SELECT doc, lang, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM surv2)
+         |SELECT lang, CAST((cum - 1) // 512 AS BIGINT) AS bin_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         |FROM cum2 GROUP BY lang, bin_id""".stripMargin
+  }
 
   /** Shared by the q269/q271/q272 oracles: q268's adjacent-pair spans
     * (`l`) folded into merge-grouped cut candidates — the larger
@@ -1020,6 +1156,22 @@ object ScalePack extends QueryPack {
       """SELECT doc_a, CAST(pos_a AS INT) AS pos_a, doc_b,
         |  CAST(pos_b AS INT) AS pos_b, lcp
         |FROM l WHERE lcp >= 8""".stripMargin),
+
+    // SA capstone chain: excise (shared CTEs) -> >=10-kept gate ->
+    // portable LSH -> 512-token bin packing, per-language accounting
+    "q274_sa_lsh_pack" -> (SuffixSpansCtes + ",\n" + SaCutCtes +
+      ",\n" + SaCleanCtes + ",\n" + SaLshPackSql),
+
+    // incremental probe: the same brute suffix sort, but over the
+    // probe SCOPE (batch ∪ gram-affected corpus docs), restricted to
+    // batch-endpoint pairs — by the block argument this equals the
+    // full rebuild restricted the same way (SuffixDedupSpec proves
+    // that identity against duplicatedSpans over the union)
+    "q273_sa_probe" -> (SaProbeCtes + "\n" +
+      """SELECT doc_a, CAST(pos_a AS INT) AS pos_a, doc_b,
+        |  CAST(pos_b AS INT) AS pos_b, lcp
+        |FROM l WHERE lcp >= 8
+        |  AND (doc_a % 4 = 2 OR doc_b % 4 = 2)""".stripMargin),
 
     // the q268 spans folded to per-doc cut ranges: larger-(doc, pos)
     // occurrence is the cut candidate, half-open intervals merge when

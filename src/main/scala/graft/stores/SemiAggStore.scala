@@ -11,9 +11,11 @@ import graft.core._
   * override keeps exactly one level depending on the requested
   * stratification (reference: R/DiseasystoreGoogleCovid19.R:241-277).
   */
-class SemiAggStore(spark: SparkSession, sfDir: String, storePath: String)
+class SemiAggStore(spark: SparkSession, sfDir: String, storePath: String,
+                   commitProtocol: Committer = Committer.Rename)
     extends FeatureStore(
       spark, sfDir, storePath,
+      commitProtocol = commitProtocol,
       storeScope = Some("SemiAggEvents"), // registry label, not class name
       dsMap = Seq(
         "n_events" -> "leveled_events",

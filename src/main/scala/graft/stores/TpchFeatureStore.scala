@@ -37,12 +37,14 @@ object TpchFeatureStore {
         col("valid_from"), col("valid_until"))
   }
 
-  def apply(spark: SparkSession, sfDir: String,
-            storePath: String): FeatureStore = new FeatureStore(
+  def apply(spark: SparkSession, sfDir: String, storePath: String,
+            commitProtocol: Committer = Committer.Rename): FeatureStore =
+    new FeatureStore(
     spark, sfDir, storePath,
     minStartDate = Some("1992-01-01"),
     maxEndDate = Some("1998-12-31"),
     storeScope = Some("TpchOrders"),
+    commitProtocol = commitProtocol,
     dsMap = Seq(
       "n_orders" -> "order_episodes",
       "n_first_order" -> "first_order_episode",

@@ -128,6 +128,75 @@ class HnswSpec extends SparkSpec {
     assert(viaAppend == fresh)
   }
 
+  test("appendIndex rewrites ONLY touched cluster dirs; a retry is " +
+    "idempotent; a parked dir (crash simulation) recovers on entry") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+      .localCheckpoint(true)
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    // batch = the upper-id half of ONE cluster, so exactly one cluster
+    // is touched and fresh-union bit-parity still holds (ascending-id
+    // insertion order matches a fresh build)
+    val assigned = Ivf.assign(emb, "vec_id", "embedding", model)
+      .select(col("vec_id"), col("cluster_id")).localCheckpoint(true)
+    val target = assigned.groupBy("cluster_id").count()
+      .orderBy(desc("count"), asc("cluster_id"))
+      .select("cluster_id").as[Int].head()
+    val tIds = assigned.filter(col("cluster_id") === target)
+      .select("vec_id").as[Long].collect().sorted
+    val batchIds = tIds.drop(tIds.length / 2).toSet
+    val a = emb.filter(!col("vec_id").isin(batchIds.toSeq: _*))
+    val b = emb.filter(col("vec_id").isin(batchIds.toSeq: _*))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-hnsw-app").toString
+    val path = s"$root/idx"
+    Hnsw.saveIndex(a, "vec_id", "embedding", model, path)
+    def clusterFiles(): Map[String, Set[(String, Long)]] =
+      new java.io.File(path).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster_id="))
+        .map(d => d.getName -> d.listFiles()
+          .map(f => (f.getName, f.lastModified())).toSet).toMap
+    val before = clusterFiles()
+    Hnsw.appendIndex(b, "vec_id", "embedding", model, path)
+    val after = clusterFiles()
+    val touchedDir = s"cluster_id=$target"
+    assert(after(touchedDir) != before(touchedDir),
+      "touched cluster dir was not rewritten")
+    (before.keySet - touchedDir).foreach { d =>
+      assert(after(d) == before(d),
+        s"untouched cluster dir $d was rewritten")
+    }
+    // a retried append (same batch) is a no-op on content: every id is
+    // already in the graph, so the dumped rows are identical
+    def dump() = spark.read.parquet(path)
+      .select(col("cluster_id"), col("ord"), col("doc_id"), col("level"),
+        col("vec"), col("nbrs"), col("entry"), col("max_level"))
+      .as[(Int, Int, Long, Int, Seq[Double], Seq[Seq[Int]], Int, Int)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val once = dump()
+    Hnsw.appendIndex(b, "vec_id", "embedding", model, path)
+    assert(dump() == once, "retried append changed the index")
+    // crash simulation: a predecessor died between parking the old
+    // cluster dir and renaming the new one in — live dir missing,
+    // parked dir present. loadTopK must restore it before reading.
+    val fsRoot = new java.io.File(path)
+    val park = new java.io.File(path + "__park")
+    assert(park.mkdirs())
+    val live = new java.io.File(fsRoot, touchedDir)
+    val parked = new java.io.File(park, touchedDir)
+    assert(live.renameTo(parked), "test setup: park rename failed")
+    val pred = pmod(col("vec_id"), lit(25)) === 0
+    val got = Hnsw.loadTopK(emb, "vec_id", "embedding", pred, k = 10,
+        model, nprobe = 8, indexPath = path, efSearch = 96)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(new java.io.File(fsRoot, touchedDir).isDirectory,
+      "parked cluster dir was not restored")
+    assert(dump() == once, "recovery changed the index contents")
+    val expected = Hnsw.loadTopK(emb, "vec_id", "embedding", pred,
+        k = 10, model, nprobe = 8, indexPath = path, efSearch = 96)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("routing bound: a query only receives candidates from its " +
     "nprobe clusters; oversized panels are refused") {
     val emb = graft.core.Tables.load(spark, dir, "embeddings")

@@ -1,0 +1,210 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.stores.TpchFeatureStore
+
+/** ManifestLog as a SUPPORTED store mode (r13 verdict task 3): the
+  * full store battery — conformance, backup+restore with coverage,
+  * compaction, purge, schema evolution, catalog management, streaming
+  * ingest — over a store whose every table publish goes through the
+  * transactional manifest-log committer. Rename stays the DEFAULT
+  * (plain dirs external engines read directly — see
+  * FeatureStore.committer's Scaladoc); this suite is what makes the
+  * opt-in supported rather than experimental. */
+class ManifestLogStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val M = Committer.ManifestLog
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("conformance battery passes over ManifestLog-backed stores") {
+    val tpch = StoreConformance.run(
+      () => TpchFeatureStore(spark, sfDir, tmp("graft-mlog-conf"),
+        commitProtocol = M),
+      "1995-01-01", "1995-02-28", midpoint = "1995-01-31")
+    assert(tpch.isEmpty, tpch.mkString("; "))
+    val semi = StoreConformance.run(
+      () => new graft.stores.SemiAggStore(spark, sfDir,
+        tmp("graft-mlog-conf"), commitProtocol = M),
+      "2024-01-05", "2024-01-20", midpoint = "2024-01-10")
+    assert(semi.isEmpty, semi.mkString("; "))
+  }
+
+  test("backup + restore: coverage log travels on the PLAIN path, " +
+    "nothing recomputes, post-restore appends extend the same log") {
+    val path = tmp("graft-mlog-bk-src")
+    val dest = tmp("graft-mlog-bk-dst")
+    val store = TpchFeatureStore(spark, sfDir, path, commitProtocol = M)
+    val loader = "order_episodes"
+    val orig = store.getFeature("n_orders", "1995-01-01", "1995-01-31",
+        sliceTs = "2020-01-01 00:00:00")
+      .collect().map(_.toString).sorted.toSeq
+    store.backupTo(dest)
+    // the coverage log must be a PLAIN parquet dir at the destination
+    // (publishing it through ManifestLog put it where the plain-path
+    // read never looks — the restored store silently recomputed)
+    assert(new java.io.File(s"$dest/logs").isDirectory)
+    assert(!new java.io.File(s"$dest/logs.mlog").exists())
+    // the loader TABLE travels through the committer (manifest layout)
+    assert(new java.io.File(s"$dest/$loader.mlog").isDirectory)
+    assert(!new java.io.File(s"$dest/$loader").exists())
+    val restored = TpchFeatureStore(spark, sfDir, dest,
+      commitProtocol = M)
+    val genBefore = restored.tableGen(loader)
+    val back = restored.getFeature("n_orders", "1995-01-01",
+        "1995-01-31", sliceTs = "2020-01-01 00:00:00")
+      .collect().map(_.toString).sorted.toSeq
+    assert(back == orig)
+    // coverage was visible → no recompute → no new generation
+    assert(restored.tableGen(loader) == genBefore,
+      "restored store recomputed despite backed-up coverage")
+    // a post-restore append extends the SAME plain log (no shadow
+    // dir): the gap range computes once, then full coverage holds
+    restored.getFeature("n_orders", "1995-01-01", "1995-02-28",
+      sliceTs = "2020-01-01 00:00:00")
+    val genAfterGap = restored.tableGen(loader)
+    assert(genAfterGap == genBefore + 1)
+    restored.getFeature("n_orders", "1995-01-01", "1995-02-28",
+      sliceTs = "2020-01-01 00:00:00")
+    assert(restored.tableGen(loader) == genAfterGap,
+      "extended range recomputed twice — appended coverage not seen")
+    val ranges = spark.read.parquet(s"$dest/logs")
+      .select("ds_start", "ds_end").collect()
+      .map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    assert(ranges == Set(("1995-01-01", "1995-01-31"),
+      ("1995-02-01", "1995-02-28")))
+  }
+
+  test("schema evolution on append: widen, version event, time travel") {
+    val path = tmp("graft-mlog-evolve")
+    def handler(withQuality: Boolean) = FeatureHandler(
+      (st, s0, e0) => {
+        val base = Seq(
+          (1L, "2024-01-01", "2024-03-01", 5L),
+          (2L, "2024-01-10", "2024-02-01", 3L))
+          .toDF("key_cust", "vf", "vu", "n_widgets")
+          .select(col("key_cust"),
+            to_date(col("vf")).as("valid_from"),
+            to_date(col("vu")).as("valid_until"),
+            col("n_widgets"))
+        val rows = if (withQuality)
+          base.withColumn("quality", col("n_widgets") * 2L) else base
+        Intervals.slice(rows, s0, e0)
+      }, Aggregators.Count, "")
+    def storeWith(h: FeatureHandler) =
+      new FeatureStore(spark, sfDir, path,
+        Seq("n_widgets" -> "widgets"), Map("widgets" -> h),
+        storeScope = Some("MlogEvoTest"), commitProtocol = M)
+    val (t1, t2) = ("2030-01-01 00:00:00", "2030-02-01 00:00:00")
+    val (s, e) = ("2024-01-01", "2024-03-31")
+    val v1 = storeWith(handler(withQuality = false))
+      .getFeature("n_widgets", s, e, t1)
+    assert(!v1.columns.contains("quality") && v1.count() == 2)
+    val st2 = storeWith(handler(withQuality = true))
+    val v2 = st2.getFeature("n_widgets", s, e, t2)
+    assert(v2.select("quality").as[Long].collect().sorted.toSeq ==
+      Seq(6L, 10L))
+    // time travel BEFORE the evolution: same rows, new column NULL
+    val back = st2.getFeature("n_widgets", s, e, t1)
+    assert(back.count() == 2)
+    assert(back.filter(col("quality").isNotNull).count() == 0)
+    // reads resolve through the committer — the logical dir never
+    // exists on disk under ManifestLog
+    assert(!new java.io.File(s"$path/widgets").exists())
+    val tbl = st2.versionedTable("widgets")
+    assert(tbl.filter(col(Scd2.UntilTs) === t2).count() == 2)
+    assert(tbl.filter(col(Scd2.UntilTs).isNull).count() == 2)
+    assert(tbl.count() == 4)
+  }
+
+  test("compaction + purge keep serving through the manifest head") {
+    val path = tmp("graft-mlog-compact")
+    val store = TpchFeatureStore(spark, sfDir, path, commitProtocol = M)
+    store.getFeature("n_orders", "1995-01-01", "1995-01-31",
+      sliceTs = "2020-01-01 00:00:00")
+    val loader = "order_episodes"
+    val before = store.versionedTable(loader)
+      .collect().map(_.toString).sorted.toSeq
+    val gen0 = store.tableGen(loader)
+    val nFiles = store.compact(loader)
+    assert(store.tableGen(loader) == gen0 + 1)
+    val after = store.versionedTable(loader)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "compaction changed table contents")
+    assert(store.fileCount(loader) == nFiles)
+    // purge: retroactive erasure publishes the next generation
+    val victim = store.versionedTable(loader)
+      .select(col("key_cust")).as[Long].head()
+    val removed = store.purgeKeys(loader, "key_cust",
+      Seq(victim).toDF("key_cust"))
+    assert(removed > 0)
+    assert(store.tableGen(loader) == gen0 + 2)
+    assert(store.versionedTable(loader)
+      .filter(col("key_cust") === victim).count() == 0)
+  }
+
+  test("StoreCatalog lists and drops manifest-log tables (logical dir " +
+    "never exists on disk)") {
+    val path = tmp("graft-mlog-catalog")
+    val store = TpchFeatureStore(spark, sfDir, path, commitProtocol = M)
+    store.getFeature("n_orders", "1995-01-01", "1995-01-31")
+    store.getFeature("mktsegment", "1995-01-01", "1995-01-31")
+    val listed = StoreCatalog.tables(spark, path)
+    assert(listed.contains("order_episodes") &&
+      listed.contains("customer_segment"), listed.mkString(", "))
+    StoreCatalog.drop(spark, path, Some("order_.*"))
+    val left = StoreCatalog.tables(spark, path)
+    assert(!left.contains("order_episodes"))
+    assert(left.contains("customer_segment"))
+    assert(!new java.io.File(s"$path/order_episodes.mlog").exists())
+    assert(!new java.io.File(s"$path/order_episodes.mdata").exists())
+    // the dropped table's coverage rows are scrubbed; the survivor's stay
+    val logTables = spark.read.parquet(s"$path/logs")
+      .select("table").as[String].collect().toSet
+    assert(logTables == Set("customer_segment"))
+  }
+
+  test("streaming SCD2 ingest commits per batch through the manifest " +
+    "log, idempotent under replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = TpchFeatureStore(spark, sfDir, tmp("graft-mlog-ingest"),
+      commitProtocol = M)
+    val loader = "feed"
+    def featRow(key: Long, v: String, from: String) =
+      (key, v, java.sql.Date.valueOf(from),
+        null.asInstanceOf[java.sql.Date])
+    val ms = MemoryStream[(Long, String, java.sql.Date, java.sql.Date)]
+    val rows = ms.toDF().toDF("key_cust", "segment", "valid_from",
+      "valid_until")
+    val q = store.ingestStream(loader, rows,
+      tmp("graft-mlog-ingest-ckpt"),
+      tsOfBatch = id => f"2020-01-01 00:00:${id}%02d")
+    try {
+      ms.addData(featRow(1L, "A", "2024-01-01"),
+        featRow(2L, "B", "2024-01-01"))
+      q.processAllAvailable()
+      assert(store.versionedTable(loader).count() == 2)
+      assert(store.tableGen(loader) == 1L)
+      // replayed row = checksum no-op; new row = fresh version
+      ms.addData(featRow(3L, "C", "2024-02-01"),
+        featRow(1L, "A", "2024-01-01"))
+      q.processAllAvailable()
+      val table = store.versionedTable(loader)
+      assert(table.count() == 3)
+      val ts1 = table.filter(col("key_cust") === 1L)
+        .select(col(Scd2.FromTs).cast("string")).as[String].head()
+      assert(ts1 == "2020-01-01 00:00:00")
+      val atB0 = Scd2.sliceAt(table, "2020-01-01 00:00:00")
+        .select("key_cust").as[Long].collect().toSet
+      assert(atB0 == Set(1L, 2L))
+    } finally q.stop()
+  }
+}

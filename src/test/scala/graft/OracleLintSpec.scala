@@ -98,4 +98,52 @@ class OracleLintSpec extends AnyFunSuite {
     floatSums.keys.foreach(k => assert(
       SparkEntry.oracleSql.contains(k), s"stale float-sum allowlist: $k"))
   }
+
+  test("suffix-array oracles keep their working set bounded: every " +
+    "doc-slice CTE carries a modulus slice, and the probe oracle " +
+    "restricts to batch endpoints") {
+    // The SA oracles brute-sort ALL suffixes of their doc slice
+    // (O(n log n) comparisons of token lists) — tractable at sf0.1
+    // ONLY because the slice is a fixed fraction of the corpus. A
+    // widened slice (dropping `doc_id % k`) would pass sf0.01 and
+    // melt at sf0.1 — the q187/q199-class trap this lint exists for.
+    val saOracles = SparkEntry.oracleSql.keys
+      .filter(n => n.startsWith("q268") || n.startsWith("q269") ||
+        n.startsWith("q271") || n.startsWith("q272") ||
+        n.startsWith("q273") || n.startsWith("q274")).toSeq.sorted
+    assert(saOracles.size == 6, s"SA family drifted: $saOracles")
+    saOracles.foreach { name =>
+      val sql = SparkEntry.oracleSql(name)
+      // every CTE that scans `documents` must slice by doc_id modulus
+      val docScans = sql.split('\n').filter(_.contains("FROM documents"))
+      assert(docScans.nonEmpty, s"$name: no documents scan found")
+      // the slice predicate may sit on the scan line or the next
+      // (WHERE on its own line); check the scan's local window
+      val lines = sql.split('\n')
+      lines.zipWithIndex.filter(_._1.contains("FROM documents"))
+        .foreach { case (_, i) =>
+          val window = lines.slice(i, math.min(lines.length, i + 2))
+            .mkString(" ")
+          assert(window.matches(""".*doc_id\s*%\s*\d+.*""") ||
+            // q272's final join re-reads documents for `lang` only,
+            // keyed by the already-sliced survivor docs — bounded by
+            // the join, not a suffix-sort input
+            window.contains("JOIN documents"),
+            s"$name: unsliced documents scan near line $i")
+        }
+      // the suffix-sort itself must stay adjacency-shaped: one
+      // rn = rn + 1 self-join, never a cross/inequality pair blowup
+      assert(sql.contains("ON y.rn = x.rn + 1"),
+        s"$name: adjacency join shape changed")
+    }
+    // the probe oracle must restrict its output to batch endpoints —
+    // without it the query silently reports corpus-corpus pairs and
+    // the restricted-parity contract (SuffixDedupSpec) means nothing
+    val probe = SparkEntry.oracleSql("q273_sa_probe")
+    assert(probe.contains("doc_a % 4 = 2 OR doc_b % 4 = 2"),
+      "q273 oracle lost its batch-endpoint restriction")
+    // and its affected-docs derivation joins grams per doc slice, with
+    // the IN-subquery in a WHERE (semi join), not a JOIN condition
+    assert(probe.contains("IN (SELECT gram FROM bg)"))
+  }
 }

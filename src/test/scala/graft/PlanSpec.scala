@@ -263,6 +263,24 @@ class PlanSpec extends SparkSpec {
       s"no window/aggregate may carry the raw text:\n$plan")
   }
 
+  test("exciseText reconstruction is range-local: no per-position " +
+    "explode of the cut ranges reaches the plan") {
+    // r13 verdict What's-wrong #3: the covered positions used to
+    // materialize via explode(sequence(cut_from, cut_until)) — a doc
+    // that is mostly duplicate paid O(len) extra rows through a
+    // shuffle. The rewrite ships the few merged ranges per doc and
+    // rebuilds the kept array from their gaps scan-side; the only
+    // generators left are the tokenizer's posexplode and the gram
+    // explode (corpus scans, inherent).
+    val plan = planOf(SparkEntry.queries("q271_sa_excise_text")(
+      spark, dir))
+    val genLines = plan.linesIterator.filter(l =>
+      l.contains("Generate explode(sequence(")).toSeq
+    assert(genLines.isEmpty,
+      s"per-position range explode is back in the exciseText plan:\n" +
+        genLines.mkString("\n"))
+  }
+
   test("SuffixDedup broadcast-mode k2 lookup never sort-merge-shuffles") {
     // once the tied set is below BroadcastTiedMax, each remaining
     // doubling level must resolve k2 through ONE corpus scan (broadcast

@@ -175,4 +175,69 @@ class SuffixDedupSpec extends SparkSpec {
     }
     assert(runDistributed(rdocs, minLen = 1) == brute(rdocs, 1, 512))
   }
+
+  test("probeSpans == full rebuild restricted to batch-endpoint pairs; " +
+    "affectedDocs is exact; ranges restricted-parity; no-overlap " +
+    "batches never pull corpus docs into the doubling scope") {
+    def probe(corpus: Seq[(Long, String)], batch: Seq[(Long, String)],
+        minLen: Int): Set[(Long, Int, Long, Int, Long)] =
+      SuffixDedup.probeSpans(corpus.toDF("doc_id", "text"),
+          batch.toDF("doc_id", "text"), "doc_id", "text", minLen)
+        .as[(Long, Int, Long, Int, Long)].collect().toSet
+    def fullRestricted(corpus: Seq[(Long, String)],
+        batch: Seq[(Long, String)], minLen: Int)
+        : Set[(Long, Int, Long, Int, Long)] = {
+      val bIds = batch.map(_._1).toSet
+      run(corpus ++ batch, minLen)
+        .filter(t => bIds.contains(t._1) || bIds.contains(t._3))
+    }
+    val shared = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val corpus = Seq(
+      1L -> s"alpha beta $shared gamma delta",
+      2L -> "solo corpus words appearing nowhere else at all",
+      3L -> s"pre $shared post",
+      4L -> "rep rep rep rep rep rep")
+    val batch = Seq(
+      10L -> s"x1 x2 $shared y1",       // cross batch-corpus duplicate
+      11L -> "rep rep rep rep",          // duplicates doc 4
+      12L -> "fresh batch only content") // no duplication
+    val got = probe(corpus, batch, minLen = 4)
+    assert(got == fullRestricted(corpus, batch, 4),
+      "probe != full rebuild restricted to batch endpoints")
+    assert(got.nonEmpty)
+    // affectedDocs: exactly the corpus docs sharing a 4-gram with the
+    // batch — 1 and 3 (the planted span) and 4 (the rep run); never 2
+    val aff = SuffixDedup.affectedDocs(corpus.toDF("doc_id", "text"),
+        batch.toDF("doc_id", "text"), "doc_id", "text", minLen = 4)
+      .as[Long].collect().toSet
+    assert(aff == Set(1L, 3L, 4L), s"affected = $aff")
+    // the excision contract downstream: batch cut ranges from the
+    // probe equal the full rebuild's, restricted to batch docs
+    val bIds = batch.map(_._1).toSet
+    def ranges(spans: Set[(Long, Int, Long, Int, Long)]) =
+      SuffixDedup.exciseRanges(
+          spans.toSeq.toDF("doc_a", "pos_a", "doc_b", "pos_b", "lcp"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+        .filter(r => bIds.contains(r._1))
+    assert(ranges(got) ==
+      ranges(run(corpus ++ batch, 4)).filter(r => bIds.contains(r._1)))
+    // a batch with no shared grams probes an EMPTY corpus scope: the
+    // doubling loop never sees a corpus doc (the cost contract)
+    val loner = Seq(20L -> "totally novel tokens without any twin")
+    assert(SuffixDedup.affectedDocs(corpus.toDF("doc_id", "text"),
+        loner.toDF("doc_id", "text"), "doc_id", "text", minLen = 4)
+      .count() == 0L)
+    assert(probe(corpus, loner, minLen = 4).isEmpty)
+    // randomized parity (small vocab => heavy accidental duplication)
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    def mk(ids: Range) = ids.map { d =>
+      d.toLong -> (1 to (3 + rnd.nextInt(10)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val rc = mk(1 to 10)
+    val rb = mk(21 to 26)
+    assert(probe(rc, rb, minLen = 2) == fullRestricted(rc, rb, 2))
+    assert(probe(rc, rb, minLen = 3) == fullRestricted(rc, rb, 3))
+  }
 }
