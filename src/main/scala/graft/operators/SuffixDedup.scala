@@ -185,10 +185,21 @@ object SuffixDedup {
     out.result().toDF("doc", "pos", "npr")
   }
 
+  /** Corpus size (total token positions) above which the SA tail
+    * applies the dup-gram block pre-filter. Below it the corpus is
+    * job-floor dominated (the whole build is a few seconds of fixed
+    * scheduling cost) and the filter's two extra jobs — gram count +
+    * semi join — cost more than the data they save; above it the
+    * filter is the difference between sorting/joining every position
+    * and only the duplicated ones (5% of positions on the test
+    * corpus, typically far less on deduplicated web text). */
+  private[graft] val BlockFilterMinPos = 2L * 1000 * 1000
+
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       minLen: Int, maxLcp: Int = 512,
                       driverFinishMaxPos: Long = 300000L,
-                      driverFinishMaxTok: Long = 8L * 1000 * 1000): DataFrame = {
+                      driverFinishMaxTok: Long = 8L * 1000 * 1000,
+                      blockFilterMinPos: Long = BlockFilterMinPos): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minLen >= 1, "minLen must be >= 1")
     require(maxLcp >= minLen, "maxLcp must be >= minLen")
@@ -341,10 +352,47 @@ object SuffixDedup {
         .select(col("doc"), col("pos"),
           coalesce(col("npr"), col("pr")).as("pr"))
 
+    // Block pre-filter (the probeSpans block argument applied with
+    // batch = the whole corpus): a REPORTED pair has lcp ≥ minLen, so
+    // both suffixes start with the same exact minLen-token window and
+    // sit in the same contiguous SA block; a suffix whose window is
+    // unique corpus-wide (or shorter than minLen) can never be a pair
+    // member, and dropping such positions cannot break adjacency
+    // INSIDE any block (blocks stay contiguous in the restricted
+    // order; pairs straddling blocks have lcp < minLen and are
+    // filtered on every path). The SA range-sort, the adjacency join
+    // and the LCP token-slice join below therefore run over dup-gram
+    // positions only — on a lightly-duplicated corpus that replaces a
+    // corpus-sized sort plus a pair join carrying every doc's token
+    // array with one integer gram shuffle. Hash collisions only ADD
+    // positions (a superset is correct for the same reason the
+    // affectedDocs superset is). ADAPTIVE: below BlockFilterMinPos the
+    // corpus is job-floor dominated and the filter's extra jobs cost
+    // more than they save — skip it (both paths spec-pinned to the
+    // same brute-force answer).
+    val saBase =
+      if (nPos < blockFilterMinPos) prTab
+      else {
+        val g = toks.filter(size(col("ta")) >= minLen)
+          .select(col("doc"), explode(transform(
+            sequence(lit(1), size(col("ta")) - (minLen - 1)),
+            p => struct(p.as("pos"),
+              xxhash64(array_join(slice(col("ta"), p, lit(minLen)), " "))
+                .as("g")))).as("e"))
+          .select(col("doc"), col("e.pos").as("pos"), col("e.g").as("g"))
+        val dupG = g.groupBy(col("g")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select(col("g"))
+        prTab.join(
+          g.join(dupG, Seq("g"), "left_semi")
+            .select(col("doc"), col("pos")),
+          Seq("doc", "pos"), "left_semi")
+      }
     // suffix-array order = (pr, doc, pos); exactly-equal suffixes
     // (the only possible rank ties after full doubling) tie-break by
     // (doc, pos) — mirror `ORDER BY suffix, doc, pos` in any oracle
-    val sa = prTab.orderBy(col("pr"), col("doc"), col("pos")).rdd
+    // (restricted to block positions, the subset keeps that order)
+    val sa = saBase
+      .orderBy(col("pr"), col("doc"), col("pos")).rdd
       .map(r => (r.getLong(0), r.getInt(1)))
       .zipWithIndex()
       .map { case ((d, p), i) => (d, p, i) }

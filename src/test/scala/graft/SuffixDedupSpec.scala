@@ -176,6 +176,40 @@ class SuffixDedupSpec extends SparkSpec {
     assert(runDistributed(rdocs, minLen = 1) == brute(rdocs, 1, 512))
   }
 
+  test("block pre-filter path (forced on): brute-force parity — " +
+    "restricting the SA tail to dup-gram positions changes nothing") {
+    def runFiltered(docs: Seq[(Long, String)], minLen: Int,
+        maxLcp: Int = 512): Set[(Long, Int, Long, Int, Long)] =
+      SuffixDedup.duplicatedSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", minLen, maxLcp,
+          blockFilterMinPos = 0L) // force the filter at any size
+        .as[(Long, Int, Long, Int, Long)].collect().toSet
+    val shared = (1 to 30).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"alpha beta $shared gamma delta",
+      2L -> s"x1 x2 x3 x4 x5 $shared y1",
+      3L -> "rep rep rep rep rep rep rep rep",
+      4L -> "solo tokens that appear nowhere else at all",
+      5L -> s"alpha beta $shared gamma delta")
+    assert(runFiltered(docs, minLen = 5) == brute(docs, 5, 512))
+    // cap interaction + short-suffix exclusion edges
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val twins = Seq(1L -> long, 2L -> long)
+    assert(runFiltered(twins, 3, maxLcp = 5) == brute(twins, 3, 5))
+    // randomized, minLen = 1 (blocks = repeated single tokens) and 2
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val rdocs = (1L to 12L).map { d =>
+      d -> (1 to (3 + rnd.nextInt(10)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    assert(runFiltered(rdocs, 1) == brute(rdocs, 1, 512))
+    assert(runFiltered(rdocs, 2) == brute(rdocs, 2, 512))
+    // no duplication at all: the filtered SA tail is empty, not wrong
+    val uniq = Seq(1L -> "p q r s t u v w", 2L -> "h i j k l m n o")
+    assert(runFiltered(uniq, 2).isEmpty)
+  }
+
   test("probeSpans == full rebuild restricted to batch-endpoint pairs; " +
     "affectedDocs is exact; ranges restricted-parity; no-overlap " +
     "batches never pull corpus docs into the doubling scope") {
