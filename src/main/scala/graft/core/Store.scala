@@ -57,6 +57,25 @@ trait Committer {
   def currentGen(fs: org.apache.hadoop.fs.FileSystem, dst: Path): Long =
     Committer.currentGen(fs, dst)
 
+  /** Generations whose data is still readable, oldest first. A
+    * rename-style committer keeps exactly the head (the swap destroys
+    * the previous version); a log-structured committer keeps its
+    * retention window. */
+  def retainedGens(fs: org.apache.hadoop.fs.FileSystem,
+                   dst: Path): Seq[Long] = {
+    val g = currentGen(fs, dst)
+    if (g > 0 || resolve(fs, dst).isDefined) Seq(g) else Seq.empty
+  }
+
+  /** Snapshot read at a specific retained generation (`VERSION AS
+    * OF`). Rename-style committers can only serve the head — their
+    * swap physically replaces the previous version; ManifestLog
+    * serves any generation inside its retention window. None = not
+    * retained here. */
+  def resolveGen(fs: org.apache.hadoop.fs.FileSystem, dst: Path,
+                 gen: Long): Option[Path] =
+    if (gen == currentGen(fs, dst)) resolve(fs, dst) else None
+
   /** CAS-guarded publish: commit the new version as generation
     * `expectedGen + 1`, throwing [[StaleWriteException]] — WITHOUT
     * touching the live table — when any other writer committed since
@@ -269,24 +288,51 @@ object Committer {
                             dst: Path): Long =
       manifests(fs, dst).lastOption.map(_._1).getOrElse(0L)
 
+    private def dataOf(fs: org.apache.hadoop.fs.FileSystem,
+                       dst: Path, mf: Path): Path = {
+      val in = fs.open(mf)
+      val body = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+        new String(bos.toByteArray, "UTF-8")
+      } finally in.close()
+      """"data":"([^"]+)"""".r.findFirstMatchIn(body)
+        .map(m => new Path(dataDir(dst), m.group(1)))
+        .getOrElse(throw new java.io.IOException(
+          s"manifest $mf names no data dir: $body"))
+    }
+
     override def resolve(fs: org.apache.hadoop.fs.FileSystem,
                          dst: Path): Option[Path] =
       manifests(fs, dst).lastOption match {
-        case Some((_, mf)) =>
-          val in = fs.open(mf)
-          val body = try {
-            val bos = new java.io.ByteArrayOutputStream()
-            org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
-            new String(bos.toByteArray, "UTF-8")
-          } finally in.close()
-          """"data":"([^"]+)"""".r.findFirstMatchIn(body)
-            .map(m => new Path(dataDir(dst), m.group(1)))
-            .orElse(throw new java.io.IOException(
-              s"manifest $mf names no data dir: $body"))
+        case Some((_, mf)) => Some(dataOf(fs, dst, mf))
         // legacy fallback: a pre-manifest table adopted by this
         // committer serves its plain directory until the first commit
         case None => if (fs.exists(dst)) Some(dst) else None
       }
+
+    /** Retained generations of the table, oldest first — the
+      * transactional-format `DESCRIBE HISTORY` surface. Older
+      * generations age out of the window after `GcKeep` commits. */
+    override def retainedGens(fs: org.apache.hadoop.fs.FileSystem,
+                              dst: Path): Seq[Long] = {
+      val ms = manifests(fs, dst)
+      if (ms.isEmpty) { // adopted legacy plain dir = generation 0
+        if (fs.exists(dst)) Seq(0L) else Seq.empty
+      } else ms.map(_._1)
+    }
+
+    /** Snapshot read at a RETAINED generation (`VERSION AS OF`): the
+      * manifest's data dir is immutable until its generation ages past
+      * the retention window, so the returned path is a consistent
+      * point-in-time view regardless of concurrent commits. None when
+      * the generation was never committed here or has been GC'd. */
+    override def resolveGen(fs: org.apache.hadoop.fs.FileSystem,
+                            dst: Path, gen: Long): Option[Path] = {
+      val ms = manifests(fs, dst)
+      if (ms.isEmpty && gen == 0L && fs.exists(dst)) Some(dst)
+      else ms.find(_._1 == gen).map { case (_, mf) => dataOf(fs, dst, mf) }
+    }
 
     /** Single-writer publish (table lock held): commit over whatever
       * the head is — same atomic protocol, no expected-gen guard. */
@@ -567,6 +613,27 @@ class FeatureStore(
   def versionedTable(loader: String): DataFrame =
     readTable(loader).getOrElse(throw new IllegalArgumentException(
       s"no table for loader '$loader'"))
+
+  /** Generations of a loader's table still readable in place, oldest
+    * first — `DESCRIBE HISTORY` for the committer's retention window.
+    * Under the default Rename committer this is just the head; under
+    * ManifestLog it is the trailing retention window. */
+  def tableGenerations(loader: String): Seq[Long] =
+    committer.retainedGens(fs, new Path(tablePath(loader)))
+
+  /** Snapshot read of a loader's SCD2 table at a specific COMMIT
+    * GENERATION (`VERSION AS OF` — time travel by transaction-format
+    * commit, complementing [[Scd2.sliceAt]]'s by-timestamp travel:
+    * generations also capture physical rewrites like purges and
+    * compactions that SCD2 timestamps deliberately do not). Throws
+    * with the retained window when `gen` is not readable. */
+  def versionedTableAt(loader: String, gen: Long): DataFrame =
+    committer.resolveGen(fs, new Path(tablePath(loader)), gen)
+      .map(p => spark.read.parquet(p.toString))
+      .map(df => if (partitionByMonth) df.drop("__vm") else df)
+      .getOrElse(throw new IllegalArgumentException(
+        s"generation $gen of loader '$loader' is not retained " +
+          s"(readable: ${tableGenerations(loader).mkString(", ")})"))
 
   /** Bounded optimistic-retry loop around a read-merge-publish cycle:
     * on [[StaleWriteException]] the whole `body` re-runs (re-reading

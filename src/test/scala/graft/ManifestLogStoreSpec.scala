@@ -172,6 +172,57 @@ class ManifestLogStoreSpec extends SparkSpec {
     assert(logTables == Set("customer_segment"))
   }
 
+  test("VERSION AS OF: generation snapshot reads inside the retention " +
+    "window; Rename serves only the head; unretained gens throw") {
+    val path = tmp("graft-mlog-asof")
+    def rows(k: Long, v: Long) =
+      Seq((k, v, "2020-01-05", "2020-01-10"))
+        .toDF("key_x", "n_val", "vf", "vu")
+        .select(col("key_x"), col("n_val"),
+          to_date(col("vf")).as("valid_from"),
+          to_date(col("vu")).as("valid_until"))
+    val store = new FeatureStore(spark, "unused", path,
+      dsMap = Seq("n_val" -> "ld"),
+      loaders = Map("ld" -> FeatureHandler(
+        compute = (_, _, _) => rows(1L, 10L),
+        keyJoin = Aggregators.Sum, feature = "n_val")),
+      commitProtocol = M)
+    store.appendCommit("ld", rows(1L, 10L), "2024-01-01 00:00:00")
+    store.appendCommit("ld", rows(2L, 20L), "2024-02-01 00:00:00")
+    store.appendCommit("ld", rows(3L, 30L), "2024-03-01 00:00:00")
+    assert(store.tableGenerations("ld") == Seq(1L, 2L, 3L))
+    def keysAt(g: Long) = store.versionedTableAt("ld", g)
+      .select("key_x").as[Long].collect().toSet
+    assert(keysAt(1L) == Set(1L))
+    assert(keysAt(2L) == Set(1L, 2L))
+    assert(keysAt(3L) == Set(1L, 2L, 3L))
+    // generation snapshots capture PHYSICAL rewrites SCD2 timestamps
+    // do not: after a purge, the pre-purge generation still serves
+    // the erased key (until it ages out of the window)
+    store.purgeKeys("ld", "key_x", Seq(1L).toDF("key_x"))
+    assert(keysAt(4L) == Set(2L, 3L))
+    assert(keysAt(3L) == Set(1L, 2L, 3L))
+    val err = intercept[IllegalArgumentException] {
+      store.versionedTableAt("ld", 99L)
+    }
+    assert(err.getMessage.contains("not retained"))
+    // Rename committer: only the head generation is physically
+    // readable (the swap destroys the previous version)
+    val rstore = new FeatureStore(spark, "unused", tmp("graft-ren-asof"),
+      dsMap = Seq("n_val" -> "ld"),
+      loaders = Map("ld" -> FeatureHandler(
+        compute = (_, _, _) => rows(1L, 10L),
+        keyJoin = Aggregators.Sum, feature = "n_val")))
+    rstore.appendCommit("ld", rows(1L, 10L), "2024-01-01 00:00:00")
+    rstore.appendCommit("ld", rows(2L, 20L), "2024-02-01 00:00:00")
+    assert(rstore.tableGenerations("ld") == Seq(2L))
+    assert(rstore.versionedTableAt("ld", 2L)
+      .select("key_x").as[Long].collect().toSet == Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      rstore.versionedTableAt("ld", 1L)
+    }
+  }
+
   test("streaming SCD2 ingest commits per batch through the manifest " +
     "log, idempotent under replay") {
     implicit val sqlCtx = spark.sqlContext
