@@ -457,37 +457,12 @@ object SuffixDedup {
     val ranges = exciseRanges(
       duplicatedSpans(df, idCol, textCol, minLen, maxLcp))
     // merged ranges are disjoint and non-touching (next.cut_from >
-    // prev.cut_until), so per doc they form a small sorted array
-    val rngs = ranges
-      .groupBy(col("doc"))
-      .agg(sort_array(collect_list(
-        struct(col("cut_from").as("f"), col("cut_until").as("u"))))
-        .as("__rng"))
-    val ws = col("__ws")
-    val emptyRng = array().cast("array<struct<f:bigint,u:bigint>>")
-    df.select(col(idCol).cast("long").as("doc"), col(textCol))
-      .filter(col(textCol).isNotNull)
-      .join(rngs, Seq("doc"), "left")
-      .withColumn("__ws", split(trim(col(textCol)), "\\s+"))
-      // bounds = sentinel ∥ ranges ∥ sentinel; kept positions are the
-      // gaps [bounds(i).u, bounds(i+1).f) — the middle gaps are
-      // nonempty by the merge invariant, the edge gaps may be empty
-      // (doc starts/ends inside a cut), hence the guard: an unguarded
-      // sequence(a, b) with b < a would generate DESCENDING positions
-      .withColumn("__b", concat(
-        array(struct(lit(0L).as("f"), lit(1L).as("u"))),
-        coalesce(col("__rng"), emptyRng),
-        array(struct((size(ws) + 1).cast("long").as("f"),
-          (size(ws) + 1).cast("long").as("u")))))
-      .withColumn("__keep", flatten(zip_with(
-        slice(col("__b"), lit(1), size(col("__b")) - 1),
-        slice(col("__b"), lit(2), size(col("__b")) - 1),
-        (a, b) => when(a("u") <= b("f") - 1, sequence(a("u"), b("f") - 1))
-          .otherwise(array().cast("array<bigint>")))))
-      .select(col("doc"), size(ws).cast("long").as("n_tokens"),
-        (size(ws) - size(col("__keep"))).cast("long").as("n_removed"),
-        concat_ws(" ", transform(col("__keep"),
-          p => element_at(ws, p.cast("int")))).as("clean_text"))
+    // prev.cut_until), so per doc they form a small sorted array and
+    // the rebuild is the shared scan-local gap flatten (applyRanges)
+    val toks = df.select(col(idCol).cast("long").as("doc"),
+        split(trim(col(textCol)), "\\s+").as("ta"))
+      .filter(col("ta").isNotNull)
+    applyRanges(toks, ranges)
   }
 
   /** Corpus docs that can possibly share a ≥ `minLen`-token run with
@@ -567,7 +542,6 @@ object SuffixDedup {
   }
 
   def exciseRanges(spans: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cand = spans.select(
         when(col("doc_a") > col("doc_b") ||
           (col("doc_a") === col("doc_b") && col("pos_a") > col("pos_b")),
@@ -577,6 +551,16 @@ object SuffixDedup {
         col("lcp"))
       .select(col("c.d").as("doc"), col("c.p").cast("long").as("f"),
         (col("c.p") + col("lcp")).cast("long").as("u"))
+    mergeRanges(cand)
+  }
+
+  /** Merge candidate half-open token intervals `(doc, f, u)` into
+    * disjoint per-doc cut ranges: intervals group when they overlap or
+    * touch (gaps-and-islands; the window partitions by doc, bounded by
+    * that doc's candidate count — never corpus-wide). Output:
+    * (doc, cut_from, cut_until, n_spans), cut_until exclusive. */
+  private[graft] def mergeRanges(cand: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc")).orderBy(col("f"), col("u"))
     cand
       .withColumn("__maxu", max(col("u")).over(
@@ -590,5 +574,104 @@ object SuffixDedup {
         count(lit(1)).as("n_spans"))
       .select(col("doc"), col("cut_from"), col("cut_until"),
         col("n_spans"))
+  }
+
+  /** EXACT-substring DECONTAMINATION (the q112/q46 family upgraded
+    * from window-aligned grams to Lee et al.'s exact semantics): cut
+    * from every training doc each maximal span of ≥ `minLen` tokens
+    * that also appears verbatim ANYWHERE in the benchmark set —
+    * regardless of alignment, and cutting the TRAINING side always
+    * (unlike [[exciseRanges]]' smallest-copy rule; the benchmark is
+    * the protected reference, not a dedup peer).
+    *
+    * No suffix array needed here: with a small protected set, gram
+    * anchoring is exact AND candidate-bounded. Every contaminated span
+    * contains its starting `minLen`-gram, so pairs of (doc position,
+    * bench position) sharing a gram are a complete candidate set; the
+    * capped token-slice compare then measures the true shared prefix,
+    * which both kills hash collisions and extends the gram match to
+    * the maximal span. Every such [pos, pos+lcp) interval merges per
+    * doc ([[mergeRanges]]) and applies scan-locally
+    * ([[exciseText]]'s gap rebuild).
+    *
+    * Scale shape: the corpus pays one gram scan; the join is
+    * gram-hash-keyed and its output is bounded by contamination
+    * (corpus-side occurrences × bench-side occurrences per shared
+    * gram), so the token arrays re-attach to candidate pairs only.
+    * Output: (doc, n_tokens, n_removed, clean_text) over ALL docs. */
+  def decontaminateExact(docs: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, minLen: Int,
+                         maxLcp: Int = 512): DataFrame = {
+    require(minLen >= 1, "minLen must be >= 1")
+    require(maxLcp >= minLen, "maxLcp must be >= minLen")
+    val dToks = docs
+      .select(col(idCol).cast("long").as("doc"),
+        split(trim(col(textCol)), "\\s+").as("ta"))
+      .filter(col("ta").isNotNull)
+      .localCheckpoint(true) // gram scan + pair re-attach + rebuild
+    val bToks = bench
+      .select(col(idCol).cast("long").as("bdoc"),
+        split(trim(col(textCol)), "\\s+").as("tb"))
+      .filter(col("tb").isNotNull)
+      .localCheckpoint(true) // gram scan + pair re-attach
+    def grams(src: DataFrame, dc: String, ac: String,
+              posName: String): DataFrame = src
+      .filter(size(col(ac)) >= minLen)
+      .select(col(dc), explode(transform(
+        sequence(lit(1), size(col(ac)) - (minLen - 1)),
+        p => struct(p.as("pos"),
+          xxhash64(array_join(slice(col(ac), p, lit(minLen)), " "))
+            .as("g")))).as("e"))
+      .select(col(dc), col("e.pos").as(posName), col("e.g").as("g"))
+    val pairs = grams(dToks, "doc", "ta", "dpos")
+      .join(grams(bToks, "bdoc", "tb", "bpos"), Seq("g"))
+      .select(col("doc"), col("dpos"), col("bdoc"), col("bpos"))
+    val cand = pairs
+      .join(dToks, Seq("doc")).join(bToks, Seq("bdoc"))
+      .withColumn("__sa", slice(col("ta"), col("dpos"), lit(maxLcp)))
+      .withColumn("__sb", slice(col("tb"), col("bpos"), lit(maxLcp)))
+      .withColumn("__mism", array_position(
+        zip_with(col("__sa"), col("__sb"), (x, y) => x <=> y), false))
+      .withColumn("lcp",
+        when(col("__mism") === 0L,
+          least(size(col("__sa")), size(col("__sb"))).cast("long"))
+          .otherwise(col("__mism") - 1L))
+      .filter(col("lcp") >= minLen) // also kills gram-hash collisions
+      .select(col("doc"), col("dpos").cast("long").as("f"),
+        (col("dpos") + col("lcp")).cast("long").as("u"))
+    applyRanges(dToks, mergeRanges(cand))
+  }
+
+  /** Apply merged per-doc cut ranges to tokenized docs — the shared
+    * scan-local gap rebuild of [[exciseText]] and
+    * [[decontaminateExact]]: kept positions are the complement of the
+    * sorted disjoint ranges, flattened directly from the gaps. Input
+    * `toks` = (doc, ta); output (doc, n_tokens, n_removed,
+    * clean_text) over ALL docs (unmatched docs pass through). */
+  private def applyRanges(toks: DataFrame, ranges: DataFrame)
+      : DataFrame = {
+    val rngs = ranges
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(
+        struct(col("cut_from").as("f"), col("cut_until").as("u"))))
+        .as("__rng"))
+    val ws = col("ta")
+    val emptyRng = array().cast("array<struct<f:bigint,u:bigint>>")
+    toks
+      .join(rngs, Seq("doc"), "left")
+      .withColumn("__b", concat(
+        array(struct(lit(0L).as("f"), lit(1L).as("u"))),
+        coalesce(col("__rng"), emptyRng),
+        array(struct((size(ws) + 1).cast("long").as("f"),
+          (size(ws) + 1).cast("long").as("u")))))
+      .withColumn("__keep", flatten(zip_with(
+        slice(col("__b"), lit(1), size(col("__b")) - 1),
+        slice(col("__b"), lit(2), size(col("__b")) - 1),
+        (a, b) => when(a("u") <= b("f") - 1, sequence(a("u"), b("f") - 1))
+          .otherwise(array().cast("array<bigint>")))))
+      .select(col("doc"), size(ws).cast("long").as("n_tokens"),
+        (size(ws) - size(col("__keep"))).cast("long").as("n_removed"),
+        concat_ws(" ", transform(col("__keep"),
+          p => element_at(ws, p.cast("int")))).as("clean_text"))
   }
 }

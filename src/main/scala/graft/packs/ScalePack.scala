@@ -213,6 +213,20 @@ object ScalePack extends QueryPack {
           sum(col("n_tokens")).as("bin_tokens"))
     }),
 
+    // EXACT-substring decontamination: every maximal ≥8-token span of
+    // a training doc (doc_id % 10 != 4) that appears verbatim anywhere
+    // in the protected benchmark slice (doc_id % 10 = 4) is cut,
+    // regardless of alignment — the q112/q46 family upgraded to Lee et
+    // al. exact semantics. Gram-anchored candidate join, true-LCP
+    // extension, merged ranges, scan-local rebuild.
+    "q275_sa_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.SuffixDedup.decontaminateExact(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 4),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 4),
+        "doc_id", "text", minLen = 8)
+    }),
+
     // hybrid retrieval, ENGINE-EXACT: integer BM25 ∪ int8 integer-MIPS
     // dense ranking, fused through the integer RRF kernel — every rank
     // and fused score is an integer, so the hybrid result hash-checks
@@ -1156,6 +1170,82 @@ object ScalePack extends QueryPack {
       """SELECT doc_a, CAST(pos_a AS INT) AS pos_a, doc_b,
         |  CAST(pos_b AS INT) AS pos_b, lcp
         |FROM l WHERE lcp >= 8""".stripMargin),
+
+    // exact-substring decontamination: gram-anchored (train, bench)
+    // candidate pairs, true-LCP extension over capped suffix slices
+    // (kills any anchor false-positive and finds the maximal span),
+    // per-doc interval merge, then the q271-style scan-local rebuild
+    "q275_sa_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents),
+        |trn AS (SELECT doc_id, a FROM d WHERE doc_id % 10 <> 4),
+        |bch AS (SELECT doc_id, a FROM d WHERE doc_id % 10 = 4),
+        |tg AS (
+        |  SELECT doc_id, i, array_to_string(a[i:i+7], ' ') AS gram
+        |  FROM trn, LATERAL (SELECT unnest(generate_series(1,
+        |    len(a) - 7)) AS i) t),
+        |bgp AS (
+        |  SELECT doc_id, i, array_to_string(a[i:i+7], ' ') AS gram
+        |  FROM bch, LATERAL (SELECT unnest(generate_series(1,
+        |    len(a) - 7)) AS i) t),
+        |pr AS (
+        |  SELECT tg.doc_id AS doc, tg.i AS dpos,
+        |    bgp.doc_id AS bdoc, bgp.i AS bpos
+        |  FROM tg JOIN bgp USING (gram)),
+        |px AS (
+        |  SELECT pr.doc, pr.dpos,
+        |    ta.a[pr.dpos:pr.dpos+511] AS sa,
+        |    tb.a[pr.bpos:pr.bpos+511] AS sb
+        |  FROM pr JOIN trn ta ON ta.doc_id = pr.doc
+        |          JOIN bch tb ON tb.doc_id = pr.bdoc),
+        |lcx AS (
+        |  SELECT doc, dpos,
+        |    least(512, CASE WHEN mism IS NULL OR mism = 0
+        |      THEN least(la, lb) ELSE mism - 1 END) AS lcp
+        |  FROM (SELECT doc, dpos,
+        |      list_position(list_transform(list_zip(sa, sb),
+        |        x -> x[1] IS NOT DISTINCT FROM x[2]), false) AS mism,
+        |      len(sa) AS la, len(sb) AS lb
+        |    FROM px)),
+        |candx AS (
+        |  SELECT doc, CAST(dpos AS BIGINT) AS f,
+        |    CAST(dpos + lcp AS BIGINT) AS u
+        |  FROM lcx WHERE lcp >= 8),
+        |g1x AS (
+        |  SELECT doc, f, u, max(u) OVER (PARTITION BY doc
+        |    ORDER BY f, u ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING) AS mu
+        |  FROM candx),
+        |g2x AS (SELECT *, CASE WHEN mu IS NULL OR f > mu THEN 1 ELSE 0
+        |    END AS nw
+        |  FROM g1x),
+        |g3x AS (SELECT *, sum(nw) OVER (PARTITION BY doc
+        |    ORDER BY f, u ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM g2x),
+        |rngx AS (
+        |  SELECT doc, min(f) AS cf, max(u) AS cu
+        |  FROM g3x GROUP BY doc, grp),
+        |covx AS (
+        |  SELECT doc, unnest(generate_series(cf, cu - 1)) AS cp
+        |  FROM rngx),
+        |toksx AS (
+        |  SELECT doc_id AS doc, t.i AS pos, a[t.i] AS tok
+        |  FROM trn, LATERAL (SELECT unnest(generate_series(1, len(a)))
+        |    AS i) t),
+        |keptx AS (
+        |  SELECT t.doc, t.pos, t.tok
+        |  FROM toksx t LEFT JOIN covx c ON c.doc = t.doc AND c.cp = t.pos
+        |  WHERE c.doc IS NULL),
+        |kax AS (
+        |  SELECT doc, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS ct
+        |  FROM keptx GROUP BY doc)
+        |SELECT trn.doc_id AS doc, CAST(len(trn.a) AS BIGINT) AS n_tokens,
+        |  CAST(len(trn.a) - coalesce(kax.n_kept, 0) AS BIGINT)
+        |    AS n_removed,
+        |  coalesce(kax.ct, '') AS clean_text
+        |FROM trn LEFT JOIN kax ON kax.doc = trn.doc_id""".stripMargin,
 
     // SA capstone chain: excise (shared CTEs) -> >=10-kept gate ->
     // portable LSH -> 512-token bin packing, per-language accounting

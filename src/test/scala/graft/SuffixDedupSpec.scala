@@ -210,6 +210,74 @@ class SuffixDedupSpec extends SparkSpec {
     assert(runFiltered(uniq, 2).isEmpty)
   }
 
+  test("decontaminateExact: every >= minLen span shared with the bench " +
+    "set is cut at any alignment; train-train duplicates survive") {
+    // brute force: covered = union over (train pos p, bench pos q) of
+    // [p, p + cappedLcp) where cappedLcp >= minLen
+    def bruteDecon(docs: Seq[(Long, String)], bench: Seq[(Long, String)],
+        minLen: Int, maxLcp: Int = 512)
+        : Map[Long, (Long, Long, String)] =
+      docs.map { case (d, text) =>
+        val ts = text.trim.split("\\s+").toSeq
+        val covered = scala.collection.mutable.Set.empty[Int]
+        for ((_, btext) <- bench) {
+          val bs = btext.trim.split("\\s+").toSeq
+          for (p <- 1 to ts.length; q <- 1 to bs.length) {
+            val l = math.min(maxLcp,
+              ts.drop(p - 1).zip(bs.drop(q - 1))
+                .takeWhile { case (x, y) => x == y }.size)
+            if (l >= minLen) (p until p + l).foreach(covered += _)
+          }
+        }
+        val kept = (1 to ts.length).filterNot(covered)
+        d -> ((ts.length.toLong, covered.size.toLong,
+          kept.map(p => ts(p - 1)).mkString(" ")))
+      }.toMap
+    def run(docs: Seq[(Long, String)], bench: Seq[(Long, String)],
+        minLen: Int, maxLcp: Int = 512)
+        : Map[Long, (Long, Long, String)] =
+      SuffixDedup.decontaminateExact(docs.toDF("doc_id", "text"),
+          bench.toDF("doc_id", "text"), "doc_id", "text", minLen, maxLcp)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val leak = (1 to 10).map(i => s"ev$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"intro words $leak tail words here",   // unaligned leak
+      2L -> s"$leak",                               // fully contaminated
+      3L -> "clean document with no overlap at all honest",
+      4L -> "twin twin2 twin3 twin4 twin5 twin6 twin7 twin8 twin9",
+      5L -> "twin twin2 twin3 twin4 twin5 twin6 twin7 twin8 twin9")
+    val bench = Seq(
+      100L -> s"question prefix $leak answer suffix")
+    val got = run(docs, bench, minLen = 4)
+    assert(got == bruteDecon(docs, bench, 4))
+    // the leak is excised wherever it sat; the frame survives
+    assert(got(1L)._3 == "intro words tail words here")
+    assert(got(2L) == ((10L, 10L, "")))
+    // no benchmark overlap -> untouched; train-train duplicates (docs
+    // 4/5 are identical) are NOT decontamination targets
+    assert(got(3L)._2 == 0L && got(4L)._2 == 0L && got(5L)._2 == 0L)
+    // bench docs never appear in the output
+    assert(!got.contains(100L))
+    // overlapping hits from different bench docs merge
+    val bench2 = bench :+
+      (101L, "other copy ev3 ev4 ev5 ev6 ev7 ev8 ev9 ev10 extra1 extra2")
+    assert(run(docs, bench2, 4) == bruteDecon(docs, bench2, 4))
+    // cap: a shared run longer than maxLcp is cut only to the cap per
+    // anchor, but successive anchors tile the whole run — brute agrees
+    assert(run(docs, bench, 4, maxLcp = 5) == bruteDecon(docs, bench, 4, 5))
+    // randomized small-vocab (heavy accidental sharing)
+    val rnd = new scala.util.Random(37)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    def mk(ids: Range) = ids.map { d =>
+      d.toLong -> (1 to (3 + rnd.nextInt(10)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val rd = mk(1 to 8); val rb = mk(50 to 53)
+    assert(run(rd, rb, 2) == bruteDecon(rd, rb, 2))
+    assert(run(rd, rb, 3) == bruteDecon(rd, rb, 3))
+  }
+
   test("probeSpans == full rebuild restricted to batch-endpoint pairs; " +
     "affectedDocs is exact; ranges restricted-parity; no-overlap " +
     "batches never pull corpus docs into the doubling scope") {
