@@ -599,21 +599,20 @@ object SuffixDedup {
     * (corpus-side occurrences × bench-side occurrences per shared
     * gram), so the token arrays re-attach to candidate pairs only.
     * Output: (doc, n_tokens, n_removed, clean_text) over ALL docs. */
-  def decontaminateExact(docs: DataFrame, bench: DataFrame,
-                         idCol: String, textCol: String, minLen: Int,
-                         maxLcp: Int = 512): DataFrame = {
-    require(minLen >= 1, "minLen must be >= 1")
-    require(maxLcp >= minLen, "maxLcp must be >= minLen")
-    val dToks = docs
-      .select(col(idCol).cast("long").as("doc"),
-        split(trim(col(textCol)), "\\s+").as("ta"))
-      .filter(col("ta").isNotNull)
-      .localCheckpoint(true) // gram scan + pair re-attach + rebuild
-    val bToks = bench
-      .select(col(idCol).cast("long").as("bdoc"),
-        split(trim(col(textCol)), "\\s+").as("tb"))
-      .filter(col("tb").isNotNull)
-      .localCheckpoint(true) // gram scan + pair re-attach
+  /** Tokenize one side of the decontamination pair. */
+  private def deconToks(df: DataFrame, idCol: String, textCol: String,
+                        docName: String, arrName: String): DataFrame =
+    df.select(col(idCol).cast("long").as(docName),
+        split(trim(col(textCol)), "\\s+").as(arrName))
+      .filter(col(arrName).isNotNull)
+      .localCheckpoint(true) // gram scan + pair re-attach (+ rebuild)
+
+  /** Shared candidate stage of [[decontaminateExact]] and
+    * [[contaminationReport]]: gram-anchored (train position, bench
+    * position) pairs with their true capped LCP — one row per anchor
+    * with lcp ≥ minLen, columns (doc, bdoc, f, u). */
+  private def contaminationCandidates(dToks: DataFrame, bToks: DataFrame,
+      minLen: Int, maxLcp: Int): DataFrame = {
     def grams(src: DataFrame, dc: String, ac: String,
               posName: String): DataFrame = src
       .filter(size(col(ac)) >= minLen)
@@ -623,10 +622,9 @@ object SuffixDedup {
           xxhash64(array_join(slice(col(ac), p, lit(minLen)), " "))
             .as("g")))).as("e"))
       .select(col(dc), col("e.pos").as(posName), col("e.g").as("g"))
-    val pairs = grams(dToks, "doc", "ta", "dpos")
+    grams(dToks, "doc", "ta", "dpos")
       .join(grams(bToks, "bdoc", "tb", "bpos"), Seq("g"))
       .select(col("doc"), col("dpos"), col("bdoc"), col("bpos"))
-    val cand = pairs
       .join(dToks, Seq("doc")).join(bToks, Seq("bdoc"))
       .withColumn("__sa", slice(col("ta"), col("dpos"), lit(maxLcp)))
       .withColumn("__sb", slice(col("tb"), col("bpos"), lit(maxLcp)))
@@ -637,9 +635,56 @@ object SuffixDedup {
           least(size(col("__sa")), size(col("__sb"))).cast("long"))
           .otherwise(col("__mism") - 1L))
       .filter(col("lcp") >= minLen) // also kills gram-hash collisions
-      .select(col("doc"), col("dpos").cast("long").as("f"),
+      .select(col("doc"), col("bdoc"),
+        col("dpos").cast("long").as("f"),
         (col("dpos") + col("lcp")).cast("long").as("u"))
+  }
+
+  def decontaminateExact(docs: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, minLen: Int,
+                         maxLcp: Int = 512): DataFrame = {
+    require(minLen >= 1, "minLen must be >= 1")
+    require(maxLcp >= minLen, "maxLcp must be >= minLen")
+    val dToks = deconToks(docs, idCol, textCol, "doc", "ta")
+    val bToks = deconToks(bench, idCol, textCol, "bdoc", "tb")
+    val cand = contaminationCandidates(dToks, bToks, minLen, maxLcp)
+      .select(col("doc"), col("f"), col("u"))
     applyRanges(dToks, mergeRanges(cand))
+  }
+
+  /** Contamination ATTRIBUTION: which benchmark doc leaked into which
+    * training doc, and how badly — per (doc, bdoc) pair, the spans
+    * shared verbatim (≥ minLen tokens, any alignment) merged WITHIN
+    * the pair, reported as span count, total contaminated tokens (the
+    * union size on the training side) and the longest single span
+    * (capped at maxLcp). The audit companion of
+    * [[decontaminateExact]]: the transform cuts, this names sources —
+    * which benchmark items to quarantine, which crawl domains leak.
+    * Same contamination-bounded candidate stage; all-integer output
+    * (doc, bdoc, n_spans, contaminated_tokens, max_run — the longest
+    * CONTIGUOUS contaminated run, which may chain several staggered
+    * shared spans). */
+  def contaminationReport(docs: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String, minLen: Int,
+                          maxLcp: Int = 512): DataFrame = {
+    require(minLen >= 1, "minLen must be >= 1")
+    require(maxLcp >= minLen, "maxLcp must be >= minLen")
+    val dToks = deconToks(docs, idCol, textCol, "doc", "ta")
+    val bToks = deconToks(bench, idCol, textCol, "bdoc", "tb")
+    val cand = contaminationCandidates(dToks, bToks, minLen, maxLcp)
+    // merge per (doc, bdoc) pair: ride mergeRanges' doc key with the
+    // pair struct, then unpack
+    val merged = mergeRanges(cand.select(
+      struct(col("doc").as("d"), col("bdoc").as("b")).as("doc"),
+      col("f"), col("u")))
+    merged
+      .groupBy(col("doc.d").as("doc"), col("doc.b").as("bdoc"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("cut_until") - col("cut_from"))
+          .as("contaminated_tokens"),
+        max(col("cut_until") - col("cut_from")).as("max_run"))
+      .select(col("doc"), col("bdoc"), col("n_spans"),
+        col("contaminated_tokens"), col("max_run"))
   }
 
   /** Apply merged per-doc cut ranges to tokenized docs — the shared

@@ -227,6 +227,17 @@ object ScalePack extends QueryPack {
         "doc_id", "text", minLen = 8)
     }),
 
+    // contamination ATTRIBUTION: q275's audit companion — per
+    // (train doc, bench doc) pair, merged shared-span count, total
+    // contaminated tokens and the longest contiguous contaminated run
+    "q276_contamination_report" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.SuffixDedup.contaminationReport(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 4),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 4),
+        "doc_id", "text", minLen = 8)
+    }),
+
     // hybrid retrieval, ENGINE-EXACT: integer BM25 ∪ int8 integer-MIPS
     // dense ranking, fused through the integer RRF kernel — every rank
     // and fused score is an integer, so the hybrid result hash-checks
@@ -1107,6 +1118,43 @@ object ScalePack extends QueryPack {
          |FROM cum2 GROUP BY lang, bin_id""".stripMargin
   }
 
+  /** Shared prefix of the q275/q276 oracles: gram-anchored
+    * (train position, bench position) candidate pairs with their true
+    * capped LCP — ends in `lcx`(doc, bdoc, dpos, lcp). */
+  private val DeconCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+      |  FROM documents),
+      |trn AS (SELECT doc_id, a FROM d WHERE doc_id % 10 <> 4),
+      |bch AS (SELECT doc_id, a FROM d WHERE doc_id % 10 = 4),
+      |tg AS (
+      |  SELECT doc_id, i, array_to_string(a[i:i+7], ' ') AS gram
+      |  FROM trn, LATERAL (SELECT unnest(generate_series(1,
+      |    len(a) - 7)) AS i) t),
+      |bgp AS (
+      |  SELECT doc_id, i, array_to_string(a[i:i+7], ' ') AS gram
+      |  FROM bch, LATERAL (SELECT unnest(generate_series(1,
+      |    len(a) - 7)) AS i) t),
+      |pr AS (
+      |  SELECT tg.doc_id AS doc, tg.i AS dpos,
+      |    bgp.doc_id AS bdoc, bgp.i AS bpos
+      |  FROM tg JOIN bgp USING (gram)),
+      |px AS (
+      |  SELECT pr.doc, pr.bdoc, pr.dpos,
+      |    ta.a[pr.dpos:pr.dpos+511] AS sa,
+      |    tb.a[pr.bpos:pr.bpos+511] AS sb
+      |  FROM pr JOIN trn ta ON ta.doc_id = pr.doc
+      |          JOIN bch tb ON tb.doc_id = pr.bdoc),
+      |lcx AS (
+      |  SELECT doc, bdoc, dpos,
+      |    least(512, CASE WHEN mism IS NULL OR mism = 0
+      |      THEN least(la, lb) ELSE mism - 1 END) AS lcp
+      |  FROM (SELECT doc, bdoc, dpos,
+      |      list_position(list_transform(list_zip(sa, sb),
+      |        x -> x[1] IS NOT DISTINCT FROM x[2]), false) AS mism,
+      |      len(sa) AS la, len(sb) AS lb
+      |    FROM px))""".stripMargin
+
   /** Shared by the q269/q271/q272 oracles: q268's adjacent-pair spans
     * (`l`) folded into merge-grouped cut candidates — the larger
     * (doc, pos) occurrence is cut, half-open intervals group when they
@@ -1175,39 +1223,7 @@ object ScalePack extends QueryPack {
     // candidate pairs, true-LCP extension over capped suffix slices
     // (kills any anchor false-positive and finds the maximal span),
     // per-doc interval merge, then the q271-style scan-local rebuild
-    "q275_sa_decontaminate" ->
-      """WITH d AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
-        |  FROM documents),
-        |trn AS (SELECT doc_id, a FROM d WHERE doc_id % 10 <> 4),
-        |bch AS (SELECT doc_id, a FROM d WHERE doc_id % 10 = 4),
-        |tg AS (
-        |  SELECT doc_id, i, array_to_string(a[i:i+7], ' ') AS gram
-        |  FROM trn, LATERAL (SELECT unnest(generate_series(1,
-        |    len(a) - 7)) AS i) t),
-        |bgp AS (
-        |  SELECT doc_id, i, array_to_string(a[i:i+7], ' ') AS gram
-        |  FROM bch, LATERAL (SELECT unnest(generate_series(1,
-        |    len(a) - 7)) AS i) t),
-        |pr AS (
-        |  SELECT tg.doc_id AS doc, tg.i AS dpos,
-        |    bgp.doc_id AS bdoc, bgp.i AS bpos
-        |  FROM tg JOIN bgp USING (gram)),
-        |px AS (
-        |  SELECT pr.doc, pr.dpos,
-        |    ta.a[pr.dpos:pr.dpos+511] AS sa,
-        |    tb.a[pr.bpos:pr.bpos+511] AS sb
-        |  FROM pr JOIN trn ta ON ta.doc_id = pr.doc
-        |          JOIN bch tb ON tb.doc_id = pr.bdoc),
-        |lcx AS (
-        |  SELECT doc, dpos,
-        |    least(512, CASE WHEN mism IS NULL OR mism = 0
-        |      THEN least(la, lb) ELSE mism - 1 END) AS lcp
-        |  FROM (SELECT doc, dpos,
-        |      list_position(list_transform(list_zip(sa, sb),
-        |        x -> x[1] IS NOT DISTINCT FROM x[2]), false) AS mism,
-        |      len(sa) AS la, len(sb) AS lb
-        |    FROM px)),
+    "q275_sa_decontaminate" -> (DeconCtes + """,
         |candx AS (
         |  SELECT doc, CAST(dpos AS BIGINT) AS f,
         |    CAST(dpos + lcp AS BIGINT) AS u
@@ -1245,7 +1261,33 @@ object ScalePack extends QueryPack {
         |  CAST(len(trn.a) - coalesce(kax.n_kept, 0) AS BIGINT)
         |    AS n_removed,
         |  coalesce(kax.ct, '') AS clean_text
-        |FROM trn LEFT JOIN kax ON kax.doc = trn.doc_id""".stripMargin,
+        |FROM trn LEFT JOIN kax ON kax.doc = trn.doc_id""".stripMargin),
+
+    // contamination attribution: the same anchor+LCP chain, merged
+    // per (train doc, bench doc) pair, aggregated to the audit triple
+    "q276_contamination_report" -> (DeconCtes + """,
+        |candp AS (
+        |  SELECT doc, bdoc, CAST(dpos AS BIGINT) AS f,
+        |    CAST(dpos + lcp AS BIGINT) AS u
+        |  FROM lcx WHERE lcp >= 8),
+        |p1 AS (
+        |  SELECT doc, bdoc, f, u, max(u) OVER (PARTITION BY doc, bdoc
+        |    ORDER BY f, u ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING) AS mu
+        |  FROM candp),
+        |p2 AS (SELECT *, CASE WHEN mu IS NULL OR f > mu THEN 1 ELSE 0
+        |    END AS nw
+        |  FROM p1),
+        |p3 AS (SELECT *, sum(nw) OVER (PARTITION BY doc, bdoc
+        |    ORDER BY f, u ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM p2),
+        |prng AS (
+        |  SELECT doc, bdoc, min(f) AS cf, max(u) AS cu
+        |  FROM p3 GROUP BY doc, bdoc, grp)
+        |SELECT doc, bdoc, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(cu - cf) AS BIGINT) AS contaminated_tokens,
+        |  CAST(max(cu - cf) AS BIGINT) AS max_run
+        |FROM prng GROUP BY doc, bdoc""".stripMargin),
 
     // SA capstone chain: excise (shared CTEs) -> >=10-kept gate ->
     // portable LSH -> 512-token bin packing, per-language accounting

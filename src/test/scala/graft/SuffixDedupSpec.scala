@@ -278,6 +278,73 @@ class SuffixDedupSpec extends SparkSpec {
     assert(run(rd, rb, 3) == bruteDecon(rd, rb, 3))
   }
 
+  test("contaminationReport: per (doc, bench-doc) merged spans, " +
+    "totals and longest run match brute force") {
+    def brute(docs: Seq[(Long, String)], bench: Seq[(Long, String)],
+        minLen: Int, maxLcp: Int = 512)
+        : Set[(Long, Long, Long, Long, Long)] = {
+      val out = for {
+        (d, text) <- docs
+        (b, btext) <- bench
+      } yield {
+        val ts = text.trim.split("\\s+").toSeq
+        val bs = btext.trim.split("\\s+").toSeq
+        val ivs = for {
+          p <- 1 to ts.length; q <- 1 to bs.length
+          l = math.min(maxLcp, ts.drop(p - 1).zip(bs.drop(q - 1))
+            .takeWhile { case (x, y) => x == y }.size)
+          if l >= minLen
+        } yield (p.toLong, (p + l).toLong)
+        if (ivs.isEmpty) None
+        else {
+          // merge overlap-or-touch
+          val sorted = ivs.sorted
+          val merged = sorted.tail.foldLeft(List(sorted.head)) {
+            case (acc @ ((f0, u0) :: rest), (f, u)) =>
+              if (f > u0) (f, u) :: acc
+              else (f0, math.max(u0, u)) :: rest
+            case (Nil, iv) => List(iv)
+          }
+          Some((d, b, merged.size.toLong,
+            merged.map(m => m._2 - m._1).sum,
+            merged.map(m => m._2 - m._1).max))
+        }
+      }
+      out.flatten.toSet
+    }
+    def run(docs: Seq[(Long, String)], bench: Seq[(Long, String)],
+        minLen: Int, maxLcp: Int = 512)
+        : Set[(Long, Long, Long, Long, Long)] =
+      SuffixDedup.contaminationReport(docs.toDF("doc_id", "text"),
+          bench.toDF("doc_id", "text"), "doc_id", "text", minLen, maxLcp)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val leak = (1 to 10).map(i => s"ev$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"intro words $leak mid other $leak tail", // two spans
+      2L -> "clean document with no overlap at all honest",
+      3L -> s"$leak")
+    val bench = Seq(
+      100L -> s"q prefix $leak a suffix",
+      101L -> "ev3 ev4 ev5 ev6 ev7 other benchmark words")
+    val got = run(docs, bench, minLen = 4)
+    assert(got == brute(docs, bench, 4))
+    // doc 1 x bench 100: both leak copies -> 2 merged spans of 10
+    assert(got.contains((1L, 100L, 2L, 20L, 10L)))
+    // clean doc never appears
+    assert(!got.exists(_._1 == 2L))
+    // cap interacts with merging identically on both sides
+    assert(run(docs, bench, 4, maxLcp = 6) == brute(docs, bench, 4, 6))
+    // randomized small-vocab
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    def mk(ids: Range) = ids.map { d =>
+      d.toLong -> (1 to (3 + rnd.nextInt(10)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val rd = mk(1 to 8); val rb = mk(50 to 53)
+    assert(run(rd, rb, 2) == brute(rd, rb, 2))
+  }
+
   test("probeSpans == full rebuild restricted to batch-endpoint pairs; " +
     "affectedDocs is exact; ranges restricted-parity; no-overlap " +
     "batches never pull corpus docs into the doubling scope") {
