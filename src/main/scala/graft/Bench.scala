@@ -188,7 +188,14 @@ object Bench {
     // still-suspect AFTER a fresh-JVM pass = a real regression signal
     val suspects = findSuspects(mins)
     val total = if (mins.nonEmpty) mins.map(_._2).sum else 0.0
-    if (!isChild) {
+    // An isolated SPARK_GRAFT_ONLY run (with or without the CHILD
+    // marker) is a measurement probe, not a round record: writing
+    // best/pending/full/iters from a one-query map would wipe every
+    // other query's pending first-confirmation and restart its
+    // two-confirmation clock (r14 advice). Artifacts are only written
+    // by full, non-child passes.
+    val isIsolated = only.nonEmpty
+    if (!isChild && !isIsolated) {
       // Best-ever AGING: a fresh-JVM adjudication is the cleanest
       // sample this machine can produce — if even THAT is still above
       // the suspect threshold, the recorded best is a stale lucky
@@ -274,7 +281,7 @@ object Bench {
     // The driver's tail-scrape has parsed to null for 12 rounds (sbt's
     // "[info] " prefix + surrounding log noise defeat it) — ALSO write
     // the summary object to a file it can read directly.
-    if (!isChild) writeJson("bench_summary.json", line + "\n")
+    if (!isChild && !isIsolated) writeJson("bench_summary.json", line + "\n")
     // Printed AFTER spark.stop() so no executor/log line lands behind it.
     println(line)
   }

@@ -358,7 +358,8 @@ object Hnsw {
     val spark = queriesDf.sparkSession
     import spark.implicits._
     recoverParked(new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath,
+      restoreOnly = true)
     val byCluster = routeQueries(
       queriesDf, idCol, embCol, queryPred, model, nprobe, maxQueries)
     val bc = spark.sparkContext.broadcast(byCluster)
@@ -397,21 +398,36 @@ object Hnsw {
     * dir): a parked dir whose live dir is MISSING is a predecessor
     * that died between parking the old version and renaming the new
     * one in — put it back; a parked dir alongside a live dir is
-    * superseded — drop it. Runs at the top of every append and load,
-    * so a crash never strands the index. */
+    * superseded — drop it (writer path only, see below). Runs at the
+    * top of every append and load, so a crash never strands the index.
+    *
+    * Concurrency contract: appends are SINGLE-WRITER (one appendIndex
+    * per index path at a time — the caller serializes writers the way
+    * it serializes any table write). Readers MAY overlap a writer:
+    * the read path therefore runs RESTORE-ONLY recovery — it re-renames
+    * a parked dir whose live dir is missing (best-effort: a rename
+    * lost to the writer's own staged→live swap just means the live dir
+    * exists, which is the goal) and NEVER deletes a parked dir or the
+    * park root. Deleting from the read path could race an in-flight
+    * append: listStatus + delete(park) between the writer's park and
+    * its staged rename would destroy the only surviving copy of a
+    * cluster if the writer then crashed (r14 advice). Only the writer
+    * — which by contract has no concurrent writer — drops superseded
+    * parks and the park root. */
   private def recoverParked(fs: org.apache.hadoop.fs.FileSystem,
-                            path: String): Unit = {
+                            path: String,
+                            restoreOnly: Boolean = false): Unit = {
     val park = new org.apache.hadoop.fs.Path(path + "__park")
     if (!fs.exists(park)) return
     fs.listStatus(park).foreach { st =>
       val live = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
       if (!fs.exists(live)) {
-        if (!fs.rename(st.getPath, live))
+        if (!fs.rename(st.getPath, live) && !restoreOnly)
           throw new java.io.IOException(
             s"appendIndex recovery: could not restore ${st.getPath}")
-      } else fs.delete(st.getPath, true)
+      } else if (!restoreOnly) fs.delete(st.getPath, true)
     }
-    fs.delete(park, true)
+    if (!restoreOnly) fs.delete(park, true)
   }
 
   /** Append a batch of new vectors to a persisted index. Only the

@@ -382,10 +382,16 @@ object SuffixDedup {
           .select(col("doc"), col("e.pos").as("pos"), col("e.g").as("g"))
         val dupG = g.groupBy(col("g")).agg(count(lit(1)).as("c"))
           .filter(col("c") >= 2).select(col("g"))
-        prTab.join(
+        val kept = prTab.join(
           g.join(dupG, Seq("g"), "left_semi")
             .select(col("doc"), col("pos")),
           Seq("doc", "pos"), "left_semi")
+        if (sys.env.contains("SPARK_GRAFT_SA_DEBUG")) {
+          val k = kept.localCheckpoint(true)
+          System.err.println(s"SA block filter kept=${k.count()} " +
+            s"of $nPos positions t=${System.nanoTime() / 1e9}")
+          k
+        } else kept
       }
     // suffix-array order = (pr, doc, pos); exactly-equal suffixes
     // (the only possible rank ties after full doubling) tie-break by

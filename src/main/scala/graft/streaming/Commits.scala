@@ -18,14 +18,30 @@ import org.apache.spark.sql.DataFrame
 object Commits {
 
   def appendIfAbsent(rows: DataFrame, path: String,
-                     keyCol: String): Unit = {
+                     keyCol: String): Unit =
+    appendIfAbsent(rows, path, Seq(keyCol))
+
+  /** Composite-key variant. Key granularity matters for replay
+    * correctness when one logical unit spans several rows: a parquet
+    * job commit is not atomic across task files, so a crash mid-commit
+    * can expose SOME of a unit's rows — an anti-join on the unit key
+    * alone would then skip the unit on replay and drop the missing
+    * rows forever. Keying on the FULL deterministic row identity makes
+    * the replay append exactly the rows the crashed commit lost (the
+    * recomputation is deterministic, so re-appended rows are
+    * byte-equal to the lost ones). Use the single-column form only
+    * when a unit is exactly one row (r14 advice, SaProbeStream
+    * ranges). */
+  def appendIfAbsent(rows: DataFrame, path: String,
+                     keyCols: Seq[String]): Unit = {
     val spark = rows.sparkSession
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh = (
       if (!fs.exists(p)) rows
-      else rows.join(spark.read.parquet(path).select(keyCol),
-        Seq(keyCol), "left_anti")
+      else rows.join(
+        spark.read.parquet(path).select(keyCols.head, keyCols.tail: _*),
+        keyCols, "left_anti")
     ).localCheckpoint(true)
     if (!fresh.isEmpty) fresh.write.mode("append").parquet(path)
   }

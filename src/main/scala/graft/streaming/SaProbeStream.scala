@@ -74,11 +74,16 @@ object SaProbeStream {
       SuffixDedup.probeSpans(corpus, prepared, "doc_id", "text",
         minLen, maxLcp))
     // ranges first: if the corpus append dies, the replay recomputes
-    // identical ranges from the unchanged corpus; a doc's ranges all
-    // land in its own commit, so the doc-keyed anti-join makes replays
-    // no-ops (docs with zero ranges recompute to zero rows — also a
-    // no-op)
-    Commits.appendIfAbsent(ranges, rangesPath, "doc")
+    // identical ranges from the unchanged corpus and the anti-join
+    // makes the re-append a no-op. The anti-join keys on the FULL
+    // range row, not `doc` alone: the parquet job commit is not atomic
+    // across task files, so a crash mid-commit can expose SOME of a
+    // doc's range rows — a doc-keyed replay would then skip the doc
+    // and drop its missing ranges forever, breaking "ranges are final
+    // when written". Full-row keying re-appends exactly the lost rows
+    // (the recomputation is deterministic). (r14 advice)
+    Commits.appendIfAbsent(ranges, rangesPath,
+      Seq("doc", "cut_from", "cut_until"))
     Commits.appendIfAbsent(prepared, corpusPath, "doc_id")
   }
 

@@ -195,6 +195,22 @@ class HnswSpec extends SparkSpec {
         k = 10, model, nprobe = 8, indexPath = path, efSearch = 96)
       .as[(Long, Int, Long)].collect().toSet
     assert(got == expected)
+    // read-path recovery is RESTORE-ONLY (r14 advice): a parked dir
+    // alongside a live dir could be an in-flight writer's park, not a
+    // superseded leftover — a reader must never delete it (or the park
+    // root), else a writer crash in that window loses the cluster.
+    assert(park.mkdirs() || park.isDirectory)
+    val inFlight = new java.io.File(park, touchedDir)
+    assert(inFlight.mkdirs(), "test setup: fake in-flight park")
+    Hnsw.loadTopK(emb, "vec_id", "embedding", pred, k = 10,
+      model, nprobe = 8, indexPath = path, efSearch = 96).count()
+    assert(inFlight.isDirectory,
+      "read path deleted a parked dir alongside a live one")
+    assert(park.isDirectory, "read path deleted the park root")
+    // the writer path (single-writer contract) does clean it up
+    Hnsw.appendIndex(b, "vec_id", "embedding", model, path)
+    assert(!park.exists, "writer-entry recovery left the park root")
+    assert(dump() == once, "writer-entry recovery changed the index")
   }
 
   test("routing bound: a query only receives candidates from its " +

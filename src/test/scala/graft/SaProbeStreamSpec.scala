@@ -88,5 +88,28 @@ class SaProbeStreamSpec extends SparkSpec {
     // corpus did not double batch 3's rows
     assert(spark.read.parquet(corpusP).count() ==
       (b1 ++ b2 ++ b3).size)
+    val committed3 = rangesAt(rangesP)
+
+    // partial-RANGES-commit window (r14 advice): a parquet job commit
+    // is not atomic across task files, so a crash mid ranges-append
+    // can expose SOME of a doc's range rows. The replay must append
+    // the missing rows (full-row anti-join), not skip the doc because
+    // its key is already present.
+    val b4 = Seq(
+      30L -> s"$shared gap1 gap2 gap3 gap4 gap5 $shared")
+    val ref4 = reference(b1 ++ b2 ++ b3 ++ b4, Set(30L))
+    assert(ref4.size >= 2, s"need a multi-range doc, got $ref4")
+    // simulate the torn commit: exactly one of doc 30's range rows
+    // became visible before the crash; the corpus append never ran
+    Seq(ref4.minBy(_._2)).toDF("doc", "cut_from", "cut_until", "n_spans")
+      .write.mode("append").parquet(rangesP)
+    SaProbeStream.commitBatch(b4.toDF("doc_id", "text"),
+      corpusP, rangesP, minLen = 4)
+    assert(rangesAt(rangesP) == committed3 ++ ref4)
+    // and no row was double-appended (Set equality alone would hide it)
+    val allRows = spark.read.parquet(rangesP)
+      .select("doc", "cut_from", "cut_until", "n_spans")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(allRows.length == allRows.toSet.size, "duplicate range rows")
   }
 }
