@@ -297,9 +297,90 @@ object Committer {
         new String(bos.toByteArray, "UTF-8")
       } finally in.close()
       """"data":"([^"]+)"""".r.findFirstMatchIn(body)
-        .map(m => new Path(dataDir(dst), m.group(1)))
+        // "." = an ADOPTED plain-layout generation: the data is the
+        // legacy directory itself (see [[adopt]]) — zero-copy upgrade
+        .map(m => if (m.group(1) == ".") dst
+                  else new Path(dataDir(dst), m.group(1)))
         .getOrElse(throw new java.io.IOException(
           s"manifest $mf names no data dir: $body"))
+    }
+
+    /** Atomically give a fully-written temp manifest its final name —
+      * the claim-IS-publish primitive shared by [[publishCas]] and
+      * [[adopt]]. Both branches FAIL (never replace) when another
+      * writer's manifest already holds the final name. On `file://`,
+      * `Files.createLink` (hard-link creation is O_EXCL-atomic at the
+      * OS level — Hadoop's local `create(overwrite=false)` is
+      * exists-then-create and its local `rename` silently REPLACES);
+      * on HDFS-like schemes, `fs.rename`, which refuses an existing
+      * destination. */
+    private def claimManifest(fs: org.apache.hadoop.fs.FileSystem,
+                              dst: Path, tmp: Path, mf: Path): Boolean =
+      KeyedLocks.withLock(s"__manifest#${logDir(dst)}") {
+        if ("file" == fs.getUri.getScheme) {
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(mf.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            fs.delete(tmp, false)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        } else {
+          try fs.rename(tmp, mf)
+          catch { case _: java.io.IOException => false }
+        }
+      }
+
+    /** Adopt an existing PLAIN-layout table (e.g. one written by the
+      * default [[Rename]] committer) in place — ZERO data copy: write
+      * an adoption manifest whose data pointer is the legacy directory
+      * itself (`"data":"."`), claimed through the same atomic
+      * link/rename primitive as any commit. From that moment the table
+      * is a first-class ManifestLog table — multi-writer CAS publishes,
+      * retention, and VERSION AS OF all work — and the adopted
+      * generation serves the original files byte-identically.
+      *
+      * The adopted generation CONTINUES the Rename committer's `.gens`
+      * numbering (max marker + 1; 1 for a marker-less legacy table), so
+      * a writer that captured its generation under Rename and publishes
+      * after the migration gets a clean [[StaleWriteException]] instead
+      * of a silent renumbering collision.
+      *
+      * Idempotent: adopting a table that already has manifests is a
+      * no-op returning the current head; a concurrent adopt race has
+      * one winner and the loser returns success. The legacy directory
+      * is NEVER garbage-collected by retention (the GC only touches
+      * `.mdata` children), so external engines can keep reading `dst`
+      * as the frozen adopted snapshot even after the adopted generation
+      * ages out of the retention window. Returns the adopted (or
+      * already-current) head generation. */
+    def adopt(fs: org.apache.hadoop.fs.FileSystem, dst: Path): Long = {
+      val existing = manifests(fs, dst)
+      if (existing.nonEmpty) return existing.last._1
+      if (!fs.exists(dst))
+        throw new java.io.FileNotFoundException(
+          s"adopt: no plain-layout table at $dst")
+      val gen = Committer.currentGen(fs, dst) + 1
+      val ld = logDir(dst)
+      fs.mkdirs(ld)
+      val uuid = java.util.UUID.randomUUID().toString.take(8)
+      val mf = new Path(ld, manifestName(gen))
+      val tmp = new Path(ld, manifestName(gen) + s".$uuid.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"""{"gen":$gen,"data":"."}""".getBytes("UTF-8"))
+      finally out.close()
+      if (!claimManifest(fs, dst, tmp, mf)) {
+        fs.delete(tmp, false)
+        // a concurrent adopter (or first committer) won the claim —
+        // the table is adopted either way
+        val now = manifests(fs, dst)
+        if (now.nonEmpty) return now.last._1
+        throw new java.io.IOException(
+          s"adopt: claim failed for $mf with no surviving manifest")
+      }
+      gen
     }
 
     override def resolve(fs: org.apache.hadoop.fs.FileSystem,
@@ -364,22 +445,7 @@ object Committer {
       // the claim: atomically give the fully-written manifest body its
       // final name — both primitives fail (don't replace) when another
       // writer's manifest.<next> already exists
-      val claimed = KeyedLocks.withLock(s"__manifest#$ld") {
-        if ("file" == fs.getUri.getScheme) {
-          try {
-            java.nio.file.Files.createLink(
-              java.nio.file.Paths.get(mf.toUri.getPath),
-              java.nio.file.Paths.get(tmp.toUri.getPath))
-            fs.delete(tmp, false)
-            true
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
-          }
-        } else {
-          try fs.rename(tmp, mf)
-          catch { case _: java.io.IOException => false }
-        }
-      }
+      val claimed = claimManifest(fs, dst, tmp, mf)
       if (!claimed) {
         withdraw()
         throw new StaleWriteException(
@@ -554,17 +620,21 @@ class FeatureStore(
 
   /** The commit protocol for table publishes — `commitProtocol` from
     * the constructor (or override this directly). [[Committer.Rename]]
-    * stays the DEFAULT deliberately: a Rename table is a plain parquet
-    * directory any external engine (the DuckDB oracle, parquet CLI
-    * tooling, a downstream Spark job given the path) reads directly,
-    * and pre-existing plain-layout tables are adopted at zero cost.
-    * [[Committer.ManifestLog]] is the supported opt-in for deployments
-    * that need the claim→swap window closed (true snapshot commits,
-    * multi-writer without the residual reader window) — the FULL store
-    * battery (conformance, compaction, backup, purge, schema
-    * evolution, streaming ingest) runs against it in
-    * ManifestLogStoreSpec; its cost is that the data lives in
-    * generation dirs only a committer-aware reader resolves. */
+    * stays the DEFAULT for ONE remaining reason: a Rename table is a
+    * plain parquet directory any external engine (the DuckDB oracle,
+    * parquet CLI tooling, a downstream Spark job given the path) reads
+    * directly, with no committer-aware resolve step. The former second
+    * reason — zero-cost adoption of pre-existing plain tables — no
+    * longer differentiates: [[Committer.ManifestLog.adopt]] upgrades a
+    * deployed Rename store in place (a gen manifest pointing at the
+    * plain directory, no data copy). [[Committer.ManifestLog]] is the
+    * supported opt-in for deployments that need the claim→swap window
+    * closed (true snapshot commits, multi-writer without the residual
+    * reader window) — the FULL store battery (conformance, adoption,
+    * compaction, backup, purge, schema evolution, streaming ingest)
+    * runs against it in ManifestLogStoreSpec; its cost is that
+    * POST-adoption data lives in generation dirs only a
+    * committer-aware reader resolves. */
   protected def committer: Committer = commitProtocol
 
   /** Atomically replace the loader's SCD2 table with `df` (through the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryPack
 import graft.core.Tables
-import graft.operators.{Chunking, Dedup, Similarity, Splits, TextAnalysis}
+import graft.operators.{Chunking, Dedup, Markup, Similarity, Splits, TextAnalysis}
 
 /** LLM-training-data pipeline operators over the documents/embeddings
   * tables: dedup, similarity search, text analysis. */
@@ -364,6 +364,17 @@ object LlmPack extends QueryPack {
           .select(col("doc_id"), expr(NfcAug).as("text")),
         "doc_id", "text")),
 
+    // HTML → text extraction (jusText-class boilerplate rule) over
+    // pages synthesized from documents.text by ONE shared SQL
+    // fragment: script/style/comment drop, anchor sentinels, block
+    // segmentation, entity decode, word-count × link-density keep
+    // rule — counts and the extracted text hash-check end to end
+    "q277_html_extract" -> ((s, dir) =>
+      Markup.extractText(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), expr(HtmlAug).as("html")),
+        "doc_id", "html")),
+
     // CCNet-style perplexity gate, ENGINE-EXACT: bigram LM trained on
     // the even-id half, every doc's surprisal summed in fixed-point
     // nanonats through the portable integer ln kernel (model-table
@@ -512,6 +523,40 @@ object LlmPack extends QueryPack {
     * char; both engines read the same UTF-8 text). */
   private val CombAcute = "\u0301"
   private val PreComposed = "caf\u00e9 d\u00e9j\u00e0 vu"
+  /** Synthetic HTML page per document — ONE shared fragment parsed
+    * identically by Spark `expr` and DuckDB (the PiiAug/C4Aug trick):
+    * head noise that must vanish (title merges into the first block;
+    * style/script/comment are dropped wholesale), a link-farm nav and
+    * footer (boilerplate by link density), content paragraphs carved
+    * from the document text (kept by word count), a mod-gated
+    * entity-bearing paragraph and a mod-gated too-short paragraph, and
+    * a <br>-split paragraph (two blocks). */
+  private[packs] val HtmlAug: String =
+    """'<html><head><title>' || substr(text, 1, 18) || '</title>' ||
+      |'<style> .nav { color: #333; } </style>' ||
+      |'<script type="text/javascript">var hidden = "' ||
+      |  substr(text, 5, 30) || '";</script></head><body>' ||
+      |'<!-- build ' || CAST(doc_id % 100 AS VARCHAR(20)) || ' ' ||
+      |  substr(text, 2, 12) || ' -->' ||
+      |'<nav><a href="/">Home</a> <a href="/about">About</a> ' ||
+      |  '<a href="/contact">Contact</a></nav>' ||
+      |'<h1>' || substr(text, 1, 24 + doc_id % 7) || '</h1>' ||
+      |'<p>' || substr(text, 1, 120 + doc_id % 60) ||
+      |  ' and more details follow here.</p>' ||
+      |'<p>' || substr(text, 30, 80 + doc_id % 40) ||
+      |  ' as documented in <a href="#ref">the reference manual ' ||
+      |  'appendix</a> near the end.</p>' ||
+      |CASE WHEN doc_id % 3 = 0 THEN
+      |  '<p>Fish &amp; chips &lt;cheap&gt; &quot;fresh&quot; ' ||
+      |  '&#39;daily&#39; &amp;lt;escaped&nbsp;here always fine.</p>'
+      |  ELSE '' END ||
+      |CASE WHEN doc_id % 4 = 0 THEN '<p>short line</p>' ELSE '' END ||
+      |'<p>First half of a broken paragraph<br>second half continues ' ||
+      |  'with several more words.</p>' ||
+      |'<div class="footer"><a href="/p">Privacy</a> ' ||
+      |  '<a href="/t">Terms</a> <a href="/c">Cookies</a></div>' ||
+      |'</body></html>'""".stripMargin
+
   private[packs] val NfcAug: String =
     s"""substr(text, 1, 60) || CASE doc_id % 3
        |  WHEN 0 THEN ' expose$CombAcute cafe$CombAcute naive'
@@ -2065,6 +2110,52 @@ object LlmPack extends QueryPack {
          |  CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_nfc,
          |  (nfc_normalize(t) = t) AS is_nfc,
          |  nfc_normalize(t) AS nfc_text
-         |FROM base""".stripMargin
+         |FROM base""".stripMargin,
+
+    // q277: the SAME shared regex chain (inline (?is) flags, no
+    // backreferences) replayed over DuckDB's RE2 + list lambdas;
+    // entity decode via plain replace() in the identical order
+    "q277_html_extract" -> {
+      import graft.operators.Markup._
+      val wc = s"len(list_filter(string_split(x, ' '), " +
+        s"w -> w <> '' AND w <> '$LinkMark'))"
+      val lk = s"(len(string_split(x, '$LinkMark')) - 1)"
+      s"""WITH base AS (SELECT doc_id, $HtmlAug AS h FROM documents),
+         |s1 AS (SELECT doc_id,
+         |  regexp_replace(h, '$ScriptPattern', ' ', 'g') AS t FROM base),
+         |s2 AS (SELECT doc_id,
+         |  regexp_replace(t, '$StylePattern', ' ', 'g') AS t FROM s1),
+         |s3 AS (SELECT doc_id,
+         |  regexp_replace(t, '$CommentPattern', ' ', 'g') AS t FROM s2),
+         |s4 AS (SELECT doc_id,
+         |  regexp_replace(t, '$AnchorPattern', ' $LinkMark ', 'g') AS t
+         |  FROM s3),
+         |s5 AS (SELECT doc_id,
+         |  regexp_replace(t, '$BlockBreakPattern', chr(10), 'g') AS t
+         |  FROM s4),
+         |s6 AS (SELECT doc_id,
+         |  regexp_replace(t, '$TagPattern', ' ', 'g') AS t FROM s5),
+         |s7 AS (SELECT doc_id, replace(replace(replace(replace(replace(
+         |  replace(t, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+         |  '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s6),
+         |s8 AS (SELECT doc_id,
+         |  regexp_replace(t, '[ \\t]+', ' ', 'g') AS t FROM s7),
+         |b AS (SELECT doc_id,
+         |  list_filter(list_transform(string_split(t, chr(10)),
+         |    x -> trim(x)), x -> x <> '') AS blocks FROM s8),
+         |c AS (SELECT doc_id, blocks,
+         |  list_filter(blocks, x -> $wc >= 5 AND $wc >= 4 * $lk)
+         |    AS content FROM b)
+         |SELECT doc_id,
+         |  CAST(len(blocks) AS BIGINT) AS n_blocks,
+         |  CAST(len(content) AS BIGINT) AS n_content,
+         |  coalesce(array_to_string(list_transform(content,
+         |    x -> trim(regexp_replace(replace(x, '$LinkMark', ''),
+         |      ' +', ' ', 'g'))), chr(10)), '') AS clean_text,
+         |  CAST(length(coalesce(array_to_string(list_transform(content,
+         |    x -> trim(regexp_replace(replace(x, '$LinkMark', ''),
+         |      ' +', ' ', 'g'))), chr(10)), '')) AS BIGINT) AS n_chars
+         |FROM c""".stripMargin
+    }
   )
 }

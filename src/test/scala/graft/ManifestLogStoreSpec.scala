@@ -258,4 +258,80 @@ class ManifestLogStoreSpec extends SparkSpec {
       assert(atB0 == Set(1L, 2L))
     } finally q.stop()
   }
+
+  test("in-place adoption of a Rename-written store: zero-copy, reads " +
+    "byte-identical, CAS + retention + VERSION AS OF work after, " +
+    "legacy dir never GC'd") {
+    val path = tmp("graft-mlog-adopt")
+    def rows(k: Long, v: Long) =
+      Seq((k, v, "2020-01-05", "2020-01-10"))
+        .toDF("key_x", "n_val", "vf", "vu")
+        .select(col("key_x"), col("n_val"),
+          to_date(col("vf")).as("valid_from"),
+          to_date(col("vu")).as("valid_until"))
+    def mkStore(c: Committer) = new FeatureStore(spark, "unused", path,
+      dsMap = Seq("n_val" -> "ld"),
+      loaders = Map("ld" -> FeatureHandler(
+        compute = (_, _, _) => rows(1L, 10L),
+        keyJoin = Aggregators.Sum, feature = "n_val")),
+      commitProtocol = c)
+    // a deployed Rename store with commit history (.gens head = 2)
+    val rstore = mkStore(Committer.Rename)
+    rstore.appendCommit("ld", rows(1L, 10L), "2024-01-01 00:00:00")
+    rstore.appendCommit("ld", rows(2L, 20L), "2024-02-01 00:00:00")
+    val tableP = new org.apache.hadoop.fs.Path(s"$path/ld")
+    val fs = tableP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing(): Seq[(String, Long, Long)] = {
+      def rec(p: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] =
+        fs.listStatus(p).toSeq.flatMap(s =>
+          if (s.isDirectory) rec(s.getPath)
+          else Seq((s.getPath.toString, s.getLen,
+            s.getModificationTime)))
+      rec(tableP).sortBy(_._1)
+    }
+    val preFiles = listing()
+    val preRows = spark.read.parquet(tableP.toString)
+      .collect().map(_.toString).sorted.toSeq
+    // adopt: no data copy, generation numbering continues .gens
+    val g = M.adopt(fs, tableP)
+    assert(g == 3L, s"adopted at $g, expected .gens head 2 + 1")
+    assert(M.adopt(fs, tableP) == 3L, "re-adopt must be a no-op")
+    assert(listing() == preFiles, "adoption touched the data files")
+    // the ManifestLog store over the same path reads byte-identically
+    val mstore = mkStore(M)
+    assert(mstore.tableGen("ld") == 3L)
+    assert(spark.read.parquet(tableP.toString)
+      .collect().map(_.toString).sorted.toSeq == preRows)
+    assert(mstore.versionedTableAt("ld", 3L)
+      .collect().map(_.toString).sorted.toSeq == preRows)
+    // a post-adoption commit is a normal CAS snapshot publish: new
+    // data lands in .mdata, the legacy dir is never rewritten
+    mstore.appendCommit("ld", rows(3L, 30L), "2024-03-01 00:00:00")
+    assert(mstore.tableGen("ld") == 4L)
+    assert(listing() == preFiles,
+      "post-adoption commit rewrote the legacy dir")
+    assert(new java.io.File(s"$path/ld.mdata").isDirectory)
+    assert(mstore.versionedTableAt("ld", 4L)
+      .select("key_x").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(mstore.versionedTableAt("ld", 3L)
+      .collect().map(_.toString).sorted.toSeq == preRows,
+      "adopted generation no longer serves the original files")
+    // stale CAS after adoption is refused without touching anything
+    intercept[StaleWriteException] {
+      M.publishCas(fs, tableP, expectedGen = 3L, _ => ())
+    }
+    assert(mstore.tableGen("ld") == 4L)
+    // retention: age the adopt manifest out of the window — the
+    // manifest goes, the LEGACY DIRECTORY stays (only .mdata children
+    // are ever GC'd)
+    (4L until 12L).foreach { eg =>
+      M.publishCas(fs, tableP, eg,
+        p => rows(9L, 90L).write.parquet(p))
+    }
+    assert(M.retainedGens(fs, tableP) == (5L to 12L))
+    assert(M.resolveGen(fs, tableP, 3L).isEmpty,
+      "adopt generation should have aged out")
+    assert(fs.exists(tableP), "legacy dir must never be GC'd")
+    assert(listing() == preFiles, "retention touched the legacy dir")
+  }
 }
