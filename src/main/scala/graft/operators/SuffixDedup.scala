@@ -191,9 +191,22 @@ object SuffixDedup {
     * scheduling cost) and the filter's two extra jobs — gram count +
     * semi join — cost more than the data they save; above it the
     * filter is the difference between sorting/joining every position
-    * and only the duplicated ones (5% of positions on the test
-    * corpus, typically far less on deduplicated web text). */
-  private[graft] val BlockFilterMinPos = 2L * 1000 * 1000
+    * and only the duplicated ones.
+    *
+    * MEASURED (r15, graft.tools.SaScaleBench — synthetic 50k-vocab
+    * corpora with ~1% planted cross-doc duplication, fresh JVM per
+    * run, quiet machine, ON/OFF digests identical at every size):
+    *   1.0M positions: OFF 25.3 s, ON 22.9 s (−9%)
+    *   2.0M positions: OFF 44.0 s, ON 36.1 s (−18%, kept 20.4k pos)
+    *   4.0M positions: OFF 36.4 s, ON 25.1 s (−31%, kept 40.7k pos)
+    *   8.1M positions: OFF 111.9 s, ON 56.0 s (−50%, kept 81.4k pos)
+    * while the r14 sf0.1 real-text point (135k tokens) measured the
+    * filter +1.2 s — so the crossover sits between 0.1M and 1M and
+    * the threshold is set at the smallest size with a measured win.
+    * The 4M/8M runs also exercised the large-mode (m=2) doubling path
+    * (level-0 tied > BroadcastTiedMax), digest-equal to small mode.
+    * Full matrix + method in PLANS.md §"SA block pre-filter". */
+  private[graft] val BlockFilterMinPos = 1L * 1000 * 1000
 
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       minLen: Int, maxLcp: Int = 512,
