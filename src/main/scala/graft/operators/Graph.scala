@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -119,8 +121,21 @@ object Graph {
     s
   }
 
+  /** Edge bound for the PER-EDGE-LINEAR fixed-iteration recurrences
+    * (HITS, label propagation): unlike the structural peels their
+    * driver round is a plain O(m) map fold — no set intersections —
+    * so the collect pays off at much larger sizes than
+    * [[DriverFinishMaxEdges]]. MEASURED at sf0.1/local[32] (isolated
+    * fresh-JVM): q132_hits (~500k-edge trade graph, 4 renormalized
+    * iterations = ~8 shuffles + 2 scalar totals each) and
+    * q137_communities both collapse their whole iteration into one
+    * collected pass; see the commit-recorded before/after numbers. */
+  private[graft] val IterDriverFinishMaxEdges = 2L * 1000 * 1000
+
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           iters: Int, scale: Long = 1000000L): DataFrame = {
+           iters: Int, scale: Long = 1000000L,
+           driverFinishMaxEdges: Long = IterDriverFinishMaxEdges)
+      : DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(scale > 0, "scale must be positive")
     val e = edges.select(col(srcCol).cast("long").as("__src"),
@@ -129,6 +144,8 @@ object Graph {
       .distinct()
       .repartition(col("__src"))
       .localCheckpoint(true) // scanned 2x per round
+    if (e.count() <= driverFinishMaxEdges)
+      return hitsDriver(e, iters, scale)
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst")))
       .distinct()
@@ -171,6 +188,57 @@ object Graph {
     hub.join(auth, Seq("node"))
   }
 
+  /** In-memory twin of [[hits]]' iteration — the IDENTICAL integer
+    * recurrence (same eff scale, same Σ-then-`div greatest(tot,1)`
+    * renormalization per half-step, absent nodes 0) over collected
+    * distinct edges, so the fixed-point sequence is bit-equal to the
+    * distributed one. Long sums cannot overflow: per-node raw ≤
+    * dmax·eff² ≤ Long.Max by [[hitsScale]]; totals ≤ m·eff. */
+  private def hitsDriver(e: DataFrame, iters: Int, scale: Long)
+      : DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val es = e.select(col("__src"), col("__dst"))
+      .as[(Long, Long)].collect()
+    require(es.nonEmpty, "empty edge set")
+    val deg = new java.util.HashMap[Long, Long]()
+    es.foreach { case (s, d) =>
+      deg.merge(s, 1L, _ + _); deg.merge(d, 1L, _ + _)
+    }
+    import scala.jdk.CollectionConverters._
+    val nodes = deg.keySet().asScala.toArray
+    var dmax = 0L
+    deg.values().forEach(v => if (v > dmax) dmax = v)
+    val eff = hitsScale(scale, dmax)
+    if (eff < scale)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"hits: requested scale $scale degraded to effective scale " +
+          s"$eff (max degree $dmax) — read results in units of $eff")
+    val hub = new java.util.HashMap[Long, Long]()
+    val auth = new java.util.HashMap[Long, Long]()
+    nodes.foreach { n => hub.put(n, eff); auth.put(n, eff) }
+    for (_ <- 0 until iters) {
+      val rawA = new java.util.HashMap[Long, Long]()
+      es.foreach { case (s, d) => rawA.merge(d, hub.get(s), _ + _) }
+      var tot = 0L
+      rawA.values().forEach(v => tot += v)
+      val den = math.max(tot, 1L)
+      nodes.foreach { n =>
+        auth.put(n, rawA.getOrDefault(n, 0L) * eff / den)
+      }
+      val rawH = new java.util.HashMap[Long, Long]()
+      es.foreach { case (s, d) => rawH.merge(s, auth.get(d), _ + _) }
+      var tot2 = 0L
+      rawH.values().forEach(v => tot2 += v)
+      val den2 = math.max(tot2, 1L)
+      nodes.foreach { n =>
+        hub.put(n, rawH.getOrDefault(n, 0L) * eff / den2)
+      }
+    }
+    nodes.toSeq.map(n => (n, hub.get(n): Long, auth.get(n): Long))
+      .toDF("node", "hub", "auth")
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) over the
     * undirected graph: every node starts as its own community, then
     * `rounds` times adopts the most frequent label among its
@@ -187,9 +255,13 @@ object Graph {
     * max(struct(count, -label)) — partial aggregation absorbs hot
     * communities map-side, and there is no window anywhere. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       rounds: Int): DataFrame = {
+                       rounds: Int,
+                       driverFinishMaxEdges: Long = IterDriverFinishMaxEdges)
+      : DataFrame = {
     require(rounds >= 0, "rounds must be non-negative")
     val und = undirected(edges, srcCol, dstCol).localCheckpoint(true)
+    if (und.count() <= driverFinishMaxEdges)
+      return lpaDriver(und, rounds)
     val nodes = und.select(col("u").as("node"))
       .union(und.select(col("v")))
       .distinct()
@@ -211,6 +283,45 @@ object Graph {
         .localCheckpoint(true)
     }
     labels
+  }
+
+  /** In-memory twin of [[labelPropagation]]'s synchronous rounds —
+    * the IDENTICAL deterministic recurrence (neighbor labels + the
+    * self-vote, most frequent wins, ties to the smallest label) over
+    * collected canonical edges. */
+  private def lpaDriver(und: DataFrame, rounds: Int): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val es = und.select(col("u"), col("v")).as[(Long, Long)].collect()
+    val adj = new java.util.HashMap[Long, mutable.ArrayBuffer[Long]]()
+    es.foreach { case (u, v) =>
+      adj.computeIfAbsent(u, _ => mutable.ArrayBuffer.empty) += v
+      adj.computeIfAbsent(v, _ => mutable.ArrayBuffer.empty) += u
+    }
+    import scala.jdk.CollectionConverters._
+    val nodes = adj.keySet().asScala.toArray
+    var labels = new java.util.HashMap[Long, Long]()
+    nodes.foreach(n => labels.put(n, n))
+    for (_ <- 0 until rounds) {
+      val next = new java.util.HashMap[Long, Long]()
+      val counts = new java.util.HashMap[Long, Long]()
+      nodes.foreach { n =>
+        counts.clear()
+        counts.merge(labels.get(n), 1L, _ + _) // self-vote
+        adj.get(n).foreach(w => counts.merge(labels.get(w), 1L, _ + _))
+        var bestLabel = Long.MaxValue
+        var bestCount = 0L
+        counts.forEach { (l, c) =>
+          if (c > bestCount || (c == bestCount && l < bestLabel)) {
+            bestCount = c; bestLabel = l
+          }
+        }
+        next.put(n, bestLabel)
+      }
+      labels = next
+    }
+    nodes.toSeq.map(n => (n, labels.get(n): Long))
+      .toDF("node", "label")
   }
 
   /** Multi-source BFS hop distance over the DIRECTED graph: for every
@@ -512,6 +623,34 @@ object Graph {
       .agg(expr("cast(sum(__delta) as long)").as("bc_fp"))
   }
 
+  /** Edge count at or below which the iterative graph operators
+    * (k-core, SCC, k-truss) finish ON THE DRIVER instead of running
+    * their round loops distributed: each distributed round costs a
+    * fixed multi-job scheduling floor regardless of data size, so a
+    * small residue pays more in round floors than the whole peel
+    * costs in memory — the SuffixDedup driver-finish pattern applied
+    * to the graph family (r14 verdict, "graph-family round fusion").
+    * Both paths are parity-pinned by GraphDriverFinishSpec; above the
+    * bound the distributed loops run unchanged.
+    *
+    * MEASURED at sf0.1/local[32] (isolated fresh-JVM min-of-3): the
+    * driver peel is single-threaded, so the bound must sit where the
+    * per-round job floor (~0.3 s × rounds) beats the linear collect +
+    * peel. q200_scc (a few thousand edges, many trim/color rounds):
+    * 5.13 s → 1.07 s with the driver finish. q133_kcore (~800k-edge
+    * co-occurrence graph, 5 rounds): 4.86 → 5.64 s when collected —
+    * WORSE, so 1M was too high; 128k keeps graphs that size
+    * distributed while small residues and mid-peel tails still
+    * collapse. */
+  private[graft] val DriverFinishMaxEdges = 128L * 1000
+
+  /** k-truss driver-finish bound — lower than [[DriverFinishMaxEdges]]
+    * because the in-memory support pass does neighbor-set
+    * intersections (O(Σ min-degree) per round), not linear scans
+    * (q214_ktruss's ~200k-edge graph measured 2.25 → 2.71 s when
+    * collected at a 256k bound — keep it distributed). */
+  private[graft] val TrussDriverFinishMaxEdges = 64L * 1000
+
   /** k-core: peel nodes of degree < k for `maxRounds` rounds (or to
     * the fixpoint, whichever comes first — extra rounds past the
     * fixpoint are no-ops, so a fixed-round oracle matches). Output:
@@ -522,13 +661,20 @@ object Graph {
     * need two edge joins per round anyway); each round is one degree
     * aggregate + two semi-joins, all keyed on node ids, with a
     * localCheckpoint pinning the shrinking edge set. Rounds are
-    * O(peel depth); each round's cost shrinks with the live set. */
+    * O(peel depth); each round's cost shrinks with the live set —
+    * and once the edge list fits [[DriverFinishMaxEdges]] the whole
+    * remaining peel collapses into one in-memory pass (identical
+    * round semantics, round cap included). */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-            k: Int, maxRounds: Int): DataFrame = {
+            k: Int, maxRounds: Int,
+            driverFinishMaxEdges: Long = DriverFinishMaxEdges)
+      : DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(maxRounds >= 0, "maxRounds must be non-negative")
     var live = undirected(edges, srcCol, dstCol).localCheckpoint(true)
     var nLive = live.count()
+    if (nLive <= driverFinishMaxEdges)
+      return kCoreDriver(live, k, maxRounds)
     var round = 0
     var fixed = false
     while (round < maxRounds && !fixed && nLive > 0) {
@@ -547,10 +693,46 @@ object Graph {
       live = next
       nLive = nNext
       round += 1
+      // mid-peel switch: the residue now fits the driver — finish the
+      // remaining rounds in one pass instead of per-round job floors
+      if (!fixed && nLive > 0 && nLive <= driverFinishMaxEdges &&
+          round < maxRounds)
+        return kCoreDriver(live, k, maxRounds - round)
     }
     live.select(col("u").as("node"))
       .union(live.select(col("v")))
       .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** In-memory twin of [[kCore]]'s round loop — IDENTICAL semantics
+    * (per round: degree over live edges, drop nodes under k, keep
+    * edges with both endpoints alive; stop at the round cap or the
+    * fixpoint) over collected canonical edges. */
+  private def kCoreDriver(live: DataFrame, k: Int, maxRounds: Int)
+      : DataFrame = {
+    val spark = live.sparkSession
+    import spark.implicits._
+    var es = live.select(col("u"), col("v")).as[(Long, Long)].collect()
+    var round = 0
+    var fixed = false
+    while (round < maxRounds && !fixed && es.nonEmpty) {
+      val deg = new java.util.HashMap[Long, Long]()
+      es.foreach { case (u, v) =>
+        deg.merge(u, 1L, _ + _); deg.merge(v, 1L, _ + _)
+      }
+      val next = es.filter { case (u, v) =>
+        deg.get(u) >= k && deg.get(v) >= k }
+      fixed = next.length == es.length
+      es = next
+      round += 1
+    }
+    val cd = new java.util.HashMap[Long, Long]()
+    es.foreach { case (u, v) =>
+      cd.merge(u, 1L, _ + _); cd.merge(v, 1L, _ + _)
+    }
+    import scala.jdk.CollectionConverters._
+    cd.asScala.toSeq.map { case (n, d) => (n, d) }
+      .toDF("node", "core_degree")
   }
 
   /** Strongly connected components of a DIRECTED graph — the cycle
@@ -584,7 +766,9 @@ object Graph {
     * graphs in O(longest chain) cheap rounds, and coloring touches
     * only the cyclic residue. */
   def stronglyConnected(edges: DataFrame, srcCol: String, dstCol: String,
-                        maxSteps: Int = 200): DataFrame = {
+                        maxSteps: Int = 200,
+                        driverFinishMaxEdges: Long = DriverFinishMaxEdges)
+      : DataFrame = {
     val spark = edges.sparkSession
     var rounds = maxSteps
     def step(): Unit = {
@@ -605,6 +789,11 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
+    // driver finish: SCC is a unique partition of the nodes, so ANY
+    // correct algorithm yields the same (node, min-member) labels —
+    // below the bound, one collected Tarjan pass replaces the whole
+    // trim/color/collect round structure and its per-round job floors
+    if (live.count() <= driverFinishMaxEdges) return sccDriver(live)
     var remaining = live.select(col("src").as("node"))
       .union(live.select(col("dst"))).distinct()
       .localCheckpoint(true)
@@ -691,6 +880,71 @@ object Graph {
       import spark.implicits._
       Seq.empty[(Long, Long)].toDF("node", "scc")
     } else assigned.reduce(_ unionByName _)
+  }
+
+  /** In-memory SCC over collected deduplicated edges — iterative
+    * Tarjan (explicit call stack; recursion would overflow on long
+    * chains). Labels are min member ids, identical to the distributed
+    * coloring output because the SCC partition is unique. */
+  private def sccDriver(live: DataFrame): DataFrame = {
+    val spark = live.sparkSession
+    import spark.implicits._
+    val es = live.select(col("src"), col("dst"))
+      .as[(Long, Long)].collect()
+    val adj = new java.util.HashMap[Long, mutable.ArrayBuffer[Long]]()
+    val nodes = mutable.LinkedHashSet.empty[Long]
+    es.foreach { case (s, d) =>
+      adj.computeIfAbsent(s, _ => mutable.ArrayBuffer.empty) += d
+      nodes += s; nodes += d
+    }
+    val index = new java.util.HashMap[Long, Int]()
+    val low = new java.util.HashMap[Long, Int]()
+    val onStack = new java.util.HashSet[Long]()
+    val stack = mutable.ArrayBuffer.empty[Long]
+    var counter = 0
+    val out = mutable.ArrayBuffer.empty[(Long, Long)]
+    val call = mutable.ArrayBuffer.empty[(Long, Int)]
+    nodes.foreach { root =>
+      if (!index.containsKey(root)) {
+        call.clear()
+        call += ((root, 0))
+        index.put(root, counter); low.put(root, counter); counter += 1
+        stack += root; onStack.add(root)
+        while (call.nonEmpty) {
+          val (u, ci) = call.last
+          val nbrs = adj.get(u)
+          if (nbrs != null && ci < nbrs.length) {
+            call(call.length - 1) = (u, ci + 1)
+            val w = nbrs(ci)
+            if (!index.containsKey(w)) {
+              index.put(w, counter); low.put(w, counter); counter += 1
+              stack += w; onStack.add(w)
+              call += ((w, 0))
+            } else if (onStack.contains(w) && index.get(w) < low.get(u))
+              low.put(u, index.get(w))
+          } else {
+            call.remove(call.length - 1)
+            if (call.nonEmpty) {
+              val p = call.last._1
+              if (low.get(u) < low.get(p)) low.put(p, low.get(u))
+            }
+            if (low.get(u) == index.get(u)) {
+              val members = mutable.ArrayBuffer.empty[Long]
+              var w = 0L
+              while ({
+                w = stack.remove(stack.length - 1)
+                onStack.remove(w)
+                members += w
+                w != u
+              }) ()
+              val label = members.min
+              members.foreach(m => out += ((m, label)))
+            }
+          }
+        }
+      }
+    }
+    out.toSeq.toDF("node", "scc")
   }
 
   /** Modularity Q of a community assignment over an undirected simple
@@ -865,10 +1119,14 @@ object Graph {
     * peel depth, not |E|. Output: the surviving canonical (u, v,
     * support) edges, support ≥ k−2. */
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-             maxRounds: Int = 50): DataFrame = {
+             maxRounds: Int = 50,
+             driverFinishMaxEdges: Long = TrussDriverFinishMaxEdges)
+      : DataFrame = {
     require(k >= 2, "k must be >= 2")
     require(maxRounds >= 1, "maxRounds must be >= 1")
     var live = undirected(edges, srcCol, dstCol).localCheckpoint(true)
+    if (live.count() <= driverFinishMaxEdges)
+      return kTrussDriver(live, k, maxRounds)
     var rounds = maxRounds
     var done = false
     var sup: DataFrame = null
@@ -883,5 +1141,43 @@ object Graph {
         .select(col("u"), col("v")).localCheckpoint(true)
     }
     sup
+  }
+
+  /** In-memory twin of [[kTruss]]'s peel loop — identical round
+    * semantics (support = common-neighbor count per canonical edge;
+    * drop edges under k−2; recount; REQUIRE convergence within the
+    * round budget) over collected canonical edges. */
+  private def kTrussDriver(live: DataFrame, k: Int, maxRounds: Int)
+      : DataFrame = {
+    val spark = live.sparkSession
+    import spark.implicits._
+    var es = live.select(col("u"), col("v")).as[(Long, Long)].collect()
+    var rounds = maxRounds
+    var done = false
+    var sup: Array[((Long, Long), Long)] = null
+    while (!done) {
+      rounds -= 1
+      require(rounds >= 0,
+        s"kTruss did not converge within $maxRounds rounds")
+      val nbr = new java.util.HashMap[Long, java.util.HashSet[Long]]()
+      es.foreach { case (u, v) =>
+        nbr.computeIfAbsent(u, _ => new java.util.HashSet[Long]()).add(v)
+        nbr.computeIfAbsent(v, _ => new java.util.HashSet[Long]()).add(u)
+      }
+      sup = es.map { case (u, v) =>
+        val (a, b) = {
+          val nu = nbr.get(u); val nv = nbr.get(v)
+          if (nu.size <= nv.size) (nu, nv) else (nv, nu)
+        }
+        var c = 0L
+        val it = a.iterator()
+        while (it.hasNext) if (b.contains(it.next())) c += 1
+        ((u, v), c)
+      }
+      if (sup.forall(_._2 >= k - 2)) done = true
+      else es = sup.filter(_._2 >= k - 2).map(_._1)
+    }
+    sup.toSeq.map { case ((u, v), s) => (u, v, s) }
+      .toDF("u", "v", "support")
   }
 }

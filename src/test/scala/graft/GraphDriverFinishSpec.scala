@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.Graph
+
+/** Parity battery for the graph-family driver finish (r14 verdict,
+  * "graph-family round fusion"): below DriverFinishMaxEdges the
+  * k-core / SCC / k-truss round loops collapse into one in-memory
+  * pass — these tests pin the collapsed path to the distributed path
+  * (forced with driverFinishMaxEdges = 0) on graphs that exercise
+  * partial peels, fixpoints, mid-peel switches, cycles, and chains. */
+class GraphDriverFinishSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic mixed graph: a 7-clique (high core), a long chain
+  // (peels immediately), modular "random" edges, plus dangling tails
+  private def undirectedEdges = (
+    (for (i <- 0 until 7; j <- i + 1 until 7) yield (i.toLong, j.toLong)) ++
+      (100L until 140L).map(i => (i, i + 1)) ++
+      (0 until 120).map(i => ((i * 13 % 60).toLong, (i * 29 % 60 + 10).toLong)) ++
+      Seq((200L, 201L), (201L, 202L), (202L, 200L), (202L, 203L))
+  ).toDF("a", "b")
+
+  private def directedEdges = (
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), // 3-cycle
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 4L), // chain into a 3-cycle
+      (7L, 7L), // self loop (dropped)
+      (8L, 9L), (9L, 10L), // pure chain (singletons)
+      (10L, 8L), // closes an SCC {8,9,10}
+      (20L, 21L)) ++ // dangling pair
+      (0 until 50).map(i => ((30 + i % 10).toLong, (30 + (i * 3) % 10).toLong))
+  ).toDF("s", "d")
+
+  private def kcore(bound: Long, k: Int, rounds: Int) =
+    Graph.kCore(undirectedEdges, "a", "b", k, rounds,
+        driverFinishMaxEdges = bound)
+      .as[(Long, Long)].collect().toSet
+
+  private def scc(bound: Long) =
+    Graph.stronglyConnected(directedEdges, "s", "d",
+        driverFinishMaxEdges = bound)
+      .as[(Long, Long)].collect().toSet
+
+  private def ktruss(bound: Long, k: Int) =
+    Graph.kTruss(undirectedEdges, "a", "b", k,
+        driverFinishMaxEdges = bound)
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("kCore driver finish == distributed: fixpoint, partial peels, " +
+    "and the mid-peel switch") {
+    for (k <- Seq(2, 3, 6); rounds <- Seq(0, 1, 2, 50)) {
+      val dist = kcore(bound = 0L, k, rounds)
+      assert(kcore(bound = Long.MaxValue, k, rounds) == dist,
+        s"driver != distributed at k=$k rounds=$rounds")
+      // mid-peel switch: start distributed, finish on the driver once
+      // the residue shrinks under a tiny bound
+      assert(kcore(bound = 30L, k, rounds) == dist,
+        s"mid-peel switch diverged at k=$k rounds=$rounds")
+    }
+    assert(kcore(bound = Long.MaxValue, 3, 50).nonEmpty)
+  }
+
+  test("SCC driver Tarjan == distributed coloring") {
+    val dist = scc(bound = 0L)
+    val drv = scc(bound = Long.MaxValue)
+    assert(drv == dist)
+    // sanity: the planted cycles collapse to min-member labels
+    assert(drv.filter(n => Set(1L, 2L, 3L)(n._1)).map(_._2) == Set(1L))
+    assert(drv.filter(n => Set(4L, 5L, 6L)(n._1)).map(_._2) == Set(4L))
+    assert(drv.filter(n => Set(8L, 9L, 10L)(n._1)).map(_._2) == Set(8L))
+    assert(drv.contains((20L, 20L)) && drv.contains((21L, 21L)))
+  }
+
+  test("hits driver replay == distributed integer recurrence, " +
+    "bit-equal") {
+    for (iters <- Seq(0, 1, 4)) {
+      val dist = Graph.hits(directedEdges, "s", "d", iters,
+          driverFinishMaxEdges = 0L)
+        .as[(Long, Long, Long)].collect().toSet
+      val drv = Graph.hits(directedEdges, "s", "d", iters,
+          driverFinishMaxEdges = Long.MaxValue)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(drv == dist, s"hits diverged at iters=$iters")
+    }
+  }
+
+  test("labelPropagation driver replay == distributed recurrence") {
+    for (rounds <- Seq(0, 1, 5)) {
+      val dist = Graph.labelPropagation(undirectedEdges, "a", "b",
+          rounds, driverFinishMaxEdges = 0L)
+        .as[(Long, Long)].collect().toSet
+      val drv = Graph.labelPropagation(undirectedEdges, "a", "b",
+          rounds, driverFinishMaxEdges = Long.MaxValue)
+        .as[(Long, Long)].collect().toSet
+      assert(drv == dist, s"lpa diverged at rounds=$rounds")
+    }
+  }
+
+  test("kTruss driver peel == distributed support peel") {
+    for (k <- Seq(3, 4, 7)) {
+      val dist = ktruss(bound = 0L, k)
+      assert(ktruss(bound = Long.MaxValue, k) == dist,
+        s"driver != distributed at k=$k")
+    }
+    // the 7-clique survives k=7 truss (support 5 = k-2 on every edge)
+    val t7 = ktruss(bound = Long.MaxValue, 7)
+    assert(t7.map(e => (e._1, e._2)).toSet ==
+      (for (i <- 0 until 7; j <- i + 1 until 7)
+        yield (i.toLong, j.toLong)).toSet)
+  }
+}
