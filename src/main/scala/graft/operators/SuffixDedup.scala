@@ -671,6 +671,43 @@ object SuffixDedup {
     applyRanges(dToks, mergeRanges(cand))
   }
 
+  /** The un-applied half of [[decontaminateExact]] — per-doc merged
+    * cut ranges of `docs` against a protected/benchmark set, exposed
+    * for INCREMENTAL and streaming accumulation: interval-union
+    * merging is associative and idempotent, so ranges computed against
+    * protected batches B₁, B₂, … union-accumulate — re-merging the
+    * stored rows at read time ([[applyCutRanges]]) equals one
+    * decontamination against B₁ ∪ B₂ ∪ …. That is what makes a
+    * protected-set APPEND cheap: only the new batch's gram-collision
+    * candidates are scanned, never the prior protected set, and a
+    * crash that exposes a partial append only ever UNDER-reports
+    * ranges that the replay then completes (monotone accumulation).
+    * Output: (doc, cut_from, cut_until), 1-based, cut_until
+    * exclusive. */
+  def decontaminationRanges(docs: DataFrame, bench: DataFrame,
+                            idCol: String, textCol: String, minLen: Int,
+                            maxLcp: Int = 512): DataFrame = {
+    require(minLen >= 1, "minLen must be >= 1")
+    require(maxLcp >= minLen, "maxLcp must be >= minLen")
+    val dToks = deconToks(docs, idCol, textCol, "doc", "ta")
+    val bToks = deconToks(bench, idCol, textCol, "bdoc", "tb")
+    mergeRanges(contaminationCandidates(dToks, bToks, minLen, maxLcp)
+        .select(col("doc"), col("f"), col("u")))
+      .select(col("doc"), col("cut_from"), col("cut_until"))
+  }
+
+  /** Apply accumulated (doc, cut_from, cut_until) rows — e.g. the
+    * union of several [[decontaminationRanges]] outputs — to the
+    * docs: rows re-merge per doc first (overlaps/touches from
+    * different protected batches collapse), then the shared
+    * scan-local gap rebuild produces (doc, n_tokens, n_removed,
+    * clean_text) over ALL docs (docs without ranges pass through). */
+  def applyCutRanges(docs: DataFrame, idCol: String, textCol: String,
+                     ranges: DataFrame): DataFrame =
+    applyRanges(deconToks(docs, idCol, textCol, "doc", "ta"),
+      mergeRanges(ranges.select(col("doc"),
+        col("cut_from").as("f"), col("cut_until").as("u"))))
+
   /** Contamination ATTRIBUTION: which benchmark doc leaked into which
     * training doc, and how badly — per (doc, bdoc) pair, the spans
     * shared verbatim (≥ minLen tokens, any alignment) merged WITHIN
