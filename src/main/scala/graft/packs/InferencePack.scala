@@ -287,8 +287,56 @@ object InferencePack extends QueryPack {
       val v3 = graft.core.Scd2.updateSnapshot(Some(v2),
         snap("1996-01-01"), Cdc3, cols)
       graft.core.Scd2.changesBetween(v3, Cdc1, Cdc3)
-    })
+    }),
+
+    // integer perceptual image hashes over REAL PNG encode->decode
+    // (the q253 portable-payload posture for images): md5-derived
+    // grayscale grids render to lossless PNG, the hasher decodes the
+    // raster and computes all-integer block-mean aHash/dHash; the
+    // oracle replays the pixel math directly. Docs pair up (pb =
+    // doc_id - doc_id%2): the odd twin differs in ONE pixel.
+    "q278_image_phash" -> ((s, dir) =>
+      imageHashed(s, dir)
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("ahash"),
+          col("dhash"))),
+
+    // hamming-banded image near-dup over the dHash: planted one-pixel
+    // twins land within hamming <= 2 (one perturbed block flips at
+    // most two gradient comparisons); the banded join is exact for
+    // <= 3, the oracle brute-forces all pairs
+    "q279_image_neardup" -> ((s, dir) =>
+      graft.operators.ImageHash.nearDupPairs(
+          imageHashed(s, dir), "doc_id", "dhash", maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming")))
   )
+
+  /** Shared q278/q279 stage: portable md5 pixel grids (pair-based
+    * dims 16/24/32 × 16/24; the odd twin perturbs pixel 0 by +100 mod
+    * 256) encoded to real PNGs, decoded and hashed. */
+  private def imageHashed(s: SparkSession, dir: String): DataFrame = {
+    val enc = udf((px: Seq[Long], w: Int, h: Int) =>
+      graft.operators.ImageHash.encodeGrayPng(
+        px.map(_.toInt).toArray, w, h))
+    val assets = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("8 * (2 + (doc_id - doc_id % 2) % 3)").as("w"),
+        expr("8 * (2 + (doc_id - doc_id % 2) % 2)").as("h"))
+      .select(col("doc_id"), col("w"), col("h"),
+        expr(
+          """transform(sequence(0, cast(w * h as int) - 1), i ->
+            |  (cast(conv(substring(md5(concat(
+            |     cast(doc_id - doc_id % 2 as string), '-',
+            |     cast(i as string))), 1, 8), 16, 10) as bigint) % 256
+            |   + CASE WHEN doc_id % 2 = 1 AND i = 0
+            |          THEN 100 ELSE 0 END) % 256)""".stripMargin)
+          .as("px"))
+      .select(col("doc_id"),
+        enc(col("px"), col("w").cast("int"), col("h").cast("int"))
+          .as("content"))
+    graft.operators.ImageHash.hashes(assets, "content")
+  }
 
   // q267's transaction-time labels — shared with the oracle below
   private val Cdc1 = "2024-01-01 00:00:00"
@@ -944,6 +992,71 @@ object InferencePack extends QueryPack {
         |        THEN (theta_fp * dx_fp) // 1000000
         |      ELSE -((-(theta_fp * dx_fp)) // 1000000) END)
         |    END AS BIGINT) AS adj_fp
-        |FROM k""".stripMargin
+        |FROM k""".stripMargin,
+
+    // q278/q279: replay the md5 pixel grids and the floor-boundary
+    // block-mean aHash/dHash in pure SQL (PNG encode->decode is
+    // lossless, so hashing the generator IS hashing the raster);
+    // power(2, k<=63) is exact in a double, signed 64-bit assembly
+    // goes through HUGEINT then maps the top bit
+    "q278_image_phash" ->
+      s"""WITH $ImageHashCtes
+         |SELECT doc_id, width, height, ahash, dhash FROM hx""".stripMargin,
+
+    "q279_image_neardup" ->
+      s"""WITH $ImageHashCtes
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+         |FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
   )
+
+  /** Shared q278/q279 oracle chain: md5 pixel grids → block means →
+    * integer aHash/dHash, mirroring graft.operators.ImageHash bit for
+    * bit. */
+  private val ImageHashCtes: String =
+    """dm AS (SELECT doc_id,
+      |  8 * (2 + (doc_id - doc_id % 2) % 3) AS w,
+      |  8 * (2 + (doc_id - doc_id % 2) % 2) AS h FROM documents),
+      |px AS (SELECT doc_id, w, h, t.i % w AS x, t.i // w AS y,
+      |  (('0x' || substr(md5(CAST(doc_id - doc_id % 2 AS VARCHAR) ||
+      |      '-' || CAST(t.i AS VARCHAR)), 1, 8))::BIGINT % 256
+      |   + CASE WHEN doc_id % 2 = 1 AND t.i = 0 THEN 100 ELSE 0 END)
+      |   % 256 AS v
+      |  FROM dm CROSS JOIN range(0, 768) t(i) WHERE t.i < w * h),
+      |ba AS (SELECT doc_id, bx.b AS bx, by.b AS by,
+      |  CAST(sum(v) AS BIGINT) // count(*) AS m
+      |  FROM px CROSS JOIN range(0, 8) bx(b) CROSS JOIN range(0, 8) by(b)
+      |  WHERE x >= bx.b * w // 8 AND x < (bx.b + 1) * w // 8
+      |    AND y >= by.b * h // 8 AND y < (by.b + 1) * h // 8
+      |  GROUP BY 1, 2, 3),
+      |aavg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) // 64 AS avg
+      |  FROM ba GROUP BY 1),
+      |ah AS (SELECT ba.doc_id,
+      |  sum(CASE WHEN m > avg THEN CAST(power(2, by * 8 + bx) AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS bits
+      |  FROM ba JOIN aavg ON ba.doc_id = aavg.doc_id GROUP BY 1),
+      |bd AS (SELECT doc_id, bx.b AS bx, by.b AS by,
+      |  CAST(sum(v) AS BIGINT) // count(*) AS m
+      |  FROM px CROSS JOIN range(0, 9) bx(b) CROSS JOIN range(0, 8) by(b)
+      |  WHERE x >= bx.b * w // 9 AND x < (bx.b + 1) * w // 9
+      |    AND y >= by.b * h // 8 AND y < (by.b + 1) * h // 8
+      |  GROUP BY 1, 2, 3),
+      |dh AS (SELECT a.doc_id,
+      |  sum(CASE WHEN a.m > b.m
+      |      THEN CAST(power(2, a.by * 8 + a.bx) AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS bits
+      |  FROM bd a JOIN bd b ON a.doc_id = b.doc_id AND a.by = b.by
+      |    AND b.bx = a.bx + 1
+      |  GROUP BY 1),
+      |hx AS (SELECT dm.doc_id, CAST(dm.w AS BIGINT) AS width,
+      |  CAST(dm.h AS BIGINT) AS height,
+      |  CAST(CASE WHEN ah.bits >= CAST(power(2, 63) AS HUGEINT)
+      |    THEN ah.bits - CAST(power(2, 64) AS HUGEINT) ELSE ah.bits END
+      |    AS BIGINT) AS ahash,
+      |  CAST(CASE WHEN dh.bits >= CAST(power(2, 63) AS HUGEINT)
+      |    THEN dh.bits - CAST(power(2, 64) AS HUGEINT) ELSE dh.bits END
+      |    AS BIGINT) AS dhash
+      |  FROM dm JOIN ah ON dm.doc_id = ah.doc_id
+      |  JOIN dh ON dm.doc_id = dh.doc_id)""".stripMargin
 }
