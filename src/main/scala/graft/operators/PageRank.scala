@@ -31,12 +31,88 @@ import org.apache.spark.sql.functions._
   * by total mass. */
 object PageRank {
 
+  /** Shared driver replay of the power-iteration recurrences — the
+    * graph-family driver finish for [[iterate]] / [[resume]] /
+    * [[iterateWeighted]] / [[personalized]]: identical integer
+    * arithmetic (every product bounded exactly as the distributed
+    * REQUIREs bound it, every division non-negative so `/` ≡ `div`),
+    * so the rank sequence is bit-equal. `e` must carry __src/__dst
+    * (and __w for the weighted variant); `warm` = resume's published
+    * ranks; `seeded` = personalized's (node, __seed) flag frame
+    * (node-sized — never the raw seed table). */
+  private def iterateDriver(e: DataFrame, warm: Option[DataFrame],
+                            seeded: Option[DataFrame], iters: Int,
+                            dampBp: Long, scale: Long): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val es =
+      if (e.columns.contains("__w"))
+        e.select(col("__src"), col("__dst"), col("__w"))
+          .as[(Long, Long, Long)].collect()
+      else e.select(col("__src"), col("__dst"))
+        .as[(Long, Long)].collect().map(t => (t._1, t._2, 1L))
+    require(es.nonEmpty, "empty edge set")
+    val nodeSet = new java.util.LinkedHashSet[Long]()
+    es.foreach { case (s, d, _) => nodeSet.add(s); nodeSet.add(d) }
+    val nodes = nodeSet.asScala.toArray
+    val outw = new java.util.HashMap[Long, Long]()
+    es.foreach { case (s, _, w) => outw.merge(s, w, _ + _) }
+    val flags = new java.util.HashMap[Long, Long]()
+    seeded.foreach(_.select(col("node"), col("__seed"))
+      .as[(Long, Long)].collect()
+      .foreach { case (k, f) => flags.put(k, f) })
+    val warmRanks = new java.util.HashMap[Long, Long]()
+    warm.foreach(_.select(col("node"), col("rank"))
+      .as[(Long, Long)].collect()
+      .foreach { case (k, r) => warmRanks.put(k, r) })
+    val personalizedMode = seeded.isDefined
+    var denom = nodes.length.toLong
+    if (personalizedMode) {
+      denom = 0L
+      nodes.foreach(n => denom += flags.getOrDefault(n, 0L))
+      require(denom > 0, "no seed id appears in the edge set")
+    }
+    val base = scale * (10000L - dampBp) / 10000L / denom
+    val uniform = scale / denom
+    var ranks = new java.util.HashMap[Long, Long]()
+    nodes.foreach { n =>
+      val r =
+        if (personalizedMode) flags.getOrDefault(n, 0L) * uniform
+        else if (warmRanks.containsKey(n)) warmRanks.get(n)
+        else uniform
+      ranks.put(n, r)
+    }
+    for (_ <- 0 until iters) {
+      val sums = new java.util.HashMap[Long, Long]()
+      es.foreach { case (s, d, w) =>
+        sums.merge(d,
+          (ranks.get(s) * dampBp / 10000L) * w / outw.get(s), _ + _)
+      }
+      val next = new java.util.HashMap[Long, Long]()
+      nodes.foreach { n =>
+        val b =
+          if (personalizedMode) flags.getOrDefault(n, 0L) * base
+          else base
+        next.put(n, b + sums.getOrDefault(n, 0L))
+      }
+      ranks = next
+    }
+    nodes.toSeq.map(n => (n, ranks.get(n): Long)).toDF("node", "rank")
+  }
+
   /** Run `iters` damped power-iteration rounds over `edges` (one row
     * per directed edge; parallel rows act as weighted multi-edges via
-    * out-degree counting). Output: (node, rank). */
+    * out-degree counting). Output: (node, rank). Below
+    * `driverFinishMaxEdges` the whole iteration replays on the driver
+    * (the graph-family driver finish — identical integer recurrence,
+    * bit-equal output; the per-round two-shuffle floor dominates
+    * small graphs at ~8 jobs/round). */
   def iterate(edges: DataFrame, srcCol: String, dstCol: String,
               iters: Int, dampBp: Long = 8500L,
-              scale: Long = 1000000000000L): DataFrame = {
+              scale: Long = 1000000000000L,
+              driverFinishMaxEdges: Long = Graph.IterDriverFinishMaxEdges)
+      : DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(dampBp >= 0 && dampBp <= 10000, "dampBp in [0, 10000]")
     require(scale > 0 && scale <= 1000000000000L,
@@ -45,6 +121,8 @@ object PageRank {
         col(dstCol).cast("long").as("__dst"))
       .repartition(col("__src"))
       .localCheckpoint(true) // scanned every round; never re-derived
+    if (e.count() <= driverFinishMaxEdges)
+      return iterateDriver(e, None, None, iters, dampBp, scale)
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst")))
       .distinct()
@@ -80,7 +158,9 @@ object PageRank {
     * iterate(e, k + j)` — PageRankSpec pins the law. */
   def resume(ranks: DataFrame, edges: DataFrame, srcCol: String,
              dstCol: String, iters: Int, dampBp: Long = 8500L,
-             scale: Long = 1000000000000L): DataFrame = {
+             scale: Long = 1000000000000L,
+             driverFinishMaxEdges: Long = Graph.IterDriverFinishMaxEdges)
+      : DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(dampBp >= 0 && dampBp <= 10000, "dampBp in [0, 10000]")
     require(scale > 0 && scale <= 1000000000000L,
@@ -89,6 +169,8 @@ object PageRank {
         col(dstCol).cast("long").as("__dst"))
       .repartition(col("__src"))
       .localCheckpoint(true)
+    if (e.count() <= driverFinishMaxEdges)
+      return iterateDriver(e, Some(ranks), None, iters, dampBp, scale)
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst")))
       .distinct()
@@ -135,7 +217,9 @@ object PageRank {
   def iterateWeighted(edges: DataFrame, srcCol: String, dstCol: String,
                       weightCol: String, iters: Int,
                       dampBp: Long = 8500L,
-                      scale: Long = 1000000000000L): DataFrame = {
+                      scale: Long = 1000000000000L,
+                      driverFinishMaxEdges: Long =
+                        Graph.IterDriverFinishMaxEdges): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(dampBp >= 0 && dampBp <= 10000, "dampBp in [0, 10000]")
     require(scale > 0 && scale <= 1000000000000L,
@@ -153,6 +237,8 @@ object PageRank {
     require(wRow.getLong(1) <= Long.MaxValue / scale,
       s"max edge weight ${wRow.getLong(1)} overflows rank*w at scale " +
         scale)
+    if (e.count() <= driverFinishMaxEdges)
+      return iterateDriver(e, None, None, iters, dampBp, scale)
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst")))
       .distinct()
@@ -199,7 +285,9 @@ object PageRank {
   def personalized(edges: DataFrame, srcCol: String, dstCol: String,
                    seeds: DataFrame, seedCol: String, iters: Int,
                    dampBp: Long = 8500L,
-                   scale: Long = 1000000000000L): DataFrame = {
+                   scale: Long = 1000000000000L,
+                   driverFinishMaxEdges: Long =
+                     Graph.IterDriverFinishMaxEdges): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(dampBp >= 0 && dampBp <= 10000, "dampBp in [0, 10000]")
     require(scale > 0 && scale <= 1000000000000L,
@@ -222,6 +310,11 @@ object PageRank {
         Seq("node"), "left")
       .select(col("node"), coalesce(col("__seed"), lit(0L)).as("__seed"))
       .localCheckpoint(true)
+    // the driver finish collects the EDGES and the node-sized flag
+    // frame — never the raw seed table (it can be huge; the flags are
+    // bounded by the node count)
+    if (e.count() <= driverFinishMaxEdges)
+      return iterateDriver(e, None, Some(seeded), iters, dampBp, scale)
     val ns = seeded.agg(sum(col("__seed"))).head.getLong(0)
     require(ns > 0, "no seed id appears in the edge set")
     val base = scale * (10000L - dampBp) / 10000L / ns

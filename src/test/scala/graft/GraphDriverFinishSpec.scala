@@ -1,6 +1,8 @@
 package graft
 
-import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, PageRank}
 
 /** Parity battery for the graph-family driver finish (r14 verdict,
   * "graph-family round fusion"): below DriverFinishMaxEdges the
@@ -93,6 +95,46 @@ class GraphDriverFinishSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet
       assert(drv == dist, s"lpa diverged at rounds=$rounds")
     }
+  }
+
+  test("PageRank family driver replay == distributed recurrences, " +
+    "bit-equal: iterate, resume warm-start, weighted, personalized") {
+    def pr(bound: Long, iters: Int) =
+      PageRank.iterate(directedEdges, "s", "d", iters,
+          driverFinishMaxEdges = bound)
+        .as[(Long, Long)].collect().toSet
+    for (iters <- Seq(0, 1, 5))
+      assert(pr(Long.MaxValue, iters) == pr(0L, iters),
+        s"iterate diverged at iters=$iters")
+    // resume: warm-start from a 2-iter vector, 3 more rounds — both
+    // paths, plus the resume law against straight 5-iter
+    val warm = PageRank.iterate(directedEdges, "s", "d", 2,
+      driverFinishMaxEdges = 0L).localCheckpoint(true)
+    val r5d = PageRank.resume(warm, directedEdges, "s", "d", 3,
+      driverFinishMaxEdges = 0L).as[(Long, Long)].collect().toSet
+    val r5drv = PageRank.resume(warm, directedEdges, "s", "d", 3,
+      driverFinishMaxEdges = Long.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    assert(r5drv == r5d)
+    assert(r5drv == pr(Long.MaxValue, 5))
+    // weighted: deterministic integral weights >= 1
+    val wEdges = directedEdges.select(col("s"), col("d"),
+      (pmod(col("s") * 7 + col("d") * 3, lit(5)) + 1).as("w"))
+    val wd = PageRank.iterateWeighted(wEdges, "s", "d", "w", 4,
+      driverFinishMaxEdges = 0L).as[(Long, Long)].collect().toSet
+    val wdrv = PageRank.iterateWeighted(wEdges, "s", "d", "w", 4,
+      driverFinishMaxEdges = Long.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    assert(wdrv == wd)
+    // personalized: seeds include ghosts (ignored on both paths)
+    val seeds = Seq(1L, 8L, 30L, 9999L).toDF("sid")
+    val pd = PageRank.personalized(directedEdges, "s", "d", seeds,
+      "sid", 4, driverFinishMaxEdges = 0L)
+      .as[(Long, Long)].collect().toSet
+    val pdrv = PageRank.personalized(directedEdges, "s", "d", seeds,
+      "sid", 4, driverFinishMaxEdges = Long.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    assert(pdrv == pd)
   }
 
   test("kTruss driver peel == distributed support peel") {
