@@ -341,7 +341,9 @@ object Graph {
     * so maxHops only bounds the diameter walked. Ghost seeds (ids
     * absent from the edge set) are dropped, as in TrustRank. */
   def bfsDistance(edges: DataFrame, srcCol: String, dstCol: String,
-                  seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+                  seeds: DataFrame, seedCol: String, maxHops: Int,
+                  driverFinishMaxEdges: Long = IterDriverFinishMaxEdges)
+      : DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
     val e = edges.select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"))
@@ -358,6 +360,30 @@ object Graph {
       .join(nodes, Seq("node"), "left_semi")
       .withColumn("hops", lit(0L))
       .localCheckpoint(true)
+    // driver finish: per hop one linear adjacency sweep
+    if (e.count() <= driverFinishMaxEdges) {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val adj = collectAdj(e)
+      val dist = new java.util.HashMap[Long, Long]()
+      var frontier0 = settled.select(col("node")).as[Long].collect().toSeq
+      frontier0.foreach(s => dist.put(s, 0L))
+      var hop = 1L
+      while (hop <= maxHops && frontier0.nonEmpty) {
+        val next = mutable.ArrayBuffer.empty[Long]
+        frontier0.foreach { v =>
+          val ns = adj.get(v)
+          if (ns != null) ns.foreach { w =>
+            if (!dist.containsKey(w)) { dist.put(w, hop); next += w }
+          }
+        }
+        frontier0 = next.toSeq
+        hop += 1
+      }
+      import scala.jdk.CollectionConverters._
+      return dist.asScala.toSeq.map { case (n, h) => (n, h) }
+        .toDF("node", "hops")
+    }
     var frontier = settled
     var hop = 1
     var drained = frontier.isEmpty
@@ -393,7 +419,9 @@ object Graph {
     * loop early-exits when no distance improves. */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
                     weightCol: String, seeds: DataFrame, seedCol: String,
-                    rounds: Int): DataFrame = {
+                    rounds: Int,
+                    driverFinishMaxEdges: Long = IterDriverFinishMaxEdges)
+      : DataFrame = {
     require(rounds >= 0, "rounds must be non-negative")
     val e = edges.select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"),
@@ -415,6 +443,39 @@ object Graph {
       .join(nodes, Seq("node"), "left_semi")
       .withColumn("dist", lit(0L))
       .localCheckpoint(true)
+    // driver finish: synchronous Bellman-Ford rounds (dist_k reads
+    // dist_{k-1}) — the exact ≤k-edge minima the frontier variant
+    // provably computes; addExact mirrors the distributed side's ANSI
+    // overflow behavior
+    if (e.count() <= driverFinishMaxEdges) {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val es = e.select(col("__src"), col("__dst"), col("__w"))
+        .as[(Long, Long, Long)].collect()
+      var d0 = new java.util.HashMap[Long, Long]()
+      dist.select(col("node")).as[Long].collect()
+        .foreach(s => d0.put(s, 0L))
+      var round = 1
+      var changed = true
+      while (round <= rounds && changed) {
+        changed = false
+        val next = new java.util.HashMap[Long, Long](d0)
+        es.foreach { case (u, v, w) =>
+          if (d0.containsKey(u)) {
+            val cand = Math.addExact(d0.get(u), w)
+            if (!next.containsKey(v) || cand < next.get(v)) {
+              next.put(v, cand)
+              if (!d0.containsKey(v) || cand < d0.get(v)) changed = true
+            }
+          }
+        }
+        d0 = next
+        round += 1
+      }
+      import scala.jdk.CollectionConverters._
+      return d0.asScala.toSeq.map { case (n, dv) => (n, dv) }
+        .toDF("node", "dist")
+    }
     var frontier = dist
     var round = 1
     var drained = frontier.isEmpty
@@ -462,7 +523,9 @@ object Graph {
   def closenessFromSeeds(edges: DataFrame, srcCol: String, dstCol: String,
                          seeds: DataFrame, seedCol: String, maxHops: Int,
                          scale: Long = 1000000L,
-                         maxSeeds: Int = 64): DataFrame = {
+                         maxSeeds: Int = 64,
+                         driverFinishMaxWork: Long =
+                           BetweennessDriverMaxWork): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
     val e = edges.select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"))
@@ -484,6 +547,48 @@ object Graph {
       s"closenessFromSeeds: $nSeeds seeds (> maxSeeds=$maxSeeds) — " +
         "frontier state is seeds × nodes; shrink the panel or raise " +
         "maxSeeds deliberately.")
+    // driver finish: one BFS per seed over the collected adjacency,
+    // seeds fanned out on the driver pool (the betweenness posture)
+    if (nSeeds > 0 && nSeeds * e.count() <= driverFinishMaxWork) {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val adj = collectAdj(e)
+      val seedIds = seedFrame.as[Long].collect()
+      val perSeed = seedIds.toSeq.map { s =>
+        java.util.concurrent.CompletableFuture.supplyAsync(() => {
+          val dist = new java.util.HashMap[Long, Long]()
+          dist.put(s, 0L)
+          var frontier0: Seq[Long] = Seq(s)
+          var hop = 1L
+          while (hop <= maxHops && frontier0.nonEmpty) {
+            val next = mutable.ArrayBuffer.empty[Long]
+            frontier0.foreach { v =>
+              val ns = adj.get(v)
+              if (ns != null) ns.foreach { w =>
+                if (!dist.containsKey(w)) { dist.put(w, hop); next += w }
+              }
+            }
+            frontier0 = next.toSeq
+            hop += 1
+          }
+          dist
+        })
+      }
+      val nReached = new java.util.HashMap[Long, Long]()
+      val sumHops = new java.util.HashMap[Long, Long]()
+      val harmonic = new java.util.HashMap[Long, Long]()
+      perSeed.foreach { f =>
+        f.get().forEach { (v, h) =>
+          nReached.merge(v, 1L, _ + _)
+          sumHops.merge(v, h, _ + _)
+          harmonic.merge(v, if (h > 0) scale / h else 0L, _ + _)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      return nReached.asScala.toSeq.map { case (n, c) =>
+        (n, c, sumHops.get(n): Long, harmonic.get(n): Long)
+      }.toDF("node", "n_reached", "sum_hops", "harmonic_fp")
+    }
     var settled = seedFrame
       .select(col("__seed"), col("__seed").as("node"))
       .withColumn("hops", lit(0L))
@@ -540,7 +645,9 @@ object Graph {
                            dstCol: String, seeds: DataFrame,
                            seedCol: String, maxHops: Int,
                            scale: Long = 1000000L,
-                           maxSeeds: Int = 64): DataFrame = {
+                           maxSeeds: Int = 64,
+                           driverFinishMaxWork: Long =
+                             BetweennessDriverMaxWork): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
     val e = edges.select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"))
@@ -563,6 +670,15 @@ object Graph {
         "BFS-DAG state is seeds × nodes; shrink the panel or raise " +
         "maxSeeds deliberately.")
     val spark = edges.sparkSession
+    // driver finish: per-seed work is one adjacency sweep per hop, so
+    // seeds × edges bounds the in-memory cost — below the work bound
+    // the whole 2·depth-round distributed DAG collapses into the
+    // sequential Brandes replay GraphSpec already proves equal
+    if (nSeeds > 0 && nSeeds * e.count() <= driverFinishMaxWork) {
+      import spark.implicits._
+      val seedIds = seedFrame.as[Long].collect()
+      return betweennessDriver(e, seedIds, maxHops, scale)
+    }
 
     // forward: levels(d) = (seed, node, sigma) at distance exactly d
     val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -621,6 +737,113 @@ object Graph {
     perLevel.reduce(_ unionByName _)
       .groupBy(col("node"))
       .agg(expr("cast(sum(__delta) as long)").as("bc_fp"))
+  }
+
+  /** Shared driver-finish helper: collect distinct directed edges
+    * into an adjacency map. */
+  private def collectAdj(e: DataFrame)
+      : java.util.HashMap[Long, mutable.ArrayBuffer[Long]] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val es = e.select(col("__src"), col("__dst"))
+      .as[(Long, Long)].collect()
+    val adj = new java.util.HashMap[Long, mutable.ArrayBuffer[Long]]()
+    es.foreach { case (s, d) =>
+      adj.computeIfAbsent(s, _ => mutable.ArrayBuffer.empty) += d
+    }
+    adj
+  }
+
+  /** Work bound (seeds × edges) for [[betweennessFromSeeds]]'s driver
+    * finish: each seed's BFS + dependency accumulation sweeps the
+    * adjacency once per hop, so seeds × edges tracks the in-memory
+    * cost (BigInt σ/δ arithmetic included). 32M keeps the replay
+    * around a second; the distributed 2·depth-round DAG costs
+    * ~0.3 s × rounds in job floors alone. */
+  private[graft] val BetweennessDriverMaxWork = 32L * 1000 * 1000
+
+  /** In-memory twin of [[betweennessFromSeeds]] — the per-seed
+    * sequential Brandes fp replay GraphSpec pins the distributed DAG
+    * against: BFS σ in BigInt (decimal(38,0) on the distributed
+    * side), per-edge floored δ contributions
+    * `σ_v · (scale + δ_w) / σ_w`, seeds (level 0) don't score,
+    * reached non-seed nodes with zero dependency still emit 0. */
+  private def betweennessDriver(e: DataFrame, seedIds: Array[Long],
+                                maxHops: Int, scale: Long): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val es = e.select(col("__src"), col("__dst"))
+      .as[(Long, Long)].collect()
+    val adj = new java.util.HashMap[Long, mutable.ArrayBuffer[Long]]()
+    es.foreach { case (s, d) =>
+      adj.computeIfAbsent(s, _ => mutable.ArrayBuffer.empty) += d
+    }
+    // seeds are independent — fan them out on the driver's pool and
+    // merge (BigInt sums commute exactly, so the merge order is
+    // irrelevant to the result)
+    val perSeed = seedIds.toSeq.map { s =>
+      java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        seedDependencies(adj, s, maxHops, scale))
+    }
+    val want = new java.util.HashMap[Long, BigInt]()
+    perSeed.foreach { f =>
+      f.get().forEach { (v, acc) =>
+        want.merge(v, acc, _ + _)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    want.asScala.toSeq.map { case (n, b) => (n, b.toLong) }
+      .toDF("node", "bc_fp")
+  }
+
+  /** One seed's Brandes pass over the shared adjacency (read-only):
+    * returns the seed's (node → δ-sum) contributions, reached
+    * non-seed nodes included at 0. */
+  private def seedDependencies(
+      adj: java.util.HashMap[Long, mutable.ArrayBuffer[Long]],
+      s: Long, maxHops: Int, scale: Long)
+      : java.util.HashMap[Long, BigInt] = {
+    val want = new java.util.HashMap[Long, BigInt]()
+    val dist = new java.util.HashMap[Long, Int]()
+      val sigma = new java.util.HashMap[Long, BigInt]()
+      dist.put(s, 0); sigma.put(s, BigInt(1))
+      var frontier: Seq[Long] = Seq(s)
+      var d = 0
+      val byLevel = mutable.ArrayBuffer[Seq[Long]](Seq(s))
+      while (frontier.nonEmpty && d < maxHops) {
+        val nextSigma = new java.util.LinkedHashMap[Long, BigInt]()
+        frontier.foreach { v =>
+          val ns = adj.get(v)
+          if (ns != null) ns.foreach { w =>
+            if (!dist.containsKey(w))
+              nextSigma.merge(w, sigma.get(v), _ + _)
+          }
+        }
+        val fr = mutable.ArrayBuffer.empty[Long]
+        nextSigma.forEach { (w, sg) =>
+          dist.put(w, d + 1); sigma.put(w, sg); fr += w
+        }
+        frontier = fr.toSeq
+        if (frontier.nonEmpty) byLevel += frontier
+        d += 1
+      }
+      val delta = new java.util.HashMap[Long, BigInt]()
+      for (lvl <- (byLevel.size - 2) to 0 by -1; v <- byLevel(lvl)) {
+        var acc = BigInt(0)
+        val ns = adj.get(v)
+        if (ns != null) ns.foreach { w =>
+          if (dist.containsKey(w) && dist.get(w) == lvl + 1)
+            acc += sigma.get(v) * (BigInt(scale) + delta.getOrDefault(
+              w, BigInt(0))) / sigma.get(w)
+        }
+        delta.put(v, acc)
+        if (lvl > 0)
+          want.merge(v, acc, _ + _)
+      }
+      dist.forEach { (v, dv) =>
+        if (dv > 0) want.putIfAbsent(v, BigInt(0))
+      }
+    want
   }
 
   /** Edge count at or below which the iterative graph operators

@@ -137,6 +137,53 @@ class GraphDriverFinishSpec extends SparkSpec {
     assert(pdrv == pd)
   }
 
+  test("betweennessFromSeeds driver Brandes replay == distributed " +
+    "DAG, bit-equal") {
+    val seeds = Seq(1L, 8L, 30L, 100L).toDF("sid")
+    for (hops <- Seq(1, 3, 8)) {
+      val dist = Graph.betweennessFromSeeds(directedEdges, "s", "d",
+          seeds, "sid", maxHops = hops, driverFinishMaxWork = 0L)
+        .as[(Long, Long)].collect().toSet
+      val drv = Graph.betweennessFromSeeds(directedEdges, "s", "d",
+          seeds, "sid", maxHops = hops,
+          driverFinishMaxWork = Long.MaxValue)
+        .as[(Long, Long)].collect().toSet
+      assert(drv == dist, s"betweenness diverged at maxHops=$hops")
+    }
+  }
+
+  test("bfsDistance / shortestPaths / closeness driver replays == " +
+    "distributed frontier loops") {
+    val seeds = Seq(1L, 8L, 30L, 9999L).toDF("sid")
+    for (hops <- Seq(0, 1, 3, 10)) {
+      val bd = Graph.bfsDistance(directedEdges, "s", "d", seeds, "sid",
+          hops, driverFinishMaxEdges = 0L)
+        .as[(Long, Long)].collect().toSet
+      assert(Graph.bfsDistance(directedEdges, "s", "d", seeds, "sid",
+          hops, driverFinishMaxEdges = Long.MaxValue)
+        .as[(Long, Long)].collect().toSet == bd,
+        s"bfs diverged at maxHops=$hops")
+      val cd = Graph.closenessFromSeeds(directedEdges, "s", "d", seeds,
+          "sid", hops, driverFinishMaxWork = 0L)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(Graph.closenessFromSeeds(directedEdges, "s", "d", seeds,
+          "sid", hops, driverFinishMaxWork = Long.MaxValue)
+        .as[(Long, Long, Long, Long)].collect().toSet == cd,
+        s"closeness diverged at maxHops=$hops")
+    }
+    val wEdges = directedEdges.select(col("s"), col("d"),
+      pmod(col("s") * 11 + col("d"), lit(7)).as("w")) // includes 0s
+    for (rounds <- Seq(0, 1, 4)) {
+      val sd = Graph.shortestPaths(wEdges, "s", "d", "w", seeds, "sid",
+          rounds, driverFinishMaxEdges = 0L)
+        .as[(Long, Long)].collect().toSet
+      assert(Graph.shortestPaths(wEdges, "s", "d", "w", seeds, "sid",
+          rounds, driverFinishMaxEdges = Long.MaxValue)
+        .as[(Long, Long)].collect().toSet == sd,
+        s"shortestPaths diverged at rounds=$rounds")
+    }
+  }
+
   test("kTruss driver peel == distributed support peel") {
     for (k <- Seq(3, 4, 7)) {
       val dist = ktruss(bound = 0L, k)
