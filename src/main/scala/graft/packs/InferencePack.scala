@@ -319,7 +319,12 @@ object InferencePack extends QueryPack {
     val enc = udf((px: Seq[Long], w: Int, h: Int) =>
       graft.operators.ImageHash.encodeGrayPng(
         px.map(_.toInt).toArray, w, h))
+    // %5 slice: the decode cost is real per-image scan work (PNG
+    // encode + ImageIO decode per row), so the fixture samples the
+    // corpus — the slice scales with SF (distributed work, not driver
+    // state) and the oracle filters identically
     val assets = Tables.load(s, dir, "documents")
+      .filter(expr("doc_id % 10 IN (0, 1)"))
       .select(col("doc_id"),
         expr("8 * (2 + (doc_id - doc_id % 2) % 3)").as("w"),
         expr("8 * (2 + (doc_id - doc_id % 2) % 2)").as("h"))
@@ -1017,7 +1022,8 @@ object InferencePack extends QueryPack {
   private val ImageHashCtes: String =
     """dm AS (SELECT doc_id,
       |  8 * (2 + (doc_id - doc_id % 2) % 3) AS w,
-      |  8 * (2 + (doc_id - doc_id % 2) % 2) AS h FROM documents),
+      |  8 * (2 + (doc_id - doc_id % 2) % 2) AS h FROM documents
+      |  WHERE doc_id % 10 IN (0, 1)),
       |px AS (SELECT doc_id, w, h, t.i % w AS x, t.i // w AS y,
       |  (('0x' || substr(md5(CAST(doc_id - doc_id % 2 AS VARCHAR) ||
       |      '-' || CAST(t.i AS VARCHAR)), 1, 8))::BIGINT % 256
