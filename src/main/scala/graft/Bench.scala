@@ -195,6 +195,60 @@ object Bench {
     // two-confirmation clock (r14 advice). Artifacts are only written
     // by full, non-child passes.
     val isIsolated = only.nonEmpty
+    // STALE-BEST RETIREMENT (r16): a best-ever can become unreachable
+    // (recorded under a luckier machine state) without ever tripping
+    // the full-pass aging path — the query then sits permanently at
+    // 1.5-2x "suspect" ratios that mean nothing. Governance: an
+    // ISOLATED single-query quiet-machine probe whose min STILL trips
+    // the dual rule parks a retire-pending entry; a SECOND isolated
+    // probe that re-confirms retires the best to the MIN of the two
+    // isolated samples (two fresh-JVM quiet runs bound what is
+    // actually reachable — recent shared-pass numbers would mix in
+    // contention). A probe below threshold clears the entry: the best
+    // was reachable after all. Only bench_best.json's single entry is
+    // rewritten; full/iters/pending stay untouched (the r15 ONLY-mode
+    // rule protects those from isolated runs).
+    if (!isChild && isIsolated && selected.size == 1) {
+      val (qname, qmin) = mins.head
+      val retirePath = "bench_retire.json"
+      val retirePending: Map[String, Double] =
+        try {
+          val s = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(retirePath)))
+          """"([^"]+)":([-0-9.eE+]+)""".r.findAllMatchIn(s)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        } catch { case _: Throwable => Map.empty }
+      val trips = prevBest.get(qname).exists(b =>
+        (qmin > 2 * b && qmin > 1.0) || (qmin > 1.5 * b && qmin > 3.0))
+      val updated: Map[String, Double] =
+        if (!trips) {
+          if (retirePending.contains(qname))
+            System.err.println(s"RETIRE-CLEAR $qname: isolated ${
+              fmt(qmin)} s back under threshold vs best ${
+              fmt(prevBest(qname))} s")
+          retirePending - qname
+        } else retirePending.get(qname) match {
+          case Some(first) =>
+            val newBest = math.min(first, qmin)
+            System.err.println(s"RETIRE $qname: stale best ${
+              fmt(prevBest(qname))} s unreachable in two isolated " +
+              s"quiet runs (${fmt(first)}, ${fmt(qmin)}) -> best ${
+              fmt(newBest)} s")
+            writeJson(bestPath, (prevBest + (qname -> newBest)).toSeq
+              .sorted.map { case (k, v) => "\"" + k + "\":" + v }
+              .mkString("{", ",", "}") + "\n")
+            retirePending - qname
+          case None =>
+            System.err.println(s"RETIRE-PENDING $qname: isolated ${
+              fmt(qmin)} s trips vs best ${
+              fmt(prevBest.getOrElse(qname, Double.NaN))} s; " +
+              "retirement deferred until a second isolated confirmation")
+            retirePending + (qname -> qmin)
+        }
+      writeJson(retirePath, updated.toSeq.sorted
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}") + "\n")
+    }
     if (!isChild && !isIsolated) {
       // Best-ever AGING: a fresh-JVM adjudication is the cleanest
       // sample this machine can produce — if even THAT is still above

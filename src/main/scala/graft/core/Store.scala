@@ -380,6 +380,24 @@ object Committer {
         throw new java.io.IOException(
           s"adopt: claim failed for $mf with no surviving manifest")
       }
+      // Post-claim race guard (the commitGen/publishCas shape): this
+      // adoption numbered itself `.gens` head + 1, which can exceed 1 —
+      // a concurrent FIRST publishCas (expected gen 0) claims manifest
+      // 1, passes ITS head>next guard if this adoption hasn't landed
+      // yet, and returns success; the higher-numbered adoption manifest
+      // would then serve the LEGACY data over that successfully
+      // committed generation. If any other manifest sits BELOW the
+      // adoption gen, withdraw the adoption and re-enter: the loser's
+      // table is already manifest-logged (idempotent return), and the
+      // publisher's generation stays visible. In the symmetric cross
+      // window the publisher's own head>next guard fires instead; if
+      // BOTH withdraw, the re-entry performs a fresh adoption and the
+      // publisher's caller retries its StaleWriteException — degraded
+      // to a retry, never to a shadowed commit.
+      if (manifests(fs, dst).exists(_._1 < gen)) {
+        fs.delete(mf, false)
+        return adopt(fs, dst)
+      }
       gen
     }
 

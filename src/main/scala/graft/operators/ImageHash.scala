@@ -59,33 +59,50 @@ object ImageHash {
   }
 
   /** Decode to an integer luma grid: (width, height, row-major luma).
-    * None when no installed reader accepts the bytes. */
-  def decodeLuma(content: Array[Byte]): Option[(Int, Int, Array[Int])] = {
-    val img =
-      try javax.imageio.ImageIO.read(
+    * None when no installed reader accepts the bytes — including
+    * readers that throw RuntimeExceptions on corrupt/hostile payloads
+    * (ImageIO plugins raise IllegalArgument/ArrayIndexOutOfBounds on
+    * malformed headers; a web corpus WILL contain such bytes, and one
+    * of them must degrade to decode_ok=false, not kill the job).
+    * Indexed-color rasters (palette PNG/GIF) carry palette INDICES in
+    * the raster — two visually identical images with permuted palettes
+    * would hash unrelated — so they resolve through the color model to
+    * RGB before the BT.601 fold. */
+  def decodeLuma(content: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(content))
-      catch { case _: java.io.IOException => null }
-    Option(img).map { bi =>
-      val raster = bi.getRaster
-      val (w, h, bands) = (bi.getWidth, bi.getHeight, raster.getNumBands)
-      val out = new Array[Int](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          out(y * w + x) =
-            if (bands >= 3)
-              (299 * raster.getSample(x, y, 0) +
-                587 * raster.getSample(x, y, 1) +
-                114 * raster.getSample(x, y, 2)) / 1000
-            else raster.getSample(x, y, 0)
-          x += 1
+      Option(img).map { bi =>
+        val raster = bi.getRaster
+        val (w, h, bands) = (bi.getWidth, bi.getHeight, raster.getNumBands)
+        val indexed = bi.getColorModel
+          .isInstanceOf[java.awt.image.IndexColorModel]
+        val icm =
+          if (indexed)
+            bi.getColorModel.asInstanceOf[java.awt.image.IndexColorModel]
+          else null
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out(y * w + x) =
+              if (indexed) {
+                val i = raster.getSample(x, y, 0)
+                (299 * icm.getRed(i) + 587 * icm.getGreen(i) +
+                  114 * icm.getBlue(i)) / 1000
+              } else if (bands >= 3)
+                (299 * raster.getSample(x, y, 0) +
+                  587 * raster.getSample(x, y, 1) +
+                  114 * raster.getSample(x, y, 2)) / 1000
+              else raster.getSample(x, y, 0)
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        (w, h, out)
       }
-      (w, h, out)
-    }
-  }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Floor-boundary block means over a luma grid: gw×gh longs in
     * row-major block order, mean = sum div count. Requires w ≥ gw and

@@ -375,6 +375,54 @@ object LlmPack extends QueryPack {
           .select(col("doc_id"), expr(HtmlAug).as("html")),
         "doc_id", "html")),
 
+    // WARC ingest end-to-end: per-doc HTTP responses wrapped as ISO
+    // 28500 records (fixture ENCODER udfs — the q253 portable-payload
+    // posture for binary codecs), concatenated into multi-record
+    // streams, then parsed back by the OPERATORS UNDER TEST
+    // (Warc.recordsFromBlobs record walker, Warc.httpResponses
+    // splitter) and extracted through the q277 markup chain. Headers,
+    // exact Content-Length, HTTP status/content-type, and the
+    // extracted text all hash-check against the generator
+    "q280_warc_extract" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), expr(HtmlAug).as("html"))
+      val httpHead = "HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\n\r\n"
+      val rec = udf((id: Long, http: String) =>
+        graft.sources.Warc.buildRecord(
+          warcType = "response",
+          recordId = s"<urn:uuid:$id>",
+          targetUri = s"http://example.com/doc/$id",
+          warcDate = "2024-01-01T00:00:00Z",
+          contentType = "application/http; msgtype=response",
+          payload = http.getBytes("UTF-8")))
+      val cat = udf((rs: Seq[Array[Byte]]) =>
+        rs.foldLeft(Array.empty[Byte])(_ ++ _))
+      val blobs = docs
+        .select((col("doc_id") % 37).as("__bucket"),
+          struct(col("doc_id"),
+            rec(col("doc_id"), concat(lit(httpHead), col("html")))
+              .as("rec")).as("__sr"))
+        .groupBy(col("__bucket"))
+        .agg(sort_array(collect_list(col("__sr"))).as("__srs"))
+        .select(cat(expr("transform(__srs, x -> x.rec)")).as("blob"))
+      val bodies = graft.sources.Warc.httpResponses(
+        graft.sources.Warc.recordsFromBlobs(blobs, "blob"))
+      val headers = bodies.select(
+        expr("cast(regexp_extract(target_uri, 'doc/([0-9]+)$', 1) " +
+          "as bigint)").as("doc_id"),
+        col("warc_type"), col("target_uri"), col("content_length"),
+        col("http_status"), col("http_content_type"),
+        col("body").cast("string").as("__html"))
+      Markup.extractText(headers.select(col("doc_id"), col("__html")),
+          "doc_id", "__html")
+        .join(headers.drop("__html"), Seq("doc_id"))
+        .select(col("doc_id"), col("warc_type"), col("target_uri"),
+          col("content_length"), col("http_status"),
+          col("http_content_type"), col("n_blocks"), col("n_content"),
+          col("clean_text"), col("n_chars"))
+    }),
+
     // CCNet-style perplexity gate, ENGINE-EXACT: bigram LM trained on
     // the even-id half, every doc's surprisal summed in fixed-point
     // nanonats through the portable integer ln kernel (model-table
@@ -2115,47 +2163,87 @@ object LlmPack extends QueryPack {
     // q277: the SAME shared regex chain (inline (?is) flags, no
     // backreferences) replayed over DuckDB's RE2 + list lambdas;
     // entity decode via plain replace() in the identical order
-    "q277_html_extract" -> {
-      import graft.operators.Markup._
-      val wc = s"len(list_filter(string_split(x, ' '), " +
-        s"w -> w <> '' AND w <> '$LinkMark'))"
-      val lk = s"(len(string_split(x, '$LinkMark')) - 1)"
+    "q277_html_extract" ->
       s"""WITH base AS (SELECT doc_id, $HtmlAug AS h FROM documents),
-         |s1 AS (SELECT doc_id,
-         |  regexp_replace(h, '$ScriptPattern', ' ', 'g') AS t FROM base),
-         |s2 AS (SELECT doc_id,
-         |  regexp_replace(t, '$StylePattern', ' ', 'g') AS t FROM s1),
-         |s3 AS (SELECT doc_id,
-         |  regexp_replace(t, '$CommentPattern', ' ', 'g') AS t FROM s2),
-         |s4 AS (SELECT doc_id,
-         |  regexp_replace(t, '$AnchorPattern', ' $LinkMark ', 'g') AS t
-         |  FROM s3),
-         |s5 AS (SELECT doc_id,
-         |  regexp_replace(t, '$BlockBreakPattern', chr(10), 'g') AS t
-         |  FROM s4),
-         |s6 AS (SELECT doc_id,
-         |  regexp_replace(t, '$TagPattern', ' ', 'g') AS t FROM s5),
-         |s7 AS (SELECT doc_id, replace(replace(replace(replace(replace(
-         |  replace(t, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-         |  '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s6),
-         |s8 AS (SELECT doc_id,
-         |  regexp_replace(t, '[ \\t]+', ' ', 'g') AS t FROM s7),
-         |b AS (SELECT doc_id,
-         |  list_filter(list_transform(string_split(t, chr(10)),
-         |    x -> trim(x)), x -> x <> '') AS blocks FROM s8),
-         |c AS (SELECT doc_id, blocks,
-         |  list_filter(blocks, x -> $wc >= 5 AND $wc >= 4 * $lk)
-         |    AS content FROM b)
-         |SELECT doc_id,
-         |  CAST(len(blocks) AS BIGINT) AS n_blocks,
-         |  CAST(len(content) AS BIGINT) AS n_content,
-         |  coalesce(array_to_string(list_transform(content,
-         |    x -> trim(regexp_replace(replace(x, '$LinkMark', ''),
-         |      ' +', ' ', 'g'))), chr(10)), '') AS clean_text,
-         |  CAST(length(coalesce(array_to_string(list_transform(content,
-         |    x -> trim(regexp_replace(replace(x, '$LinkMark', ''),
-         |      ' +', ' ', 'g'))), chr(10)), '')) AS BIGINT) AS n_chars
-         |FROM c""".stripMargin
-    }
+         |$MarkupCtes
+         |SELECT doc_id, $MarkupSelect
+         |FROM c""".stripMargin,
+
+    // q280: end-to-end WARC ingest certificate — per-doc HTTP
+    // responses wrapped in ISO 28500 records, concatenated into
+    // multi-record streams, parsed BACK by the from-scratch record
+    // walker + HTTP splitter, and the recovered bodies pushed through
+    // the q277 extract chain. The oracle recomputes every output from
+    // the generator directly: header fields are deterministic
+    // functions of doc_id, content_length is the exact payload byte
+    // count, and the clean text replays the shared markup chain — a
+    // hash match certifies the byte-level encode→parse roundtrip AND
+    // the header/payload split
+    "q280_warc_extract" ->
+      s"""WITH base AS (SELECT doc_id, $HtmlAug AS h FROM documents),
+         |pay AS (SELECT doc_id, h,
+         |  'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+         |  'Content-Type: text/html; charset=utf-8' ||
+         |  chr(13) || chr(10) || chr(13) || chr(10) || h AS p
+         |  FROM base),
+         |$MarkupCtes
+         |SELECT c.doc_id,
+         |  'response' AS warc_type,
+         |  'http://example.com/doc/' || CAST(c.doc_id AS VARCHAR)
+         |    AS target_uri,
+         |  CAST(strlen(pay.p) AS BIGINT) AS content_length,
+         |  CAST(200 AS INTEGER) AS http_status,
+         |  'text/html; charset=utf-8' AS http_content_type,
+         |  $MarkupSelect
+         |FROM c JOIN pay ON c.doc_id = pay.doc_id""".stripMargin
   )
+
+  /** Shared q277/q280 oracle chain: the markup strip + block keep rule
+    * over a `base`/`pay` CTE exposing (doc_id, h). Ends in `c` with
+    * (doc_id, blocks, content). */
+  private val MarkupCtes: String = {
+    import graft.operators.Markup._
+    val wc = s"len(list_filter(string_split(x, ' '), " +
+      s"w -> w <> '' AND w <> '$LinkMark'))"
+    val lk = s"(len(string_split(x, '$LinkMark')) - 1)"
+    s"""s1 AS (SELECT doc_id,
+       |  regexp_replace(h, '$ScriptPattern', ' ', 'g') AS t FROM base),
+       |s2 AS (SELECT doc_id,
+       |  regexp_replace(t, '$StylePattern', ' ', 'g') AS t FROM s1),
+       |s3 AS (SELECT doc_id,
+       |  regexp_replace(t, '$CommentPattern', ' ', 'g') AS t FROM s2),
+       |s4 AS (SELECT doc_id,
+       |  regexp_replace(t, '$AnchorPattern', ' $LinkMark ', 'g') AS t
+       |  FROM s3),
+       |s5 AS (SELECT doc_id,
+       |  regexp_replace(t, '$BlockBreakPattern', chr(10), 'g') AS t
+       |  FROM s4),
+       |s6 AS (SELECT doc_id,
+       |  regexp_replace(t, '$TagPattern', ' ', 'g') AS t FROM s5),
+       |s7 AS (SELECT doc_id, replace(replace(replace(replace(replace(
+       |  replace(t, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+       |  '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s6),
+       |s8 AS (SELECT doc_id,
+       |  regexp_replace(t, '[ \\t]+', ' ', 'g') AS t FROM s7),
+       |b AS (SELECT doc_id,
+       |  list_filter(list_transform(string_split(t, chr(10)),
+       |    x -> trim(x)), x -> x <> '') AS blocks FROM s8),
+       |c AS (SELECT doc_id, blocks,
+       |  list_filter(blocks, x -> $wc >= 5 AND $wc >= 4 * $lk)
+       |    AS content FROM b)""".stripMargin
+  }
+
+  /** The q277-shape output columns over the `c` CTE. */
+  private val MarkupSelect: String = {
+    import graft.operators.Markup._
+    s"""CAST(len(blocks) AS BIGINT) AS n_blocks,
+       |  CAST(len(content) AS BIGINT) AS n_content,
+       |  coalesce(array_to_string(list_transform(content,
+       |    x -> trim(regexp_replace(replace(x, '$LinkMark', ''),
+       |      ' +', ' ', 'g'))), chr(10)), '') AS clean_text,
+       |  CAST(length(coalesce(array_to_string(list_transform(content,
+       |    x -> trim(regexp_replace(replace(x, '$LinkMark', ''),
+       |      ' +', ' ', 'g'))), chr(10)), '')) AS BIGINT) AS n_chars"""
+      .stripMargin
+  }
 }

@@ -74,15 +74,27 @@ object DecontaminateStream {
       .filter(col("text").isNotNull)
       .localCheckpoint(true) // feeds the ranging AND the corpus append
     if (prepared.isEmpty) return
-    val bench = readIfExists(spark, protectedPath)
-    // ranges first (the SaProbeStream ordering): if the corpus append
-    // dies, the replay recomputes identical ranges from the unchanged
-    // protected set and the full-row anti-join completes the commit
-    Commits.appendIfAbsent(
-      SuffixDedup.decontaminationRanges(prepared, bench,
-        "doc_id", "text", minLen, maxLcp),
-      rangesPath, Seq("doc", "cut_from", "cut_until"))
-    Commits.appendIfAbsent(prepared, corpusPath, "doc_id")
+    // Serialized against commitProtected on the ranges table: without
+    // the lock, a doc batch that reads the protected set BEFORE a
+    // concurrent protected batch lands, while that protected batch
+    // reads the corpus BEFORE this doc batch lands, leaves the (new
+    // docs × new protected) pair ranged by NEITHER side — classic
+    // write skew, and those docs would permanently escape
+    // decontamination. Both commit paths run in the ingesting driver
+    // JVM (foreachBatch + driver-side control-plane appends), which is
+    // the regime the in-JVM lock covers; multi-DRIVER deployments must
+    // route both paths through one driver.
+    graft.core.KeyedLocks.withLock(s"__decon#$rangesPath") {
+      val bench = readIfExists(spark, protectedPath)
+      // ranges first (the SaProbeStream ordering): if the corpus append
+      // dies, the replay recomputes identical ranges from the unchanged
+      // protected set and the full-row anti-join completes the commit
+      Commits.appendIfAbsent(
+        SuffixDedup.decontaminationRanges(prepared, bench,
+          "doc_id", "text", minLen, maxLcp),
+        rangesPath, Seq("doc", "cut_from", "cut_until"))
+      Commits.appendIfAbsent(prepared, corpusPath, "doc_id")
+    }
   }
 
   /** One protected-set commit: the EXISTING corpus ranges against the
@@ -100,12 +112,15 @@ object DecontaminateStream {
       .filter(col("text").isNotNull)
       .localCheckpoint(true) // feeds the ranging AND the append
     if (prepared.isEmpty) return
-    val corpus = readIfExists(spark, corpusPath)
-    Commits.appendIfAbsent(
-      SuffixDedup.decontaminationRanges(corpus, prepared,
-        "doc_id", "text", minLen, maxLcp),
-      rangesPath, Seq("doc", "cut_from", "cut_until"))
-    Commits.appendIfAbsent(prepared, protectedPath, "doc_id")
+    // same lock as commitDocs — see the write-skew note there
+    graft.core.KeyedLocks.withLock(s"__decon#$rangesPath") {
+      val corpus = readIfExists(spark, corpusPath)
+      Commits.appendIfAbsent(
+        SuffixDedup.decontaminationRanges(corpus, prepared,
+          "doc_id", "text", minLen, maxLcp),
+        rangesPath, Seq("doc", "cut_from", "cut_until"))
+      Commits.appendIfAbsent(prepared, protectedPath, "doc_id")
+    }
   }
 
   /** The decontaminated corpus view: raw docs with every accumulated

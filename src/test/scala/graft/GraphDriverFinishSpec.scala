@@ -61,6 +61,33 @@ class GraphDriverFinishSpec extends SparkSpec {
     assert(kcore(bound = Long.MaxValue, 3, 50).nonEmpty)
   }
 
+  test("kCore mid-peel switch: remaining-rounds arithmetic under a " +
+    "binding round cap (r15 advice)") {
+    // An 80-edge path under k=2 peels exactly 2 edges per round, so
+    // the live count crosses any bound at a PREDICTABLE round and the
+    // peel is still in progress at the handoff — if the driver finish
+    // received the wrong remaining-round budget (maxRounds instead of
+    // maxRounds - round), the surviving edge count would differ and
+    // parity would break. bound=79 switches after round 1, 75 after
+    // round 3, 41 after round 20 (when the cap allows it); rounds=3
+    // also exercises the no-switch path (cap reached first).
+    val chain = (0L until 80L).map(i => (i, i + 1)).toDF("a", "b")
+    def kc(bound: Long, rounds: Int) =
+      Graph.kCore(chain, "a", "b", 2, rounds,
+          driverFinishMaxEdges = bound)
+        .as[(Long, Long)].collect().toSet
+    for (rounds <- Seq(3, 10, 41); bound <- Seq(79L, 75L, 41L)) {
+      val dist = kc(0L, rounds)
+      assert(kc(bound, rounds) == dist,
+        s"mid-peel remaining-rounds diverged at bound=$bound " +
+          s"rounds=$rounds")
+      // the partially-peeled chain keeps 80 - 2*rounds edges' worth of
+      // interior nodes until the cap exceeds 40 rounds (then empty)
+      if (rounds < 40) assert(dist.nonEmpty)
+      else assert(dist.isEmpty)
+    }
+  }
+
   test("SCC driver Tarjan == distributed coloring") {
     val dist = scc(bound = 0L)
     val drv = scc(bound = Long.MaxValue)
