@@ -9,7 +9,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] =
     Seq(CorePack, TemporalPack, LlmPack, EventsPack, StorePack, ApproxPack,
-      SqlPack, ScalePack, StatsPack, RobustPack, InferencePack)
+      SqlPack, ScalePack, StatsPack, RobustPack, InferencePack,
+      TokenizerPack)
 
   /** Flagship query on sf=0.001: daily open-order prevalence
     * (key_join_features with a count aggregator). */

@@ -72,14 +72,20 @@ object PortableLn {
     * 2^KMax; a·2^S rides HUGEINT internally, so any BIGINT operands
     * are safe). Appends CTE definitions ending in
     * `outCte`(keyCols..., ln_fp) — splice into a WITH chain AFTER
-    * `inCte` (caller supplies the leading/trailing commas). */
+    * `inCte` (caller supplies the leading/trailing commas). `prefix`
+    * namespaces the two internal CTEs so one WITH chain can carry
+    * SEVERAL ln instantiations (the unigram oracle runs the kernel
+    * once per EM round). */
   def duckLnCtes(inCte: String, keyCols: Seq[String],
-                 outCte: String): String = {
+                 outCte: String, prefix: String = ""): String = {
     val ks = keyCols.mkString(", ")
     val s = 1L << SShift
     val hi = 2L * s
     val f = 1L << FracBits
     val outDiv = 1L << OutShift
+    val lnK = s"${prefix}__ln_k"
+    val lnIt = s"${prefix}__ln_it"
+    val lnS = s"${prefix}__ln_s"
     // k = Σ_j [a div 2^j ≥ b] — floor(log2(a/b)) by KMax
     // compare-counts; the div form never overflows (b·2^j would)
     val kExpr = (1 to KMax)
@@ -87,22 +93,22 @@ object PortableLn {
       .mkString(" + ")
     // x = (a·2^S) div (b·2^k) via nested floor divisions (exact:
     // ⌊⌊aS/b⌋/2^k⌋ = ⌊aS/(b·2^k)⌋); a·2^S needs HUGEINT head-room
-    s"""__ln_k AS (
+    s"""$lnK AS (
        |  SELECT $ks, a, b, CAST($kExpr AS BIGINT) AS k FROM $inCte),
-       |__ln_it AS (
+       |$lnIt AS (
        |  SELECT $ks, k,
        |    CAST(((CAST(a AS HUGEINT) * $s) // b)
        |      // (CAST(1 AS BIGINT) << k) AS BIGINT) AS x,
        |    0 AS i, CAST(0 AS BIGINT) AS frac
-       |  FROM __ln_k
+       |  FROM $lnK
        |  UNION ALL
        |  SELECT $ks, k,
        |    CASE WHEN y >= $hi THEN y // 2 ELSE y END,
        |    i + 1, frac * 2 + CASE WHEN y >= $hi THEN 1 ELSE 0 END
        |  FROM (SELECT $ks, k, (x * x) // $s AS y, i, frac
-       |        FROM __ln_it WHERE i < $FracBits) __ln_s),
+       |        FROM $lnIt WHERE i < $FracBits) $lnS),
        |$outCte AS (
        |  SELECT $ks, ((k * $f + frac) * $Ln2Fp) // $outDiv AS ln_fp
-       |  FROM __ln_it WHERE i = $FracBits)""".stripMargin
+       |  FROM $lnIt WHERE i = $FracBits)""".stripMargin
   }
 }

@@ -1,0 +1,185 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.core.Tables
+import graft.functions.PortableLn
+import graft.operators.Unigram
+
+/** Unigram-LM (SentencePiece-class) tokenizer queries — the q103 BPE
+  * posture for the OTHER dominant tokenizer family: the full training
+  * run (seed substring statistics → integer fixed-point costs through
+  * the portable ln → Viterbi hard-EM round → prune → final costs →
+  * final segmentation) is replayed in DuckDB as recursive CTEs, so the
+  * vocabulary, every Viterbi segmentation, and the per-language
+  * fertility report all hash-check end to end. The Viterbi lattice DP
+  * rides a 4-register sliding window (dp[i-1..i-4]) in the recursive
+  * working table — maxPieceLen = 4 is what makes the forward pass
+  * expressible under DuckDB's one-recursive-reference rule. */
+object TokenizerPack extends QueryPack {
+
+  private val SeedSize = 300
+  private val MaxPieceLen = 4
+
+  private def model(s: SparkSession, dir: String) =
+    Unigram.train(Tables.load(s, dir, "documents"), "text",
+      seedSize = SeedSize, maxPieceLen = MaxPieceLen)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the trained vocabulary: surviving pieces with hard-EM Viterbi
+    // counts and fixed-point surprisal costs
+    "q281_unigram_vocab" -> ((s, dir) =>
+      Unigram.vocabDf(s, model(s, dir))),
+
+    // the dictionary segmentation under the final costs — the
+    // broadcastable word→pieces artifact tokenization consumes
+    "q282_unigram_segments" -> ((s, dir) =>
+      Unigram.segmentsDf(s, model(s, dir))),
+
+    // per-language fertility under the unigram model, the comparison
+    // report against q196 (BPE fertility) on the same corpus
+    "q283_unigram_fertility" -> ((s, dir) =>
+      Unigram.fertility(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "lang", model(s, dir))),
+  )
+
+  /** Shared oracle chain: dict → seed stats → cost0 (portable ln) →
+    * Viterbi forward DP (vit0) + backtrack (seg0) → recount → vocab1 →
+    * cost1 → final DP (vit1/seg1). BIG = 10^15 is the unreachable-cost
+    * sentinel (dp sums stay under ~10^9). */
+  private val BIG = "1000000000000000"
+
+  /** One Viterbi forward + backtrack pair under a given cost CTE.
+    * dp[i+1] considers pieces of length 1..4 ending at i+1; the
+    * registers d0..d3 hold dp[i..i-3]; tie-break = longest piece
+    * achieving the minimum (v4 checked first). */
+  private def viterbiCtes(costCte: String, vit: String,
+                          seg: String): String =
+    s"""$vit AS (
+       |  SELECT w, length(w) AS n, 0 AS i, CAST(0 AS BIGINT) AS d0,
+       |    CAST(NULL AS BIGINT) AS d1, CAST(NULL AS BIGINT) AS d2,
+       |    CAST(NULL AS BIGINT) AS d3, 0 AS pick
+       |  FROM dict
+       |  UNION ALL
+       |  SELECT w, n, i + 1, m, d0, d1, d2,
+       |    CASE WHEN v4 = m THEN 4 WHEN v3 = m THEN 3
+       |         WHEN v2 = m THEN 2 ELSE 1 END
+       |  FROM (
+       |    SELECT w, n, i, d0, d1, d2, d3, v1, v2, v3, v4,
+       |      least(coalesce(v1, $BIG), coalesce(v2, $BIG),
+       |            coalesce(v3, $BIG), coalesce(v4, $BIG)) AS m
+       |    FROM (
+       |      SELECT v.w, v.n, v.i, v.d0, v.d1, v.d2, v.d3,
+       |        v.d0 + c1.ln_fp AS v1,
+       |        v.d1 + c2.ln_fp AS v2,
+       |        v.d2 + c3.ln_fp AS v3,
+       |        v.d3 + c4.ln_fp AS v4
+       |      FROM $vit v
+       |      LEFT JOIN $costCte c1 ON c1.p = substr(v.w, v.i + 1, 1)
+       |      LEFT JOIN $costCte c2
+       |        ON v.i >= 1 AND c2.p = substr(v.w, v.i, 2)
+       |      LEFT JOIN $costCte c3
+       |        ON v.i >= 2 AND c3.p = substr(v.w, v.i - 1, 3)
+       |      LEFT JOIN $costCte c4
+       |        ON v.i >= 3 AND c4.p = substr(v.w, v.i - 2, 4)
+       |      WHERE v.i < v.n) __s1) __s2),
+       |$seg AS (
+       |  SELECT w, length(w) AS i, 0 AS ord, CAST(NULL AS VARCHAR)
+       |    AS piece
+       |  FROM dict
+       |  UNION ALL
+       |  SELECT s.w, s.i - v.pick, s.ord + 1,
+       |    substr(s.w, s.i - v.pick + 1, v.pick)
+       |  FROM $seg s JOIN $vit v ON v.w = s.w AND v.i = s.i
+       |  WHERE s.i > 0)""".stripMargin
+
+  private val TrainCtes: String =
+    s"""dict AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+       |          AS w
+       |        FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |pos AS (SELECT w, cnt, length(w) AS n,
+       |  unnest(generate_series(1, length(w))) AS i FROM dict),
+       |cand AS (SELECT substr(w, i, l.l) AS p,
+       |  CAST(sum(cnt) AS BIGINT) AS freq
+       |  FROM pos CROSS JOIN (VALUES (2), (3), (4)) l(l)
+       |  WHERE i + l.l - 1 <= n GROUP BY 1),
+       |chars AS (SELECT substr(w, i, 1) AS p,
+       |  CAST(sum(cnt) AS BIGINT) AS freq FROM pos GROUP BY 1),
+       |seed AS (SELECT p, freq FROM cand
+       |  ORDER BY freq DESC, p LIMIT $SeedSize),
+       |vocab0 AS (SELECT p, freq FROM chars
+       |  UNION ALL SELECT p, freq FROM seed),
+       |ln0in AS (SELECT p,
+       |  (SELECT CAST(sum(freq) AS BIGINT) FROM vocab0) AS a,
+       |  freq AS b FROM vocab0),
+       |${PortableLn.duckLnCtes("ln0in", Seq("p"), "cost0", "c0")},
+       |${viterbiCtes("cost0", "vit0", "seg0")},
+       |uses0 AS (SELECT piece AS p, CAST(sum(cnt) AS BIGINT) AS freq
+       |  FROM seg0 JOIN dict ON seg0.w = dict.w
+       |  WHERE ord >= 1 GROUP BY 1),
+       |vocab1 AS (
+       |  SELECT v.p,
+       |    CASE WHEN length(v.p) = 1
+       |      THEN greatest(CAST(1 AS BIGINT), coalesce(u.freq, 0))
+       |      ELSE u.freq END AS freq
+       |  FROM vocab0 v LEFT JOIN uses0 u ON u.p = v.p
+       |  WHERE length(v.p) = 1 OR coalesce(u.freq, 0) > 0),
+       |ln1in AS (SELECT p,
+       |  (SELECT CAST(sum(freq) AS BIGINT) FROM vocab1) AS a,
+       |  freq AS b FROM vocab1),
+       |${PortableLn.duckLnCtes("ln1in", Seq("p"), "cost1", "c1")},
+       |${viterbiCtes("cost1", "vit1", "seg1")}""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q281_unigram_vocab" ->
+      s"""WITH RECURSIVE $TrainCtes
+         |SELECT v.p AS piece, v.freq, c.ln_fp AS cost_fp
+         |FROM vocab1 v JOIN cost1 c ON c.p = v.p""".stripMargin,
+
+    "q282_unigram_segments" ->
+      s"""WITH RECURSIVE $TrainCtes
+         |SELECT w, CAST(count(*) AS BIGINT) AS n_pieces,
+         |  array_to_string(list(piece ORDER BY ord DESC), ' ')
+         |    AS pieces
+         |FROM seg1 WHERE ord >= 1 GROUP BY w""".stripMargin,
+
+    // n_oov_words is structurally 0 here: the dictionary is built
+    // unpruned from the same corpus being tokenized (maxVocabWords
+    // far exceeds the gate corpora's vocabulary), so every word maps
+    // through the segmentation — the Spark side computes real OOV and
+    // UnigramSpec exercises the nonzero path on unseen text
+    "q283_unigram_fertility" ->
+      s"""WITH RECURSIVE $TrainCtes,
+         |wp AS (SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
+         |  FROM seg1 WHERE ord >= 1 GROUP BY w),
+         |docw AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id,
+         |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |    FROM documents) WHERE w <> ''),
+         |dtok AS (SELECT d.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(wp.n_pieces) AS BIGINT) AS n_toks
+         |  FROM docw d JOIN wp ON wp.w = d.w GROUP BY 1)
+         |SELECT doc.lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(t.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(t.n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(strlen(doc.text)) AS BIGINT) AS n_bytes,
+         |  CAST(0 AS BIGINT) AS n_oov_words,
+         |  CAST((10000 * CAST(sum(t.n_toks) AS BIGINT))
+         |    // greatest(1, CAST(sum(t.n_words) AS BIGINT)) AS BIGINT)
+         |    AS fertility_bp,
+         |  CAST((10000 * CAST(sum(strlen(doc.text)) AS BIGINT))
+         |    // greatest(1, CAST(sum(t.n_toks) AS BIGINT)) AS BIGINT)
+         |    AS bytes_per_token_bp,
+         |  CAST(0 AS BIGINT) AS oov_bp
+         |FROM dtok t JOIN documents doc ON doc.doc_id = t.doc_id
+         |GROUP BY 1""".stripMargin,
+  )
+}
