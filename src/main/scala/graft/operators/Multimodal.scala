@@ -366,6 +366,62 @@ object Multimodal {
     Some(Y4mStats(w, h, n, sum, mn, mx))
   }
 
+  /** Per-frame LUMA planes of a Y4M container — the frame accessor
+    * [[VideoHash]] hashes over ([[decodeY4m]] folds stats without
+    * materializing frames; this variant materializes one w·h luma
+    * grid per frame, scratch bounded by one frame at a time through
+    * the iterator). None on non-Y4M / truncated payloads. */
+  private[operators] def y4mFrames(content: Array[Byte])
+      : Option[(Int, Int, Iterator[Array[Int]])] = {
+    val magic = "YUV4MPEG2"
+    if (content.length < magic.length + 1) return None
+    if (new String(content, 0, magic.length, "US-ASCII") != magic)
+      return None
+    val nl = content.indexOf('\n'.toByte)
+    if (nl < 0) return None
+    val header = new String(content, 0, nl, "US-ASCII")
+    var w = -1; var h = -1; var chromaDiv = 4
+    for (tok <- header.split(' ').drop(1)) {
+      if (tok.startsWith("W")) w =
+        try tok.substring(1).toInt catch { case _: Exception => -1 }
+      else if (tok.startsWith("H")) h =
+        try tok.substring(1).toInt catch { case _: Exception => -1 }
+      else if (tok.startsWith("C")) {
+        if (tok.startsWith("C420")) chromaDiv = 4
+        else if (tok.startsWith("C422")) chromaDiv = 2
+        else if (tok.startsWith("C444")) chromaDiv = 1
+        else return None
+      }
+    }
+    if (w <= 0 || h <= 0) return None
+    val ySize = w * h
+    val frameSize = ySize + 2 * (ySize / chromaDiv)
+    val it = new Iterator[Array[Int]] {
+      private var off = nl + 1
+      private var bad = false
+      def hasNext: Boolean = !bad && off < content.length
+      def next(): Array[Int] = {
+        if (off + 6 > content.length ||
+          new String(content, off, 5, "US-ASCII") != "FRAME")
+          throw new java.io.IOException("bad frame header")
+        val fnl = content.indexOf('\n'.toByte, off)
+        if (fnl < 0 || fnl + 1 + frameSize > content.length) {
+          bad = true
+          throw new java.io.IOException("truncated frame")
+        }
+        val out = new Array[Int](ySize)
+        var i = 0
+        while (i < ySize) {
+          out(i) = content(fnl + 1 + i) & 0xff
+          i += 1
+        }
+        off = fnl + 1 + frameSize
+        out
+      }
+    }
+    Some((w, h, it))
+  }
+
   /** Partition-parallel REAL video feature extraction — the Y4M twin
     * of [[imageFeatures]]/[[wavFeatures]]. */
   def y4mFeatures(df: DataFrame): DataFrame = {

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Video sequence near-dup — the video leg of the multimodal dedup
+  * matrix (text ✓ image ✓ audio ✓): per-frame [[ImageHash]] dHash
+  * signatures over REAL decoded Y4M luma planes, paired by banded
+  * any-frame candidate generation and verified by aligned per-frame
+  * hamming majority.
+  *
+  * Signature: each frame's luma grid → 9×8 floor-boundary block means
+  * → 64-bit dHash ([[ImageHash.dHash64]] — gradient signs, robust to
+  * global brightness shifts), giving one `array<long>` per video.
+  * All-integer, so signatures and the pairing hash-check end to end.
+  *
+  * Pairing: candidates = two videos sharing a 16-bit band of the SAME
+  * frame index (the [[Dedup.simhashPairs]] machinery lifted to
+  * (frame, band) keys); verification joins the two hash arrays and
+  * counts aligned frames within `maxHamming`. EXACT for maxHamming ≤
+  * 3: a qualifying pair has ≥ 1 aligned frame within hamming 3, and
+  * ≤ 3 flipped bits leave one of the 4 bands intact (pigeonhole), so
+  * the pair meets in a bucket — never all-pairs.
+  *
+  * Scale: hashing is per-row decode work (one container walk per
+  * video, no shuffle); pairing shuffles 4 small rows per FRAME;
+  * verification moves only candidate hash arrays. */
+object VideoHash {
+
+  /** Hash a binary Y4M column: appends (decode_ok, width, height,
+    * n_frames, fhashes). Frames smaller than the 9×8 hash grid and
+    * undecodable payloads report decode_ok = false with null hashes —
+    * reported, never dropped. */
+  def frameHashes(df: DataFrame, contentCol: String = "content")
+      : DataFrame = {
+    val session = df.sparkSession
+    val outSchema = StructType(
+      df.schema.fields.filterNot(_.name == contentCol) ++ Seq(
+        StructField("decode_ok", BooleanType, nullable = false),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("n_frames", IntegerType),
+        StructField("fhashes", ArrayType(LongType, containsNull = false))))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val keepIdx = df.schema.fields.indices.filterNot(_ == contentIdx)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val kept = keepIdx.map(r.get)
+        val hashed =
+          try Multimodal.y4mFrames(r.getAs[Array[Byte]](contentIdx))
+            .filter { case (w, h, _) =>
+              w >= ImageHash.GridDW && h >= ImageHash.GridDH }
+            .map { case (w, h, frames) =>
+              val hs = frames.map(px => ImageHash.dHash64(
+                ImageHash.blockMeans(px, w, h,
+                  ImageHash.GridDW, ImageHash.GridDH))).toArray
+              (w, h, hs)
+            }
+          catch { case scala.util.control.NonFatal(_) => None }
+        hashed match {
+          case Some((w, h, hs)) =>
+            Row.fromSeq(kept ++ Seq(true, w, h, hs.length, hs.toSeq))
+          case None =>
+            Row.fromSeq(kept ++ Seq(false, null, null, null, null))
+        }
+      }
+    }
+    session.createDataFrame(rdd, outSchema)
+  }
+
+  /** Aligned near-dup pairs: same frame count, ≥ `minMatchBp` basis
+    * points of aligned frames within `maxHamming`. Output: (id_a,
+    * id_b, n_frames, n_match), id_a < id_b. */
+  def nearDupPairs(hashed: DataFrame, idCol: String, maxHamming: Int,
+                   minMatchBp: Int = 8000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "banded candidates are exact only for maxHamming <= 3")
+    require(minMatchBp >= 1 && minMatchBp <= 10000)
+    val sigs = hashed
+      .filter(col("fhashes").isNotNull && size(col("fhashes")) > 0)
+      .select(col(idCol), col("fhashes").as("__fhs"))
+      .localCheckpoint(true) // both band sides + both verify sides
+    val banded = sigs
+      .select(col(idCol), posexplode(col("__fhs"))
+        .as(Seq("__fidx", "__fh")))
+      .select(col(idCol), col("__fidx"),
+        posexplode(array((0 until 4).map(bi =>
+          shiftright(col("__fh"), bi * 16).bitwiseAND(0xFFFFL)): _*))
+          .as(Seq("__band", "__bucket")))
+    val cands = banded.select(col(idCol).as("id_a"), col("__fidx"),
+        col("__band"), col("__bucket"))
+      .join(banded.select(col(idCol).as("id_b"), col("__fidx"),
+        col("__band"), col("__bucket")),
+        Seq("__fidx", "__band", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sigs.select(col(idCol).as("id_a"), col("__fhs").as("__ha")),
+        Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("__fhs").as("__hb")),
+        Seq("id_b"))
+      .filter(size(col("__ha")) === size(col("__hb")))
+      .select(col("id_a"), col("id_b"),
+        size(col("__ha")).cast("long").as("n_frames"),
+        size(filter(zip_with(col("__ha"), col("__hb"),
+          (x, y) => bit_count(x.bitwiseXOR(y)) <= maxHamming),
+          m => m)).cast("long").as("n_match"))
+      .filter(col("n_match") * 10000 >= lit(minMatchBp) * col("n_frames"))
+  }
+}

@@ -309,8 +309,97 @@ object InferencePack extends QueryPack {
       graft.operators.ImageHash.nearDupPairs(
           imageHashed(s, dir), "doc_id", "dhash", maxHamming = 3)
         .select(col("id_a"), col("id_b"),
-          col("hamming").cast("long").as("hamming")))
+          col("hamming").cast("long").as("hamming"))),
+
+    // integer audio fingerprints over REAL WAV encode->decode (the
+    // q253 portable-payload posture): md5-derived PCM16 clips are
+    // RIFF-encoded, decoded back, and folded into the all-integer
+    // Haitsma-Kalker sign-bit fingerprint; the oracle replays the
+    // energy-grid math from the generator series directly. Docs pair
+    // up (pb = doc_id - doc_id%2): the odd twin perturbs SAMPLE 0
+    // (one grid cell -> hamming <= 4, here measured <= 1)
+    "q284_audio_fp" -> ((s, dir) =>
+      audioFingerprinted(s, dir)
+        .select(col("doc_id"), col("n_samples"), col("afp"))),
+
+    // hamming-banded audio near-dup over the fingerprint: planted
+    // one-sample twins meet in a band (exact for <= 3 by pigeonhole
+    // via the ImageHash 4x16 banding); the oracle brute-forces pairs
+    "q285_audio_neardup" -> ((s, dir) =>
+      graft.operators.AudioHash.nearDupPairs(
+          audioFingerprinted(s, dir), "doc_id", maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))),
+
+    // per-frame video dHash signatures over REAL Y4M encode->decode
+    // (the q264 posture fed through the ImageHash block-mean kernel):
+    // md5-derived 18x16 3-frame luma planes, one 64-bit dHash per
+    // frame; the oracle replays the pixel math per (doc, frame)
+    "q286_video_fhash" -> ((s, dir) =>
+      videoHashed(s, dir)
+        .select(col("doc_id"), posexplode(col("fhashes"))
+          .as(Seq("fidx", "fhash")))
+        .select(col("doc_id"), col("fidx").cast("long").as("fidx"),
+          col("fhash"))),
+
+    // aligned video near-dup: banded any-frame candidates + per-frame
+    // hamming majority verify. The odd twin perturbs pixel 0 of EVERY
+    // frame (one block -> <= 1 flipped bit per frame), so planted
+    // pairs match on all 3 frames; oracle brute-forces aligned pairs
+    "q287_video_neardup" -> ((s, dir) =>
+      graft.operators.VideoHash.nearDupPairs(
+          videoHashed(s, dir), "doc_id", maxHamming = 3,
+          minMatchBp = 8000)
+        .select(col("id_a"), col("id_b"), col("n_frames"),
+          col("n_match")))
   )
+
+  /** Shared q286/q287 stage: portable md5 luma planes (3 frames of
+    * 18×16 per doc; the odd twin of each pair (pb = doc_id - doc_id%2)
+    * shifts pixel 0 of every frame by +100 mod 256) encoded to real
+    * Y4M containers, decoded and per-frame dHashed. */
+  private def videoHashed(s: SparkSession, dir: String): DataFrame = {
+    val enc = udf((px: Seq[Long], w: Int, h: Int, nf: Int) => {
+      val fs = (0 until nf).map(f =>
+        px.slice(f * w * h, (f + 1) * w * h).map(_.toByte).toArray)
+      Multimodal.encodeY4m(w, h, fs)
+    })
+    val assets = Tables.load(s, dir, "documents")
+      .filter(expr("doc_id % 10 IN (0, 1)"))
+      .select(col("doc_id"), enc(expr(
+        """transform(sequence(0, 863), j ->
+          |  (cast(conv(substring(md5(concat(
+          |     cast(doc_id - doc_id % 2 as string), '-',
+          |     cast(j div 288 as string), '-',
+          |     cast(j % 288 as string))), 1, 8), 16, 10) as bigint)
+          |   + CASE WHEN doc_id % 2 = 1 AND j % 288 = 0
+          |          THEN 100 ELSE 0 END) % 256)""".stripMargin),
+        lit(18), lit(16), lit(3)).as("content"))
+    graft.operators.VideoHash.frameHashes(assets, "content")
+  }
+
+  /** Shared q284/q285 stage: portable md5 PCM16 clips (162 samples =
+    * 2 per energy-grid cell; the odd twin of each pair shifts sample
+    * 0 by +1000 in unsigned space) encoded to real WAVs, decoded and
+    * fingerprinted. The %10 slice samples the corpus — distributed
+    * scan work that scales with SF, oracle filters identically. */
+  private def audioFingerprinted(s: SparkSession, dir: String)
+      : DataFrame = {
+    val enc = udf((samples: Seq[Long]) =>
+      Multimodal.encodeWav(samples.map(_.toInt).toArray,
+        sampleRate = 8000, channels = 1))
+    val assets = Tables.load(s, dir, "documents")
+      .filter(expr("doc_id % 10 IN (0, 1)"))
+      .select(col("doc_id"), enc(expr(
+        """transform(sequence(0, 161), i ->
+          |  (cast(conv(substring(md5(concat(
+          |     cast(doc_id - doc_id % 2 as string), '-',
+          |     cast(i as string))), 1, 8), 16, 10) as bigint)
+          |   + CASE WHEN doc_id % 2 = 1 AND i = 0
+          |          THEN 1000 ELSE 0 END) % 65536 - 32768)"""
+          .stripMargin)).as("content"))
+    graft.operators.AudioHash.fingerprints(assets, "content")
+  }
 
   /** Shared q278/q279 stage: portable md5 pixel grids (pair-based
     * dims 16/24/32 × 16/24; the odd twin perturbs pixel 0 by +100 mod
@@ -1013,8 +1102,113 @@ object InferencePack extends QueryPack {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
          |FROM hx a JOIN hx b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
+
+    // q284/q285: replay the md5 PCM series and the 9x9 floor-boundary
+    // energy grid + Haitsma-Kalker sign bits in pure SQL (the WAV
+    // encode->decode is an integer identity, so fingerprinting the
+    // generator IS fingerprinting the decoded clip)
+    "q284_audio_fp" ->
+      s"""WITH $AudioFpCtes
+         |SELECT doc_id, CAST(162 AS BIGINT) AS n_samples, afp
+         |FROM afpx""".stripMargin,
+
+    "q285_audio_neardup" ->
+      s"""WITH $AudioFpCtes
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+         |FROM afpx a JOIN afpx b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin,
+
+    // q286/q287: replay the md5 luma planes and the per-frame 9x8
+    // block-mean dHash in pure SQL (Y4M luma roundtrips losslessly,
+    // so hashing the generator IS hashing the decoded frames)
+    "q286_video_fhash" ->
+      s"""WITH $VideoHashCtes
+         |SELECT doc_id, CAST(f AS BIGINT) AS fidx, fhash
+         |FROM vfh""".stripMargin,
+
+    "q287_video_neardup" ->
+      s"""WITH $VideoHashCtes
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(3 AS BIGINT) AS n_frames,
+         |  CAST(sum(CASE WHEN bit_count(xor(a.fhash, b.fhash)) <= 3
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         |FROM vfh a JOIN vfh b ON a.doc_id < b.doc_id AND a.f = b.f
+         |GROUP BY 1, 2
+         |HAVING CAST(sum(CASE WHEN bit_count(xor(a.fhash, b.fhash))
+         |  <= 3 THEN 1 ELSE 0 END) AS BIGINT) * 10000 >= 8000 * 3"""
+        .stripMargin
   )
+
+  /** Shared q286/q287 oracle chain: md5 luma planes → per-frame
+    * floor-boundary 9×8 block means → dHash sign bits, mirroring
+    * graft.operators.VideoHash bit for bit (frames are 18×16 → every
+    * dHash block is exactly 2×2 pixels). */
+  private val VideoHashCtes: String =
+    """vdm AS (SELECT doc_id FROM documents WHERE doc_id % 10 IN (0, 1)),
+      |vpx AS (SELECT doc_id, t.j // 288 AS f,
+      |  (t.j % 288) % 18 AS x, (t.j % 288) // 18 AS y,
+      |  ((('0x' || substr(md5(CAST(doc_id - doc_id % 2 AS VARCHAR) ||
+      |      '-' || CAST(t.j // 288 AS VARCHAR) ||
+      |      '-' || CAST(t.j % 288 AS VARCHAR)), 1, 8))::BIGINT
+      |    + CASE WHEN doc_id % 2 = 1 AND t.j % 288 = 0
+      |           THEN 100 ELSE 0 END) % 256) AS v
+      |  FROM vdm CROSS JOIN range(0, 864) t(j)),
+      |vbd AS (SELECT doc_id, f, bx.b AS bx, by.b AS by,
+      |  CAST(sum(v) AS BIGINT) // count(*) AS m
+      |  FROM vpx CROSS JOIN range(0, 9) bx(b) CROSS JOIN range(0, 8) by(b)
+      |  WHERE x >= bx.b * 18 // 9 AND x < (bx.b + 1) * 18 // 9
+      |    AND y >= by.b * 16 // 8 AND y < (by.b + 1) * 16 // 8
+      |  GROUP BY 1, 2, 3, 4),
+      |vdh AS (SELECT a.doc_id, a.f,
+      |  sum(CASE WHEN a.m > b.m
+      |      THEN CAST(power(2, a.by * 8 + a.bx) AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS bits
+      |  FROM vbd a JOIN vbd b ON a.doc_id = b.doc_id AND a.f = b.f
+      |    AND a.by = b.by AND b.bx = a.bx + 1
+      |  GROUP BY 1, 2),
+      |vfh AS (SELECT doc_id, f,
+      |  CAST(CASE WHEN bits >= CAST(power(2, 63) AS HUGEINT)
+      |    THEN bits - CAST(power(2, 64) AS HUGEINT) ELSE bits END
+      |    AS BIGINT) AS fhash
+      |  FROM vdh)""".stripMargin
+
+  /** Shared q284/q285 oracle chain: md5 PCM16 series → 81-cell
+    * floor-boundary energy grid → sign-of-second-difference bits,
+    * mirroring graft.operators.AudioHash bit for bit. */
+  private val AudioFpCtes: String =
+    """adm AS (SELECT doc_id FROM documents WHERE doc_id % 10 IN (0, 1)),
+      |asm AS (SELECT doc_id, t.i AS i,
+      |  ((('0x' || substr(md5(CAST(doc_id - doc_id % 2 AS VARCHAR) ||
+      |      '-' || CAST(t.i AS VARCHAR)), 1, 8))::BIGINT
+      |    + CASE WHEN doc_id % 2 = 1 AND t.i = 0 THEN 1000 ELSE 0 END)
+      |   % 65536 - 32768) AS v
+      |  FROM adm CROSS JOIN range(0, 162) t(i)),
+      |ae AS (SELECT doc_id, k.k AS k,
+      |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS e
+      |  FROM asm CROSS JOIN range(0, 81) k(k)
+      |  WHERE i >= k.k * 162 // 81 AND i < (k.k + 1) * 162 // 81
+      |  GROUP BY 1, 2),
+      |abit AS (
+      |  SELECT e1.doc_id,
+      |    sum(CASE WHEN (e1.e - e2.e) - (e3.e - e4.e) > 0
+      |        THEN CAST(power(2, f.f * 8 + b.b) AS HUGEINT)
+      |        ELSE CAST(0 AS HUGEINT) END) AS bits
+      |  FROM range(0, 8) f(f) CROSS JOIN range(0, 8) b(b)
+      |  JOIN ae e1 ON e1.k = f.f * 9 + b.b
+      |  JOIN ae e2 ON e2.doc_id = e1.doc_id
+      |    AND e2.k = f.f * 9 + b.b + 1
+      |  JOIN ae e3 ON e3.doc_id = e1.doc_id
+      |    AND e3.k = (f.f + 1) * 9 + b.b
+      |  JOIN ae e4 ON e4.doc_id = e1.doc_id
+      |    AND e4.k = (f.f + 1) * 9 + b.b + 1
+      |  GROUP BY 1),
+      |afpx AS (SELECT doc_id,
+      |  CAST(CASE WHEN bits >= CAST(power(2, 63) AS HUGEINT)
+      |    THEN bits - CAST(power(2, 64) AS HUGEINT) ELSE bits END
+      |    AS BIGINT) AS afp
+      |  FROM abit)""".stripMargin
 
   /** Shared q278/q279 oracle chain: md5 pixel grids → block means →
     * integer aHash/dHash, mirroring graft.operators.ImageHash bit for
