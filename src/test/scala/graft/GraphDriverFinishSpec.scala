@@ -37,6 +37,21 @@ class GraphDriverFinishSpec extends SparkSpec {
         driverFinishMaxEdges = bound)
       .as[(Long, Long)].collect().toSet
 
+  test("kCore broadcast-fused rounds == shuffle rounds (r16 round " +
+    "fusion: both sides of the broadcastMaxAliveNodes bound)") {
+    for (k <- Seq(2, 3, 6); rounds <- Seq(1, 2, 50)) {
+      val bcast = Graph.kCore(undirectedEdges, "a", "b", k, rounds,
+          driverFinishMaxEdges = 0L,
+          broadcastMaxAliveNodes = Long.MaxValue)
+        .as[(Long, Long)].collect().toSet
+      val shuffle = Graph.kCore(undirectedEdges, "a", "b", k, rounds,
+          driverFinishMaxEdges = 0L, broadcastMaxAliveNodes = 0L)
+        .as[(Long, Long)].collect().toSet
+      assert(bcast == shuffle,
+        s"broadcast != shuffle rounds at k=$k rounds=$rounds")
+    }
+  }
+
   private def scc(bound: Long) =
     Graph.stronglyConnected(directedEdges, "s", "d",
         driverFinishMaxEdges = bound)
