@@ -90,6 +90,34 @@ trait Committer {
       write(tmp)
       Committer.commitGen(fs, dst, expectedGen)
     })
+
+  /** Logical→physical column mapping of the committed head (identity
+    * when empty) — readers project stored physical names back to
+    * logical ones through it. Only metadata-capable committers carry
+    * a non-identity map. */
+  def columnMap(fs: org.apache.hadoop.fs.FileSystem,
+                dst: Path): Map[String, String] = Map.empty
+
+  /** The column mapping AT a retained generation — time travel across
+    * a rename returns each generation under ITS OWN logical names. */
+  def columnMapGen(fs: org.apache.hadoop.fs.FileSystem, dst: Path,
+                   gen: Long): Map[String, String] = Map.empty
+
+  /** Metadata-only logical column rename (the Delta/Iceberg
+    * column-mapping idea): commit a NEW generation whose manifest
+    * reuses the head's data files with an updated logical→physical
+    * map — no data rewrite, O(manifest) cost at any table size.
+    * Returns the new generation. The default REFUSES: a rename-style
+    * committer has no metadata layer, so its only rename path is a
+    * physical rewrite (drop + recompute, the reference's posture —
+    * R/drop_diseasystore.R:1-40). */
+  def renameColumn(fs: org.apache.hadoop.fs.FileSystem, dst: Path,
+                   from: String, to: String): Long =
+    throw new UnsupportedOperationException(
+      s"column rename on $dst: this committer has no metadata layer " +
+        "(rename would require a full physical rewrite) — use " +
+        "Committer.ManifestLog (adopt() upgrades in place), or drop " +
+        "and recompute")
 }
 
 /** A publish lost the generation race: another writer committed the
@@ -288,21 +316,41 @@ object Committer {
                             dst: Path): Long =
       manifests(fs, dst).lastOption.map(_._1).getOrElse(0L)
 
-    private def dataOf(fs: org.apache.hadoop.fs.FileSystem,
-                       dst: Path, mf: Path): Path = {
+    private def manifestBody(fs: org.apache.hadoop.fs.FileSystem,
+                             mf: Path): String = {
       val in = fs.open(mf)
-      val body = try {
+      try {
         val bos = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
         new String(bos.toByteArray, "UTF-8")
       } finally in.close()
-      """"data":"([^"]+)"""".r.findFirstMatchIn(body)
-        // "." = an ADOPTED plain-layout generation: the data is the
-        // legacy directory itself (see [[adopt]]) — zero-copy upgrade
-        .map(m => if (m.group(1) == ".") dst
-                  else new Path(dataDir(dst), m.group(1)))
+    }
+
+    /** The raw `"data"` pointer of a manifest — "." for an adopted
+      * legacy directory, else a `.mdata` child name. */
+    private def dataNameOf(fs: org.apache.hadoop.fs.FileSystem,
+                           mf: Path): String =
+      """"data":"([^"]+)"""".r.findFirstMatchIn(manifestBody(fs, mf))
+        .map(_.group(1))
         .getOrElse(throw new java.io.IOException(
-          s"manifest $mf names no data dir: $body"))
+          s"manifest $mf names no data dir"))
+
+    /** The optional logical→physical `"cols"` map of a manifest
+      * (identity when absent). Names are validated to the identifier
+      * subset on write, so the flat parse is exact. */
+    private def colsOf(fs: org.apache.hadoop.fs.FileSystem,
+                       mf: Path): Map[String, String] =
+      """"cols":\{([^}]*)\}""".r.findFirstMatchIn(manifestBody(fs, mf))
+        .map(m => """"([^"]+)":"([^"]+)"""".r.findAllMatchIn(m.group(1))
+          .map(p => p.group(1) -> p.group(2)).toMap)
+        .getOrElse(Map.empty)
+
+    private def dataOf(fs: org.apache.hadoop.fs.FileSystem,
+                       dst: Path, mf: Path): Path = {
+      // "." = an ADOPTED plain-layout generation: the data is the
+      // legacy directory itself (see [[adopt]]) — zero-copy upgrade
+      val name = dataNameOf(fs, mf)
+      if (name == ".") dst else new Path(dataDir(dst), name)
     }
 
     /** Atomically give a fully-written temp manifest its final name —
@@ -410,6 +458,72 @@ object Committer {
         case None => if (fs.exists(dst)) Some(dst) else None
       }
 
+    override def columnMap(fs: org.apache.hadoop.fs.FileSystem,
+                           dst: Path): Map[String, String] =
+      manifests(fs, dst).lastOption
+        .map { case (_, mf) => colsOf(fs, mf) }.getOrElse(Map.empty)
+
+    override def columnMapGen(fs: org.apache.hadoop.fs.FileSystem,
+                              dst: Path, gen: Long): Map[String, String] =
+      manifests(fs, dst).find(_._1 == gen)
+        .map { case (_, mf) => colsOf(fs, mf) }.getOrElse(Map.empty)
+
+    private val IdentRe = "[A-Za-z_][A-Za-z0-9_]*".r
+
+    /** Metadata-only column rename: a new generation whose manifest
+      * reuses the head's data pointer (including an adopted "." — the
+      * adopt-then-rename path) with the updated logical→physical map.
+      * CAS at the head: a concurrent commit makes the claim fail with
+      * [[StaleWriteException]]. Data written AFTER a rename carries
+      * logical names physically, so its manifest resets to the
+      * identity map; time travel to pre-rename generations resolves
+      * through THEIR maps and returns the old logical names. The
+      * committer validates mapping consistency only — schema-aware
+      * checks (does `from` exist, does `to` collide) belong to the
+      * store layer, which can read the data. */
+    override def renameColumn(fs: org.apache.hadoop.fs.FileSystem,
+                              dst: Path, from: String,
+                              to: String): Long = {
+      require(IdentRe.pattern.matcher(from).matches() &&
+        IdentRe.pattern.matcher(to).matches(),
+        s"rename needs identifier column names, got '$from' -> '$to'")
+      require(from != to, s"rename to self: '$from'")
+      val ms = manifests(fs, dst)
+      if (ms.isEmpty)
+        throw new IllegalStateException(
+          s"rename on $dst needs a manifest-logged table — adopt() the " +
+            "legacy directory first")
+      val (gen, headMf) = ms.last
+      val dataName = dataNameOf(fs, headMf)
+      val cols = colsOf(fs, headMf)
+      require(!cols.contains(to),
+        s"'$to' is already a mapped logical column on $dst")
+      val physical = cols.getOrElse(from, from)
+      val newCols = (cols - from) + (to -> physical)
+      require(newCols.values.toSeq.distinct.size == newCols.size,
+        s"rename '$from' -> '$to' would alias two logical columns to " +
+          s"one physical column on $dst")
+      val next = gen + 1
+      val ld = logDir(dst)
+      val colsJson = newCols.toSeq.sorted
+        .map { case (l, p) => "\"" + l + "\":\"" + p + "\"" }
+        .mkString("{", ",", "}")
+      val body =
+        s"""{"gen":$next,"data":"$dataName","cols":$colsJson}"""
+      val uuid = java.util.UUID.randomUUID().toString.take(8)
+      val mf = new Path(ld, manifestName(next))
+      val tmp = new Path(ld, manifestName(next) + s".$uuid.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      if (!claimManifest(fs, dst, tmp, mf)) {
+        fs.delete(tmp, false)
+        throw new StaleWriteException(
+          s"table $dst advanced past generation $gen during the " +
+            "rename — re-read and retry")
+      }
+      next
+    }
+
     /** Retained generations of the table, oldest first — the
       * transactional-format `DESCRIBE HISTORY` surface. Older
       * generations age out of the window after `GcKeep` commits. */
@@ -489,14 +603,21 @@ object Committer {
       // retention: keep the trailing GcKeep manifests (readers mid-scan
       // on a recent version keep their files); drop older manifests and
       // every data dir whose generation prefix aged out — including
-      // orphan staging from crashed writers
+      // orphan staging from crashed writers. A data dir REFERENCED by
+      // any retained manifest survives regardless of its own prefix:
+      // metadata-only generations (renameColumn) reuse an older
+      // generation's data, so a rename manifest near the retention
+      // boundary must not have its files GC'd from under it.
       manifests(fs, dst).foreach { case (g, p) =>
         if (g <= next - GcKeep) fs.delete(p, false)
       }
+      val referenced = manifests(fs, dst)
+        .map { case (_, p) => dataNameOf(fs, p) }.toSet
       if (fs.exists(dd)) fs.listStatus(dd).foreach { s =>
         val n = s.getPath.getName
         scala.util.Try(n.takeWhile(_ != '-').toLong).toOption
           .filter(_ <= next - GcKeep)
+          .filterNot(_ => referenced.contains(n))
           .foreach(_ => fs.delete(s.getPath, true))
       }
     }
@@ -572,14 +693,31 @@ class FeatureStore(
   private def resolvedTable(loader: String): Option[Path] =
     committer.resolve(fs, new Path(tablePath(loader)))
 
+  /** One projection mapping stored PHYSICAL column names back to
+    * their logical names (the committer's column map, populated by
+    * metadata-only renames). A single select — never a chain of
+    * withColumnRenamed, whose intermediate states could collide when
+    * renames shuffled names around (a→b after b→a). */
+  private def applyColumnMap(df: DataFrame,
+                             map: Map[String, String]): DataFrame =
+    if (map.isEmpty) df
+    else {
+      val physToLog = map.map(_.swap)
+      df.select(df.columns.toSeq
+        .map(c => col(c).as(physToLog.getOrElse(c, c))): _*)
+    }
+
   /** Current versioned table WITHOUT the `__vm` partition column —
     * every SCD2 merge must see the logical schema only (`swapIn`
     * recomputes `__vm` on write; leaving it in would make
     * `unionByName` against freshly-computed rows fail on
-    * month-partitioned stores). */
+    * month-partitioned stores). Physical columns resolve to logical
+    * names through the committer's column map. */
   private def readTable(loader: String): Option[DataFrame] =
     resolvedTable(loader).map(p => spark.read.parquet(p.toString))
       .map(df => if (partitionByMonth) df.drop("__vm") else df)
+      .map(df => applyColumnMap(df,
+        committer.columnMap(fs, new Path(tablePath(loader)))))
 
   /** Additive schema evolution on append: widen the stored SCD2 table
     * to the incoming data schema, backfilling NULL for columns the old
@@ -719,9 +857,38 @@ class FeatureStore(
     committer.resolveGen(fs, new Path(tablePath(loader)), gen)
       .map(p => spark.read.parquet(p.toString))
       .map(df => if (partitionByMonth) df.drop("__vm") else df)
+      // each generation resolves through ITS OWN column map: travel
+      // across a rename returns the names that were logical THEN
+      .map(df => applyColumnMap(df,
+        committer.columnMapGen(fs, new Path(tablePath(loader)), gen)))
       .getOrElse(throw new IllegalArgumentException(
         s"generation $gen of loader '$loader' is not retained " +
           s"(readable: ${tableGenerations(loader).mkString(", ")})"))
+
+  /** Metadata-only LOGICAL COLUMN RENAME of a loader's table (the
+    * Delta/Iceberg column-mapping idea): O(manifest) at any table
+    * size, no data rewrite. Schema-aware validation happens here (the
+    * committer sees only names): `from` must be a current logical
+    * data column, `to` must be free, and the SCD2 system columns are
+    * off limits (every merge addresses them by name). Subsequent
+    * WRITES store logical names physically — the first SCD2 merge
+    * after a rename re-checksums under the new shape (a
+    * transaction-time event, like additive widening); generation time
+    * travel before the rename returns the old names. Refused by
+    * committers without a metadata layer ([[Committer.Rename]]). */
+  def renameDataColumn(loader: String, from: String, to: String): Long =
+    withTableLock(loader) {
+      val cur = versionedTable(loader)
+      val sys = Set(Scd2.Checksum, Scd2.FromTs, Scd2.UntilTs, "__vm")
+      require(!sys.contains(from) && !sys.contains(to),
+        s"rename touches a system column: '$from' -> '$to'")
+      require(cur.columns.contains(from),
+        s"loader '$loader' has no column '$from' " +
+          s"(columns: ${cur.columns.mkString(", ")})")
+      require(!cur.columns.contains(to),
+        s"loader '$loader' already has a column '$to'")
+      committer.renameColumn(fs, new Path(tablePath(loader)), from, to)
+    }
 
   /** Bounded optimistic-retry loop around a read-merge-publish cycle:
     * on [[StaleWriteException]] the whole `body` re-runs (re-reading
@@ -870,7 +1037,12 @@ class FeatureStore(
       // (On month-partitioned tables the file budget applies per month
       // directory.)
       val expectedGen = tableGen(loader)
-      val df = spark.read.parquet(dst.toString)
+      // read through the LOGICAL projection (column map applied): the
+      // rewrite's manifest resets the mapping to identity, so the
+      // compacted files must carry logical names physically — reading
+      // raw physical names here would silently undo a metadata rename
+      val df = applyColumnMap(spark.read.parquet(dst.toString),
+          committer.columnMap(fs, new Path(tablePath(loader))))
         .repartitionByRange(nFiles, col(Intervals.ValidFrom))
         .sortWithinPartitions(Intervals.ValidFrom)
       swapIn(loader, df, expectedGen)
@@ -899,7 +1071,12 @@ class FeatureStore(
     val copied = loaders.keys.toSeq.sorted.filter { l =>
       resolvedTable(l).exists { src =>
         withTableLock(l) {
-          val t = spark.read.parquet(src.toString)
+          // backup normalizes to LOGICAL names (column map applied):
+          // the destination store may run a committer with no
+          // metadata layer, so the mapping must be baked into the
+          // copied files rather than assumed re-playable there
+          val t = applyColumnMap(spark.read.parquet(src.toString),
+            committer.columnMap(fs, new Path(tablePath(l))))
           committer.publish(destFs, new Path(s"$destPath/$l"),
             tmp => t.write.mode("overwrite").parquet(tmp))
         }
@@ -1105,11 +1282,15 @@ class FeatureStore(
     val table0 = spark.read.parquet(resolvedTable(loader)
       .getOrElse(throw new IllegalStateException(
         s"table for '$loader' vanished after compute")).toString)
-    val table =
+    val table1 =
       if (partitionByMonth)
         table0.filter(col("__vm") <=
           date_format(to_date(lit(end)), "yyyy-MM")).drop("__vm")
       else table0
+    // the feature read path surfaces LOGICAL names (column map):
+    // partition pruning above runs first, on the physical frame
+    val table = applyColumnMap(table1,
+      committer.columnMap(fs, new Path(tablePath(loader))))
     val sliced = Scd2.sliceAt(table, sliceTs)
       .drop(Scd2.Checksum, Scd2.FromTs, Scd2.UntilTs)
     val got = handler.get.map(g => g(this, sliced)).getOrElse(sliced)

@@ -334,4 +334,115 @@ class ManifestLogStoreSpec extends SparkSpec {
     assert(fs.exists(tableP), "legacy dir must never be GC'd")
     assert(listing() == preFiles, "retention touched the legacy dir")
   }
+
+  test("column rename: metadata-only commit, read-back, pre/post time " +
+    "travel, merge + compaction across the rename, adopt-then-rename, " +
+    "Rename committer refuses, GC keeps referenced data") {
+    val path = tmp("graft-mlog-rename")
+    def rows(k: Long, v: Long) =
+      Seq((k, v, "2020-01-05", "2020-01-10"))
+        .toDF("key_x", "n_val", "vf", "vu")
+        .select(col("key_x"), col("n_val"),
+          to_date(col("vf")).as("valid_from"),
+          to_date(col("vu")).as("valid_until"))
+    def mkStore(c: Committer, p: String = path) =
+      new FeatureStore(spark, "unused", p,
+        dsMap = Seq("n_val" -> "ld"),
+        loaders = Map("ld" -> FeatureHandler(
+          compute = (_, _, _) => rows(1L, 10L),
+          keyJoin = Aggregators.Sum, feature = "n_val")),
+        commitProtocol = c)
+    val store = mkStore(M)
+    store.appendCommit("ld", rows(1L, 10L), "2024-01-01 00:00:00")
+    store.appendCommit("ld", rows(2L, 20L), "2024-02-01 00:00:00")
+    val tableP = new org.apache.hadoop.fs.Path(s"$path/ld")
+    val fs = tableP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataBefore = M.resolve(fs, tableP).get.toString
+    val valsBefore = store.versionedTable("ld")
+      .select("key_x", "n_val").as[(Long, Long)].collect().toSet
+
+    // metadata-only rename: gen advances, data dir does NOT move
+    val g = store.renameDataColumn("ld", "n_val", "n_value")
+    assert(g == 3L)
+    assert(M.resolve(fs, tableP).get.toString == dataBefore,
+      "rename moved data")
+    val renamed = store.versionedTable("ld")
+    assert(renamed.columns.contains("n_value") &&
+      !renamed.columns.contains("n_val"))
+    assert(renamed.select("key_x", "n_value").as[(Long, Long)]
+      .collect().toSet == valsBefore)
+
+    // time travel: pre-rename generations keep the OLD logical name
+    assert(store.versionedTableAt("ld", 2L).columns.contains("n_val"))
+    assert(!store.versionedTableAt("ld", 2L).columns.contains("n_value"))
+    assert(store.versionedTableAt("ld", 3L).columns.contains("n_value"))
+
+    // validations: unknown source, collision, system columns
+    intercept[IllegalArgumentException] {
+      store.renameDataColumn("ld", "nope", "x") }
+    intercept[IllegalArgumentException] {
+      store.renameDataColumn("ld", "n_value", "key_x") }
+    intercept[IllegalArgumentException] {
+      store.renameDataColumn("ld", Scd2.Checksum, "x") }
+
+    // an SCD2 merge AFTER the rename writes logical names physically
+    // and resets the map — contents stay addressable as n_value
+    store.appendCommit("ld",
+      rows(3L, 30L).withColumnRenamed("n_val", "n_value"),
+      "2024-03-01 00:00:00")
+    assert(store.tableGen("ld") == 4L)
+    assert(M.columnMap(fs, tableP).isEmpty,
+      "a data rewrite should reset the mapping to identity")
+    assert(store.versionedTable("ld")
+      .select("key_x", "n_value").as[(Long, Long)].collect().toSet ==
+      valsBefore + ((3L, 30L)))
+
+    // chained rename then compaction across it
+    store.renameDataColumn("ld", "n_value", "n_widgets")
+    val nFiles = store.compact("ld")
+    assert(nFiles >= 1)
+    val compacted = store.versionedTable("ld")
+    assert(compacted.columns.contains("n_widgets"))
+    assert(compacted.select("key_x", "n_widgets").as[(Long, Long)]
+      .collect().toSet == valsBefore + ((3L, 30L)))
+
+    // GC reference guard: a rename manifest's shared data dir survives
+    // while the manifest is retained, even past its own gen prefix
+    val probeP = new org.apache.hadoop.fs.Path(s"$path/probe")
+    M.publishCas(fs, probeP, 0L, p => rows(1L, 1L).write.parquet(p))
+    M.renameColumn(fs, probeP, "n_val", "n_v2") // gen 2 reuses gen 1 data
+    (2L until 10L).foreach { eg =>
+      M.publishCas(fs, probeP, eg,
+        p => rows(9L, 9L).write.parquet(p))
+    }
+    // gen 2 (the rename) is the oldest retained; its data dir has
+    // prefix 1 (aged out) but must survive the reference
+    assert(M.retainedGens(fs, probeP).head == 3L ||
+      M.retainedGens(fs, probeP).contains(2L))
+    M.retainedGens(fs, probeP).foreach { rg =>
+      val df = spark.read.parquet(M.resolveGen(fs, probeP, rg).get.toString)
+      assert(df.count() >= 1, s"gen $rg data GC'd from under its manifest")
+    }
+
+    // adopt-then-rename: a Rename-written table upgrades then renames
+    val path2 = tmp("graft-mlog-adoptrename")
+    val rstore = mkStore(Committer.Rename, path2)
+    rstore.appendCommit("ld", rows(1L, 10L), "2024-01-01 00:00:00")
+    val tableP2 = new org.apache.hadoop.fs.Path(s"$path2/ld")
+    M.adopt(fs, tableP2)
+    val mstore2 = mkStore(M, path2)
+    mstore2.renameDataColumn("ld", "n_val", "n_value")
+    assert(mstore2.versionedTable("ld").columns.contains("n_value"))
+    assert(mstore2.versionedTable("ld")
+      .select("key_x", "n_value").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L)))
+
+    // the Rename committer refuses with a clear error
+    val plain = mkStore(Committer.Rename, tmp("graft-ren-refuse"))
+    plain.appendCommit("ld", rows(1L, 10L), "2024-01-01 00:00:00")
+    val err = intercept[UnsupportedOperationException] {
+      plain.renameDataColumn("ld", "n_val", "n_value")
+    }
+    assert(err.getMessage.contains("ManifestLog"))
+  }
 }
