@@ -209,6 +209,37 @@ object Unigram {
         col("n_oov_words"))
   }
 
+  /** UNK id emitted for characters outside the training alphabet
+    * (OOV-word char fallback can produce them). */
+  val UnkId: Int = -1
+
+  /** Deterministic integer piece ids: the surviving vocabulary in
+    * code-point order takes 0..V-1 — reproducible across runs and
+    * engines given the same model ([[Bpe.vocab]]'s contract). */
+  def vocabIds(model: UnigramModel): Seq[(String, Int)] =
+    model.pieces.map(_._1).zipWithIndex
+
+  /** Tokenize to integer token IDS: [[tokenize]]'s segmentation, each
+    * piece mapped through the vocabulary as a map LITERAL (model-sized
+    * — no join, no UDF, pure codegen'd column work). Characters
+    * outside the alphabet become [[UnkId]] and are counted. Output:
+    * (id, token_ids, n_tokens, n_oov_words, n_unk) —
+    * [[Bpe.encodeIds]]'s shape. */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String,
+                model: UnigramModel): DataFrame = {
+    val v = vocabIds(model)
+    val idMap = map_from_arrays(
+      array(v.map(t => lit(t._1)): _*),
+      array(v.map(t => lit(t._2)): _*))
+    tokenize(df, idCol, textCol, model)
+      .withColumn("token_ids", transform(col("pieces"),
+        t => coalesce(element_at(idMap, t), lit(UnkId))))
+      .withColumn("n_unk",
+        size(filter(col("token_ids"), i => i === UnkId)).cast("long"))
+      .select(col(idCol), col("token_ids"), col("n_pieces").as("n_tokens"),
+        col("n_oov_words"), col("n_unk"))
+  }
+
   /** Per-language fertility under the unigram model — the
     * [[Bpe.fertility]] report for the competing tokenizer family, so
     * the two can be compared on one corpus. Output: (lang, n_docs,

@@ -423,6 +423,41 @@ object LlmPack extends QueryPack {
           col("clean_text"), col("n_chars"))
     }),
 
+    // WET export + ingest roundtrip: extracted text re-wrapped as ISO
+    // 28500 `conversion` records (the format Common Crawl publishes
+    // next to raw WARC), concatenated, parsed back through
+    // recordsFromBlobs + the wetText view — the text and its exact
+    // byte length hash-check against the markup chain directly
+    "q288_wet_extract" -> ((s, dir) => {
+      val extracted = Markup.extractText(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), expr(HtmlAug).as("html")),
+        "doc_id", "html")
+      val rec = udf((id: Long, text: String) =>
+        graft.sources.Warc.buildRecord(
+          warcType = "conversion",
+          recordId = s"<urn:uuid:wet-$id>",
+          targetUri = s"http://example.com/doc/$id",
+          warcDate = "2024-01-01T00:00:00Z",
+          contentType = "text/plain",
+          payload = text.getBytes("UTF-8")))
+      val cat = udf((rs: Seq[Array[Byte]]) =>
+        rs.foldLeft(Array.empty[Byte])(_ ++ _))
+      val blobs = extracted
+        .select((col("doc_id") % 37).as("__bucket"),
+          struct(col("doc_id"),
+            rec(col("doc_id"), col("clean_text")).as("rec")).as("__sr"))
+        .groupBy(col("__bucket"))
+        .agg(sort_array(collect_list(col("__sr"))).as("__srs"))
+        .select(cat(expr("transform(__srs, x -> x.rec)")).as("blob"))
+      graft.sources.Warc.wetText(
+          graft.sources.Warc.recordsFromBlobs(blobs, "blob"))
+        .select(
+          expr("cast(regexp_extract(target_uri, 'doc/([0-9]+)$', 1) " +
+            "as bigint)").as("doc_id"),
+          col("warc_type"), col("content_length"), col("text"))
+    }),
+
     // CCNet-style perplexity gate, ENGINE-EXACT: bigram LM trained on
     // the even-id half, every doc's surprisal summed in fixed-point
     // nanonats through the portable integer ln kernel (model-table
@@ -2195,7 +2230,17 @@ object LlmPack extends QueryPack {
          |  CAST(200 AS INTEGER) AS http_status,
          |  'text/html; charset=utf-8' AS http_content_type,
          |  $MarkupSelect
-         |FROM c JOIN pay ON c.doc_id = pay.doc_id""".stripMargin
+         |FROM c JOIN pay ON c.doc_id = pay.doc_id""".stripMargin,
+
+    // q288: the WET conversion-record roundtrip is an identity over
+    // the extracted text, so the oracle reads the markup chain
+    // directly (ASCII corpus: chars == bytes for Content-Length)
+    "q288_wet_extract" ->
+      s"""WITH base AS (SELECT doc_id, $HtmlAug AS h FROM documents),
+         |$MarkupCtes
+         |SELECT doc_id, 'conversion' AS warc_type,
+         |  n_chars AS content_length, clean_text AS text
+         |FROM (SELECT doc_id, $MarkupSelect FROM c) q""".stripMargin
   )
 
   /** Shared q277/q280 oracle chain: the markup strip + block keep rule

@@ -43,6 +43,17 @@ object TokenizerPack extends QueryPack {
     "q283_unigram_fertility" -> ((s, dir) =>
       Unigram.fertility(Tables.load(s, dir, "documents"),
         "doc_id", "text", "lang", model(s, dir))),
+
+    // tokenizer APPLICATION: encode every document to integer piece
+    // ids through the vocab map literal (the q114 posture for the
+    // unigram family); ids space-joined — the checker cannot order
+    // array cells
+    "q289_unigram_encode" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Unigram.encodeIds(docs, "doc_id", "text", model(s, dir))
+        .withColumn("token_ids",
+          concat_ws(" ", transform(col("token_ids"), _.cast("string"))))
+    }),
   )
 
   /** Shared oracle chain: dict → seed stats → cost0 (portable ln) →
@@ -181,5 +192,35 @@ object TokenizerPack extends QueryPack {
          |  CAST(0 AS BIGINT) AS oov_bp
          |FROM dtok t JOIN documents doc ON doc.doc_id = t.doc_id
          |GROUP BY 1""".stripMargin,
+
+    // ids = final vocabulary in code-point (binary-collation) order;
+    // per-doc reassembly orders by (word position, ord DESC) — the
+    // backtrack emits pieces last-first. n_oov/n_unk structurally 0
+    // on the training corpus (see q283's note); UnigramSpec covers
+    // the nonzero paths
+    "q289_unigram_encode" ->
+      s"""WITH RECURSIVE $TrainCtes,
+         |uvocab AS (SELECT p,
+         |  CAST(row_number() OVER (ORDER BY p) - 1 AS INT) AS id
+         |  FROM vocab1),
+         |dw AS (
+         |  SELECT doc_id, i AS pos, ws[i] AS w
+         |  FROM (SELECT doc_id,
+         |          regexp_split_to_array(trim(text), '\\s+') AS ws
+         |        FROM documents),
+         |       LATERAL (SELECT unnest(generate_series(1, len(ws)))
+         |         AS i) t
+         |  WHERE ws[i] <> ''),
+         |sp AS (SELECT w, ord, piece FROM seg1 WHERE ord >= 1),
+         |eids AS (SELECT dw.doc_id, dw.pos, sp.ord, v.id
+         |  FROM dw JOIN sp ON sp.w = dw.w
+         |  JOIN uvocab v ON v.p = sp.piece)
+         |SELECT doc_id,
+         |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos, ord DESC)
+         |    AS token_ids,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(0 AS BIGINT) AS n_oov_words,
+         |  CAST(0 AS BIGINT) AS n_unk
+         |FROM eids GROUP BY doc_id""".stripMargin,
   )
 }

@@ -282,6 +282,19 @@ object Warc {
     session.createDataFrame(rdd, outSchema)
   }
 
+  /** WET view of a record stream: `conversion` records (the
+    * extracted-text sibling format Common Crawl publishes next to raw
+    * WARC — same ISO 28500 record grammar, payload = plain text)
+    * surfaced with the payload decoded as UTF-8 `text`. Compose with
+    * [[records]]/[[recordsFromBlobs]]; non-conversion records are
+    * filtered, error rows pass through for quarantine accounting. */
+  def wetText(records: DataFrame): DataFrame =
+    records
+      .filter(col("error").isNotNull ||
+        col("warc_type") === "conversion")
+      .withColumn("text", col("payload").cast("string"))
+      .drop("payload")
+
   /** (status, content-type, body) of an HTTP/1.x response, or None
     * when the bytes are not one. */
   private[sources] def splitHttp(payload: Array[Byte])

@@ -101,6 +101,26 @@ class UnigramSpec extends SparkSpec {
     assert(en.getLong(en.fieldIndex("fertility_bp")) == 10000L * nt / nw)
   }
 
+  test("encodeIds: ids are code-point-ordered vocab positions; OOV " +
+    "chars outside the alphabet become UnkId and are counted") {
+    val corpus = Seq((1L, "spark spark park")).toDF("doc_id", "text")
+    val m = Unigram.train(corpus, "text", seedSize = 20)
+    val ordered = Unigram.vocabIds(m)
+    assert(ordered.map(_._1) == ordered.map(_._1).sorted) // code-point order
+    val ids = ordered.toMap
+    val out = Unigram.encodeIds(
+      Seq((1L, "spark zoo")).toDF("doc_id", "text"),
+      "doc_id", "text", m).head()
+    val tids = out.getSeq[Int](out.fieldIndex("token_ids"))
+    // 'z' and 'o' are outside the {s,p,a,r,k} alphabet -> UNK
+    assert(tids.count(_ == Unigram.UnkId) == 3)
+    assert(out.getLong(out.fieldIndex("n_unk")) == 3L)
+    assert(out.getLong(out.fieldIndex("n_oov_words")) == 1L)
+    // in-vocab pieces map to their vocab positions exactly
+    val sparkPieces = m.segments("spark")
+    assert(tids.take(sparkPieces.length) == sparkPieces.map(ids))
+  }
+
   test("vocab/segments artifacts: deterministic ordering, cost " +
     "monotone in frequency, retrain reproduces the model") {
     val dict = Seq("alpha" -> 50L, "alps" -> 20L, "beta" -> 40L,

@@ -142,6 +142,21 @@ class WarcSpec extends SparkSpec {
       "not an http response")
   }
 
+  test("wetText: conversion records surface decoded text; responses " +
+    "filter out; error rows pass through for accounting") {
+    val wet = Warc.buildRecord("conversion", "<urn:uuid:w>",
+      "http://u/x", "2024-01-01T00:00:00Z", "text/plain",
+      "extracted text here".getBytes("UTF-8"))
+    val blob = wet ++ rec(1) ++ "corrupt".getBytes("ISO-8859-1")
+    val df = Seq(("f", blob)).toDF("f", "blob")
+    val out = Warc.wetText(Warc.recordsFromBlobs(df, "blob"))
+      .select(col("warc_type"), col("text"), col("error")).collect()
+    assert(out.length == 2) // conversion + error row; response dropped
+    val conv = out.find(_.getString(0) == "conversion").get
+    assert(conv.getString(1) == "extracted text here")
+    assert(out.exists(r => !r.isNullAt(2)))
+  }
+
   test("quarantine accounting composes with the Sources posture: " +
     "error rows are countable and carry no payload") {
     val mixed = rec(0) ++ "garbage tail".getBytes("ISO-8859-1")
