@@ -82,7 +82,9 @@ object Markup {
   }
 
   /** Extract boilerplate-filtered text from an HTML column. Output:
-    * (doc_id, n_blocks, n_content, clean_text, n_chars). */
+    * (doc_id, n_blocks, n_content, clean_text, n_chars) — `doc_id`
+    * keeps `idCol`'s own type (numeric corpora stay numeric; a WARC
+    * ingest keys by record-id strings). */
   def extractText(df: DataFrame, idCol: String, htmlCol: String,
                   minWords: Int = 5, linkWordRatio: Int = 4)
       : DataFrame = {
@@ -101,7 +103,7 @@ object Markup {
       (size(split(b, LinkMark, -1)) - 1).as("lk")))
     val content = filter(annotated, s =>
       s("wc") >= minWords && s("wc") >= lit(linkWordRatio) * s("lk"))
-    df.select(col(idCol).cast("long").as("doc_id"),
+    df.select(col(idCol).as("doc_id"),
         blocks.as("__b"), content.as("__c"))
       .select(col("doc_id"),
         size(col("__b")).cast("long").as("n_blocks"),
