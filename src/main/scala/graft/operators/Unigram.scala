@@ -43,7 +43,14 @@ import graft.functions.PortableLn
   * Scale: identical posture to [[Bpe]] — one word-count shuffle, a
   * dict-sized driver fold (the "driver holds the model, cluster holds
   * the data" split), tokenization via broadcast segmentation join,
-  * OOV words fall back to character pieces with a reported flag. */
+  * OOV words fall back to character pieces with a reported flag.
+  *
+  * Caveat (shared with [[Bpe.codePointOrder]]'s note): words are
+  * split and measured in UTF-16 units (`substring`/`length`), while
+  * the DuckDB oracle's `substr`/`length` are code-point semantics —
+  * identical on BMP text, divergent on supplementary-plane corpora,
+  * which would need a code-point split. The shipped corpora are
+  * ASCII. */
 object Unigram {
 
   /** Trained model: surviving pieces with Viterbi-count frequencies

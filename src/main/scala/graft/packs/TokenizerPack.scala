@@ -22,10 +22,15 @@ object TokenizerPack extends QueryPack {
 
   private val SeedSize = 300
   private val MaxPieceLen = 4
+  // mirrored in the oracle dict CTE below — an uncapped oracle dict
+  // would diverge from Spark's top-maxVocabWords prune the moment a
+  // corpus vocabulary exceeds the cap (the r10 SF-dependence class)
+  private val MaxVocabWords = 1 << 20
 
   private def model(s: SparkSession, dir: String) =
     Unigram.train(Tables.load(s, dir, "documents"), "text",
-      seedSize = SeedSize, maxPieceLen = MaxPieceLen)
+      seedSize = SeedSize, maxPieceLen = MaxPieceLen,
+      maxVocabWords = MaxVocabWords)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the trained vocabulary: surviving pieces with hard-EM Viterbi
@@ -112,7 +117,8 @@ object TokenizerPack extends QueryPack {
        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
        |          AS w
        |        FROM documents)
-       |  WHERE w <> '' GROUP BY 1),
+       |  WHERE w <> '' GROUP BY 1
+       |  ORDER BY cnt DESC, w LIMIT $MaxVocabWords),
        |pos AS (SELECT w, cnt, length(w) AS n,
        |  unnest(generate_series(1, length(w))) AS i FROM dict),
        |cand AS (SELECT substr(w, i, l.l) AS p,

@@ -18,9 +18,11 @@ import graft.sources.Warc
   *     by the record's WARC-Record-ID (unique by the ISO 28500
   *     contract): (record_id, target_uri, warc_date, http_status,
   *     n_blocks, n_content, clean_text, n_chars);
-  *   - `quarantinePath` — one row per parse failure: (src, rec_idx,
-  *     error) — the [[Warc]] no-resync posture: a corrupt archive
-  *     tail becomes a countable quarantine row, never a dead stream.
+  *   - `quarantinePath` — one row per parse failure OR per parseable
+  *     response lacking a WARC-Record-ID (no pages key exists for it):
+  *     (src, rec_idx, error) — the [[Warc]] no-resync posture: a
+  *     corrupt archive tail becomes a countable quarantine row, never
+  *     a dead stream or a silent drop.
   *
   * Replay idempotence (foreachBatch is at-least-once): both sinks
   * append through anti-joins on their keys — pages on `record_id`,
@@ -60,11 +62,20 @@ object WarcIngestStream {
     val recs = Warc.recordsFromBlobs(
       batch.select(col("src"), col("content")), "content")
       .localCheckpoint(true) // feeds pages AND quarantine
-    val quarantined = recs.filter(col("error").isNotNull)
-      .select(col("src"), col("rec_idx"), col("error"))
+    // a parseable response with no WARC-Record-ID has no pages key:
+    // it quarantines on (src, rec_idx) — the 'reported, never
+    // dropped' contract; letting a null key reach the pages join
+    // would drop the page silently AND defeat the anti-join
+    // idempotence below
+    val quarantined = recs.filter(col("error").isNotNull ||
+        (col("warc_type") === "response" && col("record_id").isNull))
+      .select(col("src"), col("rec_idx"),
+        coalesce(col("error"), lit("response record missing " +
+          "WARC-Record-ID")).as("error"))
     val responses = Warc.httpResponses(
         recs.filter(col("error").isNull &&
-          col("warc_type") === "response"))
+          col("warc_type") === "response" &&
+          col("record_id").isNotNull))
       .select(col("record_id"), col("target_uri"), col("warc_date"),
         col("http_status"), col("body").cast("string").as("__html"))
     val pages = Markup.extractText(

@@ -71,6 +71,38 @@ class WarcIngestStreamSpec extends SparkSpec {
       q.processAllAvailable()
       assert(WarcIngestStream.pages(spark, pagesPath).count() == 5)
       assert(WarcIngestStream.quarantine(spark, quarPath).count() == 1)
+
+      // batch 3: a PARSEABLE response with no WARC-Record-ID — no
+      // pages key exists, so it must land in quarantine keyed
+      // (src, rec_idx), never silently vanish in the pages join
+      ms.addData(("e.warc", keylessPage ++ page(6)))
+      q.processAllAvailable()
+      assert(WarcIngestStream.pages(spark, pagesPath).count() == 6)
+      val quar3 = WarcIngestStream.quarantine(spark, quarPath)
+        .filter(col("src") === "e.warc").collect()
+      assert(quar3.length == 1 && quar3.head.getLong(1) == 0L &&
+        quar3.head.getString(2).contains("WARC-Record-ID"))
+      // replay of the keyless blob is still a no-op
+      ms.addData(("e.warc", keylessPage ++ page(6)))
+      q.processAllAvailable()
+      assert(WarcIngestStream.pages(spark, pagesPath).count() == 6)
+      assert(WarcIngestStream.quarantine(spark, quarPath).count() == 2)
     } finally q.stop()
+  }
+
+  /** A grammatically valid response record MISSING WARC-Record-ID. */
+  private def keylessPage: Array[Byte] = {
+    val body = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html><body><p>keyless page with plenty of words to keep " +
+      "the block rule satisfied here.</p></body></html>")
+      .getBytes("UTF-8")
+    ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      "WARC-Target-URI: http://site.example/keyless\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${body.length}\r\n" +
+      "\r\n").getBytes("ISO-8859-1") ++ body ++
+      "\r\n\r\n".getBytes("ISO-8859-1")
   }
 }
