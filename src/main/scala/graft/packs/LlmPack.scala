@@ -563,7 +563,102 @@ object LlmPack extends QueryPack {
         Seq("train" -> 80, "val" -> 10, "test" -> 10), seed = "r5")
         .select(col("doc_id"), col("split"))
     }),
+
+    // WAT ingest end-to-end (the Common Crawl METADATA sibling —
+    // completes the WARC/WET/WAT artifact triple): per-doc JSON
+    // payloads with deterministic headers/title/outlinks wrapped as
+    // ISO 28500 `metadata` records (the q280 fixture-encoder
+    // posture), concatenated into multi-record streams, parsed back
+    // by the OPERATORS UNDER TEST (record walker + from_json watView)
+    // — title, server header, and the full outlink list hash-check
+    // against the generator arithmetic
+    "q290_wat_extract" -> ((s, dir) => {
+      val wat = graft.sources.Warc.watView(
+        graft.sources.Warc.recordsFromBlobs(watBlobs(s, dir), "blob"))
+      wat.filter(col("error").isNull)
+        .select(
+          expr("cast(regexp_extract(target_uri, 'doc/([0-9]+)$', 1) " +
+            "as bigint)").as("doc_id"),
+          col("warc_type"), col("title"),
+          col("headers")(lit("Server")).as("server"),
+          size(col("links")).cast("long").as("n_links"),
+          concat_ws(" ", expr("transform(links, x -> x.url)"))
+            .as("link_urls"))
+    }),
+
+    // the crawl link GRAPH: outlinks of the parsed WAT records
+    // projected to (src_host, dst_host) edges with link counts — the
+    // domain graph that feeds PageRank/TrustRank quality priors
+    "q291_wat_hostgraph" -> ((s, dir) => {
+      val wat = graft.sources.Warc.watView(
+        graft.sources.Warc.recordsFromBlobs(watBlobs(s, dir), "blob"))
+      graft.sources.Warc.hostEdges(graft.sources.Warc.watLinks(wat))
+    }),
+
+    // crawl → link graph → centrality prior END TO END: exact-integer
+    // PageRank (q130's arithmetic) over the WAT host graph. Node ids
+    // are parsed back OUT OF THE HOST STRINGS the projection emitted,
+    // so the whole chain — JSON encode, record walk, from_json, host
+    // extraction, distinct-edge PageRank — hash-checks as one unit
+    "q292_wat_hostrank" -> ((s, dir) => {
+      val wat = graft.sources.Warc.watView(
+        graft.sources.Warc.recordsFromBlobs(watBlobs(s, dir), "blob"))
+      val edges = graft.sources.Warc.hostEdges(
+          graft.sources.Warc.watLinks(wat))
+        .select(
+          expr("cast(regexp_extract(src_host, '^site([0-9]+)\\\\." +
+            "example$', 1) as bigint)").as("src"),
+          expr("cast(regexp_extract(dst_host, '^site([0-9]+)\\\\." +
+            "example$', 1) as bigint)").as("dst"))
+      graft.operators.PageRank.iterate(edges, "src", "dst", iters = 5)
+        .select(concat(lit("site"), col("node"), lit(".example"))
+          .as("host"), col("rank"))
+    }),
   )
+
+  /** Shared q290/q291/q292 fixture: every document wrapped as a WAT
+    * `metadata` record whose JSON payload carries headers, a title,
+    * and 1 + doc_id % 4 outlinks, ALL derived from doc_id by integer
+    * arithmetic — the oracle recomputes every expected output
+    * directly, so a hash match certifies the JSON encode → record
+    * walk → from_json extraction chain. Link j of doc d targets doc
+    * (d + 97·j²) % 100000 on host site{target % 23}.example. */
+  private def watBlobs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+    def dst(j: org.apache.spark.sql.Column) =
+      (col("doc_id") + lit(97L) * j * j) % 100000L
+    val json = to_json(struct(struct(struct(struct(
+      map(lit("Server"),
+          concat(lit("srv-"), (col("doc_id") % 7L).cast("string")),
+          lit("Content-Type"), lit("text/html")).as("Headers"),
+      struct(
+        struct(concat(lit("Doc "), col("doc_id").cast("string"))
+          .as("Title")).as("Head"),
+        transform(sequence(lit(1L), lit(1L) + col("doc_id") % 4L),
+          j => struct(lit("A@/href").as("path"),
+            concat(lit("http://site"), (dst(j) % 23L).cast("string"),
+              lit(".example/doc/"), dst(j).cast("string")).as("url")))
+          .as("Links")).as("HTML-Metadata"))
+      .as("HTTP-Response-Metadata")).as("Payload-Metadata"))
+      .as("Envelope")))
+    val rec = udf((id: Long, payload: String) =>
+      graft.sources.Warc.buildRecord(
+        warcType = "metadata",
+        recordId = s"<urn:uuid:wat-$id>",
+        targetUri = s"http://site${id % 23}.example/doc/$id",
+        warcDate = "2024-01-01T00:00:00Z",
+        contentType = "application/json",
+        payload = payload.getBytes("UTF-8")))
+    val cat = udf((rs: Seq[Array[Byte]]) =>
+      rs.foldLeft(Array.empty[Byte])(_ ++ _))
+    docs
+      .select((col("doc_id") % 37).as("__bucket"),
+        struct(col("doc_id"), rec(col("doc_id"), json).as("rec"))
+          .as("__sr"))
+      .groupBy(col("__bucket"))
+      .agg(sort_array(collect_list(col("__sr"))).as("__srs"))
+      .select(cat(expr("transform(__srs, x -> x.rec)")).as("blob"))
+  }
 
   /** Input-augmentation fragments for q125/q126/q127, written in the
     * SQL subset Spark's `expr()` and DuckDB parse IDENTICALLY
@@ -2240,7 +2335,85 @@ object LlmPack extends QueryPack {
          |$MarkupCtes
          |SELECT doc_id, 'conversion' AS warc_type,
          |  n_chars AS content_length, clean_text AS text
-         |FROM (SELECT doc_id, $MarkupSelect FROM c) q""".stripMargin
+         |FROM (SELECT doc_id, $MarkupSelect FROM c) q""".stripMargin,
+
+    // q290: the WAT roundtrip oracle recomputes every output from
+    // doc_id directly (the generator arithmetic — see watBlobs); a
+    // hash match certifies the JSON encode → ISO 28500 record walk →
+    // from_json extraction chain end to end
+    "q290_wat_extract" ->
+      """SELECT doc_id, 'metadata' AS warc_type,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |  'srv-' || CAST(doc_id % 7 AS VARCHAR) AS server,
+        |  CAST(1 + doc_id % 4 AS BIGINT) AS n_links,
+        |  array_to_string(list_transform(
+        |    generate_series(1, CAST(1 + doc_id % 4 AS BIGINT)),
+        |    j -> 'http://site' ||
+        |      CAST(((doc_id + 97*j*j) % 100000) % 23 AS VARCHAR) ||
+        |      '.example/doc/' ||
+        |      CAST((doc_id + 97*j*j) % 100000 AS VARCHAR)), ' ')
+        |    AS link_urls
+        |FROM documents""".stripMargin,
+
+    // q291: the host-graph projection replayed as arithmetic
+    "q291_wat_hostgraph" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, CAST(1 + doc_id % 4 AS BIGINT)))
+        |      AS j
+        |  FROM documents),
+        |e AS (
+        |  SELECT 'site' || CAST(doc_id % 23 AS VARCHAR) || '.example'
+        |      AS src_host,
+        |    'site' ||
+        |      CAST(((doc_id + 97*j*j) % 100000) % 23 AS VARCHAR) ||
+        |      '.example' AS dst_host
+        |  FROM l)
+        |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // q292: q130's recursive-CTE PageRank replay over the WAT host
+    // graph (23 dense hosts — every node has in- AND out-edges, the
+    // LEFT JOIN precondition; sum CAST back to BIGINT per the HUGEINT
+    // rule)
+    "q292_wat_hostrank" ->
+      """WITH RECURSIVE
+        |l AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, CAST(1 + doc_id % 4 AS BIGINT)))
+        |      AS j
+        |  FROM documents),
+        |edges AS (
+        |  SELECT DISTINCT CAST(doc_id % 23 AS BIGINT) AS src,
+        |    CAST(((doc_id + 97*j*j) % 100000) % 23 AS BIGINT) AS dst
+        |  FROM l),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM edges
+        |    UNION ALL SELECT dst FROM edges)),
+        |od AS (SELECT src, count(*) AS cnt FROM edges GROUP BY src),
+        |consts AS (
+        |  SELECT CAST(1000000000000 AS BIGINT) AS scale,
+        |    (SELECT count(*) FROM nodes) AS n),
+        |pr(it, node, r) AS (
+        |  SELECT 0, node, CAST(scale // n AS BIGINT)
+        |  FROM nodes, consts
+        |  UNION ALL
+        |  SELECT c.it, nd.node,
+        |    CAST((SELECT scale * 1500 // 10000 // n FROM consts)
+        |      + coalesce(c.s, 0) AS BIGINT)
+        |  FROM nodes nd
+        |  LEFT JOIN (
+        |    SELECT pr.it + 1 AS it, e.dst AS node,
+        |      SUM((pr.r * 8500 // 10000) // od.cnt) AS s
+        |    FROM pr JOIN edges e ON pr.node = e.src
+        |    JOIN od ON od.src = pr.node
+        |    GROUP BY 1, 2) c ON c.node = nd.node
+        |  WHERE c.it <= 5
+        |)
+        |SELECT 'site' || CAST(node AS VARCHAR) || '.example' AS host,
+        |  CAST(r AS BIGINT) AS rank
+        |FROM pr WHERE it = 5""".stripMargin
   )
 
   /** Shared q277/q280 oracle chain: the markup strip + block keep rule

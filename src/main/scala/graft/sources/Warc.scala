@@ -35,10 +35,15 @@ import org.apache.spark.sql.types._
   * before the corruption point are all emitted.
   *
   * Scale: WARC files are published in ~1 GB chunks precisely so that
-  * file-level parallelism is the unit of work — [[records]] reads
-  * `binaryFile` splits (one task per file), and the parser streams
-  * with O(one record payload) memory. No shuffle anywhere; the
-  * downstream extract chain is embarrassingly parallel scan work. */
+  * file-level parallelism is the unit of work — [[records]] opens one
+  * Hadoop input stream per file (`binaryFiles` +
+  * `PortableDataStream.open`, never materializing file bytes), so a
+  * task holds O(one record payload) memory regardless of archive size
+  * and files beyond 2 GiB stream fine. ([[recordsFromBlobs]], the
+  * in-plan twin, necessarily holds its ROW's blob — bounded by
+  * whatever produced the blob column, not by archive size.) No
+  * shuffle anywhere; the downstream extract chain is embarrassingly
+  * parallel scan work. */
 object Warc {
 
   /** Output schema of every record-level API. `payload` is the raw
@@ -119,6 +124,13 @@ object Warc {
     val in = new BufferedInputStream(raw, 1 << 16)
     var idx = -1L
     var finished = false
+    // release the underlying handle (an open Hadoop stream when fed
+    // by [[records]]) as soon as the walk ends — the lazy iterator
+    // has no other close hook
+    def finish(): Unit = {
+      finished = true
+      try in.close() catch { case scala.util.control.NonFatal(_) => () }
+    }
     new Iterator[Rec] {
       private var nextRec: Rec = null
       private def fetch(): Unit = {
@@ -130,11 +142,11 @@ object Warc {
           var line = readLine(in)
           while (line.exists(_.isEmpty)) line = readLine(in)
           line match {
-            case None => finished = true
+            case None => finish()
             case Some(v) if !v.startsWith("WARC/") =>
               nextRec = Rec(idx, null, null, null, null, null, -1L, null,
                 s"bad version line: ${v.take(80)}")
-              finished = true
+              finish()
             case Some(_) =>
               // headers with RFC-5322 folding (continuation = SP/HT)
               val hdrs = scala.collection.mutable.LinkedHashMap
@@ -179,7 +191,7 @@ object Warc {
           case scala.util.control.NonFatal(e) =>
             nextRec = Rec(idx, null, null, null, null, null, -1L, null,
               s"${e.getClass.getSimpleName}: ${e.getMessage}")
-            finished = true
+            finish()
         }
       }
       def hasNext: Boolean = { fetch(); nextRec != null }
@@ -203,6 +215,20 @@ object Warc {
     else in
   }
 
+  /** Streaming twin of [[maybeGunzip]]: sniff the two magic bytes via
+    * mark/reset, never buffering the file. */
+  private def maybeGunzipStream(raw: InputStream): InputStream = {
+    val in =
+      if (raw.markSupported()) raw
+      else new BufferedInputStream(raw, 1 << 16)
+    in.mark(2)
+    val b0 = in.read(); val b1 = in.read()
+    in.reset()
+    if (b0 == 0x1F && b1 == 0x8B)
+      new java.util.zip.GZIPInputStream(in, 1 << 16)
+    else in
+  }
+
   private def recRow(prefix: Seq[Any], r: Rec): Row =
     Row.fromSeq(prefix ++ Seq(r.recIdx, r.warcType, r.recordId,
       r.targetUri, r.warcDate, r.contentType, r.contentLength,
@@ -211,21 +237,20 @@ object Warc {
   /** Read WARC files under `path` (plain or `.gz`): one task per file
     * (the format's parallelism unit — see the object doc), records
     * exploded to rows of [[recordSchema]] plus a leading `file`
-    * column. Malformed tails arrive as in-band `error` rows — count
-    * them for the quarantine report, the way [[Sources.quarantine]]
-    * splits a PERMISSIVE read. */
+    * column. Each task OPENS a Hadoop stream (`PortableDataStream
+    * .open`) rather than loading file bytes, so memory stays O(one
+    * record payload) and >2 GiB archives work; [[parseStream]] closes
+    * the handle when the walk ends. Malformed tails arrive as in-band
+    * `error` rows — count them for the quarantine report, the way
+    * [[Sources.quarantine]] splits a PERMISSIVE read. */
   def records(spark: SparkSession, path: String): DataFrame = {
-    val files = spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
     val outSchema = StructType(
       StructField("file", StringType) +: recordSchema.fields.toSeq)
-    val rdd = files.rdd.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val file = r.getString(0)
-        parseStream(maybeGunzip(r.getAs[Array[Byte]](1)))
+    val rdd = spark.sparkContext.binaryFiles(path)
+      .flatMap { case (file, pds) =>
+        parseStream(maybeGunzipStream(pds.open()))
           .map(rec => recRow(Seq(file), rec))
       }
-    }
     spark.createDataFrame(rdd, outSchema)
   }
 
@@ -294,6 +319,101 @@ object Warc {
         col("warc_type") === "conversion")
       .withColumn("text", col("payload").cast("string"))
       .drop("payload")
+
+  /** Typed schema of the WAT payload subset a curation pipeline
+    * consumes (Common Crawl's metadata sibling of WARC/WET: JSON
+    * describing each crawled page — response headers, outlinks, head
+    * metadata). The full WAT envelope carries more; `from_json`
+    * ignores fields outside the schema, so this parses real WAT
+    * records as published. */
+  val watSchema: StructType = StructType(Seq(
+    StructField("Envelope", StructType(Seq(
+      StructField("Payload-Metadata", StructType(Seq(
+        StructField("HTTP-Response-Metadata", StructType(Seq(
+          StructField("Headers", MapType(StringType, StringType)),
+          StructField("HTML-Metadata", StructType(Seq(
+            StructField("Head", StructType(Seq(
+              StructField("Title", StringType)))),
+            StructField("Links", ArrayType(StructType(Seq(
+              StructField("path", StringType),
+              StructField("url", StringType)))))))))))))))))))
+
+  /** WAT view of a record stream (the [[wetText]] posture for the
+    * metadata sibling): `metadata` records with JSON payloads parsed
+    * through [[watSchema]] to typed columns `title`, `headers`
+    * (map), `links` (array of (path, url)). Non-metadata records are
+    * filtered; parse-error rows pass through for quarantine
+    * accounting, and a metadata record whose payload is NOT valid
+    * JSON (`from_json` yields null) is reported with `error` set —
+    * never dropped. Pure per-row parse work, no shuffle. */
+  def watView(records: DataFrame): DataFrame = {
+    // PERMISSIVE from_json yields a struct of nulls (not null) on
+    // malformed JSON — route the corrupt text to a capture field so
+    // the error flag is exact (a sparse-but-valid envelope is NOT an
+    // error; WAT metadata for non-HTML responses has no HTML-Metadata)
+    val parseSchema = StructType(
+      watSchema.fields.toSeq :+ StructField("__corrupt", StringType))
+    val parsed = records
+      .filter(col("error").isNotNull ||
+        (col("warc_type") === "metadata" &&
+          col("content_type").contains("application/json")))
+      .withColumn("__w",
+        from_json(col("payload").cast("string"), parseSchema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "__corrupt")))
+      .withColumn("__h", col("__w").getField("Envelope")
+        .getField("Payload-Metadata")
+        .getField("HTTP-Response-Metadata"))
+    parsed
+      .withColumn("title",
+        col("__h").getField("HTML-Metadata").getField("Head")
+          .getField("Title"))
+      .withColumn("headers", col("__h").getField("Headers"))
+      .withColumn("links",
+        col("__h").getField("HTML-Metadata").getField("Links"))
+      .withColumn("error",
+        when(col("error").isNotNull, col("error"))
+          .when(col("__w").isNull ||
+            col("__w").getField("__corrupt").isNotNull,
+            lit("unparseable WAT JSON payload")))
+      .drop("payload", "__w", "__h")
+  }
+
+  /** Outlink edges of a WAT view: one row per (page, link) —
+    * `src_url` (the record's target URI), `link_path` (where in the
+    * page the link sat, e.g. `A@/href`), `dst_url`. The error rows
+    * are excluded (count them from [[watView]] directly). */
+  def watLinks(wat: DataFrame): DataFrame =
+    wat.filter(col("error").isNull && col("links").isNotNull)
+      .select(col("target_uri").as("src_url"),
+        explode(col("links")).as("__l"))
+      .select(col("src_url"),
+        col("__l").getField("path").as("link_path"),
+        col("__l").getField("url").as("dst_url"))
+
+  /** Registered-host extraction pattern, shared verbatim with DuckDB
+    * oracles (RE2-safe: no backreferences, ASCII classes only):
+    * scheme, optional userinfo, then the host up to port/path/query.
+    */
+  val HostPattern: String =
+    "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+  /** (src_host, dst_host, n_links) edge projection of [[watLinks]]
+    * output — the link graph that feeds
+    * [[graft.operators.PageRank]] / TrustRank domain-quality priors
+    * (the Common Crawl curation practice). One keyed aggregate;
+    * links whose URL has no extractable host are dropped from the
+    * GRAPH (they remain visible in [[watLinks]]). */
+  def hostEdges(links: DataFrame): DataFrame = {
+    def host(c: org.apache.spark.sql.Column) =
+      lower(regexp_extract(c, HostPattern, 1))
+    links
+      .select(host(col("src_url")).as("src_host"),
+        host(col("dst_url")).as("dst_host"))
+      .filter(col("src_host") =!= "" && col("dst_host") =!= "")
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+  }
 
   /** (status, content-type, body) of an HTTP/1.x response, or None
     * when the bytes are not one. */

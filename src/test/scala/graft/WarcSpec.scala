@@ -167,4 +167,69 @@ class WarcSpec extends SparkSpec {
     assert(out.filter(col("error").isNotNull)
       .select(col("payload")).head().isNullAt(0))
   }
+
+  private def watRec(id: String, json: String,
+                     ctype: String = "application/json"): Array[Byte] =
+    Warc.buildRecord("metadata", id, s"http://h.example/$id",
+      "2024-01-01T00:00:00Z", ctype, json.getBytes("UTF-8"))
+
+  test("watView: typed extraction of links/headers/title; " +
+    "non-metadata records ignored; malformed JSON reported with " +
+    "error set, never dropped") {
+    val good = watRec("<urn:uuid:w1>",
+      """{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":{
+        |"Headers":{"Server":"nginx","Content-Type":"text/html"},
+        |"HTML-Metadata":{"Head":{"Title":"A Page"},
+        |"Links":[{"path":"A@/href","url":"http://a.example/1"},
+        |{"path":"IMG@/src","url":"http://b.example/i.png"}]}}}}}"""
+        .stripMargin.replace("\n", ""))
+    val extraFields = watRec("<urn:uuid:w2>",
+      // unknown envelope fields must be ignored by the typed parse
+      """{"Container":{"Offset":12},"Envelope":{"Payload-Metadata":{
+        |"HTTP-Response-Metadata":{"Headers":{"Server":"apache"}}}}}"""
+        .stripMargin.replace("\n", ""))
+    val malformed = watRec("<urn:uuid:w3>", """{"Envelope":""")
+    val nonMeta = rec(7) // a response record — must be filtered
+    val blob = good ++ extraFields ++ malformed ++ nonMeta
+    val wat = Warc.watView(
+      Warc.recordsFromBlobs(Seq(("f", blob)).toDF("f", "blob"), "blob"))
+    val rows = wat.select(col("record_id"), col("title"),
+      col("headers"), col("links"), col("error")).collect()
+    assert(rows.length == 3) // w1, w2, w3 — the response is gone
+    val byId = rows.map(r => r.getString(0) -> r).toMap
+    val w1 = byId("<urn:uuid:w1>")
+    assert(w1.isNullAt(4) && w1.getString(1) == "A Page")
+    assert(w1.getMap[String, String](2)("Server") == "nginx")
+    assert(w1.getSeq[org.apache.spark.sql.Row](3).map(
+      _.getString(1)) == Seq("http://a.example/1",
+      "http://b.example/i.png"))
+    val w2 = byId("<urn:uuid:w2>")
+    assert(w2.isNullAt(4) &&
+      w2.getMap[String, String](2)("Server") == "apache" &&
+      w2.isNullAt(3)) // no HTML-Metadata → null links
+    val w3 = byId("<urn:uuid:w3>")
+    assert(!w3.isNullAt(4) && w3.getString(4).contains("WAT JSON"))
+  }
+
+  test("watLinks + hostEdges: host extraction handles ports, " +
+    "userinfo, uppercase; hostless links drop from the graph only") {
+    val json =
+      """{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":{
+        |"HTML-Metadata":{"Links":[
+        |{"path":"A@/href","url":"https://User@WWW.Ex.ORG:8443/p"},
+        |{"path":"A@/href","url":"http://plain.example/x"},
+        |{"path":"A@/href","url":"mailto:someone"},
+        |{"path":"A@/href","url":"http://plain.example/y"}]}}}}}"""
+        .stripMargin.replace("\n", "")
+    val blob = watRec("<urn:uuid:l1>", json)
+    val wat = Warc.watView(
+      Warc.recordsFromBlobs(Seq(("f", blob)).toDF("f", "blob"), "blob"))
+    val links = Warc.watLinks(wat)
+    assert(links.count() == 4) // hostless link still visible here
+    val edges = Warc.hostEdges(links).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(edges == Set(
+      ("h.example", "www.ex.org", 1L),   // userinfo/port stripped, lc
+      ("h.example", "plain.example", 2L))) // counted, mailto dropped
+  }
 }
