@@ -147,4 +147,67 @@ object AudioHash {
   def nearDupPairs(fingerprinted: DataFrame, idCol: String,
                    maxHamming: Int): DataFrame =
     ImageHash.nearDupPairs(fingerprinted, idCol, "afp", maxHamming)
+
+  /** SLIDING-WINDOW fingerprints — the per-window variant of
+    * [[fingerprints]] that makes audio near-dup tolerant to temporal
+    * shifts (trims, padded silence), which a single whole-clip grid
+    * by construction is not: window w spans samples [w·hop, w·hop +
+    * window), each fingerprinted independently (Haitsma–Kalker's
+    * actual framing), giving one `array<long>` per clip. A pad or
+    * trim of k·hop samples shifts the window sequence by exactly k —
+    * the offset [[nearDupPairsShifted]] votes over. Appends
+    * (decode_ok, n_samples, n_windows, wfps); clips shorter than one
+    * window report 0 windows with an empty array; undecodable
+    * payloads report decode_ok = false — reported, never dropped.
+    * Per-row decode scan, no shuffle. */
+  def windowFingerprints(df: DataFrame, contentCol: String = "content",
+                         windowSamples: Int = 162,
+                         hopSamples: Int = 81): DataFrame = {
+    require(windowSamples >= Cells,
+      s"window must cover the $Cells-cell grid")
+    require(hopSamples >= 1)
+    val session = df.sparkSession
+    val outSchema = StructType(
+      df.schema.fields.filterNot(_.name == contentCol) ++ Seq(
+        StructField("decode_ok", BooleanType, nullable = false),
+        StructField("n_samples", LongType),
+        StructField("n_windows", IntegerType),
+        StructField("wfps", ArrayType(LongType, containsNull = false))))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val keepIdx = df.schema.fields.indices.filterNot(_ == contentIdx)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val kept = keepIdx.map(r.get)
+        decodeSamples(r.getAs[Array[Byte]](contentIdx)) match {
+          case Some(s) =>
+            val fps = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var start = 0
+            while (start + windowSamples <= s.length) {
+              val grid = energyGrid(
+                java.util.Arrays.copyOfRange(s, start,
+                  start + windowSamples))
+              fps += fingerprint64(grid.get) // window >= Cells samples
+              start += hopSamples
+            }
+            Row.fromSeq(kept ++ Seq(true, s.length.toLong, fps.length,
+              fps.toSeq))
+          case None =>
+            Row.fromSeq(kept ++ Seq(false, null, null, null))
+        }
+      }
+    }
+    session.createDataFrame(rdd, outSchema)
+  }
+
+  /** Temporal-offset-tolerant audio near-dup over
+    * [[windowFingerprints]] output — delegates to the hash-array-
+    * generic [[VideoHash.nearDupPairsShifted]] (banded candidates
+    * without the window index, best-offset vote verify; exact for
+    * maxHamming ≤ 3). A clip padded/trimmed by k·hop samples matches
+    * at offset ±k with hamming 0 on every aligned interior window. */
+  def nearDupPairsShifted(windowed: DataFrame, idCol: String,
+                          maxHamming: Int, maxOffset: Int,
+                          minMatchBp: Int = 8000): DataFrame =
+    VideoHash.nearDupPairsShifted(windowed, idCol, maxHamming,
+      maxOffset, minMatchBp, hashesCol = "wfps")
 }

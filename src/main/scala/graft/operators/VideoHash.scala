@@ -108,4 +108,89 @@ object VideoHash {
           m => m)).cast("long").as("n_match"))
       .filter(col("n_match") * 10000 >= lit(minMatchBp) * col("n_frames"))
   }
+
+  /** TEMPORAL-OFFSET-TOLERANT sequence near-dup — the re-encode that
+    * trims or pads a few frames, which the aligned [[nearDupPairs]]
+    * by construction cannot see. Candidates drop the frame index from
+    * the band key (two sequences sharing a 16-bit band of ANY frame,
+    * distinct per (id, band, bucket)); verification scores every
+    * offset Δ ∈ [-maxOffset, maxOffset] — aligning A[i] with B[i+Δ] —
+    * and keeps the best (max aligned-match count, ties to the
+    * smallest |Δ|, then the smallest Δ: a total order both engines
+    * express). A pair qualifies when the best offset matches ≥
+    * `minMatchBp` basis points of its overlap length.
+    *
+    * EXACT for maxHamming ≤ 3: a qualifying pair has ≥ 1 aligned
+    * frame pair within hamming 3 at its best offset, ≤ 3 flipped bits
+    * leave one 16-bit band intact (pigeonhole), and the band key no
+    * longer requires equal frame indices — so the pair meets in a
+    * bucket regardless of the shift. Never all-pairs.
+    *
+    * The same machinery serves ANY per-item 64-bit signature ARRAY —
+    * [[AudioHash.nearDupPairsShifted]] delegates here with sliding
+    * PCM-window fingerprints (`hashesCol`).
+    *
+    * Scale: 4 band rows per frame (deduped per item), hash arrays
+    * move only for candidates; verification is candidates ×
+    * (2·maxOffset+1) × overlap — bounded integer HOF work per
+    * candidate row, no extra shuffle.
+    *
+    * Output: (id_a, id_b, best_offset, n_overlap, n_match),
+    * id_a < id_b. */
+  def nearDupPairsShifted(hashed: DataFrame, idCol: String,
+                          maxHamming: Int, maxOffset: Int,
+                          minMatchBp: Int = 8000,
+                          hashesCol: String = "fhashes"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "banded candidates are exact only for maxHamming <= 3")
+    require(maxOffset >= 0 && minMatchBp >= 1 && minMatchBp <= 10000)
+    val sigs = hashed
+      .filter(col(hashesCol).isNotNull && size(col(hashesCol)) > 0)
+      .select(col(idCol), col(hashesCol).as("__fhs"))
+      .localCheckpoint(true) // both band sides + both verify sides
+    val banded = sigs
+      .select(col(idCol), explode(col("__fhs")).as("__fh"))
+      .select(col(idCol),
+        posexplode(array((0 until 4).map(bi =>
+          shiftright(col("__fh"), bi * 16).bitwiseAND(0xFFFFL)): _*))
+          .as(Seq("__band", "__bucket")))
+      .distinct() // one (id, band, bucket) row however many frames
+    val cands = banded.withColumnRenamed(idCol, "id_a")
+      .join(banded.withColumnRenamed(idCol, "id_b"),
+        Seq("__band", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val scored = cands
+      .join(sigs.select(col(idCol).as("id_a"), col("__fhs").as("__ha")),
+        Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("__fhs").as("__hb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"),
+        explode(sequence(lit(-maxOffset), lit(maxOffset))).as("__d"))
+      .withColumn("__lo", greatest(lit(0), -col("__d")))
+      .withColumn("__hi",
+        least(size(col("__ha")), size(col("__hb")) - col("__d")))
+      .withColumn("__overlap",
+        greatest(lit(0), col("__hi") - col("__lo")))
+      // guard the sequence: Spark generates DESCENDING sequences when
+      // stop < start, so an empty overlap must short-circuit
+      .withColumn("__match", when(col("__overlap") > 0,
+        size(filter(
+          transform(sequence(col("__lo"), col("__hi") - 1), i =>
+            bit_count(element_at(col("__ha"), i + 1).bitwiseXOR(
+              element_at(col("__hb"), i + col("__d") + 1)))
+              <= lit(maxHamming)),
+          m => m))).otherwise(lit(0)))
+    scored
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(struct(col("__match").as("m"),
+        (-abs(col("__d"))).as("negabs"), (-col("__d")).as("negd"),
+        col("__overlap").as("ov"), col("__d").as("d"))).as("__best"))
+      .select(col("id_a"), col("id_b"),
+        col("__best.d").cast("long").as("best_offset"),
+        col("__best.ov").cast("long").as("n_overlap"),
+        col("__best.m").cast("long").as("n_match"))
+      .filter(col("n_overlap") > 0 &&
+        col("n_match") * 10000 >= lit(minMatchBp) * col("n_overlap"))
+  }
 }

@@ -351,8 +351,85 @@ object InferencePack extends QueryPack {
           videoHashed(s, dir), "doc_id", maxHamming = 3,
           minMatchBp = 8000)
         .select(col("id_a"), col("id_b"), col("n_frames"),
-          col("n_match")))
+          col("n_match"))),
+
+    // TEMPORAL-OFFSET-TOLERANT video near-dup: the odd twin is the
+    // even's sequence with the FIRST FRAME TRIMMED (a re-encode cut
+    // q287's aligned pairing cannot see) plus a one-pixel-per-frame
+    // perturbation; candidates drop the frame index from the band
+    // key and verification votes over offsets — every planted
+    // trimmed twin found at best_offset -1 with both overlapping
+    // frames matched; oracle brute-forces all pairs x offsets
+    "q293_video_neardup_shifted" -> ((s, dir) =>
+      graft.operators.VideoHash.nearDupPairsShifted(
+          videoHashedShifted(s, dir), "doc_id", maxHamming = 3,
+          maxOffset = 1, minMatchBp = 8000)
+        .select(col("id_a"), col("id_b"), col("best_offset"),
+          col("n_overlap"), col("n_match"))),
+
+    // TEMPORAL-OFFSET-TOLERANT audio near-dup: per-WINDOW
+    // Haitsma-Kalker fingerprints (162-sample windows, 81-sample hop
+    // — 50% overlap, the standard framing) instead of q285's one
+    // whole-clip grid; the odd twin pads ONE HOP of silence in
+    // front, which shifts the window sequence by exactly 1 — found
+    // at best_offset 1 with all 4 interior windows matched at
+    // hamming 0; oracle replays the window grids and brute-forces
+    // pairs x offsets
+    "q294_audio_neardup_shifted" -> ((s, dir) =>
+      graft.operators.AudioHash.nearDupPairsShifted(
+          audioWindowed(s, dir), "doc_id", maxHamming = 3,
+          maxOffset = 1, minMatchBp = 8000)
+        .select(col("id_a"), col("id_b"), col("best_offset"),
+          col("n_overlap"), col("n_match")))
   )
+
+  /** Shared q293 stage: the q286 planted corpus with a TEMPORAL
+    * SHIFT — the even doc keeps 3 md5 frames; its odd twin carries
+    * frames 1..2 of the SAME series (first frame trimmed) with pixel
+    * 0 of every frame shifted +100 mod 256. */
+  private def videoHashedShifted(s: SparkSession, dir: String)
+      : DataFrame = {
+    val enc = udf((px: Seq[Long], w: Int, h: Int, nf: Int) => {
+      val fs = (0 until nf).map(f =>
+        px.slice(f * w * h, (f + 1) * w * h).map(_.toByte).toArray)
+      Multimodal.encodeY4m(w, h, fs)
+    })
+    val assets = Tables.load(s, dir, "documents")
+      .filter(expr("doc_id % 10 IN (0, 1)"))
+      .select(col("doc_id"), enc(expr(
+        """transform(sequence(0,
+          |    cast((3 - doc_id % 2) * 288 - 1 as int)), j ->
+          |  (cast(conv(substring(md5(concat(
+          |     cast(doc_id - doc_id % 2 as string), '-',
+          |     cast(j div 288 + doc_id % 2 as string), '-',
+          |     cast(j % 288 as string))), 1, 8), 16, 10) as bigint)
+          |   + CASE WHEN doc_id % 2 = 1 AND j % 288 = 0
+          |          THEN 100 ELSE 0 END) % 256)""".stripMargin),
+        lit(18), lit(16), (lit(3) - col("doc_id") % 2).cast("int"))
+        .as("content"))
+    graft.operators.VideoHash.frameHashes(assets, "content")
+  }
+
+  /** Shared q294 stage: 486-sample md5 PCM16 clips windowed at
+    * 162/81; the odd twin is ONE HOP (81 samples) of leading silence
+    * followed by the even's first 405 samples. */
+  private def audioWindowed(s: SparkSession, dir: String): DataFrame = {
+    val enc = udf((samples: Seq[Long]) =>
+      Multimodal.encodeWav(samples.map(_.toInt).toArray,
+        sampleRate = 8000, channels = 1))
+    val assets = Tables.load(s, dir, "documents")
+      .filter(expr("doc_id % 10 IN (0, 1)"))
+      .select(col("doc_id"), enc(expr(
+        """transform(sequence(0, 485), i ->
+          |  CASE WHEN doc_id % 2 = 1 AND i < 81 THEN cast(0 as bigint)
+          |  ELSE cast(conv(substring(md5(concat(
+          |     cast(doc_id - doc_id % 2 as string), '-',
+          |     cast(i - 81 * (doc_id % 2) as string))), 1, 8), 16, 10)
+          |     as bigint) % 65536 - 32768 END)""".stripMargin))
+        .as("content"))
+    graft.operators.AudioHash.windowFingerprints(assets, "content",
+      windowSamples = 162, hopSamples = 81)
+  }
 
   /** Shared q286/q287 stage: portable md5 luma planes (3 frames of
     * 18×16 per doc; the odd twin of each pair (pb = doc_id - doc_id%2)
@@ -1138,7 +1215,67 @@ object InferencePack extends QueryPack {
          |GROUP BY 1, 2
          |HAVING CAST(sum(CASE WHEN bit_count(xor(a.fhash, b.fhash))
          |  <= 3 THEN 1 ELSE 0 END) AS BIGINT) * 10000 >= 8000 * 3"""
-        .stripMargin
+        .stripMargin,
+
+    // q293/q294: brute-force every pair x offset over the replayed
+    // per-frame / per-window hashes, pick the best offset by the
+    // operator's total order (n_match DESC, abs(d), d), gate on the
+    // overlap fraction — the shifted-pairing oracle
+    "q293_video_neardup_shifted" ->
+      s"""WITH $VideoShiftCtes,
+         |spo AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, d.d AS d,
+         |    greatest(0, least(a.nf, b.nf - d.d) - greatest(0, -d.d))
+         |      AS n_overlap
+         |  FROM sdm a JOIN sdm b ON a.doc_id < b.doc_id
+         |  CROSS JOIN (VALUES (-1), (0), (1)) d(d)),
+         |sm AS (
+         |  SELECT p.id_a, p.id_b, p.d, p.n_overlap,
+         |    CAST(count(*) FILTER (WHERE
+         |      bit_count(xor(ha.fhash, hb.fhash)) <= 3) AS BIGINT)
+         |      AS n_match
+         |  FROM spo p
+         |  LEFT JOIN svh ha ON ha.doc_id = p.id_a
+         |  LEFT JOIN svh hb ON hb.doc_id = p.id_b
+         |    AND hb.f = ha.f + p.d
+         |  GROUP BY 1, 2, 3, 4),
+         |sbest AS (
+         |  SELECT id_a, id_b, d, n_overlap, n_match,
+         |    row_number() OVER (PARTITION BY id_a, id_b
+         |      ORDER BY n_match DESC, abs(d) ASC, d ASC) AS rn
+         |  FROM sm)
+         |SELECT id_a, id_b, CAST(d AS BIGINT) AS best_offset,
+         |  CAST(n_overlap AS BIGINT) AS n_overlap, n_match
+         |FROM sbest WHERE rn = 1 AND n_overlap > 0
+         |  AND n_match * 10000 >= 8000 * n_overlap""".stripMargin,
+
+    "q294_audio_neardup_shifted" ->
+      s"""WITH $AudioWindowCtes,
+         |wpo AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, d.d AS d,
+         |    greatest(0, least(5, 5 - d.d) - greatest(0, -d.d))
+         |      AS n_overlap
+         |  FROM wdm a JOIN wdm b ON a.doc_id < b.doc_id
+         |  CROSS JOIN (VALUES (-1), (0), (1)) d(d)),
+         |wm AS (
+         |  SELECT p.id_a, p.id_b, p.d, p.n_overlap,
+         |    CAST(count(*) FILTER (WHERE
+         |      bit_count(xor(ha.afp, hb.afp)) <= 3) AS BIGINT)
+         |      AS n_match
+         |  FROM wpo p
+         |  LEFT JOIN wfh ha ON ha.doc_id = p.id_a
+         |  LEFT JOIN wfh hb ON hb.doc_id = p.id_b
+         |    AND hb.w = ha.w + p.d
+         |  GROUP BY 1, 2, 3, 4),
+         |wbest AS (
+         |  SELECT id_a, id_b, d, n_overlap, n_match,
+         |    row_number() OVER (PARTITION BY id_a, id_b
+         |      ORDER BY n_match DESC, abs(d) ASC, d ASC) AS rn
+         |  FROM wm)
+         |SELECT id_a, id_b, CAST(d AS BIGINT) AS best_offset,
+         |  CAST(n_overlap AS BIGINT) AS n_overlap, n_match
+         |FROM wbest WHERE rn = 1 AND n_overlap > 0
+         |  AND n_match * 10000 >= 8000 * n_overlap""".stripMargin
   )
 
   /** Shared q286/q287 oracle chain: md5 luma planes → per-frame
@@ -1173,6 +1310,84 @@ object InferencePack extends QueryPack {
       |    THEN bits - CAST(power(2, 64) AS HUGEINT) ELSE bits END
       |    AS BIGINT) AS fhash
       |  FROM vdh)""".stripMargin
+
+  /** Shared q293 oracle chain: the q286 pixel replay with the
+    * TRIMMED odd twin (frames 1..2 of the even's series, pixel 0 of
+    * every frame +100) — per-frame hashes land in `svh`, clip frame
+    * counts in `sdm`. */
+  private val VideoShiftCtes: String =
+    """sdm AS (SELECT doc_id, 3 - doc_id % 2 AS nf FROM documents
+      |  WHERE doc_id % 10 IN (0, 1)),
+      |spx AS (SELECT doc_id, t.j // 288 AS f,
+      |  (t.j % 288) % 18 AS x, (t.j % 288) // 18 AS y,
+      |  ((('0x' || substr(md5(CAST(doc_id - doc_id % 2 AS VARCHAR) ||
+      |      '-' || CAST(t.j // 288 + doc_id % 2 AS VARCHAR) ||
+      |      '-' || CAST(t.j % 288 AS VARCHAR)), 1, 8))::BIGINT
+      |    + CASE WHEN doc_id % 2 = 1 AND t.j % 288 = 0
+      |           THEN 100 ELSE 0 END) % 256) AS v
+      |  FROM sdm CROSS JOIN range(0, 864) t(j)
+      |  WHERE t.j < nf * 288),
+      |sbd AS (SELECT doc_id, f, bx.b AS bx, by.b AS by,
+      |  CAST(sum(v) AS BIGINT) // count(*) AS m
+      |  FROM spx CROSS JOIN range(0, 9) bx(b) CROSS JOIN range(0, 8) by(b)
+      |  WHERE x >= bx.b * 18 // 9 AND x < (bx.b + 1) * 18 // 9
+      |    AND y >= by.b * 16 // 8 AND y < (by.b + 1) * 16 // 8
+      |  GROUP BY 1, 2, 3, 4),
+      |sdh AS (SELECT a.doc_id, a.f,
+      |  sum(CASE WHEN a.m > b.m
+      |      THEN CAST(power(2, a.by * 8 + a.bx) AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS bits
+      |  FROM sbd a JOIN sbd b ON a.doc_id = b.doc_id AND a.f = b.f
+      |    AND a.by = b.by AND b.bx = a.bx + 1
+      |  GROUP BY 1, 2),
+      |svh AS (SELECT doc_id, f,
+      |  CAST(CASE WHEN bits >= CAST(power(2, 63) AS HUGEINT)
+      |    THEN bits - CAST(power(2, 64) AS HUGEINT) ELSE bits END
+      |    AS BIGINT) AS fhash
+      |  FROM sdh)""".stripMargin
+
+  /** Shared q294 oracle chain: the silence-padded md5 PCM series →
+    * 5 sliding 162-sample windows at hop 81 (each sample lands in at
+    * most two windows — enumerated directly, no per-window rescan) →
+    * per-window 81-cell energy grids → Haitsma–Kalker bits in
+    * `wfh`. */
+  private val AudioWindowCtes: String =
+    """wdm AS (SELECT doc_id FROM documents WHERE doc_id % 10 IN (0, 1)),
+      |wsm AS (SELECT doc_id, t.i AS i,
+      |  CASE WHEN doc_id % 2 = 1 AND t.i < 81 THEN 0
+      |  ELSE ('0x' || substr(md5(CAST(doc_id - doc_id % 2 AS VARCHAR) ||
+      |      '-' || CAST(t.i - 81 * (doc_id % 2) AS VARCHAR)),
+      |      1, 8))::BIGINT % 65536 - 32768 END AS v
+      |  FROM wdm CROSS JOIN range(0, 486) t(i)),
+      |wex AS (SELECT doc_id, i, v, i // 81 - o.o AS w
+      |  FROM wsm CROSS JOIN (VALUES (0), (1)) o(o)
+      |  WHERE i // 81 - o.o BETWEEN 0 AND 4),
+      |we AS (SELECT doc_id, w, (i - w * 81) // 2 AS k,
+      |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS e
+      |  FROM wex GROUP BY 1, 2, 3),
+      |wd1 AS (
+      |  -- band first difference d1(f,b) = E(f,b) - E(f,b+1): plain
+      |  -- column-equality joins with constant offsets (the 6-way
+      |  -- range-keyed formulation nested-loops in DuckDB)
+      |  SELECT a.doc_id, a.w, a.k,
+      |    a.e - b.e AS d1
+      |  FROM we a JOIN we b ON b.doc_id = a.doc_id AND b.w = a.w
+      |    AND b.k = a.k + 1
+      |  WHERE a.k % 9 < 8),
+      |wbit AS (
+      |  SELECT x.doc_id, x.w,
+      |    sum(CASE WHEN x.d1 - y.d1 > 0
+      |        THEN CAST(power(2, (x.k // 9) * 8 + (x.k % 9)) AS HUGEINT)
+      |        ELSE CAST(0 AS HUGEINT) END) AS bits
+      |  FROM wd1 x JOIN wd1 y ON y.doc_id = x.doc_id AND y.w = x.w
+      |    AND y.k = x.k + 9
+      |  WHERE x.k // 9 < 8
+      |  GROUP BY 1, 2),
+      |wfh AS (SELECT doc_id, w,
+      |  CAST(CASE WHEN bits >= CAST(power(2, 63) AS HUGEINT)
+      |    THEN bits - CAST(power(2, 64) AS HUGEINT) ELSE bits END
+      |    AS BIGINT) AS afp
+      |  FROM wbit)""".stripMargin
 
   /** Shared q284/q285 oracle chain: md5 PCM16 series → 81-cell
     * floor-boundary energy grid → sign-of-second-difference bits,

@@ -57,6 +57,70 @@ class AudioHashSpec extends SparkSpec {
     assert(out(0).getLong(3) == direct)
   }
 
+  test("windowFingerprints: per-window fp == slice fingerprints; " +
+    "short clip reports zero windows, junk reports decode_ok=false") {
+    val s = clip(9) // 324 samples -> windows at 0, 81 (win 162, hop 81)
+    val df = Seq(
+      (1L, Multimodal.encodeWav(s, 8000, 1)),
+      (2L, Multimodal.encodeWav(Array.fill(100)(5), 8000, 1)),
+      (3L, "junk".getBytes("UTF-8"))).toDF("id", "content")
+    val out = AudioHash.windowFingerprints(df, "content",
+      windowSamples = 162, hopSamples = 81).orderBy("id").collect()
+    val r1 = out(0)
+    assert(r1.getBoolean(1) && r1.getInt(3) == 3)
+    val expected = (0 to 2).map(w => AudioHash.fingerprint64(
+      AudioHash.energyGrid(s.slice(w * 81, w * 81 + 162)).get))
+    assert(r1.getSeq[Long](4) == expected)
+    assert(out(1).getBoolean(1) && out(1).getInt(3) == 0 &&
+      out(1).getSeq[Long](4).isEmpty) // 100 < 162: no window fits
+    assert(!out(2).getBoolean(1))
+  }
+
+  test("nearDupPairsShifted: one-hop silence pad found at offset 1, " +
+    "two-hop pad beyond maxOffset=1 missed, brute parity") {
+    def padded(base: Array[Int], hops: Int): Array[Int] =
+      Array.fill(hops * 81)(0) ++ base.dropRight(hops * 81)
+    val base = clip(4) ++ clip(5) // 648 samples -> 7 windows
+    val clips = Seq(
+      (0L, base), (1L, padded(base, 1)), (2L, padded(base, 2)),
+      (3L, clip(6) ++ clip(7))) // unrelated
+      .map { case (id, s) => (id, Multimodal.encodeWav(s, 8000, 1)) }
+      .toDF("id", "content")
+    val windowed = AudioHash.windowFingerprints(clips, "content",
+      windowSamples = 162, hopSamples = 81).localCheckpoint(true)
+    val out = AudioHash.nearDupPairsShifted(windowed, "id",
+        maxHamming = 3, maxOffset = 1, minMatchBp = 7000)
+      .select("id_a", "id_b", "best_offset", "n_overlap", "n_match")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // pad of one hop: windows shift by exactly 1; the 6 interior
+    // aligned windows are bit-identical
+    assert(out.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1L &&
+      p._5 >= 5L))
+    // (1,2) is also a one-hop shift of the same series
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1L))
+    // the two-hop pad vs the original sits at offset 2 — out of reach
+    assert(!out.exists(p => p._1 == 0L && p._2 == 2L))
+    // parity with the reference scorer over the window arrays
+    import org.apache.spark.sql.functions.col
+    val sig = windowed.select(col("id"), col("wfps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val brute = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      (ha, hb) = (sig(a), sig(b))
+      best = (-1 to 1).map { d =>
+        val lo = math.max(0, -d)
+        val hi = math.min(ha.length, hb.length - d)
+        val ov = math.max(0, hi - lo)
+        val m = (lo until hi).count(i =>
+          java.lang.Long.bitCount(ha(i) ^ hb(i + d)) <= 3)
+        (m, -math.abs(d), -d, ov, d)
+      }.max
+      if best._4 > 0 && best._1 * 10000 >= 7000 * best._4
+    } yield (a, b, best._5.toLong, best._4.toLong, best._1.toLong))
+      .toSet
+    assert(out == brute)
+  }
+
   test("banded near-dup pairs == brute force for hamming <= 3") {
     val clips = (0L until 30L).map { id =>
       val base = clip(id / 3) // triples share a base

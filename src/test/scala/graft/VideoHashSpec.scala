@@ -84,6 +84,63 @@ class VideoHashSpec extends SparkSpec {
     assert(brute.size >= 12) // every planted twin pair found
   }
 
+  private def videoFrom(seed: Long, from: Int, nf: Int,
+                        perturb: Int = 0): Array[Byte] =
+    Multimodal.encodeY4m(W, H,
+      (from until from + nf).map(frame(seed, _, perturb)))
+
+  /** Reference offset scorer: best (n_match, -|d|, -d) over
+    * d ∈ [-maxOff, maxOff], gate on the overlap fraction. */
+  private def bruteShift(sig: Map[Long, Seq[Long]], maxOff: Int,
+                         maxHam: Int, bp: Int)
+      : Set[(Long, Long, Long, Long, Long)] =
+    (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      (ha, hb) = (sig(a), sig(b))
+      best = (-maxOff to maxOff).map { d =>
+        val lo = math.max(0, -d)
+        val hi = math.min(ha.length, hb.length - d)
+        val ov = math.max(0, hi - lo)
+        val m = (lo until hi).count(i =>
+          java.lang.Long.bitCount(ha(i) ^ hb(i + d)) <= maxHam)
+        (m, -math.abs(d), -d, ov, d)
+      }.max
+      if best._4 > 0 && best._1 * 10000 >= bp * best._4
+    } yield (a, b, best._5.toLong, best._4.toLong, best._1.toLong))
+      .toSet
+
+  test("nearDupPairsShifted: trimmed twin found at its offset, " +
+    "2-frame trim beyond maxOffset=1 missed, brute parity") {
+    val vids = Seq(
+      (0L, videoFrom(5, 0, 4)),               // the full sequence
+      (1L, videoFrom(5, 1, 3, perturb = 100)), // first frame trimmed
+      (2L, videoFrom(5, 2, 2)),               // trimmed by TWO
+      (3L, videoFrom(77, 4, 0))               // unrelated
+    ).toDF("id", "content")
+    val hashed = VideoHash.frameHashes(vids, "content")
+      .localCheckpoint(true)
+    val out = VideoHash.nearDupPairsShifted(hashed, "id",
+        maxHamming = 3, maxOffset = 1)
+      .select("id_a", "id_b", "best_offset", "n_overlap", "n_match")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val sig = hashed.select(col("id"), col("fhashes"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out == bruteShift(sig, 1, 3, 8000))
+    // the one-frame trim pairs at offset -1 over all 3 shared frames
+    assert(out.contains((0L, 1L, -1L, 3L, 3L)))
+    // frames 2..3 ARE frames 1..2 of video 1 (same series): offset -1
+    assert(out.contains((1L, 2L, -1L, 2L, 2L)))
+    // the two-frame trim vs video 0 sits at offset -2 — out of reach
+    assert(!out.exists(p => p._1 == 0L && p._2 == 2L))
+    // widening the offset window finds it
+    val wide = VideoHash.nearDupPairsShifted(hashed, "id",
+        maxHamming = 3, maxOffset = 2)
+      .select("id_a", "id_b", "best_offset", "n_overlap", "n_match")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(wide == bruteShift(sig, 2, 3, 8000))
+    assert(wide.contains((0L, 2L, -2L, 2L, 2L)))
+  }
+
   test("decode_ok=false for non-Y4M bytes and sub-grid frames") {
     val small = Multimodal.encodeY4m(4, 4,
       Seq(Array.fill[Byte](16)(3))) // 4x4 < 9x8 grid
