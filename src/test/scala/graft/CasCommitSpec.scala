@@ -70,8 +70,10 @@ class CasCommitSpec extends SparkSpec {
     val cp = System.getProperty("java.class.path")
     // slow JVM startup can serialize an attempt (no overlap at all) —
     // retry the whole race until contention materializes; the
-    // correctness invariants are asserted on EVERY attempt
-    val contended = (1 to 3).exists { _ =>
+    // correctness invariants are asserted on EVERY attempt. 6 attempts:
+    // under a fully loaded test machine (72 parallel suites) 3 was
+    // observed to serialize every race (r17 full-gate flake)
+    val contended = (1 to 6).exists { _ =>
       val dir = Files.createTempDirectory("graft-cas-jvm")
       val dst = s"$dir/tbl"
       val goFile = s"$dir/go"
