@@ -831,17 +831,18 @@ class FeatureStore(
     *
     * DECISION (r17, measured — tools/external_read_probe.py): Rename
     * STAYS the default. DuckDB as the committer-unaware external
-    * reader gets a Rename table with `read_parquet('dst/*.parquet')`;
-    * against a ManifestLog table the same read ERRORS (the table path
-    * does not exist), and the tempting `dst.mdata/*/*.parquet` glob
-    * is WORSE — it silently unions every retained generation (5 rows
-    * where the head has 3, stale values next to current). Correct
-    * access needs the list-manifests → parse-head → read-data-dir
-    * protocol, which no plain engine performs unprompted. A feature
-    * store's tables are read by ad-hoc DuckDB/pandas/BI readers as a
-    * matter of course (the reference's surface is literally "hand the
-    * DBI connection to dbplyr"), so default external readability
-    * outweighs closing the claim→swap reader window by default. */
+    * reader gets a Rename table with a plain read_parquet glob on the
+    * table directory; against a ManifestLog table the same read
+    * ERRORS (the table path does not exist), and the tempting glob
+    * over the .mdata generation dirs is WORSE — it silently unions
+    * every retained generation (5 rows where the head has 3, stale
+    * values next to current). Correct access needs the
+    * list-manifests → parse-head → read-data-dir protocol, which no
+    * plain engine performs unprompted. A feature store's tables are
+    * read by ad-hoc DuckDB/pandas/BI readers as a matter of course
+    * (the reference's surface is literally "hand the DBI connection
+    * to dbplyr"), so default external readability outweighs closing
+    * the claim→swap reader window by default. */
   protected def committer: Committer = commitProtocol
 
   /** Atomically replace the loader's SCD2 table with `df` (through the
