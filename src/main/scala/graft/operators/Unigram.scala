@@ -31,11 +31,14 @@ import graft.functions.PortableLn
   *      the top `seedSize` by (freq DESC, piece) PLUS the whole
   *      single-character alphabet (coverage floor — every word stays
   *      segmentable);
-  *   3. seed costs `lnFp(totF, freq)`; Viterbi-segment the dictionary
-  *      (hard E-step); re-count piece frequencies from the
-  *      segmentations (M-step); drop multi-char pieces with zero
-  *      Viterbi count (the Kudo prune, one round), clamp kept
-  *      frequencies to ≥ 1;
+  *   3. `emRounds` Viterbi-EM rounds: costs `lnFp(totF, freq)` over
+  *      the current vocabulary; Viterbi-segment the dictionary (hard
+  *      E-step); re-count piece frequencies from the segmentations
+  *      (M-step); drop multi-char pieces with zero Viterbi count
+  *      (the Kudo prune), clamp kept frequencies to ≥ 1; optionally
+  *      prune to `targetVocab` (alphabet + top multi-char pieces by
+  *      (freq DESC, code-point ASC)) — iterative pruning, since the
+  *      next round re-estimates counts under the pruned vocabulary;
   *   4. final costs over the surviving vocabulary; final Viterbi
   *      segmentation of every dictionary word — the broadcastable
   *      `word → pieces` artifact ([[Bpe]]'s tokenize-time shape).
@@ -105,7 +108,9 @@ object Unigram {
     * after runs on the driver over the model-sized dictionary. */
   def train(df: DataFrame, textCol: String, seedSize: Int,
             maxPieceLen: Int = 4,
-            maxVocabWords: Int = 1 << 20): UnigramModel = {
+            maxVocabWords: Int = 1 << 20,
+            emRounds: Int = 1,
+            targetVocab: Int = 0): UnigramModel = {
     require(seedSize >= 1 && maxPieceLen >= 2)
     val dict = df
       .select(explode(TextAnalysis.words(col(textCol))).as("w"))
@@ -114,13 +119,27 @@ object Unigram {
       .orderBy(col("c").desc, col("w"))
       .limit(maxVocabWords)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    trainDict(dict, seedSize, maxPieceLen)
+    trainDict(dict, seedSize, maxPieceLen, emRounds, targetVocab)
   }
 
   /** The driver fold, exposed for specs (the [[Bpe.trainDict]]
-    * posture). */
+    * posture). `emRounds` Viterbi-EM rounds (Kudo's multi-round
+    * training instead of the single hard round shipped through r16):
+    * each round segments the dictionary under the current costs
+    * (E-step), recounts piece frequencies (M-step), drops multi-char
+    * pieces with zero Viterbi count (the Kudo prune; the alphabet
+    * stays, clamped ≥ 1, so coverage never regresses), and — when
+    * `targetVocab` > 0 — additionally prunes to the TARGET size,
+    * keeping the whole alphabet plus the top (target − |alphabet|)
+    * multi-char pieces by (freq DESC, code-point ASC). Interleaving
+    * the target prune with EM re-estimation is what makes the
+    * pruning iterative: round t+1's counts are estimated under the
+    * round-t pruned vocabulary. `emRounds = 1, targetVocab = 0`
+    * reproduces the r16 model exactly. */
   private[graft] def trainDict(dict: Seq[(String, Long)], seedSize: Int,
-                               maxPieceLen: Int): UnigramModel = {
+                               maxPieceLen: Int, emRounds: Int = 1,
+                               targetVocab: Int = 0): UnigramModel = {
+    require(emRounds >= 1, "emRounds must be >= 1")
     // occurrence-weighted substring frequencies
     val subFreq = scala.collection.mutable.HashMap.empty[String, Long]
     val charFreq = scala.collection.mutable.HashMap.empty[String, Long]
@@ -140,32 +159,45 @@ object Unigram {
         else Bpe.codePointOrder.compare(p1, p2) < 0
       }
       .take(seedSize)
-    val vocab0: Map[String, Long] = (charFreq.toSeq ++ seed).toMap
     def costsOf(vocab: Map[String, Long]): Map[String, Long] = {
       val tot = vocab.valuesIterator.map(BigInt(_)).sum
       vocab.map { case (p, f) => p -> PortableLn.lnFp(tot, BigInt(f)) }
     }
-    val cost0 = costsOf(vocab0)
-    // hard E-step under seed costs, then the M-step recount
-    val seg0 = dict.map { case (w, c) =>
-      (w, c, viterbi(w, cost0, maxPieceLen)) }
-    val used = scala.collection.mutable.HashMap.empty[String, Long]
-    for ((_, c, ps) <- seg0; p <- ps)
-      used.updateWith(p)(o => Some(o.getOrElse(0L) + c))
-    // prune: multi-char pieces need a Viterbi count; the alphabet
-    // stays (clamped to >= 1) so coverage never regresses
-    val vocab1: Map[String, Long] = vocab0.flatMap { case (p, _) =>
-      val u = used.getOrElse(p, 0L)
-      if (p.length == 1) Some(p -> math.max(1L, u))
-      else if (u > 0L) Some(p -> u)
-      else None
+    var vocab: Map[String, Long] = (charFreq.toSeq ++ seed).toMap
+    var round = 0
+    while (round < emRounds) {
+      val cost = costsOf(vocab)
+      // hard E-step under the current costs, then the M-step recount
+      val used = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, c) <- dict; p <- viterbi(w, cost, maxPieceLen))
+        used.updateWith(p)(o => Some(o.getOrElse(0L) + c))
+      // Kudo zero-count prune + alphabet floor
+      var next: Map[String, Long] = vocab.flatMap { case (p, _) =>
+        val u = used.getOrElse(p, 0L)
+        if (p.length == 1) Some(p -> math.max(1L, u))
+        else if (u > 0L) Some(p -> u)
+        else None
+      }
+      if (targetVocab > 0) {
+        val chars = next.filter(_._1.length == 1)
+        val keep = math.max(0, targetVocab - chars.size)
+        val multi = next.iterator.filter(_._1.length > 1).toSeq
+          .sortWith { case ((p1, f1), (p2, f2)) =>
+            if (f1 != f2) f1 > f2
+            else Bpe.codePointOrder.compare(p1, p2) < 0
+          }
+          .take(keep)
+        next = chars ++ multi
+      }
+      vocab = next
+      round += 1
     }
-    val cost1 = costsOf(vocab1)
+    val costF = costsOf(vocab)
     val segments = dict.map { case (w, _) =>
-      w -> viterbi(w, cost1, maxPieceLen) }.toMap
-    val pieces = vocab1.toSeq
+      w -> viterbi(w, costF, maxPieceLen) }.toMap
+    val pieces = vocab.toSeq
       .sortWith((a, b) => Bpe.codePointOrder.compare(a._1, b._1) < 0)
-      .map { case (p, f) => (p, f, cost1(p)) }
+      .map { case (p, f) => (p, f, costF(p)) }
     UnigramModel(pieces, segments)
   }
 

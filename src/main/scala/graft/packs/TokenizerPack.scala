@@ -11,13 +11,16 @@ import graft.operators.Unigram
 /** Unigram-LM (SentencePiece-class) tokenizer queries — the q103 BPE
   * posture for the OTHER dominant tokenizer family: the full training
   * run (seed substring statistics → integer fixed-point costs through
-  * the portable ln → Viterbi hard-EM round → prune → final costs →
-  * final segmentation) is replayed in DuckDB as recursive CTEs, so the
-  * vocabulary, every Viterbi segmentation, and the per-language
-  * fertility report all hash-check end to end. The Viterbi lattice DP
-  * rides a 4-register sliding window (dp[i-1..i-4]) in the recursive
-  * working table — maxPieceLen = 4 is what makes the forward pass
-  * expressible under DuckDB's one-recursive-reference rule. */
+  * the portable ln → TWO Viterbi hard-EM rounds, each with the Kudo
+  * zero-count prune AND an iterative rank cut to the target
+  * vocabulary → final costs → final segmentation) is replayed in
+  * DuckDB as recursive CTEs — THREE forward-DP/backtrack instantiations
+  * via the prefix-namespaced ln kernels — so the vocabulary, every
+  * Viterbi segmentation, and the per-language fertility report all
+  * hash-check end to end. The Viterbi lattice DP rides a 4-register
+  * sliding window (dp[i-1..i-4]) in the recursive working table —
+  * maxPieceLen = 4 is what makes the forward pass expressible under
+  * DuckDB's one-recursive-reference rule. */
 object TokenizerPack extends QueryPack {
 
   private val SeedSize = 300
@@ -26,11 +29,20 @@ object TokenizerPack extends QueryPack {
   // would diverge from Spark's top-maxVocabWords prune the moment a
   // corpus vocabulary exceeds the cap (the r10 SF-dependence class)
   private val MaxVocabWords = 1 << 20
+  // r17: TWO Viterbi-EM rounds with iterative pruning to a TARGET
+  // vocabulary (the SentencePiece posture — r16 shipped one hard
+  // round). 48 = alphabet (24 on this corpus, both SFs) + 24 kept
+  // multi-char pieces: the target PRUNES (~12 pieces at the gate) at
+  // every shipped SF, so the oracle exercises the rank cut, and the
+  // corpus vocabulary is generator-fixed so the panel is SF-invariant
+  private val EmRounds = 2
+  private val TargetVocab = 48
 
   private def model(s: SparkSession, dir: String) =
     Unigram.train(Tables.load(s, dir, "documents"), "text",
       seedSize = SeedSize, maxPieceLen = MaxPieceLen,
-      maxVocabWords = MaxVocabWords)
+      maxVocabWords = MaxVocabWords, emRounds = EmRounds,
+      targetVocab = TargetVocab)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the trained vocabulary: surviving pieces with hard-EM Viterbi
@@ -61,10 +73,13 @@ object TokenizerPack extends QueryPack {
     }),
   )
 
-  /** Shared oracle chain: dict → seed stats → cost0 (portable ln) →
-    * Viterbi forward DP (vit0) + backtrack (seg0) → recount → vocab1 →
-    * cost1 → final DP (vit1/seg1). BIG = 10^15 is the unreachable-cost
-    * sentinel (dp sums stay under ~10^9). */
+  /** Shared oracle chain — the FULL two-round training replay: dict →
+    * seed stats → cost0 (portable ln) → round-1 Viterbi DP + backtrack
+    * (vit0/seg0) → recount → zero-prune (vocab1) → TARGET prune
+    * (vocab1p, rank cut by (freq DESC, p)) → cost1 → round-2 DP
+    * (vit1/seg1) → recount (uses1) → vocab2 → vocab2p → cost2 → final
+    * DP (vit2/seg2). BIG = 10^15 is the unreachable-cost sentinel (dp
+    * sums stay under ~10^9). */
   private val BIG = "1000000000000000"
 
   /** One Viterbi forward + backtrack pair under a given cost CTE.
@@ -111,8 +126,15 @@ object TokenizerPack extends QueryPack {
        |  FROM $seg s JOIN $vit v ON v.w = s.w AND v.i = s.i
        |  WHERE s.i > 0)""".stripMargin
 
+  // DuckDB INLINES non-recursive CTEs: every reference re-evaluates
+  // the full upstream chain, and a recursive term's joins re-evaluate
+  // per iteration — with three chained DP rounds that is
+  // multiplicative (the r17 T=2 chain ran for CPU-hours before the
+  // cost tables were wrapped AS MATERIALIZED; T=1 merely tolerated
+  // ~40 re-evaluations). dict and each costN get explicit
+  // materialization barriers; the DP joins read the *m wrappers.
   private val TrainCtes: String =
-    s"""dict AS (
+    s"""dict AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
        |          AS w
@@ -135,7 +157,8 @@ object TokenizerPack extends QueryPack {
        |  (SELECT CAST(sum(freq) AS BIGINT) FROM vocab0) AS a,
        |  freq AS b FROM vocab0),
        |${PortableLn.duckLnCtes("ln0in", Seq("p"), "cost0", "c0")},
-       |${viterbiCtes("cost0", "vit0", "seg0")},
+       |cost0m AS MATERIALIZED (SELECT * FROM cost0),
+       |${viterbiCtes("cost0m", "vit0", "seg0")},
        |uses0 AS (SELECT piece AS p, CAST(sum(cnt) AS BIGINT) AS freq
        |  FROM seg0 JOIN dict ON seg0.w = dict.w
        |  WHERE ord >= 1 GROUP BY 1),
@@ -146,24 +169,59 @@ object TokenizerPack extends QueryPack {
        |      ELSE u.freq END AS freq
        |  FROM vocab0 v LEFT JOIN uses0 u ON u.p = v.p
        |  WHERE length(v.p) = 1 OR coalesce(u.freq, 0) > 0),
+       |vocab1p AS (
+       |  SELECT p, freq FROM vocab1 WHERE length(p) = 1
+       |  UNION ALL
+       |  SELECT p, freq FROM (
+       |    SELECT p, freq,
+       |      row_number() OVER (ORDER BY freq DESC, p) AS rn
+       |    FROM vocab1 WHERE length(p) > 1) q
+       |  WHERE rn <= $TargetVocab -
+       |    (SELECT count(*) FROM vocab1 WHERE length(p) = 1)),
        |ln1in AS (SELECT p,
-       |  (SELECT CAST(sum(freq) AS BIGINT) FROM vocab1) AS a,
-       |  freq AS b FROM vocab1),
+       |  (SELECT CAST(sum(freq) AS BIGINT) FROM vocab1p) AS a,
+       |  freq AS b FROM vocab1p),
        |${PortableLn.duckLnCtes("ln1in", Seq("p"), "cost1", "c1")},
-       |${viterbiCtes("cost1", "vit1", "seg1")}""".stripMargin
+       |cost1m AS MATERIALIZED (SELECT * FROM cost1),
+       |${viterbiCtes("cost1m", "vit1", "seg1")},
+       |uses1 AS (SELECT piece AS p, CAST(sum(cnt) AS BIGINT) AS freq
+       |  FROM seg1 JOIN dict ON seg1.w = dict.w
+       |  WHERE ord >= 1 GROUP BY 1),
+       |vocab2 AS (
+       |  SELECT v.p,
+       |    CASE WHEN length(v.p) = 1
+       |      THEN greatest(CAST(1 AS BIGINT), coalesce(u.freq, 0))
+       |      ELSE u.freq END AS freq
+       |  FROM vocab1p v LEFT JOIN uses1 u ON u.p = v.p
+       |  WHERE length(v.p) = 1 OR coalesce(u.freq, 0) > 0),
+       |vocab2p AS (
+       |  SELECT p, freq FROM vocab2 WHERE length(p) = 1
+       |  UNION ALL
+       |  SELECT p, freq FROM (
+       |    SELECT p, freq,
+       |      row_number() OVER (ORDER BY freq DESC, p) AS rn
+       |    FROM vocab2 WHERE length(p) > 1) q
+       |  WHERE rn <= $TargetVocab -
+       |    (SELECT count(*) FROM vocab2 WHERE length(p) = 1)),
+       |ln2in AS (SELECT p,
+       |  (SELECT CAST(sum(freq) AS BIGINT) FROM vocab2p) AS a,
+       |  freq AS b FROM vocab2p),
+       |${PortableLn.duckLnCtes("ln2in", Seq("p"), "cost2", "c2")},
+       |cost2m AS MATERIALIZED (SELECT * FROM cost2),
+       |${viterbiCtes("cost2m", "vit2", "seg2")}""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q281_unigram_vocab" ->
       s"""WITH RECURSIVE $TrainCtes
          |SELECT v.p AS piece, v.freq, c.ln_fp AS cost_fp
-         |FROM vocab1 v JOIN cost1 c ON c.p = v.p""".stripMargin,
+         |FROM vocab2p v JOIN cost2 c ON c.p = v.p""".stripMargin,
 
     "q282_unigram_segments" ->
       s"""WITH RECURSIVE $TrainCtes
          |SELECT w, CAST(count(*) AS BIGINT) AS n_pieces,
          |  array_to_string(list(piece ORDER BY ord DESC), ' ')
          |    AS pieces
-         |FROM seg1 WHERE ord >= 1 GROUP BY w""".stripMargin,
+         |FROM seg2 WHERE ord >= 1 GROUP BY w""".stripMargin,
 
     // n_oov_words is structurally 0 here: the dictionary is built
     // unpruned from the same corpus being tokenized (maxVocabWords
@@ -173,7 +231,7 @@ object TokenizerPack extends QueryPack {
     "q283_unigram_fertility" ->
       s"""WITH RECURSIVE $TrainCtes,
          |wp AS (SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
-         |  FROM seg1 WHERE ord >= 1 GROUP BY w),
+         |  FROM seg2 WHERE ord >= 1 GROUP BY w),
          |docw AS (
          |  SELECT doc_id, w FROM (
          |    SELECT doc_id,
@@ -208,7 +266,7 @@ object TokenizerPack extends QueryPack {
       s"""WITH RECURSIVE $TrainCtes,
          |uvocab AS (SELECT p,
          |  CAST(row_number() OVER (ORDER BY p) - 1 AS INT) AS id
-         |  FROM vocab1),
+         |  FROM vocab2p),
          |dw AS (
          |  SELECT doc_id, i AS pos, ws[i] AS w
          |  FROM (SELECT doc_id,
@@ -217,7 +275,7 @@ object TokenizerPack extends QueryPack {
          |       LATERAL (SELECT unnest(generate_series(1, len(ws)))
          |         AS i) t
          |  WHERE ws[i] <> ''),
-         |sp AS (SELECT w, ord, piece FROM seg1 WHERE ord >= 1),
+         |sp AS (SELECT w, ord, piece FROM seg2 WHERE ord >= 1),
          |eids AS (SELECT dw.doc_id, dw.pos, sp.ord, v.id
          |  FROM dw JOIN sp ON sp.w = dw.w
          |  JOIN uvocab v ON v.p = sp.piece)

@@ -134,4 +134,62 @@ class UnigramSpec extends SparkSpec {
       assert(byFreq(f1).min >= byFreq(f2).max,
         s"cost not monotone between freq $f1 and $f2")
   }
+
+  /** Total corpus description length under the model's OWN costs:
+    * Σ_w count(w) · Σ_{p ∈ seg(w)} cost(p). */
+  private def corpusCost(dict: Seq[(String, Long)],
+                         m: Unigram.UnigramModel): BigInt = {
+    val cost = m.pieces.map(t => t._1 -> t._3).toMap
+    dict.iterator.map { case (w, c) =>
+      BigInt(c) * m.segments(w).map(cost).sum
+    }.sum
+  }
+
+  test("emRounds = 2 yields a no-worse corpus likelihood than 1, and " +
+    "emRounds = 1 / no target reproduces the single-round model") {
+    val dict = Seq("internationalization" -> 9L, "international" -> 22L,
+      "nation" -> 40L, "nations" -> 18L, "ration" -> 12L,
+      "rational" -> 7L, "internal" -> 15L, "intern" -> 11L,
+      "station" -> 25L, "stationary" -> 5L, "alization" -> 3L,
+      "art" -> 30L, "piece" -> 17L)
+    val m1 = Unigram.trainDict(dict, seedSize = 60, maxPieceLen = 4)
+    val m1e = Unigram.trainDict(dict, seedSize = 60, maxPieceLen = 4,
+      emRounds = 1, targetVocab = 0)
+    assert(m1.pieces == m1e.pieces && m1.segments == m1e.segments,
+      "defaults must reproduce the r16 single-round model exactly")
+    val m2 = Unigram.trainDict(dict, seedSize = 60, maxPieceLen = 4,
+      emRounds = 2)
+    assert(corpusCost(dict, m2) <= corpusCost(dict, m1),
+      s"round 2 worsened the corpus cost: ${corpusCost(dict, m2)} > " +
+        s"${corpusCost(dict, m1)}")
+    // more rounds keep it monotone on this corpus (hard EM converges)
+    val m4 = Unigram.trainDict(dict, seedSize = 60, maxPieceLen = 4,
+      emRounds = 4)
+    assert(corpusCost(dict, m4) <= corpusCost(dict, m2))
+  }
+
+  test("iterative target pruning: vocab lands at the target (alphabet " +
+    "floor respected), survivors carry Viterbi counts, coverage holds") {
+    val dict = Seq("sparkle" -> 20L, "sparks" -> 15L, "spark" -> 30L,
+      "parking" -> 9L, "marker" -> 14L, "market" -> 21L,
+      "lark" -> 11L, "larks" -> 4L)
+    val nChars = dict.flatMap(_._1.toSeq).distinct.size
+    val target = nChars + 3 // keeps only the 3 best multi-char pieces
+    val m = Unigram.trainDict(dict, seedSize = 50, maxPieceLen = 4,
+      emRounds = 2, targetVocab = target)
+    assert(m.pieces.size <= target)
+    assert(m.pieces.count(_._1.length == 1) == nChars,
+      "the whole alphabet must survive the target prune")
+    // every dictionary word still segments through surviving pieces
+    val vocab = m.pieces.map(_._1).toSet
+    for ((w, _) <- dict) {
+      assert(m.segments(w).mkString("") == w)
+      assert(m.segments(w).forall(vocab))
+    }
+    // a target below the alphabet keeps exactly the alphabet
+    val mFloor = Unigram.trainDict(dict, seedSize = 50, maxPieceLen = 4,
+      emRounds = 2, targetVocab = 2)
+    assert(mFloor.pieces.map(_._1).toSet ==
+      dict.flatMap(_._1.toSeq).map(_.toString).toSet)
+  }
 }
