@@ -160,12 +160,26 @@ object VideoHash {
         Seq("__band", "__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val scored = cands
-      .join(sigs.select(col(idCol).as("id_a"), col("__fhs").as("__ha")),
-        Seq("id_a"))
-      .join(sigs.select(col(idCol).as("id_b"), col("__fhs").as("__hb")),
-        Seq("id_b"))
-      .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"),
+    scoreShifted(
+      cands
+        .join(sigs.select(col(idCol).as("id_a"),
+          col("__fhs").as("__ha")), Seq("id_a"))
+        .join(sigs.select(col(idCol).as("id_b"),
+          col("__fhs").as("__hb")), Seq("id_b")),
+      "id_a", "id_b", maxHamming, maxOffset, minMatchBp)
+  }
+
+  /** The offset-vote verify shared with [[BandProbe]]: `joined`
+    * carries (aCol, bCol, __ha, __hb); Δ aligns __ha[i] with
+    * __hb[i+Δ]; best = max (n_match, -|Δ|, -Δ); gate on the overlap
+    * fraction. Output: (aCol, bCol, best_offset, n_overlap,
+    * n_match). */
+  private[operators] def scoreShifted(joined: DataFrame, aCol: String,
+                                      bCol: String, maxHamming: Int,
+                                      maxOffset: Int,
+                                      minMatchBp: Int): DataFrame = {
+    val scored = joined
+      .select(col(aCol), col(bCol), col("__ha"), col("__hb"),
         explode(sequence(lit(-maxOffset), lit(maxOffset))).as("__d"))
       .withColumn("__lo", greatest(lit(0), -col("__d")))
       .withColumn("__hi",
@@ -182,11 +196,11 @@ object VideoHash {
               <= lit(maxHamming)),
           m => m))).otherwise(lit(0)))
     scored
-      .groupBy(col("id_a"), col("id_b"))
+      .groupBy(col(aCol), col(bCol))
       .agg(max(struct(col("__match").as("m"),
         (-abs(col("__d"))).as("negabs"), (-col("__d")).as("negd"),
         col("__overlap").as("ov"), col("__d").as("d"))).as("__best"))
-      .select(col("id_a"), col("id_b"),
+      .select(col(aCol), col(bCol),
         col("__best.d").cast("long").as("best_offset"),
         col("__best.ov").cast("long").as("n_overlap"),
         col("__best.m").cast("long").as("n_match"))

@@ -380,7 +380,23 @@ object InferencePack extends QueryPack {
           audioWindowed(s, dir), "doc_id", maxHamming = 3,
           maxOffset = 1, minMatchBp = 8000)
         .select(col("id_a"), col("id_b"), col("best_offset"),
-          col("n_overlap"), col("n_match")))
+          col("n_overlap"), col("n_match"))),
+
+    // INCREMENTAL image near-dup probe: the even half of the planted
+    // corpus is the standing (band, bucket) index, the odd half
+    // arrives as the new batch — candidates are CROSS-SIDE collisions
+    // only (the text family's q83 posture for media signatures), so
+    // the output is exactly the cross-side slice of q279's full
+    // banded join; the oracle brute-forces that slice
+    "q295_image_probe" -> ((s, dir) => {
+      val hashed = imageHashed(s, dir).localCheckpoint(true)
+      graft.operators.BandProbe.probePairs(
+          hashed.filter(col("doc_id") % 2 === 0),
+          hashed.filter(col("doc_id") % 2 === 1),
+          "doc_id", "dhash", maxHamming = 3)
+        .select(col("new_id"), col("corpus_id"),
+          col("hamming").cast("long").as("hamming"))
+    })
   )
 
   /** Shared q293 stage: the q286 planted corpus with a TEMPORAL
@@ -1275,7 +1291,17 @@ object InferencePack extends QueryPack {
          |SELECT id_a, id_b, CAST(d AS BIGINT) AS best_offset,
          |  CAST(n_overlap AS BIGINT) AS n_overlap, n_match
          |FROM wbest WHERE rn = 1 AND n_overlap > 0
-         |  AND n_match * 10000 >= 8000 * n_overlap""".stripMargin
+         |  AND n_match * 10000 >= 8000 * n_overlap""".stripMargin,
+
+    // q295: the cross-side (even-corpus x odd-batch) slice of q279's
+    // brute force — the probe's exactness contract
+    "q295_image_probe" ->
+      s"""WITH $ImageHashCtes
+         |SELECT b.doc_id AS new_id, a.doc_id AS corpus_id,
+         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+         |FROM hx a JOIN hx b
+         |  ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
   )
 
   /** Shared q286/q287 oracle chain: md5 luma planes → per-frame
