@@ -208,11 +208,29 @@ object SuffixDedup {
     * Full matrix + method in PLANS.md §"SA block pre-filter". */
   private[graft] val BlockFilterMinPos = 1L * 1000 * 1000
 
+  /** Corpus size (total token positions) below which the level-0
+    * vocabulary ranking folds on the DRIVER (r17): the distributed
+    * path is a range sort whose lineage is computed twice (partition
+    * totals collect + the prefix-sum re-map) plus an UNHINTED join of
+    * every position against the checkpointed (stats-less) vocab frame
+    * — Catalyst plans that as a SortMergeJoin, shuffling the whole
+    * position table by token. Below this bound the vocabulary
+    * (≤ nPos rows, in practice ≪) collects once, sorts by UTF-8 BYTE
+    * order (Spark's and DuckDB's binary VARCHAR order — UTF-16
+    * compareTo would diverge on supplementary planes), prefix-sums in
+    * a driver loop and re-attaches as a BROADCAST literal — the
+    * corpus-sized shuffle disappears. Above the bound the distributed
+    * path runs unchanged (with its sort materialized once instead of
+    * twice). Both paths are parity-pinned in SuffixDedupSpec. */
+  private[graft] val VocabDriverFoldMaxPos = 1L * 1000 * 1000
+
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       minLen: Int, maxLcp: Int = 512,
                       driverFinishMaxPos: Long = 300000L,
                       driverFinishMaxTok: Long = 8L * 1000 * 1000,
-                      blockFilterMinPos: Long = BlockFilterMinPos): DataFrame = {
+                      blockFilterMinPos: Long = BlockFilterMinPos,
+                      vocabDriverMaxPos: Long = VocabDriverFoldMaxPos)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minLen >= 1, "minLen must be >= 1")
     require(maxLcp >= minLen, "maxLcp must be >= minLen")
@@ -239,21 +257,123 @@ object SuffixDedup {
     val positions = toks.select(col("doc"),
         posexplode(col("ta")).as(Seq("pos0", "tok")))
       .select(col("doc"), (col("pos0") + 1).as("pos"), col("tok"))
-    val sortedVc = positions.groupBy(col("tok"))
-      .agg(count(lit(1)).as("c"))
-      .orderBy(col("tok")).rdd
-      .map(r => (r.getString(0), r.getLong(1)))
-    val partTotals = sortedVc
-      .mapPartitionsWithIndex { (i, it) =>
-        Iterator((i, it.foldLeft(0L)(_ + _._2))) }
-      .collect().sortBy(_._1).map(_._2)
-    val partOffsets = partTotals.scanLeft(0L)(_ + _)
-    val vocabPr = sortedVc
-      .mapPartitionsWithIndex { (i, it) =>
-        var run = partOffsets(i)
-        it.map { case (t, c) => val p = run; run += c; (t, p, c) }
-      }.toDF("tok", "pr", "c")
-      .localCheckpoint(true)
+    val vocabPr: DataFrame =
+      if (nPos <= vocabDriverMaxPos) {
+        // driver fold (guide §2.4/§3.1): collect the per-token counts
+        // once, order by UTF-8 bytes (== Spark/DuckDB binary VARCHAR
+        // order), exclusive prefix sum in a loop, broadcast back as a
+        // literal — no corpus shuffle, no stats-less SMJ
+        val vc = positions.groupBy(col("tok"))
+          .agg(count(lit(1)).as("c")).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        java.util.Arrays.sort(vc,
+          (a: (String, Long), b: (String, Long)) => {
+            val x = a._1.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val y = b._1.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var i = 0; val n = math.min(x.length, y.length)
+            var d = 0
+            while (d == 0 && i < n) {
+              d = (x(i) & 0xFF) - (y(i) & 0xFF); i += 1
+            }
+            if (d != 0) d else x.length - y.length
+          })
+        var run = 0L
+        broadcast(vc.toSeq.map { case (t, c) =>
+          val p = run; run += c; (t, p, c)
+        }.toDF("tok", "pr", "c"))
+      } else {
+        // distributed range sort, materialized ONCE (r17 — the totals
+        // collect and the prefix-sum re-map previously each recomputed
+        // the groupBy + sort lineage)
+        val sortedVcDf = positions.groupBy(col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy(col("tok"))
+          .localCheckpoint(true)
+        val sortedVc = sortedVcDf.rdd
+          .map(r => (r.getString(0), r.getLong(1)))
+        val partTotals = sortedVc
+          .mapPartitionsWithIndex { (i, it) =>
+            Iterator((i, it.foldLeft(0L)(_ + _._2))) }
+          .collect().sortBy(_._1).map(_._2)
+        val partOffsets = partTotals.scanLeft(0L)(_ + _)
+        sortedVc
+          .mapPartitionsWithIndex { (i, it) =>
+            var run = partOffsets(i)
+            it.map { case (t, c) => val p = run; run += c; (t, p, c) }
+          }.toDF("tok", "pr", "c")
+          .localCheckpoint(true)
+      }
+    // FULL DRIVER SA (r17): below the driver-finish position bound the
+    // level-0 driver finish fires on the loop's FIRST iteration anyway
+    // (tied ≤ nPos ≤ driverFinishMaxPos, affected-doc positions ≤ nPos
+    // ≤ driverFinishMaxTok), after which the tail still paid the
+    // distributed range sort + boundary probe + token-slice LCP join
+    // (~10 jobs of pure job floor at gate sizes). Run the IDENTICAL
+    // computation wholly in memory instead: level-0 ranks are
+    // injective per distinct token, so rank-sequence comparison IS the
+    // exact suffix comparison (the driverFinishOverlay argument) and
+    // walking equal ranks IS the exact token LCP. Sort all (doc, pos)
+    // by (suffix, doc, pos), emit adjacent pairs with capped LCP —
+    // bit-identical to the distributed tail (SuffixDedupSpec pins both
+    // paths to the same brute-force answer). Above the bound the
+    // distributed loop below runs unchanged.
+    if (nPos <= driverFinishMaxPos && nPos <= driverFinishMaxTok &&
+        nPos < Int.MaxValue - 8) {
+      val ranks = new java.util.HashMap[Long, Array[Long]]()
+      positions.join(vocabPr, Seq("tok"))
+        .groupBy(col("doc"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("pr"))))
+          .as("a"))
+        .collect().foreach { r =>
+          val seq = r.getSeq[org.apache.spark.sql.Row](1)
+          val arr = new Array[Long](seq.size)
+          seq.foreach(e => arr(e.getInt(0) - 1) = e.getLong(1))
+          ranks.put(r.getLong(0), arr)
+        }
+      def cmp(da: Long, pa: Int, db: Long, pb: Int): Int = {
+        val ra = ranks.get(da); val rb = ranks.get(db)
+        var i = pa - 1; var j = pb - 1
+        while (i < ra.length && j < rb.length) {
+          if (ra(i) != rb(j)) return java.lang.Long.compare(ra(i), rb(j))
+          i += 1; j += 1
+        }
+        java.lang.Integer.compare(ra.length - i, rb.length - j)
+      }
+      val sufs = new Array[(Long, Int)](nPos.toInt)
+      var si = 0
+      ranks.forEach { (d, arr) =>
+        var p = 1
+        while (p <= arr.length) { sufs(si) = (d, p); si += 1; p += 1 }
+      }
+      java.util.Arrays.sort(sufs,
+        (a: (Long, Int), b: (Long, Int)) => {
+          val c = cmp(a._1, a._2, b._1, b._2)
+          if (c != 0) c
+          else {
+            val d = java.lang.Long.compare(a._1, b._1)
+            if (d != 0) d else java.lang.Integer.compare(a._2, b._2)
+          }
+        })
+      def lcpOf(da: Long, pa: Int, db: Long, pb: Int): Long = {
+        val ra = ranks.get(da); val rb = ranks.get(db)
+        var i = pa - 1; var j = pb - 1; var k = 0L
+        while (k < maxLcp && i < ra.length && j < rb.length &&
+          ra(i) == rb(j)) { i += 1; j += 1; k += 1 }
+        k
+      }
+      val out = Seq.newBuilder[(Long, Int, Long, Int, Long)]
+      var ai = 0
+      while (ai + 1 < sufs.length) {
+        val (da, pa) = sufs(ai); val (db, pb) = sufs(ai + 1)
+        val l = lcpOf(da, pa, db, pb)
+        if (l >= minLen) out += ((da, pa, db, pb, l))
+        ai += 1
+      }
+      val rows = out.result()
+      return if (rows.isEmpty) empty
+      else rows.toDF("doc_a", "pos_a", "doc_b", "pos_b", "lcp")
+    }
+
     var prTab = positions.join(vocabPr, Seq("tok"))
       .select(col("doc"), col("pos"), col("pr"), col("c"))
       .localCheckpoint(true)
@@ -410,18 +530,48 @@ object SuffixDedup {
     // (the only possible rank ties after full doubling) tie-break by
     // (doc, pos) — mirror `ORDER BY suffix, doc, pos` in any oracle
     // (restricted to block positions, the subset keeps that order)
-    val sa = saBase
-      .orderBy(col("pr"), col("doc"), col("pos")).rdd
-      .map(r => (r.getLong(0), r.getInt(1)))
-      .zipWithIndex()
-      .map { case ((d, p), i) => (d, p, i) }
-      .toDF("doc", "pos", "idx")
-      .localCheckpoint(true) // both sides of the adjacency join
-    val pairs = sa.select(col("doc").as("doc_a"), col("pos").as("pos_a"),
-        col("idx"))
-      .join(sa.select(col("doc").as("doc_b"), col("pos").as("pos_b"),
-        (col("idx") - 1).as("idx")), Seq("idx"))
-      .drop("idx")
+    // Adjacency WITHOUT an index join (r17, guide §2.4): the range
+    // sort already places SA-adjacent suffixes on the same partition
+    // (or on consecutive partitions' edges) — partition index order IS
+    // global sort order. In-partition pairs stream out of one
+    // mapPartitions pass; the ≤ (partitions − 1) cross-partition pairs
+    // stitch from a collected (first, last)-per-partition probe. This
+    // replaces zipWithIndex (an extra pass) + a self-join on idx that
+    // hash-shuffled the WHOLE suffix array twice more.
+    val saSorted = saBase
+      .orderBy(col("pr"), col("doc"), col("pos"))
+      .select(col("doc"), col("pos"))
+      .localCheckpoint(true) // boundary probe + the pair scan
+    val partEnds = saSorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val first = it.next()
+        var last = first
+        while (it.hasNext) last = it.next()
+        Iterator((i, (first.getLong(0), first.getInt(1)),
+          (last.getLong(0), last.getInt(1))))
+      }
+    }.collect().sortBy(_._1)
+    val boundary = partEnds.iterator.sliding(2).withPartial(false)
+      .map { w =>
+        (w(0)._3._1, w(0)._3._2, w(1)._2._1, w(1)._2._2)
+      }.toSeq
+    val inPart = saSorted.rdd.mapPartitions { it =>
+      new Iterator[(Long, Int, Long, Int)] {
+        private var prev: org.apache.spark.sql.Row =
+          if (it.hasNext) it.next() else null
+        def hasNext: Boolean = prev != null && it.hasNext
+        def next(): (Long, Int, Long, Int) = {
+          val cur = it.next()
+          val out = (prev.getLong(0), prev.getInt(1),
+            cur.getLong(0), cur.getInt(1))
+          prev = cur
+          out
+        }
+      }
+    }.toDF("doc_a", "pos_a", "doc_b", "pos_b")
+    val pairs = inPart.unionByName(
+      boundary.toDF("doc_a", "pos_a", "doc_b", "pos_b"))
 
     // adjacent-pair LCP over maxLcp-capped slices: zip_with pads the
     // shorter slice with nulls, so x <=> y turns a length difference

@@ -176,6 +176,57 @@ class SuffixDedupSpec extends SparkSpec {
     assert(runDistributed(rdocs, minLen = 1) == brute(rdocs, 1, 512))
   }
 
+  test("r17 vocab paths agree: driver UTF-8 fold == distributed range " +
+    "sort, including non-ASCII tokens and multi-partition adjacency") {
+    def runVocabDistributed(docs: Seq[(Long, String)], minLen: Int)
+        : Set[(Long, Int, Long, Int, Long)] =
+      SuffixDedup.duplicatedSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", minLen, 512,
+          vocabDriverMaxPos = 0L) // force the distributed vocab rank
+        .as[(Long, Int, Long, Int, Long)].collect().toSet
+    // non-ASCII tokens: é (2-byte UTF-8), 中 (3-byte), 😀 (4-byte,
+    // supplementary — where UTF-16 compareTo and UTF-8 byte order
+    // could diverge); the two operator paths must order identically
+    val uni = Seq(
+      1L -> "é 中 😀 zz é 中 😀 zz aa",
+      2L -> "bb é 中 😀 zz é 中",
+      3L -> "中 中 中 😀 😀 é é zz")
+    assert(runVocabDistributed(uni, 2) == run(uni, 2))
+    assert(runVocabDistributed(uni, 1) == run(uni, 1))
+    // ASCII randomized: both paths == brute (brute's String ordering
+    // is safe on ASCII); enough positions that the range sort spreads
+    // over several partitions, exercising the boundary stitching of
+    // the r17 mapPartitions adjacency
+    val rnd = new scala.util.Random(47)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val rdocs = (1L to 40L).map { d =>
+      d -> (1 to (5 + rnd.nextInt(12)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val want = brute(rdocs, 1, 512)
+    assert(run(rdocs, 1) == want)
+    assert(runVocabDistributed(rdocs, 1) == want)
+  }
+
+  test("mid-loop overlay driver finish still exercised (r17): bounds " +
+    "chosen so the full-driver path is skipped, one distributed level " +
+    "runs, then the overlay finish fires at off > 1") {
+    val run20 = (1 to 20).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"a1 a2 a3 $run20 a4",
+      2L -> s"b1 b2 $run20 b3 b4 b5")
+    // nPos = 51 > 30 → full-driver SA path skipped; level-0 tied = 40
+    // (the 20 run tokens × 2 docs) > 30 → one multi-doubling level
+    // (off 1 → 8); the survivors (suffixes sharing ≥ 8 tokens) are 26
+    // ≤ 30 → driverFinishOverlay fires mid-loop
+    val got = SuffixDedup.duplicatedSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 5, maxLcp = 512,
+        driverFinishMaxPos = 30L, driverFinishMaxTok = 10000L)
+      .as[(Long, Int, Long, Int, Long)].collect().toSet
+    assert(got == brute(docs, 5, 512))
+    assert(got.exists(_._5 >= 20L))
+  }
+
   test("block pre-filter path (forced on): brute-force parity — " +
     "restricting the SA tail to dup-gram positions changes nothing") {
     def runFiltered(docs: Seq[(Long, String)], minLen: Int,
