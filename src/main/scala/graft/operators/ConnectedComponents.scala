@@ -20,18 +20,88 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Raw-pair bound below which the whole computation collapses into
+    * one collected union-find pass (r17 — the graph-family driver
+    * finish applied here: every large/small-star round pays ~4
+    * shuffles, a checkpoint and a convergence-checksum job at ANY
+    * size, and the documented fixpoint — every node labeled with the
+    * MINIMUM id of its component — is exactly what union-find with
+    * min-id roots produces, so the driver twin is bit-identical by
+    * definition, not by replay). Union-find is per-edge near-linear
+    * (path compression), the per-edge-linear family — bound measured
+    * in PLANS.md §"r17 CC driver-finish matrix". */
+  private[graft] val CcDriverFinishMaxEdges = 2L * 1000 * 1000
+
+  /** In-memory union-find with min-id roots over raw (possibly
+    * duplicated, self-looped, bidirectional) edges: returns node →
+    * component-minimum for every endpoint. Shared by [[run]] and
+    * [[Dedup.nearDupClusters]]'s driver finishes. */
+  private[operators] def unionFindMinLabels(es: Array[(Long, Long)])
+      : java.util.HashMap[Long, Long] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def add(x: Long): Unit =
+      if (!parent.containsKey(x)) parent.put(x, x)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) {
+        val n = parent.get(c); parent.put(c, r); c = n
+      }
+      r
+    }
+    es.foreach { case (u, v) =>
+      add(u); add(v)
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) {
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val out = new java.util.HashMap[Long, Long]()
+    parent.keySet().forEach(n => out.put(n, find(n)))
+    out
+  }
+
   /** (id, cluster_id = component minimum) for every node appearing in
     * `pairs`. Self-loops and duplicate/bidirectional pairs are fine. */
   def run(pairs: DataFrame, aCol: String, bCol: String,
-          maxIter: Int = 25): DataFrame =
-    labelsWithRounds(pairs, aCol, bCol, maxIter)._1
+          maxIter: Int = 25,
+          driverFinishMaxEdges: Long = CcDriverFinishMaxEdges): DataFrame =
+    labelsWithRounds(pairs, aCol, bCol, maxIter, driverFinishMaxEdges)._1
 
   /** As [[run]], also returning the number of large+small rounds used
-    * (spec hook for the O(log n) convergence claim). */
+    * (spec hook for the O(log n) convergence claim; the driver-finish
+    * path reports 0 rounds — force it off via `driverFinishMaxEdges`
+    * to exercise the distributed loop). */
   def labelsWithRounds(pairs: DataFrame, aCol: String, bCol: String,
-                       maxIter: Int = 25): (DataFrame, Int) = {
-    val nodes = pairs.select(col(aCol).cast("long").as("id"))
-      .unionByName(pairs.select(col(bCol).cast("long").as("id")))
+                       maxIter: Int = 25,
+                       driverFinishMaxEdges: Long = CcDriverFinishMaxEdges)
+      : (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // one narrow materialization: nodes, the edge dedup and (below the
+    // bound) the driver collect all read it — the pairs subtree (often
+    // an expensive LSH/banded join) was previously computed twice
+    val raw = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .localCheckpoint(true)
+    if (raw.count() <= driverFinishMaxEdges) {
+      val rows = raw.collect()
+      // null ids ride the distributed path (they label as themselves
+      // there; a driver HashMap on unboxed longs cannot express that)
+      if (!rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        val labels = unionFindMinLabels(
+          rows.map(r => (r.getLong(0), r.getLong(1))))
+        import scala.jdk.CollectionConverters._
+        val out = labels.entrySet().asScala.toSeq
+          .map(e => (e.getKey: Long, e.getValue: Long))
+          .toDF("id", "cluster_id")
+        raw.unpersist()
+        return (out, 0)
+      }
+    }
+    val nodes = raw.select(col("u").as("id"))
+      .unionByName(raw.select(col("v").as("id")))
       .distinct()
 
     // each round references the previous edge set several times (both
@@ -39,8 +109,7 @@ object ConnectedComponents {
     // keeps the DATA but lets the logical plan nest exponentially, so
     // the lineage must be cut every round — localCheckpoint materializes
     // to executor storage and restarts the plan
-    var edges = pairs
-      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    var edges = raw
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)

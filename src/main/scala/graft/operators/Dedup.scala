@@ -440,9 +440,39 @@ object Dedup {
     * large-star/small-star. Deterministic and order-independent:
     * the fixpoint is the component minimum. */
   def nearDupClusters(pairs: DataFrame, aCol: String, bCol: String,
-                      maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+                      maxIter: Int = 20,
+                      driverFinishMaxEdges: Long =
+                        ConnectedComponents.CcDriverFinishMaxEdges)
+      : DataFrame = {
+    // driver finish (r17, the ConnectedComponents posture): the
+    // min-label propagation fixpoint labels every endpoint with the
+    // MINIMUM id of its component — exactly union-find with min-id
+    // roots, so below the bound one collected pass replaces
+    // O(diameter) rounds of join + aggregate + convergence count
+    val spark = pairs.sparkSession
+    val raw = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true)
+    // ids keep their input type on the distributed path; the driver
+    // twin only claims bigint graphs (every near-dup caller here) —
+    // other id types ride the loop unchanged
+    val bothLong = raw.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (bothLong && raw.count() <= driverFinishMaxEdges) {
+      val rows = raw.collect()
+      if (!rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        import spark.implicits._
+        val labels = ConnectedComponents.unionFindMinLabels(
+          rows.map(r => (r.getLong(0), r.getLong(1))))
+        import scala.jdk.CollectionConverters._
+        val out = labels.entrySet().asScala.toSeq
+          .map(e => (e.getKey: Long, e.getValue: Long))
+          .toDF("doc_id", "cluster_id")
+        raw.unpersist()
+        return out
+      }
+    }
+    val edges = raw.select(col("a"), col("b"))
+      .unionByName(raw.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("a").as("id")).distinct()

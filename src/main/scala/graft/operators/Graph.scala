@@ -138,14 +138,20 @@ object Graph {
       : DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(scale > 0, "scale must be positive")
-    val e = edges.select(col(srcCol).cast("long").as("__src"),
+    // dedup first (one exchange, map-side partial dedup), decide the
+    // path, and pay the __src co-location exchange ONLY on the
+    // distributed branch — below the driver-finish bound the
+    // repartition was a wasted full shuffle (r17, guide §2.4)
+    val e0 = edges.select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"))
       .filter(col("__src").isNotNull && col("__dst").isNotNull)
       .distinct()
-      .repartition(col("__src"))
+      .localCheckpoint(true)
+    if (e0.count() <= driverFinishMaxEdges)
+      return hitsDriver(e0, iters, scale)
+    val e = e0.repartition(col("__src"))
       .localCheckpoint(true) // scanned 2x per round
-    if (e.count() <= driverFinishMaxEdges)
-      return hitsDriver(e, iters, scale)
+    e0.unpersist()
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst")))
       .distinct()
@@ -345,14 +351,15 @@ object Graph {
                   driverFinishMaxEdges: Long = IterDriverFinishMaxEdges)
       : DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
-    val e = edges.select(col(srcCol).cast("long").as("__src"),
+    // dedup first (one exchange), branch, and repartition by __src
+    // only on the distributed path (r17, guide §2.4)
+    val e0 = edges.select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"))
       .filter(col("__src").isNotNull && col("__dst").isNotNull)
       .distinct()
-      .repartition(col("__src"))
-      .localCheckpoint(true) // scanned once per round
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst")))
+      .localCheckpoint(true)
+    val nodes = e0.select(col("__src").as("node"))
+      .union(e0.select(col("__dst")))
       .distinct()
     var settled = seeds.select(col(seedCol).cast("long").as("node"))
       .filter(col("node").isNotNull)
@@ -361,10 +368,10 @@ object Graph {
       .withColumn("hops", lit(0L))
       .localCheckpoint(true)
     // driver finish: per hop one linear adjacency sweep
-    if (e.count() <= driverFinishMaxEdges) {
-      val spark = e.sparkSession
+    if (e0.count() <= driverFinishMaxEdges) {
+      val spark = e0.sparkSession
       import spark.implicits._
-      val adj = collectAdj(e)
+      val adj = collectAdj(e0)
       val dist = new java.util.HashMap[Long, Long]()
       var frontier0 = settled.select(col("node")).as[Long].collect().toSeq
       frontier0.foreach(s => dist.put(s, 0L))
@@ -384,6 +391,9 @@ object Graph {
       return dist.asScala.toSeq.map { case (n, h) => (n, h) }
         .toDF("node", "hops")
     }
+    val e = e0.repartition(col("__src"))
+      .localCheckpoint(true) // scanned once per round
+    e0.unpersist()
     var frontier = settled
     var hop = 1
     var drained = frontier.isEmpty
@@ -423,19 +433,18 @@ object Graph {
                     driverFinishMaxEdges: Long = IterDriverFinishMaxEdges)
       : DataFrame = {
     require(rounds >= 0, "rounds must be non-negative")
-    val e = edges.select(col(srcCol).cast("long").as("__src"),
+    val e0 = edges.select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"),
         col(weightCol).cast("long").as("__w"))
       .filter(col("__src").isNotNull && col("__dst").isNotNull)
       .groupBy(col("__src"), col("__dst"))
       .agg(min(col("__w")).as("__w")) // parallel edges: keep cheapest
-      .repartition(col("__src"))
-      .localCheckpoint(true) // scanned once per round
-    val minW = e.agg(min(col("__w"))).head
+      .localCheckpoint(true) // dedup first (one exchange, r17 §2.4)
+    val minW = e0.agg(min(col("__w"))).head
     require(minW.isNullAt(0) || minW.getLong(0) >= 0,
       "edge weights must be non-negative")
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst")))
+    val nodes = e0.select(col("__src").as("node"))
+      .union(e0.select(col("__dst")))
       .distinct()
     var dist = seeds.select(col(seedCol).cast("long").as("node"))
       .filter(col("node").isNotNull)
@@ -447,10 +456,10 @@ object Graph {
     // dist_{k-1}) — the exact ≤k-edge minima the frontier variant
     // provably computes; addExact mirrors the distributed side's ANSI
     // overflow behavior
-    if (e.count() <= driverFinishMaxEdges) {
-      val spark = e.sparkSession
+    if (e0.count() <= driverFinishMaxEdges) {
+      val spark = e0.sparkSession
       import spark.implicits._
-      val es = e.select(col("__src"), col("__dst"), col("__w"))
+      val es = e0.select(col("__src"), col("__dst"), col("__w"))
         .as[(Long, Long, Long)].collect()
       var d0 = new java.util.HashMap[Long, Long]()
       dist.select(col("node")).as[Long].collect()
@@ -476,6 +485,9 @@ object Graph {
       return d0.asScala.toSeq.map { case (n, dv) => (n, dv) }
         .toDF("node", "dist")
     }
+    val e = e0.repartition(col("__src"))
+      .localCheckpoint(true) // scanned once per round
+    e0.unpersist()
     var frontier = dist
     var round = 1
     var drained = frontier.isEmpty
@@ -527,14 +539,15 @@ object Graph {
                          driverFinishMaxWork: Long =
                            BetweennessDriverMaxWork): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
-    val e = edges.select(col(srcCol).cast("long").as("__src"),
+    // dedup first (one exchange), branch, repartition by __src only on
+    // the distributed path (r17, guide §2.4)
+    val e0 = edges.select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"))
       .filter(col("__src").isNotNull && col("__dst").isNotNull)
       .distinct()
-      .repartition(col("__src"))
-      .localCheckpoint(true) // scanned once per round
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst")))
+      .localCheckpoint(true)
+    val nodes = e0.select(col("__src").as("node"))
+      .union(e0.select(col("__dst")))
       .distinct()
     val seedFrame = seeds.select(col(seedCol).cast("long").as("__seed"))
       .filter(col("__seed").isNotNull)
@@ -549,10 +562,10 @@ object Graph {
         "maxSeeds deliberately.")
     // driver finish: one BFS per seed over the collected adjacency,
     // seeds fanned out on the driver pool (the betweenness posture)
-    if (nSeeds > 0 && nSeeds * e.count() <= driverFinishMaxWork) {
-      val spark = e.sparkSession
+    if (nSeeds > 0 && nSeeds * e0.count() <= driverFinishMaxWork) {
+      val spark = e0.sparkSession
       import spark.implicits._
-      val adj = collectAdj(e)
+      val adj = collectAdj(e0)
       val seedIds = seedFrame.as[Long].collect()
       val perSeed = seedIds.toSeq.map { s =>
         java.util.concurrent.CompletableFuture.supplyAsync(() => {
@@ -589,6 +602,9 @@ object Graph {
         (n, c, sumHops.get(n): Long, harmonic.get(n): Long)
       }.toDF("node", "n_reached", "sum_hops", "harmonic_fp")
     }
+    val e = e0.repartition(col("__src"))
+      .localCheckpoint(true) // scanned once per round
+    e0.unpersist()
     var settled = seedFrame
       .select(col("__seed"), col("__seed").as("node"))
       .withColumn("hops", lit(0L))
@@ -649,14 +665,15 @@ object Graph {
                            driverFinishMaxWork: Long =
                              BetweennessDriverMaxWork): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
-    val e = edges.select(col(srcCol).cast("long").as("__src"),
+    // dedup first (one exchange), branch, repartition by __src only on
+    // the distributed path (r17, guide §2.4)
+    val e0 = edges.select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"))
       .filter(col("__src").isNotNull && col("__dst").isNotNull)
       .distinct()
-      .repartition(col("__src"))
-      .localCheckpoint(true) // scanned twice per hop (fwd + back)
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst")))
+      .localCheckpoint(true)
+    val nodes = e0.select(col("__src").as("node"))
+      .union(e0.select(col("__dst")))
       .distinct()
     val seedFrame = seeds.select(col(seedCol).cast("long").as("__seed"))
       .filter(col("__seed").isNotNull)
@@ -674,11 +691,14 @@ object Graph {
     // seeds × edges bounds the in-memory cost — below the work bound
     // the whole 2·depth-round distributed DAG collapses into the
     // sequential Brandes replay GraphSpec already proves equal
-    if (nSeeds > 0 && nSeeds * e.count() <= driverFinishMaxWork) {
+    if (nSeeds > 0 && nSeeds * e0.count() <= driverFinishMaxWork) {
       import spark.implicits._
       val seedIds = seedFrame.as[Long].collect()
-      return betweennessDriver(e, seedIds, maxHops, scale)
+      return betweennessDriver(e0, seedIds, maxHops, scale)
     }
+    val e = e0.repartition(col("__src"))
+      .localCheckpoint(true) // scanned twice per hop (fwd + back)
+    e0.unpersist()
 
     // forward: levels(d) = (seed, node, sigma) at distance exactly d
     val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

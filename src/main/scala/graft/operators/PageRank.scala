@@ -117,12 +117,17 @@ object PageRank {
     require(dampBp >= 0 && dampBp <= 10000, "dampBp in [0, 10000]")
     require(scale > 0 && scale <= 1000000000000L,
       "scale in (0, 10^12] keeps damped products within a long")
-    val e = edges.select(col(srcCol).cast("long").as("__src"),
+    // narrow checkpoint, branch, repartition only distributed (r17,
+    // guide §2.4): multi-edges are semantic here, so below the
+    // driver-finish bound the __src exchange was pure waste
+    val e0 = edges.select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"))
-      .repartition(col("__src"))
+      .localCheckpoint(true)
+    if (e0.count() <= driverFinishMaxEdges)
+      return iterateDriver(e0, None, None, iters, dampBp, scale)
+    val e = e0.repartition(col("__src"))
       .localCheckpoint(true) // scanned every round; never re-derived
-    if (e.count() <= driverFinishMaxEdges)
-      return iterateDriver(e, None, None, iters, dampBp, scale)
+    e0.unpersist()
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst")))
       .distinct()
@@ -165,12 +170,14 @@ object PageRank {
     require(dampBp >= 0 && dampBp <= 10000, "dampBp in [0, 10000]")
     require(scale > 0 && scale <= 1000000000000L,
       "scale in (0, 10^12] keeps damped products within a long")
-    val e = edges.select(col(srcCol).cast("long").as("__src"),
+    val e0 = edges.select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"))
-      .repartition(col("__src"))
       .localCheckpoint(true)
-    if (e.count() <= driverFinishMaxEdges)
-      return iterateDriver(e, Some(ranks), None, iters, dampBp, scale)
+    if (e0.count() <= driverFinishMaxEdges)
+      return iterateDriver(e0, Some(ranks), None, iters, dampBp, scale)
+    val e = e0.repartition(col("__src"))
+      .localCheckpoint(true)
+    e0.unpersist()
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst")))
       .distinct()
@@ -224,12 +231,11 @@ object PageRank {
     require(dampBp >= 0 && dampBp <= 10000, "dampBp in [0, 10000]")
     require(scale > 0 && scale <= 1000000000000L,
       "scale in (0, 10^12] keeps damped products within a long")
-    val e = edges.select(col(srcCol).cast("long").as("__src"),
+    val e0 = edges.select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"),
         col(weightCol).cast("long").as("__w"))
-      .repartition(col("__src"))
-      .localCheckpoint(true) // scanned every round; never re-derived
-    val wRow = e.agg(min(col("__w")).as("mn"), max(col("__w")).as("mx"))
+      .localCheckpoint(true)
+    val wRow = e0.agg(min(col("__w")).as("mn"), max(col("__w")).as("mx"))
       .head()
     require(!wRow.isNullAt(0), "empty edge set")
     require(wRow.getLong(0) >= 1L,
@@ -237,8 +243,11 @@ object PageRank {
     require(wRow.getLong(1) <= Long.MaxValue / scale,
       s"max edge weight ${wRow.getLong(1)} overflows rank*w at scale " +
         scale)
-    if (e.count() <= driverFinishMaxEdges)
-      return iterateDriver(e, None, None, iters, dampBp, scale)
+    if (e0.count() <= driverFinishMaxEdges)
+      return iterateDriver(e0, None, None, iters, dampBp, scale)
+    val e = e0.repartition(col("__src"))
+      .localCheckpoint(true) // scanned every round; never re-derived
+    e0.unpersist()
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst")))
       .distinct()
@@ -292,15 +301,15 @@ object PageRank {
     require(dampBp >= 0 && dampBp <= 10000, "dampBp in [0, 10000]")
     require(scale > 0 && scale <= 1000000000000L,
       "scale in (0, 10^12] keeps damped products within a long")
-    val e = edges.select(col(srcCol).cast("long").as("__src"),
+    // narrow checkpoint, branch, repartition only distributed (r17,
+    // guide §2.4) — the out-degree aggregate also moves below the
+    // branch: the driver finish never read it
+    val e0 = edges.select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"))
-      .repartition(col("__src"))
       .localCheckpoint(true)
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst")))
+    val nodes = e0.select(col("__src").as("node"))
+      .union(e0.select(col("__dst")))
       .distinct()
-      .localCheckpoint(true)
-    val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__od"))
       .localCheckpoint(true)
     // seed markers ride the node frame for the whole loop: one flag
     // column instead of a per-round join against the seed table
@@ -313,8 +322,13 @@ object PageRank {
     // the driver finish collects the EDGES and the node-sized flag
     // frame — never the raw seed table (it can be huge; the flags are
     // bounded by the node count)
-    if (e.count() <= driverFinishMaxEdges)
-      return iterateDriver(e, None, Some(seeded), iters, dampBp, scale)
+    if (e0.count() <= driverFinishMaxEdges)
+      return iterateDriver(e0, None, Some(seeded), iters, dampBp, scale)
+    val e = e0.repartition(col("__src"))
+      .localCheckpoint(true)
+    e0.unpersist()
+    val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__od"))
+      .localCheckpoint(true)
     val ns = seeded.agg(sum(col("__seed"))).head.getLong(0)
     require(ns > 0, "no seed id appears in the edge set")
     val base = scale * (10000L - dampBp) / 10000L / ns
