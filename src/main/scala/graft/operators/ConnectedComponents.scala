@@ -82,10 +82,14 @@ object ConnectedComponents {
     // one narrow materialization: nodes, the edge dedup and (below the
     // bound) the driver collect all read it — the pairs subtree (often
     // an expensive LSH/banded join) was previously computed twice
-    val raw = pairs
-      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .localCheckpoint(true)
-    if (raw.count() <= driverFinishMaxEdges) {
+    // the pairs subtree (often an expensive LSH/banded join) still
+    // materializes once; the bound count rides the materialization job
+    // (r18), and bound 0 now really means "force the distributed loop"
+    // (it used to driver-finish EMPTY input: 0 <= 0 — r17 ADVICE)
+    val (raw, nRaw) = Materialize.ckCount(pairs
+      .select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v")))
+    if (driverFinishMaxEdges > 0 && nRaw <= driverFinishMaxEdges) {
       val rows = raw.collect()
       // null ids ride the distributed path (they label as themselves
       // there; a driver HashMap on unboxed longs cannot express that)
@@ -96,7 +100,7 @@ object ConnectedComponents {
         val out = labels.entrySet().asScala.toSeq
           .map(e => (e.getKey: Long, e.getValue: Long))
           .toDF("id", "cluster_id")
-        raw.unpersist()
+        Materialize.free(raw)
         return (out, 0)
       }
     }
@@ -109,23 +113,24 @@ object ConnectedComponents {
     // keeps the DATA but lets the logical plan nest exponentially, so
     // the lineage must be cut every round — localCheckpoint materializes
     // to executor storage and restarts the plan
-    var edges = raw
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
-
-    // order-independent edge-set fingerprint: count + XOR of row hashes
-    // (xor, not sum — ANSI mode would overflow a long sum; edges are
-    // distinct so nothing cancels)
-    def checksum(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"),
-        col("v"))), lit(0L))).head
-      (r.getLong(0), r.getLong(1))
+    // order-independent edge-set fingerprint: count + XOR of row
+    // hashes (xor, not sum — ANSI mode would overflow a long sum;
+    // edges are distinct so nothing cancels). r18: the fingerprint
+    // rides each generation's checkpoint job via observe — the old
+    // shape paid a separate convergence-checksum job per round, plus
+    // an isEmpty action up front.
+    def ckSum(df: DataFrame): (DataFrame, (Long, Long)) = {
+      val (ck, m) = Materialize.ckObserve(df, Seq(
+        count(lit(1)).as("__n"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))
+          .as("__x")))
+      (ck, (m("__n").asInstanceOf[Long], m("__x").asInstanceOf[Long]))
     }
-
-    var cs = checksum(edges)
+    var (edges, cs) = ckSum(raw
+      .filter(col("u") =!= col("v"))
+      .distinct())
     var rounds = 0
-    var converged = edges.isEmpty
+    var converged = cs._1 == 0L
     while (!converged && rounds < maxIter) {
       // large-star: every neighbor v > u re-attaches to the min around u
       val bi = edges.unionByName(
@@ -143,17 +148,16 @@ object ConnectedComponents {
       val or = large.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       val sMins = or.groupBy("u").agg(min(col("v")).as("__m"))
-      val small = or.join(sMins, "u")
+      val (small, next) = ckSum(or.join(sMins, "u")
         .select(col("v").as("u"), col("__m").as("v"))
         .unionByName(sMins.select(col("u"), col("__m").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint(true)
-      val next = checksum(small)
+        .distinct())
       // the superseded round's checkpoint blocks are dead the moment
-      // `edges` is reassigned — drop them, or maxIter generations of
-      // the full edge set pile up in executor storage
-      edges.unpersist()
+      // `edges` is reassigned — release the underlying RDD (Dataset
+      // unpersist() was a silent no-op here: r17 ADVICE), or maxIter
+      // generations of the full edge set pile up in executor storage
+      Materialize.free(edges)
       edges = small
       converged = next == cs
       cs = next

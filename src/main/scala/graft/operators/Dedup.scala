@@ -450,14 +450,17 @@ object Dedup {
     // roots, so below the bound one collected pass replaces
     // O(diameter) rounds of join + aggregate + convergence count
     val spark = pairs.sparkSession
-    val raw = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .localCheckpoint(true)
+    // bound count rides the materialization job (r18); bound 0 forces
+    // the distributed loop even on empty input (r17 ADVICE)
+    val (raw, nRaw) = Materialize.ckCount(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b")))
     // ids keep their input type on the distributed path; the driver
     // twin only claims bigint graphs (every near-dup caller here) —
     // other id types ride the loop unchanged
     val bothLong = raw.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (bothLong && raw.count() <= driverFinishMaxEdges) {
+    if (bothLong && driverFinishMaxEdges > 0 &&
+        nRaw <= driverFinishMaxEdges) {
       val rows = raw.collect()
       if (!rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
         import spark.implicits._
@@ -467,7 +470,7 @@ object Dedup {
         val out = labels.entrySet().asScala.toSeq
           .map(e => (e.getKey: Long, e.getValue: Long))
           .toDF("doc_id", "cluster_id")
-        raw.unpersist()
+        Materialize.free(raw)
         return out
       }
     }

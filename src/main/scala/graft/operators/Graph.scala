@@ -65,6 +65,15 @@ object Graph {
         when(uFirst, col("u")).otherwise(col("v")).as("a"),
         when(uFirst, col("v")).otherwise(col("u")).as("b"),
         when(uFirst, col("__dv")).otherwise(col("__du")).as("__bd"))
+      // NOTE (r18 audit, verdict item 8): pre-partitioning this
+      // checkpoint by the wedge apex to delete the self-join's two
+      // exchanges was TRIED and does not work on Spark 4 with AQE —
+      // Dataset.localCheckpoint reads outputPartitioning from the
+      // executed AdaptiveSparkPlanExec, which reports
+      // UnknownPartitioning for shuffled plans, so the LogicalRDD
+      // comes back partition-blind and EnsureRequirements re-inserts
+      // both exchanges anyway (measured: q131 plan identical, plus a
+      // wasted construction shuffle). The two apex exchanges stay.
       .localCheckpoint(true) // wedge self-join + closure probe
     // ordered wedges (b, c) with b before c in the orientation order:
     // a triangle's three oriented edges form a -> b -> c, so it is
@@ -138,20 +147,19 @@ object Graph {
       : DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(scale > 0, "scale must be positive")
-    // dedup first (one exchange, map-side partial dedup), decide the
-    // path, and pay the __src co-location exchange ONLY on the
-    // distributed branch — below the driver-finish bound the
-    // repartition was a wasted full shuffle (r17, guide §2.4)
-    val e0 = edges.select(col(srcCol).cast("long").as("__src"),
-        col(dstCol).cast("long").as("__dst"))
-      .filter(col("__src").isNotNull && col("__dst").isNotNull)
-      .distinct()
-      .localCheckpoint(true)
-    if (e0.count() <= driverFinishMaxEdges)
-      return hitsDriver(e0, iters, scale)
-    val e = e0.repartition(col("__src"))
-      .localCheckpoint(true) // scanned 2x per round
-    e0.unpersist()
+    // dedup (one exchange, map-side partial dedup) → co-locate by
+    // __src → ONE checkpoint, with the driver-finish bound count
+    // observed on the materialization job (r18, guide §2.4; r17
+    // verdict item 3 — the r17 shape wrote and read the edge set
+    // TWICE above the bound and paid a separate count job besides)
+    val (e, nEdges) = Materialize.ckRepartitionCount(
+      edges.select(col(srcCol).cast("long").as("__src"),
+          col(dstCol).cast("long").as("__dst"))
+        .filter(col("__src").isNotNull && col("__dst").isNotNull)
+        .distinct(),
+      col("__src"))
+    if (driverFinishMaxEdges > 0 && nEdges <= driverFinishMaxEdges)
+      return hitsDriver(e, iters, scale)
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst")))
       .distinct()
@@ -265,8 +273,11 @@ object Graph {
                        driverFinishMaxEdges: Long = IterDriverFinishMaxEdges)
       : DataFrame = {
     require(rounds >= 0, "rounds must be non-negative")
-    val und = undirected(edges, srcCol, dstCol).localCheckpoint(true)
-    if (und.count() <= driverFinishMaxEdges)
+    // und stays its own checkpoint (three consumers: nodes + both prop
+    // orientations); the bound count rides the materialization (r18)
+    val (und, nUnd) = Materialize.ckCount(
+      undirected(edges, srcCol, dstCol))
+    if (driverFinishMaxEdges > 0 && nUnd <= driverFinishMaxEdges)
       return lpaDriver(und, rounds)
     val nodes = und.select(col("u").as("node"))
       .union(und.select(col("v")))
@@ -351,15 +362,18 @@ object Graph {
                   driverFinishMaxEdges: Long = IterDriverFinishMaxEdges)
       : DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
-    // dedup first (one exchange), branch, and repartition by __src
-    // only on the distributed path (r17, guide §2.4)
-    val e0 = edges.select(col(srcCol).cast("long").as("__src"),
-        col(dstCol).cast("long").as("__dst"))
-      .filter(col("__src").isNotNull && col("__dst").isNotNull)
-      .distinct()
-      .localCheckpoint(true)
-    val nodes = e0.select(col("__src").as("node"))
-      .union(e0.select(col("__dst")))
+    // dedup → co-locate by __src → ONE checkpoint; every consumer
+    // (nodes, the driver collect, the round loop) reads it, and the
+    // driver-finish bound count rides the materialization job (r18,
+    // guide §2.4 — single edge materialization on every branch)
+    val (e, nEdges) = Materialize.ckRepartitionCount(
+      edges.select(col(srcCol).cast("long").as("__src"),
+          col(dstCol).cast("long").as("__dst"))
+        .filter(col("__src").isNotNull && col("__dst").isNotNull)
+        .distinct(),
+      col("__src"))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst")))
       .distinct()
     var settled = seeds.select(col(seedCol).cast("long").as("node"))
       .filter(col("node").isNotNull)
@@ -368,10 +382,10 @@ object Graph {
       .withColumn("hops", lit(0L))
       .localCheckpoint(true)
     // driver finish: per hop one linear adjacency sweep
-    if (e0.count() <= driverFinishMaxEdges) {
-      val spark = e0.sparkSession
+    if (driverFinishMaxEdges > 0 && nEdges <= driverFinishMaxEdges) {
+      val spark = e.sparkSession
       import spark.implicits._
-      val adj = collectAdj(e0)
+      val adj = collectAdj(e)
       val dist = new java.util.HashMap[Long, Long]()
       var frontier0 = settled.select(col("node")).as[Long].collect().toSeq
       frontier0.foreach(s => dist.put(s, 0L))
@@ -391,20 +405,19 @@ object Graph {
       return dist.asScala.toSeq.map { case (n, h) => (n, h) }
         .toDF("node", "hops")
     }
-    val e = e0.repartition(col("__src"))
-      .localCheckpoint(true) // scanned once per round
-    e0.unpersist()
     var frontier = settled
     var hop = 1
     var drained = frontier.isEmpty
     while (hop <= maxHops && !drained) {
-      val next = e.join(frontier.withColumnRenamed("node", "__src"), Seq("__src"))
-        .select(col("__dst").as("node"))
-        .distinct()
-        .join(settled, Seq("node"), "left_anti")
-        .withColumn("hops", lit(hop.toLong))
-        .localCheckpoint(true) // frontier probed next round + unioned
-      drained = next.isEmpty
+      // the frontier count rides the checkpoint job (r18): the old
+      // isEmpty() was one more action per round of pure job floor
+      val (next, nNext) = Materialize.ckCount(
+        e.join(frontier.withColumnRenamed("node", "__src"), Seq("__src"))
+          .select(col("__dst").as("node"))
+          .distinct()
+          .join(settled, Seq("node"), "left_anti")
+          .withColumn("hops", lit(hop.toLong)))
+      drained = nNext == 0
       if (!drained) settled = settled.union(next).localCheckpoint(true)
       frontier = next
       hop += 1
@@ -433,18 +446,24 @@ object Graph {
                     driverFinishMaxEdges: Long = IterDriverFinishMaxEdges)
       : DataFrame = {
     require(rounds >= 0, "rounds must be non-negative")
-    val e0 = edges.select(col(srcCol).cast("long").as("__src"),
-        col(dstCol).cast("long").as("__dst"),
-        col(weightCol).cast("long").as("__w"))
-      .filter(col("__src").isNotNull && col("__dst").isNotNull)
-      .groupBy(col("__src"), col("__dst"))
-      .agg(min(col("__w")).as("__w")) // parallel edges: keep cheapest
-      .localCheckpoint(true) // dedup first (one exchange, r17 §2.4)
-    val minW = e0.agg(min(col("__w"))).head
-    require(minW.isNullAt(0) || minW.getLong(0) >= 0,
+    // dedup → co-locate by __src → ONE checkpoint; the bound count AND
+    // the weight-sanity min both ride the materialization job (r18,
+    // guide §2.4 — previously a checkpoint + two separate aggregate
+    // jobs + a second checkpoint above the bound)
+    val (e, met) = Materialize.ckRepartitionObserve(
+      edges.select(col(srcCol).cast("long").as("__src"),
+          col(dstCol).cast("long").as("__dst"),
+          col(weightCol).cast("long").as("__w"))
+        .filter(col("__src").isNotNull && col("__dst").isNotNull)
+        .groupBy(col("__src"), col("__dst"))
+        .agg(min(col("__w")).as("__w")), // parallel edges: keep cheapest
+      col("__src"),
+      Seq(count(lit(1)).as("__n"), min(col("__w")).as("__mnw")))
+    val nEdges = met("__n").asInstanceOf[Long]
+    require(met("__mnw") == null || met("__mnw").asInstanceOf[Long] >= 0,
       "edge weights must be non-negative")
-    val nodes = e0.select(col("__src").as("node"))
-      .union(e0.select(col("__dst")))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst")))
       .distinct()
     var dist = seeds.select(col(seedCol).cast("long").as("node"))
       .filter(col("node").isNotNull)
@@ -456,10 +475,10 @@ object Graph {
     // dist_{k-1}) — the exact ≤k-edge minima the frontier variant
     // provably computes; addExact mirrors the distributed side's ANSI
     // overflow behavior
-    if (e0.count() <= driverFinishMaxEdges) {
-      val spark = e0.sparkSession
+    if (driverFinishMaxEdges > 0 && nEdges <= driverFinishMaxEdges) {
+      val spark = e.sparkSession
       import spark.implicits._
-      val es = e0.select(col("__src"), col("__dst"), col("__w"))
+      val es = e.select(col("__src"), col("__dst"), col("__w"))
         .as[(Long, Long, Long)].collect()
       var d0 = new java.util.HashMap[Long, Long]()
       dist.select(col("node")).as[Long].collect()
@@ -485,9 +504,6 @@ object Graph {
       return d0.asScala.toSeq.map { case (n, dv) => (n, dv) }
         .toDF("node", "dist")
     }
-    val e = e0.repartition(col("__src"))
-      .localCheckpoint(true) // scanned once per round
-    e0.unpersist()
     var frontier = dist
     var round = 1
     var drained = frontier.isEmpty
@@ -502,12 +518,13 @@ object Graph {
           least(coalesce(col("dist"), col("__nd")),
             coalesce(col("__nd"), col("dist"))).as("dist"))
         .localCheckpoint(true)
-      frontier = merged
+      // frontier count rides the checkpoint job (r18)
+      val (f, nF) = Materialize.ckCount(merged
         .filter(col("__nd").isNotNull &&
           (col("dist").isNull || col("__nd") < col("dist")))
-        .select(col("node"), col("__nd").as("dist"))
-        .localCheckpoint(true)
-      drained = frontier.isEmpty
+        .select(col("node"), col("__nd").as("dist")))
+      frontier = f
+      drained = nF == 0
       round += 1
     }
     dist
@@ -539,33 +556,34 @@ object Graph {
                          driverFinishMaxWork: Long =
                            BetweennessDriverMaxWork): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
-    // dedup first (one exchange), branch, repartition by __src only on
-    // the distributed path (r17, guide §2.4)
-    val e0 = edges.select(col(srcCol).cast("long").as("__src"),
-        col(dstCol).cast("long").as("__dst"))
-      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+    // dedup → co-locate by __src → ONE checkpoint; the work-bound edge
+    // count rides the materialization job (r18, guide §2.4)
+    val (e, nEdges) = Materialize.ckRepartitionCount(
+      edges.select(col(srcCol).cast("long").as("__src"),
+          col(dstCol).cast("long").as("__dst"))
+        .filter(col("__src").isNotNull && col("__dst").isNotNull)
+        .distinct(),
+      col("__src"))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst")))
       .distinct()
-      .localCheckpoint(true)
-    val nodes = e0.select(col("__src").as("node"))
-      .union(e0.select(col("__dst")))
-      .distinct()
-    val seedFrame = seeds.select(col(seedCol).cast("long").as("__seed"))
-      .filter(col("__seed").isNotNull)
-      .distinct()
-      .join(nodes.withColumnRenamed("node", "__seed"), Seq("__seed"),
-        "left_semi")
-      .localCheckpoint(true) // counted for the guard + BFS layer 0
-    val nSeeds = seedFrame.count()
+    // counted for the guard + BFS layer 0 — count rides the checkpoint
+    val (seedFrame, nSeeds) = Materialize.ckCount(
+      seeds.select(col(seedCol).cast("long").as("__seed"))
+        .filter(col("__seed").isNotNull)
+        .distinct()
+        .join(nodes.withColumnRenamed("node", "__seed"), Seq("__seed"),
+          "left_semi"))
     require(nSeeds <= maxSeeds,
       s"closenessFromSeeds: $nSeeds seeds (> maxSeeds=$maxSeeds) — " +
         "frontier state is seeds × nodes; shrink the panel or raise " +
         "maxSeeds deliberately.")
     // driver finish: one BFS per seed over the collected adjacency,
     // seeds fanned out on the driver pool (the betweenness posture)
-    if (nSeeds > 0 && nSeeds * e0.count() <= driverFinishMaxWork) {
-      val spark = e0.sparkSession
+    if (nSeeds > 0 && nSeeds * nEdges <= driverFinishMaxWork) {
+      val spark = e.sparkSession
       import spark.implicits._
-      val adj = collectAdj(e0)
+      val adj = collectAdj(e)
       val seedIds = seedFrame.as[Long].collect()
       val perSeed = seedIds.toSeq.map { s =>
         java.util.concurrent.CompletableFuture.supplyAsync(() => {
@@ -602,9 +620,6 @@ object Graph {
         (n, c, sumHops.get(n): Long, harmonic.get(n): Long)
       }.toDF("node", "n_reached", "sum_hops", "harmonic_fp")
     }
-    val e = e0.repartition(col("__src"))
-      .localCheckpoint(true) // scanned once per round
-    e0.unpersist()
     var settled = seedFrame
       .select(col("__seed"), col("__seed").as("node"))
       .withColumn("hops", lit(0L))
@@ -613,14 +628,15 @@ object Graph {
     var hop = 1
     var drained = frontier.isEmpty
     while (hop <= maxHops && !drained) {
-      val next = e.join(frontier.withColumnRenamed("node", "__src"),
-          Seq("__src"))
-        .select(col("__seed"), col("__dst").as("node"))
-        .distinct()
-        .join(settled, Seq("__seed", "node"), "left_anti")
-        .withColumn("hops", lit(hop.toLong))
-        .localCheckpoint(true) // probed next round + unioned
-      drained = next.isEmpty
+      // frontier count rides the checkpoint job (r18)
+      val (next, nNext) = Materialize.ckCount(
+        e.join(frontier.withColumnRenamed("node", "__src"),
+            Seq("__src"))
+          .select(col("__seed"), col("__dst").as("node"))
+          .distinct()
+          .join(settled, Seq("__seed", "node"), "left_anti")
+          .withColumn("hops", lit(hop.toLong)))
+      drained = nNext == 0
       if (!drained) settled = settled.union(next).localCheckpoint(true)
       frontier = next
       hop += 1
@@ -665,23 +681,23 @@ object Graph {
                            driverFinishMaxWork: Long =
                              BetweennessDriverMaxWork): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
-    // dedup first (one exchange), branch, repartition by __src only on
-    // the distributed path (r17, guide §2.4)
-    val e0 = edges.select(col(srcCol).cast("long").as("__src"),
-        col(dstCol).cast("long").as("__dst"))
-      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+    // dedup → co-locate by __src → ONE checkpoint; the work-bound edge
+    // count rides the materialization job (r18, guide §2.4)
+    val (e, nEdges) = Materialize.ckRepartitionCount(
+      edges.select(col(srcCol).cast("long").as("__src"),
+          col(dstCol).cast("long").as("__dst"))
+        .filter(col("__src").isNotNull && col("__dst").isNotNull)
+        .distinct(),
+      col("__src"))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst")))
       .distinct()
-      .localCheckpoint(true)
-    val nodes = e0.select(col("__src").as("node"))
-      .union(e0.select(col("__dst")))
-      .distinct()
-    val seedFrame = seeds.select(col(seedCol).cast("long").as("__seed"))
-      .filter(col("__seed").isNotNull)
-      .distinct()
-      .join(nodes.withColumnRenamed("node", "__seed"), Seq("__seed"),
-        "left_semi")
-      .localCheckpoint(true)
-    val nSeeds = seedFrame.count()
+    val (seedFrame, nSeeds) = Materialize.ckCount(
+      seeds.select(col(seedCol).cast("long").as("__seed"))
+        .filter(col("__seed").isNotNull)
+        .distinct()
+        .join(nodes.withColumnRenamed("node", "__seed"), Seq("__seed"),
+          "left_semi"))
     require(nSeeds <= maxSeeds,
       s"betweennessFromSeeds: $nSeeds seeds (> maxSeeds=$maxSeeds) — " +
         "BFS-DAG state is seeds × nodes; shrink the panel or raise " +
@@ -691,14 +707,11 @@ object Graph {
     // seeds × edges bounds the in-memory cost — below the work bound
     // the whole 2·depth-round distributed DAG collapses into the
     // sequential Brandes replay GraphSpec already proves equal
-    if (nSeeds > 0 && nSeeds * e0.count() <= driverFinishMaxWork) {
+    if (nSeeds > 0 && nSeeds * nEdges <= driverFinishMaxWork) {
       import spark.implicits._
       val seedIds = seedFrame.as[Long].collect()
-      return betweennessDriver(e0, seedIds, maxHops, scale)
+      return betweennessDriver(e, seedIds, maxHops, scale)
     }
-    val e = e0.repartition(col("__src"))
-      .localCheckpoint(true) // scanned twice per hop (fwd + back)
-    e0.unpersist()
 
     // forward: levels(d) = (seed, node, sigma) at distance exactly d
     val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -711,14 +724,15 @@ object Graph {
     var hop = 1
     var drained = level.isEmpty
     while (hop <= maxHops && !drained) {
-      val next = e.join(level.withColumnRenamed("node", "__src"),
-          Seq("__src"))
-        .groupBy(col("__seed"), col("__dst").as("node"))
-        .agg(sum(col("__sigma")).as("__sigma"))
-        .join(settled.select("__seed", "node"), Seq("__seed", "node"),
-          "left_anti")
-        .localCheckpoint(true)
-      drained = next.isEmpty
+      // level count rides the checkpoint job (r18)
+      val (next, nNext) = Materialize.ckCount(
+        e.join(level.withColumnRenamed("node", "__src"),
+            Seq("__src"))
+          .groupBy(col("__seed"), col("__dst").as("node"))
+          .agg(sum(col("__sigma")).as("__sigma"))
+          .join(settled.select("__seed", "node"), Seq("__seed", "node"),
+            "left_anti"))
+      drained = nNext == 0
       if (!drained) {
         levels += next
         settled = settled.unionByName(next).localCheckpoint(true)
@@ -921,9 +935,11 @@ object Graph {
       : DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(maxRounds >= 0, "maxRounds must be non-negative")
-    var live = undirected(edges, srcCol, dstCol).localCheckpoint(true)
-    var nLive = live.count()
-    if (nLive <= driverFinishMaxEdges)
+    // live count rides the materialization job (r18); bound 0 = the
+    // spec convention for "force the distributed loop"
+    var (live, nLive) = Materialize.ckCount(
+      undirected(edges, srcCol, dstCol))
+    if (driverFinishMaxEdges > 0 && nLive <= driverFinishMaxEdges)
       return kCoreDriver(live, k, maxRounds)
     var round = 0
     var fixed = false
@@ -947,24 +963,25 @@ object Graph {
       // job and map-side shuffle writes it removes at scale. Above the
       // bound (billion-node regime) the checkpoint + shuffle plan
       // stands; GraphDriverFinishSpec pins both paths to parity.
-      val next = (if (2 * nLive <= broadcastMaxAliveNodes) {
-        val alive = deg.filter(col("__d") >= k).select(col("node"))
-        live
-          .join(broadcast(alive.withColumnRenamed("node", "u")),
-            Seq("u"), "left_semi")
-          .join(broadcast(alive.withColumnRenamed("node", "v")),
-            Seq("v"), "left_semi")
-      } else {
-        val alive = deg.filter(col("__d") >= k)
-          .select(col("node"))
-          .localCheckpoint(true) // probed twice (u side + v side)
-        live
-          .join(alive.withColumnRenamed("node", "u"), Seq("u"),
-            "left_semi")
-          .join(alive.withColumnRenamed("node", "v"), Seq("v"),
-            "left_semi")
-      }).localCheckpoint(true)
-      val nNext = next.count()
+      // survivor-edge count rides the round's checkpoint job (r18)
+      val (next, nNext) = Materialize.ckCount(
+        if (2 * nLive <= broadcastMaxAliveNodes) {
+          val alive = deg.filter(col("__d") >= k).select(col("node"))
+          live
+            .join(broadcast(alive.withColumnRenamed("node", "u")),
+              Seq("u"), "left_semi")
+            .join(broadcast(alive.withColumnRenamed("node", "v")),
+              Seq("v"), "left_semi")
+        } else {
+          val alive = deg.filter(col("__d") >= k)
+            .select(col("node"))
+            .localCheckpoint(true) // probed twice (u side + v side)
+          live
+            .join(alive.withColumnRenamed("node", "u"), Seq("u"),
+              "left_semi")
+            .join(alive.withColumnRenamed("node", "v"), Seq("v"),
+              "left_semi")
+        })
       fixed = nNext == nLive
       live = next
       nLive = nNext
@@ -1061,34 +1078,35 @@ object Graph {
       require(innerLeft >= 0,
         "stronglyConnected: inner fixpoint failed to converge")
     }
-    var live = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true)
+    // live count rides the materialization job (r18)
+    var (live, nLive) = Materialize.ckCount(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
     // driver finish: SCC is a unique partition of the nodes, so ANY
     // correct algorithm yields the same (node, min-member) labels —
     // below the bound, one collected Tarjan pass replaces the whole
     // trim/color/collect round structure and its per-round job floors
-    if (live.count() <= driverFinishMaxEdges) return sccDriver(live)
-    var remaining = live.select(col("src").as("node"))
-      .union(live.select(col("dst"))).distinct()
-      .localCheckpoint(true)
-    var nRemaining = remaining.count()
+    if (driverFinishMaxEdges > 0 && nLive <= driverFinishMaxEdges)
+      return sccDriver(live)
+    var (remaining, nRemaining) = Materialize.ckCount(
+      live.select(col("src").as("node"))
+        .union(live.select(col("dst"))).distinct())
     val assigned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (nRemaining > 0) {
       step()
       // (1) trim: no out-edge or no in-edge => singleton SCC
       val hasOut = live.select(col("src").as("node")).distinct()
       val hasIn = live.select(col("dst").as("node")).distinct()
-      val cyclic = remaining
+      // cyclic count rides the checkpoint job (r18)
+      val (cyclic, nCyclic) = Materialize.ckCount(remaining
         .join(hasOut, Seq("node"), "left_semi")
-        .join(hasIn, Seq("node"), "left_semi")
-        .localCheckpoint(true)
+        .join(hasIn, Seq("node"), "left_semi"))
       val trimmed = remaining.join(cyclic, Seq("node"), "left_anti")
         .select(col("node"), col("node").as("scc"))
       assigned += trimmed.localCheckpoint(true)
       remaining = cyclic
-      nRemaining = remaining.count()
+      nRemaining = nCyclic
       if (nRemaining > 0) {
         live = live
           .join(remaining.withColumnRenamed("node", "src"),
@@ -1118,9 +1136,8 @@ object Graph {
           colr = nxt
         }
         // (3) backward reach from each color root, within the color
-        var member = colr.filter(col("c") === col("node"))
-          .localCheckpoint(true)
-        var nMember = member.count()
+        var (member, nMember) = Materialize.ckCount(
+          colr.filter(col("c") === col("node")))
         var grew = true
         innerLeft = nRemaining + 1L
         while (grew) {
@@ -1129,9 +1146,8 @@ object Graph {
             .join(member.select(col("node").as("dst"), col("c")), Seq("dst"))
             .select(col("src").as("node"), col("c")).distinct()
             .join(colr, Seq("node", "c"), "left_semi")
-          val nxt = member.unionByName(cand).distinct()
-            .localCheckpoint(true)
-          val n2 = nxt.count()
+          val (nxt, n2) = Materialize.ckCount(
+            member.unionByName(cand).distinct())
           grew = n2 > nMember
           member = nxt
           nMember = n2
@@ -1139,9 +1155,10 @@ object Graph {
         val sccMin = member.groupBy(col("c")).agg(min(col("node")).as("scc"))
         assigned += member.join(sccMin, Seq("c"))
           .select(col("node"), col("scc")).localCheckpoint(true)
-        remaining = remaining.join(member, Seq("node"), "left_anti")
-          .localCheckpoint(true)
-        nRemaining = remaining.count()
+        val (rem2, nRem2) = Materialize.ckCount(
+          remaining.join(member, Seq("node"), "left_anti"))
+        remaining = rem2
+        nRemaining = nRem2
         if (nRemaining > 0) {
           live = live
             .join(remaining.withColumnRenamed("node", "src"),
@@ -1356,6 +1373,15 @@ object Graph {
         when(uFirst, col("u")).otherwise(col("v")).as("a"),
         when(uFirst, col("v")).otherwise(col("u")).as("b"),
         when(uFirst, col("__dv")).otherwise(col("__du")).as("__bd"))
+      // NOTE (r18 audit, verdict item 8): pre-partitioning this
+      // checkpoint by the wedge apex to delete the self-join's two
+      // exchanges was TRIED and does not work on Spark 4 with AQE —
+      // Dataset.localCheckpoint reads outputPartitioning from the
+      // executed AdaptiveSparkPlanExec, which reports
+      // UnknownPartitioning for shuffled plans, so the LogicalRDD
+      // comes back partition-blind and EnsureRequirements re-inserts
+      // both exchanges anyway (measured: q131 plan identical, plus a
+      // wasted construction shuffle). The two apex exchanges stay.
       .localCheckpoint(true)
     val wedges = oriented
       .join(oriented.select(col("a"), col("b").as("c"), col("__bd").as("__cd")),
@@ -1400,8 +1426,9 @@ object Graph {
       : DataFrame = {
     require(k >= 2, "k must be >= 2")
     require(maxRounds >= 1, "maxRounds must be >= 1")
-    var live = undirected(edges, srcCol, dstCol).localCheckpoint(true)
-    if (live.count() <= driverFinishMaxEdges)
+    var (live, nLive) = Materialize.ckCount(
+      undirected(edges, srcCol, dstCol))
+    if (driverFinishMaxEdges > 0 && nLive <= driverFinishMaxEdges)
       return kTrussDriver(live, k, maxRounds)
     var rounds = maxRounds
     var done = false
@@ -1410,9 +1437,16 @@ object Graph {
       rounds -= 1
       require(rounds >= 0,
         s"kTruss did not converge within $maxRounds rounds")
-      sup = edgeSupport(live, "u", "v").localCheckpoint(true)
-      val under = sup.filter(col("support") < k - 2)
-      if (under.isEmpty) done = true
+      // the under-support convergence probe rides the round's
+      // checkpoint job (r18) — the old filter.isEmpty was one more
+      // action per peel round
+      val (supCk, met) = Materialize.ckObserve(
+        edgeSupport(live, "u", "v"),
+        Seq(sum(when(col("support") < k - 2, 1L).otherwise(0L))
+          .as("__nUnder")))
+      sup = supCk
+      val nUnder = met("__nUnder")
+      if (nUnder == null || nUnder.asInstanceOf[Long] == 0L) done = true
       else live = sup.filter(col("support") >= k - 2)
         .select(col("u"), col("v")).localCheckpoint(true)
     }

@@ -117,17 +117,15 @@ object PageRank {
     require(dampBp >= 0 && dampBp <= 10000, "dampBp in [0, 10000]")
     require(scale > 0 && scale <= 1000000000000L,
       "scale in (0, 10^12] keeps damped products within a long")
-    // narrow checkpoint, branch, repartition only distributed (r17,
-    // guide §2.4): multi-edges are semantic here, so below the
-    // driver-finish bound the __src exchange was pure waste
-    val e0 = edges.select(col(srcCol).cast("long").as("__src"),
-        col(dstCol).cast("long").as("__dst"))
-      .localCheckpoint(true)
-    if (e0.count() <= driverFinishMaxEdges)
-      return iterateDriver(e0, None, None, iters, dampBp, scale)
-    val e = e0.repartition(col("__src"))
-      .localCheckpoint(true) // scanned every round; never re-derived
-    e0.unpersist()
+    // projection -> co-locate by __src -> ONE checkpoint, bound count
+    // observed on the materialization job (r18, guide §2.4; r17 wrote
+    // and read the edge list twice above the bound + a count job)
+    val (e, nEdges) = Materialize.ckRepartitionCount(
+      edges.select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst")),
+      col("__src"))
+    if (driverFinishMaxEdges > 0 && nEdges <= driverFinishMaxEdges)
+      return iterateDriver(e, None, None, iters, dampBp, scale)
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst")))
       .distinct()
@@ -170,14 +168,12 @@ object PageRank {
     require(dampBp >= 0 && dampBp <= 10000, "dampBp in [0, 10000]")
     require(scale > 0 && scale <= 1000000000000L,
       "scale in (0, 10^12] keeps damped products within a long")
-    val e0 = edges.select(col(srcCol).cast("long").as("__src"),
-        col(dstCol).cast("long").as("__dst"))
-      .localCheckpoint(true)
-    if (e0.count() <= driverFinishMaxEdges)
-      return iterateDriver(e0, Some(ranks), None, iters, dampBp, scale)
-    val e = e0.repartition(col("__src"))
-      .localCheckpoint(true)
-    e0.unpersist()
+    val (e, nEdges) = Materialize.ckRepartitionCount(
+      edges.select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst")),
+      col("__src"))
+    if (driverFinishMaxEdges > 0 && nEdges <= driverFinishMaxEdges)
+      return iterateDriver(e, Some(ranks), None, iters, dampBp, scale)
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst")))
       .distinct()
@@ -231,23 +227,26 @@ object PageRank {
     require(dampBp >= 0 && dampBp <= 10000, "dampBp in [0, 10000]")
     require(scale > 0 && scale <= 1000000000000L,
       "scale in (0, 10^12] keeps damped products within a long")
-    val e0 = edges.select(col(srcCol).cast("long").as("__src"),
+    // projection -> co-locate -> ONE checkpoint; the bound count AND
+    // both weight-sanity extremes ride the materialization job (r18 —
+    // previously a checkpoint + an extremes job + a count job + a
+    // second checkpoint)
+    val (e, met) = Materialize.ckRepartitionObserve(
+      edges.select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"),
-        col(weightCol).cast("long").as("__w"))
-      .localCheckpoint(true)
-    val wRow = e0.agg(min(col("__w")).as("mn"), max(col("__w")).as("mx"))
-      .head()
-    require(!wRow.isNullAt(0), "empty edge set")
-    require(wRow.getLong(0) >= 1L,
-      s"edge weights must be >= 1 (saw ${wRow.getLong(0)})")
-    require(wRow.getLong(1) <= Long.MaxValue / scale,
-      s"max edge weight ${wRow.getLong(1)} overflows rank*w at scale " +
+        col(weightCol).cast("long").as("__w")),
+      col("__src"),
+      Seq(count(lit(1)).as("__n"), min(col("__w")).as("__mnw"),
+        max(col("__w")).as("__mxw")))
+    require(met("__mnw") != null, "empty edge set")
+    require(met("__mnw").asInstanceOf[Long] >= 1L,
+      s"edge weights must be >= 1 (saw ${met("__mnw")})")
+    require(met("__mxw").asInstanceOf[Long] <= Long.MaxValue / scale,
+      s"max edge weight ${met("__mxw")} overflows rank*w at scale " +
         scale)
-    if (e0.count() <= driverFinishMaxEdges)
-      return iterateDriver(e0, None, None, iters, dampBp, scale)
-    val e = e0.repartition(col("__src"))
-      .localCheckpoint(true) // scanned every round; never re-derived
-    e0.unpersist()
+    if (driverFinishMaxEdges > 0 &&
+        met("__n").asInstanceOf[Long] <= driverFinishMaxEdges)
+      return iterateDriver(e, None, None, iters, dampBp, scale)
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst")))
       .distinct()
@@ -301,14 +300,16 @@ object PageRank {
     require(dampBp >= 0 && dampBp <= 10000, "dampBp in [0, 10000]")
     require(scale > 0 && scale <= 1000000000000L,
       "scale in (0, 10^12] keeps damped products within a long")
-    // narrow checkpoint, branch, repartition only distributed (r17,
-    // guide §2.4) — the out-degree aggregate also moves below the
-    // branch: the driver finish never read it
-    val e0 = edges.select(col(srcCol).cast("long").as("__src"),
-        col(dstCol).cast("long").as("__dst"))
-      .localCheckpoint(true)
-    val nodes = e0.select(col("__src").as("node"))
-      .union(e0.select(col("__dst")))
+    // projection -> co-locate -> ONE checkpoint (r18, guide §2.4);
+    // nodes/seeded and both branches all read it, and the out-degree
+    // aggregate stays below the branch (the driver finish never read
+    // it)
+    val (e, nEdges) = Materialize.ckRepartitionCount(
+      edges.select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst")),
+      col("__src"))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst")))
       .distinct()
       .localCheckpoint(true)
     // seed markers ride the node frame for the whole loop: one flag
@@ -322,11 +323,8 @@ object PageRank {
     // the driver finish collects the EDGES and the node-sized flag
     // frame — never the raw seed table (it can be huge; the flags are
     // bounded by the node count)
-    if (e0.count() <= driverFinishMaxEdges)
-      return iterateDriver(e0, None, Some(seeded), iters, dampBp, scale)
-    val e = e0.repartition(col("__src"))
-      .localCheckpoint(true)
-    e0.unpersist()
+    if (driverFinishMaxEdges > 0 && nEdges <= driverFinishMaxEdges)
+      return iterateDriver(e, None, Some(seeded), iters, dampBp, scale)
     val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__od"))
       .localCheckpoint(true)
     val ns = seeded.agg(sum(col("__seed"))).head.getLong(0)

@@ -1060,10 +1060,19 @@ object Profile {
     * Output: (group, n, r2_fp). */
   def spearmanR2(df: DataFrame, groupCol: String, xCol: String,
                  yCol: String, scale: Long = 1000000L): DataFrame = {
+    // Pin pass 1 before pass 2 (r18, guide §5/§6 read-once): rankRows
+    // is multi-scan (its bounds collect + two bucket aggregates + the
+    // rank-attach probe each execute the input lineage), so an
+    // UNCHECKPOINTED rx made pass 2 recompute ALL of pass 1 four times
+    // — the r18 before-plan of q179 showed 18 parquet scans / 58
+    // exchanges for one query. Project to the three columns pass 2
+    // and corrOver actually need (x is consumed by pass 1) before the
+    // checkpoint so the pinned frame is as narrow as possible (§2.3).
     val rx = Selection.rankRows(
         df.select(col(groupCol), col(xCol), col(yCol)), groupCol, xCol)
       .withColumn("__px", expr("(10000 * rank) div n"))
-      .drop("rank", "n")
+      .select(col(groupCol), col(yCol), col("__px"))
+      .localCheckpoint(true)
     val rxy = Selection.rankRows(rx, groupCol, yCol)
       .withColumn("__py", expr("(10000 * rank) div n"))
       .drop("rank", "n")
@@ -1095,7 +1104,9 @@ object Profile {
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
                         scale: Long = 10000L): DataFrame = {
     require(scale >= 1 && scale <= 1000000L, "scale in [1, 10^6]")
-    val ranked = Selection.rankRows(df, groupCol, valueCol)
+    val (ranked0, boundRows) =
+      Selection.rankRowsWithBounds(df, groupCol, valueCol)
+    val ranked = ranked0
       .withColumn("pct_bp", expr(s"($scale * rank) div n"))
       .drop("rank", "n")
       .localCheckpoint(true) // rankRows lineage is multi-scan; pin it
@@ -1108,15 +1119,19 @@ object Profile {
     // over ≤B-row bucket-count frames — never a single-task sort).
     val facts = df.select(col(valueCol).cast("long").as("__v"))
       .filter(col("__v").isNotNull)
-    val head = facts.agg(min(col("__v")).as("__mn"),
-      max(col("__v")).as("__mx"), count(lit(1)).as("__n")).head()
-    val n = head.getLong(2)
+    // global (min, max, n) fold from rankRows' per-group bound rows —
+    // rankRows already collected them, and it raise_errors on null
+    // values, so the global fold over groups equals the old full-scan
+    // aggregate over non-null facts (r18, guide §6 read-once: one
+    // fewer full scan of the fact table)
+    val n = boundRows.iterator.map(_.getLong(3)).sum
     require(n > 0, "quantileNormalize: empty input")
     // (hi+1)·scale and lo·scale + n must stay in Long (ANSI throws
     // mid-task otherwise); fail fast driver-side with the clear error
     require(n <= Long.MaxValue / (scale + 1) - 1,
       s"quantileNormalize: n=$n too large for scale=$scale")
-    val (mn, mx) = (head.getLong(0), head.getLong(1))
+    val mn = boundRows.iterator.map(_.getLong(1)).min
+    val mx = boundRows.iterator.map(_.getLong(2)).max
     require(mx - mn >= 0,
       s"quantileNormalize: value range [$mn, $mx] exceeds Long.MaxValue")
     val span = mx - mn

@@ -433,7 +433,16 @@ object Selection {
     * Output: the input columns plus `rank` and the group's non-null
     * count `n`. Nulls in `valueCol` fail fast ([[Profile.winsorize]]'s
     * contract); group cardinality is assumed broadcast-small. */
-  def rankRows(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  def rankRows(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    rankRowsWithBounds(df, groupCol, valueCol)._1
+
+  /** [[rankRows]] plus the per-group (group, min, max, n, w1, w2)
+    * bound rows its driver collect already computed — callers that
+    * need GLOBAL value bounds (quantileNormalize's inverse-CDF head)
+    * fold these instead of paying a second full scan of the facts
+    * (r18, guide §6 read-once). */
+  private[graft] def rankRowsWithBounds(df: DataFrame, groupCol: String,
+      valueCol: String): (DataFrame, Array[Row]) = {
     val spark = df.sparkSession
     val guarded = coalesce(col(valueCol).cast("long"),
       raise_error(lit(s"rankRows: null value in $valueCol")).cast("long"))
@@ -452,10 +461,10 @@ object Selection {
       val (w1, w2) = bucketWidths(r.getLong(1), r.getLong(2))
       Row(r.get(0), r.getLong(1), r.getLong(2), r.getLong(3), w1, w2)
     }
-    if (boundRows.isEmpty) return facts.drop("__v")
+    if (boundRows.isEmpty) return (facts.drop("__v")
       .withColumn("rank", lit(null).cast("long"))
       .withColumn("n", lit(null).cast("long"))
-      .filter(lit(false))
+      .filter(lit(false)), boundRows)
     val bounds = spark.createDataFrame(
       java.util.Arrays.asList(boundRows: _*), bSchema)
 
@@ -523,8 +532,8 @@ object Selection {
             col("__b2") === col("__vb2") && col("__v") === col("__vv"))
           .withColumn("rank", col("__vbase") + 1L)
       }
-    ranked.select(df.columns.map(col) :+ col("rank") :+
-      col("__n").as("n"): _*)
+    (ranked.select(df.columns.map(col) :+ col("rank") :+
+      col("__n").as("n"): _*), boundRows)
   }
 
   /** EXACT exclusive prefix sums per group: for each row, the sum of

@@ -377,9 +377,10 @@ object SuffixDedup {
     var prTab = positions.join(vocabPr, Seq("tok"))
       .select(col("doc"), col("pos"), col("pr"), col("c"))
       .localCheckpoint(true)
-    var tied = prTab.filter(col("c") >= 2)
-      .select(col("doc"), col("pos"), col("pr"))
-      .localCheckpoint(true)
+    // tied count rides the checkpoint job (r18 — one fewer action)
+    var (tied, tiedCount) = Materialize.ckCount(
+      prTab.filter(col("c") >= 2)
+        .select(col("doc"), col("pos"), col("pr")))
     prTab = prTab.drop("c")
 
     // prefix doubling over the tied set only: after the level with
@@ -390,7 +391,6 @@ object SuffixDedup {
     // tiedCount shrinks monotonically so the mode switches at most
     // once — prTab is never stale in large mode.
     var off = 1L
-    var tiedCount = tied.count()
     var ovl: DataFrame = null
     while (tiedCount > 0 && off < maxDl) {
       // exact driver finish once (tied rows, affected-doc positions)
@@ -446,11 +446,14 @@ object SuffixDedup {
       val w = Window.partitionBy(col("pr"))
         .orderBy(keyNames.map(col): _*)
       val wCls = Window.partitionBy(col("pr") +: keyNames.map(col): _*)
-      val upd = keyed
+      // feeds tied and the overlay; the still-tied count rides the
+      // checkpoint job via observe (r18 — the old tied.count() was one
+      // more full action per doubling level)
+      val (upd, met) = Materialize.ckObserve(keyed
         .select(col("doc"), col("pos"),
           (col("pr") + rank().over(w) - 1L).as("npr"),
-          count(lit(1)).over(wCls).as("__n"))
-        .localCheckpoint(true) // feeds tied, the overlay, and the count
+          count(lit(1)).over(wCls).as("__n")),
+        Seq(sum(when(col("__n") >= 2, 1L).otherwise(0L)).as("__t")))
       tied = upd.filter(col("__n") >= 2)
         .select(col("doc"), col("pos"), col("npr").as("pr"))
       if (small) {
@@ -471,7 +474,8 @@ object SuffixDedup {
             coalesce(col("npr"), col("pr")).as("pr"))
           .localCheckpoint(true)
       }
-      tiedCount = tied.count()
+      tiedCount =
+        if (met("__t") == null) 0L else met("__t").asInstanceOf[Long]
       off *= m
       if (sys.env.contains("SPARK_GRAFT_SA_DEBUG"))
         System.err.println(s"SA level off=$off tied=$tiedCount " +
@@ -573,16 +577,39 @@ object SuffixDedup {
     val pairs = inPart.unionByName(
       boundary.toDF("doc_a", "pos_a", "doc_b", "pos_b"))
 
-    // adjacent-pair LCP over maxLcp-capped slices: zip_with pads the
+    // adjacent-pair LCP over maxLcp-capped slices — SINGLE-PASS token
+    // re-attach (r18, guide §2.3/§3.3 "melt-join-pivot"; r17 verdict
+    // item 1). The old shape joined `toks` twice (once per pair side):
+    // at scale that shuffles the corpus token table twice AND re-
+    // shuffles every pair carrying the full first-side array through
+    // the second join. Instead: melt each pair into two light endpoint
+    // rows keyed by the pair's stable key (doc_a, pos_a) — every SA
+    // position is the LEFT endpoint of at most one adjacent pair — join
+    // the token table ONCE, project the maxLcp-capped slice immediately
+    // (only capped slices cross the pivot exchange, never full arrays),
+    // and re-assemble the pair with a two-row groupBy pivot. One fewer
+    // corpus-array shuffle at any scale; values are bit-identical (the
+    // same slices feed the same zip_with compare — zip_with pads the
     // shorter slice with nulls, so x <=> y turns a length difference
-    // into the first mismatch (shorter suffix IS the prefix)
-    val withA = pairs.join(toks.select(col("doc").as("doc_a"),
-      col("ta").as("__ta")), Seq("doc_a"))
-    val withB = withA.join(toks.select(col("doc").as("doc_b"),
-      col("ta").as("__tb")), Seq("doc_b"))
-    withB
-      .withColumn("__sa", slice(col("__ta"), col("pos_a"), lit(maxLcp)))
-      .withColumn("__sb", slice(col("__tb"), col("pos_b"), lit(maxLcp)))
+    // into the first mismatch: shorter suffix IS the prefix).
+    val melted = pairs.select(col("doc_a"), col("pos_a"),
+        explode(array(
+          struct(col("doc_a").as("doc"), col("pos_a").as("pos"),
+            lit(0).as("side")),
+          struct(col("doc_b").as("doc"), col("pos_b").as("pos"),
+            lit(1).as("side")))).as("e"))
+      .select(col("doc_a"), col("pos_a"), col("e.doc").as("doc"),
+        col("e.pos").as("pos"), col("e.side").as("side"))
+    val sliced = melted.join(toks, Seq("doc"))
+      .select(col("doc_a"), col("pos_a"), col("side"), col("doc"),
+        col("pos"), slice(col("ta"), col("pos"), lit(maxLcp)).as("__sl"))
+    // exactly one row per (pair key, side), so max() just picks it
+    val paired = sliced.groupBy(col("doc_a"), col("pos_a"))
+      .agg(max(when(col("side") === 0, col("__sl"))).as("__sa"),
+        max(when(col("side") === 1,
+          struct(col("doc"), col("pos"), col("__sl")))).as("__b"))
+    paired
+      .withColumn("__sb", col("__b.__sl"))
       .withColumn("__mism", array_position(
         zip_with(col("__sa"), col("__sb"), (x, y) => x <=> y), false))
       .withColumn("lcp",
@@ -590,7 +617,8 @@ object SuffixDedup {
           least(size(col("__sa")), size(col("__sb"))).cast("long"))
           .otherwise(col("__mism") - 1L))
       .filter(col("lcp") >= minLen)
-      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
+      .select(col("doc_a"), col("pos_a"),
+        col("__b.doc").as("doc_b"), col("__b.pos").as("pos_b"),
         col("lcp"))
   }
 

@@ -34,14 +34,17 @@ object CcScaleBench {
     // half the edges chain consecutive ids (deep components — the
     // star loop's hard case), half union random pairs within a hashed
     // bucket (so components merge across chains); deterministic
+    // expr("id div 2"), not col("id") / 2: Spark int `/` is DOUBLE
+    // division (CLAUDE.md invariant — r17 ADVICE), which silently made
+    // the synthesized ids DoubleType and would corrupt them above 2^53
     val edges = spark.range(nEdges)
       .select(
         when(col("id") % 2 === 0,
-          pmod(col("id") / 2, lit(nNodes)) + 1L)
+          pmod(expr("id div 2"), lit(nNodes)) + 1L)
           .otherwise(pmod(xxhash64(lit(1L), col("id")), lit(nNodes)) + 1L)
           .as("a"),
         when(col("id") % 2 === 0,
-          pmod(col("id") / 2 + 1L, lit(nNodes)) + 1L)
+          pmod(expr("id div 2") + 1L, lit(nNodes)) + 1L)
           .otherwise(pmod(xxhash64(lit(2L), col("id")), lit(nNodes)) + 1L)
           .as("b"))
       .localCheckpoint(true) // materialize BEFORE the timed region

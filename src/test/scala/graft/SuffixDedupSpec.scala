@@ -182,7 +182,13 @@ class SuffixDedupSpec extends SparkSpec {
         : Set[(Long, Int, Long, Int, Long)] =
       SuffixDedup.duplicatedSpans(docs.toDF("doc_id", "text"),
           "doc_id", "text", minLen, 512,
-          vocabDriverMaxPos = 0L) // force the distributed vocab rank
+          // force the distributed vocab rank AND the distributed SA
+          // tail (r17 ADVICE: with the default driverFinishMaxPos the
+          // full-driver SA fired before the mapPartitions adjacency /
+          // LCP stage ever ran, so this test's claimed multi-partition
+          // boundary-stitching coverage was only incidental)
+          driverFinishMaxPos = 0L, driverFinishMaxTok = 0L,
+          vocabDriverMaxPos = 0L)
         .as[(Long, Int, Long, Int, Long)].collect().toSet
     // non-ASCII tokens: é (2-byte UTF-8), 中 (3-byte), 😀 (4-byte,
     // supplementary — where UTF-16 compareTo and UTF-8 byte order
