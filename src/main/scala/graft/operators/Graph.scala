@@ -894,12 +894,24 @@ object Graph {
     * driver peel is single-threaded, so the bound must sit where the
     * per-round job floor (~0.3 s × rounds) beats the linear collect +
     * peel. q200_scc (a few thousand edges, many trim/color rounds):
-    * 5.13 s → 1.07 s with the driver finish. q133_kcore (~800k-edge
-    * co-occurrence graph, 5 rounds): 4.86 → 5.64 s when collected —
-    * WORSE, so 1M was too high; 128k keeps graphs that size
-    * distributed while small residues and mid-peel tails still
-    * collapse. */
+    * 5.13 s → 1.07 s with the driver finish. r16 measured q133_kcore
+    * (~800k edges) WORSE when collected (4.86 → 5.64 s) and set 128k;
+    * that sample was contention-era. Re-measured r18 on a quiet
+    * machine (KcoreScaleBench driver-vs-distributed, fresh JVM per
+    * leg, digests equal, 8-round skewed peel): 512k edges 5.14 vs
+    * 8.32 s, 768k 4.42 vs 8.08 s, 1M 5.22 vs 9.14 s, 1.5M 7.04 vs
+    * 10.62 s — the driver wins ~1.5-1.8x across the whole range even
+    * against the r18 fused distributed loop, and q133 itself (1.196M
+    * edges) confirms: solo-isolated 4.99 s distributed vs 3.61 s with
+    * the driver finish (see PLANS.md r18). kCore therefore gets its
+    * own measured 1.5M bound; SCC keeps 128k (Tarjan has no
+    * comparable re-measure yet). */
   private[graft] val DriverFinishMaxEdges = 128L * 1000
+
+  /** kCore-specific driver-finish bound — re-measured r18 (above):
+    * the single-thread peel beats the distributed rounds up to at
+    * least 1.5M edges on this hardware. */
+  private[graft] val KcoreDriverFinishMaxEdges = 1500L * 1000
 
   /** Broadcast bound for a peel round's survivor node set (kCore round
     * fusion): ≤ 4M longs ≈ 32 MB serialized — comfortably under
@@ -930,7 +942,7 @@ object Graph {
     * round semantics, round cap included). */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
             k: Int, maxRounds: Int,
-            driverFinishMaxEdges: Long = DriverFinishMaxEdges,
+            driverFinishMaxEdges: Long = KcoreDriverFinishMaxEdges,
             broadcastMaxAliveNodes: Long = BroadcastMaxAliveNodes)
       : DataFrame = {
     require(k >= 1, "k must be >= 1")

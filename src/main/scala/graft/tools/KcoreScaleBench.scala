@@ -63,9 +63,16 @@ object KcoreScaleBench {
       case "off" => 0L
       case _     => graft.operators.Graph.BroadcastMaxAliveNodes
     }
+    // mode=driver (r18, verdict item 7): force the DRIVER finish at
+    // any size to measure the driver-vs-distributed crossover around
+    // the 128k DriverFinishMaxEdges bound (512k–1M legs)
+    val driverBound = mode match {
+      case "driver" => Long.MaxValue
+      case _        => 0L
+    }
     val t0 = System.nanoTime()
     val core = graft.operators.Graph.kCore(edges, "src", "dst", k,
-      maxRounds = rounds, driverFinishMaxEdges = 0L,
+      maxRounds = rounds, driverFinishMaxEdges = driverBound,
       broadcastMaxAliveNodes = bcastBound)
     val row = core.agg(count(lit(1)).as("n"),
       coalesce(sum(pmod(xxhash64(col("node"), col("core_degree")),
